@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.kql.Kql
+import graft.kql.Kql._
+
+/** The reference's emitted-KQL query surface (SURVEY.md §2.2 Q1–Q8 plus
+  * Kusto `dynamic` access), re-expressed as Catalyst plans over the
+  * `events` table.
+  *
+  * Reference citations (relative to /root/reference/):
+  *  - Q1  `TBL | count`                       KustoSinkTask.java:46,240-242
+  *  - Q2  `where vtype == 'x' | project vlong, vresult = pack_all()`
+  *                                            src/test/.../it/KustoSinkIT.java:269-271
+  *  - Q3  `where MetricName in (…) / startswith`  grafana dashboards json:43,120,401
+  *  - Q4  `project Timestamp, MetricValue`
+  *  - Q5  `extend Series = case(p1, v1, …, default)`
+  *  - Q6  `order by … / top 1 by … desc`
+  *  - Q7  `summarize LatestValue = arg_max(Timestamp, MetricValue) by MetricName`
+  *  - Q8  `take 10`
+  *  - dynamic column access (`props.k`): Kusto `dynamic` ≈ JSON string +
+  *    `get_json_object`, cf. OTEL `ResourceAttributes: dynamic` in
+  *    docker-quickstart/connector-config/create-table.kql:44-54.
+  *
+  * Scale notes: every plan here is a single scan with filters/projections
+  * pushed into the parquet reader; aggregates are hash partial+final;
+  * top-n is TakeOrderedAndProject (no global sort). Nothing materializes
+  * driver-side.
+  */
+object KqlQueries extends QueryModule {
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_count" -> ((s, dir) => Tables.events(s, dir).kqlCount("cnt")),
+
+    "q02_where_project_packall" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .kqlWhere(col("event_type") === "error")
+        .kqlProject(col("event_id"),
+          Kql.pack(col("event_id"), col("user_id"), col("event_type"), col("props"))
+            .as("vresult"))
+        .kqlOrderBy(col("event_id"))),
+
+    "q03_where_in_startswith" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .kqlWhere(col("event_type").isin("signup", "purchase") ||
+          col("event_type").startsWith("err"))
+        .kqlProject(col("event_id"), col("event_type"))
+        .kqlOrderBy(col("event_id"))),
+
+    "q04_project" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .kqlProject(col("event_id"), col("user_id"), col("value"))
+        .kqlOrderBy(col("event_id"))),
+
+    "q05_extend_case" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .kqlExtend("series", Kql.kqlCase(Seq(
+          (col("value") < 10d) -> lit("low"),
+          (col("value") < 100d) -> lit("mid")),
+          lit("high")))
+        .kqlProject(col("event_id"), col("event_type"), col("series"))
+        .kqlOrderBy(col("event_id"))),
+
+    "q06_top_by" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .kqlTop(5, col("value").desc, col("event_id").asc)
+        .kqlProject(col("event_id"), col("user_id"), col("value"))),
+
+    "q07_summarize_argmax" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .kqlSummarize(Seq(col("event_type")),
+          "latest_value" -> Kql.argMax(col("ts"), col("value")),
+          "latest_ts_ms" -> unix_millis(max(col("ts"))))
+        .kqlOrderBy(col("event_type"))),
+
+    "q08_take" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .kqlOrderBy(col("event_id"))
+        .kqlTake(10)
+        .kqlProject(col("event_id"), col("event_type"))),
+
+    "q09_dynamic_json" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .kqlExtend("k", get_json_object(col("props"), "$.k").cast("long"))
+        .kqlWhere(col("k") >= 50)
+        .kqlProject(col("event_id"), col("k"))
+        .kqlOrderBy(col("event_id")))
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "q01_count" ->
+      "SELECT count(*) AS cnt FROM events",
+
+    "q02_where_project_packall" ->
+      """SELECT event_id,
+         to_json(struct_pack(event_id := event_id, user_id := user_id,
+                             event_type := event_type, props := props)) AS vresult
+         FROM events WHERE event_type = 'error' ORDER BY event_id""",
+
+    "q03_where_in_startswith" ->
+      """SELECT event_id, event_type FROM events
+         WHERE event_type IN ('signup','purchase') OR event_type LIKE 'err%'
+         ORDER BY event_id""",
+
+    "q04_project" ->
+      "SELECT event_id, user_id, value FROM events ORDER BY event_id",
+
+    "q05_extend_case" ->
+      """SELECT event_id, event_type,
+         CASE WHEN value < 10 THEN 'low' WHEN value < 100 THEN 'mid' ELSE 'high' END AS series
+         FROM events ORDER BY event_id""",
+
+    "q06_top_by" ->
+      """SELECT event_id, user_id, value FROM events
+         ORDER BY value DESC, event_id ASC LIMIT 5""",
+
+    "q07_summarize_argmax" ->
+      """SELECT event_type,
+                arg_max(value, ts) AS latest_value,
+                epoch_ms(max(ts)) AS latest_ts_ms
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q08_take" ->
+      "SELECT event_id, event_type FROM events ORDER BY event_id LIMIT 10",
+
+    "q09_dynamic_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+         ORDER BY event_id"""
+  )
+}

@@ -1,0 +1,248 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Full relational operator coverage (SURVEY.md §2.3): aggregation,
+  * joins (broadcast / shuffle / semi / anti), window functions,
+  * sessionization, set ops, rollup, event-time windowed aggregation.
+  *
+  * The reference has none of these in its own engine — it delegates them
+  * to Kusto (reference README.md:158-162); our engine supplies them via
+  * Catalyst so a reference user can run the same analytics natively.
+  *
+  * Scale design (100 TB / 1000 executors):
+  *  - dimension joins (`nation`, `region`, filtered `customer`) are
+  *    explicitly `broadcast()` — no shuffle of the fact table;
+  *  - fact-fact joins (orders ⨝ lineitem) shuffle on the join key once;
+  *    AQE re-plans skew at runtime;
+  *  - aggregates are partial (map-side) + final — bytes shuffled are
+  *    proportional to group cardinality, not input rows;
+  *  - top-k is TakeOrderedAndProject: per-partition heap + driver merge
+  *    of k rows, never a global sort;
+  *  - window functions partition by high-cardinality keys (user_id), so
+  *    state per partition stays bounded.
+  *
+  * Float determinism: double sums are rounded (2–6 dp) in BOTH engines so
+  * summation order cannot flip the compared value.
+  */
+object RelationalQueries extends QueryModule {
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-style pricing summary: the canonical partial+final agg.
+    "q10_pricing_summary" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1d) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // TPC-H Q3-style shipping priority: filtered dim broadcast + fact-fact
+    // shuffle join + agg + top-k.
+    "q11_shipping_priority" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, dir).filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val li = Tables.lineitem(s, dir).filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1d) - col("l_discount"))), 2).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          to_date(col("o_orderdate")).as("orderdate"), col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // Star-schema rollup over two broadcast dims: region → nation revenue.
+    "q12_region_revenue" -> ((s, dir) => {
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      Tables.customer(s, dir)
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+        .orderBy(col("r_name"))
+    }),
+
+    // Window functions: per-user event ordering with lag.
+    "q13_window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .filter(col("rn") <= 3)
+        .select(col("user_id"), col("rn"), col("event_id"), col("value"), col("prev_value"))
+        .orderBy(col("user_id"), col("rn"))
+    }),
+
+    // Sessionization: 30-minute-gap sessions per user (gap flag + running
+    // sum), the standard stream-sessionize expressed relationally.
+    "q14_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ms").isNull ||
+            unix_millis(col("ts")) - col("prev_ms") > 1800000L, 1).otherwise(0))
+        .withColumn("session_id",
+          sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          unix_millis(min(col("ts"))).as("session_start_ms"),
+          unix_millis(max(col("ts"))).as("session_end_ms"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // Set ops: users who purchased but never errored.
+    "q15_except" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.filter(col("event_type") === "purchase").select(col("user_id")).distinct()
+        .except(ev.filter(col("event_type") === "error").select(col("user_id")).distinct())
+        .orderBy(col("user_id"))
+    }),
+
+    // Distinct aggregation per group.
+    "q16_distinct_agg" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_type"))),
+
+    // Anti join: customers with no orders.
+    "q17_anti_join" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    // Semi join: suppliers in nations that have customers w/ acctbal > 9900.
+    "q18_semi_join" -> ((s, dir) => {
+      val richNations = Tables.customer(s, dir)
+        .filter(col("c_acctbal") > 9900d).select(col("c_nationkey"))
+      Tables.supplier(s, dir)
+        .join(richNations, col("s_nationkey") === col("c_nationkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // Rollup (multi-level aggregate).
+    "q19_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // Event-time tumbling window aggregation (epoch-aligned 5 min), the
+    // batch expression of the streaming windowed agg.
+    "q20_tumbling_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "5 minutes").getField("start").as("ws"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(unix_millis(col("ws")).as("ws_ms"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("ws_ms"), col("event_type")))
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "q10_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(sum(l_quantity), 2) AS sum_qty,
+                round(sum(l_extendedprice), 2) AS sum_base_price,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                round(avg(l_quantity), 6) AS avg_qty,
+                round(avg(l_discount), 6) AS avg_disc,
+                count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+
+    "q11_shipping_priority" ->
+      """SELECT l_orderkey,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority
+         FROM customer JOIN orders ON c_custkey = o_custkey
+                       JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+           AND l_shipdate > TIMESTAMP '1997-01-01'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
+
+    "q12_region_revenue" ->
+      """SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_acctbal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+                       JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+
+    "q13_window_lag" ->
+      """SELECT user_id, rn, event_id, value, prev_value FROM (
+           SELECT user_id, event_id, value,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+           FROM events) t
+         WHERE rn <= 3 ORDER BY user_id, rn""",
+
+    "q14_sessionize" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                         OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                       THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sessions AS (
+           SELECT user_id, ts, value,
+                  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM flagged)
+         SELECT user_id, session_id, count(*) AS n_events,
+                epoch_ms(min(ts)) AS session_start_ms,
+                epoch_ms(max(ts)) AS session_end_ms,
+                round(sum(value), 2) AS sum_value
+         FROM sessions GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+
+    "q15_except" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+         EXCEPT
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+         ORDER BY user_id""",
+
+    "q16_distinct_agg" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+                round(sum(value), 2) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q17_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+
+    "q18_semi_join" ->
+      """SELECT s_suppkey, s_name FROM supplier
+         WHERE EXISTS (SELECT 1 FROM customer
+                       WHERE c_nationkey = s_nationkey AND c_acctbal > 9900)
+         ORDER BY s_suppkey""",
+
+    "q19_rollup" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+                count(*) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+    "q20_tumbling_window" ->
+      """SELECT (epoch_ms(ts) // 300000) * 300000 AS ws_ms, event_type,
+                count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY ws_ms, event_type"""
+  )
+}
