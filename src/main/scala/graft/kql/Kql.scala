@@ -27,14 +27,20 @@ import org.apache.spark.sql.functions._
   */
 object Kql {
 
+  /** KQL emits `"k":null` for null property-bag entries; Spark's to_json
+    * drops null fields by default, so force them kept (matches both KQL
+    * pack_all and DuckDB to_json(struct_pack(...)) semantics).
+    */
+  private val packOpts = Map("ignoreNullFields" -> "false")
+
   /** KQL `pack_all()`: every column of the row packed into a JSON object
     * (property bag). Equivalent Catalyst form: `to_json(struct(*))`.
     */
   def packAll(df: DataFrame): Column =
-    to_json(struct(df.columns.toIndexedSeq.map(col): _*))
+    to_json(struct(df.columns.toIndexedSeq.map(col): _*), packOpts)
 
   /** `pack(...)` over an explicit column list (preserves given order). */
-  def pack(cols: Column*): Column = to_json(struct(cols: _*))
+  def pack(cols: Column*): Column = to_json(struct(cols: _*), packOpts)
 
   /** KQL `case(p1, v1, p2, v2, …, default)`. */
   def kqlCase(branches: Seq[(Column, Column)], default: Column): Column = {
@@ -67,9 +73,11 @@ object Kql {
     def kqlCount(alias: String = "cnt"): DataFrame = df.agg(count(lit(1)).as(alias))
 
     /** KQL `| summarize aggs by keys`. */
-    def kqlSummarize(by: Seq[Column], aggs: (String, Column)*): DataFrame =
+    def kqlSummarize(by: Seq[Column], aggs: (String, Column)*): DataFrame = {
+      require(aggs.nonEmpty, "summarize needs at least one aggregate")
       df.groupBy(by: _*).agg(aggs.head._2.as(aggs.head._1),
         aggs.tail.map { case (n, c) => c.as(n) }: _*)
+    }
 
     /** KQL `| order by cols` (stable only if cols are a total order). */
     def kqlOrderBy(cols: Column*): DataFrame = df.orderBy(cols: _*)

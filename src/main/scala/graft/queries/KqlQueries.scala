@@ -68,10 +68,13 @@ object KqlQueries extends QueryModule {
         .kqlTop(5, col("value").desc, col("event_id").asc)
         .kqlProject(col("event_id"), col("user_id"), col("value"))),
 
+    // arg_max with a deterministic (ts, event_id) tie-break: struct
+    // comparison in max_by is lexicographic, so tied timestamps resolve
+    // by event_id instead of arbitrarily (VERDICT r1 item 7).
     "q07_summarize_argmax" -> ((s, dir) =>
       Tables.events(s, dir)
         .kqlSummarize(Seq(col("event_type")),
-          "latest_value" -> Kql.argMax(col("ts"), col("value")),
+          "latest_value" -> Kql.argMax(struct(col("ts"), col("event_id")), col("value")),
           "latest_ts_ms" -> unix_millis(max(col("ts"))))
         .kqlOrderBy(col("event_type"))),
 
@@ -117,10 +120,14 @@ object KqlQueries extends QueryModule {
          ORDER BY value DESC, event_id ASC LIMIT 5""",
 
     "q07_summarize_argmax" ->
-      """SELECT event_type,
-                arg_max(value, ts) AS latest_value,
-                epoch_ms(max(ts)) AS latest_ts_ms
-         FROM events GROUP BY event_type ORDER BY event_type""",
+      """WITH ranked AS (
+           SELECT event_type, value, ts,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn,
+                  max(ts) OVER (PARTITION BY event_type) AS max_ts
+           FROM events)
+         SELECT event_type, value AS latest_value, epoch_ms(max_ts) AS latest_ts_ms
+         FROM ranked WHERE rn = 1 ORDER BY event_type""",
 
     "q08_take" ->
       "SELECT event_id, event_type FROM events ORDER BY event_id LIMIT 10",

@@ -104,9 +104,9 @@ object RelationalQueries extends QueryModule {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
-    // Set ops: users who purchased but never errored.
+    // Set ops: users with a high-value purchase but no high-value error.
     "q15_except" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
+      val ev = Tables.events(s, dir).filter(col("value") > 95d)
       ev.filter(col("event_type") === "purchase").select(col("user_id")).distinct()
         .except(ev.filter(col("event_type") === "error").select(col("user_id")).distinct())
         .orderBy(col("user_id"))
@@ -120,10 +120,11 @@ object RelationalQueries extends QueryModule {
           round(sum(col("value")), 2).as("sum_value"))
         .orderBy(col("event_type"))),
 
-    // Anti join: customers with no orders.
+    // Anti join: customers with no large order.
     "q17_anti_join" -> ((s, dir) =>
       Tables.customer(s, dir)
-        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(Tables.orders(s, dir).filter(col("o_totalprice") > 400000d),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))),
 
@@ -195,7 +196,7 @@ object RelationalQueries extends QueryModule {
 
     "q14_sessionize" ->
       """WITH flagged AS (
-           SELECT user_id, ts, value,
+           SELECT user_id, ts, event_id, value,
                   CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
                          OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
                        THEN 1 ELSE 0 END AS new_session
@@ -203,7 +204,7 @@ object RelationalQueries extends QueryModule {
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          sessions AS (
            SELECT user_id, ts, value,
-                  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
            FROM flagged)
          SELECT user_id, session_id, count(*) AS n_events,
@@ -213,9 +214,9 @@ object RelationalQueries extends QueryModule {
          FROM sessions GROUP BY user_id, session_id ORDER BY user_id, session_id""",
 
     "q15_except" ->
-      """SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 95
          EXCEPT
-         SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'error' AND value > 95
          ORDER BY user_id""",
 
     "q16_distinct_agg" ->
@@ -225,7 +226,8 @@ object RelationalQueries extends QueryModule {
 
     "q17_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 400000)
          ORDER BY c_custkey""",
 
     "q18_semi_join" ->
