@@ -1,0 +1,113 @@
+package graft.sink
+
+import java.io.OutputStream
+import java.nio.charset.StandardCharsets
+
+/** Appends records to an open (already gzip-wrapped) output stream in one
+  * wire format. `close()` finishes format-level framing (e.g. Avro
+  * container sync) but must NOT close the underlying stream — the
+  * [[RollingFileWriter]] owns stream lifecycle.
+  *
+  * Format semantics mirror the reference's RecordWriterProviders
+  * (reference: formatWriter/JsonRecordWriterProvider.java:36-77,
+  * StringRecordWriterProvider.java:17-29, ByteRecordWriterProvider.java:17-42,
+  * AvroRecordWriterProvider.java:26-73).
+  */
+trait RecordAppender {
+  def append(r: SinkRecord): Unit
+  def close(): Unit = ()
+}
+
+trait FormatWriterProvider extends Serializable {
+  /** File extension (before `.gz`). */
+  def ext: String
+  def open(out: OutputStream): RecordAppender
+}
+
+private object Nl { val bytes: Array[Byte] = "\n".getBytes(StandardCharsets.UTF_8) }
+
+/** Newline-delimited JSON (Kusto MULTIJSON): one JSON object per line.
+  * Values arrive as serialized JSON bytes (encoded upstream via
+  * `to_json(struct(...))` or already-JSON Kafka payloads). Records whose
+  * payload is empty after serialization are skipped — the reference's
+  * "empty after serialization" filter
+  * (reference: JsonRecordWriterProvider.java:52-57).
+  */
+object JsonLinesWriter extends FormatWriterProvider {
+  val ext = "json"
+  def open(out: OutputStream): RecordAppender = new RecordAppender {
+    def append(r: SinkRecord): Unit = {
+      val v = r.value
+      if (v != null && v.nonEmpty) { out.write(v); out.write(Nl.bytes) }
+    }
+  }
+}
+
+/** Plain string lines: `value.toString + "\n"` — used for CSV payloads,
+  * which arrive pre-formatted as strings
+  * (reference: StringRecordWriterProvider.java:17-29). */
+object StringLinesWriter extends FormatWriterProvider {
+  val ext = "csv"
+  def open(out: OutputStream): RecordAppender = new RecordAppender {
+    def append(r: SinkRecord): Unit = {
+      if (r.value != null && r.value.nonEmpty) { out.write(r.value); out.write(Nl.bytes) }
+    }
+  }
+}
+
+/** Raw bytes pass-through, newline-separated. Used for opaque payloads
+  * (pre-serialized parquet/ORC/avro blobs ride through untouched)
+  * (reference: ByteRecordWriterProvider.java:17-42). */
+object BytesWriter extends FormatWriterProvider {
+  val ext = "bin"
+  def open(out: OutputStream): RecordAppender = new RecordAppender {
+    def append(r: SinkRecord): Unit = {
+      if (r.value != null && r.value.nonEmpty) { out.write(r.value); out.write(Nl.bytes) }
+    }
+  }
+}
+
+/** Avro object-container file: each record's value is one Avro datum; the
+  * container carries the writer schema, so readers self-describe
+  * (reference: AvroRecordWriterProvider.java:26-73, which flushes a block
+  * per record). The value bytes must be Avro binary-encoded with `schema`
+  * — in the Spark path this comes from the upstream encode stage; tests
+  * encode GenericRecords directly.
+  */
+final class AvroContainerWriter(schemaJson: String) extends FormatWriterProvider {
+  val ext = "avro"
+  def open(out: OutputStream): RecordAppender = new RecordAppender {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.io.DecoderFactory
+    private val schema = new Schema.Parser().parse(schemaJson)
+    private val reader = new GenericDatumReader[GenericRecord](schema)
+    private val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    writer.create(schema, new java.io.FilterOutputStream(out) {
+      override def close(): Unit = flush() // keep underlying stream open
+    })
+    def append(r: SinkRecord): Unit = {
+      if (r.value != null && r.value.nonEmpty) {
+        val decoder = DecoderFactory.get().binaryDecoder(r.value, null)
+        writer.append(reader.read(null, decoder))
+        writer.flush()
+      }
+    }
+    override def close(): Unit = writer.close()
+  }
+}
+
+object FormatWriters {
+  /** Provider for a mapping's wire format. Avro needs the writer schema. */
+  def forFormat(format: String, avroSchemaJson: Option[String] = None): FormatWriterProvider =
+    format.toLowerCase match {
+      case "json" | "singlejson" | "multijson" => JsonLinesWriter
+      case "csv" | "string" | "txt" | "tsv"    => StringLinesWriter
+      case "avro" | "apacheavro" =>
+        avroSchemaJson.map(new AvroContainerWriter(_)).getOrElse(BytesWriter)
+      case "bytes" | "parquet" | "orc"         => BytesWriter
+      case other =>
+        throw new graft.config.SinkConfigException(s"unsupported sink format '$other'")
+    }
+}

@@ -1,0 +1,179 @@
+package graft.pipeline
+
+import graft.config.{ErrorBehavior, SinkConfig, TableMapping}
+import graft.ingest._
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SURVEY §7 minimum end-to-end slice: memory source (kafka-source
+  * schema) → tombstone filter → router → JSON-lines encode → gzip stage →
+  * local-table ingest → offsets gate → Q2-style verification query over
+  * what was ingested. Mirrors the reference's KustoSinkIT flow without
+  * network. Also covers wildcard routing and the offset gate under a
+  * failing sink.
+  */
+class PipelineE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("pipeline-e2e")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private case class KRecord(topic: String, partition: Int, offset: Long,
+                             key: Array[Byte], value: Array[Byte])
+  private def jsonRec(topic: String, partition: Int, offset: Long, vtype: String, vlong: Long): KRecord =
+    KRecord(topic, partition, offset, null,
+      s"""{"vtype":"$vtype","vlong":$vlong}""".getBytes(UTF_8))
+
+  private def newConfig(extra: TableMapping*) = SinkConfig(
+    mappings = Seq(TableMapping("topicA", "db1", "tableA"),
+      TableMapping("topicB", "db1", "tableB", format = "csv")) ++ extra,
+    flushSizeBytes = 150, flushIntervalMs = 0, // tiny: force several rolls
+    maxRetryTimeMs = 20, retryBackoffMs = 10,
+    tempDir = Files.createTempDirectory("e2e-stage").toString)
+
+  test("end-to-end: memory stream → filters → route → gzip stage → ingest → verify query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tablesRoot = Files.createTempDirectory("e2e-tables").toString
+    val checkpoint = Files.createTempDirectory("e2e-ckpt").toString
+    val metrics = SinkMetrics.forSpark(spark)
+
+    val pipeline = new KustoSparkPipeline(
+      newConfig(), () => new LocalTableIngestClient(tablesRoot), None, metrics)
+
+    val stream = MemoryStream[KRecord]
+    val records =
+      (0 until 40).map(i => jsonRec("topicA", i % 2, i / 2, if (i % 4 == 0) "even" else "odd", i)) ++
+        (0 until 10).map(i => jsonRec("topicB", 0, i, "b", i)) :+
+        KRecord("topicA", 0, 999, "k".getBytes(UTF_8), null) // tombstone
+    stream.addData(records)
+
+    val q = pipeline.start(stream.toDF(), checkpoint)
+    q.processAllAvailable()
+    q.stop()
+
+    // Ingested rows land under db/table as .json.gz — read them back
+    val tableA = spark.read.json(s"$tablesRoot/db1/tableA")
+    assert(tableA.count() == 40, "all live topicA records ingested; tombstone dropped")
+    val tableB = spark.read.text(s"$tablesRoot/db1/tableB")
+    assert(tableB.count() == 10)
+
+    // Q2-style verification (reference IT assertion query,
+    // KustoSinkIT.java:269-271): where vtype == 'even' | project vlong, pack_all()
+    val verified = tableA.filter($"vtype" === "even")
+      .select($"vlong", to_json(struct(tableA.columns.sorted.map(col): _*)).as("vresult"))
+    assert(verified.count() == 10)
+    assert(verified.select("vlong").as[Long].collect().sorted.sameElements(
+      (0 until 40).filter(_ % 4 == 0).map(_.toLong)))
+
+    // metrics surface
+    val snap = metrics.snapshot
+    assert(snap("records-written") == 50)
+    assert(snap("ingestion-successes") > 0)
+    assert(snap("ingestion-successes") == snap("ingestion-attempts"))
+    assert(snap("records-failed") == 0 && snap("dlq-records-sent") == 0)
+  }
+
+  test("wildcard '*' mapping routes unmapped topics; no-mapping FAIL mode fails the batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tablesRoot = Files.createTempDirectory("e2e-wild").toString
+    val cfgWild = SinkConfig(
+      mappings = Seq(TableMapping("topicA", "db1", "tableA"),
+        TableMapping("*", "db1", "catchall")),
+      flushSizeBytes = 150, flushIntervalMs = 0, maxRetryTimeMs = 20, retryBackoffMs = 10,
+      tempDir = Files.createTempDirectory("e2e-stage2").toString)
+    val pipeline = new KustoSparkPipeline(
+      cfgWild, () => new LocalTableIngestClient(tablesRoot), None, SinkMetrics.forSpark(spark))
+
+    val stream = MemoryStream[KRecord]
+    stream.addData(Seq(jsonRec("topicA", 0, 0, "a", 1), jsonRec("mystery", 0, 0, "m", 2)))
+    val q = pipeline.start(stream.toDF(), Files.createTempDirectory("ck2").toString)
+    q.processAllAvailable(); q.stop()
+    assert(spark.read.json(s"$tablesRoot/db1/tableA").count() == 1)
+    assert(spark.read.json(s"$tablesRoot/db1/catchall").count() == 1)
+
+    // Without a wildcard, FAIL mode must fail the whole batch (offset gate)
+    val cfgStrict = newConfig()
+    val p2 = new KustoSparkPipeline(
+      cfgStrict, () => new LocalTableIngestClient(tablesRoot), None, SinkMetrics.forSpark(spark))
+    val s2 = MemoryStream[KRecord]
+    s2.addData(Seq(jsonRec("unmapped", 0, 0, "x", 3)))
+    val q2 = p2.start(s2.toDF(), Files.createTempDirectory("ck3").toString)
+    val ex = intercept[StreamingQueryException] { q2.processAllAvailable() }
+    assert(ex.getCause != null)
+    q2.stop()
+  }
+
+  test("offset gate: failed ingest halts the query; restart re-processes (at-least-once)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tablesRoot = Files.createTempDirectory("e2e-gate").toString
+    val checkpoint = Files.createTempDirectory("e2e-gate-ckpt").toString
+
+    // Client that always fails transiently — retry budget 2 attempts
+    val mockId = "e2e-gate"
+    MockIngestClient.reset(mockId).failFirst = Int.MaxValue
+    val cfg = newConfig()
+    val failing = new KustoSparkPipeline(
+      cfg, () => new MockIngestClient(mockId), None, SinkMetrics.forSpark(spark))
+
+    val s1 = MemoryStream[KRecord]
+    s1.addData(Seq(jsonRec("topicA", 0, 0, "a", 1), jsonRec("topicA", 0, 1, "a", 2)))
+    val q1 = failing.start(s1.toDF(), checkpoint)
+    intercept[StreamingQueryException] { q1.processAllAvailable() }
+    q1.stop()
+    assert(!Files.exists(java.nio.file.Path.of(checkpoint, "commits", "0")),
+      "batch 0 must NOT be committed after a failed ingest")
+
+    // Heal the sink and restart from the same checkpoint: the SAME records
+    // re-process (at-least-once) because offsets never advanced.
+    val healed = new KustoSparkPipeline(
+      cfg, () => new LocalTableIngestClient(tablesRoot), None, SinkMetrics.forSpark(spark))
+    val s2 = MemoryStream[KRecord]
+    s2.addData(Seq(jsonRec("topicA", 0, 0, "a", 1), jsonRec("topicA", 0, 1, "a", 2)))
+    val q2 = healed.start(s2.toDF(), checkpoint)
+    q2.processAllAvailable(); q2.stop()
+    assert(Files.exists(java.nio.file.Path.of(checkpoint, "commits", "0")))
+    assert(spark.read.json(s"$tablesRoot/db1/tableA").count() == 2,
+      "records ingested exactly the at-least-once way after recovery")
+  }
+
+  test("LOG mode with DLQ: unroutable records dead-letter instead of failing the batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tablesRoot = Files.createTempDirectory("e2e-dlq").toString
+    InMemoryDlq.reset("e2e-dlq")
+    val cfg = SinkConfig(
+      mappings = Seq(TableMapping("topicA", "db1", "tableA")),
+      flushSizeBytes = 150, flushIntervalMs = 0, maxRetryTimeMs = 20, retryBackoffMs = 10,
+      behaviorOnError = ErrorBehavior.Log, dlqTopic = Some("dlq-topic"),
+      tempDir = Files.createTempDirectory("e2e-stage3").toString)
+    val metrics = SinkMetrics.forSpark(spark)
+    val pipeline = new KustoSparkPipeline(cfg, () => new LocalTableIngestClient(tablesRoot),
+      Some(() => new InMemoryDlq("e2e-dlq")), metrics)
+
+    val stream = MemoryStream[KRecord]
+    stream.addData(Seq(jsonRec("topicA", 0, 0, "a", 1), jsonRec("ghost", 0, 7, "g", 2)))
+    val q = pipeline.start(stream.toDF(), Files.createTempDirectory("ck4").toString)
+    q.processAllAvailable(); q.stop()
+
+    assert(spark.read.json(s"$tablesRoot/db1/tableA").count() == 1)
+    val dlq = InMemoryDlq.state("e2e-dlq")
+    assert(dlq.size == 1)
+    assert(new String(dlq.get(0)._1, UTF_8).contains("topic=ghost"))
+    assert(new String(dlq.get(0)._1, UTF_8).contains("offset=7"))
+    assert(metrics.snapshot("records-failed") == 1)
+    assert(metrics.snapshot("dlq-records-sent") == 1)
+  }
+}
