@@ -1,13 +1,425 @@
 package graft.queries
 
+import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Large-scale training-data pipeline operators over `documents` /
-  * `embeddings`: dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard),
-  * similarity search (brute-force + LSH-bucketed cosine), text analysis
-  * (tokens, quality, lang-ID, fingerprints). Populated incrementally.
+/** Large-scale training-data pipeline operators over `documents` and
+  * `embeddings` — dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard),
+  * similarity search (brute-force + LSH-bucketed cosine top-k), text
+  * analysis (token stats, quality, lang-ID, winnowing fingerprints), and
+  * multimodal metadata plumbing.
+  *
+  * Oracle portability rules used throughout (so DuckDB reproduces Spark
+  * bit-for-bit):
+  *  - hashes are md5 hex strings (identical in both engines); MinHash
+  *    takes the LEXICOGRAPHIC min of md5 strings instead of a numeric
+  *    hash, so no integer-conversion divergence exists;
+  *  - hex→int uses Spark `conv(hex,16,10)` ≡ DuckDB `('0x'||hex)::BIGINT`
+  *    (unsigned 32-bit, fits a long identically);
+  *  - float similarity values are computed with explicit SEQUENTIAL folds
+  *    (Spark `aggregate`, DuckDB `list_reduce`) over identical element
+  *    order, so IEEE doubles match exactly and no rounding is needed.
+  *
+  * Scale design notes are per-query below; none of these plans collects
+  * to the driver, and every candidate-generation step is bucketed (LSH
+  * bands / inverted index / hyperplane buckets) — all-pairs never happens
+  * on the big side.
   */
 object LlmQueries extends QueryModule {
-  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  override val oracles: Map[String, String] = Map()
+
+  private def docs(s: SparkSession, dir: String): Unit =
+    Tables.documents(s, dir).createOrReplaceTempView("documents")
+  private def embs(s: SparkSession, dir: String): Unit =
+    Tables.embeddings(s, dir).createOrReplaceTempView("embeddings")
+
+  // ---------------------------------------------------------------- dedup
+
+  /** Exact dedup by content hash: hash-groupBy with partial aggregation —
+    * the canonical shuffle-light exact dedup at any scale (hashes are
+    * uniform, so no skew; map-side combine keeps the shuffle at one row
+    * per distinct hash per partition). */
+  private def exactDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.groupBy(md5(lower(col("text"))).as("content_hash"))
+      .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+      .select("content_hash", "keeper_doc_id", "n_copies")
+      .orderBy("keeper_doc_id")
+  }
+
+  /** MinHash signature (K=12, lexicographic min of md5 per seed) + banded
+    * LSH (4 bands × 3 rows): candidate pairs meet only inside a band
+    * bucket, so the join is |bucket|² per bucket, never all-pairs. The
+    * band-bucket join is the standard near-dup plan at 100 TB (each band
+    * hash is a shuffle key; skew only if thousands of docs share a band
+    * hash, which means they ARE near-duplicates). */
+  private val minhashSql = """
+    WITH toks AS (
+      SELECT doc_id, split(lower(text), '\\s+') AS t FROM documents),
+    shingles AS (
+      SELECT doc_id,
+             array_distinct(transform(sequence(0, size(t)-3), i -> concat_ws(' ', slice(t, i+1, 3)))) AS sh
+      FROM toks WHERE size(t) >= 3),
+    sig AS (
+      SELECT doc_id,
+             transform(sequence(0, 11), k -> array_min(transform(sh, s -> md5(concat(cast(k AS string), ':', s))))) AS mh
+      FROM shingles),
+    bands AS (
+      SELECT doc_id, b,
+             md5(concat(element_at(mh, b*3+1), element_at(mh, b*3+2), element_at(mh, b*3+3))) AS bh
+      FROM sig LATERAL VIEW explode(sequence(0, 3)) bt AS b),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    est AS (
+      SELECT id_a, id_b,
+             size(filter(sequence(0, 11), k -> element_at(sa.mh, k+1) = element_at(sb.mh, k+1))) / cast(12 AS double) AS est_jaccard
+      FROM cand JOIN sig sa ON cand.id_a = sa.doc_id JOIN sig sb ON cand.id_b = sb.doc_id)
+    SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b"""
+
+  private val minhashOracle = """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+    shingles AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(len(t)-2), i -> array_to_string(t[i+1:i+3], ' '))) AS sh
+      FROM toks WHERE len(t) >= 3),
+    sig AS (
+      SELECT doc_id,
+             list_transform(range(12), k -> list_min(list_transform(sh, s -> md5(k::VARCHAR || ':' || s)))) AS mh
+      FROM shingles),
+    bands AS (
+      SELECT doc_id, b, md5(mh[b*3+1] || mh[b*3+2] || mh[b*3+3]) AS bh
+      FROM sig, unnest(range(4)) AS bt(b)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    est AS (
+      SELECT id_a, id_b,
+             len(list_filter(range(12), k -> sa.mh[k+1] = sb.mh[k+1])) / 12.0 AS est_jaccard
+      FROM cand JOIN sig sa ON cand.id_a = sa.doc_id JOIN sig sb ON cand.id_b = sb.doc_id)
+    SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b"""
+
+  /** 32-bit SimHash over token hashes (frequency-weighted, standard
+    * construction): per-document map-only work — embarrassingly parallel,
+    * no shuffle at all except the final orderBy (oracle determinism
+    * device; a real pipeline would write unsorted). */
+  private val simhashSql = """
+    WITH toks AS (SELECT doc_id, split(lower(text), '\\s+') AS t FROM documents),
+    h AS (SELECT doc_id, transform(t, tok -> cast(conv(substr(md5(tok), 1, 8), 16, 10) AS bigint)) AS hs FROM toks)
+    SELECT doc_id,
+      aggregate(sequence(0, 31), cast(0 AS bigint), (acc, i) ->
+        acc + shiftleft(CASE WHEN aggregate(hs, cast(0 AS bigint),
+                                            (s, x) -> s + (shiftright(x, i) & 1) * 2 - 1) > 0
+                        THEN cast(1 AS bigint) ELSE cast(0 AS bigint) END, i)) AS simhash
+    FROM h ORDER BY doc_id"""
+
+  private val simhashOracle = """
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+    h AS (SELECT doc_id, list_transform(t, tok -> ('0x' || substr(md5(tok), 1, 8))::BIGINT) AS hs FROM toks)
+    SELECT doc_id,
+      list_reduce(list_transform(range(32), i ->
+        CASE WHEN list_reduce(list_transform(hs, x -> ((x >> i) & 1) * 2 - 1), (s, x) -> s + x) > 0
+             THEN (1::BIGINT << i) ELSE 0::BIGINT END), (s, x) -> s + x) AS simhash
+    FROM h ORDER BY doc_id"""
+
+  /** Exact n-gram Jaccard via inverted-index join: docs pair up only when
+    * they SHARE a shingle (posting-list self-join), then
+    * |A∩B| / (|A|+|B|-|A∩B|). At 100 TB the risk is hot shingles (stop
+    * phrases) exploding a posting list — production would drop shingles
+    * with document frequency above a cap (they cannot contribute to a
+    * high-Jaccard pair anyway); AQE skew-join splits the rest. */
+  private val ngramJaccardSql = """
+    WITH toks AS (SELECT doc_id, split(lower(text), '\\s+') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             array_distinct(transform(sequence(0, size(t)-3), i -> concat_ws(' ', slice(t, i+1, 3)))) AS shs
+      FROM toks WHERE size(t) >= 3),
+    ds AS (SELECT doc_id, shingle FROM sh LATERAL VIEW explode(shs) st AS shingle),
+    n AS (SELECT doc_id, count(1) AS cnt FROM ds GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(1) AS cm
+      FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b, cast(cm AS double) / (na.cnt + nb.cnt - cm) AS jaccard
+    FROM common JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
+    WHERE cast(cm AS double) / (na.cnt + nb.cnt - cm) >= 0.4
+    ORDER BY id_a, id_b"""
+
+  private val ngramJaccardOracle = """
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(len(t)-2), i -> array_to_string(t[i+1:i+3], ' '))) AS shs
+      FROM toks WHERE len(t) >= 3),
+    ds AS (SELECT doc_id, unnest(shs) AS shingle FROM sh),
+    n AS (SELECT doc_id, count(1) AS cnt FROM ds GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(1) AS cm
+      FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b, cm::DOUBLE / (na.cnt + nb.cnt - cm) AS jaccard
+    FROM common JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
+    WHERE cm::DOUBLE / (na.cnt + nb.cnt - cm) >= 0.4
+    ORDER BY id_a, id_b"""
+
+  // ------------------------------------------------- similarity search
+
+  /** Brute-force cosine top-10 for a fixed query subset (vec_id % 100 = 0)
+    * — the correctness baseline every ANN variant is judged against.
+    * Scale shape: the query side is tiny and broadcast; similarities are
+    * computed map-side; top-k is TWO-PHASE (per-partition row_number,
+    * then global) so the shuffle carries ≤ k rows per (query, partition)
+    * instead of the full N·Q similarity matrix. */
+  private val knnSql = """
+    WITH v AS (SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS e FROM embeddings),
+    vn AS (SELECT vec_id, e,
+                  sqrt(aggregate(e, cast(0.0 AS double), (s, x) -> s + x * x)) AS nrm FROM v),
+    q AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM vn WHERE vec_id % 100 = 0),
+    sims AS (
+      SELECT /*+ BROADCAST(q) */ q.qid, vn.vec_id,
+             aggregate(sequence(0, 63), cast(0.0 AS double),
+                       (s, i) -> s + element_at(qe, i+1) * element_at(e, i+1)) / (qnrm * nrm) AS sim,
+             spark_partition_id() AS pid
+      FROM q JOIN vn ON vn.vec_id <> q.qid),
+    local_top AS (
+      SELECT qid, vec_id, sim,
+             row_number() OVER (PARTITION BY qid, pid ORDER BY sim DESC, vec_id) AS lrn
+      FROM sims),
+    ranked AS (
+      SELECT qid, vec_id, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+      FROM local_top WHERE lrn <= 10)
+    SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 10 ORDER BY qid, rank"""
+
+  private val knnOracle = """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    vn AS (SELECT vec_id, e,
+                  sqrt(list_reduce(list_transform(e, x -> x * x), (s, x) -> s + x)) AS nrm FROM v),
+    q AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM vn WHERE vec_id % 100 = 0),
+    sims AS (
+      SELECT q.qid, vn.vec_id,
+             list_reduce(list_transform(range(64), i -> qe[i+1] * e[i+1]), (s, x) -> s + x) / (qnrm * nrm) AS sim
+      FROM q CROSS JOIN vn WHERE vn.vec_id <> q.qid),
+    ranked AS (
+      SELECT qid, vec_id, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+      FROM sims)
+    SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 10 ORDER BY qid, rank"""
+
+  /** Random-hyperplane LSH (6 planes → 64 buckets), then cosine top-3
+    * WITHIN the query's bucket — the scale path: candidate size drops by
+    * ~bucket-count× and the bucket id is a plain shuffle key. Hyperplane
+    * components derive deterministically from md5(plane:dim), so engine
+    * and oracle build identical planes with no RNG. */
+  private val lshKnnSql = """
+    WITH v AS (SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS e FROM embeddings),
+    hp AS (
+      SELECT h, transform(sequence(0, 63), d ->
+               (cast(conv(substr(md5(concat(cast(h AS string), ':', cast(d AS string))), 1, 8), 16, 10) AS bigint) % 2001 - 1000) / 1000.0) AS w
+      FROM (SELECT explode(sequence(0, 5)) AS h)),
+    vb AS (
+      SELECT /*+ BROADCAST(hp) */ vec_id, e,
+             sum(CASE WHEN aggregate(sequence(0, 63), cast(0.0 AS double),
+                                     (s, i) -> s + element_at(e, i+1) * element_at(w, i+1)) > 0
+                      THEN shiftleft(1, h) ELSE 0 END) AS bucket
+      FROM v CROSS JOIN hp GROUP BY vec_id, e),
+    vn AS (SELECT vec_id, e, bucket,
+                  sqrt(aggregate(e, cast(0.0 AS double), (s, x) -> s + x * x)) AS nrm FROM vb),
+    q AS (SELECT vec_id AS qid, e AS qe, bucket AS qb, nrm AS qnrm FROM vn WHERE vec_id % 100 = 0),
+    sims AS (
+      SELECT /*+ BROADCAST(q) */ q.qid, vn.vec_id,
+             aggregate(sequence(0, 63), cast(0.0 AS double),
+                       (s, i) -> s + element_at(qe, i+1) * element_at(e, i+1)) / (qnrm * nrm) AS sim
+      FROM q JOIN vn ON vn.bucket = q.qb AND vn.vec_id <> q.qid),
+    ranked AS (
+      SELECT qid, vec_id, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+      FROM sims)
+    SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 3 ORDER BY qid, rank"""
+
+  private val lshKnnOracle = """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    hp AS (
+      SELECT h, list_transform(range(64), d ->
+               ((('0x' || substr(md5(h::VARCHAR || ':' || d::VARCHAR), 1, 8))::BIGINT % 2001 - 1000) / 1000.0)) AS w
+      FROM unnest(range(6)) AS ht(h)),
+    vb AS (
+      SELECT vec_id, e,
+             sum(CASE WHEN list_reduce(list_transform(range(64), i -> e[i+1] * w[i+1]), (s, x) -> s + x) > 0
+                      THEN (1 << h) ELSE 0 END) AS bucket
+      FROM v CROSS JOIN hp GROUP BY vec_id, e),
+    vn AS (SELECT vec_id, e, bucket,
+                  sqrt(list_reduce(list_transform(e, x -> x * x), (s, x) -> s + x)) AS nrm FROM vb),
+    q AS (SELECT vec_id AS qid, e AS qe, bucket AS qb, nrm AS qnrm FROM vn WHERE vec_id % 100 = 0),
+    sims AS (
+      SELECT q.qid, vn.vec_id,
+             list_reduce(list_transform(range(64), i -> qe[i+1] * e[i+1]), (s, x) -> s + x) / (qnrm * nrm) AS sim
+      FROM q JOIN vn ON vn.bucket = q.qb AND vn.vec_id <> q.qid),
+    ranked AS (
+      SELECT qid, vec_id, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+      FROM sims)
+    SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 3 ORDER BY qid, rank"""
+
+  // ------------------------------------------------------ text analysis
+
+  /** Whitespace token stats + BPE-ish subtoken count — per-document
+    * map-only work (scales embarrassingly). */
+  private val tokenStatsSql = """
+    WITH toks AS (SELECT doc_id, text, split(lower(text), '\\s+') AS t FROM documents)
+    SELECT doc_id, size(t) AS n_tokens, size(array_distinct(t)) AS n_distinct,
+           cast(size(array_distinct(t)) AS double) / size(t) AS ttr,
+           aggregate(t, 0, (s, x) -> s + length(x)) AS total_token_chars,
+           cast(aggregate(t, 0, (s, x) -> s + length(x)) AS double) / size(t) AS avg_token_len,
+           size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) AS n_subtokens
+    FROM toks ORDER BY doc_id"""
+
+  private val tokenStatsOracle = """
+    WITH toks AS (SELECT doc_id, text, regexp_split_to_array(lower(text), '\s+') AS t FROM documents)
+    SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct,
+           len(list_distinct(t))::DOUBLE / len(t) AS ttr,
+           list_reduce(list_transform(t, x -> len(x)), (s, x) -> s + x) AS total_token_chars,
+           list_reduce(list_transform(t, x -> len(x)), (s, x) -> s + x)::DOUBLE / len(t) AS avg_token_len,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_subtokens
+    FROM toks ORDER BY doc_id"""
+
+  private val StopEn = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+
+  /** Heuristic quality score: stopword ratio + alpha ratio + type-token
+    * ratio + length saturation, combined with fixed weights. Map-only. */
+  private val qualitySql = s"""
+    WITH toks AS (SELECT doc_id, text, n_chars, split(lower(text), '\\\\s+') AS t FROM documents)
+    SELECT doc_id, n_chars, size(t) AS n_tokens,
+           cast(size(filter(t, x -> array_contains(array(${StopEn.map("'" + _ + "'").mkString(",")}), x))) AS double) / size(t) AS stopword_ratio,
+           cast(length(regexp_replace(lower(text), '[^a-z ]', '')) AS double) / length(text) AS alpha_ratio,
+           0.4 * least(cast(1.0 AS double), size(t) / cast(100 AS double))
+             + 0.3 * (cast(size(filter(t, x -> array_contains(array(${StopEn.map("'" + _ + "'").mkString(",")}), x))) AS double) / size(t))
+             + 0.3 * (cast(size(array_distinct(t)) AS double) / size(t)) AS quality
+    FROM toks ORDER BY doc_id"""
+
+  private val qualityOracle = s"""
+    WITH toks AS (SELECT doc_id, text, n_chars, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents)
+    SELECT doc_id, n_chars, len(t) AS n_tokens,
+           len(list_filter(t, x -> list_contains([${StopEn.map("'" + _ + "'").mkString(",")}], x)))::DOUBLE / len(t) AS stopword_ratio,
+           len(regexp_replace(lower(text), '[^a-z ]', '', 'g'))::DOUBLE / len(text) AS alpha_ratio,
+           0.4 * least(1.0, len(t) / 100.0)
+             + 0.3 * (len(list_filter(t, x -> list_contains([${StopEn.map("'" + _ + "'").mkString(",")}], x)))::DOUBLE / len(t))
+             + 0.3 * (len(list_distinct(t))::DOUBLE / len(t)) AS quality
+    FROM toks ORDER BY doc_id"""
+
+  private val Lex: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "was"),
+    "es" -> Seq("el", "la", "los", "de", "que", "y", "en", "un", "por", "con"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "des", "un", "une", "est", "dans"))
+
+  private def lexArr(l: String, spark: Boolean): String = {
+    val items = Lex(l).map("'" + _ + "'").mkString(",")
+    if (spark) s"array($items)" else s"[$items]"
+  }
+
+  /** N-gram/stopword language-ID heuristic with a deterministic argmax
+    * tie-break (en > es > de > fr > unknown). Map-only; the `lang` column
+    * is ground truth for an accuracy readout downstream. */
+  private def langidSql(spark: Boolean): String = {
+    def score(l: String) =
+      if (spark) s"size(filter(t, x -> array_contains(${lexArr(l, spark = true)}, x)))"
+      else s"len(list_filter(t, x -> list_contains(${lexArr(l, spark = false)}, x)))"
+    val split = if (spark) "split(lower(text), '\\\\s+')" else "regexp_split_to_array(lower(text), '\\s+')"
+    s"""
+    WITH toks AS (SELECT doc_id, lang, $split AS t FROM documents),
+    scores AS (
+      SELECT doc_id, lang, ${score("en")} AS s_en, ${score("es")} AS s_es,
+             ${score("de")} AS s_de, ${score("fr")} AS s_fr
+      FROM toks)
+    SELECT doc_id, lang, s_en, s_es, s_de, s_fr,
+           CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+                WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+                WHEN s_fr > 0 THEN 'fr'
+                ELSE 'unknown' END AS predicted_lang
+    FROM scores ORDER BY doc_id"""
+  }
+
+  /** Winnowing-style fingerprint: md5 over char 8-grams, lexicographic
+    * min per 4-gram window, distinct mins = the document's fingerprint
+    * set. Map-only per document. */
+  private val fingerprintSql = """
+    WITH g AS (
+      SELECT doc_id, transform(sequence(0, length(text)-8), i -> md5(substr(text, i+1, 8))) AS grams
+      FROM documents WHERE length(text) >= 8),
+    w AS (
+      SELECT doc_id,
+             array_distinct(transform(sequence(0, size(grams)-4), wi -> array_min(slice(grams, wi+1, 4)))) AS fps
+      FROM g WHERE size(grams) >= 4)
+    SELECT doc_id, size(fps) AS n_fingerprints, array_min(fps) AS min_fp, array_max(fps) AS max_fp
+    FROM w ORDER BY doc_id"""
+
+  private val fingerprintOracle = """
+    WITH g AS (
+      SELECT doc_id, list_transform(range(len(text)-7), i -> md5(substr(text, i+1, 8))) AS grams
+      FROM documents WHERE len(text) >= 8),
+    w AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(len(grams)-3), wi -> list_min(grams[wi+1:wi+4]))) AS fps
+      FROM g WHERE len(grams) >= 4)
+    SELECT doc_id, len(fps) AS n_fingerprints, list_min(fps) AS min_fp, list_max(fps) AS max_fp
+    FROM w ORDER BY doc_id"""
+
+  // -------------------------------------------------------- multimodal
+
+  /** Opaque-binary metadata plumbing: payload byte length, content hash,
+    * fixed-size frame count, header prefix — the schema/partitioning
+    * shape a real image/audio decode stage plugs into (the decode itself
+    * lives in graft.ops.Multimodal as a deterministic stub; this query
+    * checks the metadata layer against the oracle). */
+  private val multimodalSql = """
+    SELECT doc_id,
+           octet_length(text) AS payload_bytes,
+           sha2(text, 256) AS content_sha,
+           substr(sha2(text, 256), 1, 16) AS header,
+           cast(ceil(octet_length(text) / 64.0) AS bigint) AS n_frames
+    FROM documents ORDER BY doc_id"""
+
+  private val multimodalOracle = """
+    SELECT doc_id,
+           octet_length(text::BLOB) AS payload_bytes,
+           sha256(text) AS content_sha,
+           substr(sha256(text), 1, 16) AS header,
+           ceil(octet_length(text::BLOB) / 64.0)::BIGINT AS n_frames
+    FROM documents ORDER BY doc_id"""
+
+  // ------------------------------------------------------------ wiring
+
+  private def sqlQuery(view: (SparkSession, String) => Unit, sql: String): (SparkSession, String) => DataFrame =
+    (s, dir) => { view(s, dir); s.sql(sql) }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_exact_dedup" -> (exactDedup(_, _)),
+    "q22_minhash_lsh" -> sqlQuery(docs, minhashSql),
+    "q23_simhash" -> sqlQuery(docs, simhashSql),
+    "q24_ngram_jaccard" -> sqlQuery(docs, ngramJaccardSql),
+    "q25_knn_bruteforce" -> sqlQuery(embs, knnSql),
+    "q26_knn_lsh" -> sqlQuery(embs, lshKnnSql),
+    "q27_token_stats" -> sqlQuery(docs, tokenStatsSql),
+    "q28_quality_score" -> sqlQuery(docs, qualitySql),
+    "q29_langid" -> sqlQuery(docs, langidSql(spark = true)),
+    "q30_fingerprint" -> sqlQuery(docs, fingerprintSql),
+    "q31_multimodal_meta" -> sqlQuery(docs, multimodalSql))
+
+  override val oracles: Map[String, String] = Map(
+    "q21_exact_dedup" ->
+      """SELECT md5(lower(text)) AS content_hash, min(doc_id) AS keeper_doc_id, count(1) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY keeper_doc_id""",
+    "q22_minhash_lsh" -> minhashOracle,
+    "q23_simhash" -> simhashOracle,
+    "q24_ngram_jaccard" -> ngramJaccardOracle,
+    "q25_knn_bruteforce" -> knnOracle,
+    "q26_knn_lsh" -> lshKnnOracle,
+    "q27_token_stats" -> tokenStatsOracle,
+    "q28_quality_score" -> qualityOracle,
+    "q29_langid" -> langidSql(spark = false),
+    "q30_fingerprint" -> fingerprintOracle,
+    "q31_multimodal_meta" -> multimodalOracle)
 }
