@@ -30,13 +30,27 @@ object PipelineDemo {
     val tablesRoot = Files.createTempDirectory("demo-tables").toString
     val config = SinkConfig(
       mappings = Seq(
-        TableMapping("telemetry", "demo_db", "telemetry_table"),
+        TableMapping("telemetry", "demo_db", "telemetry_table", streaming = true),
         TableMapping("*", "demo_db", "catchall")),
       flushSizeBytes = 256, flushIntervalMs = 0,
       tempDir = Files.createTempDirectory("demo-stage").toString)
+
+    // V1 startup validation before any stream starts (fail-fast)
+    Preflight.validate(config, new MetadataClient {
+      def tableExists(db: String, table: String) = true
+      def mappingExists(db: String, table: String, format: String, mapping: String) = true
+      def hasIngestPermission(db: String, table: String) = true
+      def streamingPolicyEnabled(db: String, table: String) = true
+    })
+    println("preflight: config validated")
+
     val metrics = SinkMetrics.forSpark(spark)
+    // K2: streaming ingestion with managed fallback to the queued path
     val pipeline = new KustoSparkPipeline(
-      config, () => new LocalTableIngestClient(tablesRoot), None, metrics)
+      config,
+      () => new graft.ingest.ManagedStreamingIngestClient(
+        new LocalTableIngestClient(tablesRoot), new LocalTableIngestClient(tablesRoot)),
+      None, metrics)
 
     val stream = MemoryStream[KRecord]
     stream.addData(
@@ -56,6 +70,16 @@ object PipelineDemo {
     println(s"metrics: ${metrics.snapshot.toSeq.sorted.mkString(", ")}")
     val staged = java.nio.file.Files.list(java.nio.file.Path.of(tablesRoot, "demo_db", "telemetry_table"))
     println("ingested blobs: " + staged.iterator().next().getFileName)
+
+    // multimodal plumbing over the documents table: binary payloads →
+    // stubbed decode → feature table ready for the ANN queries
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val media = graft.ops.Multimodal.asMedia(
+      docs.selectExpr("doc_id", "cast(text as binary) AS payload"), "doc_id", "payload", "image")
+    val features = graft.ops.Multimodal.featureTable(spark, media)
+    println(s"multimodal features: ${features.count()} rows, " +
+      s"schema=${features.schema.fieldNames.mkString(",")}")
+    features.orderBy("doc_id").show(3, truncate = 40)
     spark.stop()
   }
 }

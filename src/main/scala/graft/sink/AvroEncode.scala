@@ -1,0 +1,122 @@
+package graft.sink
+
+import org.apache.avro.{Schema, SchemaBuilder}
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.EncoderFactory
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+/** E2 — struct→Avro encoding without the spark-avro module (absent in
+  * this offline environment): converts a Spark StructType to an Avro
+  * schema and rows to Avro binary datums, producing the `value: binary`
+  * payloads the Avro container staging writer frames
+  * (reference: AvroRecordWriterProvider.java:26-73 does the same via
+  * Connect's AvroData bridge).
+  *
+  * Supported: all Spark atomic types in the testdata surface (boolean,
+  * int/long, float/double, string, binary, date→int days,
+  * timestamp→long micros), nested structs, arrays, and string-keyed
+  * maps; nullable fields become `[null, T]` unions, matching standard
+  * Avro-Connect conventions.
+  */
+object AvroEncode {
+
+  def toAvroSchema(st: StructType, recordName: String = "record", namespace: String = "graft"): Schema = {
+    val fields = st.fields.map { f =>
+      new Schema.Field(f.name, fieldSchema(f.dataType, f.nullable, s"${recordName}_${f.name}"),
+        null, if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
+    }
+    Schema.createRecord(recordName, null, namespace, false, fields.toList.asJava)
+  }
+
+  private def fieldSchema(dt: DataType, nullable: Boolean, name: String): Schema = {
+    val base = dt match {
+      case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+      case ByteType | ShortType | IntegerType => Schema.create(Schema.Type.INT)
+      case LongType => Schema.create(Schema.Type.LONG)
+      case FloatType => Schema.create(Schema.Type.FLOAT)
+      case DoubleType => Schema.create(Schema.Type.DOUBLE)
+      case StringType => Schema.create(Schema.Type.STRING)
+      case BinaryType => Schema.create(Schema.Type.BYTES)
+      case DateType => Schema.create(Schema.Type.INT)       // days since epoch
+      case TimestampType => Schema.create(Schema.Type.LONG) // micros since epoch
+      case s: StructType => toAvroSchema(s, name)
+      case ArrayType(et, containsNull) =>
+        Schema.createArray(fieldSchema(et, containsNull, s"${name}_item"))
+      case MapType(StringType, vt, valueContainsNull) =>
+        Schema.createMap(fieldSchema(vt, valueContainsNull, s"${name}_value"))
+      case other => throw new IllegalArgumentException(s"unsupported Avro encode type: $other")
+    }
+    if (nullable) Schema.createUnion(Schema.create(Schema.Type.NULL), base) else base
+  }
+
+  private def unwrapUnion(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION) s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+    else s
+
+  private def convert(value: Any, schema: Schema): Any = value match {
+    case null => null
+    case r: Row =>
+      val s = unwrapUnion(schema)
+      val rec = new GenericData.Record(s)
+      // positional: toAvroSchema preserves StructType field order, and a
+      // Row built with Row.fromSeq has no schema for name lookup
+      s.getFields.asScala.zipWithIndex.foreach { case (f, i) =>
+        rec.put(f.name(), convert(r.get(i), f.schema()))
+      }
+      rec
+    case seq: scala.collection.Seq[_] =>
+      val s = unwrapUnion(schema)
+      seq.map(v => convert(v, s.getElementType)).asJava
+    case m: scala.collection.Map[_, _] =>
+      val s = unwrapUnion(schema)
+      m.map { case (k, v) => k.toString -> convert(v, s.getValueType) }.asJava
+    case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+    case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+    case d: java.time.LocalDate => d.toEpochDay.toInt
+    case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    case t: java.time.Instant => t.getEpochSecond * 1000000L + t.getNano / 1000
+    case b: Byte => b.toInt
+    case s: Short => s.toInt
+    case other => other
+  }
+
+  /** Row → Avro binary datum under `schema` (which must come from
+    * [[toAvroSchema]] of the row's StructType). */
+  def encodeRow(row: Row, schema: Schema): Array[Byte] = {
+    val rec = convert(row, schema).asInstanceOf[GenericRecord]
+    val bos = new java.io.ByteArrayOutputStream()
+    val enc = EncoderFactory.get().binaryEncoder(bos, null)
+    new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
+    enc.flush()
+    bos.toByteArray
+  }
+
+  /** DataFrame stage: serialize each row to Avro binary in a `value`
+    * column (keeping passthrough columns), ready for the sink's
+    * AvroContainerWriter. Schema conversion happens once on the driver;
+    * per-row encoding is map-side with a per-partition writer. */
+  def encode(df: DataFrame, passthrough: Seq[String] = Nil): (DataFrame, String) = {
+    val dataSchema = StructType(df.schema.filterNot(f => passthrough.contains(f.name)))
+    val avro = toAvroSchema(dataSchema)
+    val avroJson = avro.toString
+    val outSchema = StructType(
+      df.schema.filter(f => passthrough.contains(f.name)) :+ StructField("value", BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val dataIdx = df.schema.fields.zipWithIndex.collect {
+      case (f, i) if !passthrough.contains(f.name) => i
+    }
+    val passIdx = df.schema.fields.zipWithIndex.collect {
+      case (f, i) if passthrough.contains(f.name) => i
+    }
+    val out = df.mapPartitions { rows =>
+      val schema = new Schema.Parser().parse(avroJson) // parse once per partition
+      rows.map { row =>
+        val dataRow = Row.fromSeq(dataIdx.map(row.get).toSeq)
+        Row.fromSeq(passIdx.map(row.get).toSeq :+ encodeRow(dataRow, schema))
+      }
+    }(enc)
+    (out, avroJson)
+  }
+}

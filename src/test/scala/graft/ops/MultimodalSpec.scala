@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Spark-side multimodal plumbing: schema, batch shape, null handling,
+  * determinism of the stubbed decode, frame sampling fan-out. */
+class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  override def afterAll(): Unit = spark.stop()
+
+  private def mediaDf = {
+    import spark.implicits._
+    (0L until 20L).map(i =>
+        (i, if (i == 13) null else s"payload-bytes-of-doc-$i".getBytes("UTF-8"), "image"))
+      .toDF("id", "blob", "kind")
+  }
+
+  test("asMedia normalizes to the engine media schema") {
+    val m = Multimodal.asMedia(mediaDf, "id", "blob", "image")
+    assert(m.schema.fieldNames.toSeq == Seq("doc_id", "payload", "media_kind"))
+    assert(m.schema("payload").dataType.typeName == "binary")
+    assert(m.count() == 20)
+  }
+
+  test("decodeAndFeaturize: per-partition batched, null payloads dropped, deterministic") {
+    val m = Multimodal.asMedia(mediaDf, "id", "blob", "image")
+    val feats = Multimodal.decodeAndFeaturize(spark, m, targetPartitions = 3).collect()
+    assert(feats.length == 19, "null payload (doc 13) dropped")
+    assert(feats.forall(_.features.length == Multimodal.FeatureDim))
+    assert(feats.forall(f => f.features.forall(v => v >= 0f && v <= 1f)))
+    assert(feats.forall(f => f.meta.width >= 16 && f.meta.nFrames >= 1))
+    // determinism: same payload -> same features across runs
+    val again = Multimodal.decodeAndFeaturize(spark, m).collect()
+    assert(feats.sortBy(_.meta.docId).map(_.features.toSeq).toSeq ==
+      again.sortBy(_.meta.docId).map(_.features.toSeq).toSeq)
+  }
+
+  test("featureTable flattens metadata + features for downstream ANN") {
+    val t = Multimodal.featureTable(spark, Multimodal.asMedia(mediaDf, "id", "blob", "image"))
+    assert(t.schema.fieldNames.toSeq == Seq("doc_id", "payload_bytes", "content_sha",
+      "media_kind", "width", "height", "n_frames", "features"))
+    val row = t.filter("doc_id = 0").head()
+    assert(row.getAs[String]("content_sha").length == 64)
+    assert(row.getAs[Long]("payload_bytes") == "payload-bytes-of-doc-0".length)
+  }
+
+  test("sampleFrames emits every Nth frame per document") {
+    val m = Multimodal.asMedia(mediaDf, "id", "blob", "video")
+    val frames = Multimodal.sampleFrames(spark, m, everyNth = 4)
+    val byDoc = frames.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = Multimodal.decodeAndFeaturize(spark, m).collect()
+      .map(f => f.meta.docId -> ((f.meta.nFrames + 3) / 4).toLong).toMap
+    assert(byDoc == expect)
+    val idx = frames.filter("doc_id = 0").select("frame_index")
+      .collect().map(_.getInt(0)).sorted
+    assert(idx.zipWithIndex.forall { case (v, i) => v == i * 4 })
+  }
+}
