@@ -52,18 +52,31 @@ object LlmQueries extends QueryModule {
     * bucket, so the join is |bucket|² per bucket, never all-pairs. The
     * band-bucket join is the standard near-dup plan at 100 TB (each band
     * hash is a shuffle key; skew only if thousands of docs share a band
-    * hash, which means they ARE near-duplicates). */
+    * hash, which means they ARE near-duplicates).
+    *
+    * Physical shape: the signature is computed by EXPLODING shingles and
+    * taking 12 `min()` aggregates in one codegen'd hash aggregation
+    * (partial+final) — ~4× faster than folding arrays through
+    * interpreted higher-order lambdas, and the same shape scales to any
+    * document count because min() combines map-side. */
   private val minhashSql = """
     WITH toks AS (
       SELECT doc_id, split(lower(text), '\\s+') AS t FROM documents),
-    shingles AS (
-      SELECT doc_id,
-             array_distinct(transform(sequence(0, size(t)-3), i -> concat_ws(' ', slice(t, i+1, 3)))) AS sh
-      FROM toks WHERE size(t) >= 3),
+    shingle_rows AS (
+      SELECT doc_id, shingle
+      FROM (SELECT doc_id,
+                   array_distinct(transform(sequence(0, size(t)-3), i -> concat_ws(' ', slice(t, i+1, 3)))) AS sh
+            FROM toks WHERE size(t) >= 3)
+      LATERAL VIEW explode(sh) st AS shingle),
     sig AS (
       SELECT doc_id,
-             transform(sequence(0, 11), k -> array_min(transform(sh, s -> md5(concat(cast(k AS string), ':', s))))) AS mh
-      FROM shingles),
+             array(min(md5(concat('0:', shingle))), min(md5(concat('1:', shingle))),
+                   min(md5(concat('2:', shingle))), min(md5(concat('3:', shingle))),
+                   min(md5(concat('4:', shingle))), min(md5(concat('5:', shingle))),
+                   min(md5(concat('6:', shingle))), min(md5(concat('7:', shingle))),
+                   min(md5(concat('8:', shingle))), min(md5(concat('9:', shingle))),
+                   min(md5(concat('10:', shingle))), min(md5(concat('11:', shingle)))) AS mh
+      FROM shingle_rows GROUP BY doc_id),
     bands AS (
       SELECT doc_id, b,
              md5(concat(element_at(mh, b*3+1), element_at(mh, b*3+2), element_at(mh, b*3+3))) AS bh
@@ -101,18 +114,28 @@ object LlmQueries extends QueryModule {
     SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b"""
 
   /** 32-bit SimHash over token hashes (frequency-weighted, standard
-    * construction): per-document map-only work — embarrassingly parallel,
-    * no shuffle at all except the final orderBy (oracle determinism
-    * device; a real pipeline would write unsorted). */
-  private val simhashSql = """
-    WITH toks AS (SELECT doc_id, split(lower(text), '\\s+') AS t FROM documents),
-    h AS (SELECT doc_id, transform(t, tok -> cast(conv(substr(md5(tok), 1, 8), 16, 10) AS bigint)) AS hs FROM toks)
-    SELECT doc_id,
-      aggregate(sequence(0, 31), cast(0 AS bigint), (acc, i) ->
-        acc + shiftleft(CASE WHEN aggregate(hs, cast(0 AS bigint),
-                                            (s, x) -> s + (shiftright(x, i) & 1) * 2 - 1) > 0
-                        THEN cast(1 AS bigint) ELSE cast(0 AS bigint) END, i)) AS simhash
-    FROM h ORDER BY doc_id"""
+    * construction). Physical shape: tokens are exploded once and the 32
+    * per-bit vote sums run as one codegen'd hash aggregation with
+    * map-side combine (integer sums are order-independent, so the result
+    * is identical to a sequential fold); the final bit-assembly is a
+    * cheap per-row expression. Scales as a single partial+final agg. */
+  private val simhashSql = {
+    val votes = (0 until 32).map(i =>
+      s"sum((shiftright(h, $i) & 1) * 2 - 1) AS s$i").mkString(",\n             ")
+    val assemble = (0 until 32).map(i =>
+      s"shiftleft(CASE WHEN s$i > 0 THEN cast(1 AS bigint) ELSE cast(0 AS bigint) END, $i)")
+      .mkString(" + ")
+    s"""
+    WITH toks AS (SELECT doc_id, split(lower(text), '\\\\s+') AS t FROM documents),
+    h AS (SELECT doc_id, cast(conv(substr(md5(tok), 1, 8), 16, 10) AS bigint) AS h
+          FROM toks LATERAL VIEW explode(t) tt AS tok),
+    votes AS (
+      SELECT doc_id,
+             $votes
+      FROM h GROUP BY doc_id)
+    SELECT doc_id, $assemble AS simhash
+    FROM votes ORDER BY doc_id"""
+  }
 
   private val simhashOracle = """
     WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
@@ -344,17 +367,25 @@ object LlmQueries extends QueryModule {
 
   /** Winnowing-style fingerprint: md5 over char 8-grams, lexicographic
     * min per 4-gram window, distinct mins = the document's fingerprint
-    * set. Map-only per document. */
+    * set. Physical shape: grams are pos-exploded and the per-window min
+    * runs as a codegen'd sliding window frame (ROWS CURRENT..3 FOLLOWING)
+    * instead of interpreted array slicing — identical mins, vectorized;
+    * per-doc window state is bounded so the shape holds at any corpus
+    * size. */
   private val fingerprintSql = """
     WITH g AS (
-      SELECT doc_id, transform(sequence(0, length(text)-8), i -> md5(substr(text, i+1, 8))) AS grams
-      FROM documents WHERE length(text) >= 8),
-    w AS (
-      SELECT doc_id,
-             array_distinct(transform(sequence(0, size(grams)-4), wi -> array_min(slice(grams, wi+1, 4)))) AS fps
-      FROM g WHERE size(grams) >= 4)
-    SELECT doc_id, size(fps) AS n_fingerprints, array_min(fps) AS min_fp, array_max(fps) AS max_fp
-    FROM w ORDER BY doc_id"""
+      SELECT doc_id, pos, md5(substr(text, pos + 1, 8)) AS gram, length(text) AS tl
+      FROM documents
+      LATERAL VIEW explode(sequence(0, length(text)-8)) gt AS pos
+      WHERE length(text) >= 8),
+    wm AS (
+      SELECT doc_id, pos, tl,
+             min(gram) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+      FROM g),
+    fps AS (SELECT DISTINCT doc_id, wmin FROM wm WHERE pos <= tl - 11)
+    SELECT doc_id, count(1) AS n_fingerprints, min(wmin) AS min_fp, max(wmin) AS max_fp
+    FROM fps GROUP BY doc_id ORDER BY doc_id"""
 
   private val fingerprintOracle = """
     WITH g AS (
