@@ -47,39 +47,44 @@ object LlmQueries extends QueryModule {
       .orderBy("keeper_doc_id")
   }
 
-  /** MinHash signature (K=12, lexicographic min of md5 per seed) + banded
-    * LSH (4 bands × 3 rows): candidate pairs meet only inside a band
-    * bucket, so the join is |bucket|² per bucket, never all-pairs. The
-    * band-bucket join is the standard near-dup plan at 100 TB (each band
-    * hash is a shuffle key; skew only if thousands of docs share a band
-    * hash, which means they ARE near-duplicates).
+  /** MinHash signature (K=12, universal hashing h_k(x) = (a_k·x + b_k)
+    * mod p over a 60-bit md5-derived base hash) + banded LSH (4 bands ×
+    * 3 rows): candidate pairs meet only inside a band bucket, so the
+    * join is |bucket|² per bucket, never all-pairs. The band-bucket join
+    * is the standard near-dup plan at 100 TB (each band hash is a
+    * shuffle key; skew only if thousands of docs share a band hash,
+    * which means they ARE near-duplicates).
     *
-    * Physical shape: the signature is computed by EXPLODING shingles and
-    * taking 12 `min()` aggregates in one codegen'd hash aggregation
-    * (partial+final) — ~4× faster than folding arrays through
-    * interpreted higher-order lambdas, and the same shape scales to any
-    * document count because min() combines map-side. */
-  private val minhashSql = """
+    * Physical shape: ONE md5 per shingle (not one per seed), reduced to
+    * x ∈ [0, p) with p = 2^31−1; the 12 signature lanes are then cheap
+    * integer `min((a_k·x + b_k) % p)` aggregates in a single codegen'd
+    * hash aggregation with map-side combine. All arithmetic stays below
+    * 2^62 so Spark and DuckDB (both 64-bit signed) agree bit-for-bit. */
+  private val MinhashP = 2147483647L // 2^31 - 1
+  private val MinhashParams: Seq[(Long, Long)] = (0 until 12).map { k =>
+    ((1103515245L * (k + 7) + 11) % MinhashP, (12345L + 987654321L * k) % MinhashP)
+  }
+
+  private def minhashLanes(minExpr: String => String): String =
+    MinhashParams.map { case (a, b) => minExpr(s"($a * hx + $b) % $MinhashP") }.mkString(",\n                   ")
+
+  private val minhashSql = s"""
     WITH toks AS (
-      SELECT doc_id, split(lower(text), '\\s+') AS t FROM documents),
+      SELECT doc_id, split(lower(text), '\\\\s+') AS t FROM documents),
     shingle_rows AS (
-      SELECT doc_id, shingle
+      SELECT doc_id,
+             cast(conv(substr(md5(shingle), 1, 15), 16, 10) AS bigint) % $MinhashP AS hx
       FROM (SELECT doc_id,
                    array_distinct(transform(sequence(0, size(t)-3), i -> concat_ws(' ', slice(t, i+1, 3)))) AS sh
             FROM toks WHERE size(t) >= 3)
       LATERAL VIEW explode(sh) st AS shingle),
     sig AS (
       SELECT doc_id,
-             array(min(md5(concat('0:', shingle))), min(md5(concat('1:', shingle))),
-                   min(md5(concat('2:', shingle))), min(md5(concat('3:', shingle))),
-                   min(md5(concat('4:', shingle))), min(md5(concat('5:', shingle))),
-                   min(md5(concat('6:', shingle))), min(md5(concat('7:', shingle))),
-                   min(md5(concat('8:', shingle))), min(md5(concat('9:', shingle))),
-                   min(md5(concat('10:', shingle))), min(md5(concat('11:', shingle)))) AS mh
+             array(${minhashLanes(e => s"min($e)")}) AS mh
       FROM shingle_rows GROUP BY doc_id),
     bands AS (
       SELECT doc_id, b,
-             md5(concat(element_at(mh, b*3+1), element_at(mh, b*3+2), element_at(mh, b*3+3))) AS bh
+             md5(concat_ws(',', cast(element_at(mh, b*3+1) AS string), cast(element_at(mh, b*3+2) AS string), cast(element_at(mh, b*3+3) AS string))) AS bh
       FROM sig LATERAL VIEW explode(sequence(0, 3)) bt AS b),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -90,19 +95,22 @@ object LlmQueries extends QueryModule {
       FROM cand JOIN sig sa ON cand.id_a = sa.doc_id JOIN sig sb ON cand.id_b = sb.doc_id)
     SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b"""
 
-  private val minhashOracle = """
+  private val minhashOracle = s"""
     WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents),
     shingles AS (
       SELECT doc_id,
              list_distinct(list_transform(range(len(t)-2), i -> array_to_string(t[i+1:i+3], ' '))) AS sh
       FROM toks WHERE len(t) >= 3),
+    shingle_rows AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % $MinhashP AS hx
+      FROM (SELECT doc_id, unnest(sh) AS shingle FROM shingles)),
     sig AS (
       SELECT doc_id,
-             list_transform(range(12), k -> list_min(list_transform(sh, s -> md5(k::VARCHAR || ':' || s)))) AS mh
-      FROM shingles),
+             [${minhashLanes(e => s"min($e)")}] AS mh
+      FROM shingle_rows GROUP BY doc_id),
     bands AS (
-      SELECT doc_id, b, md5(mh[b*3+1] || mh[b*3+2] || mh[b*3+3]) AS bh
+      SELECT doc_id, b, md5(concat_ws(',', mh[b*3+1]::VARCHAR, mh[b*3+2]::VARCHAR, mh[b*3+3]::VARCHAR)) AS bh
       FROM sig, unnest(range(4)) AS bt(b)),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -146,24 +154,36 @@ object LlmQueries extends QueryModule {
              THEN (1::BIGINT << i) ELSE 0::BIGINT END), (s, x) -> s + x) AS simhash
     FROM h ORDER BY doc_id"""
 
-  /** Exact n-gram Jaccard via inverted-index join: docs pair up only when
-    * they SHARE a shingle (posting-list self-join), then
-    * |A∩B| / (|A|+|B|-|A∩B|). At 100 TB the risk is hot shingles (stop
-    * phrases) exploding a posting list — production would drop shingles
-    * with document frequency above a cap (they cannot contribute to a
-    * high-Jaccard pair anyway); AQE skew-join splits the rest. */
+  /** Exact n-gram Jaccard via an inverted index: group shingles into
+    * posting lists, generate candidate pairs only WITHIN a posting list,
+    * then |A∩B| / (|A|+|B|-|A∩B|). Physical shape: ONE shuffle of the
+    * (shingle, doc) rows into a hash aggregation (vs TWO for a self-join)
+    * keyed on `xxhash64(shingle)` — 8-byte shuffle keys instead of long
+    * strings (collision odds ~|shingles|²/2^65, immaterial); single-doc
+    * shingles are dropped before pair generation, so unique shingles
+    * (the vast majority) never produce join work. Per-doc shingle counts
+    * are map-side (`size(shs)`) and broadcast into the final join. At
+    * 100 TB the risk is hot shingles (stop phrases) exploding a posting
+    * list — production would drop shingles with document frequency above
+    * a cap (they cannot contribute to a high-Jaccard pair anyway). */
   private val ngramJaccardSql = """
     WITH toks AS (SELECT doc_id, split(lower(text), '\\s+') AS t FROM documents),
     sh AS (
       SELECT doc_id,
              array_distinct(transform(sequence(0, size(t)-3), i -> concat_ws(' ', slice(t, i+1, 3)))) AS shs
       FROM toks WHERE size(t) >= 3),
-    ds AS (SELECT doc_id, shingle FROM sh LATERAL VIEW explode(shs) st AS shingle),
-    n AS (SELECT doc_id, count(1) AS cnt FROM ds GROUP BY doc_id),
+    n AS (SELECT doc_id, cast(size(shs) AS bigint) AS cnt FROM sh),
+    ds AS (SELECT doc_id, xxhash64(shingle) AS sid FROM sh LATERAL VIEW explode(shs) st AS shingle),
+    posting AS (
+      SELECT sid, collect_list(doc_id) AS ids FROM ds GROUP BY sid HAVING count(1) >= 2),
     common AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(1) AS cm
-      FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id)
+      SELECT id_a, id_b, count(1) AS cm
+      FROM (SELECT a AS id_a, b AS id_b
+            FROM posting
+            LATERAL VIEW explode(ids) ta AS a
+            LATERAL VIEW explode(ids) tb AS b) p
+      WHERE id_a < id_b
+      GROUP BY id_a, id_b)
     SELECT id_a, id_b, cast(cm AS double) / (na.cnt + nb.cnt - cm) AS jaccard
     FROM common JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
     WHERE cast(cm AS double) / (na.cnt + nb.cnt - cm) >= 0.4
@@ -367,25 +387,24 @@ object LlmQueries extends QueryModule {
 
   /** Winnowing-style fingerprint: md5 over char 8-grams, lexicographic
     * min per 4-gram window, distinct mins = the document's fingerprint
-    * set. Physical shape: grams are pos-exploded and the per-window min
-    * runs as a codegen'd sliding window frame (ROWS CURRENT..3 FOLLOWING)
-    * instead of interpreted array slicing — identical mins, vectorized;
-    * per-doc window state is bounded so the shape holds at any corpus
-    * size. */
+    * set. Physical shape: entirely MAP-SIDE — the gram array, sliding
+    * window minima, distinct set, and summary stats are all array
+    * expressions evaluated per row, so there is no explode, no shuffle,
+    * and no per-position row blowup (the previous explode+window variant
+    * shuffled length(text) rows per document and was 50× slower).
+    * Per-row memory is O(length(text)) — bounded by the document, so the
+    * shape scales embarrassingly with corpus size. */
   private val fingerprintSql = """
     WITH g AS (
-      SELECT doc_id, pos, md5(substr(text, pos + 1, 8)) AS gram, length(text) AS tl
-      FROM documents
-      LATERAL VIEW explode(sequence(0, length(text)-8)) gt AS pos
-      WHERE length(text) >= 8),
-    wm AS (
-      SELECT doc_id, pos, tl,
-             min(gram) OVER (PARTITION BY doc_id ORDER BY pos
-                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
-      FROM g),
-    fps AS (SELECT DISTINCT doc_id, wmin FROM wm WHERE pos <= tl - 11)
-    SELECT doc_id, count(1) AS n_fingerprints, min(wmin) AS min_fp, max(wmin) AS max_fp
-    FROM fps GROUP BY doc_id ORDER BY doc_id"""
+      SELECT doc_id, transform(sequence(0, length(text)-8), i -> md5(substr(text, i+1, 8))) AS grams
+      FROM documents WHERE length(text) >= 8),
+    w AS (
+      SELECT doc_id,
+             array_distinct(transform(sequence(0, size(grams)-4), wi -> array_min(slice(grams, wi+1, 4)))) AS fps
+      FROM g WHERE size(grams) >= 4)
+    SELECT doc_id, cast(size(fps) AS bigint) AS n_fingerprints,
+           array_min(fps) AS min_fp, array_max(fps) AS max_fp
+    FROM w ORDER BY doc_id"""
 
   private val fingerprintOracle = """
     WITH g AS (

@@ -37,7 +37,7 @@ object PipelineQueries extends QueryModule {
              CASE WHEN value < 1.0 THEN NULL ELSE props END AS payload
       FROM events)
     SELECT event_type, count(payload) AS n_live, count(1) - count(payload) AS n_tombstones,
-           sum(CASE WHEN payload IS NOT NULL THEN octet_length(payload::BLOB) ELSE 0 END) AS live_bytes
+           sum(CASE WHEN payload IS NOT NULL THEN octet_length(payload::BLOB) ELSE 0 END)::BIGINT AS live_bytes
     FROM rec GROUP BY event_type ORDER BY event_type"""
 
   /** R1 topic→table router with `*` wildcard: exact mappings for three
@@ -77,8 +77,8 @@ object PipelineQueries extends QueryModule {
              concat(event_id::VARCHAR, ',', event_type, ',', props) AS csv_line
       FROM events)
     SELECT event_type, count(1) AS n,
-           sum(octet_length(json_line::BLOB) + 1) AS json_bytes_with_newline,
-           sum(octet_length(csv_line::BLOB) + 1) AS csv_bytes_with_newline,
+           sum(octet_length(json_line::BLOB) + 1)::BIGINT AS json_bytes_with_newline,
+           sum(octet_length(csv_line::BLOB) + 1)::BIGINT AS csv_bytes_with_newline,
            min(octet_length(json_line::BLOB)) AS min_json, max(octet_length(json_line::BLOB)) AS max_json
     FROM enc GROUP BY event_type ORDER BY event_type"""
 
@@ -112,7 +112,7 @@ object PipelineQueries extends QueryModule {
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_bytes
       FROM rec)
     SELECT part, floor((cum_bytes - 1) / 4096)::BIGINT AS batch_id,
-           count(1) AS n_records, sum(nbytes) AS batch_bytes,
+           count(1) AS n_records, sum(nbytes)::BIGINT AS batch_bytes,
            min(event_id) AS first_offset, max(event_id) AS last_offset
     FROM cum GROUP BY part, floor((cum_bytes - 1) / 4096)::BIGINT
     ORDER BY part, batch_id"""

@@ -204,8 +204,8 @@ object RelationalQueries extends QueryModule {
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          sessions AS (
            SELECT user_id, ts, value,
-                  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                  (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_id
            FROM flagged)
          SELECT user_id, session_id, count(*) AS n_events,
                 epoch_ms(min(ts)) AS session_start_ms,
