@@ -62,8 +62,15 @@ object EndpointValidator {
     if (host.isEmpty)
       throw new SinkConfigException(s"$configKey: invalid URL format '$trimmed': no host")
     val h = host.toLowerCase
+    // Dot-boundary matching for caller-supplied suffixes too: "kusto.windows.net"
+    // (no leading dot) must trust "x.kusto.windows.net" and the bare host itself,
+    // but never "evilkusto.windows.net".
     val trusted = TrustedHosts.contains(h) ||
-      (TrustedSuffixes ++ extraTrusted).exists(s => h.endsWith(s.toLowerCase))
+      (TrustedSuffixes ++ extraTrusted).exists { s0 =>
+        val s = s0.toLowerCase
+        val dotted = if (s.startsWith(".")) s else "." + s
+        h == dotted.stripPrefix(".") || h.endsWith(dotted)
+      }
     if (!trusted)
       throw new SinkConfigException(
         s"$configKey: URL '$trimmed' does not point to a known Azure Data Explorer " +

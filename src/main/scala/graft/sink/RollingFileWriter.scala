@@ -49,8 +49,14 @@ final class CountingOutputStream(under: OutputStream) extends OutputStream {
   * Thread model: inside a Spark task a partition is single-threaded, but
   * the flush timer fires on its own thread, so state transitions are
   * `synchronized` (the reference uses a fair RW lock for the same race,
-  * reference: FileWriter.java:82-83,262). A timer-flush failure is stored
-  * and rethrown on the next write (reference: FileWriter.java:280-282).
+  * reference: FileWriter.java:82-83,262). The writer monitor covers only
+  * file rotation — the `onRoll` callback (which may run a long retrying
+  * ingest) executes OUTSIDE it, serialized on a dedicated dispatch lock so
+  * staged files still reach ingest in offset order while plain `write()`s
+  * proceed concurrently with a timer-triggered ingest. A timer-flush
+  * failure is stored and rethrown on the next write (reference:
+  * FileWriter.java:280-282) and, if no write follows, on `close()` — a
+  * tail-of-partition timer failure must still fail the batch.
   */
 final class RollingFileWriter(
     baseTempDir: String,
@@ -89,17 +95,21 @@ final class RollingFileWriter(
   def filePath(offset: Long): String =
     dir.resolve(s"kafka_${topic}_${partition}_$offset.${provider.ext}.gz").toString
 
-  def write(r: SinkRecord): Unit = synchronized {
-    if (flushError != null) throw new IllegalStateException(flushError)
-    if (stopped) throw new IllegalStateException("writer is stopped")
-    if (r == null) return
-    if (out == null) openFile(r.offset)
-    appender.append(r)
-    if (retainRecords) retained ::= r
-    numRecords += 1
-    lastOffset = r.offset
-    if (flushIntervalMs == 0 || out.count > flushSizeBytes || rollEveryRecord)
-      roll()
+  def write(r: SinkRecord): Unit = {
+    val staged = synchronized {
+      if (flushError != null) throw new IllegalStateException(flushError)
+      if (stopped) throw new IllegalStateException("writer is stopped")
+      if (r == null) return
+      if (out == null) openFile(r.offset)
+      appender.append(r)
+      if (retainRecords) retained ::= r
+      numRecords += 1
+      lastOffset = r.offset
+      if (flushIntervalMs == 0 || out.count > flushSizeBytes || rollEveryRecord)
+        finishLocked()
+      else None
+    }
+    staged.foreach(dispatch)
   }
 
   private def openFile(offset: Long): Unit = {
@@ -122,24 +132,47 @@ final class RollingFileWriter(
     }
   }
 
-  private def flushByTime(): Unit = synchronized {
-    if (stopped) return
-    try if (isDirty) roll()
+  private def flushByTime(): Unit = {
+    val fileName = synchronized { if (file == null) "[no file]" else file.getName }
+    val staged =
+      try synchronized { if (stopped || !isDirty) None else finishLocked() }
+      catch {
+        case e: Exception =>
+          synchronized { flushError = s"Error in timed flush of $fileName: ${e.getMessage}" }
+          None
+      }
+    try staged.foreach(dispatch)
     catch {
       case e: Exception =>
-        flushError = s"Error in timed flush of ${if (file == null) "[no file]" else file.getName}: ${e.getMessage}"
+        synchronized { flushError = s"Error in timed flush of $fileName: ${e.getMessage}" }
     }
   }
 
   /** Finish the current file and hand it to `onRoll`. No-op if clean. */
-  def roll(): Unit = synchronized {
-    if (out == null || out.count == 0) { discardOpenFile(); return }
+  def roll(): Unit = {
+    val staged = synchronized {
+      if (out == null || out.count == 0) { discardOpenFile(); None } else finishLocked()
+    }
+    staged.foreach(dispatch)
+  }
+
+  /** Closes out the current file under the monitor; the returned file must
+    * be handed to `dispatch` OUTSIDE the monitor. */
+  private def finishLocked(): Option[StagedFile] = {
     appender.close()
     gzip.finish()
     out.close()
     val staged = StagedFile(file.getPath, numRecords, out.count, firstOffset, lastOffset, retained.reverse)
     resetState()
     rolledFiles += 1
+    Some(staged)
+  }
+
+  /** Runs the roll callback outside the writer monitor. `dispatchLock`
+    * keeps staged files in offset order through ingest without blocking
+    * concurrent `write()`s. */
+  private val dispatchLock = new Object
+  private def dispatch(staged: StagedFile): Unit = dispatchLock.synchronized {
     try onRoll(staged)
     finally Files.deleteIfExists(Path.of(staged.path)) // staging is transient; ingest has consumed or replayed it
   }
@@ -155,11 +188,21 @@ final class RollingFileWriter(
     if (timer != null) { timer.cancel(); timer = null }
   }
 
-  /** Flush any residual open file through `onRoll`, then stop. */
-  def close(): Unit = synchronized {
-    if (isDirty) roll() else discardOpenFile()
-    stopped = true
-    if (timer != null) { timer.cancel(); timer = null }
+  /** Flush any residual open file through `onRoll`, then stop. A pending
+    * timer-flush error is rethrown here so a failure on the last file of a
+    * partition (with no subsequent write to surface it) still fails the
+    * batch before offsets commit. */
+  def close(): Unit = {
+    val staged = synchronized {
+      val s = if (isDirty) finishLocked() else { discardOpenFile(); None }
+      stopped = true
+      if (timer != null) { timer.cancel(); timer = null }
+      s
+    }
+    staged.foreach(dispatch)
+    synchronized {
+      if (flushError != null) throw new IllegalStateException(flushError)
+    }
     // best-effort temp dir cleanup (empty after roll deletes)
     try Files.deleteIfExists(dir) catch { case _: Exception => () }
   }

@@ -111,6 +111,38 @@ class RollingFileWriterSpec extends AnyFunSuite {
     assertThrows[IllegalStateException](w.write(rec(1)))
   }
 
+  test("timer-flush ingest failure with no subsequent write fails close()") {
+    val w = new RollingFileWriter(tmp(), "t", 0, JsonLinesWriter,
+      flushSizeBytes = 1 << 20, flushIntervalMs = 100,
+      onRoll = _ => throw new RuntimeException("ingest down"))
+    w.write(rec(0))
+    val deadline = System.nanoTime() + 5_000_000_000L
+    while (w.isDirty && System.nanoTime() < deadline) Thread.sleep(20)
+    Thread.sleep(50) // let the timer thread finish the failing dispatch
+    val e = intercept[IllegalStateException](w.close())
+    assert(e.getMessage.contains("ingest down"))
+  }
+
+  test("timed flush does not block concurrent writes during a slow ingest") {
+    val rolls = ArrayBuffer.empty[StagedFile]
+    val ingestGate = new java.util.concurrent.CountDownLatch(1)
+    val ingestStarted = new java.util.concurrent.CountDownLatch(1)
+    val w = new RollingFileWriter(tmp(), "t", 0, JsonLinesWriter,
+      flushSizeBytes = 1 << 20, flushIntervalMs = 100,
+      onRoll = f => { ingestStarted.countDown(); ingestGate.await(); rolls += f })
+    w.write(rec(0))
+    assert(ingestStarted.await(5, java.util.concurrent.TimeUnit.SECONDS),
+      "timer flush should have started the ingest")
+    // ingest is parked inside onRoll on the timer thread; writes must proceed
+    val t0 = System.nanoTime()
+    (1L until 5L).foreach(i => w.write(rec(i)))
+    val writeMs = (System.nanoTime() - t0) / 1_000_000
+    ingestGate.countDown()
+    w.close()
+    assert(writeMs < 2000, s"writes blocked ${writeMs}ms behind the parked ingest")
+    assert(rolls.map(_.numRecords).sum == 5)
+  }
+
   test("staged file is deleted after the roll callback completes") {
     var seen: String = null
     val w = new RollingFileWriter(tmp(), "t", 0, JsonLinesWriter, 100, 300000,
