@@ -1,0 +1,139 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Event-time streaming analytics over the engine's record stream.
+  *
+  * The reference delegates ALL event-time work to the target database
+  * (reference: README.md:158-162 — "The connector does not support
+  * transformers"; SURVEY §2.3 notes it has no watermarks, windows, or
+  * keyed state). A Spark-native engine gets these from Structured
+  * Streaming, so they are first-class here: watermarked tumbling /
+  * sliding / session windows, streaming deduplication, and custom keyed
+  * state via `flatMapGroupsWithState`.
+  *
+  * Scale notes (100 TB / 1000-executor stance):
+  *  - every op below keys its state by a grouping column, so state is
+  *    hash-partitioned across executors and bounded by the watermark —
+  *    no unbounded growth, no driver-side state;
+  *  - watermarks bound both late-data buffering and state eviction; the
+  *    session operator additionally re-emits nothing after close, so
+  *    downstream sinks can be append-only;
+  *  - all window aggregations are partial+final (map-side combine) like
+  *    any Spark agg — the shuffle carries one row per (key, window) per
+  *    partition, not per event.
+  */
+object StreamOps {
+
+  /** Tumbling event-time window counts/aggregates. Works on batch and
+    * streaming frames alike (same Catalyst operator); on a stream the
+    * watermark drops events later than `delayThreshold` and evicts
+    * closed windows from state. */
+  def tumblingCounts(df: DataFrame, tsCol: String, delayThreshold: String,
+                     windowDuration: String, keyCols: String*): DataFrame = {
+    val wm = if (df.isStreaming) df.withWatermark(tsCol, delayThreshold) else df
+    wm.groupBy(window(col(tsCol), windowDuration) +: keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start") +:
+        col("window.end").as("window_end") +:
+        keyCols.map(col) :+ col("n_events"): _*)
+  }
+
+  /** Sliding event-time windows (duration > slide ⇒ overlapping): each
+    * event lands in duration/slide windows; Spark expands this map-side,
+    * so the shuffle still carries aggregated (key, window) rows. */
+  def slidingAgg(df: DataFrame, tsCol: String, delayThreshold: String,
+                 windowDuration: String, slideDuration: String,
+                 aggCol: String, keyCols: String*): DataFrame = {
+    val wm = if (df.isStreaming) df.withWatermark(tsCol, delayThreshold) else df
+    wm.groupBy(window(col(tsCol), windowDuration, slideDuration) +: keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_events"), sum(col(aggCol)).as("total"))
+      .select(col("window.start").as("window_start") +:
+        col("window.end").as("window_end") +:
+        keyCols.map(col) :+ col("n_events") :+ col("total"): _*)
+  }
+
+  /** Session windows with a fixed inactivity gap — the declarative
+    * (Catalyst `session_window`) form. Spark merges overlapping
+    * per-event windows into sessions inside the agg operator; state per
+    * key is one open session, evicted once the watermark passes
+    * session end + gap. */
+  def sessionWindowAgg(df: DataFrame, tsCol: String, delayThreshold: String,
+                       gap: String, keyCols: String*): DataFrame = {
+    val wm = if (df.isStreaming) df.withWatermark(tsCol, delayThreshold) else df
+    wm.groupBy(session_window(col(tsCol), gap) +: keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start") +:
+        col("session_window.end").as("session_end") +:
+        keyCols.map(col) :+ col("n_events"): _*)
+  }
+
+  /** Streaming deduplication bounded by the watermark: the first record
+    * per key wins; duplicates arriving within the watermark horizon are
+    * dropped, and key state is evicted once the watermark passes — the
+    * scale-safe form of streaming `dropDuplicates` (unbounded key state
+    * is a 100-TB foot-gun). */
+  def dedupWithinWatermark(df: DataFrame, tsCol: String, delayThreshold: String,
+                           keyCols: String*): DataFrame =
+    df.withWatermark(tsCol, delayThreshold)
+      .dropDuplicatesWithinWatermark(keyCols.toSeq)
+
+  // ------------------------------------------------ custom keyed state
+
+  final case class SEvent(user_id: Long, ts: Timestamp, event_type: String)
+  final case class SessionState(startMs: Long, endMs: Long, nEvents: Long)
+  final case class SessionOut(user_id: Long, session_start: Timestamp,
+                              session_end: Timestamp, n_events: Long)
+
+  /** Custom keyed-state sessionization via `flatMapGroupsWithState`:
+    * the imperative form of [[sessionWindowAgg]] for semantics the
+    * declarative operator can't express (e.g. emitting exactly one row
+    * per CLOSED session, never a partial). Sessions close after `gapMs`
+    * of event-time inactivity, enforced with an event-time timeout tied
+    * to the watermark.
+    *
+    * State is one `SessionState` per live user — bytes per key, hash
+    * partitioned, watermark-evicted: safe at any key cardinality the
+    * cluster's aggregate memory can hold live (not total) users. */
+  def statefulSessions(events: Dataset[SEvent], delayThreshold: String,
+                       gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", delayThreshold)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, rows, state) =>
+          if (state.hasTimedOut) {
+            // watermark passed end + gap: the session is closed, emit it
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, new Timestamp(s.startMs), new Timestamp(s.endMs), s.nEvents))
+          } else {
+            val sorted = rows.toVector.sortBy(_.ts.getTime)
+            var closed = Vector.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.endMs <= gapMs =>
+                  cur = Some(s.copy(endMs = math.max(s.endMs, t), nEvents = s.nEvents + 1))
+                case Some(s) =>
+                  closed :+= SessionOut(uid, new Timestamp(s.startMs), new Timestamp(s.endMs), s.nEvents)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endMs + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+}

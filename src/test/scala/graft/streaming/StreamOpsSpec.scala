@@ -1,0 +1,146 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Event-time streaming operators: window semantics checked on batch
+  * frames (same Catalyst operators), watermark/state behavior checked on
+  * MemoryStream queries (late-data drop, dedup eviction, session close
+  * via event-time timeout). */
+class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("streamops")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // offset from epoch 0: the initial watermark is 0 and rows at ts <= wm
+  // are dropped, so t=0 events would silently vanish in streaming tests
+  private val Base = 100000L
+  private def ts(sec: Long) = new Timestamp((Base + sec) * 1000L)
+  private def rel(t: Timestamp): Long = t.getTime / 1000 - Base
+  import StreamOps.SEvent
+
+  test("tumbling windows on batch: events land in 10s buckets per key") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ts(1), "a"), (1L, ts(9), "a"), (1L, ts(11), "a"),
+      (2L, ts(3), "b"), (2L, ts(25), "b"))
+      .toDF("user_id", "ts", "event_type")
+    val out = StreamOps.tumblingCounts(df, "ts", "5 seconds", "10 seconds", "user_id")
+      .orderBy("user_id", "window_start")
+      .collect()
+      .map(r => (r.getLong(2), rel(r.getTimestamp(0)), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 0L, 2L), (1L, 10L, 1L), (2L, 0L, 1L), (2L, 20L, 1L)))
+  }
+
+  test("sliding windows on batch: 10s window sliding by 5s double-counts overlaps") {
+    import spark.implicits._
+    val df = Seq((1L, ts(7), 100L)).toDF("user_id", "ts", "amount")
+    val out = StreamOps.slidingAgg(df, "ts", "5 seconds", "10 seconds", "5 seconds", "amount", "user_id")
+      .orderBy("window_start").collect()
+      .map(r => (rel(r.getTimestamp(0)), r.getLong(3), r.getLong(4)))
+    // event at t=7 falls in windows [0,10) and [5,15)
+    assert(out.toSeq == Seq((0L, 1L, 100L), (5L, 1L, 100L)))
+  }
+
+  test("session_window on batch: 5s gap merges, 6s gap splits") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ts(0), "x"), (1L, ts(4), "x"), (1L, ts(8), "x"), // one session 0..13
+      (1L, ts(20), "x")) // gap 12s > 5s: new session
+      .toDF("user_id", "ts", "event_type")
+    val out = StreamOps.sessionWindowAgg(df, "ts", "5 seconds", "5 seconds", "user_id")
+      .orderBy("session_start").collect()
+      .map(r => (rel(r.getTimestamp(0)), rel(r.getTimestamp(1)), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 13L, 3L), (20L, 25L, 1L)))
+  }
+
+  test("streaming tumbling window with watermark drops too-late events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[SEvent]
+    val q = StreamOps.tumblingCounts(stream.toDF(), "ts", "5 seconds", "10 seconds", "user_id")
+      .writeStream.format("memory").queryName("tumble_wm").outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(SEvent(1, ts(1), "a"), SEvent(1, ts(8), "a"))
+      q.processAllAvailable()
+      // advance watermark to 95-5=90: window [0,10) closes and emits
+      stream.addData(SEvent(1, ts(95), "a"))
+      q.processAllAvailable()
+      // t=2 is far behind the watermark: silently dropped
+      stream.addData(SEvent(1, ts(2), "late"))
+      q.processAllAvailable()
+      stream.addData(SEvent(1, ts(200), "a"))
+      q.processAllAvailable()
+      val rows = spark.table("tumble_wm").collect()
+        .map(r => (rel(r.getTimestamp(0)), r.getLong(3))).toSet
+      assert(rows.contains((0L, 2L)), s"window [0,10) should hold exactly the 2 on-time events, got $rows")
+      assert(!rows.contains((0L, 3L)), "late event must not reopen a closed window")
+    } finally q.stop()
+  }
+
+  test("dedupWithinWatermark: duplicate keys within the horizon are dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[SEvent]
+    val q = StreamOps.dedupWithinWatermark(stream.toDF(), "ts", "10 seconds", "user_id", "event_type")
+      .writeStream.format("memory").queryName("dedup_wm").outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(SEvent(1, ts(1), "click"), SEvent(1, ts(2), "click"), SEvent(2, ts(1), "click"))
+      q.processAllAvailable()
+      stream.addData(SEvent(1, ts(3), "click")) // still within horizon: dropped
+      q.processAllAvailable()
+      val n = spark.table("dedup_wm").count()
+      assert(n == 2, s"expected first-wins per (user, type), got $n rows")
+    } finally q.stop()
+  }
+
+  test("statefulSessions: sessions close on event-time timeout, one row per closed session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[SEvent]
+    val sessions = StreamOps.statefulSessions(stream.toDS(), "2 seconds", gapMs = 5000L)
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: events at 0s,3s (one session); user 2: event at 1s
+      stream.addData(SEvent(1, ts(0), "a"), SEvent(1, ts(3), "a"), SEvent(2, ts(1), "b"))
+      q.processAllAvailable()
+      // advance watermark far past both sessions' end+gap
+      stream.addData(SEvent(3, ts(100), "c"))
+      q.processAllAvailable()
+      stream.addData(SEvent(3, ts(200), "c")) // extra batch so timeouts fire
+      q.processAllAvailable()
+      val rows = spark.table("sess_out").collect()
+        .map(r => (r.getLong(0), rel(r.getTimestamp(1)), rel(r.getTimestamp(2)), r.getLong(3)))
+        .toSet
+      assert(rows.contains((1L, 0L, 3L, 2L)), s"user 1 session 0..3 with 2 events, got $rows")
+      assert(rows.contains((2L, 1L, 1L, 1L)), s"user 2 singleton session, got $rows")
+    } finally q.stop()
+  }
+
+  test("statefulSessions: a mid-batch gap closes the first session immediately") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[SEvent]
+    val sessions = StreamOps.statefulSessions(stream.toDS(), "2 seconds", gapMs = 5000L)
+    val q = sessions.writeStream.format("memory").queryName("sess_split")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // both events in ONE batch, 20s apart: first session closes in-batch
+      stream.addData(SEvent(7, ts(0), "a"), SEvent(7, ts(20), "a"))
+      q.processAllAvailable()
+      val rows = spark.table("sess_split").collect()
+        .map(r => (r.getLong(0), rel(r.getTimestamp(1)), r.getLong(3))).toSet
+      assert(rows.contains((7L, 0L, 1L)), s"first session should emit without waiting for a watermark, got $rows")
+    } finally q.stop()
+  }
+}
