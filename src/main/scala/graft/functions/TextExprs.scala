@@ -1,0 +1,285 @@
+package graft.functions
+
+import java.security.MessageDigest
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text/vector hot paths.
+  *
+  * The LLM-pipeline queries originally expressed shingling, winnowing
+  * fingerprints, MinHash signatures, and dot products as SQL higher-order
+  * functions (`transform` / `aggregate`). HOF lambdas are evaluated
+  * interpreted — one boxed Invoke per ELEMENT — which made the three text
+  * queries ~90% of the bench total. Each expression here runs the same
+  * computation as one tight JVM loop per ROW, and participates in
+  * whole-stage codegen via `doGenCode` emitting a static call (the same
+  * pattern Spark's own string expressions use), so the surrounding
+  * filter/project pipeline stays in a single codegen span.
+  *
+  * Semantics are bit-identical to the SQL they replace (tokens =
+  * `split(lower(text), '\s+')`, hashes = lowercase md5 hex, sequential
+  * IEEE folds for doubles) so the DuckDB oracles continue to hash-match.
+  */
+object TextHash extends Serializable {
+
+  private val WS = UTF8String.fromString("\\s+")
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  private def hex(bytes: Array[Byte]): UTF8String = {
+    val out = new Array[Byte](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(2 * i) = HexChars((bytes(i) >> 4) & 0xf).toByte
+      out(2 * i + 1) = HexChars(bytes(i) & 0xf).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** tokens = split(lower(text), '\s+') — same UTF8String ops as Spark's
+    * `lower` + `split`, so tokenization is identical to the SQL form. */
+  def tokens(text: UTF8String): Array[UTF8String] =
+    text.toLowerCase.split(WS, -1)
+
+  /** Distinct word n-grams (space-joined), first-occurrence order —
+    * ≡ array_distinct(transform(sequence(0, size(t)-n), i ->
+    *     concat_ws(' ', slice(t, i+1, n)))). Empty array when size(t) < n. */
+  def wordShingles(text: UTF8String, n: Int): ArrayData = {
+    val t = tokens(text)
+    if (t.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i <= t.length - n) {
+      var s = t(i)
+      var j = 1
+      while (j < n) { s = UTF8String.concat(s, Space, t(i + j)); j += 1 }
+      seen.add(s)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** xxhash64 (seed 42, Spark's SQL default) of each distinct word
+    * n-gram — the 8-byte join key the inverted-index queries shuffle
+    * instead of shingle strings. */
+  def wordShingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val sh = wordShingles(text, n)
+    val out = new Array[Any](sh.numElements())
+    var i = 0
+    while (i < out.length) {
+      val s = sh.getUTF8String(i)
+      out(i) = org.apache.spark.unsafe.hash.XXH64.hashUnsafeBytes(
+        s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** MinHash signature over distinct word 3-grams: base hash
+    * hx = conv(substr(md5(shingle),1,15),16,10) % p (60 bits, fits a
+    * long), lane k = min((a_k·hx + b_k) % p). Null when < 3 tokens
+    * (the SQL form filtered those rows out before aggregating). */
+  def minhashSig(text: UTF8String, as: Array[Long], bs: Array[Long], p: Long): ArrayData = {
+    val sh = wordShingles(text, 3)
+    val m = sh.numElements()
+    if (m == 0) return null
+    val lanes = new Array[Long](as.length)
+    java.util.Arrays.fill(lanes, Long.MaxValue)
+    val md = md5Local.get()
+    var i = 0
+    while (i < m) {
+      val s = sh.getUTF8String(i)
+      md.reset()
+      val digest = md.digest(s.getBytes)
+      // first 15 hex chars = high 60 bits of the digest
+      var hx = 0L
+      var b = 0
+      while (b < 7) { hx = (hx << 8) | (digest(b) & 0xffL); b += 1 }
+      hx = (hx << 4) | ((digest(7) >> 4) & 0xfL)
+      hx = hx % p
+      var k = 0
+      while (k < as.length) {
+        val v = (as(k) * hx + bs(k)) % p
+        if (v < lanes(k)) lanes(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(lanes.map(l => l: Any))
+  }
+
+  /** Winnowing fingerprints: md5 hex over char k-grams, lexicographic
+    * min per w-gram sliding window (monotonic-deque, O(n)), distinct in
+    * first-occurrence order. Null when fewer than w grams exist —
+    * ≡ the SQL form's WHERE length(text) >= k AND size(grams) >= w.
+    *
+    * Hex strings compare lexicographically exactly like the digest bytes
+    * compare unsigned, so the window minimum is computed on raw digests
+    * and only winners are hex-encoded. */
+  def winnowFingerprints(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val s = text.toString // char k-grams: substr semantics over codepoints
+    val nGrams = s.length - k + 1
+    if (nGrams < w) return null
+    val md = md5Local.get()
+    val digests = new Array[Array[Byte]](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      md.reset()
+      digests(i) = md.digest(s.substring(i, i + k).getBytes("UTF-8"))
+      i += 1
+    }
+    @inline def less(a: Array[Byte], b: Array[Byte]): Boolean = {
+      var j = 0
+      while (j < a.length) {
+        val x = a(j) & 0xff; val y = b(j) & 0xff
+        if (x != y) return x < y
+        j += 1
+      }
+      false
+    }
+    // sliding-window minimum via monotonic index deque
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val deque = new java.util.ArrayDeque[Int]()
+    i = 0
+    while (i < nGrams) {
+      while (!deque.isEmpty && deque.peekFirst() <= i - w) deque.pollFirst()
+      while (!deque.isEmpty && !less(digests(deque.peekLast()), digests(i))) deque.pollLast()
+      deque.addLast(i)
+      if (i >= w - 1) seen.add(hex(digests(deque.peekFirst())))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+object VecOps extends Serializable {
+  /** Sequential-fold dot product — same element order as the SQL
+    * `aggregate(sequence(0, n-1), 0.0, (s,i) -> s + a[i]*b[i])` fold, so
+    * IEEE doubles match the oracle bit-for-bit. */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+}
+
+/** word_shingles(text, n): distinct space-joined word n-grams. */
+case class WordShingles(child: Expression, n: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.wordShingles(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.wordShingles($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordShingles = copy(child = newChild)
+}
+
+/** word_shingle_hashes(text, n): xxhash64 of each distinct word n-gram. */
+case class WordShingleHashes(child: Expression, n: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.wordShingleHashes(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.wordShingleHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashes = copy(child = newChild)
+}
+
+/** minhash_sig(text): 12-lane MinHash signature, null when < 3 tokens. */
+case class MinhashSignature(child: Expression, as: Seq[Long], bs: Seq[Long], p: Long)
+  extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  private lazy val aArr = as.toArray
+  private lazy val bArr = bs.toArray
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.minhashSig(input.asInstanceOf[UTF8String], aArr, bArr, p)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.TextHash.minhashSig($c, $aRef, $bRef, ${p}L);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinhashSignature = copy(child = newChild)
+}
+
+/** winnow_fps(text, k, w): winnowing fingerprint set, null when the
+  * document is shorter than k + w - 1 chars. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.winnowFingerprints(input.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.TextHash.winnowFingerprints($c, $k, $w);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints = copy(child = newChild)
+}
+
+/** dot_d(a, b): sequential-fold dot product of two double arrays. */
+case class DotProductD(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.dot($a, $b)")
+  override protected def withNewChildInternal(newLeft: Expression, newRight: Expression): DotProductD =
+    copy(left = newLeft, right = newRight)
+}
+
+object GraftFunctions {
+  /** Register the native expressions as SQL functions on this session
+    * (idempotent). Queries call e.g. `winnow_fps(text, 8, 4)` directly. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def intLit(e: Expression): Int =
+      e.eval(null) match { case i: Int => i; case l: Long => l.toInt; case other => other.toString.toInt }
+    reg.createOrReplaceTempFunction("word_shingles",
+      exprs => WordShingles(exprs.head, intLit(exprs(1))), "builtin")
+    reg.createOrReplaceTempFunction("word_shingle_hashes",
+      exprs => WordShingleHashes(exprs.head, intLit(exprs(1))), "builtin")
+    reg.createOrReplaceTempFunction("winnow_fps",
+      exprs => WinnowFingerprints(exprs.head, intLit(exprs(1)), intLit(exprs(2))), "builtin")
+    reg.createOrReplaceTempFunction("dot_d",
+      exprs => DotProductD(exprs.head, exprs(1)), "builtin")
+  }
+
+  /** minhash_sig is parameterized by the query's lane constants, so it is
+    * registered with them bound. */
+  def registerMinhash(spark: SparkSession, params: Seq[(Long, Long)], p: Long): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction("minhash_sig",
+      exprs => MinhashSignature(exprs.head, params.map(_._1), params.map(_._2), p), "builtin")
+}

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.GraftFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -28,10 +29,15 @@ import org.apache.spark.sql.functions._
   */
 object LlmQueries extends QueryModule {
 
-  private def docs(s: SparkSession, dir: String): Unit =
+  private def docs(s: SparkSession, dir: String): Unit = {
+    GraftFunctions.register(s)
+    GraftFunctions.registerMinhash(s, MinhashParams, MinhashP)
     Tables.documents(s, dir).createOrReplaceTempView("documents")
-  private def embs(s: SparkSession, dir: String): Unit =
+  }
+  private def embs(s: SparkSession, dir: String): Unit = {
+    GraftFunctions.register(s)
     Tables.embeddings(s, dir).createOrReplaceTempView("embeddings")
+  }
 
   // ---------------------------------------------------------------- dedup
 
@@ -69,19 +75,16 @@ object LlmQueries extends QueryModule {
     MinhashParams.map { case (a, b) => minExpr(s"($a * hx + $b) % $MinhashP") }.mkString(",\n                   ")
 
   private val minhashSql = s"""
-    WITH toks AS (
-      SELECT doc_id, split(lower(text), '\\\\s+') AS t FROM documents),
-    shingle_rows AS (
-      SELECT doc_id,
-             cast(conv(substr(md5(shingle), 1, 15), 16, 10) AS bigint) % $MinhashP AS hx
-      FROM (SELECT doc_id,
-                   array_distinct(transform(sequence(0, size(t)-3), i -> concat_ws(' ', slice(t, i+1, 3)))) AS sh
-            FROM toks WHERE size(t) >= 3)
-      LATERAL VIEW explode(sh) st AS shingle),
-    sig AS (
-      SELECT doc_id,
-             array(${minhashLanes(e => s"min($e)")}) AS mh
-      FROM shingle_rows GROUP BY doc_id),
+    WITH sig AS (
+      -- minhash_sig is a native codegen'd Expression (graft.functions
+      -- .MinhashSignature): shingling + md5 + the 12 min-lanes run as one
+      -- JVM loop per document, map-side — no shingle explode, no shuffle
+      -- of shingle rows, no interpreted HOF lambdas. The cheap split()
+      -- filter mirrors the old WHERE size(t) >= 3 so the optimizer never
+      -- pushes an IsNotNull(mh) through the project (which would compute
+      -- the signature twice).
+      SELECT doc_id, minhash_sig(text) AS mh
+      FROM documents WHERE size(split(lower(text), '\\\\s+')) >= 3),
     bands AS (
       SELECT doc_id, b,
              md5(concat_ws(',', cast(element_at(mh, b*3+1) AS string), cast(element_at(mh, b*3+2) AS string), cast(element_at(mh, b*3+3) AS string))) AS bh
@@ -167,13 +170,14 @@ object LlmQueries extends QueryModule {
     * list — production would drop shingles with document frequency above
     * a cap (they cannot contribute to a high-Jaccard pair anyway). */
   private val ngramJaccardSql = """
-    WITH toks AS (SELECT doc_id, split(lower(text), '\\s+') AS t FROM documents),
-    sh AS (
-      SELECT doc_id,
-             array_distinct(transform(sequence(0, size(t)-3), i -> concat_ws(' ', slice(t, i+1, 3)))) AS shs
-      FROM toks WHERE size(t) >= 3),
+    WITH sh AS (
+      -- word_shingle_hashes (native Expression): tokenize + shingle +
+      -- xxhash64 in one codegen'd loop per row; only 8-byte hashes are
+      -- exploded and shuffled, never shingle strings.
+      SELECT doc_id, word_shingle_hashes(text, 3) AS shs
+      FROM documents WHERE size(split(lower(text), '\\s+')) >= 3),
     n AS (SELECT doc_id, cast(size(shs) AS bigint) AS cnt FROM sh),
-    ds AS (SELECT doc_id, xxhash64(shingle) AS sid FROM sh LATERAL VIEW explode(shs) st AS shingle),
+    ds AS (SELECT doc_id, sid FROM sh LATERAL VIEW explode(shs) st AS sid),
     posting AS (
       SELECT sid, collect_list(doc_id) AS ids FROM ds GROUP BY sid HAVING count(1) >= 2),
     common AS (
@@ -217,12 +221,14 @@ object LlmQueries extends QueryModule {
   private val knnSql = """
     WITH v AS (SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS e FROM embeddings),
     vn AS (SELECT vec_id, e,
-                  sqrt(aggregate(e, cast(0.0 AS double), (s, x) -> s + x * x)) AS nrm FROM v),
+                  sqrt(dot_d(e, e)) AS nrm FROM v),
     q AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM vn WHERE vec_id % 100 = 0),
     sims AS (
+      -- dot_d is a native codegen'd Expression: the 64-wide dot product
+      -- is one JVM loop (same sequential IEEE fold as the oracle), not 64
+      -- interpreted lambda calls per pair.
       SELECT /*+ BROADCAST(q) */ q.qid, vn.vec_id,
-             aggregate(sequence(0, 63), cast(0.0 AS double),
-                       (s, i) -> s + element_at(qe, i+1) * element_at(e, i+1)) / (qnrm * nrm) AS sim,
+             dot_d(qe, e) / (qnrm * nrm) AS sim,
              spark_partition_id() AS pid
       FROM q JOIN vn ON vn.vec_id <> q.qid),
     local_top AS (
@@ -263,17 +269,15 @@ object LlmQueries extends QueryModule {
       FROM (SELECT explode(sequence(0, 5)) AS h)),
     vb AS (
       SELECT /*+ BROADCAST(hp) */ vec_id, e,
-             sum(CASE WHEN aggregate(sequence(0, 63), cast(0.0 AS double),
-                                     (s, i) -> s + element_at(e, i+1) * element_at(w, i+1)) > 0
+             sum(CASE WHEN dot_d(e, w) > 0
                       THEN shiftleft(1, h) ELSE 0 END) AS bucket
       FROM v CROSS JOIN hp GROUP BY vec_id, e),
     vn AS (SELECT vec_id, e, bucket,
-                  sqrt(aggregate(e, cast(0.0 AS double), (s, x) -> s + x * x)) AS nrm FROM vb),
+                  sqrt(dot_d(e, e)) AS nrm FROM vb),
     q AS (SELECT vec_id AS qid, e AS qe, bucket AS qb, nrm AS qnrm FROM vn WHERE vec_id % 100 = 0),
     sims AS (
       SELECT /*+ BROADCAST(q) */ q.qid, vn.vec_id,
-             aggregate(sequence(0, 63), cast(0.0 AS double),
-                       (s, i) -> s + element_at(qe, i+1) * element_at(e, i+1)) / (qnrm * nrm) AS sim
+             dot_d(qe, e) / (qnrm * nrm) AS sim
       FROM q JOIN vn ON vn.bucket = q.qb AND vn.vec_id <> q.qid),
     ranked AS (
       SELECT qid, vec_id, sim,
@@ -395,13 +399,13 @@ object LlmQueries extends QueryModule {
     * Per-row memory is O(length(text)) — bounded by the document, so the
     * shape scales embarrassingly with corpus size. */
   private val fingerprintSql = """
-    WITH g AS (
-      SELECT doc_id, transform(sequence(0, length(text)-8), i -> md5(substr(text, i+1, 8))) AS grams
-      FROM documents WHERE length(text) >= 8),
-    w AS (
-      SELECT doc_id,
-             array_distinct(transform(sequence(0, size(grams)-4), wi -> array_min(slice(grams, wi+1, 4)))) AS fps
-      FROM g WHERE size(grams) >= 4)
+    WITH w AS (
+      -- winnow_fps (native Expression): md5 char-8-grams + monotonic-deque
+      -- sliding-window minima + distinct, one O(n) loop per document in
+      -- whole-stage codegen — replaces two interpreted HOF transforms that
+      -- were 50x slower. length(text) >= 11 ≡ the old size(grams) >= 4.
+      SELECT doc_id, winnow_fps(text, 8, 4) AS fps
+      FROM documents WHERE length(text) >= 11)
     SELECT doc_id, cast(size(fps) AS bigint) AS n_fingerprints,
            array_min(fps) AS min_fp, array_max(fps) AS max_fp
     FROM w ORDER BY doc_id"""
