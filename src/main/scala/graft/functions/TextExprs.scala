@@ -2,7 +2,8 @@ package graft.functions
 
 import java.security.MessageDigest
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -81,7 +82,7 @@ object TextHash extends Serializable {
     var i = 0
     while (i < out.length) {
       val s = sh.getUTF8String(i)
-      out(i) = org.apache.spark.unsafe.hash.XXH64.hashUnsafeBytes(
+      out(i) = XXH64.hashUnsafeBytes(
         s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
       i += 1
     }
@@ -130,15 +131,18 @@ object TextHash extends Serializable {
     * compare unsigned, so the window minimum is computed on raw digests
     * and only winners are hex-encoded. */
   def winnowFingerprints(text: UTF8String, k: Int, w: Int): ArrayData = {
-    val s = text.toString // char k-grams: substr semantics over codepoints
-    val nGrams = s.length - k + 1
+    // k-grams over CODEPOINTS (not UTF-16 units), matching SQL substr/length
+    // semantics so non-BMP chars neither split surrogate pairs nor change
+    // the gram count vs the DuckDB oracle.
+    val cps = text.toString.codePoints().toArray
+    val nGrams = cps.length - k + 1
     if (nGrams < w) return null
     val md = md5Local.get()
     val digests = new Array[Array[Byte]](nGrams)
     var i = 0
     while (i < nGrams) {
       md.reset()
-      digests(i) = md.digest(s.substring(i, i + k).getBytes("UTF-8"))
+      digests(i) = md.digest(new String(cps, i, k).getBytes("UTF-8"))
       i += 1
     }
     @inline def less(a: Array[Byte], b: Array[Byte]): Boolean = {
@@ -182,10 +186,29 @@ object VecOps extends Serializable {
   }
 }
 
+/** Shared input-type guard. `AbstractDataType`/`ExpectsInputTypes` are
+  * `private[sql]` in Spark 4, so third-party expressions enforce types via
+  * the public `checkInputDataTypes()` hook instead — same analysis-time
+  * guarantee (a mismatched call fails with AnalysisException, never a
+  * silent mis-read of the internal row storage). */
+private[functions] object TypeGuards {
+  def requireString(fn: String, e: Expression): TypeCheckResult = e.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$fn requires a STRING argument, got ${other.catalogString}")
+  }
+  def requireDoubleArray(fn: String, e: Expression): TypeCheckResult = e.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$fn requires ARRAY<DOUBLE> arguments, got ${other.catalogString}")
+  }
+}
+
 /** word_shingles(text, n): distinct space-joined word n-grams. */
 case class WordShingles(child: Expression, n: Int)
-  extends UnaryExpression with ExpectsInputTypes {
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeGuards.requireString("word_shingles", child)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override protected def nullSafeEval(input: Any): Any =
     TextHash.wordShingles(input.asInstanceOf[UTF8String], n)
@@ -196,8 +219,9 @@ case class WordShingles(child: Expression, n: Int)
 
 /** word_shingle_hashes(text, n): xxhash64 of each distinct word n-gram. */
 case class WordShingleHashes(child: Expression, n: Int)
-  extends UnaryExpression with ExpectsInputTypes {
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeGuards.requireString("word_shingle_hashes", child)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(input: Any): Any =
     TextHash.wordShingleHashes(input.asInstanceOf[UTF8String], n)
@@ -208,8 +232,9 @@ case class WordShingleHashes(child: Expression, n: Int)
 
 /** minhash_sig(text): 12-lane MinHash signature, null when < 3 tokens. */
 case class MinhashSignature(child: Expression, as: Seq[Long], bs: Seq[Long], p: Long)
-  extends UnaryExpression with ExpectsInputTypes {
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeGuards.requireString("minhash_sig", child)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   private lazy val aArr = as.toArray
@@ -231,8 +256,9 @@ case class MinhashSignature(child: Expression, as: Seq[Long], bs: Seq[Long], p: 
 /** winnow_fps(text, k, w): winnowing fingerprint set, null when the
   * document is shorter than k + w - 1 chars. */
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
-  extends UnaryExpression with ExpectsInputTypes {
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeGuards.requireString("winnow_fps", child)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = true
   override protected def nullSafeEval(input: Any): Any =
@@ -248,15 +274,18 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
 
 /** dot_d(a, b): sequential-fold dot product of two double arrays. */
 case class DotProductD(left: Expression, right: Expression)
-  extends BinaryExpression with ExpectsInputTypes {
-  override def inputTypes: Seq[AbstractDataType] =
-    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = TypeGuards.requireDoubleArray("dot_d", left)
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else TypeGuards.requireDoubleArray("dot_d", right)
+  }
   override def dataType: DataType = DoubleType
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VecOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.dot($a, $b)")
-  override protected def withNewChildInternal(newLeft: Expression, newRight: Expression): DotProductD =
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProductD =
     copy(left = newLeft, right = newRight)
 }
 
@@ -268,18 +297,18 @@ object GraftFunctions {
     def intLit(e: Expression): Int =
       e.eval(null) match { case i: Int => i; case l: Long => l.toInt; case other => other.toString.toInt }
     reg.createOrReplaceTempFunction("word_shingles",
-      exprs => WordShingles(exprs.head, intLit(exprs(1))), "builtin")
+      exprs => WordShingles(exprs.head, intLit(exprs(1))), "scala_udf")
     reg.createOrReplaceTempFunction("word_shingle_hashes",
-      exprs => WordShingleHashes(exprs.head, intLit(exprs(1))), "builtin")
+      exprs => WordShingleHashes(exprs.head, intLit(exprs(1))), "scala_udf")
     reg.createOrReplaceTempFunction("winnow_fps",
-      exprs => WinnowFingerprints(exprs.head, intLit(exprs(1)), intLit(exprs(2))), "builtin")
+      exprs => WinnowFingerprints(exprs.head, intLit(exprs(1)), intLit(exprs(2))), "scala_udf")
     reg.createOrReplaceTempFunction("dot_d",
-      exprs => DotProductD(exprs.head, exprs(1)), "builtin")
+      exprs => DotProductD(exprs.head, exprs(1)), "scala_udf")
   }
 
   /** minhash_sig is parameterized by the query's lane constants, so it is
     * registered with them bound. */
   def registerMinhash(spark: SparkSession, params: Seq[(Long, Long)], p: Long): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction("minhash_sig",
-      exprs => MinhashSignature(exprs.head, params.map(_._1), params.map(_._2), p), "builtin")
+      exprs => MinhashSignature(exprs.head, params.map(_._1), params.map(_._2), p), "scala_udf")
 }

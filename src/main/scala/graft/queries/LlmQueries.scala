@@ -265,7 +265,7 @@ object LlmQueries extends QueryModule {
     WITH v AS (SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS e FROM embeddings),
     hp AS (
       SELECT h, transform(sequence(0, 63), d ->
-               (cast(conv(substr(md5(concat(cast(h AS string), ':', cast(d AS string))), 1, 8), 16, 10) AS bigint) % 2001 - 1000) / 1000.0) AS w
+               (cast(conv(substr(md5(concat(cast(h AS string), ':', cast(d AS string))), 1, 8), 16, 10) AS bigint) % 2001 - 1000) / cast(1000.0 AS double)) AS w
       FROM (SELECT explode(sequence(0, 5)) AS h)),
     vb AS (
       SELECT /*+ BROADCAST(hp) */ vec_id, e,
