@@ -29,9 +29,15 @@ import org.apache.spark.sql.functions._
   */
 object LlmQueries extends QueryModule {
 
-  private def docs(s: SparkSession, dir: String): Unit = {
+  /** Registers the native text/vector functions used by the SQL below
+    * (also used by specs that run the query shapes on synthetic views). */
+  private[graft] def registerFunctions(s: SparkSession): Unit = {
     GraftFunctions.register(s)
     GraftFunctions.registerMinhash(s, MinhashParams, MinhashP)
+  }
+
+  private def docs(s: SparkSession, dir: String): Unit = {
+    registerFunctions(s)
     Tables.documents(s, dir).createOrReplaceTempView("documents")
   }
   private def embs(s: SparkSession, dir: String): Unit = {
@@ -74,7 +80,21 @@ object LlmQueries extends QueryModule {
   private def minhashLanes(minExpr: String => String): String =
     MinhashParams.map { case (a, b) => minExpr(s"($a * hx + $b) % $MinhashP") }.mkString(",\n                   ")
 
-  private val minhashSql = s"""
+  /** Fan-out caps — the difference between "bucketed" and "quadratic on a
+    * degenerate key". A band bucket of size s yields s² candidate pairs;
+    * at 100 TB one popular signature (boilerplate docs) would otherwise
+    * put millions of rows behind one shuffle key and sink the stage. A
+    * bucket larger than BandCap is a dense near-dup cluster; production
+    * handles those with a connected-components pass, not pairwise
+    * scoring, so dropping them from PAIR generation is the standard
+    * guard (same reasoning for shingle document frequency: a shingle in
+    * >DocFreqCap docs is a stop phrase and cannot push any single pair's
+    * Jaccard high by itself). Both caps are applied IDENTICALLY in the
+    * DuckDB oracle, so correctness comparison is exact. */
+  private[graft] val BandCap = 200
+  private[graft] val DocFreqCap = 1000
+
+  private[graft] def minhashSql(bandCap: Int = BandCap) = s"""
     WITH sig AS (
       -- minhash_sig is a native codegen'd Expression (graft.functions
       -- .MinhashSignature): shingling + md5 + the 12 min-lanes run as one
@@ -89,16 +109,20 @@ object LlmQueries extends QueryModule {
       SELECT doc_id, b,
              md5(concat_ws(',', cast(element_at(mh, b*3+1) AS string), cast(element_at(mh, b*3+2) AS string), cast(element_at(mh, b*3+3) AS string))) AS bh
       FROM sig LATERAL VIEW explode(sequence(0, 3)) bt AS b),
+    bandsc AS (
+      -- bucket-size window shares the (b, bh) shuffle the self-join needs
+      SELECT doc_id, b, bh, count(1) OVER (PARTITION BY b, bh) AS bsz FROM bands),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      FROM bandsc a JOIN bandsc b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+      WHERE a.bsz <= $bandCap),
     est AS (
       SELECT id_a, id_b,
              size(filter(sequence(0, 11), k -> element_at(sa.mh, k+1) = element_at(sb.mh, k+1))) / cast(12 AS double) AS est_jaccard
       FROM cand JOIN sig sa ON cand.id_a = sa.doc_id JOIN sig sb ON cand.id_b = sb.doc_id)
     SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b"""
 
-  private val minhashOracle = s"""
+  private[graft] def minhashOracle(bandCap: Int = BandCap) = s"""
     WITH toks AS (
       SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents),
     shingles AS (
@@ -115,9 +139,12 @@ object LlmQueries extends QueryModule {
     bands AS (
       SELECT doc_id, b, md5(concat_ws(',', mh[b*3+1]::VARCHAR, mh[b*3+2]::VARCHAR, mh[b*3+3]::VARCHAR)) AS bh
       FROM sig, unnest(range(4)) AS bt(b)),
+    bandsc AS (
+      SELECT doc_id, b, bh, count(1) OVER (PARTITION BY b, bh) AS bsz FROM bands),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      FROM bandsc a JOIN bandsc b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+      WHERE a.bsz <= $bandCap),
     est AS (
       SELECT id_a, id_b,
              len(list_filter(range(12), k -> sa.mh[k+1] = sb.mh[k+1])) / 12.0 AS est_jaccard
@@ -165,21 +192,24 @@ object LlmQueries extends QueryModule {
     * strings (collision odds ~|shingles|²/2^65, immaterial); single-doc
     * shingles are dropped before pair generation, so unique shingles
     * (the vast majority) never produce join work. Per-doc shingle counts
-    * are map-side (`size(shs)`) and broadcast into the final join. At
-    * 100 TB the risk is hot shingles (stop phrases) exploding a posting
-    * list — production would drop shingles with document frequency above
-    * a cap (they cannot contribute to a high-Jaccard pair anyway). */
-  private val ngramJaccardSql = """
+    * are map-side (`size(shs)`) and broadcast into the final join. Hot
+    * shingles (stop phrases) are dropped by the document-frequency cap
+    * in the HAVING — a shingle in >cap docs would make the posting-list
+    * explode d² for that key, and it cannot by itself push any pair's
+    * Jaccard high (both docs have ≥cap other shingles' worth of text
+    * only if they share much more than the stop phrase). */
+  private[graft] def ngramJaccardSql(dfCap: Int = DocFreqCap) = s"""
     WITH sh AS (
       -- word_shingle_hashes (native Expression): tokenize + shingle +
       -- xxhash64 in one codegen'd loop per row; only 8-byte hashes are
       -- exploded and shuffled, never shingle strings.
       SELECT doc_id, word_shingle_hashes(text, 3) AS shs
-      FROM documents WHERE size(split(lower(text), '\\s+')) >= 3),
+      FROM documents WHERE size(split(lower(text), '\\\\s+')) >= 3),
     n AS (SELECT doc_id, cast(size(shs) AS bigint) AS cnt FROM sh),
     ds AS (SELECT doc_id, sid FROM sh LATERAL VIEW explode(shs) st AS sid),
     posting AS (
-      SELECT sid, collect_list(doc_id) AS ids FROM ds GROUP BY sid HAVING count(1) >= 2),
+      SELECT sid, collect_list(doc_id) AS ids FROM ds GROUP BY sid
+      HAVING count(1) BETWEEN 2 AND $dfCap),
     common AS (
       SELECT id_a, id_b, count(1) AS cm
       FROM (SELECT a AS id_a, b AS id_b
@@ -193,17 +223,19 @@ object LlmQueries extends QueryModule {
     WHERE cast(cm AS double) / (na.cnt + nb.cnt - cm) >= 0.4
     ORDER BY id_a, id_b"""
 
-  private val ngramJaccardOracle = """
-    WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+  private[graft] def ngramJaccardOracle(dfCap: Int = DocFreqCap) = s"""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents),
     sh AS (
       SELECT doc_id,
              list_distinct(list_transform(range(len(t)-2), i -> array_to_string(t[i+1:i+3], ' '))) AS shs
       FROM toks WHERE len(t) >= 3),
     ds AS (SELECT doc_id, unnest(shs) AS shingle FROM sh),
     n AS (SELECT doc_id, count(1) AS cnt FROM ds GROUP BY doc_id),
+    df AS (SELECT shingle FROM ds GROUP BY shingle HAVING count(1) BETWEEN 2 AND $dfCap),
+    dsf AS (SELECT ds.doc_id, ds.shingle FROM ds JOIN df USING (shingle)),
     common AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(1) AS cm
-      FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM dsf a JOIN dsf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id)
     SELECT id_a, id_b, cm::DOUBLE / (na.cnt + nb.cnt - cm) AS jaccard
     FROM common JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
@@ -451,9 +483,9 @@ object LlmQueries extends QueryModule {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_exact_dedup" -> (exactDedup(_, _)),
-    "q22_minhash_lsh" -> sqlQuery(docs, minhashSql),
+    "q22_minhash_lsh" -> sqlQuery(docs, minhashSql()),
     "q23_simhash" -> sqlQuery(docs, simhashSql),
-    "q24_ngram_jaccard" -> sqlQuery(docs, ngramJaccardSql),
+    "q24_ngram_jaccard" -> sqlQuery(docs, ngramJaccardSql()),
     "q25_knn_bruteforce" -> sqlQuery(embs, knnSql),
     "q26_knn_lsh" -> sqlQuery(embs, lshKnnSql),
     "q27_token_stats" -> sqlQuery(docs, tokenStatsSql),
@@ -466,9 +498,9 @@ object LlmQueries extends QueryModule {
     "q21_exact_dedup" ->
       """SELECT md5(lower(text)) AS content_hash, min(doc_id) AS keeper_doc_id, count(1) AS n_copies
          FROM documents GROUP BY 1 ORDER BY keeper_doc_id""",
-    "q22_minhash_lsh" -> minhashOracle,
+    "q22_minhash_lsh" -> minhashOracle(),
     "q23_simhash" -> simhashOracle,
-    "q24_ngram_jaccard" -> ngramJaccardOracle,
+    "q24_ngram_jaccard" -> ngramJaccardOracle(),
     "q25_knn_bruteforce" -> knnOracle,
     "q26_knn_lsh" -> lshKnnOracle,
     "q27_token_stats" -> tokenStatsOracle,
