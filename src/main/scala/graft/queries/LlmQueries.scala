@@ -72,8 +72,8 @@ object LlmQueries extends QueryModule {
     * integer `min((a_k·x + b_k) % p)` aggregates in a single codegen'd
     * hash aggregation with map-side combine. All arithmetic stays below
     * 2^62 so Spark and DuckDB (both 64-bit signed) agree bit-for-bit. */
-  private val MinhashP = 2147483647L // 2^31 - 1
-  private val MinhashParams: Seq[(Long, Long)] = (0 until 12).map { k =>
+  private[graft] val MinhashP = 2147483647L // 2^31 - 1
+  private[graft] val MinhashParams: Seq[(Long, Long)] = (0 until 12).map { k =>
     ((1103515245L * (k + 7) + 11) % MinhashP, (12345L + 987654321L * k) % MinhashP)
   }
 
