@@ -50,13 +50,17 @@ final class CountingOutputStream(under: OutputStream) extends OutputStream {
   * the flush timer fires on its own thread, so state transitions are
   * `synchronized` (the reference uses a fair RW lock for the same race,
   * reference: FileWriter.java:82-83,262). The writer monitor covers only
-  * file rotation — the `onRoll` callback (which may run a long retrying
-  * ingest) executes OUTSIDE it, serialized on a dedicated dispatch lock so
-  * staged files still reach ingest in offset order while plain `write()`s
-  * proceed concurrently with a timer-triggered ingest. A timer-flush
-  * failure is stored and rethrown on the next write (reference:
-  * FileWriter.java:280-282) and, if no write follows, on `close()` — a
-  * tail-of-partition timer failure must still fail the batch.
+  * file rotation — finished files are ENQUEUED under the monitor (so queue
+  * order is staging order is offset order) and the `onRoll` callback
+  * (which may run a long retrying ingest) drains the queue OUTSIDE it,
+  * serialized on a dedicated dispatch lock: whichever thread wins the lock
+  * dispatches in queue order and the loser finds an empty queue, so ingest
+  * order is offset order even when the timer and task threads race. A
+  * timer-flush failure is recorded under the dispatch lock and rethrown on
+  * the next write (reference: FileWriter.java:280-282) and, if no write
+  * follows, on `close()` — which barriers on the dispatch lock first, so a
+  * tail-of-partition timer failure still fails the batch before offsets
+  * commit.
   */
 final class RollingFileWriter(
     baseTempDir: String,
@@ -96,7 +100,7 @@ final class RollingFileWriter(
     dir.resolve(s"kafka_${topic}_${partition}_$offset.${provider.ext}.gz").toString
 
   def write(r: SinkRecord): Unit = {
-    val staged = synchronized {
+    synchronized {
       if (flushError != null) throw new IllegalStateException(flushError)
       if (stopped) throw new IllegalStateException("writer is stopped")
       if (r == null) return
@@ -107,9 +111,8 @@ final class RollingFileWriter(
       lastOffset = r.offset
       if (flushIntervalMs == 0 || out.count > flushSizeBytes || rollEveryRecord)
         finishLocked()
-      else None
     }
-    staged.foreach(dispatch)
+    drainDispatch(barrier = false)
   }
 
   private def openFile(offset: Long): Unit = {
@@ -134,47 +137,88 @@ final class RollingFileWriter(
 
   private def flushByTime(): Unit = {
     val fileName = synchronized { if (file == null) "[no file]" else file.getName }
-    val staged =
-      try synchronized { if (stopped || !isDirty) None else finishLocked() }
-      catch {
-        case e: Exception =>
-          synchronized { flushError = s"Error in timed flush of $fileName: ${e.getMessage}" }
-          None
-      }
-    try staged.foreach(dispatch)
-    catch {
-      case e: Exception =>
-        synchronized { flushError = s"Error in timed flush of $fileName: ${e.getMessage}" }
+    try {
+      synchronized { if (!stopped && isDirty) finishLocked() }
+      drainDispatch(barrier = false)
+    } catch {
+      case e: Exception => // drainDispatch already recorded it; staging errors recorded here
+        synchronized {
+          if (flushError == null)
+            flushError = s"Error in timed flush of $fileName: ${e.getMessage}"
+        }
     }
   }
 
   /** Finish the current file and hand it to `onRoll`. No-op if clean. */
   def roll(): Unit = {
-    val staged = synchronized {
-      if (out == null || out.count == 0) { discardOpenFile(); None } else finishLocked()
+    synchronized {
+      if (out == null || out.count == 0) discardOpenFile() else finishLocked()
     }
-    staged.foreach(dispatch)
+    drainDispatch(barrier = true)
   }
 
-  /** Closes out the current file under the monitor; the returned file must
-    * be handed to `dispatch` OUTSIDE the monitor. */
-  private def finishLocked(): Option[StagedFile] = {
+  /** Closes out the current file under the monitor and enqueues it for
+    * dispatch. Staging happens only under the monitor, so queue order IS
+    * offset order — whichever thread drains next preserves it. */
+  private def finishLocked(): Unit = {
     appender.close()
     gzip.finish()
     out.close()
-    val staged = StagedFile(file.getPath, numRecords, out.count, firstOffset, lastOffset, retained.reverse)
+    pending.addLast(StagedFile(file.getPath, numRecords, out.count, firstOffset, lastOffset, retained.reverse))
     resetState()
     rolledFiles += 1
-    Some(staged)
   }
 
-  /** Runs the roll callback outside the writer monitor. `dispatchLock`
-    * keeps staged files in offset order through ingest without blocking
-    * concurrent `write()`s. */
-  private val dispatchLock = new Object
-  private def dispatch(staged: StagedFile): Unit = dispatchLock.synchronized {
-    try onRoll(staged)
-    finally Files.deleteIfExists(Path.of(staged.path)) // staging is transient; ingest has consumed or replayed it
+  /** Staged files awaiting ingest, FIFO in staging (= offset) order.
+    * Guarded by the writer monitor; drained under `dispatchLock`. */
+  private val pending = new java.util.ArrayDeque[StagedFile]()
+
+  /** Runs the roll callback outside the writer monitor, serialized on
+    * `dispatchLock` so files reach ingest strictly in queue (offset)
+    * order even when the timer thread and the task thread race — the
+    * loser of the lock returns and the winner drains everything. A
+    * dispatch failure is recorded in `flushError` BEFORE the lock is
+    * released, so a `close()` that barriers on `dispatchLock` is
+    * guaranteed to observe it. Plain `write()`s that stage nothing see an
+    * empty queue and never touch the lock, so they proceed concurrently
+    * with a long-running timer ingest. */
+  private val dispatchLock = new java.util.concurrent.locks.ReentrantLock
+
+  /** `barrier = true` (roll/close) blocks until the lock is acquired —
+    * guaranteeing any in-flight dispatch on another thread has completed
+    * (and recorded its error) before returning. `barrier = false`
+    * (write/timer) is opportunistic: if another thread holds the lock it
+    * returns immediately — that holder re-checks the queue after
+    * releasing (the loop below), so an enqueue that lost `tryLock` is
+    * never stranded: enqueue happens-before the failed tryLock, which
+    * happens-before the holder's unlock and its queue re-check. */
+  private def drainDispatch(barrier: Boolean): Unit = {
+    if (barrier) {
+      dispatchLock.lock()
+      try drainLocked() finally dispatchLock.unlock()
+    }
+    while (synchronized { !pending.isEmpty }) {
+      if (!dispatchLock.tryLock()) return
+      try drainLocked() finally dispatchLock.unlock()
+    }
+  }
+
+  /** Dispatch queued files in FIFO order. Caller must hold dispatchLock. */
+  private def drainLocked(): Unit = {
+    var next = synchronized { pending.pollFirst() }
+    while (next != null) {
+      try {
+        try onRoll(next)
+        finally Files.deleteIfExists(Path.of(next.path)) // staging is transient; ingest has consumed or replayed it
+      } catch {
+        case e: Exception =>
+          synchronized {
+            if (flushError == null) flushError = s"Error dispatching ${next.path}: ${e.getMessage}"
+          }
+          throw e
+      }
+      next = synchronized { pending.pollFirst() }
+    }
   }
 
   private def discardOpenFile(): Unit = {
@@ -193,13 +237,16 @@ final class RollingFileWriter(
     * partition (with no subsequent write to surface it) still fails the
     * batch before offsets commit. */
   def close(): Unit = {
-    val staged = synchronized {
-      val s = if (isDirty) finishLocked() else { discardOpenFile(); None }
+    synchronized {
+      if (isDirty) finishLocked() else discardOpenFile()
       stopped = true
       if (timer != null) { timer.cancel(); timer = null }
-      s
     }
-    staged.foreach(dispatch)
+    // Drains the residual file AND anything the timer staged but has not
+    // dispatched yet; acquiring dispatchLock doubles as a barrier for an
+    // in-flight timer dispatch (its error is recorded under the lock), so
+    // the flushError check below cannot race past a failing tail flush.
+    drainDispatch(barrier = true)
     synchronized {
       if (flushError != null) throw new IllegalStateException(flushError)
     }
@@ -213,6 +260,12 @@ final class RollingFileWriter(
   def abort(): Unit = synchronized {
     stopped = true
     discardOpenFile()
+    // rollback: staged-but-undispatched files must never reach ingest
+    var f = pending.pollFirst()
+    while (f != null) {
+      try Files.deleteIfExists(Path.of(f.path)) catch { case _: Exception => () }
+      f = pending.pollFirst()
+    }
     if (timer != null) { timer.cancel(); timer = null }
     try Files.deleteIfExists(dir) catch { case _: Exception => () }
   }

@@ -143,6 +143,43 @@ class RollingFileWriterSpec extends AnyFunSuite {
     assert(rolls.map(_.numRecords).sum == 5)
   }
 
+  test("close() barriers on an in-flight timer dispatch and surfaces its failure") {
+    val ingestStarted = new java.util.concurrent.CountDownLatch(1)
+    val w = new RollingFileWriter(tmp(), "t", 0, JsonLinesWriter,
+      flushSizeBytes = 1 << 20, flushIntervalMs = 100,
+      onRoll = _ => { ingestStarted.countDown(); Thread.sleep(300); throw new RuntimeException("ingest down") })
+    w.write(rec(0))
+    assert(ingestStarted.await(5, java.util.concurrent.TimeUnit.SECONDS))
+    // dispatch is in flight on the timer thread RIGHT NOW — no sleep:
+    // close() must block on the dispatch barrier, observe the recorded
+    // error, and fail the batch (the pre-fix writer returned success here
+    // and the ingest failure was silently swallowed after offsets commit)
+    val e = intercept[IllegalStateException](w.close())
+    assert(e.getMessage.contains("ingest down"))
+  }
+
+  test("staged files reach ingest in offset order when timer and task threads race") {
+    val order = ArrayBuffer.empty[Long]
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val ingestStarted = new java.util.concurrent.CountDownLatch(1)
+    val w = new RollingFileWriter(tmp(), "t", 0, JsonLinesWriter,
+      flushSizeBytes = 100, flushIntervalMs = 100,
+      onRoll = f => {
+        order.synchronized(order += f.firstOffset)
+        if (f.firstOffset == 0) { ingestStarted.countDown(); gate.await() }
+      })
+    w.write(rec(0)) // timer will stage this file (firstOffset 0)
+    assert(ingestStarted.await(5, java.util.concurrent.TimeUnit.SECONDS))
+    // timer thread is parked inside onRoll holding the dispatch lock; the
+    // task thread now rolls two MORE files by size — they must queue
+    // behind the timer's file, not jump ahead of offset 0
+    (1L until 21L).foreach(i => w.write(rec(i)))
+    gate.countDown()
+    w.close()
+    assert(order.toSeq == Seq(0L, 1L, 11L),
+      s"ingest order must be staging (offset) order, got $order")
+  }
+
   test("staged file is deleted after the roll callback completes") {
     var seen: String = null
     val w = new RollingFileWriter(tmp(), "t", 0, JsonLinesWriter, 100, 300000,
