@@ -111,7 +111,7 @@ final class IngestPipe(
   def sendToDlq(r: SinkRecord): Unit = {
     metrics.dlqRecordsSent.inc()
     val key = s"Failed to sink record with kafka coordinates topic=${r.topic}, " +
-      s"partition=${r.partition}, offset=${r.offset}."
+      s"partition=${r.partition}, offset=${r.offset}.${r.headersDescription}"
     dlq.foreach(_.send(key.getBytes(StandardCharsets.UTF_8), r.value))
   }
 }

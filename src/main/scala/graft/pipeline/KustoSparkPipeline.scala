@@ -48,11 +48,18 @@ final class KustoSparkPipeline(
     require(Set("topic", "partition", "offset", "value").subsetOf(cols),
       s"sink input needs kafka-source schema (topic, partition, offset, value); got $cols")
     val withKey = if (cols.contains("key")) batch else batch.withColumn("key", lit(null).cast("binary"))
+    // headers ride along when the source provides them (kafka source with
+    // includeHeaders=true, or any column castable to the same shape)
+    val headersType = "array<struct<key:string,value:binary>>"
+    val withHeaders =
+      if (cols.contains("headers")) withKey
+      else withKey.withColumn("headers", lit(null).cast(headersType))
 
     // F1 tombstone filter — declarative, pushed into the scan by Catalyst.
-    val live = withKey
+    val live = withHeaders
       .select(col("topic").cast("string"), col("partition").cast("int"),
-        col("offset").cast("long"), col("key").cast("binary"), col("value").cast("binary"))
+        col("offset").cast("long"), col("key").cast("binary"), col("value").cast("binary"),
+        col("headers").cast(headersType))
       .filter(col("value").isNotNull)
 
     val conf = config
@@ -68,8 +75,12 @@ final class KustoSparkPipeline(
       val writers = mutable.Map.empty[(String, Int), (RollingFileWriter, IngestPipe)]
       try {
         rows.foreach { row =>
+          val hs = row.getAs[scala.collection.Seq[Row]](5) match {
+            case null => Nil
+            case rs => rs.iterator.map(h => RecordHeader(h.getString(0), h.getAs[Array[Byte]](1))).toSeq
+          }
           val rec = SinkRecord(row.getString(0), row.getInt(1), row.getLong(2),
-            row.getAs[Array[Byte]](3), row.getAs[Array[Byte]](4))
+            row.getAs[Array[Byte]](3), row.getAs[Array[Byte]](4), hs)
           conf.router.lookup(rec.topic) match {
             case None =>
               // R1 error path (reference: KustoSinkTask.java:504-509)
@@ -79,8 +90,8 @@ final class KustoSparkPipeline(
               m.recordsFailed.inc()
               dlq.foreach { d =>
                 m.dlqRecordsSent.inc()
-                d.send(s"No mapping for topic=${rec.topic}, partition=${rec.partition}, offset=${rec.offset}."
-                  .getBytes("UTF-8"), rec.value)
+                d.send((s"No mapping for topic=${rec.topic}, partition=${rec.partition}, " +
+                  s"offset=${rec.offset}.${rec.headersDescription}").getBytes("UTF-8"), rec.value)
               }
             case Some(mapping) =>
               val (writer, _) = writers.getOrElseUpdate((rec.topic, rec.partition), {
@@ -109,8 +120,8 @@ final class KustoSparkPipeline(
                       m.recordsFailed.inc()
                       dlq.foreach { d =>
                         m.dlqRecordsSent.inc()
-                        d.send(s"Failed to sink record topic=${rec.topic}, partition=${rec.partition}, offset=${rec.offset}."
-                          .getBytes("UTF-8"), rec.value)
+                        d.send((s"Failed to sink record topic=${rec.topic}, partition=${rec.partition}, " +
+                          s"offset=${rec.offset}.${rec.headersDescription}").getBytes("UTF-8"), rec.value)
                       }
                   }
               }

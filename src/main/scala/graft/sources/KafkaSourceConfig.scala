@@ -29,7 +29,8 @@ final case class KafkaSourceConfig(
     startingOffsets: String = "earliest",
     maxOffsetsPerTrigger: Option[Long] = None,
     minPartitions: Option[Int] = None,
-    failOnDataLoss: Boolean = true) {
+    failOnDataLoss: Boolean = true,
+    includeHeaders: Boolean = false) {
 
   if (bootstrapServers == null || bootstrapServers.trim.isEmpty)
     throw new SinkConfigException("kafka bootstrap servers are required")
@@ -53,7 +54,8 @@ final case class KafkaSourceConfig(
        else Map("subscribePattern" -> topicsRegex.get))
     base ++
       maxOffsetsPerTrigger.map("maxOffsetsPerTrigger" -> _.toString) ++
-      minPartitions.map("minPartitions" -> _.toString)
+      minPartitions.map("minPartitions" -> _.toString) ++
+      (if (includeHeaders) Map("includeHeaders" -> "true") else Map.empty)
   }
 
   def load(spark: SparkSession): DataFrame =

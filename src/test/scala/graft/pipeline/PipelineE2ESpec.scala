@@ -18,6 +18,31 @@ import org.scalatest.funsuite.AnyFunSuite
   * network. Also covers wildcard routing and the offset gate under a
   * failing sink.
   */
+/** LocalTableIngestClient wrapped with a scripted shared success budget:
+  * once the budget is exhausted every ingest throws a transient failure
+  * (mirrors `KustoSinkTaskTest.java:254-304` close/open-cycle offset
+  * safety, driven through a real checkpoint restart instead). Registry
+  * keyed by id — local-mode tests share one JVM with their executors. */
+final class FlakyLocal(id: String, root: String) extends graft.ingest.IngestClient {
+  private val under = new LocalTableIngestClient(root)
+  def ingest(file: graft.sink.StagedFile, target: IngestTarget): graft.ingest.IngestionStatus = {
+    if (FlakyLocal.budget(id).getAndDecrement() <= 0)
+      throw new graft.ingest.TransientIngestException("scripted outage")
+    val st = under.ingest(file, target)
+    FlakyLocal.successes(id).incrementAndGet()
+    st
+  }
+}
+object FlakyLocal {
+  private val budgets = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]
+  private val wins = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]
+  def budget(id: String): java.util.concurrent.atomic.AtomicInteger =
+    budgets.computeIfAbsent(id, _ => new java.util.concurrent.atomic.AtomicInteger(0))
+  def successes(id: String): java.util.concurrent.atomic.AtomicInteger =
+    wins.computeIfAbsent(id, _ => new java.util.concurrent.atomic.AtomicInteger(0))
+  def reset(id: String): Unit = { budgets.remove(id); wins.remove(id) }
+}
+
 class PipelineE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
   private lazy val spark = SparkSession.builder()
     .master("local[4]")
@@ -30,6 +55,10 @@ class PipelineE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private case class KRecord(topic: String, partition: Int, offset: Long,
                              key: Array[Byte], value: Array[Byte])
+  // same column shape the Spark kafka source emits with includeHeaders=true
+  private case class HRecord(topic: String, partition: Int, offset: Long,
+                             key: Array[Byte], value: Array[Byte],
+                             headers: Seq[(String, Array[Byte])])
   private def jsonRec(topic: String, partition: Int, offset: Long, vtype: String, vlong: Long): KRecord =
     KRecord(topic, partition, offset, null,
       s"""{"vtype":"$vtype","vlong":$vlong}""".getBytes(UTF_8))
@@ -147,6 +176,87 @@ class PipelineE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Files.exists(java.nio.file.Path.of(checkpoint, "commits", "0")))
     assert(spark.read.json(s"$tablesRoot/db1/tableA").count() == 2,
       "records ingested exactly the at-least-once way after recovery")
+  }
+
+  test("checkpoint restart: mid-batch ingest failure parks offsets; replay ingests everything at-least-once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tablesRoot = Files.createTempDirectory("e2e-restart").toString
+    val checkpoint = Files.createTempDirectory("e2e-restart-ckpt").toString
+    val cfg = newConfig() // flushIntervalMs=0: one file per record, many ingest calls per batch
+    FlakyLocal.reset("restart")
+
+    def pipeline() = new KustoSparkPipeline(
+      cfg, () => new FlakyLocal("restart", tablesRoot), None, SinkMetrics.forSpark(spark))
+    val batchA = (0 until 10).map(i => jsonRec("topicA", 0, i, "a", i))
+    val batchB = (10 until 20).map(i => jsonRec("topicA", 0, i, "b", i))
+
+    // Run 1: batch A (10 ingests) fully succeeds and commits; batch B gets
+    // 3 successes and then only scripted transient failures — the query
+    // dies MID-BATCH with some of batch B's files already ingested.
+    FlakyLocal.budget("restart").set(13)
+    val s1 = MemoryStream[KRecord]
+    s1.addData(batchA)
+    val q1 = pipeline().start(s1.toDF(), checkpoint)
+    q1.processAllAvailable()
+    s1.addData(batchB)
+    intercept[StreamingQueryException] { q1.processAllAvailable() }
+    q1.stop()
+
+    assert(Files.exists(java.nio.file.Path.of(checkpoint, "commits", "0")),
+      "batch A committed before the failure")
+    assert(!Files.exists(java.nio.file.Path.of(checkpoint, "commits", "1")),
+      "offsets must never pass a failed file: batch B uncommitted")
+    assert(spark.read.json(s"$tablesRoot/db1/tableA").select("vlong").distinct().count() == 13,
+      "partial batch B ingested pre-crash (10 + 3 records)")
+
+    // Run 2: heal the sink, restart from the SAME checkpoint with the same
+    // source content. Batch A (committed) is NOT re-read; batch B replays
+    // from the start — its 3 pre-crash records ingest a second time.
+    FlakyLocal.budget("restart").set(Int.MaxValue)
+    val s2 = MemoryStream[KRecord]
+    s2.addData(batchA)
+    s2.addData(batchB)
+    val q2 = pipeline().start(s2.toDF(), checkpoint)
+    q2.processAllAvailable(); q2.stop()
+
+    assert(Files.exists(java.nio.file.Path.of(checkpoint, "commits", "1")))
+    val after = spark.read.json(s"$tablesRoot/db1/tableA")
+    assert(after.select("vlong").distinct().count() == 20, "every record ingested at least once")
+    assert(after.count() == 20, "local table is idempotent by staged-file name")
+    assert(FlakyLocal.successes("restart").get() == 23,
+      "at-least-once: 10 (batch A) + 3 (pre-crash B) + 10 (B replayed) successful ingests")
+  }
+
+  test("kafka headers ride through the pipeline and land in DLQ metadata") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tablesRoot = Files.createTempDirectory("e2e-hdr").toString
+    InMemoryDlq.reset("e2e-hdr")
+    val cfg = SinkConfig(
+      mappings = Seq(TableMapping("topicA", "db1", "tableA")),
+      flushSizeBytes = 150, flushIntervalMs = 0, maxRetryTimeMs = 20, retryBackoffMs = 10,
+      behaviorOnError = ErrorBehavior.Log, dlqTopic = Some("dlq-topic"),
+      tempDir = Files.createTempDirectory("e2e-stage-hdr").toString)
+    val pipeline = new KustoSparkPipeline(cfg, () => new LocalTableIngestClient(tablesRoot),
+      Some(() => new InMemoryDlq("e2e-hdr")), SinkMetrics.forSpark(spark))
+
+    val hdr = Seq("trace-id" -> "abc123".getBytes(UTF_8), "source" -> "svc-7".getBytes(UTF_8))
+    val stream = MemoryStream[HRecord]
+    stream.addData(Seq(
+      HRecord("topicA", 0, 0, null, """{"vtype":"a","vlong":1}""".getBytes(UTF_8), hdr),
+      HRecord("ghost", 0, 7, null, """{"vtype":"g","vlong":2}""".getBytes(UTF_8), hdr)))
+    val q = pipeline.start(stream.toDF(), Files.createTempDirectory("ck-hdr").toString)
+    q.processAllAvailable(); q.stop()
+
+    // routable record with headers ingests normally
+    assert(spark.read.json(s"$tablesRoot/db1/tableA").count() == 1)
+    // unroutable record dead-letters with its headers in the metadata key
+    val dlq = InMemoryDlq.state("e2e-hdr")
+    assert(dlq.size == 1)
+    val key = new String(dlq.get(0)._1, UTF_8)
+    assert(key.contains("topic=ghost") && key.contains("offset=7"))
+    assert(key.contains("headers=[trace-id=abc123, source=svc-7]"), s"got: $key")
   }
 
   test("LOG mode with DLQ: unroutable records dead-letter instead of failing the batch") {
