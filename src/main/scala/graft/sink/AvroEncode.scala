@@ -1,6 +1,6 @@
 package graft.sink
 
-import org.apache.avro.{Schema, SchemaBuilder}
+import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
 import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
 import org.apache.avro.io.EncoderFactory
 import org.apache.spark.sql.{DataFrame, Row}
@@ -39,8 +39,11 @@ object AvroEncode {
       case DoubleType => Schema.create(Schema.Type.DOUBLE)
       case StringType => Schema.create(Schema.Type.STRING)
       case BinaryType => Schema.create(Schema.Type.BYTES)
-      case DateType => Schema.create(Schema.Type.INT)       // days since epoch
-      case TimestampType => Schema.create(Schema.Type.LONG) // micros since epoch
+      // logical types make the wire bytes self-describing (plain int/long
+      // on the wire, standard Avro-Connect annotation), so the decoder can
+      // restore DateType/TimestampType instead of bare int/long
+      case DateType => LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+      case TimestampType => LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
       case s: StructType => toAvroSchema(s, name)
       case ArrayType(et, containsNull) =>
         Schema.createArray(fieldSchema(et, containsNull, s"${name}_item"))
