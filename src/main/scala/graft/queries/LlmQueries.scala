@@ -341,6 +341,133 @@ object LlmQueries extends QueryModule {
       FROM sims)
     SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 3 ORDER BY qid, rank"""
 
+  /** Embedding-cosine near-duplicate detection — the dedup-family variant
+    * of ANN: find PAIRS above a cosine threshold, not top-k per query.
+    * Candidates come from OR-amplified random-hyperplane LSH (24 planes →
+    * 4 bands × 6 bits): a pair collides when ANY band's 6 sign-bits all
+    * match, so for true near-dups (production threshold ≥0.9, where
+    * per-plane agreement p ≈ 0.86) recall is 1-(1-p^6)^4 ≈ 0.87 while
+    * random pairs are pruned ~16×. The synthetic corpus has no real
+    * near-dups, so the demo threshold is 0.35 (top of its cosine range) —
+    * the PLAN is the production plan; only the constant differs. Band
+    * buckets get the q22-style size cap: at scale, band width (bits per
+    * band) is the knob that keeps buckets O(1), and the cap is the
+    * backstop against a degenerate key. Exact cosine is verified on
+    * candidates only — never all-pairs. */
+  private[graft] def embedNeardupSql(bandCap: Int = BandCap) = s"""
+    WITH v AS (SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS e FROM embeddings),
+    hp AS (
+      SELECT h, transform(sequence(0, 63), d ->
+               (cast(conv(substr(md5(concat(cast(h AS string), ':', cast(d AS string))), 1, 8), 16, 10) AS bigint) % 2001 - 1000) / cast(1000.0 AS double)) AS w
+      FROM (SELECT explode(sequence(0, 23)) AS h)),
+    bits AS (
+      SELECT /*+ BROADCAST(hp) */ vec_id, e,
+             sum(CASE WHEN dot_d(e, w) > 0 THEN shiftleft(cast(1 AS bigint), h) ELSE cast(0 AS bigint) END) AS sig
+      FROM v CROSS JOIN hp GROUP BY vec_id, e),
+    bands AS (
+      SELECT vec_id, b, (shiftright(sig, b * 6) & 63) AS bh
+      FROM bits LATERAL VIEW explode(sequence(0, 3)) bt AS b),
+    bandsc AS (
+      SELECT vec_id, b, bh, count(1) OVER (PARTITION BY b, bh) AS bsz FROM bands),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bandsc a JOIN bandsc b ON a.b = b.b AND a.bh = b.bh AND a.vec_id < b.vec_id
+      WHERE a.bsz <= $bandCap),
+    vn AS (SELECT vec_id, e, sqrt(dot_d(e, e)) AS nrm FROM v),
+    pairs AS (
+      SELECT id_a, id_b, dot_d(va.e, vb.e) / (va.nrm * vb.nrm) AS cosine
+      FROM cand JOIN vn va ON id_a = va.vec_id JOIN vn vb ON id_b = vb.vec_id)
+    SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.35 ORDER BY id_a, id_b"""
+
+  private[graft] def embedNeardupOracle(bandCap: Int = BandCap) = s"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    hp AS (
+      SELECT h, list_transform(range(64), d ->
+               ((('0x' || substr(md5(h::VARCHAR || ':' || d::VARCHAR), 1, 8))::BIGINT % 2001 - 1000) / 1000.0)) AS w
+      FROM unnest(range(24)) AS ht(h)),
+    bits AS (
+      SELECT vec_id, e,
+             sum(CASE WHEN list_reduce(list_transform(range(64), i -> e[i+1] * w[i+1]), (s, x) -> s + x) > 0
+                      THEN (1::BIGINT << h) ELSE 0::BIGINT END) AS sig
+      FROM v CROSS JOIN hp GROUP BY vec_id, e),
+    bands AS (
+      SELECT vec_id, b, (sig >> (b * 6)::INTEGER) & 63 AS bh
+      FROM bits, unnest(range(4)) AS bt(b)),
+    bandsc AS (
+      SELECT vec_id, b, bh, count(1) OVER (PARTITION BY b, bh) AS bsz FROM bands),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bandsc a JOIN bandsc b ON a.b = b.b AND a.bh = b.bh AND a.vec_id < b.vec_id
+      WHERE a.bsz <= $bandCap),
+    vn AS (SELECT vec_id, e, sqrt(list_reduce(list_transform(e, x -> x * x), (s, x) -> s + x)) AS nrm FROM v),
+    pairs AS (
+      SELECT id_a, id_b,
+             list_reduce(list_transform(range(64), i -> va.e[i+1] * vb.e[i+1]), (s, x) -> s + x) / (va.nrm * vb.nrm) AS cosine
+      FROM cand JOIN vn va ON id_a = va.vec_id JOIN vn vb ON id_b = vb.vec_id)
+    SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.35 ORDER BY id_a, id_b"""
+
+  /** IVF-style ANN — the second scale path beside hyperplane LSH (q26):
+    * a deterministic coarse quantizer (every 50th vector is a centroid ≈
+    * an IVF codebook without k-means, keeping engine and oracle
+    * RNG-free), each vector assigned to its nearest centroid cell, and
+    * each query probing only its nprobe=2 nearest cells. Physical shape:
+    * centroids BROADCAST into a map-side cross score; assignment picked
+    * with one window (same shuffle key as the cell join that follows);
+    * the search join touches |cells probed| ≈ 2N/C vectors per query
+    * instead of N. At 100 TB: C grows as √N, cells stay O(√N), and the
+    * cell id is a plain shuffle key — the standard IVF partition story. */
+  private val ivfKnnSql = """
+    WITH v AS (SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS e FROM embeddings),
+    vn AS (SELECT vec_id, e, sqrt(dot_d(e, e)) AS nrm FROM v),
+    cent AS (SELECT vec_id AS c_id, e AS ce, nrm AS cnrm FROM vn WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT /*+ BROADCAST(cent) */ vn.vec_id, vn.e, vn.nrm, cent.c_id,
+             dot_d(vn.e, cent.ce) / (vn.nrm * cent.cnrm) AS csim
+      FROM vn CROSS JOIN cent),
+    assign AS (
+      SELECT vec_id, e, nrm, c_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS rk
+      FROM scored),
+    cells AS (SELECT vec_id, e, nrm, c_id AS cell FROM assign WHERE rk = 1),
+    qprobe AS (SELECT vec_id AS qid, c_id AS cell FROM assign WHERE vec_id % 100 = 0 AND rk <= 2),
+    qv AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM vn WHERE vec_id % 100 = 0),
+    sims AS (
+      SELECT /*+ BROADCAST(qprobe, qv) */ qp.qid, c.vec_id,
+             dot_d(qv.qe, c.e) / (qv.qnrm * c.nrm) AS sim
+      FROM qprobe qp JOIN cells c ON c.cell = qp.cell JOIN qv ON qv.qid = qp.qid
+      WHERE c.vec_id <> qp.qid),
+    ranked AS (
+      SELECT qid, vec_id, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+      FROM sims)
+    SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 3 ORDER BY qid, rank"""
+
+  private val ivfKnnOracle = """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    vn AS (SELECT vec_id, e, sqrt(list_reduce(list_transform(e, x -> x * x), (s, x) -> s + x)) AS nrm FROM v),
+    cent AS (SELECT vec_id AS c_id, e AS ce, nrm AS cnrm FROM vn WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT vn.vec_id, vn.e, vn.nrm, cent.c_id,
+             list_reduce(list_transform(range(64), i -> vn.e[i+1] * cent.ce[i+1]), (s, x) -> s + x) / (vn.nrm * cent.cnrm) AS csim
+      FROM vn CROSS JOIN cent),
+    assign AS (
+      SELECT vec_id, e, nrm, c_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS rk
+      FROM scored),
+    cells AS (SELECT vec_id, e, nrm, c_id AS cell FROM assign WHERE rk = 1),
+    qprobe AS (SELECT vec_id AS qid, c_id AS cell FROM assign WHERE vec_id % 100 = 0 AND rk <= 2),
+    qv AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM vn WHERE vec_id % 100 = 0),
+    sims AS (
+      SELECT qp.qid, c.vec_id,
+             list_reduce(list_transform(range(64), i -> qv.qe[i+1] * c.e[i+1]), (s, x) -> s + x) / (qv.qnrm * c.nrm) AS sim
+      FROM qprobe qp JOIN cells c ON c.cell = qp.cell JOIN qv ON qv.qid = qp.qid
+      WHERE c.vec_id <> qp.qid),
+    ranked AS (
+      SELECT qid, vec_id, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+      FROM sims)
+    SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 3 ORDER BY qid, rank"""
+
   // ------------------------------------------------------ text analysis
 
   /** Whitespace token stats + BPE-ish subtoken count — per-document
@@ -492,7 +619,9 @@ object LlmQueries extends QueryModule {
     "q28_quality_score" -> sqlQuery(docs, qualitySql),
     "q29_langid" -> sqlQuery(docs, langidSql(spark = true)),
     "q30_fingerprint" -> sqlQuery(docs, fingerprintSql),
-    "q31_multimodal_meta" -> sqlQuery(docs, multimodalSql))
+    "q31_multimodal_meta" -> sqlQuery(docs, multimodalSql),
+    "q37_embed_neardup" -> sqlQuery(embs, embedNeardupSql()),
+    "q38_knn_ivf" -> sqlQuery(embs, ivfKnnSql))
 
   override val oracles: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -507,5 +636,7 @@ object LlmQueries extends QueryModule {
     "q28_quality_score" -> qualityOracle,
     "q29_langid" -> langidSql(spark = false),
     "q30_fingerprint" -> fingerprintOracle,
-    "q31_multimodal_meta" -> multimodalOracle)
+    "q31_multimodal_meta" -> multimodalOracle,
+    "q37_embed_neardup" -> embedNeardupOracle(),
+    "q38_knn_ivf" -> ivfKnnOracle)
 }
