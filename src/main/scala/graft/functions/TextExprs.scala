@@ -122,6 +122,32 @@ object TextHash extends Serializable {
     new GenericArrayData(lanes.map(l => l: Any))
   }
 
+  /** 32-bit SimHash over whitespace tokens (frequency-weighted): per
+    * token, h = first 4 md5 bytes as unsigned 32-bit; vote 0..31 gets
+    * ±1 per (h >> bit) & 1; signature bit set where votes > 0. One loop
+    * per row — ≡ the explode + 32-sum aggregation it replaces (integer
+    * vote sums are order-independent), with NO shuffle at all. */
+  def simhash32(text: UTF8String): Long = {
+    val t = tokens(text)
+    val votes = new Array[Int](32)
+    val md = md5Local.get()
+    var i = 0
+    while (i < t.length) {
+      md.reset()
+      val digest = md.digest(t(i).getBytes)
+      var h = 0L
+      var b = 0
+      while (b < 4) { h = (h << 8) | (digest(b) & 0xffL); b += 1 }
+      var k = 0
+      while (k < 32) { votes(k) += (((h >> k) & 1L).toInt * 2 - 1); k += 1 }
+      i += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < 32) { if (votes(k) > 0) sig |= (1L << k); k += 1 }
+    sig
+  }
+
   /** Winnowing fingerprints: md5 hex over char k-grams, lexicographic
     * min per w-gram sliding window (monotonic-deque, O(n)), distinct in
     * first-occurrence order. Null when fewer than w grams exist —
@@ -253,6 +279,19 @@ case class MinhashSignature(child: Expression, as: Seq[Long], bs: Seq[Long], p: 
   override protected def withNewChildInternal(newChild: Expression): MinhashSignature = copy(child = newChild)
 }
 
+/** simhash32(text): 32-bit frequency-weighted SimHash signature. */
+case class SimHash32(child: Expression)
+  extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeGuards.requireString("simhash32", child)
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.simhash32(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.simhash32($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 = copy(child = newChild)
+}
+
 /** winnow_fps(text, k, w): winnowing fingerprint set, null when the
   * document is shorter than k + w - 1 chars. */
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
@@ -300,6 +339,8 @@ object GraftFunctions {
       exprs => WordShingles(exprs.head, intLit(exprs(1))), "scala_udf")
     reg.createOrReplaceTempFunction("word_shingle_hashes",
       exprs => WordShingleHashes(exprs.head, intLit(exprs(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash32",
+      exprs => SimHash32(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("winnow_fps",
       exprs => WinnowFingerprints(exprs.head, intLit(exprs(1)), intLit(exprs(2))), "scala_udf")
     reg.createOrReplaceTempFunction("dot_d",

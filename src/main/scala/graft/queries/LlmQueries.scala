@@ -152,28 +152,16 @@ object LlmQueries extends QueryModule {
     SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b"""
 
   /** 32-bit SimHash over token hashes (frequency-weighted, standard
-    * construction). Physical shape: tokens are exploded once and the 32
-    * per-bit vote sums run as one codegen'd hash aggregation with
-    * map-side combine (integer sums are order-independent, so the result
-    * is identical to a sequential fold); the final bit-assembly is a
-    * cheap per-row expression. Scales as a single partial+final agg. */
-  private val simhashSql = {
-    val votes = (0 until 32).map(i =>
-      s"sum((shiftright(h, $i) & 1) * 2 - 1) AS s$i").mkString(",\n             ")
-    val assemble = (0 until 32).map(i =>
-      s"shiftleft(CASE WHEN s$i > 0 THEN cast(1 AS bigint) ELSE cast(0 AS bigint) END, $i)")
-      .mkString(" + ")
-    s"""
-    WITH toks AS (SELECT doc_id, split(lower(text), '\\\\s+') AS t FROM documents),
-    h AS (SELECT doc_id, cast(conv(substr(md5(tok), 1, 8), 16, 10) AS bigint) AS h
-          FROM toks LATERAL VIEW explode(t) tt AS tok),
-    votes AS (
-      SELECT doc_id,
-             $votes
-      FROM h GROUP BY doc_id)
-    SELECT doc_id, $assemble AS simhash
-    FROM votes ORDER BY doc_id"""
-  }
+    * construction). Physical shape: simhash32 is a native codegen'd
+    * Expression (graft.functions.SimHash32) — tokenization, per-token
+    * md5, the 32 vote counters, and bit assembly run as one JVM loop per
+    * DOCUMENT, entirely map-side. The previous shape (explode tokens →
+    * 32-sum hash aggregation) shuffled one row per document; this one
+    * shuffles nothing. Integer vote sums are order-independent, so the
+    * result is bit-identical to the aggregation form (property-tested). */
+  private val simhashSql = """
+    SELECT doc_id, simhash32(text) AS simhash
+    FROM documents ORDER BY doc_id"""
 
   private val simhashOracle = """
     WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),

@@ -89,6 +89,15 @@ class TextExprsPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
          |ELSE cast(null AS array<bigint>) END""".stripMargin)
   }
 
+  test("simhash32 ≡ per-bit vote fold over token md5 hashes") {
+    assertEquivalent(
+      "simhash32(text)",
+      """aggregate(sequence(0, 31), cast(0 AS bigint), (sig, i) ->
+        |  sig + CASE WHEN aggregate(split(lower(text), '\\s+'), 0, (v, tok) ->
+        |                v + (cast((shiftright(cast(conv(substr(md5(tok), 1, 8), 16, 10) AS bigint), i) & 1) AS int) * 2 - 1)) > 0
+        |             THEN shiftleft(cast(1 AS bigint), i) ELSE cast(0 AS bigint) END)""".stripMargin)
+  }
+
   test("winnow_fps ≡ distinct sliding-window minima of md5 char k-grams") {
     assertEquivalent(
       "winnow_fps(text, 8, 4)",
