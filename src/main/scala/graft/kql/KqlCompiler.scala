@@ -1,0 +1,316 @@
+package graft.kql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** String-level KQL → DataFrame compiler for the pipeline grammar the
+  * reference emits (SURVEY §2.2 Q1-Q8: `count`, `where`, `project`,
+  * `extend`, `summarize [by]`, `order by`, `top N by`, `take`,
+  * `distinct`) plus the scalar surface those queries use (comparisons,
+  * and/or/not, `in`, `startswith`/`endswith`/`contains`, arithmetic,
+  * `case`, `iff`, `pack_all`, `pack`, `strcat`, `strlen`,
+  * `tolower`/`toupper`, `bin`, and the aggregates `count`, `sum`, `avg`,
+  * `min`, `max`, `dcount`, `arg_max`, `arg_min`).
+  *
+  * A user of the reference interacts with queries as KQL TEXT (emitted
+  * validation probes, Grafana dashboard panels, quickstart samples);
+  * this compiler runs that text natively on Spark: every operator lowers
+  * to the same Catalyst plan the [[Kql]] combinators build, so pushdown,
+  * pruning, and whole-stage codegen all apply — nothing is interpreted
+  * per row (reference emission sites: KustoSinkTask.java:46,
+  * it/KustoSinkIT.java:269-271, grafana dashboards, create-table.kql).
+  *
+  * KQL semantics kept: `order by` defaults DESCENDING (KQL's default),
+  * `top n by c` orders descending unless `asc` given, `count` yields a
+  * column named `Count`, unnamed summarize aggregates get `<fn>_` names.
+  * Scale: `top` lowers to orderBy+limit = TakeOrderedAndProject (never a
+  * global sort); summarize is a partial+final hash aggregate.
+  */
+object KqlCompiler {
+
+  /** Compile `kql` ("Table | op | op…"), resolving the leading table name
+    * through `resolve`. */
+  def compile(kql: String, resolve: String => DataFrame): DataFrame = {
+    val p = new Parser(Lexer.tokens(kql))
+    val table = p.ident()
+    var df = resolve(table)
+    while (p.peekIs("|")) { p.expect("|"); df = p.pipeOp(df) }
+    p.expectEnd()
+    df
+  }
+
+  /** Convenience: resolve tables as session temp views. */
+  def compile(spark: org.apache.spark.sql.SparkSession, kql: String): DataFrame =
+    compile(kql, spark.table(_))
+
+  // ------------------------------------------------------------- lexer
+
+  private final case class Tok(kind: String, text: String) // kind: id|num|str|sym
+  private object Lexer {
+    private val symbols = List("==", "!=", "<=", ">=", "|", "(", ")", ",", "=", "<", ">",
+      "+", "-", "*", "/", "%")
+    def tokens(s: String): Vector[Tok] = {
+      val out = Vector.newBuilder[Tok]
+      var i = 0
+      while (i < s.length) {
+        val c = s(i)
+        if (c.isWhitespace) i += 1
+        else if (c.isLetter || c == '_') {
+          val j = s.indexWhere(ch => !ch.isLetterOrDigit && ch != '_', i)
+          val end = if (j < 0) s.length else j
+          out += Tok("id", s.substring(i, end)); i = end
+        } else if (c.isDigit || (c == '.' && i + 1 < s.length && s(i + 1).isDigit)) {
+          val j = s.indexWhere(ch => !ch.isDigit && ch != '.', i)
+          val end = if (j < 0) s.length else j
+          out += Tok("num", s.substring(i, end)); i = end
+        } else if (c == '\'' || c == '"') {
+          val sb = new StringBuilder; var j = i + 1
+          while (j < s.length && s(j) != c) {
+            if (s(j) == '\\' && j + 1 < s.length) { sb += s(j + 1); j += 2 }
+            else { sb += s(j); j += 1 }
+          }
+          if (j >= s.length) throw new KqlParseException(s"unterminated string at offset $i")
+          out += Tok("str", sb.toString); i = j + 1
+        } else symbols.find(sym => s.startsWith(sym, i)) match {
+          case Some(sym) => out += Tok("sym", sym); i += sym.length
+          case None => throw new KqlParseException(s"unexpected character '$c' at offset $i")
+        }
+      }
+      out.result()
+    }
+  }
+
+  final class KqlParseException(msg: String) extends IllegalArgumentException(msg)
+
+  // ------------------------------------------------------------ parser
+
+  /** Columns are built lazily against the operator's input DataFrame so
+    * `pack_all()` can expand to that exact schema. */
+  private type ColB = DataFrame => Column
+
+  private final class Parser(toks: Vector[Tok]) {
+    private var pos = 0
+    private def peek: Option[Tok] = toks.lift(pos)
+    def peekIs(text: String): Boolean = peek.exists(_.text == text)
+    private def next(): Tok =
+      { val t = peek.getOrElse(throw new KqlParseException("unexpected end of query")); pos += 1; t }
+    def expect(text: String): Unit = {
+      val t = next()
+      if (t.text != text) throw new KqlParseException(s"expected '$text', got '${t.text}'")
+    }
+    def expectEnd(): Unit =
+      peek.foreach(t => throw new KqlParseException(s"unexpected trailing input at '${t.text}'"))
+    def ident(): String = {
+      val t = next()
+      if (t.kind != "id") throw new KqlParseException(s"expected identifier, got '${t.text}'")
+      t.text
+    }
+    private def number(): Int = {
+      val t = next()
+      if (t.kind != "num") throw new KqlParseException(s"expected number, got '${t.text}'")
+      t.text.toInt
+    }
+
+    // ---------------------------------------------------- pipe operators
+
+    def pipeOp(df: DataFrame): DataFrame = ident() match {
+      case "count" => df.agg(count(lit(1)).as("Count"))
+      case "where" | "filter" => df.filter(expr()(df))
+      case "project" =>
+        val items = sepBy1(projItem)
+        df.select(items.map(_(df)): _*)
+      case "extend" =>
+        sepBy1(() => { val n = ident(); expect("="); (n, expr()) })
+          .foldLeft(df) { case (d, (n, e)) => d.withColumn(n, e(d)) }
+      case "summarize" =>
+        val aggs = sepBy1(aggItem)
+        val keys = if (peekIs("by")) { expect("by"); sepBy1(projItem) } else Nil
+        val aggCols = aggs.map(_(df))
+        df.groupBy(keys.map(_(df)): _*).agg(aggCols.head, aggCols.tail: _*)
+      case "order" | "sort" =>
+        expect("by"); df.orderBy(sepBy1(orderItem).map(_(df)): _*)
+      case "top" =>
+        val n = number(); expect("by")
+        df.orderBy(sepBy1(orderItem).map(_(df)): _*).limit(n)
+      case "take" | "limit" => df.limit(number())
+      case "distinct" =>
+        if (peek.isEmpty || peekIs("|")) df.distinct()
+        else { val items = sepBy1(projItem); df.select(items.map(_(df)): _*).distinct() }
+      case other => throw new KqlParseException(s"unsupported operator '$other'")
+    }
+
+    private def sepBy1[A](item: () => A): List[A] = {
+      val out = List.newBuilder[A]
+      out += item()
+      while (peekIs(",")) { expect(","); out += item() }
+      out.result()
+    }
+
+    /** `name = expr` or bare expr (aliased to its identifier when simple). */
+    private def projItem(): ColB = {
+      if (peek.exists(_.kind == "id") && toks.lift(pos + 1).exists(_.text == "=") &&
+          toks.lift(pos + 1).exists(_.kind == "sym")) {
+        val n = ident(); expect("=")
+        val e = expr()
+        df => e(df).as(n)
+      } else expr()
+    }
+
+    /** Summarize item: `name = agg(...)` or bare `agg(...)` → `<fn>_`. */
+    private def aggItem(): ColB = {
+      if (peek.exists(_.kind == "id") && toks.lift(pos + 1).exists(_.text == "=")) {
+        val n = ident(); expect("=")
+        val e = expr()
+        df => e(df).as(n)
+      } else {
+        val fnName = peek.map(_.text).getOrElse("agg")
+        val e = expr()
+        df => e(df).as(s"${fnName}_")
+      }
+    }
+
+    /** KQL order defaults to DESCENDING. */
+    private def orderItem(): ColB = {
+      val e = expr()
+      if (peekIs("asc")) { expect("asc"); df => e(df).asc }
+      else if (peekIs("desc")) { expect("desc"); df => e(df).desc }
+      else df => e(df).desc
+    }
+
+    // ------------------------------------------------------ expressions
+
+    def expr(): ColB = orExpr()
+
+    private def orExpr(): ColB = {
+      var l = andExpr()
+      while (peekIs("or")) { expect("or"); val r = andExpr(); val ll = l; l = df => ll(df) || r(df) }
+      l
+    }
+    private def andExpr(): ColB = {
+      var l = notExpr()
+      while (peekIs("and")) { expect("and"); val r = notExpr(); val ll = l; l = df => ll(df) && r(df) }
+      l
+    }
+    private def notExpr(): ColB =
+      if (peekIs("not")) { expect("not"); expect("("); val e = expr(); expect(")"); df => !e(df) }
+      else comparison()
+
+    private def comparison(): ColB = {
+      val l = additive()
+      peek.map(_.text) match {
+        case Some("==") => expect("=="); val r = additive(); df => l(df) === r(df)
+        case Some("!=") => expect("!="); val r = additive(); df => l(df) =!= r(df)
+        case Some("<")  => expect("<");  val r = additive(); df => l(df) < r(df)
+        case Some(">")  => expect(">");  val r = additive(); df => l(df) > r(df)
+        case Some("<=") => expect("<="); val r = additive(); df => l(df) <= r(df)
+        case Some(">=") => expect(">="); val r = additive(); df => l(df) >= r(df)
+        case Some("in") =>
+          expect("in"); expect("(")
+          val items = sepBy1(() => expr()); expect(")")
+          df => l(df).isin(items.map(_(df)): _*)
+        case Some("startswith") => expect("startswith"); val r = additive(); df => l(df).startsWith(r(df))
+        case Some("endswith") => expect("endswith"); val r = additive(); df => l(df).endsWith(r(df))
+        case Some("contains") => expect("contains"); val r = additive(); df => l(df).contains(r(df))
+        case _ => l
+      }
+    }
+
+    private def additive(): ColB = {
+      var l = multiplicative()
+      while (peekIs("+") || peekIs("-")) {
+        val op = next().text; val r = multiplicative(); val ll = l
+        l = if (op == "+") df => ll(df) + r(df) else df => ll(df) - r(df)
+      }
+      l
+    }
+    private def multiplicative(): ColB = {
+      var l = unary()
+      while (peekIs("*") || peekIs("/") || peekIs("%")) {
+        val op = next().text; val r = unary(); val ll = l
+        l = op match {
+          case "*" => df => ll(df) * r(df)
+          case "/" => df => ll(df) / r(df)
+          case _   => df => ll(df) % r(df)
+        }
+      }
+      l
+    }
+    private def unary(): ColB =
+      if (peekIs("-")) { expect("-"); val e = unary(); df => -e(df) } else primary()
+
+    private def primary(): ColB = {
+      val t = next()
+      t.kind match {
+        case "num" =>
+          val v: Any = if (t.text.contains('.')) t.text.toDouble else t.text.toLong
+          _ => lit(v)
+        case "str" => _ => lit(t.text)
+        case "id" if peekIs("(") => expect("("); functionCall(t.text)
+        case "id" => t.text match {
+          case "true"  => _ => lit(true)
+          case "false" => _ => lit(false)
+          case name    => df => df(name)
+        }
+        case "sym" if t.text == "(" => val e = expr(); expect(")"); e
+        case _ => throw new KqlParseException(s"unexpected token '${t.text}'")
+      }
+    }
+
+    /** Called with '(' consumed; consumes through the closing ')'.
+      * `pack` and `round` parse literal sub-arguments at parse time (the
+      * Spark 4 Column API is opaque — no expression introspection). */
+    private def functionCall(name: String): ColB = {
+      if (name == "pack") {
+        val pairs = sepBy1(() => {
+          val k = next()
+          if (k.kind != "str") throw new KqlParseException("pack() keys must be string literals")
+          expect(",")
+          (k.text, expr())
+        })
+        expect(")")
+        return df => Kql.pack(pairs.map { case (k, v) => v(df).as(k) }: _*)
+      }
+      if (name == "round") {
+        val e = expr()
+        val scale =
+          if (peekIs(",")) { expect(","); number() } else 0
+        expect(")")
+        return df => round(e(df), scale)
+      }
+      val args: List[ColB] =
+        if (peekIs(")")) { expect(")"); Nil }
+        else { val a = sepBy1(() => expr()); expect(")"); a }
+      def arity(n: Int): Unit =
+        if (args.length != n)
+          throw new KqlParseException(s"$name() expects $n arguments, got ${args.length}")
+      name match {
+        case "pack_all" => arity(0); df => Kql.packAll(df)
+        case "case" =>
+          if (args.length < 3 || args.length % 2 == 0)
+            throw new KqlParseException("case() expects p1, v1, …, default")
+          df => Kql.kqlCase(args.init.grouped(2).map { case List(p, v) => (p(df), v(df)) }.toSeq,
+            args.last(df))
+        case "iff" | "iif" => arity(3); df => when(args(0)(df), args(1)(df)).otherwise(args(2)(df))
+        case "strcat" => df => concat(args.map(_(df)): _*)
+        case "strlen" => arity(1); df => length(args.head(df))
+        case "tolower" => arity(1); df => lower(args.head(df))
+        case "toupper" => arity(1); df => upper(args.head(df))
+        case "tostring" => arity(1); df => args.head(df).cast("string")
+        case "tolong" => arity(1); df => args.head(df).cast("long")
+        case "todouble" | "toreal" => arity(1); df => args.head(df).cast("double")
+        case "bin" | "floor" => arity(2); df => floor(args(0)(df) / args(1)(df)) * args(1)(df)
+        // aggregates
+        case "count" => arity(0); _ => count(lit(1))
+        case "countif" => arity(1); df => count(when(args.head(df), lit(1)))
+        case "sum" => arity(1); df => sum(args.head(df))
+        case "avg" => arity(1); df => avg(args.head(df))
+        case "min" => arity(1); df => min(args.head(df))
+        case "max" => arity(1); df => max(args.head(df))
+        case "dcount" => arity(1); df => countDistinct(args.head(df))
+        case "arg_max" => arity(2); df => Kql.argMax(args(0)(df), args(1)(df))
+        case "arg_min" => arity(2); df => Kql.argMin(args(0)(df), args(1)(df))
+        case other => throw new KqlParseException(s"unsupported function '$other'")
+      }
+    }
+  }
+}

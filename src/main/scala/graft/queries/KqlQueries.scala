@@ -89,7 +89,28 @@ object KqlQueries extends QueryModule {
         .kqlExtend("k", get_json_object(col("props"), "$.k").cast("long"))
         .kqlWhere(col("k") >= 50)
         .kqlProject(col("event_id"), col("k"))
-        .kqlOrderBy(col("event_id")))
+        .kqlOrderBy(col("event_id"))),
+
+    // KQL TEXT through the string-level compiler (graft.kql.KqlCompiler):
+    // the reference's users hold queries as KQL strings (emitted probes,
+    // dashboard panels), so the compiled path is itself oracle-gated.
+    "q39_kql_text_project" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_type == 'error'
+          | | project event_id, vresult = pack('event_id', event_id, 'user_id', user_id,
+          |                                    'event_type', event_type, 'props', props)
+          | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    "q40_kql_text_summarize" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_type in ('purchase', 'error') and value >= 10
+          | | extend bucket = case(value < 50, 'small', value < 90, 'medium', 'large')
+          | | summarize n = count(), total = round(sum(value), 2), mx = max(value) by event_type, bucket
+          | | order by event_type asc, bucket asc""".stripMargin,
+        _ => Tables.events(s, dir)))
   )
 
   override val oracles: Map[String, String] = Map(
@@ -135,6 +156,19 @@ object KqlQueries extends QueryModule {
     "q09_dynamic_json" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
          FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
-         ORDER BY event_id"""
+         ORDER BY event_id""",
+
+    "q39_kql_text_project" ->
+      """SELECT event_id,
+         to_json(struct_pack(event_id := event_id, user_id := user_id,
+                             event_type := event_type, props := props)) AS vresult
+         FROM events WHERE event_type = 'error' ORDER BY event_id""",
+
+    "q40_kql_text_summarize" ->
+      """SELECT event_type,
+                CASE WHEN value < 50 THEN 'small' WHEN value < 90 THEN 'medium' ELSE 'large' END AS bucket,
+                count(*) AS n, round(sum(value), 2) AS total, max(value) AS mx
+         FROM events WHERE event_type IN ('purchase', 'error') AND value >= 10
+         GROUP BY 1, 2 ORDER BY event_type, bucket"""
   )
 }

@@ -1,0 +1,106 @@
+package graft.kql
+
+import graft.kql.KqlCompiler.KqlParseException
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** String-level KQL compiler: every operator/scalar the reference emits
+  * (SURVEY §2.2), parsed from text and checked against the equivalent
+  * DataFrame plan. */
+class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  override def afterAll(): Unit = spark.stop()
+
+  private lazy val df = {
+    import spark.implicits._
+    Seq(
+      (1L, "alpha", 10.0, "err-timeout"),
+      (2L, "beta", 55.0, "ok"),
+      (3L, "alpha", 95.0, "err-refused"),
+      (4L, "gamma", 20.0, "retry"),
+      (5L, "beta", 70.0, "ok"))
+      .toDF("id", "name", "value", "status")
+  }
+  private def run(kql: String) = KqlCompiler.compile(kql, _ => df)
+
+  test("count yields KQL's Count column") {
+    val out = run("t | count").collect()
+    assert(out.head.schema.fieldNames.toSeq == Seq("Count"))
+    assert(out.head.getLong(0) == 5)
+  }
+
+  test("where: comparisons, in, startswith, contains, and/or/not") {
+    assert(run("t | where value >= 20 and value < 95").count() == 3)
+    assert(run("t | where name in ('alpha', 'gamma')").count() == 3)
+    assert(run("t | where status startswith 'err'").count() == 2)
+    assert(run("t | where status contains 'time'").count() == 1)
+    assert(run("t | where not(status == 'ok') or value == 55").count() == 4)
+  }
+
+  test("project with aliases and pack_all") {
+    val out = run("t | project id, double_v = value * 2 | order by id asc")
+    assert(out.columns.toSeq == Seq("id", "double_v"))
+    assert(out.collect().map(_.getDouble(1)).toSeq == Seq(20.0, 110.0, 190.0, 40.0, 140.0))
+    val packed = run("t | where id == 1 | project j = pack_all()").collect().head.getString(0)
+    assert(packed.contains("\"name\":\"alpha\"") && packed.contains("\"value\":10.0"))
+  }
+
+  test("extend: case, iff, strcat, bin") {
+    val out = run(
+      """t | extend bucket = case(value < 30, 'low', value < 80, 'mid', 'high'),
+        |      tag = strcat(name, ':', iff(status == 'ok', 'y', 'n')), b = bin(value, 25)
+        | | project id, bucket, tag, b | order by id asc""".stripMargin).collect()
+    assert(out.map(_.getString(1)).toSeq == Seq("low", "mid", "high", "low", "mid"))
+    assert(out.map(_.getString(2)).toSeq ==
+      Seq("alpha:n", "beta:y", "alpha:n", "gamma:n", "beta:y"))
+    assert(out.map(_.getLong(3)).toSeq == Seq(0L, 50L, 75L, 0L, 50L))
+  }
+
+  test("summarize: named + unnamed aggregates, arg_max, dcount, by keys") {
+    val out = run(
+      """t | summarize n = count(), top_status = arg_max(value, status), mx = max(value) by name
+        | | order by name asc""".stripMargin).collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSeq ==
+      Seq(("alpha", 2L, "err-refused", 95.0), ("beta", 2L, "ok", 70.0), ("gamma", 1L, "retry", 20.0)))
+    // unnamed aggregate gets KQL's <fn>_ name; global summarize (no by)
+    val g = run("t | summarize count(), dcount(name)")
+    assert(g.columns.toSeq == Seq("count_", "dcount_"))
+    assert(g.collect().head.getLong(1) == 3)
+  }
+
+  test("order by defaults DESCENDING (KQL semantics); top n by; take") {
+    assert(run("t | order by value | project id").collect().map(_.getLong(0)).toSeq ==
+      Seq(3L, 5L, 2L, 4L, 1L))
+    assert(run("t | top 2 by value | project id").collect().map(_.getLong(0)).toSeq ==
+      Seq(3L, 5L))
+    assert(run("t | top 2 by value asc | project id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 4L))
+    assert(run("t | order by id asc | take 3").count() == 3)
+  }
+
+  test("distinct, bare and projected") {
+    assert(run("t | project name | distinct").count() == 3)
+    assert(run("t | distinct name, status").count() == 4)
+  }
+
+  test("the reference's E2E assertion query shape compiles from text") {
+    // it/KustoSinkIT.java:269-271: TBL | where vtype == 'x' | project vlong, vresult = pack_all()
+    val out = run("t | where name == 'beta' | project id, vresult = pack_all() | order by id asc")
+    assert(out.columns.toSeq == Seq("id", "vresult"))
+    assert(out.count() == 2)
+  }
+
+  test("parse errors are loud and specific") {
+    assert(intercept[KqlParseException](run("t | explode x")).getMessage.contains("unsupported operator"))
+    assert(intercept[KqlParseException](run("t | where name == 'unterminated")).getMessage.contains("unterminated"))
+    assert(intercept[KqlParseException](run("t | project x = arg_max(value)")).getMessage.contains("expects 2"))
+    assert(intercept[KqlParseException](run("t | count extra")).getMessage.contains("trailing"))
+    assert(intercept[KqlParseException](run("t | extend y = frobnicate(1)")).getMessage.contains("unsupported function"))
+  }
+}
