@@ -61,5 +61,8 @@ class AuthAndSourceSpec extends AnyFunSuite {
     val full = KafkaSourceConfig("b:9092", topics = Seq("a"),
       maxOffsetsPerTrigger = Some(50000), minPartitions = Some(64))
     assert(full.options("maxOffsetsPerTrigger") == "50000" && full.options("minPartitions") == "64")
+    assert(!full.options.contains("includeHeaders"), "headers off by default")
+    val withHeaders = KafkaSourceConfig("b:9092", topics = Seq("a"), includeHeaders = true)
+    assert(withHeaders.options("includeHeaders") == "true")
   }
 }

@@ -41,6 +41,30 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       again.sortBy(_.meta.docId).map(_.features.toSeq).toSeq)
   }
 
+  test("featureTable composes with brute-force cosine ANN (end-to-end media→similarity)") {
+    import org.apache.spark.sql.functions.{col, expr}
+    graft.queries.LlmQueries.registerFunctions(spark)
+    val feats = Multimodal.featureTable(spark, Multimodal.asMedia(mediaDf, "id", "blob", "image"))
+      .select(col("doc_id").as("vec_id"),
+        expr("transform(features, x -> cast(x AS double))").as("e"))
+    feats.createOrReplaceTempView("media_vecs")
+    // same two-phase top-k shape as q25, over decoded media features
+    val top = spark.sql(
+      """WITH vn AS (SELECT vec_id, e, sqrt(dot_d(e, e)) AS nrm FROM media_vecs),
+        |q AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM vn WHERE vec_id % 7 = 0),
+        |sims AS (SELECT /*+ BROADCAST(q) */ q.qid, vn.vec_id,
+        |                dot_d(qe, e) / (qnrm * nrm) AS sim
+        |         FROM q JOIN vn ON vn.vec_id <> q.qid),
+        |ranked AS (SELECT qid, vec_id, sim,
+        |                  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+        |           FROM sims)
+        |SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 3""".stripMargin).collect()
+    val qids = Set(0L, 7L, 14L) // doc 13 is the null payload; 19 docs survive decode
+    assert(top.map(_.getLong(0)).toSet == qids)
+    assert(top.length == qids.size * 3)
+    assert(top.forall(r => r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0))
+  }
+
   test("featureTable flattens metadata + features for downstream ANN") {
     val t = Multimodal.featureTable(spark, Multimodal.asMedia(mediaDf, "id", "blob", "image"))
     assert(t.schema.fieldNames.toSeq == Seq("doc_id", "payload_bytes", "content_sha",
