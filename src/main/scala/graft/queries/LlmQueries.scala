@@ -30,10 +30,22 @@ import org.apache.spark.sql.functions._
 object LlmQueries extends QueryModule {
 
   /** Registers the native text/vector functions used by the SQL below
-    * (also used by specs that run the query shapes on synthetic views). */
+    * (also used by specs that run the query shapes on synthetic views).
+    *
+    * Also excludes `InferFiltersFromGenerate`: that rule adds
+    * `size(arr) > 0 AND isnotnull(arr)` under every explode and pushes
+    * them through the defining projection, substituting the expression —
+    * so an expensive generator child like `word_shingle_hashes(text, 3)`
+    * is computed 3× per row (filter ×2 + project). Every explode in this
+    * workload is over a COMPUTED array (shingles, bands, sequences), so
+    * the rule only costs here (measured 23% on q24 at sf0.1); its benefit
+    * case — pruning stored array columns before a generate — does not
+    * occur in this engine. */
   private[graft] def registerFunctions(s: SparkSession): Unit = {
     GraftFunctions.register(s)
     GraftFunctions.registerMinhash(s, MinhashParams, MinhashP)
+    s.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
   }
 
   private def docs(s: SparkSession, dir: String): Unit = {
