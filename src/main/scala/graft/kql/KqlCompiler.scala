@@ -288,7 +288,8 @@ object KqlCompiler {
         case "case" =>
           if (args.length < 3 || args.length % 2 == 0)
             throw new KqlParseException("case() expects p1, v1, …, default")
-          df => Kql.kqlCase(args.init.grouped(2).map { case List(p, v) => (p(df), v(df)) }.toSeq,
+          df => Kql.kqlCase(
+            args.init.grouped(2).collect { case List(p, v) => (p(df), v(df)) }.toSeq,
             args.last(df))
         case "iff" | "iif" => arity(3); df => when(args(0)(df), args(1)(df)).otherwise(args(2)(df))
         case "strcat" => df => concat(args.map(_(df)): _*)

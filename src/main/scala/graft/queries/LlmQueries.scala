@@ -62,7 +62,9 @@ object LlmQueries extends QueryModule {
   /** Exact dedup by content hash: hash-groupBy with partial aggregation —
     * the canonical shuffle-light exact dedup at any scale (hashes are
     * uniform, so no skew; map-side combine keeps the shuffle at one row
-    * per distinct hash per partition). */
+    * per distinct hash per partition). The trailing orderBy — like every
+    * global ORDER BY in this module — exists only so the correctness
+    * oracle compares deterministically; a production run drops it. */
   private def exactDedup(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     d.groupBy(md5(lower(col("text"))).as("content_hash"))
