@@ -47,7 +47,7 @@ object KqlCompiler {
 
   private final case class Tok(kind: String, text: String) // kind: id|num|str|sym
   private object Lexer {
-    private val symbols = List("==", "!=", "<=", ">=", "|", "(", ")", ",", "=", "<", ">",
+    private val symbols = List("==", "!=", "<=", ">=", "..", "|", "(", ")", ",", "=", "<", ">",
       "+", "-", "*", "/", "%")
     def tokens(s: String): Vector[Tok] = {
       val out = Vector.newBuilder[Tok]
@@ -211,6 +211,16 @@ object KqlCompiler {
         case Some("startswith") => expect("startswith"); val r = additive(); df => l(df).startsWith(r(df))
         case Some("endswith") => expect("endswith"); val r = additive(); df => l(df).endsWith(r(df))
         case Some("contains") => expect("contains"); val r = additive(); df => l(df).contains(r(df))
+        case Some("has") =>
+          // KQL `has` is a whole-term match (not substring): word-boundary regex
+          expect("has"); val r = additive()
+          df => regexp_like(l(df), concat(lit("(?i)\\b"),
+            regexp_replace(r(df), lit("([^a-zA-Z0-9])"), lit("\\\\$1")), lit("\\b")))
+        case Some("between") =>
+          // KQL `x between (lo .. hi)` — inclusive both ends
+          expect("between"); expect("(")
+          val lo = additive(); expect(".."); val hi = additive(); expect(")")
+          df => l(df) >= lo(df) && l(df) <= hi(df)
         case _ => l
       }
     }
@@ -300,6 +310,12 @@ object KqlCompiler {
         case "tolong" => arity(1); df => args.head(df).cast("long")
         case "todouble" | "toreal" => arity(1); df => args.head(df).cast("double")
         case "bin" | "floor" => arity(2); df => floor(args(0)(df) / args(1)(df)) * args(1)(df)
+        case "abs" => arity(1); df => abs(args.head(df))
+        case "isnull" => arity(1); df => args.head(df).isNull
+        case "isnotnull" => arity(1); df => args.head(df).isNotNull
+        case "isempty" => arity(1); df => args.head(df).isNull || length(args.head(df)) === 0
+        case "isnotempty" => arity(1); df => args.head(df).isNotNull && length(args.head(df)) > 0
+        case "coalesce" => df => coalesce(args.map(_(df)): _*)
         // aggregates
         case "count" => arity(0); _ => count(lit(1))
         case "countif" => arity(1); df => count(when(args.head(df), lit(1)))

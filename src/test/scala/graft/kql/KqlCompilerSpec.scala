@@ -96,6 +96,17 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.count() == 2)
   }
 
+  test("has (whole-term), between, null/empty predicates, coalesce, abs") {
+    // 'err' is a term in 'err-timeout'/'err-refused' but 'time' is not a whole term of any status
+    assert(run("t | where status has 'err'").count() == 2)
+    assert(run("t | where status has 'time'").count() == 0)
+    assert(run("t | where status has 'timeout'").count() == 1)
+    assert(run("t | where value between (20 .. 70)").count() == 3)
+    assert(run("t | where isnotempty(status)").count() == 5)
+    assert(run("t | where isnull(status)").count() == 0)
+    assert(run("t | extend d = abs(value - 60), c = coalesce(status, 'none') | where d < 11").count() == 2)
+  }
+
   test("parse errors are loud and specific") {
     assert(intercept[KqlParseException](run("t | explode x")).getMessage.contains("unsupported operator"))
     assert(intercept[KqlParseException](run("t | where name == 'unterminated")).getMessage.contains("unterminated"))
