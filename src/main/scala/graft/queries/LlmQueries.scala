@@ -136,8 +136,9 @@ object LlmQueries extends QueryModule {
       FROM cand JOIN sig sa ON cand.id_a = sa.doc_id JOIN sig sb ON cand.id_b = sb.doc_id)
     SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b"""
 
-  private[graft] def minhashOracle(bandCap: Int = BandCap) = s"""
-    WITH toks AS (
+  /** The q22 oracle's CTE list up through `est` — shared with the q41
+    * cluster oracle, which extends it with a recursive reachability CTE. */
+  private def minhashOracleCtes(bandCap: Int) = s"""toks AS (
       SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents),
     shingles AS (
       SELECT doc_id,
@@ -162,8 +163,70 @@ object LlmQueries extends QueryModule {
     est AS (
       SELECT id_a, id_b,
              len(list_filter(range(12), k -> sa.mh[k+1] = sb.mh[k+1])) / 12.0 AS est_jaccard
-      FROM cand JOIN sig sa ON cand.id_a = sa.doc_id JOIN sig sb ON cand.id_b = sb.doc_id)
+      FROM cand JOIN sig sa ON cand.id_a = sa.doc_id JOIN sig sb ON cand.id_b = sb.doc_id)"""
+
+  private[graft] def minhashOracle(bandCap: Int = BandCap) = s"""
+    WITH ${minhashOracleCtes(bandCap)}
     SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b"""
+
+  /** q41 oracle: same pair generation, then connected components by
+    * recursive reachability (DuckDB supports recursive CTEs; Spark does
+    * not, so the engine side iterates min-propagation — see
+    * [[dupClusters]]). `reach(id, r)` holds every (node, reachable node);
+    * min(r) per id is the component's minimum doc_id. */
+  private[graft] def dupClustersOracle(bandCap: Int = BandCap) = s"""
+    WITH RECURSIVE ${minhashOracleCtes(bandCap)},
+    pairs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    verts AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+    comp AS (SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY id)
+    SELECT doc_id, cluster_rep,
+           count(1) OVER (PARTITION BY cluster_rep) AS cluster_size
+    FROM comp ORDER BY doc_id"""
+
+  /** Near-dup CLUSTERS from the q22 pair graph: connected components with
+    * the component's minimum doc_id as representative — the operation a
+    * corpus dedup actually runs after LSH pair detection (keep the rep,
+    * drop the rest). Spark has no recursive CTE, so components are
+    * computed by iterative min-label propagation: each round every vertex
+    * takes the min of its own label and its neighbors' labels, until a
+    * fixpoint (O(component diameter) rounds — near-dup clusters are
+    * dense, so 1-3 rounds in practice). Each round is one shuffle-join +
+    * aggregate; at 100 TB this is the standard hash-to-min CC layout
+    * (production adds large-star/small-star contraction to bound rounds
+    * on pathological chains; dup clusters never look like that). The
+    * driver loop only reads a CHANGED COUNT per round — no row data ever
+    * reaches the driver. */
+  private def dupClusters(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+    val pairs = s.sql(minhashSql()).select(col("id_a"), col("id_b"))
+    val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst").persist()
+    var reps = edges.select(col("src").as("id")).distinct()
+      .withColumn("rep", col("id")).persist()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges.join(reps.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
+        .groupBy(col("src")).agg(min(col("rep")).as("nbr_rep"))
+      val next = reps.join(nbrMin, col("id") === col("src"), "left")
+        .select(col("id"), least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
+        .persist()
+      changed = next.join(reps.withColumnRenamed("rep", "prev"), "id")
+        .filter(col("rep") < col("prev")).count()
+      reps.unpersist()
+      reps = next
+    }
+    val sized = reps.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
+    edges.unpersist()
+    sized.withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("cluster_rep")))
+      .orderBy("doc_id")
+  }
 
   /** 32-bit SimHash over token hashes (frequency-weighted, standard
     * construction). Physical shape: simhash32 is a native codegen'd
@@ -623,7 +686,8 @@ object LlmQueries extends QueryModule {
     "q30_fingerprint" -> sqlQuery(docs, fingerprintSql),
     "q31_multimodal_meta" -> sqlQuery(docs, multimodalSql),
     "q37_embed_neardup" -> sqlQuery(embs, embedNeardupSql()),
-    "q38_knn_ivf" -> sqlQuery(embs, ivfKnnSql))
+    "q38_knn_ivf" -> sqlQuery(embs, ivfKnnSql),
+    "q41_dup_clusters" -> (dupClusters(_, _)))
 
   override val oracles: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -640,5 +704,6 @@ object LlmQueries extends QueryModule {
     "q30_fingerprint" -> fingerprintOracle,
     "q31_multimodal_meta" -> multimodalOracle,
     "q37_embed_neardup" -> embedNeardupOracle(),
-    "q38_knn_ivf" -> ivfKnnOracle)
+    "q38_knn_ivf" -> ivfKnnOracle,
+    "q41_dup_clusters" -> dupClustersOracle())
 }
