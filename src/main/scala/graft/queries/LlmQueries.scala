@@ -207,19 +207,24 @@ object LlmQueries extends QueryModule {
     val pairs = s.sql(minhashSql()).select(col("id_a"), col("id_b"))
     val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst").persist()
-    var reps = edges.select(col("src").as("id")).distinct()
+    var cached = edges.select(col("src").as("id")).distinct()
       .withColumn("rep", col("id")).persist()
+    var reps = cached
     var changed = 1L
     while (changed > 0) {
       val nbrMin = edges.join(reps.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
         .groupBy(col("src")).agg(min(col("rep")).as("nbr_rep"))
-      val next = reps.join(nbrMin, col("id") === col("src"), "left")
-        .select(col("id"), least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
+      // carry the previous label so convergence is a filter over the
+      // cached result, not another join
+      val next = reps.withColumnRenamed("rep", "prev")
+        .join(nbrMin, col("id") === col("src"), "left")
+        .select(col("id"), least(col("prev"), coalesce(col("nbr_rep"), col("prev"))).as("rep"),
+          col("prev"))
         .persist()
-      changed = next.join(reps.withColumnRenamed("rep", "prev"), "id")
-        .filter(col("rep") < col("prev")).count()
-      reps.unpersist()
-      reps = next
+      changed = next.filter(col("rep") < col("prev")).count()
+      cached.unpersist()
+      cached = next
+      reps = next.select(col("id"), col("rep"))
     }
     val sized = reps.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
     edges.unpersist()
