@@ -204,26 +204,35 @@ object LlmQueries extends QueryModule {
     * reaches the driver. */
   private def dupClusters(s: SparkSession, dir: String): DataFrame = {
     docs(s, dir)
-    val pairs = s.sql(minhashSql()).select(col("id_a"), col("id_b"))
-    val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
+    connectedComponents(s.sql(minhashSql()).select(col("id_a"), col("id_b")))
+  }
+
+  /** Min-label-propagation connected components over an undirected pair
+    * list (`id_a`, `id_b`) → (`doc_id`, `cluster_rep`, `cluster_size`),
+    * rep = component minimum. Exposed for direct testing on pathological
+    * graph shapes (chains, rings) independent of the LSH pair source. */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.union(pairs.select(col(pairs.columns(1)), col(pairs.columns(0))))
       .toDF("src", "dst").persist()
-    var cached = edges.select(col("src").as("id")).distinct()
-      .withColumn("rep", col("id")).persist()
-    var reps = cached
+    // localCheckpoint(eager) each round: materializes the labels AND
+    // truncates the logical plan, without which the round-over-round
+    // join lineage makes Catalyst re-optimize an ever-deeper plan (the
+    // classic iterative-algorithm blowup; GraphFrames checkpoints for
+    // the same reason).
+    var reps = edges.select(col("src").as("id")).distinct()
+      .withColumn("rep", col("id")).localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {
       val nbrMin = edges.join(reps.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
         .groupBy(col("src")).agg(min(col("rep")).as("nbr_rep"))
       // carry the previous label so convergence is a filter over the
-      // cached result, not another join
+      // checkpointed result, not another join
       val next = reps.withColumnRenamed("rep", "prev")
         .join(nbrMin, col("id") === col("src"), "left")
         .select(col("id"), least(col("prev"), coalesce(col("nbr_rep"), col("prev"))).as("rep"),
           col("prev"))
-        .persist()
+        .localCheckpoint(true)
       changed = next.filter(col("rep") < col("prev")).count()
-      cached.unpersist()
-      cached = next
       reps = next.select(col("id"), col("rep"))
     }
     val sized = reps.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
