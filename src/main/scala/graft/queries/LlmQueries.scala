@@ -367,22 +367,37 @@ object LlmQueries extends QueryModule {
       FROM sims)
     SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 10 ORDER BY qid, rank"""
 
+  /** Hyperplane weights as a SQL literal array. The planes derive
+    * deterministically from md5(plane:dim) — CONSTANTS — so instead of
+    * materializing them as rows and re-aggregating a broadcast CROSS
+    * JOIN (a full shuffle keyed on (vec_id, e)), each signature is a
+    * single map-side projection over literal arrays. Bit-identical to
+    * the oracle's SQL-built planes: same md5, same `(x % 2001 - 1000) /
+    * 1000.0` arithmetic, same IEEE division. */
+  private def planeLiteral(h: Int): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until 64).map { d =>
+      val hex = md.digest(s"$h:$d".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % 2001 - 1000) / 1000.0
+    }.mkString("array(", "D, ", "D)")
+  }
+
+  private def planeSignature(nPlanes: Int): String =
+    (0 until nPlanes).map(h =>
+      s"(CASE WHEN dot_d(e, ${planeLiteral(h)}) > 0 THEN ${1L << h}L ELSE 0L END)")
+      .mkString(" + ")
+
   /** Random-hyperplane LSH (6 planes → 64 buckets), then cosine top-3
     * WITHIN the query's bucket — the scale path: candidate size drops by
     * ~bucket-count× and the bucket id is a plain shuffle key. Hyperplane
     * components derive deterministically from md5(plane:dim), so engine
-    * and oracle build identical planes with no RNG. */
-  private val lshKnnSql = """
+    * and oracle build identical planes with no RNG; the engine embeds
+    * them as literals (see planeLiteral) so bucketing is map-only. */
+  private lazy val lshKnnSql = s"""
     WITH v AS (SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS e FROM embeddings),
-    hp AS (
-      SELECT h, transform(sequence(0, 63), d ->
-               (cast(conv(substr(md5(concat(cast(h AS string), ':', cast(d AS string))), 1, 8), 16, 10) AS bigint) % 2001 - 1000) / cast(1000.0 AS double)) AS w
-      FROM (SELECT explode(sequence(0, 5)) AS h)),
     vb AS (
-      SELECT /*+ BROADCAST(hp) */ vec_id, e,
-             sum(CASE WHEN dot_d(e, w) > 0
-                      THEN shiftleft(1, h) ELSE 0 END) AS bucket
-      FROM v CROSS JOIN hp GROUP BY vec_id, e),
+      SELECT vec_id, e, ${planeSignature(6)} AS bucket
+      FROM v),
     vn AS (SELECT vec_id, e, bucket,
                   sqrt(dot_d(e, e)) AS nrm FROM vb),
     q AS (SELECT vec_id AS qid, e AS qe, bucket AS qb, nrm AS qnrm FROM vn WHERE vec_id % 100 = 0),
@@ -435,14 +450,9 @@ object LlmQueries extends QueryModule {
     * candidates only — never all-pairs. */
   private[graft] def embedNeardupSql(bandCap: Int = BandCap) = s"""
     WITH v AS (SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS e FROM embeddings),
-    hp AS (
-      SELECT h, transform(sequence(0, 63), d ->
-               (cast(conv(substr(md5(concat(cast(h AS string), ':', cast(d AS string))), 1, 8), 16, 10) AS bigint) % 2001 - 1000) / cast(1000.0 AS double)) AS w
-      FROM (SELECT explode(sequence(0, 23)) AS h)),
     bits AS (
-      SELECT /*+ BROADCAST(hp) */ vec_id, e,
-             sum(CASE WHEN dot_d(e, w) > 0 THEN shiftleft(cast(1 AS bigint), h) ELSE cast(0 AS bigint) END) AS sig
-      FROM v CROSS JOIN hp GROUP BY vec_id, e),
+      SELECT vec_id, e, ${planeSignature(24)} AS sig
+      FROM v),
     bands AS (
       SELECT vec_id, b, (shiftright(sig, b * 6) & 63) AS bh
       FROM bits LATERAL VIEW explode(sequence(0, 3)) bt AS b),
