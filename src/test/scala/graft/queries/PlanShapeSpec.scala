@@ -1,0 +1,71 @@
+package graft.queries
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards for the properties that matter at
+  * 100 TB: filters reaching the parquet scan, column pruning, dimension
+  * broadcasts, map-only shapes staying shuffle-free, and bucketed
+  * candidate joins never degrading to cartesian products. A refactor
+  * that silently loses one of these still passes the value oracle — only
+  * the plan shows it. */
+class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  override def afterAll(): Unit = spark.stop()
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q10 pricing summary: filter pushed into the parquet scan, columns pruned") {
+    val p = plan("q10_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    assert(!p.contains("l_comment"), "unused wide column must not be read")
+  }
+
+  test("q11/q12: dimension sides broadcast, never shuffled-merge-joined") {
+    assert(plan("q11_shipping_priority").contains("BroadcastHashJoin"))
+    val star = plan("q12_region_revenue")
+    assert(star.sliding("BroadcastExchange".length).count(_ == "BroadcastExchange") >= 2,
+      "both dims of the star join must broadcast")
+    assert(!star.contains("SortMergeJoin"))
+  }
+
+  test("q22/q24/q37: bucketed candidate joins stay equi-joins (no cartesian fallback)") {
+    for (q <- Seq("q22_minhash_lsh", "q24_ngram_jaccard", "q37_embed_neardup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q degraded to a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q degraded to a nested-loop join")
+    }
+  }
+
+  test("q23/q30: map-only shapes — no hash-partition shuffle (only the oracle sort)") {
+    for (q <- Seq("q23_simhash", "q30_fingerprint")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q must stay map-side; found a hash shuffle")
+    }
+  }
+
+  test("q24: scan reads only doc_id and text") {
+    val p = plan("q24_ngram_jaccard")
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("doc_id") && read.contains("text"), read)
+    assert(!read.contains("lang") && !read.contains("n_chars"), s"over-read: $read")
+  }
+
+  test("q26: literal hyperplane bucketing is map-only up to the bucket join") {
+    val p = plan("q26_knn_lsh")
+    assert(!p.contains("CartesianProduct"))
+    // bucket assignment must not shuffle: the only hash exchanges belong
+    // to the bucket equi-join and window, not a GROUP BY vec_id
+    assert(!p.contains("keys=[vec_id"), s"unexpected aggregate on vec_id: ")
+  }
+}
