@@ -500,11 +500,14 @@ object LlmQueries extends QueryModule {
     * an IVF codebook without k-means, keeping engine and oracle
     * RNG-free), each vector assigned to its nearest centroid cell, and
     * each query probing only its nprobe=2 nearest cells. Physical shape:
-    * centroids BROADCAST into a map-side cross score; assignment picked
-    * with one window (same shuffle key as the cell join that follows);
-    * the search join touches |cells probed| ≈ 2N/C vectors per query
-    * instead of N. At 100 TB: C grows as √N, cells stay O(√N), and the
-    * cell id is a plain shuffle key — the standard IVF partition story. */
+    * centroids BROADCAST into a map-side cross score; the big-side cell
+    * assignment is a max_by HASH AGGREGATE (partial+final: each vector's
+    * C scored rows combine map-side to one row — a sort-based window
+    * here would shuffle the whole |V|×|C| score relation); the nprobe
+    * window runs only on the tiny query subset. The search join touches
+    * |cells probed| ≈ 2N/C vectors per query instead of N. At 100 TB: C
+    * grows as √N, cells stay O(√N), and the cell id is a plain shuffle
+    * key — the standard IVF partition story. */
   private val ivfKnnSql = """
     WITH v AS (SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS e FROM embeddings),
     vn AS (SELECT vec_id, e, sqrt(dot_d(e, e)) AS nrm FROM v),
@@ -513,12 +516,19 @@ object LlmQueries extends QueryModule {
       SELECT /*+ BROADCAST(cent) */ vn.vec_id, vn.e, vn.nrm, cent.c_id,
              dot_d(vn.e, cent.ce) / (vn.nrm * cent.cnrm) AS csim
       FROM vn CROSS JOIN cent),
-    assign AS (
-      SELECT vec_id, e, nrm, c_id,
-             row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS rk
-      FROM scored),
-    cells AS (SELECT vec_id, e, nrm, c_id AS cell FROM assign WHERE rk = 1),
-    qprobe AS (SELECT vec_id AS qid, c_id AS cell FROM assign WHERE vec_id % 100 = 0 AND rk <= 2),
+    -- argmax with (csim DESC, c_id ASC) tie-break via lexicographic struct
+    cells AS (
+      SELECT vec_id, w.e AS e, w.nrm AS nrm, w.cell AS cell FROM (
+        SELECT vec_id,
+               max_by(named_struct('e', e, 'nrm', nrm, 'cell', c_id),
+                      named_struct('s', csim, 'nc', -c_id)) AS w
+        FROM scored GROUP BY vec_id)),
+    qprobe AS (
+      SELECT vec_id AS qid, c_id AS cell FROM (
+        SELECT vec_id, c_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS rk
+        FROM scored WHERE vec_id % 100 = 0)
+      WHERE rk <= 2),
     qv AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM vn WHERE vec_id % 100 = 0),
     sims AS (
       SELECT /*+ BROADCAST(qprobe, qv) */ qp.qid, c.vec_id,
