@@ -116,9 +116,25 @@ object KqlCompiler {
     def pipeOp(df: DataFrame): DataFrame = ident() match {
       case "count" => df.agg(count(lit(1)).as("Count"))
       case "where" | "filter" => df.filter(expr()(df))
+      case "project" if peekIs("-") =>
+        expect("-")
+        ident() match {
+          case "away" => sepBy1(() => ident()).foldLeft(df)(_.drop(_))
+          case "rename" =>
+            sepBy1(() => { val n = ident(); expect("="); val o = ident(); (n, o) })
+              .foldLeft(df) { case (d, (n, o)) => d.withColumnRenamed(o, n) }
+          case other => throw new KqlParseException(s"unsupported operator 'project-$other'")
+        }
       case "project" =>
         val items = sepBy1(projItem)
         df.select(items.map(_(df)): _*)
+      case "mv" =>
+        // mv-expand col: one output row per array element (inner semantics)
+        expect("-")
+        val sub = ident()
+        if (sub != "expand") throw new KqlParseException(s"unsupported operator 'mv-$sub'")
+        val c = ident()
+        df.withColumn(c, explode(df(c)))
       case "extend" =>
         sepBy1(() => { val n = ident(); expect("="); (n, expr()) })
           .foldLeft(df) { case (d, (n, e)) => d.withColumn(n, e(d)) }

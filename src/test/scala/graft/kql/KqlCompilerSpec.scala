@@ -107,6 +107,19 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run("t | extend d = abs(value - 60), c = coalesce(status, 'none') | where d < 11").count() == 2)
   }
 
+  test("project-away, project-rename, mv-expand") {
+    assert(run("t | project-away status, value").columns.toSeq == Seq("id", "name"))
+    val renamed = run("t | project-rename label = name, v = value")
+    assert(renamed.columns.toSeq == Seq("id", "label", "v", "status"))
+    import spark.implicits._
+    val arrDf = Seq((1L, Seq("a", "b")), (2L, Seq("c")), (3L, Seq.empty[String]))
+      .toDF("id", "xs")
+    val expanded = KqlCompiler.compile("t | mv-expand xs", _ => arrDf).collect()
+    assert(expanded.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (1L, "b"), (2L, "c")), "inner semantics: empty arrays drop the row")
+    assert(intercept[KqlParseException](run("t | project-frobnicate x")).getMessage.contains("project-frobnicate"))
+  }
+
   test("parse errors are loud and specific") {
     assert(intercept[KqlParseException](run("t | explode x")).getMessage.contains("unsupported operator"))
     assert(intercept[KqlParseException](run("t | where name == 'unterminated")).getMessage.contains("unterminated"))
