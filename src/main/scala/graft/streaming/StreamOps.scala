@@ -1,7 +1,7 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
@@ -80,6 +80,22 @@ object StreamOps {
                            keyCols: String*): DataFrame =
     df.withWatermark(tsCol, delayThreshold)
       .dropDuplicatesWithinWatermark(keyCols.toSeq)
+
+  /** Streaming NEAR-dup dedup: drop documents whose content signature
+    * (e.g. `simhash32(text)` or `minhash_sig(text)` — any deterministic
+    * signature expression; register [[graft.functions.GraftFunctions]]
+    * first) matches an earlier document inside the watermark horizon.
+    * The signature is computed map-side by the native expression, so
+    * state per signature is one row key, hash-partitioned and
+    * watermark-evicted — the streaming complement of batch q22/q23:
+    * exact near-dup clustering needs the batch pass; this keeps the
+    * stream itself from flooding downstream with boilerplate copies. */
+  def dedupBySignature(df: DataFrame, tsCol: String, delayThreshold: String,
+                       signature: Column): DataFrame =
+    df.withColumn("__sig", signature)
+      .withWatermark(tsCol, delayThreshold)
+      .dropDuplicatesWithinWatermark(Seq("__sig"))
+      .drop("__sig")
 
   // ------------------------------------------------ custom keyed state
 

@@ -103,6 +103,28 @@ class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("dedupBySignature: near-identical documents dedup on simhash within the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.queries.LlmQueries.registerFunctions(spark)
+    case class Doc(doc_id: Long, ts: Timestamp, text: String)
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val df = stream.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamOps.dedupBySignature(df, "ts", "10 seconds",
+        org.apache.spark.sql.functions.expr("simhash32(text)"))
+      .writeStream.format("memory").queryName("dedup_sig").outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(
+        (1L, ts(1), "the quick brown fox jumps over the lazy dog"),
+        (2L, ts(2), "the quick brown fox jumps over the lazy dog"), // exact copy: same signature
+        (3L, ts(3), "a completely different document about spark streaming"))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_sig").select("doc_id").as[Long].collect().sorted
+      assert(kept.length == 2 && kept.contains(3L), s"got ${kept.mkString(",")}")
+      assert(!spark.table("dedup_sig").columns.contains("__sig"), "signature column is internal")
+    } finally q.stop()
+  }
+
   test("statefulSessions: sessions close on event-time timeout, one row per closed session") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
