@@ -1,0 +1,69 @@
+package graft.kql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Parser fuzz: random KQL pipelines, each op carrying BOTH its text form
+  * and the DataFrame transform it must equal. Catches precedence,
+  * associativity, and aliasing bugs a hand-picked example suite misses. */
+class KqlCompilerPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  override def afterAll(): Unit = spark.stop()
+
+  private lazy val base = {
+    import spark.implicits._
+    (0L until 40L).map(i =>
+        (i, Seq("alpha", "beta", "gamma")(i.toInt % 3), (i * 7 % 100).toDouble,
+          if (i % 4 == 0) s"err-$i" else "ok"))
+      .toDF("id", "name", "value", "status")
+  }
+
+  /** One op = (KQL text, equivalent DataFrame transform). All ops preserve
+    * the column set, so they compose in any order. */
+  private type Op = (String, DataFrame => DataFrame)
+  private val wheres: Seq[Op] = Seq(
+    ("where value >= 30", _.filter(col("value") >= 30)),
+    ("where name == 'alpha' or value < 20", df => df.filter(col("name") === "alpha" || col("value") < 20)),
+    ("where status startswith 'err' and value > 10", df => df.filter(col("status").startsWith("err") && col("value") > 10)),
+    ("where value between (10 .. 60)", df => df.filter(col("value") >= 10 && col("value") <= 60)),
+    ("where name in ('beta', 'gamma')", _.filter(col("name").isin("beta", "gamma"))),
+    ("where not(name == 'beta') and value * 2 < 150", df => df.filter(!(col("name") === "beta") && col("value") * 2 < 150)),
+    ("where value % 10 + 1 > 5", df => df.filter(col("value") % 10 + 1 > 5)))
+  private def extendOp(k: Int): Op = (
+    s"extend x$k = value * 2 - 1 | project-away x$k",
+    df => df.withColumn(s"x$k", col("value") * 2 - 1).drop(s"x$k"))
+  private val takes: Seq[Op] = Seq(
+    ("order by id asc | take 7", _.orderBy(col("id").asc).limit(7)),
+    ("top 5 by value, id asc", df => df.orderBy(col("value").desc, col("id").asc).limit(5)),
+    ("order by value, id asc | take 11", df => df.orderBy(col("value").desc, col("id").asc).limit(11)))
+  private val distincts: Seq[Op] = Seq(("distinct", _.distinct()))
+
+  private val opGen: Gen[Op] = Gen.frequency(
+    5 -> Gen.oneOf(wheres),
+    2 -> Gen.choose(0, 9).map(extendOp),
+    1 -> Gen.oneOf(distincts))
+
+  test("random pipelines: compiled text ≡ direct DataFrame plan (120 cases)") {
+    val pipelines = Gen.listOfN(120, for {
+      ops <- Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, opGen))
+      tail <- Gen.option(Gen.oneOf(takes)) // ordered limit last, if present
+    } yield ops ++ tail.toList).pureApply(Gen.Parameters.default, Seed(2026L))
+
+    pipelines.zipWithIndex.foreach { case (ops, i) =>
+      val kql = ("t" +: ops.map(_._1)).mkString(" | ")
+      val expected = ops.map(_._2).foldLeft(base)((d, f) => f(d))
+      val got = KqlCompiler.compile(kql, _ => base)
+      val (e, g) = (expected.collect().map(_.toString).sorted.toSeq,
+        got.collect().map(_.toString).sorted.toSeq)
+      assert(g == e, s"pipeline #$i diverged: $kql")
+    }
+  }
+}
