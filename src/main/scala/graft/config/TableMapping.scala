@@ -15,7 +15,14 @@ final case class TableMapping(
     table: String,
     format: String = "json",
     mapping: Option[String] = None,
-    streaming: Boolean = false) {
+    streaming: Boolean = false,
+    /** Avro writer schema JSON for the value. With `format=avro`: present
+      * ⇒ values are Avro binary datums framed into an object-container
+      * file per staged file; absent ⇒ each value is a complete Avro
+      * container (avro-as-bytes) and the writer rolls per record, because
+      * concatenated containers inside one gzip are unreadable
+      * (reference: FileWriter.java:298-301,321-323). */
+    valueSchema: Option[String] = None) {
 
   /** Throws [[SinkConfigException]] on the first invalid field. */
   def validated: TableMapping = {
@@ -75,7 +82,8 @@ object TableMapping {
         table = str("table").getOrElse(""),
         format = str("format").getOrElse("json").toLowerCase,
         mapping = str("mapping").filter(_.nonEmpty),
-        streaming = Option(n.get("streaming")).exists(v => v.asBoolean(false) || v.asText == "true")
+        streaming = Option(n.get("streaming")).exists(v => v.asBoolean(false) || v.asText == "true"),
+        valueSchema = str("valueSchema").filter(_.nonEmpty)
       ).validated
     }.toSeq
   }

@@ -98,11 +98,17 @@ final class KustoSparkPipeline(
                 val target = IngestTarget(mapping.db, mapping.table, mapping.format,
                   mapping.mapping, mapping.streaming)
                 val pipe = new IngestPipe(client, target, retry, conf.behaviorOnError, dlq, m)
+                // avro WITHOUT a schema = avro-as-bytes: each value is a
+                // complete container file, so the writer must roll per
+                // record (concatenated containers in one gzip are
+                // unreadable; reference FileWriter.java:298-301,321-323)
+                val isAvro = mapping.format == "avro" || mapping.format == "apacheavro"
                 val w = new RollingFileWriter(
                   conf.tempDir, rec.topic, rec.partition,
-                  FormatWriters.forFormat(mapping.format),
+                  FormatWriters.forFormat(mapping.format, mapping.valueSchema),
                   conf.flushSizeBytes, conf.flushIntervalMs,
-                  pipe.handleRoll, retainRecords = conf.dlqEnabled && dlq.isDefined)
+                  pipe.handleRoll, retainRecords = conf.dlqEnabled && dlq.isDefined,
+                  rollEveryRecord = isAvro && mapping.valueSchema.isEmpty)
                 (w, pipe)
               })
               try {

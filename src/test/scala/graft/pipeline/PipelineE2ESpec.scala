@@ -228,6 +228,53 @@ class PipelineE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
       "at-least-once: 10 (batch A) + 3 (pre-crash B) + 10 (B replayed) successful ingests")
   }
 
+  test("avro mappings: schema'd values frame into container files; schemaless avro rolls per record") {
+    import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tablesRoot = Files.createTempDirectory("e2e-avro").toString
+
+    val st = StructType(Seq(StructField("vlong", LongType, nullable = false),
+      StructField("vtype", StringType, nullable = true)))
+    val avroSchema = graft.sink.AvroEncode.toAvroSchema(st)
+    def datum(i: Long): Array[Byte] =
+      graft.sink.AvroEncode.encodeRow(org.apache.spark.sql.Row(i, s"t$i"), avroSchema)
+
+    val cfg = SinkConfig(
+      mappings = Seq(
+        TableMapping("framed", "db1", "framed", format = "avro",
+          valueSchema = Some(avroSchema.toString)),
+        TableMapping("rawavro", "db1", "rawavro", format = "avro")),
+      flushSizeBytes = 1 << 20, flushIntervalMs = 300000, // large: only format rules roll
+      maxRetryTimeMs = 20, retryBackoffMs = 10,
+      tempDir = Files.createTempDirectory("e2e-avro-stage").toString)
+    val pipeline = new KustoSparkPipeline(
+      cfg, () => new LocalTableIngestClient(tablesRoot), None, SinkMetrics.forSpark(spark))
+
+    val stream = MemoryStream[KRecord]
+    stream.addData(
+      (0L until 5L).map(i => KRecord("framed", 0, i, null, datum(i))) ++
+        (0L until 3L).map(i => KRecord("rawavro", 0, i, null, datum(i))))
+    val q = pipeline.start(stream.toDF(), Files.createTempDirectory("ck-avro").toString)
+    q.processAllAvailable(); q.stop()
+
+    // framed: ONE container file holding all 5 datums, readable end-to-end
+    val framedFiles = Files.list(java.nio.file.Path.of(tablesRoot, "db1", "framed")).toList
+    assert(framedFiles.size() == 1, "large flush size: all 5 records in one staged container")
+    val bytes = new java.util.zip.GZIPInputStream(
+      Files.newInputStream(framedFiles.get(0))).readAllBytes()
+    val reader = new DataFileReader[GenericRecord](
+      new SeekableByteArrayInput(bytes), new GenericDatumReader[GenericRecord]())
+    val got = Iterator.continually(reader).takeWhile(_.hasNext).map(_.next())
+      .map(r => (r.get("vlong").asInstanceOf[Long], r.get("vtype").toString)).toSeq
+    assert(got == (0L until 5L).map(i => (i, s"t$i")))
+
+    // avro-as-bytes: one staged file PER record despite the large flush size
+    assert(Files.list(java.nio.file.Path.of(tablesRoot, "db1", "rawavro")).count() == 3)
+  }
+
   test("kafka headers ride through the pipeline and land in DLQ metadata") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
