@@ -60,9 +60,15 @@ object KqlCompiler {
           val end = if (j < 0) s.length else j
           out += Tok("id", s.substring(i, end)); i = end
         } else if (c.isDigit || (c == '.' && i + 1 < s.length && s(i + 1).isDigit)) {
-          val j = s.indexWhere(ch => !ch.isDigit && ch != '.', i)
-          val end = if (j < 0) s.length else j
-          out += Tok("num", s.substring(i, end)); i = end
+          // at most one decimal point, and never consume the range op `..`
+          var j = i; var seenDot = false; var done = false
+          while (j < s.length && !done) {
+            val ch = s(j)
+            if (ch.isDigit) j += 1
+            else if (ch == '.' && !seenDot && j + 1 < s.length && s(j + 1).isDigit) { seenDot = true; j += 1 }
+            else done = true
+          }
+          out += Tok("num", s.substring(i, j)); i = j
         } else if (c == '\'' || c == '"') {
           val sb = new StringBuilder; var j = i + 1
           while (j < s.length && s(j) != c) {
@@ -108,7 +114,9 @@ object KqlCompiler {
     private def number(): Int = {
       val t = next()
       if (t.kind != "num") throw new KqlParseException(s"expected number, got '${t.text}'")
-      t.text.toInt
+      try t.text.toInt
+      catch { case _: NumberFormatException =>
+        throw new KqlParseException(s"expected integer, got '${t.text}'") }
     }
 
     // ---------------------------------------------------- pipe operators

@@ -102,6 +102,8 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run("t | where status has 'time'").count() == 0)
     assert(run("t | where status has 'timeout'").count() == 1)
     assert(run("t | where value between (20 .. 70)").count() == 3)
+    assert(run("t | where value between (20..70)").count() == 3, "range op without spaces")
+    assert(run("t | where value between (19.5..70.5)").count() == 3, "decimal range bounds")
     assert(run("t | where isnotempty(status)").count() == 5)
     assert(run("t | where isnull(status)").count() == 0)
     assert(run("t | extend d = abs(value - 60), c = coalesce(status, 'none') | where d < 11").count() == 2)
