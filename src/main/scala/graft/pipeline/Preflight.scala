@@ -47,6 +47,13 @@ object Preflight {
       if (m.streaming && !client.streamingPolicyEnabled(m.db, m.table))
         Some(s"streaming ingestion policy is not enabled on $id but mapping for topic '${m.topic}' requests streaming")
       else None
-    mappingErr.toSeq ++ permErr ++ streamErr
+    // a malformed Avro value schema must fail at startup, not mid-stream
+    val schemaErr = m.valueSchema.flatMap { json =>
+      try { new org.apache.avro.Schema.Parser().parse(json); None }
+      catch { case e: Exception =>
+        Some(s"valueSchema for topic '${m.topic}' is not a valid Avro schema: ${e.getMessage}")
+      }
+    }
+    mappingErr.toSeq ++ permErr ++ streamErr ++ schemaErr
   }
 }

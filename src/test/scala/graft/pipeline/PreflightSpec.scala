@@ -31,6 +31,15 @@ class PreflightSpec extends AnyFunSuite {
     assert(e.errors.exists(m => m.contains("db.ghost") && m.contains("'a'")))
   }
 
+  test("malformed Avro valueSchema fails at startup; a valid one passes") {
+    val good = """{"type":"record","name":"r","fields":[{"name":"x","type":"long"}]}"""
+    Preflight.validate(cfg(
+      TableMapping("a", "db", "t1", format = "avro", valueSchema = Some(good))), new Stub())
+    val e = intercept[PreflightException](Preflight.validate(cfg(
+      TableMapping("a", "db", "t1", format = "avro", valueSchema = Some("{not avro}"))), new Stub()))
+    assert(e.errors.exists(m => m.contains("valueSchema") && m.contains("'a'")))
+  }
+
   test("all errors collected in one pass: mapping, permission, streaming policy") {
     val client = new Stub(ingestOk = Set(("db", "t1")), streamingOk = Set.empty)
     val e = intercept[PreflightException](Preflight.validate(cfg(
