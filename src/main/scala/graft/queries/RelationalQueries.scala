@@ -157,7 +157,27 @@ object RelationalQueries extends QueryModule {
           col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
         .select(unix_millis(col("ws")).as("ws_ms"), col("event_type"), col("n"), col("sum_value"))
-        .orderBy(col("ws_ms"), col("event_type")))
+        .orderBy(col("ws_ms"), col("event_type"))),
+
+    // Backward as-of join (graft.ops.AsOfJoin — union+window, one
+    // shuffle, no range explosion): each purchase gets the click value
+    // in effect at purchase time, per user. Clicks are pre-deduped to
+    // one row per (user, ts) so the picked row is deterministic; oracle
+    // is DuckDB's native ASOF LEFT JOIN.
+    "q42_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(col("value"), col("event_id")).as("click_value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value").as("purchase_value"))
+      graft.ops.AsOfJoin.asOfBackward(purchases, clicks,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          rightCols = Seq("click_value"))
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("purchase_value"), col("asof_click_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    })
   )
 
   override val oracles: Map[String, String] = Map(
@@ -249,6 +269,19 @@ object RelationalQueries extends QueryModule {
     "q20_tumbling_window" ->
       """SELECT (epoch_ms(ts) // 300000) * 300000 AS ws_ms, event_type,
                 count(*) AS n, round(sum(value), 2) AS sum_value
-         FROM events GROUP BY 1, 2 ORDER BY ws_ms, event_type"""
+         FROM events GROUP BY 1, 2 ORDER BY ws_ms, event_type""",
+
+    "q42_asof_join" ->
+      """WITH clicks AS (
+           SELECT user_id, ts, max_by(value, event_id) AS click_value
+           FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+         purchases AS (
+           SELECT user_id, event_id, ts, value AS purchase_value
+           FROM events WHERE event_type = 'purchase')
+         SELECT p.user_id, p.event_id, epoch_ms(p.ts) AS ts_ms,
+                p.purchase_value, c.click_value AS asof_click_value
+         FROM purchases p ASOF LEFT JOIN clicks c
+           ON p.user_id = c.user_id AND p.ts >= c.ts
+         ORDER BY p.user_id, p.event_id"""
   )
 }
