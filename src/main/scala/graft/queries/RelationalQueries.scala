@@ -159,6 +159,26 @@ object RelationalQueries extends QueryModule {
         .select(unix_millis(col("ws")).as("ws_ms"), col("event_type"), col("n"), col("sum_value"))
         .orderBy(col("ws_ms"), col("event_type"))),
 
+    // Binned interval range join (graft.ops.RangeJoin): every click
+    // within 10 minutes AFTER a high-value purchase, across all users —
+    // a pure range predicate with no equi key, which would otherwise
+    // plan as a nested-loop cross product. Binning keys both sides by a
+    // 10-minute bucket; exact containment filters after the equi-join.
+    "q43_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val intervals = ev.filter(col("event_type") === "purchase" && col("value") > 99)
+        .select(col("event_id").as("p_event_id"),
+          unix_millis(col("ts")).as("start_ms"),
+          (unix_millis(col("ts")) + 600000L).as("end_ms"))
+      val points = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_event_id"),
+          unix_millis(col("ts")).as("c_ts_ms"), col("value").as("c_value"))
+      graft.ops.RangeJoin.intervalPointJoin(intervals, points,
+          "start_ms", "end_ms", "c_ts_ms", binMillis = 600000L)
+        .select(col("p_event_id"), col("c_event_id"), col("c_ts_ms"), col("c_value"))
+        .orderBy(col("p_event_id"), col("c_event_id"))
+    }),
+
     // Backward as-of join (graft.ops.AsOfJoin — union+window, one
     // shuffle, no range explosion): each purchase gets the click value
     // in effect at purchase time, per user. Clicks are pre-deduped to
@@ -270,6 +290,18 @@ object RelationalQueries extends QueryModule {
       """SELECT (epoch_ms(ts) // 300000) * 300000 AS ws_ms, event_type,
                 count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY ws_ms, event_type""",
+
+    "q43_range_join" ->
+      """WITH purchases AS (
+           SELECT event_id AS p_event_id, epoch_ms(ts) AS start_ms
+           FROM events WHERE event_type = 'purchase' AND value > 99),
+         clicks AS (
+           SELECT event_id AS c_event_id, epoch_ms(ts) AS c_ts_ms, value AS c_value
+           FROM events WHERE event_type = 'click')
+         SELECT p_event_id, c_event_id, c_ts_ms, c_value
+         FROM purchases JOIN clicks
+           ON c_ts_ms >= start_ms AND c_ts_ms <= start_ms + 600000
+         ORDER BY p_event_id, c_event_id""",
 
     "q42_asof_join" ->
       """WITH clicks AS (
