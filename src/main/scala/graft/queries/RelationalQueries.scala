@@ -159,6 +159,17 @@ object RelationalQueries extends QueryModule {
         .select(unix_millis(col("ws")).as("ws_ms"), col("event_type"), col("n"), col("sum_value"))
         .orderBy(col("ws_ms"), col("event_type"))),
 
+    // Pivot (wide aggregation): per user-decile event counts, one column
+    // per event type. The explicit value list keeps the output schema
+    // static (no driver-side distinct scan) — the scale-correct pivot.
+    "q44_pivot" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy((col("user_id") % 10).as("user_mod"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy(col("user_mod"))),
+
     // Binned interval range join (graft.ops.RangeJoin): every click
     // within 10 minutes AFTER a high-value purchase, across all users —
     // a pure range predicate with no equi key, which would otherwise
@@ -290,6 +301,15 @@ object RelationalQueries extends QueryModule {
       """SELECT (epoch_ms(ts) // 300000) * 300000 AS ws_ms, event_type,
                 count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY ws_ms, event_type""",
+
+    "q44_pivot" ->
+      """SELECT user_id % 10 AS user_mod,
+                count(*) FILTER (WHERE event_type = 'click') AS click,
+                count(*) FILTER (WHERE event_type = 'error') AS error,
+                count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                count(*) FILTER (WHERE event_type = 'signup') AS signup,
+                count(*) FILTER (WHERE event_type = 'view') AS view
+         FROM events GROUP BY 1 ORDER BY user_mod""",
 
     "q43_range_join" ->
       """WITH purchases AS (
