@@ -61,6 +61,21 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!read.contains("lang") && !read.contains("n_chars"), s"over-read: $read")
   }
 
+  test("q42 as-of join: one union+window plan, never a range/nested-loop join") {
+    val p = plan("q42_asof_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "as-of must not plan as a range join")
+    assert(p.contains("Union") && p.contains("RunningWindowFunction") || p.contains("Window"),
+      "expected the union+window formulation")
+  }
+
+  test("q43 range join: binned equi-join, never a cross product") {
+    val p = plan("q43_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "binning must turn the pure range predicate into an equi-join")
+    assert(p.contains("__bucket"), "bucket key must drive the join")
+  }
+
   test("q26: literal hyperplane bucketing is map-only up to the bucket join") {
     val p = plan("q26_knn_lsh")
     assert(!p.contains("CartesianProduct"))
