@@ -159,6 +159,18 @@ object RelationalQueries extends QueryModule {
         .select(unix_millis(col("ws")).as("ws_ms"), col("event_type"), col("n"), col("sum_value"))
         .orderBy(col("ws_ms"), col("event_type"))),
 
+    // Exact interpolated percentiles per group (Spark `percentile` ≡
+    // DuckDB `quantile_cont`, both linear interpolation over the sorted
+    // values; rounded to 6 places to absorb last-ulp differences).
+    "q45_percentiles" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.95)"), 6).as("p95"),
+          round(min(col("value")), 6).as("min_v"),
+          round(max(col("value")), 6).as("max_v"))
+        .orderBy(col("event_type"))),
+
     // Pivot (wide aggregation): per user-decile event counts, one column
     // per event type. The explicit value list keeps the output schema
     // static (no driver-side distinct scan) — the scale-correct pivot.
@@ -301,6 +313,14 @@ object RelationalQueries extends QueryModule {
       """SELECT (epoch_ms(ts) // 300000) * 300000 AS ws_ms, event_type,
                 count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY ws_ms, event_type""",
+
+    "q45_percentiles" ->
+      """SELECT event_type,
+                round(quantile_cont(value, 0.5), 6) AS p50,
+                round(quantile_cont(value, 0.95), 6) AS p95,
+                round(min(value), 6) AS min_v,
+                round(max(value), 6) AS max_v
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q44_pivot" ->
       """SELECT user_id % 10 AS user_mod,
