@@ -159,6 +159,22 @@ object RelationalQueries extends QueryModule {
         .select(unix_millis(col("ws")).as("ws_ms"), col("event_type"), col("n"), col("sum_value"))
         .orderBy(col("ws_ms"), col("event_type"))),
 
+    // Cube (all grouping-set combinations — rollup's sibling, q19).
+    "q46_cube" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // Intersect (except's sibling, q15): users with BOTH a high-value
+    // purchase and a high-value click.
+    "q47_intersect" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("value") > 95d)
+      ev.filter(col("event_type") === "purchase").select(col("user_id")).distinct()
+        .intersect(ev.filter(col("event_type") === "click").select(col("user_id")).distinct())
+        .orderBy(col("user_id"))
+    }),
+
     // Exact interpolated percentiles per group (Spark `percentile` ≡
     // DuckDB `quantile_cont`, both linear interpolation over the sorted
     // values; rounded to 6 places to absorb last-ulp differences).
@@ -313,6 +329,18 @@ object RelationalQueries extends QueryModule {
       """SELECT (epoch_ms(ts) // 300000) * 300000 AS ws_ms, event_type,
                 count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY ws_ms, event_type""",
+
+    "q46_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q47_intersect" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 95
+         INTERSECT
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'click' AND value > 95
+         ORDER BY user_id""",
 
     "q45_percentiles" ->
       """SELECT event_type,
