@@ -193,53 +193,96 @@ object LlmQueries extends QueryModule {
     * the component's minimum doc_id as representative — the operation a
     * corpus dedup actually runs after LSH pair detection (keep the rep,
     * drop the rest). Spark has no recursive CTE, so components are
-    * computed by iterative min-label propagation: each round every vertex
-    * takes the min of its own label and its neighbors' labels, until a
-    * fixpoint (O(component diameter) rounds — near-dup clusters are
-    * dense, so 1-3 rounds in practice). Each round is one shuffle-join +
-    * aggregate; at 100 TB this is the standard hash-to-min CC layout
-    * (production adds large-star/small-star contraction to bound rounds
-    * on pathological chains; dup clusters never look like that). The
-    * driver loop only reads a CHANGED COUNT per round — no row data ever
-    * reaches the driver. */
+    * computed by alternating large-star/small-star contraction (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14):
+    * rounds are O(log n) on ANY graph shape — including the pathological
+    * chain that makes plain min-label propagation take O(diameter) = O(n)
+    * Spark jobs. Each round is two neighborhood-min passes over the edge
+    * list (window-min + dedup — no join); the driver loop only reads a
+    * COUNT/CHECKSUM per round, no row data ever reaches the driver. */
   private def dupClusters(s: SparkSession, dir: String): DataFrame = {
     docs(s, dir)
     connectedComponents(s.sql(minhashSql()).select(col("id_a"), col("id_b")))
   }
 
-  /** Min-label-propagation connected components over an undirected pair
-    * list (`id_a`, `id_b`) → (`doc_id`, `cluster_rep`, `cluster_size`),
-    * rep = component minimum. Exposed for direct testing on pathological
-    * graph shapes (chains, rings) independent of the LSH pair source. */
-  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs.union(pairs.select(col(pairs.columns(1)), col(pairs.columns(0))))
-      .toDF("src", "dst").persist()
-    // localCheckpoint(eager) each round: materializes the labels AND
-    // truncates the logical plan, without which the round-over-round
-    // join lineage makes Catalyst re-optimize an ever-deeper plan (the
-    // classic iterative-algorithm blowup; GraphFrames checkpoints for
-    // the same reason).
-    var reps = edges.select(col("src").as("id")).distinct()
-      .withColumn("rep", col("id")).localCheckpoint(true)
-    var changed = 1L
-    while (changed > 0) {
-      val nbrMin = edges.join(reps.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
-        .groupBy(col("src")).agg(min(col("rep")).as("nbr_rep"))
-      // carry the previous label so convergence is a filter over the
-      // checkpointed result, not another join
-      val next = reps.withColumnRenamed("rep", "prev")
-        .join(nbrMin, col("id") === col("src"), "left")
-        .select(col("id"), least(col("prev"), coalesce(col("nbr_rep"), col("prev"))).as("rep"),
-          col("prev"))
-        .localCheckpoint(true)
-      changed = next.filter(col("rep") < col("prev")).count()
-      reps = next.select(col("id"), col("rep"))
+  private val ccWin = org.apache.spark.sql.expressions.Window.partitionBy("src")
+
+  /** Large-star: every node connects its strictly-LARGER neighbors to the
+    * minimum of its closed neighborhood. One window-min shuffle over the
+    * symmetric edge list + one dedup shuffle; output stays oriented
+    * src > dst (m <= u < v). */
+  private def largeStar(edges: DataFrame): DataFrame =
+    edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .withColumn("m", least(col("src"), min("dst").over(ccWin)))
+      .where(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .distinct()
+
+  /** Small-star: every node connects its smaller-or-equal neighbors (and
+    * itself) to its neighborhood minimum. Operates on edges oriented
+    * src > dst, so the window min IS the neighborhood min. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val withM = edges
+      .select(greatest(col("src"), col("dst")).as("src"), least(col("src"), col("dst")).as("dst"))
+      .withColumn("m", min("dst").over(ccWin))
+    withM.select(col("dst").as("src"), col("m").as("dst"))
+      .union(withM.select(col("src"), col("m").as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Connected components over an undirected pair list (`id_a`, `id_b`)
+    * → (`doc_id`, `cluster_rep`, `cluster_size`), rep = component
+    * minimum. Exposed for direct testing on pathological graph shapes
+    * (chains, rings) independent of the LSH pair source. */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame =
+    connectedComponentsWithRounds(pairs)._1
+
+  /** Alternating large-star/small-star contraction to a star-forest
+    * fixpoint: every non-root node ends up with a single edge to its
+    * component's minimum id. Returns the result plus the number of
+    * contraction rounds taken (spec-asserted O(log n) on a chain).
+    * localCheckpoint(eager) each round materializes the edge set AND
+    * truncates the logical plan, without which the round-over-round
+    * lineage makes Catalyst re-optimize an ever-deeper plan (the classic
+    * iterative-algorithm blowup; GraphFrames checkpoints for the same
+    * reason). Convergence = (count, xxhash64-xor) checksum of the
+    * canonically-oriented edge set unchanged — an O(1) driver-side
+    * comparison of two aggregates (xor, not sum: overflow-free under
+    * ANSI mode, order-independent, and the edge set is distinct so no
+    * duplicate cancellation can occur). */
+  private[graft] def connectedComponentsWithRounds(pairs: DataFrame): (DataFrame, Int) = {
+    val verts = pairs.select(col(pairs.columns(0)).as("id"))
+      .union(pairs.select(col(pairs.columns(1)).as("id")))
+      .distinct().localCheckpoint(true)
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
     }
-    val sized = reps.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
-    edges.unpersist()
-    sized.withColumn("cluster_size",
+    var edges = pairs.toDF("src", "dst")
+      .select(greatest(col("src"), col("dst")).as("src"), least(col("src"), col("dst")).as("dst"))
+      .where(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    var sig = checksum(edges)
+    var rounds = 0
+    var converged = sig._1 == 0L
+    while (!converged) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      rounds += 1
+      val nextSig = checksum(next)
+      converged = nextSig == sig
+      sig = nextSig
+      edges = next
+    }
+    // At the fixpoint edges form stars (child -> component-min root);
+    // the groupBy is belt-and-braces canonicalization, roots/isolated
+    // vertices label themselves via the left join.
+    val reps = verts.join(
+        edges.groupBy(col("src").as("id")).agg(min("dst").as("rep")), Seq("id"), "left")
+      .select(col("id").as("doc_id"), coalesce(col("rep"), col("id")).as("cluster_rep"))
+    val out = reps.withColumn("cluster_size",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("cluster_rep")))
       .orderBy("doc_id")
+    (out, rounds)
   }
 
   /** 32-bit SimHash over token hashes (frequency-weighted, standard

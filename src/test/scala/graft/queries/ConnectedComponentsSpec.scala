@@ -4,10 +4,13 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Min-label-propagation CC on graph shapes the LSH pair source never
-  * produces in tests: long chains (worst-case O(diameter) rounds), rings,
-  * several disjoint components, and stars. Representatives must be the
-  * component minimum and sizes must partition the vertex set. */
+/** Large-star/small-star CC on graph shapes the LSH pair source never
+  * produces in tests: long chains (the shape that makes min-label
+  * propagation take O(n) rounds), rings, several disjoint components,
+  * and stars. Representatives must be the component minimum, sizes must
+  * partition the vertex set, and the round count must stay O(log n) on
+  * a 1000-node chain — the bound that makes the operator safe at 100 TB
+  * against adversarial graph shapes. */
 class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
   private lazy val spark = SparkSession.builder()
     .master("local[4]")
@@ -40,5 +43,23 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("edge order and direction do not matter") {
     assert(cc(Seq((5L, 1L), (3L, 5L))) == cc(Seq((1L, 5L), (5L, 3L))))
+  }
+
+  test("1000-node chain: one component in <= 2*log2(n) contraction rounds") {
+    import spark.implicits._
+    val n = 1000L
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (df, rounds) = LlmQueries.connectedComponentsWithRounds(pairs)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == n)
+    assert(got.forall { case (_, rep, size) => rep == 0L && size == n })
+    val bound = 2 * (math.log(n.toDouble) / math.log(2.0))
+    assert(rounds <= bound, s"took $rounds rounds, bound $bound")
+  }
+
+  test("duplicate and self edges are harmless") {
+    val got = cc(Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (2L, 3L)))
+    assert(got.size == 3)
+    assert(got.values.forall(_ == (1L, 3L)))
   }
 }
