@@ -9,8 +9,12 @@ import org.apache.spark.sql.functions._
   * `distinct`) plus the scalar surface those queries use (comparisons,
   * and/or/not, `in`, `startswith`/`endswith`/`contains`, arithmetic,
   * `case`, `iff`, `pack_all`, `pack`, `strcat`, `strlen`,
-  * `tolower`/`toupper`, `bin`, and the aggregates `count`, `sum`, `avg`,
-  * `min`, `max`, `dcount`, `arg_max`, `arg_min`).
+  * `tolower`/`toupper`, `bin`, Kusto `dynamic` access
+  * (`parse_json`/`todynamic` + postfix `.path`, lowered to
+  * `get_json_object`; reference need: dynamic columns in
+  * docker-quickstart/connector-config/create-table.kql:44-54), and the
+  * aggregates `count`, `sum`, `avg`, `min`, `max`, `dcount`, `arg_max`,
+  * `arg_min`).
   *
   * A user of the reference interacts with queries as KQL TEXT (emitted
   * validation probes, Grafana dashboard panels, quickstart samples);
@@ -47,7 +51,7 @@ object KqlCompiler {
 
   private final case class Tok(kind: String, text: String) // kind: id|num|str|sym
   private object Lexer {
-    private val symbols = List("==", "!=", "<=", ">=", "..", "|", "(", ")", ",", "=", "<", ">",
+    private val symbols = List("==", "!=", "<=", ">=", "..", ".", "|", "(", ")", ",", "=", "<", ">",
       "+", "-", "*", "/", "%")
     def tokens(s: String): Vector[Tok] = {
       val out = Vector.newBuilder[Tok]
@@ -274,7 +278,7 @@ object KqlCompiler {
 
     private def primary(): ColB = {
       val t = next()
-      t.kind match {
+      val base: ColB = t.kind match {
         case "num" =>
           val v: Any = if (t.text.contains('.')) t.text.toDouble else t.text.toLong
           _ => lit(v)
@@ -288,7 +292,23 @@ object KqlCompiler {
         case "sym" if t.text == "(" => val e = expr(); expect(")"); e
         case _ => throw new KqlParseException(s"unexpected token '${t.text}'")
       }
+      dynamicPath(base)
     }
+
+    /** Postfix Kusto `dynamic` access: `expr.k1.k2` lowers to
+      * `get_json_object(expr, "$.k1.k2")` — a single codegen'd JSON-path
+      * probe, identical to the DataFrame shape q09 pins. The engine's
+      * `dynamic` representation is the JSON text itself (so `parse_json`
+      * is the identity and access composes with tolong/toint/todouble
+      * casts, matching Kusto's dynamic→scalar conversion functions). */
+    private def dynamicPath(base: ColB): ColB =
+      if (!peekIs(".")) base
+      else {
+        val path = new StringBuilder("$")
+        while (peekIs(".")) { expect("."); path ++= "."; path ++= ident() }
+        val p = path.toString
+        df => get_json_object(base(df), p)
+      }
 
     /** Called with '(' consumed; consumes through the closing ')'.
       * `pack` and `round` parse literal sub-arguments at parse time (the
@@ -332,7 +352,11 @@ object KqlCompiler {
         case "toupper" => arity(1); df => upper(args.head(df))
         case "tostring" => arity(1); df => args.head(df).cast("string")
         case "tolong" => arity(1); df => args.head(df).cast("long")
+        case "toint" => arity(1); df => args.head(df).cast("int")
         case "todouble" | "toreal" => arity(1); df => args.head(df).cast("double")
+        // dynamic IS the JSON text in this engine (see dynamicPath), so
+        // parse_json/todynamic are the identity; access happens postfix.
+        case "parse_json" | "todynamic" | "parse_dynamic" => arity(1); df => args.head(df)
         case "bin" | "floor" => arity(2); df => floor(args(0)(df) / args(1)(df)) * args(1)(df)
         case "abs" => arity(1); df => abs(args.head(df))
         case "isnull" => arity(1); df => args.head(df).isNull

@@ -110,6 +110,18 @@ object KqlQueries extends QueryModule {
           | | extend bucket = case(value < 50, 'small', value < 90, 'medium', 'large')
           | | summarize n = count(), total = round(sum(value), 2), mx = max(value) by event_type, bucket
           | | order by event_type asc, bucket asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // Kusto `dynamic` access as KQL TEXT: parse_json + dot-path + tolong
+    // through the compiler — same semantics (and oracle) as the q09
+    // DataFrame shape.
+    "q48_kql_text_dynamic" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | extend k = tolong(parse_json(props).k)
+          | | where k >= 50
+          | | project event_id, k
+          | | order by event_id asc""".stripMargin,
         _ => Tables.events(s, dir)))
   )
 
@@ -169,6 +181,11 @@ object KqlQueries extends QueryModule {
                 CASE WHEN value < 50 THEN 'small' WHEN value < 90 THEN 'medium' ELSE 'large' END AS bucket,
                 count(*) AS n, round(sum(value), 2) AS total, max(value) AS mx
          FROM events WHERE event_type IN ('purchase', 'error') AND value >= 10
-         GROUP BY 1, 2 ORDER BY event_type, bucket"""
+         GROUP BY 1, 2 ORDER BY event_type, bucket""",
+
+    "q48_kql_text_dynamic" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+         ORDER BY event_id"""
   )
 }

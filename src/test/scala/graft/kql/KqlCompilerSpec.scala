@@ -122,6 +122,28 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(intercept[KqlParseException](run("t | project-frobnicate x")).getMessage.contains("project-frobnicate"))
   }
 
+  test("dynamic access: parse_json + dot path + tolong/toint/todouble") {
+    import spark.implicits._
+    val j = Seq(
+      (1L, """{"k": 7, "nest": {"d": 1.5}, "s": "x"}"""),
+      (2L, """{"k": 99, "nest": {"d": 2.5}, "s": "y"}"""),
+      (3L, """{"other": 1}"""))
+      .toDF("id", "props")
+    val out = KqlCompiler.compile(
+      "t | extend k = tolong(parse_json(props).k) | where k >= 7 | project id, k | order by id asc",
+      _ => j).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 7L), (2L, 99L)))
+    // nested path in one probe; todynamic is an alias; toint casts
+    val nested = KqlCompiler.compile(
+      "t | extend d = todouble(todynamic(props).nest.d) | project id, d | order by id asc",
+      _ => j).collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getDouble(1)))
+    assert(nested.toSeq == Seq((1L, 1.5), (2L, 2.5), (3L, null)))
+    assert(KqlCompiler.compile("t | extend k = toint(parse_json(props).k) | where isnotnull(k)",
+      _ => j).count() == 2)
+    // missing key is null, dot access works directly on a string column
+    assert(KqlCompiler.compile("t | where isnull(props.k)", _ => j).count() == 1)
+  }
+
   test("parse errors are loud and specific") {
     assert(intercept[KqlParseException](run("t | explode x")).getMessage.contains("unsupported operator"))
     assert(intercept[KqlParseException](run("t | where name == 'unterminated")).getMessage.contains("unterminated"))
