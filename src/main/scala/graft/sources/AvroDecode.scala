@@ -92,6 +92,89 @@ object AvroDecode {
     toSpark(reader.read(null, dec), structType).asInstanceOf[Row]
   }
 
+  // ---------------------------------------------- registry wire format
+
+  /** The Confluent schema-registry wire format's magic byte: one 0x00,
+    * then a big-endian 4-byte schema id, then the Avro binary datum.
+    * This framing is public knowledge (the registry serdes' documented
+    * wire format); the reference's default deployment consumes it via
+    * Connect's AvroConverter (reference: README.md:137-156). */
+  val ConfluentMagic: Byte = 0x00
+
+  /** Frame a bare Avro datum in the registry wire format (test/fixture
+    * side of [[decodeConfluent]]). */
+  def frameConfluent(schemaId: Int, datum: Array[Byte]): Array[Byte] =
+    java.nio.ByteBuffer.allocate(5 + datum.length)
+      .put(ConfluentMagic).putInt(schemaId).put(datum).array()
+
+  /** Parse and validate the 5-byte header; returns the schema id. */
+  def confluentSchemaId(bytes: Array[Byte]): Int = {
+    if (bytes.length < 5)
+      throw new IllegalArgumentException(
+        s"registry-framed record too short: ${bytes.length} bytes (need 5-byte header)")
+    if (bytes(0) != ConfluentMagic)
+      throw new IllegalArgumentException(
+        f"bad magic byte 0x${bytes(0)}%02x (expected 0x00 registry framing)")
+    ((bytes(1) & 0xff) << 24) | ((bytes(2) & 0xff) << 16) | ((bytes(3) & 0xff) << 8) | (bytes(4) & 0xff)
+  }
+
+  /** Preflight for a registry-framed avro mapping: every configured
+    * writer schema and the reader schema must parse as Avro records.
+    * Returns collected error strings (empty = valid) — same contract as
+    * the other [[graft.pipeline.Preflight]] checks. */
+  def validateConfluentSchemas(readerSchemaJson: String,
+                               writerSchemasById: Map[Int, String]): Seq[String] = {
+    def parseErr(what: String, json: String): Option[String] =
+      try { new Schema.Parser().parse(json); None }
+      catch { case e: Exception => Some(s"$what: unparseable Avro schema: ${e.getMessage}") }
+    (parseErr("reader schema", readerSchemaJson) ++
+      writerSchemasById.toSeq.sortBy(_._1).flatMap { case (id, j) => parseErr(s"schema id $id", j) }).toSeq
+  }
+
+  /** DataFrame stage: decode registry-framed Avro (`0x00` + schema id +
+    * datum) under schema EVOLUTION — each record is decoded with its
+    * writer schema (looked up by the framed id) resolved against the
+    * single `readerSchemaJson` that defines the output columns, so a
+    * topic whose producers span schema versions decodes to one uniform
+    * DataFrame (new fields take reader defaults, dropped fields are
+    * skipped — standard Avro resolution). Unknown ids fail loudly with
+    * the known-id list. Per-partition: one parsed reader schema and one
+    * cached datum reader PER WRITER ID (bounded by the schema count, not
+    * the row count). No shuffle. */
+  def decodeConfluent(df: DataFrame, readerSchemaJson: String,
+                      writerSchemasById: Map[Int, String],
+                      valueCol: String = "value", passthrough: Seq[String] = Nil): DataFrame = {
+    val errs = validateConfluentSchemas(readerSchemaJson, writerSchemasById)
+    require(errs.isEmpty, errs.mkString("; "))
+    val structType = toStructType(new Schema.Parser().parse(readerSchemaJson))
+    val passFields = passthrough.map(n => df.schema(n))
+    val outSchema = StructType(passFields ++ structType.fields)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val valueIdx = df.schema.fieldIndex(valueCol)
+    val passIdx = passthrough.map(df.schema.fieldIndex)
+    df.mapPartitions { rows =>
+      val readerSchema = new Schema.Parser().parse(readerSchemaJson)
+      val readers = scala.collection.mutable.Map.empty[Int, GenericDatumReader[GenericRecord]]
+      rows.flatMap { row =>
+        row.getAs[Array[Byte]](valueIdx) match {
+          case null => Iterator.empty
+          case bytes =>
+            val id = confluentSchemaId(bytes)
+            val reader = readers.getOrElseUpdate(id, {
+              val writerJson = writerSchemasById.getOrElse(id,
+                throw new IllegalArgumentException(
+                  s"unknown schema id $id (known: ${writerSchemasById.keys.toSeq.sorted.mkString(", ")})"))
+              new GenericDatumReader[GenericRecord](
+                new Schema.Parser().parse(writerJson), readerSchema)
+            })
+            val dec = DecoderFactory.get().binaryDecoder(bytes, 5, bytes.length - 5, null)
+            val decoded = toSpark(reader.read(null, dec), structType).asInstanceOf[Row]
+            Iterator.single(Row.fromSeq(passIdx.map(row.get) ++ decoded.toSeq))
+        }
+      }
+    }(enc)
+  }
+
   /** DataFrame stage: decode `valueCol` (Avro binary) into the record's
     * top-level columns, keeping `passthrough` columns (e.g. kafka
     * coordinates) in front. Rows with a null value are dropped (tombstones

@@ -275,6 +275,39 @@ class PipelineE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Files.list(java.nio.file.Path.of(tablesRoot, "db1", "rawavro")).count() == 3)
   }
 
+  test("registry-framed avro source decodes in a streaming pipeline across schema versions") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val st = StructType(Seq(StructField("vlong", LongType, nullable = false),
+      StructField("vtype", StringType, nullable = true)))
+    val v1 = graft.sink.AvroEncode.toAvroSchema(st)
+    val stV2 = StructType(st.fields :+ StructField("region", StringType, nullable = true))
+    val v2 = graft.sink.AvroEncode.toAvroSchema(stV2)
+    def framed(id: Int, s: org.apache.avro.Schema, vals: Any*): Array[Byte] =
+      graft.sources.AvroDecode.frameConfluent(id,
+        graft.sink.AvroEncode.encodeRow(org.apache.spark.sql.Row(vals: _*), s))
+
+    val stream = MemoryStream[KRecord]
+    stream.addData(Seq(
+      KRecord("t", 0, 0, null, framed(1, v1, 1L, "a")),
+      KRecord("t", 0, 1, null, framed(2, v2, 2L, "b", "eu")),
+      KRecord("t", 0, 2, null, null))) // tombstone: dropped before decode
+    val decoded = graft.sources.AvroDecode.decodeConfluent(
+      stream.toDF(), readerSchemaJson = v2.toString,
+      writerSchemasById = Map(1 -> v1.toString, 2 -> v2.toString),
+      passthrough = Seq("offset"))
+    val q = decoded.writeStream.format("memory").queryName("regdecode")
+      .option("checkpointLocation", Files.createTempDirectory("ck-reg").toString).start()
+    q.processAllAvailable(); q.stop()
+
+    val rows = spark.table("regdecode").orderBy("offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    // v1 record resolves against the v2 reader schema with a null default
+    assert(rows.toSeq == Seq((0L, 1L, "a", null), (1L, 2L, "b", "eu")))
+  }
+
   test("kafka headers ride through the pipeline and land in DLQ metadata") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -76,4 +76,60 @@ class AvroDecodeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val withTombstone = encoded.union(Seq(Tuple1(null.asInstanceOf[Array[Byte]])).toDF("value"))
     assert(AvroDecode.decode(withTombstone, schemaJson).count() == 3)
   }
+
+  // --------------------------------------------- registry wire format
+
+  private val v1Json =
+    """{"type":"record","name":"user","fields":[
+         {"name":"id","type":"long"},{"name":"name","type":"string"}]}"""
+  private val v2Json =
+    """{"type":"record","name":"user","fields":[
+         {"name":"id","type":"long"},{"name":"name","type":"string"},
+         {"name":"tier","type":"string","default":"free"}]}"""
+
+  private def datum(json: String, values: Any*): Array[Byte] =
+    AvroEncode.encodeRow(Row.fromSeq(values),
+      new org.apache.avro.Schema.Parser().parse(json))
+
+  test("confluent framing: magic byte + big-endian schema id round-trip") {
+    val framed = AvroDecode.frameConfluent(0x01020304, Array[Byte](9, 9))
+    assert(framed.take(5).toSeq == Seq[Byte](0, 1, 2, 3, 4))
+    assert(AvroDecode.confluentSchemaId(framed) == 0x01020304)
+    assert(intercept[IllegalArgumentException](
+      AvroDecode.confluentSchemaId(Array[Byte](1, 0, 0, 0, 7, 9))).getMessage.contains("magic"))
+    assert(intercept[IllegalArgumentException](
+      AvroDecode.confluentSchemaId(Array[Byte](0, 0))).getMessage.contains("short"))
+  }
+
+  test("decodeConfluent: two writer-schema versions resolve against one reader schema") {
+    import spark.implicits._
+    val framed = Seq(
+      (100L, AvroDecode.frameConfluent(1, datum(v1Json, 1L, "alpha"))),
+      (200L, AvroDecode.frameConfluent(2, datum(v2Json, 2L, "beta", "pro"))),
+      (300L, null.asInstanceOf[Array[Byte]])) // tombstone dropped
+      .toDF("offset", "value")
+    val out = AvroDecode.decodeConfluent(framed, readerSchemaJson = v2Json,
+      writerSchemasById = Map(1 -> v1Json, 2 -> v2Json), passthrough = Seq("offset"))
+    assert(out.schema.fieldNames.toSeq == Seq("offset", "id", "name", "tier"))
+    val rows = out.orderBy("offset").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    // v1 records take the reader default for the added field
+    assert(rows.toSeq == Seq((100L, 1L, "alpha", "free"), (200L, 2L, "beta", "pro")))
+  }
+
+  test("decodeConfluent: unknown schema id fails loudly with the known-id list") {
+    import spark.implicits._
+    val framed = Seq(Tuple1(AvroDecode.frameConfluent(9, datum(v1Json, 1L, "x")))).toDF("value")
+    val e = intercept[Exception](
+      AvroDecode.decodeConfluent(framed, v2Json, Map(1 -> v1Json, 2 -> v2Json)).collect())
+    val msg = Option(e.getCause).map(_.toString).getOrElse("") + e.getMessage
+    assert(msg.contains("unknown schema id 9") && msg.contains("1, 2"))
+  }
+
+  test("validateConfluentSchemas collects per-schema parse errors") {
+    assert(AvroDecode.validateConfluentSchemas(v2Json, Map(1 -> v1Json)).isEmpty)
+    val errs = AvroDecode.validateConfluentSchemas("not json", Map(1 -> "{", 2 -> v2Json))
+    assert(errs.size == 2)
+    assert(errs.exists(_.startsWith("reader schema")) && errs.exists(_.startsWith("schema id 1")))
+  }
 }
