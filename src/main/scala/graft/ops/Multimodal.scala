@@ -7,10 +7,13 @@ import org.apache.spark.sql.types._
 /** Multimodal column handling: media (image/audio/video) ride through the
   * engine as opaque `binary` payloads plus typed metadata, and decode /
   * feature-extraction runs batched per partition — the Spark-side
-  * plumbing (schema, partitioning, batch shape) is real; the actual codec
-  * call is a deterministic stub because no media libraries exist in this
-  * environment (marked STUB below; swap `decodeStub` for a real decoder
-  * bound per-partition, e.g. via JNI/ONNX session reuse).
+  * plumbing (schema, partitioning, batch shape) is real, and container
+  * METADATA (dimensions, frame counts, sample counts) is parsed from the
+  * actual PNG/JPEG/WAV bytes ([[MediaHeaders]]); only the pixel/sample
+  * codec call itself is a deterministic stub because no media libraries
+  * exist in this environment (marked STUB below; swap `decodeStub`'s
+  * feature step for a real decoder bound per-partition, e.g. via
+  * JNI/ONNX session reuse).
   *
   * Scale design: decode is the expensive map stage, so the pattern is
   *  - keep payloads in `binary` columns (no base64 inflation),
@@ -22,6 +25,98 @@ import org.apache.spark.sql.types._
   *    `mapInPandas` gives Python pipelines,
   *  - emit fixed-width feature vectors + metadata, never the raw pixels.
   */
+/** Pure-JVM media CONTAINER header parsing — PNG IHDR (+ APNG acTL frame
+  * count), JPEG SOFn, and WAV RIFF fmt/data chunks. These are public,
+  * stable byte layouts; no codec library is needed to read dimensions,
+  * frame counts, or sample counts, so this part of multimodal decode is
+  * real even in a codec-less environment (the pixel/sample decode itself
+  * stays behind the declared stub in [[Multimodal]]). */
+object MediaHeaders {
+
+  /** `width`/`height` are pixels for images; for WAV audio `width`
+    * carries the sample rate and `height` the channel count (the two
+    * discriminative dims of an audio stream). `nFrames` is 1 for still
+    * images, the acTL frame count for animated PNG, and the sample-frame
+    * count (data bytes / block align) for WAV. */
+  final case class Header(format: String, width: Int, height: Int, nFrames: Int)
+
+  def parse(b: Array[Byte]): Option[Header] =
+    if (b == null) None else png(b).orElse(jpeg(b)).orElse(wav(b))
+
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+  private def be16(b: Array[Byte], i: Int): Int = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+  private def le16(b: Array[Byte], i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def ascii(b: Array[Byte], i: Int, n: Int): String =
+    new String(b, i, n, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** PNG: 8-byte signature, IHDR first chunk (width/height big-endian at
+    * 16/20); frame count from the APNG acTL chunk when present. Chunk
+    * CRCs are not verified — this is a header probe, not an integrity
+    * check. */
+  private def png(b: Array[Byte]): Option[Header] = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    if (b.length < 24 || !b.take(8).sameElements(sig) || ascii(b, 12, 4) != "IHDR") return None
+    var frames = 1
+    var pos = 8
+    var scanning = true
+    while (scanning && pos + 8 <= b.length) {
+      val clen = be32(b, pos).toLong & 0xffffffffL
+      val ctype = ascii(b, pos + 4, 4)
+      if (ctype == "acTL" && pos + 12 <= b.length) { frames = math.max(1, be32(b, pos + 8)); scanning = false }
+      else if (ctype == "IDAT" || ctype == "IEND") scanning = false // acTL must precede IDAT
+      else pos += 8 + clen.toInt + 4
+    }
+    Some(Header("png", be32(b, 16), be32(b, 20), frames))
+  }
+
+  /** JPEG: walk FF-prefixed segments from SOI to the first SOFn
+    * (C0-CF except the non-frame C4/C8/CC); height/width are big-endian
+    * at offsets 5/7 into the SOF segment. */
+  private def jpeg(b: Array[Byte]): Option[Header] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return None // desynced: not a marker
+      val m = b(i + 1) & 0xff
+      if (m == 0xff) i += 1 // fill byte
+      else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // standalone
+      else if (m == 0xd9 || m == 0xda) return None // EOI/SOS before any SOF
+      else {
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          if (i + 9 > b.length) return None
+          return Some(Header("jpeg", be16(b, i + 7), be16(b, i + 5), 1))
+        }
+        val len = be16(b, i + 2)
+        if (len < 2) return None
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  /** WAV: RIFF/WAVE container; channels + sample rate + block align from
+    * the fmt chunk, sample-frame count = data chunk bytes / block align.
+    * Chunks are word-aligned (odd sizes pad one byte). */
+  private def wav(b: Array[Byte]): Option[Header] = {
+    if (b.length < 36 || ascii(b, 0, 4) != "RIFF" || ascii(b, 8, 4) != "WAVE") return None
+    var pos = 12
+    var channels = 0; var sampleRate = 0; var blockAlign = 0; var dataLen = -1L
+    while (pos + 8 <= b.length) {
+      val id = ascii(b, pos, 4)
+      val sz = le32(b, pos + 4).toLong & 0xffffffffL
+      if (id == "fmt " && pos + 8 + 16 <= b.length) {
+        channels = le16(b, pos + 10); sampleRate = le32(b, pos + 12); blockAlign = le16(b, pos + 20)
+      } else if (id == "data") dataLen = sz
+      pos += 8 + sz.toInt + (sz.toInt & 1)
+    }
+    if (blockAlign <= 0 || dataLen < 0) None
+    else Some(Header("wav", sampleRate, channels, (dataLen / blockAlign).toInt))
+  }
+}
+
 object Multimodal {
 
   /** Typed metadata the decode stage emits alongside features. */
@@ -49,18 +144,24 @@ object Multimodal {
       col(payloadCol).cast(BinaryType).as("payload"),
       lit(kind).as("media_kind"))
 
-  /** STUB decode: a real implementation would hand `payload` to an image/
-    * audio codec. This stand-in derives width/height/frames and a
-    * FeatureDim-float vector deterministically from the payload bytes, so
-    * the plumbing (batching, schema, null handling) is fully testable and
-    * reproducible. */
+  /** Decode: width/height/frames come from REAL container-header parsing
+    * ([[MediaHeaders]]: PNG IHDR + APNG acTL, JPEG SOFn, WAV RIFF — pure
+    * JVM, public formats) whenever the payload is a recognized container;
+    * the FEATURE VECTOR (and the dims of unrecognized payloads) remains a
+    * deterministic sha-derived STUB, because pixel/sample decode needs a
+    * codec library this environment lacks — swap `decodeStub`'s feature
+    * step for a real decoder bound per-partition (JNI/ONNX session). */
   val FeatureDim = 8
   private[ops] def decodeStub(docId: Long, payload: Array[Byte], kind: String): MediaFeatures = {
     val sha = java.security.MessageDigest.getInstance("SHA-256").digest(payload)
     val shaHex = sha.map("%02x".format(_)).mkString
     def b(i: Int): Int = sha(i) & 0xff
-    val meta = MediaMeta(docId, payload.length, shaHex, kind,
-      width = 16 + b(0) % 240, height = 16 + b(1) % 240, nFrames = 1 + b(2) % 30)
+    val meta = MediaHeaders.parse(payload) match {
+      case Some(h) => MediaMeta(docId, payload.length, shaHex, kind, h.width, h.height, h.nFrames)
+      case None => // unrecognized container: sha-derived stub dims
+        MediaMeta(docId, payload.length, shaHex, kind,
+          width = 16 + b(0) % 240, height = 16 + b(1) % 240, nFrames = 1 + b(2) % 30)
+    }
     val features = Array.tabulate(FeatureDim)(i => (b(i * 2) * 256 + b(i * 2 + 1)) / 65535.0f)
     MediaFeatures(meta, features)
   }

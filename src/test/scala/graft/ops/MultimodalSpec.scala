@@ -21,6 +21,77 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("id", "blob", "kind")
   }
 
+  // ------------------------------------------- real container headers
+
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+  /** Canonical 44-byte WAV header + silence: `frames` sample frames of
+    * 16-bit stereo at 8 kHz (blockAlign 4). */
+  private def wavBytes(frames: Int): Array[Byte] = {
+    val dataLen = frames * 4
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen).put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(2).putInt(8000).putInt(8000 * 4).putShort(4).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    bb.array()
+  }
+
+  test("MediaHeaders parses real ImageIO-generated PNG and JPEG dimensions") {
+    val png = MediaHeaders.parse(pngBytes(37, 23))
+    assert(png.contains(MediaHeaders.Header("png", 37, 23, 1)))
+    val jpg = MediaHeaders.parse(jpegBytes(64, 48))
+    assert(jpg.contains(MediaHeaders.Header("jpeg", 64, 48, 1)))
+  }
+
+  test("MediaHeaders parses WAV sample frames and APNG frame counts") {
+    assert(MediaHeaders.parse(wavBytes(12345))
+      .contains(MediaHeaders.Header("wav", 8000, 2, 12345)))
+    // splice an acTL chunk (8 frames) between IHDR and IDAT of a real PNG
+    val png = pngBytes(5, 5)
+    val ihdrEnd = 8 + 8 + 13 + 4 // sig + IHDR header + data + crc
+    val acTL = java.nio.ByteBuffer.allocate(20)
+      .putInt(8).put("acTL".getBytes("US-ASCII")).putInt(8).putInt(0).putInt(0).array()
+    val apng = png.take(ihdrEnd) ++ acTL ++ png.drop(ihdrEnd)
+    assert(MediaHeaders.parse(apng).contains(MediaHeaders.Header("png", 5, 5, 8)))
+  }
+
+  test("MediaHeaders rejects junk, truncated, and non-media payloads") {
+    assert(MediaHeaders.parse("plain text".getBytes("UTF-8")).isEmpty)
+    assert(MediaHeaders.parse(Array[Byte]()).isEmpty)
+    assert(MediaHeaders.parse(pngBytes(9, 9).take(15)).isEmpty)
+    assert(MediaHeaders.parse(jpegBytes(9, 9).take(3)).isEmpty)
+    assert(MediaHeaders.parse(wavBytes(10).take(20)).isEmpty)
+    assert(MediaHeaders.parse(null).isEmpty)
+  }
+
+  test("decodeAndFeaturize reports REAL dims for recognized containers, stub dims otherwise") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, pngBytes(37, 23), "image"),
+      (2L, jpegBytes(64, 48), "image"),
+      (3L, wavBytes(4321), "audio"),
+      (4L, "not-a-container".getBytes("UTF-8"), "image"))
+      .toDF("id", "blob", "kind")
+    val feats = Multimodal.decodeAndFeaturize(spark,
+        Multimodal.asMedia(rows, "id", "blob", "image"))
+      .collect().map(f => f.meta.docId -> f.meta).toMap
+    assert(feats(1L).width == 37 && feats(1L).height == 23 && feats(1L).nFrames == 1)
+    assert(feats(2L).width == 64 && feats(2L).height == 48)
+    assert(feats(3L).width == 8000 && feats(3L).height == 2 && feats(3L).nFrames == 4321)
+    assert(feats(4L).width >= 16 && feats(4L).nFrames >= 1) // sha-derived stub path
+  }
+
   test("asMedia normalizes to the engine media schema") {
     val m = Multimodal.asMedia(mediaDf, "id", "blob", "image")
     assert(m.schema.fieldNames.toSeq == Seq("doc_id", "payload", "media_kind"))
