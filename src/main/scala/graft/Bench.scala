@@ -6,6 +6,12 @@ import org.apache.spark.sql.SparkSession
   * Catalyst prune projections/sorts and measures only the scan —
   * VERDICT r1 item 2). Failures are reported explicitly as -1 and kept
   * out of the total instead of masquerading as fast queries.
+  *
+  * Each query runs TWICE and reports the min (VERDICT r4 item 5): a
+  * single cold shot records GC/run-order phantoms up to 8× the true
+  * plan cost, which poisons round-over-round comparison; min-of-2 is
+  * the cheapest estimator that kills them while still timing the full
+  * plan each time.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -26,15 +32,18 @@ object Bench {
     catch { case _: Throwable => () }
 
     var errors = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          errors ::= name; false
-        }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        errors ::= name; -1.0
+      }
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val first = timeOnce(name, fn)
+      name -> (if (first < 0) first else math.min(first, timeOnce(name, fn)))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
