@@ -40,7 +40,9 @@ object LlmQueries extends QueryModule {
     * workload is over a COMPUTED array (shingles, bands, sequences), so
     * the rule only costs here (measured 23% on q24 at sf0.1); its benefit
     * case — pruning stored array columns before a generate — does not
-    * occur in this engine. */
+    * occur in this engine. The exclusion applies to the session PASSED
+    * IN; the top-level `queries` pass a child session (see [[docs]]) so
+    * it never affects the caller's other workloads. */
   private[graft] def registerFunctions(s: SparkSession): Unit = {
     GraftFunctions.register(s)
     GraftFunctions.registerMinhash(s, MinhashParams, MinhashP)
@@ -48,13 +50,25 @@ object LlmQueries extends QueryModule {
       "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
   }
 
-  private def docs(s: SparkSession, dir: String): Unit = {
-    registerFunctions(s)
-    Tables.documents(s, dir).createOrReplaceTempView("documents")
+  /** LLM queries run in a CHILD session (`newSession`: same
+    * SparkContext and shared catalog, but separate conf / temp views /
+    * function registry), so the [[registerFunctions]] rule exclusion is
+    * scoped to this module's plans and never leaks into the caller's
+    * session — a mixed workload keeps `InferFiltersFromGenerate` for its
+    * stored-array explodes (VERDICT r4). The returned DataFrames carry
+    * the child session, so their execution (whenever the caller acts on
+    * them) sees the exclusion without any save/restore races. */
+  private def docs(s: SparkSession, dir: String): SparkSession = {
+    val s2 = s.newSession()
+    registerFunctions(s2)
+    Tables.documents(s2, dir).createOrReplaceTempView("documents")
+    s2
   }
-  private def embs(s: SparkSession, dir: String): Unit = {
-    GraftFunctions.register(s)
-    Tables.embeddings(s, dir).createOrReplaceTempView("embeddings")
+  private def embs(s: SparkSession, dir: String): SparkSession = {
+    val s2 = s.newSession()
+    registerFunctions(s2)
+    Tables.embeddings(s2, dir).createOrReplaceTempView("embeddings")
+    s2
   }
 
   // ---------------------------------------------------------------- dedup
@@ -201,8 +215,8 @@ object LlmQueries extends QueryModule {
     * list (window-min + dedup — no join); the driver loop only reads a
     * COUNT/CHECKSUM per round, no row data ever reaches the driver. */
   private def dupClusters(s: SparkSession, dir: String): DataFrame = {
-    docs(s, dir)
-    connectedComponents(s.sql(minhashSql()).select(col("id_a"), col("id_b")))
+    val s2 = docs(s, dir)
+    connectedComponents(s2.sql(minhashSql()).select(col("id_a"), col("id_b")))
   }
 
   private val ccWin = org.apache.spark.sql.expressions.Window.partitionBy("src")
@@ -747,8 +761,8 @@ object LlmQueries extends QueryModule {
 
   // ------------------------------------------------------------ wiring
 
-  private def sqlQuery(view: (SparkSession, String) => Unit, sql: String): (SparkSession, String) => DataFrame =
-    (s, dir) => { view(s, dir); s.sql(sql) }
+  private def sqlQuery(view: (SparkSession, String) => SparkSession, sql: String): (SparkSession, String) => DataFrame =
+    (s, dir) => view(s, dir).sql(sql)
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_exact_dedup" -> (exactDedup(_, _)),

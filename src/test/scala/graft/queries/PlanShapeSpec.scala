@@ -83,4 +83,25 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // to the bucket equi-join and window, not a GROUP BY vec_id
     assert(!p.contains("keys=[vec_id"), s"unexpected aggregate on vec_id: ")
   }
+
+  test("InferFiltersFromGenerate exclusion is scoped to LLM-query sessions") {
+    val excludedKey = "spark.sql.optimizer.excludedRules"
+    val rule = "InferFiltersFromGenerate"
+    // The LLM query's own session carries the exclusion...
+    val q22 = SparkEntry.queries("q22_minhash_lsh")(spark, dir)
+    assert(q22.sparkSession.conf.get(excludedKey, "").contains(rule))
+    assert(q22.sparkSession ne spark, "LLM queries must run in a child session")
+    // ...while the caller's session is untouched: a stored-array explode
+    // here still gets the rule's inferred size/notnull filter.
+    assert(!spark.conf.get(excludedKey, "").contains(rule),
+      "exclusion leaked into the caller's session")
+    // (a parquet-backed array — a local relation would constant-fold the
+    // inferred filter away before it is observable)
+    graft.Tables.embeddings(spark, dir).createOrReplaceTempView("stored_arrays")
+    val exploded = spark.sql(
+      "SELECT vec_id, x FROM stored_arrays LATERAL VIEW explode(embedding) AS x")
+    val opt = exploded.queryExecution.optimizedPlan.toString
+    assert(opt.contains("size(embedding"),
+      s"rule inactive on the caller's session — no inferred generate filter in:\n$opt")
+  }
 }
