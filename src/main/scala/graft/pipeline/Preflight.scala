@@ -26,8 +26,21 @@ final class PreflightException(val errors: Seq[String])
   * (reference: KustoSinkTask.java:212-307,342-387).
   */
 object Preflight {
+
+  /** Streaming ingestion caps a single request at 4 MB (reference
+    * guidance: README.md:427-429) — a larger roll target would make
+    * every streaming ingest oversized and fall back to queued, silently
+    * defeating the mode the mapping asked for. Caught at startup. */
+  val StreamingMaxFlushBytes: Long = 4L * 1024 * 1024
+
   def validate(config: SinkConfig, client: MetadataClient): Unit = {
-    val errors = config.mappings.flatMap(validateMapping(_, client))
+    val flushErrors =
+      if (config.flushSizeBytes > StreamingMaxFlushBytes)
+        config.mappings.filter(_.streaming).map(m =>
+          s"flushSizeBytes ${config.flushSizeBytes} exceeds the 4 MB streaming ingestion cap " +
+            s"(topic '${m.topic}' → ${m.db}.${m.table} requests streaming)")
+      else Nil
+    val errors = flushErrors ++ config.mappings.flatMap(validateMapping(_, client))
     if (errors.nonEmpty) throw new PreflightException(errors)
   }
 

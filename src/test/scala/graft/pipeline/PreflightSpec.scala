@@ -40,6 +40,22 @@ class PreflightSpec extends AnyFunSuite {
     assert(e.errors.exists(m => m.contains("valueSchema") && m.contains("'a'")))
   }
 
+  test("streaming mapping with flushSizeBytes over the 4 MB cap fails at startup") {
+    // over-cap + streaming: caught, named per streaming mapping only
+    val e = intercept[PreflightException](Preflight.validate(
+      SinkConfig(mappings = Seq(
+        TableMapping("a", "db", "t1", streaming = true),
+        TableMapping("b", "db", "t2")), flushSizeBytes = 8L * 1024 * 1024), new Stub()))
+    assert(e.errors.size == 1)
+    assert(e.errors.head.contains("4 MB streaming ingestion cap") && e.errors.head.contains("'a'"))
+    // over-cap without streaming mappings: fine (queued ingestion has no such cap)
+    Preflight.validate(SinkConfig(mappings = Seq(TableMapping("b", "db", "t2")),
+      flushSizeBytes = 8L * 1024 * 1024), new Stub())
+    // streaming at exactly the cap: fine
+    Preflight.validate(SinkConfig(mappings = Seq(TableMapping("a", "db", "t1", streaming = true)),
+      flushSizeBytes = Preflight.StreamingMaxFlushBytes), new Stub())
+  }
+
   test("all errors collected in one pass: mapping, permission, streaming policy") {
     val client = new Stub(ingestOk = Set(("db", "t1")), streamingOk = Set.empty)
     val e = intercept[PreflightException](Preflight.validate(cfg(
