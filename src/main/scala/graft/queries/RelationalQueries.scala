@@ -236,6 +236,23 @@ object RelationalQueries extends QueryModule {
         .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"),
           col("purchase_value"), col("asof_click_value"))
         .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // Forward as-of: for each purchase, the NEXT click at-or-after it —
+    // same union+window single-shuffle shape as q42, reversed ordering.
+    "q49_asof_forward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(col("value"), col("event_id")).as("click_value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value").as("purchase_value"))
+      graft.ops.AsOfJoin.asOfForward(purchases, clicks,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          rightCols = Seq("click_value"))
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("purchase_value"), col("asof_click_value"))
+        .orderBy(col("user_id"), col("event_id"))
     })
   )
 
@@ -382,6 +399,19 @@ object RelationalQueries extends QueryModule {
                 p.purchase_value, c.click_value AS asof_click_value
          FROM purchases p ASOF LEFT JOIN clicks c
            ON p.user_id = c.user_id AND p.ts >= c.ts
+         ORDER BY p.user_id, p.event_id""",
+
+    "q49_asof_forward" ->
+      """WITH clicks AS (
+           SELECT user_id, ts, max_by(value, event_id) AS click_value
+           FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+         purchases AS (
+           SELECT user_id, event_id, ts, value AS purchase_value
+           FROM events WHERE event_type = 'purchase')
+         SELECT p.user_id, p.event_id, epoch_ms(p.ts) AS ts_ms,
+                p.purchase_value, c.click_value AS asof_click_value
+         FROM purchases p ASOF LEFT JOIN clicks c
+           ON p.user_id = c.user_id AND p.ts <= c.ts
          ORDER BY p.user_id, p.event_id"""
   )
 }
