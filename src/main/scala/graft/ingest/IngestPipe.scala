@@ -59,6 +59,11 @@ final class IngestPipe(
     dlq: Option[DlqProducer],
     metrics: SinkMetrics) extends Serializable {
 
+  // executors each materialize their own logger on first use (slf4j
+  // loggers are not serializable; stderr would be unreadable at fleet
+  // scale)
+  @transient private lazy val log = org.slf4j.LoggerFactory.getLogger(classOf[IngestPipe])
+
   /** Highest offset whose file has been accepted by the sink. Offsets at
     * or below this are safe to commit. */
   @volatile var lastCommittedOffset: Long = -1L
@@ -75,9 +80,8 @@ final class IngestPipe(
           if (IngestionStatus.finalButLossy(status)) {
             // Final-but-lossy states are logged and NOT retried/DLQ'd —
             // exact reference semantics (TopicPartitionWriter.java:161-175).
-            System.err.println(
-              s"[ingest] file ${file.path} finished with final status $status; " +
-                "status is final — not retried, not dead-lettered")
+            log.warn("file {} finished with final status {}; " +
+              "status is final — not retried, not dead-lettered", file.path, status)
           }
           lastCommittedOffset = file.lastOffset
           metrics.ingestionSuccesses.inc()

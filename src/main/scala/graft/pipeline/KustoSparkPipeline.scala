@@ -122,7 +122,8 @@ final class KustoSparkPipeline(
                     case ErrorBehavior.Fail => throw e
                     case mode =>
                       if (mode == ErrorBehavior.Log)
-                        System.err.println(s"[sink] record write failed at ${rec.topic}/${rec.partition}/${rec.offset}: ${e.getMessage}")
+                        KustoSparkPipeline.log.warn("record write failed at {}/{}/{}: {}",
+                          rec.topic, rec.partition, rec.offset, e.getMessage)
                       m.recordsFailed.inc()
                       dlq.foreach { d =>
                         m.dlqRecordsSent.inc()
@@ -156,4 +157,11 @@ final class KustoSparkPipeline(
       .trigger(trigger)
       .foreachBatch((df: DataFrame, id: Long) => processBatch(df, id))
       .start()
+}
+
+object KustoSparkPipeline {
+  // shared per-JVM logger for executor-side batch processing (slf4j
+  // loggers are not serializable — the object re-resolves per executor)
+  private[pipeline] lazy val log =
+    org.slf4j.LoggerFactory.getLogger(classOf[KustoSparkPipeline])
 }
