@@ -253,6 +253,26 @@ object RelationalQueries extends QueryModule {
         .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"),
           col("purchase_value"), col("asof_click_value"))
         .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // Nearest as-of: the click closest in time either way (backward wins
+    // gap ties) — both direction windows share ONE shuffle (plan-pinned
+    // in AsOfJoinSpec); the oracle is a correlated min-gap subquery,
+    // which DuckDB can afford at oracle scale but a 100 TB engine cannot
+    // (that is exactly why the union+window shape exists).
+    "q50_asof_nearest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(col("value"), col("event_id")).as("click_value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value").as("purchase_value"))
+      graft.ops.AsOfJoin.asOfNearest(purchases, clicks,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          rightCols = Seq("click_value"))
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("purchase_value"), col("asof_click_value"))
+        .orderBy(col("user_id"), col("event_id"))
     })
   )
 
@@ -412,6 +432,21 @@ object RelationalQueries extends QueryModule {
                 p.purchase_value, c.click_value AS asof_click_value
          FROM purchases p ASOF LEFT JOIN clicks c
            ON p.user_id = c.user_id AND p.ts <= c.ts
+         ORDER BY p.user_id, p.event_id""",
+
+    "q50_asof_nearest" ->
+      """WITH clicks AS (
+           SELECT user_id, ts, max_by(value, event_id) AS click_value
+           FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+         purchases AS (
+           SELECT user_id, event_id, ts, value AS purchase_value
+           FROM events WHERE event_type = 'purchase')
+         SELECT p.user_id, p.event_id, epoch_ms(p.ts) AS ts_ms, p.purchase_value,
+                (SELECT c.click_value FROM clicks c
+                 WHERE c.user_id = p.user_id
+                 ORDER BY abs(epoch_ms(c.ts) - epoch_ms(p.ts)) ASC, (c.ts <= p.ts) DESC
+                 LIMIT 1) AS asof_click_value
+         FROM purchases p
          ORDER BY p.user_id, p.event_id"""
   )
 }
