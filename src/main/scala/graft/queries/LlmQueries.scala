@@ -759,6 +759,69 @@ object LlmQueries extends QueryModule {
            ceil(octet_length(text::BLOB) / 64.0)::BIGINT AS n_frames
     FROM documents ORDER BY doc_id"""
 
+  /** BM25 keyword scoring (k1=1.2, b=0.75) for a FIXED query term set —
+    * the retrieval/quality-filter primitive of a training-data pipeline
+    * ("pull the top docs about X from the corpus"). Physical shape at
+    * any scale: per-doc term frequencies are computed in the SCAN
+    * projection (map-only `filter` over the token array — no explode, no
+    * shuffle), corpus statistics (N, avgdl, per-term document
+    * frequencies) are ONE global aggregate row cross-joined back
+    * (broadcast), and the result is a top-k (TakeOrderedAndProject,
+    * never a global sort). An inverted index only pays off for ad-hoc
+    * query workloads; for a fixed term set this one-pass scan is the
+    * minimal-shuffle plan. Term contributions are summed in fixed
+    * written order and rounded to 6dp so Spark and DuckDB agree bit-wise
+    * after rounding. */
+  private val Bm25Terms = Seq("query", "stream", "vector")
+  private def bm25TfCols(filterFn: String, sizeFn: String): String =
+    Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"$sizeFn($filterFn(t, x -> x = '$t')) AS tf${i + 1}"
+    }.mkString(",\n           ")
+  private def bm25Score(castD: String => String): String =
+    Bm25Terms.indices.map { i =>
+      val (tf, df) = (s"tf${i + 1}", s"df${i + 1}")
+      s"ln(1.0 + (n - $df + 0.5) / ($df + 0.5)) * (${castD(tf)} * 2.2) / " +
+        s"(${castD(tf)} + 1.2 * (0.25 + 0.75 * ${castD("dl")} / avgdl))"
+    }.mkString("\n         + ")
+
+  private val bm25Sql = s"""
+    WITH toks AS (SELECT doc_id, split(lower(text), '\\\\s+') AS t FROM documents),
+    stats AS (
+      SELECT doc_id, size(t) AS dl,
+           ${bm25TfCols("filter", "size")}
+      FROM toks),
+    corpus AS (
+      SELECT cast(count(1) AS double) AS n, avg(cast(dl AS double)) AS avgdl,
+             ${Bm25Terms.indices.map(i =>
+               s"cast(sum(CASE WHEN tf${i + 1} > 0 THEN 1 ELSE 0 END) AS double) AS df${i + 1}")
+               .mkString(",\n             ")}
+      FROM stats)
+    SELECT doc_id,
+       round(${bm25Score(c => s"cast($c AS double)")}, 6) AS bm25
+    FROM stats CROSS JOIN corpus
+    WHERE tf1 + tf2 + tf3 > 0
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20"""
+
+  private val bm25Oracle = s"""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents),
+    stats AS (
+      SELECT doc_id, len(t) AS dl,
+           ${bm25TfCols("list_filter", "len")}
+      FROM toks),
+    corpus AS (
+      SELECT count(1)::DOUBLE AS n, avg(dl::DOUBLE) AS avgdl,
+             ${Bm25Terms.indices.map(i =>
+               s"sum(CASE WHEN tf${i + 1} > 0 THEN 1 ELSE 0 END)::DOUBLE AS df${i + 1}")
+               .mkString(",\n             ")}
+      FROM stats)
+    SELECT doc_id,
+       round(${bm25Score(c => s"$c::DOUBLE")}, 6) AS bm25
+    FROM stats CROSS JOIN corpus
+    WHERE tf1 + tf2 + tf3 > 0
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20"""
+
   // ------------------------------------------------------------ wiring
 
   private def sqlQuery(view: (SparkSession, String) => SparkSession, sql: String): (SparkSession, String) => DataFrame =
@@ -778,7 +841,8 @@ object LlmQueries extends QueryModule {
     "q31_multimodal_meta" -> sqlQuery(docs, multimodalSql),
     "q37_embed_neardup" -> sqlQuery(embs, embedNeardupSql()),
     "q38_knn_ivf" -> sqlQuery(embs, ivfKnnSql),
-    "q41_dup_clusters" -> (dupClusters(_, _)))
+    "q41_dup_clusters" -> (dupClusters(_, _)),
+    "q51_bm25" -> sqlQuery(docs, bm25Sql))
 
   override val oracles: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -796,5 +860,6 @@ object LlmQueries extends QueryModule {
     "q31_multimodal_meta" -> multimodalOracle,
     "q37_embed_neardup" -> embedNeardupOracle(),
     "q38_knn_ivf" -> ivfKnnOracle,
-    "q41_dup_clusters" -> dupClustersOracle())
+    "q41_dup_clusters" -> dupClustersOracle(),
+    "q51_bm25" -> bm25Oracle)
 }

@@ -84,6 +84,14 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("keys=[vec_id"), s"unexpected aggregate on vec_id: ")
   }
 
+  test("q51 BM25: map-side tf (no explode), broadcast corpus scalars, top-k not global sort") {
+    val p = plan("q51_bm25")
+    assert(!p.contains("Generate"), "tf must come from array filter in the projection, not explode")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the one-row corpus aggregate must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must not be a global sort")
+  }
+
   test("InferFiltersFromGenerate exclusion is scoped to LLM-query sessions") {
     val excludedKey = "spark.sql.optimizer.excludedRules"
     val rule = "InferFiltersFromGenerate"
