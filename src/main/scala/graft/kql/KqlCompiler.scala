@@ -6,7 +6,9 @@ import org.apache.spark.sql.functions._
 /** String-level KQL → DataFrame compiler for the pipeline grammar the
   * reference emits (SURVEY §2.2 Q1-Q8: `count`, `where`, `project`,
   * `extend`, `summarize [by]`, `order by`, `top N by`, `take`,
-  * `distinct`) plus the scalar surface those queries use (comparisons,
+  * `distinct`), the multi-table surface dashboards build on (`let`
+  * bindings, `join kind=… (sub) on keys`, `union`) plus the scalar
+  * surface those queries use (comparisons,
   * and/or/not, `in`, `startswith`/`endswith`/`contains`, arithmetic,
   * `case`, `iff`, `pack_all`, `pack`, `strcat`, `strlen`,
   * `tolower`/`toupper`, `bin`, Kusto `dynamic` access
@@ -32,13 +34,12 @@ import org.apache.spark.sql.functions._
   */
 object KqlCompiler {
 
-  /** Compile `kql` ("Table | op | op…"), resolving the leading table name
-    * through `resolve`. */
+  /** Compile `kql` — an optional `let name = Table | op…;` prologue
+    * followed by the main pipeline "Table | op | op…" — resolving table
+    * names through `resolve` (with `let` bindings shadowing tables). */
   def compile(kql: String, resolve: String => DataFrame): DataFrame = {
-    val p = new Parser(Lexer.tokens(kql))
-    val table = p.ident()
-    var df = resolve(table)
-    while (p.peekIs("|")) { p.expect("|"); df = p.pipeOp(df) }
+    val p = new Parser(Lexer.tokens(kql), resolve)
+    val df = p.statements()
     p.expectEnd()
     df
   }
@@ -51,8 +52,8 @@ object KqlCompiler {
 
   private final case class Tok(kind: String, text: String) // kind: id|num|str|sym
   private object Lexer {
-    private val symbols = List("==", "!=", "<=", ">=", "..", ".", "|", "(", ")", ",", "=", "<", ">",
-      "+", "-", "*", "/", "%")
+    private val symbols = List("==", "!=", "<=", ">=", "..", ".", "|", "(", ")", ",", ";", "=",
+      "<", ">", "+", "-", "*", "/", "%")
     def tokens(s: String): Vector[Tok] = {
       val out = Vector.newBuilder[Tok]
       var i = 0
@@ -98,8 +99,31 @@ object KqlCompiler {
     * `pack_all()` can expand to that exact schema. */
   private type ColB = DataFrame => Column
 
-  private final class Parser(toks: Vector[Tok]) {
+  private final class Parser(toks: Vector[Tok], resolve: String => DataFrame) {
     private var pos = 0
+    private val lets = scala.collection.mutable.Map.empty[String, DataFrame]
+    private def resolveName(n: String): DataFrame = lets.getOrElse(n, resolve(n))
+
+    /** `let name = <pipeline>; … <pipeline>` — bindings compile eagerly
+      * (they are plans, not data; nothing executes until an action). */
+    def statements(): DataFrame = {
+      while (peekIs("let")) {
+        expect("let"); val n = ident(); expect("=")
+        lets(n) = pipeline(); expect(";")
+      }
+      pipeline()
+    }
+
+    def pipeline(): DataFrame = {
+      var df = resolveName(ident())
+      while (peekIs("|")) { expect("|"); df = pipeOp(df) }
+      df
+    }
+
+    /** A parenthesized sub-pipeline `(T | op…)` or a bare table/let name. */
+    private def subquery(): DataFrame =
+      if (peekIs("(")) { expect("("); val r = pipeline(); expect(")"); r }
+      else resolveName(ident())
     private def peek: Option[Tok] = toks.lift(pos)
     def peekIs(text: String): Boolean = peek.exists(_.text == text)
     private def next(): Tok =
@@ -164,6 +188,29 @@ object KqlCompiler {
       case "distinct" =>
         if (peek.isEmpty || peekIs("|")) df.distinct()
         else { val items = sepBy1(projItem); df.select(items.map(_(df)): _*).distinct() }
+      case "join" =>
+        // `join kind=K (sub) on k1, k2` — key-equality joins (the form
+        // dashboards use). Kinds map onto Spark join types; innerunique
+        // lowers to inner (KQL's left-key dedup is a data property, not
+        // a plan property — pre-`distinct` the left side for it).
+        var kind = "inner"
+        if (peekIs("kind")) { expect("kind"); expect("="); kind = ident() }
+        val sparkKind = kind match {
+          case "inner" | "innerunique" => "inner"
+          case "leftouter" => "left"
+          case "rightouter" => "right"
+          case "fullouter" => "full"
+          case "leftanti" | "anti" => "left_anti"
+          case "leftsemi" => "left_semi"
+          case other => throw new KqlParseException(s"unsupported join kind '$other'")
+        }
+        val right = subquery()
+        expect("on")
+        val keys = sepBy1(() => ident())
+        df.join(right, keys, sparkKind)
+      case "union" =>
+        // KQL union merges by column NAME, filling missing with null
+        df.unionByName(subquery(), allowMissingColumns = true)
       case other => throw new KqlParseException(s"unsupported operator '$other'")
     }
 

@@ -122,6 +122,21 @@ object KqlQueries extends QueryModule {
           | | where k >= 50
           | | project event_id, k
           | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // Multi-table KQL text: let binding + leftouter join — the dashboard
+    // pattern (enrich a fact stream with a summarized dimension). The
+    // summarized side is small after aggregation, so Catalyst broadcasts
+    // it (AQE size-based) — no shuffle of the fact side at scale.
+    "q52_kql_text_join" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """let clicks = events | where event_type == 'click' | summarize n_clicks = count() by user_id;
+          |events
+          | | where event_type == 'purchase'
+          | | project event_id, user_id, pval = value
+          | | join kind=leftouter (clicks) on user_id
+          | | project event_id, user_id, pval, n_clicks
+          | | order by event_id asc""".stripMargin,
         _ => Tables.events(s, dir)))
   )
 
@@ -186,6 +201,14 @@ object KqlQueries extends QueryModule {
     "q48_kql_text_dynamic" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
          FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
-         ORDER BY event_id"""
+         ORDER BY event_id""",
+
+    "q52_kql_text_join" ->
+      """SELECT e.event_id, e.user_id, e.value AS pval, c.n_clicks
+         FROM events e LEFT JOIN (
+           SELECT user_id, count(*) AS n_clicks FROM events
+           WHERE event_type = 'click' GROUP BY user_id) c USING (user_id)
+         WHERE e.event_type = 'purchase'
+         ORDER BY e.event_id"""
   )
 }

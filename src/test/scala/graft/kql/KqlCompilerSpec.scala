@@ -144,6 +144,38 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(KqlCompiler.compile("t | where isnull(props.k)", _ => j).count() == 1)
   }
 
+  test("join kinds, let bindings, and union compile and evaluate") {
+    import spark.implicits._
+    val owners = Seq((1L, "ana"), (3L, "bo"), (9L, "cy")).toDF("id", "owner")
+    val resolve: String => org.apache.spark.sql.DataFrame =
+      { case "t" => df; case "owners" => owners }
+
+    // inner join keeps matching keys only
+    val inner = KqlCompiler.compile(
+      "t | join kind=inner (owners) on id | project id, name, owner | order by id asc", resolve)
+    assert(inner.collect().map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      Seq((1L, "ana"), (3L, "bo")))
+    // leftouter fills nulls; default kind is inner
+    assert(KqlCompiler.compile("t | join (owners) on id", resolve).count() == 2)
+    val lo = KqlCompiler.compile(
+      "t | join kind=leftouter (owners) on id | where isnull(owner) | count", resolve)
+    assert(lo.head().getLong(0) == 3)
+    // leftanti / leftsemi
+    assert(KqlCompiler.compile("t | join kind=leftanti (owners) on id", resolve).count() == 3)
+    assert(KqlCompiler.compile("t | join kind=leftsemi (owners) on id", resolve).count() == 2)
+    // let bindings shadow tables and compose; join against a bare let name
+    val withLet = KqlCompiler.compile(
+      """let big = t | where value >= 55;
+         let named = owners | project-rename k = id;
+         big | join kind=inner (named | project-rename id = k) on id | project id, owner""",
+      resolve)
+    assert(withLet.collect().map(_.getString(1)).toSeq == Seq("bo"))
+    // union merges by name, missing columns become null
+    val u = KqlCompiler.compile(
+      "t | project id, name | union (owners) | count", resolve)
+    assert(u.head().getLong(0) == 8)
+  }
+
   test("parse errors are loud and specific") {
     assert(intercept[KqlParseException](run("t | explode x")).getMessage.contains("unsupported operator"))
     assert(intercept[KqlParseException](run("t | where name == 'unterminated")).getMessage.contains("unterminated"))
