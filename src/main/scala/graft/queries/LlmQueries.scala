@@ -736,6 +736,55 @@ object LlmQueries extends QueryModule {
     SELECT doc_id, len(fps) AS n_fingerprints, list_min(fps) AS min_fp, list_max(fps) AS max_fp
     FROM w ORDER BY doc_id"""
 
+  /** Train/test CONTAMINATION check — the decontamination primitive of a
+    * training pipeline: which corpus documents share winnowing
+    * fingerprints with a benchmark set (here: doc_id % 97 = 0 plays the
+    * held-out benchmark). Physical shape at 100 TB: fingerprints are
+    * map-side (native winnow_fps), the fingerprint-frequency cap (df <=
+    * [[ContamFpCap]]) removes boilerplate n-grams BEFORE the join — the
+    * same stop-phrase guard as q24's inverted index, and standard
+    * decontamination practice (ubiquitous fingerprints carry no overlap
+    * signal, only skew) — then the corpus×bench equi-join runs on capped
+    * posting lists, never all-pairs. The >= 2 shared-fps floor drops
+    * single-gram coincidences. Cap and floor are mirrored in the oracle. */
+  private val ContamFpCap = 200
+  private val contaminationSql = s"""
+    WITH fps AS (
+      SELECT doc_id, explode(winnow_fps(text, 8, 4)) AS fp
+      FROM documents WHERE length(text) >= 11),
+    freq AS (SELECT fp, count(DISTINCT doc_id) AS fdf FROM fps GROUP BY fp),
+    kept AS (SELECT fps.doc_id, fps.fp FROM fps JOIN freq ON fps.fp = freq.fp
+             WHERE freq.fdf <= $ContamFpCap),
+    bench AS (SELECT doc_id AS bench_id, fp FROM kept WHERE doc_id % 97 = 0),
+    corpus AS (SELECT doc_id, fp FROM kept WHERE doc_id % 97 != 0)
+    SELECT c.doc_id, count(DISTINCT c.fp) AS shared_fps,
+           count(DISTINCT b.bench_id) AS n_bench_docs
+    FROM corpus c JOIN bench b ON c.fp = b.fp
+    GROUP BY c.doc_id
+    HAVING count(DISTINCT c.fp) >= 2
+    ORDER BY doc_id"""
+
+  private val contaminationOracle = s"""
+    WITH g AS (
+      SELECT doc_id, list_transform(range(len(text)-7), i -> md5(substr(text, i+1, 8))) AS grams
+      FROM documents WHERE len(text) >= 8),
+    w AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(len(grams)-3), wi -> list_min(grams[wi+1:wi+4]))) AS fpl
+      FROM g WHERE len(grams) >= 4),
+    fps AS (SELECT doc_id, unnest(fpl) AS fp FROM w),
+    freq AS (SELECT fp, count(DISTINCT doc_id) AS fdf FROM fps GROUP BY fp),
+    kept AS (SELECT fps.doc_id, fps.fp FROM fps JOIN freq ON fps.fp = freq.fp
+             WHERE freq.fdf <= $ContamFpCap),
+    bench AS (SELECT doc_id AS bench_id, fp FROM kept WHERE doc_id % 97 = 0),
+    corpus AS (SELECT doc_id, fp FROM kept WHERE doc_id % 97 <> 0)
+    SELECT c.doc_id, count(DISTINCT c.fp) AS shared_fps,
+           count(DISTINCT b.bench_id) AS n_bench_docs
+    FROM corpus c JOIN bench b ON c.fp = b.fp
+    GROUP BY c.doc_id
+    HAVING count(DISTINCT c.fp) >= 2
+    ORDER BY doc_id"""
+
   // -------------------------------------------------------- multimodal
 
   /** Opaque-binary metadata plumbing: payload byte length, content hash,
@@ -842,7 +891,8 @@ object LlmQueries extends QueryModule {
     "q37_embed_neardup" -> sqlQuery(embs, embedNeardupSql()),
     "q38_knn_ivf" -> sqlQuery(embs, ivfKnnSql),
     "q41_dup_clusters" -> (dupClusters(_, _)),
-    "q51_bm25" -> sqlQuery(docs, bm25Sql))
+    "q51_bm25" -> sqlQuery(docs, bm25Sql),
+    "q53_contamination" -> sqlQuery(docs, contaminationSql))
 
   override val oracles: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -861,5 +911,6 @@ object LlmQueries extends QueryModule {
     "q37_embed_neardup" -> embedNeardupOracle(),
     "q38_knn_ivf" -> ivfKnnOracle,
     "q41_dup_clusters" -> dupClustersOracle(),
-    "q51_bm25" -> bm25Oracle)
+    "q51_bm25" -> bm25Oracle,
+    "q53_contamination" -> contaminationOracle)
 }
