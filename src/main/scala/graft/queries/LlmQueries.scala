@@ -785,6 +785,43 @@ object LlmQueries extends QueryModule {
     HAVING count(DISTINCT c.fp) >= 2
     ORDER BY doc_id"""
 
+  /** Vocabulary statistics — the tokenizer/BPE-prep primitive: term
+    * frequency and document frequency per token, top-100 by tf. Physical
+    * shape at 100 TB: explode + partial/final hash aggregate (map-side
+    * combine absorbs the Zipf head — 'the' pre-aggregates to one row per
+    * map task, so token skew never reaches the shuffle), df via
+    * array_distinct BEFORE exploding (dedup inside the row, not a
+    * count(DISTINCT) shuffle), then top-k. */
+  private val vocabSql = """
+    WITH tf AS (
+      SELECT tok, count(1) AS term_freq
+      FROM (SELECT explode(split(lower(text), '\\s+')) AS tok FROM documents)
+      GROUP BY tok),
+    df AS (
+      SELECT tok, count(1) AS doc_freq
+      FROM (SELECT doc_id, explode(array_distinct(split(lower(text), '\\s+'))) AS tok
+            FROM documents)
+      GROUP BY tok)
+    SELECT tf.tok, term_freq, doc_freq
+    FROM tf JOIN df ON tf.tok = df.tok
+    ORDER BY term_freq DESC, tf.tok
+    LIMIT 100"""
+
+  private val vocabOracle = """
+    WITH tf AS (
+      SELECT tok, count(1) AS term_freq
+      FROM (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS tok FROM documents)
+      GROUP BY tok),
+    df AS (
+      SELECT tok, count(1) AS doc_freq
+      FROM (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(text), '\s+'))) AS tok
+            FROM documents)
+      GROUP BY tok)
+    SELECT tf.tok, term_freq, doc_freq
+    FROM tf JOIN df ON tf.tok = df.tok
+    ORDER BY term_freq DESC, tf.tok
+    LIMIT 100"""
+
   // -------------------------------------------------------- multimodal
 
   /** Opaque-binary metadata plumbing: payload byte length, content hash,
@@ -892,7 +929,8 @@ object LlmQueries extends QueryModule {
     "q38_knn_ivf" -> sqlQuery(embs, ivfKnnSql),
     "q41_dup_clusters" -> (dupClusters(_, _)),
     "q51_bm25" -> sqlQuery(docs, bm25Sql),
-    "q53_contamination" -> sqlQuery(docs, contaminationSql))
+    "q53_contamination" -> sqlQuery(docs, contaminationSql),
+    "q54_vocab" -> sqlQuery(docs, vocabSql))
 
   override val oracles: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -912,5 +950,6 @@ object LlmQueries extends QueryModule {
     "q38_knn_ivf" -> ivfKnnOracle,
     "q41_dup_clusters" -> dupClustersOracle(),
     "q51_bm25" -> bm25Oracle,
-    "q53_contamination" -> contaminationOracle)
+    "q53_contamination" -> contaminationOracle,
+    "q54_vocab" -> vocabOracle)
 }
