@@ -17,7 +17,16 @@ object Graft {
 
   /** Register all tables under `dataDir` as temp views plus the native
     * functions (word_shingles, word_shingle_hashes, minhash_sig,
-    * simhash32, winnow_fps, dot_d). Idempotent. */
+    * simhash32, winnow_fps, dot_d). Idempotent.
+    *
+    * NOTE: this opts THIS session into the engine's optimizer default
+    * (`InferFiltersFromGenerate` excluded — right for computed-array
+    * explodes, see [[graft.queries.LlmQueries.registerFunctions]]).
+    * The prebuilt `SparkEntry.queries` never need init and keep that
+    * exclusion scoped to their own child sessions; for function
+    * registration WITHOUT the optimizer opt-in, use
+    * `spark.sql.extensions=graft.GraftExtensions` or
+    * [[graft.functions.GraftFunctions.register]]. */
   def init(spark: SparkSession, dataDir: String): SparkSession = {
     graft.queries.LlmQueries.registerFunctions(spark)
     // normalized views (events gets its timestamp column converted)
