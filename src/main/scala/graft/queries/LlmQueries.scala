@@ -752,9 +752,13 @@ object LlmQueries extends QueryModule {
     WITH fps AS (
       SELECT doc_id, explode(winnow_fps(text, 8, 4)) AS fp
       FROM documents WHERE length(text) >= 11),
-    freq AS (SELECT fp, count(DISTINCT doc_id) AS fdf FROM fps GROUP BY fp),
-    kept AS (SELECT fps.doc_id, fps.fp FROM fps JOIN freq ON fps.fp = freq.fp
-             WHERE freq.fdf <= $ContamFpCap),
+    -- (doc_id, fp) is unique after winnowing's in-row distinct, so the
+    -- frequency cap is a count-over-window: ONE pass over fps and one fp
+    -- shuffle, instead of a groupBy + self-join that would compute the
+    -- winnow explode twice (same trick as q22's band-size cap)
+    kept AS (SELECT doc_id, fp FROM (
+               SELECT doc_id, fp, count(1) OVER (PARTITION BY fp) AS fdf FROM fps)
+             WHERE fdf <= $ContamFpCap),
     bench AS (SELECT doc_id AS bench_id, fp FROM kept WHERE doc_id % 97 = 0),
     corpus AS (SELECT doc_id, fp FROM kept WHERE doc_id % 97 != 0)
     SELECT c.doc_id, count(DISTINCT c.fp) AS shared_fps,
