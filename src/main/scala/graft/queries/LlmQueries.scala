@@ -826,6 +826,35 @@ object LlmQueries extends QueryModule {
     ORDER BY term_freq DESC, tf.tok
     LIMIT 100"""
 
+  /** Deterministic data-mixture sampling — the corpus-mixing primitive
+    * of a training pipeline: each source gets a sampling rate (here
+    * derived from the source digit: src3 → 40%), membership is decided
+    * by a content-stable hash of the doc id (md5 → 32-bit bucket % 100),
+    * and the query audits the realized mixture per source. Physical
+    * shape at any scale: the sample predicate is a map-side expression —
+    * a re-run, a different cluster, or an incremental ingest selects the
+    * SAME documents (no rand(), no seed state to ship); the audit is one
+    * partial/final aggregate over ~|sources| rows. */
+  private val mixtureSql = """
+    WITH rated AS (
+      SELECT doc_id, source,
+             (cast(substr(source, 4, 1) AS int) + 1) * 10 AS rate_pct,
+             cast(conv(substr(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS bigint) % 100 AS bucket
+      FROM documents)
+    SELECT source, rate_pct, count(1) AS n_docs,
+           count(CASE WHEN bucket < rate_pct THEN 1 END) AS n_sampled
+    FROM rated GROUP BY source, rate_pct ORDER BY source"""
+
+  private val mixtureOracle = """
+    WITH rated AS (
+      SELECT doc_id, source,
+             (substr(source, 4, 1)::INT + 1) * 10 AS rate_pct,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+      FROM documents)
+    SELECT source, rate_pct, count(1) AS n_docs,
+           count(CASE WHEN bucket < rate_pct THEN 1 END) AS n_sampled
+    FROM rated GROUP BY source, rate_pct ORDER BY source"""
+
   // -------------------------------------------------------- multimodal
 
   /** Opaque-binary metadata plumbing: payload byte length, content hash,
@@ -934,7 +963,8 @@ object LlmQueries extends QueryModule {
     "q41_dup_clusters" -> (dupClusters(_, _)),
     "q51_bm25" -> sqlQuery(docs, bm25Sql),
     "q53_contamination" -> sqlQuery(docs, contaminationSql),
-    "q54_vocab" -> sqlQuery(docs, vocabSql))
+    "q54_vocab" -> sqlQuery(docs, vocabSql),
+    "q55_data_mixture" -> sqlQuery(docs, mixtureSql))
 
   override val oracles: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -955,5 +985,6 @@ object LlmQueries extends QueryModule {
     "q41_dup_clusters" -> dupClustersOracle(),
     "q51_bm25" -> bm25Oracle,
     "q53_contamination" -> contaminationOracle,
-    "q54_vocab" -> vocabOracle)
+    "q54_vocab" -> vocabOracle,
+    "q55_data_mixture" -> mixtureOracle)
 }
