@@ -855,6 +855,35 @@ object LlmQueries extends QueryModule {
            count(CASE WHEN bucket < rate_pct THEN 1 END) AS n_sampled
     FROM rated GROUP BY source, rate_pct ORDER BY source"""
 
+  /** Repetition detection — the duplicate-3-gram-ratio quality filter
+    * (the Gopher-rules corpus-filter signal: boilerplate and degenerate
+    * generations repeat n-grams). Total 3-grams come from the token
+    * count, distinct ones from the native word_shingles (already
+    * deduped in-row), so the whole query is map-only: zero shuffles
+    * except the oracle-determinism sort. */
+  private val repetitionSql = """
+    WITH s AS (
+      SELECT doc_id, split(lower(text), '\\s+') AS t, word_shingles(text, 3) AS sh3
+      FROM documents)
+    SELECT doc_id,
+           cast(size(t) - 2 AS bigint) AS n_3grams,
+           cast(size(sh3) AS bigint) AS n_distinct_3grams,
+           cast(1.0 AS double) - cast(size(sh3) AS double) / cast(size(t) - 2 AS double) AS dup_ratio
+    FROM s WHERE size(t) >= 3 ORDER BY doc_id"""
+
+  private val repetitionOracle = """
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+    s AS (
+      SELECT doc_id, t,
+             list_distinct(list_transform(range(len(t)-2),
+               i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh3
+      FROM toks)
+    SELECT doc_id,
+           (len(t) - 2)::BIGINT AS n_3grams,
+           len(sh3)::BIGINT AS n_distinct_3grams,
+           1.0::DOUBLE - len(sh3)::DOUBLE / (len(t) - 2)::DOUBLE AS dup_ratio
+    FROM s WHERE len(t) >= 3 ORDER BY doc_id"""
+
   // -------------------------------------------------------- multimodal
 
   /** Opaque-binary metadata plumbing: payload byte length, content hash,
@@ -964,7 +993,8 @@ object LlmQueries extends QueryModule {
     "q51_bm25" -> sqlQuery(docs, bm25Sql),
     "q53_contamination" -> sqlQuery(docs, contaminationSql),
     "q54_vocab" -> sqlQuery(docs, vocabSql),
-    "q55_data_mixture" -> sqlQuery(docs, mixtureSql))
+    "q55_data_mixture" -> sqlQuery(docs, mixtureSql),
+    "q56_repetition" -> sqlQuery(docs, repetitionSql))
 
   override val oracles: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -986,5 +1016,6 @@ object LlmQueries extends QueryModule {
     "q51_bm25" -> bm25Oracle,
     "q53_contamination" -> contaminationOracle,
     "q54_vocab" -> vocabOracle,
-    "q55_data_mixture" -> mixtureOracle)
+    "q55_data_mixture" -> mixtureOracle,
+    "q56_repetition" -> repetitionOracle)
 }
