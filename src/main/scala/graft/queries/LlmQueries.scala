@@ -219,6 +219,40 @@ object LlmQueries extends QueryModule {
     connectedComponents(s2.sql(minhashSql()).select(col("id_a"), col("id_b")))
   }
 
+  /** The dedup MATERIALIZER — what a corpus pipeline actually runs after
+    * near-dup detection: keep each cluster's representative (minimum
+    * doc_id), drop the other members, emit the surviving corpus. The
+    * drop set is tiny relative to the corpus (only non-rep cluster
+    * members), so the anti-join broadcasts it at any scale; everything
+    * upstream is the q22+q41 machinery unchanged. */
+  private def dedupKeep(s: SparkSession, dir: String): DataFrame = {
+    val s2 = docs(s, dir)
+    val clusters = connectedComponents(s2.sql(minhashSql()).select(col("id_a"), col("id_b")))
+    val drop = clusters.filter(col("doc_id") =!= col("cluster_rep")).select("doc_id")
+    s2.table("documents").join(broadcast(drop), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  /** q57 oracle: q41's recursive-CTE components, then keep docs that are
+    * not a non-representative member. */
+  private def dedupKeepOracle(bandCap: Int = BandCap) = s"""
+    WITH RECURSIVE ${minhashOracleCtes(bandCap)},
+    pairs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    verts AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+    comp AS (SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY id),
+    dropset AS (SELECT doc_id FROM comp WHERE doc_id <> cluster_rep)
+    SELECT d.doc_id, d.source, d.lang
+    FROM documents d LEFT JOIN dropset x ON d.doc_id = x.doc_id
+    WHERE x.doc_id IS NULL
+    ORDER BY d.doc_id"""
+
   private val ccWin = org.apache.spark.sql.expressions.Window.partitionBy("src")
 
   /** Large-star: every node connects its strictly-LARGER neighbors to the
@@ -994,7 +1028,8 @@ object LlmQueries extends QueryModule {
     "q53_contamination" -> sqlQuery(docs, contaminationSql),
     "q54_vocab" -> sqlQuery(docs, vocabSql),
     "q55_data_mixture" -> sqlQuery(docs, mixtureSql),
-    "q56_repetition" -> sqlQuery(docs, repetitionSql))
+    "q56_repetition" -> sqlQuery(docs, repetitionSql),
+    "q57_dedup_keep" -> (dedupKeep(_, _)))
 
   override val oracles: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -1017,5 +1052,6 @@ object LlmQueries extends QueryModule {
     "q53_contamination" -> contaminationOracle,
     "q54_vocab" -> vocabOracle,
     "q55_data_mixture" -> mixtureOracle,
-    "q56_repetition" -> repetitionOracle)
+    "q56_repetition" -> repetitionOracle,
+    "q57_dedup_keep" -> dedupKeepOracle())
 }
