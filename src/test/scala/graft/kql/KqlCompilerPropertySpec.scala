@@ -22,9 +22,15 @@ class KqlCompilerPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     (0L until 40L).map(i =>
         (i, Seq("alpha", "beta", "gamma")(i.toInt % 3), (i * 7 % 100).toDouble,
-          if (i % 4 == 0) s"err-$i" else "ok"))
-      .toDF("id", "name", "value", "status")
+          if (i % 4 == 0) s"err-$i" else "ok", s"""{"k": ${i % 9}}"""))
+      .toDF("id", "name", "value", "status", "props")
   }
+  private lazy val dims = {
+    import spark.implicits._
+    (0L until 40L by 3).toDF("id")
+  }
+  private val resolve: String => DataFrame =
+    { case "t" => base; case "dims" => dims }
 
   /** One op = (KQL text, equivalent DataFrame transform). All ops preserve
     * the column set, so they compose in any order. */
@@ -45,10 +51,21 @@ class KqlCompilerPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     ("top 5 by value, id asc", df => df.orderBy(col("value").desc, col("id").asc).limit(5)),
     ("order by value, id asc | take 11", df => df.orderBy(col("value").desc, col("id").asc).limit(11)))
   private val distincts: Seq[Op] = Seq(("distinct", _.distinct()))
+  // column-set-preserving joins (semi/anti) and dynamic access, so they
+  // compose anywhere in the pipeline like the other ops
+  private lazy val joins: Seq[Op] = Seq(
+    ("join kind=leftsemi (dims) on id", df => df.join(dims, Seq("id"), "left_semi")),
+    ("join kind=leftanti (dims) on id", df => df.join(dims, Seq("id"), "left_anti")))
+  private def dynOp(k: Int): Op = (
+    s"extend d$k = tolong(parse_json(props).k) | where isnotnull(d$k) | project-away d$k",
+    df => df.withColumn(s"d$k", get_json_object(col("props"), "$.k").cast("long"))
+      .filter(col(s"d$k").isNotNull).drop(s"d$k"))
 
   private val opGen: Gen[Op] = Gen.frequency(
     5 -> Gen.oneOf(wheres),
     2 -> Gen.choose(0, 9).map(extendOp),
+    2 -> Gen.oneOf(joins),
+    1 -> Gen.choose(0, 9).map(dynOp),
     1 -> Gen.oneOf(distincts))
 
   test("random pipelines: compiled text ≡ direct DataFrame plan (120 cases)") {
@@ -60,7 +77,7 @@ class KqlCompilerPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     pipelines.zipWithIndex.foreach { case (ops, i) =>
       val kql = ("t" +: ops.map(_._1)).mkString(" | ")
       val expected = ops.map(_._2).foldLeft(base)((d, f) => f(d))
-      val got = KqlCompiler.compile(kql, _ => base)
+      val got = KqlCompiler.compile(kql, resolve)
       val (e, g) = (expected.collect().map(_.toString).sorted.toSeq,
         got.collect().map(_.toString).sorted.toSeq)
       assert(g == e, s"pipeline #$i diverged: $kql")
