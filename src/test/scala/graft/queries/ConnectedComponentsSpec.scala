@@ -62,4 +62,32 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size == 3)
     assert(got.values.forall(_ == (1L, 3L)))
   }
+
+  test("random graphs match a reference union-find (40 cases)") {
+    val rnd = new scala.util.Random(2026)
+    for (case_ <- 0 until 40) {
+      val n = 2 + rnd.nextInt(50)
+      val nEdges = 1 + rnd.nextInt(2 * n)
+      val pairs = Seq.fill(nEdges)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      if (pairs.nonEmpty) {
+        // driver-side union-find over the same vertex set
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        pairs.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val verts = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        val expected = verts.map(v => v -> find(v)).toMap
+        val sizes = expected.values.groupBy(identity).map { case (r, vs) => r -> vs.size.toLong }
+        val got = cc(pairs)
+        assert(got.map { case (v, (rep, _)) => v -> rep } == expected, s"case $case_ reps diverged")
+        assert(got.forall { case (v, (rep, size)) => size == sizes(rep) }, s"case $case_ sizes diverged")
+      }
+    }
+  }
 }
