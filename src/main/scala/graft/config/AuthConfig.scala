@@ -3,9 +3,9 @@ package graft.config
 /** A1 — authentication strategy surface (reference:
   * KustoSinkTask.java:78-135 createKustoEngineConnectionString; enum
   * KustoSinkConfig.java:503-505). The engine validates the combination at
-  * config time and hands the resolved strategy to the ingest client
-  * factory; actual token acquisition is the client's concern (out of
-  * engine scope — no network here).
+  * config time; token acquisition for the resolved strategy lives in
+  * [[TokenProvider]] (client-credentials / IMDS / workload-identity /
+  * static, JDK HTTP only).
   */
 sealed trait AuthStrategy
 object AuthStrategy {
