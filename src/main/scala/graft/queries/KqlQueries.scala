@@ -137,6 +137,15 @@ object KqlQueries extends QueryModule {
           | | join kind=leftouter (clicks) on user_id
           | | project event_id, user_id, pval, n_clicks
           | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // bin() as a computed summarize key — the Grafana histogram/timeseries
+    // panel shape (`summarize ... by bin(x, width)`).
+    "q59_kql_text_bin" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | summarize n = count(), avg_v = round(avg(value), 6) by b = bin(value, 10)
+          | | order by b asc""".stripMargin,
         _ => Tables.events(s, dir)))
   )
 
@@ -209,6 +218,11 @@ object KqlQueries extends QueryModule {
            SELECT user_id, count(*) AS n_clicks FROM events
            WHERE event_type = 'click' GROUP BY user_id) c USING (user_id)
          WHERE e.event_type = 'purchase'
-         ORDER BY e.event_id"""
+         ORDER BY e.event_id""",
+
+    "q59_kql_text_bin" ->
+      """SELECT (floor(value / 10) * 10)::BIGINT AS b, count(*) AS n,
+                round(avg(value), 6) AS avg_v
+         FROM events GROUP BY 1 ORDER BY b"""
   )
 }

@@ -918,6 +918,29 @@ object LlmQueries extends QueryModule {
            1.0::DOUBLE - len(sh3)::DOUBLE / (len(t) - 2)::DOUBLE AS dup_ratio
     FROM s WHERE len(t) >= 3 ORDER BY doc_id"""
 
+  /** Per-source length profile — the corpus-audit query run before/after
+    * filtering: exact interpolated percentiles of document length per
+    * source. percentile() is a single-pass typed aggregate (sorted
+    * per-group buffers merge map-side), one partial/final agg over
+    * |sources| groups. */
+  private val lengthProfileSql = """
+    SELECT source,
+           count(1) AS n_docs,
+           round(percentile(n_chars, 0.5), 6) AS p50_chars,
+           round(percentile(n_chars, 0.9), 6) AS p90_chars,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars
+    FROM documents GROUP BY source ORDER BY source"""
+
+  private val lengthProfileOracle = """
+    SELECT source,
+           count(1) AS n_docs,
+           round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+           round(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars
+    FROM documents GROUP BY source ORDER BY source"""
+
   // -------------------------------------------------------- multimodal
 
   /** Opaque-binary metadata plumbing: payload byte length, content hash,
@@ -1029,7 +1052,8 @@ object LlmQueries extends QueryModule {
     "q54_vocab" -> sqlQuery(docs, vocabSql),
     "q55_data_mixture" -> sqlQuery(docs, mixtureSql),
     "q56_repetition" -> sqlQuery(docs, repetitionSql),
-    "q57_dedup_keep" -> (dedupKeep(_, _)))
+    "q57_dedup_keep" -> (dedupKeep(_, _)),
+    "q58_length_profile" -> sqlQuery(docs, lengthProfileSql))
 
   override val oracles: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -1053,5 +1077,6 @@ object LlmQueries extends QueryModule {
     "q54_vocab" -> vocabOracle,
     "q55_data_mixture" -> mixtureOracle,
     "q56_repetition" -> repetitionOracle,
-    "q57_dedup_keep" -> dedupKeepOracle())
+    "q57_dedup_keep" -> dedupKeepOracle(),
+    "q58_length_profile" -> lengthProfileOracle)
 }
