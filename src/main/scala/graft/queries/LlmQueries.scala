@@ -941,6 +941,22 @@ object LlmQueries extends QueryModule {
            max(n_chars) AS max_chars
     FROM documents GROUP BY source ORDER BY source"""
 
+  /** Per-label centroids — the k-means/IVF TRAINING step (q38 consumes a
+    * codebook; this computes one): element-wise mean of the embedding
+    * vectors per label. Physical shape at 100 TB: posexplode to
+    * (label, pos, v) then ONE partial/final hash aggregate on
+    * (label, pos) — means accumulate map-side, no vector ever
+    * collect_list'd, centroid count × dim rows come back. */
+  private val centroidsSql = """
+    SELECT label, pos, round(avg(cast(v AS double)), 6) AS mean_v
+    FROM embeddings LATERAL VIEW posexplode(embedding) AS pos, v
+    GROUP BY label, pos ORDER BY label, pos"""
+
+  private val centroidsOracle = """
+    SELECT label, i::INT AS pos, round(avg(embedding[i+1]::DOUBLE), 6) AS mean_v
+    FROM embeddings, unnest(range(len(embedding))) AS t(i)
+    GROUP BY label, i ORDER BY label, pos"""
+
   // -------------------------------------------------------- multimodal
 
   /** Opaque-binary metadata plumbing: payload byte length, content hash,
@@ -1053,7 +1069,8 @@ object LlmQueries extends QueryModule {
     "q55_data_mixture" -> sqlQuery(docs, mixtureSql),
     "q56_repetition" -> sqlQuery(docs, repetitionSql),
     "q57_dedup_keep" -> (dedupKeep(_, _)),
-    "q58_length_profile" -> sqlQuery(docs, lengthProfileSql))
+    "q58_length_profile" -> sqlQuery(docs, lengthProfileSql),
+    "q60_label_centroids" -> sqlQuery(embs, centroidsSql))
 
   override val oracles: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -1078,5 +1095,6 @@ object LlmQueries extends QueryModule {
     "q55_data_mixture" -> mixtureOracle,
     "q56_repetition" -> repetitionOracle,
     "q57_dedup_keep" -> dedupKeepOracle(),
-    "q58_length_profile" -> lengthProfileOracle)
+    "q58_length_profile" -> lengthProfileOracle,
+    "q60_label_centroids" -> centroidsOracle)
 }
