@@ -957,6 +957,61 @@ object LlmQueries extends QueryModule {
     FROM embeddings, unnest(range(len(embedding))) AS t(i)
     GROUP BY label, i ORDER BY label, pos"""
 
+  /** k-means E-step + evaluation — assign every vector to its nearest
+    * q60 centroid (squared L2) and report the label-vs-assigned
+    * confusion. Determinism across engines: centroids are ROUNDED to 6dp
+    * before distances (both engines see identical codebooks), and the
+    * distance is an explicit left fold over zip_with — fixed IEEE
+    * order, the q25 technique. Physical shape at 100 TB: the codebook is
+    * k×dim values cross-joined (broadcast) against the vectors, argmin
+    * via min_by with a (distance, label) tie-break — one pass, one
+    * partial/final confusion aggregate. */
+  private val kmeansAssignSql = """
+    WITH cent_rows AS (
+      SELECT label AS c_label, pos, round(avg(cast(v AS double)), 6) AS mean_v
+      FROM embeddings LATERAL VIEW posexplode(embedding) AS pos, v
+      GROUP BY label, pos),
+    cents AS (
+      SELECT c_label,
+             transform(sort_array(collect_list(struct(pos, mean_v))), s -> s.mean_v) AS cvec
+      FROM cent_rows GROUP BY c_label),
+    dists AS (
+      SELECT e.vec_id, e.label, c.c_label,
+             aggregate(zip_with(transform(e.embedding, x -> cast(x AS double)), c.cvec,
+                                (x, y) -> (x - y) * (x - y)),
+                       cast(0.0 AS double), (s, x) -> s + x) AS d2
+      FROM embeddings e CROSS JOIN cents c),
+    assign AS (
+      SELECT vec_id, label, min_by(c_label, struct(d2, c_label)) AS assigned
+      FROM dists GROUP BY vec_id, label)
+    SELECT label, assigned, count(1) AS n
+    FROM assign GROUP BY label, assigned ORDER BY label, assigned"""
+
+  private val kmeansAssignOracle = """
+    WITH cent_rows AS (
+      SELECT label AS c_label, i AS pos, round(avg(embedding[i+1]::DOUBLE), 6) AS mean_v
+      FROM embeddings, unnest(range(len(embedding))) AS t(i)
+      GROUP BY label, i),
+    cents AS (
+      SELECT c_label, list(mean_v ORDER BY pos) AS cvec
+      FROM cent_rows GROUP BY c_label),
+    dists AS (
+      SELECT e.vec_id, e.label, c.c_label,
+             list_reduce(list_transform(range(len(c.cvec)),
+                 i -> (e.embedding[i+1]::DOUBLE - c.cvec[i+1]) * (e.embedding[i+1]::DOUBLE - c.cvec[i+1])),
+               (s, x) -> s + x) AS d2
+      FROM embeddings e CROSS JOIN cents c),
+    assign AS (
+      -- DuckDB arg_min has no struct key; a ranked window gives the same
+      -- deterministic (d2, c_label) argmin
+      SELECT vec_id, label, c_label AS assigned
+      FROM (SELECT vec_id, label, c_label,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+            FROM dists)
+      WHERE rn = 1)
+    SELECT label, assigned, count(1) AS n
+    FROM assign GROUP BY label, assigned ORDER BY label, assigned"""
+
   // -------------------------------------------------------- multimodal
 
   /** Opaque-binary metadata plumbing: payload byte length, content hash,
@@ -1070,7 +1125,8 @@ object LlmQueries extends QueryModule {
     "q56_repetition" -> sqlQuery(docs, repetitionSql),
     "q57_dedup_keep" -> (dedupKeep(_, _)),
     "q58_length_profile" -> sqlQuery(docs, lengthProfileSql),
-    "q60_label_centroids" -> sqlQuery(embs, centroidsSql))
+    "q60_label_centroids" -> sqlQuery(embs, centroidsSql),
+    "q61_kmeans_assign" -> sqlQuery(embs, kmeansAssignSql))
 
   override val oracles: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -1096,5 +1152,6 @@ object LlmQueries extends QueryModule {
     "q56_repetition" -> repetitionOracle,
     "q57_dedup_keep" -> dedupKeepOracle(),
     "q58_length_profile" -> lengthProfileOracle,
-    "q60_label_centroids" -> centroidsOracle)
+    "q60_label_centroids" -> centroidsOracle,
+    "q61_kmeans_assign" -> kmeansAssignOracle)
 }
