@@ -97,6 +97,31 @@ object StreamOps {
       .dropDuplicatesWithinWatermark(Seq("__sig"))
       .drop("__sig")
 
+  /** Stream-stream enrichment join: facts joined against a (slowly
+    * updating) dimension STREAM within an event-time band — the
+    * streaming analogue of the q42 as-of lookup for when the dimension
+    * itself arrives as a stream (e.g. metadata updates on a topic).
+    * Both sides are watermarked and the join carries a time-range
+    * condition, so Spark can bound the buffered state on BOTH sides and
+    * evict rows the watermark has passed — the only state-safe
+    * stream-stream join shape (an unconditioned stream join buffers
+    * forever). Inner by default; "leftOuter" emits unmatched facts with
+    * nulls once the watermark proves no match can arrive. State is
+    * hash-partitioned by the join key like any keyed stream state. */
+  def enrichJoin(facts: DataFrame, dims: DataFrame, key: String,
+                 factsTs: String, dimsTs: String,
+                 delayThreshold: String, lookback: String,
+                 joinType: String = "inner"): DataFrame = {
+    val f = facts.withWatermark(factsTs, delayThreshold)
+    val d = dims.withWatermark(dimsTs, delayThreshold)
+      .withColumnRenamed(key, s"__dim_$key")
+    f.join(d,
+      col(key) === col(s"__dim_$key") &&
+        col(dimsTs) <= col(factsTs) &&
+        col(dimsTs) >= col(factsTs) - expr(s"INTERVAL $lookback"),
+      joinType).drop(s"__dim_$key")
+  }
+
   // ------------------------------------------------ custom keyed state
 
   final case class SEvent(user_id: Long, ts: Timestamp, event_type: String)

@@ -125,6 +125,33 @@ class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("enrichJoin: stream-stream banded join matches in-window dims only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val facts = MemoryStream[SEvent]
+    val dims = MemoryStream[(Long, Timestamp, String)]
+    val enriched = StreamOps.enrichJoin(
+      facts.toDF(), dims.toDF().toDF("user_id", "ts_d", "tier"),
+      key = "user_id", factsTs = "ts", dimsTs = "ts_d",
+      delayThreshold = "5 seconds", lookback = "10 seconds")
+    val q = enriched.writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append).start()
+    // dim at t=5 is inside [t-10, t] for the fact at t=12; the dim at
+    // t=30 is in the future of the fact and must NOT match; user 2's
+    // dim is 20s before the fact — outside the band
+    dims.addData((1L, ts(5), "gold"), (1L, ts(30), "late-gold"), (2L, ts(0), "iron"))
+    facts.addData(SEvent(1L, ts(12), "purchase"), SEvent(2L, ts(20), "purchase"))
+    q.processAllAvailable()
+    // advance both watermarks so matched pairs are emitted
+    dims.addData((9L, ts(90), "x"))
+    facts.addData(SEvent(9L, ts(90), "x"))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("enriched")
+      .filter($"event_type" === "purchase")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[String]("tier")))
+    assert(rows.toSeq == Seq((1L, "gold")), s"got ${rows.toSeq}")
+  }
+
   test("statefulSessions: sessions close on event-time timeout, one row per closed session") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
