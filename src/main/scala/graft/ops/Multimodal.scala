@@ -41,7 +41,7 @@ object MediaHeaders {
   final case class Header(format: String, width: Int, height: Int, nFrames: Int)
 
   def parse(b: Array[Byte]): Option[Header] =
-    if (b == null) None else png(b).orElse(jpeg(b)).orElse(wav(b))
+    if (b == null) None else png(b).orElse(jpeg(b)).orElse(gif(b)).orElse(wav(b))
 
   private def be32(b: Array[Byte], i: Int): Int =
     ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
@@ -95,6 +95,16 @@ object MediaHeaders {
       }
     }
     None
+  }
+
+  /** GIF87a/GIF89a: logical screen width/height, little-endian 16-bit at
+    * offsets 6/8 right after the signature. Frame count would need a
+    * full block walk; reported as 1 (still image assumption). */
+  private def gif(b: Array[Byte]): Option[Header] = {
+    if (b.length < 10) return None
+    val sig = ascii(b, 0, 6)
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    Some(Header("gif", le16(b, 6), le16(b, 8), 1))
   }
 
   /** WAV: RIFF/WAVE container; channels + sample rate + block align from

@@ -54,6 +54,14 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(jpg.contains(MediaHeaders.Header("jpeg", 64, 48, 1)))
   }
 
+  test("MediaHeaders parses real ImageIO-generated GIF dimensions") {
+    val img = new java.awt.image.BufferedImage(21, 13, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", out)
+    assert(MediaHeaders.parse(out.toByteArray).contains(MediaHeaders.Header("gif", 21, 13, 1)))
+    assert(MediaHeaders.parse("GIF8".getBytes("US-ASCII")).isEmpty)
+  }
+
   test("MediaHeaders parses WAV sample frames and APNG frame counts") {
     assert(MediaHeaders.parse(wavBytes(12345))
       .contains(MediaHeaders.Header("wav", 8000, 2, 12345)))
