@@ -291,6 +291,13 @@ object KqlCompiler {
           expect("has"); val r = additive()
           df => regexp_like(l(df), concat(lit("(?i)\\b"),
             regexp_replace(r(df), lit("([^a-zA-Z0-9])"), lit("\\\\$1")), lit("\\b")))
+        case Some("has_any") =>
+          // OR of whole-term matches over a literal list
+          expect("has_any"); expect("(")
+          val terms = sepBy1(() => additive()); expect(")")
+          df => terms.map(t => regexp_like(l(df), concat(lit("(?i)\\b"),
+              regexp_replace(t(df), lit("([^a-zA-Z0-9])"), lit("\\\\$1")), lit("\\b"))))
+            .reduce(_ || _)
         case Some("between") =>
           // KQL `x between (lo .. hi)` — inclusive both ends
           expect("between"); expect("(")

@@ -101,6 +101,8 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run("t | where status has 'err'").count() == 2)
     assert(run("t | where status has 'time'").count() == 0)
     assert(run("t | where status has 'timeout'").count() == 1)
+    assert(run("t | where status has_any ('timeout', 'refused')").count() == 2)
+    assert(run("t | where status has_any ('time', 'nope')").count() == 0)
     assert(run("t | where value between (20 .. 70)").count() == 3)
     assert(run("t | where value between (20..70)").count() == 3, "range op without spaces")
     assert(run("t | where value between (19.5..70.5)").count() == 3, "decimal range bounds")
