@@ -52,8 +52,8 @@ object KqlCompiler {
 
   private final case class Tok(kind: String, text: String) // kind: id|num|str|sym
   private object Lexer {
-    private val symbols = List("==", "!=", "<=", ">=", "..", ".", "|", "(", ")", ",", ";", "=",
-      "<", ">", "+", "-", "*", "/", "%")
+    private val symbols = List("==", "!=", "=~", "!~", "<=", ">=", "..", ".", "|", "(", ")", ",",
+      ";", "=", "<", ">", "+", "-", "*", "/", "%")
     def tokens(s: String): Vector[Tok] = {
       val out = Vector.newBuilder[Tok]
       var i = 0
@@ -275,6 +275,9 @@ object KqlCompiler {
       peek.map(_.text) match {
         case Some("==") => expect("=="); val r = additive(); df => l(df) === r(df)
         case Some("!=") => expect("!="); val r = additive(); df => l(df) =!= r(df)
+        // Kusto case-INSENSITIVE equality / inequality
+        case Some("=~") => expect("=~"); val r = additive(); df => lower(l(df)) === lower(r(df))
+        case Some("!~") => expect("!~"); val r = additive(); df => lower(l(df)) =!= lower(r(df))
         case Some("<")  => expect("<");  val r = additive(); df => l(df) < r(df)
         case Some(">")  => expect(">");  val r = additive(); df => l(df) > r(df)
         case Some("<=") => expect("<="); val r = additive(); df => l(df) <= r(df)
@@ -283,9 +286,24 @@ object KqlCompiler {
           expect("in"); expect("(")
           val items = sepBy1(() => expr()); expect(")")
           df => l(df).isin(items.map(_(df)): _*)
-        case Some("startswith") => expect("startswith"); val r = additive(); df => l(df).startsWith(r(df))
-        case Some("endswith") => expect("endswith"); val r = additive(); df => l(df).endsWith(r(df))
-        case Some("contains") => expect("contains"); val r = additive(); df => l(df).contains(r(df))
+        // Kusto string predicates are case-INSENSITIVE by default; the
+        // `_cs` variants are the case-sensitive forms — exact KQL
+        // semantics, not the Spark Column default
+        case Some("startswith") =>
+          expect("startswith"); val r = additive()
+          df => lower(l(df)).startsWith(lower(r(df)))
+        case Some("startswith_cs") =>
+          expect("startswith_cs"); val r = additive(); df => l(df).startsWith(r(df))
+        case Some("endswith") =>
+          expect("endswith"); val r = additive()
+          df => lower(l(df)).endsWith(lower(r(df)))
+        case Some("endswith_cs") =>
+          expect("endswith_cs"); val r = additive(); df => l(df).endsWith(r(df))
+        case Some("contains") =>
+          expect("contains"); val r = additive()
+          df => lower(l(df)).contains(lower(r(df)))
+        case Some("contains_cs") =>
+          expect("contains_cs"); val r = additive(); df => l(df).contains(r(df))
         case Some("has") =>
           // KQL `has` is a whole-term match (not substring): word-boundary regex
           expect("has"); val r = additive()

@@ -41,6 +41,17 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run("t | where status startswith 'err'").count() == 2)
     assert(run("t | where status contains 'time'").count() == 1)
     assert(run("t | where not(status == 'ok') or value == 55").count() == 4)
+    // Kusto string predicates are case-INSENSITIVE; _cs variants and ==
+    // are sensitive; =~/!~ are insensitive equality
+    assert(run("t | where status startswith 'ERR'").count() == 2)
+    assert(run("t | where status startswith_cs 'ERR'").count() == 0)
+    assert(run("t | where status contains 'TIME'").count() == 1)
+    assert(run("t | where status contains_cs 'TIME'").count() == 0)
+    assert(run("t | where status endswith 'OUT'").count() == 1)
+    assert(run("t | where status endswith_cs 'OUT'").count() == 0)
+    assert(run("t | where status =~ 'OK'").count() == 2)
+    assert(run("t | where status == 'OK'").count() == 0)
+    assert(run("t | where status !~ 'OK'").count() == 3)
   }
 
   test("project with aliases and pack_all") {
