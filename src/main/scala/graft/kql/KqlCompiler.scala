@@ -403,6 +403,31 @@ object KqlCompiler {
         expect(")")
         return df => round(e(df), scale)
       }
+      if (name == "split") {
+        // Kusto split(source, delimiter) — delimiter is a PLAIN string,
+        // Spark's split takes a regex: quote it (parse-time literal)
+        val e = expr(); expect(",")
+        val d = next()
+        if (d.kind != "str") throw new KqlParseException("split() delimiter must be a string literal")
+        expect(")")
+        return df => split(e(df), java.util.regex.Pattern.quote(d.text))
+      }
+      if (name == "strcat_delim") {
+        val d = next()
+        if (d.kind != "str") throw new KqlParseException("strcat_delim() separator must be a string literal")
+        expect(",")
+        val parts = sepBy1(() => expr()); expect(")")
+        return df => concat_ws(d.text, parts.map(_(df)): _*)
+      }
+      if (name == "trim") {
+        // Kusto trim(regex, source): strip leading+trailing matches
+        val r = next()
+        if (r.kind != "str") throw new KqlParseException("trim() regex must be a string literal")
+        expect(",")
+        val e = expr(); expect(")")
+        val pat = s"^(${r.text})+|(${r.text})+$$"
+        return df => regexp_replace(e(df), pat, "")
+      }
       val args: List[ColB] =
         if (peekIs(")")) { expect(")"); Nil }
         else { val a = sepBy1(() => expr()); expect(")"); a }
@@ -444,6 +469,20 @@ object KqlCompiler {
         case "min" => arity(1); df => min(args.head(df))
         case "max" => arity(1); df => max(args.head(df))
         case "dcount" => arity(1); df => countDistinct(args.head(df))
+        // conditional aggregates: aggregate only rows passing the predicate
+        case "sumif" => arity(2); df => sum(when(args(1)(df), args(0)(df)))
+        case "avgif" => arity(2); df => avg(when(args(1)(df), args(0)(df)))
+        case "minif" => arity(2); df => min(when(args(1)(df), args(0)(df)))
+        case "maxif" => arity(2); df => max(when(args(1)(df), args(0)(df)))
+        case "dcountif" => arity(2); df => countDistinct(when(args(1)(df), args(0)(df)))
+        // Kusto substring(source, start[, length]) is 0-based; Column.substr is 1-based
+        case "substring" =>
+          if (args.length < 2 || args.length > 3)
+            throw new KqlParseException("substring() expects 2 or 3 arguments")
+          if (args.length == 2) df => { val c = args(0)(df); c.substr(args(1)(df) + 1, length(c)) }
+          else df => args(0)(df).substr(args(1)(df) + 1, args(2)(df))
+        case "replace_string" => arity(3); df => replace(args(0)(df), args(1)(df), args(2)(df))
+        case "reverse" => arity(1); df => reverse(args.head(df))
         case "arg_max" => arity(2); df => Kql.argMax(args(0)(df), args(1)(df))
         case "arg_min" => arity(2); df => Kql.argMin(args(0)(df), args(1)(df))
         case other => throw new KqlParseException(s"unsupported function '$other'")

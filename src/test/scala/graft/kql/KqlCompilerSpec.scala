@@ -135,6 +135,35 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(intercept[KqlParseException](run("t | project-frobnicate x")).getMessage.contains("project-frobnicate"))
   }
 
+  test("scalar surface: substring, split, strcat_delim, trim, replace_string, reverse") {
+    // Kusto substring is 0-based; 2-arg form runs to end of string
+    assert(run("t | where substring(status, 0, 3) == 'err'").count() == 2)
+    assert(run("t | where substring(status, 4) == 'timeout'").count() == 1)
+    // split takes a PLAIN delimiter (the '-' must not be a regex range)
+    assert(run("t | where strlen(tostring(split(status, '-'))) > 0 | count")
+      .head().getLong(0) == 5)
+    assert(run("t | extend j = strcat_delim('|', name, status) | where j == 'alpha|err-timeout'")
+      .count() == 1)
+    assert(run("t | extend c = trim('e', 'eexamplee') | where c == 'xampl'").count() == 5)
+    assert(run("t | extend r = replace_string(status, 'err', 'E') | where r == 'E-timeout'")
+      .count() == 1)
+    assert(run("t | extend v = reverse(name) | where v == 'ahpla'").count() == 2)
+  }
+
+  test("conditional aggregates: sumif, avgif, minif, maxif, dcountif") {
+    val row = run(
+      """t | summarize s = sumif(value, status == 'ok'),
+        |               a = avgif(value, status == 'ok'),
+        |               mn = minif(value, name == 'alpha'),
+        |               mx = maxif(value, name == 'alpha'),
+        |               d = dcountif(name, value > 15)""".stripMargin.replace("\n", " "))
+      .head()
+    assert(row.getDouble(0) == 125.0) // 55 + 70
+    assert(row.getDouble(1) == 62.5)
+    assert(row.getDouble(2) == 10.0 && row.getDouble(3) == 95.0)
+    assert(row.getLong(4) == 3)      // beta(55,70), alpha(95), gamma(20)
+  }
+
   test("dynamic access: parse_json + dot path + tolong/toint/todouble") {
     import spark.implicits._
     val j = Seq(
