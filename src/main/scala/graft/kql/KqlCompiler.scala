@@ -8,15 +8,18 @@ import org.apache.spark.sql.functions._
   * `extend`, `summarize [by]`, `order by`, `top N by`, `take`,
   * `distinct`), the multi-table surface dashboards build on (`let`
   * bindings, `join kind=… (sub) on keys`, `union`) plus the scalar
-  * surface those queries use (comparisons,
-  * and/or/not, `in`, `startswith`/`endswith`/`contains`, arithmetic,
-  * `case`, `iff`, `pack_all`, `pack`, `strcat`, `strlen`,
-  * `tolower`/`toupper`, `bin`, Kusto `dynamic` access
+  * surface those queries use (comparisons incl. Kusto case-insensitive
+  * defaults with `_cs` variants and `=~`/`!~`, and/or/not, `in`,
+  * `startswith`/`endswith`/`contains`, `has`/`has_any`, `between`,
+  * arithmetic, `case`, `iff`, `pack_all`, `pack`, `strcat`,
+  * `strcat_delim`, `strlen`, `substring`, `split`, `trim`,
+  * `replace_string`, `reverse`, `tolower`/`toupper`, `bin`, Kusto
+  * `dynamic` access
   * (`parse_json`/`todynamic` + postfix `.path`, lowered to
   * `get_json_object`; reference need: dynamic columns in
   * docker-quickstart/connector-config/create-table.kql:44-54), and the
   * aggregates `count`, `sum`, `avg`, `min`, `max`, `dcount`, `arg_max`,
-  * `arg_min`).
+  * `arg_min` plus their conditional `…if` forms).
   *
   * A user of the reference interacts with queries as KQL TEXT (emitted
   * validation probes, Grafana dashboard panels, quickstart samples);
