@@ -42,7 +42,13 @@ class KqlCompilerPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     ("where value between (10 .. 60)", df => df.filter(col("value") >= 10 && col("value") <= 60)),
     ("where name in ('beta', 'gamma')", _.filter(col("name").isin("beta", "gamma"))),
     ("where not(name == 'beta') and value * 2 < 150", df => df.filter(!(col("name") === "beta") && col("value") * 2 < 150)),
-    ("where value % 10 + 1 > 5", df => df.filter(col("value") % 10 + 1 > 5)))
+    ("where value % 10 + 1 > 5", df => df.filter(col("value") % 10 + 1 > 5)),
+    ("where status has_any ('err', 'retry') or value >= 60",
+      df => df.filter(regexp_like(col("status"), lit("(?i)\\berr\\b")) ||
+        regexp_like(col("status"), lit("(?i)\\bretry\\b")) || col("value") >= 60)),
+    ("where substring(status, 0, 2) =~ 'OK' or name endswith 'MA'",
+      df => df.filter(lower(col("status").substr(lit(1), lit(2))) === "ok" ||
+        lower(col("name")).endsWith("ma"))))
   private def extendOp(k: Int): Op = (
     s"extend x$k = value * 2 - 1 | project-away x$k",
     df => df.withColumn(s"x$k", col("value") * 2 - 1).drop(s"x$k"))
