@@ -1012,6 +1012,100 @@ object LlmQueries extends QueryModule {
     SELECT label, assigned, count(1) AS n
     FROM assign GROUP BY label, assigned ORDER BY label, assigned"""
 
+  /** IVF ANN over the TRAINED q60 codebook — train → index → probe →
+    * search end-to-end (q38 uses a deterministic sampled codebook; this
+    * uses the learned centroids, the real IVF deployment shape).
+    * Vectors index into their nearest-centroid cell (q61's assignment),
+    * queries probe the nprobe=2 nearest cells by centroid distance, and
+    * exact cosine runs only inside probed cells. Same determinism rules
+    * as q60/q61: 6dp-rounded centroids, fixed-order folds, (value, id)
+    * tie-breaks. Scale shape: codebook broadcast twice (assignment +
+    * probe), search joins on the cell key — never all-pairs. */
+  private val ivfTrainedSql = """
+    WITH cent_rows AS (
+      SELECT label AS c_label, pos, round(avg(cast(v AS double)), 6) AS mean_v
+      FROM embeddings LATERAL VIEW posexplode(embedding) AS pos, v
+      GROUP BY label, pos),
+    cents AS (
+      SELECT c_label,
+             transform(sort_array(collect_list(struct(pos, mean_v))), s -> s.mean_v) AS cvec
+      FROM cent_rows GROUP BY c_label),
+    vn AS (
+      SELECT vec_id, e, sqrt(dot_d(e, e)) AS nrm
+      FROM (SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS e FROM embeddings)),
+    cdist AS (
+      SELECT /*+ BROADCAST(c) */ vn.vec_id, vn.e, vn.nrm, c.c_label,
+             aggregate(zip_with(vn.e, c.cvec, (x, y) -> (x - y) * (x - y)),
+                       cast(0.0 AS double), (s, x) -> s + x) AS d2
+      FROM vn CROSS JOIN cents c),
+    cells AS (
+      SELECT vec_id, w.e AS e, w.nrm AS nrm, w.cell AS cell FROM (
+        SELECT vec_id,
+               min_by(named_struct('e', e, 'nrm', nrm, 'cell', c_label),
+                      named_struct('d', d2, 'c', c_label)) AS w
+        FROM cdist GROUP BY vec_id)),
+    qprobe AS (
+      SELECT vec_id AS qid, c_label AS cell FROM (
+        SELECT vec_id, c_label,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk
+        FROM cdist WHERE vec_id % 100 = 0)
+      WHERE rk <= 2),
+    qv AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM vn WHERE vec_id % 100 = 0),
+    sims AS (
+      SELECT /*+ BROADCAST(qp, qv) */ qp.qid, c.vec_id,
+             dot_d(qv.qe, c.e) / (qv.qnrm * c.nrm) AS sim
+      FROM qprobe qp JOIN cells c ON c.cell = qp.cell JOIN qv ON qv.qid = qp.qid
+      WHERE c.vec_id <> qp.qid),
+    ranked AS (
+      SELECT qid, vec_id, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+      FROM sims)
+    SELECT qid, vec_id, round(sim, 6) AS sim, rank
+    FROM ranked WHERE rank <= 3 ORDER BY qid, rank"""
+
+  private val ivfTrainedOracle = """
+    WITH cent_rows AS (
+      SELECT label AS c_label, i AS pos, round(avg(embedding[i+1]::DOUBLE), 6) AS mean_v
+      FROM embeddings, unnest(range(len(embedding))) AS t(i)
+      GROUP BY label, i),
+    cents AS (
+      SELECT c_label, list(mean_v ORDER BY pos) AS cvec
+      FROM cent_rows GROUP BY c_label),
+    v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    vn AS (SELECT vec_id, e,
+                  sqrt(list_reduce(list_transform(e, x -> x * x), (s, x) -> s + x)) AS nrm
+           FROM v),
+    cdist AS (
+      SELECT vn.vec_id, vn.e, vn.nrm, c.c_label,
+             list_reduce(list_transform(range(len(c.cvec)),
+                 i -> (vn.e[i+1] - c.cvec[i+1]) * (vn.e[i+1] - c.cvec[i+1])),
+               (s, x) -> s + x) AS d2
+      FROM vn CROSS JOIN cents c),
+    cells AS (
+      SELECT vec_id, e, nrm, c_label AS cell FROM (
+        SELECT vec_id, e, nrm, c_label,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk
+        FROM cdist) WHERE rk = 1),
+    qprobe AS (
+      SELECT vec_id AS qid, c_label AS cell FROM (
+        SELECT vec_id, c_label,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk
+        FROM cdist WHERE vec_id % 100 = 0)
+      WHERE rk <= 2),
+    qv AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM vn WHERE vec_id % 100 = 0),
+    sims AS (
+      SELECT qp.qid, c.vec_id,
+             list_reduce(list_transform(range(len(c.e)), i -> qv.qe[i+1] * c.e[i+1]),
+               (s, x) -> s + x) / (qv.qnrm * c.nrm) AS sim
+      FROM qprobe qp JOIN cells c ON c.cell = qp.cell JOIN qv ON qv.qid = qp.qid
+      WHERE c.vec_id <> qp.qid),
+    ranked AS (
+      SELECT qid, vec_id, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+      FROM sims)
+    SELECT qid, vec_id, round(sim, 6) AS sim, rank
+    FROM ranked WHERE rank <= 3 ORDER BY qid, rank"""
+
   // -------------------------------------------------------- multimodal
 
   /** Opaque-binary metadata plumbing: payload byte length, content hash,
@@ -1126,7 +1220,8 @@ object LlmQueries extends QueryModule {
     "q57_dedup_keep" -> (dedupKeep(_, _)),
     "q58_length_profile" -> sqlQuery(docs, lengthProfileSql),
     "q60_label_centroids" -> sqlQuery(embs, centroidsSql),
-    "q61_kmeans_assign" -> sqlQuery(embs, kmeansAssignSql))
+    "q61_kmeans_assign" -> sqlQuery(embs, kmeansAssignSql),
+    "q62_ivf_trained" -> sqlQuery(embs, ivfTrainedSql))
 
   override val oracles: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -1153,5 +1248,6 @@ object LlmQueries extends QueryModule {
     "q57_dedup_keep" -> dedupKeepOracle(),
     "q58_length_profile" -> lengthProfileOracle,
     "q60_label_centroids" -> centroidsOracle,
-    "q61_kmeans_assign" -> kmeansAssignOracle)
+    "q61_kmeans_assign" -> kmeansAssignOracle,
+    "q62_ivf_trained" -> ivfTrainedOracle)
 }
