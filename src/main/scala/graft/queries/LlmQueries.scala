@@ -222,14 +222,19 @@ object LlmQueries extends QueryModule {
   /** The dedup MATERIALIZER — what a corpus pipeline actually runs after
     * near-dup detection: keep each cluster's representative (minimum
     * doc_id), drop the other members, emit the surviving corpus. The
-    * drop set is tiny relative to the corpus (only non-rep cluster
-    * members), so the anti-join broadcasts it at any scale; everything
-    * upstream is the q22+q41 machinery unchanged. */
+    * anti-join carries NO broadcast hint on purpose (VERDICT r5): on a
+    * duplicate-heavy crawl corpus the drop set is O(corpus) doc_ids —
+    * 30-80% of documents is routine — and a forced broadcast of billions
+    * of ids OOMs the driver. Left unhinted, AQE broadcasts when the drop
+    * side measures small at runtime and degrades to a shuffled hash
+    * anti-join (both sides partitioned by doc_id, still one shuffle of
+    * 8-byte keys) when it doesn't — the correct behavior at every dup
+    * rate. Everything upstream is the q22+q41 machinery unchanged. */
   private def dedupKeep(s: SparkSession, dir: String): DataFrame = {
     val s2 = docs(s, dir)
     val clusters = connectedComponents(s2.sql(minhashSql()).select(col("id_a"), col("id_b")))
     val drop = clusters.filter(col("doc_id") =!= col("cluster_rep")).select("doc_id")
-    s2.table("documents").join(broadcast(drop), Seq("doc_id"), "left_anti")
+    s2.table("documents").join(drop, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"), col("lang"))
       .orderBy("doc_id")
   }
