@@ -26,8 +26,9 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // Warm the JVM/codegen once so per-query numbers measure the plan,
-    // not first-use classloading.
-    try SparkEntry.queries.headOption.foreach(_._2(spark, sfDir).write
+    // not first-use classloading. Fixed query (not Map ordering) so the
+    // warm-up cost is identical run-over-run (VERDICT r5 item 7).
+    try SparkEntry.queries.get("q01_count").foreach(_(spark, sfDir).write
       .format("noop").mode("overwrite").save())
     catch { case _: Throwable => () }
 
@@ -49,7 +50,14 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(json)
+    // sbt appends its own "[success]" line after main returns, so stdout's
+    // LAST line is never ours — also persist the JSON to a well-known file
+    // the driver can read directly (VERDICT r5 item 8: "parsed": null).
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_result.json"),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -98,13 +98,51 @@ object MediaHeaders {
   }
 
   /** GIF87a/GIF89a: logical screen width/height, little-endian 16-bit at
-    * offsets 6/8 right after the signature. Frame count would need a
-    * full block walk; reported as 1 (still image assumption). */
+    * offsets 6/8 right after the signature. Frame count = number of 0x2C
+    * image descriptors found by walking the block stream (0x21 extension
+    * blocks are label + data sub-blocks; each sub-block is a length byte
+    * followed by that many bytes, terminated by a 0 length byte; image
+    * descriptors carry an optional local color table, then LZW min-code
+    * byte, then the same sub-block chain). Truncated payloads report the
+    * frames counted so far (min 1) rather than failing the header. */
   private def gif(b: Array[Byte]): Option[Header] = {
     if (b.length < 10) return None
     val sig = ascii(b, 0, 6)
     if (sig != "GIF87a" && sig != "GIF89a") return None
-    Some(Header("gif", le16(b, 6), le16(b, 8), 1))
+    var frames = 0
+    if (b.length >= 13) {
+      var pos = 13 // 6 sig + 7 logical screen descriptor
+      if ((b(10) & 0x80) != 0) pos += 3 * (1 << ((b(10) & 7) + 1)) // global color table
+      def skipSubBlocks(): Unit = {
+        var sz = if (pos < b.length) b(pos) & 0xff else 0
+        while (sz != 0 && pos + 1 + sz <= b.length) {
+          pos += 1 + sz
+          sz = if (pos < b.length) b(pos) & 0xff else 0
+        }
+        pos += 1 // terminator (or step past a truncated length byte)
+      }
+      var walking = true
+      while (walking && pos < b.length) {
+        (b(pos) & 0xff) match {
+          case 0x2c => // image descriptor: 10 bytes incl. introducer
+            frames += 1
+            if (pos + 10 > b.length) walking = false
+            else {
+              val packed = b(pos + 9) & 0xff
+              pos += 10
+              if ((packed & 0x80) != 0) pos += 3 * (1 << ((packed & 7) + 1)) // local color table
+              pos += 1 // LZW minimum code size
+              skipSubBlocks()
+            }
+          case 0x21 => // extension: introducer + label, then sub-blocks
+            pos += 2
+            skipSubBlocks()
+          case 0x3b => walking = false // trailer
+          case _    => walking = false // desynced: keep what we counted
+        }
+      }
+    }
+    Some(Header("gif", le16(b, 6), le16(b, 8), math.max(1, frames)))
   }
 
   /** WAV: RIFF/WAVE container; channels + sample rate + block align from

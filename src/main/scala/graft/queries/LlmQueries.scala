@@ -627,7 +627,7 @@ object LlmQueries extends QueryModule {
       WHERE rk <= 2),
     qv AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM vn WHERE vec_id % 100 = 0),
     sims AS (
-      SELECT /*+ BROADCAST(qprobe, qv) */ qp.qid, c.vec_id,
+      SELECT /*+ BROADCAST(qp, qv) */ qp.qid, c.vec_id,
              dot_d(qv.qe, c.e) / (qv.qnrm * c.nrm) AS sim
       FROM qprobe qp JOIN cells c ON c.cell = qp.cell JOIN qv ON qv.qid = qp.qid
       WHERE c.vec_id <> qp.qid),

@@ -62,6 +62,28 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MediaHeaders.parse("GIF8".getBytes("US-ASCII")).isEmpty)
   }
 
+  test("MediaHeaders counts animated GIF frames via the image-descriptor block walk") {
+    // Hand-built GIF89a: global color table (2 entries), then per frame a
+    // 0x21/0xF9 graphic-control extension + 0x2C image descriptor with a
+    // one-byte LZW data sub-block; trailer 0x3B. The walk must skip the
+    // color tables and sub-block chains and count exactly the 0x2C blocks.
+    def frame(lct: Boolean): Array[Byte] = {
+      val gce = Array[Byte](0x21, 0xf9.toByte, 0x04, 0x00, 0x0a, 0x00, 0x00, 0x00)
+      val packed: Byte = if (lct) 0x80.toByte else 0x00
+      val desc = Array[Byte](0x2c, 0, 0, 0, 0, 4, 0, 3, 0, packed)
+      val lctBytes = if (lct) Array.fill[Byte](6)(0x33) else Array.empty[Byte]
+      val data = Array[Byte](0x02, 0x02, 0x4c, 0x01, 0x00) // min-code, 2-byte sub-block, terminator
+      gce ++ desc ++ lctBytes ++ data
+    }
+    val header = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 3, 0, 0x80.toByte, 0x00, 0x00) ++ // LSD w=4 h=3, GCT flag
+      Array.fill[Byte](6)(0x11) // global color table (2 entries)
+    val twoFrames = header ++ frame(lct = false) ++ frame(lct = true) :+ 0x3b.toByte
+    assert(MediaHeaders.parse(twoFrames).contains(MediaHeaders.Header("gif", 4, 3, 2)))
+    // truncated mid-stream: keep frames counted so far, never fail the header
+    assert(MediaHeaders.parse(twoFrames.dropRight(25)).map(_.nFrames).exists(_ >= 1))
+  }
+
   test("MediaHeaders parses WAV sample frames and APNG frame counts") {
     assert(MediaHeaders.parse(wavBytes(12345))
       .contains(MediaHeaders.Header("wav", 8000, 2, 12345)))

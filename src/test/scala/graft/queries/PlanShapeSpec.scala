@@ -92,6 +92,17 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("TakeOrderedAndProject"), "top-20 must not be a global sort")
   }
 
+  test("q57 dedup materializer: anti-join carries NO broadcast hint (AQE decides)") {
+    // VERDICT r5/r6: a forced broadcast of the drop set OOMs at production
+    // dup rates — the join must stay unhinted so AQE picks broadcast vs
+    // shuffled-hash from the runtime size. Guard against a refactor
+    // silently re-introducing the hint.
+    val df = SparkEntry.queries("q57_dedup_keep")(spark, dir)
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"), s"forced hint re-introduced:\n$analyzed")
+    assert(!analyzed.contains("UnresolvedHint"), s"forced hint re-introduced:\n$analyzed")
+  }
+
   test("InferFiltersFromGenerate exclusion is scoped to LLM-query sessions") {
     val excludedKey = "spark.sql.optimizer.excludedRules"
     val rule = "InferFiltersFromGenerate"
