@@ -32,6 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     fn(ext, "word_shingles", exprs => WordShingles(exprs.head, intLit(exprs(1))))
     fn(ext, "word_shingle_hashes", exprs => WordShingleHashes(exprs.head, intLit(exprs(1))))
+    fn(ext, "word_shingle_count", exprs => WordShingleCount(exprs.head, intLit(exprs(1))))
     fn(ext, "simhash32", exprs => SimHash32(exprs.head))
     fn(ext, "winnow_fps", exprs => WinnowFingerprints(exprs.head, intLit(exprs(1)), intLit(exprs(2))))
     fn(ext, "dot_d", exprs => DotProductD(exprs.head, exprs(1)))

@@ -73,6 +73,40 @@ object TextHash extends Serializable {
 
   private val Space = UTF8String.fromString(" ")
 
+  /** Count of distinct word n-grams — ≡ size(wordShingles(text, n)) but
+    * WITHOUT materializing the shingle strings: tokens are interned to
+    * dense int ids, each n-gram packs its ids into one long (id <
+    * t.length, so bitsPerId·n ≤ 63 holds for every realistic doc), and
+    * distinctness is counted on the packed longs. Exact — identity on
+    * packed ids, not a hash — so the DuckDB list_distinct oracle still
+    * matches. Falls back to the materializing path in the (unreachable
+    * in practice) case where ids don't fit 63 bits. */
+  def wordShingleCount(text: UTF8String, n: Int): Long = {
+    val t = tokens(text)
+    if (t.length < n) return 0L
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(t.length.toLong)
+    if (bits * n > 63) return wordShingles(text, n).numElements().toLong
+    val ids = new java.util.HashMap[UTF8String, Integer](t.length * 2)
+    val idArr = new Array[Int](t.length)
+    var i = 0
+    while (i < t.length) {
+      var id = ids.get(t(i))
+      if (id == null) { id = ids.size(); ids.put(t(i), id) }
+      idArr(i) = id
+      i += 1
+    }
+    val seen = new java.util.HashSet[java.lang.Long]((t.length - n + 1) * 2)
+    i = 0
+    while (i <= t.length - n) {
+      var key = 0L
+      var j = 0
+      while (j < n) { key = (key << bits) | idArr(i + j).toLong; j += 1 }
+      seen.add(key)
+      i += 1
+    }
+    seen.size().toLong
+  }
+
   /** xxhash64 (seed 42, Spark's SQL default) of each distinct word
     * n-gram — the 8-byte join key the inverted-index queries shuffle
     * instead of shingle strings. */
@@ -243,6 +277,20 @@ case class WordShingles(child: Expression, n: Int)
   override protected def withNewChildInternal(newChild: Expression): WordShingles = copy(child = newChild)
 }
 
+/** word_shingle_count(text, n): count of distinct word n-grams, computed
+  * without materializing the shingle strings (q56's hot path). */
+case class WordShingleCount(child: Expression, n: Int)
+  extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeGuards.requireString("word_shingle_count", child)
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.wordShingleCount(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.wordShingleCount($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordShingleCount = copy(child = newChild)
+}
+
 /** word_shingle_hashes(text, n): xxhash64 of each distinct word n-gram. */
 case class WordShingleHashes(child: Expression, n: Int)
   extends UnaryExpression {
@@ -339,6 +387,8 @@ object GraftFunctions {
       exprs => WordShingles(exprs.head, intLit(exprs(1))), "scala_udf")
     reg.createOrReplaceTempFunction("word_shingle_hashes",
       exprs => WordShingleHashes(exprs.head, intLit(exprs(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("word_shingle_count",
+      exprs => WordShingleCount(exprs.head, intLit(exprs(1))), "scala_udf")
     reg.createOrReplaceTempFunction("simhash32",
       exprs => SimHash32(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("winnow_fps",

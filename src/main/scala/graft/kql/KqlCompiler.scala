@@ -13,8 +13,13 @@ import org.apache.spark.sql.functions._
   * `startswith`/`endswith`/`contains`, `has`/`has_any`, `between`,
   * arithmetic, `case`, `iff`, `pack_all`, `pack`, `strcat`,
   * `strcat_delim`, `strlen`, `substring`, `split`, `trim`,
-  * `replace_string`, `reverse`, `tolower`/`toupper`, `bin`, Kusto
-  * `dynamic` access
+  * `replace_string`, `reverse`, `tolower`/`toupper`, `bin` (numeric and
+  * timespan-width over timestamps), the datetime surface the reference's
+  * Grafana dashboards emit (`datetime(...)` literals, `now()`, `ago()`
+  * with d/h/m/s/ms timespans — now() is fixed per query and injectable
+  * for determinism; reference emission:
+  * docker-quickstart/grafana/dashboards/kafka-connect-metrics.json:43,120),
+  * Kusto `dynamic` access
   * (`parse_json`/`todynamic` + postfix `.path`, lowered to
   * `get_json_object`; reference need: dynamic columns in
   * docker-quickstart/connector-config/create-table.kql:44-54), and the
@@ -40,8 +45,15 @@ object KqlCompiler {
   /** Compile `kql` — an optional `let name = Table | op…;` prologue
     * followed by the main pipeline "Table | op | op…" — resolving table
     * names through `resolve` (with `let` bindings shadowing tables). */
-  def compile(kql: String, resolve: String => DataFrame): DataFrame = {
-    val p = new Parser(Lexer.tokens(kql), resolve)
+  def compile(kql: String, resolve: String => DataFrame): DataFrame =
+    compile(kql, resolve, java.time.Instant.now())
+
+  /** Compile with an explicit query timestamp: `now()` and `ago(...)`
+    * evaluate against `now` — Kusto semantics (now() is FIXED for the
+    * duration of one query, not re-evaluated per row), and the hook that
+    * makes time-relative queries deterministic for tests/oracles. */
+  def compile(kql: String, resolve: String => DataFrame, now: java.time.Instant): DataFrame = {
+    val p = new Parser(Lexer.tokens(kql), resolve, now)
     val df = p.statements()
     p.expectEnd()
     df
@@ -56,7 +68,7 @@ object KqlCompiler {
   private final case class Tok(kind: String, text: String) // kind: id|num|str|sym
   private object Lexer {
     private val symbols = List("==", "!=", "=~", "!~", "<=", ">=", "..", ".", "|", "(", ")", ",",
-      ";", "=", "<", ">", "+", "-", "*", "/", "%")
+      ";", "=", "<", ">", "+", "-", "*", "/", "%", ":")
     def tokens(s: String): Vector[Tok] = {
       val out = Vector.newBuilder[Tok]
       var i = 0
@@ -102,7 +114,8 @@ object KqlCompiler {
     * `pack_all()` can expand to that exact schema. */
   private type ColB = DataFrame => Column
 
-  private final class Parser(toks: Vector[Tok], resolve: String => DataFrame) {
+  private final class Parser(toks: Vector[Tok], resolve: String => DataFrame,
+                             now: java.time.Instant) {
     private var pos = 0
     private val lets = scala.collection.mutable.Map.empty[String, DataFrame]
     private def resolveName(n: String): DataFrame = lets.getOrElse(n, resolve(n))
@@ -385,10 +398,93 @@ object KqlCompiler {
         df => get_json_object(base(df), p)
       }
 
+    // ------------------------------------------------- datetime surface
+
+    /** Timespan literal `<num><unit>` (1h, 30m, 1.5d, 100ms…) → micros.
+      * The lexer splits "1h" into num(1) id(h), so this reads both. */
+    private def timespanMicros(): Long = {
+      val v = next()
+      if (v.kind != "num") throw new KqlParseException(s"expected timespan, got '${v.text}'")
+      val unit = ident() match {
+        case "d" => 86400000000L
+        case "h" => 3600000000L
+        case "m" => 60000000L
+        case "s" => 1000000L
+        case "ms" => 1000L
+        case other => throw new KqlParseException(s"unsupported timespan unit '$other'")
+      }
+      math.round(v.text.toDouble * unit)
+    }
+
+    /** True when the upcoming tokens are a timespan literal (`num` then a
+      * unit identifier) — distinguishes `bin(ts, 1h)` from `bin(v, 10)`. */
+    private def peekTimespan: Boolean =
+      peek.exists(_.kind == "num") && toks.lift(pos + 1).exists(t =>
+        t.kind == "id" && Set("d", "h", "m", "s", "ms")(t.text))
+
+    /** datetime(...) literal: either one quoted string or the raw ISO
+      * token run up to ')' (the lexer splits `2024-01-15T10:00:00Z` into
+      * many tokens; their texts concatenate back losslessly). Space-
+      * separated date-times need the quoted form. Naive literals are UTC
+      * (the engine pins spark.sql.session.timeZone=UTC). */
+    private def datetimeLiteral(): java.time.Instant = {
+      val raw =
+        if (peek.exists(_.kind == "str") && toks.lift(pos + 1).exists(_.text == ")"))
+          next().text
+        else {
+          val sb = new StringBuilder
+          while (!peekIs(")")) sb ++= next().text
+          sb.toString
+        }
+      expect(")")
+      parseInstant(raw)
+    }
+
+    private def parseInstant(s: String): java.time.Instant = {
+      val t = s.trim
+      val utc = java.time.ZoneOffset.UTC
+      try java.time.Instant.parse(t) catch { case _: Exception =>
+      try java.time.LocalDateTime.parse(t.replace(' ', 'T')).toInstant(utc) catch { case _: Exception =>
+      try java.time.LocalDate.parse(t).atStartOfDay.toInstant(utc) catch { case _: Exception =>
+        throw new KqlParseException(s"unparseable datetime literal '$s'") }}}
+    }
+
+    /** Timestamp bin: floor `c` to a `binMicros` grid — exact long
+      * arithmetic on epoch micros (pmod, not double floor: 2^53 loses
+      * microsecond precision on modern epochs), epoch-aligned like
+      * Kusto's bin. Stays inside whole-stage codegen. */
+    private def timestampBin(c: Column, binMicros: Long): Column = {
+      val us = unix_micros(c)
+      timestamp_micros(us - pmod(us, lit(binMicros)))
+    }
+
     /** Called with '(' consumed; consumes through the closing ')'.
       * `pack` and `round` parse literal sub-arguments at parse time (the
       * Spark 4 Column API is opaque — no expression introspection). */
     private def functionCall(name: String): ColB = {
+      if (name == "datetime") {
+        val inst = datetimeLiteral()
+        return _ => lit(inst)
+      }
+      if (name == "now") {
+        expect(")")
+        return _ => lit(now)
+      }
+      if (name == "ago") {
+        val us = timespanMicros()
+        expect(")")
+        val inst = now.minusNanos(us * 1000L)
+        return _ => lit(inst)
+      }
+      if (name == "bin" || name == "floor") {
+        val e = expr(); expect(",")
+        if (peekTimespan) {
+          val us = timespanMicros(); expect(")")
+          return df => timestampBin(e(df), us)
+        }
+        val w = expr(); expect(")")
+        return df => floor(e(df) / w(df)) * w(df)
+      }
       if (name == "pack") {
         val pairs = sepBy1(() => {
           val k = next()
@@ -457,7 +553,6 @@ object KqlCompiler {
         // dynamic IS the JSON text in this engine (see dynamicPath), so
         // parse_json/todynamic are the identity; access happens postfix.
         case "parse_json" | "todynamic" | "parse_dynamic" => arity(1); df => args.head(df)
-        case "bin" | "floor" => arity(2); df => floor(args(0)(df) / args(1)(df)) * args(1)(df)
         case "abs" => arity(1); df => abs(args.head(df))
         case "isnull" => arity(1); df => args.head(df).isNull
         case "isnotnull" => arity(1); df => args.head(df).isNotNull

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterated Lloyd's k-means over an embedding column — the TRAINING loop
+  * that completes the train → index → search story: q60 is one M-step,
+  * q61 one E-step, q62 searches a trained codebook; this composes them
+  * until the assignment fixes or `maxIter` rounds run.
+  *
+  * Scale design (the q41 connected-components playbook):
+  *  - The codebook is k×dim doubles — broadcast every round; the E-step
+  *    is a map-side cross score + one min_by hash aggregate (partial
+  *    rows combine map-side), never a sort or a shuffled join of the
+  *    vector table against itself.
+  *  - The M-step is posexplode → ONE partial/final hash aggregate on
+  *    (cluster, pos) — no collect_list of vectors, k×dim rows return.
+  *  - Convergence is decided from an O(1) (count, bit_xor(xxhash64))
+  *    checksum of the assignment per round — no row data ever reaches
+  *    the driver (sum() would overflow under ANSI mode; bit_xor can't).
+  *  - Each round's tiny codebook is localCheckpoint'd so the plan stays
+  *    flat instead of nesting one full E+M subtree per round.
+  *
+  * Determinism (oracle parity, the q60/q61 rules): centroids round to
+  * 6dp after every M-step, distances are explicit sequential folds over
+  * zip_with (fixed IEEE order), argmin ties break on (d2, cluster).
+  * Early stop agrees with a fixed-iteration unrolled oracle: when the
+  * assignment repeats, one more M-step over the same groups reproduces
+  * the same rounded centroids, so returning the previous codebook is
+  * exact, not approximate.
+  */
+object KMeans {
+
+  /** Train on `emb` (columns `vec_id: long`, `e: array<double>`).
+    * Initial codebook: the k vectors with `vec_id < k` (deterministic).
+    * Returns (centroids as (cluster, pos, mean_v) rows, M-steps run).
+    */
+  def train(spark: SparkSession, emb: DataFrame, k: Int, maxIter: Int): (DataFrame, Int) = {
+    require(k > 0 && maxIter > 0, s"need k > 0 and maxIter > 0, got k=$k maxIter=$maxIter")
+    val vecs = emb.select(col("vec_id"), col("e")).localCheckpoint()
+    var cents = vecs.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cluster"), col("e").as("cvec"))
+      .localCheckpoint()
+
+    val d2 = expr(
+      "aggregate(zip_with(e, cvec, (x, y) -> (x - y) * (x - y)), cast(0.0 AS double), (s, x) -> s + x)")
+
+    def eStep(): DataFrame =
+      vecs.crossJoin(broadcast(cents))
+        .withColumn("d2", d2)
+        .groupBy(col("vec_id"))
+        .agg(min_by(
+          struct(col("e").as("e"), col("cluster").as("assigned")),
+          struct(col("d2"), col("cluster"))).as("w"))
+        .select(col("vec_id"), col("w.e").as("e"), col("w.assigned").as("assigned"))
+
+    def checksum(assign: DataFrame): (Long, Long) = {
+      val row = assign.agg(
+        count(lit(1)), bit_xor(xxhash64(col("vec_id"), col("assigned")))).head()
+      (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+    }
+
+    var prev: Option[(Long, Long)] = None
+    var iters = 0
+    var converged = false
+    while (iters < maxIter && !converged) {
+      val assign = eStep()
+      val sig = checksum(assign)
+      if (prev.contains(sig)) converged = true
+      else {
+        prev = Some(sig)
+        cents = assign
+          .select(col("assigned").as("cluster"), posexplode(col("e")).as(Seq("pos", "v")))
+          .groupBy(col("cluster"), col("pos"))
+          .agg(round(avg(col("v")), 6).as("mean_v"))
+          .groupBy(col("cluster"))
+          .agg(expr("transform(sort_array(collect_list(struct(pos, mean_v))), s -> s.mean_v)").as("cvec"))
+          .localCheckpoint()
+        iters += 1
+      }
+    }
+    val rows = cents
+      .select(col("cluster"), posexplode(col("cvec")).as(Seq("pos", "mean_v")))
+    (rows, iters)
+  }
+}

@@ -146,7 +146,23 @@ object KqlQueries extends QueryModule {
         """events
           | | summarize n = count(), avg_v = round(avg(value), 6) by b = bin(value, 10)
           | | order by b asc""".stripMargin,
-        _ => Tables.events(s, dir)))
+        _ => Tables.events(s, dir))),
+
+    // The datetime surface the reference's Grafana dashboards emit
+    // (kafka-connect-metrics.json:43,120): a datetime() literal lower
+    // bound, an ago() upper bound, and a timespan bin() as the timeseries
+    // bucket key. now() is injected (Kusto fixes now() per query) so the
+    // query is deterministic and oracle-gated. The bin lowers to exact
+    // epoch-micros arithmetic inside whole-stage codegen, and both time
+    // predicates are literal comparisons — pushed to the parquet scan.
+    "q63_kql_text_datetime" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where ts >= datetime(2024-01-05T06:00:00Z) and ts < ago(36h)
+          | | summarize n = count(), avg_v = round(avg(value), 6) by tb = bin(ts, 12h)
+          | | order by tb asc""".stripMargin,
+        _ => Tables.events(s, dir),
+        java.time.Instant.parse("2024-01-29T00:00:00Z")))
   )
 
   override val oracles: Map[String, String] = Map(
@@ -223,6 +239,14 @@ object KqlQueries extends QueryModule {
     "q59_kql_text_bin" ->
       """SELECT (floor(value / 10) * 10)::BIGINT AS b, count(*) AS n,
                 round(avg(value), 6) AS avg_v
-         FROM events GROUP BY 1 ORDER BY b"""
+         FROM events GROUP BY 1 ORDER BY b""",
+
+    "q63_kql_text_datetime" ->
+      """SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 43200000000) AS tb,
+                count(*) AS n, round(avg(value), 6) AS avg_v
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-05 06:00:00'
+           AND ts < TIMESTAMP '2024-01-27 12:00:00'
+         GROUP BY tb ORDER BY tb"""
   )
 }

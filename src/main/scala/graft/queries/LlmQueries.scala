@@ -897,18 +897,22 @@ object LlmQueries extends QueryModule {
   /** Repetition detection — the duplicate-3-gram-ratio quality filter
     * (the Gopher-rules corpus-filter signal: boilerplate and degenerate
     * generations repeat n-grams). Total 3-grams come from the token
-    * count, distinct ones from the native word_shingles (already
-    * deduped in-row), so the whole query is map-only: zero shuffles
-    * except the oracle-determinism sort. */
+    * count; distinct ones from the native word_shingle_count, which
+    * interns tokens and counts packed id-tuples in one per-row loop —
+    * no shingle-string arrays are ever materialized (VERDICT r5 item 2:
+    * word_shingles built full distinct string arrays where only the
+    * count is consumed). Map-only: zero shuffles except the
+    * oracle-determinism sort. */
   private val repetitionSql = """
     WITH s AS (
-      SELECT doc_id, split(lower(text), '\\s+') AS t, word_shingles(text, 3) AS sh3
+      SELECT doc_id, size(split(lower(text), '\\s+')) AS nt,
+             word_shingle_count(text, 3) AS nsh3
       FROM documents)
     SELECT doc_id,
-           cast(size(t) - 2 AS bigint) AS n_3grams,
-           cast(size(sh3) AS bigint) AS n_distinct_3grams,
-           cast(1.0 AS double) - cast(size(sh3) AS double) / cast(size(t) - 2 AS double) AS dup_ratio
-    FROM s WHERE size(t) >= 3 ORDER BY doc_id"""
+           cast(nt - 2 AS bigint) AS n_3grams,
+           cast(nsh3 AS bigint) AS n_distinct_3grams,
+           cast(1.0 AS double) - cast(nsh3 AS double) / cast(nt - 2 AS double) AS dup_ratio
+    FROM s WHERE nt >= 3 ORDER BY doc_id"""
 
   private val repetitionOracle = """
     WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
@@ -1016,6 +1020,52 @@ object LlmQueries extends QueryModule {
       WHERE rn = 1)
     SELECT label, assigned, count(1) AS n
     FROM assign GROUP BY label, assigned ORDER BY label, assigned"""
+
+  /** Iterated k-means TRAINING — the full Lloyd's loop over q60's M-step
+    * and q61's E-step, run by [[graft.ops.KMeans]] with per-round
+    * broadcast codebooks, one hash aggregate per step, and an O(1)
+    * convergence checksum (assignment count + bit_xor(xxhash64)) — the
+    * q41 driver-loop pattern. Fixed at 2 iterations with the
+    * deterministic `vec_id < 8` init so the DuckDB oracle can unroll the
+    * same two E/M rounds as CTEs and hash-match exactly (6dp-rounded
+    * centroids, sequential IEEE folds, (d2, cluster) tie-breaks). */
+  private def kmeansTrain(s: SparkSession, dir: String): DataFrame = {
+    val s2 = embs(s, dir)
+    val emb = s2.sql(
+      "SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS e FROM embeddings")
+    val (cents, _) = graft.ops.KMeans.train(s2, emb, k = 8, maxIter = 2)
+    cents.orderBy("cluster", "pos")
+  }
+
+  private val kmeansTrainOracle = """
+    WITH emb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    init AS (SELECT vec_id AS cluster, e AS cvec FROM emb WHERE vec_id < 8),
+    d1 AS (SELECT emb.vec_id, emb.e, c.cluster,
+                  list_reduce(list_transform(range(64),
+                      i -> (emb.e[i+1] - c.cvec[i+1]) * (emb.e[i+1] - c.cvec[i+1])),
+                    (s, x) -> s + x) AS d2
+           FROM emb CROSS JOIN init c),
+    a1 AS (SELECT vec_id, e, cluster AS assigned FROM
+             (SELECT vec_id, e, cluster,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+              FROM d1) WHERE rn = 1),
+    c1 AS (SELECT assigned AS cluster, i AS pos, round(avg(e[i+1]), 6) AS mean_v
+           FROM a1, unnest(range(64)) AS t(i)
+           GROUP BY assigned, i),
+    c1v AS (SELECT cluster, list(mean_v ORDER BY pos) AS cvec FROM c1 GROUP BY cluster),
+    d2s AS (SELECT emb.vec_id, emb.e, c.cluster,
+                   list_reduce(list_transform(range(64),
+                       i -> (emb.e[i+1] - c.cvec[i+1]) * (emb.e[i+1] - c.cvec[i+1])),
+                     (s, x) -> s + x) AS d2
+            FROM emb CROSS JOIN c1v c),
+    a2 AS (SELECT vec_id, e, cluster AS assigned FROM
+             (SELECT vec_id, e, cluster,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+              FROM d2s) WHERE rn = 1),
+    c2 AS (SELECT assigned AS cluster, i::INT AS pos, round(avg(e[i+1]), 6) AS mean_v
+           FROM a2, unnest(range(64)) AS t(i)
+           GROUP BY assigned, i)
+    SELECT cluster, pos, mean_v FROM c2 ORDER BY cluster, pos"""
 
   /** IVF ANN over the TRAINED q60 codebook — train → index → probe →
     * search end-to-end (q38 uses a deterministic sampled codebook; this
@@ -1226,7 +1276,8 @@ object LlmQueries extends QueryModule {
     "q58_length_profile" -> sqlQuery(docs, lengthProfileSql),
     "q60_label_centroids" -> sqlQuery(embs, centroidsSql),
     "q61_kmeans_assign" -> sqlQuery(embs, kmeansAssignSql),
-    "q62_ivf_trained" -> sqlQuery(embs, ivfTrainedSql))
+    "q62_ivf_trained" -> sqlQuery(embs, ivfTrainedSql),
+    "q64_kmeans_train" -> (kmeansTrain(_, _)))
 
   override val oracles: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -1254,5 +1305,6 @@ object LlmQueries extends QueryModule {
     "q58_length_profile" -> lengthProfileOracle,
     "q60_label_centroids" -> centroidsOracle,
     "q61_kmeans_assign" -> kmeansAssignOracle,
-    "q62_ivf_trained" -> ivfTrainedOracle)
+    "q62_ivf_trained" -> ivfTrainedOracle,
+    "q64_kmeans_train" -> kmeansTrainOracle)
 }

@@ -70,6 +70,15 @@ class TextExprsPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
         |ELSE array() END""".stripMargin)
   }
 
+  test("word_shingle_count ≡ size(word_shingles) — for n = 1, 2, 3, 5") {
+    // the count path interns tokens and packs id-tuples instead of
+    // materializing strings; it must agree exactly with the array form
+    for (n <- Seq(1, 2, 3, 5))
+      assertEquivalent(
+        s"word_shingle_count(text, $n)",
+        s"cast(size(word_shingles(text, $n)) AS bigint)")
+  }
+
   test("word_shingle_hashes ≡ transform(word_shingles, xxhash64)") {
     assertEquivalent(
       "word_shingle_hashes(text, 3)",

@@ -218,6 +218,44 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(u.head().getLong(0) == 8)
   }
 
+  test("datetime surface: datetime literals, now(), ago(), timespan bin()") {
+    import spark.implicits._
+    val fixedNow = java.time.Instant.parse("2024-03-01T12:00:00Z")
+    val ts = Seq(
+      (1L, java.sql.Timestamp.from(java.time.Instant.parse("2024-03-01T09:15:30Z")), 10.0),
+      (2L, java.sql.Timestamp.from(java.time.Instant.parse("2024-03-01T10:45:00Z")), 20.0),
+      (3L, java.sql.Timestamp.from(java.time.Instant.parse("2024-03-01T11:59:59Z")), 30.0),
+      (4L, java.sql.Timestamp.from(java.time.Instant.parse("2024-02-28T23:00:00Z")), 40.0))
+      .toDF("id", "ts", "v")
+    def runT(kql: String) = KqlCompiler.compile(kql, _ => ts, fixedNow)
+
+    // unquoted ISO literal (the lexer re-concatenates the token run)
+    assert(runT("t | where ts >= datetime(2024-03-01T10:00:00Z)").count() == 2)
+    // quoted form allows the space-separated flavor; bare dates hit midnight
+    assert(runT("t | where ts >= datetime('2024-03-01 10:00:00')").count() == 2)
+    assert(runT("t | where ts >= datetime(2024-03-01)").count() == 3)
+    // ago() is relative to the injected fixed now (Kusto: fixed per query)
+    assert(runT("t | where ts >= ago(2h)").count() == 2)
+    assert(runT("t | where ts >= ago(1d)").count() == 3) // cutoff = Feb 29 noon (leap year)
+    assert(runT("t | where ts >= ago(2d)").count() == 4)
+    assert(runT("t | where ts < now()").count() == 4)
+    // timespan bin: epoch-aligned hour buckets
+    val binned = runT("t | summarize n = count() by b = bin(ts, 1h) | order by b asc").collect()
+    assert(binned.map(r => (r.getTimestamp(0).toInstant.toString, r.getLong(1))).toSeq == Seq(
+      ("2024-02-28T23:00:00Z", 1L), ("2024-03-01T09:00:00Z", 1L),
+      ("2024-03-01T10:00:00Z", 1L), ("2024-03-01T11:00:00Z", 1L)))
+    // numeric bin unchanged by the timespan special case
+    assert(runT("t | summarize n = count() by b = bin(v, 15)").collect().length == 3)
+    // decimal timespans and sub-second units
+    assert(runT("t | where ts >= ago(2.75h)").count() == 3)
+    assert(runT("t | where ts >= ago(500ms)").count() == 0)
+    // bad inputs are loud
+    assert(intercept[KqlParseException](runT("t | where ts >= ago(3w)"))
+      .getMessage.contains("unsupported timespan unit"))
+    assert(intercept[KqlParseException](runT("t | where ts >= datetime(bogus)"))
+      .getMessage.contains("unparseable datetime"))
+  }
+
   test("parse errors are loud and specific") {
     assert(intercept[KqlParseException](run("t | explode x")).getMessage.contains("unsupported operator"))
     assert(intercept[KqlParseException](run("t | where name == 'unterminated")).getMessage.contains("unterminated"))
