@@ -941,6 +941,31 @@ object LlmQueries extends QueryModule {
            max(n_chars) AS max_chars
     FROM documents GROUP BY source ORDER BY source"""
 
+  /** The 100 TB variant of q58: exact percentile() buffers every value
+    * per group — fine for bounded metrics like n_chars, wrong for
+    * unbounded ones (per-group memory is O(distinct values)).
+    * approx_percentile is a t-digest-style mergeable sketch: O(accuracy)
+    * memory per group regardless of cardinality, partials combine
+    * map-side like any hash aggregate. Rank error ≤ 1/accuracy — at
+    * 10000, the p50/p90 of any column land within 0.01% rank of exact.
+    * Not oracle-gated (DuckDB's sketch differs); spec-compared to the
+    * exact q58 within rank tolerance instead. */
+  private[graft] def lengthProfileApprox(s: SparkSession, dir: String): DataFrame = {
+    val s2 = docs(s, dir)
+    s2.sql("""
+      SELECT source,
+             count(1) AS n_docs,
+             cast(approx_percentile(n_chars, 0.5, 10000) AS double) AS p50_chars,
+             cast(approx_percentile(n_chars, 0.9, 10000) AS double) AS p90_chars,
+             min(n_chars) AS min_chars,
+             max(n_chars) AS max_chars
+      FROM documents GROUP BY source ORDER BY source""")
+  }
+
+  /** The exact q58, callable for the approx-vs-exact comparison spec. */
+  private[graft] def lengthProfileExact(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).sql(lengthProfileSql)
+
   private val lengthProfileOracle = """
     SELECT source,
            count(1) AS n_docs,
