@@ -51,8 +51,12 @@ object TextHash extends Serializable {
 
   /** Distinct word n-grams (space-joined), first-occurrence order —
     * ≡ array_distinct(transform(sequence(0, size(t)-n), i ->
-    *     concat_ws(' ', slice(t, i+1, n)))). Empty array when size(t) < n. */
+    *     concat_ws(' ', slice(t, i+1, n)))). Empty array when size(t) < n.
+    * n must be ≥ 1 (n is a literal in every query; the guard keeps this
+    * and [[wordShingleCount]] equivalent on ALL inputs, including the
+    * degenerate n=0 the ≡ contract would otherwise diverge on). */
   def wordShingles(text: UTF8String, n: Int): ArrayData = {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
     val t = tokens(text)
     if (t.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[UTF8String]()
@@ -82,6 +86,7 @@ object TextHash extends Serializable {
     * matches. Falls back to the materializing path in the (unreachable
     * in practice) case where ids don't fit 63 bits. */
   def wordShingleCount(text: UTF8String, n: Int): Long = {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
     val t = tokens(text)
     if (t.length < n) return 0L
     val bits = 64 - java.lang.Long.numberOfLeadingZeros(t.length.toLong)

@@ -64,7 +64,11 @@ object KMeans {
     var iters = 0
     var converged = false
     while (iters < maxIter && !converged) {
-      val assign = eStep()
+      // Persist the E-step result: the checksum action populates the cache,
+      // so the M-step reads assignments back instead of re-running the
+      // broadcast cross-score — without this, each round paid the dominant
+      // E-step cost twice. Freed every round (blocks scale with the data).
+      val assign = eStep().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sig = checksum(assign)
       if (prev.contains(sig)) converged = true
       else {
@@ -78,6 +82,7 @@ object KMeans {
           .localCheckpoint()
         iters += 1
       }
+      assign.unpersist(blocking = false)
     }
     val rows = cents
       .select(col("cluster"), posexplode(col("cvec")).as(Seq("pos", "mean_v")))

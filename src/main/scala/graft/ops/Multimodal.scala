@@ -5,15 +5,16 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column handling: media (image/audio/video) ride through the
-  * engine as opaque `binary` payloads plus typed metadata, and decode /
-  * feature-extraction runs batched per partition — the Spark-side
-  * plumbing (schema, partitioning, batch shape) is real, and container
-  * METADATA (dimensions, frame counts, sample counts) is parsed from the
-  * actual PNG/JPEG/WAV bytes ([[MediaHeaders]]); only the pixel/sample
-  * codec call itself is a deterministic stub because no media libraries
-  * exist in this environment (marked STUB below; swap `decodeStub`'s
-  * feature step for a real decoder bound per-partition, e.g. via
-  * JNI/ONNX session reuse).
+  * engine as opaque `binary` payloads plus typed metadata — the shape the
+  * reference sink moves media in (bytes pass-through,
+  * `ByteRecordWriterProvider.java:17-42`) — and decode / feature
+  * extraction runs batched per partition. Decode is REAL for the
+  * containers the JDK ships codecs for: `javax.imageio.ImageIO` decodes
+  * PNG/JPEG/GIF/BMP pixels and `javax.sound.sampled.AudioSystem` decodes
+  * WAV PCM samples ([[MediaCodec]]); only payloads no JDK codec
+  * recognizes fall back to a deterministic sha-derived stub (marked STUB
+  * below — that boundary is where a video codec / ONNX session would
+  * bind per-partition).
   *
   * Scale design: decode is the expensive map stage, so the pattern is
   *  - keep payloads in `binary` columns (no base64 inflation),
@@ -26,22 +27,24 @@ import org.apache.spark.sql.types._
   *  - emit fixed-width feature vectors + metadata, never the raw pixels.
   */
 /** Pure-JVM media CONTAINER header parsing — PNG IHDR (+ APNG acTL frame
-  * count), JPEG SOFn, and WAV RIFF fmt/data chunks. These are public,
-  * stable byte layouts; no codec library is needed to read dimensions,
-  * frame counts, or sample counts, so this part of multimodal decode is
-  * real even in a codec-less environment (the pixel/sample decode itself
-  * stays behind the declared stub in [[Multimodal]]). */
+  * count), JPEG SOFn, GIF logical screen + frame walk, BMP BITMAPINFOHEADER,
+  * and WAV RIFF fmt/data chunks. These are public, stable byte layouts;
+  * header probing stays codec-free so metadata queries (q31 shape) never
+  * pay pixel-decode cost. Full pixel/sample decode lives in
+  * [[MediaCodec]]. */
 object MediaHeaders {
 
   /** `width`/`height` are pixels for images; for WAV audio `width`
     * carries the sample rate and `height` the channel count (the two
     * discriminative dims of an audio stream). `nFrames` is 1 for still
-    * images, the acTL frame count for animated PNG, and the sample-frame
-    * count (data bytes / block align) for WAV. */
+    * images, the acTL frame count for animated PNG, the image-descriptor
+    * count for GIF, and the sample-frame count (data bytes / block
+    * align) for WAV. */
   final case class Header(format: String, width: Int, height: Int, nFrames: Int)
 
   def parse(b: Array[Byte]): Option[Header] =
-    if (b == null) None else png(b).orElse(jpeg(b)).orElse(gif(b)).orElse(wav(b))
+    if (b == null) None
+    else png(b).orElse(jpeg(b)).orElse(gif(b)).orElse(bmp(b)).orElse(wav(b))
 
   private def be32(b: Array[Byte], i: Int): Int =
     ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
@@ -103,8 +106,11 @@ object MediaHeaders {
     * blocks are label + data sub-blocks; each sub-block is a length byte
     * followed by that many bytes, terminated by a 0 length byte; image
     * descriptors carry an optional local color table, then LZW min-code
-    * byte, then the same sub-block chain). Truncated payloads report the
-    * frames counted so far (min 1) rather than failing the header. */
+    * byte, then the same sub-block chain). A truncated payload STOPS the
+    * walk (a sub-block overrunning the buffer means any further bytes are
+    * mid-LZW data, so reinterpreting them as block introducers could
+    * phantom-count frames) and reports the frames counted so far (min 1)
+    * rather than failing the header. */
   private def gif(b: Array[Byte]): Option[Header] = {
     if (b.length < 10) return None
     val sig = ascii(b, 0, 6)
@@ -113,13 +119,18 @@ object MediaHeaders {
     if (b.length >= 13) {
       var pos = 13 // 6 sig + 7 logical screen descriptor
       if ((b(10) & 0x80) != 0) pos += 3 * (1 << ((b(10) & 7) + 1)) // global color table
-      def skipSubBlocks(): Unit = {
-        var sz = if (pos < b.length) b(pos) & 0xff else 0
-        while (sz != 0 && pos + 1 + sz <= b.length) {
+      // Returns false when the chain is truncated — the walk must stop
+      // then, because pos would land inside LZW data otherwise.
+      def skipSubBlocks(): Boolean = {
+        if (pos >= b.length) return false // truncated before the length byte
+        var sz = b(pos) & 0xff
+        while (sz != 0) {
+          if (pos + 1 + sz >= b.length) return false // sub-block (or its successor's length byte) overruns
           pos += 1 + sz
-          sz = if (pos < b.length) b(pos) & 0xff else 0
+          sz = b(pos) & 0xff
         }
-        pos += 1 // terminator (or step past a truncated length byte)
+        pos += 1 // 0x00 terminator
+        true
       }
       var walking = true
       while (walking && pos < b.length) {
@@ -132,17 +143,25 @@ object MediaHeaders {
               pos += 10
               if ((packed & 0x80) != 0) pos += 3 * (1 << ((packed & 7) + 1)) // local color table
               pos += 1 // LZW minimum code size
-              skipSubBlocks()
+              walking = skipSubBlocks()
             }
           case 0x21 => // extension: introducer + label, then sub-blocks
             pos += 2
-            skipSubBlocks()
+            walking = skipSubBlocks()
           case 0x3b => walking = false // trailer
           case _    => walking = false // desynced: keep what we counted
         }
       }
     }
     Some(Header("gif", le16(b, 6), le16(b, 8), math.max(1, frames)))
+  }
+
+  /** BMP: "BM" signature; BITMAPINFOHEADER width/height little-endian at
+    * 18/22 (height may be negative for top-down rows — dimension is the
+    * magnitude). */
+  private def bmp(b: Array[Byte]): Option[Header] = {
+    if (b.length < 26 || b(0) != 'B' || b(1) != 'M') return None
+    Some(Header("bmp", le32(b, 18), math.abs(le32(b, 22)), 1))
   }
 
   /** WAV: RIFF/WAVE container; channels + sample rate + block align from
@@ -162,6 +181,98 @@ object MediaHeaders {
     }
     if (blockAlign <= 0 || dataLen < 0) None
     else Some(Header("wav", sampleRate, channels, (dataLen / blockAlign).toInt))
+  }
+}
+
+/** REAL pixel/sample decode on pure JDK codecs — `java.desktop` ships
+  * `javax.imageio.ImageIO` (PNG/JPEG/GIF/BMP, headless-safe) and
+  * `javax.sound.sampled.AudioSystem` (WAV PCM). Every method is
+  * exception-total: malformed bytes return None/empty, never throw, so a
+  * corrupt payload in a 100 TB scan costs one skipped row, not a task
+  * retry storm. */
+object MediaCodec {
+  System.setProperty("java.awt.headless", "true")
+
+  /** ARGB pixels of one decoded frame, row-major. */
+  final case class ImagePixels(width: Int, height: Int, argb: Array[Int])
+
+  /** Interleaved PCM samples normalized to [-1, 1]. */
+  final case class AudioPcm(sampleRate: Int, channels: Int, samples: Array[Float])
+
+  private def withReader[A](payload: Array[Byte])(f: javax.imageio.ImageReader => A): Option[A] = {
+    if (payload == null) return None
+    val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, false, true)
+          Some(f(reader))
+        } finally reader.dispose()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None } finally iis.close()
+  }
+
+  private def toPixels(img: java.awt.image.BufferedImage): ImagePixels = {
+    val w = img.getWidth; val h = img.getHeight
+    ImagePixels(w, h, img.getRGB(0, 0, w, h, null, 0, w))
+  }
+
+  /** Decode frame `idx` (0-based) of an image payload to ARGB pixels. */
+  def imageFrame(payload: Array[Byte], idx: Int = 0): Option[ImagePixels] =
+    withReader(payload)(r => toPixels(r.read(idx)))
+
+  /** Decode several frames of one payload through a single reader — the
+    * per-document codec-context reuse `sampleFrames` needs. Missing /
+    * undecodable indices are simply absent from the result. */
+  def imageFrames(payload: Array[Byte], indices: Seq[Int]): Map[Int, ImagePixels] =
+    withReader(payload) { r =>
+      indices.flatMap { i =>
+        try Some(i -> toPixels(r.read(i)))
+        catch { case scala.util.control.NonFatal(_) => None }
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  /** Frame count as the JDK reader sees it (exhaustive search). */
+  def imageFrameCount(payload: Array[Byte]): Option[Int] =
+    withReader(payload)(_.getNumImages(true)).filter(_ > 0)
+
+  /** Decode a WAV (or any `AudioSystem`-supported) payload to normalized
+    * interleaved PCM. Supports the PCM widths WAV actually uses: 8-bit
+    * unsigned, 16/24/32-bit signed. */
+  def audioSamples(payload: Array[Byte]): Option[AudioPcm] = {
+    if (payload == null) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val bytes = in.readAllBytes()
+        val order = if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN else java.nio.ByteOrder.LITTLE_ENDIAN
+        val bb = java.nio.ByteBuffer.wrap(bytes).order(order)
+        val samples = fmt.getSampleSizeInBits match {
+          case 8 => // WAV 8-bit is unsigned, midpoint 128
+            Array.tabulate(bytes.length)(i => ((bytes(i) & 0xff) - 128) / 128.0f)
+          case 16 =>
+            Array.tabulate(bytes.length / 2)(i => bb.getShort(i * 2) / 32768.0f)
+          case 24 =>
+            Array.tabulate(bytes.length / 3) { i =>
+              val o = i * 3
+              val (b0, b1, b2) =
+                if (fmt.isBigEndian) (bytes(o + 2), bytes(o + 1), bytes(o))
+                else (bytes(o), bytes(o + 1), bytes(o + 2))
+              val v = ((b2 << 16) | ((b1 & 0xff) << 8) | (b0 & 0xff)) // b2 sign-extends
+              v / 8388608.0f
+            }
+          case 32 =>
+            Array.tabulate(bytes.length / 4)(i => (bb.getInt(i * 4) / 2147483648.0).toFloat)
+          case _ => return None
+        }
+        Some(AudioPcm(fmt.getSampleRate.toInt, fmt.getChannels, samples))
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 }
 
@@ -192,26 +303,123 @@ object Multimodal {
       col(payloadCol).cast(BinaryType).as("payload"),
       lit(kind).as("media_kind"))
 
-  /** Decode: width/height/frames come from REAL container-header parsing
-    * ([[MediaHeaders]]: PNG IHDR + APNG acTL, JPEG SOFn, WAV RIFF — pure
-    * JVM, public formats) whenever the payload is a recognized container;
-    * the FEATURE VECTOR (and the dims of unrecognized payloads) remains a
-    * deterministic sha-derived STUB, because pixel/sample decode needs a
-    * codec library this environment lacks — swap `decodeStub`'s feature
-    * step for a real decoder bound per-partition (JNI/ONNX session). */
+  /** Decode one payload. Recognized containers get REAL decode:
+    * PNG/JPEG/GIF/BMP pixels via [[MediaCodec.imageFrame]] (JDK ImageIO)
+    * with features computed from the actual frame-0 pixels, WAV PCM via
+    * [[MediaCodec.audioSamples]] with features from the actual samples.
+    * Dimensions come from the decoder when it succeeds (header values are
+    * the fallback for e.g. a payload whose header parses but whose body is
+    * corrupt). Only a payload NO codec recognizes falls back to
+    * [[decodeStub]] — the declared boundary where an external video codec
+    * would bind. */
   val FeatureDim = 8
-  private[ops] def decodeStub(docId: Long, payload: Array[Byte], kind: String): MediaFeatures = {
+  private[ops] def decode(docId: Long, payload: Array[Byte], kind: String): MediaFeatures = {
     val sha = java.security.MessageDigest.getInstance("SHA-256").digest(payload)
     val shaHex = sha.map("%02x".format(_)).mkString
-    def b(i: Int): Int = sha(i) & 0xff
-    val meta = MediaHeaders.parse(payload) match {
-      case Some(h) => MediaMeta(docId, payload.length, shaHex, kind, h.width, h.height, h.nFrames)
-      case None => // unrecognized container: sha-derived stub dims
-        MediaMeta(docId, payload.length, shaHex, kind,
-          width = 16 + b(0) % 240, height = 16 + b(1) % 240, nFrames = 1 + b(2) % 30)
+    MediaHeaders.parse(payload) match {
+      case Some(h) if h.format == "wav" =>
+        MediaCodec.audioSamples(payload) match {
+          case Some(a) =>
+            val frames = if (a.channels > 0) a.samples.length / a.channels else a.samples.length
+            MediaFeatures(
+              MediaMeta(docId, payload.length, shaHex, kind, a.sampleRate, a.channels, frames),
+              audioFeatures(a))
+          case None =>
+            stubFeatures(MediaMeta(docId, payload.length, shaHex, kind, h.width, h.height, h.nFrames), sha)
+        }
+      case Some(h) =>
+        MediaCodec.imageFrame(payload) match {
+          case Some(p) =>
+            MediaFeatures(
+              MediaMeta(docId, payload.length, shaHex, kind, p.width, p.height, h.nFrames),
+              imageFeatures(p))
+          case None =>
+            stubFeatures(MediaMeta(docId, payload.length, shaHex, kind, h.width, h.height, h.nFrames), sha)
+        }
+      case None =>
+        decodeStub(docId, payload, kind, sha, shaHex)
     }
-    val features = Array.tabulate(FeatureDim)(i => (b(i * 2) * 256 + b(i * 2 + 1)) / 65535.0f)
-    MediaFeatures(meta, features)
+  }
+
+  /** Features from REAL frame-0 pixels: mean R/G/B, mean luma, luma
+    * std-dev, mean horizontal gradient (edge energy), aspect, log-size.
+    * All in [0, 1]; accumulation in Double for determinism across
+    * partitionings (sequential per image, fixed order). */
+  private[ops] def imageFeatures(p: MediaCodec.ImagePixels): Array[Float] = {
+    val n = p.argb.length.max(1)
+    var sr = 0.0; var sg = 0.0; var sb = 0.0; var sy = 0.0; var syy = 0.0; var grad = 0.0
+    var i = 0
+    while (i < p.argb.length) {
+      val v = p.argb(i)
+      val r = (v >> 16) & 0xff; val g = (v >> 8) & 0xff; val b = v & 0xff
+      val y = 0.299 * r + 0.587 * g + 0.114 * b
+      sr += r; sg += g; sb += b; sy += y; syy += y * y
+      if ((i + 1) % p.width != 0 && i + 1 < p.argb.length) {
+        val w = p.argb(i + 1)
+        val yn = 0.299 * ((w >> 16) & 0xff) + 0.587 * ((w >> 8) & 0xff) + 0.114 * (w & 0xff)
+        grad += math.abs(yn - y)
+      }
+      i += 1
+    }
+    val meanY = sy / n
+    val varY = math.max(0.0, syy / n - meanY * meanY)
+    val hPairs = math.max(1, (p.width - 1) * p.height)
+    Array(
+      (sr / n / 255.0).toFloat,
+      (sg / n / 255.0).toFloat,
+      (sb / n / 255.0).toFloat,
+      (meanY / 255.0).toFloat,
+      math.min(1.0, math.sqrt(varY) / 128.0).toFloat,
+      math.min(1.0, grad / hPairs / 255.0).toFloat,
+      (p.width.toDouble / (p.width + p.height).max(1)).toFloat,
+      math.min(1.0, math.log(1.0 + n) / (32 * math.log(2.0))).toFloat)
+  }
+
+  /** Features from REAL PCM samples: RMS, mean |x|, peak, zero-crossing
+    * rate, std-dev, first/second-half RMS, log-length. All in [0, 1]. */
+  private[ops] def audioFeatures(a: MediaCodec.AudioPcm): Array[Float] = {
+    val n = a.samples.length.max(1)
+    var s = 0.0; var ss = 0.0; var sabs = 0.0; var peak = 0.0; var zc = 0
+    var ssFirst = 0.0
+    val half = a.samples.length / 2
+    var i = 0
+    while (i < a.samples.length) {
+      val v = a.samples(i).toDouble
+      s += v; ss += v * v; sabs += math.abs(v); peak = math.max(peak, math.abs(v))
+      if (i > 0 && (a.samples(i - 1) >= 0) != (v >= 0)) zc += 1
+      if (i < half) ssFirst += v * v
+      i += 1
+    }
+    val mean = s / n
+    val variance = math.max(0.0, ss / n - mean * mean)
+    Array(
+      math.min(1.0, math.sqrt(ss / n)).toFloat,
+      math.min(1.0, sabs / n).toFloat,
+      math.min(1.0, peak).toFloat,
+      (zc.toDouble / n).toFloat,
+      math.min(1.0, math.sqrt(variance)).toFloat,
+      math.min(1.0, math.sqrt(ssFirst / half.max(1))).toFloat,
+      math.min(1.0, math.sqrt(math.max(0.0, ss - ssFirst) / (n - half).max(1))).toFloat,
+      math.min(1.0, math.log(1.0 + n) / (32 * math.log(2.0))).toFloat)
+  }
+
+  private def stubFeatures(meta: MediaMeta, sha: Array[Byte]): MediaFeatures = {
+    def b(i: Int): Int = sha(i) & 0xff
+    MediaFeatures(meta, Array.tabulate(FeatureDim)(i => (b(i * 2) * 256 + b(i * 2 + 1)) / 65535.0f))
+  }
+
+  /** STUB for payloads no JDK codec recognizes (e.g. video containers —
+    * the JDK has no video codec): deterministic sha-derived dims and
+    * features, so unrecognized media still flows through the pipeline
+    * with a stable, testable shape. Swap this boundary for a real
+    * decoder bound per-partition (JNI/ONNX session). */
+  private def decodeStub(docId: Long, payload: Array[Byte], kind: String,
+                         sha: Array[Byte], shaHex: String): MediaFeatures = {
+    def b(i: Int): Int = sha(i) & 0xff
+    stubFeatures(
+      MediaMeta(docId, payload.length, shaHex, kind,
+        width = 16 + b(0) % 240, height = 16 + b(1) % 240, nFrames = 1 + b(2) % 30),
+      sha)
   }
 
   /** Batched decode + feature extraction: one codec context per
@@ -223,11 +431,12 @@ object Multimodal {
     import spark.implicits._
     val sized = if (targetPartitions > 0) media.repartition(targetPartitions) else media
     sized.mapPartitions { rows =>
-      // per-partition init happens HERE (codec/model session) — amortized
+      // per-partition init happens HERE (ImageIO plugin registry warm-up /
+      // external model session) — amortized across the batch
       rows.flatMap { row: Row =>
         val payload = row.getAs[Array[Byte]]("payload")
         if (payload == null) Iterator.empty
-        else Iterator.single(decodeStub(row.getAs[Long]("doc_id"), payload,
+        else Iterator.single(decode(row.getAs[Long]("doc_id"), payload,
           row.getAs[String]("media_kind")))
       }
     }
@@ -250,20 +459,36 @@ object Multimodal {
         col("features"))
   }
 
-  /** Fixed-interval frame sampling over a video-like payload: returns
-    * (frame_index, frame_sha) rows without materializing frames — the
-    * plumbing for "sample every Nth frame" in a training pipeline. The
-    * frame extraction itself is the same STUB boundary. */
+  /** Fixed-interval frame sampling: returns (frame_index, frame_sha)
+    * rows. For payloads ImageIO can decode (e.g. animated GIF) the sha is
+    * computed over the REAL decoded frame pixels, all sampled frames read
+    * through ONE reader per document; otherwise it falls back to a
+    * deterministic content-sha scheme (the video-codec STUB boundary).
+    * Frames are never materialized into the output — only hashes. */
   def sampleFrames(spark: SparkSession, media: DataFrame, everyNth: Int): DataFrame = {
     require(everyNth > 0, "everyNth must be positive")
     import spark.implicits._
-    decodeAndFeaturize(spark, media)
-      .flatMap { mf =>
-        (0 until mf.meta.nFrames by everyNth).map { fi =>
-          // STUB frame content hash — a real codec hands back pixel data here
-          (mf.meta.docId, fi, s"${mf.meta.contentSha.take(16)}:$fi")
+    media.mapPartitions { rows =>
+      rows.flatMap { row: Row =>
+        val payload = row.getAs[Array[Byte]]("payload")
+        if (payload == null) Iterator.empty
+        else {
+          val mf = decode(row.getAs[Long]("doc_id"), payload, row.getAs[String]("media_kind"))
+          val wanted = 0 until mf.meta.nFrames by everyNth
+          val decoded = MediaCodec.imageFrames(payload, wanted)
+          wanted.iterator.map { fi =>
+            val sha = decoded.get(fi) match {
+              case Some(p) => // hash of the real pixels of this frame
+                val bb = java.nio.ByteBuffer.allocate(p.argb.length * 4)
+                p.argb.foreach(bb.putInt)
+                val d = java.security.MessageDigest.getInstance("SHA-256").digest(bb.array())
+                s"${d.map("%02x".format(_)).mkString.take(16)}:$fi"
+              case None => s"${mf.meta.contentSha.take(16)}:$fi"
+            }
+            (mf.meta.docId, fi, sha)
+          }
         }
       }
-      .toDF("doc_id", "frame_index", "frame_sha")
+    }.toDF("doc_id", "frame_index", "frame_sha")
   }
 }

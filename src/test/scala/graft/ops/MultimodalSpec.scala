@@ -105,6 +105,159 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MediaHeaders.parse(null).isEmpty)
   }
 
+  // ------------------------------------------- real pixel/sample decode
+
+  /** 2×2 ARGB PNG with four known opaque pixels (R, G, B, white). */
+  private val goldenArgb = Array(0xffff0000, 0xff00ff00, 0xff0000ff, 0xffffffff)
+  private def goldenPng: Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    img.setRGB(0, 0, 2, 2, goldenArgb, 0, 2)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+  /** Animated 2-frame GIF: frame 0 solid red, frame 1 solid blue. */
+  private def goldenGif2: Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    Seq(0xffff0000, 0xff0000ff).foreach { c =>
+      val img = new java.awt.image.BufferedImage(3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 3, 2, Array.fill(6)(c), 0, 3)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    out.toByteArray
+  }
+  /** 8-sample-frame mono 16-bit WAV with known sample values. */
+  private val goldenSamples = Array[Short](0, 16384, -16384, 32767, -32768, 8192, -8192, 0)
+  private def goldenWav: Array[Byte] = {
+    val dataLen = goldenSamples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen).put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(8000 * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    goldenSamples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  test("MediaCodec decodes golden 2x2 PNG to the exact expected ARGB pixels") {
+    val p = MediaCodec.imageFrame(goldenPng).get
+    assert(p.width == 2 && p.height == 2)
+    assert(p.argb.toSeq == goldenArgb.toSeq)
+    // header stats cross-check: container header agrees with decoded image
+    val h = MediaHeaders.parse(goldenPng).get
+    assert((h.width, h.height, h.nFrames) == (p.width, p.height, 1))
+  }
+
+  test("MediaCodec decodes both frames of a 2-frame GIF to exact solid colors") {
+    val gif = goldenGif2
+    val f0 = MediaCodec.imageFrame(gif, 0).get
+    val f1 = MediaCodec.imageFrame(gif, 1).get
+    assert(f0.width == 3 && f0.height == 2)
+    assert(f0.argb.forall(_ == 0xffff0000), "frame 0 is solid red")
+    assert(f1.argb.forall(_ == 0xff0000ff), "frame 1 is solid blue")
+    // header block-walk, JDK reader, and batch API all agree on 2 frames
+    assert(MediaHeaders.parse(gif).map(_.nFrames).contains(2))
+    assert(MediaCodec.imageFrameCount(gif).contains(2))
+    assert(MediaCodec.imageFrames(gif, Seq(0, 1)).keySet == Set(0, 1))
+  }
+
+  test("MediaCodec decodes a solid-gray JPEG to near-exact pixels (lossy codec tolerance)") {
+    val img = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 4, 4, Array.fill(16)(0xff808080), 0, 4)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    val p = MediaCodec.imageFrame(out.toByteArray).get
+    assert(p.width == 4 && p.height == 4)
+    p.argb.foreach { v =>
+      Seq((v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff).foreach(c => assert(math.abs(c - 0x80) <= 2))
+    }
+  }
+
+  test("MediaCodec decodes golden WAV to the exact expected normalized samples") {
+    val a = MediaCodec.audioSamples(goldenWav).get
+    assert(a.sampleRate == 8000 && a.channels == 1)
+    assert(a.samples.toSeq == goldenSamples.map(_ / 32768.0f).toSeq)
+    // header cross-check: RIFF probe agrees with the decoded stream
+    val h = MediaHeaders.parse(goldenWav).get
+    assert((h.width, h.height, h.nFrames) == (a.sampleRate, a.channels, goldenSamples.length))
+  }
+
+  test("MediaCodec decodes BMP and MediaHeaders parses its dimensions") {
+    val img = new java.awt.image.BufferedImage(7, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 7, 5, Array.fill(35)(0xff112233), 0, 7)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", out)
+    val bytes = out.toByteArray
+    assert(MediaHeaders.parse(bytes).contains(MediaHeaders.Header("bmp", 7, 5, 1)))
+    val p = MediaCodec.imageFrame(bytes).get
+    assert(p.width == 7 && p.height == 5 && p.argb.forall(_ == 0xff112233))
+  }
+
+  test("MediaCodec is exception-total on malformed payloads") {
+    assert(MediaCodec.imageFrame("junk".getBytes("UTF-8")).isEmpty)
+    assert(MediaCodec.imageFrame(goldenPng.take(30)).isEmpty) // header ok, body corrupt
+    assert(MediaCodec.imageFrame(null).isEmpty)
+    assert(MediaCodec.audioSamples("junk".getBytes("UTF-8")).isEmpty)
+    assert(MediaCodec.audioSamples(null).isEmpty)
+    assert(MediaCodec.imageFrames("junk".getBytes("UTF-8"), Seq(0)).isEmpty)
+  }
+
+  test("decodeAndFeaturize computes features from REAL pixels/samples for recognized containers") {
+    import spark.implicits._
+    val rows = Seq((1L, goldenPng, "image"), (2L, goldenWav, "audio"))
+      .toDF("id", "blob", "kind")
+    val feats = Multimodal.decodeAndFeaturize(spark,
+        rows.select($"id".as("doc_id"), $"blob".as("payload"), $"kind".as("media_kind")))
+      .collect().map(f => f.meta.docId -> f).toMap
+    // PNG: mean R over (255,0,0,255) = 510/4/255 = 0.5; same for G and B
+    val img = feats(1L)
+    assert(img.meta.width == 2 && img.meta.height == 2)
+    assert(math.abs(img.features(0) - 0.5f) < 1e-6)
+    assert(math.abs(img.features(1) - 0.5f) < 1e-6)
+    assert(math.abs(img.features(2) - 0.5f) < 1e-6)
+    assert(img.features(6) == 0.5f) // aspect of a square
+    // features must equal a direct recompute from the decoded pixels (no stub)
+    val direct = Multimodal.imageFeatures(MediaCodec.imageFrame(goldenPng).get)
+    assert(img.features.toSeq == direct.toSeq)
+    // WAV: RMS/peak/zcr of the known samples
+    val aud = feats(2L)
+    val s = goldenSamples.map(_ / 32768.0)
+    val rms = math.sqrt(s.map(v => v * v).sum / s.length).toFloat
+    assert(math.abs(aud.features(0) - rms) < 1e-6)
+    assert(aud.features(2) == 1.0f) // peak hits -32768
+    val directA = Multimodal.audioFeatures(MediaCodec.audioSamples(goldenWav).get)
+    assert(aud.features.toSeq == directA.toSeq)
+  }
+
+  test("sampleFrames hashes REAL per-frame pixels for decodable animated payloads") {
+    import spark.implicits._
+    val m = Seq((1L, goldenGif2, "image")).toDF("id", "blob", "kind")
+    val frames = Multimodal.sampleFrames(spark,
+        Multimodal.asMedia(m, "id", "blob", "image"), everyNth = 1)
+      .collect().map(r => r.getInt(1) -> r.getString(2)).toMap
+    assert(frames.keySet == Set(0, 1))
+    // red frame and blue frame hash differently — the sha is over pixels,
+    // not over the shared container bytes
+    assert(frames(0).takeWhile(_ != ':') != frames(1).takeWhile(_ != ':'))
+    assert(frames(0).endsWith(":0") && frames(1).endsWith(":1"))
+  }
+
+  test("GIF block walk stops at truncation instead of phantom-counting frames") {
+    // 1-frame GIF whose LZW data sub-block claims 10 bytes but the payload
+    // ends after 2, and the severed tail byte is 0x2C — a desynced walk
+    // would count it as a second image descriptor.
+    val header = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 3, 0, 0x00, 0x00, 0x00) // LSD, no global color table
+    val desc = Array[Byte](0x2c, 0, 0, 0, 0, 4, 0, 3, 0, 0x00)
+    val truncated = header ++ desc ++ Array[Byte](0x02, 0x0a, 0x2c, 0x11)
+    assert(MediaHeaders.parse(truncated).map(_.nFrames).contains(1))
+  }
+
   test("decodeAndFeaturize reports REAL dims for recognized containers, stub dims otherwise") {
     import spark.implicits._
     val rows = Seq(
