@@ -14,11 +14,18 @@ import org.apache.spark.sql.functions._
   * arithmetic, `case`, `iff`, `pack_all`, `pack`, `strcat`,
   * `strcat_delim`, `strlen`, `substring`, `split`, `trim`,
   * `replace_string`, `reverse`, `tolower`/`toupper`, `bin` (numeric and
-  * timespan-width over timestamps), the datetime surface the reference's
-  * Grafana dashboards emit (`datetime(...)` literals, `now()`, `ago()`
-  * with d/h/m/s/ms timespans — now() is fixed per query and injectable
-  * for determinism; reference emission:
-  * docker-quickstart/grafana/dashboards/kafka-connect-metrics.json:43,120),
+  * timespan-width over timestamps AND timespan-valued longs), the
+  * datetime surface the reference's Grafana dashboards emit
+  * (`datetime(...)` literals, `now()`, `ago()` with signed d/h/m/s/ms
+  * timespans — now() is fixed per query and injectable for determinism;
+  * reference emission:
+  * docker-quickstart/grafana/dashboards/kafka-connect-metrics.json:43,120)
+  * plus the constructs dashboard authors reach for next: timespan
+  * literals in expression position with Kusto's datetime algebra
+  * (`ts + 1h`, `now() - ts` → timespan; timespans are epoch-micros longs
+  * engine-wide), `between (lo .. hi)` over datetimes,
+  * `startofday/startofweek/startofmonth/startofyear` (weeks start
+  * Sunday, as in Kusto), and `todatetime()`,
   * Kusto `dynamic` access
   * (`parse_json`/`todynamic` + postfix `.path`, lowered to
   * `get_json_object`; reference need: dynamic columns in
@@ -341,11 +348,36 @@ object KqlCompiler {
       }
     }
 
+    /** `+`/`-` with Kusto's datetime/timespan algebra. Timespans are
+      * epoch-micros LONGS throughout the engine (the same representation
+      * `bin` and the oracle's epoch_us use), so:
+      *   datetime ± integral  → datetime shifted by that many micros,
+      *   datetime − datetime  → timespan (micros long),
+      *   anything else        → plain numeric +/-.
+      * The dispatch needs resolved types, so it happens lazily per
+      * operator input (compile-time analysis only — the returned Column
+      * is still one codegen'd expression). */
+    private def addSub(op: String, ll: ColB, r: ColB): ColB = df => {
+      import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, TimestampType}
+      def integral(t: DataType): Boolean =
+        t == LongType || t == IntegerType || t == ShortType || t == ByteType
+      val lc = ll(df); val rc = r(df)
+      (dataTypeOf(df, lc), dataTypeOf(df, rc)) match {
+        case (TimestampType, TimestampType) if op == "-" =>
+          unix_micros(lc) - unix_micros(rc)
+        case (TimestampType, rt) if integral(rt) =>
+          timestamp_micros(unix_micros(lc) + (if (op == "+") rc else -rc))
+        case (lt, TimestampType) if integral(lt) && op == "+" =>
+          timestamp_micros(unix_micros(rc) + lc)
+        case _ => if (op == "+") lc + rc else lc - rc
+      }
+    }
+
     private def additive(): ColB = {
       var l = multiplicative()
       while (peekIs("+") || peekIs("-")) {
-        val op = next().text; val r = multiplicative(); val ll = l
-        l = if (op == "+") df => ll(df) + r(df) else df => ll(df) - r(df)
+        val op = next().text; val r = multiplicative()
+        l = addSub(op, l, r)
       }
       l
     }
@@ -365,6 +397,12 @@ object KqlCompiler {
       if (peekIs("-")) { expect("-"); val e = unary(); df => -e(df) } else primary()
 
     private def primary(): ColB = {
+      // timespan literal in expression position (`ts + 1h`, `dur < 30m`):
+      // lowers to its micros value — see addSub for the algebra
+      if (peekTimespan) {
+        val us = timespanMicros()
+        return _ => lit(us)
+      }
       val t = next()
       val base: ColB = t.kind match {
         case "num" =>
@@ -400,9 +438,14 @@ object KqlCompiler {
 
     // ------------------------------------------------- datetime surface
 
-    /** Timespan literal `<num><unit>` (1h, 30m, 1.5d, 100ms…) → micros.
-      * The lexer splits "1h" into num(1) id(h), so this reads both. */
+    /** Timespan literal `[-|+]<num><unit>` (1h, 30m, 1.5d, 100ms, -1h…)
+      * → micros. The lexer splits "1h" into num(1) id(h), so this reads
+      * both; a leading sign is consumed here so `ago(-1h)` (valid Kusto:
+      * 1h in the future) parses. */
     private def timespanMicros(): Long = {
+      val sign =
+        if (peekIs("-")) { expect("-"); -1L }
+        else { if (peekIs("+")) expect("+"); 1L }
       val v = next()
       if (v.kind != "num") throw new KqlParseException(s"expected timespan, got '${v.text}'")
       val unit = ident() match {
@@ -413,7 +456,7 @@ object KqlCompiler {
         case "ms" => 1000L
         case other => throw new KqlParseException(s"unsupported timespan unit '$other'")
       }
-      math.round(v.text.toDouble * unit)
+      sign * math.round(v.text.toDouble * unit)
     }
 
     /** True when the upcoming tokens are a timespan literal (`num` then a
@@ -421,6 +464,12 @@ object KqlCompiler {
     private def peekTimespan: Boolean =
       peek.exists(_.kind == "num") && toks.lift(pos + 1).exists(t =>
         t.kind == "id" && Set("d", "h", "m", "s", "ms")(t.text))
+
+    /** Resolved Spark type of a column expression against `df` — drives
+      * the type-adaptive lowerings below. Pure analysis (one resolve of a
+      * single-column plan at COMPILE time); nothing executes. */
+    private def dataTypeOf(df: DataFrame, c: Column): org.apache.spark.sql.types.DataType =
+      df.select(c).schema.head.dataType
 
     /** datetime(...) literal: either one quoted string or the raw ISO
       * token run up to ')' (the lexer splits `2024-01-15T10:00:00Z` into
@@ -433,7 +482,11 @@ object KqlCompiler {
           next().text
         else {
           val sb = new StringBuilder
-          while (!peekIs(")")) sb ++= next().text
+          while (!peekIs(")")) {
+            if (peek.isEmpty)
+              throw new KqlParseException("unterminated datetime( literal — missing ')'")
+            sb ++= next().text
+          }
           sb.toString
         }
       expect(")")
@@ -480,7 +533,13 @@ object KqlCompiler {
         val e = expr(); expect(",")
         if (peekTimespan) {
           val us = timespanMicros(); expect(")")
-          return df => timestampBin(e(df), us)
+          // timespan width: epoch-grid bin for datetimes, micros grid for
+          // timespan-valued (long) operands like `bin(now() - ts, 1h)`
+          return df => {
+            val c = e(df)
+            if (dataTypeOf(df, c) == org.apache.spark.sql.types.TimestampType) timestampBin(c, us)
+            else floor(c / lit(us)).cast("long") * lit(us)
+          }
         }
         val w = expr(); expect(")")
         return df => floor(e(df) / w(df)) * w(df)
@@ -547,6 +606,18 @@ object KqlCompiler {
         case "tolower" => arity(1); df => lower(args.head(df))
         case "toupper" => arity(1); df => upper(args.head(df))
         case "tostring" => arity(1); df => args.head(df).cast("string")
+        case "todatetime" => arity(1); df => args.head(df).cast("timestamp")
+        // start-of-period truncations (Grafana time-range macros expand to
+        // these). Kusto weeks start SUNDAY — Spark's date_trunc("week") is
+        // Monday-based, so startofweek subtracts (dayofweek-1) days
+        // (Spark dayofweek: Sunday=1) from the day truncation instead.
+        case "startofday" => arity(1); df => date_trunc("day", args.head(df))
+        case "startofweek" => arity(1); df => {
+          val c = args.head(df)
+          date_sub(c.cast("date"), dayofweek(c) - lit(1)).cast("timestamp")
+        }
+        case "startofmonth" => arity(1); df => date_trunc("month", args.head(df))
+        case "startofyear" => arity(1); df => date_trunc("year", args.head(df))
         case "tolong" => arity(1); df => args.head(df).cast("long")
         case "toint" => arity(1); df => args.head(df).cast("int")
         case "todouble" | "toreal" => arity(1); df => args.head(df).cast("double")

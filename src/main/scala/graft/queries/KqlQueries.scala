@@ -162,6 +162,21 @@ object KqlQueries extends QueryModule {
           | | summarize n = count(), avg_v = round(avg(value), 6) by tb = bin(ts, 12h)
           | | order by tb asc""".stripMargin,
         _ => Tables.events(s, dir),
+        java.time.Instant.parse("2024-01-29T00:00:00Z"))),
+
+    // The next ring of the datetime surface (Grafana time-range macros
+    // expand to exactly these shapes): `between` over datetime literals,
+    // the timespan algebra (`now() - ts` → micros, compared to a timespan
+    // literal), and `startofday` as the summarize key. All three filters
+    // lower to literal comparisons on the timestamp column — pushed to the
+    // parquet scan — and startofday is date_trunc inside codegen.
+    "q66_kql_text_dt_breadth" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where ts between (datetime(2024-01-03) .. datetime('2024-01-25 00:00:00')) and now() - ts >= 5d
+          | | summarize n = count(), avg_v = round(avg(value), 6) by d = startofday(ts)
+          | | order by d asc""".stripMargin,
+        _ => Tables.events(s, dir),
         java.time.Instant.parse("2024-01-29T00:00:00Z")))
   )
 
@@ -247,6 +262,15 @@ object KqlQueries extends QueryModule {
          FROM events
          WHERE ts >= TIMESTAMP '2024-01-05 06:00:00'
            AND ts < TIMESTAMP '2024-01-27 12:00:00'
-         GROUP BY tb ORDER BY tb"""
+         GROUP BY tb ORDER BY tb""",
+
+    "q66_kql_text_dt_breadth" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, count(*) AS n,
+                round(avg(value), 6) AS avg_v
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+           AND ts <= TIMESTAMP '2024-01-25 00:00:00'
+           AND epoch_us(TIMESTAMP '2024-01-29 00:00:00') - epoch_us(ts) >= 5 * 86400000000
+         GROUP BY d ORDER BY d"""
   )
 }

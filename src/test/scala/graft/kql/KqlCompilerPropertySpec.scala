@@ -14,16 +14,22 @@ class KqlCompilerPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
   private lazy val spark = SparkSession.builder()
     .master("local[2]")
     .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
   override def afterAll(): Unit = spark.stop()
 
+  // now() is injected (Kusto fixes it per query) so datetime arms are
+  // deterministic; tstamp walks hourly from June 1 00:00, 36h before now
+  private val fixedNow = java.time.Instant.parse("2024-06-02T12:00:00Z")
+  private val epoch = java.time.Instant.parse("2024-06-01T00:00:00Z")
   private lazy val base = {
     import spark.implicits._
     (0L until 40L).map(i =>
         (i, Seq("alpha", "beta", "gamma")(i.toInt % 3), (i * 7 % 100).toDouble,
-          if (i % 4 == 0) s"err-$i" else "ok", s"""{"k": ${i % 9}}"""))
-      .toDF("id", "name", "value", "status", "props")
+          if (i % 4 == 0) s"err-$i" else "ok", s"""{"k": ${i % 9}}""",
+          java.sql.Timestamp.from(epoch.plusSeconds(i * 3600))))
+      .toDF("id", "name", "value", "status", "props", "tstamp")
   }
   private lazy val dims = {
     import spark.implicits._
@@ -49,6 +55,24 @@ class KqlCompilerPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     ("where substring(status, 0, 2) =~ 'OK' or name endswith 'MA'",
       df => df.filter(lower(col("status").substr(lit(1), lit(2))) === "ok" ||
         lower(col("name")).endsWith("ma"))))
+  // datetime surface arms: ago/now/datetime literals, between, start-of-
+  // period truncation, and the timespan algebra (datetime ± timespan,
+  // datetime − datetime → micros) — all column-set-preserving filters
+  private def tsLit(s: String) = lit(java.sql.Timestamp.from(java.time.Instant.parse(s)))
+  private val dtWheres: Seq[Op] = Seq(
+    ("where tstamp >= ago(12h)",
+      df => df.filter(col("tstamp") >= lit(java.sql.Timestamp.from(fixedNow.minusSeconds(12 * 3600))))),
+    ("where tstamp between (datetime(2024-06-01T05:00:00Z) .. datetime(2024-06-01T20:00:00Z))",
+      df => df.filter(col("tstamp") >= tsLit("2024-06-01T05:00:00Z") &&
+        col("tstamp") <= tsLit("2024-06-01T20:00:00Z"))),
+    ("where startofday(tstamp) == datetime(2024-06-01)",
+      df => df.filter(date_trunc("day", col("tstamp")) === tsLit("2024-06-01T00:00:00Z"))),
+    ("where tstamp + 2h < now()",
+      df => df.filter(timestamp_micros(unix_micros(col("tstamp")) + 7200000000L) <
+        lit(java.sql.Timestamp.from(fixedNow)))),
+    ("where now() - tstamp >= 18h",
+      df => df.filter(lit(fixedNow.toEpochMilli * 1000L) - unix_micros(col("tstamp")) >=
+        18L * 3600000000L)))
   private def extendOp(k: Int): Op = (
     s"extend x$k = value * 2 - 1 | project-away x$k",
     df => df.withColumn(s"x$k", col("value") * 2 - 1).drop(s"x$k"))
@@ -69,6 +93,7 @@ class KqlCompilerPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val opGen: Gen[Op] = Gen.frequency(
     5 -> Gen.oneOf(wheres),
+    3 -> Gen.oneOf(dtWheres),
     2 -> Gen.choose(0, 9).map(extendOp),
     2 -> Gen.oneOf(joins),
     1 -> Gen.choose(0, 9).map(dynOp),
@@ -83,7 +108,7 @@ class KqlCompilerPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     pipelines.zipWithIndex.foreach { case (ops, i) =>
       val kql = ("t" +: ops.map(_._1)).mkString(" | ")
       val expected = ops.map(_._2).foldLeft(base)((d, f) => f(d))
-      val got = KqlCompiler.compile(kql, resolve)
+      val got = KqlCompiler.compile(kql, resolve, fixedNow)
       val (e, g) = (expected.collect().map(_.toString).sorted.toSeq,
         got.collect().map(_.toString).sorted.toSeq)
       assert(g == e, s"pipeline #$i diverged: $kql")

@@ -13,6 +13,7 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
   private lazy val spark = SparkSession.builder()
     .master("local[2]")
     .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
   override def afterAll(): Unit = spark.stop()
@@ -254,6 +255,58 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getMessage.contains("unsupported timespan unit"))
     assert(intercept[KqlParseException](runT("t | where ts >= datetime(bogus)"))
       .getMessage.contains("unparseable datetime"))
+  }
+
+  test("datetime breadth: startof*, between on datetimes, timespan algebra, todatetime") {
+    import spark.implicits._
+    val fixedNow = java.time.Instant.parse("2024-03-01T12:00:00Z") // a Friday
+    val ts = Seq(
+      (1L, java.sql.Timestamp.from(java.time.Instant.parse("2024-03-01T09:15:30Z")), 10.0),
+      (2L, java.sql.Timestamp.from(java.time.Instant.parse("2024-03-01T10:45:00Z")), 20.0),
+      (3L, java.sql.Timestamp.from(java.time.Instant.parse("2024-03-01T11:59:59Z")), 30.0),
+      (4L, java.sql.Timestamp.from(java.time.Instant.parse("2024-02-28T23:00:00Z")), 40.0))
+      .toDF("id", "ts", "v")
+    def runT(kql: String) = KqlCompiler.compile(kql, _ => ts, fixedNow)
+
+    // start-of-period truncations; Kusto weeks start SUNDAY (Mar 1 2024 is
+    // a Friday, so its week began Sunday Feb 25)
+    val so = runT("""t | where id == 1
+                     | project d = startofday(ts), w = startofweek(ts),
+                               m = startofmonth(ts), y = startofyear(ts)""").head()
+    assert(so.getTimestamp(0).toInstant == java.time.Instant.parse("2024-03-01T00:00:00Z"))
+    assert(so.getTimestamp(1).toInstant == java.time.Instant.parse("2024-02-25T00:00:00Z"))
+    assert(so.getTimestamp(2).toInstant == java.time.Instant.parse("2024-03-01T00:00:00Z"))
+    assert(so.getTimestamp(3).toInstant == java.time.Instant.parse("2024-01-01T00:00:00Z"))
+    // a Sunday is its own week start
+    val sun = runT("t | where id == 1 | project w = startofweek(datetime(2024-02-25T18:30:00Z))").head()
+    assert(sun.getTimestamp(0).toInstant == java.time.Instant.parse("2024-02-25T00:00:00Z"))
+
+    // between over datetime() / ago() / now() bounds, inclusive both ends
+    assert(runT("t | where ts between (datetime(2024-03-01T09:15:30Z) .. datetime(2024-03-01T10:45:00Z))")
+      .count() == 2)
+    assert(runT("t | where ts between (ago(3h) .. now())").count() == 3)
+
+    // datetime ± timespan shifts by exact micros
+    assert(runT("t | where ts + 1h >= datetime(2024-03-01T12:00:00Z)").count() == 1)
+    assert(runT("t | where ts - 30m > datetime(2024-03-01T10:30:00Z)").count() == 1)
+    // timespan + datetime commutes
+    assert(runT("t | where 1h + ts >= datetime(2024-03-01T12:00:00Z)").count() == 1)
+
+    // datetime - datetime yields a timespan comparable to timespan literals
+    assert(runT("t | where now() - ts < 2h").count() == 2)
+    // ...which bins on a micros grid: ages 2:44:30, 1:15:00, 0:00:01 → 2h/1h/0
+    val hb = runT("""t | extend age = now() - ts | where age < 1d
+                     | project id, hb = bin(age, 1h) | order by id asc""").collect()
+    assert(hb.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 7200000000L), (2L, 3600000000L), (3L, 0L)))
+
+    // todatetime casts; signed ago() reaches into the future
+    assert(runT("t | extend d = todatetime('2024-03-01 10:00:00') | where ts >= d").count() == 2)
+    assert(runT("t | where ts < ago(-1h)").count() == 4)
+
+    // loud, datetime-specific error for an unterminated literal
+    assert(intercept[KqlParseException](runT("t | where ts >= datetime(2024-03-01"))
+      .getMessage.contains("unterminated datetime"))
   }
 
   test("parse errors are loud and specific") {
