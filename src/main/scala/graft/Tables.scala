@@ -32,10 +32,16 @@ object Tables {
   /** `ts` arrives as a nanosecond epoch long (see apply); surface it as a
     * proper TimestampType column. Integer `div` (not `/`, which is double
     * division and loses precision above 2^53) keeps exact microseconds.
+    * Installs [[graft.plans.NanosTimePushdown]] so time predicates on the
+    * derived column still prune parquet row groups via the raw long.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val rule = graft.plans.NanosTimePushdown
+    if (!spark.experimental.extraOptimizations.exists(_ eq rule))
+      spark.experimental.extraOptimizations ++= Seq(rule)
     apply(spark, sfDir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "embeddings")
 }

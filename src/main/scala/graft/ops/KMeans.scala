@@ -36,6 +36,15 @@ object KMeans {
     * Returns (centroids as (cluster, pos, mean_v) rows, M-steps run).
     */
   def train(spark: SparkSession, emb: DataFrame, k: Int, maxIter: Int): (DataFrame, Int) = {
+    val (cents, iters) = trainCodebook(spark, emb, k, maxIter)
+    val rows = cents.select(col("cluster"), posexplode(col("cvec")).as(Seq("pos", "mean_v")))
+    (rows, iters)
+  }
+
+  /** Like [[train]] but returns the assembled codebook
+    * (`cluster, cvec: array<double>`) — the shape an IVF index consumes
+    * directly (q65), saving the explode/reassemble round-trip. */
+  def trainCodebook(spark: SparkSession, emb: DataFrame, k: Int, maxIter: Int): (DataFrame, Int) = {
     require(k > 0 && maxIter > 0, s"need k > 0 and maxIter > 0, got k=$k maxIter=$maxIter")
     val vecs = emb.select(col("vec_id"), col("e")).localCheckpoint()
     var cents = vecs.filter(col("vec_id") < k)
@@ -84,8 +93,6 @@ object KMeans {
       }
       assign.unpersist(blocking = false)
     }
-    val rows = cents
-      .select(col("cluster"), posexplode(col("cvec")).as(Seq("pos", "mean_v")))
-    (rows, iters)
+    (cents, iters)
   }
 }

@@ -1186,6 +1186,148 @@ object LlmQueries extends QueryModule {
     SELECT qid, vec_id, round(sim, 6) AS sim, rank
     FROM ranked WHERE rank <= 3 ORDER BY qid, rank"""
 
+  /** Converged-IVF end-to-end (q65): [[graft.ops.KMeans]] TRAINS the
+    * codebook (k=8, maxIter=4), then the q62 IVF index/probe/search runs
+    * over the TRAINED centroids — the full train → index → probe →
+    * search deployment path with no label-derived codebook anywhere.
+    * Oracle parity with early stop: the DuckDB oracle unrolls exactly 4
+    * E/M rounds; if the engine converges at round r < 4 the remaining
+    * oracle rounds are a fixpoint (a repeated assignment regenerates
+    * identical 6dp-rounded centroids), and if it doesn't converge both
+    * sides run exactly 4 M-steps — equal either way (KMeansSpec pins the
+    * fixpoint property). Scale shape: identical to q62 — codebook
+    * broadcast twice (cell assignment + probe), search joins on the cell
+    * key, never all-pairs — plus the q64 training loop up front. */
+  private def ivfConverged(s: SparkSession, dir: String): DataFrame = {
+    val s2 = embs(s, dir)
+    val emb = s2.sql(
+      "SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS e FROM embeddings")
+    val (codebook, _) = graft.ops.KMeans.trainCodebook(s2, emb, k = 8, maxIter = 4)
+    codebook.createOrReplaceTempView("trained_cents")
+    s2.sql(ivfConvergedSearchSql)
+  }
+
+  private val ivfConvergedSearchSql = """
+    WITH vn AS (
+      SELECT vec_id, e, sqrt(dot_d(e, e)) AS nrm
+      FROM (SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS e FROM embeddings)),
+    cdist AS (
+      SELECT /*+ BROADCAST(c) */ vn.vec_id, vn.e, vn.nrm, c.cluster,
+             aggregate(zip_with(vn.e, c.cvec, (x, y) -> (x - y) * (x - y)),
+                       cast(0.0 AS double), (s, x) -> s + x) AS d2
+      FROM vn CROSS JOIN trained_cents c),
+    cells AS (
+      SELECT vec_id, w.e AS e, w.nrm AS nrm, w.cell AS cell FROM (
+        SELECT vec_id,
+               min_by(named_struct('e', e, 'nrm', nrm, 'cell', cluster),
+                      named_struct('d', d2, 'c', cluster)) AS w
+        FROM cdist GROUP BY vec_id)),
+    qprobe AS (
+      SELECT vec_id AS qid, cluster AS cell FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
+        FROM cdist WHERE vec_id % 100 = 0)
+      WHERE rk <= 2),
+    qv AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM vn WHERE vec_id % 100 = 0),
+    sims AS (
+      SELECT /*+ BROADCAST(qp, qv) */ qp.qid, c.vec_id,
+             dot_d(qv.qe, c.e) / (qv.qnrm * c.nrm) AS sim
+      FROM qprobe qp JOIN cells c ON c.cell = qp.cell JOIN qv ON qv.qid = qp.qid
+      WHERE c.vec_id <> qp.qid),
+    ranked AS (
+      SELECT qid, vec_id, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+      FROM sims)
+    SELECT qid, vec_id, round(sim, 6) AS sim, rank
+    FROM ranked WHERE rank <= 3 ORDER BY qid, rank"""
+
+  /** q64's 2-round unroll extended to 4 rounds, feeding the q62 search
+    * CTE chain — entirely mechanical, as promised. */
+  private val ivfConvergedOracle = """
+    WITH emb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    init AS (SELECT vec_id AS cluster, e AS cvec FROM emb WHERE vec_id < 8),
+    d1 AS (SELECT emb.vec_id, emb.e, c.cluster,
+                  list_reduce(list_transform(range(64),
+                      i -> (emb.e[i+1] - c.cvec[i+1]) * (emb.e[i+1] - c.cvec[i+1])),
+                    (s, x) -> s + x) AS d2
+           FROM emb CROSS JOIN init c),
+    a1 AS (SELECT vec_id, e, cluster AS assigned FROM
+             (SELECT vec_id, e, cluster,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+              FROM d1) WHERE rn = 1),
+    c1 AS (SELECT assigned AS cluster, i AS pos, round(avg(e[i+1]), 6) AS mean_v
+           FROM a1, unnest(range(64)) AS t(i) GROUP BY assigned, i),
+    c1v AS (SELECT cluster, list(mean_v ORDER BY pos) AS cvec FROM c1 GROUP BY cluster),
+    d2s AS (SELECT emb.vec_id, emb.e, c.cluster,
+                   list_reduce(list_transform(range(64),
+                       i -> (emb.e[i+1] - c.cvec[i+1]) * (emb.e[i+1] - c.cvec[i+1])),
+                     (s, x) -> s + x) AS d2
+            FROM emb CROSS JOIN c1v c),
+    a2 AS (SELECT vec_id, e, cluster AS assigned FROM
+             (SELECT vec_id, e, cluster,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+              FROM d2s) WHERE rn = 1),
+    c2 AS (SELECT assigned AS cluster, i AS pos, round(avg(e[i+1]), 6) AS mean_v
+           FROM a2, unnest(range(64)) AS t(i) GROUP BY assigned, i),
+    c2v AS (SELECT cluster, list(mean_v ORDER BY pos) AS cvec FROM c2 GROUP BY cluster),
+    d3s AS (SELECT emb.vec_id, emb.e, c.cluster,
+                   list_reduce(list_transform(range(64),
+                       i -> (emb.e[i+1] - c.cvec[i+1]) * (emb.e[i+1] - c.cvec[i+1])),
+                     (s, x) -> s + x) AS d2
+            FROM emb CROSS JOIN c2v c),
+    a3 AS (SELECT vec_id, e, cluster AS assigned FROM
+             (SELECT vec_id, e, cluster,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+              FROM d3s) WHERE rn = 1),
+    c3 AS (SELECT assigned AS cluster, i AS pos, round(avg(e[i+1]), 6) AS mean_v
+           FROM a3, unnest(range(64)) AS t(i) GROUP BY assigned, i),
+    c3v AS (SELECT cluster, list(mean_v ORDER BY pos) AS cvec FROM c3 GROUP BY cluster),
+    d4s AS (SELECT emb.vec_id, emb.e, c.cluster,
+                   list_reduce(list_transform(range(64),
+                       i -> (emb.e[i+1] - c.cvec[i+1]) * (emb.e[i+1] - c.cvec[i+1])),
+                     (s, x) -> s + x) AS d2
+            FROM emb CROSS JOIN c3v c),
+    a4 AS (SELECT vec_id, e, cluster AS assigned FROM
+             (SELECT vec_id, e, cluster,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+              FROM d4s) WHERE rn = 1),
+    c4 AS (SELECT assigned AS cluster, i AS pos, round(avg(e[i+1]), 6) AS mean_v
+           FROM a4, unnest(range(64)) AS t(i) GROUP BY assigned, i),
+    cents AS (SELECT cluster, list(mean_v ORDER BY pos) AS cvec FROM c4 GROUP BY cluster),
+    vn AS (SELECT vec_id, e,
+                  sqrt(list_reduce(list_transform(e, x -> x * x), (s, x) -> s + x)) AS nrm
+           FROM emb),
+    cdist AS (
+      SELECT vn.vec_id, vn.e, vn.nrm, c.cluster,
+             list_reduce(list_transform(range(len(c.cvec)),
+                 i -> (vn.e[i+1] - c.cvec[i+1]) * (vn.e[i+1] - c.cvec[i+1])),
+               (s, x) -> s + x) AS d2
+      FROM vn CROSS JOIN cents c),
+    cells AS (
+      SELECT vec_id, e, nrm, cluster AS cell FROM (
+        SELECT vec_id, e, nrm, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
+        FROM cdist) WHERE rk = 1),
+    qprobe AS (
+      SELECT vec_id AS qid, cluster AS cell FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
+        FROM cdist WHERE vec_id % 100 = 0)
+      WHERE rk <= 2),
+    qv AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM vn WHERE vec_id % 100 = 0),
+    sims AS (
+      SELECT qp.qid, c.vec_id,
+             list_reduce(list_transform(range(len(c.e)), i -> qv.qe[i+1] * c.e[i+1]),
+               (s, x) -> s + x) / (qv.qnrm * c.nrm) AS sim
+      FROM qprobe qp JOIN cells c ON c.cell = qp.cell JOIN qv ON qv.qid = qp.qid
+      WHERE c.vec_id <> qp.qid),
+    ranked AS (
+      SELECT qid, vec_id, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+      FROM sims)
+    SELECT qid, vec_id, round(sim, 6) AS sim, rank
+    FROM ranked WHERE rank <= 3 ORDER BY qid, rank"""
+
   // -------------------------------------------------------- multimodal
 
   /** Opaque-binary metadata plumbing: payload byte length, content hash,
@@ -1302,7 +1444,8 @@ object LlmQueries extends QueryModule {
     "q60_label_centroids" -> sqlQuery(embs, centroidsSql),
     "q61_kmeans_assign" -> sqlQuery(embs, kmeansAssignSql),
     "q62_ivf_trained" -> sqlQuery(embs, ivfTrainedSql),
-    "q64_kmeans_train" -> (kmeansTrain(_, _)))
+    "q64_kmeans_train" -> (kmeansTrain(_, _)),
+    "q65_ivf_converged" -> (ivfConverged(_, _)))
 
   override val oracles: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -1331,5 +1474,6 @@ object LlmQueries extends QueryModule {
     "q60_label_centroids" -> centroidsOracle,
     "q61_kmeans_assign" -> kmeansAssignOracle,
     "q62_ivf_trained" -> ivfTrainedOracle,
-    "q64_kmeans_train" -> kmeansTrainOracle)
+    "q64_kmeans_train" -> kmeansTrainOracle,
+    "q65_ivf_converged" -> ivfConvergedOracle)
 }

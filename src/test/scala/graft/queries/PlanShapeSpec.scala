@@ -103,6 +103,30 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!analyzed.contains("UnresolvedHint"), s"forced hint re-introduced:\n$analyzed")
   }
 
+  test("q63/q66: datetime predicates reach the parquet scan as pushed filters") {
+    for (q <- Seq("q63_kql_text_datetime", "q66_kql_text_dt_breadth")) {
+      val p = plan(q)
+      val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+      assert(pushed.contains("GreaterThanOrEqual(ts") || pushed.contains("GreaterThan(ts"),
+        s"$q lower time bound not pushed:\n$pushed")
+      assert(pushed.contains("LessThan(ts") || pushed.contains("LessThanOrEqual(ts"),
+        s"$q upper time bound not pushed:\n$pushed")
+    }
+  }
+
+  test("q64/q65: k-means E-step plans carry no SortMergeJoin (broadcast codebook only)") {
+    // The training loop's scale contract: every round is a broadcast
+    // cross-score + hash aggregates — a SortMergeJoin anywhere means the
+    // codebook stopped broadcasting. q65 additionally must keep its
+    // cell-key search an equi-join (no cartesian/nested-loop fallback —
+    // the only nested loop allowed is the broadcast codebook cross-score).
+    for (q <- Seq("q64_kmeans_train", "q65_ivf_converged")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"), s"$q plan degraded to SortMergeJoin")
+      assert(!p.contains("CartesianProduct"), s"$q plan degraded to a cartesian product")
+    }
+  }
+
   test("InferFiltersFromGenerate exclusion is scoped to LLM-query sessions") {
     val excludedKey = "spark.sql.optimizer.excludedRules"
     val rule = "InferFiltersFromGenerate"
