@@ -315,13 +315,17 @@ object LlmQueries extends QueryModule {
     var edges = pairs.toDF("src", "dst")
       .select(greatest(col("src"), col("dst")).as("src"), least(col("src"), col("dst")).as("dst"))
       .where(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    val ccDebug = sys.env.contains("GRAFT_CC_DEBUG") || sys.props.contains("graft.cc.debug")
     var sig = checksum(edges)
     var rounds = 0
     var converged = sig._1 == 0L
     while (!converged) {
+      val t0 = System.nanoTime()
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       rounds += 1
       val nextSig = checksum(next)
+      if (ccDebug) System.err.println(
+        f"[cc] round $rounds: ${(System.nanoTime() - t0) / 1e6}%.0f ms, edges=${nextSig._1}")
       converged = nextSig == sig
       sig = nextSig
       edges = next
