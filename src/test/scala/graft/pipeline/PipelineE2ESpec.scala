@@ -366,4 +366,50 @@ class PipelineE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(metrics.snapshot("records-failed") == 1)
     assert(metrics.snapshot("dlq-records-sent") == 1)
   }
+
+  test("ingest then KQL-verify: datetime predicates over the ingested table (KustoSinkIT flow)") {
+    // The reference asserts its E2E by running KQL against the table it
+    // just ingested into (it/KustoSinkIT.java:269-271,465-467) — dashboards
+    // do the same with time-windowed KQL. Close that exact loop in-sandbox:
+    // memory stream → tombstone filter → router → JSON encode → gzip stage
+    // → LocalTableIngestClient → offset gate → KqlCompiler text query with
+    // ago()/now() bounds over what landed, row-for-row vs expected.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tablesRoot = Files.createTempDirectory("e2e-tables-kql").toString
+    val fixedNow = java.time.Instant.parse("2024-05-01T12:00:00Z")
+
+    val pipeline = new KustoSparkPipeline(
+      newConfig(), () => new LocalTableIngestClient(tablesRoot), None, SinkMetrics.forSpark(spark))
+    val stream = MemoryStream[KRecord]
+    val records = (0 until 30).map { i =>
+      val ts = fixedNow.minusSeconds(i * 600L) // every 10 min into the past
+      KRecord("topicA", i % 2, i / 2, null,
+        s"""{"ts":"$ts","vtype":"${if (i % 2 == 0) "even" else "odd"}","vlong":$i}"""
+          .getBytes(UTF_8))
+    } :+ KRecord("topicA", 0, 999, "k".getBytes(UTF_8), null) // tombstone
+    stream.addData(records)
+    val q = pipeline.start(stream.toDF(), Files.createTempDirectory("ck5").toString)
+    q.processAllAvailable(); q.stop()
+
+    // offsets gate held: everything live landed before the batch completed
+    val ingested = spark.read.json(s"$tablesRoot/db1/tableA")
+    assert(ingested.count() == 30, "all live records ingested; tombstone dropped")
+
+    // the dashboard-shaped query, compiled from KQL TEXT over the ingested
+    // table: todatetime parses the landed ISO strings, ago()/now() bound
+    // the window against the injected fixed query time
+    val verified = graft.kql.KqlCompiler.compile(
+      """ingested
+        | | extend tsd = todatetime(ts)
+        | | where tsd >= ago(2h) and tsd < now()
+        | | summarize n = count(), total = sum(vlong) by vtype
+        | | order by vtype asc""".stripMargin,
+      _ => ingested, fixedNow)
+    val rows = verified.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // in-window: i in 1..12 (ts_0 == now() excluded, ts_12 == ago(2h) included)
+    val expect = (1 to 12).groupBy(i => if (i % 2 == 0) "even" else "odd").toSeq
+      .map { case (t, is) => (t, is.size.toLong, is.map(_.toLong).sum) }.sortBy(_._1)
+    assert(rows == expect, s"KQL-over-ingested mismatch: got $rows, want $expect")
+  }
 }
