@@ -344,6 +344,16 @@ object KqlCompiler {
           expect("between"); expect("(")
           val lo = additive(); expect(".."); val hi = additive(); expect(")")
           df => l(df) >= lo(df) && l(df) <= hi(df)
+        case Some("matches") =>
+          // `s matches regex 'pattern'` — RE2-compatible patterns only in
+          // practice (the oracle runs them through DuckDB's RE2)
+          expect("matches"); expect("regex"); val r = additive()
+          df => regexp_like(l(df), r(df))
+        case Some("has_cs") =>
+          // case-SENSITIVE whole-term match (the `_cs` variant of has)
+          expect("has_cs"); val r = additive()
+          df => regexp_like(l(df), concat(lit("\\b"),
+            regexp_replace(r(df), lit("([^a-zA-Z0-9])"), lit("\\\\$1")), lit("\\b")))
         case _ => l
       }
     }
@@ -544,6 +554,35 @@ object KqlCompiler {
         val w = expr(); expect(")")
         return df => floor(e(df) / w(df)) * w(df)
       }
+      if (name == "bin_at") {
+        // bin_at(x, width, fixedPoint): bins aligned to fixedPoint instead
+        // of the epoch. Datetime form uses exact long micros with pmod
+        // (floor semantics for values before the fixed point); numeric
+        // form is fp + floor((x - fp) / w) * w.
+        val e = expr(); expect(",")
+        if (peekTimespan) {
+          val w = timespanMicros(); expect(",")
+          val fpB = expr(); expect(")")
+          return df => {
+            val fp = unix_micros(fpB(df))
+            val delta = unix_micros(e(df)) - fp
+            timestamp_micros(fp + (delta - pmod(delta, lit(w))))
+          }
+        }
+        val w = expr(); expect(",")
+        val fp = expr(); expect(")")
+        return df => fp(df) + floor((e(df) - fp(df)) / w(df)) * w(df)
+      }
+      if (name == "extract") {
+        // Kusto extract(regex, captureGroup, source) — regex is a literal
+        // (parse-time, like split's delimiter); group 0 = whole match
+        val r = next()
+        if (r.kind != "str") throw new KqlParseException("extract() regex must be a string literal")
+        expect(",")
+        val group = number(); expect(",")
+        val src = expr(); expect(")")
+        return df => regexp_extract(src(df), r.text, group)
+      }
       if (name == "pack") {
         val pairs = sepBy1(() => {
           val k = next()
@@ -618,6 +657,11 @@ object KqlCompiler {
         }
         case "startofmonth" => arity(1); df => date_trunc("month", args.head(df))
         case "startofyear" => arity(1); df => date_trunc("year", args.head(df))
+        // datetime part extractors (UTC, as the engine pins session tz)
+        case "getyear" => arity(1); df => year(args.head(df)).cast("long")
+        case "getmonth" => arity(1); df => month(args.head(df)).cast("long")
+        case "dayofmonth" => arity(1); df => dayofmonth(args.head(df)).cast("long")
+        case "hourofday" => arity(1); df => hour(args.head(df)).cast("long")
         case "tolong" => arity(1); df => args.head(df).cast("long")
         case "toint" => arity(1); df => args.head(df).cast("int")
         case "todouble" | "toreal" => arity(1); df => args.head(df).cast("double")

@@ -177,7 +177,22 @@ object KqlQueries extends QueryModule {
           | | summarize n = count(), avg_v = round(avg(value), 6) by d = startofday(ts)
           | | order by d asc""".stripMargin,
         _ => Tables.events(s, dir),
-        java.time.Instant.parse("2024-01-29T00:00:00Z")))
+        java.time.Instant.parse("2024-01-29T00:00:00Z"))),
+
+    // Scalar ring 2 — the log-dashboard staples: `matches regex`,
+    // `extract(regex, group, source)` (lowered to regexp_extract, one
+    // codegen'd probe), datetime part extractors, and `bin_at` (bins
+    // aligned to a fixed point instead of the epoch — Grafana's
+    // offset-aligned buckets). bin_at lowers to exact long micros with
+    // pmod, so pre-fixed-point values floor correctly.
+    "q67_kql_text_scalar2" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_type matches regex '^(purchase|error)$' and hourofday(ts) between (6 .. 18)
+          | | extend k = tolong(extract('k.: (\\d+)', 1, props))
+          | | summarize n = count(), ksum = sum(k), ymax = max(getyear(ts)), mmin = min(getmonth(ts)) by d = bin_at(ts, 1d, datetime(2024-01-02T06:00:00Z))
+          | | order by d asc""".stripMargin,
+        _ => Tables.events(s, dir)))
   )
 
   override val oracles: Map[String, String] = Map(
@@ -271,6 +286,19 @@ object KqlQueries extends QueryModule {
          WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
            AND ts <= TIMESTAMP '2024-01-25 00:00:00'
            AND epoch_us(TIMESTAMP '2024-01-29 00:00:00') - epoch_us(ts) >= 5 * 86400000000
-         GROUP BY d ORDER BY d"""
+         GROUP BY d ORDER BY d""",
+
+    "q67_kql_text_scalar2" ->
+      """WITH f AS (
+           SELECT *, epoch_us(ts) - 1704175200000000 AS delta
+           FROM events
+           WHERE regexp_matches(event_type, '^(purchase|error)$')
+             AND hour(ts) BETWEEN 6 AND 18)
+         SELECT make_timestamp(1704175200000000 +
+                  (delta - ((delta % 86400000000 + 86400000000) % 86400000000))) AS d,
+                count(*) AS n,
+                CAST(sum(CAST(regexp_extract(props, 'k.: (\d+)', 1) AS BIGINT)) AS BIGINT) AS ksum,
+                max(year(ts)) AS ymax, min(month(ts)) AS mmin
+         FROM f GROUP BY 1 ORDER BY d"""
   )
 }

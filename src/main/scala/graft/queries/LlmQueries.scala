@@ -1332,6 +1332,67 @@ object LlmQueries extends QueryModule {
     SELECT qid, vec_id, round(sim, 6) AS sim, rank
     FROM ranked WHERE rank <= 3 ORDER BY qid, rank"""
 
+  /** Document chunking (q68): fixed-size token windows (32 tokens,
+    * stride 24 → 8-token overlap) — the context-window prep step of
+    * every training/RAG pipeline. Physical shape at any scale: split in
+    * the scan projection, one generator (explode of the stride sequence)
+    * per document, chunk text sliced from the SAME in-memory token array
+    * — map-only, zero shuffle except the oracle's ORDER BY; output rows
+    * ≈ tokens/stride, never tokens². chunk_id = start/stride keeps ids
+    * stable under any parallelism. */
+  private val chunkingSql = """
+    WITH tok AS (SELECT doc_id, split(text, ' ') AS t FROM documents),
+    starts AS (
+      SELECT doc_id, t, start
+      FROM tok LATERAL VIEW explode(sequence(0, greatest(size(t) - 1, 0), 24)) AS start)
+    SELECT doc_id, start div 24 AS chunk_id,
+           array_join(slice(t, start + 1, 32), ' ') AS chunk_text,
+           CAST(least(size(t) - start, 32) AS BIGINT) AS n_tokens
+    FROM starts ORDER BY doc_id, chunk_id"""
+
+  private val chunkingOracle = """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    starts AS (
+      SELECT doc_id, t, s.s AS start
+      FROM tok, unnest(range(0, greatest(len(t) - 1, 0) + 1, 24)) AS s(s))
+    SELECT doc_id, start // 24 AS chunk_id,
+           array_to_string(t[start + 1 : start + 32], ' ') AS chunk_text,
+           least(len(t) - start, 32) AS n_tokens
+    FROM starts ORDER BY doc_id, chunk_id"""
+
+  /** Corpus-derived stopword filtering (q69): the top-20
+    * document-frequency terms become the stoplist, and every document
+    * reports how much of it survives their removal — the
+    * vocabulary-driven cousin of the q28 quality score. Physical shape:
+    * the stoplist is ONE aggregated row (the q51 corpus-stats trick)
+    * cross-joined back — a broadcast at any scale — and the per-document
+    * filter is a single lambda over the token array in the projection,
+    * map-side. The df aggregate absorbs the Zipf head map-side
+    * (partial count-distinct on (token, doc_id)); ties at the cut break
+    * on (ndocs DESC, token) so the stoplist is deterministic. */
+  private val stopwordSql = """
+    WITH tok AS (SELECT doc_id, split(text, ' ') AS t FROM documents),
+    dfreq AS (SELECT x AS token, count(DISTINCT doc_id) AS ndocs
+              FROM tok LATERAL VIEW explode(t) AS x GROUP BY x),
+    stop AS (SELECT collect_list(token) AS sl FROM (
+        SELECT token FROM dfreq ORDER BY ndocs DESC, token LIMIT 20) z)
+    SELECT /*+ BROADCAST(stop) */ doc_id,
+           CAST(size(t) AS BIGINT) AS n_tokens,
+           CAST(size(filter(t, x -> NOT array_contains(sl, x))) AS BIGINT) AS n_kept,
+           round(size(filter(t, x -> NOT array_contains(sl, x))) / cast(size(t) AS double), 6) AS kept_ratio
+    FROM tok CROSS JOIN stop ORDER BY doc_id"""
+
+  private val stopwordOracle = """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    dfreq AS (SELECT x AS token, count(DISTINCT doc_id) AS ndocs
+              FROM tok, unnest(t) AS u(x) GROUP BY x),
+    stop AS (SELECT list(token) AS sl FROM (
+        SELECT token FROM dfreq ORDER BY ndocs DESC, token LIMIT 20) z)
+    SELECT doc_id, len(t) AS n_tokens,
+           len(list_filter(t, x -> NOT list_contains(sl, x))) AS n_kept,
+           round(len(list_filter(t, x -> NOT list_contains(sl, x))) / len(t), 6) AS kept_ratio
+    FROM tok CROSS JOIN stop ORDER BY doc_id"""
+
   // -------------------------------------------------------- multimodal
 
   /** Opaque-binary metadata plumbing: payload byte length, content hash,
@@ -1449,7 +1510,9 @@ object LlmQueries extends QueryModule {
     "q61_kmeans_assign" -> sqlQuery(embs, kmeansAssignSql),
     "q62_ivf_trained" -> sqlQuery(embs, ivfTrainedSql),
     "q64_kmeans_train" -> (kmeansTrain(_, _)),
-    "q65_ivf_converged" -> (ivfConverged(_, _)))
+    "q65_ivf_converged" -> (ivfConverged(_, _)),
+    "q68_doc_chunking" -> sqlQuery(docs, chunkingSql),
+    "q69_stopword_filter" -> sqlQuery(docs, stopwordSql))
 
   override val oracles: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -1479,5 +1542,7 @@ object LlmQueries extends QueryModule {
     "q61_kmeans_assign" -> kmeansAssignOracle,
     "q62_ivf_trained" -> ivfTrainedOracle,
     "q64_kmeans_train" -> kmeansTrainOracle,
-    "q65_ivf_converged" -> ivfConvergedOracle)
+    "q65_ivf_converged" -> ivfConvergedOracle,
+    "q68_doc_chunking" -> chunkingOracle,
+    "q69_stopword_filter" -> stopwordOracle)
 }

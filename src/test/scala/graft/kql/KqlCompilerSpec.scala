@@ -309,6 +309,39 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getMessage.contains("unterminated datetime"))
   }
 
+  test("scalar ring 2: matches regex, extract, has_cs, date parts, bin_at") {
+    import spark.implicits._
+    val fixedNow = java.time.Instant.parse("2024-03-01T12:00:00Z")
+    val t = Seq(
+      (1L, "err-timeout retry", java.sql.Timestamp.from(java.time.Instant.parse("2024-03-01T09:15:30Z"))),
+      (2L, "ok fast", java.sql.Timestamp.from(java.time.Instant.parse("2024-03-01T10:45:00Z"))),
+      (3L, "err-refused", java.sql.Timestamp.from(java.time.Instant.parse("2024-02-28T23:00:00Z"))))
+      .toDF("id", "msg", "ts")
+    def runT(kql: String) = KqlCompiler.compile(kql, _ => t, fixedNow)
+
+    // matches regex (RE2-compatible pattern)
+    assert(runT("t | where msg matches regex 'err-(timeout|refused)'").count() == 2)
+    // extract: group 1, and group 0 = whole match
+    val ex = runT("t | where id == 1 | project a = extract('err-(\\\\w+)', 1, msg), b = extract('err-\\\\w+', 0, msg)").head()
+    assert(ex.getString(0) == "timeout" && ex.getString(1) == "err-timeout")
+    // has_cs: case-sensitive whole-term
+    assert(runT("t | where msg has_cs 'retry'").count() == 1)
+    assert(runT("t | where msg has_cs 'RETRY'").count() == 0)
+    assert(runT("t | where msg has_cs 'retr'").count() == 0, "whole terms only")
+    // date parts are UTC longs
+    val dp = runT("t | where id == 3 | project y = getyear(ts), m = getmonth(ts), d = dayofmonth(ts), h = hourofday(ts)").head()
+    assert((dp.getLong(0), dp.getLong(1), dp.getLong(2), dp.getLong(3)) == ((2024L, 2L, 28L, 23L)))
+    // bin_at: 1d bins anchored at 06:00 — 09:15 falls in the bin that
+    // STARTED Mar 1 06:00; 23:00 Feb 28 floors to the Feb 28 06:00 bin
+    // (pre-anchor values floor, they don't truncate toward the anchor)
+    val ba = runT("t | project id, b = bin_at(ts, 1d, datetime(2024-03-01T06:00:00Z)) | order by id asc").collect()
+    assert(ba.map(_.getTimestamp(1).toInstant.toString).toSeq == Seq(
+      "2024-03-01T06:00:00Z", "2024-03-01T06:00:00Z", "2024-02-28T06:00:00Z"))
+    // numeric bin_at
+    val nb = runT("t | project id, b = bin_at(id * 10, 7, 3) | order by id asc").collect()
+    assert(nb.map(_.getLong(1)).toSeq == Seq(10L, 17L, 24L)) // 3 + floor((x-3)/7)*7
+  }
+
   test("parse errors are loud and specific") {
     assert(intercept[KqlParseException](run("t | explode x")).getMessage.contains("unsupported operator"))
     assert(intercept[KqlParseException](run("t | where name == 'unterminated")).getMessage.contains("unterminated"))
