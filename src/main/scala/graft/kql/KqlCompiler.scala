@@ -234,6 +234,49 @@ object KqlCompiler {
       case "union" =>
         // KQL union merges by column NAME, filling missing with null
         df.unionByName(subquery(), allowMissingColumns = true)
+      case "parse" =>
+        // `parse Expr with [lit] name1[:type] [lit name2[:type] …] [lit]`
+        // (simple mode): each capture matches lazily up to the next
+        // literal, the last one runs to end-of-string. Lowers to ONE
+        // regex built at parse time, probed once per extracted column —
+        // regexp_extract is codegen'd, so the whole parse stays in the
+        // scan/project pipeline.
+        val src = expr()
+        expect("with")
+        val sb = new StringBuilder("^")
+        val cols = List.newBuilder[(String, Int, Option[String])]
+        var group = 0
+        var scanning = true
+        while (scanning) {
+          peek match {
+            case Some(t) if t.kind == "str" =>
+              next(); sb ++= java.util.regex.Pattern.quote(t.text)
+            case Some(t) if t.kind == "sym" && t.text == "*" =>
+              // non-capturing skip (lazy up to the next literal)
+              next(); sb ++= (if (peek.exists(_.kind == "str")) ".*?" else ".*")
+            case Some(t) if t.kind == "id" =>
+              val name = ident()
+              val tpe = if (peekIs(":")) { expect(":"); Some(ident()) } else None
+              group += 1
+              // lazy up to the next literal; greedy-to-end when last
+              val lazyCapture = peek.exists(_.kind == "str")
+              sb ++= (if (lazyCapture) "(.*?)" else "(.*)")
+              cols += ((name, group, tpe))
+            case _ => scanning = false
+          }
+        }
+        sb ++= "$"
+        val pattern = sb.toString
+        cols.result().foldLeft(df) { case (d, (name, g, tpe)) =>
+          val raw = regexp_extract(src(d), pattern, g)
+          d.withColumn(name, tpe.fold(raw) {
+            case "long" | "int" => raw.cast("long")
+            case "real" | "double" => raw.cast("double")
+            case "datetime" => raw.cast("timestamp")
+            case "string" => raw
+            case other => throw new KqlParseException(s"unsupported parse type '$other'")
+          })
+        }
       case other => throw new KqlParseException(s"unsupported operator '$other'")
     }
 
@@ -592,6 +635,15 @@ object KqlCompiler {
         })
         expect(")")
         return df => Kql.pack(pairs.map { case (k, v) => v(df).as(k) }: _*)
+      }
+      if (name == "percentile") {
+        // percentile(col, P) — exact interpolated percentile (an exactness
+        // upgrade over Kusto's T-digest approximation; same interpolation
+        // as DuckDB's quantile_cont, so oracles hash-match)
+        val e = expr(); expect(",")
+        val p = number(); expect(")")
+        if (p < 0 || p > 100) throw new KqlParseException(s"percentile P must be 0..100, got $p")
+        return df => percentile(e(df), lit(p / 100.0))
       }
       if (name == "round") {
         val e = expr()

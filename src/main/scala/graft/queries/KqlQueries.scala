@@ -192,6 +192,28 @@ object KqlQueries extends QueryModule {
           | | extend k = tolong(extract('k.: (\\d+)', 1, props))
           | | summarize n = count(), ksum = sum(k), ymax = max(getyear(ts)), mmin = min(getmonth(ts)) by d = bin_at(ts, 1d, datetime(2024-01-02T06:00:00Z))
           | | order by d asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // percentile() in summarize — the latency-dashboard aggregate. Exact
+    // interpolated (an exactness upgrade over Kusto's T-digest; same
+    // interpolation as DuckDB quantile_cont, so the oracle hash-matches).
+    "q70_kql_text_percentile" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | summarize p50 = round(percentile(value, 50), 6), p95 = round(percentile(value, 95), 6), n = count() by event_type
+          | | order by event_type asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // `parse` (simple mode) — pattern-based extraction, the log-analytics
+    // staple: literals anchor, captures run lazily to the next literal,
+    // typed captures cast. One parse-time regex, codegen'd probes.
+    "q71_kql_text_parse" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | parse props with '{"k": ' k:long '}'
+          | | where k >= 50
+          | | summarize n = count(), kavg = round(avg(k), 6) by event_type
+          | | order by event_type asc""".stripMargin,
         _ => Tables.events(s, dir)))
   )
 
@@ -299,6 +321,22 @@ object KqlQueries extends QueryModule {
                 count(*) AS n,
                 CAST(sum(CAST(regexp_extract(props, 'k.: (\d+)', 1) AS BIGINT)) AS BIGINT) AS ksum,
                 max(year(ts)) AS ymax, min(month(ts)) AS mmin
-         FROM f GROUP BY 1 ORDER BY d"""
+         FROM f GROUP BY 1 ORDER BY d""",
+
+    "q70_kql_text_percentile" ->
+      """SELECT event_type,
+                round(quantile_cont(value, 0.50), 6) AS p50,
+                round(quantile_cont(value, 0.95), 6) AS p95,
+                count(*) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q71_kql_text_parse" ->
+      """WITH p AS (
+           SELECT event_type,
+                  CAST(regexp_extract(props, '^\{"k": (.*?)\}$', 1) AS BIGINT) AS k
+           FROM events)
+         SELECT event_type, count(*) AS n, round(avg(k), 6) AS kavg
+         FROM p WHERE k >= 50
+         GROUP BY event_type ORDER BY event_type"""
   )
 }

@@ -342,6 +342,56 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nb.map(_.getLong(1)).toSeq == Seq(10L, 17L, 24L)) // 3 + floor((x-3)/7)*7
   }
 
+  test("parse operator: literals anchor, captures extract lazily, types cast, * skips") {
+    import spark.implicits._
+    val logs = Seq(
+      (1L, "took 42 ms on node-a (attempt 3)"),
+      (2L, "took 7 ms on node-b (attempt 1)"))
+      .toDF("id", "msg")
+    def runL(kql: String) = KqlCompiler.compile(kql, _ => logs)
+
+    val p = runL("""t | parse msg with 'took ' dur:long ' ms on ' node ' (attempt ' att:long ')'
+                    | project id, dur, node, att | order by id asc""").collect()
+    assert(p.map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq ==
+      Seq((1L, 42L, "node-a", 3L), (2L, 7L, "node-b", 1L)))
+    // '*' skips without capturing; trailing capture runs to end of string
+    val q = runL("t | parse msg with * 'on ' rest | project rest | order by rest asc").collect()
+    assert(q.map(_.getString(0)).toSeq == Seq("node-a (attempt 3)", "node-b (attempt 1)"))
+    // parsed columns compose with where/summarize downstream
+    assert(runL("t | parse msg with 'took ' dur:long ' ms' rest | where dur > 10 | count")
+      .head().getLong(0) == 1)
+  }
+
+  test("percentile() in summarize: exact interpolated, composes with round") {
+    // values 10,55,95,20,70 → p50 = 55; p100 = 95; p0 = 10
+    val out = run("""t | summarize p0 = percentile(value, 0), p50 = percentile(value, 50),
+                       p100 = percentile(value, 100), n = count()""").head()
+    assert(out.getDouble(0) == 10.0 && out.getDouble(1) == 55.0 && out.getDouble(2) == 95.0)
+    assert(out.getLong(3) == 5)
+    assert(intercept[KqlParseException](run("t | summarize p = percentile(value, 101)"))
+      .getMessage.contains("0..100"))
+  }
+
+  test("KQL text compiles over a STREAMING DataFrame (dashboards on live streams)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Double)]
+    val sdf = stream.toDF().toDF("id", "name", "value")
+    // stateless ops (where/extend/project/parse-free scalars) lower to
+    // stream-safe plans; the compiled frame IS a streaming DataFrame
+    val compiled = KqlCompiler.compile(
+      "s | where value >= 20 | extend tier = case(value < 60, 'mid', 'high') | project id, tier",
+      _ => sdf)
+    assert(compiled.isStreaming, "compiled KQL must preserve streaming-ness")
+    val q = compiled.writeStream.format("memory").queryName("kql_stream_out").start()
+    stream.addData((1L, "a", 10.0), (2L, "b", 25.0), (3L, "c", 80.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("kql_stream_out").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq((2L, "mid"), (3L, "high")))
+  }
+
   test("parse errors are loud and specific") {
     assert(intercept[KqlParseException](run("t | explode x")).getMessage.contains("unsupported operator"))
     assert(intercept[KqlParseException](run("t | where name == 'unterminated")).getMessage.contains("unterminated"))
