@@ -234,6 +234,64 @@ object KqlCompiler {
       case "union" =>
         // KQL union merges by column NAME, filling missing with null
         df.unionByName(subquery(), allowMissingColumns = true)
+      case "make" =>
+        // `make-series name = agg() [default = lit] on tsCol from <const>
+        //  to <const> step <timespan> [by keys]` — the gap-filled
+        // timeseries operator Grafana panels are built on. from/to must
+        // be datetime()/now()/ago() constants (Kusto practice), so the
+        // axis is a parse-time literal. Lowering: filter to the window
+        // (literal bounds → scan-pruned), ONE hash aggregate on
+        // (keys, bin), a tiny keys×bins scaffold left-joined to fill
+        // gaps with the default, and per-key ordered array assembly —
+        // collect_list is bounded by the axis length, never by the data.
+        expect("-")
+        ident() match {
+          case "series" => ()
+          case other => throw new KqlParseException(s"unsupported operator 'make-$other'")
+        }
+        val aggName = ident(); expect("=")
+        val aggB = expr()
+        val default: Option[Any] =
+          if (peekIs("default")) {
+            expect("default"); expect("=")
+            val neg = peekIs("-"); if (neg) expect("-")
+            val t = next()
+            if (t.kind != "num") throw new KqlParseException("make-series default must be a number literal")
+            Some(if (t.text.contains('.')) { val d = t.text.toDouble; if (neg) -d else d }
+                 else { val l = t.text.toLong; if (neg) -l else l })
+          } else None
+        expect("on"); val tname = ident()
+        expect("from"); val fromI = constantInstant()
+        expect("to"); val toI = constantInstant()
+        expect("step"); val stepUs = timespanMicros()
+        val keys = if (peekIs("by")) { expect("by"); sepBy1(() => ident()) } else Nil
+        val fromUs = java.time.temporal.ChronoUnit.MICROS.between(java.time.Instant.EPOCH, fromI)
+        val toUs = java.time.temporal.ChronoUnit.MICROS.between(java.time.Instant.EPOCH, toI)
+        if (stepUs <= 0 || toUs <= fromUs)
+          throw new KqlParseException("make-series needs to > from and step > 0")
+        val nbins = (toUs - fromUs + stepUs - 1) / stepUs
+        if (nbins > 1000000)
+          throw new KqlParseException(s"make-series axis too long ($nbins bins)")
+        val tsc = col(tname)
+        val delta = unix_micros(tsc) - lit(fromUs)
+        val binCol = ((delta - pmod(delta, lit(stepUs))) / lit(stepUs)).cast("long")
+        val withBin = df.filter(tsc >= lit(fromI) && tsc < lit(toI)).withColumn("__bin", binCol)
+        val aggd = withBin.groupBy((keys.map(col) :+ col("__bin")): _*).agg(aggB(withBin).as("__v"))
+        val binsDf = df.sparkSession.range(nbins).select(col("id").as("__bin"))
+        val scaffold =
+          if (keys.isEmpty) binsDf
+          else df.select(keys.map(col): _*).distinct().crossJoin(binsDf)
+        val filled = scaffold.join(aggd, keys :+ "__bin", "left")
+        val full = default.fold(filled)(d =>
+          filled.withColumn("__v", coalesce(col("__v"), lit(d))))
+        val sqlExpr = org.apache.spark.sql.functions.expr _ // parser's expr() shadows functions.expr
+        val seriesAgg =
+          sqlExpr("transform(sort_array(collect_list(struct(__bin, __v))), s -> s.__v)").as(aggName)
+        val grouped =
+          if (keys.isEmpty) full.agg(seriesAgg)
+          else full.groupBy(keys.map(col): _*).agg(seriesAgg)
+        grouped.withColumn(tname, sqlExpr(
+          s"transform(sequence(0, ${nbins - 1}L), i -> timestamp_micros(${fromUs}L + i * ${stepUs}L))"))
       case "parse" =>
         // `parse Expr with [lit] name1[:type] [lit name2[:type] …] [lit]`
         // (simple mode): each capture matches lazily up to the next
@@ -544,6 +602,22 @@ object KqlCompiler {
         }
       expect(")")
       parseInstant(raw)
+    }
+
+    /** A constant instant: `datetime(...)`, `now()`, or `ago(ts)` — the
+      * only forms make-series axis bounds accept (the axis must be a
+      * parse-time literal). */
+    private def constantInstant(): java.time.Instant = {
+      val t = next()
+      if (t.kind != "id" || !peekIs("("))
+        throw new KqlParseException("expected datetime()/now()/ago() constant")
+      expect("(")
+      t.text match {
+        case "datetime" => datetimeLiteral()
+        case "now" => expect(")"); now
+        case "ago" => val us = timespanMicros(); expect(")"); now.minusNanos(us * 1000L)
+        case other => throw new KqlParseException(s"expected a datetime constant, got '$other()'")
+      }
     }
 
     private def parseInstant(s: String): java.time.Instant = {

@@ -214,6 +214,18 @@ object KqlQueries extends QueryModule {
           | | where k >= 50
           | | summarize n = count(), kavg = round(avg(k), 6) by event_type
           | | order by event_type asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // make-series — the gap-filled timeseries panels are built on: a
+    // 12-bucket 2-day axis per event_type with zero-filled empty bins.
+    // Plan shape: window filter (scan-pruned literals), one hash agg on
+    // (key, bin), tiny scaffold left-join for the fill, per-key ordered
+    // array assembly bounded by the axis length.
+    "q72_kql_text_makeseries" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | make-series n = count() default = 0 on ts from datetime(2024-01-03) to datetime(2024-01-27) step 2d by event_type
+          | | order by event_type asc""".stripMargin,
         _ => Tables.events(s, dir)))
   )
 
@@ -337,6 +349,27 @@ object KqlQueries extends QueryModule {
            FROM events)
          SELECT event_type, count(*) AS n, round(avg(k), 6) AS kavg
          FROM p WHERE k >= 50
-         GROUP BY event_type ORDER BY event_type"""
+         GROUP BY event_type ORDER BY event_type""",
+
+    "q72_kql_text_makeseries" ->
+      """WITH bins AS (SELECT i FROM unnest(range(0, 12)) AS t(i)),
+         keys AS (SELECT DISTINCT event_type FROM events),
+         agg AS (
+           SELECT event_type,
+                  (epoch_us(ts) - 1704240000000000) // 172800000000 AS i,
+                  count(*) AS c
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+             AND ts < TIMESTAMP '2024-01-27 00:00:00'
+           GROUP BY 1, 2),
+         filled AS (
+           SELECT k.event_type, b.i, coalesce(a.c, 0) AS c
+           FROM keys k CROSS JOIN bins b
+           LEFT JOIN agg a ON a.event_type = k.event_type AND a.i = b.i)
+         SELECT event_type,
+                list(c ORDER BY i) AS n,
+                (SELECT list(make_timestamp(1704240000000000 + i * 172800000000) ORDER BY i)
+                 FROM bins) AS ts
+         FROM filled GROUP BY event_type ORDER BY event_type"""
   )
 }

@@ -392,6 +392,40 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.toSeq == Seq((2L, "mid"), (3L, "high")))
   }
 
+  test("make-series: gap-filled axis, default fill, keyed and keyless forms") {
+    import spark.implicits._
+    val fixedNow = java.time.Instant.parse("2024-03-01T12:00:00Z")
+    val t = Seq(
+      ("a", java.sql.Timestamp.from(java.time.Instant.parse("2024-03-01T00:30:00Z")), 10.0),
+      ("a", java.sql.Timestamp.from(java.time.Instant.parse("2024-03-01T00:45:00Z")), 20.0),
+      ("a", java.sql.Timestamp.from(java.time.Instant.parse("2024-03-01T03:10:00Z")), 30.0),
+      ("b", java.sql.Timestamp.from(java.time.Instant.parse("2024-03-01T01:30:00Z")), 40.0))
+      .toDF("k", "ts", "v")
+    def runT(kql: String) = KqlCompiler.compile(kql, _ => t, fixedNow)
+
+    // keyed: 4 hourly bins from 00:00; empty bins fill with 0
+    val s = runT("""t | make-series n = count() default = 0 on ts from datetime(2024-03-01) to datetime(2024-03-01T04:00:00Z) step 1h by k
+                    | order by k asc""").collect()
+    assert(s.map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(s(0).getSeq[Long](1) == Seq(2L, 0L, 0L, 1L))
+    assert(s(1).getSeq[Long](1) == Seq(0L, 1L, 0L, 0L))
+    // the axis column carries the literal grid
+    val axis = s(0).getSeq[java.sql.Timestamp](2).map(_.toInstant.toString)
+    assert(axis == Seq("2024-03-01T00:00:00Z", "2024-03-01T01:00:00Z",
+      "2024-03-01T02:00:00Z", "2024-03-01T03:00:00Z"))
+    // keyless form + sum aggregate + ago()/now() bounds: all rows land in
+    // the first 6h bin; the empty second bin zero-fills
+    val g = runT("t | make-series total = sum(v) default = 0 on ts from ago(12h) to now() step 6h").head()
+    assert(g.getSeq[Double](0) == Seq(100.0, 0.0))
+    // a partial trailing bin still appears (axis is ceil((to-from)/step));
+    // rows at/after `to` are excluded (03:10 is outside [00:00, 03:00))
+    val p = runT("t | make-series n = count() default = 0 on ts from datetime(2024-03-01) to datetime(2024-03-01T03:00:00Z) step 2h").head()
+    assert(p.getSeq[Long](0) == Seq(3L, 0L))
+    assert(intercept[KqlParseException](
+      runT("t | make-series n = count() on ts from datetime(2024-03-02) to datetime(2024-03-01) step 1h"))
+      .getMessage.contains("to > from"))
+  }
+
   test("parse errors are loud and specific") {
     assert(intercept[KqlParseException](run("t | explode x")).getMessage.contains("unsupported operator"))
     assert(intercept[KqlParseException](run("t | where name == 'unterminated")).getMessage.contains("unterminated"))
