@@ -127,6 +127,23 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q68 chunking stays map-only; q69 stoplist joins without SortMergeJoin") {
+    val chunk = plan("q68_doc_chunking")
+    assert(!chunk.contains("Exchange hashpartitioning"),
+      "chunking must not shuffle (only the oracle's range sort)")
+    val stop = plan("q69_stopword_filter")
+    assert(!stop.contains("SortMergeJoin"), "one-row stoplist must broadcast, not sort-merge")
+    assert(!stop.contains("CartesianProduct"))
+  }
+
+  test("q72 make-series: window bounds pushed to the scan, no SortMergeJoin") {
+    val p = plan("q72_kql_text_makeseries")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("GreaterThanOrEqual(ts"), s"window lower bound not pushed:\n$pushed")
+    assert(pushed.contains("LessThanOrEqual(ts"), s"window upper bound not pushed:\n$pushed")
+    assert(!p.contains("SortMergeJoin"), "scaffold/fill joins must stay broadcast-sized")
+  }
+
   test("InferFiltersFromGenerate exclusion is scoped to LLM-query sessions") {
     val excludedKey = "spark.sql.optimizer.excludedRules"
     val rule = "InferFiltersFromGenerate"
