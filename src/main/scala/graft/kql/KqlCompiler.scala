@@ -125,6 +125,12 @@ object KqlCompiler {
                              now: java.time.Instant) {
     private var pos = 0
     private val lets = scala.collection.mutable.Map.empty[String, DataFrame]
+    /** Sort columns of the most recent `order by`/`sort by`/`top` — the
+      * row order `serialize`'s window functions (row_number/prev/next)
+      * run over. Kusto lets serialize ride the "natural" order; a
+      * distributed engine has no stable natural order, so this engine
+      * requires an explicit preceding sort (loud error otherwise). */
+    private var lastOrder: Option[List[ColB]] = None
     private def resolveName(n: String): DataFrame = lets.getOrElse(n, resolve(n))
 
     /** `let name = <pipeline>; … <pipeline>` — bindings compile eagerly
@@ -203,10 +209,28 @@ object KqlCompiler {
         val aggCols = aggs.map(_(df))
         df.groupBy(keys.map(_(df)): _*).agg(aggCols.head, aggCols.tail: _*)
       case "order" | "sort" =>
-        expect("by"); df.orderBy(sepBy1(orderItem).map(_(df)): _*)
+        expect("by")
+        val items = sepBy1(orderItem)
+        lastOrder = Some(items)
+        df.orderBy(items.map(_(df)): _*)
       case "top" =>
         val n = number(); expect("by")
-        df.orderBy(sepBy1(orderItem).map(_(df)): _*).limit(n)
+        val items = sepBy1(orderItem)
+        lastOrder = Some(items)
+        df.orderBy(items.map(_(df)): _*).limit(n)
+      case "serialize" =>
+        // `serialize [name = expr, …]`: marks the frame row-ordered so
+        // row_number()/prev()/next() are meaningful; assignments behave
+        // like extend. The serialization point is inherently a global
+        // window (exactly as in Kusto) — the one operator here that does
+        // not scale out, by definition.
+        if (lastOrder.isEmpty)
+          throw new KqlParseException(
+            "serialize requires a preceding 'order by' (no stable natural order in a distributed engine)")
+        if (peek.exists(_.kind == "id"))
+          sepBy1(() => { val n = ident(); expect("="); (n, expr()) })
+            .foldLeft(df) { case (d, (n, e)) => d.withColumn(n, e(d)) }
+        else df
       case "take" | "limit" => df.limit(number())
       case "distinct" =>
         if (peek.isEmpty || peekIs("|")) df.distinct()
@@ -604,6 +628,13 @@ object KqlCompiler {
       parseInstant(raw)
     }
 
+    /** Window over the serialized order for row_number/prev/next. */
+    private def serializedWindow(df: DataFrame): org.apache.spark.sql.expressions.WindowSpec = {
+      val items = lastOrder.getOrElse(throw new KqlParseException(
+        "row_number/prev/next need a serialized order — add 'order by …' before serialize"))
+      org.apache.spark.sql.expressions.Window.orderBy(items.map(_(df)): _*)
+    }
+
     /** A constant instant: `datetime(...)`, `now()`, or `ago(ts)` — the
       * only forms make-series axis bounds accept (the axis must be a
       * parse-time literal). */
@@ -710,6 +741,18 @@ object KqlCompiler {
         expect(")")
         return df => Kql.pack(pairs.map { case (k, v) => v(df).as(k) }: _*)
       }
+      if (name == "prev" || name == "next") {
+        // prev(col[, offset]) / next(col[, offset]) over the serialized
+        // order — offset is a parse-time literal (lag/lead need Int)
+        val e = expr()
+        val off = if (peekIs(",")) { expect(","); number() } else 1
+        expect(")")
+        val fn = name
+        return df => {
+          val w = serializedWindow(df)
+          if (fn == "prev") lag(e(df), off).over(w) else lead(e(df), off).over(w)
+        }
+      }
       if (name == "percentile") {
         // percentile(col, P) — exact interpolated percentile (an exactness
         // upgrade over Kusto's T-digest approximation; same interpolation
@@ -759,6 +802,7 @@ object KqlCompiler {
           throw new KqlParseException(s"$name() expects $n arguments, got ${args.length}")
       name match {
         case "pack_all" => arity(0); df => Kql.packAll(df)
+        case "row_number" => arity(0); df => row_number().over(serializedWindow(df)).cast("long")
         case "case" =>
           if (args.length < 3 || args.length % 2 == 0)
             throw new KqlParseException("case() expects p1, v1, …, default")

@@ -226,6 +226,21 @@ object KqlQueries extends QueryModule {
         """events
           | | make-series n = count() default = 0 on ts from datetime(2024-01-03) to datetime(2024-01-27) step 2d by event_type
           | | order by event_type asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // serialize + window functions — row deltas over an explicit order,
+    // the rate/derivative shape dashboards compute from counters. The
+    // serialization point is a global window by definition (as in Kusto).
+    "q73_kql_text_serialize" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | project event_id, value
+          | | order by event_id asc
+          | | serialize rn = row_number()
+          | | extend dv = round(value - prev(value), 6), nxt = next(event_id)
+          | | where rn <= 100
+          | | project event_id, rn, dv, nxt
+          | | order by event_id asc""".stripMargin,
         _ => Tables.events(s, dir)))
   )
 
@@ -370,6 +385,15 @@ object KqlQueries extends QueryModule {
                 list(c ORDER BY i) AS n,
                 (SELECT list(make_timestamp(1704240000000000 + i * 172800000000) ORDER BY i)
                  FROM bins) AS ts
-         FROM filled GROUP BY event_type ORDER BY event_type"""
+         FROM filled GROUP BY event_type ORDER BY event_type""",
+
+    "q73_kql_text_serialize" ->
+      """WITH w AS (
+           SELECT event_id,
+                  row_number() OVER (ORDER BY event_id) AS rn,
+                  round(value - lag(value) OVER (ORDER BY event_id), 6) AS dv,
+                  lead(event_id) OVER (ORDER BY event_id) AS nxt
+           FROM events)
+         SELECT event_id, rn, dv, nxt FROM w WHERE rn <= 100 ORDER BY event_id"""
   )
 }

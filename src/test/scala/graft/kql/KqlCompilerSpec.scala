@@ -426,6 +426,31 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getMessage.contains("to > from"))
   }
 
+  test("serialize + row_number/prev/next over the declared order") {
+    // df: ids 1..5, values 10,55,95,20,70 (name/status vary)
+    val s = run("""t | project id, value | order by value asc
+                   | serialize rn = row_number()
+                   | extend d = value - prev(value), nx = next(id)
+                   | order by rn asc""").collect()
+    // columns: id(0), value(1), rn(2), d(3), nx(4)
+    // ascending by value: 10(id1), 20(id4), 55(id2), 70(id5), 95(id3)
+    assert(s.map(_.getLong(2)).toSeq == (1L to 5L))
+    assert(s.head.isNullAt(3), "prev of the first row is null")
+    assert(s.map(r => if (r.isNullAt(3)) -1.0 else r.getDouble(3)).toSeq ==
+      Seq(-1.0, 10.0, 35.0, 15.0, 25.0))
+    assert(s.last.isNullAt(4), "next of the last row is null")
+    assert(s.map(r => if (r.isNullAt(4)) -1L else r.getLong(4)).toSeq ==
+      Seq(4L, 2L, 5L, 3L, -1L))
+    // prev with an explicit offset
+    val p2 = run("""t | project value | order by value asc | serialize p = prev(value, 2)
+                    | order by value asc""").collect()
+    assert(p2.map(r => if (r.isNullAt(1)) -1.0 else r.getDouble(1)).toSeq ==
+      Seq(-1.0, -1.0, 10.0, 20.0, 55.0))
+    // loud without a declared order
+    assert(intercept[KqlParseException](run("t | serialize rn = row_number()"))
+      .getMessage.contains("order by"))
+  }
+
   test("parse errors are loud and specific") {
     assert(intercept[KqlParseException](run("t | explode x")).getMessage.contains("unsupported operator"))
     assert(intercept[KqlParseException](run("t | where name == 'unterminated")).getMessage.contains("unterminated"))
