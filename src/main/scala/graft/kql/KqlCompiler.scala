@@ -258,6 +258,23 @@ object KqlCompiler {
       case "union" =>
         // KQL union merges by column NAME, filling missing with null
         df.unionByName(subquery(), allowMissingColumns = true)
+      case "lookup" =>
+        // `lookup [kind=leftouter|inner] (dim) on keys` — join against a
+        // DIMENSION table: same key semantics as join, but the right side
+        // is declared small, so it broadcasts (Kusto's distinction too)
+        var kind = "left"
+        if (peekIs("kind")) {
+          expect("kind"); expect("=")
+          kind = ident() match {
+            case "leftouter" => "left"
+            case "inner" => "inner"
+            case other => throw new KqlParseException(s"lookup supports leftouter/inner, got '$other'")
+          }
+        }
+        val dim = subquery()
+        expect("on")
+        val keys = sepBy1(() => ident())
+        df.join(broadcast(dim), keys, kind)
       case "make" =>
         // `make-series name = agg() [default = lit] on tsCol from <const>
         //  to <const> step <timespan> [by keys]` — the gap-filled
@@ -778,6 +795,15 @@ object KqlCompiler {
         expect(")")
         return df => split(e(df), java.util.regex.Pattern.quote(d.text))
       }
+      if (name == "strcat_array") {
+        // delimiter is a parse-time literal (the Scala array_join API
+        // takes a String, same constraint as strcat_delim)
+        val a = expr(); expect(",")
+        val d = next()
+        if (d.kind != "str") throw new KqlParseException("strcat_array() delimiter must be a string literal")
+        expect(")")
+        return df => array_join(a(df), d.text)
+      }
       if (name == "strcat_delim") {
         val d = next()
         if (d.kind != "str") throw new KqlParseException("strcat_delim() separator must be a string literal")
@@ -852,6 +878,13 @@ object KqlCompiler {
         case "min" => arity(1); df => min(args.head(df))
         case "max" => arity(1); df => max(args.head(df))
         case "dcount" => arity(1); df => countDistinct(args.head(df))
+        case "stdev" => arity(1); df => stddev_samp(args.head(df))
+        case "variance" => arity(1); df => var_samp(args.head(df))
+        // make_set is SORTED here (a determinism upgrade over Kusto's
+        // unspecified order — oracle-comparable); make_list keeps
+        // encounter order, which is partition-dependent, as in Kusto
+        case "make_set" => arity(1); df => array_sort(collect_set(args.head(df)))
+        case "make_list" => arity(1); df => collect_list(args.head(df))
         // conditional aggregates: aggregate only rows passing the predicate
         case "sumif" => arity(2); df => sum(when(args(1)(df), args(0)(df)))
         case "avgif" => arity(2); df => avg(when(args(1)(df), args(0)(df)))
@@ -866,6 +899,15 @@ object KqlCompiler {
           else df => args(0)(df).substr(args(1)(df) + 1, args(2)(df))
         case "replace_string" => arity(3); df => replace(args(0)(df), args(1)(df), args(2)(df))
         case "reverse" => arity(1); df => reverse(args.head(df))
+        // Kusto indexof is 0-based, -1 when absent (instr is 1-based, 0-absent)
+        case "indexof" => arity(2); df => (instr(args(0)(df), args(1)(df)) - lit(1)).cast("long")
+        case "strrep" => arity(2); df => repeat(args(0)(df), args(1)(df).cast("int"))
+        case "array_length" => arity(1); df => size(args.head(df)).cast("long")
+        case "base64_encode_tostring" => arity(1); df => base64(args.head(df).cast("binary"))
+        case "base64_decode_tostring" => arity(1); df => unbase64(args.head(df)).cast("string")
+        // n-ary scalar min/max
+        case "min_of" => df => least(args.map(_(df)): _*)
+        case "max_of" => df => greatest(args.map(_(df)): _*)
         case "arg_max" => arity(2); df => Kql.argMax(args(0)(df), args(1)(df))
         case "arg_min" => arity(2); df => Kql.argMin(args(0)(df), args(1)(df))
         case other => throw new KqlParseException(s"unsupported function '$other'")

@@ -241,6 +241,16 @@ object KqlQueries extends QueryModule {
           | | where rn <= 100
           | | project event_id, rn, dv, nxt
           | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // Aggregate/scalar ring 3: stdev/variance, sorted make_set, scalar
+    // min_of, 0-based indexof — grouped by a numeric bin.
+    "q74_kql_text_agg2" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | extend pos = indexof(event_type, 'u'), m = min_of(value, 50.0)
+          | | summarize sd = round(stdev(value), 6), vr = round(variance(value), 6), msum = round(sum(m), 6), pmax = max(pos), types = make_set(event_type) by b = bin(value, 25)
+          | | order by b asc""".stripMargin,
         _ => Tables.events(s, dir)))
   )
 
@@ -394,6 +404,15 @@ object KqlQueries extends QueryModule {
                   round(value - lag(value) OVER (ORDER BY event_id), 6) AS dv,
                   lead(event_id) OVER (ORDER BY event_id) AS nxt
            FROM events)
-         SELECT event_id, rn, dv, nxt FROM w WHERE rn <= 100 ORDER BY event_id"""
+         SELECT event_id, rn, dv, nxt FROM w WHERE rn <= 100 ORDER BY event_id""",
+
+    "q74_kql_text_agg2" ->
+      """SELECT (floor(value / 25) * 25)::BIGINT AS b,
+                round(stddev_samp(value), 6) AS sd,
+                round(var_samp(value), 6) AS vr,
+                round(sum(least(value, 50.0)), 6) AS msum,
+                max(strpos(event_type, 'u') - 1) AS pmax,
+                list(DISTINCT event_type ORDER BY event_type) AS types
+         FROM events GROUP BY 1 ORDER BY b"""
   )
 }

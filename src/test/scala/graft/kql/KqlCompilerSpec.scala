@@ -451,6 +451,42 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getMessage.contains("order by"))
   }
 
+  test("scalar/aggregate ring 3: indexof, strcat_array, base64, min_of, stdev, make_set, lookup") {
+    import spark.implicits._
+    // indexof 0-based / -1 absent; strrep; strcat_array; array_length
+    val sc = run("""t | where id == 1 | extend parts = split(status, '-')
+                    | project a = indexof(status, 'timeout'), b = indexof(status, 'zzz'),
+                              c = strrep(name, 2), d = strcat_array(parts, '_'),
+                              e = array_length(parts), f = min_of(id, 0, 7), g = max_of(id, 99)""").head()
+    assert(sc.getLong(0) == 4L && sc.getLong(1) == -1L)
+    assert(sc.getString(2) == "alphaalpha" && sc.getString(3) == "err_timeout")
+    assert(sc.getLong(4) == 2L && sc.getLong(5) == 0L && sc.getLong(6) == 99L)
+    // base64 round trip
+    val b64 = run("t | where id == 1 | project e = base64_encode_tostring(name)," +
+      " r = base64_decode_tostring(base64_encode_tostring(status))").head()
+    assert(b64.getString(0) == java.util.Base64.getEncoder.encodeToString("alpha".getBytes("UTF-8")))
+    assert(b64.getString(1) == "err-timeout")
+    // stdev/variance (sample), sorted make_set, make_list length
+    val ag = run("""t | summarize sd = round(stdev(value), 6), vr = round(variance(value), 6),
+                      s = make_set(name), l = make_list(value)""").head()
+    assert(math.abs(ag.getDouble(1) - 1237.5) < 1e-9) // var_samp of 10,55,95,20,70
+    assert(math.abs(ag.getDouble(0) - math.sqrt(1237.5)) < 1e-6)
+    assert(ag.getSeq[String](2) == Seq("alpha", "beta", "gamma"))
+    assert(ag.getSeq[Double](3).sorted == Seq(10.0, 20.0, 55.0, 70.0, 95.0))
+    // lookup: broadcast dimension join, leftouter default
+    val owners = Seq((1L, "bo"), (3L, "cat")).toDF("id", "owner")
+    val resolve2: String => org.apache.spark.sql.DataFrame =
+      { case "t" => df; case "owners" => owners }
+    val lk = KqlCompiler.compile("t | lookup (owners) on id | project id, owner | order by id asc", resolve2)
+    assert(lk.count() == 5) // leftouter keeps unmatched
+    assert(lk.collect().map(r => if (r.isNullAt(1)) "-" else r.getString(1)).toSeq ==
+      Seq("bo", "-", "cat", "-", "-"))
+    assert(KqlCompiler.compile("t | lookup kind=inner (owners) on id", resolve2).count() == 2)
+    val analyzed = lk.queryExecution.analyzed.toString
+    assert(analyzed.contains("ResolvedHint") || lk.queryExecution.sparkPlan.toString.contains("Broadcast"),
+      "lookup dimension must carry the broadcast hint")
+  }
+
   test("parse errors are loud and specific") {
     assert(intercept[KqlParseException](run("t | explode x")).getMessage.contains("unsupported operator"))
     assert(intercept[KqlParseException](run("t | where name == 'unterminated")).getMessage.contains("unterminated"))
