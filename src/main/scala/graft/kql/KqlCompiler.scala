@@ -213,6 +213,48 @@ object KqlCompiler {
         val items = sepBy1(orderItem)
         lastOrder = Some(items)
         df.orderBy(items.map(_(df)): _*)
+      case "top" if peekIs("-") =>
+        // `top-nested N of Col by Name = agg() [, top-nested N2 of Col2
+        //  by Name2 = agg2() …]` — hierarchical top-k: each level keeps
+        // the N best groups WITHIN each parent group. Lowering per level:
+        // one hash aggregate on the accumulated keys, an inner join back
+        // to the parent winners (small — bounded by Π n_i, broadcast), a
+        // row_number window partitioned by the parent keys. Ties break
+        // (agg DESC, col ASC) so results are deterministic (Kusto leaves
+        // ties unspecified; determinism makes this oracle-comparable).
+        expect("-")
+        ident() match {
+          case "nested" => ()
+          case other => throw new KqlParseException(s"unsupported operator 'top-$other'")
+        }
+        final case class Level(n: Int, colName: String, aggName: String, aggB: ColB)
+        def level(): Level = {
+          val n = number(); expect("of"); val c = ident(); expect("by")
+          val an = ident(); expect("=")
+          Level(n, c, an, expr())
+        }
+        val levels = List.newBuilder[Level]
+        levels += level()
+        while (peekIs(",")) {
+          expect(","); expect("top"); expect("-")
+          if (ident() != "nested") throw new KqlParseException("expected 'top-nested' after ','")
+          levels += level()
+        }
+        val sqlW = org.apache.spark.sql.expressions.Window
+        var acc: DataFrame = null
+        var keys = List.empty[String]
+        for (lv <- levels.result()) {
+          val grouped = df.groupBy((keys :+ lv.colName).map(col): _*).agg(lv.aggB(df).as(lv.aggName))
+          val joined = if (acc == null) grouped else grouped.join(broadcast(acc), keys, "inner")
+          val w =
+            if (keys.isEmpty) sqlW.orderBy(col(lv.aggName).desc, col(lv.colName).asc)
+            else sqlW.partitionBy(keys.map(col): _*).orderBy(col(lv.aggName).desc, col(lv.colName).asc)
+          acc = joined.withColumn("__rn", row_number().over(w))
+            .where(col("__rn") <= lv.n).drop("__rn")
+          keys = keys :+ lv.colName
+        }
+        // column order: level keys/aggs in declaration order
+        acc.select(levels.result().flatMap(lv => Seq(col(lv.colName), col(lv.aggName))): _*)
       case "top" =>
         val n = number(); expect("by")
         val items = sepBy1(orderItem)

@@ -251,6 +251,17 @@ object KqlQueries extends QueryModule {
           | | extend pos = indexof(event_type, 'u'), m = min_of(value, 50.0)
           | | summarize sd = round(stdev(value), 6), vr = round(variance(value), 6), msum = round(sum(m), 6), pmax = max(pos), types = make_set(event_type) by b = bin(value, 25)
           | | order by b asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // top-nested — hierarchical top-k ("top 2 event types, and within
+    // each its top 3 users by value"). Per level: one hash agg, a
+    // broadcast join back to the parent winners, a partitioned
+    // row_number; ties break (agg DESC, key ASC) deterministically.
+    "q75_kql_text_topnested" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | top-nested 2 of event_type by n = count(), top-nested 3 of user_id by v = round(sum(value), 6)
+          | | order by event_type asc, v desc, user_id asc""".stripMargin,
         _ => Tables.events(s, dir)))
   )
 
@@ -413,6 +424,21 @@ object KqlQueries extends QueryModule {
                 round(sum(least(value, 50.0)), 6) AS msum,
                 max(strpos(event_type, 'u') - 1) AS pmax,
                 list(DISTINCT event_type ORDER BY event_type) AS types
-         FROM events GROUP BY 1 ORDER BY b"""
+         FROM events GROUP BY 1 ORDER BY b""",
+
+    "q75_kql_text_topnested" ->
+      """WITH l1 AS (
+           SELECT event_type, count(*) AS n,
+                  row_number() OVER (ORDER BY count(*) DESC, event_type ASC) AS r1
+           FROM events GROUP BY event_type),
+         w1 AS (SELECT event_type, n FROM l1 WHERE r1 <= 2),
+         l2 AS (
+           SELECT e.event_type, w1.n, e.user_id, round(sum(e.value), 6) AS v,
+                  row_number() OVER (PARTITION BY e.event_type
+                                     ORDER BY round(sum(e.value), 6) DESC, e.user_id ASC) AS r2
+           FROM events e JOIN w1 USING (event_type)
+           GROUP BY e.event_type, w1.n, e.user_id)
+         SELECT event_type, n, user_id, v FROM l2 WHERE r2 <= 3
+         ORDER BY event_type, v DESC, user_id"""
   )
 }

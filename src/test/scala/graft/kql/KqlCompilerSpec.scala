@@ -487,6 +487,24 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       "lookup dimension must carry the broadcast hint")
   }
 
+  test("top-nested: hierarchical top-k with per-parent windows") {
+    import spark.implicits._
+    val t = Seq(
+      ("a", "x", 10.0), ("a", "x", 10.0), ("a", "y", 5.0), ("a", "z", 1.0),
+      ("b", "p", 100.0), ("b", "q", 2.0),
+      ("c", "r", 3.0)) // c: 1 row — fewest, drops at level 1
+      .toDF("grp", "sub", "v")
+    val out = KqlCompiler.compile(
+      "t | top-nested 2 of grp by n = count(), top-nested 2 of sub by s = sum(v)" +
+        " | order by grp asc, s desc", _ => t).collect()
+    // level 1 keeps a (4 rows) and b (2 rows); level 2 keeps top-2 subs by sum
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSeq ==
+      Seq(("a", 4L, "x", 20.0), ("a", 4L, "y", 5.0), ("b", 2L, "p", 100.0), ("b", 2L, "q", 2.0)))
+    // single level works too, ties break on the key ascending
+    val one = KqlCompiler.compile("t | top-nested 2 of grp by n = count() | order by n desc, grp asc", _ => t)
+    assert(one.collect().map(_.getString(0)).toSeq == Seq("a", "b"))
+  }
+
   test("parse errors are loud and specific") {
     assert(intercept[KqlParseException](run("t | explode x")).getMessage.contains("unsupported operator"))
     assert(intercept[KqlParseException](run("t | where name == 'unterminated")).getMessage.contains("unterminated"))
