@@ -3,35 +3,48 @@ package graft.kql
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** String-level KQL → DataFrame compiler for the pipeline grammar the
-  * reference emits (SURVEY §2.2 Q1-Q8: `count`, `where`, `project`,
-  * `extend`, `summarize [by]`, `order by`, `top N by`, `take`,
-  * `distinct`), the multi-table surface dashboards build on (`let`
-  * bindings, `join kind=… (sub) on keys`, `union`) plus the scalar
-  * surface those queries use (comparisons incl. Kusto case-insensitive
-  * defaults with `_cs` variants and `=~`/`!~`, and/or/not, `in`,
-  * `startswith`/`endswith`/`contains`, `has`/`has_any`, `between`,
-  * arithmetic, `case`, `iff`, `pack_all`, `pack`, `strcat`,
-  * `strcat_delim`, `strlen`, `substring`, `split`, `trim`,
-  * `replace_string`, `reverse`, `tolower`/`toupper`, `bin` (numeric and
-  * timespan-width over timestamps AND timespan-valued longs), the
-  * datetime surface the reference's Grafana dashboards emit
-  * (`datetime(...)` literals, `now()`, `ago()` with signed d/h/m/s/ms
-  * timespans — now() is fixed per query and injectable for determinism;
-  * reference emission:
-  * docker-quickstart/grafana/dashboards/kafka-connect-metrics.json:43,120)
-  * plus the constructs dashboard authors reach for next: timespan
-  * literals in expression position with Kusto's datetime algebra
-  * (`ts + 1h`, `now() - ts` → timespan; timespans are epoch-micros longs
+/** String-level KQL → DataFrame compiler.
+  *
+  * Pipeline operators: the grammar the reference emits (SURVEY §2.2
+  * Q1-Q8: `count`, `where`, `project[-away|-rename]`, `extend`,
+  * `summarize [by]`, `order by`, `top N by`, `take`, `distinct`,
+  * `mv-expand`), the multi-table surface dashboards build on (`let`
+  * bindings, `join kind=… (sub) on keys`, `union`, `lookup` — a join
+  * whose right side is a declared dimension, so it broadcasts), and the
+  * dashboard ring: `parse … with` (typed captures from one parse-time
+  * regex), `make-series` (gap-filled timeseries over a literal axis),
+  * `serialize` + `row_number()`/`prev()`/`next()` (window functions over
+  * an explicit order), and `top-nested` (hierarchical top-k).
+  *
+  * Scalar surface: comparisons incl. Kusto case-insensitive defaults
+  * with `_cs` variants and `=~`/`!~`, and/or/not, `in`, `startswith`/
+  * `endswith`/`contains`, `has`/`has_any`/`has_cs`, `matches regex`,
+  * `between`, arithmetic, `case`, `iff`, `pack_all`, `pack`, `strcat`,
+  * `strcat_delim`, `strcat_array`, `strlen`, `substring`, `indexof`,
+  * `split`, `trim`, `replace_string`, `reverse`, `strrep`,
+  * `tolower`/`toupper`, `base64_*_tostring`, `extract`, `min_of`/
+  * `max_of`, `array_length`, `bin` (numeric and timespan-width over
+  * timestamps AND timespan-valued longs) and `bin_at`.
+  *
+  * Datetime surface (what Grafana panels emit —
+  * docker-quickstart/grafana/dashboards/kafka-connect-metrics.json:43,120):
+  * `datetime(...)` literals, `now()` (fixed per query, injectable),
+  * `ago()` with signed d/h/m/s/ms timespans, timespan literals in
+  * expression position with Kusto's algebra (`ts + 1h`,
+  * `datetime − datetime` → timespan; timespans are epoch-micros longs
   * engine-wide), `between (lo .. hi)` over datetimes,
-  * `startofday/startofweek/startofmonth/startofyear` (weeks start
-  * Sunday, as in Kusto), and `todatetime()`,
-  * Kusto `dynamic` access
-  * (`parse_json`/`todynamic` + postfix `.path`, lowered to
-  * `get_json_object`; reference need: dynamic columns in
-  * docker-quickstart/connector-config/create-table.kql:44-54), and the
-  * aggregates `count`, `sum`, `avg`, `min`, `max`, `dcount`, `arg_max`,
-  * `arg_min` plus their conditional `…if` forms).
+  * `startofday/startofweek/startofmonth/startofyear` (Sunday weeks, as
+  * Kusto), `todatetime`, `getyear/getmonth/dayofmonth/hourofday`.
+  *
+  * Kusto `dynamic`: `parse_json`/`todynamic` + postfix `.path` and
+  * `[index]` access, lowered to `get_json_object` (reference need:
+  * dynamic columns in docker-quickstart/connector-config/
+  * create-table.kql:44-54).
+  *
+  * Aggregates: `count`, `sum`, `avg`, `min`, `max`, `dcount`,
+  * `arg_max`/`arg_min`, their conditional `…if` forms, `percentile`
+  * (exact interpolated), `stdev`/`variance`, `make_set` (sorted)/
+  * `make_list`.
   *
   * A user of the reference interacts with queries as KQL TEXT (emitted
   * validation probes, Grafana dashboard panels, quickstart samples);
@@ -75,7 +88,7 @@ object KqlCompiler {
   private final case class Tok(kind: String, text: String) // kind: id|num|str|sym
   private object Lexer {
     private val symbols = List("==", "!=", "=~", "!~", "<=", ">=", "..", ".", "|", "(", ")", ",",
-      ";", "=", "<", ">", "+", "-", "*", "/", "%", ":")
+      ";", "=", "<", ">", "+", "-", "*", "/", "%", ":", "[", "]")
     def tokens(s: String): Vector[Tok] = {
       val out = Vector.newBuilder[Tok]
       var i = 0
@@ -622,10 +635,16 @@ object KqlCompiler {
       * is the identity and access composes with tolong/toint/todouble
       * casts, matching Kusto's dynamic→scalar conversion functions). */
     private def dynamicPath(base: ColB): ColB =
-      if (!peekIs(".")) base
+      if (!peekIs(".") && !peekIs("[")) base
       else {
         val path = new StringBuilder("$")
-        while (peekIs(".")) { expect("."); path ++= "."; path ++= ident() }
+        while (peekIs(".") || peekIs("[")) {
+          if (peekIs(".")) { expect("."); path ++= "."; path ++= ident() }
+          else { // array index: `.arr[0]` or chained `[0][1]`
+            expect("["); val i = number(); expect("]")
+            path ++= s"[$i]"
+          }
+        }
         val p = path.toString
         df => get_json_object(base(df), p)
       }

@@ -73,6 +73,14 @@ class KqlCompilerPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     ("where now() - tstamp >= 18h",
       df => df.filter(lit(fixedNow.toEpochMilli * 1000L) - unix_micros(col("tstamp")) >=
         18L * 3600000000L)))
+  // scalar-ring arms: indexof / min_of / extract, column-set-preserving
+  private val scalarWheres: Seq[Op] = Seq(
+    ("where indexof(status, 'err') == 0",
+      df => df.filter((instr(col("status"), "err") - 1).cast("long") === 0)),
+    ("where min_of(value, 50.0) < 40",
+      df => df.filter(least(col("value"), lit(50.0)) < 40)),
+    ("where strlen(extract('err-(\\\\d+)', 1, status)) > 0",
+      df => df.filter(length(regexp_extract(col("status"), "err-(\\d+)", 1)) > 0)))
   private def extendOp(k: Int): Op = (
     s"extend x$k = value * 2 - 1 | project-away x$k",
     df => df.withColumn(s"x$k", col("value") * 2 - 1).drop(s"x$k"))
@@ -94,6 +102,7 @@ class KqlCompilerPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
   private val opGen: Gen[Op] = Gen.frequency(
     5 -> Gen.oneOf(wheres),
     3 -> Gen.oneOf(dtWheres),
+    2 -> Gen.oneOf(scalarWheres),
     2 -> Gen.choose(0, 9).map(extendOp),
     2 -> Gen.oneOf(joins),
     1 -> Gen.choose(0, 9).map(dynOp),

@@ -505,6 +505,21 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one.collect().map(_.getString(0)).toSeq == Seq("a", "b"))
   }
 
+  test("dynamic array indexing: .arr[0].k paths lower to one json probe") {
+    import spark.implicits._
+    val t = Seq(
+      (1L, """{"arr": [{"k": 7}, {"k": 9}], "plain": 3}"""),
+      (2L, """{"arr": [{"k": 5}], "plain": 4}"""))
+      .toDF("id", "props")
+    def runJ(kql: String) = KqlCompiler.compile(kql, _ => t)
+    val r = runJ("""t | extend first = tolong(parse_json(props).arr[0].k), p = tolong(parse_json(props).plain)
+                    | project id, first, p | order by id asc""").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq ==
+      Seq((1L, 7L, 3L), (2L, 5L, 4L)))
+    // out-of-range index is null, filterable with isnull
+    assert(runJ("t | where isnull(parse_json(props).arr[3]) | count").head().getLong(0) == 2)
+  }
+
   test("parse errors are loud and specific") {
     assert(intercept[KqlParseException](run("t | explode x")).getMessage.contains("unsupported operator"))
     assert(intercept[KqlParseException](run("t | where name == 'unterminated")).getMessage.contains("unterminated"))
