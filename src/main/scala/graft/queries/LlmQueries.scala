@@ -1393,6 +1393,88 @@ object LlmQueries extends QueryModule {
            round(len(list_filter(t, x -> NOT list_contains(sl, x))) / len(t), 6) AS kept_ratio
     FROM tok CROSS JOIN stop ORDER BY doc_id"""
 
+  /** Int8-quantized ANN (q76): symmetric per-vector int8 quantization
+    * (scale = max|x|/127, q_i = floor(x_i·127/max + 0.5) — exact integer
+    * outputs, so Spark and DuckDB agree bit-wise), candidate generation
+    * on the QUANTIZED dot product, exact cosine re-rank on the top-10
+    * candidates only. At 100 TB this is the memory-bandwidth lever:
+    * int8 vectors scan 4× less data than float32, the candidate pass is
+    * integer arithmetic, and full-precision vectors are touched only for
+    * the short re-rank list. Determinism: quantized dots are exact
+    * integers in doubles (≤64·127² ≪ 2⁵³); the tie-break is (score desc,
+    * vec_id), and the scale product is written `dot * (sa * sb)` with
+    * fixed parenthesization so both engines round identically. */
+  private val quantizedAnnSql = """
+    WITH v AS (
+      SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS e FROM embeddings),
+    mx AS (
+      SELECT vec_id, e,
+             greatest(aggregate(e, cast(0.0 AS double), (s, x) -> greatest(s, abs(x))), cast(1e-30 AS double)) AS m
+      FROM v),
+    qv AS (
+      SELECT vec_id, e, m / 127.0D AS scale,
+             transform(e, x -> cast(floor(x * 127.0D / m + 0.5D) AS tinyint)) AS q
+      FROM mx),
+    qq AS (SELECT vec_id AS qid, e AS qe, scale AS qscale, q AS qq FROM qv WHERE vec_id % 100 = 0),
+    sims AS (
+      SELECT /*+ BROADCAST(qq) */ qq.qid, d.vec_id,
+             dot_d(transform(qq.qq, x -> cast(x AS double)),
+                   transform(d.q, x -> cast(x AS double))) * (qq.qscale * d.scale) AS qsim,
+             qq.qe AS qe, d.e AS de
+      FROM qv d JOIN qq ON d.vec_id <> qq.qid),
+    cand AS (
+      SELECT qid, vec_id, qe, de FROM (
+        SELECT qid, vec_id, qe, de,
+               row_number() OVER (PARTITION BY qid ORDER BY qsim DESC, vec_id) AS crk
+        FROM sims) WHERE crk <= 10),
+    exact AS (
+      SELECT qid, vec_id,
+             dot_d(qe, de) / (sqrt(dot_d(qe, qe)) * sqrt(dot_d(de, de))) AS sim
+      FROM cand),
+    ranked AS (
+      SELECT qid, vec_id, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+      FROM exact)
+    SELECT qid, vec_id, round(sim, 6) AS sim, rank
+    FROM ranked WHERE rank <= 3 ORDER BY qid, rank"""
+
+  private val quantizedAnnOracle = """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    mx AS (
+      SELECT vec_id, e,
+             greatest(list_reduce(list_transform(e, x -> abs(x)), (s, x) -> greatest(s, x)), 1e-30) AS m
+      FROM v),
+    qv AS (
+      SELECT vec_id, e, m / 127.0 AS scale,
+             list_transform(e, x -> floor(x * 127.0 / m + 0.5)::TINYINT) AS q
+      FROM mx),
+    qq AS (SELECT vec_id AS qid, e AS qe, scale AS qscale, q AS qq FROM qv WHERE vec_id % 100 = 0),
+    sims AS (
+      SELECT qq.qid, d.vec_id,
+             list_reduce(list_transform(range(len(d.q)),
+                 i -> qq.qq[i+1]::DOUBLE * d.q[i+1]::DOUBLE), (s, x) -> s + x)
+               * (qq.qscale * d.scale) AS qsim,
+             qq.qe AS qe, d.e AS de
+      FROM qv d JOIN qq ON d.vec_id <> qq.qid),
+    cand AS (
+      SELECT qid, vec_id, qe, de FROM (
+        SELECT qid, vec_id, qe, de,
+               row_number() OVER (PARTITION BY qid ORDER BY qsim DESC, vec_id) AS crk
+        FROM sims) WHERE crk <= 10),
+    exact AS (
+      SELECT qid, vec_id,
+             list_reduce(list_transform(range(len(de)), i -> qe[i+1] * de[i+1]), (s, x) -> s + x)
+               / (sqrt(list_reduce(list_transform(qe, x -> x * x), (s, x) -> s + x))
+                  * sqrt(list_reduce(list_transform(de, x -> x * x), (s, x) -> s + x))) AS sim
+      FROM cand),
+    ranked AS (
+      SELECT qid, vec_id, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+      FROM exact)
+    SELECT qid, vec_id, round(sim, 6) AS sim, rank
+    FROM ranked WHERE rank <= 3 ORDER BY qid, rank"""
+
   // -------------------------------------------------------- multimodal
 
   /** Opaque-binary metadata plumbing: payload byte length, content hash,
@@ -1512,7 +1594,8 @@ object LlmQueries extends QueryModule {
     "q64_kmeans_train" -> (kmeansTrain(_, _)),
     "q65_ivf_converged" -> (ivfConverged(_, _)),
     "q68_doc_chunking" -> sqlQuery(docs, chunkingSql),
-    "q69_stopword_filter" -> sqlQuery(docs, stopwordSql))
+    "q69_stopword_filter" -> sqlQuery(docs, stopwordSql),
+    "q76_quantized_ann" -> sqlQuery(embs, quantizedAnnSql))
 
   override val oracles: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -1544,5 +1627,6 @@ object LlmQueries extends QueryModule {
     "q64_kmeans_train" -> kmeansTrainOracle,
     "q65_ivf_converged" -> ivfConvergedOracle,
     "q68_doc_chunking" -> chunkingOracle,
-    "q69_stopword_filter" -> stopwordOracle)
+    "q69_stopword_filter" -> stopwordOracle,
+    "q76_quantized_ann" -> quantizedAnnOracle)
 }

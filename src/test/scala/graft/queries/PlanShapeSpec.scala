@@ -144,6 +144,12 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"), "scaffold/fill joins must stay broadcast-sized")
   }
 
+  test("q76 quantized ANN: query set broadcasts, no SortMergeJoin") {
+    val p = plan("q76_quantized_ann")
+    assert(p.contains("BroadcastExchange"), "the small query set must broadcast")
+    assert(!p.contains("SortMergeJoin"), "scoring must stay broadcast-shaped")
+  }
+
   test("InferFiltersFromGenerate exclusion is scoped to LLM-query sessions") {
     val excludedKey = "spark.sql.optimizer.excludedRules"
     val rule = "InferFiltersFromGenerate"
