@@ -144,6 +144,17 @@ object KqlCompiler {
       * distributed engine has no stable natural order, so this engine
       * requires an explicit preceding sort (loud error otherwise). */
     private var lastOrder: Option[List[ColB]] = None
+    /** Element bindings for mv-apply's sub-pipeline: while a lambda body
+      * is being BUILT (plan time — Spark's HOF wrappers invoke the
+      * Scala function once, synchronously, with the lambda variable),
+      * the element name resolves here before falling back to df(name).
+      * Stack-disciplined so nested mv-apply shadows correctly. */
+    private var elemBinds = Map.empty[String, Column]
+    private def withBind[A](name: String, c: Column)(body: => A): A = {
+      val saved = elemBinds
+      elemBinds = elemBinds + (name -> c)
+      try body finally elemBinds = saved
+    }
     private def resolveName(n: String): DataFrame = lets.getOrElse(n, resolve(n))
 
     /** `let name = <pipeline>; … <pipeline>` — bindings compile eagerly
@@ -207,12 +218,72 @@ object KqlCompiler {
         val items = sepBy1(projItem)
         df.select(items.map(_(df)): _*)
       case "mv" =>
-        // mv-expand col: one output row per array element (inner semantics)
         expect("-")
-        val sub = ident()
-        if (sub != "expand") throw new KqlParseException(s"unsupported operator 'mv-$sub'")
-        val c = ident()
-        df.withColumn(c, explode(df(c)))
+        ident() match {
+          case "expand" =>
+            // mv-expand col: one output row per array element (inner semantics)
+            val c = ident()
+            df.withColumn(c, explode(df(c)))
+          case "apply" =>
+            // `mv-apply elem = arrayExpr [to typeof(T)] on ( where … [|
+            //  where …] [| summarize n = agg(…), …] )` — per-row array
+            // analytics compiled to array LAMBDAS, not explode+groupBy:
+            // filters become `filter(arr, e -> p)`, aggregates become
+            // `aggregate`/`array_min`/`array_max`/`size` folds, all
+            // map-side with zero shuffle and no row-correlation problem.
+            // Without a summarize the (filtered) elements expand to rows,
+            // matching Kusto's row-per-element output.
+            val elemName = ident(); expect("=")
+            val arrB = expr()
+            if (peekIs("to")) { expect("to"); expect("typeof"); expect("("); ident(); expect(")") }
+            expect("on"); expect("(")
+            val filters = List.newBuilder[ColB]
+            var aggs = List.empty[(String, String, Option[ColB])]
+            var scanning = true
+            while (scanning) {
+              ident() match {
+                case "where" => filters += expr()
+                case "summarize" =>
+                  aggs = sepBy1(() => {
+                    val n = ident(); expect("=")
+                    val fn = ident(); expect("(")
+                    val arg = if (peekIs(")")) None else Some(expr())
+                    expect(")")
+                    (n, fn, arg)
+                  })
+                  scanning = false // summarize must be the last step
+                case other =>
+                  throw new KqlParseException(s"mv-apply supports where/summarize steps, got '$other'")
+              }
+              if (scanning) { if (peekIs("|")) expect("|") else scanning = false }
+            }
+            expect(")")
+            val fns = org.apache.spark.sql.functions
+            val filtered = filters.result().foldLeft(arrB(df))((a, p) =>
+              fns.filter(a, x => withBind(elemName, x)(p(df))))
+            def mapped(argB: Option[ColB]): Column = argB match {
+              case Some(b) => fns.transform(filtered, x => withBind(elemName, x)(b(df)))
+              case None => filtered
+            }
+            if (aggs.isEmpty) df.withColumn(elemName, explode(filtered))
+            else aggs.foldLeft(df) { case (d, (n, fn, argB)) =>
+              d.withColumn(n, fn match {
+                case "count" =>
+                  if (argB.nonEmpty) throw new KqlParseException("mv-apply count() takes no argument")
+                  size(filtered).cast("long")
+                case "sum" =>
+                  fns.aggregate(mapped(argB), lit(0.0).cast("double"), (s, x) => s + x)
+                case "min" => array_min(mapped(argB))
+                case "max" => array_max(mapped(argB))
+                case "avg" => // null over an empty element set (never divides by 0)
+                  when(size(filtered) > 0,
+                    fns.aggregate(mapped(argB), lit(0.0).cast("double"), (s, x) => s + x) /
+                      size(filtered))
+                case "dcount" => size(array_distinct(mapped(argB))).cast("long")
+                case other => throw new KqlParseException(s"unsupported mv-apply aggregate '$other'")
+              })
+            }
+        }
       case "extend" =>
         sepBy1(() => { val n = ident(); expect("="); (n, expr()) })
           .foldLeft(df) { case (d, (n, e)) => d.withColumn(n, e(d)) }
@@ -620,7 +691,7 @@ object KqlCompiler {
         case "id" => t.text match {
           case "true"  => _ => lit(true)
           case "false" => _ => lit(false)
-          case name    => df => df(name)
+          case name    => df => elemBinds.getOrElse(name, df(name))
         }
         case "sym" if t.text == "(" => val e = expr(); expect(")"); e
         case _ => throw new KqlParseException(s"unexpected token '${t.text}'")
@@ -898,7 +969,7 @@ object KqlCompiler {
             args.last(df))
         case "iff" | "iif" => arity(3); df => when(args(0)(df), args(1)(df)).otherwise(args(2)(df))
         case "strcat" => df => concat(args.map(_(df)): _*)
-        case "strlen" => arity(1); df => length(args.head(df))
+        case "strlen" => arity(1); df => length(args.head(df)).cast("long") // Kusto strlen: long
         case "tolower" => arity(1); df => lower(args.head(df))
         case "toupper" => arity(1); df => upper(args.head(df))
         case "tostring" => arity(1); df => args.head(df).cast("string")

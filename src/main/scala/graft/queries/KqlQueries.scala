@@ -262,7 +262,20 @@ object KqlQueries extends QueryModule {
         """events
           | | top-nested 2 of event_type by n = count(), top-nested 3 of user_id by v = round(sum(value), 6)
           | | order by event_type asc, v desc, user_id asc""".stripMargin,
-        _ => Tables.events(s, dir)))
+        _ => Tables.events(s, dir))),
+
+    // mv-apply — per-row array analytics compiled to array lambdas
+    // (filter/aggregate folds), NOT explode + groupBy: zero shuffle, no
+    // row-correlation machinery, the map-only way to do per-document
+    // token analytics at 100 TB.
+    "q77_kql_text_mvapply" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """documents
+          | | extend t = split(text, ' ')
+          | | mv-apply w = t on ( where strlen(w) >= 5 | summarize n5 = count(), mx = max(strlen(w)), s5 = sum(strlen(w)) )
+          | | project doc_id, n5, mx, s5
+          | | order by doc_id asc""".stripMargin,
+        _ => Tables.documents(s, dir)))
   )
 
   override val oracles: Map[String, String] = Map(
@@ -439,6 +452,17 @@ object KqlQueries extends QueryModule {
            FROM events e JOIN w1 USING (event_type)
            GROUP BY e.event_type, w1.n, e.user_id)
          SELECT event_type, n, user_id, v FROM l2 WHERE r2 <= 3
-         ORDER BY event_type, v DESC, user_id"""
+         ORDER BY event_type, v DESC, user_id""",
+
+    "q77_kql_text_mvapply" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  list_filter(string_split(text, ' '), w -> length(w) >= 5) AS f
+           FROM documents)
+         SELECT doc_id,
+                len(f) AS n5,
+                list_max(list_transform(f, w -> length(w))) AS mx,
+                coalesce(list_sum(list_transform(f, w -> length(w)::DOUBLE)), 0.0) AS s5
+         FROM tok ORDER BY doc_id"""
   )
 }

@@ -520,6 +520,35 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(runJ("t | where isnull(parse_json(props).arr[3]) | count").head().getLong(0) == 2)
   }
 
+  test("mv-apply: array lambdas — filtered expansion and per-row aggregates, no shuffle") {
+    import spark.implicits._
+    val t = Seq(
+      (1L, Seq(1.0, 5.0, 9.0, 2.0)),
+      (2L, Seq(10.0, 20.0)),
+      (3L, Seq.empty[Double]))
+      .toDF("id", "vals")
+    def runA(kql: String) = KqlCompiler.compile(kql, _ => t)
+
+    // summarize form: one row per input row, aggregates over elements
+    val ag = runA("t | mv-apply v = vals on ( where v >= 2.0 |" +
+      " summarize n = count(), s = sum(v), m = max(v), a = avg(v) ) | order by id asc").collect()
+    assert(ag.map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSeq ==
+      Seq((1L, 3L, 16.0), (2L, 2L, 30.0), (3L, 0L, 0.0)))
+    assert(ag(0).getDouble(4) == 9.0 && ag(2).isNullAt(4), "max of empty filter is null")
+    assert(math.abs(ag(1).getDouble(5) - 15.0) < 1e-9)
+    // expansion form: one row per surviving element (Kusto row-per-element)
+    val ex = runA("t | mv-apply v = vals on ( where v >= 5.0 ) | project id, v | order by id asc, v asc")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(ex.toSeq == Seq((1L, 5.0), (1L, 9.0), (2L, 10.0), (2L, 20.0)))
+    // `to typeof(...)` is accepted; nested element expressions compose
+    assert(runA("t | mv-apply v = vals to typeof(real) on ( where v * 2 >= 10.0 | summarize n = count() ) | summarize total = sum(n)")
+      .head().getLong(0) == 4L) // 5,9 from row 1 + 10,20 from row 2
+    // the whole thing is map-only: no exchange before the final sort
+    val plan = runA("t | mv-apply v = vals on ( where v >= 2.0 | summarize n = count() )")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"mv-apply must not shuffle:\n$plan")
+  }
+
   test("parse errors are loud and specific") {
     assert(intercept[KqlParseException](run("t | explode x")).getMessage.contains("unsupported operator"))
     assert(intercept[KqlParseException](run("t | where name == 'unterminated")).getMessage.contains("unterminated"))
