@@ -14,7 +14,9 @@ import org.apache.spark.sql.functions._
   * dashboard ring: `parse … with` (typed captures from one parse-time
   * regex), `make-series` (gap-filled timeseries over a literal axis),
   * `serialize` + `row_number()`/`prev()`/`next()` (window functions over
-  * an explicit order), and `top-nested` (hierarchical top-k).
+  * an explicit order), `top-nested` (hierarchical top-k), and `mv-apply`
+  * (per-row array analytics compiled to array lambdas — map-only, never
+  * explode + groupBy).
   *
   * Scalar surface: comparisons incl. Kusto case-insensitive defaults
   * with `_cs` variants and `=~`/`!~`, and/or/not, `in`, `startswith`/
