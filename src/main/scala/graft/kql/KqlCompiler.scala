@@ -329,15 +329,24 @@ object KqlCompiler {
         val sqlW = org.apache.spark.sql.expressions.Window
         var acc: DataFrame = null
         var keys = List.empty[String]
+        var prevAggs = List.empty[String]
         for (lv <- levels.result()) {
           val grouped = df.groupBy((keys :+ lv.colName).map(col): _*).agg(lv.aggB(df).as(lv.aggName))
-          val joined = if (acc == null) grouped else grouped.join(broadcast(acc), keys, "inner")
+          // null-safe key equality: a null parent group must keep its
+          // children (equi-join keys would drop them)
+          val joined =
+            if (acc == null) grouped
+            else grouped.join(broadcast(acc),
+                keys.map(k => grouped(k) <=> acc(k)).reduce(_ && _), "inner")
+              .select((keys :+ lv.colName :+ lv.aggName).map(grouped(_)) ++
+                prevAggs.map(acc(_)): _*)
           val w =
             if (keys.isEmpty) sqlW.orderBy(col(lv.aggName).desc, col(lv.colName).asc)
             else sqlW.partitionBy(keys.map(col): _*).orderBy(col(lv.aggName).desc, col(lv.colName).asc)
           acc = joined.withColumn("__rn", row_number().over(w))
             .where(col("__rn") <= lv.n).drop("__rn")
           keys = keys :+ lv.colName
+          prevAggs = prevAggs :+ lv.aggName
         }
         // column order: level keys/aggs in declaration order
         acc.select(levels.result().flatMap(lv => Seq(col(lv.colName), col(lv.aggName))): _*)
@@ -450,7 +459,16 @@ object KqlCompiler {
         val scaffold =
           if (keys.isEmpty) binsDf
           else df.select(keys.map(col): _*).distinct().crossJoin(binsDf)
-        val filled = scaffold.join(aggd, keys :+ "__bin", "left")
+        // null-safe key equality: a null-keyed series must keep its data
+        // (an equi-join would orphan it onto a default-filled series)
+        val filled =
+          if (keys.isEmpty) scaffold.join(aggd, Seq("__bin"), "left")
+          else {
+            val cond = keys.map(k => scaffold(k) <=> aggd(k)).reduce(_ && _) &&
+              scaffold("__bin") === aggd("__bin")
+            scaffold.join(aggd, cond, "left")
+              .select(((keys :+ "__bin").map(scaffold(_)) :+ aggd("__v")): _*)
+          }
         val full = default.fold(filled)(d =>
           filled.withColumn("__v", coalesce(col("__v"), lit(d))))
         val sqlExpr = org.apache.spark.sql.functions.expr _ // parser's expr() shadows functions.expr

@@ -549,6 +549,30 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange"), s"mv-apply must not shuffle:\n$plan")
   }
 
+  test("make-series and top-nested keep NULL-keyed groups (null-safe joins)") {
+    import spark.implicits._
+    val fixedNow = java.time.Instant.parse("2024-03-01T12:00:00Z")
+    val t = Seq(
+      (Some("a"), "x", java.sql.Timestamp.from(java.time.Instant.parse("2024-03-01T00:30:00Z")), 1.0),
+      (None, "x", java.sql.Timestamp.from(java.time.Instant.parse("2024-03-01T00:40:00Z")), 2.0),
+      (None, "y", java.sql.Timestamp.from(java.time.Instant.parse("2024-03-01T01:30:00Z")), 3.0))
+      .toDF("k", "sub", "ts", "v")
+    // make-series: the null-keyed series must carry ITS counts, not defaults
+    val ms = KqlCompiler.compile(
+      "t | make-series n = count() default = 0 on ts from datetime(2024-03-01) to datetime(2024-03-01T02:00:00Z) step 1h by k",
+      _ => t, fixedNow).collect()
+    val byKey = ms.map(r => Option(r.getString(0)) -> r.getSeq[Long](1)).toMap
+    assert(byKey(Some("a")) == Seq(1L, 0L))
+    assert(byKey(None) == Seq(1L, 1L), "null-keyed series lost its data")
+    // top-nested: a null parent group must keep its children
+    val tn = KqlCompiler.compile(
+      "t | top-nested 2 of k by n = count(), top-nested 2 of sub by s = sum(v) | order by s desc",
+      _ => t).collect()
+    val nullRows = tn.filter(_.isNullAt(0))
+    assert(nullRows.length == 2, s"null parent dropped: ${tn.mkString(", ")}")
+    assert(nullRows.map(r => (r.getString(2), r.getDouble(3))).toSet == Set(("x", 2.0), ("y", 3.0)))
+  }
+
   test("parse errors are loud and specific") {
     assert(intercept[KqlParseException](run("t | explode x")).getMessage.contains("unsupported operator"))
     assert(intercept[KqlParseException](run("t | where name == 'unterminated")).getMessage.contains("unterminated"))
