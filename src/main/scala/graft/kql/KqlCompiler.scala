@@ -90,7 +90,7 @@ object KqlCompiler {
   private final case class Tok(kind: String, text: String) // kind: id|num|str|sym
   private object Lexer {
     private val symbols = List("==", "!=", "=~", "!~", "<=", ">=", "..", ".", "|", "(", ")", ",",
-      ";", "=", "<", ">", "+", "-", "*", "/", "%", ":", "[", "]")
+      ";", "=", "<", ">", "+", "-", "*", "/", "%", ":", "[", "]", "!in", "~")
     def tokens(s: String): Vector[Tok] = {
       val out = Vector.newBuilder[Tok]
       var i = 0
@@ -593,10 +593,20 @@ object KqlCompiler {
         case Some(">")  => expect(">");  val r = additive(); df => l(df) > r(df)
         case Some("<=") => expect("<="); val r = additive(); df => l(df) <= r(df)
         case Some(">=") => expect(">="); val r = additive(); df => l(df) >= r(df)
-        case Some("in") =>
-          expect("in"); expect("(")
+        case Some("in") | Some("!in") =>
+          // in / !in / in~ / !in~ — the `~` suffix is Kusto's
+          // case-insensitive variant
+          val negated = next().text == "!in"
+          val ci = peekIs("~")
+          if (ci) expect("~")
+          expect("(")
           val items = sepBy1(() => expr()); expect(")")
-          df => l(df).isin(items.map(_(df)): _*)
+          df => {
+            val base =
+              if (ci) lower(l(df)).isin(items.map(i => lower(i(df))): _*)
+              else l(df).isin(items.map(_(df)): _*)
+            if (negated) !base else base
+          }
         // Kusto string predicates are case-INSENSITIVE by default; the
         // `_cs` variants are the case-sensitive forms — exact KQL
         // semantics, not the Spark Column default
@@ -627,6 +637,13 @@ object KqlCompiler {
           df => terms.map(t => regexp_like(l(df), concat(lit("(?i)\\b"),
               regexp_replace(t(df), lit("([^a-zA-Z0-9])"), lit("\\\\$1")), lit("\\b"))))
             .reduce(_ || _)
+        case Some("has_all") =>
+          // AND of whole-term matches over a literal list
+          expect("has_all"); expect("(")
+          val terms = sepBy1(() => additive()); expect(")")
+          df => terms.map(t => regexp_like(l(df), concat(lit("(?i)\\b"),
+              regexp_replace(t(df), lit("([^a-zA-Z0-9])"), lit("\\\\$1")), lit("\\b"))))
+            .reduce(_ && _)
         case Some("between") =>
           // KQL `x between (lo .. hi)` — inclusive both ends
           expect("between"); expect("(")

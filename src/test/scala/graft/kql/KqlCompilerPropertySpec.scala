@@ -80,7 +80,14 @@ class KqlCompilerPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     ("where min_of(value, 50.0) < 40",
       df => df.filter(least(col("value"), lit(50.0)) < 40)),
     ("where strlen(extract('err-(\\\\d+)', 1, status)) > 0",
-      df => df.filter(length(regexp_extract(col("status"), "err-(\\d+)", 1)) > 0)))
+      df => df.filter(length(regexp_extract(col("status"), "err-(\\d+)", 1)) > 0)),
+    ("where name !in ('beta', 'gamma')",
+      df => df.filter(!col("name").isin("beta", "gamma"))),
+    ("mv-apply c = split(status, '-') on ( where strlen(c) >= 3 | summarize zz = count() ) | where zz >= 1 | project-away zz",
+      df => df.withColumn("zz",
+          size(filter(split(col("status"), java.util.regex.Pattern.quote("-")),
+            x => length(x).cast("long") >= 3)).cast("long"))
+        .filter(col("zz") >= 1).drop("zz")))
   private def extendOp(k: Int): Op = (
     s"extend x$k = value * 2 - 1 | project-away x$k",
     df => df.withColumn(s"x$k", col("value") * 2 - 1).drop(s"x$k"))

@@ -573,6 +573,15 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nullRows.map(r => (r.getString(2), r.getDouble(3))).toSet == Set(("x", 2.0), ("y", 3.0)))
   }
 
+  test("in family (!in, in~, !in~) and has_all") {
+    assert(run("t | where name in ('alpha', 'gamma')").count() == 3)
+    assert(run("t | where name !in ('alpha', 'gamma')").count() == 2)
+    assert(run("t | where name in~ ('ALPHA', 'Gamma')").count() == 3)
+    assert(run("t | where name !in~ ('ALPHA', 'Gamma')").count() == 2)
+    assert(run("t | where status has_all ('err', 'timeout')").count() == 1)
+    assert(run("t | where status has_any ('err', 'timeout')").count() == 2)
+  }
+
   test("parse errors are loud and specific") {
     assert(intercept[KqlParseException](run("t | explode x")).getMessage.contains("unsupported operator"))
     assert(intercept[KqlParseException](run("t | where name == 'unterminated")).getMessage.contains("unterminated"))
