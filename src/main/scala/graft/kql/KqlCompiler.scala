@@ -214,6 +214,19 @@ object KqlCompiler {
           case "rename" =>
             sepBy1(() => { val n = ident(); expect("="); val o = ident(); (n, o) })
               .foldLeft(df) { case (d, (n, o)) => d.withColumnRenamed(o, n) }
+          case "keep" =>
+            // wildcard column selection, TABLE order preserved (Kusto)
+            val pats = sepBy1(colPattern)
+            val kept = df.columns.filter(c => pats.exists(_.matcher(c).matches()))
+            if (kept.isEmpty) throw new KqlParseException("project-keep matched no columns")
+            df.select(kept.map(col): _*)
+          case "reorder" =>
+            // listed (wildcard) columns first in pattern order, the rest
+            // keep their original order
+            val pats = sepBy1(colPattern)
+            val first = pats.flatMap(p => df.columns.filter(c => p.matcher(c).matches())).distinct
+            val rest = df.columns.filterNot(first.contains)
+            df.select((first ++ rest).map(col): _*)
           case other => throw new KqlParseException(s"unsupported operator 'project-$other'")
         }
       case "project" =>
@@ -371,7 +384,15 @@ object KqlCompiler {
       case "take" | "limit" => df.limit(number())
       case "distinct" =>
         if (peek.isEmpty || peekIs("|")) df.distinct()
+        else if (peekIs("*")) { expect("*"); df.distinct() }
         else { val items = sepBy1(projItem); df.select(items.map(_(df)): _*).distinct() }
+      case "getschema" =>
+        // Kusto's schema probe: one row per column
+        val sp = df.sparkSession
+        import sp.implicits._
+        df.schema.fields.zipWithIndex.toSeq
+          .map { case (f, i) => (f.name, i.toLong, f.dataType.simpleString) }
+          .toDF("ColumnName", "ColumnOrdinal", "DataType")
       case "join" =>
         // `join kind=K (sub) on k1, k2` — key-equality joins (the form
         // dashboards use). Kinds map onto Spark join types; innerunique
@@ -523,6 +544,25 @@ object KqlCompiler {
           })
         }
       case other => throw new KqlParseException(s"unsupported operator '$other'")
+    }
+
+    /** Column wildcard pattern for project-keep/-reorder: id and `*`
+      * tokens concatenate ("ev*", "*_id"); `*` matches any run. (Token
+      * adjacency is not preserved, so "a *" equals "a*" — harmless for
+      * column patterns.) */
+    private def colPattern(): java.util.regex.Pattern = {
+      val sb = new StringBuilder
+      var going = true
+      while (going) {
+        peek match {
+          case Some(t) if t.kind == "id" || t.kind == "num" =>
+            next(); sb ++= java.util.regex.Pattern.quote(t.text)
+          case Some(t) if t.text == "*" => next(); sb ++= ".*"
+          case _ => going = false
+        }
+      }
+      if (sb.isEmpty) throw new KqlParseException("expected a column pattern")
+      java.util.regex.Pattern.compile(sb.toString)
     }
 
     private def sepBy1[A](item: () => A): List[A] = {
@@ -862,6 +902,28 @@ object KqlCompiler {
       if (name == "datetime") {
         val inst = datetimeLiteral()
         return _ => lit(inst)
+      }
+      if (name == "dynamic") {
+        // dynamic literal (array/scalar forms; `dynamic` IS JSON text in
+        // this engine, so the literal is the reconstructed JSON). String
+        // elements re-quote; composes with postfix .path/[index] access.
+        val sb = new StringBuilder
+        var depth = 1
+        var going = true
+        while (going) {
+          val t = next()
+          t.text match {
+            case "(" if t.kind == "sym" => depth += 1; sb ++= "("
+            case ")" if t.kind == "sym" =>
+              depth -= 1; if (depth == 0) going = false else sb ++= ")"
+            case _ =>
+              if (t.kind == "str")
+                sb ++= "\"" + t.text.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+              else sb ++= t.text
+          }
+        }
+        val json = sb.toString
+        return _ => lit(json)
       }
       if (name == "now") {
         expect(")")

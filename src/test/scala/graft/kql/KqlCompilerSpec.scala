@@ -582,6 +582,24 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run("t | where status has_any ('err', 'timeout')").count() == 2)
   }
 
+  test("project-keep/-reorder wildcards, distinct *, getschema, dynamic literals") {
+    // df columns: id, name, value, status
+    val keep = run("t | project-keep name, va*")
+    assert(keep.columns.toSeq == Seq("name", "value"), "table order preserved")
+    val re = run("t | project-reorder status, i*")
+    assert(re.columns.toSeq == Seq("status", "id", "name", "value"))
+    assert(intercept[KqlParseException](run("t | project-keep zz*"))
+      .getMessage.contains("matched no columns"))
+    assert(run("t | distinct *").count() == 5)
+    val schema = run("t | getschema").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(schema.toSeq == Seq(("id", 0L, "bigint"), ("name", 1L, "string"),
+      ("value", 2L, "double"), ("status", 3L, "string")))
+    // dynamic array literal + postfix index access
+    val dyn = run("t | where id == 1 | project a = dynamic([1, 2, 3])[1], s = dynamic(['x', 'y'])[0]").head()
+    assert(dyn.getString(0) == "2" && dyn.getString(1) == "x")
+  }
+
   test("parse errors are loud and specific") {
     assert(intercept[KqlParseException](run("t | explode x")).getMessage.contains("unsupported operator"))
     assert(intercept[KqlParseException](run("t | where name == 'unterminated")).getMessage.contains("unterminated"))
