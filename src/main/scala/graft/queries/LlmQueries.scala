@@ -1475,6 +1475,42 @@ object LlmQueries extends QueryModule {
     SELECT qid, vec_id, round(sim, 6) AS sim, rank
     FROM ranked WHERE rank <= 3 ORDER BY qid, rank"""
 
+  /** Sequence packing (q78): assign documents to fixed-token-budget
+    * packs (2048 tokens) by cumulative offset within each source stream —
+    * the context-window packing step of training prep. Offset-based
+    * packing (pack = floor(preceding-tokens / budget)) is deterministic
+    * and one-pass; a pack may overflow by at most one document, which is
+    * the standard trade for avoiding a sequential bin-packer. Scale
+    * shape: ONE hash shuffle on source + an in-partition ordered window —
+    * packing is inherently sequential per stream but embarrassingly
+    * parallel across streams, which is exactly what the partitioning
+    * expresses. */
+  private val packingSql = """
+    WITH tok AS (
+      SELECT doc_id, source, CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    w AS (
+      SELECT doc_id, source, n_tokens,
+             coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM tok)
+    SELECT doc_id, source, n_tokens, off div 2048 AS pack_id,
+           off - (off div 2048) * 2048 AS pack_offset
+    FROM w ORDER BY doc_id"""
+
+  private val packingOracle = """
+    WITH tok AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    w AS (
+      SELECT doc_id, source, n_tokens,
+             coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM tok)
+    SELECT doc_id, source, n_tokens, off // 2048 AS pack_id,
+           off - (off // 2048) * 2048 AS pack_offset
+    FROM w ORDER BY doc_id"""
+
   // -------------------------------------------------------- multimodal
 
   /** Opaque-binary metadata plumbing: payload byte length, content hash,
@@ -1595,7 +1631,8 @@ object LlmQueries extends QueryModule {
     "q65_ivf_converged" -> (ivfConverged(_, _)),
     "q68_doc_chunking" -> sqlQuery(docs, chunkingSql),
     "q69_stopword_filter" -> sqlQuery(docs, stopwordSql),
-    "q76_quantized_ann" -> sqlQuery(embs, quantizedAnnSql))
+    "q76_quantized_ann" -> sqlQuery(embs, quantizedAnnSql),
+    "q78_sequence_packing" -> sqlQuery(docs, packingSql))
 
   override val oracles: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -1628,5 +1665,6 @@ object LlmQueries extends QueryModule {
     "q65_ivf_converged" -> ivfConvergedOracle,
     "q68_doc_chunking" -> chunkingOracle,
     "q69_stopword_filter" -> stopwordOracle,
-    "q76_quantized_ann" -> quantizedAnnOracle)
+    "q76_quantized_ann" -> quantizedAnnOracle,
+    "q78_sequence_packing" -> packingOracle)
 }
