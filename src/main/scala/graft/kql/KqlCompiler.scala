@@ -1001,6 +1001,19 @@ object KqlCompiler {
           if (fn == "prev") lag(e(df), off).over(w) else lead(e(df), off).over(w)
         }
       }
+      if (name == "format_datetime") {
+        // format_datetime(ts, 'pattern') — the Kusto pattern subset that
+        // overlaps Java's (yyyy MM dd HH mm ss) passes through; 'y'/'M'/
+        // 'd'/'H'/'m'/'s' singles and 'ff' fractions are normalized.
+        val e = expr(); expect(",")
+        val p = next()
+        if (p.kind != "str") throw new KqlParseException("format_datetime() pattern must be a string literal")
+        expect(")")
+        val javaPat = "f+".r.replaceAllIn(
+          p.text.replace("tt", "a"), // tt = AM/PM designator
+          m => "S" * m.matched.length) // fff fractions -> SSS
+        return df => date_format(e(df), javaPat)
+      }
       if (name == "percentile") {
         // percentile(col, P) — exact interpolated percentile (an exactness
         // upgrade over Kusto's T-digest approximation; same interpolation
@@ -1089,6 +1102,27 @@ object KqlCompiler {
         case "getmonth" => arity(1); df => month(args.head(df)).cast("long")
         case "dayofmonth" => arity(1); df => dayofmonth(args.head(df)).cast("long")
         case "hourofday" => arity(1); df => hour(args.head(df)).cast("long")
+        // Kusto dayofweek returns a TIMESPAN since week start (Sunday) —
+        // in this engine's timespan model that is micros (0, 1d, 2d, …)
+        case "dayofweek" => arity(1); df =>
+          (dayofweek(args.head(df)).cast("long") - lit(1L)) * lit(86400000000L)
+        // end-of-period = start of the NEXT period minus one micro (the
+        // engine's tick; Kusto's is 100ns — same comparison semantics at
+        // micros resolution)
+        case "endofday" => arity(1); df =>
+          timestamp_micros(unix_micros(date_trunc("day", args.head(df))) + lit(86400000000L - 1))
+        case "endofmonth" => arity(1); df =>
+          timestamp_micros(unix_micros(
+            add_months(date_trunc("month", args.head(df)), 1).cast("timestamp")) - lit(1L))
+        case "endofyear" => arity(1); df =>
+          timestamp_micros(unix_micros(
+            add_months(date_trunc("year", args.head(df)), 12).cast("timestamp")) - lit(1L))
+        case "endofweek" => arity(1); df => {
+          val c = args.head(df)
+          timestamp_micros(unix_micros(
+            date_sub(c.cast("date"), dayofweek(c) - lit(1)).cast("timestamp")) +
+            lit(7L * 86400000000L - 1))
+        }
         case "tolong" => arity(1); df => args.head(df).cast("long")
         case "toint" => arity(1); df => args.head(df).cast("int")
         case "todouble" | "toreal" => arity(1); df => args.head(df).cast("double")

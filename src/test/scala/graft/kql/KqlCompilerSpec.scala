@@ -600,6 +600,28 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dyn.getString(0) == "2" && dyn.getString(1) == "x")
   }
 
+  test("dayofweek timespan, endof* periods, format_datetime") {
+    import spark.implicits._
+    val fixedNow = java.time.Instant.parse("2024-03-01T12:00:00Z")
+    val t = Seq((1L, java.sql.Timestamp.from(java.time.Instant.parse("2024-03-01T09:15:30Z"))))
+      .toDF("id", "ts") // 2024-03-01 is a Friday
+    def runT(kql: String) = KqlCompiler.compile(kql, _ => t, fixedNow)
+
+    // dayofweek = timespan since Sunday: Friday = 5 days, in micros
+    val dw = runT("t | project d = dayofweek(ts), fri = dayofweek(ts) == 5d").head()
+    assert(dw.getLong(0) == 5L * 86400000000L && dw.getBoolean(1))
+    // endof*: last micro of the containing period
+    val eo = runT("t | project ed = endofday(ts), ew = endofweek(ts), em = endofmonth(ts), ey = endofyear(ts)").head()
+    assert(eo.getTimestamp(0).toInstant == java.time.Instant.parse("2024-03-01T23:59:59.999999Z"))
+    assert(eo.getTimestamp(1).toInstant == java.time.Instant.parse("2024-03-02T23:59:59.999999Z"), "week ends Saturday")
+    assert(eo.getTimestamp(2).toInstant == java.time.Instant.parse("2024-03-31T23:59:59.999999Z"))
+    assert(eo.getTimestamp(3).toInstant == java.time.Instant.parse("2024-12-31T23:59:59.999999Z"))
+    // format_datetime with Kusto patterns (tt and fff normalized)
+    val fd = runT("t | project a = format_datetime(ts, 'yyyy-MM-dd HH:mm:ss'), b = format_datetime(ts, 'hh:mm tt')").head()
+    assert(fd.getString(0) == "2024-03-01 09:15:30")
+    assert(fd.getString(1) == "09:15 AM")
+  }
+
   test("parse errors are loud and specific") {
     assert(intercept[KqlParseException](run("t | explode x")).getMessage.contains("unsupported operator"))
     assert(intercept[KqlParseException](run("t | where name == 'unterminated")).getMessage.contains("unterminated"))
