@@ -412,4 +412,42 @@ class PipelineE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
       .map { case (t, is) => (t, is.size.toLong, is.map(_.toLong).sum) }.sortBy(_._1)
     assert(rows == expect, s"KQL-over-ingested mismatch: got $rows, want $expect")
   }
+
+  test("in-flight KQL transform: filter + derive BEFORE the sink (what the reference can't do)") {
+    // reference README.md:158-162: "The connector does not support
+    // transformers" — this engine composes one in front of the pipeline.
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tablesRoot = Files.createTempDirectory("e2e-tables-xform").toString
+    val valueSchema = StructType(Seq(
+      StructField("vtype", StringType), StructField("vlong", LongType)))
+
+    val pipeline = new KustoSparkPipeline(
+      newConfig(), () => new LocalTableIngestClient(tablesRoot), None, SinkMetrics.forSpark(spark))
+    val stream = MemoryStream[KRecord]
+    stream.addData(
+      (0 until 20).map(i =>
+        jsonRec("topicA", i % 2, i / 2, if (i % 4 == 0) "debug" else "keep", i)) ++
+      Seq(jsonRec("topicB", 0, 0, "b", 7),             // other topic: untouched
+        KRecord("topicA", 0, 99, null, null)))          // tombstone: passes through to F1
+
+    val shaped = KqlTransform(stream.toDF(), topic = "topicA", valueSchema,
+      "src | where vtype != 'debug' | extend vdouble = vlong * 2")
+    val q = pipeline.start(shaped, Files.createTempDirectory("ck6").toString)
+    q.processAllAvailable(); q.stop()
+
+    val a = spark.read.json(s"$tablesRoot/db1/tableA")
+    assert(a.count() == 15, "debug records filtered in flight")
+    assert(a.filter($"vtype" === "debug").count() == 0)
+    // derived column landed in the ingested JSON
+    assert(a.select("vdouble").as[Long].collect().sorted.sameElements(
+      (0 until 20).filter(_ % 4 != 0).map(i => 2L * i).sorted))
+    // untouched topic unaffected
+    assert(spark.read.text(s"$tablesRoot/db1/tableB").count() == 1)
+    // metadata protection is loud
+    val err = intercept[IllegalArgumentException](
+      KqlTransform(stream.toDF(), "topicA", valueSchema, "src | project vtype"))
+    assert(err.getMessage.contains("metadata"))
+  }
 }
