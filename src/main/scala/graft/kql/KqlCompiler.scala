@@ -718,11 +718,11 @@ object KqlCompiler {
         t == LongType || t == IntegerType || t == ShortType || t == ByteType
       val lc = ll(df); val rc = r(df)
       (dataTypeOf(df, lc), dataTypeOf(df, rc)) match {
-        case (TimestampType, TimestampType) if op == "-" =>
+        case (Some(TimestampType), Some(TimestampType)) if op == "-" =>
           unix_micros(lc) - unix_micros(rc)
-        case (TimestampType, rt) if integral(rt) =>
+        case (Some(TimestampType), Some(rt)) if integral(rt) =>
           timestamp_micros(unix_micros(lc) + (if (op == "+") rc else -rc))
-        case (lt, TimestampType) if integral(lt) && op == "+" =>
+        case (Some(lt), Some(TimestampType)) if integral(lt) && op == "+" =>
           timestamp_micros(unix_micros(rc) + lc)
         case _ => if (op == "+") lc + rc else lc - rc
       }
@@ -828,9 +828,13 @@ object KqlCompiler {
 
     /** Resolved Spark type of a column expression against `df` — drives
       * the type-adaptive lowerings below. Pure analysis (one resolve of a
-      * single-column plan at COMPILE time); nothing executes. */
-    private def dataTypeOf(df: DataFrame, c: Column): org.apache.spark.sql.types.DataType =
-      df.select(c).schema.head.dataType
+      * single-column plan at COMPILE time); nothing executes. None when
+      * the expression cannot resolve standalone — e.g. it contains an
+      * mv-apply lambda variable, which only resolves inside its HOF — in
+      * which case callers fall back to the plain numeric lowering. */
+    private def dataTypeOf(df: DataFrame, c: Column): Option[org.apache.spark.sql.types.DataType] =
+      try Some(df.select(c).schema.head.dataType)
+      catch { case scala.util.control.NonFatal(_) => None }
 
     /** datetime(...) literal: either one quoted string or the raw ISO
       * token run up to ')' (the lexer splits `2024-01-15T10:00:00Z` into
@@ -943,7 +947,7 @@ object KqlCompiler {
           // timespan-valued (long) operands like `bin(now() - ts, 1h)`
           return df => {
             val c = e(df)
-            if (dataTypeOf(df, c) == org.apache.spark.sql.types.TimestampType) timestampBin(c, us)
+            if (dataTypeOf(df, c).contains(org.apache.spark.sql.types.TimestampType)) timestampBin(c, us)
             else floor(c / lit(us)).cast("long") * lit(us)
           }
         }

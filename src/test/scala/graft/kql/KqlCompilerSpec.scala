@@ -543,6 +543,10 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     // `to typeof(...)` is accepted; nested element expressions compose
     assert(runA("t | mv-apply v = vals to typeof(real) on ( where v * 2 >= 10.0 | summarize n = count() ) | summarize total = sum(n)")
       .head().getLong(0) == 4L) // 5,9 from row 1 + 10,20 from row 2
+    // +/- on element lambdas (the type-adaptive dispatch must fall back
+    // instead of trying to resolve a lambda variable standalone)
+    assert(runA("t | mv-apply v = vals on ( where v + 1.0 >= 6.0 | summarize n = count() ) | summarize total = sum(n)")
+      .head().getLong(0) == 4L) // same cut: v >= 5
     // the whole thing is map-only: no exchange before the final sort
     val plan = runA("t | mv-apply v = vals on ( where v >= 2.0 | summarize n = count() )")
       .queryExecution.executedPlan.toString
