@@ -1035,13 +1035,42 @@ object KqlCompiler {
         return df => round(e(df), scale)
       }
       if (name == "split") {
-        // Kusto split(source, delimiter) — delimiter is a PLAIN string,
-        // Spark's split takes a regex: quote it (parse-time literal)
+        // Kusto split(source, delimiter[, index]) — delimiter is a PLAIN
+        // string, Spark's split takes a regex: quote it (parse-time
+        // literal). With the optional 0-based index, returns one element
+        // (null when out of range), as in Kusto.
         val e = expr(); expect(",")
         val d = next()
         if (d.kind != "str") throw new KqlParseException("split() delimiter must be a string literal")
+        val idx = if (peekIs(",")) { expect(","); Some(number()) } else None
         expect(")")
-        return df => split(e(df), java.util.regex.Pattern.quote(d.text))
+        val pat = java.util.regex.Pattern.quote(d.text)
+        return idx match {
+          case None => df => split(e(df), pat)
+          case Some(i) => df => {
+            val arr = split(e(df), pat)
+            when(size(arr) > i, element_at(arr, i + 1))
+          }
+        }
+      }
+      if (name == "countof") {
+        // countof(source, search[, kind]) — OVERLAPPING occurrence count
+        // (Kusto semantics): a zero-width lookahead counts every match
+        // position. kind 'normal' quotes the search; 'regex' uses it raw.
+        val e = expr(); expect(",")
+        val s = next()
+        if (s.kind != "str") throw new KqlParseException("countof() search must be a string literal")
+        val kind = if (peekIs(",")) {
+          expect(",")
+          val k = next()
+          if (k.kind != "str" || (k.text != "normal" && k.text != "regex"))
+            throw new KqlParseException("countof() kind must be 'normal' or 'regex'")
+          k.text
+        } else "normal"
+        expect(")")
+        val pat = if (kind == "normal") s"(?=${java.util.regex.Pattern.quote(s.text)})"
+                  else s"(?=${s.text})"
+        return df => regexp_count(e(df), lit(pat)).cast("long")
       }
       if (name == "strcat_array") {
         // delimiter is a parse-time literal (the Scala array_join API
@@ -1089,6 +1118,13 @@ object KqlCompiler {
         case "tolower" => arity(1); df => lower(args.head(df))
         case "toupper" => arity(1); df => upper(args.head(df))
         case "tostring" => arity(1); df => args.head(df).cast("string")
+        case "tobool" | "toboolean" => arity(1); df => args.head(df).cast("boolean")
+        case "tohex" => arity(1); df => lower(hex(args.head(df)))
+        case "string_size" => arity(1); df => octet_length(args.head(df)).cast("long")
+        case "isnan" => arity(1); df => isnan(args.head(df))
+        case "isinf" => arity(1); df =>
+          args.head(df) === lit(Double.PositiveInfinity) ||
+            args.head(df) === lit(Double.NegativeInfinity)
         case "todatetime" => arity(1); df => args.head(df).cast("timestamp")
         // start-of-period truncations (Grafana time-range macros expand to
         // these). Kusto weeks start SUNDAY — Spark's date_trunc("week") is

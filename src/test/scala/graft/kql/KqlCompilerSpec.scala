@@ -626,6 +626,21 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fd.getString(1) == "09:15 AM")
   }
 
+  test("split index, countof overlapping, string_size, tobool, tohex, isnan/isinf") {
+    val r = run("""t | where id == 1 | project a = split(status, '-', 0), b = split(status, '-', 1),
+                     c = split(status, '-', 9), n = countof(status, 't'),
+                     z = countof('aaa', 'aa'), re = countof(status, 'e.', 'regex'),
+                     sz = string_size(name), hx = tohex(id), bl = tobool('true')""").head()
+    assert(r.getString(0) == "err" && r.getString(1) == "timeout")
+    assert(r.isNullAt(2), "out-of-range split index is null")
+    assert(r.getLong(3) == 2L) // err-Timeout: 't' twice (timeout)
+    assert(r.getLong(4) == 2L, "countof counts OVERLAPPING occurrences")
+    assert(r.getLong(5) == 2L) // regex kind: 'e.' matches 'er' and 'eo'
+    assert(r.getLong(6) == 5L && r.getString(7) == "1" && r.getBoolean(8))
+    val nan = run("t | where id == 1 | project a = isnan(todouble('NaN')), b = isinf(value), c = isnan(value)").head()
+    assert(nan.getBoolean(0) && !nan.getBoolean(1) && !nan.getBoolean(2))
+  }
+
   test("parse errors are loud and specific") {
     assert(intercept[KqlParseException](run("t | explode x")).getMessage.contains("unsupported operator"))
     assert(intercept[KqlParseException](run("t | where name == 'unterminated")).getMessage.contains("unterminated"))
