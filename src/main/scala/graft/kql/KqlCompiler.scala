@@ -180,12 +180,16 @@ object KqlCompiler {
       if (peekIs("(")) { expect("("); val r = pipeline(); expect(")"); r }
       else resolveName(ident())
     private def peek: Option[Tok] = toks.lift(pos)
-    def peekIs(text: String): Boolean = peek.exists(_.text == text)
+    /** Keyword/symbol lookahead. NEVER matches string literals — a
+      * literal '-' or 'and' must not be mistaken for the operator with
+      * the same spelling. */
+    def peekIs(text: String): Boolean = peek.exists(t => t.text == text && t.kind != "str")
     private def next(): Tok =
       { val t = peek.getOrElse(throw new KqlParseException("unexpected end of query")); pos += 1; t }
     def expect(text: String): Unit = {
       val t = next()
-      if (t.text != text) throw new KqlParseException(s"expected '$text', got '${t.text}'")
+      if (t.text != text || t.kind == "str")
+        throw new KqlParseException(s"expected '$text', got '${t.text}'")
     }
     def expectEnd(): Unit =
       peek.foreach(t => throw new KqlParseException(s"unexpected trailing input at '${t.text}'"))
@@ -623,7 +627,7 @@ object KqlCompiler {
 
     private def comparison(): ColB = {
       val l = additive()
-      peek.map(_.text) match {
+      peek.filter(_.kind != "str").map(_.text) match {
         case Some("==") => expect("=="); val r = additive(); df => l(df) === r(df)
         case Some("!=") => expect("!="); val r = additive(); df => l(df) =!= r(df)
         // Kusto case-INSENSITIVE equality / inequality
@@ -983,7 +987,18 @@ object KqlCompiler {
         val src = expr(); expect(")")
         return df => regexp_extract(src(df), r.text, group)
       }
-      if (name == "pack") {
+      if (name == "extract_all") {
+        // extract_all(regex, source): array of every match — of capture
+        // group 1 when the regex declares groups, of the whole match
+        // otherwise (Kusto's single-group behavior)
+        val r = next()
+        if (r.kind != "str") throw new KqlParseException("extract_all() regex must be a string literal")
+        expect(",")
+        val src = expr(); expect(")")
+        val group = if (java.util.regex.Pattern.compile(r.text).matcher("").groupCount() > 0) 1 else 0
+        return df => regexp_extract_all(src(df), lit(r.text), lit(group))
+      }
+      if (name == "pack" || name == "bag_pack") { // bag_pack = Kusto's current name for pack
         val pairs = sepBy1(() => {
           val k = next()
           if (k.kind != "str") throw new KqlParseException("pack() keys must be string literals")
@@ -1213,6 +1228,25 @@ object KqlCompiler {
         // n-ary scalar min/max
         case "min_of" => df => least(args.map(_(df)): _*)
         case "max_of" => df => greatest(args.map(_(df)): _*)
+        // array scalars (Kusto names; element math in doubles)
+        case "array_sum" => arity(1); df =>
+          aggregate(transform(args.head(df), x => x.cast("double")),
+            lit(0.0).cast("double"), (s, x) => s + x)
+        case "array_avg" => arity(1); df => {
+          val a = args.head(df)
+          when(size(a) > 0,
+            aggregate(transform(a, x => x.cast("double")),
+              lit(0.0).cast("double"), (s, x) => s + x) / size(a))
+        }
+        case "array_min" => arity(1); df => array_min(args.head(df))
+        case "array_max" => arity(1); df => array_max(args.head(df))
+        case "array_concat" => df => concat(args.map(_(df)): _*)
+        case "array_reverse" => arity(1); df => reverse(args.head(df))
+        case "array_sort_asc" => arity(1); df => sort_array(args.head(df), asc = true)
+        case "array_sort_desc" => arity(1); df => sort_array(args.head(df), asc = false)
+        // 0-based first index, -1 when absent (array_position is 1-based/0-absent)
+        case "array_index_of" => arity(2); df =>
+          (array_position(args(0)(df), args(1)(df)) - lit(1L)).cast("long")
         case "arg_max" => arity(2); df => Kql.argMax(args(0)(df), args(1)(df))
         case "arg_min" => arity(2); df => Kql.argMin(args(0)(df), args(1)(df))
         case other => throw new KqlParseException(s"unsupported function '$other'")

@@ -641,6 +641,30 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nan.getBoolean(0) && !nan.getBoolean(1) && !nan.getBoolean(2))
   }
 
+  test("array scalars, extract_all, bag_pack alias") {
+    val r = run("""t | where id == 1 | extend parts = split(status, '-')
+                   | project first = array_index_of(parts, 'timeout'),
+                             missing = array_index_of(parts, 'zzz'),
+                             rev = strcat_array(array_reverse(parts), '_'),
+                             cat = array_length(array_concat(parts, parts)),
+                             ea = extract_all('([a-z]+)-', strcat(status, '-')),
+                             bp = bag_pack('a', id)""").head()
+    assert(r.getLong(0) == 1L && r.getLong(1) == -1L)
+    assert(r.getString(2) == "timeout_err")
+    assert(r.getLong(3) == 4L)
+    assert(r.getSeq[String](4) == Seq("err", "timeout"))
+    assert(r.getString(5).contains("\"a\":1"))
+    // numeric array functions over a split-derived double array
+    val n = run("""t | extend xs = split('4;1;3', ';')
+                   | where id == 1
+                   | project s = array_sum(xs), a = array_avg(xs),
+                             mn = array_min(xs), mx = array_max(xs),
+                             srt = strcat_array(array_sort_asc(xs), '')""").head()
+    assert(n.getDouble(0) == 8.0 && math.abs(n.getDouble(1) - 8.0 / 3) < 1e-12)
+    assert(n.getString(2) == "1" && n.getString(3) == "4")
+    assert(n.getString(4) == "134")
+  }
+
   test("parse errors are loud and specific") {
     assert(intercept[KqlParseException](run("t | explode x")).getMessage.contains("unsupported operator"))
     assert(intercept[KqlParseException](run("t | where name == 'unterminated")).getMessage.contains("unterminated"))
