@@ -588,7 +588,8 @@ object KqlCompiler {
 
     /** Summarize item: `name = agg(...)` or bare `agg(...)` → `<fn>_`. */
     private def aggItem(): ColB = {
-      if (peek.exists(_.kind == "id") && toks.lift(pos + 1).exists(_.text == "=")) {
+      if (peek.exists(_.kind == "id") &&
+          toks.lift(pos + 1).exists(t => t.text == "=" && t.kind == "sym")) {
         val n = ident(); expect("=")
         val e = expr()
         df => e(df).as(n)

@@ -83,6 +83,11 @@ class KqlCompilerPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       df => df.filter(length(regexp_extract(col("status"), "err-(\\d+)", 1)) > 0)),
     ("where name !in ('beta', 'gamma')",
       df => df.filter(!col("name").isin("beta", "gamma"))),
+    // operator-spelled string literals must parse as literals (regression
+    // for the peekIs text-only bug)
+    ("where status contains '-' or strcat(name, '+') endswith 'a+'",
+      df => df.filter(lower(col("status")).contains("-") ||
+        lower(concat(col("name"), lit("+"))).endsWith("a+"))),
     ("mv-apply c = split(status, '-') on ( where strlen(c) >= 3 | summarize zz = count() ) | where zz >= 1 | project-away zz",
       df => df.withColumn("zz",
           size(filter(split(col("status"), java.util.regex.Pattern.quote("-")),
