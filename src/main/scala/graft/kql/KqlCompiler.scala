@@ -481,9 +481,12 @@ object KqlCompiler {
         val withBin = df.filter(tsc >= lit(fromI) && tsc < lit(toI)).withColumn("__bin", binCol)
         val aggd = withBin.groupBy((keys.map(col) :+ col("__bin")): _*).agg(aggB(withBin).as("__v"))
         val binsDf = df.sparkSession.range(nbins).select(col("id").as("__bin"))
+        // Scaffold keys come from the window-FILTERED frame: Kusto derives
+        // series groups only from in-range rows, so a key whose rows all
+        // fall outside [from, to) must not emit an all-default series.
         val scaffold =
           if (keys.isEmpty) binsDf
-          else df.select(keys.map(col): _*).distinct().crossJoin(binsDf)
+          else withBin.select(keys.map(col): _*).distinct().crossJoin(binsDf)
         // null-safe key equality: a null-keyed series must keep its data
         // (an equi-join would orphan it onto a default-filled series)
         val filled =
@@ -1133,7 +1136,23 @@ object KqlCompiler {
         case "strlen" => arity(1); df => length(args.head(df)).cast("long") // Kusto strlen: long
         case "tolower" => arity(1); df => lower(args.head(df))
         case "toupper" => arity(1); df => upper(args.head(df))
-        case "tostring" => arity(1); df => args.head(df).cast("string")
+        // Kusto tostring() over dynamic yields JSON text; over scalars it
+        // is a plain string cast. We resolve the argument's type against
+        // the frame (schema analysis only — no execution) and pick the
+        // branch. Top-level datetime arrays serialize each element in
+        // Kusto's canonical ISO-8601 tick form (7 fractional digits, Z).
+        case "tostring" => arity(1); df => {
+          val c = args.head(df)
+          import org.apache.spark.sql.types._
+          val dt = df.select(c).schema.head.dataType
+          dt match {
+            case ArrayType(TimestampType, _) =>
+              to_json(transform(c, x =>
+                concat(date_format(x, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), lit("0Z"))))
+            case _: ArrayType | _: MapType | _: StructType => to_json(c)
+            case _ => c.cast("string")
+          }
+        }
         case "tobool" | "toboolean" => arity(1); df => args.head(df).cast("boolean")
         case "tohex" => arity(1); df => lower(hex(args.head(df)))
         case "string_size" => arity(1); df => octet_length(args.head(df)).cast("long")

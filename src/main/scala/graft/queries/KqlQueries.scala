@@ -220,11 +220,15 @@ object KqlQueries extends QueryModule {
     // 12-bucket 2-day axis per event_type with zero-filled empty bins.
     // Plan shape: window filter (scan-pruned literals), one hash agg on
     // (key, bin), tiny scaffold left-join for the fill, per-key ordered
-    // array assembly bounded by the axis length.
+    // array assembly bounded by the axis length. The gate declaration
+    // serializes the array columns to JSON text via tostring() (the
+    // driver's pandas comparison cannot sort array cells); array-shaped
+    // semantics stay covered by KqlCompilerSpec.
     "q72_kql_text_makeseries" -> ((s, dir) =>
       graft.kql.KqlCompiler.compile(
         """events
           | | make-series n = count() default = 0 on ts from datetime(2024-01-03) to datetime(2024-01-27) step 2d by event_type
+          | | project event_type, n = tostring(n), ts = tostring(ts)
           | | order by event_type asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
@@ -244,12 +248,14 @@ object KqlQueries extends QueryModule {
         _ => Tables.events(s, dir))),
 
     // Aggregate/scalar ring 3: stdev/variance, sorted make_set, scalar
-    // min_of, 0-based indexof — grouped by a numeric bin.
+    // min_of, 0-based indexof — grouped by a numeric bin. make_set is
+    // serialized to JSON text for the gate (pandas cannot sort array
+    // cells); array-shaped make_set stays spec-covered.
     "q74_kql_text_agg2" -> ((s, dir) =>
       graft.kql.KqlCompiler.compile(
         """events
           | | extend pos = indexof(event_type, 'u'), m = min_of(value, 50.0)
-          | | summarize sd = round(stdev(value), 6), vr = round(variance(value), 6), msum = round(sum(m), 6), pmax = max(pos), types = make_set(event_type) by b = bin(value, 25)
+          | | summarize sd = round(stdev(value), 6), vr = round(variance(value), 6), msum = round(sum(m), 6), pmax = max(pos), types = tostring(make_set(event_type)) by b = bin(value, 25)
           | | order by b asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
@@ -402,7 +408,9 @@ object KqlQueries extends QueryModule {
 
     "q72_kql_text_makeseries" ->
       """WITH bins AS (SELECT i FROM unnest(range(0, 12)) AS t(i)),
-         keys AS (SELECT DISTINCT event_type FROM events),
+         keys AS (SELECT DISTINCT event_type FROM events
+                  WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+                    AND ts < TIMESTAMP '2024-01-27 00:00:00'),
          agg AS (
            SELECT event_type,
                   (epoch_us(ts) - 1704240000000000) // 172800000000 AS i,
@@ -416,8 +424,9 @@ object KqlQueries extends QueryModule {
            FROM keys k CROSS JOIN bins b
            LEFT JOIN agg a ON a.event_type = k.event_type AND a.i = b.i)
          SELECT event_type,
-                list(c ORDER BY i) AS n,
-                (SELECT list(make_timestamp(1704240000000000 + i * 172800000000) ORDER BY i)
+                to_json(list(c ORDER BY i)) AS n,
+                (SELECT to_json(list(strftime(make_timestamp(1704240000000000 + i * 172800000000),
+                                              '%Y-%m-%dT%H:%M:%S.%f') || '0Z' ORDER BY i))
                  FROM bins) AS ts
          FROM filled GROUP BY event_type ORDER BY event_type""",
 
@@ -436,7 +445,7 @@ object KqlQueries extends QueryModule {
                 round(var_samp(value), 6) AS vr,
                 round(sum(least(value, 50.0)), 6) AS msum,
                 max(strpos(event_type, 'u') - 1) AS pmax,
-                list(DISTINCT event_type ORDER BY event_type) AS types
+                to_json(list(DISTINCT event_type ORDER BY event_type)) AS types
          FROM events GROUP BY 1 ORDER BY b""",
 
     "q75_kql_text_topnested" ->

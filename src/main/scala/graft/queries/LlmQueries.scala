@@ -1507,8 +1507,8 @@ object LlmQueries extends QueryModule {
              coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
       FROM tok)
-    SELECT doc_id, source, n_tokens, off // 2048 AS pack_id,
-           off - (off // 2048) * 2048 AS pack_offset
+    SELECT doc_id, source, n_tokens, (off // 2048)::BIGINT AS pack_id,
+           (off - (off // 2048) * 2048)::BIGINT AS pack_offset
     FROM w ORDER BY doc_id"""
 
   // -------------------------------------------------------- multimodal

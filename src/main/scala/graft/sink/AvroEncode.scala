@@ -85,16 +85,28 @@ object AvroEncode {
     case other => other
   }
 
-  /** Row → Avro binary datum under `schema` (which must come from
-    * [[toAvroSchema]] of the row's StructType). */
-  def encodeRow(row: Row, schema: Schema): Array[Byte] = {
-    val rec = convert(row, schema).asInstanceOf[GenericRecord]
-    val bos = new java.io.ByteArrayOutputStream()
-    val enc = EncoderFactory.get().binaryEncoder(bos, null)
-    new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
-    enc.flush()
-    bos.toByteArray
+  /** Reusable row→datum encoder: the datum writer, byte buffer, and
+    * binary encoder are allocated ONCE and reused across rows — inside
+    * `mapPartitions` the partition already amortizes the schema parse,
+    * so per-row allocation of these would dominate the encode hot path. */
+  final class RowEncoder(schema: Schema) {
+    private val writer = new GenericDatumWriter[GenericRecord](schema)
+    private val bos = new java.io.ByteArrayOutputStream(256)
+    private var enc: org.apache.avro.io.BinaryEncoder = _
+    def encode(row: Row): Array[Byte] = {
+      bos.reset()
+      enc = EncoderFactory.get().binaryEncoder(bos, enc)
+      writer.write(convert(row, schema).asInstanceOf[GenericRecord], enc)
+      enc.flush()
+      bos.toByteArray
+    }
   }
+
+  /** Row → Avro binary datum under `schema` (which must come from
+    * [[toAvroSchema]] of the row's StructType). One-shot convenience for
+    * tests; hot paths hold a [[RowEncoder]]. */
+  def encodeRow(row: Row, schema: Schema): Array[Byte] =
+    new RowEncoder(schema).encode(row)
 
   /** DataFrame stage: serialize each row to Avro binary in a `value`
     * column (keeping passthrough columns), ready for the sink's
@@ -114,10 +126,11 @@ object AvroEncode {
       case (f, i) if passthrough.contains(f.name) => i
     }
     val out = df.mapPartitions { rows =>
-      val schema = new Schema.Parser().parse(avroJson) // parse once per partition
+      // parse + allocate once per partition, reuse across rows
+      val encoder = new RowEncoder(new Schema.Parser().parse(avroJson))
       rows.map { row =>
         val dataRow = Row.fromSeq(dataIdx.map(row.get).toSeq)
-        Row.fromSeq(passIdx.map(row.get).toSeq :+ encodeRow(dataRow, schema))
+        Row.fromSeq(passIdx.map(row.get).toSeq :+ encoder.encode(dataRow))
       }
     }(enc)
     (out, avroJson)

@@ -9,10 +9,11 @@ import java.nio.charset.StandardCharsets.UTF_8
   * (reference: README.md:703) — with a measured number per round instead
   * of a sentence. Each format pushes the SAME logical records through the
   * real [[RollingFileWriter]] path (per-record append, size-based rolls,
-  * gzip, deterministic staging names); Avro pays the container framing +
-  * per-record block flush the reference's writer also pays
-  * (AvroRecordWriterProvider.java:26-73). Staged files are deleted as
-  * they roll, so the bench measures the pipeline, not the disk. */
+  * gzip, deterministic staging names); Avro pays container framing with
+  * per-BLOCK flushes, as the reference's writer does
+  * (AvroRecordWriterProvider.java:38 `setFlushOnEveryBlock(true)`).
+  * Staged files are deleted as they roll, so the bench measures the
+  * pipeline, not the disk. */
 object FormatThroughputBench {
 
   private val avroSchemaJson =

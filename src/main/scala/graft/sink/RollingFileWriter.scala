@@ -84,6 +84,11 @@ final class RollingFileWriter(
   private var appender: RecordAppender = _
   private var file: File = _
   private var numRecords = 0L
+  /** Payload bytes handed to the appender. Block-buffering appenders
+    * (Avro containers) hold bytes until a ~64 KB block completes, so
+    * `out.count` can lag — size rolls and dirtiness use
+    * max(out.count, rawAppended) to stay exact per record. */
+  private var rawAppended = 0L
   private var firstOffset = -1L
   private var lastOffset = -1L
   private var retained = List.empty[SinkRecord]
@@ -94,7 +99,7 @@ final class RollingFileWriter(
   /** Number of rolled files (for tests/metrics). */
   var rolledFiles: Long = 0L
 
-  def isDirty: Boolean = synchronized { out != null && out.count > 0 }
+  def isDirty: Boolean = synchronized { out != null && (out.count > 0 || rawAppended > 0) }
 
   def filePath(offset: Long): String =
     dir.resolve(s"kafka_${topic}_${partition}_$offset.${provider.ext}.gz").toString
@@ -106,10 +111,11 @@ final class RollingFileWriter(
       if (r == null) return
       if (out == null) openFile(r.offset)
       appender.append(r)
+      if (r.value != null) rawAppended += r.value.length
       if (retainRecords) retained ::= r
       numRecords += 1
       lastOffset = r.offset
-      if (flushIntervalMs == 0 || out.count > flushSizeBytes || rollEveryRecord)
+      if (flushIntervalMs == 0 || math.max(out.count, rawAppended) > flushSizeBytes || rollEveryRecord)
         finishLocked()
     }
     drainDispatch(barrier = false)
@@ -152,7 +158,8 @@ final class RollingFileWriter(
   /** Finish the current file and hand it to `onRoll`. No-op if clean. */
   def roll(): Unit = {
     synchronized {
-      if (out == null || out.count == 0) discardOpenFile() else finishLocked()
+      if (out == null || (out.count == 0 && rawAppended == 0)) discardOpenFile()
+      else finishLocked()
     }
     drainDispatch(barrier = true)
   }
@@ -228,7 +235,7 @@ final class RollingFileWriter(
 
   private def resetState(): Unit = {
     out = null; gzip = null; appender = null; file = null
-    numRecords = 0; firstOffset = -1; lastOffset = -1; retained = Nil
+    numRecords = 0; rawAppended = 0; firstOffset = -1; lastOffset = -1; retained = Nil
     if (timer != null) { timer.cancel(); timer = null }
   }
 

@@ -67,6 +67,40 @@ class FormatWriterSpec extends AnyFunSuite {
     assert(got == (0 until 3).map(i => (s"txt$i", i)))
   }
 
+  test("avro: multi-record files pack many records per container block (per-BLOCK flush, not per-record)") {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord, GenericDatumReader}
+    import org.apache.avro.io.EncoderFactory
+    import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
+    val schemaJson =
+      """{"type":"record","name":"R","fields":[
+        |{"name":"text","type":"string"},{"name":"id","type":"int"}]}""".stripMargin
+    val schema = new Schema.Parser().parse(schemaJson)
+    val w = new GenericDatumWriter[GenericRecord](schema)
+    def datum(text: String, id: Int): Array[Byte] = {
+      val r = new GenericData.Record(schema)
+      r.put("text", text); r.put("id", id)
+      val bos = new ByteArrayOutputStream()
+      val enc = EncoderFactory.get().binaryEncoder(bos, null)
+      w.write(r, enc); enc.flush(); bos.toByteArray
+    }
+    val n = 200
+    val out = written(new AvroContainerWriter(schemaJson),
+      (0 until n).map(i => SinkRecord("t", 0, i, null, datum(s"payload-$i", i))))
+    val reader = new DataFileReader[GenericRecord](
+      new SeekableByteArrayInput(out), new GenericDatumReader[GenericRecord](schema))
+    var blocks = 0; var recs = 0
+    while (reader.hasNext) {
+      val inBlock = reader.getBlockCount.toInt // datums in the current block
+      blocks += 1; recs += inBlock
+      var i = 0; while (i < inBlock) { reader.next(); i += 1 }
+    }
+    assert(recs == n, s"container must round-trip all $n records, got $recs")
+    // a per-record flush would close a block per datum (blocks == n); the
+    // reference flushes per ~64 KB block (AvroRecordWriterProvider.java:38)
+    assert(blocks < n / 10, s"expected few blocks for $n small records, got $blocks")
+  }
+
   test("format dispatch matches the reference's provider selection") {
     assert(FormatWriters.forFormat("multijson") == JsonLinesWriter)
     assert(FormatWriters.forFormat("json") == JsonLinesWriter)
