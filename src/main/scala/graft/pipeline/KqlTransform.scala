@@ -54,6 +54,17 @@ object KqlTransform {
     require(missing.isEmpty,
       s"KQL transform must not drop kafka metadata columns; lost: ${missing.mkString(", ")} " +
         "(use project-away on value fields only)")
+    // Metadata must ride through UNMODIFIED — an `extend topic = ...` or
+    // `project offset = ...` would corrupt routing/offset gating
+    // downstream. An untouched column keeps its attribute id through the
+    // compiled plan; any rewrite (extend/project alias/rename) mints a
+    // new one, so id comparison detects semantic overwrites exactly.
+    val sourceIds = parsed.queryExecution.analyzed.output.map(a => a.name -> a.exprId).toMap
+    val outIds = transformed.queryExecution.analyzed.output.map(a => a.name -> a.exprId).toMap
+    val overwritten = meta.filter(m => sourceIds.get(m).exists(id => !outIds.get(m).contains(id)))
+    require(overwritten.isEmpty,
+      s"KQL transform must not overwrite kafka metadata columns: ${overwritten.mkString(", ")} " +
+        "(extend/project may only target value fields)")
     val valueCols = transformed.columns.filterNot(meta.contains)
     require(valueCols.nonEmpty, "KQL transform removed every value field")
     val reEncoded = transformed.select(

@@ -88,6 +88,15 @@ class KqlCompilerPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     ("where status contains '-' or strcat(name, '+') endswith 'a+'",
       df => df.filter(lower(col("status")).contains("-") ||
         lower(concat(col("name"), lit("+"))).endsWith("a+"))),
+    // tostring over a complex type lowers to to_json; over a scalar it is
+    // a plain cast — both column-set-preserving via extend/project-away
+    ("extend j0 = tostring(split(status, '-')) | where strlen(j0) > 2 | project-away j0",
+      df => df.withColumn("j0",
+          to_json(split(col("status"), java.util.regex.Pattern.quote("-"))))
+        .filter(length(col("j0")) > 2).drop("j0")),
+    ("extend s0 = tostring(value) | where strlen(s0) > 0 | project-away s0",
+      df => df.withColumn("s0", col("value").cast("string"))
+        .filter(length(col("s0")) > 0).drop("s0")),
     ("mv-apply c = split(status, '-') on ( where strlen(c) >= 3 | summarize zz = count() ) | where zz >= 1 | project-away zz",
       df => df.withColumn("zz",
           size(filter(split(col("status"), java.util.regex.Pattern.quote("-")),

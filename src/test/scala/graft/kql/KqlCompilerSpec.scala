@@ -424,6 +424,32 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(intercept[KqlParseException](
       runT("t | make-series n = count() on ts from datetime(2024-03-02) to datetime(2024-03-01) step 1h"))
       .getMessage.contains("to > from"))
+    // scaffold keys come from the window-FILTERED rows (Kusto): a key
+    // whose rows ALL fall outside [from, to) emits NO all-default series —
+    // 'b' (01:30) is outside [00:00, 01:00), 'a' has two in-range rows
+    val oor = runT("""t | make-series n = count() default = 0 on ts from datetime(2024-03-01) to datetime(2024-03-01T01:00:00Z) step 1h by k
+                      | order by k asc""").collect()
+    assert(oor.map(_.getString(0)).toSeq == Seq("a"), "out-of-range key must not emit a series")
+    assert(oor(0).getSeq[Long](1) == Seq(2L))
+    // tostring() over the array outputs: canonical JSON text, datetime
+    // axes in ISO-8601 tick form (the gate-compatible declaration shape)
+    val j = runT("""t | make-series n = count() default = 0 on ts from datetime(2024-03-01) to datetime(2024-03-01T02:00:00Z) step 1h
+                    | project n = tostring(n), ts = tostring(ts)""").head()
+    assert(j.getString(0) == "[2,1]")
+    assert(j.getString(1) ==
+      """["2024-03-01T00:00:00.0000000Z","2024-03-01T01:00:00.0000000Z"]""")
+  }
+
+  test("tostring: scalars cast, arrays/dynamic serialize to canonical JSON text") {
+    // scalar: plain string cast (unchanged semantics)
+    val s = run("t | where id == 1 | project a = tostring(value), b = tostring(id)").head()
+    assert(s.getString(0) == "10.0" && s.getString(1) == "1")
+    // array: JSON text with no spaces, string elements quoted
+    val a = run("t | where id == 1 | project j = tostring(split(status, '-'))").head()
+    assert(a.getString(0) == """["err","timeout"]""")
+    // aggregate-valued: make_set serializes sorted (gate shape for q74)
+    val ag = run("t | summarize s = tostring(make_set(name))").head()
+    assert(ag.getString(0) == """["alpha","beta","gamma"]""")
   }
 
   test("serialize + row_number/prev/next over the declared order") {

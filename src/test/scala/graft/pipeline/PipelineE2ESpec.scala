@@ -449,5 +449,15 @@ class PipelineE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     val err = intercept[IllegalArgumentException](
       KqlTransform(stream.toDF(), "topicA", valueSchema, "src | project vtype"))
     assert(err.getMessage.contains("metadata"))
+    // ...and OVERWRITES are rejected too, not just drops: extend/project
+    // onto a metadata name would corrupt routing / the offset gate
+    val ow = intercept[IllegalArgumentException](
+      KqlTransform(stream.toDF(), "topicA", valueSchema,
+        "src | extend topic = 'hijacked'"))
+    assert(ow.getMessage.contains("overwrite") && ow.getMessage.contains("topic"))
+    val ow2 = intercept[IllegalArgumentException](
+      KqlTransform(stream.toDF(), "topicA", valueSchema,
+        "src | extend offset = 0"))
+    assert(ow2.getMessage.contains("overwrite") && ow2.getMessage.contains("offset"))
   }
 }

@@ -144,6 +144,32 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"), "scaffold/fill joins must stay broadcast-sized")
   }
 
+  test("q73 serialize: ONE global window (the serialization point), no extra exchange") {
+    val p = plan("q73_kql_text_serialize")
+    // serialize is a global window by definition; row_number/prev/next
+    // must share it — a second single-partition exchange means the window
+    // stopped being reused
+    val singleParts = p.linesIterator.count(_.contains("Exchange SinglePartition"))
+    assert(singleParts <= 1, s"expected one serialization exchange, got $singleParts:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q75 top-nested: hash aggs + broadcast join back, never SortMergeJoin") {
+    val p = plan("q75_kql_text_topnested")
+    assert(p.contains("HashAggregate"), "per-level counts must be hash aggregates")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      "parent winners (top-2 rows) must broadcast back")
+    assert(!p.contains("SortMergeJoin"), "top-nested join-back degraded to SortMergeJoin")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q77 mv-apply: zero shuffle — array lambdas, not explode + groupBy") {
+    val p = plan("q77_kql_text_mvapply")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"mv-apply must stay map-only; found a hash shuffle:\n$p")
+    assert(!p.contains("Generate"), "mv-apply must not lower to explode")
+  }
+
   test("q76 quantized ANN: query set broadcasts, no SortMergeJoin") {
     val p = plan("q76_quantized_ann")
     assert(p.contains("BroadcastExchange"), "the small query set must broadcast")
