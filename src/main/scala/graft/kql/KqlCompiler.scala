@@ -13,10 +13,15 @@ import org.apache.spark.sql.functions._
   * whose right side is a declared dimension, so it broadcasts), and the
   * dashboard ring: `parse … with` (typed captures from one parse-time
   * regex), `make-series` (gap-filled timeseries over a literal axis),
-  * `serialize` + `row_number()`/`prev()`/`next()` (window functions over
-  * an explicit order), `top-nested` (hierarchical top-k), and `mv-apply`
+  * `serialize` + `row_number()`/`prev()`/`next()`/`row_cumsum()` (window
+  * functions over an explicit order), `top-nested` (hierarchical top-k),
+  * `top-hitters` (exact heavy hitters, Kusto naming), `mv-apply`
   * (per-row array analytics compiled to array lambdas — map-only, never
-  * explode + groupBy).
+  * explode + groupBy), and the table generators `range` (distributed
+  * axis: session.range + affine projection), `print`, `datatable`.
+  * Series functions over make-series output: element-wise
+  * `series_add/subtract/multiply/divide` (zip_with/transform lambdas)
+  * and the `extend (…) = series_stats(x)` multi-assign form.
   *
   * Scalar surface: comparisons incl. Kusto case-insensitive defaults
   * with `_cs` variants and `=~`/`!~`, and/or/not, `in`, `startswith`/
@@ -75,7 +80,19 @@ object KqlCompiler {
     * duration of one query, not re-evaluated per row), and the hook that
     * makes time-relative queries deterministic for tests/oracles. */
   def compile(kql: String, resolve: String => DataFrame, now: java.time.Instant): DataFrame = {
-    val p = new Parser(Lexer.tokens(kql), resolve, now)
+    val p = new Parser(Lexer.tokens(kql), resolve, now, None)
+    val df = p.statements()
+    p.expectEnd()
+    df
+  }
+
+  /** Compile with an explicit session — required only when the query
+    * STARTS from a table generator (`range`/`print`/`datatable`) and no
+    * active/default session can be assumed (e.g. concurrent test
+    * suites); table-rooted queries never need it. */
+  def compile(kql: String, resolve: String => DataFrame, now: java.time.Instant,
+              spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val p = new Parser(Lexer.tokens(kql), resolve, now, Some(spark))
     val df = p.statements()
     p.expectEnd()
     df
@@ -83,7 +100,7 @@ object KqlCompiler {
 
   /** Convenience: resolve tables as session temp views. */
   def compile(spark: org.apache.spark.sql.SparkSession, kql: String): DataFrame =
-    compile(kql, spark.table(_))
+    compile(kql, spark.table(_), java.time.Instant.now(), spark)
 
   // ------------------------------------------------------------- lexer
 
@@ -137,7 +154,8 @@ object KqlCompiler {
   private type ColB = DataFrame => Column
 
   private final class Parser(toks: Vector[Tok], resolve: String => DataFrame,
-                             now: java.time.Instant) {
+                             now: java.time.Instant,
+                             sessionHint: Option[org.apache.spark.sql.SparkSession]) {
     private var pos = 0
     private val lets = scala.collection.mutable.Map.empty[String, DataFrame]
     /** Sort columns of the most recent `order by`/`sort by`/`top` — the
@@ -170,7 +188,7 @@ object KqlCompiler {
     }
 
     def pipeline(): DataFrame = {
-      var df = resolveName(ident())
+      var df = source()
       while (peekIs("|")) { expect("|"); df = pipeOp(df) }
       df
     }
@@ -178,7 +196,139 @@ object KqlCompiler {
     /** A parenthesized sub-pipeline `(T | op…)` or a bare table/let name. */
     private def subquery(): DataFrame =
       if (peekIs("(")) { expect("("); val r = pipeline(); expect(")"); r }
-      else resolveName(ident())
+      else source()
+
+    /** Pipeline head: a table/let name, or one of Kusto's table
+      * GENERATORS — `range name from a to b step c` (inclusive axis),
+      * `print [name =] expr, …` (one literal row), `datatable(schema)
+      * [values…]` (inline literal table). Generators need a session to
+      * mint a frame from; lookahead keeps a table that happens to be
+      * NAMED 'range' resolvable (`range x from` is unambiguous). */
+    private def source(): DataFrame = peek match {
+      case Some(t) if t.kind == "id" && t.text == "range" &&
+          toks.lift(pos + 1).exists(_.kind == "id") &&
+          toks.lift(pos + 2).exists(t2 => t2.kind == "id" && t2.text == "from") =>
+        next(); rangeSource()
+      case Some(t) if t.kind == "id" && t.text == "print" => next(); printSource()
+      case Some(t) if t.kind == "id" && t.text == "datatable" &&
+          toks.lift(pos + 1).exists(_.text == "(") =>
+        next(); datatableSource()
+      case _ => resolveName(ident())
+    }
+
+    private def session: org.apache.spark.sql.SparkSession =
+      sessionHint
+        .orElse(org.apache.spark.sql.SparkSession.getActiveSession)
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .getOrElse(throw new KqlParseException(
+          "range/print/datatable need an active SparkSession — use the compile overload that takes one"))
+
+    /** `range name from a to b step c` — Kusto's axis generator, STOP
+      * INCLUSIVE. Datetime axes take datetime()/now()/ago() bounds and a
+      * timespan step; numeric axes take int/real literals. Lowers to
+      * session.range(n) + affine projection: distributed, no literal
+      * array on the driver. */
+    private def rangeSource(): DataFrame = {
+      val name = ident(); expect("from")
+      val isDt = peek.exists(t => t.kind == "id" && Set("datetime", "now", "ago")(t.text))
+      if (isDt) {
+        val fromI = constantInstant(); expect("to"); val toI = constantInstant()
+        expect("step"); val stepUs = timespanMicros()
+        val fromUs = java.time.temporal.ChronoUnit.MICROS.between(java.time.Instant.EPOCH, fromI)
+        val toUs = java.time.temporal.ChronoUnit.MICROS.between(java.time.Instant.EPOCH, toI)
+        if (stepUs <= 0 || toUs < fromUs)
+          throw new KqlParseException("range needs to >= from and step > 0")
+        val n = (toUs - fromUs) / stepUs + 1
+        if (n > 100000000L) throw new KqlParseException(s"range axis too long ($n rows)")
+        session.range(n)
+          .select(timestamp_micros(lit(fromUs) + col("id") * lit(stepUs)).as(name))
+      } else {
+        def num(): (Double, Boolean) = { // (value, isIntegral)
+          val neg = peekIs("-"); if (neg) expect("-")
+          val t = next()
+          if (t.kind != "num") throw new KqlParseException(s"expected number, got '${t.text}'")
+          val v = t.text.toDouble
+          (if (neg) -v else v, !t.text.contains('.'))
+        }
+        val (from, fi) = num(); expect("to"); val (to, ti) = num()
+        expect("step"); val (step, si) = num()
+        if (step <= 0 || to < from)
+          throw new KqlParseException("range needs to >= from and step > 0")
+        val n = math.floor((to - from) / step).toLong + 1
+        if (n > 100000000L) throw new KqlParseException(s"range axis too long ($n rows)")
+        if (fi && ti && si)
+          session.range(n).select((lit(from.toLong) + col("id") * lit(step.toLong)).as(name))
+        else
+          session.range(n).select((lit(from) + col("id").cast("double") * lit(step)).as(name))
+      }
+    }
+
+    /** `print [name =] expr, …` — one row of computed constants (Kusto
+      * names unnamed outputs print_0, print_1, …). */
+    private def printSource(): DataFrame = {
+      final case class Item(name: Option[String], b: ColB)
+      def item(): Item =
+        if (peek.exists(_.kind == "id") &&
+            toks.lift(pos + 1).exists(t => t.text == "=" && t.kind == "sym")) {
+          val n = ident(); expect("="); Item(Some(n), expr())
+        } else Item(None, expr())
+      val items = sepBy1(() => item())
+      val one = session.range(1).select()
+      one.select(items.zipWithIndex.map { case (it, i) =>
+        it.b(one).as(it.name.getOrElse(s"print_$i"))
+      }: _*)
+    }
+
+    /** `datatable(c1: t1, c2: t2, …)[v, v, …]` — inline literal table,
+      * values row-major. Types: long/int/real/string/bool/datetime. */
+    private def datatableSource(): DataFrame = {
+      import org.apache.spark.sql.types._
+      expect("(")
+      val cols = sepBy1(() => {
+        val n = ident(); expect(":")
+        val dt = ident() match {
+          case "long" | "int" => LongType
+          case "real" | "double" => DoubleType
+          case "string" => StringType
+          case "bool" | "boolean" => BooleanType
+          case "datetime" => TimestampType
+          case other => throw new KqlParseException(s"unsupported datatable type '$other'")
+        }
+        StructField(n, dt)
+      })
+      expect(")"); expect("[")
+      def value(dt: DataType): Any = {
+        if (peekIs("datetime")) {
+          expect("datetime"); expect("(")
+          return java.sql.Timestamp.from(datetimeLiteral()) // consumes ')'
+        }
+        val neg = peekIs("-"); if (neg) expect("-")
+        val t = next()
+        (t.kind, dt) match {
+          case ("num", LongType) =>
+            val v = t.text.toLong; java.lang.Long.valueOf(if (neg) -v else v)
+          case ("num", DoubleType) =>
+            val v = t.text.toDouble; java.lang.Double.valueOf(if (neg) -v else v)
+          case ("str", StringType) if !neg => t.text
+          case ("id", BooleanType) if !neg && (t.text == "true" || t.text == "false") =>
+            java.lang.Boolean.valueOf(t.text)
+          case _ =>
+            throw new KqlParseException(s"datatable value '${t.text}' does not fit declared type $dt")
+        }
+      }
+      val rows = List.newBuilder[org.apache.spark.sql.Row]
+      while (!peekIs("]")) {
+        val vs = cols.indices.map { i =>
+          if (i > 0) expect(",")
+          value(cols(i).dataType)
+        }
+        rows += org.apache.spark.sql.Row.fromSeq(vs)
+        if (!peekIs("]")) expect(",")
+      }
+      expect("]")
+      import scala.jdk.CollectionConverters._
+      session.createDataFrame(rows.result().asJava, StructType(cols))
+    }
     private def peek: Option[Tok] = toks.lift(pos)
     /** Keyword/symbol lookahead. NEVER matches string literals — a
       * literal '-' or 'and' must not be mistaken for the operator with
@@ -303,6 +453,35 @@ object KqlCompiler {
               })
             }
         }
+      case "extend" if peekIs("(") =>
+        // multi-assign form: `extend (mn, mni, mx, mxi, av, sd, vr) =
+        // series_stats(arr)` — Kusto's tuple-returning scalar. Components
+        // in Kusto's order: min, min_idx, max, max_idx, avg, stdev,
+        // variance (sample; two-pass sum-of-squared-deviations, clamped
+        // at 0 so constant series can't round to -0.0). All array
+        // lambdas — map-only, no shuffle.
+        expect("(")
+        val names = sepBy1(() => ident())
+        expect(")"); expect("=")
+        val fn = ident()
+        if (fn != "series_stats")
+          throw new KqlParseException(s"multi-assign extend supports series_stats, got '$fn'")
+        expect("("); val arrB = expr(); expect(")")
+        if (names.length > 7)
+          throw new KqlParseException("series_stats yields at most 7 values (min, min_idx, max, max_idx, avg, stdev, variance)")
+        val a = arrB(df)
+        val sn = size(a).cast("double")
+        val av = aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double")) / sn
+        val vr = greatest(lit(0.0),
+          aggregate(a, lit(0.0), (acc, x) =>
+            acc + (x.cast("double") - av) * (x.cast("double") - av)) / (sn - lit(1.0)))
+        val comps: Seq[Column] = Seq(
+          array_min(a),
+          (array_position(a, array_min(a)) - 1).cast("long"),
+          array_max(a),
+          (array_position(a, array_max(a)) - 1).cast("long"),
+          av, sqrt(vr), vr)
+        names.zip(comps).foldLeft(df) { case (d, (nm, c)) => d.withColumn(nm, c) }
       case "extend" =>
         sepBy1(() => { val n = ident(); expect("="); (n, expr()) })
           .foldLeft(df) { case (d, (n, e)) => d.withColumn(n, e(d)) }
@@ -328,6 +507,23 @@ object KqlCompiler {
         expect("-")
         ident() match {
           case "nested" => ()
+          case "hitters" =>
+            // `top-hitters N of Col [by ValueCol]` — Kusto's heavy-hitter
+            // probe. Kusto approximates; this engine computes it EXACTLY
+            // (one partial+final hash agg + TakeOrderedAndProject — the
+            // Zipf head absorbs map-side, so exactness costs nothing at
+            // any scale) but keeps Kusto's approximate_* output naming.
+            // Deterministic key-asc tie-break (Kusto leaves ties loose).
+            val n = number(); expect("of"); val c = ident()
+            val byCol = if (peekIs("by")) { expect("by"); Some(ident()) } else None
+            return byCol match {
+              case None =>
+                df.groupBy(col(c)).agg(count(lit(1)).as(s"approximate_count_$c"))
+                  .orderBy(col(s"approximate_count_$c").desc, col(c).asc).limit(n)
+              case Some(v) =>
+                df.groupBy(col(c)).agg(sum(col(v)).as(s"approximate_sum_$v"))
+                  .orderBy(col(s"approximate_sum_$v").desc, col(c).asc).limit(n)
+            }
           case other => throw new KqlParseException(s"unsupported operator 'top-$other'")
         }
         final case class Level(n: Int, colName: String, aggName: String, aggB: ColB)
@@ -1125,6 +1321,32 @@ object KqlCompiler {
       name match {
         case "pack_all" => arity(0); df => Kql.packAll(df)
         case "row_number" => arity(0); df => row_number().over(serializedWindow(df)).cast("long")
+        // running total over the serialized order (Kusto row_cumsum; the
+        // optional reset argument is not supported — use a keyed window)
+        case "row_cumsum" => arity(1); df => {
+          val w = serializedWindow(df).rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+          sum(args.head(df)).over(w)
+        }
+        // element-wise series arithmetic (Kusto series_add/…): array ⊕
+        // array zips, array ⊕ scalar broadcasts the scalar — map-only
+        // array lambdas, never explode + join
+        case "series_add" | "series_subtract" | "series_multiply" | "series_divide" =>
+          arity(2)
+          df => {
+            val (a, b) = (args(0)(df), args(1)(df))
+            def op(x: Column, y: Column): Column = name match {
+              case "series_add" => x + y
+              case "series_subtract" => x - y
+              case "series_multiply" => x * y
+              case _ => x.cast("double") / y.cast("double") // Kusto divide is real
+            }
+            import org.apache.spark.sql.types.ArrayType
+            val bIsArray = dataTypeOf(df, b).exists(_.isInstanceOf[ArrayType])
+            if (bIsArray) zip_with(a, b, (x, y) => op(x, y))
+            else transform(a, x => op(x, b))
+          }
         case "case" =>
           if (args.length < 3 || args.length % 2 == 0)
             throw new KqlParseException("case() expects p1, v1, …, default")

@@ -281,7 +281,63 @@ object KqlQueries extends QueryModule {
           | | mv-apply w = t on ( where strlen(w) >= 5 | summarize n5 = count(), mx = max(strlen(w)), s5 = sum(strlen(w)) )
           | | project doc_id, n5, mx, s5
           | | order by doc_id asc""".stripMargin,
-        _ => Tables.documents(s, dir)))
+        _ => Tables.documents(s, dir))),
+
+    // Table generators — `range` (a distributed axis, session.range +
+    // affine projection: no literal array on the driver), `datatable`
+    // (inline dimension), composed through a let + leftouter join. The
+    // generator trio is how Kusto users mint scaffolds and test fixtures.
+    "q80_kql_text_range" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """let squares = range x from 1 to 200 step 3 | extend y = x * x, b = x % 2;
+          |let dims = datatable(b: long, tag: string)[0, 'lo', 1, 'hi'];
+          |squares
+          | | join kind=leftouter (dims) on b
+          | | summarize n = count(), sy = sum(y), w = max(strlen(tag)) by tag
+          | | order by tag asc""".stripMargin,
+        _ => Tables.events(s, dir),
+        java.time.Instant.parse("2024-01-29T00:00:00Z"), s)),
+
+    // top-hitters — the heavy-hitter probe (here: top spenders by summed
+    // value). Exact (one hash agg + TakeOrderedAndProject) with Kusto's
+    // approximate_* naming.
+    "q81_kql_text_tophitters" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | top-hitters 3 of user_id by value
+          | | project user_id, s = round(approximate_sum_value, 6)
+          | | order by user_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // row_cumsum over a serialized order + a running-budget cut — the
+    // "take items until the budget is spent" shape (token budgets, cost
+    // caps). Filter compares the ROUNDED total so both engines cut at
+    // the same row.
+    "q82_kql_text_rowcumsum" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_type == 'purchase'
+          | | project event_id, value
+          | | order by event_id asc
+          | | serialize cs = round(row_cumsum(value), 6)
+          | | where cs <= 1000.0
+          | | project event_id, cs
+          | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // series functions over make-series output: element-wise arithmetic
+    // (series_multiply/series_add — map-only array lambdas) and the
+    // series_stats multi-assign extend. Array columns serialize via
+    // tostring for the gate.
+    "q83_kql_text_series" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | make-series n = count() default = 0 on ts from datetime(2024-01-03) to datetime(2024-01-27) step 2d by event_type
+          | | extend dbl = series_multiply(n, 2), tot = series_add(n, n)
+          | | extend (mn, mni, mx, mxi, av, sd, vr) = series_stats(n)
+          | | project event_type, dbl = tostring(dbl), tot = tostring(tot), mn, mni, mx, mxi, av = round(av, 6), sd = round(sd, 6), vr = round(vr, 6)
+          | | order by event_type asc""".stripMargin,
+        _ => Tables.events(s, dir)))
   )
 
   override val oracles: Map[String, String] = Map(
@@ -472,6 +528,63 @@ object KqlQueries extends QueryModule {
                 len(f) AS n5,
                 list_max(list_transform(f, w -> length(w))) AS mx,
                 coalesce(list_sum(list_transform(f, w -> length(w)::DOUBLE)), 0.0) AS s5
-         FROM tok ORDER BY doc_id"""
+         FROM tok ORDER BY doc_id""",
+
+    "q80_kql_text_range" ->
+      """WITH squares AS (
+           SELECT (1 + 3 * i) AS x, (1 + 3 * i) * (1 + 3 * i) AS y, (1 + 3 * i) % 2 AS b
+           FROM unnest(range(0, 67)) t(i)),
+         dims(b, tag) AS (VALUES (0, 'lo'), (1, 'hi')),
+         j AS (SELECT s.y, d.tag FROM squares s LEFT JOIN dims d ON s.b = d.b)
+         SELECT tag, count(*)::BIGINT AS n, sum(y)::BIGINT AS sy,
+                max(length(tag))::BIGINT AS w
+         FROM j GROUP BY tag ORDER BY tag""",
+
+    "q81_kql_text_tophitters" ->
+      """WITH h AS (
+           SELECT user_id, sum(value) AS s
+           FROM events GROUP BY user_id
+           ORDER BY s DESC, user_id ASC LIMIT 3)
+         SELECT user_id, round(s, 6) AS s FROM h ORDER BY user_id""",
+
+    "q82_kql_text_rowcumsum" ->
+      """WITH p AS (
+           SELECT event_id,
+                  round(sum(value) OVER (ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cs
+           FROM events WHERE event_type = 'purchase')
+         SELECT event_id, cs FROM p WHERE cs <= 1000.0 ORDER BY event_id""",
+
+    "q83_kql_text_series" ->
+      """WITH bins AS (SELECT i FROM unnest(range(0, 12)) AS t(i)),
+         keys AS (SELECT DISTINCT event_type FROM events
+                  WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+                    AND ts < TIMESTAMP '2024-01-27 00:00:00'),
+         agg AS (
+           SELECT event_type,
+                  (epoch_us(ts) - 1704240000000000) // 172800000000 AS i,
+                  count(*) AS c
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+             AND ts < TIMESTAMP '2024-01-27 00:00:00'
+           GROUP BY 1, 2),
+         filled AS (
+           SELECT k.event_type, b.i, coalesce(a.c, 0) AS c
+           FROM keys k CROSS JOIN bins b
+           LEFT JOIN agg a ON a.event_type = k.event_type AND a.i = b.i),
+         ser AS (
+           SELECT event_type, list(c ORDER BY i) AS n
+           FROM filled GROUP BY event_type)
+         SELECT event_type,
+                to_json(list_transform(n, x -> x * 2)) AS dbl,
+                to_json(list_transform(n, x -> x + x)) AS tot,
+                list_min(n)::BIGINT AS mn,
+                (list_position(n, list_min(n)) - 1)::BIGINT AS mni,
+                list_max(n)::BIGINT AS mx,
+                (list_position(n, list_max(n)) - 1)::BIGINT AS mxi,
+                round(list_avg(n), 6) AS av,
+                round(coalesce(list_aggregate(n, 'stddev_samp'), 0), 6) AS sd,
+                round(coalesce(list_aggregate(n, 'var_samp'), 0), 6) AS vr
+         FROM ser ORDER BY event_type"""
   )
 }

@@ -1511,6 +1511,65 @@ object LlmQueries extends QueryModule {
            (off - (off // 2048) * 2048)::BIGINT AS pack_offset
     FROM w ORDER BY doc_id"""
 
+  // -------------------------------------------------- bigram LM scoring
+
+  /** q79 — bigram-LM perplexity scoring, the classic corpus-quality
+    * filter (CCNet/KenLM style: score each document under a language
+    * model TRAINED ON THE CORPUS ITSELF; high perplexity = noise/outlier,
+    * low = boilerplate). Model: add-one-smoothed bigram LM,
+    * P(w2|w1) = (C(w1,w2)+1) / (C(w1·)+V), with a document-frequency
+    * floor on the bigram table (count >= 2) — the standard pruning that
+    * keeps the LM table O(head-of-Zipf) instead of O(corpus): singleton
+    * bigrams back off to pure smoothing, exactly as a pruned KenLM does.
+    *
+    * Scale shape: the token-stream explode is inherent to LM scoring
+    * (one row per bigram position); both model tables aggregate with
+    * map-side combine (Zipf head absorbs there), and the scoring joins
+    * are equi-joins on the context/bigram keys — the unigram table is
+    * vocabulary-sized (broadcastable), the pruned bigram table shuffles
+    * on its key at worst. Nothing is all-pairs, nothing driver-side. */
+  private val bigramLmSql = """
+    WITH tok AS (
+      SELECT doc_id, split(text, ' ') AS ws FROM documents),
+    big AS (
+      SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      FROM tok LATERAL VIEW explode(sequence(0, size(ws) - 2)) t AS i
+      WHERE size(ws) >= 2),
+    uni AS (SELECT w1 AS w, count(*) AS cu FROM big GROUP BY w1),
+    bg AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY w1, w2 HAVING count(*) >= 2),
+    v AS (SELECT count(*) AS vs FROM uni),
+    sc AS (
+      SELECT b.doc_id,
+             avg(-ln((coalesce(g.cb, 0) + 1) / (u.cu + v.vs))) AS nll
+      FROM big b
+      JOIN uni u ON b.w1 = u.w
+      LEFT JOIN bg g ON b.w1 = g.w1 AND b.w2 = g.w2
+      CROSS JOIN v
+      GROUP BY b.doc_id)
+    SELECT doc_id, round(nll, 6) AS nll, round(exp(nll), 6) AS ppl
+    FROM sc ORDER BY doc_id"""
+
+  private val bigramLmOracle = """
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    big AS (
+      SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      FROM tok, unnest(range(1, len(ws))) AS t(i)
+      WHERE len(ws) >= 2),
+    uni AS (SELECT w1 AS w, count(*) AS cu FROM big GROUP BY w1),
+    bg AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY w1, w2 HAVING count(*) >= 2),
+    v AS (SELECT count(*) AS vs FROM uni),
+    sc AS (
+      SELECT b.doc_id,
+             avg(-ln((coalesce(g.cb, 0) + 1) / (u.cu + v.vs))) AS nll
+      FROM big b
+      JOIN uni u ON b.w1 = u.w
+      LEFT JOIN bg g ON b.w1 = g.w1 AND b.w2 = g.w2
+      CROSS JOIN v
+      GROUP BY b.doc_id)
+    SELECT doc_id, round(nll, 6) AS nll, round(exp(nll), 6) AS ppl
+    FROM sc ORDER BY doc_id"""
+
   // -------------------------------------------------------- multimodal
 
   /** Opaque-binary metadata plumbing: payload byte length, content hash,
@@ -1632,7 +1691,8 @@ object LlmQueries extends QueryModule {
     "q68_doc_chunking" -> sqlQuery(docs, chunkingSql),
     "q69_stopword_filter" -> sqlQuery(docs, stopwordSql),
     "q76_quantized_ann" -> sqlQuery(embs, quantizedAnnSql),
-    "q78_sequence_packing" -> sqlQuery(docs, packingSql))
+    "q78_sequence_packing" -> sqlQuery(docs, packingSql),
+    "q79_bigram_lm" -> sqlQuery(docs, bigramLmSql))
 
   override val oracles: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -1666,5 +1726,6 @@ object LlmQueries extends QueryModule {
     "q68_doc_chunking" -> chunkingOracle,
     "q69_stopword_filter" -> stopwordOracle,
     "q76_quantized_ann" -> quantizedAnnOracle,
-    "q78_sequence_packing" -> packingOracle)
+    "q78_sequence_packing" -> packingOracle,
+    "q79_bigram_lm" -> bigramLmOracle)
 }

@@ -440,6 +440,83 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       """["2024-03-01T00:00:00.0000000Z","2024-03-01T01:00:00.0000000Z"]""")
   }
 
+  test("table generators: range (numeric + datetime), print, datatable") {
+    // generator-rooted queries pass the session explicitly (no table to
+    // derive one from)
+    def runG(kql: String) = KqlCompiler.compile(kql, _ => df, java.time.Instant.now(), spark)
+    // numeric range is stop-INCLUSIVE (Kusto)
+    val r = runG("range x from 1 to 10 step 3 | summarize n = count(), s = sum(x), mx = max(x)").head()
+    assert(r.getLong(0) == 4 && r.getLong(1) == 22 && r.getLong(2) == 10) // 1,4,7,10
+    // real step → double axis
+    val rd = runG("range x from 0.5 to 2.0 step 0.5 | summarize n = count(), s = sum(x)").head()
+    assert(rd.getLong(0) == 4 && math.abs(rd.getDouble(1) - 5.0) < 1e-9)
+    // datetime axis with a timespan step
+    val rt = runG(
+      "range t from datetime(2024-03-01) to datetime(2024-03-02) step 6h | summarize n = count(), mx = max(t)").head()
+    assert(rt.getLong(0) == 5)
+    assert(rt.getTimestamp(1).toInstant.toString == "2024-03-02T00:00:00Z")
+    // a TABLE named range still resolves (lookahead disambiguation)
+    assert(KqlCompiler.compile("range | count", { case "range" => df }).head().getLong(0) == 5)
+    // print: one computed row; unnamed items get print_N names
+    val p = runG("print a = strcat('x', 'y'), 41 + 1").head()
+    assert(p.schema.fieldNames.toSeq == Seq("a", "print_1"))
+    assert(p.getString(0) == "xy" && p.getLong(1) == 42L)
+    // datatable: inline literal rows, declared types, datetime values
+    val d = runG("""datatable(id: long, tag: string, w: real, ok: bool, ts: datetime)[
+                     1, 'a', 1.5, true, datetime(2024-03-01),
+                     2, 'b', -2.5, false, datetime(2024-03-02)]
+                   | order by id asc""").collect()
+    assert(d.length == 2)
+    assert(d(0).getLong(0) == 1 && d(0).getString(1) == "a" && d(0).getDouble(2) == 1.5)
+    assert(d(0).getBoolean(3) && !d(1).getBoolean(3))
+    assert(d(1).getTimestamp(4).toInstant.toString == "2024-03-02T00:00:00Z")
+    // datatable composes in let bindings + joins (the enrichment shape)
+    val e = runG("""let dims = datatable(name: string, team: string)['alpha', 'x', 'beta', 'y'];
+                   t | join kind=leftouter (dims) on name | where isnotnull(team)
+                   | summarize n = count() by team | order by team asc""").collect()
+    assert(e.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("x", 2L), ("y", 2L)))
+  }
+
+  test("top-hitters: exact heavy hitters, Kusto naming, deterministic ties") {
+    val h = run("t | top-hitters 2 of name").collect()
+    assert(h.head.schema.fieldNames.toSeq == Seq("name", "approximate_count_name"))
+    assert(h.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("alpha", 2L), ("beta", 2L))) // tie with beta broken key-asc
+    val hv = run("t | top-hitters 1 of name by value").head()
+    assert(hv.getString(0) == "beta" && hv.getDouble(1) == 125.0) // 55+70
+  }
+
+  test("row_cumsum over the serialized order") {
+    val c = run("""t | project id, value | order by id asc | serialize cs = row_cumsum(value)
+                   | order by id asc""").collect()
+    assert(c.map(_.getDouble(2)).toSeq == Seq(10.0, 65.0, 160.0, 180.0, 250.0))
+  }
+
+  test("series arithmetic + series_stats multi-assign extend") {
+    import spark.implicits._
+    val arr = Seq((1L, Seq(4.0, 1.0, 7.0, 4.0))).toDF("id", "xs")
+    def runA(kql: String) = KqlCompiler.compile(kql, _ => arr)
+    // element-wise: array ⊕ array and array ⊕ scalar
+    val ew = runA("""a | extend s = series_add(xs, xs), m = series_multiply(xs, 2),
+                        d = series_divide(xs, 2), sub = series_subtract(xs, 1)""").head()
+    assert(ew.getSeq[Double](2) == Seq(8.0, 2.0, 14.0, 8.0))
+    assert(ew.getSeq[Double](3) == Seq(8.0, 2.0, 14.0, 8.0))
+    assert(ew.getSeq[Double](4) == Seq(2.0, 0.5, 3.5, 2.0))
+    assert(ew.getSeq[Double](5) == Seq(3.0, 0.0, 6.0, 3.0))
+    // series_stats: (min, min_idx, max, max_idx, avg, stdev, variance)
+    val st = runA("a | extend (mn, mni, mx, mxi, av, sd, vr) = series_stats(xs)").head()
+    assert(st.getDouble(2) == 1.0 && st.getLong(3) == 1L)
+    assert(st.getDouble(4) == 7.0 && st.getLong(5) == 2L)
+    assert(math.abs(st.getDouble(6) - 4.0) < 1e-12)          // avg
+    assert(math.abs(st.getDouble(8) - 6.0) < 1e-12)          // var_samp of 4,1,7,4
+    assert(math.abs(st.getDouble(7) - math.sqrt(6.0)) < 1e-12)
+    // constant series: variance clamps at 0, stdev 0 (never -0.0/NaN)
+    val cst = KqlCompiler.compile("a | extend (mn, mni, mx, mxi, av, sd, vr) = series_stats(xs)",
+      _ => Seq((1L, Seq(5.0, 5.0, 5.0))).toDF("id", "xs")).head()
+    assert(cst.getDouble(7) == 0.0 && cst.getDouble(8) == 0.0)
+    assert(!(1.0 / cst.getDouble(8)).isNegInfinity, "variance must not be -0.0")
+  }
+
   test("tostring: scalars cast, arrays/dynamic serialize to canonical JSON text") {
     // scalar: plain string cast (unchanged semantics)
     val s = run("t | where id == 1 | project a = tostring(value), b = tostring(id)").head()

@@ -170,6 +170,17 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Generate"), "mv-apply must not lower to explode")
   }
 
+  test("q79 bigram LM: scoring joins stay hash/broadcast — no cartesian, no SortMergeJoin") {
+    val p = plan("q79_bigram_lm")
+    assert(!p.contains("CartesianProduct"), "LM scoring must never be all-pairs")
+    assert(!p.contains("SortMergeJoin"), "model tables must hash/broadcast join")
+    // the only nested loop allowed is the ONE-ROW vocab-size scalar
+    // broadcast (formatted explain lists each operator once in the tree
+    // and once in the detail section — count the numbered detail entries)
+    val bnl = "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnl <= 1, s"unexpected nested-loop joins ($bnl) beyond the scalar broadcast")
+  }
+
   test("q76 quantized ANN: query set broadcasts, no SortMergeJoin") {
     val p = plan("q76_quantized_ann")
     assert(p.contains("BroadcastExchange"), "the small query set must broadcast")
