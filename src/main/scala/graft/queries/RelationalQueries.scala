@@ -218,6 +218,23 @@ object RelationalQueries extends QueryModule {
         .orderBy(col("p_event_id"), col("c_event_id"))
     }),
 
+    // Ordered-step funnel (graft.ops.Funnel — the restricted core of
+    // Kusto `scan`): per user, the earliest signup → click → purchase
+    // completion. One shuffle on user_id; every step is a window min
+    // over the SAME partitioning (consecutive Window ops share one
+    // Exchange — plan-pinned).
+    "q84_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.ops.Funnel.earliest(ev, col("user_id"), col("ts"), col("event_type"),
+          Seq("signup", "click", "purchase"))
+        .select(col("k").as("user_id"),
+          unix_millis(col("t1")).as("t1_ms"),
+          unix_millis(col("t2")).as("t2_ms"),
+          unix_millis(col("t3")).as("t3_ms"),
+          col("converted"))
+        .orderBy(col("user_id"))
+    }),
+
     // Backward as-of join (graft.ops.AsOfJoin — union+window, one
     // shuffle, no range explosion): each purchase gets the click value
     // in effect at purchase time, per user. Clicks are pre-deduped to
@@ -407,6 +424,24 @@ object RelationalQueries extends QueryModule {
          FROM purchases JOIN clicks
            ON c_ts_ms >= start_ms AND c_ts_ms <= start_ms + 600000
          ORDER BY p_event_id, c_event_id""",
+
+    "q84_funnel" ->
+      """WITH s1 AS (
+           SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+         s2 AS (
+           SELECT e.user_id, min(e.ts) AS t2
+           FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+         s3 AS (
+           SELECT e.user_id, min(e.ts) AS t3
+           FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+         SELECT s1.user_id, epoch_ms(s1.t1) AS t1_ms, epoch_ms(s2.t2) AS t2_ms,
+                epoch_ms(s3.t3) AS t3_ms, s3.t3 IS NOT NULL AS converted
+         FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+                 LEFT JOIN s3 ON s1.user_id = s3.user_id
+         ORDER BY s1.user_id""",
 
     "q42_asof_join" ->
       """WITH clicks AS (

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ordered-step funnel: earliest-completion semantics, strict ordering,
+  * stall behavior, and the one-shuffle plan shape. */
+class FunnelSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  override def afterAll(): Unit = spark.stop()
+
+  private def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+
+  private lazy val events = {
+    import spark.implicits._
+    Seq(
+      // user 1: full conversion, with decoys (click BEFORE signup must
+      // not match; the EARLIEST valid continuation wins)
+      (1L, 5L, "click"), (1L, 10L, "signup"), (1L, 20L, "click"),
+      (1L, 25L, "click"), (1L, 30L, "purchase"),
+      // user 2: stalls after signup (its click precedes signup)
+      (2L, 50L, "click"), (2L, 60L, "signup"),
+      // user 3: signup+click but never purchases
+      (3L, 10L, "signup"), (3L, 11L, "click"),
+      // user 4: never enters the funnel (no signup) — excluded
+      (4L, 10L, "click"), (4L, 20L, "purchase"),
+      // user 5: same-timestamp step must NOT match (strictly after)
+      (5L, 10L, "signup"), (5L, 10L, "click"), (5L, 40L, "click"), (5L, 50L, "purchase"))
+      .map { case (u, t, e) => (u, ts(t), e) }
+      .toDF("user_id", "ts", "event_type")
+  }
+
+  test("earliest completion, strict ordering, stalls, non-entrants excluded") {
+    val out = Funnel.earliest(events, col("user_id"), col("ts"), col("event_type"),
+        Seq("signup", "click", "purchase"))
+      .orderBy(col("k")).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 5L))
+    val byUser = out.map(r => r.getLong(0) ->
+      (Option(r.getTimestamp(1)), Option(r.getTimestamp(2)), Option(r.getTimestamp(3)),
+        r.getBoolean(4))).toMap
+    // user 1: signup@10, earliest later click@20 (not the pre-signup @5), purchase@30
+    assert(byUser(1L) == ((Some(ts(10)), Some(ts(20)), Some(ts(30)), true)))
+    // user 2: click@50 precedes signup@60 → stalls at step 2
+    assert(byUser(2L) == ((Some(ts(60)), None, None, false)))
+    // user 3: no purchase → not converted
+    assert(byUser(3L) == ((Some(ts(10)), Some(ts(11)), None, false)))
+    // user 5: click at the SAME instant as signup is not "after" → the
+    // later click@40 matches, then purchase@50
+    assert(byUser(5L) == ((Some(ts(10)), Some(ts(40)), Some(ts(50)), true)))
+  }
+
+  test("plan: all step windows share ONE hash exchange (single shuffle on the key)") {
+    val out = Funnel.earliest(events, col("user_id"), col("ts"), col("event_type"),
+      Seq("signup", "click", "purchase"))
+    val p = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, // one for the windows, one for the final agg on the same key
+      s"funnel must not shuffle per step; found $exchanges exchanges:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "funnel must be window-based, not join-based")
+  }
+}

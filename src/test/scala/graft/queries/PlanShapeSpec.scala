@@ -181,6 +181,14 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bnl <= 1, s"unexpected nested-loop joins ($bnl) beyond the scalar broadcast")
   }
 
+  test("q84 funnel: step windows share one shuffle — never join-based") {
+    val p = plan("q84_funnel")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "funnel must be window-based, not join-based")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"funnel must not shuffle per step; found $exchanges exchanges")
+  }
+
   test("q76 quantized ANN: query set broadcasts, no SortMergeJoin") {
     val p = plan("q76_quantized_ann")
     assert(p.contains("BroadcastExchange"), "the small query set must broadcast")
