@@ -10,11 +10,13 @@ import org.apache.spark.sql.types._
   * `ByteRecordWriterProvider.java:17-42`) — and decode / feature
   * extraction runs batched per partition. Decode is REAL for the
   * containers the JDK ships codecs for: `javax.imageio.ImageIO` decodes
-  * PNG/JPEG/GIF/BMP pixels and `javax.sound.sampled.AudioSystem` decodes
-  * WAV PCM samples ([[MediaCodec]]); only payloads no JDK codec
-  * recognizes fall back to a deterministic sha-derived stub (marked STUB
-  * below — that boundary is where a video codec / ONNX session would
-  * bind per-partition).
+  * PNG/JPEG/GIF/BMP pixels, `javax.sound.sampled.AudioSystem` decodes
+  * WAV PCM samples, and MJPEG-in-AVI video decodes frame-by-frame (each
+  * frame is a standalone JPEG at a RIFF chunk offset — [[MediaCodec]]);
+  * only payloads no JDK codec can decode (codec-compressed video:
+  * H.264/VP9/AV1 bitstreams) fall back to a deterministic sha-derived
+  * stub (marked STUB below — that boundary is where a video codec /
+  * ONNX session would bind per-partition).
   *
   * Scale design: decode is the expensive map stage, so the pattern is
   *  - keep payloads in `binary` columns (no base64 inflation),
@@ -44,7 +46,7 @@ object MediaHeaders {
 
   def parse(b: Array[Byte]): Option[Header] =
     if (b == null) None
-    else png(b).orElse(jpeg(b)).orElse(gif(b)).orElse(bmp(b)).orElse(wav(b))
+    else png(b).orElse(jpeg(b)).orElse(gif(b)).orElse(bmp(b)).orElse(wav(b)).orElse(avi(b))
 
   private def be32(b: Array[Byte], i: Int): Int =
     ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
@@ -182,6 +184,33 @@ object MediaHeaders {
     if (blockAlign <= 0 || dataLen < 0) None
     else Some(Header("wav", sampleRate, channels, (dataLen / blockAlign).toInt))
   }
+
+  /** AVI: RIFF/'AVI ' container; width/height/totalFrames from the
+    * 'avih' main header (offsets 32/36/16 into its data) inside the
+    * 'hdrl' LIST. Chunks are word-aligned like every RIFF form. */
+  private def avi(b: Array[Byte]): Option[Header] = {
+    if (b.length < 24 || ascii(b, 0, 4) != "RIFF" || ascii(b, 8, 4) != "AVI ") return None
+    var pos = 12
+    while (pos + 12 <= b.length) {
+      val id = ascii(b, pos, 4)
+      val sz = le32(b, pos + 4).toLong & 0xffffffffL
+      if (id == "LIST" && ascii(b, pos + 8, 4) == "hdrl") {
+        var c = pos + 12
+        val end = math.min(b.length.toLong, pos + 8L + sz).toInt
+        while (c + 8 <= end) {
+          val cid = ascii(b, c, 4)
+          val csz = le32(b, c + 4).toLong & 0xffffffffL
+          if (cid == "avih" && c + 8 + 40 <= b.length)
+            return Some(Header("avi", le32(b, c + 8 + 32), le32(b, c + 8 + 36),
+              math.max(1, le32(b, c + 8 + 16))))
+          c += 8 + csz.toInt + (csz.toInt & 1)
+        }
+        return None
+      }
+      pos += 8 + sz.toInt + (sz.toInt & 1)
+    }
+    None
+  }
 }
 
 /** REAL pixel/sample decode on pure JDK codecs — `java.desktop` ships
@@ -238,6 +267,58 @@ object MediaCodec {
   /** Frame count as the JDK reader sees it (exhaustive search). */
   def imageFrameCount(payload: Array[Byte]): Option[Int] =
     withReader(payload)(_.getNumImages(true)).filter(_ > 0)
+
+  /** Byte ranges of the frame chunks (`##dc`/`##db`) inside an AVI
+    * 'movi' list, recursing into 'rec ' groups. For MJPEG — the one
+    * video codec decodable on a pure JDK, because each frame IS a
+    * standalone JPEG — these ranges feed straight into [[imageFrame]].
+    * Codec-compressed video (H.264/VP9/…) has no JDK decoder; those
+    * payloads keep the declared stub boundary. */
+  def aviFrameRanges(payload: Array[Byte]): Vector[(Int, Int)] = {
+    try {
+      if (payload == null || payload.length < 12) return Vector.empty
+      def ascii(i: Int, n: Int) =
+        new String(payload, i, n, java.nio.charset.StandardCharsets.US_ASCII)
+      def le32(i: Int): Long =
+        ((payload(i) & 0xffL) | ((payload(i + 1) & 0xffL) << 8) |
+          ((payload(i + 2) & 0xffL) << 16) | ((payload(i + 3) & 0xffL) << 24))
+      if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "AVI ") return Vector.empty
+      val out = Vector.newBuilder[(Int, Int)]
+      def isFrame(id: String) =
+        id.length == 4 && id(0).isDigit && id(1).isDigit &&
+          (id.substring(2) == "dc" || id.substring(2) == "db")
+      def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+        var pos = start
+        while (pos + 8 <= end) {
+          val id = ascii(pos, 4)
+          val sz = le32(pos + 4)
+          if (id == "LIST" && pos + 12 <= end) {
+            val lt = ascii(pos + 8, 4)
+            val lend = math.min(end.toLong, pos + 8L + sz).toInt
+            if (lt == "movi" || (inMovi && lt == "rec ")) walk(pos + 12, lend, inMovi = true)
+          } else if (inMovi && isFrame(id) && pos + 8L + sz <= end)
+            out += ((pos + 8, sz.toInt))
+          pos += 8 + sz.toInt + (sz.toInt & 1)
+        }
+      }
+      walk(12, payload.length, inMovi = false)
+      out.result()
+    } catch { case scala.util.control.NonFatal(_) => Vector.empty }
+  }
+
+  /** Decode selected AVI frames (0-based indices) — MJPEG frames decode
+    * as JPEGs; undecodable/missing indices are absent from the result. */
+  def videoFrames(payload: Array[Byte], indices: Seq[Int]): Map[Int, ImagePixels] = {
+    val ranges = aviFrameRanges(payload)
+    indices.flatMap { i =>
+      ranges.lift(i).flatMap { case (off, len) =>
+        imageFrame(java.util.Arrays.copyOfRange(payload, off, off + len)).map(i -> _)
+      }
+    }.toMap
+  }
+
+  def videoFrame(payload: Array[Byte], idx: Int = 0): Option[ImagePixels] =
+    videoFrames(payload, Seq(idx)).get(idx)
 
   /** Decode a WAV (or any `AudioSystem`-supported) payload to normalized
     * interleaved PCM. Supports the PCM widths WAV actually uses: 8-bit
@@ -327,6 +408,17 @@ object Multimodal {
           case None =>
             stubFeatures(MediaMeta(docId, payload.length, shaHex, kind, h.width, h.height, h.nFrames), sha)
         }
+      case Some(h) if h.format == "avi" =>
+        // MJPEG-in-AVI: frame 0 is a standalone JPEG — REAL pixel decode;
+        // frame count from the avih header (total stream frames)
+        MediaCodec.videoFrame(payload, 0) match {
+          case Some(p) =>
+            MediaFeatures(
+              MediaMeta(docId, payload.length, shaHex, kind, p.width, p.height, h.nFrames),
+              imageFeatures(p))
+          case None => // codec-compressed video (no JDK decoder): stub boundary
+            stubFeatures(MediaMeta(docId, payload.length, shaHex, kind, h.width, h.height, h.nFrames), sha)
+        }
       case Some(h) =>
         MediaCodec.imageFrame(payload) match {
           case Some(p) =>
@@ -408,11 +500,12 @@ object Multimodal {
     MediaFeatures(meta, Array.tabulate(FeatureDim)(i => (b(i * 2) * 256 + b(i * 2 + 1)) / 65535.0f))
   }
 
-  /** STUB for payloads no JDK codec recognizes (e.g. video containers —
-    * the JDK has no video codec): deterministic sha-derived dims and
-    * features, so unrecognized media still flows through the pipeline
-    * with a stable, testable shape. Swap this boundary for a real
-    * decoder bound per-partition (JNI/ONNX session). */
+  /** STUB for payloads no JDK codec recognizes (codec-compressed video —
+    * H.264/VP9/AV1 — the JDK has no bitstream decoder; MJPEG-in-AVI gets
+    * REAL decode above): deterministic sha-derived dims and features, so
+    * unrecognized media still flows through the pipeline with a stable,
+    * testable shape. Swap this boundary for a real decoder bound
+    * per-partition (JNI/ONNX session). */
   private def decodeStub(docId: Long, payload: Array[Byte], kind: String,
                          sha: Array[Byte], shaHex: String): MediaFeatures = {
     def b(i: Int): Int = sha(i) & 0xff
@@ -475,7 +568,10 @@ object Multimodal {
         else {
           val mf = decode(row.getAs[Long]("doc_id"), payload, row.getAs[String]("media_kind"))
           val wanted = 0 until mf.meta.nFrames by everyNth
-          val decoded = MediaCodec.imageFrames(payload, wanted)
+          val decoded =
+            if (MediaHeaders.parse(payload).exists(_.format == "avi"))
+              MediaCodec.videoFrames(payload, wanted) // MJPEG frames, one container walk
+            else MediaCodec.imageFrames(payload, wanted)
           wanted.iterator.map { fi =>
             val sha = decoded.get(fi) match {
               case Some(p) => // hash of the real pixels of this frame

@@ -144,6 +144,101 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     bb.array()
   }
 
+  /** 2-frame MJPEG AVI: frame 0 solid 0x808080, frame 1 solid 0x303030
+    * (JPEG is lossy — solid grays compress near-exactly). Minimal but
+    * well-formed RIFF: hdrl(avih + strl(strh/strf 'MJPG')) + movi with
+    * two '00dc' JPEG chunks. */
+  private def solidJpeg(c: Int, w: Int = 4, h: Int = 4): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, w, h, Array.fill(w * h)(c), 0, w)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+  private def goldenAvi: Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val frames = Seq(solidJpeg(0xff808080), solidJpeg(0xff303030))
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 + data.length + (data.length & 1)).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(id.getBytes("US-ASCII")).putInt(data.length).put(data)
+      bb.array()
+    }
+    def list(tpe: String, children: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(12 + children.length).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("LIST".getBytes("US-ASCII")).putInt(4 + children.length)
+        .put(tpe.getBytes("US-ASCII")).put(children)
+      bb.array()
+    }
+    val avih = { // 56-byte MainAVIHeader: totalFrames @16, width @32, height @36
+      val bb = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(40000).putInt(0).putInt(0).putInt(0)
+      bb.putInt(frames.length).putInt(0).putInt(1).putInt(0)
+      bb.putInt(4).putInt(4)
+      bb.array()
+    }
+    val strh = { // stream header: fccType 'vids', handler 'MJPG'
+      val bb = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("vids".getBytes("US-ASCII")).put("MJPG".getBytes("US-ASCII"))
+      bb.array()
+    }
+    val strf = { // BITMAPINFOHEADER with biCompression 'MJPG'
+      val bb = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(40).putInt(4).putInt(4).putShort(1).putShort(24)
+      bb.put("MJPG".getBytes("US-ASCII"))
+      bb.array()
+    }
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frames.toArray.flatMap(f => chunk("00dc", f)))
+    val body = hdrl ++ movi
+    val bb = ByteBuffer.allocate(12 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length)
+      .put("AVI ".getBytes("US-ASCII")).put(body)
+    bb.array()
+  }
+
+  test("MediaHeaders parses AVI dimensions and total frames from the avih header") {
+    assert(MediaHeaders.parse(goldenAvi).contains(MediaHeaders.Header("avi", 4, 4, 2)))
+    // truncation stays exception-total
+    assert(MediaHeaders.parse(goldenAvi.take(20)).isEmpty)
+    assert(MediaCodec.aviFrameRanges(goldenAvi.take(40)).isEmpty)
+  }
+
+  test("MediaCodec decodes MJPEG-in-AVI frames as real JPEG pixels") {
+    val avi = goldenAvi
+    assert(MediaCodec.aviFrameRanges(avi).length == 2)
+    val fs = MediaCodec.videoFrames(avi, Seq(0, 1))
+    assert(fs.keySet == Set(0, 1))
+    def assertSolid(p: MediaCodec.ImagePixels, expected: Int): Unit = {
+      assert(p.width == 4 && p.height == 4)
+      p.argb.foreach { v =>
+        Seq((v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff)
+          .foreach(c => assert(math.abs(c - expected) <= 2, s"pixel $c vs $expected"))
+      }
+    }
+    assertSolid(fs(0), 0x80)
+    assertSolid(fs(1), 0x30)
+    // decode() computes REAL frame-0 features (not the stub)
+    val mf = Multimodal.decode(9L, avi, "video")
+    assert(mf.meta.width == 4 && mf.meta.height == 4 && mf.meta.nFrames == 2)
+    assert(mf.features.toSeq == Multimodal.imageFeatures(fs(0)).toSeq)
+  }
+
+  test("sampleFrames hashes REAL per-frame pixels for MJPEG AVI video") {
+    import spark.implicits._
+    val media = Seq((7L, goldenAvi, "video"))
+      .toDF("doc_id", "payload", "media_kind")
+    val rows = Multimodal.sampleFrames(spark, media, everyNth = 1)
+      .orderBy("frame_index").collect()
+    assert(rows.map(r => (r.getLong(0), r.getInt(1))).toSeq == Seq((7L, 0), (7L, 1)))
+    val shas = rows.map(_.getString(2))
+    assert(shas(0) != shas(1), "distinct frames must hash differently")
+    // real-pixel hashes, not the contentSha stub fallback
+    val contentSha16 = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(goldenAvi).map("%02x".format(_)).mkString.take(16)
+    assert(!shas.exists(_.startsWith(contentSha16)), "must hash frame pixels, not the payload")
+  }
+
   test("MediaCodec decodes golden 2x2 PNG to the exact expected ARGB pixels") {
     val p = MediaCodec.imageFrame(goldenPng).get
     assert(p.width == 2 && p.height == 2)
