@@ -1511,6 +1511,124 @@ object LlmQueries extends QueryModule {
            (off - (off // 2048) * 2048)::BIGINT AS pack_offset
     FROM w ORDER BY doc_id"""
 
+  // ------------------------------------------------- ANN recall audit
+
+  /** q85 — ANN recall audit: recall@10 of the IVF candidate search
+    * (label codebook, nprobe=2 — the q62 index shape) against exact
+    * brute-force ground truth, per sampled query vector. This is the
+    * eval harness every production ANN deployment runs: ground truth is
+    * computed only for a SAMPLE of queries (vec_id % 100 here), so the
+    * exact pass costs |sample|×N, not N² — the standard way recall is
+    * audited at 100 TB. Join on (qid, neighbor id) only — set overlap,
+    * no float comparisons cross-engine. */
+  private val annRecallSql = """
+    WITH v AS (SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS e FROM embeddings),
+    vn AS (SELECT vec_id, e, sqrt(dot_d(e, e)) AS nrm FROM v),
+    q AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM vn WHERE vec_id % 100 = 0),
+    sims AS (
+      SELECT /*+ BROADCAST(q) */ q.qid, vn.vec_id,
+             dot_d(qe, e) / (qnrm * nrm) AS sim,
+             spark_partition_id() AS pid
+      FROM q JOIN vn ON vn.vec_id <> q.qid),
+    local_top AS (
+      SELECT qid, vec_id, sim,
+             row_number() OVER (PARTITION BY qid, pid ORDER BY sim DESC, vec_id) AS lrn
+      FROM sims),
+    bf AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+        FROM local_top WHERE lrn <= 10) WHERE rank <= 10),
+    cent_rows AS (
+      SELECT label AS c_label, pos, round(avg(cast(v AS double)), 6) AS mean_v
+      FROM embeddings LATERAL VIEW posexplode(embedding) AS pos, v
+      GROUP BY label, pos),
+    cents AS (
+      SELECT c_label,
+             transform(sort_array(collect_list(struct(pos, mean_v))), s -> s.mean_v) AS cvec
+      FROM cent_rows GROUP BY c_label),
+    cdist AS (
+      SELECT /*+ BROADCAST(c) */ vn.vec_id, vn.e, vn.nrm, c.c_label,
+             aggregate(zip_with(vn.e, c.cvec, (x, y) -> (x - y) * (x - y)),
+                       cast(0.0 AS double), (s, x) -> s + x) AS d2
+      FROM vn CROSS JOIN cents c),
+    cells AS (
+      SELECT vec_id, w.e AS e, w.nrm AS nrm, w.cell AS cell FROM (
+        SELECT vec_id,
+               min_by(named_struct('e', e, 'nrm', nrm, 'cell', c_label),
+                      named_struct('d', d2, 'c', c_label)) AS w
+        FROM cdist GROUP BY vec_id)),
+    qprobe AS (
+      SELECT vec_id AS qid, c_label AS cell FROM (
+        SELECT vec_id, c_label,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk
+        FROM cdist WHERE vec_id % 100 = 0) WHERE rk <= 2),
+    isims AS (
+      SELECT qp.qid, c.vec_id, dot_d(q.qe, c.e) / (q.qnrm * c.nrm) AS sim
+      FROM qprobe qp JOIN cells c ON c.cell = qp.cell JOIN q ON q.qid = qp.qid
+      WHERE c.vec_id <> qp.qid),
+    ivf AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+        FROM isims) WHERE rank <= 10)
+    SELECT b.qid, CAST(count(i.vec_id) AS DOUBLE) / 10.0 AS recall_at_10
+    FROM bf b LEFT JOIN ivf i ON b.qid = i.qid AND b.vec_id = i.vec_id
+    GROUP BY b.qid ORDER BY b.qid"""
+
+  private val annRecallOracle = """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    vn AS (SELECT vec_id, e,
+                  sqrt(list_reduce(list_transform(e, x -> x * x), (s, x) -> s + x)) AS nrm FROM v),
+    q AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM vn WHERE vec_id % 100 = 0),
+    sims AS (
+      SELECT q.qid, vn.vec_id,
+             list_reduce(list_transform(range(64), i -> qe[i+1] * e[i+1]), (s, x) -> s + x) / (qnrm * nrm) AS sim
+      FROM q CROSS JOIN vn WHERE vn.vec_id <> q.qid),
+    bf AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+        FROM sims) WHERE rank <= 10),
+    cent_rows AS (
+      SELECT label AS c_label, i AS pos, round(avg(embedding[i+1]::DOUBLE), 6) AS mean_v
+      FROM embeddings, unnest(range(len(embedding))) AS t(i)
+      GROUP BY label, i),
+    cents AS (
+      SELECT c_label, list(mean_v ORDER BY pos) AS cvec
+      FROM cent_rows GROUP BY c_label),
+    cdist AS (
+      SELECT vn.vec_id, vn.e, vn.nrm, c.c_label,
+             list_reduce(list_transform(range(len(c.cvec)),
+                 i -> (vn.e[i+1] - c.cvec[i+1]) * (vn.e[i+1] - c.cvec[i+1])),
+               (s, x) -> s + x) AS d2
+      FROM vn CROSS JOIN cents c),
+    cells AS (
+      SELECT vec_id, e, nrm, c_label AS cell FROM (
+        SELECT vec_id, e, nrm, c_label,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk
+        FROM cdist) WHERE rk = 1),
+    qprobe AS (
+      SELECT vec_id AS qid, c_label AS cell FROM (
+        SELECT vec_id, c_label,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk
+        FROM cdist WHERE vec_id % 100 = 0)
+      WHERE rk <= 2),
+    isims AS (
+      SELECT qp.qid, c.vec_id,
+             list_reduce(list_transform(range(len(c.e)), i -> q.qe[i+1] * c.e[i+1]),
+               (s, x) -> s + x) / (q.qnrm * c.nrm) AS sim
+      FROM qprobe qp JOIN cells c ON c.cell = qp.cell JOIN q ON q.qid = qp.qid
+      WHERE c.vec_id <> qp.qid),
+    ivf AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+        FROM isims) WHERE rank <= 10)
+    SELECT b.qid, count(i.vec_id)::DOUBLE / 10.0 AS recall_at_10
+    FROM bf b LEFT JOIN ivf i ON b.qid = i.qid AND b.vec_id = i.vec_id
+    GROUP BY b.qid ORDER BY b.qid"""
+
   // -------------------------------------------------- bigram LM scoring
 
   /** q79 — bigram-LM perplexity scoring, the classic corpus-quality
@@ -1692,7 +1810,8 @@ object LlmQueries extends QueryModule {
     "q69_stopword_filter" -> sqlQuery(docs, stopwordSql),
     "q76_quantized_ann" -> sqlQuery(embs, quantizedAnnSql),
     "q78_sequence_packing" -> sqlQuery(docs, packingSql),
-    "q79_bigram_lm" -> sqlQuery(docs, bigramLmSql))
+    "q79_bigram_lm" -> sqlQuery(docs, bigramLmSql),
+    "q85_ann_recall" -> sqlQuery(embs, annRecallSql))
 
   override val oracles: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -1727,5 +1846,6 @@ object LlmQueries extends QueryModule {
     "q69_stopword_filter" -> stopwordOracle,
     "q76_quantized_ann" -> quantizedAnnOracle,
     "q78_sequence_packing" -> packingOracle,
-    "q79_bigram_lm" -> bigramLmOracle)
+    "q79_bigram_lm" -> bigramLmOracle,
+    "q85_ann_recall" -> annRecallOracle)
 }
