@@ -581,6 +581,68 @@ object KqlCompiler {
           sepBy1(() => { val n = ident(); expect("="); (n, expr()) })
             .foldLeft(df) { case (d, (n, e)) => d.withColumn(n, e(d)) }
         else df
+      case "evaluate" =>
+        // Kusto plugin surface. Supported plugins:
+        //  - pivot(pivotCol, agg(col) [, out1, out2, …]) — Kusto's pivot
+        //    plugin; WITH explicit output columns the value list never
+        //    needs a data scan (Spark pivot with values = one agg, no
+        //    driver-side distinct — the only scale-safe form at 100 TB;
+        //    without them Spark runs a bounded distinct job first).
+        //  - funnel(keyCol, tsCol, stepCol, 'step1', …) — engine
+        //    extension exposing [[graft.ops.Funnel]] (the shape of
+        //    Kusto's funnel_sequence_completion plugin).
+        val plugin = ident()
+        expect("(")
+        plugin match {
+          case "pivot" =>
+            val pcol = ident()
+            expect(",")
+            val fn = ident(); expect("(")
+            val argCol = if (peekIs(")")) None else Some(ident())
+            expect(")")
+            val aggC = (fn, argCol) match {
+              case ("count", None) => count(lit(1))
+              case ("sum", Some(c)) => sum(col(c))
+              case ("avg", Some(c)) => avg(col(c))
+              case ("min", Some(c)) => min(col(c))
+              case ("max", Some(c)) => max(col(c))
+              case ("dcount", Some(c)) => countDistinct(col(c))
+              case _ => throw new KqlParseException(
+                s"evaluate pivot supports count()/sum(c)/avg(c)/min(c)/max(c)/dcount(c), got '$fn'")
+            }
+            val outs = List.newBuilder[String]
+            while (peekIs(",")) {
+              expect(",")
+              val t = next()
+              if (t.kind != "str") throw new KqlParseException("pivot output columns must be string literals")
+              outs += t.text
+            }
+            expect(")")
+            // Kusto groups by every column not consumed by the pivot
+            val keys = df.columns.filterNot(c => c == pcol || argCol.contains(c))
+            val grouped = df.groupBy(keys.map(col): _*)
+            val piv = outs.result() match {
+              case Nil => grouped.pivot(pcol)
+              case vs => grouped.pivot(pcol, vs)
+            }
+            piv.agg(aggC)
+          case "funnel" =>
+            val k = ident(); expect(",")
+            val ts = ident(); expect(",")
+            val st = ident()
+            val steps = List.newBuilder[String]
+            while (peekIs(",")) {
+              expect(",")
+              val t = next()
+              if (t.kind != "str") throw new KqlParseException("funnel steps must be string literals")
+              steps += t.text
+            }
+            expect(")")
+            val ss = steps.result()
+            if (ss.isEmpty) throw new KqlParseException("funnel needs at least one step literal")
+            graft.ops.Funnel.earliest(df, col(k), col(ts), col(st), ss)
+          case other => throw new KqlParseException(s"unsupported evaluate plugin '$other'")
+        }
       case "take" | "limit" => df.limit(number())
       case "distinct" =>
         if (peek.isEmpty || peekIs("|")) df.distinct()
@@ -1303,14 +1365,33 @@ object KqlCompiler {
         val parts = sepBy1(() => expr()); expect(")")
         return df => concat_ws(d.text, parts.map(_(df)): _*)
       }
-      if (name == "trim") {
-        // Kusto trim(regex, source): strip leading+trailing matches
+      if (name == "trim" || name == "trim_start" || name == "trim_end") {
+        // Kusto trim/trim_start/trim_end(regex, source): strip leading
+        // and/or trailing matches
         val r = next()
-        if (r.kind != "str") throw new KqlParseException("trim() regex must be a string literal")
+        if (r.kind != "str") throw new KqlParseException(s"$name() regex must be a string literal")
         expect(",")
         val e = expr(); expect(")")
-        val pat = s"^(${r.text})+|(${r.text})+$$"
+        val pat = name match {
+          case "trim_start" => s"^(${r.text})+"
+          case "trim_end" => s"(${r.text})+$$"
+          case _ => s"^(${r.text})+|(${r.text})+$$"
+        }
         return df => regexp_replace(e(df), pat, "")
+      }
+      if (name == "translate") {
+        // Kusto translate(searchList, replacementList, source) — note
+        // the source-LAST argument order. The character lists must be
+        // literals (Spark's codegen'd translate takes literal maps, and
+        // Kusto usage is literal in practice).
+        val search = next()
+        if (search.kind != "str") throw new KqlParseException("translate() search list must be a string literal")
+        expect(",")
+        val repl = next()
+        if (repl.kind != "str") throw new KqlParseException("translate() replacement list must be a string literal")
+        expect(",")
+        val e = expr(); expect(")")
+        return df => translate(e(df), search.text, repl.text)
       }
       val args: List[ColB] =
         if (peekIs(")")) { expect(")"); Nil }
@@ -1429,6 +1510,14 @@ object KqlCompiler {
         case "abs" => arity(1); df => abs(args.head(df))
         case "isnull" => arity(1); df => args.head(df).isNull
         case "isnotnull" => arity(1); df => args.head(df).isNotNull
+        // Kusto strcmp: -1/0/1 three-way binary-collation compare
+        case "strcmp" => arity(2); df =>
+          when(args(0)(df) < args(1)(df), lit(-1L))
+            .when(args(0)(df) > args(1)(df), lit(1L))
+            .otherwise(lit(0L))
+        // Kusto hash(): xxhash64 (documented engine choice; Kusto's own
+        // hash is also a 64-bit xx-family hash, values differ by seed)
+        case "hash" => arity(1); df => xxhash64(args.head(df))
         case "isempty" => arity(1); df => args.head(df).isNull || length(args.head(df)) === 0
         case "isnotempty" => arity(1); df => args.head(df).isNotNull && length(args.head(df)) > 0
         case "coalesce" => df => coalesce(args.map(_(df)): _*)

@@ -325,6 +325,44 @@ object KqlQueries extends QueryModule {
           | | order by event_id asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // Scalar ring 4: strcmp (three-way binary compare), translate
+    // (char-map, Kusto source-LAST order), trim_start/trim_end (regex
+    // edge trims), hash (xxhash64) gated through dcount so the oracle
+    // compares CARDINALITY, not engine-specific hash values.
+    "q86_kql_text_scalar4" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | extend sc = strcmp(event_type, 'purchase'),
+          |          tr = translate('cku', 'CKU', event_type),
+          |          t1 = trim_start('e', event_type),
+          |          t2 = trim_end('w', event_type)
+          | | summarize n = count(), dh = dcount(hash(props)) by sc, tr, t1, t2
+          | | order by tr asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // evaluate pivot — Kusto's pivot plugin with EXPLICIT output columns
+    // (one hash agg, no driver-side distinct: the scale-safe form).
+    "q87_kql_text_pivot" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | extend b = tolong(value / 25)
+          | | project b, event_type, value
+          | | evaluate pivot(event_type, sum(value), 'click', 'purchase', 'signup', 'error', 'view')
+          | | extend click = round(click, 6), purchase = round(purchase, 6), signup = round(signup, 6), error = round(error, 6), view = round(view, 6)
+          | | order by b asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // evaluate funnel — the ops.Funnel sequence matcher from KQL text
+    // (the funnel_sequence_completion plugin shape).
+    "q88_kql_text_funnel" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | evaluate funnel(user_id, ts, event_type, 'view', 'click', 'purchase')
+          | | where converted
+          | | project k, t3
+          | | order by k asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // series functions over make-series output: element-wise arithmetic
     // (series_multiply/series_add — map-only array lambdas) and the
     // series_stats multi-assign extend. Array columns serialize via
@@ -554,6 +592,41 @@ object KqlQueries extends QueryModule {
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cs
            FROM events WHERE event_type = 'purchase')
          SELECT event_id, cs FROM p WHERE cs <= 1000.0 ORDER BY event_id""",
+
+    "q87_kql_text_pivot" ->
+      """WITH base AS (
+           SELECT floor(value / 25)::BIGINT AS b, event_type, value FROM events)
+         SELECT b,
+                round(sum(CASE WHEN event_type = 'click' THEN value END), 6) AS click,
+                round(sum(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase,
+                round(sum(CASE WHEN event_type = 'signup' THEN value END), 6) AS signup,
+                round(sum(CASE WHEN event_type = 'error' THEN value END), 6) AS error,
+                round(sum(CASE WHEN event_type = 'view' THEN value END), 6) AS view
+         FROM base GROUP BY b ORDER BY b""",
+
+    "q88_kql_text_funnel" ->
+      """WITH s1 AS (
+           SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (
+           SELECT e.user_id, min(e.ts) AS t2
+           FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+         s3 AS (
+           SELECT e.user_id, min(e.ts) AS t3
+           FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+         SELECT user_id AS k, t3 FROM s3 ORDER BY k""",
+
+    "q86_kql_text_scalar4" ->
+      """SELECT (CASE WHEN event_type < 'purchase' THEN -1
+                      WHEN event_type > 'purchase' THEN 1 ELSE 0 END)::BIGINT AS sc,
+                translate(event_type, 'cku', 'CKU') AS tr,
+                regexp_replace(event_type, '^(e)+', '') AS t1,
+                regexp_replace(event_type, '(w)+$', '') AS t2,
+                count(*) AS n,
+                count(DISTINCT props) AS dh
+         FROM events GROUP BY 1, 2, 3, 4 ORDER BY tr""",
 
     "q83_kql_text_series" ->
       """WITH bins AS (SELECT i FROM unnest(range(0, 12)) AS t(i)),

@@ -517,6 +517,50 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!(1.0 / cst.getDouble(8)).isNegInfinity, "variance must not be -0.0")
   }
 
+  test("evaluate pivot and evaluate funnel plugins") {
+    import spark.implicits._
+    // pivot with explicit output columns: no distinct scan, stable schema
+    val p = run("""t | project name, value
+                   | evaluate pivot(name, sum(value), 'alpha', 'beta', 'gamma')""").head()
+    assert(p.schema.fieldNames.toSeq == Seq("alpha", "beta", "gamma"))
+    assert(p.getDouble(0) == 105.0 && p.getDouble(1) == 125.0 && p.getDouble(2) == 20.0)
+    // pivot keeps the non-consumed columns as group keys
+    val pk = run("""t | extend parity = id % 2 | project parity, name
+                    | evaluate pivot(name, count(), 'alpha', 'beta')
+                    | order by parity asc""").collect()
+    assert(pk.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    // funnel: sequence matching over an ordered step list
+    val ev = Seq(
+      (1L, 10L, "a"), (1L, 20L, "b"), (2L, 10L, "b"), (2L, 20L, "a"))
+      .map { case (u, t, e) => (u, new java.sql.Timestamp(t * 1000), e) }
+      .toDF("uid", "ts", "step")
+    val f = KqlCompiler.compile(
+      "e | evaluate funnel(uid, ts, step, 'a', 'b') | order by k asc", _ => ev).collect()
+    assert(f.map(r => (r.getLong(0), r.getBoolean(3))).toSeq ==
+      Seq((1L, true), (2L, false))) // user 2's 'b' precedes its 'a'
+    // unknown plugin is loud
+    assert(intercept[KqlParseException](run("t | evaluate mystery(id)"))
+      .getMessage.contains("unsupported evaluate plugin"))
+  }
+
+  test("scalar ring 4: strcmp, translate, trim_start/trim_end, hash") {
+    val r = run("""t | where id == 1 | project a = strcmp(name, 'alpha'), b = strcmp(name, 'beta'),
+                     c = strcmp('zeta', name), d = translate('ah', 'AH', name),
+                     e = trim_start('a', name), f = trim_end('a', name),
+                     g = trim_start('(al)', name)""").head()
+    assert(r.getLong(0) == 0L && r.getLong(1) == -1L && r.getLong(2) == 1L)
+    assert(r.getString(3) == "AlpHA")   // a→A, h→H in 'alpha'
+    assert(r.getString(4) == "lpha")    // leading 'a' stripped
+    assert(r.getString(5) == "alph")    // trailing 'a' stripped
+    assert(r.getString(6) == "pha")     // repeated leading group: 'al' once here
+    // hash: deterministic xxhash64, distinct across distinct inputs
+    val h = run("t | summarize n = dcount(hash(name)), m = dcount(name)").head()
+    assert(h.getLong(0) == h.getLong(1), "hash must be injective on this tiny domain")
+    val h2 = run("t | where id == 1 | project x = hash(name)").head()
+    val h3 = run("t | where id == 3 | project x = hash(name)").head()
+    assert(h2.getLong(0) == h3.getLong(0), "equal inputs hash equal (both 'alpha')")
+  }
+
   test("tostring: scalars cast, arrays/dynamic serialize to canonical JSON text") {
     // scalar: plain string cast (unchanged semantics)
     val s = run("t | where id == 1 | project a = tostring(value), b = tostring(id)").head()
