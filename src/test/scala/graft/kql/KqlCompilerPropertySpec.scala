@@ -97,6 +97,14 @@ class KqlCompilerPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     ("extend s0 = tostring(value) | where strlen(s0) > 0 | project-away s0",
       df => df.withColumn("s0", col("value").cast("string"))
         .filter(length(col("s0")) > 0).drop("s0")),
+    ("where strcmp(name, 'beta') != 0",
+      df => df.filter(when(col("name") < "beta", lit(-1L))
+        .when(col("name") > "beta", lit(1L)).otherwise(lit(0L)) =!= 0)),
+    ("where strlen(trim_start('e', status)) >= 2",
+      df => df.filter(length(regexp_replace(col("status"), "^(e)+", "")) >= 2)),
+    ("where translate('aeiou', 'AEIOU', name) contains 'A' or value >= 50",
+      df => df.filter(lower(translate(col("name"), "aeiou", "AEIOU")).contains("a") ||
+        col("value") >= 50)),
     ("mv-apply c = split(status, '-') on ( where strlen(c) >= 3 | summarize zz = count() ) | where zz >= 1 | project-away zz",
       df => df.withColumn("zz",
           size(filter(split(col("status"), java.util.regex.Pattern.quote("-")),

@@ -181,6 +181,15 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bnl <= 1, s"unexpected nested-loop joins ($bnl) beyond the scalar broadcast")
   }
 
+  test("q87 pivot: explicit value list = ONE hash aggregate pass, no extra scan") {
+    val p = plan("q87_kql_text_pivot")
+    // pivot with explicit output columns must not run a distinct job or
+    // join; a second scan of events would betray a value-discovery pass
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans <= 1, s"pivot must scan events once, found $scans scans")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("q84 funnel: step windows share one shuffle — never join-based") {
     val p = plan("q84_funnel")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
