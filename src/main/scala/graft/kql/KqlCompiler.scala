@@ -678,6 +678,42 @@ object KqlCompiler {
       case "union" =>
         // KQL union merges by column NAME, filling missing with null
         df.unionByName(subquery(), allowMissingColumns = true)
+      case "as" =>
+        // `| as name` — bind the pipeline-so-far to a name usable later
+        // in this query (Kusto's mid-pipeline binding). Pure plan
+        // aliasing: nothing materializes.
+        lets(ident()) = df
+        df
+      case "partition" =>
+        // `partition by Key ( top N by Col [asc|desc] )` — Kusto's
+        // per-partition subquery, restricted to the top-k form (its
+        // dominant dashboard use). Lowers to ONE window row_number
+        // partitioned by the key — no per-value subplans, no N² plans:
+        // the only form that survives high-cardinality keys at scale.
+        expect("by")
+        val pkey = ident()
+        expect("(")
+        expect("top")
+        val n = number(); expect("by")
+        val ord = expr()
+        val asc = if (peekIs("asc")) { expect("asc"); true }
+                  else { if (peekIs("desc")) expect("desc"); false }
+        expect(")")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col(pkey))
+          .orderBy(if (asc) ord(df).asc else ord(df).desc)
+        df.withColumn("__prn", row_number().over(w))
+          .where(col("__prn") <= n).drop("__prn")
+      case "search" =>
+        // `search 'term'` — case-insensitive substring match across ALL
+        // string columns of the current table (Kusto's grep). One scan,
+        // an OR of codegen'd contains probes; no regex unless the term
+        // needs one.
+        val t = next()
+        if (t.kind != "str") throw new KqlParseException("search expects a string literal")
+        import org.apache.spark.sql.types.StringType
+        val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
+        if (strCols.isEmpty) throw new KqlParseException("search: table has no string columns")
+        df.filter(strCols.map(c => lower(col(c)).contains(t.text.toLowerCase)).reduce(_ || _))
       case "lookup" =>
         // `lookup [kind=leftouter|inner] (dim) on keys` — join against a
         // DIMENSION table: same key semantics as join, but the right side

@@ -1511,6 +1511,41 @@ object LlmQueries extends QueryModule {
            (off - (off // 2048) * 2048)::BIGINT AS pack_offset
     FROM w ORDER BY doc_id"""
 
+  // -------------------------------------------- stratified split audit
+
+  /** q89 — deterministic stratified train/val/test split (90/5/5 by a
+    * content-stable hash bucket, stratified per source): every training
+    * pipeline's first materialization step. The split is a pure
+    * projection of the row (md5 of the content), so re-runs, backfills,
+    * and different cluster sizes all assign the SAME documents to the
+    * same split — no rand()/seed state anywhere. Audit output: per
+    * (source, split) counts + observed rate. Map-only + one hash agg. */
+  private val splitSql = """
+    WITH b AS (
+      SELECT doc_id, source,
+             cast(conv(substr(md5(text), 1, 8), 16, 10) AS bigint) % 100 AS bucket
+      FROM documents),
+    a AS (
+      SELECT doc_id, source,
+             CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+      FROM b)
+    SELECT source, split, count(1) AS n, min(doc_id) AS first_doc,
+           round(count(1) / cast(sum(count(1)) OVER (PARTITION BY source) AS double), 6) AS rate
+    FROM a GROUP BY source, split ORDER BY source, split"""
+
+  private val splitOracle = """
+    WITH b AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS bucket
+      FROM documents),
+    a AS (
+      SELECT doc_id, source,
+             CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+      FROM b)
+    SELECT source, split, count(1)::BIGINT AS n, min(doc_id) AS first_doc,
+           round(count(1) / sum(count(1)) OVER (PARTITION BY source), 6) AS rate
+    FROM a GROUP BY source, split ORDER BY source, split"""
+
   // ------------------------------------------------- ANN recall audit
 
   /** q85 — ANN recall audit: recall@10 of the IVF candidate search
@@ -1628,6 +1663,73 @@ object LlmQueries extends QueryModule {
     SELECT b.qid, count(i.vec_id)::DOUBLE / 10.0 AS recall_at_10
     FROM bf b LEFT JOIN ivf i ON b.qid = i.qid AND b.vec_id = i.vec_id
     GROUP BY b.qid ORDER BY b.qid"""
+
+  // --------------------------------------------- Matryoshka-prefix ANN
+
+  /** q90 — two-pass ANN over nested ("Matryoshka") embedding prefixes:
+    * a coarse pass scores only the FIRST 16 of 64 dimensions (4× less
+    * data through the hot loop — with MRL-trained embeddings the prefix
+    * is itself a valid low-dim embedding), keeps top-50 candidates per
+    * query, then re-ranks exactly on all 64 dims. Same scale story as
+    * the int8 pass (q76) on the orthogonal axis: q76 shrinks precision,
+    * this shrinks dimensionality; production stacks compose both. The
+    * query set is broadcast; the coarse pass is the only corpus-wide
+    * scan, and full-precision vectors are touched only for the ≤50-row
+    * candidate short list per query. */
+  private val matryoshkaAnnSql = """
+    WITH v AS (SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS e FROM embeddings),
+    vc AS (
+      SELECT vec_id, e, sqrt(dot_d(e, e)) AS nrm,
+             slice(e, 1, 16) AS e16
+      FROM v),
+    vn AS (SELECT vec_id, e, nrm, e16, sqrt(dot_d(e16, e16)) AS nrm16 FROM vc),
+    q AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm, e16 AS q16, nrm16 AS qnrm16
+          FROM vn WHERE vec_id % 100 = 0),
+    coarse AS (
+      SELECT /*+ BROADCAST(q) */ q.qid, vn.vec_id, vn.e, vn.nrm, q.qe, q.qnrm,
+             dot_d(q.q16, vn.e16) / (q.qnrm16 * vn.nrm16) AS csim
+      FROM q JOIN vn ON vn.vec_id <> q.qid),
+    cand AS (
+      SELECT qid, vec_id, e, nrm, qe, qnrm FROM (
+        SELECT qid, vec_id, e, nrm, qe, qnrm,
+               row_number() OVER (PARTITION BY qid ORDER BY csim DESC, vec_id) AS crk
+        FROM coarse) WHERE crk <= 50),
+    exact AS (
+      SELECT qid, vec_id, dot_d(qe, e) / (qnrm * nrm) AS sim FROM cand)
+    SELECT qid, vec_id, round(sim, 6) AS sim, rank FROM (
+      SELECT qid, vec_id, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+      FROM exact) WHERE rank <= 15 ORDER BY qid, rank"""
+
+  private val matryoshkaAnnOracle = """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    vn AS (
+      SELECT vec_id, e,
+             sqrt(list_reduce(list_transform(e, x -> x * x), (s, x) -> s + x)) AS nrm,
+             e[1:16] AS e16,
+             sqrt(list_reduce(list_transform(e[1:16], x -> x * x), (s, x) -> s + x)) AS nrm16
+      FROM v),
+    q AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm, e16 AS q16, nrm16 AS qnrm16
+          FROM vn WHERE vec_id % 100 = 0),
+    coarse AS (
+      SELECT q.qid, vn.vec_id, vn.e, vn.nrm, q.qe, q.qnrm,
+             list_reduce(list_transform(range(16), i -> q.q16[i+1] * vn.e16[i+1]), (s, x) -> s + x)
+               / (q.qnrm16 * vn.nrm16) AS csim
+      FROM q CROSS JOIN vn WHERE vn.vec_id <> q.qid),
+    cand AS (
+      SELECT qid, vec_id, e, nrm, qe, qnrm FROM (
+        SELECT qid, vec_id, e, nrm, qe, qnrm,
+               row_number() OVER (PARTITION BY qid ORDER BY csim DESC, vec_id) AS crk
+        FROM coarse) WHERE crk <= 50),
+    exact AS (
+      SELECT qid, vec_id,
+             list_reduce(list_transform(range(64), i -> qe[i+1] * e[i+1]), (s, x) -> s + x)
+               / (qnrm * nrm) AS sim
+      FROM cand)
+    SELECT qid, vec_id, round(sim, 6) AS sim, rank FROM (
+      SELECT qid, vec_id, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+      FROM exact) WHERE rank <= 15 ORDER BY qid, rank"""
 
   // -------------------------------------------------- bigram LM scoring
 
@@ -1811,7 +1913,9 @@ object LlmQueries extends QueryModule {
     "q76_quantized_ann" -> sqlQuery(embs, quantizedAnnSql),
     "q78_sequence_packing" -> sqlQuery(docs, packingSql),
     "q79_bigram_lm" -> sqlQuery(docs, bigramLmSql),
-    "q85_ann_recall" -> sqlQuery(embs, annRecallSql))
+    "q85_ann_recall" -> sqlQuery(embs, annRecallSql),
+    "q89_train_split" -> sqlQuery(docs, splitSql),
+    "q90_matryoshka_ann" -> sqlQuery(embs, matryoshkaAnnSql))
 
   override val oracles: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -1847,5 +1951,7 @@ object LlmQueries extends QueryModule {
     "q76_quantized_ann" -> quantizedAnnOracle,
     "q78_sequence_packing" -> packingOracle,
     "q79_bigram_lm" -> bigramLmOracle,
-    "q85_ann_recall" -> annRecallOracle)
+    "q85_ann_recall" -> annRecallOracle,
+    "q89_train_split" -> splitOracle,
+    "q90_matryoshka_ann" -> matryoshkaAnnOracle)
 }

@@ -517,6 +517,25 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!(1.0 / cst.getDouble(8)).isNegInfinity, "variance must not be -0.0")
   }
 
+  test("as binding, partition-by top-k, search across string columns") {
+    // `as` binds mid-pipeline; the bound name joins back later
+    val a = run("""t | where value >= 50 | as big
+                   | summarize n = count()""").head()
+    assert(a.getLong(0) == 3)
+    val a2 = run("""t | where value >= 50 | as big | count | extend tag = 'x'
+                    | join kind=inner (big | summarize m = max(value) | extend tag = 'x') on tag
+                    | project Count, m""").head()
+    assert(a2.getLong(0) == 3 && a2.getDouble(1) == 95.0)
+    // partition by: per-key top-k via ONE window (no per-value subplans)
+    val p = run("""t | partition by name ( top 1 by value ) | order by name asc""").collect()
+    assert(p.map(r => (r.getString(1), r.getDouble(2))).toSeq ==
+      Seq(("alpha", 95.0), ("beta", 70.0), ("gamma", 20.0)))
+    // search: case-insensitive substring across all string columns
+    assert(run("t | search 'TIMEOUT'").count() == 1)   // status err-timeout
+    assert(run("t | search 'alpha'").count() == 2)     // name column
+    assert(run("t | search 'zzz'").count() == 0)
+  }
+
   test("evaluate pivot and evaluate funnel plugins") {
     import spark.implicits._
     // pivot with explicit output columns: no distinct scan, stable schema
