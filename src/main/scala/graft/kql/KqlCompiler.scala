@@ -1572,6 +1572,13 @@ object KqlCompiler {
         // encounter order, which is partition-dependent, as in Kusto
         case "make_set" => arity(1); df => array_sort(collect_set(args.head(df)))
         case "make_list" => arity(1); df => collect_list(args.head(df))
+        // Kusto take_any/any: "an arbitrary row's value". Arbitrary is
+        // non-deterministic across engines and re-runs, so this engine
+        // pins it to MIN — indistinguishable in take_any's intended use
+        // (values constant per group) and deterministic everywhere else.
+        case "take_any" | "any" => arity(1); df => min(args.head(df))
+        // bag_keys over dynamic (JSON text): sorted key array
+        case "bag_keys" => arity(1); df => array_sort(json_object_keys(args.head(df)))
         // conditional aggregates: aggregate only rows passing the predicate
         case "sumif" => arity(2); df => sum(when(args(1)(df), args(0)(df)))
         case "avgif" => arity(2); df => avg(when(args(1)(df), args(0)(df)))

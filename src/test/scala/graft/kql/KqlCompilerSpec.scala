@@ -392,6 +392,31 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.toSeq == Seq((2L, "mid"), (3L, "high")))
   }
 
+  test("compiled KQL windowed aggregate runs on a WATERMARKED stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, Double)]
+    def ts(m: String) = java.sql.Timestamp.from(java.time.Instant.parse(s"2024-03-01T$m:00Z"))
+    // watermark applies on the SOURCE frame; the compiled bin()+summarize
+    // then runs as a standard streaming aggregation in update mode — the
+    // live-dashboard shape (Grafana panel over a stream)
+    val sdf = stream.toDF().toDF("ts", "v").withWatermark("ts", "1 hour")
+    val compiled = KqlCompiler.compile(
+      "s | summarize n = count(), sv = sum(v) by tb = bin(ts, 1h)", _ => sdf)
+    assert(compiled.isStreaming, "compiled aggregate must stay streaming")
+    val q = compiled.writeStream.format("memory")
+      .queryName("kql_win_out").outputMode("update").start()
+    stream.addData((ts("10:10"), 1.0), (ts("10:40"), 2.0), (ts("11:05"), 3.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("kql_win_out").collect()
+      .map(r => (r.getTimestamp(0).toInstant.toString, r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      ("2024-03-01T10:00:00Z", 2L, 3.0),
+      ("2024-03-01T11:00:00Z", 1L, 3.0)))
+  }
+
   test("make-series: gap-filled axis, default fill, keyed and keyless forms") {
     import spark.implicits._
     val fixedNow = java.time.Instant.parse("2024-03-01T12:00:00Z")
@@ -572,6 +597,15 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getString(4) == "lpha")    // leading 'a' stripped
     assert(r.getString(5) == "alph")    // trailing 'a' stripped
     assert(r.getString(6) == "pha")     // repeated leading group: 'al' once here
+    // take_any pins Kusto's "arbitrary value" to MIN (deterministic);
+    // bag_keys over dynamic JSON text yields sorted keys
+    val ta = run("""t | extend j = pack('z', id, 'a', name)
+                    | summarize v = take_any(name), w = any(status) by k = strlen(name)
+                    | order by k asc""").collect()
+    assert(ta.map(_.getString(1)).toSeq == Seq("beta", "alpha")) // min within each group
+    val bk = run("""t | where id == 1 | extend j = pack('z', id, 'a', name)
+                    | project ks = bag_keys(j)""").head()
+    assert(bk.getSeq[String](0) == Seq("a", "z"))
     // hash: deterministic xxhash64, distinct across distinct inputs
     val h = run("t | summarize n = dcount(hash(name)), m = dcount(name)").head()
     assert(h.getLong(0) == h.getLong(1), "hash must be injective on this tiny domain")
