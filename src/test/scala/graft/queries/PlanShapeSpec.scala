@@ -204,6 +204,19 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"), "scoring must stay broadcast-shaped")
   }
 
+  test("blanket sweep: NO CartesianProduct in any of the declared query plans") {
+    // Nested-loop joins are allowed only as BROADCAST nested loops
+    // (query samples, one-row scalars, codebook cross-scores — all
+    // bounded small sides); an unhinted CartesianProduct anywhere is a
+    // scale-killer and fails here regardless of which query regressed.
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val p = SparkEntry.queries(name)(spark, dir).queryExecution
+        .explainString(ExplainMode.fromString("simple"))
+      if (p.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
+  }
+
   test("InferFiltersFromGenerate exclusion is scoped to LLM-query sessions") {
     val excludedKey = "spark.sql.optimizer.excludedRules"
     val rule = "InferFiltersFromGenerate"
