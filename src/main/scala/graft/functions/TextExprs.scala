@@ -27,6 +27,28 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextHash extends Serializable {
 
+  /** Deflate compression ratio (compressed/raw bytes, level 6, raw
+    * stream): the classic corpus-quality signal — highly repetitive text
+    * compresses far below ~0.4, random noise stays near 1. Deflaters are
+    * reused per thread (reset, not reallocated) so the per-row cost is
+    * the deflate itself. Empty input → 1.0. */
+  private val deflaters = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(6, true)
+  }
+  def deflateRatio(s: UTF8String): Double = {
+    val bytes = s.getBytes
+    if (bytes.isEmpty) return 1.0
+    val d = deflaters.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total.toDouble / bytes.length
+  }
+
   private val WS = UTF8String.fromString("\\s+")
   private val md5Local = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
@@ -364,6 +386,20 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints = copy(child = newChild)
 }
 
+/** deflate_ratio(text): zlib-deflate compression ratio in (0, ~1.05] —
+  * the Gopher/RefinedWeb repetitiveness signal. */
+case class DeflateRatio(child: Expression)
+  extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeGuards.requireString("deflate_ratio", child)
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.deflateRatio(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.deflateRatio($c)")
+  override protected def withNewChildInternal(newChild: Expression): DeflateRatio = copy(child = newChild)
+}
+
 /** dot_d(a, b): sequential-fold dot product of two double arrays. */
 case class DotProductD(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -400,6 +436,8 @@ object GraftFunctions {
       exprs => WinnowFingerprints(exprs.head, intLit(exprs(1)), intLit(exprs(2))), "scala_udf")
     reg.createOrReplaceTempFunction("dot_d",
       exprs => DotProductD(exprs.head, exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("deflate_ratio",
+      exprs => DeflateRatio(exprs.head), "scala_udf")
   }
 
   /** minhash_sig is parameterized by the query's lane constants, so it is

@@ -1564,6 +1564,19 @@ object KqlCompiler {
         case "avg" => arity(1); df => avg(args.head(df))
         case "min" => arity(1); df => min(args.head(df))
         case "max" => arity(1); df => max(args.head(df))
+        // dcount(x) is EXACT here (Kusto's is HLL-approximate; exact is
+        // strictly more accurate and oracle-comparable). The 2-arg Kusto
+        // form dcount(x, accuracy 0..4) keeps approximate semantics via
+        // approx_count_distinct at the documented error levels.
+        case "dcount" if args.length == 2 => df => {
+          // Kusto accuracy → expected error: 0→1.6%, 1→0.8%, 2→0.4%,
+          // 3→0.28%, 4→0.2% (maximumRelativeStandardDeviation)
+          val rsd = Seq(0.016, 0.008, 0.004, 0.0028, 0.002)
+          val t = args(1)(df).toString.stripSuffix("L") // long literals print as e.g. "2L"
+          if (!t.matches("\\d") || t.toInt > 4)
+            throw new KqlParseException("dcount accuracy must be a literal 0..4")
+          approx_count_distinct(args.head(df), rsd(t.toInt))
+        }
         case "dcount" => arity(1); df => countDistinct(args.head(df))
         case "stdev" => arity(1); df => stddev_samp(args.head(df))
         case "variance" => arity(1); df => var_samp(args.head(df))

@@ -1511,6 +1511,22 @@ object LlmQueries extends QueryModule {
            (off - (off // 2048) * 2048)::BIGINT AS pack_offset
     FROM w ORDER BY doc_id"""
 
+  // ------------------------------------------ compression-ratio filter
+
+  /** q91 — deflate-compression-ratio quality filter (the Gopher /
+    * RefinedWeb repetitiveness signal): highly repetitive documents
+    * compress far below ~0.4 while diverse text stays high. Map-only —
+    * the deflate runs inside whole-stage codegen via the native
+    * [[graft.functions.DeflateRatio]] expression with per-thread
+    * Deflater reuse. NO DuckDB oracle (DuckDB ships no deflate scalar),
+    * so the driver records the weaker rows-only check; exact semantics
+    * are spec-pinned against java.util.zip directly. */
+  private val compressionSql = """
+    SELECT doc_id,
+           round(deflate_ratio(text), 6) AS zratio,
+           CASE WHEN deflate_ratio(text) < 0.35 THEN 1 ELSE 0 END AS flag_repetitive
+    FROM documents ORDER BY doc_id"""
+
   // -------------------------------------------- stratified split audit
 
   /** q89 — deterministic stratified train/val/test split (90/5/5 by a
@@ -1915,7 +1931,8 @@ object LlmQueries extends QueryModule {
     "q79_bigram_lm" -> sqlQuery(docs, bigramLmSql),
     "q85_ann_recall" -> sqlQuery(embs, annRecallSql),
     "q89_train_split" -> sqlQuery(docs, splitSql),
-    "q90_matryoshka_ann" -> sqlQuery(embs, matryoshkaAnnSql))
+    "q90_matryoshka_ann" -> sqlQuery(embs, matryoshkaAnnSql),
+    "q91_compression_ratio" -> sqlQuery(docs, compressionSql))
 
   override val oracles: Map[String, String] = Map(
     "q21_exact_dedup" ->

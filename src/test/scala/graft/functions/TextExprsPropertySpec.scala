@@ -135,6 +135,31 @@ class TextExprsPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad.isEmpty, s"dot_d divergence on ids ${bad.take(5).mkString(", ")}")
   }
 
+  test("deflate_ratio ≡ direct java.util.zip deflate, and orders repetitive < diverse") {
+    corpusView()
+    // exact parity with a direct Deflater run on the same UTF-8 bytes
+    def direct(s: String): Double = {
+      val bytes = s.getBytes("UTF-8")
+      if (bytes.isEmpty) return 1.0
+      val d = new java.util.zip.Deflater(6, true)
+      d.setInput(bytes); d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      d.end()
+      total.toDouble / bytes.length
+    }
+    val got = spark.sql("SELECT id, deflate_ratio(text) AS r FROM corpus")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    corpus.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == direct(t), s"deflate_ratio divergence on id $i")
+    }
+    // the quality-signal property: repetition compresses, noise does not
+    val rep = direct("spam spam spam spam spam spam spam spam spam spam spam spam")
+    val div = direct("quick brown foxes jumped over sixteen lazy unrelated words z9")
+    assert(rep < 0.4 && rep < div, s"repetitive $rep must compress below diverse $div")
+  }
+
   test("type guards: decimal/int arrays and non-string inputs fail at analysis") {
     LlmQueries.registerFunctions(spark)
     val ex = intercept[AnalysisException] {

@@ -606,6 +606,12 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     val bk = run("""t | where id == 1 | extend j = pack('z', id, 'a', name)
                     | project ks = bag_keys(j)""").head()
     assert(bk.getSeq[String](0) == Seq("a", "z"))
+    // dcount(x, accuracy): Kusto's approximate form — tiny domains are
+    // exact at every accuracy level; out-of-range levels are loud
+    val da = run("t | summarize a0 = dcount(name, 0), a4 = dcount(name, 4)").head()
+    assert(da.getLong(0) == 3L && da.getLong(1) == 3L)
+    assert(intercept[KqlParseException](run("t | summarize a = dcount(name, 9)"))
+      .getMessage.contains("0..4"))
     // hash: deterministic xxhash64, distinct across distinct inputs
     val h = run("t | summarize n = dcount(hash(name)), m = dcount(name)").head()
     assert(h.getLong(0) == h.getLong(1), "hash must be injective on this tiny domain")
