@@ -178,14 +178,38 @@ object KqlCompiler {
     private def resolveName(n: String): DataFrame = lets.getOrElse(n, resolve(n))
 
     /** `let name = <pipeline>; … <pipeline>` — bindings compile eagerly
-      * (they are plans, not data; nothing executes until an action). */
+      * (they are plans, not data; nothing executes until an action).
+      * `let name = materialize(<pipeline>);` additionally persists the
+      * bound plan (MEMORY_AND_DISK), exactly Kusto's materialize(): a
+      * binding referenced N times evaluates once instead of N times —
+      * without it Spark recomputes the whole subplan per reference.
+      * `let name = toscalar(<pipeline>);` evaluates the subquery to its
+      * single top-left value at COMPILE time and binds a constant — the
+      * Kusto scalar-from-query form. This is the one deliberate driver-
+      * side evaluation in the compiler: toscalar() is BY DEFINITION a
+      * scalar the rest of the plan needs as a literal (thresholds,
+      * counts); the subquery itself still runs distributed. */
     def statements(): DataFrame = {
       while (peekIs("let")) {
         expect("let"); val n = ident(); expect("=")
-        lets(n) = pipeline(); expect(";")
+        if (peekIs("materialize")) {
+          expect("materialize"); expect("(")
+          val d = pipeline(); expect(")")
+          lets(n) = d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        } else if (peekIs("toscalar")) {
+          expect("toscalar"); expect("(")
+          val d = pipeline(); expect(")")
+          val row = d.head() // one-row driver fetch: the defined semantics of toscalar()
+          if (row.isNullAt(0)) throw new KqlParseException("toscalar() evaluated to null")
+          scalarLets(n) = row.get(0)
+        } else lets(n) = pipeline()
+        expect(";")
       }
       pipeline()
     }
+
+    /** toscalar() bindings: name → evaluated constant. */
+    private val scalarLets = scala.collection.mutable.Map.empty[String, Any]
 
     def pipeline(): DataFrame = {
       var df = source()
@@ -676,8 +700,29 @@ object KqlCompiler {
         val keys = sepBy1(() => ident())
         df.join(right, keys, sparkKind)
       case "union" =>
-        // KQL union merges by column NAME, filling missing with null
-        df.unionByName(subquery(), allowMissingColumns = true)
+        // `union [withsource=Col] T1 [, T2 …]` — KQL union merges by
+        // column NAME, filling missing with null; withsource labels each
+        // row with the table/subquery it came from (the left pipeline is
+        // labeled with its table name only when it is a bare name —
+        // Kusto calls anonymous inputs 'union').
+        val withSource =
+          if (peekIs("withsource")) {
+            expect("withsource"); expect("=")
+            Some(ident())
+          } else None
+        final case class Part(name: String, d: DataFrame)
+        def part(): Part =
+          if (peekIs("(")) Part("union", subquery())
+          else { val n = ident(); Part(n, resolveName(n)) }
+        val parts = sepBy1(() => part())
+        withSource match {
+          case None =>
+            parts.map(_.d).foldLeft(df)(_.unionByName(_, allowMissingColumns = true))
+          case Some(srcCol) =>
+            val left = df.withColumn(srcCol, lit("union"))
+            parts.map(p => p.d.withColumn(srcCol, lit(p.name)))
+              .foldLeft(left)(_.unionByName(_, allowMissingColumns = true))
+        }
       case "as" =>
         // `| as name` — bind the pipeline-so-far to a name usable later
         // in this query (Kusto's mid-pipeline binding). Pure plan
@@ -1070,7 +1115,8 @@ object KqlCompiler {
         case "id" => t.text match {
           case "true"  => _ => lit(true)
           case "false" => _ => lit(false)
-          case name    => df => elemBinds.getOrElse(name, df(name))
+          case name    => df => elemBinds.getOrElse(name,
+            scalarLets.get(name).map(lit(_)).getOrElse(df(name)))
         }
         case "sym" if t.text == "(" => val e = expr(); expect(")"); e
         case _ => throw new KqlParseException(s"unexpected token '${t.text}'")

@@ -542,6 +542,29 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!(1.0 / cst.getDouble(8)).isNegInfinity, "variance must not be -0.0")
   }
 
+  test("materialize/toscalar let bindings, multi-table union withsource") {
+    import spark.implicits._
+    // materialize: the bound plan persists, so N references = 1 evaluation
+    val m = run("""let cached = materialize(t | where value >= 50);
+                   cached | summarize a = count() | extend tag = 'x'
+                   | join kind=inner (cached | summarize b = max(value) | extend tag = 'x') on tag
+                   | project a, b""").head()
+    assert(m.getLong(0) == 3 && m.getDouble(1) == 95.0)
+    // toscalar: compile-time scalar from a subquery, usable in predicates
+    val ts = run("""let hi = toscalar(t | summarize max(value));
+                    t | where value == hi | project id""").collect()
+    assert(ts.map(_.getLong(0)).toSeq == Seq(3L))
+    // union withsource over multiple named tables
+    val u = Seq((10L, "u")).toDF("id", "extra")
+    val resolve2: String => org.apache.spark.sql.DataFrame =
+      { case "t" => df; case "other" => u }
+    val uni = KqlCompiler.compile(
+      "t | project id | union withsource=src other | summarize n = count() by src | order by src asc",
+      resolve2).collect()
+    assert(uni.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("other", 1L), ("union", 5L)))
+  }
+
   test("as binding, partition-by top-k, search across string columns") {
     // `as` binds mid-pipeline; the bound name joins back later
     val a = run("""t | where value >= 50 | as big
