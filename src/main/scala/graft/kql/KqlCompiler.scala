@@ -102,6 +102,23 @@ object KqlCompiler {
   def compile(spark: org.apache.spark.sql.SparkSession, kql: String): DataFrame =
     compile(kql, spark.table(_), java.time.Instant.now(), spark)
 
+  /** Compile a query that may end in a multi-result operator (`fork`,
+    * `facet by`), returning every named result table in encounter order —
+    * Kusto's multiple-result-set contract, which a single DataFrame can't
+    * carry. Fork legs come back under their given (or `fork_N`) names,
+    * facet tables under their column names (+ `facet_with` for the
+    * optional `with` leg). A query with no multi-result operator returns
+    * one entry, `"result"`. */
+  def compileMulti(kql: String, resolve: String => DataFrame,
+                   now: java.time.Instant = java.time.Instant.now(),
+                   spark: Option[org.apache.spark.sql.SparkSession] = None)
+      : Seq[(String, DataFrame)] = {
+    val p = new Parser(Lexer.tokens(kql), resolve, now, spark)
+    val df = p.statements()
+    p.expectEnd()
+    if (p.multiOut.isEmpty) Seq("result" -> df) else p.multiOut.toSeq
+  }
+
   // ------------------------------------------------------------- lexer
 
   private final case class Tok(kind: String, text: String) // kind: id|num|str|sym
@@ -210,6 +227,10 @@ object KqlCompiler {
 
     /** toscalar() bindings: name → evaluated constant. */
     private val scalarLets = scala.collection.mutable.Map.empty[String, Any]
+
+    /** Named side outputs produced by multi-result operators (`fork`
+      * legs, `facet` per-column tables) in encounter order. */
+    val multiOut = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
 
     def pipeline(): DataFrame = {
       var df = source()
@@ -889,6 +910,62 @@ object KqlCompiler {
             case other => throw new KqlParseException(s"unsupported parse type '$other'")
           })
         }
+      case "fork" =>
+        // `| fork [name =] (op | op …) [name =] (…) …` — Kusto's fan-out:
+        // every leg re-applies its operator chain to the SAME input plan.
+        // Kusto returns one result table per leg; the single-DataFrame
+        // pipeline form merges the legs with unionByName(allowMissing)
+        // plus a `fork_source` label column, while compileMulti exposes
+        // each leg as its own DataFrame. Scale: the input is ONE shared
+        // subplan referenced N times — wrap it in a materialize() let
+        // binding when the legs are expensive, otherwise Spark re-runs
+        // the common prefix per leg (exactly Kusto's guidance for fork).
+        val legs = List.newBuilder[(String, DataFrame)]
+        var legIdx = 0
+        def atLeg: Boolean = peekIs("(") ||
+          (peek.exists(_.kind == "id") &&
+           toks.lift(pos + 1).exists(t => t.text == "=" && t.kind == "sym"))
+        if (!atLeg) throw new KqlParseException("fork needs at least one (sub-pipeline) leg")
+        while (atLeg) {
+          legIdx += 1
+          val name =
+            if (!peekIs("(")) { val n = ident(); expect("="); n } else s"fork_$legIdx"
+          expect("(")
+          var d = df
+          var more = true
+          while (more) { d = pipeOp(d); if (peekIs("|")) expect("|") else more = false }
+          expect(")")
+          legs += ((name, d))
+        }
+        val built = legs.result()
+        multiOut ++= built
+        built.map { case (n, d) => d.withColumn("fork_source", lit(n)) }
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+      case "facet" =>
+        // `| facet by c1, c2 [with (op | op …)]` — one table per facet
+        // column holding its distinct values + counts (each a partial+
+        // final hash aggregate, no sort); the optional `with` leg is the
+        // input run through the given operators. compileMulti returns the
+        // typed per-column tables (named after the column, Kusto-style);
+        // the pipeline form merges them as (facet_column, value, count_)
+        // with values cast to string so the union is well-typed.
+        expect("by")
+        val fcols = sepBy1(() => ident())
+        val withLeg =
+          if (peekIs("with")) {
+            expect("with"); expect("(")
+            var d = df
+            var more = true
+            while (more) { d = pipeOp(d); if (peekIs("|")) expect("|") else more = false }
+            expect(")")
+            Some(d)
+          } else None
+        val tables = fcols.map(c => c -> df.groupBy(col(c)).agg(count(lit(1)).as("count_")))
+        multiOut ++= tables
+        withLeg.foreach(d => multiOut += (("facet_with", d)))
+        tables.map { case (c, t) =>
+          t.select(lit(c).as("facet_column"), col(c).cast("string").as("value"), col("count_"))
+        }.reduce(_.unionByName(_))
       case other => throw new KqlParseException(s"unsupported operator '$other'")
     }
 

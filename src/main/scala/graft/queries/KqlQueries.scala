@@ -375,6 +375,27 @@ object KqlQueries extends QueryModule {
           | | extend (mn, mni, mx, mxi, av, sd, vr) = series_stats(n)
           | | project event_type, dbl = tostring(dbl), tot = tostring(tot), mn, mni, mx, mxi, av = round(av, 6), sd = round(sd, 6), vr = round(vr, 6)
           | | order by event_type asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // fork — Kusto's fan-out operator: both legs re-run over the same
+    // input plan; the single-DataFrame form unions the legs by name with
+    // a fork_source label (compileMulti returns them separately).
+    "q92_kql_text_fork" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | fork hi = (where value >= 50 | summarize n = count(), v = round(sum(value), 6) by event_type)
+          |        lo = (where value < 50 | summarize n = count(), v = round(sum(value), 6) by event_type)
+          | | order by fork_source asc, event_type asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // facet by — per-column distinct-value/count tables (one hash agg per
+    // facet column), merged as (facet_column, value, count_) strings.
+    "q93_kql_text_facet" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | extend b = tolong(value / 25)
+          | | facet by event_type, b
+          | | order by facet_column asc, value asc""".stripMargin,
         _ => Tables.events(s, dir)))
   )
 
@@ -658,6 +679,25 @@ object KqlQueries extends QueryModule {
                 round(list_avg(n), 6) AS av,
                 round(coalesce(list_aggregate(n, 'stddev_samp'), 0), 6) AS sd,
                 round(coalesce(list_aggregate(n, 'var_samp'), 0), 6) AS vr
-         FROM ser ORDER BY event_type"""
+         FROM ser ORDER BY event_type""",
+
+    "q92_kql_text_fork" ->
+      """SELECT * FROM (
+           SELECT event_type, count(*) AS n, round(sum(value), 6) AS v, 'hi' AS fork_source
+           FROM events WHERE value >= 50 GROUP BY event_type
+           UNION ALL
+           SELECT event_type, count(*) AS n, round(sum(value), 6) AS v, 'lo' AS fork_source
+           FROM events WHERE value < 50 GROUP BY event_type)
+         ORDER BY fork_source, event_type""",
+
+    "q93_kql_text_facet" ->
+      """WITH src AS (SELECT *, floor(value / 25)::BIGINT AS b FROM events)
+         SELECT * FROM (
+           SELECT 'event_type' AS facet_column, CAST(event_type AS VARCHAR) AS value,
+                  count(*) AS count_ FROM src GROUP BY 2
+           UNION ALL
+           SELECT 'b' AS facet_column, CAST(b AS VARCHAR) AS value,
+                  count(*) AS count_ FROM src GROUP BY 2)
+         ORDER BY facet_column, value"""
   )
 }

@@ -565,6 +565,30 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(("other", 1L), ("union", 5L)))
   }
 
+  test("fork legs and facet by: merged pipeline form + compileMulti tables") {
+    // fork: merged single-DataFrame form labels rows with fork_source
+    val f = run("""t | fork hi = (where value >= 55 | summarize n = count())
+                            lo = (where value < 55 | summarize n = count())
+                   | order by fork_source asc""").collect()
+    assert(f.map(r => (r.getAs[String]("fork_source"), r.getAs[Long]("n"))).toSeq ==
+      Seq(("hi", 3L), ("lo", 2L)))
+    // compileMulti: each leg is its own typed DataFrame, names preserved
+    val m = KqlCompiler.compileMulti(
+      "t | fork (count) picked = (where name == 'alpha' | project id)", _ => df)
+    assert(m.map(_._1) == Seq("fork_1", "picked"))
+    assert(m.head._2.head().getLong(0) == 5L)
+    assert(m(1)._2.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // facet by: per-column value/count tables, merged as strings
+    val fc = KqlCompiler.compileMulti("t | facet by name, status with (summarize count())", _ => df)
+    assert(fc.map(_._1) == Seq("name", "status", "facet_with"))
+    val nameCounts = fc.head._2.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(nameCounts == Map("alpha" -> 2L, "beta" -> 2L, "gamma" -> 1L))
+    assert(run("t | facet by name").columns.toSeq == Seq("facet_column", "value", "count_"))
+    // a no-multi query through compileMulti yields the single "result"
+    val single = KqlCompiler.compileMulti("t | count", _ => df)
+    assert(single.map(_._1) == Seq("result") && single.head._2.head().getLong(0) == 5L)
+  }
+
   test("as binding, partition-by top-k, search across string columns") {
     // `as` binds mid-pipeline; the bound name joins back later
     val a = run("""t | where value >= 50 | as big
