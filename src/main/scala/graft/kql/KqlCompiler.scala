@@ -1759,6 +1759,91 @@ object KqlCompiler {
           (array_position(args(0)(df), args(1)(df)) - lit(1L)).cast("long")
         case "arg_max" => arity(2); df => Kql.argMax(args(0)(df), args(1)(df))
         case "arg_min" => arity(2); df => Kql.argMin(args(0)(df), args(1)(df))
+        // ---- scalar ring 5: url/hash/array-set family ----
+        // Kusto url_encode is form-style ('+' for space); the _component
+        // variant is RFC-3986 percent-style — both codegen'd builtins.
+        case "url_encode" => arity(1); df => url_encode(args.head(df))
+        case "url_encode_component" => arity(1); df =>
+          replace(url_encode(args.head(df)), lit("+"), lit("%20"))
+        case "url_decode" => arity(1); df => url_decode(args.head(df))
+        // crypto hashes return lowercase hex strings, as in Kusto
+        case "hash_sha256" => arity(1); df => sha2(args.head(df).cast("binary"), 256)
+        case "hash_sha1" => arity(1); df => sha1(args.head(df).cast("binary"))
+        case "hash_md5" => arity(1); df => md5(args.head(df).cast("binary"))
+        case "pack_array" => df => array(args.map(_(df)): _*)
+        // Kusto zip: pairwise [ [a1,b1], [a2,b2], … ]
+        case "zip" => arity(2); df => zip_with(args(0)(df), args(1)(df), (x, y) => array(x, y))
+        // set_* return DISTINCT elements; order is unspecified in Kusto,
+        // pinned to sorted here (deterministic + oracle-comparable)
+        case "set_union" => df => array_sort(args.map(_(df)).reduce(array_union))
+        case "set_intersect" => df =>
+          array_sort(array_distinct(args.map(_(df)).reduce(array_intersect)))
+        case "set_difference" => df =>
+          array_sort(array_distinct(args.map(_(df)).reduce(array_except)))
+        case "jaccard_index" => arity(2); df => {
+          val a = array_distinct(args(0)(df)); val b = array_distinct(args(1)(df))
+          val uni = size(array_union(a, b)).cast("double")
+          // two empty sets are identical: jaccard = 1 (standard convention)
+          when(uni === 0d, lit(1.0))
+            .otherwise(size(array_intersect(a, b)).cast("double") / uni)
+        }
+        // Kusto repeat(value, count) builds an ARRAY (strrep is the string one)
+        case "repeat" => arity(2); df => array_repeat(args(0)(df), args(1)(df).cast("int"))
+        // array_slice(arr, start, end): 0-based INCLUSIVE end, negatives
+        // wrap from the array end (Kusto indexing rules)
+        case "array_slice" => arity(3); df => {
+          val a = args(0)(df)
+          val st = args(1)(df).cast("long"); val en = args(2)(df).cast("long")
+          val stN = when(st < 0, st + size(a)).otherwise(st)
+          val enN = when(en < 0, en + size(a)).otherwise(en)
+          slice(a, (stN + 1).cast("int"),
+            greatest(enN - stN + lit(1L), lit(0L)).cast("int"))
+        }
+        // array_split(arr, i): pair of [0,i) and [i,end) (negative i wraps)
+        case "array_split" => arity(2); df => {
+          val a = args(0)(df)
+          val i0 = args(1)(df).cast("long")
+          val ix = when(i0 < 0, i0 + size(a)).otherwise(i0)
+          array(slice(a, lit(1), ix.cast("int")),
+            slice(a, (ix + 1).cast("int"), greatest(size(a) - ix, lit(0L)).cast("int")))
+        }
+        case "array_rotate_left" | "array_rotate_right" => arity(2); df => {
+          val a = args(0)(df)
+          val nRaw = args(1)(df).cast("long")
+          val signed = if (name == "array_rotate_right") -nRaw else nRaw
+          val m = pmod(signed, size(a).cast("long"))
+          when(size(a) === 0, a).otherwise(
+            concat(slice(a, (m + 1).cast("int"), (size(a) - m).cast("int")),
+              slice(a, lit(1), m.cast("int"))))
+        }
+        // array_shift_left/right(arr, n [, fill]): dropped positions pad
+        // with `fill` (typed nulls when omitted); negative n shifts the
+        // other way — Kusto semantics.
+        case "array_shift_left" | "array_shift_right" => df => {
+          if (args.length < 2 || args.length > 3)
+            throw new KqlParseException(s"$name() expects 2 or 3 arguments")
+          val a = args(0)(df)
+          val nIn = args(1)(df).cast("int")
+          val n = if (name == "array_shift_right") -nIn else nIn
+          val sz = size(a)
+          val k = least(greatest(n, -n), sz) // |n| clamped to size
+          // pad(k): k fill values — array_repeat when fill given, else a
+          // k-length scaffold of TYPED nulls (slice keeps the element type)
+          def pad(kc: Column): Column = args.lift(2) match {
+            case Some(f) => array_repeat(f(df), kc)
+            case None => transform(slice(a, lit(1), kc), x => when(lit(false), x))
+          }
+          when(n >= 0, concat(slice(a, (k + 1), sz - k), pad(k)))
+            .otherwise(concat(pad(k), slice(a, lit(1), sz - k)))
+        }
+        // strcat_delim(delim, a, b, …): delimiter-joined concat (the
+        // delimiter may itself be a column, so interleave with concat)
+        case "strcat_delim" => df => {
+          if (args.length < 3) throw new KqlParseException("strcat_delim() needs delim + 2+ values")
+          val d = args.head(df)
+          val vs = args.tail.map(_(df).cast("string"))
+          concat(vs.head +: vs.tail.flatMap(v => Seq(d, v)): _*)
+        }
         case other => throw new KqlParseException(s"unsupported function '$other'")
       }
     }

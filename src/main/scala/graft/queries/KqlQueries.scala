@@ -388,6 +388,29 @@ object KqlQueries extends QueryModule {
           | | order by fork_source asc, event_type asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // scalar ring 5: base64/crypto-hash/array-set family — all codegen'd
+    // builtins (base64/md5/sha2/array_*), zero shuffle beyond the final
+    // sort; array outputs serialize via tostring() for the gate.
+    "q94_kql_text_scalar5" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | extend b64 = base64_encode_tostring(event_type),
+          |          rt = base64_decode_tostring(base64_encode_tostring(event_type)),
+          |          md = hash_md5(event_type),
+          |          sha = hash_sha256(event_type),
+          |          arr = pack_array(tolong(value / 25), event_id % 7, 3)
+          | | extend sl = tostring(array_slice(arr, 0, 1)),
+          |          su = tostring(set_union(arr, pack_array(3, 99))),
+          |          si = tostring(set_intersect(arr, pack_array(tolong(value / 25), 99))),
+          |          sd = tostring(set_difference(arr, pack_array(3))),
+          |          rot = tostring(array_rotate_left(arr, 1)),
+          |          ji = round(jaccard_index(arr, pack_array(3, 99)), 6),
+          |          rp = tostring(repeat(event_id % 5, 2)),
+          |          scd = strcat_delim('|', event_type, tostring(event_id % 7))
+          | | project event_id, b64, rt, md, sha, sl, su, si, sd, rot, ji, rp, scd
+          | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // facet by — per-column distinct-value/count tables (one hash agg per
     // facet column), merged as (facet_column, value, count_) strings.
     "q93_kql_text_facet" -> ((s, dir) =>
@@ -689,6 +712,28 @@ object KqlQueries extends QueryModule {
            SELECT event_type, count(*) AS n, round(sum(value), 6) AS v, 'lo' AS fork_source
            FROM events WHERE value < 50 GROUP BY event_type)
          ORDER BY fork_source, event_type""",
+
+    "q94_kql_text_scalar5" ->
+      """WITH src AS (
+           SELECT event_id, event_type, value,
+                  [floor(value / 25)::BIGINT, event_id % 7, 3::BIGINT] AS arr
+           FROM events)
+         SELECT event_id,
+                base64(event_type::BLOB) AS b64,
+                from_base64(base64(event_type::BLOB))::VARCHAR AS rt,
+                md5(event_type) AS md,
+                sha256(event_type) AS sha,
+                to_json([arr[1], arr[2]]) AS sl,
+                to_json(list_sort(list_distinct(arr || [3::BIGINT, 99]))) AS su,
+                to_json(list_sort(list_distinct(
+                  list_intersect(arr, [floor(value / 25)::BIGINT, 99])))) AS si,
+                to_json(list_sort(list_distinct(list_filter(arr, x -> x != 3)))) AS sd,
+                to_json([arr[2], arr[3], arr[1]]) AS rot,
+                round(len(list_intersect(list_distinct(arr), [3::BIGINT, 99]))::DOUBLE /
+                      len(list_distinct(arr || [3::BIGINT, 99]))::DOUBLE, 6) AS ji,
+                to_json([event_id % 5, event_id % 5]) AS rp,
+                event_type || '|' || CAST(event_id % 7 AS VARCHAR) AS scd
+         FROM src ORDER BY event_id""",
 
     "q93_kql_text_facet" ->
       """WITH src AS (SELECT *, floor(value / 25)::BIGINT AS b FROM events)

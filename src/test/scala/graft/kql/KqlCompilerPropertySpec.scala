@@ -105,6 +105,22 @@ class KqlCompilerPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     ("where translate('aeiou', 'AEIOU', name) contains 'A' or value >= 50",
       df => df.filter(lower(translate(col("name"), "aeiou", "AEIOU")).contains("a") ||
         col("value") >= 50)),
+    // ring-5 invariants: each filter is an identity/round-trip law that
+    // must hold on EVERY row, so the op is column-set- and row-preserving
+    ("where strlen(base64_decode_tostring(base64_encode_tostring(status))) == strlen(status)",
+      df => df),
+    ("where tostring(array_rotate_left(array_rotate_right(split(status, '-'), 1), 1)) == tostring(split(status, '-'))",
+      df => df),
+    ("where array_length(array_slice(pack_array(1, 2, 3, 4), 1, 2)) == 2",
+      df => df),
+    ("where jaccard_index(pack_array(id % 3), pack_array(id % 3)) == 1.0",
+      df => df),
+    ("where tostring(set_union(pack_array(id % 3), pack_array(id % 3))) == tostring(pack_array(id % 3))",
+      df => df),
+    ("where hash_sha256(name) != hash_md5(name)",
+      df => df),
+    ("where strcat_delim('-', name, status) == strcat(name, '-', status)",
+      df => df),
     ("mv-apply c = split(status, '-') on ( where strlen(c) >= 3 | summarize zz = count() ) | where zz >= 1 | project-away zz",
       df => df.withColumn("zz",
           size(filter(split(col("status"), java.util.regex.Pattern.quote("-")),

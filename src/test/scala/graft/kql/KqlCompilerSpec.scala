@@ -565,6 +565,46 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(("other", 1L), ("union", 5L)))
   }
 
+  test("scalar ring 5: url/hash/array-set family") {
+    val r = run("""t | where id == 1
+      | extend b64 = base64_encode_tostring(name),
+               rt = base64_decode_tostring(base64_encode_tostring(name)),
+               md = hash_md5('abc'),
+               sha = hash_sha256(''),
+               ue = url_encode('a b&c'), uc = url_encode_component('a b&c'),
+               ud = url_decode(url_encode('a b&c'))
+      | project b64, rt, md, sha, ue, uc, ud""").head()
+    assert(r.getString(0) == java.util.Base64.getEncoder.encodeToString("alpha".getBytes))
+    assert(r.getString(1) == "alpha")
+    assert(r.getString(2) == "900150983cd24fb0d6963f7d28e17f72") // md5("abc")
+    assert(r.getString(3) == "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855")
+    assert(r.getString(4) == "a+b%26c" && r.getString(5) == "a%20b%26c" && r.getString(6) == "a b&c")
+    val a = run("""t | where id == 1
+      | extend arr = pack_array(3, 1, 2, 3)
+      | project sl = array_slice(arr, 1, 2), sln = array_slice(arr, 0, -2),
+                sp = array_split(arr, 2),
+                rl = array_rotate_left(arr, 1), rr = array_rotate_right(arr, 1),
+                shl = array_shift_left(arr, 1), shr = array_shift_right(arr, 1, 0),
+                su = set_union(arr, pack_array(9)), si = set_intersect(arr, pack_array(3, 9)),
+                sd = set_difference(arr, pack_array(3)),
+                ji = jaccard_index(arr, pack_array(1, 9)),
+                zp = zip(pack_array(1, 2), pack_array(3, 4)),
+                rp = repeat(7, 3),
+                scd = strcat_delim('-', 'a', 'b', 'c')""").head()
+    def seq(i: Int) = a.getSeq[Long](i)
+    assert(seq(0) == Seq(1L, 2L))                  // [1..2] inclusive
+    assert(seq(1) == Seq(3L, 1L, 2L))              // 0..-2 wraps to size-2
+    assert(a.getSeq[Seq[Long]](2) == Seq(Seq(3L, 1L), Seq(2L, 3L)))
+    assert(seq(3) == Seq(1L, 2L, 3L, 3L) && seq(4) == Seq(3L, 3L, 1L, 2L))
+    assert(a.getSeq[Any](5) == Seq(1L, 2L, 3L, null) && seq(6) == Seq(0L, 3L, 1L, 2L))
+    assert(seq(7) == Seq(1L, 2L, 3L, 9L) && seq(8) == Seq(3L))
+    assert(seq(9) == Seq(1L, 2L))
+    assert(a.getDouble(10) == 0.25)                // {1,2,3} vs {1,9}: 1/4
+    assert(a.getSeq[Seq[Long]](11) == Seq(Seq(1L, 3L), Seq(2L, 4L)))
+    assert(seq(12) == Seq(7L, 7L, 7L))
+    assert(a.getString(13) == "a-b-c")
+  }
+
   test("fork legs and facet by: merged pipeline form + compileMulti tables") {
     // fork: merged single-DataFrame form labels rows with fork_source
     val f = run("""t | fork hi = (where value >= 55 | summarize n = count())
