@@ -531,7 +531,7 @@ object KqlCompiler {
         sepBy1(() => { val n = ident(); expect("="); (n, expr()) })
           .foldLeft(df) { case (d, (n, e)) => d.withColumn(n, e(d)) }
       case "summarize" =>
-        val aggs = sepBy1(aggItem)
+        val aggs = sepBy1(() => aggItemMulti()).flatten
         val keys = if (peekIs("by")) { expect("by"); sepBy1(projItem) } else Nil
         val aggCols = aggs.map(_(df))
         df.groupBy(keys.map(_(df)): _*).agg(aggCols.head, aggCols.tail: _*)
@@ -1006,6 +1006,53 @@ object KqlCompiler {
     }
 
     /** Summarize item: `name = agg(...)` or bare `agg(...)` → `<fn>_`. */
+    /** One summarize item, possibly multi-column: Kusto's
+      * `percentiles(c, p1, p2, …)` yields one output column PER p —
+      * either tuple-named `(n1, n2) = percentiles(c, p1, p2)` or
+      * auto-named `percentile_c_p`. Each p lowers to the same exact
+      * interpolated percentile the single-p form uses (one sort-based
+      * agg per column; they share the shuffle). */
+    private def aggItemMulti(): List[ColB] = {
+      def pctList(): (String, List[Double]) = {
+        expect("("); val cName = ident()
+        val ps = List.newBuilder[Double]
+        while (peekIs(",")) {
+          expect(",")
+          val t = next()
+          if (t.kind != "num") throw new KqlParseException("percentiles() P values must be number literals")
+          val p = t.text.toDouble
+          if (p < 0 || p > 100) throw new KqlParseException(s"percentile P must be 0..100, got $p")
+          ps += p
+        }
+        expect(")")
+        val r = ps.result()
+        if (r.isEmpty) throw new KqlParseException("percentiles() needs at least one P value")
+        (cName, r)
+      }
+      if (peekIs("(")) {
+        expect("(")
+        val names = sepBy1(() => ident())
+        expect(")"); expect("=")
+        val fn = ident()
+        if (fn != "percentiles")
+          throw new KqlParseException(s"tuple assignment in summarize supports percentiles(), got '$fn'")
+        val (cName, ps) = pctList()
+        if (ps.length != names.length)
+          throw new KqlParseException(s"percentiles tuple arity mismatch: ${names.length} names, ${ps.length} P values")
+        names.zip(ps).map { case (n, p) =>
+          (df: DataFrame) => percentile(col(cName), lit(p / 100.0)).as(n)
+        }
+      } else if (peek.exists(t => t.kind == "id" && t.text == "percentiles") &&
+                 toks.lift(pos + 1).exists(_.text == "(")) {
+        expect("percentiles")
+        val (cName, ps) = pctList()
+        ps.map { p =>
+          val suffix = if (p == math.floor(p)) p.toLong.toString else p.toString.replace('.', '_')
+          (df: DataFrame) => percentile(col(cName), lit(p / 100.0)).as(s"percentile_${cName}_$suffix")
+        }
+      } else List(aggItem())
+    }
+
     private def aggItem(): ColB = {
       if (peek.exists(_.kind == "id") &&
           toks.lift(pos + 1).exists(t => t.text == "=" && t.kind == "sym")) {

@@ -411,6 +411,17 @@ object KqlQueries extends QueryModule {
           | | order by event_id asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // percentiles() multi-column: tuple-named + auto-named forms share
+    // one shuffle (single hash agg producing every percentile column).
+    "q95_kql_text_percentiles" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | summarize (p25, p50, p95) = percentiles(value, 25, 50, 95), percentiles(value, 10), n = count() by event_type
+          | | extend p25 = round(p25, 6), p50 = round(p50, 6), p95 = round(p95, 6), p10 = round(percentile_value_10, 6)
+          | | project-away percentile_value_10
+          | | order by event_type asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // facet by — per-column distinct-value/count tables (one hash agg per
     // facet column), merged as (facet_column, value, count_) strings.
     "q93_kql_text_facet" -> ((s, dir) =>
@@ -712,6 +723,15 @@ object KqlQueries extends QueryModule {
            SELECT event_type, count(*) AS n, round(sum(value), 6) AS v, 'lo' AS fork_source
            FROM events WHERE value < 50 GROUP BY event_type)
          ORDER BY fork_source, event_type""",
+
+    "q95_kql_text_percentiles" ->
+      """SELECT event_type,
+                round(quantile_cont(value, 0.25), 6) AS p25,
+                round(quantile_cont(value, 0.50), 6) AS p50,
+                round(quantile_cont(value, 0.95), 6) AS p95,
+                count(*) AS n,
+                round(quantile_cont(value, 0.10), 6) AS p10
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q94_kql_text_scalar5" ->
       """WITH src AS (

@@ -565,6 +565,23 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(("other", 1L), ("union", 5L)))
   }
 
+  test("percentiles(): tuple-named and auto-named multi-column summarize") {
+    // values 10,55,95,20,70 → p0=10, p50=55, p100=95 (exact interpolated)
+    val r = run("t | summarize (lo, mid, hi) = percentiles(value, 0, 50, 100), percentiles(value, 25)").head()
+    assert(r.schema.fieldNames.toSeq == Seq("lo", "mid", "hi", "percentile_value_25"))
+    assert(r.getDouble(0) == 10.0 && r.getDouble(1) == 55.0 && r.getDouble(2) == 95.0)
+    assert(r.getDouble(3) == 20.0) // interpolated p25 of sorted [10,20,55,70,95]
+    // grouped form + mixing with plain aggregates
+    val g = run("t | summarize n = count(), (m) = percentiles(value, 50) by name | order by name asc").collect()
+    assert(g.map(x => (x.getString(0), x.getLong(1))).toSeq ==
+      Seq(("alpha", 2L), ("beta", 2L), ("gamma", 1L)))
+    // arity mismatch is loud
+    assertThrows[KqlParseException](run("t | summarize (a, b) = percentiles(value, 50)"))
+    // fractional P keeps Kusto's name mangling (dots → underscores)
+    val f = run("t | summarize percentiles(value, 99.9)").schema.fieldNames.toSeq
+    assert(f == Seq("percentile_value_99_9"))
+  }
+
   test("scalar ring 5: url/hash/array-set family") {
     val r = run("""t | where id == 1
       | extend b64 = base64_encode_tostring(name),
