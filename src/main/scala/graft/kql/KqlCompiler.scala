@@ -910,6 +910,25 @@ object KqlCompiler {
             case other => throw new KqlParseException(s"unsupported parse type '$other'")
           })
         }
+      case "sample" =>
+        // `sample N` / `sample-distinct N of Col`. Kusto samples
+        // RANDOMLY; this engine pins the pick to a deterministic
+        // pseudorandom order (xxhash64 of the row / the value) so runs
+        // are reproducible and oracle-comparable — same determinism
+        // upgrade as take_any→min. Lowers to orderBy(hash)+limit =
+        // TakeOrderedAndProject: per-partition top-N + driver merge of
+        // N rows, never a global sort — scale-safe at any input size.
+        if (peekIs("-")) {
+          expect("-")
+          if (ident() != "distinct")
+            throw new KqlParseException("expected 'sample-distinct'")
+          val n = number(); expect("of"); val c = ident()
+          df.select(col(c)).distinct()
+            .orderBy(xxhash64(col(c)).asc, col(c).asc).limit(n)
+        } else {
+          val n = number()
+          df.orderBy(xxhash64(struct(df.columns.map(col): _*)).asc).limit(n)
+        }
       case "fork" =>
         // `| fork [name =] (op | op …) [name =] (…) …` — Kusto's fan-out:
         // every leg re-applies its operator chain to the SAME input plan.

@@ -422,6 +422,20 @@ object KqlQueries extends QueryModule {
           | | order by event_type asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // sample / sample-distinct — deterministic pseudorandom subsets
+    // (xxhash64 order + TakeOrderedAndProject). The gate checks the
+    // CARDINALITY contract (a sample's membership is engine-defined):
+    // sample N yields exactly N rows, sample-distinct M of c yields
+    // min(M, dcount(c)) values — via fork so one query covers both.
+    "q96_kql_text_sample" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | fork a = (sample 37 | summarize picked = count())
+          |        b = (sample-distinct 10 of event_type | summarize types = count())
+          | | project fork_source, picked, types
+          | | order by fork_source asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // facet by — per-column distinct-value/count tables (one hash agg per
     // facet column), merged as (facet_column, value, count_) strings.
     "q93_kql_text_facet" -> ((s, dir) =>
@@ -723,6 +737,16 @@ object KqlQueries extends QueryModule {
            SELECT event_type, count(*) AS n, round(sum(value), 6) AS v, 'lo' AS fork_source
            FROM events WHERE value < 50 GROUP BY event_type)
          ORDER BY fork_source, event_type""",
+
+    "q96_kql_text_sample" ->
+      """SELECT * FROM (
+           SELECT 'a' AS fork_source,
+                  LEAST(37, (SELECT count(*) FROM events))::BIGINT AS picked,
+                  NULL::BIGINT AS types
+           UNION ALL
+           SELECT 'b' AS fork_source, NULL::BIGINT AS picked,
+                  LEAST(10, (SELECT count(DISTINCT event_type) FROM events))::BIGINT AS types)
+         ORDER BY fork_source""",
 
     "q95_kql_text_percentiles" ->
       """SELECT event_type,

@@ -565,6 +565,22 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(("other", 1L), ("union", 5L)))
   }
 
+  test("sample and sample-distinct: deterministic pseudorandom subsets") {
+    // sample N: exactly N rows, a subset of the input, stable across runs
+    val s1 = run("t | sample 3").collect()
+    val s2 = run("t | sample 3").collect()
+    assert(s1.length == 3 && s1.map(_.getLong(0)).toSet.subsetOf(Set(1L, 2L, 3L, 4L, 5L)))
+    assert(s1.map(_.getLong(0)).sorted.toSeq == s2.map(_.getLong(0)).sorted.toSeq)
+    // N >= rows returns everything
+    assert(run("t | sample 99").count() == 5)
+    // sample-distinct: distinct values of the column, single-column output
+    val d = run("t | sample-distinct 2 of name").collect()
+    assert(d.length == 2 && d.map(_.getString(0)).distinct.length == 2)
+    assert(d.map(_.getString(0)).toSet.subsetOf(Set("alpha", "beta", "gamma")))
+    val all = run("t | sample-distinct 10 of name | order by name asc").collect()
+    assert(all.map(_.getString(0)).toSeq == Seq("alpha", "beta", "gamma"))
+  }
+
   test("percentiles(): tuple-named and auto-named multi-column summarize") {
     // values 10,55,95,20,70 → p0=10, p50=55, p100=95 (exact interpolated)
     val r = run("t | summarize (lo, mid, hi) = percentiles(value, 0, 50, 100), percentiles(value, 25)").head()
