@@ -1892,6 +1892,44 @@ object LlmQueries extends QueryModule {
     ORDER BY bm25 DESC, doc_id
     LIMIT 20"""
 
+  // ------------------------------------------------------- BPE tokenizer
+
+  /** q97/q98/q99 — distributed BPE tokenizer over `documents`
+    * ([[graft.ops.Bpe]]). q97 (round-1 pair counts) is SQL-expressible
+    * and fully oracle-gated; q98 (the trained merge list) and q99
+    * (tokenized output stats) are iterative-training results DuckDB
+    * can't express in one query — rows-only gate, semantics pinned by
+    * BpeSpec's hand-computed merge sequence. */
+  private def bpePairs(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Bpe.round1PairCounts(Tables.documents(s, dir), "text")
+      .orderBy(col("cnt").desc, col("pair").asc).limit(20)
+
+  private def bpeVocab(s: SparkSession, dir: String): DataFrame = {
+    val merges = graft.ops.Bpe.train(Tables.documents(s, dir), "text", 12)
+    import s.implicits._
+    merges.toDF().orderBy(col("rank").asc)
+  }
+
+  private def bpeTokenize(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val merges = graft.ops.Bpe.train(d, "text", 12)
+    graft.ops.Bpe.tokenize(d, "doc_id", "text", merges)
+      .select(col("doc_id"), size(col("tokens")).cast("long").as("n_tokens"),
+        to_json(slice(col("tokens"), 1, 8)).as("head_tokens"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  private val bpePairsOracle = """
+    WITH words AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents),
+    wf AS (SELECT w, count(*) AS f FROM words GROUP BY w),
+    pairs AS (
+      SELECT substring(w, i, 2) AS pair, f
+      FROM wf, unnest(range(1, length(w))) AS t(i)
+      WHERE length(w) >= 2)
+    SELECT pair, sum(f)::BIGINT AS cnt FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair ASC LIMIT 20"""
+
   // ------------------------------------------------------------ wiring
 
   private def sqlQuery(view: (SparkSession, String) => SparkSession, sql: String): (SparkSession, String) => DataFrame =
@@ -1932,7 +1970,10 @@ object LlmQueries extends QueryModule {
     "q85_ann_recall" -> sqlQuery(embs, annRecallSql),
     "q89_train_split" -> sqlQuery(docs, splitSql),
     "q90_matryoshka_ann" -> sqlQuery(embs, matryoshkaAnnSql),
-    "q91_compression_ratio" -> sqlQuery(docs, compressionSql))
+    "q91_compression_ratio" -> sqlQuery(docs, compressionSql),
+    "q97_bpe_pairs" -> (bpePairs(_, _)),
+    "q98_bpe_vocab" -> (bpeVocab(_, _)),
+    "q99_bpe_tokenize" -> (bpeTokenize(_, _)))
 
   override val oracles: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -1970,5 +2011,9 @@ object LlmQueries extends QueryModule {
     "q79_bigram_lm" -> bigramLmOracle,
     "q85_ann_recall" -> annRecallOracle,
     "q89_train_split" -> splitOracle,
-    "q90_matryoshka_ann" -> matryoshkaAnnOracle)
+    "q90_matryoshka_ann" -> matryoshkaAnnOracle,
+    // q98/q99 deliberately absent: iterative BPE training is not
+    // one-query SQL-expressible → rows-only gate (BpeSpec pins exact
+    // semantics against a hand-computed merge sequence).
+    "q97_bpe_pairs" -> bpePairsOracle)
 }

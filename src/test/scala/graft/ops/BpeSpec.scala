@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BPE trainer/encoder against the classic Sennrich corpus with
+  * hand-computed expected merges, plus encoder-trainer parity. */
+class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  override def afterAll(): Unit = spark.stop()
+
+  // word frequencies: low×5, lower×2, newest×6, widest×3
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, ("low " * 5).trim),
+      (2L, ("lower " * 2).trim),
+      (3L, ("newest " * 6).trim),
+      (4L, ("widest " * 3).trim))
+      .toDF("doc_id", "text")
+  }
+
+  test("train: hand-computed merge sequence with deterministic tie-breaks") {
+    // round 1: es=9 ties st=9 → (e,s) wins lexicographically
+    // round 2: (es,t)=9 ; round 3: lo=7 ties ow=7 → lo
+    // round 4: (lo,w)=7 ; round 5: ew=6 ties ne=6,(w,est)=6 → (e,w)
+    val merges = Bpe.train(docs, "text", 5)
+    assert(merges.map(m => (m.left, m.right)) ==
+      Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"), ("e", "w")))
+    assert(merges.map(_.merged) == Seq("es", "est", "lo", "low", "ew"))
+    assert(merges.map(_.rank) == Seq(1, 2, 3, 4, 5))
+  }
+
+  test("train stops early when no pair repeats") {
+    import spark.implicits._
+    val tiny = Seq((1L, "ab cd")).toDF("doc_id", "text")
+    // every pair occurs once → zero merges (cnt < 2 stops training)
+    assert(Bpe.train(tiny, "text", 10).isEmpty)
+  }
+
+  test("round-1 pair counts match the hand computation") {
+    val cnts = Bpe.round1PairCounts(docs, "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cnts("es") == 9L && cnts("st") == 9L && cnts("lo") == 7L &&
+      cnts("ow") == 7L && cnts("we") == 8L && cnts("ne") == 6L)
+  }
+
+  test("encode parity: in-vocab words reproduce trained symbolization; OOV decomposes") {
+    import spark.implicits._
+    val merges = Bpe.train(docs, "text", 5)
+    // lowest: l o w e s t → es → est → lo → low → [low, est]
+    assert(Bpe.encodeWord("lowest", merges) == Seq("low", "est"))
+    assert(Bpe.encodeWord("lower", merges) == Seq("low", "e", "r"))
+    assert(Bpe.encodeWord("newest", merges) == Seq("n", "ew", "est"))
+    // tokenize: mapPartitions path, round-trip concat reconstructs words
+    val out = Bpe.tokenize(Seq((9L, "Lowest NEWEST zz")).toDF("doc_id", "text"),
+      "doc_id", "text", merges).collect()
+    val toks = out.head.getSeq[String](1)
+    assert(toks == Seq("low", "est", "n", "ew", "est", "z", "z"))
+    assert(toks.mkString == "lowestnewestzz")
+  }
+}
