@@ -204,6 +204,23 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"), "scoring must stay broadcast-shaped")
   }
 
+  test("q96 sample: TakeOrderedAndProject (per-partition top-N), never a global sort") {
+    val p = plan("q96_kql_text_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.linesIterator.take(30).mkString("\n"))
+  }
+
+  test("q94 scalar ring 5: map-only up to the final oracle sort (no hash shuffle)") {
+    val p = plan("q94_kql_text_scalar5")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "scalar-ring query must stay map-side; found a hash shuffle")
+  }
+
+  test("q97 BPE pair counts: two hash aggs + top-k, no extra shuffle stages") {
+    val p = plan("q97_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must be top-k, not a global sort")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+  }
+
   test("blanket sweep: NO CartesianProduct in any of the declared query plans") {
     // Nested-loop joins are allowed only as BROADCAST nested loops
     // (query samples, one-row scalars, codebook cross-scores — all
