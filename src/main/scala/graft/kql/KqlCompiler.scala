@@ -671,6 +671,41 @@ object KqlCompiler {
               case vs => grouped.pivot(pcol, vs)
             }
             piv.agg(aggC)
+          case "bag_unpack" =>
+            // `evaluate bag_unpack(Col [, 'prefix'])` — expand a dynamic
+            // (JSON-text) column into one typed column per key, dropping
+            // the bag column (Kusto semantics). Kusto infers the output
+            // schema from the DATA; here inference reads a bounded
+            // sample (1000 rows) through Spark's JSON schema reader at
+            // COMPILE time — the same deliberate bounded-driver-action
+            // class as toscalar(). The unpack itself is from_json + a
+            // flat projection: map-only, codegen'd, zero shuffle.
+            val bagCol = ident()
+            val prefix =
+              if (peekIs(",")) {
+                expect(",")
+                val t = next()
+                if (t.kind != "str") throw new KqlParseException("bag_unpack prefix must be a string literal")
+                t.text
+              } else ""
+            expect(")")
+            val sp = df.sparkSession
+            import sp.implicits._
+            val sample = df.select(col(bagCol).cast("string")).limit(1000).as[String]
+            val inferred = sp.read.json(sample).schema
+            val fields = inferred.fields.filterNot(_.name.startsWith("_corrupt"))
+            if (fields.isEmpty)
+              throw new KqlParseException(s"bag_unpack('$bagCol'): no keys inferable from the sample")
+            val clash = fields.map(prefix + _.name).find(df.columns.contains)
+            clash.foreach(c => throw new KqlParseException(
+              s"bag_unpack output column '$c' collides with an existing column"))
+            val parsed = from_json(col(bagCol).cast("string"),
+              org.apache.spark.sql.types.StructType(fields))
+            val keep = df.columns.filterNot(_ == bagCol).map(col)
+            // one flat projection; the repeated from_json collapses via
+            // common-subexpression elimination in codegen
+            df.select((keep ++ fields.map(f =>
+              parsed.getField(f.name).as(prefix + f.name))): _*)
           case "funnel" =>
             val k = ident(); expect(",")
             val ts = ident(); expect(",")

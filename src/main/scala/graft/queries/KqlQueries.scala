@@ -436,6 +436,16 @@ object KqlQueries extends QueryModule {
           | | order by fork_source asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // evaluate bag_unpack — dynamic JSON bag → typed columns (schema
+    // sample-inferred at compile time, unpack is map-only from_json).
+    "q100_kql_text_bagunpack" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | evaluate bag_unpack(props)
+          | | summarize n = count(), kavg = round(avg(k), 6) by event_type
+          | | order by event_type asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // facet by — per-column distinct-value/count tables (one hash agg per
     // facet column), merged as (facet_column, value, count_) strings.
     "q93_kql_text_facet" -> ((s, dir) =>
@@ -737,6 +747,11 @@ object KqlQueries extends QueryModule {
            SELECT event_type, count(*) AS n, round(sum(value), 6) AS v, 'lo' AS fork_source
            FROM events WHERE value < 50 GROUP BY event_type)
          ORDER BY fork_source, event_type""",
+
+    "q100_kql_text_bagunpack" ->
+      """SELECT event_type, count(*) AS n,
+                round(avg(CAST(props->>'k' AS BIGINT)), 6) AS kavg
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q96_kql_text_sample" ->
       """SELECT * FROM (

@@ -565,6 +565,29 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(("other", 1L), ("union", 5L)))
   }
 
+  test("evaluate bag_unpack: sample-inferred schema, prefix, collision guard") {
+    import spark.implicits._
+    val bags = Seq(
+      (1L, """{"a": 1, "b": "x"}"""),
+      (2L, """{"a": 2, "c": 3.5}"""),
+      (3L, """{"b": "y"}"""))
+      .toDF("id", "props")
+    val out = KqlCompiler.compile(
+      "t | evaluate bag_unpack(props) | order by id asc", _ => bags)
+    assert(out.columns.toSeq == Seq("id", "a", "b", "c")) // union of keys, bag dropped
+    val rows = out.collect()
+    assert(rows(0).getLong(1) == 1L && rows(0).getString(2) == "x" && rows(0).isNullAt(3))
+    assert(rows(1).getLong(1) == 2L && rows(1).isNullAt(2) && rows(1).getDouble(3) == 3.5)
+    assert(rows(2).isNullAt(1) && rows(2).getString(2) == "y")
+    // prefix form
+    val pre = KqlCompiler.compile("t | evaluate bag_unpack(props, 'p_')", _ => bags)
+    assert(pre.columns.toSeq == Seq("id", "p_a", "p_b", "p_c"))
+    // collision with an existing column fails loudly
+    val clash = bags.withColumnRenamed("id", "a")
+    assertThrows[KqlParseException](
+      KqlCompiler.compile("t | evaluate bag_unpack(props)", _ => clash))
+  }
+
   test("sample and sample-distinct: deterministic pseudorandom subsets") {
     // sample N: exactly N rows, a subset of the input, stable across runs
     val s1 = run("t | sample 3").collect()
