@@ -124,7 +124,7 @@ object KqlCompiler {
   private final case class Tok(kind: String, text: String) // kind: id|num|str|sym
   private object Lexer {
     private val symbols = List("==", "!=", "=~", "!~", "<=", ">=", "..", ".", "|", "(", ")", ",",
-      ";", "=", "<", ">", "+", "-", "*", "/", "%", ":", "[", "]", "!in", "~")
+      ";", "=", "<", ">", "+", "-", "*", "/", "%", ":", "[", "]", "{", "}", "!in", "~")
     def tokens(s: String): Vector[Tok] = {
       val out = Vector.newBuilder[Tok]
       var i = 0
@@ -209,7 +209,29 @@ object KqlCompiler {
     def statements(): DataFrame = {
       while (peekIs("let")) {
         expect("let"); val n = ident(); expect("=")
-        if (peekIs("materialize")) {
+        if (peekIs("(") && toks.lift(pos + 1).exists(_.kind == "id") &&
+            toks.lift(pos + 2).exists(t => t.text == ":" && t.kind == "sym")) {
+          // `let f = (T:(*)) { <pipeline over T> };` — a tabular lambda
+          // (Kusto user function). The BODY is captured as tokens and
+          // compiled at each `| invoke f()` site with T bound to the
+          // incoming frame — pure plan substitution, nothing executes.
+          expect("("); val param = ident(); expect(":")
+          if (peekIs("(")) { // (*) or a parenthesized table schema — skip
+            expect("(")
+            var d = 1
+            while (d > 0) { val t = next(); if (t.text == "(" && t.kind == "sym") d += 1
+                            else if (t.text == ")" && t.kind == "sym") d -= 1 }
+          } else ident() // scalar/table type name
+          expect(")"); expect("{")
+          val start = pos
+          var depth = 1
+          while (depth > 0) {
+            val t = next()
+            if (t.text == "{" && t.kind == "sym") depth += 1
+            else if (t.text == "}" && t.kind == "sym") depth -= 1
+          }
+          funcLets(n) = (param, toks.slice(start, pos - 1))
+        } else if (peekIs("materialize")) {
           expect("materialize"); expect("(")
           val d = pipeline(); expect(")")
           lets(n) = d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -231,6 +253,9 @@ object KqlCompiler {
     /** Named side outputs produced by multi-result operators (`fork`
       * legs, `facet` per-column tables) in encounter order. */
     val multiOut = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
+
+    /** Tabular lambda bindings: name → (parameter, captured body tokens). */
+    private val funcLets = scala.collection.mutable.Map.empty[String, (String, Vector[Tok])]
 
     def pipeline(): DataFrame = {
       var df = source()
@@ -945,6 +970,19 @@ object KqlCompiler {
             case other => throw new KqlParseException(s"unsupported parse type '$other'")
           })
         }
+      case "invoke" =>
+        // `| invoke f()` — apply a `let f = (T:(*)) { … }` lambda to the
+        // pipeline-so-far: the captured body compiles HERE with T bound
+        // to the incoming frame (outer tables/lets stay resolvable).
+        val fname = ident()
+        expect("("); expect(")")
+        val (param, body) = funcLets.getOrElse(fname,
+          throw new KqlParseException(s"invoke: no lambda let binding named '$fname'"))
+        val sub = new Parser(body, nm => if (nm == param) df else resolveName(nm),
+          now, sessionHint)
+        val out = sub.statements()
+        sub.expectEnd()
+        out
       case "sample" =>
         // `sample N` / `sample-distinct N of Col`. Kusto samples
         // RANDOMLY; this engine pins the pick to a deterministic

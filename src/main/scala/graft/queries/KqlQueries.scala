@@ -446,6 +446,15 @@ object KqlQueries extends QueryModule {
           | | order by event_type asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // lambda let + invoke — Kusto user functions: the body compiles at
+    // the invoke site with the parameter bound to the pipeline (pure
+    // plan substitution, zero overhead vs writing the ops inline).
+    "q101_kql_text_invoke" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """let daily = (T:(*)) { T | where value >= 10 | summarize n = count(), v = round(sum(value), 6) by event_type };
+          |events | invoke daily() | order by event_type asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // facet by — per-column distinct-value/count tables (one hash agg per
     // facet column), merged as (facet_column, value, count_) strings.
     "q93_kql_text_facet" -> ((s, dir) =>
@@ -747,6 +756,11 @@ object KqlQueries extends QueryModule {
            SELECT event_type, count(*) AS n, round(sum(value), 6) AS v, 'lo' AS fork_source
            FROM events WHERE value < 50 GROUP BY event_type)
          ORDER BY fork_source, event_type""",
+
+    "q101_kql_text_invoke" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 6) AS v
+         FROM events WHERE value >= 10
+         GROUP BY event_type ORDER BY event_type""",
 
     "q100_kql_text_bagunpack" ->
       """SELECT event_type, count(*) AS n,

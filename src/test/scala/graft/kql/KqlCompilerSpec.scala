@@ -565,6 +565,22 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(("other", 1L), ("union", 5L)))
   }
 
+  test("lambda lets + invoke, dynamic object literals") {
+    // tabular lambda applied mid-pipeline; outer scope stays resolvable
+    val r = run("""let big = (T:(*)) { T | where value >= 50 | extend tag = strcat(name, '!') };
+                   t | invoke big() | summarize n = count(), mx = max(value)""").head()
+    assert(r.getLong(0) == 3 && r.getDouble(1) == 95.0)
+    // lambda body can reference outer tables (resolve fallthrough)
+    val j = run("""let withT = (X:(*)) { X | join kind=leftsemi (t | where value > 90) on id };
+                   t | invoke withT() | project id""").collect()
+    assert(j.map(_.getLong(0)).toSeq == Seq(3L))
+    // invoke of an unknown name is loud
+    assertThrows[KqlParseException](run("t | invoke nope()"))
+    // dynamic OBJECT literal (braces) reconstructs JSON; postfix access works
+    val d = run("""t | where id == 1 | extend k = tolong(dynamic({"a": 7}).a) | project k""").head()
+    assert(d.getLong(0) == 7L)
+  }
+
   test("evaluate bag_unpack: sample-inferred schema, prefix, collision guard") {
     import spark.implicits._
     val bags = Seq(
