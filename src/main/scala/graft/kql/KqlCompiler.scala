@@ -460,9 +460,42 @@ object KqlCompiler {
         expect("-")
         ident() match {
           case "expand" =>
-            // mv-expand col: one output row per array element (inner semantics)
+            // `mv-expand [with_itemindex=Idx] Col [to typeof(T)]
+            //  [limit N]`: one output row per array element (inner
+            // semantics). with_itemindex lowers to posexplode; `to
+            // typeof` casts elements; `limit` caps elements PER ROW
+            // (slice before the explode — Kusto's per-record limit,
+            // not a row limit), keeping pathological mega-arrays from
+            // dominating a partition.
+            val idxCol =
+              if (peekIs("with_itemindex")) {
+                expect("with_itemindex"); expect("=")
+                Some(ident())
+              } else None
             val c = ident()
-            df.withColumn(c, explode(df(c)))
+            val castTo: Option[String] =
+              if (peekIs("to")) {
+                expect("to"); expect("typeof"); expect("(")
+                val t = ident(); expect(")")
+                Some(t match {
+                  case "long" | "int" => "long"
+                  case "real" | "double" => "double"
+                  case "string" => "string"
+                  case "bool" | "boolean" => "boolean"
+                  case other => throw new KqlParseException(s"unsupported mv-expand typeof '$other'")
+                })
+              } else None
+            val perRowCap =
+              if (peekIs("limit")) { expect("limit"); Some(number()) } else None
+            val arr0 = perRowCap.fold(df(c))(n => slice(df(c), lit(1), lit(n)))
+            val arr = castTo.fold(arr0)(t => arr0.cast(s"array<$t>"))
+            idxCol match {
+              case None => df.withColumn(c, explode(arr))
+              case Some(ix) =>
+                val keep = df.columns.filterNot(_ == c).map(col)
+                df.select((keep :+ posexplode(arr).as(Seq(ix, c))): _*)
+                  .withColumn(ix, col(ix).cast("long"))
+            }
           case "apply" =>
             // `mv-apply elem = arrayExpr [to typeof(T)] on ( where … [|
             //  where …] [| summarize n = agg(…), …] )` — per-row array
@@ -928,12 +961,23 @@ object KqlCompiler {
         grouped.withColumn(tname, sqlExpr(
           s"transform(sequence(0, ${nbins - 1}L), i -> timestamp_micros(${fromUs}L + i * ${stepUs}L))"))
       case "parse" =>
-        // `parse Expr with [lit] name1[:type] [lit name2[:type] …] [lit]`
-        // (simple mode): each capture matches lazily up to the next
-        // literal, the last one runs to end-of-string. Lowers to ONE
-        // regex built at parse time, probed once per extracted column —
+        // `parse [kind=simple|regex] Expr with [lit] name1[:type]
+        //  [lit name2[:type] …] [lit]`: each capture matches lazily up
+        // to the next literal, the last one runs to end-of-string.
+        // kind=regex treats the literal fragments as RAW regex (Kusto's
+        // regex mode); simple mode quotes them. Lowers to ONE regex
+        // built at parse time, probed once per extracted column —
         // regexp_extract is codegen'd, so the whole parse stays in the
         // scan/project pipeline.
+        val regexMode =
+          if (peekIs("kind")) {
+            expect("kind"); expect("=")
+            ident() match {
+              case "simple" => false
+              case "regex" => true
+              case other => throw new KqlParseException(s"unsupported parse kind '$other'")
+            }
+          } else false
         val src = expr()
         expect("with")
         val sb = new StringBuilder("^")
@@ -943,7 +987,13 @@ object KqlCompiler {
         while (scanning) {
           peek match {
             case Some(t) if t.kind == "str" =>
-              next(); sb ++= java.util.regex.Pattern.quote(t.text)
+              next()
+              if (regexMode) {
+                // raw fragment may contain its own capturing groups —
+                // advance the group counter so named captures still map
+                group += java.util.regex.Pattern.compile(t.text).matcher("").groupCount()
+                sb ++= t.text
+              } else sb ++= java.util.regex.Pattern.quote(t.text)
             case Some(t) if t.kind == "sym" && t.text == "*" =>
               // non-capturing skip (lazy up to the next literal)
               next(); sb ++= (if (peek.exists(_.kind == "str")) ".*?" else ".*")
@@ -1677,6 +1727,17 @@ object KqlCompiler {
         }
         return df => regexp_replace(e(df), pat, "")
       }
+      if (name == "binary_shift_left" || name == "binary_shift_right") {
+        // shift count is a parse-time literal (Spark's shiftleft/right
+        // take Int); Kusto usage is literal in practice
+        val e = expr(); expect(",")
+        val n = number(); expect(")")
+        val left = name == "binary_shift_left"
+        return df => {
+          val v = e(df).cast("long")
+          if (left) shiftleft(v, n) else shiftright(v, n)
+        }
+      }
       if (name == "translate") {
         // Kusto translate(searchList, replacementList, source) — note
         // the source-LAST argument order. The character lists must be
@@ -1898,6 +1959,15 @@ object KqlCompiler {
           (array_position(args(0)(df), args(1)(df)) - lit(1L)).cast("long")
         case "arg_max" => arity(2); df => Kql.argMax(args(0)(df), args(1)(df))
         case "arg_min" => arity(2); df => Kql.argMin(args(0)(df), args(1)(df))
+        // bitwise family (Kusto binary_*; long-typed as in Kusto)
+        case "binary_and" => arity(2); df =>
+          args(0)(df).cast("long").bitwiseAND(args(1)(df).cast("long"))
+        case "binary_or" => arity(2); df =>
+          args(0)(df).cast("long").bitwiseOR(args(1)(df).cast("long"))
+        case "binary_xor" => arity(2); df =>
+          args(0)(df).cast("long").bitwiseXOR(args(1)(df).cast("long"))
+        case "binary_not" => arity(1); df => bitwise_not(args.head(df).cast("long"))
+        case "bitset_count_ones" => arity(1); df => bit_count(args.head(df)).cast("long")
         // ---- scalar ring 5: url/hash/array-set family ----
         // Kusto url_encode is form-style ('+' for space); the _component
         // variant is RFC-3986 percent-style — both codegen'd builtins.

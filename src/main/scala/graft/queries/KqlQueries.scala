@@ -455,6 +455,22 @@ object KqlQueries extends QueryModule {
           |events | invoke daily() | order by event_type asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // ring 6: parse kind=regex (raw regex fragments), mv-expand with
+    // item index + element typing, bitwise binary_* family — all inside
+    // the scan/project codegen span except the explode itself.
+    "q102_kql_text_ring6" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | parse kind=regex props with '.*"k": ' kv:long '\\}'
+          | | extend arr = pack_array(kv, event_id % 9)
+          | | mv-expand with_itemindex=ix arr to typeof(long)
+          | | extend ba = binary_and(event_id, 255), bx = binary_xor(arr, 15),
+          |          sl = binary_shift_left(arr, 3), sr = binary_shift_right(event_id, 4),
+          |          bc = bitset_count_ones(arr)
+          | | project event_id, ix, arr, ba, bx, sl, sr, bc
+          | | order by event_id asc, ix asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // facet by — per-column distinct-value/count tables (one hash agg per
     // facet column), merged as (facet_column, value, count_) strings.
     "q93_kql_text_facet" -> ((s, dir) =>
@@ -756,6 +772,20 @@ object KqlQueries extends QueryModule {
            SELECT event_type, count(*) AS n, round(sum(value), 6) AS v, 'lo' AS fork_source
            FROM events WHERE value < 50 GROUP BY event_type)
          ORDER BY fork_source, event_type""",
+
+    "q102_kql_text_ring6" ->
+      """WITH base AS (
+           SELECT event_id,
+                  CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS kv
+           FROM events),
+         expanded AS (
+           SELECT event_id, 0::BIGINT AS ix, kv AS arr FROM base
+           UNION ALL
+           SELECT event_id, 1::BIGINT AS ix, event_id % 9 AS arr FROM base)
+         SELECT event_id, ix, arr,
+                event_id & 255 AS ba, xor(arr, 15::BIGINT) AS bx, arr << 3 AS sl,
+                event_id >> 4 AS sr, bit_count(arr)::BIGINT AS bc
+         FROM expanded ORDER BY event_id, ix""",
 
     "q101_kql_text_invoke" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 6) AS v

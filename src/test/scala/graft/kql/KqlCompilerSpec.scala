@@ -565,6 +565,32 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(("other", 1L), ("union", 5L)))
   }
 
+  test("ring 6: parse kind=regex, mv-expand extensions, bitwise family") {
+    // regex-mode parse: fragments are raw regex, captures still typed
+    val p = run("""t | where status startswith 'err'
+                   | parse kind=regex status with 'err-' kind:string '\\z'
+                   | project id, kind | order by id asc""").collect()
+    assert(p.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "timeout"), (3L, "refused")))
+    // a fragment with its OWN capturing group must not shift named captures
+    val g = run("""t | where id == 1 | parse kind=regex status with '(e|E)rr-' kind:string ''
+                   | project kind""").head()
+    assert(g.getString(0) == "timeout")
+    // mv-expand: with_itemindex + to typeof + per-row limit
+    val m = run("""t | where id <= 2 | extend a = split(status, '-')
+                   | mv-expand with_itemindex=ix a to typeof(string) limit 2
+                   | project id, ix, a | order by id asc, ix asc""").collect()
+    assert(m.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ==
+      Seq((1L, 0L, "err"), (1L, 1L, "timeout"), (2L, 0L, "ok")))
+    // bitwise
+    val b = run("""t | where id == 3
+                   | project a = binary_and(id, 1), o = binary_or(id, 4), x = binary_xor(id, 1),
+                             n = binary_not(0), sl = binary_shift_left(id, 2),
+                             sr = binary_shift_right(12, 2), bc = bitset_count_ones(7)""").head()
+    assert(b.getLong(0) == 1L && b.getLong(1) == 7L && b.getLong(2) == 2L)
+    assert(b.getLong(3) == -1L && b.getLong(4) == 12L && b.getLong(5) == 3L && b.getLong(6) == 3L)
+  }
+
   test("lambda lets + invoke, dynamic object literals") {
     // tabular lambda applied mid-pipeline; outer scope stays resolvable
     val r = run("""let big = (T:(*)) { T | where value >= 50 | extend tag = strcat(name, '!') };
