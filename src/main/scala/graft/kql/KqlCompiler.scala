@@ -1787,6 +1787,55 @@ object KqlCompiler {
             if (bIsArray) zip_with(a, b, (x, y) => op(x, y))
             else transform(a, x => op(x, b))
           }
+        // elementwise unary series math — map-only array lambdas
+        case "series_abs" | "series_exp" | "series_log" | "series_sqrt" |
+             "series_sign" | "series_sin" | "series_cos" | "series_tan" =>
+          arity(1)
+          df => transform(args.head(df), x => name match {
+            case "series_abs" => abs(x.cast("double"))
+            case "series_exp" => exp(x.cast("double"))
+            case "series_log" => log(x.cast("double"))
+            case "series_sqrt" => sqrt(x.cast("double"))
+            case "series_sign" => signum(x.cast("double"))
+            case "series_sin" => sin(x.cast("double"))
+            case "series_cos" => cos(x.cast("double"))
+            case _ => tan(x.cast("double"))
+          })
+        case "series_pow" =>
+          arity(2)
+          df => {
+            val (a, b) = (args(0)(df), args(1)(df))
+            import org.apache.spark.sql.types.ArrayType
+            val bIsArray = dataTypeOf(df, b).exists(_.isInstanceOf[ArrayType])
+            if (bIsArray) zip_with(a, b, (x, y) => pow(x.cast("double"), y.cast("double")))
+            else transform(a, x => pow(x.cast("double"), b.cast("double")))
+          }
+        // series_fir(x, filter [, normalize]): causal FIR — the first
+        // coefficient multiplies the CURRENT sample, out-of-range
+        // history reads as 0, output length = input length. normalize
+        // divides the filter by its sum (Kusto's default when every
+        // coefficient is non-negative). Pure nested array lambdas:
+        // map-only, no explode, stays in codegen.
+        case "series_fir" =>
+          if (args.length < 2 || args.length > 3)
+            throw new KqlParseException("series_fir() expects 2 or 3 arguments")
+          df => {
+            val xs = args(0)(df)
+            val f0 = args(1)(df)
+            val normalize: Column =
+              if (args.length == 3) args(2)(df)
+              else forall(f0, c => c.cast("double") >= 0)
+            val fsum = aggregate(f0, lit(0.0), (s, c) => s + c.cast("double"))
+            val fn = when(normalize && fsum =!= 0.0,
+                transform(f0, c => c.cast("double") / fsum))
+              .otherwise(transform(f0, _.cast("double")))
+            transform(sequence(lit(0), size(xs) - 1), i =>
+              aggregate(sequence(lit(0), size(fn) - 1), lit(0.0), (s, j) =>
+                s + when(i - j >= 0,
+                      element_at(xs, (i - j + 1).cast("int")).cast("double"))
+                    .otherwise(lit(0.0)) *
+                  element_at(fn, (j + 1).cast("int"))))
+          }
         case "case" =>
           if (args.length < 3 || args.length % 2 == 0)
             throw new KqlParseException("case() expects p1, v1, …, default")

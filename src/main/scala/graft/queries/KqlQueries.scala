@@ -471,6 +471,21 @@ object KqlQueries extends QueryModule {
           | | order by event_id asc, ix asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // series ring 2 over make-series output: FIR smoothing (exact halves
+    // serialize safely), irrational-valued series reduce to rounded
+    // scalar sums for cross-engine float determinism.
+    "q103_kql_text_series2" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | make-series n = count() default = 0 on ts from datetime(2024-01-03) to datetime(2024-01-27) step 2d by event_type
+          | | extend sm = series_fir(n, pack_array(1, 1), true)
+          | | project event_type, sm = tostring(sm),
+          |           lsum = round(array_sum(series_log(series_add(n, 1))), 6),
+          |           qsum = round(array_sum(series_sqrt(n)), 6),
+          |           psum = round(array_sum(series_pow(n, 2)), 6)
+          | | order by event_type asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // facet by — per-column distinct-value/count tables (one hash agg per
     // facet column), merged as (facet_column, value, count_) strings.
     "q93_kql_text_facet" -> ((s, dir) =>
@@ -772,6 +787,34 @@ object KqlQueries extends QueryModule {
            SELECT event_type, count(*) AS n, round(sum(value), 6) AS v, 'lo' AS fork_source
            FROM events WHERE value < 50 GROUP BY event_type)
          ORDER BY fork_source, event_type""",
+
+    "q103_kql_text_series2" ->
+      """WITH bins AS (SELECT i FROM unnest(range(0, 12)) AS t(i)),
+         keys AS (SELECT DISTINCT event_type FROM events
+                  WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+                    AND ts < TIMESTAMP '2024-01-27 00:00:00'),
+         agg AS (
+           SELECT event_type,
+                  (epoch_us(ts) - 1704240000000000) // 172800000000 AS i,
+                  count(*) AS c
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+             AND ts < TIMESTAMP '2024-01-27 00:00:00'
+           GROUP BY 1, 2),
+         filled AS (
+           SELECT k.event_type, b.i, coalesce(a.c, 0) AS c
+           FROM keys k CROSS JOIN bins b
+           LEFT JOIN agg a ON a.event_type = k.event_type AND a.i = b.i),
+         ser AS (
+           SELECT event_type, list(c ORDER BY i) AS n
+           FROM filled GROUP BY event_type)
+         SELECT event_type,
+                to_json(list_transform(range(1, len(n) + 1),
+                  i -> 0.5 * n[i] + CASE WHEN i > 1 THEN 0.5 * n[i-1] ELSE 0.0 END)) AS sm,
+                round(list_aggregate(list_transform(n, x -> ln(x + 1)), 'sum'), 6) AS lsum,
+                round(list_aggregate(list_transform(n, x -> sqrt(x)), 'sum'), 6) AS qsum,
+                round(CAST(list_aggregate(list_transform(n, x -> x * x), 'sum') AS DOUBLE), 6) AS psum
+         FROM ser ORDER BY event_type""",
 
     "q102_kql_text_ring6" ->
       """WITH base AS (

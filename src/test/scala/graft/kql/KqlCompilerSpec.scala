@@ -565,6 +565,29 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(("other", 1L), ("union", 5L)))
   }
 
+  test("series ring 2: unary math, series_pow, series_fir") {
+    val r = run("""t | where id == 1
+      | extend s = pack_array(1, 4, 9)
+      | project ab = series_abs(series_subtract(s, 5)),
+                sq = series_sqrt(s),
+                pw = series_pow(s, 2),
+                sg = series_sign(series_subtract(s, 4))""").head()
+    assert(r.getSeq[Double](0) == Seq(4.0, 1.0, 4.0))
+    assert(r.getSeq[Double](1) == Seq(1.0, 2.0, 3.0))
+    assert(r.getSeq[Double](2) == Seq(1.0, 16.0, 81.0))
+    assert(r.getSeq[Double](3) == Seq(-1.0, 0.0, 1.0))
+    // fir: normalized [1,1] = trailing 2-point moving average, zero-padded head
+    val f = run("""t | where id == 1
+      | extend s = pack_array(2, 4, 6, 8)
+      | project f1 = series_fir(s, pack_array(1, 1), true),
+                f2 = series_fir(s, pack_array(1, 1), false),
+                f3 = series_fir(s, pack_array(2, 2))""").head()
+    assert(f.getSeq[Double](0) == Seq(1.0, 3.0, 5.0, 7.0))   // (x[i]+x[i-1])/2
+    assert(f.getSeq[Double](1) == Seq(2.0, 6.0, 10.0, 14.0)) // unnormalized sum
+    // default normalize: all-positive filter → normalized (same as f1)
+    assert(f.getSeq[Double](2) == Seq(1.0, 3.0, 5.0, 7.0))
+  }
+
   test("ring 6: parse kind=regex, mv-expand extensions, bitwise family") {
     // regex-mode parse: fragments are raw regex, captures still typed
     val p = run("""t | where status startswith 'err'
