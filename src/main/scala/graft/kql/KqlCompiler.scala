@@ -1926,6 +1926,8 @@ object KqlCompiler {
         // Kusto hash(): xxhash64 (documented engine choice; Kusto's own
         // hash is also a 64-bit xx-family hash, values differ by seed)
         case "hash" => arity(1); df => xxhash64(args.head(df))
+        // estimate a stored/merged HLL sketch (long, like Kusto)
+        case "dcount_hll" => arity(1); df => hll_sketch_estimate(args.head(df))
         case "isempty" => arity(1); df => args.head(df).isNull || length(args.head(df)) === 0
         case "isnotempty" => arity(1); df => args.head(df).isNotNull && length(args.head(df)) > 0
         case "coalesce" => df => coalesce(args.map(_(df)): _*)
@@ -1950,6 +1952,23 @@ object KqlCompiler {
           approx_count_distinct(args.head(df), rsd(t.toInt))
         }
         case "dcount" => arity(1); df => countDistinct(args.head(df))
+        // hll()/hll_merge()/dcount_hll(): Kusto's mergeable cardinality
+        // sketches → Spark's DataSketches HLL functions. The sketch is
+        // an opaque binary column exactly as in Kusto; merge composes
+        // across groups/time windows without re-reading the data. The
+        // optional accuracy 0..4 maps to lgConfigK 12..16 (each step
+        // halves the error, mirroring the dcount accuracy ladder).
+        case "hll" =>
+          if (args.length < 1 || args.length > 2)
+            throw new KqlParseException("hll() expects 1 or 2 arguments")
+          if (args.length == 1) df => hll_sketch_agg(args.head(df))
+          else df => {
+            val t = args(1)(df).toString.stripSuffix("L")
+            if (!t.matches("\\d") || t.toInt > 4)
+              throw new KqlParseException("hll accuracy must be a literal 0..4")
+            hll_sketch_agg(args.head(df), lit(12 + t.toInt))
+          }
+        case "hll_merge" => arity(1); df => hll_union_agg(args.head(df))
         case "stdev" => arity(1); df => stddev_samp(args.head(df))
         case "variance" => arity(1); df => var_samp(args.head(df))
         // make_set is SORTED here (a determinism upgrade over Kusto's

@@ -486,6 +486,26 @@ object KqlQueries extends QueryModule {
           | | order by event_type asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // hll sketches — the gate checks the CONTRACT (sketch estimates land
+    // within 5% of exact, merged and per-group) since sketch values are
+    // engine-specific; exact dcounts hash-compare directly. toscalar()
+    // binds the corpus-wide exact total at compile time.
+    "q104_kql_text_hll" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """let exact_total = toscalar(events | summarize dcount(user_id));
+          |events
+          || summarize h = hll(user_id), exact = dcount(user_id) by event_type
+          || as per_type
+          || summarize merged = dcount_hll(hll_merge(h)), groups = count()
+          || extend total_ok = iff(abs(todouble(merged) / exact_total - 1.0) < 0.05, 1, 0), k = 1
+          || join kind=inner (per_type
+          |    | project event_type, exact,
+          |              grp_ok = iff(abs(todouble(dcount_hll(h)) / exact - 1.0) < 0.05, 1, 0)
+          |    | extend k = 1) on k
+          || project event_type, exact, grp_ok, groups, total_ok
+          || order by event_type asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // facet by — per-column distinct-value/count tables (one hash agg per
     // facet column), merged as (facet_column, value, count_) strings.
     "q93_kql_text_facet" -> ((s, dir) =>
@@ -787,6 +807,12 @@ object KqlQueries extends QueryModule {
            SELECT event_type, count(*) AS n, round(sum(value), 6) AS v, 'lo' AS fork_source
            FROM events WHERE value < 50 GROUP BY event_type)
          ORDER BY fork_source, event_type""",
+
+    "q104_kql_text_hll" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact, 1::BIGINT AS grp_ok,
+                (SELECT count(DISTINCT event_type) FROM events)::BIGINT AS groups,
+                1::BIGINT AS total_ok
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q103_kql_text_series2" ->
       """WITH bins AS (SELECT i FROM unnest(range(0, 12)) AS t(i)),

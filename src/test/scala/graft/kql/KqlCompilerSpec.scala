@@ -565,6 +565,16 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(("other", 1L), ("union", 5L)))
   }
 
+  test("hll / hll_merge / dcount_hll: mergeable cardinality sketches") {
+    // small exact cardinalities: HLL at lgConfigK>=12 is exact-ish here
+    val r = run("""t | summarize h = hll(name) by status
+                   | summarize total = dcount_hll(hll_merge(h)), groups = count()""").head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 4L) // 3 names across 4 statuses
+    val acc = run("t | summarize e = dcount_hll(hll(id, 4))").head()
+    assert(acc.getLong(0) == 5L)
+    assertThrows[KqlParseException](run("t | summarize e = hll(id, 9)"))
+  }
+
   test("series ring 2: unary math, series_pow, series_fir") {
     val r = run("""t | where id == 1
       | extend s = pack_array(1, 4, 9)
