@@ -629,11 +629,25 @@ object KqlCompiler {
             }
           case other => throw new KqlParseException(s"unsupported operator 'top-$other'")
         }
-        final case class Level(n: Int, colName: String, aggName: String, aggB: ColB)
+        final case class Level(n: Int, colName: String, aggName: String, aggB: ColB,
+                               others: Option[String], fn: Option[String])
         def level(): Level = {
-          val n = number(); expect("of"); val c = ident(); expect("by")
+          val n = number(); expect("of"); val c = ident()
+          // `with others = 'label'`: everything NOT in the top N rolls
+          // into one labeled bucket row (supported on the last level —
+          // the dominant "top N + rest" dashboard shape)
+          val others =
+            if (peekIs("with")) {
+              expect("with"); expect("others"); expect("=")
+              val t = next()
+              if (t.kind != "str")
+                throw new KqlParseException("top-nested others label must be a string literal")
+              Some(t.text)
+            } else None
+          expect("by")
           val an = ident(); expect("=")
-          Level(n, c, an, expr())
+          val fn = peek.filter(_.kind == "id").map(_.text)
+          Level(n, c, an, expr(), others, fn)
         }
         val levels = List.newBuilder[Level]
         levels += level()
@@ -659,8 +673,33 @@ object KqlCompiler {
           val w =
             if (keys.isEmpty) sqlW.orderBy(col(lv.aggName).desc, col(lv.colName).asc)
             else sqlW.partitionBy(keys.map(col): _*).orderBy(col(lv.aggName).desc, col(lv.colName).asc)
-          acc = joined.withColumn("__rn", row_number().over(w))
-            .where(col("__rn") <= lv.n).drop("__rn")
+          val ranked = joined.withColumn("__rn", row_number().over(w))
+          val winners = ranked.where(col("__rn") <= lv.n).drop("__rn")
+          acc = lv.others match {
+            case None => winners
+            case Some(label) =>
+              val isLast = lv eq levels.result().last
+              if (!isLast)
+                throw new KqlParseException("top-nested 'with others' is supported on the last level only")
+              // the excluded groups re-aggregate per parent; count/sum/
+              // min/max compose from the per-group aggregates (avg and
+              // dcount do not — loud error rather than a wrong number)
+              val combined = lv.fn match {
+                case Some("count") | Some("sum") => sum(col(lv.aggName))
+                case Some("min") => min(col(lv.aggName))
+                case Some("max") => max(col(lv.aggName))
+                case other => throw new KqlParseException(
+                  s"top-nested with others supports count/sum/min/max, got '${other.getOrElse("?")}'")
+              }
+              val losers = ranked.where(col("__rn") > lv.n).drop("__rn")
+              val parentCols = keys ++ prevAggs
+              val otherAgg =
+                if (parentCols.isEmpty) losers.agg(combined.as(lv.aggName))
+                else losers.groupBy(parentCols.map(col): _*).agg(combined.as(lv.aggName))
+              val colType = joined.schema(lv.colName).dataType
+              val othersDf = otherAgg.withColumn(lv.colName, lit(label).cast(colType))
+              winners.unionByName(othersDf.select(winners.columns.map(col): _*))
+          }
           keys = keys :+ lv.colName
           prevAggs = prevAggs :+ lv.aggName
         }
@@ -729,6 +768,25 @@ object KqlCompiler {
               case vs => grouped.pivot(pcol, vs)
             }
             piv.agg(aggC)
+          case "narrow" =>
+            // `evaluate narrow()` — transpose to (Row, Column, Value)
+            // with every value as string (Kusto's debug/display shape).
+            // Row ids come from row_number over the preceding sort —
+            // like serialize, a distributed engine has no stable natural
+            // order, so an explicit order by is required. Lowered as ONE
+            // explode of a per-row struct array: no shuffle beyond the
+            // serialization window.
+            expect(")")
+            if (lastOrder.isEmpty)
+              throw new KqlParseException(
+                "evaluate narrow() requires a preceding 'order by' (no stable natural order)")
+            val items = lastOrder.get
+            val w = org.apache.spark.sql.expressions.Window.orderBy(items.map(_(df)): _*)
+            val pairs = array(df.columns.map(c =>
+              struct(lit(c).as("Column"), col(c).cast("string").as("Value"))): _*)
+            df.withColumn("Row", (row_number().over(w) - 1).cast("long"))
+              .select(col("Row"), explode(pairs).as("__p"))
+              .select(col("Row"), col("__p.Column").as("Column"), col("__p.Value").as("Value"))
           case "bag_unpack" =>
             // `evaluate bag_unpack(Col [, 'prefix'])` — expand a dynamic
             // (JSON-text) column into one typed column per key, dropping

@@ -506,6 +506,27 @@ object KqlQueries extends QueryModule {
           || order by event_type asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // top-nested with others — top-N + labeled rest bucket (the rest
+    // re-aggregates from the per-group aggregates: one extra hash agg,
+    // no second scan).
+    "q105_kql_text_topothers" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | top-nested 3 of event_type with others = 'rest' by n = count()
+          | | order by event_type asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // evaluate narrow — (Row, Column, Value) transpose over an explicit
+    // serialization order; one struct-array explode, values stringified.
+    "q106_kql_text_narrow" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | order by event_id asc | take 5
+          | | project event_id, event_type, user_id
+          | | evaluate narrow()
+          | | order by Row asc, Column asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // facet by — per-column distinct-value/count tables (one hash agg per
     // facet column), merged as (facet_column, value, count_) strings.
     "q93_kql_text_facet" -> ((s, dir) =>
@@ -807,6 +828,27 @@ object KqlQueries extends QueryModule {
            SELECT event_type, count(*) AS n, round(sum(value), 6) AS v, 'lo' AS fork_source
            FROM events WHERE value < 50 GROUP BY event_type)
          ORDER BY fork_source, event_type""",
+
+    "q105_kql_text_topothers" ->
+      """WITH g AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type),
+         r AS (SELECT *, row_number() OVER (ORDER BY n DESC, event_type ASC) AS rn FROM g)
+         SELECT * FROM (
+           SELECT event_type, n FROM r WHERE rn <= 3
+           UNION ALL
+           SELECT 'rest' AS event_type, sum(n)::BIGINT AS n FROM r WHERE rn > 3)
+         ORDER BY event_type""",
+
+    "q106_kql_text_narrow" ->
+      """WITH top5 AS (
+           SELECT event_id, event_type, user_id FROM events ORDER BY event_id LIMIT 5),
+         num AS (SELECT *, row_number() OVER (ORDER BY event_id) - 1 AS "Row" FROM top5)
+         SELECT * FROM (
+           SELECT "Row", 'event_id' AS "Column", CAST(event_id AS VARCHAR) AS "Value" FROM num
+           UNION ALL
+           SELECT "Row", 'event_type' AS "Column", event_type AS "Value" FROM num
+           UNION ALL
+           SELECT "Row", 'user_id' AS "Column", CAST(user_id AS VARCHAR) AS "Value" FROM num)
+         ORDER BY "Row", "Column"""",
 
     "q104_kql_text_hll" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact, 1::BIGINT AS grp_ok,

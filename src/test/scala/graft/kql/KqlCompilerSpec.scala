@@ -565,6 +565,28 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(("other", 1L), ("union", 5L)))
   }
 
+  test("top-nested with others + evaluate narrow") {
+    // names by count: alpha 2, beta 2, gamma 1 → top 2 = alpha/beta, others = gamma
+    val t2 = run("""t | top-nested 2 of name with others = 'rest' by cnt = count()
+                    | order by name asc""").collect()
+    assert(t2.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("alpha", 2L), ("beta", 2L), ("rest", 1L)))
+    // sum aggregate composes too
+    val s2 = run("""t | top-nested 1 of name with others = 'rest' by v = sum(value)
+                    | order by name asc""").collect()
+    assert(s2.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("beta", 125.0), ("rest", 125.0))) // beta 55+70; alpha 105 + gamma 20
+    // avg cannot compose from group aggregates — loud error
+    assertThrows[KqlParseException](
+      run("t | top-nested 1 of name with others = 'rest' by a = avg(value)"))
+    // narrow: (Row, Column, Value) strings over the serialized order
+    val n = run("""t | where id <= 2 | project id, name | order by id asc
+                   | evaluate narrow() | order by Row asc, Column asc""").collect()
+    assert(n.map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq((0L, "id", "1"), (0L, "name", "alpha"), (1L, "id", "2"), (1L, "name", "beta")))
+    assertThrows[KqlParseException](run("t | evaluate narrow()"))
+  }
+
   test("hll / hll_merge / dcount_hll: mergeable cardinality sketches") {
     // small exact cardinalities: HLL at lgConfigK>=12 is exact-ish here
     val r = run("""t | summarize h = hll(name) by status
