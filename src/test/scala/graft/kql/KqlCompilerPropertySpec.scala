@@ -119,6 +119,15 @@ class KqlCompilerPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       df => df),
     ("where hash_sha256(name) != hash_md5(name)",
       df => df),
+    // ring-6 invariants
+    ("where binary_xor(id, 0) == id and binary_and(id, -1) == id",
+      df => df),
+    ("where binary_shift_right(binary_shift_left(id, 3), 3) == id",
+      df => df),
+    ("sample 999",
+      df => df), // N ≥ rows: the full frame survives (order-insensitive compare)
+    ("where bitset_count_ones(binary_or(id, id)) == bitset_count_ones(id)",
+      df => df),
     ("where strcat_delim('-', name, status) == strcat(name, '-', status)",
       df => df),
     ("mv-apply c = split(status, '-') on ( where strlen(c) >= 3 | summarize zz = count() ) | where zz >= 1 | project-away zz",
