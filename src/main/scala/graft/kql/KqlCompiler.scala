@@ -1023,10 +1023,18 @@ object KqlCompiler {
         //  [lit name2[:type] …] [lit]`: each capture matches lazily up
         // to the next literal, the last one runs to end-of-string.
         // kind=regex treats the literal fragments as RAW regex (Kusto's
-        // regex mode); simple mode quotes them. Lowers to ONE regex
-        // built at parse time, probed once per extracted column —
+        // regex mode); simple mode quotes them. `parse-where` is the
+        // filtering variant: rows that don't match the pattern are
+        // DROPPED instead of null-filled. Lowers to ONE regex built at
+        // parse time, probed once per extracted column —
         // regexp_extract is codegen'd, so the whole parse stays in the
         // scan/project pipeline.
+        val dropNonMatching =
+          if (peekIs("-")) {
+            expect("-")
+            if (ident() != "where") throw new KqlParseException("expected 'parse-where'")
+            true
+          } else false
         val regexMode =
           if (peekIs("kind")) {
             expect("kind"); expect("=")
@@ -1068,7 +1076,8 @@ object KqlCompiler {
         }
         sb ++= "$"
         val pattern = sb.toString
-        cols.result().foldLeft(df) { case (d, (name, g, tpe)) =>
+        val base = if (dropNonMatching) df.filter(regexp_like(src(df), lit(pattern))) else df
+        cols.result().foldLeft(base) { case (d, (name, g, tpe)) =>
           val raw = regexp_extract(src(d), pattern, g)
           d.withColumn(name, tpe.fold(raw) {
             case "long" | "int" => raw.cast("long")
@@ -1734,6 +1743,18 @@ object KqlCompiler {
             val arr = split(e(df), pat)
             when(size(arr) > i, element_at(arr, i + 1))
           }
+        }
+      }
+      if (name == "row_rank_min" || name == "row_rank_dense") {
+        // value-based ranks over the Term's own order (≡ Kusto's
+        // run-based ranks whenever the frame is serialized by Term —
+        // the documented usage; value-based keeps them deterministic
+        // even when it is not)
+        val e = expr(); expect(")")
+        val dense = name == "row_rank_dense"
+        return df => {
+          val w = org.apache.spark.sql.expressions.Window.orderBy(e(df).asc)
+          (if (dense) dense_rank() else rank()).over(w).cast("long")
         }
       }
       if (name == "countof") {

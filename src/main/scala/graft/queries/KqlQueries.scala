@@ -527,6 +527,21 @@ object KqlQueries extends QueryModule {
           | | order by Row asc, Column asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // ring 7: parse-where (filtering parse, regex lookahead) + value
+    // ranks. The lookahead keeps only two-digit k values; ranks are over
+    // the type-filtered frame before the parse filter.
+    "q107_kql_text_ring7" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_type in ('click', 'view')
+          | | order by event_type asc, event_id asc
+          | | serialize
+          | | extend rm = row_rank_min(event_type), rd = row_rank_dense(event_type)
+          | | parse-where kind=regex props with '.*"k": (?=\\d\\d\\})' kv:long '\\}'
+          | | project event_id, event_type, rm, rd, kv
+          | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // facet by — per-column distinct-value/count tables (one hash agg per
     // facet column), merged as (facet_column, value, count_) strings.
     "q93_kql_text_facet" -> ((s, dir) =>
@@ -828,6 +843,17 @@ object KqlQueries extends QueryModule {
            SELECT event_type, count(*) AS n, round(sum(value), 6) AS v, 'lo' AS fork_source
            FROM events WHERE value < 50 GROUP BY event_type)
          ORDER BY fork_source, event_type""",
+
+    "q107_kql_text_ring7" ->
+      """WITH typed AS (
+           SELECT event_id, event_type,
+                  CAST(props->>'k' AS BIGINT) AS kv,
+                  rank() OVER (ORDER BY event_type) AS rm,
+                  dense_rank() OVER (ORDER BY event_type) AS rd
+           FROM events WHERE event_type IN ('click', 'view'))
+         SELECT event_id, event_type, rm::BIGINT AS rm, rd::BIGINT AS rd, kv
+         FROM typed WHERE kv BETWEEN 10 AND 99
+         ORDER BY event_id""",
 
     "q105_kql_text_topothers" ->
       """WITH g AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type),

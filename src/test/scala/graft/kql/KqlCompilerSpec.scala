@@ -565,6 +565,26 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(("other", 1L), ("union", 5L)))
   }
 
+  test("parse-where drops non-matching rows; row_rank_min/dense") {
+    // only err-* statuses match → 2 rows survive with typed captures
+    val p = run("""t | parse-where status with 'err-' kind:string
+                   | project id, kind | order by id asc""").collect()
+    assert(p.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "timeout"), (3L, "refused")))
+    // plain parse keeps all 5 rows (empty capture for non-matches)
+    assert(run("t | parse status with 'err-' kind:string").count() == 5)
+    // regex-mode parse-where with a lookahead constraint
+    val lw = run("""t | parse-where kind=regex status with 'err-(?=t)' kind:string
+                    | project kind""").collect()
+    assert(lw.map(_.getString(0)).toSeq == Seq("timeout"))
+    // ranks: values 10,55,95,20,70 → name groups alpha(2),beta(2),gamma(1)
+    val r = run("""t | order by name asc, id asc | serialize
+                   | extend rm = row_rank_min(name), rd = row_rank_dense(name)
+                   | project name, rm, rd | order by rm asc, name asc""").collect()
+    assert(r.map(x => (x.getString(0), x.getLong(1), x.getLong(2))).distinct.toSeq ==
+      Seq(("alpha", 1L, 1L), ("beta", 3L, 2L), ("gamma", 5L, 3L)))
+  }
+
   test("top-nested with others + evaluate narrow") {
     // names by count: alpha 2, beta 2, gamma 1 → top 2 = alpha/beta, others = gamma
     val t2 = run("""t | top-nested 2 of name with others = 'rest' by cnt = count()
