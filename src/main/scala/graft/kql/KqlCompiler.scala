@@ -1745,6 +1745,82 @@ object KqlCompiler {
           }
         }
       }
+      if (name == "datetime_add" || name == "datetime_diff" || name == "datetime_part") {
+        // part is a parse-time string literal (Kusto usage). add is
+        // calendar-aware (month arithmetic clamps end-of-month, time of
+        // day preserved); diff counts BOUNDARY CROSSINGS (Kusto's
+        // documented semantics — truncate both ends to the period grid,
+        // then count grid steps), part extracts the component.
+        val pt = next()
+        if (pt.kind != "str") throw new KqlParseException(s"$name() period must be a string literal")
+        val part = pt.text.toLowerCase
+        expect(",")
+        if (name == "datetime_add") {
+          val amt = expr(); expect(","); val dt = expr(); expect(")")
+          // calendar units ride add_months on the date part (clamps
+          // end-of-month, as Kusto does) with the time of day
+          // re-attached; fixed-width units are plain micros arithmetic
+          val monthsPer = Map("year" -> 12, "quarter" -> 3, "month" -> 1)
+          val usPer = Map(
+            "week" -> 7L * 86400000000L, "day" -> 86400000000L,
+            "hour" -> 3600000000L, "minute" -> 60000000L, "second" -> 1000000L,
+            "millisecond" -> 1000L, "microsecond" -> 1L)
+          if (monthsPer.contains(part)) {
+            val k = monthsPer(part)
+            return df => {
+              val c = dt(df)
+              val tod = unix_micros(c) - unix_micros(date_trunc("day", c))
+              val nd = add_months(to_date(c), (amt(df) * lit(k)).cast("int"))
+              timestamp_micros(unix_micros(nd.cast("timestamp")) + tod)
+            }
+          }
+          if (usPer.contains(part))
+            return df =>
+              timestamp_micros(unix_micros(dt(df)) + amt(df).cast("long") * lit(usPer(part)))
+          throw new KqlParseException(s"unsupported datetime_add period '$part'")
+        }
+        if (name == "datetime_diff") {
+          val aB = expr(); expect(","); val bB = expr(); expect(")")
+          return df => {
+            val (a, b) = (aB(df), bB(df))
+            def monthsOf(c: Column) = year(c) * 12 + month(c) - 1
+            part match {
+              case "year" => (year(a) - year(b)).cast("long")
+              case "quarter" => (monthsOf(a) / 3 - monthsOf(b) / 3).cast("long")
+              case "month" => (monthsOf(a) - monthsOf(b)).cast("long")
+              case "week" | "day" | "hour" | "minute" | "second" | "millisecond" | "microsecond" =>
+                val us = part match {
+                  case "week" => 7L * 86400000000L
+                  case "day" => 86400000000L
+                  case "hour" => 3600000000L
+                  case "minute" => 60000000L
+                  case "second" => 1000000L
+                  case "millisecond" => 1000L
+                  case _ => 1L
+                }
+                // week grid anchors on Monday (date_trunc week); others
+                // divide the epoch-grid truncation directly
+                val (ga, gb) =
+                  if (part == "week") (unix_micros(date_trunc("week", a)), unix_micros(date_trunc("week", b)))
+                  else (unix_micros(a) - pmod(unix_micros(a), lit(us)),
+                        unix_micros(b) - pmod(unix_micros(b), lit(us)))
+                ((ga - gb) / lit(us)).cast("long")
+              case other => throw new KqlParseException(s"unsupported datetime_diff period '$other'")
+            }
+          }
+        }
+        val dtB = expr(); expect(")")
+        return df => {
+          val c = dtB(df)
+          (part match {
+            case "year" => year(c); case "quarter" => quarter(c); case "month" => month(c)
+            case "week" | "week_of_year" => weekofyear(c)
+            case "day" => dayofmonth(c); case "dayofyear" => dayofyear(c)
+            case "hour" => hour(c); case "minute" => minute(c); case "second" => second(c)
+            case other => throw new KqlParseException(s"unsupported datetime_part '$other'")
+          }).cast("long")
+        }
+      }
       if (name == "row_rank_min" || name == "row_rank_dense") {
         // value-based ranks over the Term's own order (≡ Kusto's
         // run-based ranks whenever the frame is serialized by Term —
@@ -1964,7 +2040,9 @@ object KqlCompiler {
         case "startofyear" => arity(1); df => date_trunc("year", args.head(df))
         // datetime part extractors (UTC, as the engine pins session tz)
         case "getyear" => arity(1); df => year(args.head(df)).cast("long")
-        case "getmonth" => arity(1); df => month(args.head(df)).cast("long")
+        case "getmonth" | "monthofyear" => arity(1); df => month(args.head(df)).cast("long")
+        case "dayofyear" => arity(1); df => dayofyear(args.head(df)).cast("long")
+        case "week_of_year" | "weekofyear" => arity(1); df => weekofyear(args.head(df)).cast("long")
         case "dayofmonth" => arity(1); df => dayofmonth(args.head(df)).cast("long")
         case "hourofday" => arity(1); df => hour(args.head(df)).cast("long")
         // Kusto dayofweek returns a TIMESPAN since week start (Sunday) —

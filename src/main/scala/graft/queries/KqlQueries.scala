@@ -542,6 +542,21 @@ object KqlQueries extends QueryModule {
           | | order by event_id asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // datetime ring 2: datetime_add (calendar-aware, clamping) /
+    // datetime_diff (boundary-crossing counts — Kusto + DuckDB
+    // semantics) / datetime_part + extra date parts. All map-only.
+    "q108_kql_text_datetime2" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | extend d1 = datetime_add('day', 3, ts), m1 = datetime_add('month', 1, ts),
+          |          dd = datetime_diff('hour', datetime(2024-02-01), ts),
+          |          dw = datetime_diff('day', datetime(2024-02-01), ts),
+          |          pm = datetime_part('month', ts),
+          |          my = monthofyear(ts), dy = dayofyear(ts), wy = week_of_year(ts)
+          | | project event_id, d1, m1, dd, dw, pm, my, dy, wy
+          | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // facet by — per-column distinct-value/count tables (one hash agg per
     // facet column), merged as (facet_column, value, count_) strings.
     "q93_kql_text_facet" -> ((s, dir) =>
@@ -843,6 +858,18 @@ object KqlQueries extends QueryModule {
            SELECT event_type, count(*) AS n, round(sum(value), 6) AS v, 'lo' AS fork_source
            FROM events WHERE value < 50 GROUP BY event_type)
          ORDER BY fork_source, event_type""",
+
+    "q108_kql_text_datetime2" ->
+      """SELECT event_id,
+                ts + INTERVAL 3 DAY AS d1,
+                ts + INTERVAL 1 MONTH AS m1,
+                date_diff('hour', ts, TIMESTAMP '2024-02-01 00:00:00')::BIGINT AS dd,
+                date_diff('day', ts, TIMESTAMP '2024-02-01 00:00:00')::BIGINT AS dw,
+                month(ts)::BIGINT AS pm,
+                month(ts)::BIGINT AS my,
+                dayofyear(ts)::BIGINT AS dy,
+                weekofyear(ts)::BIGINT AS wy
+         FROM events ORDER BY event_id""",
 
     "q107_kql_text_ring7" ->
       """WITH typed AS (

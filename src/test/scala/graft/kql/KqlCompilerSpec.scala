@@ -565,6 +565,28 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(("other", 1L), ("union", 5L)))
   }
 
+  test("datetime_add / datetime_diff (boundary semantics) / datetime_part") {
+    val r = run("""t | where id == 1
+      | extend base = datetime(2024-01-31T22:30:00Z)
+      | project a1 = datetime_add('month', 1, base),
+                a2 = datetime_add('day', 2, base),
+                a3 = datetime_add('hour', 3, base),
+                d1 = datetime_diff('hour', datetime(2024-02-01T00:10:00Z), base),
+                d2 = datetime_diff('day', datetime(2024-02-01T00:10:00Z), base),
+                d3 = datetime_diff('month', datetime(2024-03-02), datetime(2024-02-27)),
+                d4 = datetime_diff('year', datetime(2025-01-01), datetime(2024-12-31)),
+                p1 = datetime_part('month', base), p2 = datetime_part('hour', base),
+                my = monthofyear(base), dy = dayofyear(base), wy = week_of_year(base)""").head()
+    def ts(i: Int) = r.getTimestamp(i).toInstant.toString
+    assert(ts(0) == "2024-02-29T22:30:00Z") // month add clamps end-of-month
+    assert(ts(1) == "2024-02-02T22:30:00Z" && ts(2) == "2024-02-01T01:30:00Z")
+    // boundary semantics: 22:30 → 00:10 crosses 2 hour boundaries, 1 day boundary
+    assert(r.getLong(3) == 2L && r.getLong(4) == 1L)
+    assert(r.getLong(5) == 1L && r.getLong(6) == 1L) // month/year boundary counts
+    assert(r.getLong(7) == 1L && r.getLong(8) == 22L)
+    assert(r.getLong(9) == 1L && r.getLong(10) == 31L && r.getLong(11) == 5L)
+  }
+
   test("parse-where drops non-matching rows; row_rank_min/dense") {
     // only err-* statuses match → 2 rows survive with typed captures
     val p = run("""t | parse-where status with 'err-' kind:string
