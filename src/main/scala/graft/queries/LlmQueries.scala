@@ -1892,6 +1892,49 @@ object LlmQueries extends QueryModule {
     ORDER BY bm25 DESC, doc_id
     LIMIT 20"""
 
+  // -------------------------------------------------- Zipf-law audit
+
+  /** q109 — rank-frequency Zipf audit: the slope of log(freq) vs
+    * log(rank) over the top-200 terms should sit near −1 for natural
+    * language; a corpus that drifts far off is template/boilerplate
+    * heavy (or synthetically generated) — a standard pretraining-corpus
+    * health check. One term-freq hash agg (Zipf head absorbs map-side),
+    * a top-k, a rank window over ≤200 rows, one regr_slope aggregate —
+    * nothing scales with corpus size past the first agg. */
+  private val zipfSql = """
+    WITH tf AS (
+      SELECT tok, count(1) AS f
+      FROM (SELECT explode(split(lower(text), '\\s+')) AS tok FROM documents)
+      WHERE tok != ''
+      GROUP BY tok
+      ORDER BY f DESC, tok ASC
+      LIMIT 200),
+    ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, tok ASC) AS r FROM tf)
+    SELECT round(regr_slope(ln(f), ln(r)), 6) AS zipf_slope,
+           round(regr_r2(ln(f), ln(r)), 6) AS fit_r2,
+           count(1) AS n_terms,
+           CASE WHEN regr_slope(ln(f), ln(r)) BETWEEN -2.0 AND -0.3
+                THEN 1 ELSE 0 END AS looks_natural
+    FROM ranked"""
+
+  private val zipfOracle = """
+    WITH tf AS (
+      SELECT tok, count(*) AS f
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+      WHERE tok != ''
+      GROUP BY tok
+      ORDER BY f DESC, tok ASC
+      LIMIT 200),
+    ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, tok ASC) AS r FROM tf)
+    SELECT round(regr_slope(ln(f), ln(r)), 6) AS zipf_slope,
+           round(regr_r2(ln(f), ln(r)), 6) AS fit_r2,
+           count(*) AS n_terms,
+           (CASE WHEN regr_slope(ln(f), ln(r)) BETWEEN -2.0 AND -0.3
+                 THEN 1 ELSE 0 END)::BIGINT AS looks_natural
+    FROM ranked"""
+
   // ------------------------------------------------------- BPE tokenizer
 
   /** q97/q98/q99 — distributed BPE tokenizer over `documents`
@@ -1971,6 +2014,7 @@ object LlmQueries extends QueryModule {
     "q89_train_split" -> sqlQuery(docs, splitSql),
     "q90_matryoshka_ann" -> sqlQuery(embs, matryoshkaAnnSql),
     "q91_compression_ratio" -> sqlQuery(docs, compressionSql),
+    "q109_zipf_audit" -> sqlQuery(docs, zipfSql),
     "q97_bpe_pairs" -> (bpePairs(_, _)),
     "q98_bpe_vocab" -> (bpeVocab(_, _)),
     "q99_bpe_tokenize" -> (bpeTokenize(_, _)))
@@ -2015,5 +2059,6 @@ object LlmQueries extends QueryModule {
     // q98/q99 deliberately absent: iterative BPE training is not
     // one-query SQL-expressible → rows-only gate (BpeSpec pins exact
     // semantics against a hand-computed merge sequence).
-    "q97_bpe_pairs" -> bpePairsOracle)
+    "q97_bpe_pairs" -> bpePairsOracle,
+    "q109_zipf_audit" -> zipfOracle)
 }
