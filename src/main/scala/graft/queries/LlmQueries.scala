@@ -1935,6 +1935,42 @@ object LlmQueries extends QueryModule {
                  THEN 1 ELSE 0 END)::BIGINT AS looks_natural
     FROM ranked"""
 
+  // --------------------------------------------------- PII scrubbing
+
+  /** q110 — PII scrub (email / IPv4 / phone redaction): the mandatory
+    * pre-release pass on any training corpus. Map-only regexp_replace
+    * chain (codegen'd), counts via regexp_extract_all so the audit and
+    * the scrub share one scan; patterns restricted to RE2-compatible
+    * syntax so the DuckDB oracle matches byte-for-byte. The synthetic
+    * corpus contains no PII — the gate then proves the scrubber is
+    * exactly IDENTITY on clean text (zero counts, hash-equal output),
+    * while PiiScrubSpec pins the redaction behavior on seeded fixtures. */
+  private val piiEmail = "[a-z0-9._%+-]+@[a-z0-9.-]+\\\\.[a-z]{2,}"
+  private val piiIp = "\\\\b\\\\d{1,3}\\\\.\\\\d{1,3}\\\\.\\\\d{1,3}\\\\.\\\\d{1,3}\\\\b"
+  private val piiPhone = "\\\\b\\\\d{3}[-.]\\\\d{3}[-.]\\\\d{4}\\\\b"
+
+  private val piiSql = s"""
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(lower(text),
+               '$piiEmail', '<EMAIL>'),
+               '$piiIp', '<IP>'),
+               '$piiPhone', '<PHONE>')) AS scrub_hash,
+           CAST(size(regexp_extract_all(lower(text), '$piiEmail', 0)) AS BIGINT) AS n_emails,
+           CAST(size(regexp_extract_all(lower(text), '$piiIp', 0)) AS BIGINT) AS n_ips,
+           CAST(size(regexp_extract_all(lower(text), '$piiPhone', 0)) AS BIGINT) AS n_phones
+    FROM documents ORDER BY doc_id"""
+
+  private val piiOracle = s"""
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(lower(text),
+               '${piiEmail.replace("\\\\", "\\")}', '<EMAIL>', 'g'),
+               '${piiIp.replace("\\\\", "\\")}', '<IP>', 'g'),
+               '${piiPhone.replace("\\\\", "\\")}', '<PHONE>', 'g')) AS scrub_hash,
+           len(regexp_extract_all(lower(text), '${piiEmail.replace("\\\\", "\\")}'))::BIGINT AS n_emails,
+           len(regexp_extract_all(lower(text), '${piiIp.replace("\\\\", "\\")}'))::BIGINT AS n_ips,
+           len(regexp_extract_all(lower(text), '${piiPhone.replace("\\\\", "\\")}'))::BIGINT AS n_phones
+    FROM documents ORDER BY doc_id"""
+
   // ------------------------------------------------------- BPE tokenizer
 
   /** q97/q98/q99 — distributed BPE tokenizer over `documents`
@@ -2015,6 +2051,7 @@ object LlmQueries extends QueryModule {
     "q90_matryoshka_ann" -> sqlQuery(embs, matryoshkaAnnSql),
     "q91_compression_ratio" -> sqlQuery(docs, compressionSql),
     "q109_zipf_audit" -> sqlQuery(docs, zipfSql),
+    "q110_pii_scrub" -> sqlQuery(docs, piiSql),
     "q97_bpe_pairs" -> (bpePairs(_, _)),
     "q98_bpe_vocab" -> (bpeVocab(_, _)),
     "q99_bpe_tokenize" -> (bpeTokenize(_, _)))
@@ -2060,5 +2097,6 @@ object LlmQueries extends QueryModule {
     // one-query SQL-expressible → rows-only gate (BpeSpec pins exact
     // semantics against a hand-computed merge sequence).
     "q97_bpe_pairs" -> bpePairsOracle,
-    "q109_zipf_audit" -> zipfOracle)
+    "q109_zipf_audit" -> zipfOracle,
+    "q110_pii_scrub" -> piiOracle)
 }
