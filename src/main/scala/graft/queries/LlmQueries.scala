@@ -1935,6 +1935,57 @@ object LlmQueries extends QueryModule {
                  THEN 1 ELSE 0 END)::BIGINT AS looks_natural
     FROM ranked"""
 
+  // ------------------------------------------------------- PageRank
+
+  /** q111 — damped PageRank ([[graft.ops.PageRank]]) over the
+    * order→part bipartite graph from lineitem (3 power iterations,
+    * d=0.85): the link-centrality scorer used for graph-based document
+    * quality. The oracle unrolls the same 3 iterations as plain CTEs —
+    * both engines drop dangling mass identically. Ranks normalize by N
+    * and round to 6 so the top-k boundary is deterministic. */
+  private def pagerankQuery(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val edges = li.select(
+      concat(lit("o"), col("l_orderkey")).as("src"),
+      concat(lit("p"), col("l_partkey")).as("dst")).distinct()
+    graft.ops.PageRank.run(edges, k = 3, normalize = true)
+      .filter(col("node").startsWith("p"))
+      .select(col("node"), round(col("rank"), 6).as("nrank"))
+      .orderBy(col("nrank").desc, col("node").asc)
+      .limit(20)
+  }
+
+  private val pagerankOracle = """
+    WITH edges AS (
+      SELECT DISTINCT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst FROM lineitem),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+    params AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    outdeg AS (SELECT src, count(*)::DOUBLE AS od FROM edges GROUP BY src),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM params) AS rank FROM nodes),
+    r1 AS (
+      SELECT nodes.node, 0.15 / (SELECT n FROM params) + 0.85 * coalesce(c.s, 0) AS rank
+      FROM nodes LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank / od.od) AS s
+        FROM edges e JOIN r0 r ON r.node = e.src JOIN outdeg od ON od.src = e.src
+        GROUP BY e.dst) c ON c.node = nodes.node),
+    r2 AS (
+      SELECT nodes.node, 0.15 / (SELECT n FROM params) + 0.85 * coalesce(c.s, 0) AS rank
+      FROM nodes LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank / od.od) AS s
+        FROM edges e JOIN r1 r ON r.node = e.src JOIN outdeg od ON od.src = e.src
+        GROUP BY e.dst) c ON c.node = nodes.node),
+    r3 AS (
+      SELECT nodes.node, 0.15 / (SELECT n FROM params) + 0.85 * coalesce(c.s, 0) AS rank
+      FROM nodes LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank / od.od) AS s
+        FROM edges e JOIN r2 r ON r.node = e.src JOIN outdeg od ON od.src = e.src
+        GROUP BY e.dst) c ON c.node = nodes.node)
+    SELECT node, round(rank * (SELECT n FROM params), 6) AS nrank
+    FROM r3 WHERE node LIKE 'p%'
+    ORDER BY nrank DESC, node ASC LIMIT 20"""
+
   // --------------------------------------------------- PII scrubbing
 
   /** q110 — PII scrub (email / IPv4 / phone redaction): the mandatory
@@ -2052,6 +2103,7 @@ object LlmQueries extends QueryModule {
     "q91_compression_ratio" -> sqlQuery(docs, compressionSql),
     "q109_zipf_audit" -> sqlQuery(docs, zipfSql),
     "q110_pii_scrub" -> sqlQuery(docs, piiSql),
+    "q111_pagerank" -> (pagerankQuery(_, _)),
     "q97_bpe_pairs" -> (bpePairs(_, _)),
     "q98_bpe_vocab" -> (bpeVocab(_, _)),
     "q99_bpe_tokenize" -> (bpeTokenize(_, _)))
@@ -2098,5 +2150,6 @@ object LlmQueries extends QueryModule {
     // semantics against a hand-computed merge sequence).
     "q97_bpe_pairs" -> bpePairsOracle,
     "q109_zipf_audit" -> zipfOracle,
-    "q110_pii_scrub" -> piiOracle)
+    "q110_pii_scrub" -> piiOracle,
+    "q111_pagerank" -> pagerankOracle)
 }

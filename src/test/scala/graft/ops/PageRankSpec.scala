@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PageRank against hand-computed iterations. */
+class PageRankSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  override def afterAll(): Unit = spark.stop()
+
+  private def ranksOf(edges: Seq[(String, String)], k: Int): Map[String, Double] = {
+    import spark.implicits._
+    PageRank.run(edges.toDF("src", "dst"), k)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+  }
+
+  test("3-cycle is the uniform fixed point at every iteration count") {
+    for (k <- Seq(1, 4)) {
+      val r = ranksOf(Seq("a" -> "b", "b" -> "c", "c" -> "a"), k)
+      assert(r.values.forall(v => math.abs(v - 1.0 / 3) < 1e-12), r)
+    }
+  }
+
+  test("fan-in graph matches two hand-computed damped iterations") {
+    // a→b, a→c, b→c; N=3, d=0.85, r0 = 1/3 each
+    // iter1: a=0.05, b=0.05+0.85*(1/6)=0.19166667, c=0.05+0.85*(1/6+1/3)=0.475
+    // iter2: a=0.05, b=0.05+0.85*0.025=0.07125, c=0.05+0.85*(0.025+0.19166667)
+    val edges = Seq("a" -> "b", "a" -> "c", "b" -> "c")
+    val r1 = ranksOf(edges, 1)
+    assert(math.abs(r1("a") - 0.05) < 1e-12)
+    assert(math.abs(r1("b") - (0.05 + 0.85 / 6)) < 1e-12)
+    assert(math.abs(r1("c") - 0.475) < 1e-12)
+    val r2 = ranksOf(edges, 2)
+    assert(math.abs(r2("a") - 0.05) < 1e-12)
+    assert(math.abs(r2("b") - 0.07125) < 1e-12)
+    assert(math.abs(r2("c") - (0.05 + 0.85 * (0.025 + 0.05 + 0.85 / 6))) < 1e-12)
+  }
+
+  test("normalized ranks average ~1 and preserve order") {
+    import spark.implicits._
+    val edges = Seq("a" -> "b", "a" -> "c", "b" -> "c").toDF("src", "dst")
+    val n = PageRank.run(edges, 2, normalize = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(n("c") > n("b") && n("b") > n("a"))
+    assert(math.abs(n("a") - 0.15) < 1e-12) // 0.05 * 3
+  }
+}
