@@ -30,17 +30,22 @@ object PageRank {
   def run(edges: DataFrame, k: Int, damping: Double = 0.85,
           normalize: Boolean = false): DataFrame = {
     require(k >= 1, "PageRank needs at least one iteration")
+    // out-degree is loop-invariant: bake it into the persisted edge
+    // table once (one window shuffle on src) instead of re-joining a
+    // degree table every round — per round there is then exactly ONE
+    // join (edges ⋈ ranks) plus the dst aggregate.
     val e = edges.select(col("src").cast("string"), col("dst").cast("string"))
+      .withColumn("od", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("src"))
+        .cast("double"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count() // O(1) driver scalar
-    val outdeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("od"))
     var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
     for (_ <- 1 to k) {
       val contrib = e.join(ranks, e("src") === ranks("node"))
-        .join(outdeg, "src")
         .select(col("dst").as("node"), (col("rank") / col("od")).as("c"))
         .groupBy("node").agg(sum("c").as("in"))
       ranks = nodes.join(contrib, Seq("node"), "left")
