@@ -1986,6 +1986,93 @@ object LlmQueries extends QueryModule {
     FROM r3 WHERE node LIKE 'p%'
     ORDER BY nrank DESC, node ASC LIMIT 20"""
 
+  // -------------------------------------------------------- SemDeDup
+
+  /** q112 — semantic deduplication (SemDeDup, Abbas et al. 2023): assign
+    * every embedding to its nearest q60-style centroid cell, then find
+    * near-duplicate pairs ONLY within a cell (cosine ≥ 0.35 on rounded
+    * values) and drop every vector that has a lower-id near-duplicate —
+    * the min-id representative of each similarity group survives (greedy
+    * one-pass rule, documented and mirrored exactly by the oracle).
+    * Output is the per-cell audit: vectors seen, vectors dropped.
+    *
+    * Scale shape at 100 TB: the codebook is k×dim values — broadcast
+    * cross-score + min_by argmin exactly as q61; the pair search is an
+    * equi-join on the CELL key (never corpus×corpus) — SemDeDup's whole
+    * point is that k is chosen to keep cells small (k ∝ √N), so the
+    * within-cell self-join is bounded the same way q22's LSH bands are.
+    * Determinism: centroids rounded to 6dp before distances, fixed-order
+    * zip_with folds, (d2, label) argmin tie-break, cosine rounded to 6dp
+    * before the threshold compare. */
+  private val semdedupSql = """
+    WITH cent_rows AS (
+      SELECT label AS c_label, pos, round(avg(cast(v AS double)), 6) AS mean_v
+      FROM embeddings LATERAL VIEW posexplode(embedding) AS pos, v
+      GROUP BY label, pos),
+    cents AS (
+      SELECT c_label,
+             transform(sort_array(collect_list(struct(pos, mean_v))), s -> s.mean_v) AS cvec
+      FROM cent_rows GROUP BY c_label),
+    dists AS (
+      SELECT e.vec_id, c.c_label,
+             aggregate(zip_with(transform(e.embedding, x -> cast(x AS double)), c.cvec,
+                                (x, y) -> (x - y) * (x - y)),
+                       cast(0.0 AS double), (s, x) -> s + x) AS d2
+      FROM embeddings e CROSS JOIN cents c),
+    assign AS (
+      SELECT vec_id, min_by(c_label, struct(d2, c_label)) AS cell
+      FROM dists GROUP BY vec_id),
+    v AS (
+      SELECT a.cell, e.vec_id,
+             transform(e.embedding, x -> cast(x AS double)) AS ve
+      FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id),
+    vn AS (SELECT cell, vec_id, ve, sqrt(dot_d(ve, ve)) AS nrm FROM v),
+    drops AS (
+      SELECT DISTINCT b.vec_id
+      FROM vn a JOIN vn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE round(dot_d(a.ve, b.ve) / (a.nrm * b.nrm), 6) >= 0.35)
+    SELECT v.cell, count(1) AS n_vecs,
+           sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_dropped
+    FROM v LEFT JOIN drops d ON v.vec_id = d.vec_id
+    GROUP BY v.cell ORDER BY v.cell"""
+
+  private val semdedupOracle = """
+    WITH cent_rows AS (
+      SELECT label AS c_label, i AS pos, round(avg(embedding[i+1]::DOUBLE), 6) AS mean_v
+      FROM embeddings, unnest(range(len(embedding))) AS t(i)
+      GROUP BY label, i),
+    cents AS (
+      SELECT c_label, list(mean_v ORDER BY pos) AS cvec
+      FROM cent_rows GROUP BY c_label),
+    dists AS (
+      SELECT e.vec_id, c.c_label,
+             list_reduce(list_transform(range(len(c.cvec)),
+                 i -> (e.embedding[i+1]::DOUBLE - c.cvec[i+1]) * (e.embedding[i+1]::DOUBLE - c.cvec[i+1])),
+               (s, x) -> s + x) AS d2
+      FROM embeddings e CROSS JOIN cents c),
+    assign AS (
+      SELECT vec_id, c_label AS cell
+      FROM (SELECT vec_id, c_label,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+            FROM dists)
+      WHERE rn = 1),
+    v AS (
+      SELECT a.cell, e.vec_id, list_transform(e.embedding, x -> x::DOUBLE) AS ve
+      FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id),
+    vn AS (
+      SELECT cell, vec_id, ve,
+             sqrt(list_reduce(list_transform(ve, x -> x * x), (s, x) -> s + x)) AS nrm
+      FROM v),
+    drops AS (
+      SELECT DISTINCT b.vec_id
+      FROM vn a JOIN vn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE round(list_reduce(list_transform(range(64), i -> a.ve[i+1] * b.ve[i+1]),
+                              (s, x) -> s + x) / (a.nrm * b.nrm), 6) >= 0.35)
+    SELECT v.cell, count(1)::BIGINT AS n_vecs,
+           sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_dropped
+    FROM v LEFT JOIN drops d ON v.vec_id = d.vec_id
+    GROUP BY v.cell ORDER BY v.cell"""
+
   // --------------------------------------------------- PII scrubbing
 
   /** q110 — PII scrub (email / IPv4 / phone redaction): the mandatory
@@ -2104,6 +2191,7 @@ object LlmQueries extends QueryModule {
     "q109_zipf_audit" -> sqlQuery(docs, zipfSql),
     "q110_pii_scrub" -> sqlQuery(docs, piiSql),
     "q111_pagerank" -> (pagerankQuery(_, _)),
+    "q112_semdedup" -> sqlQuery(embs, semdedupSql),
     "q97_bpe_pairs" -> (bpePairs(_, _)),
     "q98_bpe_vocab" -> (bpeVocab(_, _)),
     "q99_bpe_tokenize" -> (bpeTokenize(_, _)))
@@ -2151,5 +2239,6 @@ object LlmQueries extends QueryModule {
     "q97_bpe_pairs" -> bpePairsOracle,
     "q109_zipf_audit" -> zipfOracle,
     "q110_pii_scrub" -> piiOracle,
-    "q111_pagerank" -> pagerankOracle)
+    "q111_pagerank" -> pagerankOracle,
+    "q112_semdedup" -> semdedupOracle)
 }
