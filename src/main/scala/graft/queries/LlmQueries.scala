@@ -1986,6 +1986,112 @@ object LlmQueries extends QueryModule {
     FROM r3 WHERE node LIKE 'p%'
     ORDER BY nrank DESC, node ASC LIMIT 20"""
 
+  // ----------------------------------------- exact n-gram decontamination
+
+  /** q113 — exact word-n-gram benchmark decontamination (the GPT-3
+    * appendix-C method, distinct from q53's winnowing-FINGERPRINT
+    * screen): a corpus document is contaminated when it shares ANY exact
+    * word n-gram with a benchmark document. GPT-3 used 13-grams on web
+    * text; n is a parameter and is 3 here because the synthetic docs are
+    * short — the plan shape is identical at any n. Grams above the
+    * document-frequency cap (boilerplate) are dropped first, exactly the
+    * posting-list bound q24/q53 use: the gram join is over bounded
+    * posting lists, never corpus×corpus. (doc_id, gram) is unique after
+    * the per-doc array_distinct, so the df cap is one count-over-window
+    * pass — no groupBy + re-join, q53's trick. Output: each contaminated
+    * corpus doc with its distinct shared-gram count and how many bench
+    * docs it collides with. */
+  private val decontamSql = """
+    WITH w AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
+    g AS (
+      SELECT doc_id, array_distinct(transform(sequence(0, size(ws) - 3),
+               i -> md5(concat_ws(' ', slice(ws, i + 1, 3))))) AS gl
+      FROM w WHERE size(ws) >= 3),
+    fps AS (SELECT doc_id, explode(gl) AS fp FROM g),
+    kept AS (SELECT doc_id, fp FROM (
+               SELECT doc_id, fp, count(1) OVER (PARTITION BY fp) AS df FROM fps)
+             WHERE df <= 50),
+    bench AS (SELECT doc_id AS bench_id, fp FROM kept WHERE doc_id % 97 = 0),
+    corpus AS (SELECT doc_id, fp FROM kept WHERE doc_id % 97 != 0)
+    SELECT c.doc_id, count(DISTINCT c.fp) AS shared_grams,
+           count(DISTINCT b.bench_id) AS n_bench_docs
+    FROM corpus c JOIN bench b ON c.fp = b.fp
+    GROUP BY c.doc_id ORDER BY c.doc_id"""
+
+  private val decontamOracle = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (
+      SELECT doc_id, list_distinct(list_transform(range(len(ws) - 2),
+               i -> md5(array_to_string(ws[i+1:i+3], ' ')))) AS gl
+      FROM w WHERE len(ws) >= 3),
+    fps AS (SELECT doc_id, unnest(gl) AS fp FROM g),
+    freq AS (SELECT fp, count(DISTINCT doc_id) AS df FROM fps GROUP BY fp),
+    kept AS (SELECT fps.doc_id, fps.fp FROM fps JOIN freq ON fps.fp = freq.fp
+             WHERE freq.df <= 50),
+    bench AS (SELECT doc_id AS bench_id, fp FROM kept WHERE doc_id % 97 = 0),
+    corpus AS (SELECT doc_id, fp FROM kept WHERE doc_id % 97 <> 0)
+    SELECT c.doc_id, count(DISTINCT c.fp) AS shared_grams,
+           count(DISTINCT b.bench_id) AS n_bench_docs
+    FROM corpus c JOIN bench b ON c.fp = b.fp
+    GROUP BY c.doc_id ORDER BY c.doc_id"""
+
+  // --------------------------------------------- token-distribution drift
+
+  /** q114 — token-distribution drift between two corpus slices (the
+    * mixture-health check run before changing a pretraining data recipe):
+    * unigram distributions of src0 vs src1 with add-one smoothing over
+    * the union vocabulary, reporting KL(P‖Q), KL(Q‖P) and the symmetric
+    * Jensen–Shannon divergence. Physical shape at 100 TB: ONE
+    * partial+final hash aggregate over (word) with both slice counts as
+    * conditional sums (the Zipf head combines map-side), then a
+    * vocabulary-sized relation (≪ corpus) crossed with a single totals
+    * row — the corpus is scanned exactly once and nothing vocabulary×
+    * vocabulary ever forms. Doubles are summed once and rounded to 6dp
+    * on both engines. */
+  private val tokenDriftSql = """
+    WITH tok AS (
+      SELECT source, explode(split(text, ' ')) AS w
+      FROM documents WHERE source IN ('src0', 'src1')),
+    cnt AS (
+      SELECT w, sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS cp,
+             sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS cq
+      FROM tok GROUP BY w),
+    tot AS (SELECT cast(sum(cp) AS double) AS np, cast(sum(cq) AS double) AS nq,
+                   cast(count(1) AS double) AS v FROM cnt),
+    probs AS (
+      SELECT (cast(cp AS double) + 1.0) / (np + v) AS p,
+             (cast(cq AS double) + 1.0) / (nq + v) AS q
+      FROM cnt CROSS JOIN tot)
+    SELECT cast(v AS bigint) AS vocab_size, cast(np AS bigint) AS n_tokens_p,
+           cast(nq AS bigint) AS n_tokens_q,
+           round(sum(p * ln(p / q)), 6) AS kl_pq,
+           round(sum(q * ln(q / p)), 6) AS kl_qp,
+           round(0.5 * sum(p * ln(2.0 * p / (p + q)))
+               + 0.5 * sum(q * ln(2.0 * q / (p + q))), 6) AS js
+    FROM probs CROSS JOIN tot
+    GROUP BY v, np, nq"""
+
+  private val tokenDriftOracle = """
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w
+      FROM documents WHERE source IN ('src0', 'src1')),
+    cnt AS (
+      SELECT w, sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::DOUBLE AS cp,
+             sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)::DOUBLE AS cq
+      FROM tok GROUP BY w),
+    tot AS (SELECT sum(cp)::DOUBLE AS np, sum(cq)::DOUBLE AS nq,
+                   count(1)::DOUBLE AS v FROM cnt),
+    probs AS (
+      SELECT (cp + 1.0) / (np + v) AS p, (cq + 1.0) / (nq + v) AS q
+      FROM cnt CROSS JOIN tot)
+    SELECT v::BIGINT AS vocab_size, np::BIGINT AS n_tokens_p, nq::BIGINT AS n_tokens_q,
+           round(sum(p * ln(p / q)), 6) AS kl_pq,
+           round(sum(q * ln(q / p)), 6) AS kl_qp,
+           round(0.5 * sum(p * ln(2.0 * p / (p + q)))
+               + 0.5 * sum(q * ln(2.0 * q / (p + q))), 6) AS js
+    FROM probs CROSS JOIN tot
+    GROUP BY v, np, nq"""
+
   // -------------------------------------------------------- SemDeDup
 
   /** q112 — semantic deduplication (SemDeDup, Abbas et al. 2023): assign
@@ -2192,6 +2298,8 @@ object LlmQueries extends QueryModule {
     "q110_pii_scrub" -> sqlQuery(docs, piiSql),
     "q111_pagerank" -> (pagerankQuery(_, _)),
     "q112_semdedup" -> sqlQuery(embs, semdedupSql),
+    "q113_decontam_ngram" -> sqlQuery(docs, decontamSql),
+    "q114_token_drift" -> sqlQuery(docs, tokenDriftSql),
     "q97_bpe_pairs" -> (bpePairs(_, _)),
     "q98_bpe_vocab" -> (bpeVocab(_, _)),
     "q99_bpe_tokenize" -> (bpeTokenize(_, _)))
@@ -2240,5 +2348,7 @@ object LlmQueries extends QueryModule {
     "q109_zipf_audit" -> zipfOracle,
     "q110_pii_scrub" -> piiOracle,
     "q111_pagerank" -> pagerankOracle,
-    "q112_semdedup" -> semdedupOracle)
+    "q112_semdedup" -> semdedupOracle,
+    "q113_decontam_ngram" -> decontamOracle,
+    "q114_token_drift" -> tokenDriftOracle)
 }
