@@ -852,12 +852,35 @@ object KqlCompiler {
           .map { case (f, i) => (f.name, i.toLong, f.dataType.simpleString) }
           .toDF("ColumnName", "ColumnOrdinal", "DataType")
       case "join" =>
-        // `join kind=K (sub) on k1, k2` — key-equality joins (the form
-        // dashboards use). Kinds map onto Spark join types; innerunique
-        // lowers to inner (KQL's left-key dedup is a data property, not
-        // a plan property — pre-`distinct` the left side for it).
+        // `join [kind=K] [hint.strategy=broadcast|shuffle]
+        //  [hint.shufflekey=col] (sub) on k1, k2` — key-equality joins
+        // (the form dashboards use). Kinds map onto Spark join types;
+        // innerunique lowers to inner (KQL's left-key dedup is a data
+        // property, not a plan property — pre-`distinct` the left side
+        // for it). rightsemi/rightanti have no Spark join type: they
+        // lower by SWAPPING sides into left_semi/left_anti (same rows,
+        // same preserved columns). Hints map onto Spark's plan hints:
+        // Kusto's broadcast strategy broadcasts the LEFT side
+        // (docs: "distributes the left table"), shuffle/shufflekey pins
+        // a shuffle hash join — both advisory, exactly as in Kusto.
         var kind = "inner"
-        if (peekIs("kind")) { expect("kind"); expect("="); kind = ident() }
+        var strategy: Option[String] = None
+        var more = true
+        while (more) {
+          if (peekIs("kind")) { expect("kind"); expect("="); kind = ident() }
+          else if (peekIs("hint")) {
+            expect("hint"); expect("."); val h = ident(); expect("=")
+            val v = ident()
+            h match {
+              case "strategy" =>
+                if (v != "broadcast" && v != "shuffle")
+                  throw new KqlParseException(s"unsupported join strategy '$v'")
+                strategy = Some(v)
+              case "shufflekey" => strategy = Some("shuffle") // key comes from `on`
+              case other => throw new KqlParseException(s"unsupported join hint '$other'")
+            }
+          } else more = false
+        }
         val sparkKind = kind match {
           case "inner" | "innerunique" => "inner"
           case "leftouter" => "left"
@@ -865,12 +888,23 @@ object KqlCompiler {
           case "fullouter" => "full"
           case "leftanti" | "anti" => "left_anti"
           case "leftsemi" => "left_semi"
+          case "rightanti" => "right_anti"
+          case "rightsemi" => "right_semi"
           case other => throw new KqlParseException(s"unsupported join kind '$other'")
         }
         val right = subquery()
         expect("on")
         val keys = sepBy1(() => ident())
-        df.join(right, keys, sparkKind)
+        val left = strategy match {
+          case Some("broadcast") => org.apache.spark.sql.functions.broadcast(df)
+          case Some("shuffle") => df.hint("shuffle_hash")
+          case _ => df
+        }
+        sparkKind match {
+          case "right_semi" => right.join(left, keys, "left_semi")
+          case "right_anti" => right.join(left, keys, "left_anti")
+          case k => left.join(right, keys, k)
+        }
       case "union" =>
         // `union [withsource=Col] T1 [, T2 …]` — KQL union merges by
         // column NAME, filling missing with null; withsource labels each

@@ -565,7 +565,25 @@ object KqlQueries extends QueryModule {
           | | extend b = tolong(value / 25)
           | | facet by event_type, b
           | | order by facet_column asc, value asc""".stripMargin,
-        _ => Tables.events(s, dir)))
+        _ => Tables.events(s, dir))),
+
+    // join ring 2: rightanti (right rows with no left match — Spark has
+    // no right_anti type, the compiler lowers by swapping sides into
+    // left_anti) + hint.strategy=shuffle (Kusto's shuffle-join hint →
+    // Spark shuffle_hash plan hint). Customers who never placed a
+    // >300k order, counted per market segment.
+    "q115_kql_text_join2" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """orders
+          | | where o_totalprice > 300000
+          | | project c_custkey = o_custkey
+          | | join kind=rightanti hint.strategy=shuffle (customer) on c_custkey
+          | | summarize n_no_orders = count() by c_mktsegment
+          | | order by c_mktsegment asc""".stripMargin,
+        name => name match {
+          case "customer" => Tables.customer(s, dir)
+          case _ => Tables.orders(s, dir)
+        }))
   )
 
   override val oracles: Map[String, String] = Map(
@@ -1010,6 +1028,12 @@ object KqlQueries extends QueryModule {
            UNION ALL
            SELECT 'b' AS facet_column, CAST(b AS VARCHAR) AS value,
                   count(*) AS count_ FROM src GROUP BY 2)
-         ORDER BY facet_column, value"""
+         ORDER BY facet_column, value""",
+
+    "q115_kql_text_join2" ->
+      """SELECT c_mktsegment, count(*) AS n_no_orders
+         FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+         GROUP BY c_mktsegment ORDER BY c_mktsegment"""
   )
 }

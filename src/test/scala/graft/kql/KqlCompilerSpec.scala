@@ -219,6 +219,38 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(u.head().getLong(0) == 8)
   }
 
+  test("join ring 2: rightsemi/rightanti kinds and strategy hints") {
+    import spark.implicits._
+    val owners = Seq((1L, "ana"), (3L, "bo"), (9L, "cy")).toDF("id", "owner")
+    val resolve: String => org.apache.spark.sql.DataFrame =
+      { case "t" => df; case "owners" => owners }
+    // rightsemi: right rows WITH a left match, right columns preserved
+    val rs = KqlCompiler.compile("t | join kind=rightsemi (owners) on id", resolve)
+    assert(rs.columns.toSeq == Seq("id", "owner"))
+    assert(rs.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // rightanti: right rows with NO left match
+    val ra = KqlCompiler.compile("t | join kind=rightanti (owners) on id", resolve)
+    assert(ra.collect().map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((9L, "cy")))
+    // hint.strategy=broadcast broadcasts the LEFT side (Kusto semantics)
+    val bc = KqlCompiler.compile(
+      "t | join kind=inner hint.strategy=broadcast (owners) on id", resolve)
+    assert(bc.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    assert(bc.count() == 2)
+    // hints and kind compose in either order; shuffle pins a shuffled hash join
+    val sh = KqlCompiler.compile(
+      "t | join hint.strategy=shuffle kind=inner (owners) on id", resolve)
+    assert(sh.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"))
+    assert(sh.count() == 2)
+    // hint.shufflekey implies the shuffle strategy (key comes from `on`)
+    assert(KqlCompiler.compile(
+      "t | join hint.shufflekey=id (owners) on id", resolve).count() == 2)
+    // unknown strategy / hint fail loudly
+    intercept[KqlParseException](KqlCompiler.compile(
+      "t | join hint.strategy=cartesian (owners) on id", resolve))
+    intercept[KqlParseException](KqlCompiler.compile(
+      "t | join hint.remote=left (owners) on id", resolve))
+  }
+
   test("datetime surface: datetime literals, now(), ago(), timespan bin()") {
     import spark.implicits._
     val fixedNow = java.time.Instant.parse("2024-03-01T12:00:00Z")
