@@ -2219,27 +2219,98 @@ object LlmQueries extends QueryModule {
 
   /** q97/q98/q99 — distributed BPE tokenizer over `documents`
     * ([[graft.ops.Bpe]]). q97 (round-1 pair counts) is SQL-expressible
-    * and fully oracle-gated; q98 (the trained merge list) and q99
-    * (tokenized output stats) are iterative-training results DuckDB
-    * can't express in one query — rows-only gate, semantics pinned by
-    * BpeSpec's hand-computed merge sequence. */
+    * directly; q98 (the trained merge list) and q99 (tokenized output)
+    * are iterative-training results — their oracles unroll the
+    * [[BpeMerges]] merge rounds as chained DuckDB CTEs (exactly the way
+    * the q111 pagerank oracle unrolls its power iterations), so the full
+    * train + encode path is cross-engine hash-gated; BpeSpec additionally
+    * pins the merge sequence on a hand-computed fixture. */
+  private val BpeMerges = 12
+
   private def bpePairs(s: SparkSession, dir: String): DataFrame =
     graft.ops.Bpe.round1PairCounts(Tables.documents(s, dir), "text")
       .orderBy(col("cnt").desc, col("pair").asc).limit(20)
 
   private def bpeVocab(s: SparkSession, dir: String): DataFrame = {
-    val merges = graft.ops.Bpe.train(Tables.documents(s, dir), "text", 12)
+    val merges = graft.ops.Bpe.train(Tables.documents(s, dir), "text", BpeMerges)
     import s.implicits._
     merges.toDF().orderBy(col("rank").asc)
   }
 
   private def bpeTokenize(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-    val merges = graft.ops.Bpe.train(d, "text", 12)
+    val merges = graft.ops.Bpe.train(d, "text", BpeMerges)
     graft.ops.Bpe.tokenize(d, "doc_id", "text", merges)
       .select(col("doc_id"), size(col("tokens")).cast("long").as("n_tokens"),
         to_json(slice(col("tokens"), 1, 8)).as("head_tokens"))
       .orderBy(col("doc_id").asc)
+  }
+
+  /** The q98/q99 oracle core: one CTE chain per BPE merge round.
+    *
+    * Representation: each word's symbol sequence is a string of
+    * individually-bracketed symbols (`hello` → `<h><e><l><l><o>`).
+    * Brackets cannot occur inside a symbol (symbols are `[a-z]+`
+    * fragments), so (a) adjacent-pair extraction is an exact split on
+    * `><`, and (b) applying a merge is a plain non-overlapping
+    * left-to-right `replace('<l><r>', '<lr>')` — which is precisely
+    * [[graft.ops.Bpe.mergeOnce]]'s leftmost-first rule (a shared
+    * delimiter scheme like space-joining would double-consume the
+    * separator between back-to-back occurrences and diverge).
+    *
+    * `MATERIALIZED` is load-bearing: each round references the previous
+    * one twice (argmax + rewrite), so inlined CTEs would re-evaluate the
+    * chain 2^k times.
+    *
+    * The trainer stops early when no pair occurs twice; the unrolled
+    * oracle cannot, so [[BpeMerges]] must complete on the gate corpus —
+    * it does at every driver sf (the distinct-word table is far past 12
+    * productive merges even at sf0.001). */
+  private def bpeMergeCtes(k: Int): String = {
+    val header = s"""words AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents),
+    wf AS (SELECT w, count(*)::BIGINT AS f FROM words GROUP BY w),
+    r0 AS MATERIALIZED (
+      SELECT w, '<' || array_to_string(string_split(w, ''), '><') || '>' AS s, f FROM wf)"""
+    val rounds = (1 to k).map { n =>
+      val p = n - 1
+      s"""b$n AS MATERIALIZED (SELECT string_split(trim(s, '<>'), '><') AS ss, f FROM r$p),
+    p$n AS (SELECT ss, f, unnest(range(1, len(ss))) AS i FROM b$n WHERE len(ss) >= 2),
+    c$n AS (SELECT ss[i] AS l, ss[i+1] AS r, sum(f)::BIGINT AS cnt FROM p$n GROUP BY 1, 2),
+    m$n AS MATERIALIZED (SELECT l, r FROM c$n ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+    r$n AS MATERIALIZED (
+      SELECT w, replace(s, '<'||m.l||'><'||m.r||'>', '<'||m.l||m.r||'>') AS s, f FROM r$p, m$n m)"""
+    }
+    (header +: rounds).mkString(",\n    ")
+  }
+
+  private def bpeVocabOracle: String = {
+    val k = BpeMerges
+    val rows = (1 to k).map(n =>
+      s"""SELECT $n::INTEGER AS "rank", l AS "left", r AS "right", l||r AS merged FROM m$n""")
+      .mkString(" UNION ALL ")
+    s"""WITH ${bpeMergeCtes(k)}
+    SELECT * FROM ($rows) ORDER BY "rank" """
+  }
+
+  /** q99 oracle: r<k> already holds every distinct training word's final
+    * symbolization (encoding a training word with the merge list
+    * reproduces exactly that — the trainer's own rewrite), so the encode
+    * table is just a split of r<k>; per-document output re-assembles the
+    * word sequence in order and flattens. */
+  private def bpeTokenizeOracle: String = {
+    val k = BpeMerges
+    s"""WITH ${bpeMergeCtes(k)},
+    enc AS MATERIALIZED (SELECT w, string_split(trim(s, '<>'), '><') AS toks FROM r$k),
+    dwb AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+    dwp AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM dwb WHERE len(ws) >= 1),
+    dw AS (SELECT doc_id, i, ws[i] AS w FROM dwp),
+    dt AS (SELECT dw.doc_id, dw.i, enc.toks FROM dw JOIN enc USING (w)),
+    ag AS (SELECT doc_id, flatten(list(toks ORDER BY i)) AS all_toks FROM dt GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(len(a.all_toks), 0)::BIGINT AS n_tokens,
+           to_json(coalesce(a.all_toks[1:8], []::VARCHAR[])) AS head_tokens
+    FROM documents d LEFT JOIN ag a ON d.doc_id = a.doc_id
+    ORDER BY d.doc_id"""
   }
 
   private val bpePairsOracle = """
@@ -2341,10 +2412,9 @@ object LlmQueries extends QueryModule {
     "q85_ann_recall" -> annRecallOracle,
     "q89_train_split" -> splitOracle,
     "q90_matryoshka_ann" -> matryoshkaAnnOracle,
-    // q98/q99 deliberately absent: iterative BPE training is not
-    // one-query SQL-expressible → rows-only gate (BpeSpec pins exact
-    // semantics against a hand-computed merge sequence).
     "q97_bpe_pairs" -> bpePairsOracle,
+    "q98_bpe_vocab" -> bpeVocabOracle,
+    "q99_bpe_tokenize" -> bpeTokenizeOracle,
     "q109_zipf_audit" -> zipfOracle,
     "q110_pii_scrub" -> piiOracle,
     "q111_pagerank" -> pagerankOracle,
