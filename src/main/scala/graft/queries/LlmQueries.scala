@@ -121,6 +121,7 @@ object LlmQueries extends QueryModule {
     * DuckDB oracle, so correctness comparison is exact. */
   private[graft] val BandCap = 200
   private[graft] val DocFreqCap = 1000
+  private[graft] val CellCap = 200
 
   private[graft] def minhashSql(bandCap: Int = BandCap) = s"""
     WITH sig AS (
@@ -2104,13 +2105,20 @@ object LlmQueries extends QueryModule {
     *
     * Scale shape at 100 TB: the codebook is k×dim values — broadcast
     * cross-score + min_by argmin exactly as q61; the pair search is an
-    * equi-join on the CELL key (never corpus×corpus) — SemDeDup's whole
-    * point is that k is chosen to keep cells small (k ∝ √N), so the
-    * within-cell self-join is bounded the same way q22's LSH bands are.
+    * equi-join on the CELL key (never corpus×corpus). k ∝ √N keeps the
+    * AVERAGE cell small, but nothing in the assignment bounds a hot cell
+    * (a boilerplate embedding cluster), so pair generation additionally
+    * applies the q22 BandCap guard: a cell-size window shares the cell
+    * shuffle, and cells above [[CellCap]] are excluded from pairing —
+    * those are dense near-dup clusters that production routes to a
+    * connected-components pass (q41) rather than s² scoring. The cap is
+    * applied IDENTICALLY in the oracle, and the audit output still
+    * reports the over-cap cell's size (n_dropped = 0 documents the
+    * not-pairwise-scored state honestly).
     * Determinism: centroids rounded to 6dp before distances, fixed-order
     * zip_with folds, (d2, label) argmin tie-break, cosine rounded to 6dp
     * before the threshold compare. */
-  private val semdedupSql = """
+  private[graft] def semdedupSql(cellCap: Int = CellCap) = s"""
     WITH cent_rows AS (
       SELECT label AS c_label, pos, round(avg(cast(v AS double)), 6) AS mean_v
       FROM embeddings LATERAL VIEW posexplode(embedding) AS pos, v
@@ -2132,17 +2140,19 @@ object LlmQueries extends QueryModule {
       SELECT a.cell, e.vec_id,
              transform(e.embedding, x -> cast(x AS double)) AS ve
       FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id),
-    vn AS (SELECT cell, vec_id, ve, sqrt(dot_d(ve, ve)) AS nrm FROM v),
+    vn AS (SELECT cell, vec_id, ve, sqrt(dot_d(ve, ve)) AS nrm,
+                  count(1) OVER (PARTITION BY cell) AS csz FROM v),
     drops AS (
       SELECT DISTINCT b.vec_id
       FROM vn a JOIN vn b ON a.cell = b.cell AND a.vec_id < b.vec_id
-      WHERE round(dot_d(a.ve, b.ve) / (a.nrm * b.nrm), 6) >= 0.35)
+      WHERE a.csz <= $cellCap
+        AND round(dot_d(a.ve, b.ve) / (a.nrm * b.nrm), 6) >= 0.35)
     SELECT v.cell, count(1) AS n_vecs,
            sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_dropped
     FROM v LEFT JOIN drops d ON v.vec_id = d.vec_id
     GROUP BY v.cell ORDER BY v.cell"""
 
-  private val semdedupOracle = """
+  private[graft] def semdedupOracle(cellCap: Int = CellCap) = s"""
     WITH cent_rows AS (
       SELECT label AS c_label, i AS pos, round(avg(embedding[i+1]::DOUBLE), 6) AS mean_v
       FROM embeddings, unnest(range(len(embedding))) AS t(i)
@@ -2167,12 +2177,14 @@ object LlmQueries extends QueryModule {
       FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id),
     vn AS (
       SELECT cell, vec_id, ve,
-             sqrt(list_reduce(list_transform(ve, x -> x * x), (s, x) -> s + x)) AS nrm
+             sqrt(list_reduce(list_transform(ve, x -> x * x), (s, x) -> s + x)) AS nrm,
+             count(1) OVER (PARTITION BY cell) AS csz
       FROM v),
     drops AS (
       SELECT DISTINCT b.vec_id
       FROM vn a JOIN vn b ON a.cell = b.cell AND a.vec_id < b.vec_id
-      WHERE round(list_reduce(list_transform(range(64), i -> a.ve[i+1] * b.ve[i+1]),
+      WHERE a.csz <= $cellCap
+        AND round(list_reduce(list_transform(range(64), i -> a.ve[i+1] * b.ve[i+1]),
                               (s, x) -> s + x) / (a.nrm * b.nrm), 6) >= 0.35)
     SELECT v.cell, count(1)::BIGINT AS n_vecs,
            sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_dropped
@@ -2368,7 +2380,7 @@ object LlmQueries extends QueryModule {
     "q109_zipf_audit" -> sqlQuery(docs, zipfSql),
     "q110_pii_scrub" -> sqlQuery(docs, piiSql),
     "q111_pagerank" -> (pagerankQuery(_, _)),
-    "q112_semdedup" -> sqlQuery(embs, semdedupSql),
+    "q112_semdedup" -> sqlQuery(embs, semdedupSql()),
     "q113_decontam_ngram" -> sqlQuery(docs, decontamSql),
     "q114_token_drift" -> sqlQuery(docs, tokenDriftSql),
     "q97_bpe_pairs" -> (bpePairs(_, _)),
@@ -2418,7 +2430,7 @@ object LlmQueries extends QueryModule {
     "q109_zipf_audit" -> zipfOracle,
     "q110_pii_scrub" -> piiOracle,
     "q111_pagerank" -> pagerankOracle,
-    "q112_semdedup" -> semdedupOracle,
+    "q112_semdedup" -> semdedupOracle(),
     "q113_decontam_ngram" -> decontamOracle,
     "q114_token_drift" -> tokenDriftOracle)
 }

@@ -56,4 +56,31 @@ class SkewCapSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.length == 10)
     assert(rows.forall(_.getDouble(2) == 1.0))
   }
+
+  private def embsView(n: Int): Unit = {
+    import spark.implicits._
+    LlmQueries.registerFunctions(spark)
+    // worst case: every embedding identical -> one centroid cell holds all
+    // n vectors and every pair has cosine 1.0
+    (0L until n.toLong).map(i => (i, Array(1.0f, 0.0f, 0.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label").createOrReplaceTempView("embeddings")
+  }
+
+  test("q112 cell cap drops pair generation in a hot cell (no s² work)") {
+    embsView(300)
+    // one 300-vector cell >> cap 10: the self-join must produce no pairs;
+    // the audit still reports the cell honestly with nothing dropped
+    val rows = spark.sql(LlmQueries.semdedupSql(cellCap = 10)).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(1) == 300L && rows.head.getLong(2) == 0L)
+  }
+
+  test("q112 cap does not suppress small cells") {
+    embsView(5)
+    // 5 identical vectors under cap 10: min-id representative survives,
+    // the other 4 drop
+    val rows = spark.sql(LlmQueries.semdedupSql(cellCap = 10)).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(1) == 5L && rows.head.getLong(2) == 4L)
+  }
 }
