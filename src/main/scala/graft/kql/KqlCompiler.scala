@@ -123,7 +123,7 @@ object KqlCompiler {
 
   private final case class Tok(kind: String, text: String) // kind: id|num|str|sym
   private object Lexer {
-    private val symbols = List("==", "!=", "=~", "!~", "<=", ">=", "..", ".", "|", "(", ")", ",",
+    private val symbols = List("==", "!=", "=~", "!~", "=>", "<=", ">=", "..", ".", "|", "(", ")", ",",
       ";", "=", "<", ">", "+", "-", "*", "/", "%", ":", "[", "]", "{", "}", "!in", "~")
     def tokens(s: String): Vector[Tok] = {
       val out = Vector.newBuilder[Tok]
@@ -710,6 +710,63 @@ object KqlCompiler {
         val items = sepBy1(orderItem)
         lastOrder = Some(items)
         df.orderBy(items.map(_(df)): _*).limit(n)
+      case "scan" =>
+        // Kusto `scan` — restricted single-earliest-instance core (see
+        // [[graft.ops.Funnel.scanEarliest]] for semantics + scale shape):
+        //   scan [declare (v:type [= default], …)] with (
+        //     step name: predicate [=> v = expr, …];
+        //     … )
+        // Runs over the serialized row order, so like `serialize` it
+        // requires an explicit preceding sort (a distributed engine has
+        // no stable natural order) and is a deliberate opt-in global
+        // window. Step predicates/assignments read row columns only —
+        // declared-state references would make matching inherently
+        // sequential (loud error via unresolved column).
+        if (lastOrder.isEmpty)
+          throw new KqlParseException(
+            "scan requires a preceding 'order by' (no stable natural order in a distributed engine)")
+        import org.apache.spark.sql.types._
+        def scanType(t: String): DataType = t match {
+          case "long" | "int" => LongType
+          case "real" | "double" => DoubleType
+          case "string" => StringType
+          case "bool" | "boolean" => BooleanType
+          case "datetime" => TimestampType
+          case other => throw new KqlParseException(s"unsupported scan declare type '$other'")
+        }
+        val declares: List[(String, ColB)] =
+          if (peekIs("declare")) {
+            expect("declare"); expect("(")
+            val ds = sepBy1(() => {
+              val n = ident(); expect(":")
+              val dt = scanType(ident())
+              val dflt: ColB =
+                if (peekIs("=")) { expect("="); val e = expr(); (d: DataFrame) => e(d).cast(dt) }
+                else (_: DataFrame) => lit(null).cast(dt)
+              (n, dflt)
+            })
+            expect(")"); ds
+          } else Nil
+        expect("with"); expect("(")
+        val steps = List.newBuilder[(String, ColB, List[(String, ColB)])]
+        while (!peekIs(")")) {
+          expect("step"); val sname = ident(); expect(":")
+          val cond = expr()
+          val assigns =
+            if (peekIs("=>")) {
+              expect("=>")
+              sepBy1(() => { val n = ident(); expect("="); (n, expr()) })
+            } else Nil
+          if (peekIs(";")) expect(";")
+          steps += ((sname, cond, assigns))
+        }
+        expect(")")
+        val ss = steps.result()
+        if (ss.isEmpty) throw new KqlParseException("scan needs at least one step")
+        graft.ops.Funnel.scanEarliest(df, Nil, lastOrder.get.map(_(df)),
+          declares.map { case (n, b) => (n, b(df)) },
+          ss.map { case (n, c, as) =>
+            graft.ops.Funnel.ScanStep(n, c(df), as.map { case (an, ab) => (an, ab(df)) }) })
       case "serialize" =>
         // `serialize [name = expr, …]`: marks the frame row-ordered so
         // row_number()/prev()/next() are meaningful; assignments behave

@@ -49,4 +49,86 @@ object Funnel {
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("converted", col(s"t${steps.length}").isNotNull)
   }
+
+  /** One `scan` step: a predicate over the input row, plus the state
+    * assignments applied when the step matches (each evaluated on the
+    * MATCHING row, Kusto's assignment-on-match rule). */
+  final case class ScanStep(name: String, cond: Column,
+                            assigns: Seq[(String, Column)] = Nil)
+
+  /** Kusto `scan` — the restricted, scale-safe core: SINGLE earliest
+    * instance per group (no overlapping match instances, no restart
+    * after completion), with a `declare` clause and per-step state
+    * assignments. Matching is greedy-earliest exactly as [[earliest]]:
+    * step i matches the first row satisfying its predicate strictly
+    * after step i−1's matched row; output is the matched rows
+    * (Kusto's default `output=all` over one instance) with the declared
+    * columns appended. A declared column's value on the step-k row is
+    * the assignment made by the LATEST step j ≤ k that assigns it
+    * (evaluated on step j's matched row), else its declared default —
+    * Kusto's sequential-update rule specialized to one instance.
+    *
+    * Restrictions (documented, loud errors elsewhere): step predicates
+    * and assignment expressions read the input row only — they cannot
+    * reference declared state (self-referencing running updates are
+    * inherently sequential; the one-instance core keeps every piece
+    * window-expressible and therefore distributed).
+    *
+    * Scale shape: with `partitionCols` (the 100 TB form) everything is
+    * ONE hash shuffle on the group key — row_number + the chained
+    * running-minima and assignment captures are consecutive Window
+    * operators over the same partitioning, state = one row number per
+    * step and one captured value per assignment. With no partition
+    * columns (the KQL-text `scan` after `order by`, matching Kusto's
+    * serialized-input semantics) the windows are a deliberate global
+    * single partition — the same documented opt-in as `serialize`.
+    *
+    * Reference note: the reference connector has no query engine; scan/
+    * funnel probes are what its users run IN Kusto over sunk events.
+    */
+  def scanEarliest(df: DataFrame, partitionCols: Seq[Column],
+                   orderCols: Seq[Column], declares: Seq[(String, Column)],
+                   steps: Seq[ScanStep]): DataFrame = {
+    require(steps.nonEmpty, "scan needs at least one step")
+    require(orderCols.nonEmpty, "scan needs an explicit row order")
+    declares.map(_._1).find(df.columns.contains).foreach(c =>
+      throw new IllegalArgumentException(
+        s"scan declared column '$c' collides with an input column"))
+    val wFrame =
+      if (partitionCols.isEmpty) Window.partitionBy()
+      else Window.partitionBy(partitionCols: _*)
+    val wOrder =
+      if (partitionCols.isEmpty) Window.orderBy(orderCols: _*)
+      else Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*)
+    val rn = col("__scan_rn")
+    var d = df.withColumn("__scan_rn", row_number().over(wOrder))
+    steps.zipWithIndex.foreach { case (s, i) =>
+      val cond = if (i == 0) s.cond else s.cond && rn > col(s"__scan_r$i")
+      d = d.withColumn(s"__scan_r${i + 1}", min(when(cond, rn)).over(wFrame))
+    }
+    // r1 < r2 < … strictly, so a row matches at most one step
+    val stepIdx = steps.indices.foldLeft(lit(null).cast("int")) { (acc, i) =>
+      when(rn === col(s"__scan_r${i + 1}"), lit(i + 1)).otherwise(acc)
+    }
+    d = d.withColumn("__scan_step", stepIdx)
+    val declCols = declares.map { case (v, default) =>
+      // capture each assigning step's value on its matched row (constant
+      // per frame); on output rows the latest assignment at or before
+      // the row's own step wins, built innermost-default outward so a
+      // legitimately-null assigned value still overrides the default
+      val assignsFor = steps.zipWithIndex.collect {
+        case (s, i) if s.assigns.exists(_._1 == v) =>
+          (i + 1, s.assigns.filter(_._1 == v).last._2)
+      }
+      var cur: Column = default
+      assignsFor.foreach { case (j, ex) =>
+        val aCol = s"__scan_a_${v}_$j"
+        d = d.withColumn(aCol, max(when(rn === col(s"__scan_r$j"), ex)).over(wFrame))
+        cur = when(col("__scan_step") >= j, col(aCol)).otherwise(cur)
+      }
+      cur.as(v)
+    }
+    d.where(col("__scan_step").isNotNull)
+      .select(df.columns.map(col) ++ declCols: _*)
+  }
 }

@@ -583,7 +583,27 @@ object KqlQueries extends QueryModule {
         name => name match {
           case "customer" => Tables.customer(s, dir)
           case _ => Tables.orders(s, dir)
-        }))
+        })),
+
+    // `scan` — Kusto's sequence state machine, restricted single-
+    // earliest-instance core (ops.Funnel.scanEarliest): declare clause
+    // with typed defaults, ordered steps, per-step state assignments
+    // captured on the matching row. The first signup→purchase→error
+    // chain in the event stream, carrying the signup's id and the
+    // purchase's value forward into later matched rows.
+    "q116_kql_text_scan" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_type in ('signup', 'purchase', 'error')
+          | | order by ts asc, event_id asc
+          | | scan declare (signup_id:long = 0, spend:real = 0.0) with (
+          |     step first_signup: event_type == 'signup' => signup_id = event_id;
+          |     step first_purchase: event_type == 'purchase' => spend = value;
+          |     step first_error: event_type == 'error';
+          |   )
+          | | project event_id, event_type, signup_id, spend
+          | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir)))
   )
 
   override val oracles: Map[String, String] = Map(
@@ -1034,6 +1054,30 @@ object KqlQueries extends QueryModule {
       """SELECT c_mktsegment, count(*) AS n_no_orders
          FROM customer
          WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
-         GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    // scan oracle: the chained running-minima unrolled as scalar CTEs —
+    // r_k = first row past r_{k-1} matching step k; assignment captures
+    // read the matched row; declared values on output rows take the
+    // latest assignment at or before the row's own step, else default
+    "q116_kql_text_scan" ->
+      """WITH f AS (
+           SELECT event_id, event_type, value,
+                  row_number() OVER (ORDER BY ts, event_id) AS rn
+           FROM events WHERE event_type IN ('signup', 'purchase', 'error')),
+         r1 AS (SELECT min(rn) AS r FROM f WHERE event_type = 'signup'),
+         r2 AS (SELECT min(rn) AS r FROM f, r1 WHERE event_type = 'purchase' AND rn > r1.r),
+         r3 AS (SELECT min(rn) AS r FROM f, r2 WHERE event_type = 'error' AND rn > r2.r),
+         a1 AS (SELECT f.event_id AS v FROM f, r1 WHERE f.rn = r1.r),
+         a2 AS (SELECT f.value AS v FROM f, r2 WHERE f.rn = r2.r),
+         out AS (
+           SELECT f.event_id, f.event_type,
+                  CASE WHEN f.rn = r1.r THEN 1 WHEN f.rn = r2.r THEN 2 ELSE 3 END AS step
+           FROM f, r1, r2, r3
+           WHERE f.rn IN (r1.r, r2.r, r3.r))
+         SELECT event_id, event_type,
+                (CASE WHEN step >= 1 THEN (SELECT v FROM a1) ELSE 0 END)::BIGINT AS signup_id,
+                (CASE WHEN step >= 2 THEN (SELECT v FROM a2) ELSE 0.0 END)::DOUBLE AS spend
+         FROM out ORDER BY event_id"""
   )
 }

@@ -1192,4 +1192,37 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(intercept[KqlParseException](run("t | count extra")).getMessage.contains("trailing"))
     assert(intercept[KqlParseException](run("t | extend y = frobnicate(1)")).getMessage.contains("unsupported function"))
   }
+
+  test("scan: declare defaults, step sequence, per-step assignments") {
+    val out = run(
+      """t | order by id asc
+        | | scan declare (first_alpha:long = 0, nm:string) with (
+        |     step s1: name == 'alpha' => first_alpha = id, nm = status;
+        |     step s2: name == 'beta';
+        |   )
+        | | project id, first_alpha, nm""".stripMargin)
+      .orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2))))
+    // s1 matches id=1 (assigns from its own row), s2 the first beta after
+    // it (id=2), carrying s1's assignments forward
+    assert(out.toSeq == Seq((1L, 1L, Some("err-timeout")), (2L, 1L, Some("err-timeout"))))
+  }
+
+  test("scan: untyped-default declare is null until assigned; stall emits prefix only") {
+    val out = run(
+      """t | order by id asc
+        | | scan declare (v:real) with (
+        |     step s1: name == 'gamma';
+        |     step s2: value > 1000 => v = value;
+        |   )
+        | | project id, v""".stripMargin).collect()
+    // gamma is id=4; nothing after it has value > 1000 → only the s1 row,
+    // with the unassigned declare still null
+    assert(out.map(r => (r.getLong(0), r.isNullAt(1))).toSeq == Seq((4L, true)))
+  }
+
+  test("scan requires a preceding order by") {
+    assert(intercept[KqlParseException](
+      run("t | scan with (step s1: value > 0;)")).getMessage.contains("order by"))
+  }
 }

@@ -67,4 +67,68 @@ class FunnelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       "funnel must be window-based, not join-based")
   }
+
+  test("scanEarliest: keyed scan emits matched rows with declare defaults + assignments") {
+    val out = Funnel.scanEarliest(events,
+        Seq(col("user_id")), Seq(col("ts"), col("event_type")),
+        Seq("sid" -> lit(-1L), "amt" -> lit(0.0)),
+        Seq(
+          Funnel.ScanStep("s1", col("event_type") === "signup",
+            Seq("sid" -> col("ts").cast("long"))),
+          Funnel.ScanStep("s2", col("event_type") === "purchase")))
+      .orderBy(col("user_id"), col("ts"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      // user 1: signup@10 matches s1 (sid assigned from its own row),
+      // earliest later purchase@30 matches s2 carrying sid forward
+      (1L, ts(10), "signup", 10L, 0.0),
+      (1L, ts(30), "purchase", 10L, 0.0),
+      // user 2/3: stall after s1 — only the s1 row is emitted
+      (2L, ts(60), "signup", 60L, 0.0),
+      (3L, ts(10), "signup", 10L, 0.0),
+      // user 4 never matches s1: a purchase BEFORE any signup cannot
+      // open an instance → no rows at all
+      (5L, ts(10), "signup", 10L, 0.0),
+      (5L, ts(50), "purchase", 10L, 0.0)))
+  }
+
+  test("scanEarliest: later-step assignment overrides, unassigned default survives") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0), (4L, "c", 40.0))
+      .toDF("id", "k", "v")
+    val out = Funnel.scanEarliest(df, Nil, Seq(col("id")),
+        Seq("x" -> lit(0.0), "tag" -> lit("none")),
+        Seq(
+          Funnel.ScanStep("s1", col("k") === "a", Seq("x" -> col("v"))),
+          Funnel.ScanStep("s2", col("k") === "a", Seq("x" -> (col("v") * 2))),
+          Funnel.ScanStep("s3", col("k") === "c")))
+      .orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getString(4)))
+    // s1 matches id=1 (x=10), s2 the NEXT 'a' id=3 (x=60 overrides), s3 id=4
+    // keeps s2's assignment; 'tag' is never assigned → default everywhere
+    assert(out.toSeq == Seq((1L, 10.0, "none"), (3L, 60.0, "none"), (4L, 60.0, "none")))
+  }
+
+  test("scanEarliest: keyed plan shape — one exchange, no joins") {
+    val out = Funnel.scanEarliest(events,
+      Seq(col("user_id")), Seq(col("ts")),
+      Seq("sid" -> lit(0L)),
+      Seq(Funnel.ScanStep("s1", col("event_type") === "signup", Seq("sid" -> lit(1L))),
+          Funnel.ScanStep("s2", col("event_type") === "purchase")))
+    val p = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"keyed scan must shuffle once on the key; found $exchanges:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "scan must be window-based, not join-based")
+  }
+
+  test("scanEarliest: declared name colliding with an input column is rejected") {
+    intercept[IllegalArgumentException] {
+      Funnel.scanEarliest(events, Nil, Seq(col("ts")),
+        Seq("ts" -> lit(0L)),
+        Seq(Funnel.ScanStep("s1", col("event_type") === "signup")))
+    }
+  }
 }
