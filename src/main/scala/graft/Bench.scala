@@ -11,7 +11,8 @@ import org.apache.spark.sql.SparkSession
   * single cold shot records GC/run-order phantoms up to 8× the true
   * plan cost, which poisons round-over-round comparison; min-of-2 is
   * the cheapest estimator that kills them while still timing the full
-  * plan each time.
+  * plan each time. On a machine already loaded at start
+  * (loadavg > cpus/4) every query takes a third pass.
   *
   * Load guard (VERDICT r7 item 2 — two rounds in a row, a loaded driver
   * machine faked a regression that burned diagnosis time): the JSON now
@@ -36,26 +37,52 @@ object Bench {
       .split("\\s+").take(3).toSeq.map(_.toDouble)
     catch { case _: Throwable => Nil }
 
-  /** Previous round's per-query seconds from the committed
-    * bench_result.json — but only when it was measured at the SAME
-    * sf dir (comparing sf0.01 against sf0.1 would flag everything).
-    * Empty when absent/unparseable/different-sf. */
-  private def previousTimes(sfDir: String): Map[String, Double] =
+  /** Per-query seconds from one bench artifact, or None when it is
+    * absent/unparseable or was measured at a DIFFERENT sf dir
+    * (comparing sf0.01 against sf0.1 would flag everything). */
+  private def timesFrom(path: java.nio.file.Path, sfDir: String): Option[Map[String, Double]] =
     try {
       import org.json4s._
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("bench_result.json")), "UTF-8")
+      val txt = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
       val j = org.json4s.jackson.JsonMethods.parse(txt)
       val sameSf = j \ "sf" match { case JString(s) => s == sfDir; case _ => false }
-      if (!sameSf) Map.empty
+      if (!sameSf) None
       else j \ "queries" match {
-        case JObject(fields) => fields.collect {
+        case JObject(fields) => Some(fields.collect {
           case (k, JDouble(v)) => k -> v
           case (k, JInt(v)) => k -> v.toDouble
-        }.toMap
-        case _ => Map.empty
+        }.toMap)
+        case _ => None
       }
-    } catch { case _: Throwable => Map.empty }
+    } catch { case _: Throwable => None }
+
+  /** Previous round's per-query seconds, for the outlier re-run guard:
+    * the committed bench_result.json when its sf matches, else the
+    * NEWEST same-sf BENCH_r*.json (r9 post-mortem: a committed sf0.01
+    * baseline silently starved the guard and the driver's sf0.1 round
+    * recorded 3-9× load phantoms with `reruns: []`). A loud stderr
+    * warning marks the fallback so a mismatched baseline is visible in
+    * the round log, never silent again. */
+  private def previousTimes(sfDir: String): Map[String, Double] = {
+    val committed = timesFrom(java.nio.file.Paths.get("bench_result.json"), sfDir)
+    committed.getOrElse {
+      System.err.println(
+        s"[bench] WARNING: committed bench_result.json missing or not at sf '$sfDir' — " +
+        "falling back to the newest same-sf BENCH_r*.json for the re-run guard")
+      val rounds =
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.list(java.nio.file.Paths.get(".")).iterator.asScala
+            .filter(_.getFileName.toString.matches("BENCH_r\\d+\\.json"))
+            .toSeq.sortBy(p => "\\d+".r.findFirstIn(p.getFileName.toString).get.toInt)(
+              Ordering[Int].reverse)
+        } catch { case _: Throwable => Seq.empty }
+      rounds.view.flatMap(p => timesFrom(p, sfDir)).headOption.getOrElse {
+        System.err.println("[bench] WARNING: no same-sf baseline found — outlier guard disabled this run")
+        Map.empty
+      }
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -87,6 +114,11 @@ object Bench {
     }
     val loadBefore = loadavg()
     val prev = previousTimes(sfDir)
+    // A machine already under load at start (loadavg > cpus/4) noises
+    // even min-of-2; take min-of-3 there so the artifact stays
+    // comparable round-over-round (VERDICT r9 item 1c).
+    val passes =
+      if (loadBefore.headOption.exists(_ > Runtime.getRuntime.availableProcessors / 4.0)) 3 else 2
     // SPARK_GRAFT_ONLY=q41 benches just the matching queries — the
     // single-query iteration loop for perf work (not used by the driver)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -94,7 +126,10 @@ object Bench {
       .filter { case (n, _) => only.forall(n.contains) }
     val firstPass = selected.map { case (name, fn) =>
       val first = timeOnce(name, fn)
-      (name, fn, if (first < 0) first else math.min(first, timeOnce(name, fn)))
+      val best =
+        if (first < 0) first
+        else (2 to passes).foldLeft(first)((b, _) => math.min(b, timeOnce(name, fn)))
+      (name, fn, best)
     }
     // load guard: >2× the last committed round → re-measure, keep the min
     val reruns = List.newBuilder[String]
