@@ -179,7 +179,11 @@ object MediaHeaders {
       if (id == "fmt " && pos + 8 + 16 <= b.length) {
         channels = le16(b, pos + 10); sampleRate = le32(b, pos + 12); blockAlign = le16(b, pos + 20)
       } else if (id == "data") dataLen = sz
-      pos += 8 + sz.toInt + (sz.toInt & 1)
+      // word-aligned advance computed in Long: a hostile chunk size
+      // above Int.MaxValue would truncate negative via .toInt and stall
+      // the walk forever (try/catch can't catch non-termination); a
+      // size past the buffer just ends the walk — corrupt = skipped row
+      pos = math.min(pos.toLong + 8L + sz + (sz & 1L), b.length.toLong).toInt
     }
     if (blockAlign <= 0 || dataLen < 0) None
     else Some(Header("wav", sampleRate, channels, (dataLen / blockAlign).toInt))
@@ -203,11 +207,13 @@ object MediaHeaders {
           if (cid == "avih" && c + 8 + 40 <= b.length)
             return Some(Header("avi", le32(b, c + 8 + 32), le32(b, c + 8 + 36),
               math.max(1, le32(b, c + 8 + 16))))
-          c += 8 + csz.toInt + (csz.toInt & 1)
+          // Long advance — see wav(): hostile 32-bit sizes must not
+          // truncate negative and stall the walk
+          c = math.min(c.toLong + 8L + csz + (csz & 1L), end.toLong).toInt
         }
         return None
       }
-      pos += 8 + sz.toInt + (sz.toInt & 1)
+      pos = math.min(pos.toLong + 8L + sz + (sz & 1L), b.length.toLong).toInt
     }
     None
   }
@@ -298,7 +304,9 @@ object MediaCodec {
             if (lt == "movi" || (inMovi && lt == "rec ")) walk(pos + 12, lend, inMovi = true)
           } else if (inMovi && isFrame(id) && pos + 8L + sz <= end)
             out += ((pos + 8, sz.toInt))
-          pos += 8 + sz.toInt + (sz.toInt & 1)
+          // Long advance — see MediaHeaders.wav(): a hostile 32-bit size
+          // must not truncate negative and stall the walk
+          pos = math.min(pos.toLong + 8L + sz + (sz & 1L), end.toLong).toInt
         }
       }
       walk(12, payload.length, inMovi = false)

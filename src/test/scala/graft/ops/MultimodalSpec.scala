@@ -105,6 +105,39 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MediaHeaders.parse(null).isEmpty)
   }
 
+  test("hostile RIFF chunk sizes above Int.MaxValue terminate the walks (no hang)") {
+    // a declared chunk size of 0xFFFFFFFF used to truncate negative via
+    // .toInt, making the walker's advance ≤ 0 — the task then hung
+    // forever, which no try/catch can turn into a skipped row
+    def hostile(form: String): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(56).put(form.getBytes("US-ASCII"))
+      bb.put("JUNK".getBytes("US-ASCII")).putInt(0xFFFFFFFF) // hostile size
+      bb.array()
+    }
+    assert(MediaHeaders.parse(hostile("WAVE")).isEmpty)
+    assert(MediaHeaders.parse(hostile("AVI ")).isEmpty)
+    assert(MediaCodec.aviFrameRanges(hostile("AVI ")).isEmpty)
+    // hostile size INSIDE the hdrl LIST (the avih walk's inner loop)
+    val inner = {
+      val bb = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(56).put("AVI ".getBytes("US-ASCII"))
+      bb.put("LIST".getBytes("US-ASCII")).putInt(40).put("hdrl".getBytes("US-ASCII"))
+      bb.put("junk".getBytes("US-ASCII")).putInt(0xFFFFFFFF)
+      bb.array()
+    }
+    assert(MediaHeaders.parse(inner).isEmpty)
+    // and inside a movi LIST for the frame-range walk
+    val moviHostile = {
+      val bb = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(56).put("AVI ".getBytes("US-ASCII"))
+      bb.put("LIST".getBytes("US-ASCII")).putInt(40).put("movi".getBytes("US-ASCII"))
+      bb.put("00dc".getBytes("US-ASCII")).putInt(0xFFFFFFFF)
+      bb.array()
+    }
+    assert(MediaCodec.aviFrameRanges(moviHostile).isEmpty)
+  }
+
   // ------------------------------------------- real pixel/sample decode
 
   /** 2×2 ARGB PNG with four known opaque pixels (R, G, B, white). */
