@@ -26,9 +26,20 @@ object PageRank {
   /** @param edges (src, dst) string-keyed directed edges
     * @param normalize scale ranks by N so the mean sits at ~1 (stable
     *                  magnitudes for thresholds/oracles at any graph size)
-    * @return (node, rank) after `k` damped iterations from uniform */
+    * @param tol L1 convergence tolerance: when > 0, iteration stops
+    *            early once Σ|rank_t − rank_{t−1}| < tol (an O(1) driver
+    *            scalar per round off the already-checkpointed table —
+    *            the KMeans checksum pattern); 0 keeps exactly-k rounds
+    *            with NO per-round action (the oracle-comparable form)
+    * @return (node, rank) after at most `k` damped iterations from uniform */
   def run(edges: DataFrame, k: Int, damping: Double = 0.85,
-          normalize: Boolean = false): DataFrame = {
+          normalize: Boolean = false, tol: Double = 0.0): DataFrame =
+    runCounted(edges, k, damping, normalize, tol)._1
+
+  /** [[run]] plus the number of iterations actually executed (spec
+    * surface for the early stop). */
+  private[graft] def runCounted(edges: DataFrame, k: Int, damping: Double = 0.85,
+                                normalize: Boolean = false, tol: Double = 0.0): (DataFrame, Int) = {
     require(k >= 1, "PageRank needs at least one iteration")
     // out-degree is loop-invariant: bake it into the persisted edge
     // table once (one window shuffle on src) instead of re-joining a
@@ -44,16 +55,30 @@ object PageRank {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count() // O(1) driver scalar
     var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
-    for (_ <- 1 to k) {
+    var iters = 0
+    var converged = false
+    while (iters < k && !converged) {
       val contrib = e.join(ranks, e("src") === ranks("node"))
         .select(col("dst").as("node"), (col("rank") / col("od")).as("c"))
         .groupBy("node").agg(sum("c").as("in"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
+      // ranks is node-complete, so joining contrib onto it (rather than
+      // onto nodes) carries the previous rank through for the delta —
+      // same join either way, no extra shuffle
+      val stepped = ranks.withColumnRenamed("rank", "__prev")
+        .join(contrib, Seq("node"), "left")
         .select(col("node"),
-          (lit((1 - damping) / n) + lit(damping) * coalesce(col("in"), lit(0.0))).as("rank"))
+          (lit((1 - damping) / n) + lit(damping) * coalesce(col("in"), lit(0.0))).as("rank"),
+          col("__prev"))
         .localCheckpoint()
+      iters += 1
+      if (tol > 0) {
+        // O(1) driver scalar off the checkpointed table — no replay
+        val delta = stepped.agg(sum(abs(col("rank") - col("__prev")))).head.getDouble(0)
+        converged = delta < tol
+      }
+      ranks = stepped.drop("__prev")
     }
     e.unpersist(); nodes.unpersist()
-    if (normalize) ranks.withColumn("rank", col("rank") * lit(n.toDouble)) else ranks
+    (if (normalize) ranks.withColumn("rank", col("rank") * lit(n.toDouble)) else ranks, iters)
   }
 }

@@ -41,6 +41,26 @@ class PageRankSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(r2("c") - (0.05 + 0.85 * (0.025 + 0.05 + 0.85 / 6))) < 1e-12)
   }
 
+  test("tol-based early stop halts on a converged graph, fixed-k path unchanged") {
+    import spark.implicits._
+    // a 2-cycle starts AT the fixed point (uniform 1/2): the first
+    // iteration reproduces it exactly, so delta = 0 and tol stops after
+    // one round instead of burning all 50
+    val cycle = Seq("a" -> "b", "b" -> "a").toDF("src", "dst")
+    val (df, iters) = PageRank.runCounted(cycle, 50, tol = 1e-9)
+    assert(iters == 1)
+    val r = df.collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r.values.forall(v => math.abs(v - 0.5) < 1e-12), r)
+    // an unconverged graph under a tiny budget runs all k rounds and
+    // matches the fixed-k form value-for-value
+    val fan = Seq("a" -> "b", "a" -> "c", "b" -> "c").toDF("src", "dst")
+    val (dfFan, itersFan) = PageRank.runCounted(fan, 2, tol = 1e-12)
+    assert(itersFan == 2)
+    val fixed = ranksOf(Seq("a" -> "b", "a" -> "c", "b" -> "c"), 2)
+    val early = dfFan.collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(fixed.forall { case (k, v) => math.abs(early(k) - v) < 1e-15 })
+  }
+
   test("normalized ranks average ~1 and preserve order") {
     import spark.implicits._
     val edges = Seq("a" -> "b", "a" -> "c", "b" -> "c").toDF("src", "dst")
