@@ -113,6 +113,80 @@ class PipelineE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(snap("records-failed") == 0 && snap("dlq-records-sent") == 0)
   }
 
+  /** Reference-parity lenient JSON compare (`it/KustoSinkIT.java:470-487`):
+    * JSONAssert LENIENT mode with per-field numeric tolerances — every
+    * expected field must be present and matching in the actual record,
+    * actual may carry extras, and fields with a named tolerance compare
+    * numerically within it instead of textually (round-off through
+    * serialize→ingest→query must not fail verification). */
+  private def assertJsonLeniently(expected: String, actual: String,
+                                  tolerances: Map[String, Double]): Unit = {
+    import org.json4s._
+    def fields(s: String): List[(String, JValue)] =
+      org.json4s.jackson.JsonMethods.parse(s) match {
+        case JObject(fs) => fs
+        case other => fail(s"not a JSON object: $other")
+      }
+    val aMap = fields(actual).toMap
+    fields(expected).foreach { case (k, ev) =>
+      val av = aMap.getOrElse(k, fail(s"field '$k' missing from actual: $actual"))
+      tolerances.get(k) match {
+        case Some(tol) =>
+          def num(v: JValue): Double = v match {
+            case JDouble(d) => d
+            case JDecimal(d) => d.toDouble
+            case JInt(i) => i.toDouble
+            case JLong(l) => l.toDouble
+            case JString(s) => s.toDouble
+            case other => fail(s"field '$k' is not numeric: $other")
+          }
+          val (e, a) = (num(ev), num(av))
+          assert(math.abs(e - a) < tol, s"field '$k': $a not within $tol of $e")
+        case None => assert(ev == av, s"field '$k': ${av} != ${ev}")
+      }
+    }
+  }
+
+  test("tolerance-based verify: decimal/real columns compare within reference IT tolerances") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tablesRoot = Files.createTempDirectory("e2e-tol").toString
+    val checkpoint = Files.createTempDirectory("e2e-tol-ckpt").toString
+    val pipeline = new KustoSparkPipeline(
+      newConfig(), () => new LocalTableIngestClient(tablesRoot), None, SinkMetrics.forSpark(spark))
+    val stream = MemoryStream[KRecord]
+    // vdec/vreal carry round-off relative to the produced values — the
+    // exact-equality verify loop would reject every one of these
+    stream.addData((0 until 5).map(i => KRecord("topicA", 0, i, null,
+      s"""{"vlong":$i,"vtype":"dec","vdec":$i.30000000002,"vreal":$i.10002}""".getBytes(UTF_8))))
+    val q = pipeline.start(stream.toDF(), checkpoint)
+    q.processAllAvailable()
+    q.stop()
+
+    // what the producer "expected": the unrounded values, WITHOUT vtype
+    // (LENIENT: extra ingested fields are fine)
+    val expected = (0 until 5).map(i => i.toLong ->
+      s"""{"vlong":$i,"vdec":$i.3,"vreal":$i.1}""").toMap
+    val actualLines = spark.read.text(s"$tablesRoot/db1/tableA").as[String].collect()
+    assert(actualLines.length == 5)
+    val tol = Map("vdec" -> 1e-9, "vreal" -> 1e-4) // vdec 1e-9 / vreal 1e-4, as in the reference IT
+    actualLines.foreach { line =>
+      val key = "\"vlong\":(\\d+)".r.findFirstMatchIn(line).get.group(1).toLong
+      assertJsonLeniently(expected(key), line, tol)
+    }
+    // beyond-tolerance differences still fail loudly
+    intercept[org.scalatest.exceptions.TestFailedException] {
+      assertJsonLeniently("""{"vreal":0.2}""", """{"vreal":0.2002}""", tol)
+    }
+    intercept[org.scalatest.exceptions.TestFailedException] {
+      assertJsonLeniently("""{"vdec":1.0}""", """{"vdec":1.000000002}""", tol)
+    }
+    // a field with no tolerance stays exact
+    intercept[org.scalatest.exceptions.TestFailedException] {
+      assertJsonLeniently("""{"vtype":"dec"}""", """{"vtype":"DEC"}""", tol)
+    }
+  }
+
   test("wildcard '*' mapping routes unmapped topics; no-mapping FAIL mode fails the batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
