@@ -278,13 +278,19 @@ object KqlCompiler {
       case Some(t) if t.kind == "id" && t.text == "range" &&
           toks.lift(pos + 1).exists(_.kind == "id") &&
           toks.lift(pos + 2).exists(t2 => t2.kind == "id" && t2.text == "from") =>
-        next(); rangeSource()
-      case Some(t) if t.kind == "id" && t.text == "print" => next(); printSource()
+        next(); headName = None; rangeSource()
+      case Some(t) if t.kind == "id" && t.text == "print" => next(); headName = None; printSource()
       case Some(t) if t.kind == "id" && t.text == "datatable" &&
           toks.lift(pos + 1).exists(_.text == "(") =>
-        next(); datatableSource()
-      case _ => resolveName(ident())
+        next(); headName = None; datatableSource()
+      case _ => val n = ident(); headName = Some(n); resolveName(n)
     }
+
+    /** The current pipeline's head table/let name when it started from a
+      * bare reference (None for generators/anonymous inputs) — `union
+      * withsource=` labels the left leg with it, as Kusto labels rows
+      * with their source table. */
+    private var headName: Option[String] = None
 
     private def session: org.apache.spark.sql.SparkSession =
       sessionHint
@@ -965,9 +971,12 @@ object KqlCompiler {
       case "union" =>
         // `union [withsource=Col] T1 [, T2 …]` — KQL union merges by
         // column NAME, filling missing with null; withsource labels each
-        // row with the table/subquery it came from (the left pipeline is
-        // labeled with its table name only when it is a bare name —
-        // Kusto calls anonymous inputs 'union').
+        // row with the table/subquery it came from. The left pipeline is
+        // labeled with its head table/let name when it started from a
+        // bare reference (tracked in headName); anonymous inputs —
+        // generators, parenthesized subqueries — get Kusto's 'union'
+        // fallback label.
+        val leftLabel = headName.getOrElse("union")
         val withSource =
           if (peekIs("withsource")) {
             expect("withsource"); expect("=")
@@ -982,7 +991,7 @@ object KqlCompiler {
           case None =>
             parts.map(_.d).foldLeft(df)(_.unionByName(_, allowMissingColumns = true))
           case Some(srcCol) =>
-            val left = df.withColumn(srcCol, lit("union"))
+            val left = df.withColumn(srcCol, lit(leftLabel))
             parts.map(p => p.d.withColumn(srcCol, lit(p.name)))
               .foldLeft(left)(_.unionByName(_, allowMissingColumns = true))
         }

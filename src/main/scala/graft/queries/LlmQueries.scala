@@ -1901,11 +1901,14 @@ object LlmQueries extends QueryModule {
     * heavy (or synthetically generated) — a standard pretraining-corpus
     * health check. One term-freq hash agg (Zipf head absorbs map-side),
     * a top-k, a rank window over ≤200 rows, one regr_slope aggregate —
-    * nothing scales with corpus size past the first agg. */
+    * nothing scales with corpus size past the first agg. Tokenizer is a
+    * literal single-space split on BOTH sides (as q113/q114): a regex
+    * \s+ here against string_split(' ') in DuckDB would diverge on any
+    * tab/newline in the corpus. */
   private val zipfSql = """
     WITH tf AS (
       SELECT tok, count(1) AS f
-      FROM (SELECT explode(split(lower(text), '\\s+')) AS tok FROM documents)
+      FROM (SELECT explode(split(lower(text), ' ')) AS tok FROM documents)
       WHERE tok != ''
       GROUP BY tok
       ORDER BY f DESC, tok ASC

@@ -94,9 +94,30 @@ final class AvroContainerWriter(schemaJson: String) extends FormatWriterProvider
       override def write(b: Array[Byte], off: Int, len: Int): Unit = out.write(b, off, len)
       override def close(): Unit = flush() // keep underlying stream open
     })
+    // appendEncoded skips decode→re-encode, which also skips all
+    // validation: bytes that aren't actually Avro-encoded with `schema`
+    // would produce a corrupt block detected only by a reader. Decode
+    // the FIRST datum per file as a fail-fast contract check (one
+    // decode per file, not per record) so a mis-wired upstream encoder
+    // surfaces at write time with a pointed error.
+    private var validatedFirst = false
+    private def validateFirst(value: Array[Byte]): Unit = {
+      try {
+        val dec = org.apache.avro.io.DecoderFactory.get().binaryDecoder(value, null)
+        new org.apache.avro.generic.GenericDatumReader[GenericRecord](schema).read(null, dec)
+        if (!dec.isEnd) throw new java.io.IOException("trailing bytes after the datum")
+      } catch { case e: Exception =>
+        throw new graft.config.SinkConfigException(
+          "avro value bytes do not decode with the mapping's writer schema " +
+          s"(mis-wired upstream encoder?): ${e.getMessage}")
+      }
+      validatedFirst = true
+    }
     def append(r: SinkRecord): Unit = {
-      if (r.value != null && r.value.nonEmpty)
+      if (r.value != null && r.value.nonEmpty) {
+        if (!validatedFirst) validateFirst(r.value)
         writer.appendEncoded(java.nio.ByteBuffer.wrap(r.value))
+      }
     }
     override def close(): Unit = writer.close()
   }

@@ -593,8 +593,18 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     val uni = KqlCompiler.compile(
       "t | project id | union withsource=src other | summarize n = count() by src | order by src asc",
       resolve2).collect()
+    // left leg began from the bare table name 't' → labeled 't', as
+    // Kusto labels rows with their source table
     assert(uni.map(r => (r.getString(0), r.getLong(1))).toSeq ==
-      Seq(("other", 1L), ("union", 5L)))
+      Seq(("other", 1L), ("t", 5L)))
+    // an anonymous left leg (generator head) keeps the 'union' fallback
+    val gen = KqlCompiler.compile(
+      """range x from 1 to 3 step 1
+        | | union withsource=src other
+        | | summarize n = count() by src | order by src asc""".stripMargin,
+      resolve2, java.time.Instant.EPOCH, spark).collect()
+    assert(gen.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("other", 1L), ("union", 3L)))
   }
 
   test("datetime_add / datetime_diff (boundary semantics) / datetime_part") {

@@ -101,6 +101,36 @@ class FormatWriterSpec extends AnyFunSuite {
     assert(blocks < n / 10, s"expected few blocks for $n small records, got $blocks")
   }
 
+  test("avro: bytes that don't decode with the writer schema fail fast at append time") {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.io.EncoderFactory
+    val schemaJson =
+      """{"type":"record","name":"R","fields":[
+        |{"name":"text","type":"string"},{"name":"id","type":"int"}]}""".stripMargin
+    // junk value bytes: appendEncoded alone would stage a corrupt block
+    // detected only when a reader consumes the file — the first-datum
+    // contract check must surface it at write time instead
+    val junk = SinkRecord("t", 0, 0, null, Array[Byte](0x7f, 0x00, 0x13, 0x37))
+    val ex = intercept[graft.config.SinkConfigException] {
+      written(new AvroContainerWriter(schemaJson), Seq(junk))
+    }
+    assert(ex.getMessage.contains("writer schema"))
+    // a valid first datum followed by later appends stays on the fast path
+    val schema = new Schema.Parser().parse(schemaJson)
+    val w = new GenericDatumWriter[GenericRecord](schema)
+    def datum(text: String, id: Int): Array[Byte] = {
+      val r = new GenericData.Record(schema)
+      r.put("text", text); r.put("id", id)
+      val bos = new ByteArrayOutputStream()
+      val enc = EncoderFactory.get().binaryEncoder(bos, null)
+      w.write(r, enc); enc.flush(); bos.toByteArray
+    }
+    val ok = written(new AvroContainerWriter(schemaJson),
+      (0 until 3).map(i => SinkRecord("t", 0, i, null, datum(s"v$i", i))))
+    assert(ok.nonEmpty)
+  }
+
   test("format dispatch matches the reference's provider selection") {
     assert(FormatWriters.forFormat("multijson") == JsonLinesWriter)
     assert(FormatWriters.forFormat("json") == JsonLinesWriter)
