@@ -716,6 +716,32 @@ object KqlCompiler {
         val items = sepBy1(orderItem)
         lastOrder = Some(items)
         df.orderBy(items.map(_(df)): _*).limit(n)
+      case "render" =>
+        // `| render <chartkind> [with (prop = …, …)]` — a PRESENTATION
+        // hint, not a transform: Kusto executes the pipeline identically
+        // and the client draws the chart. Dashboards and the reference's
+        // Grafana-style probes routinely end queries with it, so the
+        // compiler accepts (and validates the chart kind of) the clause
+        // and returns the frame unchanged; Kusto requires render last,
+        // enforced by the normal trailing-token check.
+        val kind = ident()
+        val kinds = Set("anomalychart", "areachart", "barchart", "card", "columnchart",
+          "ladderchart", "linechart", "piechart", "pivotchart", "scatterchart",
+          "stackedareachart", "table", "timechart", "timepivot", "treemap")
+        if (!kinds(kind))
+          throw new KqlParseException(s"unsupported render chart kind '$kind'")
+        if (peekIs("with")) { // properties are client-side; skip the balanced group
+          expect("with"); expect("(")
+          var depth = 1
+          while (depth > 0) {
+            val t = next()
+            if (t.kind == "sym" && t.text == "(") depth += 1
+            else if (t.kind == "sym" && t.text == ")") depth -= 1
+          }
+        }
+        if (peekIs("|"))
+          throw new KqlParseException("render must be the last operator (trailing pipeline after render)")
+        df
       case "scan" =>
         // Kusto `scan` — restricted single-earliest-instance core (see
         // [[graft.ops.Funnel.scanEarliest]] for semantics + scale shape):
@@ -769,10 +795,79 @@ object KqlCompiler {
         expect(")")
         val ss = steps.result()
         if (ss.isEmpty) throw new KqlParseException("scan needs at least one step")
-        graft.ops.Funnel.scanEarliest(df, Nil, lastOrder.get.map(_(df)),
-          declares.map { case (n, b) => (n, b(df)) },
-          ss.map { case (n, c, as) =>
-            graft.ops.Funnel.ScanStep(n, c(df), as.map { case (an, ab) => (an, ab(df)) }) })
+        // Declared vars are visible inside step predicates/assignments
+        // as self-references. They compile against marker columns so the
+        // lowering can classify each use: the single-step running form
+        // supports the additive accumulator (Kusto's canonical
+        // cumulative-sum scan); everything else must be row-only.
+        import org.apache.spark.sql.{GraftColumnBridge => ExpressionUtils}
+        import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        import org.apache.spark.sql.catalyst.expressions.{Add => CAdd, Expression => CExpr}
+        val markerPrefix = "__scan_self_"
+        val markers = declares.map { case (n, _) => n -> col(markerPrefix + n) }
+        def withBinds[A](bs: List[(String, Column)])(body: => A): A = bs match {
+          case Nil => body
+          case (n, c) :: rest => withBind(n, c)(withBinds(rest)(body))
+        }
+        def hasMarker(e: CExpr): Boolean =
+          e.collectFirst { case UnresolvedAttribute(parts)
+            if parts.headOption.exists(_.startsWith(markerPrefix)) => () }.isDefined
+        def isMarkerOf(e: CExpr, v: String): Boolean = e match {
+          case UnresolvedAttribute(parts) => parts == Seq(markerPrefix + v)
+          case _ => false
+        }
+        // Column's + builds an unresolved "+" function node pre-analysis;
+        // a resolved tree would carry catalyst Add — accept both shapes
+        def addParts(e: CExpr): Option[(CExpr, CExpr)] = e match {
+          case CAdd(l, r, _) => Some((l, r))
+          case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+            if f.nameParts == Seq("+") && f.arguments.size == 2 =>
+            Some((f.arguments(0), f.arguments(1)))
+          case _ => None
+        }
+        val orderCols = lastOrder.get.map(_(df))
+        val declared = declares.map { case (n, b) => (n, b(df)) }
+        ss match {
+          case (_, condB, assignsB) :: Nil =>
+            // single step → sequential running-state semantics
+            val cond = withBinds(markers)(condB(df))
+            if (hasMarker(ExpressionUtils.catalystExpression(cond)))
+              throw new KqlParseException(
+                "scan state references in step predicates are not supported")
+            val decls = declared.map { case (v, dflt) =>
+              assignsB.reverse.find(_._1 == v) match {
+                case None => graft.ops.Funnel.NotAssigned(v, dflt)
+                case Some((_, ab)) =>
+                  val c = withBinds(markers)(ab(df))
+                  val ex = ExpressionUtils.catalystExpression(c)
+                  addParts(ex) match {
+                    case Some((l, r)) if isMarkerOf(l, v) && !hasMarker(r) =>
+                      graft.ops.Funnel.AddAssign(v, dflt, ExpressionUtils.column(r))
+                    case Some((l, r)) if isMarkerOf(r, v) && !hasMarker(l) =>
+                      graft.ops.Funnel.AddAssign(v, dflt, ExpressionUtils.column(l))
+                    case _ if hasMarker(ex) =>
+                      throw new KqlParseException(
+                        s"scan state reference in the assignment to '$v' must be " +
+                        "additive (v = v + expr or v = expr + v)")
+                    case _ => graft.ops.Funnel.RowAssign(v, dflt, c)
+                  }
+              }
+            }
+            graft.ops.Funnel.scanRunning(df, Nil, orderCols, cond, decls)
+          case _ =>
+            // multi-step → single-earliest-instance semantics; state
+            // references would need the sequential engine, loud error
+            graft.ops.Funnel.scanEarliest(df, Nil, orderCols, declared,
+              ss.map { case (n, c, as) =>
+                val cond = withBinds(markers)(c(df))
+                val assigns = as.map { case (an, ab) => (an, withBinds(markers)(ab(df))) }
+                (cond +: assigns.map(_._2)).find(cc => hasMarker(ExpressionUtils.catalystExpression(cc)))
+                  .foreach(_ => throw new KqlParseException(
+                    "scan state references are supported only in single-step scans " +
+                    "(additive accumulator form)"))
+                graft.ops.Funnel.ScanStep(n, cond, assigns)
+              })
+        }
       case "serialize" =>
         // `serialize [name = expr, …]`: marks the frame row-ordered so
         // row_number()/prev()/next() are meaningful; assignments behave

@@ -1231,8 +1231,64 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.map(r => (r.getLong(0), r.isNullAt(1))).toSeq == Seq((4L, true)))
   }
 
+  test("render is a validated presentation no-op") {
+    val out = run("t | summarize n = count() by name | order by name asc | render barchart")
+      .collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("alpha", 2L), ("beta", 2L), ("gamma", 1L)))
+    // with-properties are client-side and skipped as a balanced group
+    assert(run("t | render table with (title = 'All rows', xcolumn = id)").count() == 5)
+    assert(intercept[KqlParseException](run("t | render sparkline"))
+      .getMessage.contains("chart kind"))
+    // Kusto requires render to be the final operator
+    assert(intercept[KqlParseException](run("t | render table | count"))
+      .getMessage.contains("trailing"))
+  }
+
   test("scan requires a preceding order by") {
     assert(intercept[KqlParseException](
       run("t | scan with (step s1: value > 0;)")).getMessage.contains("order by"))
+  }
+
+  test("scan single-step running form: Kusto's canonical cumulative sum") {
+    val out = KqlCompiler.compile(
+      """range x from 1 to 5 step 1
+        | | order by x asc
+        | | scan declare (s:long = 0) with (step step1: true => s = x + s;)""".stripMargin,
+      _ => df, java.time.Instant.EPOCH, spark).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 1L), (2L, 3L), (3L, 6L), (4L, 10L), (5L, 15L)))
+  }
+
+  test("scan single-step: filtered accumulation + row-only assignment together") {
+    val out = run(
+      """t | order by id asc
+        | | scan declare (tot:real = 0.0, nm:string) with (
+        |     step s: value >= 20 => tot = tot + value, nm = name;
+        |   )
+        | | project id, tot, nm""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    // ids 2(55), 3(95), 4(20), 5(70) match; tot accumulates over matched
+    // rows only, nm is each consuming row's own value
+    assert(out.toSeq == Seq(
+      (2L, 55.0, "beta"), (3L, 150.0, "alpha"), (4L, 170.0, "gamma"), (5L, 240.0, "beta")))
+  }
+
+  test("scan state references outside the additive form are loud errors") {
+    assert(intercept[KqlParseException](run(
+      """t | order by id asc
+        | | scan declare (s:long = 0) with (step s1: value > 0 => s = s * 2;)""".stripMargin))
+      .getMessage.contains("additive"))
+    assert(intercept[KqlParseException](run(
+      """t | order by id asc
+        | | scan declare (s:long = 0) with (
+        |     step s1: value > 0 => s = s + 1;
+        |     step s2: value > 50;
+        |   )""".stripMargin))
+      .getMessage.contains("single-step"))
+    assert(intercept[KqlParseException](run(
+      """t | order by id asc
+        | | scan declare (s:long = 0) with (step s1: s < 3;)""".stripMargin))
+      .getMessage.contains("predicate"))
   }
 }
