@@ -131,4 +131,45 @@ object Funnel {
     d.where(col("__scan_step").isNotNull)
       .select(df.columns.map(col) ++ declCols: _*)
   }
+
+  /** Declared-variable lowering classes for the single-step scan
+    * ([[scanRunning]]): untouched default, per-row assignment, or the
+    * self-referencing additive accumulation `v = v + e`. */
+  sealed trait RunningDecl { def name: String }
+  final case class NotAssigned(name: String, default: Column) extends RunningDecl
+  final case class RowAssign(name: String, default: Column, expr: Column) extends RunningDecl
+  final case class AddAssign(name: String, default: Column, increment: Column) extends RunningDecl
+
+  /** Kusto `scan` with exactly ONE step — the sequential running-state
+    * form (Kusto's own canonical example is the cumulative sum
+    * `scan declare (s:long=0) with (step s1: true => s = x + s;)`).
+    * Single-step semantics: every record matching the predicate is
+    * consumed by the step — it updates the step's state and is emitted —
+    * so the whole state machine lowers to a filter plus running windows:
+    *  - `v = v + e` (or `e + v`): v on row i = default + Σ e over the
+    *    matched rows up to and including i — a running window sum over
+    *    the scan order (null increments are SKIPPED, window-sum
+    *    semantics, rather than null-poisoning the accumulator);
+    *  - `v = e` (row-only): the consuming row's own value;
+    *  - unassigned: the declared default.
+    * Same scale shape as [[scanEarliest]]: keyed → one hash shuffle;
+    * global (the KQL-text form) → the documented serialize-class opt-in
+    * single partition. */
+  def scanRunning(df: DataFrame, partitionCols: Seq[Column], orderCols: Seq[Column],
+                  cond: Column, decls: Seq[RunningDecl]): DataFrame = {
+    require(orderCols.nonEmpty, "scan needs an explicit row order")
+    decls.map(_.name).find(df.columns.contains).foreach(c =>
+      throw new IllegalArgumentException(
+        s"scan declared column '$c' collides with an input column"))
+    val wRun = (if (partitionCols.isEmpty) Window.orderBy(orderCols: _*)
+                else Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val declCols = decls.map {
+      case NotAssigned(v, d) => d.as(v)
+      case RowAssign(v, _, e) => e.as(v)
+      case AddAssign(v, d, inc) =>
+        (d + coalesce(sum(inc).over(wRun), lit(0))).as(v)
+    }
+    df.where(cond).select(df.columns.map(col) ++ declCols: _*)
+  }
 }

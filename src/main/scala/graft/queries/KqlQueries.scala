@@ -603,6 +603,23 @@ object KqlQueries extends QueryModule {
           |   )
           | | project event_id, event_type, signup_id, spend
           | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // single-step `scan` — Kusto's canonical running-accumulator form:
+    // the step consumes every matching record, the additive
+    // self-referencing assignment lowers to a running window sum, and a
+    // row-only assignment captures the consuming record's own value.
+    // Running spend across all >50-value purchases, in stream order.
+    "q117_kql_text_scan_running" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_type == 'purchase'
+          | | order by ts asc, event_id asc
+          | | scan declare (total:real = 0.0, last_id:long = 0) with (
+          |     step big: value > 50 => total = total + value, last_id = event_id;
+          |   )
+          | | project event_id, total = round(total, 6), last_id
+          | | order by event_id asc""".stripMargin,
         _ => Tables.events(s, dir)))
   )
 
@@ -1078,6 +1095,18 @@ object KqlQueries extends QueryModule {
          SELECT event_id, event_type,
                 (CASE WHEN step >= 1 THEN (SELECT v FROM a1) ELSE 0 END)::BIGINT AS signup_id,
                 (CASE WHEN step >= 2 THEN (SELECT v FROM a2) ELSE 0.0 END)::DOUBLE AS spend
-         FROM out ORDER BY event_id"""
+         FROM out ORDER BY event_id""",
+
+    // running scan oracle: the additive accumulator IS a running window
+    // sum over the matched rows in scan order; last_id is each consuming
+    // row's own event_id
+    "q117_kql_text_scan_running" ->
+      """SELECT event_id,
+                round(0.0 + sum(value) OVER (ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS total,
+                event_id AS last_id
+         FROM events
+         WHERE event_type = 'purchase' AND value > 50
+         ORDER BY event_id"""
   )
 }

@@ -1,0 +1,26 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Column ⇄ catalyst Expression bridge.
+  *
+  * Spark 4 moved the converters behind `private[sql]`
+  * (`classic.ExpressionUtils`); the KQL compiler needs them in exactly
+  * one place — classifying a `scan` assignment's expression tree as the
+  * additive accumulator form `v = v + e` (lowered to a running window
+  * sum) versus a row-only assignment. The inspection is read-only over
+  * unresolved trees; no analyzer or execution internals are touched.
+  */
+object GraftColumnBridge {
+  /** Lazy wrapper (ColumnNodeExpression) — fine for handing back to
+    * Spark, opaque to tree inspection. */
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Eagerly-converted catalyst tree (UnresolvedFunction /
+    * UnresolvedAttribute nodes) — the form [[graft.kql.KqlCompiler]]
+    * pattern-matches for the scan-assignment classification. */
+  def catalystExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+}
