@@ -2230,6 +2230,81 @@ object LlmQueries extends QueryModule {
            len(regexp_extract_all(lower(text), '${piiPhone.replace("\\\\", "\\")}'))::BIGINT AS n_phones
     FROM documents ORDER BY doc_id"""
 
+  // ------------------------------- DSIR importance weighting (q118)
+
+  /** q118 — hashed-feature importance weighting for data selection
+    * (DSIR, Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling"): fit bag-of-hashed-unigram models on a
+    * TARGET slice (here `source = 'src0'`, the benchmark-like
+    * distribution) and on the RAW pool, then score every raw document by
+    * its log importance weight Σ_f n_f·(ln p̂_target(f) − ln p̂_raw(f))
+    * with add-one smoothing over [[DsirBuckets]] hash buckets; the top
+    * slice is what importance resampling would keep.
+    *
+    * Scale shape at 100 TB: ONE token explode + hash agg produces the
+    * bucket-count table (exactly [[DsirBuckets]] rows — broadcast), the
+    * per-doc score is one more agg over the same exploded relation, and
+    * selection is TakeOrdered top-k — nothing driver-side, nothing
+    * quadratic, the ratio table never exceeds a few KB. Tokenizer is
+    * the literal single-space split shared with q113/q114; the hash is
+    * the md5-prefix bucket idiom shared with q89 so DuckDB reproduces
+    * it bit-for-bit. Floats: scores round to 6dp and the top-k orders
+    * by the ROUNDED value (doc_id tie-break) so cross-engine ulp drift
+    * cannot reorder the cut. */
+  private val DsirBuckets = 256
+
+  private val dsirSql = s"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             cast(conv(substr(md5(tok), 1, 8), 16, 10) AS bigint) % $DsirBuckets AS b
+      FROM (SELECT doc_id, source, explode(split(lower(text), ' ')) AS tok FROM documents)
+      WHERE tok != ''),
+    cnt AS (
+      SELECT b,
+             sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS t_cnt,
+             sum(CASE WHEN source != 'src0' THEN 1 ELSE 0 END) AS r_cnt
+      FROM tok GROUP BY b),
+    tot AS (SELECT sum(t_cnt) AS t_tot, sum(r_cnt) AS r_tot FROM cnt),
+    lr AS (
+      SELECT b, ln((t_cnt + 1) / (t_tot + $DsirBuckets.0))
+                - ln((r_cnt + 1) / (r_tot + $DsirBuckets.0)) AS lw
+      FROM cnt CROSS JOIN tot),
+    score AS (
+      SELECT t.doc_id, sum(l.lw) AS logw, count(1) AS n_toks
+      FROM tok t JOIN lr l ON t.b = l.b
+      WHERE t.source != 'src0'
+      GROUP BY t.doc_id)
+    SELECT doc_id, round(logw, 6) AS logw, n_toks
+    FROM score
+    ORDER BY round(logw, 6) DESC, doc_id ASC
+    LIMIT 50"""
+
+  private val dsirOracle = s"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT % $DsirBuckets AS b
+      FROM (SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+      WHERE tok != ''),
+    cnt AS (
+      SELECT b,
+             sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::BIGINT AS t_cnt,
+             sum(CASE WHEN source != 'src0' THEN 1 ELSE 0 END)::BIGINT AS r_cnt
+      FROM tok GROUP BY b),
+    tot AS (SELECT sum(t_cnt)::DOUBLE AS t_tot, sum(r_cnt)::DOUBLE AS r_tot FROM cnt),
+    lr AS (
+      SELECT b, ln((t_cnt + 1) / (t_tot + $DsirBuckets.0))
+                - ln((r_cnt + 1) / (r_tot + $DsirBuckets.0)) AS lw
+      FROM cnt CROSS JOIN tot),
+    score AS (
+      SELECT t.doc_id, sum(l.lw) AS logw, count(*)::BIGINT AS n_toks
+      FROM tok t JOIN lr l ON t.b = l.b
+      WHERE t.source != 'src0'
+      GROUP BY t.doc_id)
+    SELECT doc_id, round(logw, 6) AS logw, n_toks
+    FROM score
+    ORDER BY round(logw, 6) DESC, doc_id ASC
+    LIMIT 50"""
+
   // ------------------------------------------------------- BPE tokenizer
 
   /** q97/q98/q99 — distributed BPE tokenizer over `documents`
@@ -2306,6 +2381,54 @@ object LlmQueries extends QueryModule {
       .mkString(" UNION ALL ")
     s"""WITH ${bpeMergeCtes(k)}
     SELECT * FROM ($rows) ORDER BY "rank" """
+  }
+
+  /** q119 — tokenizer fertility audit: per-language tokens-per-word and
+    * chars-per-token of the trained BPE. Fertility is THE health metric
+    * for a subword vocabulary on multilingual corpora (a language
+    * averaging ≫1.5 tokens/word is under-served by the merge table and
+    * will train/infer proportionally slower). Same scale shape as q99:
+    * training on the Zipf-compressed word table, encoding map-only with
+    * broadcast merges, then ONE per-language agg; docs with no [a-z]
+    * words are excluded on both sides. */
+  private def bpeFertility(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val merges = graft.ops.Bpe.train(d, "text", BpeMerges)
+    val tk = graft.ops.Bpe.tokenize(d, "doc_id", "text", merges)
+    d.select(col("doc_id"), col("lang"),
+        expr(s"regexp_extract_all(lower(text), '${graft.ops.Bpe.WordPattern}', 0)").as("ws"))
+      .where(size(col("ws")) > 0)
+      .join(tk, "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("tokens")).cast("long")).as("toks"),
+        sum(size(col("ws")).cast("long")).as("words"),
+        sum(expr("aggregate(ws, 0L, (a, x) -> a + length(x))")).as("chars"))
+      .select(col("lang"), col("n_docs"),
+        round(col("toks") / col("words"), 6).as("tok_per_word"),
+        round(col("chars") / col("toks"), 6).as("chars_per_tok"))
+      .orderBy(col("lang"))
+  }
+
+  private def bpeFertilityOracle: String = {
+    val k = BpeMerges
+    s"""WITH ${bpeMergeCtes(k)},
+    enc AS MATERIALIZED (
+      SELECT w, len(string_split(trim(s, '<>'), '><'))::BIGINT AS nt FROM r$k),
+    dw AS (
+      SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents),
+    j AS (SELECT dw.doc_id, dw.lang, enc.nt, length(dw.w)::BIGINT AS wc
+          FROM dw JOIN enc USING (w)),
+    agg AS (
+      SELECT lang, count(DISTINCT doc_id)::BIGINT AS n_docs,
+             sum(nt)::BIGINT AS toks, count(*)::BIGINT AS words,
+             sum(wc)::BIGINT AS chars
+      FROM j GROUP BY lang)
+    SELECT lang, n_docs,
+           round(toks / words::DOUBLE, 6) AS tok_per_word,
+           round(chars / toks::DOUBLE, 6) AS chars_per_tok
+    FROM agg ORDER BY lang"""
   }
 
   /** q99 oracle: r<k> already holds every distinct training word's final
@@ -2388,7 +2511,9 @@ object LlmQueries extends QueryModule {
     "q114_token_drift" -> sqlQuery(docs, tokenDriftSql),
     "q97_bpe_pairs" -> (bpePairs(_, _)),
     "q98_bpe_vocab" -> (bpeVocab(_, _)),
-    "q99_bpe_tokenize" -> (bpeTokenize(_, _)))
+    "q99_bpe_tokenize" -> (bpeTokenize(_, _)),
+    "q118_dsir_weights" -> sqlQuery(docs, dsirSql),
+    "q119_bpe_fertility" -> (bpeFertility(_, _)))
 
   override val oracles: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -2430,6 +2555,8 @@ object LlmQueries extends QueryModule {
     "q97_bpe_pairs" -> bpePairsOracle,
     "q98_bpe_vocab" -> bpeVocabOracle,
     "q99_bpe_tokenize" -> bpeTokenizeOracle,
+    "q118_dsir_weights" -> dsirOracle,
+    "q119_bpe_fertility" -> bpeFertilityOracle,
     "q109_zipf_audit" -> zipfOracle,
     "q110_pii_scrub" -> piiOracle,
     "q111_pagerank" -> pagerankOracle,
