@@ -757,6 +757,13 @@ object KqlCompiler {
         if (lastOrder.isEmpty)
           throw new KqlParseException(
             "scan requires a preceding 'order by' (no stable natural order in a distributed engine)")
+        // `with_match_id=Col`: Kusto numbers each match instance; both
+        // lowerings here run exactly ONE instance (single-earliest /
+        // single running state), so every emitted row carries match id 1
+        // — the honest constant for the supported semantics.
+        val matchIdCol =
+          if (peekIs("with_match_id")) { expect("with_match_id"); expect("="); Some(ident()) }
+          else None
         import org.apache.spark.sql.types._
         def scanType(t: String): DataType = t match {
           case "long" | "int" => LongType
@@ -827,7 +834,7 @@ object KqlCompiler {
         }
         val orderCols = lastOrder.get.map(_(df))
         val declared = declares.map { case (n, b) => (n, b(df)) }
-        ss match {
+        val scanned = ss match {
           case (_, condB, assignsB) :: Nil =>
             // single step → sequential running-state semantics
             val cond = withBinds(markers)(condB(df))
@@ -867,6 +874,12 @@ object KqlCompiler {
                     "(additive accumulator form)"))
                 graft.ops.Funnel.ScanStep(n, cond, assigns)
               })
+        }
+        matchIdCol.fold(scanned) { m =>
+          if (scanned.columns.contains(m))
+            throw new KqlParseException(
+              s"with_match_id column '$m' collides with an existing column")
+          scanned.withColumn(m, lit(1L))
         }
       case "serialize" =>
         // `serialize [name = expr, …]`: marks the frame row-ordered so
@@ -980,6 +993,23 @@ object KqlCompiler {
             // common-subexpression elimination in codegen
             df.select((keep ++ fields.map(f =>
               parsed.getField(f.name).as(prefix + f.name))): _*)
+          case "sequence_detect" =>
+            // `evaluate sequence_detect(TimelineCol, MaxStepWindow,
+            //  MaxSequenceGap, boolCol1, …, boolColN) by KeyCol` —
+            // Kusto's sequence-detection plugin over precomputed boolean
+            // step columns (greedy earliest core, graft.ops.Funnel
+            // .sequenceDetect). The key rides an explicit trailing `by`
+            // (step and key arguments are both bare column names, so an
+            // in-paren key list would be ambiguous).
+            val tsName = ident(); expect(",")
+            val stepWin = timespanMicros(); expect(",")
+            val totalGap = timespanMicros(); expect(",")
+            val stepNames = sepBy1(() => ident())
+            expect(")")
+            expect("by")
+            val keyName = ident()
+            graft.ops.Funnel.sequenceDetect(df, keyName, col(tsName),
+              stepNames.map(n => n -> col(n)), stepWin, totalGap)
           case "funnel" =>
             val k = ident(); expect(",")
             val ts = ident(); expect(",")

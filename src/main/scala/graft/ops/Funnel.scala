@@ -132,6 +132,49 @@ object Funnel {
       .select(df.columns.map(col) ++ declCols: _*)
   }
 
+  /** Kusto `sequence_detect` plugin — restricted to the same greedy
+    * earliest-match core as [[earliest]], with the plugin's two time
+    * bounds: per key, the earliest completion of the step sequence where
+    * each consecutive step lands within `stepWindowUs` of the previous
+    * matched step and the whole sequence within `totalGapUs` of step 1.
+    * Output (Kusto's shape): one row per key that completed — the key
+    * plus one timestamp column per step, named after the step's boolean
+    * expression column. Greedy earliest matching under gap constraints
+    * can miss a later valid sequence that a backtracking search would
+    * find — documented restriction (backtracking is inherently
+    * iterative); the greedy form is exact whenever step-1 matches are
+    * unique per key, the overwhelmingly common probe shape.
+    *
+    * Scale: identical to [[earliest]] — ONE hash shuffle on the key,
+    * chained window minima over epoch micros, no joins, no arrays. */
+  def sequenceDetect(df: DataFrame, keyName: String, tsCol: Column,
+                     steps: Seq[(String, Column)],
+                     stepWindowUs: Long, totalGapUs: Long): DataFrame = {
+    require(steps.nonEmpty, "sequence_detect needs at least one step")
+    require(stepWindowUs > 0 && totalGapUs > 0, "sequence_detect windows must be positive")
+    val base = df.select(col(keyName).as("__sd_k") +: unix_micros(tsCol).as("__sd_ts") +:
+      steps.map { case (n, c) => c.as("__sd_p_" + n) }: _*)
+    val w = Window.partitionBy(col("__sd_k"))
+    val stepped = steps.zipWithIndex.foldLeft(base) { case (d, ((n, _), i)) =>
+      val cond =
+        if (i == 0) col("__sd_p_" + n)
+        else {
+          val prev = col(s"__sd_t$i")
+          col("__sd_p_" + n) && col("__sd_ts") > prev &&
+            col("__sd_ts") <= prev + lit(stepWindowUs) &&
+            col("__sd_ts") <= col("__sd_t1") + lit(totalGapUs)
+        }
+      d.withColumn(s"__sd_t${i + 1}", min(when(cond, col("__sd_ts"))).over(w))
+    }
+    val aggs = steps.indices.map(i => max(col(s"__sd_t${i + 1}")).as(s"__sd_t${i + 1}"))
+    stepped
+      .where(steps.indices.map(i => col(s"__sd_t${i + 1}").isNotNull).reduce(_ && _))
+      .groupBy(col("__sd_k"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("__sd_k").as(keyName) +: steps.zipWithIndex.map { case ((n, _), i) =>
+        timestamp_micros(col(s"__sd_t${i + 1}")).as(n) }: _*)
+  }
+
   /** Declared-variable lowering classes for the single-step scan
     * ([[scanRunning]]): untouched default, per-row assignment, or the
     * self-referencing additive accumulation `v = v + e`. */

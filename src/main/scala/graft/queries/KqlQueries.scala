@@ -620,6 +620,19 @@ object KqlQueries extends QueryModule {
           |   )
           | | project event_id, total = round(total, 6), last_id
           | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // evaluate sequence_detect — Kusto's sequence-detection plugin:
+    // per-user earliest view→click→purchase chain where consecutive
+    // steps land within 12h of each other and the whole chain within 2d
+    // of the first step (time-bounded funnel, the plugin's whole point
+    // over plain funnel matching).
+    "q120_kql_text_seq_detect" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | extend s1 = event_type == 'view', s2 = event_type == 'click', s3 = event_type == 'purchase'
+          | | evaluate sequence_detect(ts, 12h, 2d, s1, s2, s3) by user_id
+          | | order by user_id asc""".stripMargin,
         _ => Tables.events(s, dir)))
   )
 
@@ -1107,6 +1120,30 @@ object KqlQueries extends QueryModule {
                 event_id AS last_id
          FROM events
          WHERE event_type = 'purchase' AND value > 50
-         ORDER BY event_id"""
+         ORDER BY event_id""",
+
+    // sequence_detect oracle: the q88 funnel chain with the plugin's
+    // two time bounds — consecutive steps within 12h (43200000000 µs),
+    // whole sequence within 2d (172800000000 µs) of step 1
+    "q120_kql_text_seq_detect" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_type FROM events),
+         c1 AS (SELECT user_id, min(ts) AS t1 FROM e
+                WHERE event_type = 'view' GROUP BY user_id),
+         c2 AS (SELECT e.user_id, min(e.ts) AS t2
+                FROM e JOIN c1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > c1.t1
+                  AND e.ts <= c1.t1 + 43200000000
+                  AND e.ts <= c1.t1 + 172800000000
+                GROUP BY e.user_id),
+         c3 AS (SELECT e.user_id, min(e.ts) AS t3
+                FROM e JOIN c2 USING (user_id) JOIN c1 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > c2.t2
+                  AND e.ts <= c2.t2 + 43200000000
+                  AND e.ts <= c1.t1 + 172800000000
+                GROUP BY e.user_id)
+         SELECT c1.user_id, make_timestamp(t1) AS s1, make_timestamp(t2) AS s2,
+                make_timestamp(t3) AS s3
+         FROM c1 JOIN c2 USING (user_id) JOIN c3 USING (user_id)
+         ORDER BY user_id"""
   )
 }

@@ -1274,6 +1274,19 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, 55.0, "beta"), (3L, 150.0, "alpha"), (4L, 170.0, "gamma"), (5L, 240.0, "beta")))
   }
 
+  test("scan with_match_id labels the single supported instance") {
+    val out = run(
+      """t | order by id asc
+        | | scan with_match_id=m declare (s:long = 0) with (step s1: name == 'alpha' => s = s + 1;)
+        | | project id, s, m""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 1L, 1L), (3L, 2L, 1L)))
+    assert(intercept[KqlParseException](run(
+      """t | order by id asc
+        | | scan with_match_id=id with (step s1: value > 0;)""".stripMargin))
+      .getMessage.contains("collides"))
+  }
+
   test("scan state references outside the additive form are loud errors") {
     assert(intercept[KqlParseException](run(
       """t | order by id asc

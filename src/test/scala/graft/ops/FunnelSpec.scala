@@ -124,6 +124,28 @@ class FunnelSpec extends AnyFunSuite with BeforeAndAfterAll {
       "scan must be window-based, not join-based")
   }
 
+  test("sequenceDetect: step-window and total-gap bounds prune sequences") {
+    import spark.implicits._
+    val df = Seq(
+      // user 1: a@10, b@20, c@30 — within stepWindow 15 and total gap 25
+      (1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"),
+      // user 2: b arrives 16s after a — beyond the 15s step window
+      (2L, 10L, "a"), (2L, 26L, "b"), (2L, 30L, "c"),
+      // user 3: each step within window but c lands 26s after a — beyond
+      // the 25s total gap
+      (3L, 10L, "a"), (3L, 24L, "b"), (3L, 36L, "c"))
+      .map { case (u, t, e) => (u, ts(t), e) }
+      .toDF("user_id", "ts", "event_type")
+      .withColumn("sa", col("event_type") === "a")
+      .withColumn("sb", col("event_type") === "b")
+      .withColumn("sc", col("event_type") === "c")
+    val out = Funnel.sequenceDetect(df, "user_id", col("ts"),
+        Seq("sa" -> col("sa"), "sb" -> col("sb"), "sc" -> col("sc")),
+        stepWindowUs = 15000000L, totalGapUs = 25000000L)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getTimestamp(3)))
+    assert(out.toSeq == Seq((1L, ts(10), ts(20), ts(30))))
+  }
+
   test("scanEarliest: declared name colliding with an input column is rejected") {
     intercept[IllegalArgumentException] {
       Funnel.scanEarliest(events, Nil, Seq(col("ts")),
