@@ -177,4 +177,67 @@ object StreamOps {
           }
       }
   }
+
+  final case class SeqState(stepMs: Vector[Long])
+  final case class SeqMatchOut(user_id: Long, step_ts: Seq[Timestamp], duration_ms: Long)
+
+  /** Streaming sequence matcher — the scan/funnel/sequence_detect family
+    * over an unbounded stream: per key, match the ordered `steps` (on
+    * `event_type`) with the whole sequence bounded by `totalGapMs`, emit
+    * one row per COMPLETED sequence and restart — so unlike the batch
+    * operators (single earliest instance), the stream finds every
+    * sequential non-overlapping completion, the semantics a monitoring
+    * pipeline actually wants.
+    *
+    * State is the matched-prefix timestamps (≤ steps.length longs per
+    * live key) and is evicted PRECISELY: a partial sequence registers an
+    * event-time timeout at t1 + totalGapMs — past that point no event
+    * inside the gap bound can still arrive, so the partial can never
+    * complete and the state drops. Matching is greedy in watermark order
+    * (events sort within each micro-batch; cross-batch stragglers bound
+    * by the watermark cannot retroactively extend an expired prefix) —
+    * the standard streaming trade-off, documented. */
+  def statefulSequenceMatch(events: Dataset[SEvent], delayThreshold: String,
+                            steps: Seq[String], totalGapMs: Long): Dataset[SeqMatchOut] = {
+    require(steps.nonEmpty, "sequence match needs at least one step")
+    require(totalGapMs > 0, "totalGapMs must be positive")
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", delayThreshold)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SeqState, SeqMatchOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, rows, state) =>
+          if (state.hasTimedOut) {
+            // watermark passed t1 + gap: the partial can never complete
+            state.remove(); Iterator.empty
+          } else {
+            var cur = state.getOption.map(_.stepMs).getOrElse(Vector.empty[Long])
+            val out = Vector.newBuilder[SeqMatchOut]
+            rows.toVector.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              // an instance whose gap budget this event overruns is dead
+              // for every later event too — expire it before matching
+              if (cur.nonEmpty && t - cur.head > totalGapMs) cur = Vector.empty
+              val k = cur.length
+              if (k < steps.length && e.event_type == steps(k) &&
+                  (cur.isEmpty || t > cur.last)) {
+                cur = cur :+ t
+                if (cur.length == steps.length) {
+                  out += SeqMatchOut(uid, cur.map(new Timestamp(_)), cur.last - cur.head)
+                  cur = Vector.empty // restart: the next completion can begin
+                }
+              }
+            }
+            if (cur.isEmpty) state.remove()
+            else {
+              state.update(SeqState(cur))
+              // timeouts must sit above the current watermark
+              state.setTimeoutTimestamp(
+                math.max(cur.head + totalGapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
 }

@@ -146,6 +146,31 @@ class FunnelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == Seq((1L, ts(10), ts(20), ts(30))))
   }
 
+  test("scanRunning ≡ sequential state-machine reference on randomized inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 8) {
+      val n = 20 + rnd.nextInt(30)
+      val rows = (0 until n).map(i => (i.toLong, math.floor(rnd.nextDouble() * 100) / 1.0))
+      val thresh = rnd.nextInt(100).toDouble
+      val df = rows.toDF("id", "v")
+      val got = Funnel.scanRunning(df, Nil, Seq(col("id")),
+          cond = col("v") >= thresh,
+          decls = Seq(
+            Funnel.AddAssign("tot", lit(5.0), col("v")),
+            Funnel.RowAssign("last", lit(-1.0), col("v")),
+            Funnel.NotAssigned("u", lit(9L))))
+        .orderBy(col("id")).collect()
+        .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      // reference: fold the rows in order through the state machine
+      var tot = 5.0
+      val want = rows.collect { case (id, v) if v >= thresh =>
+        tot += v; (id, tot, v, 9L)
+      }
+      assert(got.toSeq == want.toSeq, s"thresh=$thresh")
+    }
+  }
+
   test("scanEarliest: declared name colliding with an input column is rejected") {
     intercept[IllegalArgumentException] {
       Funnel.scanEarliest(events, Nil, Seq(col("ts")),

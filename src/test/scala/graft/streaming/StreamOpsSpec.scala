@@ -192,4 +192,38 @@ class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(rows.contains((7L, 0L, 1L)), s"first session should emit without waiting for a watermark, got $rows")
     } finally q.stop()
   }
+
+  test("statefulSequenceMatch: completion across batches, restart, gap expiry") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[SEvent]
+    val q = StreamOps.statefulSequenceMatch(stream.toDS(), "5 seconds",
+        Seq("view", "click", "purchase"), totalGapMs = 30000L)
+      .writeStream.format("memory").queryName("seq_match").outputMode(OutputMode.Append).start()
+    try {
+      // user 1: prefix in batch 1, completion in batch 2 (state carries)
+      // user 3: TWO full chains in one batch -> restart finds both
+      stream.addData(
+        SEvent(1, ts(0), "view"), SEvent(1, ts(5), "click"),
+        SEvent(3, ts(0), "view"), SEvent(3, ts(1), "click"), SEvent(3, ts(2), "purchase"),
+        SEvent(3, ts(3), "view"), SEvent(3, ts(4), "click"), SEvent(3, ts(5), "purchase"))
+      q.processAllAvailable()
+      stream.addData(SEvent(1, ts(10), "purchase"))
+      q.processAllAvailable()
+      // user 2: view@0, then the purchase budget expires (gap 30s) before
+      // click@40 — the prefix must NOT survive into a completion, but a
+      // fresh full chain after expiry must
+      stream.addData(SEvent(2, ts(0), "view"), SEvent(2, ts(40), "click"))
+      q.processAllAvailable()
+      stream.addData(SEvent(2, ts(50), "view"), SEvent(2, ts(52), "click"), SEvent(2, ts(54), "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("seq_match").as[StreamOps.SeqMatchOut].collect()
+        .map(m => (m.user_id, m.step_ts.map(rel), m.duration_ms)).toSet
+      assert(rows == Set(
+        (1L, Seq(0L, 5L, 10L), 10000L),
+        (3L, Seq(0L, 1L, 2L), 2000L),
+        (3L, Seq(3L, 4L, 5L), 2000L),
+        (2L, Seq(50L, 52L, 54L), 4000L)), s"got $rows")
+    } finally q.stop()
+  }
 }
