@@ -787,9 +787,23 @@ object KqlCompiler {
             expect(")"); ds
           } else Nil
         expect("with"); expect("(")
-        val steps = List.newBuilder[(String, ColB, List[(String, ColB)])]
+        val steps = List.newBuilder[(String, String, ColB, List[(String, ColB)])]
         while (!peekIs(")")) {
-          expect("step"); val sname = ident(); expect(":")
+          expect("step"); val sname = ident()
+          // `output=all|last|none` — which of the step's consumed records
+          // are emitted. all is the default; none suppresses the step's
+          // rows; in the single-instance lowerings `last` coincides with
+          // `all` for multi-step (each step consumes one record) and
+          // keeps only the final consumed record in the running form.
+          val outMode =
+            if (peekIs("output")) {
+              expect("output"); expect("=")
+              val m = ident()
+              if (!Set("all", "last", "none")(m))
+                throw new KqlParseException(s"unsupported scan step output mode '$m'")
+              m
+            } else "all"
+          expect(":")
           val cond = expr()
           val assigns =
             if (peekIs("=>")) {
@@ -797,7 +811,7 @@ object KqlCompiler {
               sepBy1(() => { val n = ident(); expect("="); (n, expr()) })
             } else Nil
           if (peekIs(";")) expect(";")
-          steps += ((sname, cond, assigns))
+          steps += ((sname, outMode, cond, assigns))
         }
         expect(")")
         val ss = steps.result()
@@ -835,7 +849,7 @@ object KqlCompiler {
         val orderCols = lastOrder.get.map(_(df))
         val declared = declares.map { case (n, b) => (n, b(df)) }
         val scanned = ss match {
-          case (_, condB, assignsB) :: Nil =>
+          case (_, outMode, condB, assignsB) :: Nil =>
             // single step → sequential running-state semantics
             val cond = withBinds(markers)(condB(df))
             if (hasMarker(ExpressionUtils.catalystExpression(cond)))
@@ -860,19 +874,19 @@ object KqlCompiler {
                   }
               }
             }
-            graft.ops.Funnel.scanRunning(df, Nil, orderCols, cond, decls)
+            graft.ops.Funnel.scanRunning(df, Nil, orderCols, cond, decls, outMode)
           case _ =>
             // multi-step → single-earliest-instance semantics; state
             // references would need the sequential engine, loud error
             graft.ops.Funnel.scanEarliest(df, Nil, orderCols, declared,
-              ss.map { case (n, c, as) =>
+              ss.map { case (n, om, c, as) =>
                 val cond = withBinds(markers)(c(df))
                 val assigns = as.map { case (an, ab) => (an, withBinds(markers)(ab(df))) }
                 (cond +: assigns.map(_._2)).find(cc => hasMarker(ExpressionUtils.catalystExpression(cc)))
                   .foreach(_ => throw new KqlParseException(
                     "scan state references are supported only in single-step scans " +
                     "(additive accumulator form)"))
-                graft.ops.Funnel.ScanStep(n, cond, assigns)
+                graft.ops.Funnel.ScanStep(n, cond, assigns, emit = om != "none")
               })
         }
         matchIdCol.fold(scanned) { m =>

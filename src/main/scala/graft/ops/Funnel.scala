@@ -52,9 +52,12 @@ object Funnel {
 
   /** One `scan` step: a predicate over the input row, plus the state
     * assignments applied when the step matches (each evaluated on the
-    * MATCHING row, Kusto's assignment-on-match rule). */
+    * MATCHING row, Kusto's assignment-on-match rule). `emit = false`
+    * (Kusto `output=none`) still consumes/assigns but suppresses the
+    * step's row from the output. */
   final case class ScanStep(name: String, cond: Column,
-                            assigns: Seq[(String, Column)] = Nil)
+                            assigns: Seq[(String, Column)] = Nil,
+                            emit: Boolean = true)
 
   /** Kusto `scan` — the restricted, scale-safe core: SINGLE earliest
     * instance per group (no overlapping match instances, no restart
@@ -128,7 +131,8 @@ object Funnel {
       }
       cur.as(v)
     }
-    d.where(col("__scan_step").isNotNull)
+    val emitted = steps.zipWithIndex.collect { case (s, i) if s.emit => i + 1 }
+    d.where(col("__scan_step").isInCollection(emitted))
       .select(df.columns.map(col) ++ declCols: _*)
   }
 
@@ -199,20 +203,34 @@ object Funnel {
     * global (the KQL-text form) → the documented serialize-class opt-in
     * single partition. */
   def scanRunning(df: DataFrame, partitionCols: Seq[Column], orderCols: Seq[Column],
-                  cond: Column, decls: Seq[RunningDecl]): DataFrame = {
+                  cond: Column, decls: Seq[RunningDecl],
+                  outputMode: String = "all"): DataFrame = {
     require(orderCols.nonEmpty, "scan needs an explicit row order")
+    require(Set("all", "last", "none")(outputMode), s"bad scan output mode '$outputMode'")
     decls.map(_.name).find(df.columns.contains).foreach(c =>
       throw new IllegalArgumentException(
         s"scan declared column '$c' collides with an input column"))
-    val wRun = (if (partitionCols.isEmpty) Window.orderBy(orderCols: _*)
-                else Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOrd = if (partitionCols.isEmpty) Window.orderBy(orderCols: _*)
+               else Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val declCols = decls.map {
       case NotAssigned(v, d) => d.as(v)
       case RowAssign(v, _, e) => e.as(v)
       case AddAssign(v, d, inc) =>
         (d + coalesce(sum(inc).over(wRun), lit(0))).as(v)
     }
-    df.where(cond).select(df.columns.map(col) ++ declCols: _*)
+    val out = df.where(cond).select(df.columns.map(col) ++ declCols: _*)
+    outputMode match {
+      case "all" => out
+      case "none" => out.where(lit(false)) // consumed, nothing emitted
+      case "last" =>
+        // only the final consumed record per group carries the state out
+        val wFrame = if (partitionCols.isEmpty) Window.partitionBy()
+                     else Window.partitionBy(partitionCols: _*)
+        out.withColumn("__sr_rn", row_number().over(wOrd))
+          .withColumn("__sr_n", count(lit(1)).over(wFrame))
+          .where(col("__sr_rn") === col("__sr_n"))
+          .drop("__sr_rn", "__sr_n")
+    }
   }
 }

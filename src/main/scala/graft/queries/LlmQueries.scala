@@ -2230,6 +2230,79 @@ object LlmQueries extends QueryModule {
            len(regexp_extract_all(lower(text), '${piiPhone.replace("\\\\", "\\")}'))::BIGINT AS n_phones
     FROM documents ORDER BY doc_id"""
 
+  // ----------------------------- C4/Gopher rule-filter audit (q121)
+
+  /** q121 — classic rule-filter audit (C4, Raffel et al. 2020; Gopher,
+    * Rae et al. 2021): per-document pass/fail for the standard quality
+    * rules, aggregated to per-rule pass counts + composite retention —
+    * the first report any corpus-curation run produces. Rules: word
+    * count in [50, 100k] and mean word length in [3, 10] (Gopher),
+    * distinct-word fraction ≥ 0.3 and top-word dominance ≤ 20% (the
+    * Gopher repetition family), no curly braces and no 'lorem ipsum'
+    * (C4).
+    *
+    * Scale shape: ONE word explode feeding two chained hash aggs
+    * (doc×word histogram → per-doc metrics; the histogram is where
+    * map-side combine absorbs the Zipf head), one join back to the
+    * map-only per-doc text flags, one global agg → a single row. */
+  private val qualityRulesSql = """
+    WITH wcnt AS (
+      SELECT doc_id, tok, count(1) AS c
+      FROM (SELECT doc_id, explode(split(lower(text), ' ')) AS tok FROM documents)
+      WHERE tok != ''
+      GROUP BY doc_id, tok),
+    docm AS (
+      SELECT doc_id, sum(c) AS wc, count(1) AS dw, max(c) AS topc,
+             sum(length(tok) * c) AS chars
+      FROM wcnt GROUP BY doc_id),
+    flags AS (
+      SELECT m.doc_id,
+             CASE WHEN m.wc >= 50 AND m.wc <= 100000 THEN 1 ELSE 0 END AS r_wc,
+             CASE WHEN m.chars / cast(m.wc AS double) >= 3
+                   AND m.chars / cast(m.wc AS double) <= 10 THEN 1 ELSE 0 END AS r_wlen,
+             CASE WHEN m.dw / cast(m.wc AS double) >= 0.3 THEN 1 ELSE 0 END AS r_distinct,
+             CASE WHEN m.topc / cast(m.wc AS double) <= 0.2 THEN 1 ELSE 0 END AS r_topword,
+             CASE WHEN instr(d.text, '{') = 0 THEN 1 ELSE 0 END AS r_brace,
+             CASE WHEN instr(lower(d.text), 'lorem ipsum') = 0 THEN 1 ELSE 0 END AS r_lorem
+      FROM docm m JOIN documents d ON m.doc_id = d.doc_id)
+    SELECT count(1) AS n_docs,
+           sum(r_wc) AS n_wc, sum(r_wlen) AS n_wlen,
+           sum(r_distinct) AS n_distinct, sum(r_topword) AS n_topword,
+           sum(r_brace) AS n_brace, sum(r_lorem) AS n_lorem,
+           sum(r_wc * r_wlen * r_distinct * r_topword * r_brace * r_lorem) AS n_keep,
+           round(sum(r_wc * r_wlen * r_distinct * r_topword * r_brace * r_lorem)
+                 / cast(count(1) AS double), 6) AS retention
+    FROM flags"""
+
+  private val qualityRulesOracle = """
+    WITH wcnt AS (
+      SELECT doc_id, tok, count(*) AS c
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+      WHERE tok != ''
+      GROUP BY doc_id, tok),
+    docm AS (
+      SELECT doc_id, sum(c) AS wc, count(*) AS dw, max(c) AS topc,
+             sum(length(tok) * c) AS chars
+      FROM wcnt GROUP BY doc_id),
+    flags AS (
+      SELECT m.doc_id,
+             CASE WHEN m.wc >= 50 AND m.wc <= 100000 THEN 1 ELSE 0 END AS r_wc,
+             CASE WHEN m.chars / m.wc::DOUBLE >= 3
+                   AND m.chars / m.wc::DOUBLE <= 10 THEN 1 ELSE 0 END AS r_wlen,
+             CASE WHEN m.dw / m.wc::DOUBLE >= 0.3 THEN 1 ELSE 0 END AS r_distinct,
+             CASE WHEN m.topc / m.wc::DOUBLE <= 0.2 THEN 1 ELSE 0 END AS r_topword,
+             CASE WHEN instr(d.text, '{') = 0 THEN 1 ELSE 0 END AS r_brace,
+             CASE WHEN instr(lower(d.text), 'lorem ipsum') = 0 THEN 1 ELSE 0 END AS r_lorem
+      FROM docm m JOIN documents d ON m.doc_id = d.doc_id)
+    SELECT count(*)::BIGINT AS n_docs,
+           sum(r_wc)::BIGINT AS n_wc, sum(r_wlen)::BIGINT AS n_wlen,
+           sum(r_distinct)::BIGINT AS n_distinct, sum(r_topword)::BIGINT AS n_topword,
+           sum(r_brace)::BIGINT AS n_brace, sum(r_lorem)::BIGINT AS n_lorem,
+           sum(r_wc * r_wlen * r_distinct * r_topword * r_brace * r_lorem)::BIGINT AS n_keep,
+           round(sum(r_wc * r_wlen * r_distinct * r_topword * r_brace * r_lorem)
+                 / count(*)::DOUBLE, 6) AS retention
+    FROM flags"""
+
   // ------------------------------- DSIR importance weighting (q118)
 
   /** q118 — hashed-feature importance weighting for data selection
@@ -2513,7 +2586,8 @@ object LlmQueries extends QueryModule {
     "q98_bpe_vocab" -> (bpeVocab(_, _)),
     "q99_bpe_tokenize" -> (bpeTokenize(_, _)),
     "q118_dsir_weights" -> sqlQuery(docs, dsirSql),
-    "q119_bpe_fertility" -> (bpeFertility(_, _)))
+    "q119_bpe_fertility" -> (bpeFertility(_, _)),
+    "q121_quality_rules" -> sqlQuery(docs, qualityRulesSql))
 
   override val oracles: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -2557,6 +2631,7 @@ object LlmQueries extends QueryModule {
     "q99_bpe_tokenize" -> bpeTokenizeOracle,
     "q118_dsir_weights" -> dsirOracle,
     "q119_bpe_fertility" -> bpeFertilityOracle,
+    "q121_quality_rules" -> qualityRulesOracle,
     "q109_zipf_audit" -> zipfOracle,
     "q110_pii_scrub" -> piiOracle,
     "q111_pagerank" -> pagerankOracle,

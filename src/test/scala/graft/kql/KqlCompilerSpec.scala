@@ -1287,6 +1287,31 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getMessage.contains("collides"))
   }
 
+  test("scan step output modes: last keeps the final state row, none suppresses") {
+    // running form, output=last: only the final consumed record emits,
+    // carrying the completed accumulation (Kusto's summarize-by-scan idiom)
+    val last = run(
+      """t | order by id asc
+        | | scan declare (tot:real = 0.0) with (step s output=last: value >= 20 => tot = tot + value;)
+        | | project id, tot""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(last.toSeq == Seq((5L, 240.0)))
+    // multi-step, output=none on step 1: the signup row is consumed
+    // (state assigned, sequence advances) but not emitted
+    val none = run(
+      """t | order by id asc
+        | | scan declare (first_alpha:long = 0) with (
+        |     step s1 output=none: name == 'alpha' => first_alpha = id;
+        |     step s2: name == 'beta';
+        |   )
+        | | project id, first_alpha""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(none.toSeq == Seq((2L, 1L)))
+    assert(intercept[KqlParseException](run(
+      "t | order by id asc | scan with (step s output=sometimes: value > 0;)"))
+      .getMessage.contains("output mode"))
+  }
+
   test("scan state references outside the additive form are loud errors") {
     assert(intercept[KqlParseException](run(
       """t | order by id asc
