@@ -1257,6 +1257,65 @@ object KqlCompiler {
           else full.groupBy(keys.map(col): _*).agg(seriesAgg)
         grouped.withColumn(tname, sqlExpr(
           s"transform(sequence(0, ${nbins - 1}L), i -> timestamp_micros(${fromUs}L + i * ${stepUs}L))"))
+      case "parse" if peekIs("-") && toks.lift(pos + 1).exists(t => t.kind == "id" && t.text == "kv") =>
+        // `parse-kv Expr as (k1:type1, …) with (pair_delimiter='c',
+        //  kv_delimiter='c')` — Kusto's key-value extractor for
+        // structured log lines. Each declared key lowers to ONE
+        // codegen'd regexp_extract anchored at start-or-pair-delimiter
+        // (so a key never matches inside another key's name), value =
+        // run of non-pair-delimiter chars, cast to the declared type;
+        // missing keys yield empty/null exactly as regexp_extract does
+        // on both engines. Simple unquoted mode; single-char delimiters
+        // (the dominant log shape — loud error otherwise).
+        expect("-"); expect("kv")
+        val src = expr()
+        expect("as"); expect("(")
+        import org.apache.spark.sql.types.{DataType => KvDT}
+        def kvType(t: String): Option[KvDT] = t match {
+          case "string" => None
+          case "long" | "int" => Some(org.apache.spark.sql.types.LongType)
+          case "real" | "double" => Some(org.apache.spark.sql.types.DoubleType)
+          case "bool" | "boolean" => Some(org.apache.spark.sql.types.BooleanType)
+          case "datetime" => Some(org.apache.spark.sql.types.TimestampType)
+          case other => throw new KqlParseException(s"unsupported parse-kv type '$other'")
+        }
+        val keys = sepBy1(() => {
+          val n = ident(); expect(":"); (n, kvType(ident()))
+        })
+        expect(")")
+        var pairDelim = ","
+        var kvDelim = "="
+        if (peekIs("with")) {
+          expect("with"); expect("(")
+          sepBy1(() => {
+            val p = ident(); expect("=")
+            val t = next()
+            if (t.kind != "str") throw new KqlParseException(s"parse-kv property '$p' must be a string literal")
+            p match {
+              case "pair_delimiter" => pairDelim = t.text
+              case "kv_delimiter" => kvDelim = t.text
+              case other => throw new KqlParseException(s"unsupported parse-kv property '$other'")
+            }
+          })
+          expect(")")
+        }
+        if (pairDelim.length != 1 || kvDelim.length != 1)
+          throw new KqlParseException("parse-kv delimiters must be single characters")
+        keys.map(_._1).find(df.columns.contains).foreach(c =>
+          throw new KqlParseException(s"parse-kv output column '$c' collides with an existing column"))
+        def rxEsc(s: String): String = s.flatMap {
+          case c if "\\^$.|?*+()[]{}".contains(c) => "\\" + c
+          case c => c.toString
+        }
+        val s = src(df)
+        val extracted = keys.map { case (k, dt) =>
+          val pat = s"(?:^|${rxEsc(pairDelim)})${rxEsc(k)}${rxEsc(kvDelim)}([^${rxEsc(pairDelim)}]*)"
+          val raw = regexp_extract(s, pat, 1)
+          // try_cast: a missing key ('') or malformed value is null, as
+          // Kusto's tolong/todouble — ANSI cast would throw mid-scan
+          dt.fold(raw)(t => raw.try_cast(t)).as(k)
+        }
+        df.select(df.columns.map(col) ++ extracted: _*)
       case "parse" =>
         // `parse [kind=simple|regex] Expr with [lit] name1[:type]
         //  [lit name2[:type] …] [lit]`: each capture matches lazily up

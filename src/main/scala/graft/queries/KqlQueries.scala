@@ -633,6 +633,19 @@ object KqlQueries extends QueryModule {
           | | extend s1 = event_type == 'view', s2 = event_type == 'click', s3 = event_type == 'purchase'
           | | evaluate sequence_detect(ts, 12h, 2d, s1, s2, s3) by user_id
           | | order by user_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // parse-kv — Kusto's key-value extractor for structured log lines:
+    // build kv text from the event row, then round-trip it back out
+    // through typed key extraction (each key is one anchored codegen'd
+    // regexp_extract).
+    "q122_kql_text_parsekv" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | extend kv = strcat('type=', event_type, ' val=', tostring(tolong(value)), ' uid=', tostring(user_id))
+          | | parse-kv kv as (type:string, val:long, uid:long) with (pair_delimiter=' ', kv_delimiter='=')
+          | | project event_id, type, val, uid
+          | | order by event_id asc""".stripMargin,
         _ => Tables.events(s, dir)))
   )
 
@@ -1144,6 +1157,20 @@ object KqlQueries extends QueryModule {
          SELECT c1.user_id, make_timestamp(t1) AS s1, make_timestamp(t2) AS s2,
                 make_timestamp(t3) AS s3
          FROM c1 JOIN c2 USING (user_id) JOIN c3 USING (user_id)
-         ORDER BY user_id"""
+         ORDER BY user_id""",
+
+    // parse-kv oracle: same anchored extraction regexes (tolong is a
+    // truncating cast — trunc() in DuckDB, never ::BIGINT which rounds)
+    "q122_kql_text_parsekv" ->
+      """WITH kvs AS (
+           SELECT event_id,
+                  'type=' || event_type || ' val=' || trunc(value)::BIGINT::VARCHAR ||
+                  ' uid=' || user_id::VARCHAR AS kv
+           FROM events)
+         SELECT event_id,
+                regexp_extract(kv, '(?:^| )type=([^ ]*)', 1) AS type,
+                regexp_extract(kv, '(?:^| )val=([^ ]*)', 1)::BIGINT AS val,
+                regexp_extract(kv, '(?:^| )uid=([^ ]*)', 1)::BIGINT AS uid
+         FROM kvs ORDER BY event_id"""
   )
 }

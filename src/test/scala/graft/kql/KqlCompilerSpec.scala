@@ -1287,6 +1287,28 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getMessage.contains("collides"))
   }
 
+  test("parse-kv: anchored typed key extraction, missing keys, no substring-key bleed") {
+    val out = run(
+      """t | extend kv = strcat('uid', '=', tostring(id), ',xval=9,val=', tostring(id * 10))
+        | | parse-kv kv as (val:long, uid:long) with (pair_delimiter=',', kv_delimiter='=')
+        | | project kv, val, uid""".stripMargin).collect()
+    // 'val' must not match inside 'xval'; declared keys extract typed
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((10L, 1L), (20L, 2L), (30L, 3L), (40L, 4L), (50L, 5L)))
+    // missing key -> null after the long cast; string key -> empty
+    val miss = run(
+      """t | where id == 1 | extend kv = 'a=1'
+        | | parse-kv kv as (b:long, c:string) with (pair_delimiter=',', kv_delimiter='=')
+        | | project b, c""".stripMargin).head()
+    assert(miss.isNullAt(0) && miss.getString(1) == "")
+    assert(intercept[KqlParseException](run(
+      "t | extend kv = 'a=1' | parse-kv kv as (a:long) with (pair_delimiter=', ', kv_delimiter='=')"))
+      .getMessage.contains("single characters"))
+    assert(intercept[KqlParseException](run(
+      "t | parse-kv name as (value:string) with (pair_delimiter=',', kv_delimiter='=')"))
+      .getMessage.contains("collides"))
+  }
+
   test("scan step output modes: last keeps the final state row, none suppresses") {
     // running form, output=last: only the final consumed record emits,
     // carrying the completed accumulation (Kusto's summarize-by-scan idiom)
