@@ -1007,6 +1007,41 @@ object KqlCompiler {
             // common-subexpression elimination in codegen
             df.select((keep ++ fields.map(f =>
               parsed.getField(f.name).as(prefix + f.name))): _*)
+          case "basket" =>
+            // `evaluate basket(threshold)` — Kusto's frequent-pattern
+            // miner over the current columns: every attribute subset
+            // (null = wildcard, shown as '*') whose support reaches
+            // threshold × rowcount, with Count and Percent appended.
+            // Kusto approximates with Apriori; this engine computes the
+            // lattice EXACTLY as one cube aggregate (2^n grouping sets
+            // share a single shuffle — n is the projected column count,
+            // small by construction) and takes the total from the cube's
+            // own grand-total row via a window, so nothing runs driver-
+            // side. Distinguishing limitation vs Kusto: genuinely-null
+            // attribute values also read as wildcard (document, don't
+            // guess — project nulls away first).
+            val t = next()
+            if (t.kind != "num") throw new KqlParseException("basket threshold must be a number literal")
+            val threshold = t.text.toDouble
+            if (threshold <= 0 || threshold >= 1)
+              throw new KqlParseException("basket threshold must be in (0, 1)")
+            expect(")")
+            val cols = df.columns
+            if (cols.length > 8)
+              throw new KqlParseException(
+                s"basket over ${cols.length} columns (2^n grouping sets) — project to at most 8 first")
+            Seq("Count", "Percent").find(cols.contains).foreach(c =>
+              throw new KqlParseException(s"basket output column '$c' collides with an existing column"))
+            val full = (1 << cols.length) - 1
+            val cubed = df.cube(cols.map(col): _*)
+              .agg(count(lit(1)).as("Count"), grouping_id().as("__gid"))
+            val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+            cubed
+              .withColumn("__total", max(when(col("__gid") === full, col("Count"))).over(wAll))
+              .where(col("__gid") =!= full && col("Count") >= lit(threshold) * col("__total"))
+              .select(cols.map(c => coalesce(col(c).cast("string"), lit("*")).as(c)) ++ Seq(
+                col("Count"),
+                round(lit(100.0) * col("Count") / col("__total"), 6).as("Percent")): _*)
           case "sequence_detect" =>
             // `evaluate sequence_detect(TimelineCol, MaxStepWindow,
             //  MaxSequenceGap, boolCol1, …, boolColN) by KeyCol` —

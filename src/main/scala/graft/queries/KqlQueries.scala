@@ -646,6 +646,18 @@ object KqlQueries extends QueryModule {
           | | parse-kv kv as (type:string, val:long, uid:long) with (pair_delimiter=' ', kv_delimiter='=')
           | | project event_id, type, val, uid
           | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // evaluate basket — frequent attribute patterns over (event_type,
+    // value band): every subset with ≥15% support, computed exactly as
+    // one cube aggregate (Kusto approximates with Apriori).
+    "q123_kql_text_basket" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | extend vb = tostring(tolong(value / 50))
+          | | project event_type, vb
+          | | evaluate basket(0.15)
+          | | order by Count desc, event_type asc, vb asc""".stripMargin,
         _ => Tables.events(s, dir)))
   )
 
@@ -1171,6 +1183,24 @@ object KqlQueries extends QueryModule {
                 regexp_extract(kv, '(?:^| )type=([^ ]*)', 1) AS type,
                 regexp_extract(kv, '(?:^| )val=([^ ]*)', 1)::BIGINT AS val,
                 regexp_extract(kv, '(?:^| )uid=([^ ]*)', 1)::BIGINT AS uid
-         FROM kvs ORDER BY event_id"""
+         FROM kvs ORDER BY event_id""",
+
+    // basket oracle: the identical cube lattice; '*' sentinel for the
+    // wildcard level; total read from the cube's own grand-total row
+    "q123_kql_text_basket" ->
+      """WITH base AS (
+           SELECT event_type, trunc(value / 50)::BIGINT::VARCHAR AS vb FROM events),
+         cube_t AS (
+           SELECT coalesce(event_type, '*') AS event_type,
+                  coalesce(vb, '*') AS vb,
+                  count(*)::BIGINT AS "Count",
+                  grouping(event_type) + 2 * grouping(vb) AS gid
+           FROM base GROUP BY CUBE (event_type, vb)),
+         tot AS (SELECT "Count" AS total FROM cube_t WHERE gid = 3)
+         SELECT event_type, vb, "Count",
+                round(100.0 * "Count" / total, 6) AS "Percent"
+         FROM cube_t CROSS JOIN tot
+         WHERE gid != 3 AND "Count" >= 0.15 * total
+         ORDER BY "Count" DESC, event_type, vb"""
   )
 }

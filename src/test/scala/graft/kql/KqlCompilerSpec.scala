@@ -1309,6 +1309,27 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getMessage.contains("collides"))
   }
 
+  test("evaluate basket: exact frequent-pattern lattice with wildcard rows") {
+    // 5 rows: name alpha×2, beta×2, gamma×1; threshold 0.4 → support ≥ 2
+    val out = run(
+      """t | project name, ok = tostring(value >= 50)
+        | | evaluate basket(0.4)
+        | | order by Count desc, name asc, ok asc""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // singletons: alpha(2), beta(2), ok=true(3), ok=false(2); pairs with
+    // support 2: (alpha,*)... full pairs: (alpha: 55?,95 -> true,true)=2,
+    // beta: 55(true),70(true) -> (beta,true)=2
+    assert(out.contains(("*", "true", 3L, 60.0)))
+    assert(out.contains(("alpha", "*", 2L, 40.0)))
+    assert(out.contains(("beta", "true", 2L, 40.0)))
+    // gamma has support 1 < 2: no gamma rows anywhere
+    assert(!out.exists(_._1 == "gamma"))
+    // the grand-total (all-wildcard) row is excluded
+    assert(!out.contains(("*", "*", 5L, 100.0)))
+    assert(intercept[KqlParseException](run("t | evaluate basket(1.5)"))
+      .getMessage.contains("(0, 1)"))
+  }
+
   test("scan step output modes: last keeps the final state row, none suppresses") {
     // running form, output=last: only the final consumed record emits,
     // carrying the completed accumulation (Kusto's summarize-by-scan idiom)
