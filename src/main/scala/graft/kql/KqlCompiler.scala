@@ -275,6 +275,34 @@ object KqlCompiler {
       * mint a frame from; lookahead keeps a table that happens to be
       * NAMED 'range' resolvable (`range x from` is unambiguous). */
     private def source(): DataFrame = peek match {
+      case Some(t) if t.kind == "id" && t.text == "find" &&
+          toks.lift(pos + 1).exists(t2 => t2.kind == "id" && t2.text == "in") =>
+        // `find in (T1, T2, …) where <pred> [project c1, c2, …]` —
+        // Kusto's cross-table search: the predicate runs against every
+        // listed table/let, matches union by name with a `source_`
+        // label. Restricted to the explicit-scope + project form (the
+        // predicate must compile against each table's schema — loud
+        // unresolved-column error otherwise, as Kusto errors on
+        // non-common columns outside pack mode). Lowering is per-table
+        // filter + select then unionByName: predicates and projections
+        // push into each scan; the union adds no shuffle.
+        next(); expect("in"); expect("(")
+        val names = sepBy1(() => ident())
+        expect(")"); expect("where")
+        val pred = expr()
+        val projCols =
+          if (peekIs("project")) { expect("project"); sepBy1(() => ident()) }
+          else Nil
+        headName = None
+        val parts = names.map { n =>
+          val d0 = resolveName(n)
+          val d = d0.filter(pred(d0))
+          val sel = if (projCols.isEmpty) d else d.select(projCols.map(col): _*)
+          sel.withColumn("source_", lit(n))
+        }
+        val unioned = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+        // source_ leads, as in Kusto's find output
+        unioned.select(col("source_") +: unioned.columns.filterNot(_ == "source_").map(col): _*)
       case Some(t) if t.kind == "id" && t.text == "range" &&
           toks.lift(pos + 1).exists(_.kind == "id") &&
           toks.lift(pos + 2).exists(t2 => t2.kind == "id" && t2.text == "from") =>

@@ -658,6 +658,17 @@ object KqlQueries extends QueryModule {
           | | project event_type, vb
           | | evaluate basket(0.15)
           | | order by Count desc, event_type asc, vb asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // find — Kusto's cross-table search over let-bound scopes: one
+    // predicate against every listed table, matches unioned by name
+    // with a source_ label (filter + projection push into each scan).
+    "q124_kql_text_find" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """let purchases = events | where event_type == 'purchase';
+          |let errors = events | where event_type == 'error';
+          |find in (purchases, errors) where value > 180 project event_id, event_type, value
+          | | order by event_id asc""".stripMargin,
         _ => Tables.events(s, dir)))
   )
 
@@ -1201,6 +1212,15 @@ object KqlQueries extends QueryModule {
                 round(100.0 * "Count" / total, 6) AS "Percent"
          FROM cube_t CROSS JOIN tot
          WHERE gid != 3 AND "Count" >= 0.15 * total
-         ORDER BY "Count" DESC, event_type, vb"""
+         ORDER BY "Count" DESC, event_type, vb""",
+
+    "q124_kql_text_find" ->
+      """SELECT * FROM (
+           SELECT 'purchases' AS source_, event_id, event_type, value FROM events
+           WHERE event_type = 'purchase' AND value > 180
+           UNION ALL
+           SELECT 'errors', event_id, event_type, value FROM events
+           WHERE event_type = 'error' AND value > 180)
+         ORDER BY event_id"""
   )
 }

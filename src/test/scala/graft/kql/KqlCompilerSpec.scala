@@ -1309,6 +1309,17 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getMessage.contains("collides"))
   }
 
+  test("find in (...): cross-scope search with source_ label and projection") {
+    val out = run(
+      """let hi = t | where value >= 70;
+        |let ok = t | where status == 'ok';
+        |find in (hi, ok) where name == 'beta' project id, name
+        | | order by id asc, source_ asc""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    // beta rows: id 2 (55, ok), id 5 (70, ok): hi holds only id 5; ok both
+    assert(out.toSeq == Seq(("ok", 2L, "beta"), ("hi", 5L, "beta"), ("ok", 5L, "beta")))
+  }
+
   test("evaluate basket: exact frequent-pattern lattice with wildcard rows") {
     // 5 rows: name alpha×2, beta×2, gamma×1; threshold 0.4 → support ≥ 2
     val out = run(
