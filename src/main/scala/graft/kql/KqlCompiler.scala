@@ -770,159 +770,24 @@ object KqlCompiler {
         if (peekIs("|"))
           throw new KqlParseException("render must be the last operator (trailing pipeline after render)")
         df
-      case "scan" =>
-        // Kusto `scan` — restricted single-earliest-instance core (see
-        // [[graft.ops.Funnel.scanEarliest]] for semantics + scale shape):
-        //   scan [declare (v:type [= default], …)] with (
-        //     step name: predicate [=> v = expr, …];
-        //     … )
-        // Runs over the serialized row order, so like `serialize` it
-        // requires an explicit preceding sort (a distributed engine has
-        // no stable natural order) and is a deliberate opt-in global
-        // window. Step predicates/assignments read row columns only —
-        // declared-state references would make matching inherently
-        // sequential (loud error via unresolved column).
-        if (lastOrder.isEmpty)
-          throw new KqlParseException(
-            "scan requires a preceding 'order by' (no stable natural order in a distributed engine)")
-        // `with_match_id=Col`: Kusto numbers each match instance; both
-        // lowerings here run exactly ONE instance (single-earliest /
-        // single running state), so every emitted row carries match id 1
-        // — the honest constant for the supported semantics.
-        val matchIdCol =
-          if (peekIs("with_match_id")) { expect("with_match_id"); expect("="); Some(ident()) }
-          else None
-        import org.apache.spark.sql.types._
-        def scanType(t: String): DataType = t match {
-          case "long" | "int" => LongType
-          case "real" | "double" => DoubleType
-          case "string" => StringType
-          case "bool" | "boolean" => BooleanType
-          case "datetime" => TimestampType
-          case other => throw new KqlParseException(s"unsupported scan declare type '$other'")
-        }
-        val declares: List[(String, ColB)] =
-          if (peekIs("declare")) {
-            expect("declare"); expect("(")
-            val ds = sepBy1(() => {
-              val n = ident(); expect(":")
-              val dt = scanType(ident())
-              val dflt: ColB =
-                if (peekIs("=")) { expect("="); val e = expr(); (d: DataFrame) => e(d).cast(dt) }
-                else (_: DataFrame) => lit(null).cast(dt)
-              (n, dflt)
-            })
-            expect(")"); ds
-          } else Nil
-        expect("with"); expect("(")
-        val steps = List.newBuilder[(String, String, ColB, List[(String, ColB)])]
-        while (!peekIs(")")) {
-          expect("step"); val sname = ident()
-          // `output=all|last|none` — which of the step's consumed records
-          // are emitted. all is the default; none suppresses the step's
-          // rows; in the single-instance lowerings `last` coincides with
-          // `all` for multi-step (each step consumes one record) and
-          // keeps only the final consumed record in the running form.
-          val outMode =
-            if (peekIs("output")) {
-              expect("output"); expect("=")
-              val m = ident()
-              if (!Set("all", "last", "none")(m))
-                throw new KqlParseException(s"unsupported scan step output mode '$m'")
-              m
-            } else "all"
-          expect(":")
-          val cond = expr()
-          val assigns =
-            if (peekIs("=>")) {
-              expect("=>")
-              sepBy1(() => { val n = ident(); expect("="); (n, expr()) })
-            } else Nil
-          if (peekIs(";")) expect(";")
-          steps += ((sname, outMode, cond, assigns))
-        }
+      case "scan" => scanOp(df, Nil)
+      case "partition" if toks.lift(pos).exists(t => t.kind == "id" && t.text == "by") &&
+          toks.lift(pos + 2).exists(t => t.text == "(" && t.kind == "sym") &&
+          toks.lift(pos + 3).exists(t => t.kind == "id" && t.text == "scan") =>
+        // `partition by Key ( scan … )` — the scan family DISTRIBUTED
+        // from KQL text: the state machine runs per key, so the lowering
+        // is the keyed window form — ONE hash shuffle on the key, no
+        // global single partition. In-partition row order comes from the
+        // query's preceding `order by`, exactly as in the global form
+        // (Kusto's partition operator re-runs the subquery per
+        // partition; for scan that is per-key matching).
+        expect("by")
+        val pkey = ident()
+        expect("(")
+        expect("scan")
+        val res = scanOp(df, Seq(col(pkey)))
         expect(")")
-        val ss = steps.result()
-        if (ss.isEmpty) throw new KqlParseException("scan needs at least one step")
-        // Declared vars are visible inside step predicates/assignments
-        // as self-references. They compile against marker columns so the
-        // lowering can classify each use: the single-step running form
-        // supports the additive accumulator (Kusto's canonical
-        // cumulative-sum scan); everything else must be row-only.
-        import org.apache.spark.sql.{GraftColumnBridge => ExpressionUtils}
-        import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-        import org.apache.spark.sql.catalyst.expressions.{Add => CAdd, Expression => CExpr}
-        val markerPrefix = "__scan_self_"
-        val markers = declares.map { case (n, _) => n -> col(markerPrefix + n) }
-        def withBinds[A](bs: List[(String, Column)])(body: => A): A = bs match {
-          case Nil => body
-          case (n, c) :: rest => withBind(n, c)(withBinds(rest)(body))
-        }
-        def hasMarker(e: CExpr): Boolean =
-          e.collectFirst { case UnresolvedAttribute(parts)
-            if parts.headOption.exists(_.startsWith(markerPrefix)) => () }.isDefined
-        def isMarkerOf(e: CExpr, v: String): Boolean = e match {
-          case UnresolvedAttribute(parts) => parts == Seq(markerPrefix + v)
-          case _ => false
-        }
-        // Column's + builds an unresolved "+" function node pre-analysis;
-        // a resolved tree would carry catalyst Add — accept both shapes
-        def addParts(e: CExpr): Option[(CExpr, CExpr)] = e match {
-          case CAdd(l, r, _) => Some((l, r))
-          case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
-            if f.nameParts == Seq("+") && f.arguments.size == 2 =>
-            Some((f.arguments(0), f.arguments(1)))
-          case _ => None
-        }
-        val orderCols = lastOrder.get.map(_(df))
-        val declared = declares.map { case (n, b) => (n, b(df)) }
-        val scanned = ss match {
-          case (_, outMode, condB, assignsB) :: Nil =>
-            // single step → sequential running-state semantics
-            val cond = withBinds(markers)(condB(df))
-            if (hasMarker(ExpressionUtils.catalystExpression(cond)))
-              throw new KqlParseException(
-                "scan state references in step predicates are not supported")
-            val decls = declared.map { case (v, dflt) =>
-              assignsB.reverse.find(_._1 == v) match {
-                case None => graft.ops.Funnel.NotAssigned(v, dflt)
-                case Some((_, ab)) =>
-                  val c = withBinds(markers)(ab(df))
-                  val ex = ExpressionUtils.catalystExpression(c)
-                  addParts(ex) match {
-                    case Some((l, r)) if isMarkerOf(l, v) && !hasMarker(r) =>
-                      graft.ops.Funnel.AddAssign(v, dflt, ExpressionUtils.column(r))
-                    case Some((l, r)) if isMarkerOf(r, v) && !hasMarker(l) =>
-                      graft.ops.Funnel.AddAssign(v, dflt, ExpressionUtils.column(l))
-                    case _ if hasMarker(ex) =>
-                      throw new KqlParseException(
-                        s"scan state reference in the assignment to '$v' must be " +
-                        "additive (v = v + expr or v = expr + v)")
-                    case _ => graft.ops.Funnel.RowAssign(v, dflt, c)
-                  }
-              }
-            }
-            graft.ops.Funnel.scanRunning(df, Nil, orderCols, cond, decls, outMode)
-          case _ =>
-            // multi-step → single-earliest-instance semantics; state
-            // references would need the sequential engine, loud error
-            graft.ops.Funnel.scanEarliest(df, Nil, orderCols, declared,
-              ss.map { case (n, om, c, as) =>
-                val cond = withBinds(markers)(c(df))
-                val assigns = as.map { case (an, ab) => (an, withBinds(markers)(ab(df))) }
-                (cond +: assigns.map(_._2)).find(cc => hasMarker(ExpressionUtils.catalystExpression(cc)))
-                  .foreach(_ => throw new KqlParseException(
-                    "scan state references are supported only in single-step scans " +
-                    "(additive accumulator form)"))
-                graft.ops.Funnel.ScanStep(n, cond, assigns, emit = om != "none")
-              })
-        }
-        matchIdCol.fold(scanned) { m =>
-          if (scanned.columns.contains(m))
-            throw new KqlParseException(
-              s"with_match_id column '$m' collides with an existing column")
-          scanned.withColumn(m, lit(1L))
-        }
+        res
       case "serialize" =>
         // `serialize [name = expr, …]`: marks the frame row-ordered so
         // row_number()/prev()/next() are meaningful; assignments behave
@@ -1556,6 +1421,171 @@ object KqlCompiler {
       }
       if (sb.isEmpty) throw new KqlParseException("expected a column pattern")
       java.util.regex.Pattern.compile(sb.toString)
+    }
+
+    /** Kusto `scan` — parse + lower (shared by the global form and
+      * `partition by Key (scan …)`). See [[graft.ops.Funnel.scanEarliest]]
+      * / [[graft.ops.Funnel.scanRunning]] for semantics + scale shape:
+      *   scan [with_match_id=Col] [declare (v:type [= default], …)] with (
+      *     step name [output=all|last|none]: predicate [=> v = expr, …]; … )
+      * Runs over the serialized row order, so like `serialize` it requires
+      * an explicit preceding sort (a distributed engine has no stable
+      * natural order); with empty `partitionCols` the windows are the
+      * documented opt-in global partition, with a key they hash-shuffle
+      * once on it. */
+    private def scanOp(df: DataFrame, partitionCols: Seq[Column]): DataFrame = {
+        // Kusto `scan` — restricted single-earliest-instance core (see
+        // [[graft.ops.Funnel.scanEarliest]] for semantics + scale shape):
+        //   scan [declare (v:type [= default], …)] with (
+        //     step name: predicate [=> v = expr, …];
+        //     … )
+        // Runs over the serialized row order, so like `serialize` it
+        // requires an explicit preceding sort (a distributed engine has
+        // no stable natural order) and is a deliberate opt-in global
+        // window. Step predicates/assignments read row columns only —
+        // declared-state references would make matching inherently
+        // sequential (loud error via unresolved column).
+        if (lastOrder.isEmpty)
+          throw new KqlParseException(
+            "scan requires a preceding 'order by' (no stable natural order in a distributed engine)")
+        // `with_match_id=Col`: Kusto numbers each match instance; both
+        // lowerings here run exactly ONE instance (single-earliest /
+        // single running state), so every emitted row carries match id 1
+        // — the honest constant for the supported semantics.
+        val matchIdCol =
+          if (peekIs("with_match_id")) { expect("with_match_id"); expect("="); Some(ident()) }
+          else None
+        import org.apache.spark.sql.types._
+        def scanType(t: String): DataType = t match {
+          case "long" | "int" => LongType
+          case "real" | "double" => DoubleType
+          case "string" => StringType
+          case "bool" | "boolean" => BooleanType
+          case "datetime" => TimestampType
+          case other => throw new KqlParseException(s"unsupported scan declare type '$other'")
+        }
+        val declares: List[(String, ColB)] =
+          if (peekIs("declare")) {
+            expect("declare"); expect("(")
+            val ds = sepBy1(() => {
+              val n = ident(); expect(":")
+              val dt = scanType(ident())
+              val dflt: ColB =
+                if (peekIs("=")) { expect("="); val e = expr(); (d: DataFrame) => e(d).cast(dt) }
+                else (_: DataFrame) => lit(null).cast(dt)
+              (n, dflt)
+            })
+            expect(")"); ds
+          } else Nil
+        expect("with"); expect("(")
+        val steps = List.newBuilder[(String, String, ColB, List[(String, ColB)])]
+        while (!peekIs(")")) {
+          expect("step"); val sname = ident()
+          // `output=all|last|none` — which of the step's consumed records
+          // are emitted. all is the default; none suppresses the step's
+          // rows; in the single-instance lowerings `last` coincides with
+          // `all` for multi-step (each step consumes one record) and
+          // keeps only the final consumed record in the running form.
+          val outMode =
+            if (peekIs("output")) {
+              expect("output"); expect("=")
+              val m = ident()
+              if (!Set("all", "last", "none")(m))
+                throw new KqlParseException(s"unsupported scan step output mode '$m'")
+              m
+            } else "all"
+          expect(":")
+          val cond = expr()
+          val assigns =
+            if (peekIs("=>")) {
+              expect("=>")
+              sepBy1(() => { val n = ident(); expect("="); (n, expr()) })
+            } else Nil
+          if (peekIs(";")) expect(";")
+          steps += ((sname, outMode, cond, assigns))
+        }
+        expect(")")
+        val ss = steps.result()
+        if (ss.isEmpty) throw new KqlParseException("scan needs at least one step")
+        // Declared vars are visible inside step predicates/assignments
+        // as self-references. They compile against marker columns so the
+        // lowering can classify each use: the single-step running form
+        // supports the additive accumulator (Kusto's canonical
+        // cumulative-sum scan); everything else must be row-only.
+        import org.apache.spark.sql.{GraftColumnBridge => ExpressionUtils}
+        import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        import org.apache.spark.sql.catalyst.expressions.{Add => CAdd, Expression => CExpr}
+        val markerPrefix = "__scan_self_"
+        val markers = declares.map { case (n, _) => n -> col(markerPrefix + n) }
+        def withBinds[A](bs: List[(String, Column)])(body: => A): A = bs match {
+          case Nil => body
+          case (n, c) :: rest => withBind(n, c)(withBinds(rest)(body))
+        }
+        def hasMarker(e: CExpr): Boolean =
+          e.collectFirst { case UnresolvedAttribute(parts)
+            if parts.headOption.exists(_.startsWith(markerPrefix)) => () }.isDefined
+        def isMarkerOf(e: CExpr, v: String): Boolean = e match {
+          case UnresolvedAttribute(parts) => parts == Seq(markerPrefix + v)
+          case _ => false
+        }
+        // Column's + builds an unresolved "+" function node pre-analysis;
+        // a resolved tree would carry catalyst Add — accept both shapes
+        def addParts(e: CExpr): Option[(CExpr, CExpr)] = e match {
+          case CAdd(l, r, _) => Some((l, r))
+          case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+            if f.nameParts == Seq("+") && f.arguments.size == 2 =>
+            Some((f.arguments(0), f.arguments(1)))
+          case _ => None
+        }
+        val orderCols = lastOrder.get.map(_(df))
+        val declared = declares.map { case (n, b) => (n, b(df)) }
+        val scanned = ss match {
+          case (_, outMode, condB, assignsB) :: Nil =>
+            // single step → sequential running-state semantics
+            val cond = withBinds(markers)(condB(df))
+            if (hasMarker(ExpressionUtils.catalystExpression(cond)))
+              throw new KqlParseException(
+                "scan state references in step predicates are not supported")
+            val decls = declared.map { case (v, dflt) =>
+              assignsB.reverse.find(_._1 == v) match {
+                case None => graft.ops.Funnel.NotAssigned(v, dflt)
+                case Some((_, ab)) =>
+                  val c = withBinds(markers)(ab(df))
+                  val ex = ExpressionUtils.catalystExpression(c)
+                  addParts(ex) match {
+                    case Some((l, r)) if isMarkerOf(l, v) && !hasMarker(r) =>
+                      graft.ops.Funnel.AddAssign(v, dflt, ExpressionUtils.column(r))
+                    case Some((l, r)) if isMarkerOf(r, v) && !hasMarker(l) =>
+                      graft.ops.Funnel.AddAssign(v, dflt, ExpressionUtils.column(l))
+                    case _ if hasMarker(ex) =>
+                      throw new KqlParseException(
+                        s"scan state reference in the assignment to '$v' must be " +
+                        "additive (v = v + expr or v = expr + v)")
+                    case _ => graft.ops.Funnel.RowAssign(v, dflt, c)
+                  }
+              }
+            }
+            graft.ops.Funnel.scanRunning(df, partitionCols, orderCols, cond, decls, outMode)
+          case _ =>
+            // multi-step → single-earliest-instance semantics; state
+            // references would need the sequential engine, loud error
+            graft.ops.Funnel.scanEarliest(df, partitionCols, orderCols, declared,
+              ss.map { case (n, om, c, as) =>
+                val cond = withBinds(markers)(c(df))
+                val assigns = as.map { case (an, ab) => (an, withBinds(markers)(ab(df))) }
+                (cond +: assigns.map(_._2)).find(cc => hasMarker(ExpressionUtils.catalystExpression(cc)))
+                  .foreach(_ => throw new KqlParseException(
+                    "scan state references are supported only in single-step scans " +
+                    "(additive accumulator form)"))
+                graft.ops.Funnel.ScanStep(n, cond, assigns, emit = om != "none")
+              })
+        }
+        matchIdCol.fold(scanned) { m =>
+          if (scanned.columns.contains(m))
+            throw new KqlParseException(
+              s"with_match_id column '$m' collides with an existing column")
+          scanned.withColumn(m, lit(1L))
+        }
     }
 
     private def sepBy1[A](item: () => A): List[A] = {

@@ -669,6 +669,21 @@ object KqlQueries extends QueryModule {
           |let errors = events | where event_type == 'error';
           |find in (purchases, errors) where value > 180 project event_id, event_type, value
           | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // partition by key (scan …) — the scan family DISTRIBUTED from KQL
+    // text: per-user running purchase total, ONE hash shuffle on the
+    // key instead of the global serialized window.
+    "q125_kql_text_scan_keyed" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_type == 'purchase'
+          | | order by ts asc, event_id asc
+          | | partition by user_id ( scan declare (total:real = 0.0) with (
+          |     step s: value > 0 => total = total + value;
+          |   ) )
+          | | project event_id, user_id, total = round(total, 6)
+          | | order by event_id asc""".stripMargin,
         _ => Tables.events(s, dir)))
   )
 
@@ -1221,6 +1236,15 @@ object KqlQueries extends QueryModule {
            UNION ALL
            SELECT 'errors', event_id, event_type, value FROM events
            WHERE event_type = 'error' AND value > 180)
+         ORDER BY event_id""",
+
+    // keyed running scan = per-key running window sum in the scan order
+    "q125_kql_text_scan_keyed" ->
+      """SELECT event_id, user_id,
+                round(0.0 + sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS total
+         FROM events
+         WHERE event_type = 'purchase' AND value > 0
          ORDER BY event_id"""
   )
 }

@@ -2314,11 +2314,14 @@ object LlmQueries extends QueryModule {
     * with add-one smoothing over [[DsirBuckets]] hash buckets; the top
     * slice is what importance resampling would keep.
     *
-    * Scale shape at 100 TB: ONE token explode + hash agg produces the
-    * bucket-count table (exactly [[DsirBuckets]] rows — broadcast), the
-    * per-doc score is one more agg over the same exploded relation, and
-    * selection is TakeOrdered top-k — nothing driver-side, nothing
-    * quadratic, the ratio table never exceeds a few KB. Tokenizer is
+    * Scale shape at 100 TB: a token explode + hash agg produces the
+    * bucket-count table (exactly [[DsirBuckets]] rows — broadcast); the
+    * per-doc score re-derives the exploded relation in a SECOND scan
+    * (Spark inlines the CTE) rather than materializing a corpus-sized
+    * token intermediate — two cheap columnar scans beat caching the
+    * explode at 100 TB. Selection is TakeOrdered top-k — nothing
+    * driver-side, nothing quadratic, the ratio table never exceeds a
+    * few KB. Tokenizer is
     * the literal single-space split shared with q113/q114; the hash is
     * the md5-prefix bucket idiom shared with q89 so DuckDB reproduces
     * it bit-for-bit. Floats: scores round to 6dp and the top-k orders

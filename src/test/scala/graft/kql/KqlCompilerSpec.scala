@@ -1366,6 +1366,26 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getMessage.contains("output mode"))
   }
 
+  test("partition by key (scan …): keyed running scan, one exchange, no global window") {
+    val out = run(
+      """t | order by id asc
+        | | partition by name ( scan declare (tot:real = 0.0) with (step s: value > 15 => tot = tot + value;) )
+        | | project id, name, tot""".stripMargin)
+    val rows = out.orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // per-name accumulation: alpha 95 (id 3); beta 55 (2), 125 (5); gamma 20 (4)
+    assert(rows.toSeq == Seq(
+      (2L, "beta", 55.0), (3L, "alpha", 95.0), (4L, "gamma", 20.0), (5L, "beta", 125.0)))
+    val p = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // one exchange for the preceding global order by, one hash exchange
+    // for the keyed windows — and crucially NO SinglePartition window
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 2,
+      s"keyed scan must not shuffle per step:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"keyed scan must not collapse to a global window:\n$p")
+  }
+
   test("scan state references outside the additive form are loud errors") {
     assert(intercept[KqlParseException](run(
       """t | order by id asc
