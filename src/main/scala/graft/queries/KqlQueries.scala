@@ -585,23 +585,59 @@ object KqlQueries extends QueryModule {
           case _ => Tables.orders(s, dir)
         })),
 
-    // `scan` — Kusto's sequence state machine, restricted single-
-    // earliest-instance core (ops.Funnel.scanEarliest): declare clause
-    // with typed defaults, ordered steps, per-step state assignments
-    // captured on the matching row. The first signup→purchase→error
-    // chain in the event stream, carrying the signup's id and the
-    // purchase's value forward into later matched rows.
+    // `scan` — Kusto's sequence state machine, FULL repeated-match
+    // semantics (ops.Funnel.scanSequential): every signup starts (or
+    // greedily extends) a sequence, the first purchase after a signup
+    // run completes it and matching restarts, with_match_id numbers
+    // each sequence. Exercised at data scale; the closed form for this
+    // disjoint two-step shape makes it exactly oracle-checkable
+    // (q126 covers the general machine against a hand-traced oracle).
     "q116_kql_text_scan" -> ((s, dir) =>
       graft.kql.KqlCompiler.compile(
         """events
-          | | where event_type in ('signup', 'purchase', 'error')
+          | | where event_type in ('signup', 'purchase')
           | | order by ts asc, event_id asc
-          | | scan declare (signup_id:long = 0, spend:real = 0.0) with (
-          |     step first_signup: event_type == 'signup' => signup_id = event_id;
-          |     step first_purchase: event_type == 'purchase' => spend = value;
-          |     step first_error: event_type == 'error';
+          | | scan with_match_id=mid declare (signup_id:long = 0, spend:real = 0.0) with (
+          |     step got_signup: event_type == 'signup' => signup_id = event_id;
+          |     step got_purchase: event_type == 'purchase' => spend = value;
           |   )
-          | | project event_id, event_type, signup_id, spend
+          | | project event_id, event_type, signup_id, spend, mid
+          | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // the full scan machine against a hand-traced fixture: greedy step
+    // extension, mid-sequence non-matching records, promotion REPLACING
+    // a waiting sequence, completion + restart, per-sequence match ids.
+    // A datatable input makes the expected output enumerable, so the
+    // oracle is literal VALUES — a hash-exact gate on the machine.
+    "q126_kql_text_scan_machine" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """datatable(id: long, t: string)[
+          |  1,'A', 2,'A', 3,'B', 4,'B', 5,'C', 6,'C', 7,'A', 8,'C',
+          |  9,'B', 10,'C', 11,'A', 12,'B', 13,'A', 14,'B', 15,'C']
+          | | order by id asc
+          | | scan with_match_id=mid declare (a:long = 0, b:long = 0) with (
+          |     step sa: t == 'A' => a = id;
+          |     step sb: t == 'B' => b = id;
+          |     step sc: t == 'C';
+          |   )
+          | | project id, t, a, b, mid
+          | | order by id asc""".stripMargin,
+        _ => Tables.events(s, dir), java.time.Instant.now(), s)),
+
+    // the repeated-match machine DISTRIBUTED: partition by user_id runs
+    // per-user click→purchase matching with one hash shuffle on the key
+    // (plan-pinned no-SinglePartition in PlanShapeSpec).
+    "q127_kql_text_scan_keyed_repeated" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_type in ('click', 'purchase')
+          | | order by ts asc, event_id asc
+          | | partition by user_id ( scan with_match_id=mid declare (click_id:long = 0) with (
+          |     step got_click: event_type == 'click' => click_id = event_id;
+          |     step got_purchase: event_type == 'purchase';
+          |   ) )
+          | | project event_id, user_id, event_type, click_id, mid
           | | order by event_id asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
@@ -1137,29 +1173,83 @@ object KqlQueries extends QueryModule {
          WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
-    // scan oracle: the chained running-minima unrolled as scalar CTEs —
-    // r_k = first row past r_{k-1} matching step k; assignment captures
-    // read the matched row; declared values on output rows take the
-    // latest assignment at or before the row's own step, else default
+    // repeated-match scan oracle — the closed form of the two-step
+    // disjoint machine: every signup row matches (extend or new); a
+    // purchase matches iff it is the FIRST purchase after its nearest
+    // preceding signup (sequences and completions strictly alternate,
+    // so match ids count completions). signup_id on a completing row is
+    // the latest signup before it; match ids number signup runs.
     "q116_kql_text_scan" ->
       """WITH f AS (
            SELECT event_id, event_type, value,
                   row_number() OVER (ORDER BY ts, event_id) AS rn
-           FROM events WHERE event_type IN ('signup', 'purchase', 'error')),
-         r1 AS (SELECT min(rn) AS r FROM f WHERE event_type = 'signup'),
-         r2 AS (SELECT min(rn) AS r FROM f, r1 WHERE event_type = 'purchase' AND rn > r1.r),
-         r3 AS (SELECT min(rn) AS r FROM f, r2 WHERE event_type = 'error' AND rn > r2.r),
-         a1 AS (SELECT f.event_id AS v FROM f, r1 WHERE f.rn = r1.r),
-         a2 AS (SELECT f.value AS v FROM f, r2 WHERE f.rn = r2.r),
-         out AS (
-           SELECT f.event_id, f.event_type,
-                  CASE WHEN f.rn = r1.r THEN 1 WHEN f.rn = r2.r THEN 2 ELSE 3 END AS step
-           FROM f, r1, r2, r3
-           WHERE f.rn IN (r1.r, r2.r, r3.r))
-         SELECT event_id, event_type,
-                (CASE WHEN step >= 1 THEN (SELECT v FROM a1) ELSE 0 END)::BIGINT AS signup_id,
-                (CASE WHEN step >= 2 THEN (SELECT v FROM a2) ELSE 0.0 END)::DOUBLE AS spend
-         FROM out ORDER BY event_id""",
+           FROM events WHERE event_type IN ('signup', 'purchase')),
+         a AS (
+           SELECT *,
+                  max(CASE WHEN event_type = 'signup' THEN rn END) OVER
+                    (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a_rn
+           FROM f),
+         mb AS (SELECT rn FROM (
+                  SELECT rn, row_number() OVER (PARTITION BY a_rn ORDER BY rn) AS rb
+                  FROM a WHERE event_type = 'purchase' AND a_rn IS NOT NULL)
+                WHERE rb = 1),
+         g AS (SELECT a.*, CASE WHEN m.rn IS NOT NULL THEN 1 ELSE 0 END AS is_mb
+               FROM a LEFT JOIN mb m ON a.rn = m.rn),
+         h AS (SELECT *,
+                 coalesce(sum(is_mb) OVER (ORDER BY rn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS mb_before,
+                 sum(is_mb) OVER (ORDER BY rn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mb_upto
+               FROM g)
+         SELECT h.event_id, h.event_type,
+                (CASE WHEN h.event_type = 'signup' THEN h.event_id ELSE s.event_id END)::BIGINT AS signup_id,
+                (CASE WHEN h.event_type = 'signup' THEN 0.0 ELSE h.value END)::DOUBLE AS spend,
+                (CASE WHEN h.event_type = 'signup' THEN 1 + h.mb_before ELSE h.mb_upto END)::BIGINT AS mid
+         FROM h LEFT JOIN f s ON s.rn = h.a_rn
+         WHERE h.event_type = 'signup' OR h.is_mb = 1
+         ORDER BY h.event_id""",
+
+    // hand-traced machine fixture: literal VALUES
+    "q126_kql_text_scan_machine" ->
+      """SELECT * FROM (VALUES
+           (1::BIGINT, 'A', 1::BIGINT, 0::BIGINT, 1::BIGINT),
+           (2, 'A', 2, 0, 1), (3, 'B', 2, 3, 1), (4, 'B', 2, 4, 1),
+           (5, 'C', 2, 4, 1), (7, 'A', 7, 0, 2), (9, 'B', 7, 9, 2),
+           (10, 'C', 7, 9, 2), (11, 'A', 11, 0, 3), (12, 'B', 11, 12, 3),
+           (13, 'A', 13, 0, 4), (14, 'B', 13, 14, 4), (15, 'C', 13, 14, 4))
+         AS v(id, t, a, b, mid) ORDER BY id""",
+
+    // keyed repeated scan: the q116 closed form per user partition
+    "q127_kql_text_scan_keyed_repeated" ->
+      """WITH f AS (
+           SELECT event_id, user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events WHERE event_type IN ('click', 'purchase')),
+         a AS (
+           SELECT *,
+                  max(CASE WHEN event_type = 'click' THEN rn END) OVER
+                    (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a_rn
+           FROM f),
+         mb AS (SELECT user_id, rn FROM (
+                  SELECT user_id, rn,
+                         row_number() OVER (PARTITION BY user_id, a_rn ORDER BY rn) AS rb
+                  FROM a WHERE event_type = 'purchase' AND a_rn IS NOT NULL)
+                WHERE rb = 1),
+         g AS (SELECT a.*, CASE WHEN m.rn IS NOT NULL THEN 1 ELSE 0 END AS is_mb
+               FROM a LEFT JOIN mb m ON a.user_id = m.user_id AND a.rn = m.rn),
+         h AS (SELECT *,
+                 coalesce(sum(is_mb) OVER (PARTITION BY user_id ORDER BY rn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS mb_before,
+                 sum(is_mb) OVER (PARTITION BY user_id ORDER BY rn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mb_upto
+               FROM g)
+         SELECT h.event_id, h.user_id, h.event_type,
+                (CASE WHEN h.event_type = 'click' THEN h.event_id ELSE c.event_id END)::BIGINT AS click_id,
+                (CASE WHEN h.event_type = 'click' THEN 1 + h.mb_before ELSE h.mb_upto END)::BIGINT AS mid
+         FROM h LEFT JOIN f c ON c.user_id = h.user_id AND c.rn = h.a_rn
+         WHERE h.event_type = 'click' OR h.is_mb = 1
+         ORDER BY h.event_id""",
 
     // running scan oracle: the additive accumulator IS a running window
     // sum over the matched rows in scan order; last_id is each consuming

@@ -1213,9 +1213,13 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
         | | project id, first_alpha, nm""".stripMargin)
       .orderBy(col("id")).collect()
       .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2))))
-    // s1 matches id=1 (assigns from its own row), s2 the first beta after
-    // it (id=2), carrying s1's assignments forward
-    assert(out.toSeq == Seq((1L, 1L, Some("err-timeout")), (2L, 1L, Some("err-timeout"))))
+    // repeated-match machine: alpha id=1 starts seq 1 (assigns from its
+    // row), beta id=2 completes it; alpha id=3 starts seq 2, beta id=5
+    // completes it — BOTH alpha→beta chains are found (Kusto scan
+    // restarts after each completion), each carrying its own assignments
+    assert(out.toSeq == Seq(
+      (1L, 1L, Some("err-timeout")), (2L, 1L, Some("err-timeout")),
+      (3L, 3L, Some("err-refused")), (5L, 3L, Some("err-refused"))))
   }
 
   test("scan: untyped-default declare is null until assigned; stall emits prefix only") {
@@ -1350,8 +1354,9 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
         | | project id, tot""".stripMargin).collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
     assert(last.toSeq == Seq((5L, 240.0)))
-    // multi-step, output=none on step 1: the signup row is consumed
-    // (state assigned, sequence advances) but not emitted
+    // multi-step, output=none on step 1: the alpha rows are consumed
+    // (state assigned, sequence advances) but not emitted — both
+    // completions still surface with their own sequence's assignment
     val none = run(
       """t | order by id asc
         | | scan declare (first_alpha:long = 0) with (
@@ -1360,10 +1365,64 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
         |   )
         | | project id, first_alpha""".stripMargin).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-    assert(none.toSeq == Seq((2L, 1L)))
+    assert(none.toSeq == Seq((2L, 1L), (5L, 3L)))
     assert(intercept[KqlParseException](run(
       "t | order by id asc | scan with (step s output=sometimes: value > 0;)"))
       .getMessage.contains("output mode"))
+  }
+
+  test("scan repeated-match machine: with_match_id numbers each sequence") {
+    val out = run(
+      """t | order by id asc
+        | | scan with_match_id=mid declare (a_id:long = 0) with (
+        |     step sa: name == 'alpha' => a_id = id;
+        |     step sb: name == 'beta';
+        |   )
+        | | project id, a_id, mid""".stripMargin).orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 1L, 1L), (2L, 1L, 1L), (3L, 3L, 2L), (5L, 3L, 2L)))
+  }
+
+  test("scan full machine: promote, greedy extend, replacement, restart") {
+    // A A B B C C A C B C A B A B C — exercises every rule: greedy step
+    // extension (rows 2, 4), completion + restart (rows 5, 10, 15), a
+    // non-matching record mid-sequence (row 8), and promotion REPLACING
+    // a waiting sequence (row 14 replaces the 11-12 pair at step 2 —
+    // rows 11-12 were already emitted with their own match id, Kusto's
+    // emit-at-match-time rule).
+    val out = KqlCompiler.compile(
+      """datatable(id: long, t: string)[
+        |  1,'A', 2,'A', 3,'B', 4,'B', 5,'C', 6,'C', 7,'A', 8,'C',
+        |  9,'B', 10,'C', 11,'A', 12,'B', 13,'A', 14,'B', 15,'C']
+        | | order by id asc
+        | | scan with_match_id=mid declare (a:long = 0, b:long = 0) with (
+        |     step sa: t == 'A' => a = id;
+        |     step sb: t == 'B' => b = id;
+        |     step sc: t == 'C';
+        |   )
+        | | project id, a, b, mid""".stripMargin,
+      _ => df, java.time.Instant.now(), spark).orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 0L, 1L), (2L, 2L, 0L, 1L), (3L, 2L, 3L, 1L), (4L, 2L, 4L, 1L),
+      (5L, 2L, 4L, 1L), (7L, 7L, 0L, 2L), (9L, 7L, 9L, 2L), (10L, 7L, 9L, 2L),
+      (11L, 11L, 0L, 3L), (12L, 11L, 12L, 3L), (13L, 13L, 0L, 4L),
+      (14L, 13L, 14L, 4L), (15L, 13L, 14L, 4L)))
+  }
+
+  test("unkeyed scan/serialize warn about the global partition; keyed do not") {
+    val (_, w1) = KqlCompiler.compileWithWarnings(
+      "t | order by id asc | scan with (step s1: name == 'alpha'; step s2: name == 'beta';)",
+      _ => df)
+    assert(w1.exists(_.contains("partition by Key")))
+    val (_, w2) = KqlCompiler.compileWithWarnings(
+      """t | order by id asc
+        | | partition by name ( scan declare (tot:real = 0.0) with (step s: value > 15 => tot = tot + value;) )""".stripMargin,
+      _ => df)
+    assert(!w2.exists(_.contains("ONE global partition")))
+    val (_, w3) = KqlCompiler.compileWithWarnings(
+      "t | order by id asc | serialize rn = row_number()", _ => df)
+    assert(w3.exists(_.contains("global partition")))
   }
 
   test("partition by key (scan …): keyed running scan, one exchange, no global window") {
