@@ -15,11 +15,20 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark's
-    // reader rejects outright; read it as a nanos long instead and convert
-    // below (TESTDATA tables are driver-generated, not ours to rewrite).
+    // Older testdata vintages stored parquet TIMESTAMP(NANOS), which
+    // Spark's reader rejects outright; keep reading those as a nanos long
+    // (TESTDATA tables are driver-generated, not ours to rewrite).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // Current testdata stores timestamps as TIMESTAMP(MICROS) without a
+    // timezone flag, which Spark surfaces as TIMESTAMP_NTZ. The engine's
+    // time surface (unix_millis, window(), as-of joins, KQL datetime ring)
+    // is built on TimestampType; with the session pinned to UTC the cast is
+    // an identity on the underlying micros, so normalize here once.
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val ntz = df.schema.fields.filter(_.dataType == TimestampNTZType)
+    if (ntz.isEmpty) df
+    else ntz.foldLeft(df)((d, f) => d.withColumn(f.name, col(f.name).cast(TimestampType)))
   }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "lineitem")
@@ -29,18 +38,25 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "region")
-  /** `ts` arrives as a nanosecond epoch long (see apply); surface it as a
-    * proper TimestampType column. Integer `div` (not `/`, which is double
-    * division and loses precision above 2^53) keeps exact microseconds.
-    * Installs [[graft.plans.NanosTimePushdown]] so time predicates on the
-    * derived column still prune parquet row groups via the raw long.
+  /** Surface `ts` as a proper TimestampType column regardless of how the
+    * generator wrote it. Older testdata stored parquet TIMESTAMP(NANOS)
+    * (read back as a nanos long via `nanosAsLong`); current testdata stores
+    * TIMESTAMP(MICROS), which Spark reads natively. Branch on the actual
+    * type so either vintage works. For the long form, integer `div` (not
+    * `/`, which is double division and loses precision above 2^53) keeps
+    * exact microseconds, and [[graft.plans.NanosTimePushdown]] keeps time
+    * predicates pruning parquet row groups via the raw long.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    val rule = graft.plans.NanosTimePushdown
-    if (!spark.experimental.extraOptimizations.exists(_ eq rule))
-      spark.experimental.extraOptimizations ++= Seq(rule)
-    apply(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = apply(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        val rule = graft.plans.NanosTimePushdown
+        if (!spark.experimental.extraOptimizations.exists(_ eq rule))
+          spark.experimental.extraOptimizations ++= Seq(rule)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "embeddings")

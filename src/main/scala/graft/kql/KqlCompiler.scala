@@ -535,8 +535,7 @@ object KqlCompiler {
                 expect("with_itemindex"); expect("=")
                 Some(ident())
               } else None
-            val c = ident()
-            val castTo: Option[String] =
+            def castOf(): Option[String] =
               if (peekIs("to")) {
                 expect("to"); expect("typeof"); expect("(")
                 val t = ident(); expect(")")
@@ -548,16 +547,41 @@ object KqlCompiler {
                   case other => throw new KqlParseException(s"unsupported mv-expand typeof '$other'")
                 })
               } else None
+            val items = sepBy1(() => { val n = ident(); (n, castOf()) })
             val perRowCap =
               if (peekIs("limit")) { expect("limit"); Some(number()) } else None
-            val arr0 = perRowCap.fold(df(c))(n => slice(df(c), lit(1), lit(n)))
-            val arr = castTo.fold(arr0)(t => arr0.cast(s"array<$t>"))
-            idxCol match {
-              case None => df.withColumn(c, explode(arr))
-              case Some(ix) =>
-                val keep = df.columns.filterNot(_ == c).map(col)
-                df.select((keep :+ posexplode(arr).as(Seq(ix, c))): _*)
-                  .withColumn(ix, col(ix).cast("long"))
+            def prepared(c: String, castTo: Option[String]): Column = {
+              val arr0 = perRowCap.fold(df(c))(n => slice(df(c), lit(1), lit(n)))
+              castTo.fold(arr0)(t => arr0.cast(s"array<$t>"))
+            }
+            items match {
+              case List((c, castTo)) =>
+                val arr = prepared(c, castTo)
+                idxCol match {
+                  case None => df.withColumn(c, explode(arr))
+                  case Some(ix) =>
+                    val keep = df.columns.filterNot(_ == c).map(col)
+                    df.select((keep :+ posexplode(arr).as(Seq(ix, c))): _*)
+                      .withColumn(ix, col(ix).cast("long"))
+                }
+              case many =>
+                // parallel multi-column form: `mv-expand a, b, c` expands
+                // the arrays ZIPPED (row i pairs a[i] with b[i], shorter
+                // arrays pad with null — Kusto's documented semantics).
+                // Lowering: ONE arrays_zip + explode, then unpack the
+                // struct fields — a single generator, no join, no shuffle.
+                val zipped = arrays_zip(many.map { case (c, t) => prepared(c, t).as(c) }: _*)
+                val names = many.map(_._1)
+                val keep = df.columns.filterNot(names.contains).map(col)
+                val exploded = idxCol match {
+                  case None =>
+                    df.select((keep :+ explode(zipped).as("__mvz")): _*)
+                  case Some(ix) =>
+                    df.select((keep :+ posexplode(zipped).as(Seq(ix, "__mvz"))): _*)
+                      .withColumn(ix, col(ix).cast("long"))
+                }
+                names.foldLeft(exploded)((d, c) => d.withColumn(c, col("__mvz")(c)))
+                  .drop("__mvz")
             }
           case "apply" =>
             // `mv-apply elem = arrayExpr [to typeof(T)] on ( where … [|
@@ -630,24 +654,77 @@ object KqlCompiler {
         val names = sepBy1(() => ident())
         expect(")"); expect("=")
         val fn = ident()
-        if (fn != "series_stats")
-          throw new KqlParseException(s"multi-assign extend supports series_stats, got '$fn'")
-        expect("("); val arrB = expr(); expect(")")
-        if (names.length > 7)
-          throw new KqlParseException("series_stats yields at most 7 values (min, min_idx, max, max_idx, avg, stdev, variance)")
-        val a = arrB(df)
-        val sn = size(a).cast("double")
-        val av = aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double")) / sn
-        val vr = greatest(lit(0.0),
-          aggregate(a, lit(0.0), (acc, x) =>
-            acc + (x.cast("double") - av) * (x.cast("double") - av)) / (sn - lit(1.0)))
-        val comps: Seq[Column] = Seq(
-          array_min(a),
-          (array_position(a, array_min(a)) - 1).cast("long"),
-          array_max(a),
-          (array_position(a, array_max(a)) - 1).cast("long"),
-          av, sqrt(vr), vr)
-        names.zip(comps).foldLeft(df) { case (d, (nm, c)) => d.withColumn(nm, c) }
+        // optional trailing 'trendKind' string literal shared by the
+        // series_decompose family (compile-time dispatch, so it must be a
+        // literal — Kusto requires the same)
+        def trendArg(default: String): String =
+          if (peekIs(",")) {
+            expect(",")
+            val t = next()
+            if (t.kind != "str") throw new KqlParseException(s"$fn trend must be a string literal")
+            t.text
+          } else default
+        // the decompose family materializes ONE hidden array<struct> column
+        // and assigns each name a field extraction: the struct expression
+        // appears once in the plan (CollapseProject keeps a multi-referenced
+        // non-trivial expression materialized) and is evaluated once per
+        // row — assigning the raw component expressions per column instead
+        // duplicates the whole decomposition tree 4× and blows Catalyst
+        // analysis up combinatorially once downstream projections inline it.
+        def viaStruct(structArr: Column, fields: Seq[String]): DataFrame = {
+          val tmp = "__series_dec"
+          val withS = df.withColumn(tmp, structArr)
+          names.zip(fields).foldLeft(withS) { case (d, (nm, f)) =>
+            d.withColumn(nm, col(tmp).getField(f))
+          }.drop(tmp)
+        }
+        fn match {
+          case "series_stats" =>
+            expect("("); val arrB = expr(); expect(")")
+            if (names.length > 7)
+              throw new KqlParseException("series_stats yields at most 7 values (min, min_idx, max, max_idx, avg, stdev, variance)")
+            val a = arrB(df)
+            val sn = size(a).cast("double")
+            val av = aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double")) / sn
+            val vr = greatest(lit(0.0),
+              aggregate(a, lit(0.0), (acc, x) =>
+                acc + (x.cast("double") - av) * (x.cast("double") - av)) / (sn - lit(1.0)))
+            val comps: Seq[Column] = Seq(
+              array_min(a),
+              (array_position(a, array_min(a)) - 1).cast("long"),
+              array_max(a),
+              (array_position(a, array_max(a)) - 1).cast("long"),
+              av, sqrt(vr), vr)
+            names.zip(comps).foldLeft(df) { case (d, (nm, c)) => d.withColumn(nm, c) }
+          case "series_decompose" =>
+            // (baseline, seasonal, trend, residual) = series_decompose(arr,
+            //  period [, 'linefit'|'avg'|'none']) — map-only array lambdas
+            // (graft.functions.SeriesDecompose); period -1 (autodetect) is
+            // a loud runtime error, 0 means no seasonality.
+            expect("("); val arrB = expr(); expect(","); val periodB = expr()
+            val tk = trendArg("linefit"); expect(")")
+            if (names.length > 4)
+              throw new KqlParseException("series_decompose yields at most 4 values (baseline, seasonal, trend, residual)")
+            viaStruct(graft.functions.SeriesDecompose.decomposeStruct(arrB(df), periodB(df), tk),
+              Seq("base", "seas", "tr", "resid"))
+          case "series_decompose_anomalies" =>
+            // (ad_flag, ad_score, baseline) = series_decompose_anomalies(
+            //  arr [, threshold=1.5 [, period=-1 [, 'linefit']]]) — Kusto's
+            // signature; the -1 period default fails loudly (no autodetect).
+            expect("("); val arrB = expr()
+            val thB = if (peekIs(",")) { expect(","); Some(expr()) } else None
+            val pB = if (thB.nonEmpty && peekIs(",")) { expect(","); Some(expr()) } else None
+            val tk = if (pB.nonEmpty) trendArg("linefit") else "linefit"
+            expect(")")
+            if (names.length > 3)
+              throw new KqlParseException("series_decompose_anomalies yields at most 3 values (ad_flag, ad_score, baseline)")
+            viaStruct(graft.functions.SeriesDecompose.anomaliesStruct(arrB(df),
+              thB.fold(lit(1.5))(_(df)), pB.fold(lit(-1))(_(df)), tk),
+              Seq("flag", "score", "base"))
+          case other =>
+            throw new KqlParseException(
+              s"multi-assign extend supports series_stats/series_decompose/series_decompose_anomalies, got '$other'")
+        }
       case "extend" =>
         sepBy1(() => { val n = ident(); expect("="); (n, expr()) })
           .foldLeft(df) { case (d, (n, e)) => d.withColumn(n, e(d)) }
@@ -964,6 +1041,122 @@ object KqlCompiler {
               .select(cols.map(c => coalesce(col(c).cast("string"), lit("*")).as(c)) ++ Seq(
                 col("Count"),
                 round(lit(100.0) * col("Count") / col("__total"), 6).as("Percent")): _*)
+          case "autocluster" =>
+            // `evaluate autocluster([SizeWeight])` — Kusto's common-pattern
+            // miner: a SMALL set of attribute patterns (null/'*' =
+            // wildcard) balancing coverage (high Percent) against
+            // informativeness (many set attributes). Kusto's segment
+            // selection is proprietary; this engine pins a deterministic
+            // rule over the SAME exact lattice basket builds (one cube
+            // aggregate, one shuffle): score = (Count/Total)·w +
+            // (setAttrs/nCols)·(1−w), top 10 by (score, Count, attrs)
+            // with SegmentId in rank order. The cube is capped loudly at
+            // 8 columns, like basket.
+            val w =
+              if (peekIs(")")) 0.5
+              else {
+                val t = next()
+                if (t.kind != "num") throw new KqlParseException("autocluster SizeWeight must be a number literal")
+                val v = t.text.toDouble
+                if (v <= 0 || v >= 1) throw new KqlParseException("autocluster SizeWeight must be in (0, 1)")
+                v
+              }
+            expect(")")
+            val cols = df.columns
+            if (cols.length > 8)
+              throw new KqlParseException(
+                s"autocluster over ${cols.length} columns (2^n grouping sets) — project to at most 8 first")
+            Seq("SegmentId", "Count", "Percent").find(cols.contains).foreach(c =>
+              throw new KqlParseException(s"autocluster output column '$c' collides with an existing column"))
+            val full = (1 << cols.length) - 1
+            val nc = cols.length
+            val cubed = df.cube(cols.map(col): _*)
+              .agg(count(lit(1)).as("Count"), grouping_id().as("__gid"),
+                cols.map(c => grouping(col(c))).reduce(_ + _).as("__nwild"))
+            val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+            val scored = cubed
+              .withColumn("__total", max(when(col("__gid") === full, col("Count"))).over(wAll))
+              .where(col("__gid") =!= full)
+              .withColumn("__score",
+                col("Count").cast("double") / col("__total") * lit(w) +
+                  (lit(nc) - col("__nwild")).cast("double") / lit(nc) * lit(1 - w))
+            val ord = org.apache.spark.sql.expressions.Window.orderBy(
+              (Seq(col("__score").desc, col("Count").desc) ++
+                cols.map(c => coalesce(col(c).cast("string"), lit("*")).asc)): _*)
+            scored
+              .withColumn("SegmentId", (row_number().over(ord) - 1).cast("long"))
+              .where(col("SegmentId") < 10)
+              .select(Seq(col("SegmentId"), col("Count"),
+                round(lit(100.0) * col("Count") / col("__total"), 6).as("Percent")) ++
+                cols.map(c => coalesce(col(c).cast("string"), lit("*")).as(c)): _*)
+          case "diffpatterns" =>
+            // `evaluate diffpatterns(SplitCol, 'A', 'B' [, threshold])` —
+            // Kusto's two-slice differential miner: patterns over the
+            // remaining columns whose slice-relative frequency differs
+            // between slice A and slice B. ONE cube with conditional
+            // counts (both slices share the shuffle); totals from the
+            // cube's own grand-total row. Pinned deterministic spec (the
+            // reference algorithm is proprietary): keep patterns with
+            // |PercentA − PercentB| ≥ 100·threshold (default 0.05), order
+            // by that diff desc with attribute tie-breaks, SegmentId in
+            // rank order. Same loud 8-column cube cap as basket.
+            val splitCol = ident(); expect(",")
+            def strLit(what: String): String = {
+              val t = next()
+              if (t.kind != "str") throw new KqlParseException(s"diffpatterns $what must be a string literal")
+              t.text
+            }
+            val valA = strLit("SplitValueA"); expect(",")
+            val valB = strLit("SplitValueB")
+            val threshold =
+              if (peekIs(",")) {
+                expect(",")
+                val t = next()
+                if (t.kind != "num") throw new KqlParseException("diffpatterns threshold must be a number literal")
+                val v = t.text.toDouble
+                if (v <= 0 || v >= 1) throw new KqlParseException("diffpatterns threshold must be in (0, 1)")
+                v
+              } else 0.05
+            expect(")")
+            if (!df.columns.contains(splitCol))
+              throw new KqlParseException(s"diffpatterns split column '$splitCol' not found")
+            val cols = df.columns.filterNot(_ == splitCol)
+            if (cols.isEmpty)
+              throw new KqlParseException("diffpatterns needs at least one attribute column besides the split")
+            if (cols.length > 8)
+              throw new KqlParseException(
+                s"diffpatterns over ${cols.length} columns (2^n grouping sets) — project to at most 8 first")
+            Seq("SegmentId", "CountA", "CountB", "PercentA", "PercentB", "PercentDiffAB")
+              .find(df.columns.contains).foreach(c =>
+                throw new KqlParseException(s"diffpatterns output column '$c' collides with an existing column"))
+            val full = (1 << cols.length) - 1
+            val sliced = df.where(col(splitCol).cast("string").isin(valA, valB))
+            val cubed = sliced.cube(cols.map(col): _*)
+              .agg(
+                count(when(col(splitCol).cast("string") === valA, 1)).as("CountA"),
+                count(when(col(splitCol).cast("string") === valB, 1)).as("CountB"),
+                grouping_id().as("__gid"))
+            val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+            val pct = cubed
+              .withColumn("__totA", max(when(col("__gid") === full, col("CountA"))).over(wAll))
+              .withColumn("__totB", max(when(col("__gid") === full, col("CountB"))).over(wAll))
+              .where(col("__gid") =!= full)
+              .withColumn("PercentA",
+                when(col("__totA") > 0, lit(100.0) * col("CountA") / col("__totA")).otherwise(lit(0.0)))
+              .withColumn("PercentB",
+                when(col("__totB") > 0, lit(100.0) * col("CountB") / col("__totB")).otherwise(lit(0.0)))
+              .withColumn("__diff", col("PercentA") - col("PercentB"))
+              .where(abs(col("__diff")) >= lit(100.0 * threshold))
+            val ord = org.apache.spark.sql.expressions.Window.orderBy(
+              (Seq(abs(col("__diff")).desc) ++
+                cols.map(c => coalesce(col(c).cast("string"), lit("*")).asc)): _*)
+            pct
+              .withColumn("SegmentId", (row_number().over(ord) - 1).cast("long"))
+              .select(Seq(col("SegmentId"), col("CountA"), col("CountB"),
+                round(col("PercentA"), 6).as("PercentA"),
+                round(col("PercentB"), 6).as("PercentB"),
+                round(col("__diff"), 6).as("PercentDiffAB")) ++
+                cols.map(c => coalesce(col(c).cast("string"), lit("*")).as(c)): _*)
           case "sequence_detect" =>
             // `evaluate sequence_detect(TimelineCol, MaxStepWindow,
             //  MaxSequenceGap, boolCol1, …, boolColN) by KeyCol` —
@@ -2285,6 +2478,40 @@ object KqlCompiler {
                   else s"(?=${s.text})"
         return df => regexp_count(e(df), lit(pat)).cast("long")
       }
+      if (name == "decimal") {
+        // Kusto decimal literal: decimal(1.5) — an exact 128-bit decimal
+        // constant. Lowered as a Spark DecimalType(38,18) literal so
+        // decimal arithmetic stays exact end-to-end (Kusto's decimal is
+        // 128-bit; 38,18 is Spark's widest analog). The argument must be
+        // a number literal (it is a LITERAL constructor, not a cast —
+        // todecimal() is the cast).
+        val neg = peekIs("-"); if (neg) expect("-")
+        val t = next()
+        if (t.kind != "num") throw new KqlParseException("decimal() takes a number literal")
+        expect(")")
+        val bd = new java.math.BigDecimal((if (neg) "-" else "") + t.text)
+        return _ => lit(bd).cast("decimal(38,18)")
+      }
+      if (name == "series_outliers") {
+        // series_outliers(arr [, kind]) — Tukey-fence anomaly scores per
+        // element (graft.functions.SeriesDecompose.outliers): 'ctukey'
+        // (default) fences on the 10/90 percentiles, 'tukey' on 25/75.
+        // kind is a parse-time literal (compile-time quantile dispatch).
+        val a = expr()
+        val (pLo, pHi) =
+          if (peekIs(",")) {
+            expect(",")
+            val k = next()
+            if (k.kind != "str") throw new KqlParseException("series_outliers kind must be a string literal")
+            k.text match {
+              case "ctukey" => (0.10, 0.90)
+              case "tukey" => (0.25, 0.75)
+              case other => throw new KqlParseException(s"series_outliers kind must be 'ctukey' or 'tukey', got '$other'")
+            }
+          } else (0.10, 0.90)
+        expect(")")
+        return df => graft.functions.SeriesDecompose.outliers(a(df), pLo, pHi)
+      }
       if (name == "strcat_array") {
         // delimiter is a parse-time literal (the Scala array_join API
         // takes a String, same constraint as strcat_delim)
@@ -2502,6 +2729,12 @@ object KqlCompiler {
         case "tolong" => arity(1); df => args.head(df).cast("long")
         case "toint" => arity(1); df => args.head(df).cast("int")
         case "todouble" | "toreal" => arity(1); df => args.head(df).cast("double")
+        // Kusto decimal is a 128-bit decimal; the widest Spark analog is
+        // DecimalType(38, 18) — 20 integer digits, 18 fractional, exact
+        // arithmetic (Catalyst's decimal rules then widen/narrow per
+        // operation). The reference's own IT table carries a decimal
+        // column (it-table-setup.kql:1, `vdec`).
+        case "todecimal" => arity(1); df => args.head(df).cast("decimal(38,18)")
         // dynamic IS the JSON text in this engine (see dynamicPath), so
         // parse_json/todynamic are the identity; access happens postfix.
         case "parse_json" | "todynamic" | "parse_dynamic" => arity(1); df => args.head(df)

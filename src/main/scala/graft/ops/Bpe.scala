@@ -57,6 +57,52 @@ object Bpe {
   final case class WordSyms(syms: Seq[String], f: Long)
   final case class Merge(rank: Int, left: String, right: String, merged: String)
 
+  // ------------------------------------------------------- byte-level mode
+
+  /** GPT-2-style byte-level pretokenizer. Differences from the published
+    * GPT-2 pattern, pinned deliberately: input is lowercased first (the
+    * repo-wide convention, so contractions need no case variants) and the
+    * trailing-space lookahead branch is dropped — lookahead is not
+    * RE2-expressible, and the DuckDB oracle must run the SAME pattern.
+    * Branches: contraction suffix | optional-space letter run |
+    * optional-space digit run | optional-space punctuation run |
+    * whitespace run. */
+  val BytePretokenPattern = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+|\\s+"
+
+  /** GPT-2 byte→unicode table (bytes_to_unicode): printable ranges map to
+    * themselves, every other byte b maps to (256+n) in ascending-b order —
+    * a reversible, whitespace-free visible alphabet (space → 'Ġ' 0x120),
+    * so merged symbols are plain strings and never collide with
+    * delimiters. */
+  val ByteToChar: IndexedSeq[Char] = {
+    val kept = (0x21 to 0x7e) ++ (0xa1 to 0xac) ++ (0xae to 0xff)
+    val keptSet = kept.toSet
+    var n = 0
+    (0 to 255).map { b =>
+      if (keptSet(b)) b.toChar
+      else { val c = (256 + n).toChar; n += 1; c }
+    }
+  }
+
+  /** Byte fallback: one symbol per UTF-8 byte, through [[ByteToChar]] —
+    * any unicode input reduces to a 256-symbol base alphabet (the whole
+    * point of byte-level BPE: no unknown-token class). */
+  def byteSymbols(pretoken: String): Seq[String] =
+    pretoken.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => ByteToChar(b & 0xff).toString).toIndexedSeq
+
+  /** (w, f): distinct-PRETOKEN frequencies — the byte-level working set
+    * (pretokens keep their leading space, so ' the' and 'the' are
+    * distinct entries, exactly as in GPT-2). */
+  def pretokenFreq(docs: DataFrame, textCol: String): DataFrame = {
+    // SQL-literal escaping: the pattern contains both apostrophes (the
+    // contraction branch) and backslash classes
+    val sqlPat = BytePretokenPattern.replace("\\", "\\\\").replace("'", "\\'")
+    docs.select(explode(expr(
+        s"regexp_extract_all(lower($textCol), '$sqlPat', 0)")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+  }
+
   /** One left-to-right merge pass over a symbol sequence (overlapping
     * occurrences resolve leftmost-first — the canonical BPE rule). */
   def mergeOnce(syms: Seq[String], l: String, r: String): Seq[String] = {
@@ -72,12 +118,20 @@ object Bpe {
   }
 
   /** Train up to `k` merges; stops early when no pair occurs twice. */
-  def train(docs: DataFrame, textCol: String, k: Int): Seq[Merge] = {
-    val spark = docs.sparkSession
+  def train(docs: DataFrame, textCol: String, k: Int): Seq[Merge] =
+    trainFrom(wordFreq(docs, textCol), w => w.map(_.toString), k)
+
+  /** Byte-level training: GPT-2 pretokens, byte-fallback base symbols. */
+  def trainByteLevel(docs: DataFrame, textCol: String, k: Int): Seq[Merge] =
+    trainFrom(pretokenFreq(docs, textCol), byteSymbols, k)
+
+  /** The shared merge loop over any (w, f) working set + symbolizer. */
+  def trainFrom(wf: DataFrame, symsOf: String => Seq[String], k: Int): Seq[Merge] = {
+    val spark = wf.sparkSession
     import spark.implicits._
     var words: Dataset[WordSyms] =
-      wordFreq(docs, textCol).as[(String, Long)]
-        .map { case (w, f) => WordSyms(w.map(_.toString), f) }
+      wf.as[(String, Long)]
+        .map { case (w, f) => WordSyms(symsOf(w), f) }
         .localCheckpoint()
     val merges = List.newBuilder[Merge]
     var round = 0
@@ -115,21 +169,44 @@ object Bpe {
     syms
   }
 
+  /** Encode one byte-level pretoken: byte-fallback symbols, then the
+    * trained merges in rank order (same replacement rule as the trainer). */
+  def encodePretoken(w: String, merges: Seq[Merge]): Seq[String] = {
+    var syms = byteSymbols(w)
+    var i = 0
+    while (i < merges.length && syms.length > 1) {
+      val m = merges(i)
+      syms = mergeOnce(syms, m.left, m.right)
+      i += 1
+    }
+    syms
+  }
+
   /** Tokenize: (doc_id, tokens) with the merge list broadcast —
     * mapPartitions, zero shuffle. */
   def tokenize(docs: DataFrame, idCol: String, textCol: String,
-               merges: Seq[Merge]): DataFrame = {
+               merges: Seq[Merge]): DataFrame =
+    tokenizeWith(docs, idCol, textCol, merges, WordPattern, encodeWord)
+
+  /** Byte-level tokenize: GPT-2 pretokens + byte-fallback encoding. */
+  def tokenizeByteLevel(docs: DataFrame, idCol: String, textCol: String,
+                        merges: Seq[Merge]): DataFrame =
+    tokenizeWith(docs, idCol, textCol, merges, BytePretokenPattern, encodePretoken)
+
+  private def tokenizeWith(docs: DataFrame, idCol: String, textCol: String,
+                           merges: Seq[Merge], pattern: String,
+                           enc: (String, Seq[Merge]) => Seq[String]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(merges.sortBy(_.rank).toIndexedSeq)
-    val re = WordPattern.r
+    val re = pattern.r
     docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .mapPartitions { it =>
         val ms = bc.value
         it.map { case (id, text) =>
           val toks =
             if (text == null) Seq.empty[String]
-            else re.findAllIn(text.toLowerCase).flatMap(w => encodeWord(w, ms)).toSeq
+            else re.findAllIn(text.toLowerCase).flatMap(w => enc(w, ms)).toSeq
           (id, toks)
         }
       }

@@ -641,6 +641,76 @@ object KqlQueries extends QueryModule {
           | | order by event_id asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // series_decompose over make-series output — the production KQL
+    // anomaly surface: per-phase-median seasonality (period 4), OLS
+    // linefit trend, baseline + residual. Components mv-expand (parallel
+    // multi-column zip) to SCALAR rows rounded at 6dp — the float-safe
+    // serialization (JSON double formatting differs across engines; a
+    // rounded DOUBLE column compares bit-stable).
+    "q128_kql_text_series_decompose" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | make-series n = count() default = 0 on ts from datetime(2024-01-03) to datetime(2024-01-27) step 2d by event_type
+          | | extend (baseline, seasonal, trend, residual) = series_decompose(n, 4, 'linefit')
+          | | mv-expand with_itemindex=i baseline to typeof(real), seasonal to typeof(real), trend to typeof(real), residual to typeof(real)
+          | | project event_type, i, b = round(baseline, 6), sc = round(seasonal, 6), tc = round(trend, 6), r = round(residual, 6)
+          | | order by event_type asc, i asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // series_decompose_anomalies + series_outliers — residual-scored
+    // anomaly flags (ctukey 10/90 fences, threshold 1.0 so flags
+    // actually fire on the count series) next to raw-series tukey 25/75
+    // scores; same scalar-row serialization as q128.
+    "q129_kql_text_series_anomalies" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | make-series n = count() default = 0 on ts from datetime(2024-01-03) to datetime(2024-01-27) step 2d by event_type
+          | | extend (flag, score, base) = series_decompose_anomalies(n, 1.0, 4, 'linefit')
+          | | extend outl = series_outliers(n, 'tukey')
+          | | mv-expand with_itemindex=i flag to typeof(long), score to typeof(real), base to typeof(real), outl to typeof(real)
+          | | project event_type, i, flag, score = round(score, 6), base = round(base, 6), outl = round(outl, 6)
+          | | order by event_type asc, i asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // evaluate autocluster — common-pattern mining over (event_type,
+    // value band): the basket cube lattice with the pinned deterministic
+    // coverage-vs-informativeness score (Kusto's selection is
+    // proprietary), top-10 segments in rank order.
+    "q131_kql_text_autocluster" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | extend vb = tostring(tolong(value / 50))
+          | | project event_type, vb
+          | | evaluate autocluster(0.5)
+          | | order by SegmentId asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // evaluate diffpatterns — two-slice differential patterns (view vs
+    // purchase) over (value band, user bucket): ONE cube with
+    // conditional slice counts, |PercentA − PercentB| ≥ 2pp kept.
+    "q132_kql_text_diffpatterns" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | extend vb = tostring(tolong(value / 50)), ub = tostring(user_id % 5)
+          | | project event_type, vb, ub
+          | | evaluate diffpatterns(event_type, 'view', 'purchase', 0.02)
+          | | order by SegmentId asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // todecimal + decimal literals — exact 128-bit-class arithmetic
+    // (DecimalType(38,18)): integer-derived decimals keep every engine
+    // bit-exact (a double→decimal cast would test the ROUNDING of two
+    // engines, not the decimal surface), summed/min/maxed per group. The
+    // reference's own IT table carries a decimal column (vdec).
+    "q133_kql_text_decimal" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | extend d = todecimal(todecimal(tolong(value * 100)) + decimal(0.125))
+          | | summarize sd = sum(d), mn = min(d), mx = max(d), n = count() by event_type
+          | | project event_type, sd = tostring(sd), mn = tostring(mn), mx = tostring(mx), n
+          | | order by event_type asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // single-step `scan` — Kusto's canonical running-accumulator form:
     // the step consumes every matching record, the additive
     // self-referencing assignment lowers to a running window sum, and a
@@ -1210,6 +1280,115 @@ object KqlQueries extends QueryModule {
          ORDER BY h.event_id""",
 
     // hand-traced machine fixture: literal VALUES
+    // series_decompose replicated as CTEs over unnested bins (the q98
+    // playbook): per-phase medians, closed-form OLS over the
+    // de-seasonalized values, identical expression shapes so doubles
+    // match bit-stable after round(…, 6).
+    "q128_kql_text_series_decompose" ->
+      """WITH bins AS (SELECT i FROM unnest(range(0, 12)) AS t(i)),
+         keys AS (SELECT DISTINCT event_type FROM events
+                  WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+                    AND ts < TIMESTAMP '2024-01-27 00:00:00'),
+         agg AS (
+           SELECT event_type,
+                  (epoch_us(ts) - 1704240000000000) // 172800000000 AS i,
+                  count(*) AS c
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+             AND ts < TIMESTAMP '2024-01-27 00:00:00'
+           GROUP BY 1, 2),
+         filled AS (
+           SELECT k.event_type, b.i, CAST(coalesce(a.c, 0) AS DOUBLE) AS x
+           FROM keys k CROSS JOIN bins b
+           LEFT JOIN agg a ON a.event_type = k.event_type AND a.i = b.i),
+         ph AS (SELECT event_type, i % 4 AS phase, median(x) AS m
+                FROM filled GROUP BY 1, 2),
+         det AS (SELECT f.event_type, f.i, f.x, p.m AS se, f.x - p.m AS d
+                 FROM filled f
+                 JOIN ph p ON p.event_type = f.event_type AND p.phase = f.i % 4),
+         fit AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n, sum(d) AS sy,
+                        sum(i * d) AS sxy, CAST(sum(i) AS DOUBLE) AS sx,
+                        CAST(sum(i * i) AS DOUBLE) AS sxx
+                 FROM det GROUP BY 1),
+         co AS (SELECT event_type,
+                       CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                            ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+                       n, sx, sy
+                FROM fit),
+         co2 AS (SELECT event_type, slope, (sy - slope * sx) / n AS icept FROM co),
+         fin AS (SELECT d.event_type, d.i, d.x, d.se,
+                        c.icept + c.slope * d.i AS tr
+                 FROM det d JOIN co2 c ON c.event_type = d.event_type)
+         SELECT event_type, i, round(se + tr, 6) AS b, round(se, 6) AS sc,
+                round(tr, 6) AS tc, round(x - (se + tr), 6) AS r
+         FROM fin ORDER BY event_type, i""",
+
+    // q128's skeleton + ctukey(10/90) fences on residuals (threshold 1.0
+    // flags) and tukey(25/75) scores on the raw series
+    "q129_kql_text_series_anomalies" ->
+      """WITH bins AS (SELECT i FROM unnest(range(0, 12)) AS t(i)),
+         keys AS (SELECT DISTINCT event_type FROM events
+                  WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+                    AND ts < TIMESTAMP '2024-01-27 00:00:00'),
+         agg AS (
+           SELECT event_type,
+                  (epoch_us(ts) - 1704240000000000) // 172800000000 AS i,
+                  count(*) AS c
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+             AND ts < TIMESTAMP '2024-01-27 00:00:00'
+           GROUP BY 1, 2),
+         filled AS (
+           SELECT k.event_type, b.i, CAST(coalesce(a.c, 0) AS DOUBLE) AS x
+           FROM keys k CROSS JOIN bins b
+           LEFT JOIN agg a ON a.event_type = k.event_type AND a.i = b.i),
+         ph AS (SELECT event_type, i % 4 AS phase, median(x) AS m
+                FROM filled GROUP BY 1, 2),
+         det AS (SELECT f.event_type, f.i, f.x, p.m AS se, f.x - p.m AS d
+                 FROM filled f
+                 JOIN ph p ON p.event_type = f.event_type AND p.phase = f.i % 4),
+         fit AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n, sum(d) AS sy,
+                        sum(i * d) AS sxy, CAST(sum(i) AS DOUBLE) AS sx,
+                        CAST(sum(i * i) AS DOUBLE) AS sxx
+                 FROM det GROUP BY 1),
+         co AS (SELECT event_type,
+                       CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                            ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+                       n, sx, sy
+                FROM fit),
+         co2 AS (SELECT event_type, slope, (sy - slope * sx) / n AS icept FROM co),
+         fin AS (SELECT d.event_type, d.i, d.x, d.se,
+                        c.icept + c.slope * d.i AS tr
+                 FROM det d JOIN co2 c ON c.event_type = d.event_type),
+         resid AS (SELECT event_type, i, x, se + tr AS base,
+                          x - (se + tr) AS r0
+                   FROM fin),
+         rq AS (SELECT event_type,
+                       quantile_cont(r0, 0.10) AS ql, quantile_cont(r0, 0.90) AS qh
+                FROM resid GROUP BY 1),
+         xq AS (SELECT event_type,
+                       quantile_cont(x, 0.25) AS xl, quantile_cont(x, 0.75) AS xh
+                FROM filled GROUP BY 1),
+         scored AS (
+           SELECT r.event_type, r.i, r.base,
+                  CASE WHEN q.qh - q.ql = 0 THEN 0.0
+                       WHEN r.r0 > q.qh THEN (r.r0 - q.qh) / (q.qh - q.ql)
+                       WHEN r.r0 < q.ql THEN (r.r0 - q.ql) / (q.qh - q.ql)
+                       ELSE 0.0 END AS score,
+                  CASE WHEN x.xh - x.xl = 0 THEN 0.0
+                       WHEN r.x > x.xh THEN (r.x - x.xh) / (x.xh - x.xl)
+                       WHEN r.x < x.xl THEN (r.x - x.xl) / (x.xh - x.xl)
+                       ELSE 0.0 END AS outl
+           FROM resid r
+           JOIN rq q ON q.event_type = r.event_type
+           JOIN xq x ON x.event_type = r.event_type)
+         SELECT event_type, i,
+                (CASE WHEN score >= 1.0 THEN 1
+                      WHEN score <= -1.0 THEN -1 ELSE 0 END)::BIGINT AS flag,
+                round(score, 6) AS score, round(base, 6) AS base,
+                round(outl, 6) AS outl
+         FROM scored ORDER BY event_type, i""",
+
     "q126_kql_text_scan_machine" ->
       """SELECT * FROM (VALUES
            (1::BIGINT, 'A', 1::BIGINT, 0::BIGINT, 1::BIGINT),
@@ -1318,6 +1497,70 @@ object KqlQueries extends QueryModule {
          FROM cube_t CROSS JOIN tot
          WHERE gid != 3 AND "Count" >= 0.15 * total
          ORDER BY "Count" DESC, event_type, vb""",
+
+    // autocluster: q123's cube skeleton + the pinned deterministic score
+    "q131_kql_text_autocluster" ->
+      """WITH base AS (
+           SELECT event_type, trunc(value / 50)::BIGINT::VARCHAR AS vb FROM events),
+         cube_t AS (
+           SELECT coalesce(event_type, '*') AS event_type,
+                  coalesce(vb, '*') AS vb,
+                  count(*)::BIGINT AS cnt,
+                  grouping(event_type) + 2 * grouping(vb) AS gid,
+                  grouping(event_type) + grouping(vb) AS nwild
+           FROM base GROUP BY CUBE (event_type, vb)),
+         tot AS (SELECT cnt AS total FROM cube_t WHERE gid = 3),
+         scored AS (
+           SELECT *, CAST(cnt AS DOUBLE) / total * 0.5 +
+                     CAST(2 - nwild AS DOUBLE) / 2 * 0.5 AS score
+           FROM cube_t CROSS JOIN tot WHERE gid != 3),
+         ranked AS (
+           SELECT *, row_number() OVER (ORDER BY score DESC, cnt DESC, event_type, vb) - 1 AS sid
+           FROM scored)
+         SELECT sid AS "SegmentId", cnt AS "Count",
+                round(100.0 * cnt / total, 6) AS "Percent", event_type, vb
+         FROM ranked WHERE sid < 10 ORDER BY sid""",
+
+    // diffpatterns: one cube, conditional slice counts, grand-total row
+    // supplies both slice totals
+    "q132_kql_text_diffpatterns" ->
+      """WITH base AS (
+           SELECT event_type, trunc(value / 50)::BIGINT::VARCHAR AS vb,
+                  (user_id % 5)::VARCHAR AS ub
+           FROM events WHERE event_type IN ('view', 'purchase')),
+         cube_t AS (
+           SELECT coalesce(vb, '*') AS vb, coalesce(ub, '*') AS ub,
+                  (count(*) FILTER (WHERE event_type = 'view'))::BIGINT AS ca,
+                  (count(*) FILTER (WHERE event_type = 'purchase'))::BIGINT AS cb,
+                  grouping(vb) + 2 * grouping(ub) AS gid
+           FROM base GROUP BY CUBE (vb, ub)),
+         tot AS (SELECT ca AS ta, cb AS tb FROM cube_t WHERE gid = 3),
+         pct AS (
+           SELECT *, CASE WHEN ta > 0 THEN 100.0 * ca / ta ELSE 0.0 END AS pa,
+                     CASE WHEN tb > 0 THEN 100.0 * cb / tb ELSE 0.0 END AS pb
+           FROM cube_t CROSS JOIN tot WHERE gid != 3),
+         fil AS (SELECT *, pa - pb AS d FROM pct WHERE abs(pa - pb) >= 2.0),
+         ranked AS (
+           SELECT *, row_number() OVER (ORDER BY abs(d) DESC, vb, ub) - 1 AS sid
+           FROM fil)
+         SELECT sid AS "SegmentId", ca AS "CountA", cb AS "CountB",
+                round(pa, 6) AS "PercentA", round(pb, 6) AS "PercentB",
+                round(d, 6) AS "PercentDiffAB", vb, ub
+         FROM ranked ORDER BY sid""",
+
+    // decimal: results serialize as full-scale-18 strings on BOTH sides —
+    // digit-for-digit exactness is the gate, and it sidesteps the r8
+    // HUGEINT/DECIMAL pandas-coercion pitfall (DuckDB decimals coerce to
+    // float64 in .df(), Spark parquet decimals stay object)
+    "q133_kql_text_decimal" ->
+      """WITH d AS (
+           SELECT event_type,
+                  CAST(CAST(CAST(trunc(value * 100) AS BIGINT) AS DECIMAL(38,18)) +
+                       CAST(0.125 AS DECIMAL(38,18)) AS DECIMAL(38,18)) AS d
+           FROM events)
+         SELECT event_type, sum(d)::VARCHAR AS sd, min(d)::VARCHAR AS mn,
+                max(d)::VARCHAR AS mx, count(*) AS n
+         FROM d GROUP BY event_type ORDER BY event_type""",
 
     "q124_kql_text_find" ->
       """SELECT * FROM (

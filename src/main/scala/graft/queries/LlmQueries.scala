@@ -2039,6 +2039,70 @@ object LlmQueries extends QueryModule {
     FROM corpus c JOIN bench b ON c.fp = b.fp
     GROUP BY c.doc_id ORDER BY c.doc_id"""
 
+  // ------------------------------------------- exact-substring dedup
+
+  /** q130 — exact-substring duplicate-span detection (the Lee et al. 2021
+    * "Deduplicating Training Data Makes Language Models Better" class:
+    * verbatim ≥k-token spans repeated anywhere in the corpus, within or
+    * across documents). Lee et al. build a suffix array; the Spark-native
+    * shape is stride-1 overlapping k-token window hashes (the q68 chunker
+    * at stride 1), a repetition flag per window, and per-document interval
+    * merge of the flagged windows into maximal spans.
+    *
+    * Scale shape at 100 TB: window generation is map-only (≈ one row per
+    * corpus token); the repetition flag is ONE count-over-window pass
+    * hash-shuffled on the window fingerprint (q113's df trick — no
+    * groupBy + re-join); the span merge is one shuffle on doc_id with two
+    * window functions. Crucially there is NO pair join anywhere — a
+    * boilerplate window repeated in a million documents costs O(df) rows
+    * through one shuffle key, never O(df²) candidate pairs, so this needs
+    * no posting-list cap at all (a stronger guarantee than q22/q24's
+    * capped buckets; ExactSubstringSpec pins it on an all-identical
+    * corpus). Spans merge when flagged windows overlap OR touch
+    * (pos gap ≤ k), so a duplicated run of any length reports as one
+    * span of its full token length. k = 8 here (synthetic docs are
+    * short; Lee et al. used 50 BPE tokens on web text) — the plan shape
+    * is identical at any k. */
+  def exactSubstringSql(k: Int = 8): String = s"""
+    WITH w AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
+    wins AS (
+      SELECT doc_id, CAST(w0.pos AS BIGINT) AS pos, w0.fp AS fp FROM (
+        SELECT doc_id, explode(transform(sequence(0, size(ws) - $k), i ->
+          struct(i AS pos, md5(concat_ws(' ', slice(ws, i + 1, $k))) AS fp))) AS w0
+        FROM w WHERE size(ws) >= $k) g),
+    occ AS (SELECT doc_id, pos, count(1) OVER (PARTITION BY fp) AS n FROM wins),
+    flagged AS (SELECT doc_id, pos FROM occ WHERE n >= 2),
+    isl AS (SELECT doc_id, pos,
+              CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $k
+                   THEN 0 ELSE 1 END AS brk
+            FROM flagged),
+    isl2 AS (SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+             FROM isl),
+    spans AS (SELECT doc_id, island, min(pos) AS s, max(pos) + $k AS e
+              FROM isl2 GROUP BY 1, 2)
+    SELECT doc_id, count(1) AS n_spans, sum(e - s) AS dup_tokens, min(s) AS first_pos
+    FROM spans GROUP BY doc_id ORDER BY doc_id"""
+
+  private def exactSubstringOracle(k: Int = 8): String = s"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    wins AS (SELECT doc_id, i AS pos, md5(array_to_string(ws[i+1:i+$k], ' ')) AS fp
+             FROM w, unnest(range(len(ws) - $k + 1)) AS t(i) WHERE len(ws) >= $k),
+    occ AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY fp) AS n FROM wins),
+    flagged AS (SELECT doc_id, pos FROM occ WHERE n >= 2),
+    isl AS (SELECT doc_id, pos,
+              CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $k
+                   THEN 0 ELSE 1 END AS brk
+            FROM flagged),
+    isl2 AS (SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+             FROM isl),
+    spans AS (SELECT doc_id, island, min(pos) AS s, max(pos) + $k AS e
+              FROM isl2 GROUP BY 1, 2)
+    SELECT doc_id, count(*) AS n_spans, CAST(sum(e - s) AS BIGINT) AS dup_tokens,
+           min(s) AS first_pos
+    FROM spans GROUP BY doc_id ORDER BY doc_id"""
+
   // --------------------------------------------- token-distribution drift
 
   /** q114 — token-distribution drift between two corpus slices (the
@@ -2432,22 +2496,42 @@ object LlmQueries extends QueryModule {
     * oracle cannot, so [[BpeMerges]] must complete on the gate corpus —
     * it does at every driver sf (the distinct-word table is far past 12
     * productive merges even at sf0.001). */
+  private def bpeRounds(k: Int): Seq[String] = (1 to k).map { n =>
+    val p = n - 1
+    s"""b$n AS MATERIALIZED (SELECT string_split(trim(s, '<>'), '><') AS ss, f FROM r$p),
+    p$n AS (SELECT ss, f, unnest(range(1, len(ss))) AS i FROM b$n WHERE len(ss) >= 2),
+    c$n AS (SELECT ss[i] AS l, ss[i+1] AS r, sum(f)::BIGINT AS cnt FROM p$n GROUP BY 1, 2),
+    m$n AS MATERIALIZED (SELECT l, r FROM c$n ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+    r$n AS MATERIALIZED (
+      SELECT w, replace(s, '<'||m.l||'><'||m.r||'>', '<'||m.l||m.r||'>') AS s, f FROM r$p, m$n m)"""
+  }
+
   private def bpeMergeCtes(k: Int): String = {
     val header = s"""words AS (
       SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents),
     wf AS (SELECT w, count(*)::BIGINT AS f FROM words GROUP BY w),
     r0 AS MATERIALIZED (
       SELECT w, '<' || array_to_string(string_split(w, ''), '><') || '>' AS s, f FROM wf)"""
-    val rounds = (1 to k).map { n =>
-      val p = n - 1
-      s"""b$n AS MATERIALIZED (SELECT string_split(trim(s, '<>'), '><') AS ss, f FROM r$p),
-    p$n AS (SELECT ss, f, unnest(range(1, len(ss))) AS i FROM b$n WHERE len(ss) >= 2),
-    c$n AS (SELECT ss[i] AS l, ss[i+1] AS r, sum(f)::BIGINT AS cnt FROM p$n GROUP BY 1, 2),
-    m$n AS MATERIALIZED (SELECT l, r FROM c$n ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
-    r$n AS MATERIALIZED (
-      SELECT w, replace(s, '<'||m.l||'><'||m.r||'>', '<'||m.l||m.r||'>') AS s, f FROM r$p, m$n m)"""
-    }
-    (header +: rounds).mkString(",\n    ")
+    (header +: bpeRounds(k)).mkString(",\n    ")
+  }
+
+  /** Byte-level variant of [[bpeMergeCtes]]: GPT-2-style pretokens (the
+    * SAME RE2 pattern the engine uses — lookahead-free by design), space
+    * byte mapped to 'Ġ' exactly as [[graft.ops.Bpe.ByteToChar]] maps byte
+    * 0x20. Valid for this ASCII single-space corpus, where byte == char
+    * and 'Ġ' is the only remapped symbol; the general byte fallback
+    * (multi-byte UTF-8) is pinned in BpeSpec's golden tests instead. The
+    * bracket scheme carries over unchanged — the mapped alphabet (a-z,
+    * digits, punctuation-minus-angle-brackets, 'Ġ') never contains '<'
+    * or '>'. */
+  private def byteBpeMergeCtes(k: Int): String = {
+    val pat = graft.ops.Bpe.BytePretokenPattern.replace("'", "''")
+    val header = s"""words AS (
+      SELECT unnest(regexp_extract_all(lower(text), '$pat')) AS w FROM documents),
+    wf AS (SELECT w, count(*)::BIGINT AS f FROM words GROUP BY w),
+    r0 AS MATERIALIZED (
+      SELECT w, '<' || array_to_string(string_split(replace(w, ' ', 'Ġ'), ''), '><') || '>' AS s, f FROM wf)"""
+    (header +: bpeRounds(k)).mkString(",\n    ")
   }
 
   private def bpeVocabOracle: String = {
@@ -2503,6 +2587,56 @@ object LlmQueries extends QueryModule {
       FROM j GROUP BY lang)
     SELECT lang, n_docs,
            round(toks / words::DOUBLE, 6) AS tok_per_word,
+           round(chars / toks::DOUBLE, 6) AS chars_per_tok
+    FROM agg ORDER BY lang"""
+  }
+
+  /** q134 — byte-level BPE fertility: the q119 audit re-run over the
+    * GPT-2-style byte-level tokenizer ([[graft.ops.Bpe.trainByteLevel]]):
+    * pretokens keep their leading space (so ' the' and 'the' learn
+    * separate merges — the GPT-2 word-boundary trick), base symbols are
+    * mapped BYTES, and fertility is tokens-per-pretoken / chars-per-token
+    * per language. Same scale shape as q119: train on the distinct-
+    * pretoken table, broadcast merges, mapPartitions encode, ONE agg. */
+  private def byteBpeFertility(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val merges = graft.ops.Bpe.trainByteLevel(d, "text", BpeMerges)
+    val tk = graft.ops.Bpe.tokenizeByteLevel(d, "doc_id", "text", merges)
+    val sqlPat = graft.ops.Bpe.BytePretokenPattern
+      .replace("\\", "\\\\").replace("'", "\\'")
+    d.select(col("doc_id"), col("lang"),
+        expr(s"regexp_extract_all(lower(text), '$sqlPat', 0)").as("ws"))
+      .where(size(col("ws")) > 0)
+      .join(tk, "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("tokens")).cast("long")).as("toks"),
+        sum(size(col("ws")).cast("long")).as("pretoks"),
+        sum(expr("aggregate(ws, 0L, (a, x) -> a + length(x))")).as("chars"))
+      .select(col("lang"), col("n_docs"),
+        round(col("toks") / col("pretoks"), 6).as("tok_per_pretok"),
+        round(col("chars") / col("toks"), 6).as("chars_per_tok"))
+      .orderBy(col("lang"))
+  }
+
+  private def byteBpeFertilityOracle: String = {
+    val k = BpeMerges
+    val pat = graft.ops.Bpe.BytePretokenPattern.replace("'", "''")
+    s"""WITH ${byteBpeMergeCtes(k)},
+    enc AS MATERIALIZED (
+      SELECT w, len(string_split(trim(s, '<>'), '><'))::BIGINT AS nt FROM r$k),
+    dw AS (
+      SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '$pat')) AS w
+      FROM documents),
+    j AS (SELECT dw.doc_id, dw.lang, enc.nt, length(dw.w)::BIGINT AS wc
+          FROM dw JOIN enc USING (w)),
+    agg AS (
+      SELECT lang, count(DISTINCT doc_id)::BIGINT AS n_docs,
+             sum(nt)::BIGINT AS toks, count(*)::BIGINT AS pretoks,
+             sum(wc)::BIGINT AS chars
+      FROM j GROUP BY lang)
+    SELECT lang, n_docs,
+           round(toks / pretoks::DOUBLE, 6) AS tok_per_pretok,
            round(chars / toks::DOUBLE, 6) AS chars_per_tok
     FROM agg ORDER BY lang"""
   }
@@ -2585,11 +2719,13 @@ object LlmQueries extends QueryModule {
     "q112_semdedup" -> sqlQuery(embs, semdedupSql()),
     "q113_decontam_ngram" -> sqlQuery(docs, decontamSql),
     "q114_token_drift" -> sqlQuery(docs, tokenDriftSql),
+    "q130_exact_substring" -> sqlQuery(docs, exactSubstringSql()),
     "q97_bpe_pairs" -> (bpePairs(_, _)),
     "q98_bpe_vocab" -> (bpeVocab(_, _)),
     "q99_bpe_tokenize" -> (bpeTokenize(_, _)),
     "q118_dsir_weights" -> sqlQuery(docs, dsirSql),
     "q119_bpe_fertility" -> (bpeFertility(_, _)),
+    "q134_byte_bpe_fertility" -> (byteBpeFertility(_, _)),
     "q121_quality_rules" -> sqlQuery(docs, qualityRulesSql))
 
   override val oracles: Map[String, String] = Map(
@@ -2634,11 +2770,13 @@ object LlmQueries extends QueryModule {
     "q99_bpe_tokenize" -> bpeTokenizeOracle,
     "q118_dsir_weights" -> dsirOracle,
     "q119_bpe_fertility" -> bpeFertilityOracle,
+    "q134_byte_bpe_fertility" -> byteBpeFertilityOracle,
     "q121_quality_rules" -> qualityRulesOracle,
     "q109_zipf_audit" -> zipfOracle,
     "q110_pii_scrub" -> piiOracle,
     "q111_pagerank" -> pagerankOracle,
     "q112_semdedup" -> semdedupOracle(),
     "q113_decontam_ngram" -> decontamOracle,
+    "q130_exact_substring" -> exactSubstringOracle(),
     "q114_token_drift" -> tokenDriftOracle)
 }

@@ -50,6 +50,41 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
       cnts("ow") == 7L && cnts("we") == 8L && cnts("ne") == 6L)
   }
 
+  test("byte mapping: GPT-2 bytes_to_unicode spot values + reversibility") {
+    // printable ASCII keeps itself; space (0x20) is the 33rd remapped byte
+    // counting from 0x00 → 0x100 + 0x20 = 'Ġ'; newline 0x0A → 'Ċ' (0x10A);
+    // high bytes in the kept Latin-1 ranges keep themselves
+    assert(Bpe.ByteToChar(0x61) == 'a' && Bpe.ByteToChar(0x7e) == '~')
+    assert(Bpe.ByteToChar(0x20) == 'Ġ') // Ġ
+    assert(Bpe.ByteToChar(0x0a) == 'Ċ') // Ċ
+    assert(Bpe.ByteToChar(0xa9) == '©' && Bpe.ByteToChar(0xff) == 'ÿ')
+    assert(Bpe.ByteToChar.distinct.length == 256) // bijection
+  }
+
+  test("byte fallback: multi-byte UTF-8 decomposes to mapped byte symbols") {
+    // 'é' = 0xC3 0xA9; both bytes are in kept ranges → 'Ã', '©'
+    assert(Bpe.byteSymbols("é") == Seq("Ã", "©"))
+    assert(Bpe.byteSymbols(" ab") == Seq("Ġ", "a", "b"))
+  }
+
+  test("byte-level pretokenizer: leading spaces attach, runs split by class") {
+    val re = Bpe.BytePretokenPattern.r
+    assert(re.findAllIn("hello world 42!").toSeq ==
+      Seq("hello", " world", " 42", "!"))
+    assert(re.findAllIn("it's fine").toSeq == Seq("it", "'s", " fine"))
+  }
+
+  test("byte-level train: hand-computed merge sequence on 'aa aa'") {
+    import spark.implicits._
+    val tiny = Seq((1L, "aa aa")).toDF("doc_id", "text")
+    // pretokens: 'aa' (1), ' aa' (1) → pair (a,a) cnt 2, (Ġ,a) cnt 1
+    // round 1 merges (a,a); then no pair reaches 2 → stop
+    val merges = Bpe.trainByteLevel(tiny, "text", 5)
+    assert(merges.map(m => (m.left, m.right)) == Seq(("a", "a")))
+    val out = Bpe.tokenizeByteLevel(tiny, "doc_id", "text", merges).collect()
+    assert(out.head.getSeq[String](1) == Seq("aa", "Ġ", "aa"))
+  }
+
   test("encode parity: in-vocab words reproduce trained symbolization; OOV decomposes") {
     import spark.implicits._
     val merges = Bpe.train(docs, "text", 5)

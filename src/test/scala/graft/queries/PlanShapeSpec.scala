@@ -139,8 +139,11 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("q72 make-series: window bounds pushed to the scan, no SortMergeJoin") {
     val p = plan("q72_kql_text_makeseries")
     val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    // native-timestamp vintages push LessThan (exact exclusive bound);
+    // the nanos-long vintage pushed LessThanOrEqual via NanosTimePushdown
     assert(pushed.contains("GreaterThanOrEqual(ts"), s"window lower bound not pushed:\n$pushed")
-    assert(pushed.contains("LessThanOrEqual(ts"), s"window upper bound not pushed:\n$pushed")
+    assert(pushed.contains("LessThan(ts") || pushed.contains("LessThanOrEqual(ts"),
+      s"window upper bound not pushed:\n$pushed")
     assert(!p.contains("SortMergeJoin"), "scaffold/fill joins must stay broadcast-sized")
   }
 
