@@ -130,5 +130,13 @@ for name in sorted(oracle):
     else:
         print(f"ok   {name} ({len(edf)} rows)")
 
-print(f"\n{len(oracle)-len(fails)}/{len(oracle)} green" + (f"; FAILS: {fails}" if fails else ""))
-sys.exit(1 if fails else 0)
+import os
+errs_path = f"{out}/verify_errors.json"
+verify_errors = json.load(open(errs_path)) if os.path.exists(errs_path) else {}
+for n, msg in sorted(verify_errors.items()):
+    print(f"ERRORED {n}: {msg[:200]}")
+
+print(f"\n{len(oracle)-len(fails)}/{len(oracle)} green"
+      + (f"; FAILS: {fails}" if fails else "")
+      + (f"; {len(verify_errors)} ERRORED at engine run time" if verify_errors else ""))
+sys.exit(1 if fails or verify_errors else 0)
