@@ -145,6 +145,176 @@ object SeriesDecompose {
                 .when(v < q("ql"), (v - q("ql")) / iqr)
                 .otherwise(lit(0.0)))))))
 
+  /** One struct<rsquare, slope, variance, rvariance, interception,
+    * line_fit> column — Kusto's series_fit_line output order. OLS over
+    * the raw series vs bin index; variance/rvariance are SAMPLE
+    * variances (n−1, matching this engine's series_stats), rsquare =
+    * 1 − SSres/SStot (pinned 1.0 for a constant series where SStot=0). */
+  def fitLineStruct(series: Column): Column =
+    let1(dbl(series), xd => {
+      val n = size(xd).cast("double")
+      val sy = aggregate(xd, lit(0.0), (s, x) => s + x)
+      val syy = aggregate(xd, lit(0.0), (s, x) => s + x * x)
+      val sxy = aggregate(sequence(lit(0), size(xd) - 1), lit(0.0), (s, i) =>
+        s + i.cast("double") * element_at(xd, i.cast("int") + 1))
+      val sx = n * (n - 1) / lit(2.0)
+      val sxx = n * (n - 1) * (lit(2.0) * n - 1) / lit(6.0)
+      let1(struct(n.as("n"), sx.as("sx"), sxx.as("sxx"), sy.as("sy"),
+          syy.as("syy"), sxy.as("sxy")), c => {
+        val denom = c("n") * c("sxx") - c("sx") * c("sx")
+        val slope = when(denom =!= 0.0, (c("n") * c("sxy") - c("sx") * c("sy")) / denom)
+          .otherwise(lit(0.0))
+        val icept = when(c("n") > 0, (c("sy") - slope * c("sx")) / c("n")).otherwise(lit(0.0))
+        let1(struct(slope.as("m"), icept.as("b")), mb =>
+          let1(aggregate(sequence(lit(0), size(xd) - 1), lit(0.0), (s, i) => {
+              val e = element_at(xd, i.cast("int") + 1) -
+                (mb("b") + mb("m") * i.cast("double"))
+              s + e * e
+            }), ssres =>
+            let1(c("syy") - c("sy") * c("sy") / c("n"), sstot =>
+              struct(
+                when(sstot === 0.0, lit(1.0)).otherwise(lit(1.0) - ssres / sstot).as("rsquare"),
+                mb("m").as("slope"),
+                (sstot / (c("n") - 1)).as("variance"),
+                (ssres / (c("n") - 1)).as("rvariance"),
+                mb("b").as("interception"),
+                transform(sequence(lit(0), size(xd) - 1), i =>
+                  mb("b") + mb("m") * i.cast("double")).as("line_fit")))))
+      })
+    })
+
+  /** Gap-filling family over make-series arrays with null gaps (the
+    * no-`default` make-series form). All compute in doubles; the index
+    * scans are O(n²) per series cell — fine for dashboard-scale axes
+    * (the make-series compiler caps the axis at 1e6; fills are meant for
+    * the tens-to-thousands-of-bins regime). Pinned edge rules:
+    * fill_forward leaves leading nulls (no prior value), fill_backward
+    * leaves trailing nulls, fill_linear uses the nearest non-null when
+    * only one side exists and leaves all-null series null. */
+  def fillConst(series: Column, v: Column): Column =
+    transform(dbl(series), x => coalesce(x, v.cast("double")))
+
+  def fillForward(series: Column): Column =
+    let1(dbl(series), xd =>
+      transform(sequence(lit(0), size(xd) - 1), i =>
+        aggregate(sequence(lit(0), i), lit(null).cast("double"), (acc, j) =>
+          coalesce(element_at(xd, j.cast("int") + 1), acc))))
+
+  def fillBackward(series: Column): Column =
+    let1(dbl(series), xd =>
+      transform(sequence(lit(0), size(xd) - 1), i =>
+        aggregate(sequence(size(xd) - 1, i, lit(-1)), lit(null).cast("double"), (acc, j) =>
+          coalesce(element_at(xd, j.cast("int") + 1), acc))))
+
+  def fillLinear(series: Column): Column =
+    let1(dbl(series), xd =>
+      transform(sequence(lit(0), size(xd) - 1), i =>
+        let1(element_at(xd, i + 1), cur =>
+          let1(struct(
+              // last non-null index ≤ i, first non-null index ≥ i
+              aggregate(sequence(lit(0), i), lit(null).cast("int"), (acc, j) =>
+                when(element_at(xd, j.cast("int") + 1).isNotNull, j.cast("int")).otherwise(acc)).as("li"),
+              aggregate(sequence(size(xd) - 1, i, lit(-1)), lit(null).cast("int"), (acc, j) =>
+                when(element_at(xd, j.cast("int") + 1).isNotNull, j.cast("int")).otherwise(acc)).as("ni")), ix =>
+            when(cur.isNotNull, cur)
+              .when(ix("li").isNull && ix("ni").isNull, lit(null).cast("double"))
+              .when(ix("li").isNull, element_at(xd, ix("ni") + 1))
+              .when(ix("ni").isNull, element_at(xd, ix("li") + 1))
+              .otherwise(
+                element_at(xd, ix("li") + 1) +
+                  (element_at(xd, ix("ni") + 1) - element_at(xd, ix("li") + 1)) *
+                    (i - ix("li")).cast("double") / (ix("ni") - ix("li")).cast("double"))))))
+
+  /** One struct<periods: array<double>, scores: array<double>> column —
+    * Kusto's series_periods_detect output shape. Pinned spec (Kusto's
+    * detector is FFT-based and unspecified): normalized autocorrelation
+    * acf(L) = Σ c_i·c_{i+L} / Σ c_i² over the mean-centered series, for
+    * integer lags L in [max(2, minP) .. min(maxP, n−1)]; candidates with
+    * acf > 0 ranked by acf ROUNDED TO 9 DECIMALS desc (the rounding pins
+    * cross-engine rank order against last-ulp summation differences),
+    * then L asc; top `num` returned, periods as doubles. A constant
+    * series (zero denominator) detects nothing. */
+  def periodsStruct(series: Column, minP: Column, maxP: Column, num: Column): Column =
+    let1(dbl(series), xd => {
+      val n = size(xd)
+      val mu = aggregate(xd, lit(0.0), (s, x) => s + x) / n.cast("double")
+      let1(transform(xd, x => x - mu), c => {
+        val denom = aggregate(c, lit(0.0), (s, x) => s + x * x)
+        val lo = greatest(lit(2), minP.cast("int"))
+        val hi = least(maxP.cast("int"), n - 1)
+        let1(denom, d => {
+          val cands = filter(
+            transform(sequence(lo, greatest(lo, hi)), l =>
+              struct(
+                when(d =!= 0.0 && l <= hi,
+                  aggregate(sequence(lit(0), n - 1 - l), lit(0.0), (s, i) =>
+                    s + element_at(c, i.cast("int") + 1) *
+                      element_at(c, (i + l).cast("int") + 1)) / d)
+                  .otherwise(lit(-1.0)).as("a"),
+                l.as("l"))),
+            p => p.getField("a") > 0)
+          val ranked = array_sort(cands, (x, y) => {
+            val ax = round(x.getField("a"), 9)
+            val ay = round(y.getField("a"), 9)
+            when(ax > ay, -1).when(ax < ay, 1)
+              .when(x.getField("l") < y.getField("l"), -1)
+              .when(x.getField("l") > y.getField("l"), 1)
+              .otherwise(0)
+          })
+          let1(slice(ranked, lit(1), num.cast("int")), top =>
+            struct(
+              transform(top, _.getField("l").cast("double")).as("periods"),
+              transform(top, _.getField("a")).as("scores")))
+        })
+      })
+    })
+
+  /** series_decompose_forecast: the input series carries `points`
+    * trailing slots to forecast (the make-series axis extends past the
+    * data, Kusto's documented usage). Components are FIT ON THE TRAINING
+    * PREFIX only (first n−points elements): per-phase medians and the
+    * trend line come from the prefix, then baseline = seasonal + trend
+    * extrapolates across the FULL axis (the tail's baseline IS the
+    * forecast). Pinned: residual = x − baseline on the prefix, null on
+    * the forecast tail (the tail's raw values are axis filler, not
+    * observations). Same array<struct<base, seas, tr, resid>> shape as
+    * [[decomposeStruct]]. */
+  def forecastStruct(series: Column, points: Column, period: Column,
+                     trendKind: String): Column =
+    let1(dbl(series), xd =>
+      let1((size(xd) - points.cast("int")).cast("int"), ntrain =>
+        let1(slice(xd, lit(1), ntrain), train =>
+          let1(seasonalOf(train, period), seasT =>
+            let1(trendOf(zip_with(train, seasT, _ - _), trendKind), trT => {
+              val p = period.cast("int")
+              // extrapolate both components over the full axis: seasonal
+              // tiles the TRAINING phase medians; trend refits its own
+              // closed form from the training arrays (constant for
+              // 'avg'/'none', line for 'linefit' — extended by index)
+              val seasFull = when(p > 0,
+                  transform(sequence(lit(0), size(xd) - 1), i =>
+                    element_at(seasT, pmod(i, p) + 1)))
+                .otherwise(transform(xd, _ => lit(0.0)))
+              // linefit/avg/none all yield trend values that are affine in
+              // the index: recover (slope, intercept) from the fitted
+              // training array (first two points span any affine form;
+              // constant forms have slope 0) and extend.
+              val t1 = element_at(trT, 1)
+              val slope = when(size(trT) >= 2, element_at(trT, 2) - t1).otherwise(lit(0.0))
+              val trFull = transform(sequence(lit(0), size(xd) - 1), i =>
+                t1 + slope * i.cast("double"))
+              let1(seasFull, sf =>
+                let1(trFull, tf =>
+                  transform(sequence(lit(0), size(xd) - 1), i =>
+                    let1(element_at(sf, i + 1) + element_at(tf, i + 1), base =>
+                      struct(
+                        base.as("base"),
+                        element_at(sf, i + 1).as("seas"),
+                        element_at(tf, i + 1).as("tr"),
+                        when(i < ntrain, element_at(xd, i + 1) - base)
+                          .otherwise(lit(null).cast("double")).as("resid"))))))
+            })))))
+
   /** One array<struct<flag, score, base>> column — Kusto's output order
     * for series_decompose_anomalies. Scores the decomposition residual
     * with 'ctukey' (10/90) fences. */

@@ -721,9 +721,45 @@ object KqlCompiler {
             viaStruct(graft.functions.SeriesDecompose.anomaliesStruct(arrB(df),
               thB.fold(lit(1.5))(_(df)), pB.fold(lit(-1))(_(df)), tk),
               Seq("flag", "score", "base"))
+          case "series_fit_line" =>
+            // (rsquare, slope, variance, rvariance, interception,
+            //  line_fit) = series_fit_line(arr) — Kusto's output order;
+            // sample variances, rsquare pinned 1.0 for constant series.
+            expect("("); val arrB = expr(); expect(")")
+            if (names.length > 6)
+              throw new KqlParseException("series_fit_line yields at most 6 values (rsquare, slope, variance, rvariance, interception, line_fit)")
+            viaStruct(graft.functions.SeriesDecompose.fitLineStruct(arrB(df)),
+              Seq("rsquare", "slope", "variance", "rvariance", "interception", "line_fit"))
+          case "series_decompose_forecast" =>
+            // (baseline, seasonal, trend, residual) =
+            //  series_decompose_forecast(arr, points [, period [, trend]])
+            // — components fit on the training prefix (first n−points),
+            // baseline extrapolated over the full axis; residual null on
+            // the forecast tail. Explicit period required (same -1 rule).
+            expect("("); val arrB = expr(); expect(","); val ptsB = expr()
+            val pB = if (peekIs(",")) { expect(","); Some(expr()) } else None
+            val tk = if (pB.nonEmpty) trendArg("linefit") else "linefit"
+            expect(")")
+            if (names.length > 4)
+              throw new KqlParseException("series_decompose_forecast yields at most 4 values (baseline, seasonal, trend, residual)")
+            viaStruct(graft.functions.SeriesDecompose.forecastStruct(arrB(df),
+              ptsB(df), pB.fold(lit(-1))(_(df)), tk),
+              Seq("base", "seas", "tr", "resid"))
+          case "series_periods_detect" =>
+            // (periods, scores) = series_periods_detect(arr, minP, maxP,
+            //  num) — ACF-ranked integer lags (pinned spec on
+            // graft.functions.SeriesDecompose.periodsStruct; Kusto's
+            // FFT detector is unspecified). Composes with
+            // series_decompose via array indexing: toint(periods[0]).
+            expect("("); val arrB = expr(); expect(","); val loB = expr()
+            expect(","); val hiB = expr(); expect(","); val numB = expr(); expect(")")
+            if (names.length > 2)
+              throw new KqlParseException("series_periods_detect yields at most 2 values (periods, scores)")
+            viaStruct(graft.functions.SeriesDecompose.periodsStruct(
+              arrB(df), loB(df), hiB(df), numB(df)), Seq("periods", "scores"))
           case other =>
             throw new KqlParseException(
-              s"multi-assign extend supports series_stats/series_decompose/series_decompose_anomalies, got '$other'")
+              s"multi-assign extend supports series_stats/series_decompose/series_decompose_anomalies/series_fit_line/series_periods_detect, got '$other'")
         }
       case "extend" =>
         sepBy1(() => { val n = ident(); expect("="); (n, expr()) })
@@ -2090,16 +2126,38 @@ object KqlCompiler {
     private def dynamicPath(base: ColB): ColB =
       if (!peekIs(".") && !peekIs("[")) base
       else {
-        val path = new StringBuilder("$")
+        val steps = List.newBuilder[Either[String, Long]] // Left key / Right index
         while (peekIs(".") || peekIs("[")) {
-          if (peekIs(".")) { expect("."); path ++= "."; path ++= ident() }
+          if (peekIs(".")) { expect("."); steps += Left(ident()) }
           else { // array index: `.arr[0]` or chained `[0][1]`
             expect("["); val i = number(); expect("]")
-            path ++= s"[$i]"
+            steps += Right(i)
           }
         }
-        val p = path.toString
-        df => get_json_object(base(df), p)
+        val ss = steps.result()
+        df => {
+          val b = base(df)
+          import org.apache.spark.sql.types.{ArrayType, StructType}
+          // NATIVE array/struct columns index natively (Kusto arr[0] over
+          // a series is a plain element access — null out of range);
+          // dynamic (JSON-text) columns keep the single get_json_object
+          // probe q09 pins.
+          val native = dataTypeOf(df, b).exists {
+            case _: ArrayType | _: StructType => true
+            case _ => false
+          }
+          if (native)
+            ss.foldLeft(b) {
+              case (c, Right(i)) =>
+                when(size(c) > lit(i), element_at(c, lit(i + 1).cast("int")))
+              case (c, Left(k)) => c.getField(k)
+            }
+          else {
+            val p = ss.map { case Left(k) => "." + k case Right(i) => s"[$i]" }
+              .mkString("$", "", "")
+            get_json_object(b, p)
+          }
+        }
       }
 
     // ------------------------------------------------- datetime surface
@@ -2616,6 +2674,20 @@ object KqlCompiler {
             case "series_cos" => cos(x.cast("double"))
             case _ => tan(x.cast("double"))
           })
+        // gap-filling family over no-default make-series output — pinned
+        // edge rules documented on graft.functions.SeriesDecompose
+        case "series_fill_const" =>
+          arity(2)
+          df => graft.functions.SeriesDecompose.fillConst(args(0)(df), args(1)(df))
+        case "series_fill_forward" =>
+          arity(1)
+          df => graft.functions.SeriesDecompose.fillForward(args.head(df))
+        case "series_fill_backward" =>
+          arity(1)
+          df => graft.functions.SeriesDecompose.fillBackward(args.head(df))
+        case "series_fill_linear" =>
+          arity(1)
+          df => graft.functions.SeriesDecompose.fillLinear(args.head(df))
         case "series_pow" =>
           arity(2)
           df => {

@@ -711,6 +711,67 @@ object KqlQueries extends QueryModule {
           | | order by event_type asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // series_fit_line — the dashboard trend-line function: OLS over the
+    // series vs bin index with rsquare / sample variances / fitted
+    // array, multi-assign extend; same scalar-row serialization.
+    "q135_kql_text_series_fit" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | make-series n = count() default = 0 on ts from datetime(2024-01-03) to datetime(2024-01-27) step 2d by event_type
+          | | extend (rsq, m, vr, rvr, b, lf) = series_fit_line(n)
+          | | mv-expand with_itemindex=i lf to typeof(real)
+          | | project event_type, i, rsq = round(rsq, 6), m = round(m, 6), vr = round(vr, 6), rvr = round(rvr, 6), b = round(b, 6), lf = round(lf, 6)
+          | | order by event_type asc, i asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // series_fill family over a make-series WITHOUT default (null gaps):
+    // const / forward / backward / linear-interpolated fills, with the
+    // pinned edge rules (leading nulls stay under forward, trailing
+    // under backward, linear takes the nearest side at edges). A rare
+    // predicate + 6h bins guarantees real gaps at every sf.
+    "q136_kql_text_series_fill" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where value > 198
+          | | make-series n = count() on ts from datetime(2024-01-03) to datetime(2024-01-27) step 6h by event_type
+          | | extend fc = series_fill_const(n, -1), ff = series_fill_forward(n), fb = series_fill_backward(n), fl = series_fill_linear(n)
+          | | mv-expand with_itemindex=i fc to typeof(real), ff to typeof(real), fb to typeof(real), fl to typeof(real)
+          | | project event_type, i, fc, ff, fb, fl = round(fl, 6)
+          | | order by event_type asc, i asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // series_periods_detect + composition: ACF-ranked candidate periods
+    // (rank key pinned to round(acf, 9) so summation-order ulp noise
+    // cannot flip cross-engine order), best period fed BACK into
+    // series_decompose via array indexing — the full autodetect
+    // workflow Kusto spells series_periods_detect → series_decompose.
+    "q137_kql_text_series_periods" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | make-series n = count() default = 0 on ts from datetime(2024-01-03) to datetime(2024-01-27) step 12h by event_type
+          | | extend (pds, scs) = series_periods_detect(n, 2, 24, 2)
+          | | extend bestp = toint(pds[0])
+          | | extend (b, se, tr, r) = series_decompose(n, bestp, 'linefit')
+          | | extend rsum = round(array_sum(series_abs(r)), 6)
+          | | mv-expand with_itemindex=i pds to typeof(real), scs to typeof(real)
+          | | project event_type, i, p = pds, sc = round(scs, 6), bestp, rsum
+          | | order by event_type asc, i asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // series_decompose_forecast — the axis extends 4 bins past the data
+    // window (Kusto's documented forecast usage): components fit on the
+    // 12 training bins, baseline extrapolated over all 16 (the tail IS
+    // the forecast), residual null on the tail.
+    "q138_kql_text_series_forecast" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | make-series n = count() default = 0 on ts from datetime(2024-01-03) to datetime(2024-02-04) step 2d by event_type
+          | | extend (b, se, tr, r) = series_decompose_forecast(n, 4, 4, 'linefit')
+          | | mv-expand with_itemindex=i b to typeof(real), se to typeof(real), tr to typeof(real), r to typeof(real)
+          | | project event_type, i, b = round(b, 6), se = round(se, 6), tr = round(tr, 6), r = round(r, 6)
+          | | order by event_type asc, i asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // single-step `scan` — Kusto's canonical running-accumulator form:
     // the step consumes every matching record, the additive
     // self-referencing assignment lowers to a running window sum, and a
@@ -1561,6 +1622,195 @@ object KqlQueries extends QueryModule {
          SELECT event_type, sum(d)::VARCHAR AS sd, min(d)::VARCHAR AS mn,
                 max(d)::VARCHAR AS mx, count(*) AS n
          FROM d GROUP BY event_type ORDER BY event_type""",
+
+    // series_fit_line: q128's fill skeleton + identical OLS sums
+    "q135_kql_text_series_fit" ->
+      """WITH bins AS (SELECT i FROM unnest(range(0, 12)) AS t(i)),
+         keys AS (SELECT DISTINCT event_type FROM events
+                  WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+                    AND ts < TIMESTAMP '2024-01-27 00:00:00'),
+         agg AS (
+           SELECT event_type,
+                  (epoch_us(ts) - 1704240000000000) // 172800000000 AS i,
+                  count(*) AS c
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+             AND ts < TIMESTAMP '2024-01-27 00:00:00'
+           GROUP BY 1, 2),
+         filled AS (
+           SELECT k.event_type, b.i, CAST(coalesce(a.c, 0) AS DOUBLE) AS x
+           FROM keys k CROSS JOIN bins b
+           LEFT JOIN agg a ON a.event_type = k.event_type AND a.i = b.i),
+         s AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n, sum(x) AS sy,
+                      sum(x * x) AS syy, sum(i * x) AS sxy,
+                      CAST(sum(i) AS DOUBLE) AS sx, CAST(sum(i * i) AS DOUBLE) AS sxx
+               FROM filled GROUP BY 1),
+         co AS (SELECT event_type, n, sy, syy, sxy, sx, sxx,
+                       CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                            ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS m
+                FROM s),
+         co2 AS (SELECT *, (sy - m * sx) / n AS b FROM co),
+         res AS (SELECT c.event_type,
+                        sum((f.x - (c.b + c.m * f.i)) * (f.x - (c.b + c.m * f.i))) AS ssres
+                 FROM filled f JOIN co2 c ON c.event_type = f.event_type GROUP BY 1),
+         fin AS (SELECT c.*, r.ssres, c.syy - c.sy * c.sy / c.n AS sstot
+                 FROM co2 c JOIN res r ON r.event_type = c.event_type)
+         SELECT f2.event_type, b2.i,
+                round(CASE WHEN sstot = 0 THEN 1.0 ELSE 1.0 - ssres / sstot END, 6) AS rsq,
+                round(m, 6) AS m, round(sstot / (n - 1), 6) AS vr,
+                round(ssres / (n - 1), 6) AS rvr, round(b, 6) AS b,
+                round(b + m * b2.i, 6) AS lf
+         FROM fin f2 CROSS JOIN bins b2 ORDER BY f2.event_type, b2.i""",
+
+    // series_fill family: forward/backward indices via window max/min of
+    // non-null positions, values re-joined by index
+    "q136_kql_text_series_fill" ->
+      """WITH bins AS (SELECT i FROM unnest(range(0, 96)) AS t(i)),
+         keys AS (SELECT DISTINCT event_type FROM events
+                  WHERE value > 198
+                    AND ts >= TIMESTAMP '2024-01-03 00:00:00'
+                    AND ts < TIMESTAMP '2024-01-27 00:00:00'),
+         agg AS (
+           SELECT event_type,
+                  (epoch_us(ts) - 1704240000000000) // 21600000000 AS i,
+                  count(*) AS c
+           FROM events
+           WHERE value > 198
+             AND ts >= TIMESTAMP '2024-01-03 00:00:00'
+             AND ts < TIMESTAMP '2024-01-27 00:00:00'
+           GROUP BY 1, 2),
+         f AS (SELECT k.event_type, b.i, CAST(a.c AS DOUBLE) AS x
+               FROM keys k CROSS JOIN bins b
+               LEFT JOIN agg a ON a.event_type = k.event_type AND a.i = b.i),
+         w AS (SELECT event_type, i, x,
+                 max(CASE WHEN x IS NOT NULL THEN i END) OVER
+                   (PARTITION BY event_type ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS li,
+                 min(CASE WHEN x IS NOT NULL THEN i END) OVER
+                   (PARTITION BY event_type ORDER BY i
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni
+               FROM f),
+         j AS (SELECT w.event_type, w.i, w.x, w.li, w.ni, fl.x AS xl, fn.x AS xn
+               FROM w
+               LEFT JOIN f fl ON fl.event_type = w.event_type AND fl.i = w.li
+               LEFT JOIN f fn ON fn.event_type = w.event_type AND fn.i = w.ni)
+         SELECT event_type, i,
+                coalesce(x, -1.0) AS fc,
+                coalesce(x, xl) AS ff,
+                coalesce(x, xn) AS fb,
+                round(CASE WHEN x IS NOT NULL THEN x
+                           WHEN li IS NULL AND ni IS NULL THEN NULL
+                           WHEN li IS NULL THEN xn
+                           WHEN ni IS NULL THEN xl
+                           ELSE xl + (xn - xl) * (i - li) / CAST(ni - li AS DOUBLE)
+                      END, 6) AS fl
+         FROM j ORDER BY event_type, i""",
+
+    // periods detect: ACF via centered self-join per lag; decompose with
+    // the per-type detected period (variable phase via i % bestp)
+    "q137_kql_text_series_periods" ->
+      """WITH bins AS (SELECT i FROM unnest(range(0, 48)) AS t(i)),
+         keys AS (SELECT DISTINCT event_type FROM events
+                  WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+                    AND ts < TIMESTAMP '2024-01-27 00:00:00'),
+         agg AS (
+           SELECT event_type,
+                  (epoch_us(ts) - 1704240000000000) // 43200000000 AS i,
+                  count(*) AS c
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+             AND ts < TIMESTAMP '2024-01-27 00:00:00'
+           GROUP BY 1, 2),
+         filled AS (
+           SELECT k.event_type, b.i, CAST(coalesce(a.c, 0) AS DOUBLE) AS x
+           FROM keys k CROSS JOIN bins b
+           LEFT JOIN agg a ON a.event_type = k.event_type AND a.i = b.i),
+         mu AS (SELECT event_type, sum(x) / count(*) AS mu FROM filled GROUP BY 1),
+         cen AS (SELECT f.event_type, f.i, f.x, f.x - m.mu AS c
+                 FROM filled f JOIN mu m USING (event_type)),
+         den AS (SELECT event_type, sum(c * c) AS d FROM cen GROUP BY 1),
+         lags AS (SELECT L FROM unnest(range(2, 25)) AS t(L)),
+         acf AS (SELECT c1.event_type, l.L, sum(c1.c * c2.c) AS num
+                 FROM cen c1 CROSS JOIN lags l
+                 JOIN cen c2 ON c2.event_type = c1.event_type AND c2.i = c1.i + l.L
+                 GROUP BY 1, 2),
+         sc AS (SELECT a.event_type, a.L, a.num / d.d AS a
+                FROM acf a JOIN den d USING (event_type)
+                WHERE d.d != 0 AND a.num / d.d > 0),
+         rk AS (SELECT *, row_number() OVER
+                  (PARTITION BY event_type ORDER BY round(a, 9) DESC, L) AS rn
+                FROM sc),
+         top AS (SELECT event_type, L, a, rn FROM rk WHERE rn <= 2),
+         best AS (SELECT event_type, CAST(L AS INTEGER) AS p FROM top WHERE rn = 1),
+         ph AS (SELECT f.event_type, f.i % b.p AS phase, median(f.x) AS m
+                FROM filled f JOIN best b USING (event_type) GROUP BY 1, 2),
+         det AS (SELECT f.event_type, f.i, f.x, p.m AS se, f.x - p.m AS dd
+                 FROM filled f JOIN best b USING (event_type)
+                 JOIN ph p ON p.event_type = f.event_type AND p.phase = f.i % b.p),
+         fit AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n, sum(dd) AS sy,
+                        sum(i * dd) AS sxy, CAST(sum(i) AS DOUBLE) AS sx,
+                        CAST(sum(i * i) AS DOUBLE) AS sxx
+                 FROM det GROUP BY 1),
+         co AS (SELECT event_type,
+                       CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                            ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+                       n, sx, sy
+                FROM fit),
+         co2 AS (SELECT event_type, slope, (sy - slope * sx) / n AS icept FROM co),
+         rs AS (SELECT d.event_type,
+                       round(sum(abs(d.x - (d.se + (c.icept + c.slope * d.i)))), 6) AS rsum
+                FROM det d JOIN co2 c ON c.event_type = d.event_type GROUP BY 1)
+         SELECT t.event_type, (t.rn - 1)::BIGINT AS i, CAST(t.L AS DOUBLE) AS p,
+                round(t.a, 6) AS sc, b.p AS bestp, r.rsum
+         FROM top t JOIN best b USING (event_type) JOIN rs r USING (event_type)
+         ORDER BY t.event_type, i""",
+
+    // forecast: train CTEs filter i < 12; baseline extrapolates over all
+    // 16 bins. The trend slope mirrors the engine's affine recovery
+    // ((icept+slope)−icept) so doubles stay bit-identical pre-rounding.
+    "q138_kql_text_series_forecast" ->
+      """WITH bins AS (SELECT i FROM unnest(range(0, 16)) AS t(i)),
+         keys AS (SELECT DISTINCT event_type FROM events
+                  WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+                    AND ts < TIMESTAMP '2024-02-04 00:00:00'),
+         agg AS (
+           SELECT event_type,
+                  (epoch_us(ts) - 1704240000000000) // 172800000000 AS i,
+                  count(*) AS c
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+             AND ts < TIMESTAMP '2024-02-04 00:00:00'
+           GROUP BY 1, 2),
+         filled AS (
+           SELECT k.event_type, b.i, CAST(coalesce(a.c, 0) AS DOUBLE) AS x
+           FROM keys k CROSS JOIN bins b
+           LEFT JOIN agg a ON a.event_type = k.event_type AND a.i = b.i),
+         train AS (SELECT * FROM filled WHERE i < 12),
+         ph AS (SELECT event_type, i % 4 AS phase, median(x) AS m
+                FROM train GROUP BY 1, 2),
+         det AS (SELECT t.event_type, t.i, t.x, p.m AS se, t.x - p.m AS d
+                 FROM train t
+                 JOIN ph p ON p.event_type = t.event_type AND p.phase = t.i % 4),
+         fit AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n, sum(d) AS sy,
+                        sum(i * d) AS sxy, CAST(sum(i) AS DOUBLE) AS sx,
+                        CAST(sum(i * i) AS DOUBLE) AS sxx
+                 FROM det GROUP BY 1),
+         co AS (SELECT event_type,
+                       CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                            ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+                       n, sx, sy
+                FROM fit),
+         co2 AS (SELECT event_type, slope, (sy - slope * sx) / n AS icept FROM co),
+         full_ax AS (
+           SELECT f.event_type, f.i, f.x, p.m AS se,
+                  c.icept + ((c.icept + c.slope) - c.icept) * f.i AS tr
+           FROM filled f
+           JOIN ph p ON p.event_type = f.event_type AND p.phase = f.i % 4
+           JOIN co2 c ON c.event_type = f.event_type)
+         SELECT event_type, i, round(se + tr, 6) AS b, round(se, 6) AS se,
+                round(tr, 6) AS tr,
+                round(CASE WHEN i < 12 THEN x - (se + tr) END, 6) AS r
+         FROM full_ax ORDER BY event_type, i""",
 
     "q124_kql_text_find" ->
       """SELECT * FROM (

@@ -80,6 +80,49 @@ class SeriesDecomposeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(≈(arr(rows.head, 2), Seq.fill(10)(9.5)))
   }
 
+  test("series_fit_line: exact recovery of a pure line + sample variances") {
+    // x = [0,1,2,3]: slope 1, intercept 0, rsquare 1, rvariance 0,
+    // variance = sample var = ((1.5²+0.5²)*2)/3 = 5/3
+    val rows = run(
+      """datatable(k: long)[1]
+        | | extend x = pack_array(0, 1, 2, 3)
+        | | extend (rsq, m, vr, rvr, b, lf) = series_fit_line(x)
+        | | project rsq, m, vr, rvr, b, lf""".stripMargin)
+    val r = rows.head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-9)
+    assert(math.abs(r.getDouble(2) - 5.0 / 3) < 1e-9)
+    assert(math.abs(r.getDouble(3)) < 1e-9)
+    assert(math.abs(r.getDouble(4)) < 1e-9)
+    assert(≈(arr(r, 5), Seq(0, 1, 2, 3)))
+  }
+
+  test("series_fill family: hand-computed gap fills incl. edges") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.sql("SELECT array(CAST(NULL AS DOUBLE), 1.0, NULL, NULL, 4.0, NULL) AS x")
+    val out = df.select(
+      graft.functions.SeriesDecompose.fillConst(col("x"), org.apache.spark.sql.functions.lit(-1)).as("fc"),
+      graft.functions.SeriesDecompose.fillForward(col("x")).as("ff"),
+      graft.functions.SeriesDecompose.fillBackward(col("x")).as("fb"),
+      graft.functions.SeriesDecompose.fillLinear(col("x")).as("fl")).collect().head
+    def a(i: Int): Seq[Any] = out.getSeq[Any](i)
+    assert(a(0) == Seq(-1.0, 1.0, -1.0, -1.0, 4.0, -1.0))
+    assert(a(1) == Seq(null, 1.0, 1.0, 1.0, 4.0, 4.0))   // leading null stays
+    assert(a(2) == Seq(1.0, 1.0, 4.0, 4.0, 4.0, null))   // trailing null stays
+    assert(a(3) == Seq(1.0, 1.0, 2.0, 3.0, 4.0, 4.0))    // interp + nearest edges
+  }
+
+  test("series_periods_detect: perfect period-3 series ranks lags 3 then 6") {
+    // [1,5,2]×4: acf(3) = 3/4 of the full autocovariance = 0.75, acf(6) = 0.5
+    val rows = run(
+      """datatable(k: long)[1]
+        | | extend x = pack_array(1, 5, 2, 1, 5, 2, 1, 5, 2, 1, 5, 2)
+        | | extend (p, s) = series_periods_detect(x, 2, 8, 2)
+        | | project p, s""".stripMargin)
+    assert(≈(arr(rows.head, 0), Seq(3.0, 6.0)))
+    assert(≈(arr(rows.head, 1), Seq(0.75, 0.5)))
+  }
+
   test("period -1 (autodetect) fails loudly") {
     val e = intercept[Exception] {
       run(
