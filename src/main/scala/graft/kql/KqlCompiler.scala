@@ -203,6 +203,13 @@ object KqlCompiler {
       * distributed engine has no stable natural order, so this engine
       * requires an explicit preceding sort (loud error otherwise). */
     private var lastOrder: Option[List[ColB]] = None
+    /** `make-graph` output: a graph is a (edges, nodes) PAIR, which a
+      * single DataFrame can't carry — it parks here until the adjacent
+      * `graph-match`/`graph-to-table` consumes it (Kusto's own rule:
+      * make-graph must be followed by a graph operator). */
+    private final case class GraphCtx(edges: DataFrame, nodes: DataFrame,
+                                      srcCol: String, dstCol: String, idCol: String)
+    private var pendingGraph: Option[GraphCtx] = None
     /** Element bindings for mv-apply's sub-pipeline: while a lambda body
       * is being BUILT (plan time — Spark's HOF wrappers invoke the
       * Scala function once, synchronously, with the lambda variable),
@@ -474,8 +481,11 @@ object KqlCompiler {
       if (t.text != text || t.kind == "str")
         throw new KqlParseException(s"expected '$text', got '${t.text}'")
     }
-    def expectEnd(): Unit =
+    def expectEnd(): Unit = {
+      if (pendingGraph.isDefined)
+        throw new KqlParseException("make-graph must be followed by graph-match or graph-to-table")
       peek.foreach(t => throw new KqlParseException(s"unexpected trailing input at '${t.text}'"))
+    }
     def ident(): String = {
       val t = next()
       if (t.kind != "id") throw new KqlParseException(s"expected identifier, got '${t.text}'")
@@ -491,7 +501,15 @@ object KqlCompiler {
 
     // ---------------------------------------------------- pipe operators
 
-    def pipeOp(df: DataFrame): DataFrame = ident() match {
+    def pipeOp(df: DataFrame): DataFrame = {
+      val opName = ident()
+      if (pendingGraph.isDefined && opName != "graph")
+        throw new KqlParseException(
+          s"make-graph must be followed by graph-match or graph-to-table, got '$opName'")
+      pipeOpNamed(opName, df)
+    }
+
+    private def pipeOpNamed(op: String, df: DataFrame): DataFrame = op match {
       case "count" => df.agg(count(lit(1)).as("Count"))
       case "where" | "filter" => df.filter(expr()(df))
       case "project" if peekIs("-") =>
@@ -1243,9 +1261,14 @@ object KqlCompiler {
         // `join [kind=K] [hint.strategy=broadcast|shuffle]
         //  [hint.shufflekey=col] (sub) on k1, k2` — key-equality joins
         // (the form dashboards use). Kinds map onto Spark join types;
-        // innerunique lowers to inner (KQL's left-key dedup is a data
-        // property, not a plan property — pre-`distinct` the left side
-        // for it). rightsemi/rightanti have no Spark join type: they
+        // innerunique (Kusto's DEFAULT kind) dedups the LEFT side to one
+        // row per key before the inner join. Kusto keeps "an arbitrary
+        // row"; arbitrary is non-reproducible in a distributed engine, so
+        // — exactly like take_any — this engine pins it to the MINIMUM
+        // full row (min over a struct of the non-key columns in schema
+        // order): deterministic across runs/partitionings, and the dedup
+        // aggregate shuffles on the JOIN key, so the exchange feeds the
+        // join directly. rightsemi/rightanti have no Spark join type: they
         // lower by SWAPPING sides into left_semi/left_anti (same rows,
         // same preserved columns). Hints map onto Spark's plan hints:
         // Kusto's broadcast strategy broadcasts the LEFT side
@@ -1283,10 +1306,20 @@ object KqlCompiler {
         val right = subquery()
         expect("on")
         val keys = sepBy1(() => ident())
+        val leftBase =
+          if (kind != "innerunique") df
+          else {
+            val others = df.columns.filterNot(keys.contains).toSeq
+            if (others.isEmpty) df.dropDuplicates(keys)
+            else df.groupBy(keys.map(df(_)): _*)
+              .agg(min(struct(others.map(df(_)): _*)).as("__iu"))
+              .select(df.columns.toSeq.map(c =>
+                if (keys.contains(c)) col(c) else col("__iu").getField(c).as(c)): _*)
+          }
         val left = strategy match {
-          case Some("broadcast") => org.apache.spark.sql.functions.broadcast(df)
-          case Some("shuffle") => df.hint("shuffle_hash")
-          case _ => df
+          case Some("broadcast") => org.apache.spark.sql.functions.broadcast(leftBase)
+          case Some("shuffle") => leftBase.hint("shuffle_hash")
+          case _ => leftBase
         }
         sparkKind match {
           case "right_semi" => right.join(left, keys, "left_semi")
@@ -1345,6 +1378,156 @@ object KqlCompiler {
           .orderBy(if (asc) ord(df).asc else ord(df).desc)
         df.withColumn("__prn", row_number().over(w))
           .where(col("__prn") <= n).drop("__prn")
+      case "graph" =>
+        // Kusto graph semantics: `graph-match [pattern] [where …]
+        // project …` and `graph-to-table nodes|edges`, consuming the
+        // make-graph pair. Pattern: `(a)-[e]->(b)`, chained hops,
+        // backward arrows `<-[e]-`, and bounded variable length
+        // `-[e*1..3]->`. Lowering is pure relational: each hop is ONE
+        // hash equi-join of the edge table on the node id (the
+        // distributed plan a 100-TB graph needs — per-hop shuffles on
+        // the join key, no driver-side traversal); node/edge aliases
+        // bind as STRUCT columns so `a.prop` resolves through the
+        // native-struct dot path; a variable-length binding is the
+        // ARRAY of its hop edges (`array_length(e)`, `e[0].prop`).
+        // Variable length unions one join chain per length (loud cap),
+        // matching Kusto's default cycles=matches (nodes/edges may
+        // repeat along a path); a REPEATED node alias constrains those
+        // positions to the same node, which is how cycle patterns like
+        // (a)-[e1]->(b)-[e2]->(a) are written in Kusto.
+        expect("-")
+        ident() match {
+          case "to" =>
+            expect("-"); expect("table")
+            val g = pendingGraph.getOrElse(throw new KqlParseException(
+              "graph-to-table requires a preceding make-graph"))
+            pendingGraph = None
+            ident() match {
+              case "nodes" => g.nodes
+              case "edges" => g.edges
+              case other => throw new KqlParseException(
+                s"graph-to-table expects nodes or edges, got '$other'")
+            }
+          case "match" =>
+            val g = pendingGraph.getOrElse(throw new KqlParseException(
+              "graph-match requires a preceding make-graph"))
+            pendingGraph = None
+            // ---- pattern ----
+            def nodeRef(): String = { expect("("); val n = ident(); expect(")"); n }
+            final case class PHop(edgeAlias: String, forward: Boolean,
+                                  range: Option[(Int, Int)], to: String)
+            val n0 = nodeRef()
+            val hops = scala.collection.mutable.Buffer.empty[PHop]
+            while (peekIs("-") || peekIs("<")) {
+              val forward = !peekIs("<")
+              if (forward) { expect("-"); expect("[") }
+              else { expect("<"); expect("-"); expect("[") }
+              val ea = ident()
+              val range =
+                if (peekIs("*")) {
+                  expect("*"); val lo = number(); expect(".."); val hi = number()
+                  if (lo < 1 || hi < lo) throw new KqlParseException(
+                    s"graph-match: variable-length bounds must satisfy 1 <= lo <= hi, got $lo..$hi")
+                  Some((lo, hi))
+                } else None
+              expect("]"); expect("-")
+              if (forward) expect(">")
+              hops += PHop(ea, forward, range, to = nodeRef())
+            }
+            if (hops.isEmpty)
+              throw new KqlParseException("graph-match pattern needs at least one edge")
+            val edgeAliases = hops.map(_.edgeAlias)
+            if (edgeAliases.distinct.size != edgeAliases.size)
+              throw new KqlParseException("graph-match: edge aliases must be distinct")
+            // ---- where / project (parsed ONCE; applied per chain) ----
+            val whereB = if (peekIs("where")) { expect("where"); Some(expr()) } else None
+            expect("project")
+            val projs = sepBy1(() => { val n = ident(); expect("="); (n, expr()) })
+            // ---- lowering ----
+            val nodeAliases: Seq[String] = n0 +: hops.map(_.to).toSeq
+            val lengthChoices: Seq[Seq[Int]] =
+              hops.map(h => h.range.map { case (lo, hi) => (lo to hi).toSeq }
+                .getOrElse(Seq(1))).toSeq
+            val chains = lengthChoices.foldLeft(Seq(Seq.empty[Int])) {
+              (acc, ls) => for (a <- acc; l <- ls) yield a :+ l
+            }
+            if (chains.size > 32) throw new KqlParseException(
+              s"graph-match: variable-length pattern expands to ${chains.size} join chains (cap 32)")
+            def nodeF(p: Int) = g.nodes.select(
+              struct(g.nodes.columns.toSeq.map(g.nodes(_)): _*).as(s"__gm_n_$p"),
+              g.nodes(g.idCol).as(s"__gm_id_$p"))
+            def edgeF(tag: String) = g.edges.select(
+              struct(g.edges.columns.toSeq.map(g.edges(_)): _*).as(s"__gm_e_$tag"),
+              g.edges(g.srcCol).as(s"__gm_s_$tag"),
+              g.edges(g.dstCol).as(s"__gm_d_$tag"))
+            def withBindsG[A](bs: Map[String, Column])(body: => A): A = {
+              val saved = elemBinds
+              elemBinds = elemBinds ++ bs
+              try body finally elemBinds = saved
+            }
+            val perChain = chains.map { lens =>
+              var f = nodeF(0)
+              var tailId = "__gm_id_0"
+              for ((hop, hi) <- hops.zipWithIndex) {
+                for (c <- 0 until lens(hi)) {
+                  val tag = s"${hi}_$c"
+                  val (inCol, outCol) =
+                    if (hop.forward) (s"__gm_s_$tag", s"__gm_d_$tag")
+                    else (s"__gm_d_$tag", s"__gm_s_$tag")
+                  f = f.join(edgeF(tag), col(tailId) === col(inCol))
+                  tailId = outCol
+                }
+                f = f.join(nodeF(hi + 1), col(tailId) === col(s"__gm_id_${hi + 1}"))
+                tailId = s"__gm_id_${hi + 1}"
+              }
+              // repeated node alias → same-node constraint
+              nodeAliases.zipWithIndex.groupBy(_._1).values.foreach { occ =>
+                occ.map(_._2).sliding(2).foreach {
+                  case Seq(p1, p2) => f = f.filter(col(s"__gm_id_$p1") === col(s"__gm_id_$p2"))
+                  case _ => ()
+                }
+              }
+              val binds: Map[String, Column] =
+                nodeAliases.zipWithIndex.groupBy(_._1).map {
+                  case (a, occ) => a -> col(s"__gm_n_${occ.head._2}")
+                } ++
+                hops.zipWithIndex.map { case (h, i) =>
+                  h.edgeAlias -> (h.range match {
+                    case None => col(s"__gm_e_${i}_0")
+                    case Some(_) => array((0 until lens(i)).map(c => col(s"__gm_e_${i}_$c")): _*)
+                  })
+                }
+              withBindsG(binds) {
+                val f1 = whereB.map(w => f.filter(w(f))).getOrElse(f)
+                f1.select(projs.map { case (n, e) => e(f1).as(n) }: _*)
+              }
+            }
+            perChain.reduce(_ unionByName _)
+          case other => throw new KqlParseException(s"unsupported operator 'graph-$other'")
+        }
+      case "reduce" =>
+        // `reduce by Expr [with threshold=…]` — Kusto's log-pattern
+        // miner: groups similar strings under a '*'-wildcard pattern
+        // with (Pattern, Count, Representative) output. Kusto's
+        // clustering algorithm is proprietary; this engine pins a
+        // DETERMINISTIC pattern rule (the same stance as autocluster/
+        // take_any): every alphanumeric token containing a digit becomes
+        // '*' — the token class that varies across log lines (ids,
+        // counters, timestamps, guid segments) — and the representative
+        // is the MINIMUM source string of the group. One regexp_replace
+        // in the scan projection + one partial/final hash aggregate;
+        // the Zipf-shaped pattern head absorbs map-side.
+        expect("by")
+        val src = expr()
+        if (peekIs("with")) { // threshold accepted, irrelevant to the pinned rule
+          expect("with"); expect("threshold"); expect("=")
+          val t = next()
+          if (t.kind != "num") throw new KqlParseException("reduce by: threshold must be a number")
+        }
+        val pat = regexp_replace(src(df),
+          "[A-Za-z_]*[0-9][A-Za-z0-9_]*", "*")
+        df.groupBy(pat.as("Pattern"))
+          .agg(count(lit(1)).as("Count"), min(src(df)).as("Representative"))
       case "search" =>
         // `search 'term'` — case-insensitive substring match across ALL
         // string columns of the current table (Kusto's grep). One scan,
@@ -1386,6 +1569,27 @@ object KqlCompiler {
         expect("-")
         ident() match {
           case "series" => ()
+          case "graph" =>
+            // `make-graph SrcCol --> DstCol [with Nodes on IdCol]` —
+            // Kusto's graph constructor (graph semantics extension). The
+            // piped frame is the EDGE table; nodes come from the `with`
+            // subquery, or default to the distinct edge endpoints under
+            // a single `node_id` column. Nothing executes here: the pair
+            // of plans parks in pendingGraph for the adjacent
+            // graph-match / graph-to-table.
+            val srcC = ident()
+            expect("-"); expect("-"); expect(">")
+            val dstC = ident()
+            val (nodesDf, idC) =
+              if (peekIs("with")) {
+                expect("with"); val n = subquery(); expect("on"); (n, ident())
+              } else {
+                val ids = df.select(df(srcC).as("node_id"))
+                  .union(df.select(df(dstC).as("node_id"))).distinct()
+                (ids, "node_id")
+              }
+            pendingGraph = Some(GraphCtx(df, nodesDf, srcC, dstC, idC))
+            return df
           case other => throw new KqlParseException(s"unsupported operator 'make-$other'")
         }
         val aggName = ident(); expect("=")
@@ -2117,6 +2321,27 @@ object KqlCompiler {
       dynamicPath(base)
     }
 
+    /** 'a.b.c.d[/p]' → 32-bit value as long, masked to the prefix: an
+      * embedded '/p' wins, else `defaultPrefix` applies. Null when the
+      * dotted quad is malformed (octet range enforced by regex). Mask =
+      * v − (v mod 2^(32−p)) — 2^32 is exact in double, so the pow/pmod
+      * form stays codegen'd with a column-valued prefix. */
+    private def ipv4WithPrefix(c: Column, defaultPrefix: Column): Column = {
+      val ipStr = substring_index(c, "/", 1)
+      val p0 = coalesce(
+        when(c.contains("/"), substring_index(c, "/", -1).cast("int")),
+        defaultPrefix)
+      val p = when(p0 >= 0 && p0 <= 32, p0) // malformed prefix → null
+      val parts = split(ipStr, "\\.")
+      val oct = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+      val v = try_element_at(parts, lit(1)).cast("long") * 16777216L +
+        try_element_at(parts, lit(2)).cast("long") * 65536L +
+        try_element_at(parts, lit(3)).cast("long") * 256L +
+        try_element_at(parts, lit(4)).cast("long")
+      val block = pow(lit(2.0), (lit(32) - p).cast("double")).cast("long")
+      when(ipStr.rlike(s"^$oct(\\.$oct){3}$$"), v - pmod(v, block))
+    }
+
     /** Postfix Kusto `dynamic` access: `expr.k1.k2` lowers to
       * `get_json_object(expr, "$.k1.k2")` — a single codegen'd JSON-path
       * probe, identical to the DataFrame shape q09 pins. The engine's
@@ -2393,6 +2618,49 @@ object KqlCompiler {
           p.text.replace("tt", "a"), // tt = AM/PM designator
           m => "S" * m.matched.length) // fff fractions -> SSS
         return df => date_format(e(df), javaPat)
+      }
+      if (name == "format_timespan") {
+        // format_timespan(ts, 'pattern') — timespans are epoch-micros
+        // longs engine-wide. Pattern subset: d/dd (total days), h/hh,
+        // m/mm, s/ss, f-runs (sub-second digits), with '.' ':' '-' ' '
+        // literal separators — the dashboard-facing shapes
+        // ('d.hh:mm:ss', 'hh:mm:ss.fff'). Pattern is a parse-time
+        // literal, so the whole thing compiles to one codegen'd concat
+        // of padded integer divisions; negative spans format their
+        // absolute value with a leading '-', as Kusto renders them.
+        val e = expr(); expect(",")
+        val p = next()
+        if (p.kind != "str") throw new KqlParseException("format_timespan() pattern must be a string literal")
+        expect(")")
+        val pat = p.text
+        return df => {
+          val raw = e(df).cast("long")
+          val v = abs(raw)
+          val pieces = List.newBuilder[Column]
+          var i = 0
+          while (i < pat.length) {
+            val c = pat(i)
+            var j = i
+            while (j < pat.length && pat(j) == c) j += 1
+            val n = j - i
+            // Column./ is DOUBLE division — floor+cast back to long for
+            // exact integer component math
+            def idiv(den: Long): Column = floor(v / den).cast("long")
+            c match {
+              case 'd' => pieces += lpad(idiv(86400000000L).cast("string"), n, "0")
+              case 'h' | 'H' => pieces += lpad((idiv(3600000000L) % 24).cast("string"), n, "0")
+              case 'm' => pieces += lpad((idiv(60000000L) % 60).cast("string"), n, "0")
+              case 's' => pieces += lpad((idiv(1000000L) % 60).cast("string"), n, "0")
+              case 'f' => // n sub-second digits out of 6 (micros)
+                val digits = math.min(n, 6)
+                pieces += substring(lpad((v % 1000000L).cast("string"), 6, "0"), 1, digits)
+              case '.' | ':' | '-' | ' ' | '[' | ']' => pieces += lit(c.toString * n)
+              case other => throw new KqlParseException(s"format_timespan: unsupported pattern char '$other'")
+            }
+            i = j
+          }
+          concat((when(raw < 0, lit("-")).otherwise(lit("")) :: pieces.result()): _*)
+        }
       }
       if (name == "percentile") {
         // percentile(col, P) — exact interpolated percentile (an exactness
@@ -2938,6 +3206,72 @@ object KqlCompiler {
         case "url_encode_component" => arity(1); df =>
           replace(url_encode(args.head(df)), lit("+"), lit("%20"))
         case "url_decode" => arity(1); df => url_decode(args.head(df))
+        // ---- scalar ring 8: ipv4 / version / url-structure family ----
+        // parse_ipv4('a.b.c.d[/p]') → long (big-endian octets), masked
+        // to the prefix when '/p' is present; null on malformed input.
+        // The whole family is codegen'd string/arithmetic ops — the mask
+        // is value − (value mod 2^(32−p)), exact in double up to 2^32,
+        // so no column-shift bitwise ops are needed.
+        case "parse_ipv4" => arity(1); df => ipv4WithPrefix(args.head(df), lit(32))
+        case "ipv4_is_private" => arity(1); df => {
+          // RFC1918: 10/8, 172.16/12, 192.168/16
+          val v = ipv4WithPrefix(args.head(df), lit(32))
+          when(v.isNull, lit(null).cast("boolean")).otherwise(
+            (v >= 167772160L && v <= 184549375L) ||
+            (v >= 2886729728L && v <= 2887778303L) ||
+            (v >= 3232235520L && v <= 3232301055L))
+        }
+        case "ipv4_is_in_range" => arity(2); df => {
+          // ipv4_is_in_range(ip, 'base/p'): both sides masked to p
+          val range = args(1)(df)
+          val p = coalesce(
+            when(range.contains("/"), substring_index(range, "/", -1).cast("int")),
+            lit(32))
+          val base = ipv4WithPrefix(range, p)
+          val ip = ipv4WithPrefix(substring_index(args(0)(df), "/", 1), p)
+          when(ip.isNull || base.isNull, lit(null).cast("boolean"))
+            .otherwise(ip === base)
+        }
+        case "ipv4_compare" => arity(2); df => {
+          val a = ipv4WithPrefix(args(0)(df), lit(32))
+          val b = ipv4WithPrefix(args(1)(df), lit(32))
+          when(a.isNull || b.isNull, lit(null).cast("long"))
+            .otherwise(signum(a - b).cast("long"))
+        }
+        // parse_version: up to 4 dot parts, ≤8 digits each, canonical
+        // comparable DECIMAL(38,0) = parts zero-padded to 8 digits and
+        // concatenated (Kusto's comparable-number contract); null on
+        // malformed input. tostring() it for serialization.
+        case "parse_version" => arity(1); df => {
+          val c = args.head(df)
+          val parts = split(c, "\\.")
+          val pc = (i: Int) => lpad(coalesce(try_element_at(parts, lit(i)), lit("0")), 8, "0")
+          when(c.rlike("^[0-9]{1,8}(\\.[0-9]{1,8}){0,3}$"),
+            concat(pc(1), pc(2), pc(3), pc(4)).cast("decimal(38,0)"))
+        }
+        // parse_url → dynamic (JSON text, the engine's dynamic repr):
+        // {Scheme, Host, Port, Path, Username, Password, Query Parameters,
+        // Fragment} — empty strings for absent parts, exactly the Kusto
+        // shape; query params as a nested object. Composes with postfix
+        // .Host/.Path dynamic access.
+        case "parse_url" => arity(1); df => {
+          val u = args.head(df)
+          val userinfo = coalesce(parse_url(u, lit("USERINFO")), lit(""))
+          to_json(struct(
+            coalesce(parse_url(u, lit("PROTOCOL")), lit("")).as("Scheme"),
+            coalesce(parse_url(u, lit("HOST")), lit("")).as("Host"),
+            // Hive/Spark parse_url has no PORT part — take it from the
+            // authority's trailing :digits instead
+            regexp_extract(coalesce(parse_url(u, lit("AUTHORITY")), lit("")),
+              ":([0-9]+)$", 1).as("Port"),
+            coalesce(parse_url(u, lit("PATH")), lit("")).as("Path"),
+            coalesce(substring_index(userinfo, ":", 1), lit("")).as("Username"),
+            coalesce(when(userinfo.contains(":"),
+              substring_index(userinfo, ":", -1)).otherwise(lit("")), lit("")).as("Password"),
+            coalesce(str_to_map(parse_url(u, lit("QUERY")), lit("&"), lit("=")),
+              map().cast("map<string,string>")).as("Query Parameters"),
+            coalesce(parse_url(u, lit("REF")), lit("")).as("Fragment")))
+        }
         // crypto hashes return lowercase hex strings, as in Kusto
         case "hash_sha256" => arity(1); df => sha2(args.head(df).cast("binary"), 256)
         case "hash_sha1" => arity(1); df => sha1(args.head(df).cast("binary"))

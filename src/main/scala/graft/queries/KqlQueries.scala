@@ -772,6 +772,105 @@ object KqlQueries extends QueryModule {
           | | order by event_type asc, i asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // join kind=innerunique — Kusto's DEFAULT join kind: the left side
+    // dedups to one row per key BEFORE the inner join. Kusto keeps an
+    // arbitrary row; this engine pins the minimum full row (take_any
+    // stance) so results are reproducible and oracle-comparable. The
+    // dedup aggregate shuffles on the join key, so its exchange feeds
+    // the join directly — one shuffle serves both.
+    "q139_kql_text_innerunique" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_type == 'click'
+          | | project user_id, event_id, value
+          | | join kind=innerunique (events | where event_type == 'purchase' | summarize pn = count() by user_id) on user_id
+          | | project user_id, event_id, pn
+          | | order by user_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // scalar ring 8: the ipv4 family (parse_ipv4 with prefix masking,
+    // ipv4_is_private, ipv4_is_in_range, ipv4_compare), parse_version
+    // (canonical DECIMAL(38,0) comparable), parse_url (dynamic JSON
+    // structure + postfix access), and format_timespan — all codegen'd
+    // string/arithmetic in the scan projection, zero shuffles beyond
+    // the final sort.
+    "q140_kql_text_scalar8" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_id % 97 == 0
+          | | extend ip = strcat('10.', tostring(user_id % 200), '.', tostring(event_id % 250), '.7')
+          | | extend url = strcat('https://h', tostring(user_id % 10), '.example.com:8080/p/', event_type, '?q=', tostring(event_id), '#frag')
+          | | extend ipv = parse_ipv4(ip), masked = parse_ipv4(strcat(ip, '/24')),
+          |          priv = ipv4_is_private(ip), inr = ipv4_is_in_range(ip, '10.42.0.0/16'),
+          |          cmpr = ipv4_compare(ip, '10.100.0.0'),
+          |          ver = tostring(parse_version(strcat(tostring(user_id % 4), '.', tostring(event_id % 12), '.5'))),
+          |          host = tostring(parse_url(url).Host), path = tostring(parse_url(url).Path),
+          |          fts = format_timespan(1h + 23m + 45s, 'hh:mm:ss')
+          | | project event_id, ipv, masked, priv, inr, cmpr, ver, host, path, fts
+          | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // reduce by — Kusto's log-pattern miner. Kusto's clustering is
+    // proprietary; the engine pins a deterministic rule (documented in
+    // the compiler): alphanumeric tokens containing a digit become '*',
+    // representative = min source string. One regexp_replace in the
+    // scan + one hash aggregate.
+    "q141_kql_text_reduce" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | reduce by strcat(event_type, ':', props)
+          | | order by Count desc, Pattern asc
+          | | take 20""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // make-graph + graph-match (fixed 2-hop) — Kusto graph semantics
+    // over a customer→order→part graph built in KQL. Each hop lowers to
+    // ONE hash equi-join of the edge table on the node id — the
+    // distributed plan graph pattern-matching needs at 100 TB (no
+    // driver-side traversal, no adjacency materialization); node/edge
+    // aliases bind as struct columns, so c.node_id / e2.w resolve
+    // through the native-struct dot path.
+    "q142_kql_text_graph_match" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """let E = orders
+          |   | project src = strcat('c', tostring(o_custkey)), dst = strcat('o', tostring(o_orderkey)), w = o_totalprice
+          |   | union (lineitem | project src = strcat('o', tostring(l_orderkey)), dst = strcat('p', tostring(l_partkey)), w = l_extendedprice);
+          | E
+          | | make-graph src --> dst
+          | | graph-match (c)-[e1]->(o)-[e2]->(p)
+          |   where c.node_id startswith 'c' and e2.w > 90000.0
+          |   project cust = c.node_id, price = e2.w
+          | | summarize n = count(), total = round(sum(price), 4) by cust
+          | | order by cust asc""".stripMargin,
+        (n: String) => n match {
+          case "orders" => Tables.orders(s, dir)
+          case "lineitem" => Tables.lineitem(s, dir)
+          case other => throw new IllegalArgumentException(other)
+        })),
+
+    // graph-match with a variable-length edge `-[e*1..2]->` — bounded
+    // path search: one join chain per length, unioned; the binding `e`
+    // is the ARRAY of hop edges (array_length(e) = path length). The
+    // b-endpoint filter pushes into every chain through Catalyst.
+    "q143_kql_text_graph_varlen" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """let E = orders
+          |   | project src = strcat('c', tostring(o_custkey)), dst = strcat('o', tostring(o_orderkey)), w = o_totalprice
+          |   | union (lineitem | project src = strcat('o', tostring(l_orderkey)), dst = strcat('p', tostring(l_partkey)), w = l_extendedprice);
+          | E
+          | | make-graph src --> dst
+          | | graph-match (a)-[e*1..2]->(b)
+          |   where b.node_id startswith 'p'
+          |   project b = b.node_id, hops = array_length(e)
+          | | summarize n1 = countif(hops == 1), n2 = countif(hops == 2) by b
+          | | order by b asc
+          | | take 200""".stripMargin,
+        (n: String) => n match {
+          case "orders" => Tables.orders(s, dir)
+          case "lineitem" => Tables.lineitem(s, dir)
+          case other => throw new IllegalArgumentException(other)
+        })),
+
     // single-step `scan` — Kusto's canonical running-accumulator form:
     // the step consumes every matching record, the additive
     // self-referencing assignment lowers to a running window sum, and a
@@ -1811,6 +1910,80 @@ object KqlQueries extends QueryModule {
                 round(tr, 6) AS tr,
                 round(CASE WHEN i < 12 THEN x - (se + tr) END, 6) AS r
          FROM full_ax ORDER BY event_type, i""",
+
+    // innerunique: left side deduped to the MIN full row per key (the
+    // engine's pinned determinization of Kusto's "arbitrary row"),
+    // expressed as row_number over (event_id, value) — the same
+    // lexicographic order as the engine's min(struct(event_id, value)).
+    "q139_kql_text_innerunique" ->
+      """WITH l AS (
+           SELECT user_id, event_id, value,
+                  row_number() OVER (PARTITION BY user_id ORDER BY event_id, value) AS rn
+           FROM events WHERE event_type = 'click'),
+         r AS (SELECT user_id, count(1) AS pn FROM events
+               WHERE event_type = 'purchase' GROUP BY user_id)
+         SELECT l.user_id, l.event_id, pn
+         FROM l JOIN r ON l.user_id = r.user_id
+         WHERE rn = 1
+         ORDER BY l.user_id""",
+
+    "q140_kql_text_scalar8" ->
+      """SELECT event_id,
+                167772160 + (user_id % 200) * 65536 + (event_id % 250) * 256 + 7 AS ipv,
+                167772160 + (user_id % 200) * 65536 + (event_id % 250) * 256 AS masked,
+                TRUE AS priv,
+                (user_id % 200) = 42 AS inr,
+                CAST(CASE WHEN (user_id % 200) < 100 THEN -1 ELSE 1 END AS BIGINT) AS cmpr,
+                (lpad(CAST(user_id % 4 AS VARCHAR), 8, '0') ||
+                 lpad(CAST(event_id % 12 AS VARCHAR), 8, '0') ||
+                 '00000005' || '00000000')::DECIMAL(38,0)::VARCHAR AS ver,
+                'h' || CAST(user_id % 10 AS VARCHAR) || '.example.com' AS host,
+                '/p/' || event_type AS path,
+                '01:23:45' AS fts
+         FROM events WHERE event_id % 97 = 0
+         ORDER BY event_id""",
+
+    // reduce by: the pinned deterministic pattern rule — alnum tokens
+    // containing a digit → '*' (same regex class in Java and RE2)
+    "q141_kql_text_reduce" ->
+      """SELECT regexp_replace(event_type || ':' || props,
+                               '[A-Za-z_]*[0-9][A-Za-z0-9_]*', '*', 'g') AS Pattern,
+                count(1) AS Count,
+                min(event_type || ':' || props) AS Representative
+         FROM events
+         GROUP BY 1
+         ORDER BY Count DESC, Pattern ASC
+         LIMIT 20""",
+
+    // graph-match 2-hop = two edge⋈node equi-joins
+    "q142_kql_text_graph_match" ->
+      """WITH E AS (
+           SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  'o' || CAST(o_orderkey AS VARCHAR) AS dst, o_totalprice AS w FROM orders
+           UNION ALL
+           SELECT 'o' || CAST(l_orderkey AS VARCHAR),
+                  'p' || CAST(l_partkey AS VARCHAR), l_extendedprice FROM lineitem)
+         SELECT e1.src AS cust, count(1) AS n, round(sum(e2.w), 4) AS total
+         FROM E e1 JOIN E e2 ON e1.dst = e2.src
+         WHERE e1.src LIKE 'c%' AND e2.w > 90000.0
+         GROUP BY e1.src
+         ORDER BY cust""",
+
+    // var-length 1..2 = union of the 1-hop and 2-hop chains
+    "q143_kql_text_graph_varlen" ->
+      """WITH E AS (
+           SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  'o' || CAST(o_orderkey AS VARCHAR) AS dst FROM orders
+           UNION ALL
+           SELECT 'o' || CAST(l_orderkey AS VARCHAR),
+                  'p' || CAST(l_partkey AS VARCHAR) FROM lineitem),
+         paths AS (
+           SELECT e1.src AS a, e1.dst AS b, 1 AS hops FROM E e1
+           UNION ALL
+           SELECT e1.src, e2.dst, 2 FROM E e1 JOIN E e2 ON e1.dst = e2.src)
+         SELECT b, count(1) FILTER (hops = 1) AS n1, count(1) FILTER (hops = 2) AS n2
+         FROM paths WHERE b LIKE 'p%'
+         GROUP BY b ORDER BY b LIMIT 200""",
 
     "q124_kql_text_find" ->
       """SELECT * FROM (

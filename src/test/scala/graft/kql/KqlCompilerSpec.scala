@@ -1445,6 +1445,152 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"keyed scan must not collapse to a global window:\n$p")
   }
 
+  // ------------------------------------------------ round-13 ring
+
+  test("join kind=innerunique dedups the left side to the MIN full row per key") {
+    // two 'alpha' rows (ids 1, 3): innerunique keeps id 1 (min struct)
+    val out = run(
+      """t | join kind=innerunique (t | summarize mx = max(value) by name) on name
+        | | project name, id, mx
+        | | order by name asc""".stripMargin).collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq(("alpha", 1L, 95.0), ("beta", 2L, 70.0), ("gamma", 4L, 20.0)))
+  }
+
+  test("reduce by: digit-bearing tokens wildcard to '*', min representative") {
+    val out = run(
+      """t | reduce by status
+        | | order by Count desc, Pattern asc""".stripMargin).collect()
+    // statuses: err-timeout, ok, err-refused, retry, ok → patterns unchanged
+    // (no digits); now force digits through strcat
+    assert(out.map(_.getString(0)).toSeq == Seq("ok", "err-refused", "err-timeout", "retry"))
+    val dig = run(
+      """t | reduce by strcat('u', tostring(id), '-', status)
+        | | order by Count desc, Pattern asc""".stripMargin).collect()
+    // u1-err-timeout → *-err-timeout; u2-ok/u5-ok collapse to *-ok (count 2)
+    assert(dig.map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq == Seq(
+      ("*-ok", 2L, "u2-ok"),
+      ("*-err-refused", 1L, "u3-err-refused"),
+      ("*-err-timeout", 1L, "u1-err-timeout"),
+      ("*-retry", 1L, "u4-retry")))
+  }
+
+  private def runG2(kql: String) =
+    KqlCompiler.compile(kql, _ => df, java.time.Instant.now(), spark)
+
+  test("make-graph + graph-match: fixed 2-hop lowers to equi-joins") {
+    val out = runG2(
+      """let E = datatable(src: string, dst: string, w: long)[
+        |  'a', 'b', 1, 'b', 'c', 2, 'b', 'd', 3, 'x', 'b', 9];
+        | E | make-graph src --> dst
+        | | graph-match (p)-[e1]->(q)-[e2]->(r)
+        |   where p.node_id == 'a'
+        |   project tail = r.node_id, w2 = e2.w
+        | | order by tail asc""".stripMargin).collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("c", 2L), ("d", 3L)))
+  }
+
+  test("graph-match: with-nodes properties, backward arrow, repeated alias (cycle)") {
+    val g =
+      """let E = datatable(src: string, dst: string)[
+        |  'a', 'b', 'b', 'c', 'c', 'a', 'b', 'd'];
+        | let N = datatable(id: string, kind: string)[
+        |  'a', 'root', 'b', 'mid', 'c', 'mid', 'd', 'leaf'];
+        | E | make-graph src --> dst with N on id
+        |""".stripMargin
+    // node properties through the with-nodes table
+    val props = runG2(g +
+      """|| graph-match (x)-[e]->(y)
+         |   where y.kind == 'leaf'
+         |   project from_ = x.id, fk = x.kind
+         |""".stripMargin).collect()
+    assert(props.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("b", "mid")))
+    // backward arrow: (x)<-[e]-(y) means edge y→x
+    val back = runG2(g +
+      """|| graph-match (x)<-[e]-(y)
+         |   where x.id == 'b'
+         |   project src_ = y.id
+         || order by src_ asc""".stripMargin).collect()
+    assert(back.map(_.getString(0)).toSeq == Seq("a"))
+    // repeated node alias closes the cycle: a→b→c→a
+    val cyc = runG2(g +
+      """|| graph-match (p)-[e1]->(q)-[e2]->(r)-[e3]->(p)
+         |   project n1 = p.id, n2 = q.id, n3 = r.id
+         || order by n1 asc""".stripMargin).collect()
+    assert(cyc.length == 3) // the 3 rotations of the a-b-c cycle
+    assert(cyc.map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+  }
+
+  test("graph-match: variable-length edge binds the hop-edge ARRAY") {
+    val out = runG2(
+      """let E = datatable(src: string, dst: string, w: long)[
+        |  'a', 'b', 1, 'b', 'c', 2, 'c', 'd', 3];
+        | E | make-graph src --> dst
+        | | graph-match (p)-[e*1..3]->(q)
+        |   where p.node_id == 'a'
+        |   project q = q.node_id, hops = array_length(e), w0 = e[0].w
+        | | order by hops asc""".stripMargin).collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("b", 1L, 1L), ("c", 2L, 1L), ("d", 3L, 1L)))
+  }
+
+  test("graph-to-table and make-graph misuse are handled") {
+    val nodes = runG2(
+      """let E = datatable(src: string, dst: string)['a', 'b', 'b', 'c'];
+        | E | make-graph src --> dst | graph-to-table nodes | order by node_id asc""".stripMargin)
+      .collect()
+    assert(nodes.map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    // make-graph followed by a non-graph operator is a loud error
+    assert(intercept[KqlParseException](runG2(
+      """let E = datatable(src: string, dst: string)['a', 'b'];
+        | E | make-graph src --> dst | where src == 'a'""".stripMargin))
+      .getMessage.contains("graph-match"))
+    // dangling make-graph at end of query is a loud error
+    assert(intercept[KqlParseException](runG2(
+      """let E = datatable(src: string, dst: string)['a', 'b'];
+        | E | make-graph src --> dst""".stripMargin))
+      .getMessage.contains("graph-match"))
+    // graph-match without make-graph is a loud error
+    assert(intercept[KqlParseException](run(
+      "t | graph-match (a)-[e]->(b) project x = a.id"))
+      .getMessage.contains("make-graph"))
+  }
+
+  test("scalar ring 8: ipv4 family, parse_version, parse_url, format_timespan") {
+    val out = run(
+      """t | where id == 1
+        | | project v1 = parse_ipv4('192.168.1.1'),
+        |           v2 = parse_ipv4('192.168.1.255/24'),
+        |           bad = parse_ipv4('1.2.3.256'),
+        |           p1 = ipv4_is_private('10.0.0.1'), p2 = ipv4_is_private('8.8.8.8'),
+        |           r1 = ipv4_is_in_range('10.42.7.7', '10.42.0.0/16'),
+        |           r2 = ipv4_is_in_range('10.43.7.7', '10.42.0.0/16'),
+        |           c1 = ipv4_compare('1.2.3.4', '1.2.3.5'),
+        |           ver = tostring(parse_version('1.2.3.4')),
+        |           vbad = parse_version('1.2.beta'),
+        |           host = tostring(parse_url('https://u:pw@h.io:81/a/b?x=1#f').Host),
+        |           prt = tostring(parse_url('https://u:pw@h.io:81/a/b?x=1#f').Port),
+        |           fr = tostring(parse_url('https://u:pw@h.io:81/a/b?x=1#f').Fragment),
+        |           ft1 = format_timespan(1d + 2h + 3m + 4s, 'd.hh:mm:ss'),
+        |           ft2 = format_timespan(90s, 'mm:ss'),
+        |           ftn = format_timespan(0s - 90s, 'mm:ss')""".stripMargin).collect().head
+    assert(out.getLong(0) == 3232235777L)        // 192.168.1.1
+    assert(out.getLong(1) == 3232235776L)        // masked /24 → 192.168.1.0
+    assert(out.isNullAt(2))                      // octet 256 invalid
+    assert(out.getBoolean(3) && !out.getBoolean(4))
+    assert(out.getBoolean(5) && !out.getBoolean(6))
+    assert(out.getLong(7) == -1L)
+    assert(out.getString(8) == "1000000020000000300000004")
+    assert(out.isNullAt(9))
+    assert(out.getString(10) == "h.io")
+    assert(out.getString(11) == "81")
+    assert(out.getString(12) == "f")
+    assert(out.getString(13) == "1.02:03:04")
+    assert(out.getString(14) == "01:30")
+    assert(out.getString(15) == "-01:30")
+  }
+
   test("scan state references outside the additive form are loud errors") {
     assert(intercept[KqlParseException](run(
       """t | order by id asc
