@@ -2672,6 +2672,191 @@ object LlmQueries extends QueryModule {
     SELECT pair, sum(f)::BIGINT AS cnt FROM pairs GROUP BY pair
     ORDER BY cnt DESC, pair ASC LIMIT 20"""
 
+  // ----------------------------------------- quality classifier (q144)
+
+  /** Distributed logistic-regression quality classifier (the GPT-3/
+    * CCNet-style learned quality filter): hashed bag-of-unigram features
+    * (64 md5 buckets, tf-normalized), label = (lang == 'en'), full-batch
+    * gradient descent, 3 rounds, lr 0.5. Returns the trained weight per
+    * bucket plus the intercept (bucket −1), rounded 6dp.
+    *
+    * Scale design (the KMeans loop playbook):
+    *  - The tf table (doc, bucket, x) aggregates once and persists; the
+    *    Zipf token head absorbs map-side in that one partial/final agg.
+    *  - Per round the model is 64 doubles — broadcast as a LITERAL array
+    *    into the scoring projection (no join against a weights table);
+    *    scoring is ONE hash agg by doc over the persisted tf rows, and
+    *    the gradient is ONE hash agg by bucket after a doc-keyed join
+    *    whose both sides share the same key.
+    *  - The driver sees 64+1 gradient scalars per round (codebook
+    *    pattern) — never row data.
+    *
+    * Oracle: the 3 GD rounds unroll as DuckDB CTEs over the identical
+    * md5-bucket tf table (the q98 merge-round playbook). */
+  private val ClsBuckets = 64
+  private val ClsLr = 0.5
+  private val ClsRounds = 3
+
+  private def qualityClassifierQuery(s0: SparkSession, dir: String): DataFrame = {
+    val s = docs(s0, dir)
+    val fx = s.sql(s"""
+      WITH tok AS (
+        SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+               cast(conv(substr(md5(tok), 1, 8), 16, 10) AS bigint) % $ClsBuckets AS b
+        FROM (SELECT doc_id, lang, explode(split(lower(text), ' ')) AS tok FROM documents)
+        WHERE tok != ''),
+      feat AS (SELECT doc_id, y, b, cast(count(1) AS double) AS c FROM tok GROUP BY 1, 2, 3),
+      ntok AS (SELECT doc_id, sum(c) AS n FROM feat GROUP BY 1)
+      SELECT f.doc_id, f.y, f.b, f.c / t.n AS x
+      FROM feat f JOIN ntok t ON f.doc_id = t.doc_id""")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nDocs = fx.select(countDistinct(col("doc_id"))).head.getLong(0).toDouble
+      val w = Array.fill(ClsBuckets)(0.0)
+      var b0 = 0.0
+      for (_ <- 1 to ClsRounds) {
+        val wArr = array(w.map(lit).toIndexedSeq: _*)
+        val err = fx.groupBy(col("doc_id"))
+          .agg(max(col("y")).as("y"),
+            sum(col("x") * element_at(wArr, col("b").cast("int") + 1)).as("dot"))
+          .select(col("doc_id"),
+            (lit(1.0) / (lit(1.0) + exp(-(col("dot") + lit(b0)))) - col("y")).as("err"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val gRows = fx.join(err, "doc_id")
+          .groupBy(col("b")).agg(sum(col("err") * col("x")).as("g"))
+          .collect()
+        val g0 = err.agg(avg(col("err"))).head.getDouble(0)
+        err.unpersist(blocking = false)
+        gRows.foreach(r => w(r.getLong(0).toInt) -= ClsLr * r.getDouble(1) / nDocs)
+        b0 -= ClsLr * g0
+      }
+      import s.implicits._
+      (w.toIndexedSeq.zipWithIndex.map { case (wv, b) => (b.toLong, wv) } :+ (-1L, b0))
+        .toDF("b", "w")
+        .select(col("b"), round(col("w"), 6).as("w"))
+        .orderBy(col("b"))
+    } finally fx.unpersist(blocking = false)
+  }
+
+  private def clsRoundSql(r: Int): String = {
+    val prevW = if (r == 1) "w0" else s"w${r - 1}"
+    val prevB = if (r == 1) "bi0" else s"bi${r - 1}"
+    s"""
+    s$r AS (SELECT f.doc_id, max(f.y) AS y, sum(f.x * p.w) AS dot
+            FROM fx f JOIN $prevW p ON p.b = f.b GROUP BY f.doc_id),
+    e$r AS (SELECT doc_id, 1 / (1 + exp(-(dot + (SELECT b0 FROM $prevB)))) - y AS err FROM s$r),
+    g$r AS (SELECT f.b, sum(e.err * f.x) / (SELECT nd FROM nd) AS g
+            FROM fx f JOIN e$r e ON e.doc_id = f.doc_id GROUP BY f.b),
+    w$r AS (SELECT p.b, p.w - $ClsLr * coalesce(g$r.g, 0) AS w
+            FROM $prevW p LEFT JOIN g$r ON g$r.b = p.b),
+    bi$r AS (SELECT (SELECT b0 FROM $prevB) - $ClsLr * avg(err) AS b0 FROM e$r)"""
+  }
+
+  private def qualityClassifierOracle: String = s"""
+    WITH tok AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT % $ClsBuckets AS b
+      FROM (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+      WHERE tok != ''),
+    feat AS (SELECT doc_id, y, b, count(1)::DOUBLE AS c FROM tok GROUP BY 1, 2, 3),
+    ntok AS (SELECT doc_id, sum(c) AS n FROM feat GROUP BY 1),
+    fx AS (SELECT f.doc_id, f.y, f.b, f.c / t.n AS x
+           FROM feat f JOIN ntok t ON f.doc_id = t.doc_id),
+    nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS nd FROM fx),
+    w0 AS (SELECT CAST(range AS BIGINT) AS b, 0.0 AS w FROM range($ClsBuckets)),
+    bi0 AS (SELECT 0.0 AS b0),
+    ${(1 to ClsRounds).map(clsRoundSql).mkString(",")}
+    SELECT b, round(w, 6) AS w FROM w$ClsRounds
+    UNION ALL
+    SELECT -1, round(b0, 6) FROM bi$ClsRounds
+    ORDER BY b"""
+
+  // ------------------------------------------ PCA power iteration (q145)
+
+  /** Distributed PCA of the embedding corpus — top principal component
+    * via MATRIX-FREE power iteration: the 64×64 covariance is never
+    * materialized; each round applies C·v = Σ (x−μ)((x−μ)·v)/(n−1) with
+    * one map-side dot product (sequential fold, fixed IEEE order) and
+    * ONE hash aggregate on the dimension index (64 groups). v₀ =
+    * 1/√64 · 1⃗, 3 rounds, output the component loading per dim plus the
+    * eigenvalue estimate λ = ‖s‖/(n−1) (row −1), rounded 6dp.
+    *
+    * Scale: the centered table persists once; each round's driver
+    * traffic is 64 doubles (broadcast back as a literal array — the
+    * KMeans codebook pattern). At 100 TB this is one scan per round
+    * with a 64-row shuffle — the optimal distributed PCA shape when
+    * d is small; the oracle unrolls the same rounds as DuckDB CTEs. */
+  private val PcaRounds = 3
+
+  private def pcaPowerQuery(s0: SparkSession, dir: String): DataFrame = {
+    val s = embs(s0, dir)
+    val dim = 64
+    val e = s.sql("SELECT vec_id, cast(embedding AS array<double>) AS emb FROM embeddings")
+    // mean vector: 64 scalars to the driver (codebook pattern), broadcast
+    // back as a literal array — subqueries can't appear inside zip_with
+    val muRows = e.select(posexplode(col("emb")).as(Seq("pos", "v")))
+      .groupBy(col("pos")).agg(avg(col("v")).as("m")).collect()
+    val mu = Array.fill(dim)(0.0)
+    muRows.foreach(r => mu(r.getInt(0)) = r.getDouble(1))
+    val muArr = array(mu.map(lit).toIndexedSeq: _*)
+    val cent = e.select(col("vec_id"), zip_with(col("emb"), muArr, (x, m) => x - m).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = cent.count().toDouble
+      var v = Array.fill(dim)(1.0 / math.sqrt(dim))
+      var sNorm = 0.0
+      for (_ <- 1 to PcaRounds) {
+        val vArr = array(v.map(lit).toIndexedSeq: _*)
+        val withDot = cent.withColumn("dot",
+          expr_dot(col("c"), vArr))
+        val sRows = withDot
+          .select(posexplode(col("c")).as(Seq("pos", "cv")), col("dot"))
+          .groupBy(col("pos")).agg(sum(col("cv") * col("dot")).as("s"))
+          .collect()
+        val sVec = Array.fill(dim)(0.0)
+        sRows.foreach(r => sVec(r.getInt(0)) = r.getDouble(1))
+        sNorm = math.sqrt(sVec.map(x => x * x).sum)
+        v = sVec.map(_ / sNorm)
+      }
+      val lambda = sNorm / (n - 1)
+      import s.implicits._
+      (v.toIndexedSeq.zipWithIndex.map { case (lv, d) => (d.toLong, lv) } :+ (-1L, lambda))
+        .toDF("dim", "loading")
+        .select(col("dim"), round(col("loading"), 6).as("loading"))
+        .orderBy(col("dim"))
+    } finally cent.unpersist(blocking = false)
+  }
+
+  /** Sequential-fold dot product of an array column against a literal
+    * array — fixed IEEE order, matching the oracle's list_reduce. */
+  private def expr_dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def pcaRoundSql(r: Int): String = {
+    val prevV = s"v${r - 1}"
+    s"""
+    r$r AS (SELECT c.vec_id, sum(c.c * p.v) AS dot
+            FROM cent c JOIN $prevV p ON p.i = c.i GROUP BY c.vec_id),
+    s$r AS (SELECT c.i, sum(c.c * d.dot) AS s
+            FROM cent c JOIN r$r d ON d.vec_id = c.vec_id GROUP BY c.i),
+    n$r AS (SELECT sqrt(sum(s * s)) AS nrm FROM s$r),
+    v$r AS (SELECT i, s / (SELECT nrm FROM n$r) AS v FROM s$r)"""
+  }
+
+  private def pcaOracle: String = s"""
+    WITH expl AS (
+      SELECT vec_id, i::BIGINT AS i, embedding[i + 1]::DOUBLE AS x
+      FROM embeddings, unnest(range(len(embedding))) AS t(i)),
+    mu AS (SELECT i, avg(x) AS m FROM expl GROUP BY i),
+    cent AS (SELECT e.vec_id, e.i, e.x - mu.m AS c FROM expl e JOIN mu ON mu.i = e.i),
+    nrows AS (SELECT count(DISTINCT vec_id)::DOUBLE AS n FROM cent),
+    v0 AS (SELECT CAST(range AS BIGINT) AS i, 1.0 / sqrt(64) AS v FROM range(64)),
+    ${(1 to PcaRounds).map(pcaRoundSql).mkString(",")}
+    SELECT i AS dim, round(v, 6) AS loading FROM v$PcaRounds
+    UNION ALL
+    SELECT -1, round((SELECT nrm FROM n$PcaRounds) / ((SELECT n FROM nrows) - 1), 6)
+    ORDER BY dim"""
+
   // ------------------------------------------------------------ wiring
 
   private def sqlQuery(view: (SparkSession, String) => SparkSession, sql: String): (SparkSession, String) => DataFrame =
@@ -2726,7 +2911,9 @@ object LlmQueries extends QueryModule {
     "q118_dsir_weights" -> sqlQuery(docs, dsirSql),
     "q119_bpe_fertility" -> (bpeFertility(_, _)),
     "q134_byte_bpe_fertility" -> (byteBpeFertility(_, _)),
-    "q121_quality_rules" -> sqlQuery(docs, qualityRulesSql))
+    "q121_quality_rules" -> sqlQuery(docs, qualityRulesSql),
+    "q144_quality_classifier" -> (qualityClassifierQuery(_, _)),
+    "q145_pca_power" -> (pcaPowerQuery(_, _)))
 
   override val oracles: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -2778,5 +2965,7 @@ object LlmQueries extends QueryModule {
     "q112_semdedup" -> semdedupOracle(),
     "q113_decontam_ngram" -> decontamOracle,
     "q130_exact_substring" -> exactSubstringOracle(),
-    "q114_token_drift" -> tokenDriftOracle)
+    "q114_token_drift" -> tokenDriftOracle,
+    "q144_quality_classifier" -> qualityClassifierOracle,
+    "q145_pca_power" -> pcaOracle)
 }
