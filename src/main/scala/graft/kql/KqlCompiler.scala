@@ -210,6 +210,139 @@ object KqlCompiler {
     private final case class GraphCtx(edges: DataFrame, nodes: DataFrame,
                                       srcCol: String, dstCol: String, idCol: String)
     private var pendingGraph: Option[GraphCtx] = None
+
+    /** Shared lowering for `graph-match` / `graph-shortest-paths`: parse
+      * pattern + where + project, build ONE join chain per admissible
+      * length combination (each hop = one hash equi-join of the edge
+      * table on the node id), bind node/edge aliases as struct columns,
+      * and — for shortest-paths — winnow to the minimum-hop path(s) per
+      * endpoint pair with ONE window over (src, dst). `shortest` is
+      * None for graph-match, Some("any"|"all") for shortest-paths. */
+    private def runGraphPattern(g: GraphCtx, shortest: Option[String]): DataFrame = {
+      // ---- pattern ----
+      def nodeRef(): String = { expect("("); val n = ident(); expect(")"); n }
+      final case class PHop(edgeAlias: String, forward: Boolean,
+                            range: Option[(Int, Int)], to: String)
+      val n0 = nodeRef()
+      val hops = scala.collection.mutable.Buffer.empty[PHop]
+      while (peekIs("-") || peekIs("<")) {
+        val forward = !peekIs("<")
+        if (forward) { expect("-"); expect("[") }
+        else { expect("<"); expect("-"); expect("[") }
+        val ea = ident()
+        val range =
+          if (peekIs("*")) {
+            expect("*"); val lo = number(); expect(".."); val hi = number()
+            if (lo < 1 || hi < lo) throw new KqlParseException(
+              s"graph pattern: variable-length bounds must satisfy 1 <= lo <= hi, got $lo..$hi")
+            Some((lo, hi))
+          } else None
+        expect("]"); expect("-")
+        if (forward) expect(">")
+        hops += PHop(ea, forward, range, to = nodeRef())
+      }
+      if (hops.isEmpty)
+        throw new KqlParseException("graph pattern needs at least one edge")
+      val edgeAliases = hops.map(_.edgeAlias)
+      if (edgeAliases.distinct.size != edgeAliases.size)
+        throw new KqlParseException("graph pattern: edge aliases must be distinct")
+      // ---- where / project (parsed ONCE; applied per chain) ----
+      val whereB = if (peekIs("where")) { expect("where"); Some(expr()) } else None
+      expect("project")
+      val projs = sepBy1(() => { val n = ident(); expect("="); (n, expr()) })
+      // ---- lowering ----
+      val nodeAliases: Seq[String] = n0 +: hops.map(_.to).toSeq
+      val lengthChoices: Seq[Seq[Int]] =
+        hops.map(h => h.range.map { case (lo, hi) => (lo to hi).toSeq }
+          .getOrElse(Seq(1))).toSeq
+      val chains = lengthChoices.foldLeft(Seq(Seq.empty[Int])) {
+        (acc, ls) => for (a <- acc; l <- ls) yield a :+ l
+      }
+      if (chains.size > 32) throw new KqlParseException(
+        s"graph pattern: variable-length pattern expands to ${chains.size} join chains (cap 32)")
+      def nodeF(p: Int) = g.nodes.select(
+        struct(g.nodes.columns.toSeq.map(g.nodes(_)): _*).as(s"__gm_n_$p"),
+        g.nodes(g.idCol).as(s"__gm_id_$p"))
+      def edgeF(tag: String) = g.edges.select(
+        struct(g.edges.columns.toSeq.map(g.edges(_)): _*).as(s"__gm_e_$tag"),
+        g.edges(g.srcCol).as(s"__gm_s_$tag"),
+        g.edges(g.dstCol).as(s"__gm_d_$tag"))
+      def withBindsG[A](bs: Map[String, Column])(body: => A): A = {
+        val saved = elemBinds
+        elemBinds = elemBinds ++ bs
+        try body finally elemBinds = saved
+      }
+      val perChain = chains.map { lens =>
+        var f = nodeF(0)
+        var tailId = "__gm_id_0"
+        for ((hop, hi) <- hops.zipWithIndex) {
+          for (c <- 0 until lens(hi)) {
+            val tag = s"${hi}_$c"
+            val (inCol, outCol) =
+              if (hop.forward) (s"__gm_s_$tag", s"__gm_d_$tag")
+              else (s"__gm_d_$tag", s"__gm_s_$tag")
+            f = f.join(edgeF(tag), col(tailId) === col(inCol))
+            tailId = outCol
+          }
+          f = f.join(nodeF(hi + 1), col(tailId) === col(s"__gm_id_${hi + 1}"))
+          tailId = s"__gm_id_${hi + 1}"
+        }
+        // repeated node alias → same-node constraint
+        nodeAliases.zipWithIndex.groupBy(_._1).values.foreach { occ =>
+          occ.map(_._2).sliding(2).foreach {
+            case Seq(p1, p2) => f = f.filter(col(s"__gm_id_$p1") === col(s"__gm_id_$p2"))
+            case _ => ()
+          }
+        }
+        val binds: Map[String, Column] =
+          nodeAliases.zipWithIndex.groupBy(_._1).map {
+            case (a, occ) => a -> col(s"__gm_n_${occ.head._2}")
+          } ++
+          hops.zipWithIndex.map { case (h, i) =>
+            h.edgeAlias -> (h.range match {
+              case None => col(s"__gm_e_${i}_0")
+              case Some(_) => array((0 until lens(i)).map(c => col(s"__gm_e_${i}_$c")): _*)
+            })
+          }
+        // shortest-paths internals: endpoint pair, hop count, and the
+        // full path signature (edge endpoint sequence + edge payloads)
+        // for the pinned deterministic output=any pick
+        val edgeTags = for {
+          (_, hi) <- hops.zipWithIndex.toSeq; c <- 0 until lens(hi)
+        } yield s"${hi}_$c"
+        val internals =
+          if (shortest.isEmpty) Nil
+          else Seq(
+            col("__gm_id_0").cast("string").as("__gsp_src"),
+            col(s"__gm_id_${hops.length}").cast("string").as("__gsp_dst"),
+            lit(lens.sum.toLong).as("__gsp_hops"),
+            concat_ws("/", edgeTags.flatMap(t =>
+              Seq(col(s"__gm_s_$t").cast("string"), col(s"__gm_d_$t").cast("string"))): _*)
+              .as("__gsp_key"),
+            to_json(struct(edgeTags.map(t => col(s"__gm_e_$t").as(s"e_$t")): _*))
+              .as("__gsp_ekey"))
+        withBindsG(binds) {
+          val f1 = whereB.map(w => f.filter(w(f))).getOrElse(f)
+          f1.select(projs.map { case (n, e) => e(f1).as(n) } ++ internals: _*)
+        }
+      }
+      val u = perChain.reduce(_ unionByName _)
+      shortest match {
+        case None => u
+        case Some(mode) =>
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__gsp_src"), col("__gsp_dst"))
+          val winnowed =
+            if (mode == "any")
+              u.withColumn("__gsp_rn", row_number().over(w.orderBy(
+                  col("__gsp_hops").asc, col("__gsp_key").asc, col("__gsp_ekey").asc)))
+                .where(col("__gsp_rn") === 1)
+            else
+              u.withColumn("__gsp_min", min(col("__gsp_hops")).over(w))
+                .where(col("__gsp_hops") === col("__gsp_min"))
+          winnowed.select(projs.map { case (n, _) => col(n) }: _*)
+      }
+    }
     /** Element bindings for mv-apply's sub-pipeline: while a lambda body
       * is being BUILT (plan time — Spark's HOF wrappers invoke the
       * Scala function once, synchronously, with the lambda variable),
@@ -1412,97 +1545,31 @@ object KqlCompiler {
             val g = pendingGraph.getOrElse(throw new KqlParseException(
               "graph-match requires a preceding make-graph"))
             pendingGraph = None
-            // ---- pattern ----
-            def nodeRef(): String = { expect("("); val n = ident(); expect(")"); n }
-            final case class PHop(edgeAlias: String, forward: Boolean,
-                                  range: Option[(Int, Int)], to: String)
-            val n0 = nodeRef()
-            val hops = scala.collection.mutable.Buffer.empty[PHop]
-            while (peekIs("-") || peekIs("<")) {
-              val forward = !peekIs("<")
-              if (forward) { expect("-"); expect("[") }
-              else { expect("<"); expect("-"); expect("[") }
-              val ea = ident()
-              val range =
-                if (peekIs("*")) {
-                  expect("*"); val lo = number(); expect(".."); val hi = number()
-                  if (lo < 1 || hi < lo) throw new KqlParseException(
-                    s"graph-match: variable-length bounds must satisfy 1 <= lo <= hi, got $lo..$hi")
-                  Some((lo, hi))
-                } else None
-              expect("]"); expect("-")
-              if (forward) expect(">")
-              hops += PHop(ea, forward, range, to = nodeRef())
+            runGraphPattern(g, None)
+          case "shortest" =>
+            // `graph-shortest-paths [output=any|all] (a)-[e*1..n]->(b)
+            //  where … project …` — shortest path per (source, target)
+            // node pair among the paths the pattern admits. output=any
+            // (default) keeps ONE shortest path per pair — Kusto says
+            // "an arbitrary one"; this engine pins the minimum
+            // (node-sequence, edge-content) path, the take_any stance —
+            // output=all keeps every path of the minimum length.
+            // Lowering rides the graph-match chains: each length is a
+            // join chain; the winnow is ONE window over (src, dst) —
+            // hops-ascending rank — so the whole operator adds exactly
+            // one hash shuffle on the endpoint pair.
+            expect("-"); expect("paths")
+            val g = pendingGraph.getOrElse(throw new KqlParseException(
+              "graph-shortest-paths requires a preceding make-graph"))
+            pendingGraph = None
+            var output = "any"
+            if (peekIs("output")) {
+              expect("output"); expect("=")
+              output = ident()
+              if (output != "any" && output != "all")
+                throw new KqlParseException(s"graph-shortest-paths output must be any|all, got '$output'")
             }
-            if (hops.isEmpty)
-              throw new KqlParseException("graph-match pattern needs at least one edge")
-            val edgeAliases = hops.map(_.edgeAlias)
-            if (edgeAliases.distinct.size != edgeAliases.size)
-              throw new KqlParseException("graph-match: edge aliases must be distinct")
-            // ---- where / project (parsed ONCE; applied per chain) ----
-            val whereB = if (peekIs("where")) { expect("where"); Some(expr()) } else None
-            expect("project")
-            val projs = sepBy1(() => { val n = ident(); expect("="); (n, expr()) })
-            // ---- lowering ----
-            val nodeAliases: Seq[String] = n0 +: hops.map(_.to).toSeq
-            val lengthChoices: Seq[Seq[Int]] =
-              hops.map(h => h.range.map { case (lo, hi) => (lo to hi).toSeq }
-                .getOrElse(Seq(1))).toSeq
-            val chains = lengthChoices.foldLeft(Seq(Seq.empty[Int])) {
-              (acc, ls) => for (a <- acc; l <- ls) yield a :+ l
-            }
-            if (chains.size > 32) throw new KqlParseException(
-              s"graph-match: variable-length pattern expands to ${chains.size} join chains (cap 32)")
-            def nodeF(p: Int) = g.nodes.select(
-              struct(g.nodes.columns.toSeq.map(g.nodes(_)): _*).as(s"__gm_n_$p"),
-              g.nodes(g.idCol).as(s"__gm_id_$p"))
-            def edgeF(tag: String) = g.edges.select(
-              struct(g.edges.columns.toSeq.map(g.edges(_)): _*).as(s"__gm_e_$tag"),
-              g.edges(g.srcCol).as(s"__gm_s_$tag"),
-              g.edges(g.dstCol).as(s"__gm_d_$tag"))
-            def withBindsG[A](bs: Map[String, Column])(body: => A): A = {
-              val saved = elemBinds
-              elemBinds = elemBinds ++ bs
-              try body finally elemBinds = saved
-            }
-            val perChain = chains.map { lens =>
-              var f = nodeF(0)
-              var tailId = "__gm_id_0"
-              for ((hop, hi) <- hops.zipWithIndex) {
-                for (c <- 0 until lens(hi)) {
-                  val tag = s"${hi}_$c"
-                  val (inCol, outCol) =
-                    if (hop.forward) (s"__gm_s_$tag", s"__gm_d_$tag")
-                    else (s"__gm_d_$tag", s"__gm_s_$tag")
-                  f = f.join(edgeF(tag), col(tailId) === col(inCol))
-                  tailId = outCol
-                }
-                f = f.join(nodeF(hi + 1), col(tailId) === col(s"__gm_id_${hi + 1}"))
-                tailId = s"__gm_id_${hi + 1}"
-              }
-              // repeated node alias → same-node constraint
-              nodeAliases.zipWithIndex.groupBy(_._1).values.foreach { occ =>
-                occ.map(_._2).sliding(2).foreach {
-                  case Seq(p1, p2) => f = f.filter(col(s"__gm_id_$p1") === col(s"__gm_id_$p2"))
-                  case _ => ()
-                }
-              }
-              val binds: Map[String, Column] =
-                nodeAliases.zipWithIndex.groupBy(_._1).map {
-                  case (a, occ) => a -> col(s"__gm_n_${occ.head._2}")
-                } ++
-                hops.zipWithIndex.map { case (h, i) =>
-                  h.edgeAlias -> (h.range match {
-                    case None => col(s"__gm_e_${i}_0")
-                    case Some(_) => array((0 until lens(i)).map(c => col(s"__gm_e_${i}_$c")): _*)
-                  })
-                }
-              withBindsG(binds) {
-                val f1 = whereB.map(w => f.filter(w(f))).getOrElse(f)
-                f1.select(projs.map { case (n, e) => e(f1).as(n) }: _*)
-              }
-            }
-            perChain.reduce(_ unionByName _)
+            runGraphPattern(g, Some(output))
           case other => throw new KqlParseException(s"unsupported operator 'graph-$other'")
         }
       case "reduce" =>
@@ -2342,6 +2409,43 @@ object KqlCompiler {
       when(ipStr.rlike(s"^$oct(\\.$oct){3}$$"), v - pmod(v, block))
     }
 
+    /** Haversine distance in meters on the IUGG mean-radius sphere —
+      * the pinned geo_distance_2points semantics (see ring-9 note). */
+    private def haversineM(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column = {
+      val dlat = radians(lat2 - lat1) / 2
+      val dlon = radians(lon2 - lon1) / 2
+      val a = pow(sin(dlat), 2) +
+        cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dlon), 2)
+      lit(2.0 * 6371009.0) * asin(sqrt(a))
+    }
+
+    private val GeohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+    /** Standard geohash at compile-time `prec`: lon gets ceil(5p/2)
+      * bits, lat floor(5p/2); bit t of the interleaved stream (MSB
+      * first) is lon for even t. Each char is a 5-bit slice indexing
+      * the base32 alphabet — one flat arithmetic expression. */
+    private def geohashCol(lon: Column, lat: Column, prec: Int): Column = {
+      val nBits = 5 * prec
+      val nLon = (nBits + 1) / 2
+      val nLat = nBits / 2
+      def scaled(v: Column, lo: Double, span: Double, n: Int): Column =
+        least(floor((v - lo) / span * math.pow(2, n)).cast("long"),
+          lit((1L << n) - 1))
+      val lonI = scaled(lon, -180.0, 360.0, nLon)
+      val latI = scaled(lat, -90.0, 180.0, nLat)
+      def streamBit(t: Int): Column =
+        if (t % 2 == 0) shiftright(lonI, nLon - 1 - t / 2).bitwiseAND(lit(1L))
+        else shiftright(latI, nLat - 1 - (t - 1) / 2).bitwiseAND(lit(1L))
+      val alph = array(GeohashAlphabet.map(ch => lit(ch.toString)): _*)
+      val chars = (0 until prec).map { k =>
+        val v = (0 until 5).map(i => streamBit(5 * k + i) * lit(1L << (4 - i)))
+          .reduce(_ + _)
+        element_at(alph, (v + 1).cast("int"))
+      }
+      concat(chars: _*)
+    }
+
     /** Postfix Kusto `dynamic` access: `expr.k1.k2` lowers to
       * `get_json_object(expr, "$.k1.k2")` — a single codegen'd JSON-path
       * probe, identical to the DataFrame shape q09 pins. The engine's
@@ -2661,6 +2765,23 @@ object KqlCompiler {
           }
           concat((when(raw < 0, lit("-")).otherwise(lit("")) :: pieces.result()): _*)
         }
+      }
+      if (name == "geo_point_to_geohash") {
+        // geo_point_to_geohash(lon, lat, precision) — standard geohash:
+        // precision is a parse-time literal, so the bit interleave
+        // unrolls into ONE flat codegen'd arithmetic expression: the
+        // lon/lat bit streams are just the binary expansions of the
+        // floor-scaled fractions (no iterative subdivision needed), each
+        // output char indexes the base32 alphabet. Identical IEEE
+        // mul/div + integer ops on both engines → bit-stable (validated
+        // against the canonical (-5.6, 42.6, 5) = 'ezs42' vector).
+        val lonE = expr(); expect(",")
+        val latE = expr()
+        val prec = if (peekIs(",")) { expect(","); number() } else 5
+        expect(")")
+        if (prec < 1 || prec > 12)
+          throw new KqlParseException(s"geo_point_to_geohash precision must be 1..12, got $prec")
+        return df => geohashCol(lonE(df), latE(df), prec)
       }
       if (name == "percentile") {
         // percentile(col, P) — exact interpolated percentile (an exactness
@@ -3206,6 +3327,20 @@ object KqlCompiler {
         case "url_encode_component" => arity(1); df =>
           replace(url_encode(args.head(df)), lit("+"), lit("%20"))
         case "url_decode" => arity(1); df => url_decode(args.head(df))
+        // ---- scalar ring 9: geo family + property-bag keys ----
+        // geo_distance_2points(lon1, lat1, lon2, lat2) → meters.
+        // PINNED to the haversine on the IUGG mean radius 6371009 m
+        // (Kusto computes the WGS84 geodesic; the spherical distance
+        // deviates < 0.5% — documented determinization, same stance as
+        // take_any). All codegen'd trig in the scan projection.
+        case "geo_distance_2points" => arity(4); df =>
+          haversineM(args(0)(df), args(1)(df), args(2)(df), args(3)(df))
+        case "geo_point_in_circle" => arity(5); df =>
+          haversineM(args(0)(df), args(1)(df), args(2)(df), args(3)(df)) <= args(4)(df)
+        // bag_keys(dynamic) → the object's keys; Kusto order is
+        // unspecified, pinned to SORTED here (deterministic)
+        case "bag_keys" => arity(1); df =>
+          array_sort(json_object_keys(args.head(df)))
         // ---- scalar ring 8: ipv4 / version / url-structure family ----
         // parse_ipv4('a.b.c.d[/p]') → long (big-endian octets), masked
         // to the prefix when '/p' is present; null on malformed input.

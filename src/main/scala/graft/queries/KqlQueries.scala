@@ -871,6 +871,48 @@ object KqlQueries extends QueryModule {
           case other => throw new IllegalArgumentException(other)
         })),
 
+    // graph-shortest-paths at data scale: single-source BFS distances
+    // over the bipartite order↔part graph (edges both directions), ≤4
+    // hops from part p1, histogram of min-hop counts. The where clause
+    // pins the source so Catalyst pushes it into the first node join of
+    // every chain; the winnow is ONE window on the endpoint pair.
+    // materialize() persists the edge list once across the 4 chains.
+    "q146_kql_text_graph_sssp" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """let E = materialize(lineitem
+          |   | project src = strcat('o', tostring(l_orderkey)), dst = strcat('p', tostring(l_partkey))
+          |   | union (lineitem | project src = strcat('p', tostring(l_partkey)), dst = strcat('o', tostring(l_orderkey)))
+          |   | distinct src, dst);
+          | E
+          | | make-graph src --> dst
+          | | graph-shortest-paths (a)-[e*1..4]->(b)
+          |   where a.node_id == 'p1'
+          |   project b = b.node_id, hops = array_length(e)
+          | | summarize n = count() by hops
+          | | order by hops asc""".stripMargin,
+        (n: String) => n match {
+          case "lineitem" => Tables.lineitem(s, dir)
+          case other => throw new IllegalArgumentException(other)
+        })),
+
+    // scalar ring 9: geo family (pinned haversine distance, circle
+    // membership, geohash encode — one flat codegen'd expression, IEEE
+    // mul/div bit-stable across engines) + sorted bag_keys. Coordinates
+    // synthesized from integer columns so both engines see identical
+    // doubles.
+    "q147_kql_text_geo" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_id % 89 == 0
+          | | extend lon = (user_id % 360) - 180 + 0.25, lat = (event_id % 170) - 85 + 0.25
+          | | extend d = round(geo_distance_2points(lon, lat, 0.0, 0.0), 3),
+          |          inc = geo_point_in_circle(lon, lat, 10.0, 20.0, 5000000.0),
+          |          gh = geo_point_to_geohash(lon, lat, 6),
+          |          bk = strcat_array(bag_keys(props), ',')
+          | | project event_id, d, inc, gh, bk
+          | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // single-step `scan` — Kusto's canonical running-accumulator form:
     // the step consumes every matching record, the additive
     // self-referencing assignment lowers to a running window sum, and a
@@ -952,6 +994,45 @@ object KqlQueries extends QueryModule {
           | | order by event_id asc""".stripMargin,
         _ => Tables.events(s, dir)))
   )
+
+  /** DuckDB mirror of the engine's pinned geohash unroll (same bit
+    * positions, same base32 alphabet) — generated from one Scala loop so
+    * the two sides cannot drift; the ALGORITHM itself is pinned by the
+    * compiler spec's canonical (-5.6, 42.6) → 'ezs42' vector. */
+  private def geohashSqlChars(prec: Int): String = {
+    val nBits = 5 * prec; val nLon = (nBits + 1) / 2; val nLat = nBits / 2
+    def bit(t: Int): String =
+      if (t % 2 == 0) s"((lon_i >> ${nLon - 1 - t / 2}) & 1)"
+      else s"((lat_i >> ${nLat - 1 - (t - 1) / 2}) & 1)"
+    (0 until prec).map { k =>
+      val v = (0 until 5).map(i => s"${bit(5 * k + i)} * ${1L << (4 - i)}").mkString(" + ")
+      s"substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST($v AS INT) + 1, 1)"
+    }.mkString(" || ")
+  }
+
+  private def geoOracle: String = {
+    val hav = (lonA: String, latA: String, lonB: String, latB: String) =>
+      s"""2 * 6371009 * asin(sqrt(
+            pow(sin(radians(($latB) - ($latA)) / 2), 2) +
+            cos(radians($latA)) * cos(radians($latB)) *
+            pow(sin(radians(($lonB) - ($lonA)) / 2), 2)))"""
+    s"""WITH pts AS (
+         SELECT event_id,
+                (user_id % 360) - 180 + 0.25 AS lon,
+                (event_id % 170) - 85 + 0.25 AS lat, props
+         FROM events WHERE event_id % 89 = 0),
+       g AS (
+         SELECT event_id, lon, lat, props,
+                least(CAST(floor((lon + 180) / 360 * ${1L << 15}) AS BIGINT), ${(1L << 15) - 1}) AS lon_i,
+                least(CAST(floor((lat + 90) / 180 * ${1L << 15}) AS BIGINT), ${(1L << 15) - 1}) AS lat_i
+         FROM pts)
+       SELECT event_id,
+              round(${hav("lon", "lat", "0", "0")}, 3) AS d,
+              ${hav("lon", "lat", "10.0", "20.0")} <= 5000000.0 AS inc,
+              ${geohashSqlChars(6)} AS gh,
+              array_to_string(list_sort(json_keys(props)), ',') AS bk
+       FROM g ORDER BY event_id"""
+  }
 
   override val oracles: Map[String, String] = Map(
     "q01_count" ->
@@ -1984,6 +2065,29 @@ object KqlQueries extends QueryModule {
          SELECT b, count(1) FILTER (hops = 1) AS n1, count(1) FILTER (hops = 2) AS n2
          FROM paths WHERE b LIKE 'p%'
          GROUP BY b ORDER BY b LIMIT 200""",
+
+    // single-source BFS distances ≤4 over the bipartite graph, unrolled
+    // one CTE per level; min hops per reached node = the shortest-paths
+    // output=any contract (walk minimum ≡ BFS distance)
+    "q146_kql_text_graph_sssp" ->
+      """WITH E AS (
+           SELECT DISTINCT src, dst FROM (
+             SELECT 'o' || CAST(l_orderkey AS VARCHAR) AS src,
+                    'p' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem
+             UNION ALL
+             SELECT 'p' || CAST(l_partkey AS VARCHAR),
+                    'o' || CAST(l_orderkey AS VARCHAR) FROM lineitem)),
+         r1 AS (SELECT DISTINCT dst AS n FROM E WHERE src = 'p1'),
+         r2 AS (SELECT DISTINCT e.dst AS n FROM E e JOIN r1 ON e.src = r1.n),
+         r3 AS (SELECT DISTINCT e.dst AS n FROM E e JOIN r2 ON e.src = r2.n),
+         r4 AS (SELECT DISTINCT e.dst AS n FROM E e JOIN r3 ON e.src = r3.n),
+         d AS (
+           SELECT n, 1 AS h FROM r1 UNION ALL SELECT n, 2 FROM r2
+           UNION ALL SELECT n, 3 FROM r3 UNION ALL SELECT n, 4 FROM r4),
+         md AS (SELECT n, CAST(min(h) AS BIGINT) AS hops FROM d GROUP BY n)
+         SELECT hops, count(1) AS n FROM md GROUP BY hops ORDER BY hops""",
+
+    "q147_kql_text_geo" -> geoOracle,
 
     "q124_kql_text_find" ->
       """SELECT * FROM (

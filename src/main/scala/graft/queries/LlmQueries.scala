@@ -2672,6 +2672,52 @@ object LlmQueries extends QueryModule {
     SELECT pair, sum(f)::BIGINT AS cnt FROM pairs GROUP BY pair
     ORDER BY cnt DESC, pair ASC LIMIT 20"""
 
+  // ------------------------------------ temperature mixture audit (q148)
+
+  /** α-temperature source re-weighting (the GPT-3/multilingual mixture
+    * rule): target sampling mass ∝ n_s^α (α=0.7), realized as per-source
+    * inclusion rates against a total budget of half the corpus, capped
+    * at 1; selection is the q55/q89 content-stable md5-bucket predicate
+    * (no rand()/seed state — re-runs and backfills select identical
+    * docs). Output: per-source corpus count, target keep rate, selected
+    * count. Shape: two tiny aggregates (sources ≈ dozens) + ONE corpus
+    * scan with the rate table broadcast — map-side selection, one
+    * partial/final count agg. */
+  private val mixtureAlpha = 0.7
+  private val temperatureMixtureSql = s"""
+    WITH src AS (SELECT source, cast(count(1) AS double) AS n FROM documents GROUP BY source),
+    tot AS (SELECT sum(pow(n, $mixtureAlpha)) AS z, sum(n) AS nn FROM src),
+    rates AS (SELECT source, n,
+                     least(1.0, 0.5 * tot.nn * pow(n, $mixtureAlpha) / tot.z / n) AS keep
+              FROM src CROSS JOIN tot),
+    sel AS (SELECT d.source,
+                   count(1) AS n_docs,
+                   count(1) FILTER (WHERE
+                     cast(conv(substr(md5(d.text), 1, 8), 16, 10) AS bigint) % 1000000
+                       / 1000000.0 < r.keep) AS n_sel
+            FROM documents d JOIN rates r ON d.source = r.source
+            GROUP BY d.source)
+    SELECT s.source, s.n_docs, round(r.keep, 6) AS keep_rate, s.n_sel
+    FROM sel s JOIN rates r ON s.source = r.source
+    ORDER BY s.source"""
+
+  private val temperatureMixtureOracle = s"""
+    WITH src AS (SELECT source, count(1)::DOUBLE AS n FROM documents GROUP BY source),
+    tot AS (SELECT sum(pow(n, $mixtureAlpha)) AS z, sum(n) AS nn FROM src),
+    rates AS (SELECT source, n,
+                     least(1.0, 0.5 * tot.nn * pow(n, $mixtureAlpha) / tot.z / n) AS keep
+              FROM src CROSS JOIN tot),
+    sel AS (SELECT d.source,
+                   count(1) AS n_docs,
+                   count(1) FILTER (
+                     ('0x' || substr(md5(d.text), 1, 8))::BIGINT % 1000000
+                       / 1000000.0 < r.keep) AS n_sel
+            FROM documents d JOIN rates r ON d.source = r.source
+            GROUP BY d.source)
+    SELECT s.source, s.n_docs, round(r.keep, 6) AS keep_rate, s.n_sel
+    FROM sel s JOIN rates r ON s.source = r.source
+    ORDER BY s.source"""
+
   // ----------------------------------------- quality classifier (q144)
 
   /** Distributed logistic-regression quality classifier (the GPT-3/
@@ -2913,7 +2959,8 @@ object LlmQueries extends QueryModule {
     "q134_byte_bpe_fertility" -> (byteBpeFertility(_, _)),
     "q121_quality_rules" -> sqlQuery(docs, qualityRulesSql),
     "q144_quality_classifier" -> (qualityClassifierQuery(_, _)),
-    "q145_pca_power" -> (pcaPowerQuery(_, _)))
+    "q145_pca_power" -> (pcaPowerQuery(_, _)),
+    "q148_temperature_mixture" -> sqlQuery(docs, temperatureMixtureSql))
 
   override val oracles: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -2967,5 +3014,6 @@ object LlmQueries extends QueryModule {
     "q130_exact_substring" -> exactSubstringOracle(),
     "q114_token_drift" -> tokenDriftOracle,
     "q144_quality_classifier" -> qualityClassifierOracle,
-    "q145_pca_power" -> pcaOracle)
+    "q145_pca_power" -> pcaOracle,
+    "q148_temperature_mixture" -> temperatureMixtureOracle)
 }

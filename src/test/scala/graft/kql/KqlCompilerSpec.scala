@@ -1535,6 +1535,39 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(("b", 1L, 1L), ("c", 2L, 1L), ("d", 3L, 1L)))
   }
 
+  test("graph-shortest-paths: min-hop winnow, output=any vs all") {
+    // diamond + long way: a→b→d (2 hops, two routes b/c) and a→e→f→d (3)
+    val g =
+      """let E = datatable(src: string, dst: string)[
+        |  'a', 'b', 'a', 'c', 'b', 'd', 'c', 'd',
+        |  'a', 'e', 'e', 'f', 'f', 'd'];
+        | E | make-graph src --> dst
+        |""".stripMargin
+    // any: ONE shortest a→d path, pinned to the min node-sequence (via b)
+    val any = runG2(g +
+      """|| graph-shortest-paths (s)-[e*1..4]->(t)
+         |   where s.node_id == 'a' and t.node_id == 'd'
+         |   project hops = array_length(e), mid = e[0].dst
+         |""".stripMargin).collect()
+    assert(any.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((2L, "b")))
+    // all: BOTH 2-hop paths survive, the 3-hop one never
+    val all = runG2(g +
+      """|| graph-shortest-paths output=all (s)-[e*1..4]->(t)
+         |   where s.node_id == 'a' and t.node_id == 'd'
+         |   project hops = array_length(e), mid = e[0].dst
+         || order by mid asc""".stripMargin).collect()
+    assert(all.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((2L, "b"), (2L, "c")))
+    // unconstrained: every reachable pair gets its shortest hop count
+    val pairs = runG2(g +
+      """|| graph-shortest-paths (s)-[e*1..4]->(t)
+         |   project s = s.node_id, t = t.node_id, hops = array_length(e)
+         || where s == 'a'
+         || order by t asc""".stripMargin).collect()
+    assert(pairs.map(r => (r.getString(1), r.getLong(2))).toSeq ==
+      Seq(("b", 1L), ("c", 1L), ("d", 2L), ("e", 1L), ("f", 2L)))
+  }
+
   test("graph-to-table and make-graph misuse are handled") {
     val nodes = runG2(
       """let E = datatable(src: string, dst: string)['a', 'b', 'b', 'c'];
@@ -1589,6 +1622,26 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.getString(13) == "1.02:03:04")
     assert(out.getString(14) == "01:30")
     assert(out.getString(15) == "-01:30")
+  }
+
+  test("scalar ring 9: geo distance/circle, geohash vectors, bag_keys") {
+    val out = run(
+      """t | where id == 1
+        | | project d0 = geo_distance_2points(0.0, 0.0, 0.0, 0.0),
+        |           deq = round(geo_distance_2points(0.0, 0.0, 1.0, 0.0), 0),
+        |           inc = geo_point_in_circle(0.5, 0.5, 0.0, 0.0, 100000.0),
+        |           outc = geo_point_in_circle(2.0, 2.0, 0.0, 0.0, 100000.0),
+        |           gh = geo_point_to_geohash(0.0 - 5.6, 42.6, 5),
+        |           gh2 = geo_point_to_geohash(0.0 - 5.603, 42.608, 8),
+        |           bk = strcat_array(bag_keys('{"b": 1, "a": {"x": 2}}'), ',')""".stripMargin)
+      .collect().head
+    assert(out.getDouble(0) == 0.0)
+    // 1 degree of longitude at the equator on R=6371009: ~111195 m
+    assert(math.abs(out.getDouble(1) - 111195.0) < 1.0)
+    assert(out.getBoolean(2) && !out.getBoolean(3))
+    assert(out.getString(4) == "ezs42") // canonical geohash test vector
+    assert(out.getString(5).startsWith("ezs42"))
+    assert(out.getString(6) == "a,b") // pinned sorted key order
   }
 
   test("scan state references outside the additive form are loud errors") {

@@ -224,6 +224,25 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
   }
 
+  test("q142/q143 graph-match: every hop is an equi-join (hash or broadcast), no cartesian") {
+    for (q <- Seq("q142_kql_text_graph_match", "q143_kql_text_graph_varlen")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: graph hops must stay equi-joins\n$p")
+      // hops are key-joins: HashJoin (shuffled or broadcast) present
+      assert(p.contains("HashJoin"), s"$q: expected hash equi-joins for hops")
+    }
+  }
+
+  test("q139 innerunique: left dedup aggregate shares the join key partitioning") {
+    val p = plan("q139_kql_text_innerunique")
+    // the dedup (partial_min over the row struct) must be present...
+    assert(p.contains("partial_min") || p.contains("min("), p)
+    // ...and no SortMergeJoin: both sides are user_id-hash-partitioned,
+    // so the join is a hash join over the dedup agg's own exchange
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("blanket sweep: NO CartesianProduct in any of the declared query plans") {
     // Nested-loop joins are allowed only as BROADCAST nested loops
     // (query samples, one-row scalars, codebook cross-scores — all
