@@ -1107,6 +1107,69 @@ object KqlCompiler {
         val plugin = ident()
         expect("(")
         plugin match {
+          case "activity_engagement" =>
+            // activity_engagement(IdCol, TimelineCol, InnerWindow,
+            // OuterWindow) — Kusto's engagement-ratio plugin (DAU/MAU
+            // when inner=1d outer=28d): per inner bin, distinct ids in
+            // the bin vs distinct ids in the TRAILING outer window.
+            // Scale shape: ONE distinct (id, bin) aggregate, then each
+            // activity explodes to the W = outer/inner bins whose
+            // trailing window it falls in (the sliding-distinct trick —
+            // W× row inflation on the DEDUPED activity table, never on
+            // raw events), one countDistinct per side, one join on the
+            // bin. W is capped loudly.
+            val idCol = ident(); expect(",")
+            val tsCol = ident(); expect(",")
+            val innerUs = timespanMicros(); expect(",")
+            val outerUs = timespanMicros()
+            expect(")")
+            if (innerUs <= 0 || outerUs % innerUs != 0)
+              throw new KqlParseException(
+                "activity_engagement: outer window must be a positive multiple of the inner window")
+            val w = (outerUs / innerUs).toInt
+            if (w > 256) throw new KqlParseException(
+              s"activity_engagement: outer/inner = $w windows (cap 256)")
+            val acts = df.select(col(idCol).as("__ae_id"),
+                floor(unix_micros(col(tsCol)) / lit(innerUs.toDouble)).cast("long").as("__ae_b"))
+              .distinct()
+            val inner = acts.groupBy(col("__ae_b"))
+              .agg(countDistinct(col("__ae_id")).as("dcount_activities_inner"))
+            val outer = acts
+              .select(col("__ae_id"),
+                explode(sequence(col("__ae_b"), col("__ae_b") + lit((w - 1).toLong))).as("__ae_c"))
+              .groupBy(col("__ae_c"))
+              .agg(countDistinct(col("__ae_id")).as("dcount_activities_outer"))
+            inner.join(outer, col("__ae_b") === col("__ae_c"))
+              .select(
+                timestamp_micros(col("__ae_b") * lit(innerUs)).as(tsCol),
+                col("dcount_activities_inner"),
+                col("dcount_activities_outer"),
+                (col("dcount_activities_inner").cast("double") /
+                  col("dcount_activities_outer")).as("activity_ratio"))
+          case "session_count" =>
+            // session_count(IdCol, TimelineCol, Bin, LookBack) — Kusto's
+            // session-counting plugin: an activity STARTS a session iff
+            // the same id had no activity within the preceding LookBack
+            // (prev == null or prev < ts − lookback, pinned); sessions
+            // are counted per Bin of their start time. ONE hash shuffle
+            // on the id (the lag window) + one bin aggregate.
+            val idCol = ident(); expect(",")
+            val tsCol = ident(); expect(",")
+            val binUs = timespanMicros(); expect(",")
+            val lookUs = timespanMicros()
+            expect(")")
+            if (binUs <= 0 || lookUs <= 0)
+              throw new KqlParseException("session_count: bin and lookback must be positive")
+            val wSpec = org.apache.spark.sql.expressions.Window
+              .partitionBy(col(idCol)).orderBy(col(tsCol).asc)
+            val us = unix_micros(col(tsCol))
+            val prevUs = lag(unix_micros(col(tsCol)), 1).over(wSpec)
+            df.withColumn("__sc_start",
+                prevUs.isNull || prevUs < unix_micros(col(tsCol)) - lit(lookUs))
+              .where(col("__sc_start"))
+              .groupBy(timestamp_micros(
+                (floor(us / lit(binUs.toDouble)).cast("long") * lit(binUs))).as(tsCol))
+              .agg(count(lit(1)).as("count_sessions"))
           case "pivot" =>
             val pcol = ident()
             expect(",")
@@ -1546,6 +1609,42 @@ object KqlCompiler {
               "graph-match requires a preceding make-graph"))
             pendingGraph = None
             runGraphPattern(g, None)
+          case "mark" =>
+            // `graph-mark-components [kind=weak] [with_component_id=Col]`
+            // — the third Kusto graph operator: labels every node with
+            // its (weakly) connected component. The graph STAYS pending
+            // with the augmented node table, exactly as in Kusto — follow
+            // with graph-to-table nodes, or graph-match where the
+            // component is a node property. Component id pinned to the
+            // MINIMUM node id in the component (take_any stance); the
+            // computation is the q41 machinery: alternating large-star/
+            // small-star contraction, O(log n) rounds on any graph shape,
+            // O(1) driver checksums only. kind=strong is a loud error
+            // (strongly connected components need a different algorithm).
+            expect("-"); expect("components")
+            val g = pendingGraph.getOrElse(throw new KqlParseException(
+              "graph-mark-components requires a preceding make-graph"))
+            var compCol = "ComponentId"
+            var more2 = true
+            while (more2) {
+              if (peekIs("kind")) {
+                expect("kind"); expect("=")
+                val k = ident()
+                if (k != "weak") throw new KqlParseException(
+                  s"graph-mark-components supports kind=weak only, got '$k'")
+              } else if (peekIs("with_component_id")) {
+                expect("with_component_id"); expect("="); compCol = ident()
+              } else more2 = false
+            }
+            val pairs = g.edges.select(col(g.srcCol), col(g.dstCol))
+            val comp = graft.queries.LlmQueries.connectedComponents(pairs)
+              .select(col("doc_id").as("__gmc_id"), col("cluster_rep").as(compCol))
+            val marked = g.nodes
+              .join(comp, g.nodes(g.idCol) === col("__gmc_id"), "left")
+              .withColumn(compCol, coalesce(col(compCol), g.nodes(g.idCol)))
+              .drop("__gmc_id")
+            pendingGraph = Some(g.copy(nodes = marked))
+            df
           case "shortest" =>
             // `graph-shortest-paths [output=any|all] (a)-[e*1..n]->(b)
             //  where … project …` — shortest path per (source, target)
@@ -2766,6 +2865,35 @@ object KqlCompiler {
           concat((when(raw < 0, lit("-")).otherwise(lit("")) :: pieces.result()): _*)
         }
       }
+      if (name == "format_bytes") {
+        // format_bytes(size[, precision]) — largest 1024-base unit with
+        // value ≥ 1, rounded HALF_UP to `precision` decimals (a parse-
+        // time literal). Digits are produced by INTEGER math (scale,
+        // round, split) so the string never goes through double
+        // formatting — engine and oracle agree digit-for-digit.
+        val e = expr()
+        val p = if (peekIs(",")) { expect(","); number() } else 0
+        expect(")")
+        if (p < 0 || p > 6) throw new KqlParseException(s"format_bytes precision must be 0..6, got $p")
+        return df => {
+          val v = e(df).cast("double")
+          val units = Seq("bytes", "KB", "MB", "GB", "TB", "PB", "EB")
+          val pow10 = math.pow(10, p).toLong
+          def fmt(scaled: Column, unit: String): Column = {
+            val n = round(scaled * pow10, 0).cast("long")
+            val digits =
+              if (p == 0) n.cast("string")
+              else concat(floor(n / pow10).cast("long").cast("string"), lit("."),
+                lpad(pmod(n, lit(pow10)).cast("string"), p, "0"))
+            concat(digits, lit(" " + unit))
+          }
+          // fold ASCENDING so the largest unit's test ends up outermost
+          (1 to 6).foldLeft(fmt(v, units.head)) { (acc, k) =>
+            val base = math.pow(1024.0, k)
+            when(v >= base, fmt(v / base, units(k))).otherwise(acc)
+          }
+        }
+      }
       if (name == "geo_point_to_geohash") {
         // geo_point_to_geohash(lon, lat, precision) — standard geohash:
         // precision is a parse-time literal, so the bit interleave
@@ -3273,6 +3401,10 @@ object KqlCompiler {
         case "minif" => arity(2); df => min(when(args(1)(df), args(0)(df)))
         case "maxif" => arity(2); df => max(when(args(1)(df), args(0)(df)))
         case "dcountif" => arity(2); df => countDistinct(when(args(1)(df), args(0)(df)))
+        // bitwise aggregates (Kusto binary_all_*; long-typed)
+        case "binary_all_or" => arity(1); df => bit_or(args.head(df).cast("long"))
+        case "binary_all_and" => arity(1); df => bit_and(args.head(df).cast("long"))
+        case "binary_all_xor" => arity(1); df => bit_xor(args.head(df).cast("long"))
         // Kusto substring(source, start[, length]) is 0-based; Column.substr is 1-based
         case "substring" =>
           if (args.length < 2 || args.length > 3)

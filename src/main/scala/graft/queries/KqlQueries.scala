@@ -913,6 +913,64 @@ object KqlQueries extends QueryModule {
           | | order by event_id asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // graph-mark-components at data scale over the customer→order star
+    // graph: components are per-customer stars (each order has ONE
+    // customer), so the oracle needs no recursion — the multi-hop merge
+    // algorithm itself is pinned by the chain/diamond spec fixtures and
+    // by q41's LSH-pair components. Component id = min node id ('c…' <
+    // 'o…' lexicographically, so the customer node labels its star).
+    "q149_kql_text_graph_components" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """let E = orders
+          |   | where o_orderkey % 3 == 0
+          |   | project src = strcat('c', tostring(o_custkey)), dst = strcat('o', tostring(o_orderkey));
+          | E
+          | | make-graph src --> dst
+          | | graph-mark-components with_component_id=comp
+          | | graph-to-table nodes
+          | | summarize n = count() by comp
+          | | order by comp asc
+          | | take 100""".stripMargin,
+        (n: String) => n match {
+          case "orders" => Tables.orders(s, dir)
+          case other => throw new IllegalArgumentException(other)
+        })),
+
+    // bitwise aggregate ring (binary_all_or/and/xor) + format_bytes
+    // (integer-math digit formatting, no double-to-string divergence)
+    "q150_kql_text_binagg" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | extend b = tolong(value * 100)
+          | | summarize all_or = binary_all_or(b), all_and = binary_all_and(b),
+          |             all_xor = binary_all_xor(b), n = count() by event_type
+          | | extend fb = format_bytes(all_or * 1000, 1), fb0 = format_bytes(all_and)
+          | | project event_type, all_or, all_and, all_xor, n, fb, fb0
+          | | order by event_type asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // activity_engagement — the DAU/WAU engagement ratio (inner 1d,
+    // outer trailing 7d): one distinct (id, bin) agg, W×-explode on the
+    // deduped activity table, two countDistincts, one bin join.
+    "q151_kql_text_engagement" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | evaluate activity_engagement(user_id, ts, 1d, 7d)
+          | | project ts, inner_n = dcount_activities_inner, outer_n = dcount_activities_outer,
+          |           ratio = round(activity_ratio, 6)
+          | | order by ts asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // session_count — sessions started per day with a 12h look-back:
+    // one id-keyed lag window + one bin aggregate.
+    "q152_kql_text_session_count" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | evaluate session_count(user_id, ts, 1d, 12h)
+          | | project ts, count_sessions
+          | | order by ts asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // single-step `scan` — Kusto's canonical running-accumulator form:
     // the step consumes every matching record, the additive
     // self-referencing assignment lowers to a running window sum, and a
@@ -1032,6 +1090,26 @@ object KqlQueries extends QueryModule {
               ${geohashSqlChars(6)} AS gh,
               array_to_string(list_sort(json_keys(props)), ',') AS bk
        FROM g ORDER BY event_id"""
+  }
+
+  /** DuckDB mirror of the engine's format_bytes integer-math digit
+    * formatting (see the compiler's pinned semantics). */
+  private def formatBytesSql(v: String, p: Int): String = {
+    val pow10 = math.pow(10, p).toLong
+    def fmt(scaled: String, unit: String) = {
+      val n = s"CAST(round(($scaled) * $pow10, 0) AS BIGINT)"
+      val digits =
+        if (p == 0) s"CAST($n AS VARCHAR)"
+        else s"CAST(CAST(floor($n / $pow10.0) AS BIGINT) AS VARCHAR) || '.' || " +
+          s"lpad(CAST($n % $pow10 AS VARCHAR), $p, '0')"
+      s"$digits || ' $unit'"
+    }
+    val units = Seq("bytes", "KB", "MB", "GB", "TB", "PB", "EB")
+    // fold ASCENDING so the largest unit's test ends up outermost
+    (1 to 6).foldLeft(fmt(v, "bytes")) { (acc, k) =>
+      val base = math.pow(1024.0, k).toLong
+      s"CASE WHEN ($v) >= $base THEN ${fmt(s"($v) / $base.0", units(k))} ELSE $acc END"
+    }
   }
 
   override val oracles: Map[String, String] = Map(
@@ -2088,6 +2166,47 @@ object KqlQueries extends QueryModule {
          SELECT hops, count(1) AS n FROM md GROUP BY hops ORDER BY hops""",
 
     "q147_kql_text_geo" -> geoOracle,
+
+    "q150_kql_text_binagg" -> s"""
+      WITH base AS (SELECT event_type, trunc(value * 100)::BIGINT AS b FROM events),
+      agg AS (SELECT event_type, bit_or(b) AS all_or, bit_and(b) AS all_and,
+                     bit_xor(b) AS all_xor, count(1) AS n
+              FROM base GROUP BY event_type)
+      SELECT event_type, all_or, all_and, all_xor, n,
+             ${formatBytesSql("all_or * 1000", 1)} AS fb,
+             ${formatBytesSql("all_and", 0)} AS fb0
+      FROM agg ORDER BY event_type""",
+
+    "q151_kql_text_engagement" ->
+      """WITH acts AS (
+           SELECT DISTINCT user_id AS id,
+                  CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS b
+           FROM events),
+         inner_t AS (SELECT b, count(DISTINCT id) AS inner_n FROM acts GROUP BY b),
+         outer_t AS (
+           SELECT b + d AS c, count(DISTINCT id) AS outer_n
+           FROM acts, unnest(range(7)) AS t(d)
+           GROUP BY b + d)
+         SELECT make_timestamp(b * 86400000000) AS ts, inner_n, outer_n,
+                round(inner_n::DOUBLE / outer_n, 6) AS ratio
+         FROM inner_t JOIN outer_t ON b = c ORDER BY ts""",
+
+    "q152_kql_text_session_count" ->
+      """WITH lagged AS (
+           SELECT ts, epoch_us(ts) AS us,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+           FROM events),
+         starts AS (SELECT * FROM lagged WHERE prev IS NULL OR prev < us - 43200000000)
+         SELECT make_timestamp(CAST(floor(us / 86400000000.0) AS BIGINT) * 86400000000) AS ts,
+                CAST(count(1) AS BIGINT) AS count_sessions
+         FROM starts GROUP BY 1 ORDER BY ts""",
+
+    // star components: node count per component = 1 customer + its orders
+    "q149_kql_text_graph_components" ->
+      """SELECT 'c' || CAST(o_custkey AS VARCHAR) AS comp,
+                CAST(count(1) + 1 AS BIGINT) AS n
+         FROM orders WHERE o_orderkey % 3 = 0
+         GROUP BY o_custkey ORDER BY comp LIMIT 100""",
 
     "q124_kql_text_find" ->
       """SELECT * FROM (

@@ -1568,6 +1568,38 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(("b", 1L), ("c", 1L), ("d", 2L), ("e", 1L), ("f", 2L)))
   }
 
+  test("graph-mark-components: weak components, min-id label, isolated nodes") {
+    // two chains (a-b-c, d-e) + isolated node z (in the nodes table only)
+    val out = runG2(
+      """let E = datatable(src: string, dst: string)[
+        |  'b', 'a', 'b', 'c', 'd', 'e'];
+        | let N = datatable(id: string, k: long)[
+        |  'a', 1, 'b', 2, 'c', 3, 'd', 4, 'e', 5, 'z', 6];
+        | E | make-graph src --> dst with N on id
+        | | graph-mark-components with_component_id=comp
+        | | graph-to-table nodes
+        | | order by id asc""".stripMargin).collect()
+    assert(out.map(r => (r.getString(0), r.getString(2))).toSeq == Seq(
+      ("a", "a"), ("b", "a"), ("c", "a"), ("d", "d"), ("e", "d"), ("z", "z")))
+    // the component is a node PROPERTY for a following graph-match
+    val m = runG2(
+      """let E = datatable(src: string, dst: string)['b', 'a', 'b', 'c', 'd', 'e'];
+        | E | make-graph src --> dst
+        | | graph-mark-components
+        | | graph-match (x)-[e]->(y)
+        |   where x.ComponentId == 'a'
+        |   project x = x.node_id, y = y.node_id
+        | | order by y asc""".stripMargin).collect()
+    assert(m.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("b", "a"), ("b", "c")))
+    // strong components are a loud error
+    assert(intercept[KqlParseException](runG2(
+      """let E = datatable(src: string, dst: string)['a', 'b'];
+        | E | make-graph src --> dst | graph-mark-components kind=strong
+        | | graph-to-table nodes""".stripMargin))
+      .getMessage.contains("weak"))
+  }
+
   test("graph-to-table and make-graph misuse are handled") {
     val nodes = runG2(
       """let E = datatable(src: string, dst: string)['a', 'b', 'b', 'c'];
@@ -1642,6 +1674,45 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.getString(4) == "ezs42") // canonical geohash test vector
     assert(out.getString(5).startsWith("ezs42"))
     assert(out.getString(6) == "a,b") // pinned sorted key order
+  }
+
+  test("binary_all_* aggregates and format_bytes") {
+    val agg = run(
+      "t | summarize o = binary_all_or(id), a = binary_all_and(id), x = binary_all_xor(id)")
+      .collect().head
+    assert((agg.getLong(0), agg.getLong(1), agg.getLong(2)) == (7L, 0L, 1L))
+    val fb = run(
+      """t | where id == 1
+        | | project a = format_bytes(500), b = format_bytes(1024),
+        |           c = format_bytes(4000), d = format_bytes(131072, 1),
+        |           e = format_bytes(1536, 2), f = format_bytes(1073741824, 1)""".stripMargin)
+      .collect().head
+    assert(fb.toSeq == Seq("500 bytes", "1 KB", "4 KB", "128.0 KB", "1.50 KB", "1.0 GB"))
+  }
+
+  test("activity_engagement / session_count plugins: hand-computed fixtures") {
+    val eng = runG2(
+      """let T = datatable(id: long, ts: datetime)[
+        |  1, datetime(2024-01-01), 2, datetime(2024-01-01),
+        |  1, datetime(2024-01-02),
+        |  1, datetime(2024-01-08)];
+        | T | evaluate activity_engagement(id, ts, 1d, 7d)
+        | | project d = format_datetime(ts, 'yyyy-MM-dd'), i = dcount_activities_inner,
+        |           o = dcount_activities_outer, r = activity_ratio
+        | | order by d asc""".stripMargin).collect()
+    assert(eng.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq ==
+      Seq(("2024-01-01", 2L, 2L, 1.0), ("2024-01-02", 1L, 2L, 0.5),
+          ("2024-01-08", 1L, 1L, 1.0)))
+    val sc = runG2(
+      """let T = datatable(id: long, ts: datetime)[
+        |  1, datetime(2024-01-01T00:00:00), 1, datetime(2024-01-01T06:00:00),
+        |  1, datetime(2024-01-01T20:00:00), 2, datetime(2024-01-02T00:00:00)];
+        | T | evaluate session_count(id, ts, 1d, 12h)
+        | | project d = format_datetime(ts, 'yyyy-MM-dd'), n = count_sessions
+        | | order by d asc""".stripMargin).collect()
+    // id1: 00:00 starts; 06:00 gap 6h — no; 20:00 gap 14h — starts. id2: starts.
+    assert(sc.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("2024-01-01", 2L), ("2024-01-02", 1L)))
   }
 
   test("scan state references outside the additive form are loud errors") {
