@@ -3539,6 +3539,119 @@ object KqlCompiler {
               map().cast("map<string,string>")).as("Query Parameters"),
             coalesce(parse_url(u, lit("REF")), lit("")).as("Fragment")))
         }
+        // ---- scalar ring 10: timespan/datetime constructors + ipv4
+        // formatting + regex/array utilities ----
+        // totimespan: timespan-typed (long micros) passthrough, or the
+        // Kusto string forms — '[+|-][d.]hh:mm:ss[.fff]' and the literal
+        // unit form '<num><unit>' (d/h/m/s/ms). Null on malformed input.
+        case "totimespan" => arity(1); df => {
+          val c = args.head(df)
+          if (dataTypeOf(df, c).contains(org.apache.spark.sql.types.StringType)) {
+            val s = trim(c)
+            val re = "^([+-]?)(?:(\\d+)\\.)?(\\d{1,2}):(\\d{1,2}):(\\d{1,2})(?:\\.(\\d{1,7}))?$"
+            val sign = when(regexp_extract(s, re, 1) === "-", lit(-1L)).otherwise(lit(1L))
+            def part(g: Int) =
+              coalesce(nullif(regexp_extract(s, re, g), lit("")), lit("0")).cast("long")
+            val frac = rpad(coalesce(nullif(regexp_extract(s, re, 6), lit("")), lit("0")),
+              6, "0").substr(lit(1), lit(6)).cast("long")
+            val reU = "^([+-]?\\d+(?:\\.\\d+)?)(d|h|m|s|ms)$"
+            val uv = regexp_extract(s, reU, 1).cast("double")
+            val um = when(regexp_extract(s, reU, 2) === "d", lit(86400000000L))
+              .when(regexp_extract(s, reU, 2) === "h", lit(3600000000L))
+              .when(regexp_extract(s, reU, 2) === "m", lit(60000000L))
+              .when(regexp_extract(s, reU, 2) === "s", lit(1000000L))
+              .otherwise(lit(1000L))
+            when(s.rlike(re),
+              sign * ((((part(2) * 24 + part(3)) * 60 + part(4)) * 60 + part(5)) * 1000000L + frac))
+              .when(s.rlike(reU), round(uv * um, 0).cast("long"))
+          } else c.cast("long")
+        }
+        // make_timespan(h,m) / (h,m,s) / (d,h,m,s) — seconds may be
+        // fractional; result is the engine's timespan repr (long micros)
+        case "make_timespan" =>
+          if (args.length < 2 || args.length > 4)
+            throw new KqlParseException("make_timespan() expects 2..4 arguments")
+          df => {
+            val cs = args.map(_(df).cast("double"))
+            val (d, h, m, sec) = args.length match {
+              case 2 => (lit(0.0), cs(0), cs(1), lit(0.0))
+              case 3 => (lit(0.0), cs(0), cs(1), cs(2))
+              case _ => (cs(0), cs(1), cs(2), cs(3))
+            }
+            round((((d * 24 + h) * 60 + m) * 60 + sec) * 1e6, 0).cast("long")
+          }
+        // make_datetime(y,mo,d[,h,mi,s]) — fractional seconds supported
+        // (lowered to Spark's make_timestamp; session tz is pinned UTC)
+        case "make_datetime" =>
+          if (args.length != 3 && args.length != 6)
+            throw new KqlParseException("make_datetime() expects 3 or 6 arguments")
+          df => {
+            val cs = args.map(_(df))
+            val full = if (args.length == 6) cs
+              else cs ++ Seq(lit(0), lit(0), lit(0.0))
+            call_function("make_timestamp",
+              full(0).cast("int"), full(1).cast("int"), full(2).cast("int"),
+              full(3).cast("int"), full(4).cast("int"), full(5).cast("decimal(16,6)"))
+          }
+        // unixtime_*_todatetime: epoch scalars (fractional allowed) →
+        // datetime at micros resolution (the engine tick)
+        case "unixtime_seconds_todatetime" => arity(1); df =>
+          timestamp_micros(round(args.head(df).cast("double") * 1e6, 0).cast("long"))
+        case "unixtime_milliseconds_todatetime" => arity(1); df =>
+          timestamp_micros(round(args.head(df).cast("double") * 1e3, 0).cast("long"))
+        case "unixtime_microseconds_todatetime" => arity(1); df =>
+          timestamp_micros(round(args.head(df).cast("double"), 0).cast("long"))
+        case "unixtime_nanoseconds_todatetime" => arity(1); df =>
+          timestamp_micros(floor(args.head(df).cast("double") / 1e3).cast("long"))
+        // format_ipv4 / format_ipv4_mask: long or string input, masked to
+        // the prefix (default 32); _mask appends '/p'. Mask arithmetic is
+        // the same exact-in-double power-of-two trick as parse_ipv4.
+        case "format_ipv4" | "format_ipv4_mask" =>
+          if (args.isEmpty || args.length > 2)
+            throw new KqlParseException(s"format_ipv4() expects 1 or 2 arguments")
+          val withMask = name == "format_ipv4_mask"
+          df => {
+            val c = args.head(df)
+            val p = (if (args.length == 2) args(1)(df) else lit(32)).cast("int")
+            val v0 =
+              if (dataTypeOf(df, c).contains(org.apache.spark.sql.types.StringType))
+                ipv4WithPrefix(c, lit(32))
+              else c.cast("long")
+            val m = pow(lit(2.0), lit(32) - p).cast("long")
+            val v = (v0 - pmod(v0, m)).cast("long")
+            val dotted = concat_ws(".",
+              ((v / 16777216L).cast("long") % 256L).cast("string"),
+              ((v / 65536L).cast("long") % 256L).cast("string"),
+              ((v / 256L).cast("long") % 256L).cast("string"),
+              (v % 256L).cast("string"))
+            val out = if (withMask) concat(dotted, lit("/"), p.cast("string")) else dotted
+            when(v0.isNull || p < 0 || p > 32, lit(null).cast("string")).otherwise(out)
+          }
+        // indexof_regex: 0-based offset of the first regex match, -1 absent
+        case "indexof_regex" => arity(2); df =>
+          (regexp_instr(args(0)(df), args(1)(df)) - lit(1)).cast("long")
+        // base64_decode_toarray → array of unsigned byte values (longs),
+        // via one hex round-trip (codegen'd; no UDF)
+        case "base64_decode_toarray" => arity(1); df => {
+          val hexs = hex(unbase64(args.head(df)))
+          when(args.head(df).isNull, lit(null).cast("array<long>"))
+            .when(length(hexs) === 0, array().cast("array<long>"))
+            .otherwise(transform(sequence(lit(0), (length(hexs) / 2 - 1).cast("int")),
+              i => conv(hexs.substr(i * 2 + 1, lit(2)), 16, 10).cast("long")))
+        }
+        // array_iff(condArray, a, b): elementwise conditional; a/b may be
+        // arrays (null-padded past their length, Kusto rule) or scalars
+        case "array_iff" | "array_case" if args.length == 3 => df => {
+          val condA = args(0)(df); val a = args(1)(df); val b = args(2)(df)
+          def isArr(c: Column) = dataTypeOf(df, c)
+            .exists(_.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+          val (aArr, bArr) = (isArr(a), isArr(b))
+          transform(condA, (c, i) => {
+            val av = if (aArr) try_element_at(a, i + 1) else a
+            val bv = if (bArr) try_element_at(b, i + 1) else b
+            when(c.cast("boolean"), av).otherwise(bv)
+          })
+        }
         // crypto hashes return lowercase hex strings, as in Kusto
         case "hash_sha256" => arity(1); df => sha2(args.head(df).cast("binary"), 256)
         case "hash_sha1" => arity(1); df => sha1(args.head(df).cast("binary"))

@@ -971,6 +971,32 @@ object KqlQueries extends QueryModule {
           | | order by ts asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // scalar ring 10: timespan/datetime constructors (totimespan string
+    // + unit forms, make_timespan, make_datetime, the unixtime_* epoch
+    // family), ipv4 formatting (format_ipv4 / _mask — the inverse of
+    // ring 8's parse_ipv4), indexof_regex, base64_decode_toarray (hex
+    // round-trip, no UDF) and elementwise array_iff. All codegen'd in
+    // the scan projection; zero shuffles beyond the final sort.
+    "q153_kql_text_scalar10" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_id % 101 == 0
+          | | extend ts1 = totimespan('1.02:03:04.5'),
+          |          ts2 = totimespan(strcat(tostring(user_id % 3), ':30:00')),
+          |          ts3 = totimespan('90m'),
+          |          mts = make_timespan(1, 2, 3, 4.5),
+          |          md = make_datetime(2024, 3, user_id % 25 + 1, 12, 30, 15),
+          |          ue = unixtime_seconds_todatetime(1700000000 + user_id),
+          |          um2 = unixtime_milliseconds_todatetime(1700000000123),
+          |          fip = format_ipv4(167772161 + user_id % 1000),
+          |          fmask = format_ipv4_mask(strcat('192.168.', tostring(user_id % 200), '.77'), 24),
+          |          ir = indexof_regex(strcat('ab', tostring(user_id % 10), 'x'), '[0-9]'),
+          |          barr = tostring(base64_decode_toarray(base64_encode_tostring(event_type))),
+          |          aiff = tostring(array_iff(pack_array(true, false, user_id % 2 == 0), pack_array(1, 2, 3), 0))
+          | | project event_id, ts1, ts2, ts3, mts, md, ue, um2, fip, fmask, ir, barr, aiff
+          | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // single-step `scan` — Kusto's canonical running-accumulator form:
     // the step consumes every matching record, the additive
     // self-referencing assignment lowers to a running window sum, and a
@@ -2215,6 +2241,26 @@ object KqlQueries extends QueryModule {
            UNION ALL
            SELECT 'errors', event_id, event_type, value FROM events
            WHERE event_type = 'error' AND value > 180)
+         ORDER BY event_id""",
+
+    // scalar ring 10: every constructor unrolled to its exact value
+    "q153_kql_text_scalar10" ->
+      """SELECT event_id,
+                CAST(93784500000 AS BIGINT) AS ts1,
+                CAST(((user_id % 3) * 3600 + 1800) * 1000000 AS BIGINT) AS ts2,
+                CAST(5400000000 AS BIGINT) AS ts3,
+                CAST(93784500000 AS BIGINT) AS mts,
+                make_timestamp(2024, 3, user_id % 25 + 1, 12, 30, 15.0) AS md,
+                make_timestamp((1700000000 + user_id) * 1000000) AS ue,
+                make_timestamp(1700000000123 * 1000) AS um2,
+                '10.0.' || CAST(((167772161 + user_id % 1000) // 256) % 256 AS VARCHAR)
+                        || '.' || CAST((167772161 + user_id % 1000) % 256 AS VARCHAR) AS fip,
+                '192.168.' || CAST(user_id % 200 AS VARCHAR) || '.0/24' AS fmask,
+                CAST(2 AS BIGINT) AS ir,
+                '[' || array_to_string(list_transform(range(1, length(event_type) + 1),
+                        i -> ord(substr(event_type, CAST(i AS INT), 1))), ',') || ']' AS barr,
+                CASE WHEN user_id % 2 = 0 THEN '[1,0,3]' ELSE '[1,0,0]' END AS aiff
+         FROM events WHERE event_id % 101 = 0
          ORDER BY event_id""",
 
     // keyed running scan = per-key running window sum in the scan order

@@ -1361,6 +1361,111 @@ object LlmQueries extends QueryModule {
            least(len(t) - start, 32) AS n_tokens
     FROM starts ORDER BY doc_id, chunk_id"""
 
+  /** Line-level cross-document dedup audit (q154) — the CCNet shard
+    * pass (Wenzek et al. 2020): normalize each line, hash it, drop every
+    * later occurrence of a line seen anywhere else in the corpus, report
+    * per-source retention. The synthetic corpus has no '\n', so the line
+    * segmenter is PINNED to 12-token segments (documented stand-in — in
+    * production the boundary function is the newline split; everything
+    * downstream is segmenter-agnostic). "First occurrence" is pinned to
+    * min (doc_id, line_idx) — deterministic under any parallelism, where
+    * CCNet's shard-order rule is not. Physical shape at 100 TB: one
+    * map-only segment explode, ONE window over the line-hash key (hash
+    * shuffle — the same class as q130's fingerprint window; a duplicated
+    * boilerplate line costs O(df), never O(df²)), one doc-keyed agg, one
+    * source-keyed agg. No pair join anywhere. */
+  private val lineDedupSql = """
+    WITH tok AS (SELECT doc_id, source, split(text, ' ') AS t FROM documents),
+    lines AS (
+      SELECT doc_id, source, start div 12 AS line_idx,
+             array_join(slice(t, start + 1, 12), ' ') AS line
+      FROM tok LATERAL VIEW explode(sequence(0, greatest(size(t) - 1, 0), 12)) AS start),
+    ranked AS (
+      SELECT doc_id, source, line,
+             row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, line_idx) AS occ
+      FROM lines),
+    perdoc AS (
+      SELECT doc_id, source, count(1) AS n_lines,
+             sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS kept,
+             sum(CASE WHEN occ = 1 THEN length(line) ELSE 0 END) AS kept_chars,
+             sum(length(line)) AS chars
+      FROM ranked GROUP BY doc_id, source)
+    SELECT source, count(1) AS docs, sum(n_lines) AS n_lines,
+           sum(n_lines - kept) AS dropped_lines,
+           round(sum(kept_chars) / sum(chars), 6) AS retained_frac,
+           sum(CASE WHEN kept = 0 THEN 1 ELSE 0 END) AS empty_docs
+    FROM perdoc GROUP BY source ORDER BY source"""
+
+  private val lineDedupOracle = """
+    WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+    lines AS (
+      SELECT doc_id, source, s.s // 12 AS line_idx,
+             array_to_string(t[s.s + 1 : s.s + 12], ' ') AS line
+      FROM tok, unnest(range(0, greatest(len(t) - 1, 0) + 1, 12)) AS s(s)),
+    ranked AS (
+      SELECT doc_id, source, line,
+             row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, line_idx) AS occ
+      FROM lines),
+    perdoc AS (
+      SELECT doc_id, source, count(1) AS n_lines,
+             sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS kept,
+             sum(CASE WHEN occ = 1 THEN length(line) ELSE 0 END) AS kept_chars,
+             sum(length(line)) AS chars
+      FROM ranked GROUP BY doc_id, source)
+    SELECT source, CAST(count(1) AS BIGINT) AS docs, CAST(sum(n_lines) AS BIGINT) AS n_lines,
+           CAST(sum(n_lines - kept) AS BIGINT) AS dropped_lines,
+           round(CAST(sum(kept_chars) AS DOUBLE) / sum(chars), 6) AS retained_frac,
+           CAST(sum(CASE WHEN kept = 0 THEN 1 ELSE 0 END) AS BIGINT) AS empty_docs
+    FROM perdoc GROUP BY source ORDER BY source"""
+
+  /** Tf-idf keyword extraction (q155): top-3 terms per sampled document
+    * by tf·idf with the smoothed idf ln((N+1)/(df+1))+1 (the
+    * scikit-learn pinning — no zero idf, no div-by-zero). Ranking is by
+    * the ROUNDED score (9 digits) then term — the ulp-drift-proof cut
+    * from the DSIR playbook, since Spark and the oracle disagree in the
+    * last ulp of ln(). Physical shape: the doc×term tf agg absorbs the
+    * Zipf head map-side; df is vocab-sized; the score join is term-keyed
+    * (broadcastable); the doc sample predicate lands BEFORE the join and
+    * window, so the expensive top-3 ranking only touches sampled docs
+    * while idf still sees the whole corpus. */
+  private val tfidfSql = """
+    WITH tok AS (SELECT doc_id, split(text, ' ') AS t FROM documents),
+    tf AS (SELECT doc_id, x AS term, count(1) AS tf
+           FROM tok LATERAL VIEW explode(t) AS x GROUP BY doc_id, x),
+    dfreq AS (SELECT term, count(1) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(1) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0) AS score
+      FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+      WHERE tf.doc_id % 20 = 0),
+    ranked AS (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY round(score, 9) DESC, term) AS rk
+      FROM scored)
+    SELECT doc_id, rk, term, round(score, 6) AS score
+    FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk"""
+
+  private val tfidfOracle = """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    tf AS (SELECT doc_id, u.term AS term, CAST(count(1) AS BIGINT) AS tf
+           FROM tok, unnest(t) AS u(term) GROUP BY doc_id, u.term),
+    dfreq AS (SELECT term, CAST(count(1) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(count(1) AS BIGINT) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0) AS score
+      FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+      WHERE tf.doc_id % 20 = 0),
+    ranked AS (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY round(score, 9) DESC, term) AS rk
+      FROM scored)
+    SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, round(score, 6) AS score
+    FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk"""
+
   /** Corpus-derived stopword filtering (q69): the top-20
     * document-frequency terms become the stoplist, and every document
     * reports how much of it survives their removal — the
@@ -2960,7 +3065,9 @@ object LlmQueries extends QueryModule {
     "q121_quality_rules" -> sqlQuery(docs, qualityRulesSql),
     "q144_quality_classifier" -> (qualityClassifierQuery(_, _)),
     "q145_pca_power" -> (pcaPowerQuery(_, _)),
-    "q148_temperature_mixture" -> sqlQuery(docs, temperatureMixtureSql))
+    "q148_temperature_mixture" -> sqlQuery(docs, temperatureMixtureSql),
+    "q154_line_dedup" -> sqlQuery(docs, lineDedupSql),
+    "q155_tfidf_keywords" -> sqlQuery(docs, tfidfSql))
 
   override val oracles: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -3015,5 +3122,7 @@ object LlmQueries extends QueryModule {
     "q114_token_drift" -> tokenDriftOracle,
     "q144_quality_classifier" -> qualityClassifierOracle,
     "q145_pca_power" -> pcaOracle,
-    "q148_temperature_mixture" -> temperatureMixtureOracle)
+    "q148_temperature_mixture" -> temperatureMixtureOracle,
+    "q154_line_dedup" -> lineDedupOracle,
+    "q155_tfidf_keywords" -> tfidfOracle)
 }
