@@ -1170,6 +1170,126 @@ object KqlCompiler {
               .groupBy(timestamp_micros(
                 (floor(us / lit(binUs.toDouble)).cast("long") * lit(binUs))).as(tsCol))
               .agg(count(lit(1)).as("count_sessions"))
+          case "sliding_window_counts" =>
+            // sliding_window_counts(IdCol, TimelineCol, Start, End,
+            // LookbackWindow, Bin) — Kusto's trailing-window count
+            // plugin: per bin t in [Start, End], Count = events and
+            // Dcount = distinct ids whose bin lands in (t−W, t]. Scale
+            // shape: each event explodes to the ≤W output bins of its
+            // trailing windows (W = lookback/bin, capped loudly), one
+            // count + countDistinct aggregate on the bin, one join to
+            // the distributed axis (spark.range) for the zero-filled
+            // rows — never a per-bin self-join or re-scan.
+            val idCol = ident(); expect(",")
+            val tsCol = ident(); expect(",")
+            val startI = pluginDatetime(); expect(",")
+            val endI = pluginDatetime(); expect(",")
+            val lookUs = timespanMicros(); expect(",")
+            val binUs = timespanMicros()
+            expect(")")
+            if (binUs <= 0 || lookUs % binUs != 0)
+              throw new KqlParseException(
+                "sliding_window_counts: lookback must be a positive multiple of bin")
+            val w = (lookUs / binUs).toInt
+            if (w > 256) throw new KqlParseException(
+              s"sliding_window_counts: lookback/bin = $w bins (cap 256)")
+            val startB = Math.floorDiv(startI.getEpochSecond * 1000000L + startI.getNano / 1000L, binUs)
+            val endB = Math.floorDiv(endI.getEpochSecond * 1000000L + endI.getNano / 1000L, binUs)
+            if (endB < startB || endB - startB > 1000000L)
+              throw new KqlParseException("sliding_window_counts: bad axis (empty or > 1e6 bins)")
+            val ev = df.select(col(idCol).as("__sw_id"),
+                floor(unix_micros(col(tsCol)) / lit(binUs.toDouble)).cast("long").as("__sw_b"))
+              .where(col("__sw_b").between(startB - w + 1, endB))
+            val contrib = ev.select(col("__sw_id"),
+              explode(sequence(greatest(col("__sw_b"), lit(startB)),
+                least(col("__sw_b") + lit((w - 1).toLong), lit(endB)))).as("__sw_t"))
+            val counts = contrib.groupBy(col("__sw_t"))
+              .agg(count(lit(1)).as("__sw_c"), countDistinct(col("__sw_id")).as("__sw_d"))
+            df.sparkSession.range(startB, endB + 1).toDF("__sw_axis")
+              .join(counts, col("__sw_axis") === col("__sw_t"), "left")
+              .select(
+                timestamp_micros(col("__sw_axis") * lit(binUs)).as(tsCol),
+                coalesce(col("__sw_c"), lit(0L)).as("Count"),
+                coalesce(col("__sw_d"), lit(0L)).as("Dcount"))
+          case "activity_counts_metrics" =>
+            // activity_counts_metrics(IdCol, TimelineCol, Start, End,
+            // Bin) — per bin: total activities, distinct ids, FIRST-seen
+            // ids (new_dcount) and the running distinct total
+            // (aggregated_dcount = cumulative sum of new_dcount; exact,
+            // since every id is new in exactly one bin). Scale shape:
+            // one bin aggregate on raw events + one min-bin aggregate on
+            // the id (both hash aggs), a bin join to the distributed
+            // axis, and ONE unkeyed running window over the ≤1e6-row
+            // AXIS — never over the data.
+            val idCol = ident(); expect(",")
+            val tsCol = ident(); expect(",")
+            val startI = pluginDatetime(); expect(",")
+            val endI = pluginDatetime(); expect(",")
+            val binUs = timespanMicros()
+            expect(")")
+            if (binUs <= 0)
+              throw new KqlParseException("activity_counts_metrics: bin must be positive")
+            val startB = Math.floorDiv(startI.getEpochSecond * 1000000L + startI.getNano / 1000L, binUs)
+            val endB = Math.floorDiv(endI.getEpochSecond * 1000000L + endI.getNano / 1000L, binUs)
+            if (endB < startB || endB - startB > 1000000L)
+              throw new KqlParseException("activity_counts_metrics: bad axis (empty or > 1e6 bins)")
+            val ev = df.select(col(idCol).as("__ac_id"),
+                floor(unix_micros(col(tsCol)) / lit(binUs.toDouble)).cast("long").as("__ac_b"))
+              .where(col("__ac_b").between(startB, endB))
+            val perBin = ev.groupBy(col("__ac_b"))
+              .agg(count(lit(1)).as("__ac_c"), countDistinct(col("__ac_id")).as("__ac_d"))
+            val firstSeen = ev.groupBy(col("__ac_id")).agg(min(col("__ac_b")).as("__ac_fb"))
+              .groupBy(col("__ac_fb")).agg(count(lit(1)).as("__ac_new"))
+            val axis = df.sparkSession.range(startB, endB + 1).toDF("__ac_axis")
+              .join(perBin, col("__ac_axis") === col("__ac_b"), "left")
+              .join(firstSeen, col("__ac_axis") === col("__ac_fb"), "left")
+              .select(col("__ac_axis"),
+                coalesce(col("__ac_c"), lit(0L)).as("count"),
+                coalesce(col("__ac_d"), lit(0L)).as("dcount"),
+                coalesce(col("__ac_new"), lit(0L)).as("new_dcount"))
+            axis.select(
+              timestamp_micros(col("__ac_axis") * lit(binUs)).as(tsCol),
+              col("count"), col("dcount"), col("new_dcount"),
+              sum(col("new_dcount")).over(
+                org.apache.spark.sql.expressions.Window.orderBy(col("__ac_axis"))
+                  .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+                .as("aggregated_dcount"))
+          case "rolling_percentile" =>
+            // rolling_percentile(ValueCol, Percentile, TimelineCol, Bin,
+            // BinsPerWindow) — per bin t, the exact interpolated
+            // percentile of ValueCol over the trailing BinsPerWindow
+            // bins (t−W, t]. Scale shape: each event explodes to its ≤W
+            // target bins (W capped at 64 — this inflates RAW rows, the
+            // heaviest plugin here) and ONE percentile aggregate runs
+            // per bin; bins whose trailing window is empty are absent,
+            // as in Kusto. Exact percentile, same kernel as
+            // summarize percentile().
+            val valCol = ident(); expect(",")
+            val pTok = next()
+            if (pTok.kind != "num")
+              throw new KqlParseException("rolling_percentile: percentile must be a number literal")
+            val p = pTok.text.toDouble
+            if (p < 0 || p > 100)
+              throw new KqlParseException(s"rolling_percentile: P must be 0..100, got $p")
+            expect(",")
+            val tsCol = ident(); expect(",")
+            val binUs = timespanMicros(); expect(",")
+            val wTok = next()
+            if (wTok.kind != "num")
+              throw new KqlParseException("rolling_percentile: BinsPerWindow must be a number literal")
+            val w = wTok.text.toInt
+            expect(")")
+            if (binUs <= 0 || w <= 0 || w > 64)
+              throw new KqlParseException(
+                s"rolling_percentile: BinsPerWindow must be 1..64 (got $w; raw-row inflation)")
+            val ev = df.select(col(valCol).as("__rp_v"),
+              floor(unix_micros(col(tsCol)) / lit(binUs.toDouble)).cast("long").as("__rp_b"))
+            val contrib = ev.select(col("__rp_v"),
+              explode(sequence(col("__rp_b"), col("__rp_b") + lit((w - 1).toLong))).as("__rp_t"))
+            contrib.groupBy(col("__rp_t"))
+              .agg(percentile(col("__rp_v"), lit(p / 100.0)).as(s"rolling_${p.toLong}_$valCol"))
+              .select(timestamp_micros(col("__rp_t") * lit(binUs)).as(tsCol),
+                col(s"rolling_${p.toLong}_$valCol"))
           case "pivot" =>
             val pcol = ident()
             expect(",")
@@ -2626,6 +2746,17 @@ object KqlCompiler {
     private def dataTypeOf(df: DataFrame, c: Column): Option[org.apache.spark.sql.types.DataType] =
       try Some(df.select(c).schema.head.dataType)
       catch { case scala.util.control.NonFatal(_) => None }
+
+    /** `datetime(...)` literal in plugin-argument position (the activity
+      * plugins' Start/End args): consumes the `datetime` keyword and the
+      * parenthesized literal, returns the Instant. */
+    private def pluginDatetime(): java.time.Instant = {
+      val kw = ident()
+      if (kw != "datetime")
+        throw new KqlParseException(s"expected a datetime(...) literal, got '$kw'")
+      expect("(")
+      datetimeLiteral()
+    }
 
     /** datetime(...) literal: either one quoted string or the raw ISO
       * token run up to ')' (the lexer splits `2024-01-15T10:00:00Z` into

@@ -997,6 +997,40 @@ object KqlQueries extends QueryModule {
           | | order by event_id asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // sliding_window_counts — the trailing-window traffic monitor
+    // (events + distinct users per day over a 7d lookback): W×-explode
+    // per event onto its target bins, one count+dcount agg, zero-filled
+    // from a distributed range axis.
+    "q156_kql_text_sliding_counts" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | evaluate sliding_window_counts(user_id, ts, datetime(2024-01-05), datetime(2024-01-25), 7d, 1d)
+          | | order by ts asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // activity_counts_metrics — per-day totals, distinct ids, first-seen
+    // ids and the exact running distinct total (cumulative sum of
+    // new_dcount over the axis — the only unkeyed window, on ≤1e6 axis
+    // rows, never on data).
+    "q157_kql_text_activity_metrics" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | evaluate activity_counts_metrics(user_id, ts, datetime(2024-01-05), datetime(2024-01-25), 1d)
+          | | order by ts asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // rolling_percentile — trailing-4×6h-window median of purchase
+    // values: W×-explode + ONE exact percentile agg per bin; bins with
+    // an empty trailing window are absent, as in Kusto.
+    "q158_kql_text_rolling_pctile" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_type == 'purchase'
+          | | evaluate rolling_percentile(value, 50, ts, 6h, 4)
+          | | project ts, r = round(rolling_50_value, 6)
+          | | order by ts asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // single-step `scan` — Kusto's canonical running-accumulator form:
     // the step consumes every matching record, the additive
     // self-referencing assignment lowers to a running window sum, and a
@@ -2262,6 +2296,53 @@ object KqlQueries extends QueryModule {
                 CASE WHEN user_id % 2 = 0 THEN '[1,0,3]' ELSE '[1,0,0]' END AS aiff
          FROM events WHERE event_id % 101 = 0
          ORDER BY event_id""",
+
+    // sliding_window_counts: bins are epoch days (bin = 1d); 2024-01-05
+    // = day 19727, 2024-01-25 = day 19747, W = 7
+    "q156_kql_text_sliding_counts" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS b FROM events),
+         contrib AS (
+           SELECT user_id, t.t AS t
+           FROM ev, unnest(range(greatest(b, 19727), least(b + 6, 19747) + 1)) AS t(t)
+           WHERE b BETWEEN 19721 AND 19747),
+         counts AS (SELECT t, CAST(count(1) AS BIGINT) AS c,
+                           CAST(count(DISTINCT user_id) AS BIGINT) AS d
+                    FROM contrib GROUP BY t),
+         axis AS (SELECT r.range AS t FROM range(19727, 19748) r)
+         SELECT make_timestamp(t * 86400000000) AS ts,
+                CAST(coalesce(c, 0) AS BIGINT) AS Count,
+                CAST(coalesce(d, 0) AS BIGINT) AS Dcount
+         FROM axis LEFT JOIN counts USING (t) ORDER BY ts""",
+
+    // activity_counts_metrics: first-seen = min bin per id within the
+    // [Start, End] slice (pinned); aggregated = running sum of new
+    "q157_kql_text_activity_metrics" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS b FROM events
+                     WHERE epoch_us(ts) // 86400000000 BETWEEN 19727 AND 19747),
+         per_bin AS (SELECT b, CAST(count(1) AS BIGINT) AS c,
+                            CAST(count(DISTINCT user_id) AS BIGINT) AS d
+                     FROM ev GROUP BY b),
+         fs AS (SELECT user_id, min(b) AS fb FROM ev GROUP BY user_id),
+         nw AS (SELECT fb, CAST(count(1) AS BIGINT) AS nd FROM fs GROUP BY fb),
+         axis AS (SELECT r.range AS t FROM range(19727, 19748) r),
+         joined AS (SELECT t, coalesce(c, 0) AS c, coalesce(d, 0) AS d, coalesce(nd, 0) AS nd
+                    FROM axis LEFT JOIN per_bin ON t = b LEFT JOIN nw ON t = fb)
+         SELECT make_timestamp(t * 86400000000) AS ts,
+                CAST(c AS BIGINT) AS "count", CAST(d AS BIGINT) AS dcount,
+                CAST(nd AS BIGINT) AS new_dcount,
+                CAST(sum(nd) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS aggregated_dcount
+         FROM joined ORDER BY ts""",
+
+    // rolling_percentile: trailing (t−4, t] 6h-bin window, exact
+    // interpolated median (quantile_cont = Spark percentile)
+    "q158_kql_text_rolling_pctile" ->
+      """WITH ev AS (SELECT value, epoch_us(ts) // 21600000000 AS b FROM events
+                     WHERE event_type = 'purchase'),
+         contrib AS (SELECT value, t.t AS t FROM ev, unnest(range(b, b + 4)) AS t(t))
+         SELECT make_timestamp(t * 21600000000) AS ts,
+                round(quantile_cont(value, 0.5), 6) AS r
+         FROM contrib GROUP BY t ORDER BY ts""",
 
     // keyed running scan = per-key running window sum in the scan order
     "q125_kql_text_scan_keyed" ->

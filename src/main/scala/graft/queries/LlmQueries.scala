@@ -1466,6 +1466,121 @@ object LlmQueries extends QueryModule {
     SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, round(score, 6) AS score
     FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk"""
 
+  /** Product-quantization ANN (q159) — the Jégou et al. 2011 memory-
+    * compressed ANN that completes the family (q25 brute / q26 LSH /
+    * q38+q62+q65 IVF / q76 int8 / q90 Matryoshka): the 64-dim space is
+    * cut into m=4 subspaces of 16 dims; each subspace trains an 8-entry
+    * codebook (deterministic vec_id<8 seeds + ONE Lloyd E/M round, the
+    * q64 pinning — seeds and means 6dp-rounded so both engines see
+    * identical codebooks); every vector encodes to 4 one-byte codes
+    * (16× compression); search is asymmetric-distance (ADC): per query,
+    * a 4×8 lookup table of exact subspace distances, then adc(v) =
+    * Σ_s LUT[s, code_v[s]]. Determinism: subspace folds are sequential
+    * IEEE left folds (q25 technique), argmins tie-break on (d2, cid),
+    * the 4-term ADC sum is four single-valued conditional sums added in
+    * FIXED order (never a float sum over an unordered group), ranking
+    * cuts on the 6dp-rounded distance then vec_id. Physical shape at
+    * 100 TB: codebook = 32 tiny rows (broadcast everywhere), encode =
+    * one broadcast-join pass over the vectors, the LUT is |Q|×32
+    * (broadcast), and the ADC join is (subspace, code)-keyed with a
+    * 4-rows-per-vector fan — the scan reads CODES (4 bytes/vec), never
+    * re-reads float vectors; nothing is ever all-pairs in the full
+    * 64-dim space. */
+  private val pqAnnSql = """
+    WITH emb AS (SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS e
+                 FROM embeddings),
+    seeds AS (
+      SELECT sp, c.vec_id AS cid,
+             transform(sequence(0, 15), i -> round(element_at(c.e, sp * 16 + i + 1), 6)) AS svec
+      FROM emb c LATERAL VIEW explode(sequence(0, 3)) s AS sp
+      WHERE c.vec_id < 8),
+    ed AS (
+      SELECT v.vec_id AS vid, sd.sp, sd.cid,
+             aggregate(zip_with(slice(v.e, sd.sp * 16 + 1, 16), sd.svec,
+                                (x, y) -> (x - y) * (x - y)),
+                       cast(0.0 AS double), (s, x) -> s + x) AS d2
+      FROM emb v CROSS JOIN seeds sd),
+    assign AS (SELECT vid, sp, min_by(cid, struct(d2, cid)) AS cid FROM ed GROUP BY vid, sp),
+    cb_rows AS (
+      SELECT a.sp, a.cid, p.pos, round(avg(element_at(v.e, a.sp * 16 + p.pos + 1)), 6) AS cv
+      FROM assign a JOIN emb v ON a.vid = v.vec_id
+      LATERAL VIEW explode(sequence(0, 15)) p AS pos
+      GROUP BY a.sp, a.cid, p.pos),
+    cb AS (SELECT sp, cid,
+                  transform(sort_array(collect_list(struct(pos, cv))), s -> s.cv) AS cvec
+           FROM cb_rows GROUP BY sp, cid),
+    enc_d AS (
+      SELECT v.vec_id AS vid, cb.sp, cb.cid,
+             aggregate(zip_with(slice(v.e, cb.sp * 16 + 1, 16), cb.cvec,
+                                (x, y) -> (x - y) * (x - y)),
+                       cast(0.0 AS double), (s, x) -> s + x) AS d2
+      FROM emb v CROSS JOIN cb),
+    codes AS (SELECT vid, sp, min_by(cid, struct(d2, cid)) AS code FROM enc_d GROUP BY vid, sp),
+    lut AS (SELECT vid AS qid, sp, cid, d2 FROM enc_d WHERE vid % 100 = 0),
+    adc AS (
+      SELECT l.qid, c.vid,
+             sum(CASE WHEN c.sp = 0 THEN l.d2 END) + sum(CASE WHEN c.sp = 1 THEN l.d2 END) +
+             sum(CASE WHEN c.sp = 2 THEN l.d2 END) + sum(CASE WHEN c.sp = 3 THEN l.d2 END) AS adc
+      FROM codes c JOIN lut l ON c.sp = l.sp AND c.code = l.cid
+      WHERE c.vid != l.qid
+      GROUP BY l.qid, c.vid),
+    ranked AS (
+      SELECT qid, vid, adc,
+             row_number() OVER (PARTITION BY qid ORDER BY round(adc, 6), vid) AS rk
+      FROM adc)
+    SELECT qid, rk, vid AS vec_id, round(adc, 6) AS adc
+    FROM ranked WHERE rk <= 5 ORDER BY qid, rk"""
+
+  private val pqAnnOracle = """
+    WITH emb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+                 FROM embeddings),
+    seeds AS (
+      SELECT s.sp AS sp, c.vec_id AS cid,
+             list_transform(range(0, 16), i -> round(c.e[s.sp * 16 + i + 1], 6)) AS svec
+      FROM emb c, unnest(range(0, 4)) AS s(sp)
+      WHERE c.vec_id < 8),
+    ed AS (
+      SELECT v.vec_id AS vid, sd.sp, sd.cid,
+             list_reduce(list_transform(range(0, 16),
+                 i -> (v.e[sd.sp * 16 + i + 1] - sd.svec[i + 1])
+                    * (v.e[sd.sp * 16 + i + 1] - sd.svec[i + 1])),
+               (s, x) -> s + x) AS d2
+      FROM emb v CROSS JOIN seeds sd),
+    assign AS (
+      SELECT vid, sp, cid FROM (
+        SELECT vid, sp, cid, row_number() OVER (PARTITION BY vid, sp ORDER BY d2, cid) AS rn
+        FROM ed) WHERE rn = 1),
+    cb_rows AS (
+      SELECT a.sp, a.cid, p.pos AS pos, round(avg(v.e[a.sp * 16 + p.pos + 1]), 6) AS cv
+      FROM assign a JOIN emb v ON a.vid = v.vec_id, unnest(range(0, 16)) AS p(pos)
+      GROUP BY a.sp, a.cid, p.pos),
+    cb AS (SELECT sp, cid, list(cv ORDER BY pos) AS cvec FROM cb_rows GROUP BY sp, cid),
+    enc_d AS (
+      SELECT v.vec_id AS vid, cb.sp, cb.cid,
+             list_reduce(list_transform(range(0, 16),
+                 i -> (v.e[cb.sp * 16 + i + 1] - cb.cvec[i + 1])
+                    * (v.e[cb.sp * 16 + i + 1] - cb.cvec[i + 1])),
+               (s, x) -> s + x) AS d2
+      FROM emb v CROSS JOIN cb),
+    codes AS (
+      SELECT vid, sp, cid AS code FROM (
+        SELECT vid, sp, cid, row_number() OVER (PARTITION BY vid, sp ORDER BY d2, cid) AS rn
+        FROM enc_d) WHERE rn = 1),
+    lut AS (SELECT vid AS qid, sp, cid, d2 FROM enc_d WHERE vid % 100 = 0),
+    adc AS (
+      SELECT l.qid, c.vid,
+             sum(CASE WHEN c.sp = 0 THEN l.d2 END) + sum(CASE WHEN c.sp = 1 THEN l.d2 END) +
+             sum(CASE WHEN c.sp = 2 THEN l.d2 END) + sum(CASE WHEN c.sp = 3 THEN l.d2 END) AS adc
+      FROM codes c JOIN lut l ON c.sp = l.sp AND c.code = l.cid
+      WHERE c.vid != l.qid
+      GROUP BY l.qid, c.vid),
+    ranked AS (
+      SELECT qid, vid, adc,
+             row_number() OVER (PARTITION BY qid ORDER BY round(adc, 6), vid) AS rk
+      FROM adc)
+    SELECT qid, CAST(rk AS BIGINT) AS rk, vid AS vec_id, round(adc, 6) AS adc
+    FROM ranked WHERE rk <= 5 ORDER BY qid, rk"""
+
   /** Corpus-derived stopword filtering (q69): the top-20
     * document-frequency terms become the stoplist, and every document
     * reports how much of it survives their removal — the
@@ -3067,7 +3182,8 @@ object LlmQueries extends QueryModule {
     "q145_pca_power" -> (pcaPowerQuery(_, _)),
     "q148_temperature_mixture" -> sqlQuery(docs, temperatureMixtureSql),
     "q154_line_dedup" -> sqlQuery(docs, lineDedupSql),
-    "q155_tfidf_keywords" -> sqlQuery(docs, tfidfSql))
+    "q155_tfidf_keywords" -> sqlQuery(docs, tfidfSql),
+    "q159_pq_ann" -> sqlQuery(embs, pqAnnSql))
 
   override val oracles: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -3124,5 +3240,6 @@ object LlmQueries extends QueryModule {
     "q145_pca_power" -> pcaOracle,
     "q148_temperature_mixture" -> temperatureMixtureOracle,
     "q154_line_dedup" -> lineDedupOracle,
-    "q155_tfidf_keywords" -> tfidfOracle)
+    "q155_tfidf_keywords" -> tfidfOracle,
+    "q159_pq_ann" -> pqAnnOracle)
 }

@@ -1715,6 +1715,75 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(("2024-01-01", 2L), ("2024-01-02", 1L)))
   }
 
+  test("sliding_window_counts / activity_counts_metrics / rolling_percentile: hand-computed fixtures") {
+    val sw = runG2(
+      """let T = datatable(id: long, ts: datetime)[
+        |  1, datetime(2024-01-01), 2, datetime(2024-01-01),
+        |  1, datetime(2024-01-03),
+        |  3, datetime(2024-01-05)];
+        | T | evaluate sliding_window_counts(id, ts, datetime(2024-01-02), datetime(2024-01-05), 3d, 1d)
+        | | project d = format_datetime(ts, 'yyyy-MM-dd'), Count, Dcount
+        | | order by d asc""".stripMargin).collect()
+    assert(sw.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("2024-01-02", 2L, 2L), ("2024-01-03", 3L, 2L),
+          ("2024-01-04", 1L, 1L), ("2024-01-05", 2L, 2L)))
+    val ac = runG2(
+      """let T = datatable(id: long, ts: datetime)[
+        |  1, datetime(2024-01-01), 2, datetime(2024-01-01),
+        |  1, datetime(2024-01-02),
+        |  3, datetime(2024-01-03)];
+        | T | evaluate activity_counts_metrics(id, ts, datetime(2024-01-01), datetime(2024-01-03), 1d)
+        | | order by ts asc""".stripMargin).collect()
+    assert(ac.map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq ==
+      Seq((2L, 2L, 2L, 2L), (1L, 1L, 0L, 2L), (1L, 1L, 1L, 3L)))
+    val rp = runG2(
+      """let T = datatable(v: real, ts: datetime)[
+        |  10.0, datetime(2024-01-01), 20.0, datetime(2024-01-02), 30.0, datetime(2024-01-03)];
+        | T | evaluate rolling_percentile(v, 50, ts, 1d, 2)
+        | | project d = format_datetime(ts, 'yyyy-MM-dd'), r = rolling_50_v
+        | | order by d asc""".stripMargin).collect()
+    assert(rp.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("2024-01-01", 10.0), ("2024-01-02", 15.0),
+          ("2024-01-03", 25.0), ("2024-01-04", 30.0)))
+    // caps are loud
+    assert(intercept[KqlParseException](runG2(
+      """let T = datatable(id: long, ts: datetime)[1, datetime(2024-01-01)];
+        | T | evaluate sliding_window_counts(id, ts, datetime(2024-01-01), datetime(2024-01-02), 300d, 1d)""".stripMargin))
+      .getMessage.contains("cap 256"))
+    assert(intercept[KqlParseException](runG2(
+      """let T = datatable(v: real, ts: datetime)[1.0, datetime(2024-01-01)];
+        | T | evaluate rolling_percentile(v, 50, ts, 1h, 100)""".stripMargin))
+      .getMessage.contains("1..64"))
+  }
+
+  test("scalar ring 10: timespan/datetime constructors, ipv4 formatting, regex index, byte arrays, array_iff") {
+    val r = run(
+      """t | where id == 1
+        | | project a = totimespan('1.02:03:04.5'), b = totimespan('0:01:30'),
+        |           c = totimespan('bogus'), d = totimespan('90m'),
+        |           e = make_timespan(1, 2, 3, 4.5),
+        |           m = format_datetime(make_datetime(2024, 1, 2, 3, 4, 5), 'yyyy-MM-dd HH:mm:ss'),
+        |           u = format_datetime(unixtime_seconds_todatetime(86400), 'yyyy-MM-dd HH:mm:ss'),
+        |           f = format_ipv4(3232235777), g = format_ipv4_mask('10.1.2.3', 24),
+        |           h = indexof_regex('hello world', 'o w'), i = indexof_regex('abc', 'z'),
+        |           j = tostring(base64_decode_toarray(base64_encode_tostring('Hi'))),
+        |           k = tostring(array_iff(pack_array(true, false), pack_array(10, 20), pack_array(1, 2)))""".stripMargin)
+      .collect().head
+    assert(r.getLong(0) == 93784500000L)
+    assert(r.getLong(1) == 90000000L)
+    assert(r.isNullAt(2))
+    assert(r.getLong(3) == 5400000000L)
+    assert(r.getLong(4) == 93784500000L)
+    assert(r.getString(5) == "2024-01-02 03:04:05")
+    assert(r.getString(6) == "1970-01-02 00:00:00")
+    assert(r.getString(7) == "192.168.1.1")
+    assert(r.getString(8) == "10.1.2.0/24")
+    assert(r.getLong(9) == 4L)
+    assert(r.getLong(10) == -1L)
+    assert(r.getString(11) == "[72,105]")
+    assert(r.getString(12) == "[10,2]")
+  }
+
   test("scan state references outside the additive form are loud errors") {
     assert(intercept[KqlParseException](run(
       """t | order by id asc
