@@ -1254,6 +1254,62 @@ object KqlCompiler {
                 org.apache.spark.sql.expressions.Window.orderBy(col("__ac_axis"))
                   .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
                 .as("aggregated_dcount"))
+          case "new_activity_metrics" =>
+            // new_activity_metrics(IdCol, TimelineCol, Start, End, Bin)
+            // — Kusto's cohort retention/churn matrix: the cohort NEW at
+            // window `from` (first appearance in the [Start, End] slice,
+            // pinned) is tracked at every window `to` ≥ from:
+            // retained = new-at-from ∩ active-at-to,
+            // churn = new-at-from ∖ active-at-to,
+            // retention_rate = retained/new, churn_rate = churn/new
+            // (0.0 when the cohort is empty, pinned). Scale shape: ONE
+            // distinct (id, bin) aggregate, one id-keyed join of
+            // activities to their cohort bin, ONE (from, to) hash agg —
+            // the id never fans out past its own activity count; the
+            // (from, to) matrix is axis², joined small-side and
+            // zero-filled, never data-sized.
+            val idCol = ident(); expect(",")
+            val tsCol = ident(); expect(",")
+            val startI = pluginDatetime(); expect(",")
+            val endI = pluginDatetime(); expect(",")
+            val binUs = timespanMicros()
+            expect(")")
+            if (binUs <= 0)
+              throw new KqlParseException("new_activity_metrics: bin must be positive")
+            val startB = Math.floorDiv(startI.getEpochSecond * 1000000L + startI.getNano / 1000L, binUs)
+            val endB = Math.floorDiv(endI.getEpochSecond * 1000000L + endI.getNano / 1000L, binUs)
+            if (endB < startB || endB - startB > 1024)
+              throw new KqlParseException(
+                "new_activity_metrics: bad axis (empty or > 1024 bins — the output is axis²)")
+            val acts = df.select(col(idCol).as("__na_id"),
+                floor(unix_micros(col(tsCol)) / lit(binUs.toDouble)).cast("long").as("__na_b"))
+              .where(col("__na_b").between(startB, endB))
+              .distinct()
+            val firstB = acts.groupBy(col("__na_id")).agg(min(col("__na_b")).as("__na_f"))
+            val ret = acts.join(firstB, "__na_id")
+              .groupBy(col("__na_f"), col("__na_b"))
+              .agg(countDistinct(col("__na_id")).as("__na_ret"))
+            val newPer = ret.where(col("__na_f") === col("__na_b"))
+              .select(col("__na_f").as("__na_nf"), col("__na_ret").as("__na_new"))
+            val axis = df.sparkSession.range(startB, endB + 1).toDF("__na_from")
+              .crossJoin(df.sparkSession.range(startB, endB + 1).toDF("__na_to"))
+              .where(col("__na_from") <= col("__na_to"))
+            axis
+              .join(newPer, col("__na_from") === col("__na_nf"), "left")
+              .join(ret, col("__na_from") === col("__na_f") && col("__na_to") === col("__na_b"), "left")
+              .select(
+                timestamp_micros(col("__na_from") * lit(binUs)).as(s"from_$tsCol"),
+                timestamp_micros(col("__na_to") * lit(binUs)).as(s"to_$tsCol"),
+                coalesce(col("__na_new"), lit(0L)).as("dcount_new_values"),
+                coalesce(col("__na_ret"), lit(0L)).as("dcount_retained_values"),
+                (coalesce(col("__na_new"), lit(0L)) - coalesce(col("__na_ret"), lit(0L)))
+                  .as("dcount_churn_values"),
+                when(coalesce(col("__na_new"), lit(0L)) === 0L, lit(0.0))
+                  .otherwise(coalesce(col("__na_ret"), lit(0L)).cast("double") /
+                    col("__na_new")).as("retention_rate"),
+                when(coalesce(col("__na_new"), lit(0L)) === 0L, lit(0.0))
+                  .otherwise((col("__na_new") - coalesce(col("__na_ret"), lit(0L))).cast("double") /
+                    col("__na_new")).as("churn_rate"))
           case "rolling_percentile" =>
             // rolling_percentile(ValueCol, Percentile, TimelineCol, Bin,
             // BinsPerWindow) — per bin t, the exact interpolated

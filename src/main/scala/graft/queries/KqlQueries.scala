@@ -1031,6 +1031,19 @@ object KqlQueries extends QueryModule {
           | | order by ts asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // new_activity_metrics — the cohort retention/churn matrix: cohort
+    // of first-seen ids per day, tracked across every later day. One
+    // distinct (id, bin) agg + one id-keyed join + one (from, to) agg;
+    // the axis² matrix (capped 1024 bins) is joined small-side.
+    "q160_kql_text_retention" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | evaluate new_activity_metrics(user_id, ts, datetime(2024-01-05), datetime(2024-01-12), 1d)
+          | | project from_ts, to_ts, dcount_new_values, dcount_retained_values, dcount_churn_values,
+          |           rr = round(retention_rate, 6), cr = round(churn_rate, 6)
+          | | order by from_ts asc, to_ts asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // single-step `scan` — Kusto's canonical running-accumulator form:
     // the step consumes every matching record, the additive
     // self-referencing assignment lowers to a running window sum, and a
@@ -2343,6 +2356,30 @@ object KqlQueries extends QueryModule {
          SELECT make_timestamp(t * 21600000000) AS ts,
                 round(quantile_cont(value, 0.5), 6) AS r
          FROM contrib GROUP BY t ORDER BY ts""",
+
+    // cohort retention matrix: first-seen bin per id within the slice,
+    // retained = cohort ∩ active-at-to, churn = cohort ∖ active-at-to
+    "q160_kql_text_retention" ->
+      """WITH acts AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS b FROM events
+                       WHERE epoch_us(ts) // 86400000000 BETWEEN 19727 AND 19734),
+         fs AS (SELECT user_id, min(b) AS f FROM acts GROUP BY user_id),
+         ret AS (SELECT f, b, CAST(count(DISTINCT a.user_id) AS BIGINT) AS r
+                 FROM acts a JOIN fs USING (user_id) GROUP BY f, b),
+         nw AS (SELECT f AS nf, r AS n FROM ret WHERE f = b),
+         axis AS (SELECT fa.range AS fr, ta.range AS tb
+                  FROM range(19727, 19735) fa, range(19727, 19735) ta
+                  WHERE fa.range <= ta.range)
+         SELECT make_timestamp(fr * 86400000000) AS from_ts,
+                make_timestamp(tb * 86400000000) AS to_ts,
+                CAST(coalesce(n, 0) AS BIGINT) AS dcount_new_values,
+                CAST(coalesce(r, 0) AS BIGINT) AS dcount_retained_values,
+                CAST(coalesce(n, 0) - coalesce(r, 0) AS BIGINT) AS dcount_churn_values,
+                round(CASE WHEN coalesce(n, 0) = 0 THEN 0.0
+                           ELSE coalesce(r, 0)::DOUBLE / n END, 6) AS rr,
+                round(CASE WHEN coalesce(n, 0) = 0 THEN 0.0
+                           ELSE (n - coalesce(r, 0))::DOUBLE / n END, 6) AS cr
+         FROM axis LEFT JOIN nw ON fr = nf LEFT JOIN ret ON fr = f AND tb = b
+         ORDER BY from_ts, to_ts""",
 
     // keyed running scan = per-key running window sum in the scan order
     "q125_kql_text_scan_keyed" ->

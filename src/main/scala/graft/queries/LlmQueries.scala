@@ -1581,6 +1581,56 @@ object LlmQueries extends QueryModule {
     SELECT qid, CAST(rk AS BIGINT) AS rk, vid AS vec_id, round(adc, 6) AS adc
     FROM ranked WHERE rk <= 5 ORDER BY qid, rk"""
 
+  /** CCNet perplexity-bucket mixture audit (q161) — Wenzek et al.
+    * 2020's head/middle/tail split: score every document by its
+    * cross-entropy under a corpus unigram LM (add-one smoothing — the
+    * in-corpus stand-in for CCNet's external KenLM), cut the corpus at
+    * the exact cross-entropy terciles, report per-(source, bucket) doc
+    * counts and mean score. Determinism: per-doc cross-entropy is
+    * ROUNDED to 9dp before the tercile cut and bucket compare (the
+    * group-avg float-order guard), thresholds are the same exact
+    * interpolated percentile both engines pin. Physical shape at
+    * 100 TB: the token explode feeds ONE vocab-sized hash agg
+    * (Zipf head absorbs map-side) and ONE doc-keyed avg; the LM join is
+    * vocab-keyed; the tercile thresholds are ONE aggregated row
+    * broadcast back (the q51 corpus-stats trick) — no sort of the
+    * corpus, no driver loop. */
+  private val ppxBucketSql = """
+    WITH tok AS (SELECT doc_id, source, split(text, ' ') AS t FROM documents),
+    words AS (SELECT doc_id, source, x AS w FROM tok LATERAL VIEW explode(t) AS x),
+    vocab AS (SELECT w, count(1) AS c FROM words GROUP BY w),
+    tot AS (SELECT sum(c) AS n, count(1) AS v FROM vocab),
+    scored AS (
+      SELECT doc_id, source,
+             round(-avg(ln((c + 1.0) / (n + v))), 9) AS h
+      FROM words JOIN vocab USING (w) CROSS JOIN tot
+      GROUP BY doc_id, source),
+    th AS (SELECT percentile(h, 1.0/3) AS t1, percentile(h, 2.0/3) AS t2 FROM scored),
+    bucketed AS (
+      SELECT source,
+             CASE WHEN h <= t1 THEN 'head' WHEN h <= t2 THEN 'middle' ELSE 'tail' END AS bucket, h
+      FROM scored CROSS JOIN th)
+    SELECT source, bucket, count(1) AS n_docs, round(avg(h), 6) AS mean_h
+    FROM bucketed GROUP BY source, bucket ORDER BY source, bucket"""
+
+  private val ppxBucketOracle = """
+    WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+    words AS (SELECT doc_id, source, u.w AS w FROM tok, unnest(t) AS u(w)),
+    vocab AS (SELECT w, CAST(count(1) AS BIGINT) AS c FROM words GROUP BY w),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(1) AS BIGINT) AS v FROM vocab),
+    scored AS (
+      SELECT doc_id, source,
+             round(-avg(ln((c + 1.0) / (n + v))), 9) AS h
+      FROM words JOIN vocab USING (w) CROSS JOIN tot
+      GROUP BY doc_id, source),
+    th AS (SELECT quantile_cont(h, 1.0/3) AS t1, quantile_cont(h, 2.0/3) AS t2 FROM scored),
+    bucketed AS (
+      SELECT source,
+             CASE WHEN h <= t1 THEN 'head' WHEN h <= t2 THEN 'middle' ELSE 'tail' END AS bucket, h
+      FROM scored CROSS JOIN th)
+    SELECT source, bucket, CAST(count(1) AS BIGINT) AS n_docs, round(avg(h), 6) AS mean_h
+    FROM bucketed GROUP BY source, bucket ORDER BY source, bucket"""
+
   /** Corpus-derived stopword filtering (q69): the top-20
     * document-frequency terms become the stoplist, and every document
     * reports how much of it survives their removal — the
@@ -3183,7 +3233,8 @@ object LlmQueries extends QueryModule {
     "q148_temperature_mixture" -> sqlQuery(docs, temperatureMixtureSql),
     "q154_line_dedup" -> sqlQuery(docs, lineDedupSql),
     "q155_tfidf_keywords" -> sqlQuery(docs, tfidfSql),
-    "q159_pq_ann" -> sqlQuery(embs, pqAnnSql))
+    "q159_pq_ann" -> sqlQuery(embs, pqAnnSql),
+    "q161_ppx_buckets" -> sqlQuery(docs, ppxBucketSql))
 
   override val oracles: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -3241,5 +3292,6 @@ object LlmQueries extends QueryModule {
     "q148_temperature_mixture" -> temperatureMixtureOracle,
     "q154_line_dedup" -> lineDedupOracle,
     "q155_tfidf_keywords" -> tfidfOracle,
-    "q159_pq_ann" -> pqAnnOracle)
+    "q159_pq_ann" -> pqAnnOracle,
+    "q161_ppx_buckets" -> ppxBucketOracle)
 }

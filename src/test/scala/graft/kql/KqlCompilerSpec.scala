@@ -1756,6 +1756,22 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getMessage.contains("1..64"))
   }
 
+  test("new_activity_metrics: hand-computed cohort retention matrix") {
+    val m = runG2(
+      """let T = datatable(id: long, ts: datetime)[
+        |  1, datetime(2024-01-01), 2, datetime(2024-01-01),
+        |  1, datetime(2024-01-02), 3, datetime(2024-01-02)];
+        | T | evaluate new_activity_metrics(id, ts, datetime(2024-01-01), datetime(2024-01-02), 1d)
+        | | project f = format_datetime(from_ts, 'dd'), t = format_datetime(to_ts, 'dd'),
+        |           n = dcount_new_values, r = dcount_retained_values, c = dcount_churn_values,
+        |           rr = retention_rate
+        | | order by f asc, t asc""".stripMargin).collect()
+    assert(m.map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq ==
+      Seq(("01", "01", 2L, 2L, 0L, 1.0), ("01", "02", 2L, 1L, 1L, 0.5),
+          ("02", "02", 1L, 1L, 0L, 1.0)))
+  }
+
   test("scalar ring 10: timespan/datetime constructors, ipv4 formatting, regex index, byte arrays, array_iff") {
     val r = run(
       """t | where id == 1
