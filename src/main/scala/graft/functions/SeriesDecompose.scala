@@ -88,6 +88,49 @@ object SeriesDecompose {
       .otherwise(transform(xd, _ => lit(0.0)))
   }
 
+  /** Public `series_seasonal(x, period)` surface: the same per-phase-
+    * median component decompose uses, computed standalone. */
+  def seasonal(series: Column, period: Column): Column =
+    let1(dbl(series), xd => seasonalOf(xd, period))
+
+  /** `series_iir(x, b, a)` — recursive (infinite-impulse-response)
+    * filter, Kusto semantics: y[i] = (Σ_j b[j]·x[i−j] − Σ_{k≥1}
+    * a[k]·y[i−k]) / a[0]; out-of-range history reads 0. Sequential by
+    * nature — ONE aggregate fold over the index axis builds the output
+    * array (O(n·(|a|+|b|)) work per cell plus O(n²) array appends,
+    * axis-sized like the fill family — dashboard axes, not corpora). */
+  def iir(series: Column, bCoef: Column, aCoef: Column): Column = {
+    val x = dbl(series); val b = dbl(bCoef); val a = dbl(aCoef)
+    when(size(x) === 0, array().cast("array<double>"))
+      .otherwise(
+        aggregate(sequence(lit(0), size(x) - 1), array().cast("array<double>"), (ys, i) => {
+          val bsum = aggregate(sequence(lit(0), size(b) - 1), lit(0.0), (s, j) =>
+            s + element_at(b, (j + 1).cast("int")) *
+              when(i - j >= 0, element_at(x, (i - j + 1).cast("int"))).otherwise(lit(0.0)))
+          val asum = when(size(a) > 1,
+              aggregate(sequence(lit(1), size(a) - 1), lit(0.0), (s, k) =>
+                s + element_at(a, (k + 1).cast("int")) *
+                  when(i - k >= 0, element_at(ys, (i - k + 1).cast("int"))).otherwise(lit(0.0))))
+            .otherwise(lit(0.0))
+          concat(ys, array((bsum - asum) / element_at(a, 1)))
+        }))
+  }
+
+  /** Sequential IEEE left-fold dot product of two equal-length series
+    * (the q25 determinism technique); scalar second operand multiplies
+    * elementwise against the sum. */
+  def dotProduct(aS: Column, bS: Column): Column =
+    aggregate(zip_with(dbl(aS), dbl(bS), (x, y) => x * y), lit(0.0), (s, x) => s + x)
+
+  def magnitude(s: Column): Column =
+    sqrt(aggregate(dbl(s), lit(0.0), (acc, x) => acc + x * x))
+
+  /** Cosine similarity; 0.0 when either magnitude is zero (pinned —
+    * deterministic where the 0/0 form is undefined). */
+  def cosineSimilarity(aS: Column, bS: Column): Column =
+    let1(magnitude(aS) * magnitude(bS), denom =>
+      when(denom === 0.0, lit(0.0)).otherwise(dotProduct(aS, bS) / denom))
+
   /** Trend array over the de-seasonalized series `d` (bound reference). */
   private def trendOf(d: Column, kind: String): Column = {
     val n = size(d).cast("double")

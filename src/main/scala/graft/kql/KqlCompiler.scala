@@ -2684,6 +2684,29 @@ object KqlCompiler {
       when(ipStr.rlike(s"^$oct(\\.$oct){3}$$"), v - pmod(v, block))
     }
 
+    /** Canonical IPv6 form: lowercase, '::' expanded, every group
+      * zero-padded to 4 hex digits ('2001:0db8:…', 39 chars). Null on
+      * malformed input. Documented subset: no embedded dotted-IPv4
+      * tail, no zone index — the hex-groups grammar. All codegen'd
+      * string/array ops, no UDF. */
+    private def ipv6Canonical(c: Column): Column = {
+      val s = lower(trim(c))
+      val hasGap = s.contains("::")
+      val left = when(hasGap, substring_index(s, "::", 1)).otherwise(s)
+      val right = when(hasGap, substring_index(s, "::", -1)).otherwise(lit(""))
+      def groupsOf(part: Column) =
+        filter(split(part, ":"), g => length(g) > 0)
+      val l = groupsOf(left); val r = groupsOf(right)
+      val mid = when(hasGap, greatest(lit(8) - size(l) - size(r), lit(0))).otherwise(lit(0))
+      val all = concat(l, array_repeat(lit("0"), mid), r)
+      val shapeOk = s.rlike("^[0-9a-f:]+$") &&
+        size(split(s, "::", -1)) <= 2 &&
+        (hasGap || size(l) === 8) &&
+        size(all) === 8 &&
+        forall(all, g => length(g) <= 4)
+      when(shapeOk, array_join(transform(all, g => lpad(g, 4, "0")), ":"))
+    }
+
     /** Haversine distance in meters on the IUGG mean-radius sphere —
       * the pinned geo_distance_2points semantics (see ring-9 note). */
     private def haversineM(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column = {
@@ -3427,6 +3450,27 @@ object KqlCompiler {
                     .otherwise(lit(0.0)) *
                   element_at(fn, (j + 1).cast("int"))))
           }
+        // ---- series ring 4: vector algebra + seasonal/IIR ----
+        case "series_dot_product" => arity(2); df => {
+          val (a, b) = (args(0)(df), args(1)(df))
+          import org.apache.spark.sql.types.ArrayType
+          if (dataTypeOf(df, b).exists(_.isInstanceOf[ArrayType]))
+            graft.functions.SeriesDecompose.dotProduct(a, b)
+          else // scalar operand: Σ aᵢ·s, same sequential fold
+            graft.functions.SeriesDecompose.dotProduct(a,
+              transform(a, _ => b.cast("double")))
+        }
+        case "series_magnitude" => arity(1); df =>
+          graft.functions.SeriesDecompose.magnitude(args.head(df))
+        case "series_cosine_similarity" => arity(2); df =>
+          graft.functions.SeriesDecompose.cosineSimilarity(args(0)(df), args(1)(df))
+        // series_seasonal(x, period) — the decompose per-phase-median
+        // component standalone; period is REQUIRED (autodetect -1 fails
+        // loudly, the decompose stance)
+        case "series_seasonal" => arity(2); df =>
+          graft.functions.SeriesDecompose.seasonal(args(0)(df), args(1)(df))
+        case "series_iir" => arity(3); df =>
+          graft.functions.SeriesDecompose.iir(args(0)(df), args(1)(df), args(2)(df))
         case "case" =>
           if (args.length < 3 || args.length % 2 == 0)
             throw new KqlParseException("case() expects p1, v1, …, default")
@@ -3692,6 +3736,57 @@ object KqlCompiler {
           when(a.isNull || b.isNull, lit(null).cast("long"))
             .otherwise(signum(a - b).cast("long"))
         }
+        // ---- ipv6 family (canonical-form string algebra; see
+        // ipv6Canonical for the pinned subset) ----
+        // parse_ipv6 → canonical form string (Kusto returns the
+        // canonical textual form; this engine's is zero-padded
+        // lowercase, deterministic and ordering-compatible)
+        case "parse_ipv6" => arity(1); df => ipv6Canonical(args.head(df))
+        case "ipv6_compare" => arity(2); df => {
+          // canonical zero-padded hex compares lexicographically ==
+          // numerically
+          val a = ipv6Canonical(substring_index(args(0)(df), "/", 1))
+          val b = ipv6Canonical(substring_index(args(1)(df), "/", 1))
+          when(a.isNull || b.isNull, lit(null).cast("long"))
+            .otherwise(when(a < b, lit(-1L)).when(a > b, lit(1L)).otherwise(lit(0L)))
+        }
+        case "ipv6_is_match" =>
+          if (args.length < 2 || args.length > 3)
+            throw new KqlParseException("ipv6_is_match() expects 2 or 3 arguments")
+          df => {
+            // effective prefix = min(arg prefix, either side's /p
+            // suffix, 128); compare the first p bits of the canonical
+            // nibble strings — whole nibbles by substring, the partial
+            // nibble by an exact power-of-two division
+            val rawA = args(0)(df); val rawB = args(1)(df)
+            def sfx(c: Column) =
+              when(c.contains("/"), substring_index(c, "/", -1).cast("int")).otherwise(lit(128))
+            val pArg = if (args.length == 3) args(2)(df).cast("int") else lit(128)
+            val p = least(sfx(rawA), sfx(rawB), pArg)
+            val ha = regexp_replace(ipv6Canonical(substring_index(rawA, "/", 1)), ":", "")
+            val hb = regexp_replace(ipv6Canonical(substring_index(rawB, "/", 1)), ":", "")
+            val full = (p / 4).cast("int")
+            val rem = pmod(p, lit(4))
+            def nib(h: Column) = coalesce(
+              floor(conv(h.substr(full + 1, lit(1)), 16, 10).cast("double") /
+                pow(lit(2.0), (lit(4) - rem).cast("double"))).cast("long"), lit(0L))
+            when(ha.isNull || hb.isNull || p < 0 || p > 128, lit(null).cast("boolean"))
+              .otherwise(ha.substr(lit(1), full) === hb.substr(lit(1), full) &&
+                (rem === 0 || nib(ha) === nib(hb)))
+          }
+        case "ipv4_is_match" =>
+          if (args.length < 2 || args.length > 3)
+            throw new KqlParseException("ipv4_is_match() expects 2 or 3 arguments")
+          df => {
+            val rawA = args(0)(df); val rawB = args(1)(df)
+            def sfx(c: Column) =
+              when(c.contains("/"), substring_index(c, "/", -1).cast("int")).otherwise(lit(32))
+            val pArg = if (args.length == 3) args(2)(df).cast("int") else lit(32)
+            val p = least(sfx(rawA), sfx(rawB), pArg)
+            val a = ipv4WithPrefix(substring_index(rawA, "/", 1), p)
+            val b = ipv4WithPrefix(substring_index(rawB, "/", 1), p)
+            when(a.isNull || b.isNull, lit(null).cast("boolean")).otherwise(a === b)
+          }
         // parse_version: up to 4 dot parts, ≤8 digits each, canonical
         // comparable DECIMAL(38,0) = parts zero-padded to 8 digits and
         // concatenated (Kusto's comparable-number contract); null on

@@ -1044,6 +1044,48 @@ object KqlQueries extends QueryModule {
           | | order by from_ts asc, to_ts asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // series ring 4 — vector algebra over make-series output
+    // (series_magnitude / dot_product / cosine_similarity, sequential
+    // IEEE folds), standalone series_seasonal (per-phase medians) and
+    // the recursive series_iir filter (y_i = x_i + 0.5·y_{i−1} here).
+    // All map-only array lambdas above the one make-series shuffle.
+    "q162_kql_text_series4" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | make-series v = count() default = 0 on ts from datetime(2024-01-01) to datetime(2024-01-29) step 1d by event_type
+          | | extend season = series_seasonal(v, 7),
+          |          yy = series_iir(v, pack_array(1.0), pack_array(1.0, -0.5))
+          | | project event_type,
+          |           mag = round(series_magnitude(v), 6),
+          |           smag = round(series_magnitude(season), 6),
+          |           dp = round(series_dot_product(v, season), 6),
+          |           cs = round(series_cosine_similarity(v, season), 6),
+          |           last_iir = round(todouble(yy[27]), 6)
+          | | order by event_type asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // ipv6 family — canonical-form parse (zero-padded lowercase, '::'
+    // expansion), three-way compare, prefix matching at bit granularity
+    // (whole nibbles by substring + one exact power-of-two division for
+    // the partial nibble), plus ipv4_is_match. All codegen'd string
+    // algebra in the scan projection.
+    "q163_kql_text_ipv6" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_id % 97 == 0
+          | | extend h = tohex(user_id % 65536)
+          | | extend ip6 = strcat('2001:db8::', h)
+          | | extend canon = parse_ipv6(ip6),
+          |          cmp = ipv6_compare(ip6, '2001:db8::8000'),
+          |          m1 = ipv6_is_match(ip6, '2001:db8::/32'),
+          |          m2 = ipv6_is_match(ip6, strcat('2001:0db8::', h), 128),
+          |          m3 = ipv6_is_match('2001:db9::1', ip6, 30),
+          |          m5 = ipv6_is_match('2001:db9::1', ip6, 32),
+          |          m4 = ipv4_is_match(strcat('10.0.', tostring(user_id % 200), '.9'), '10.0.128.0/17')
+          | | project event_id, canon, cmp, m1, m2, m3, m4, m5
+          | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // single-step `scan` — Kusto's canonical running-accumulator form:
     // the step consumes every matching record, the additive
     // self-referencing assignment lowers to a running window sum, and a
@@ -2380,6 +2422,60 @@ object KqlQueries extends QueryModule {
                            ELSE (n - coalesce(r, 0))::DOUBLE / n END, 6) AS cr
          FROM axis LEFT JOIN nw ON fr = nf LEFT JOIN ret ON fr = f AND tb = b
          ORDER BY from_ts, to_ts""",
+
+    // series ring 4: 28-day axis, per-phase-median seasonal (period 7,
+    // exactly 4 samples per phase → median = mean of middle two),
+    // sequential-fold vector algebra, IIR unrolled as a left fold
+    "q162_kql_text_series4" ->
+      """WITH axis AS (SELECT r.range AS d FROM range(0, 28) r),
+         types AS (SELECT DISTINCT event_type FROM events),
+         cnt AS (SELECT event_type,
+                        (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')) // 86400000000 AS d,
+                        CAST(count(1) AS BIGINT) AS c
+                 FROM events
+                 WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-29'
+                 GROUP BY 1, 2),
+         ser AS (SELECT t.event_type,
+                        list(CAST(coalesce(c, 0) AS DOUBLE) ORDER BY a.d) AS v
+                 FROM types t CROSS JOIN axis a
+                 LEFT JOIN cnt ON cnt.event_type = t.event_type AND cnt.d = a.d
+                 GROUP BY t.event_type),
+         med AS (SELECT event_type, v,
+                        list_transform(range(0, 7), ph ->
+                          (list_sort([v[ph+1], v[ph+8], v[ph+15], v[ph+22]])[2] +
+                           list_sort([v[ph+1], v[ph+8], v[ph+15], v[ph+22]])[3]) / 2.0) AS meds
+                 FROM ser),
+         sea AS (SELECT event_type, v,
+                        list_transform(range(0, 28), i -> meds[i % 7 + 1]) AS season
+                 FROM med),
+         calc AS (SELECT event_type,
+                         sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+                              (s, x) -> s + x)) AS mag,
+                         sqrt(list_reduce(list_prepend(0.0, list_transform(season, x -> x * x)),
+                              (s, x) -> s + x)) AS smag,
+                         list_reduce(list_prepend(0.0,
+                              list_transform(range(0, 28), i -> v[i+1] * season[i+1])),
+                              (s, x) -> s + x) AS dp,
+                         list_reduce(list_prepend(0.0, v), (acc, x) -> x + 0.5 * acc) AS liir
+                  FROM sea)
+         SELECT event_type, round(mag, 6) AS mag, round(smag, 6) AS smag,
+                round(dp, 6) AS dp,
+                round(CASE WHEN mag * smag = 0 THEN 0.0 ELSE dp / (mag * smag) END, 6) AS cs,
+                round(liir, 6) AS last_iir
+         FROM calc ORDER BY event_type""",
+
+    // ipv6 ring: canonical form and prefix matches derived from the
+    // SAME user_id arithmetic the engine-side strings are built from
+    "q163_kql_text_ipv6" ->
+      """SELECT event_id,
+                '2001:0db8:0000:0000:0000:0000:0000:' ||
+                  lpad(format('{:x}', user_id % 65536), 4, '0') AS canon,
+                CAST(CASE WHEN user_id % 65536 < 32768 THEN -1
+                          WHEN user_id % 65536 > 32768 THEN 1 ELSE 0 END AS BIGINT) AS cmp,
+                TRUE AS m1, TRUE AS m2, TRUE AS m3, FALSE AS m5,
+                (user_id % 200) >= 128 AS m4
+         FROM events WHERE event_id % 97 = 0
+         ORDER BY event_id""",
 
     // keyed running scan = per-key running window sum in the scan order
     "q125_kql_text_scan_keyed" ->

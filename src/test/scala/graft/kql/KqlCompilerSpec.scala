@@ -1800,6 +1800,47 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getString(12) == "[10,2]")
   }
 
+  test("series ring 4: iir recursion, seasonal, dot/magnitude/cosine — hand-computed") {
+    val r = run(
+      """t | where id == 1
+        | | project yy = tostring(series_iir(pack_array(1, 1, 1, 1), pack_array(1.0), pack_array(1.0, -0.5))),
+        |           season = tostring(series_seasonal(pack_array(1, 2, 3, 3, 4, 5), 3)),
+        |           mag = series_magnitude(pack_array(3, 4)),
+        |           dp = series_dot_product(pack_array(3, 4), pack_array(4, 3)),
+        |           cs = series_cosine_similarity(pack_array(3, 4), pack_array(4, 3)),
+        |           dps = series_dot_product(pack_array(3, 4), 2)""".stripMargin)
+      .collect().head
+    assert(r.getString(0) == "[1.0,1.5,1.75,1.875]")
+    assert(r.getString(1) == "[2.0,3.0,4.0,2.0,3.0,4.0]")
+    assert(r.getDouble(2) == 5.0)
+    assert(r.getDouble(3) == 24.0)
+    assert(r.getDouble(4) == 0.96)
+    assert(r.getDouble(5) == 14.0)
+  }
+
+  test("ipv6 family: canonical parse, compare, bit-granular prefix match") {
+    val r = run(
+      """t | where id == 1
+        | | project a = parse_ipv6('::1'), b = parse_ipv6('2001:DB8::FF'),
+        |           c = parse_ipv6('zz::1'), d = parse_ipv6('1:2:3:4:5:6:7:8:9'),
+        |           e = ipv6_compare('::1', '::2'), f = ipv6_compare('2001:db8::', '2001:0DB8:0:0:0:0:0:0'),
+        |           g = ipv6_is_match('2001:db8::1', '2001:db8::2', 126),
+        |           h = ipv6_is_match('2001:db8::1', '2001:db8::2', 127),
+        |           i = ipv4_is_match('10.1.2.3', '10.1.2.250', 24),
+        |           j = ipv4_is_match('10.1.2.3', '10.1.3.0/24')""".stripMargin)
+      .collect().head
+    assert(r.getString(0) == "0000:0000:0000:0000:0000:0000:0000:0001")
+    assert(r.getString(1) == "2001:0db8:0000:0000:0000:0000:0000:00ff")
+    assert(r.isNullAt(2))
+    assert(r.isNullAt(3))
+    assert(r.getLong(4) == -1L)
+    assert(r.getLong(5) == 0L)
+    assert(r.getBoolean(6))
+    assert(!r.getBoolean(7))
+    assert(r.getBoolean(8))
+    assert(!r.getBoolean(9))
+  }
+
   test("scan state references outside the additive form are loud errors") {
     assert(intercept[KqlParseException](run(
       """t | order by id asc
