@@ -3736,6 +3736,14 @@ object KqlCompiler {
           when(a.isNull || b.isNull, lit(null).cast("long"))
             .otherwise(signum(a - b).cast("long"))
         }
+        // parse_xml → dynamic (JSON text): the pinned element→bag
+        // mapping documented on graft.functions.XmlOps — one native
+        // codegen'd expression (JDK DOM, DTD/XXE disabled), null on
+        // malformed input; composes with postfix dynamic access.
+        case "parse_xml" => arity(1); df =>
+          org.apache.spark.sql.GraftColumnBridge.column(
+            graft.functions.XmlToJson(
+              org.apache.spark.sql.GraftColumnBridge.catalystExpression(args.head(df))))
         // ---- ipv6 family (canonical-form string algebra; see
         // ipv6Canonical for the pinned subset) ----
         // parse_ipv6 → canonical form string (Kusto returns the

@@ -1086,6 +1086,22 @@ object KqlQueries extends QueryModule {
           | | order by event_id asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // parse_xml — XML log payloads → dynamic: build XML from the event
+    // row, round-trip through the pinned element→bag mapping (native
+    // codegen'd JDK-DOM expression), extract typed fields back out via
+    // dynamic paths. Map-only.
+    "q165_kql_text_parsexml" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_id % 97 == 0
+          | | extend x = strcat('<row id="', tostring(event_id), '"><u>', tostring(user_id),
+          |                     '</u><t>', event_type, '</t><t>x</t><e/></row>')
+          | | extend j = parse_xml(x)
+          | | extend uid = tostring(j.row.u)
+          | | project event_id, j, uid
+          | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // single-step `scan` — Kusto's canonical running-accumulator form:
     // the step consumes every matching record, the additive
     // self-referencing assignment lowers to a running window sum, and a
@@ -2474,6 +2490,16 @@ object KqlQueries extends QueryModule {
                           WHEN user_id % 65536 > 32768 THEN 1 ELSE 0 END AS BIGINT) AS cmp,
                 TRUE AS m1, TRUE AS m2, TRUE AS m3, FALSE AS m5,
                 (user_id % 200) >= 128 AS m4
+         FROM events WHERE event_id % 97 = 0
+         ORDER BY event_id""",
+
+    // parse_xml: expected JSON reconstructed from the same columns
+    "q165_kql_text_parsexml" ->
+      """SELECT event_id,
+                '{"row":{"@id":"' || CAST(event_id AS VARCHAR) || '","u":"' ||
+                CAST(user_id AS VARCHAR) || '","t":["' || event_type ||
+                '","x"],"e":null}}' AS j,
+                CAST(user_id AS VARCHAR) AS uid
          FROM events WHERE event_id % 97 = 0
          ORDER BY event_id""",
 

@@ -1631,6 +1631,113 @@ object LlmQueries extends QueryModule {
     SELECT source, bucket, CAST(count(1) AS BIGINT) AS n_docs, round(avg(h), 6) AS mean_h
     FROM bucketed GROUP BY source, bucket ORDER BY source, bucket"""
 
+  /** MinHash-LSH dedup-quality audit (q164) — the eval harness every
+    * production dedup deployment runs (the q85 recall-audit idea, for
+    * the q22 pipeline): compare the LSH near-dup decision (band-bucket
+    * candidates + est-Jaccard ≥ 0.5 — exactly the q22 pipeline, band
+    * cap included) against ground truth = the q24 exact 3-gram Jaccard
+    * pipeline at ≥ 0.5. Reports candidate/truth/hit counts, precision
+    * and recall (pinned 1.0 on empty denominators). Both passes are the
+    * proven corpus-scale shapes: truth is the df-capped posting-list
+    * join (pairs sharing zero informative shingles never materialize;
+    * the cap may hide pathological boilerplate pairs — the documented
+    * q24 stance), candidates are the capped band buckets. An id-random
+    * doc sample would be WRONG here: near-dup pairs almost never
+    * co-survive random sampling (verified on the corpus — the %5 sample
+    * holds 0 of the 25 true pairs), so the audit joins two full
+    * scale-sane passes instead. */
+  private val dedupAuditSql = s"""
+    WITH sh AS (SELECT doc_id, word_shingle_hashes(text, 3) AS shs
+           FROM documents WHERE size(split(lower(text), '\\\\s+')) >= 3),
+    n AS (SELECT doc_id, cast(size(shs) AS bigint) AS cnt FROM sh),
+    ds AS (SELECT doc_id, sid FROM sh LATERAL VIEW explode(shs) st AS sid),
+    posting AS (SELECT sid, collect_list(doc_id) AS ids FROM ds GROUP BY sid
+                HAVING count(1) BETWEEN 2 AND $DocFreqCap),
+    common AS (
+      SELECT id_a, id_b, count(1) AS cm
+      FROM (SELECT a AS id_a, b AS id_b FROM posting
+            LATERAL VIEW explode(ids) ta AS a LATERAL VIEW explode(ids) tb AS b) p
+      WHERE id_a < id_b GROUP BY id_a, id_b),
+    exact AS (
+      SELECT id_a, id_b, cast(cm AS double) / (na.cnt + nb.cnt - cm) AS jaccard
+      FROM common JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id),
+    truth AS (SELECT id_a, id_b FROM exact WHERE jaccard >= 0.5),
+    sig AS (SELECT doc_id, minhash_sig(text) AS mh
+            FROM documents WHERE size(split(lower(text), '\\\\s+')) >= 3),
+    bands AS (
+      SELECT doc_id, b,
+             md5(concat_ws(',', cast(element_at(mh, b*3+1) AS string),
+                 cast(element_at(mh, b*3+2) AS string),
+                 cast(element_at(mh, b*3+3) AS string))) AS bh
+      FROM sig LATERAL VIEW explode(sequence(0, 3)) bt AS b),
+    bandsc AS (
+      SELECT doc_id, b, bh, count(1) OVER (PARTITION BY b, bh) AS bsz FROM bands),
+    cand0 AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandsc a JOIN bandsc b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+      WHERE a.bsz <= $BandCap),
+    cand AS (
+      SELECT c.id_a, c.id_b
+      FROM cand0 c JOIN sig sa ON c.id_a = sa.doc_id JOIN sig sb ON c.id_b = sb.doc_id
+      WHERE size(filter(sequence(0, 11), k -> element_at(sa.mh, k+1) = element_at(sb.mh, k+1)))
+              / cast(12 AS double) >= 0.5),
+    hit AS (SELECT c.id_a FROM cand c JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b),
+    cnts AS (SELECT (SELECT count(1) FROM truth) AS n_truth,
+                    (SELECT count(1) FROM cand) AS n_cand,
+                    (SELECT count(1) FROM hit) AS n_hit)
+    SELECT n_truth, n_cand, n_hit,
+           round(CASE WHEN n_cand = 0 THEN 1.0 ELSE cast(n_hit AS double) / n_cand END, 6) AS precision_,
+           round(CASE WHEN n_truth = 0 THEN 1.0 ELSE cast(n_hit AS double) / n_truth END, 6) AS recall_
+    FROM cnts"""
+
+  private val dedupAuditOracle = s"""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents),
+    shl AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(len(t)-2), i -> array_to_string(t[i+1:i+3], ' '))) AS shs
+      FROM toks WHERE len(t) >= 3),
+    ds AS (SELECT doc_id, unnest(shs) AS shingle FROM shl),
+    n AS (SELECT doc_id, count(1) AS cnt FROM ds GROUP BY doc_id),
+    dfs AS (SELECT shingle FROM ds GROUP BY shingle HAVING count(1) BETWEEN 2 AND $DocFreqCap),
+    dsf AS (SELECT ds.doc_id, ds.shingle FROM ds JOIN dfs USING (shingle)),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(1) AS cm
+      FROM dsf a JOIN dsf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    exact AS (
+      SELECT id_a, id_b, cm::DOUBLE / (na.cnt + nb.cnt - cm) AS jaccard
+      FROM common JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id),
+    truth AS (SELECT id_a, id_b FROM exact WHERE jaccard >= 0.5),
+    shingle_rows AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % $MinhashP AS hx
+      FROM (SELECT doc_id, unnest(shs) AS shingle FROM shl)),
+    sig AS (
+      SELECT doc_id,
+             [${minhashLanes(e => s"min($e)")}] AS mh
+      FROM shingle_rows GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, b, md5(concat_ws(',', mh[b*3+1]::VARCHAR, mh[b*3+2]::VARCHAR, mh[b*3+3]::VARCHAR)) AS bh
+      FROM sig, unnest(range(4)) AS bt(b)),
+    bandsc AS (
+      SELECT doc_id, b, bh, count(1) OVER (PARTITION BY b, bh) AS bsz FROM bands),
+    cand0 AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandsc a JOIN bandsc b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+      WHERE a.bsz <= $BandCap),
+    cand AS (
+      SELECT c.id_a, c.id_b
+      FROM cand0 c JOIN sig sa ON c.id_a = sa.doc_id JOIN sig sb ON c.id_b = sb.doc_id
+      WHERE len(list_filter(range(12), k -> sa.mh[k+1] = sb.mh[k+1])) / 12.0 >= 0.5),
+    hit AS (SELECT c.id_a FROM cand c JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b),
+    cnts AS (SELECT (SELECT count(1) FROM truth) AS n_truth,
+                    (SELECT count(1) FROM cand) AS n_cand,
+                    (SELECT count(1) FROM hit) AS n_hit)
+    SELECT CAST(n_truth AS BIGINT) AS n_truth, CAST(n_cand AS BIGINT) AS n_cand,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           round(CASE WHEN n_cand = 0 THEN 1.0 ELSE n_hit::DOUBLE / n_cand END, 6) AS precision_,
+           round(CASE WHEN n_truth = 0 THEN 1.0 ELSE n_hit::DOUBLE / n_truth END, 6) AS recall_
+    FROM cnts"""
+
   /** Corpus-derived stopword filtering (q69): the top-20
     * document-frequency terms become the stoplist, and every document
     * reports how much of it survives their removal — the
@@ -3234,7 +3341,8 @@ object LlmQueries extends QueryModule {
     "q154_line_dedup" -> sqlQuery(docs, lineDedupSql),
     "q155_tfidf_keywords" -> sqlQuery(docs, tfidfSql),
     "q159_pq_ann" -> sqlQuery(embs, pqAnnSql),
-    "q161_ppx_buckets" -> sqlQuery(docs, ppxBucketSql))
+    "q161_ppx_buckets" -> sqlQuery(docs, ppxBucketSql),
+    "q164_dedup_audit" -> sqlQuery(docs, dedupAuditSql))
 
   override val oracles: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -3293,5 +3401,6 @@ object LlmQueries extends QueryModule {
     "q154_line_dedup" -> lineDedupOracle,
     "q155_tfidf_keywords" -> tfidfOracle,
     "q159_pq_ann" -> pqAnnOracle,
-    "q161_ppx_buckets" -> ppxBucketOracle)
+    "q161_ppx_buckets" -> ppxBucketOracle,
+    "q164_dedup_audit" -> dedupAuditOracle)
 }

@@ -1841,6 +1841,20 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!r.getBoolean(9))
   }
 
+  test("parse_xml: pinned element-to-bag mapping") {
+    val r = run(
+      """t | where id == 1
+        | | project a = parse_xml('<r a="1"><u>7</u><t>x</t><t>y</t><e/></r>'),
+        |           b = parse_xml('<doc>hello</doc>'),
+        |           c = parse_xml('not xml'),
+        |           d = tostring(parse_xml('<r><u>7</u></r>').r.u)""".stripMargin)
+      .collect().head
+    assert(r.getString(0) == """{"r":{"@a":"1","u":"7","t":["x","y"],"e":null}}""")
+    assert(r.getString(1) == """{"doc":"hello"}""")
+    assert(r.isNullAt(2))
+    assert(r.getString(3) == "7")
+  }
+
   test("scan state references outside the additive form are loud errors") {
     assert(intercept[KqlParseException](run(
       """t | order by id asc
