@@ -1254,6 +1254,70 @@ object KqlCompiler {
                 org.apache.spark.sql.expressions.Window.orderBy(col("__ac_axis"))
                   .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
                 .as("aggregated_dcount"))
+          case "funnel_sequence" =>
+            // funnel_sequence(IdCol, TimelineCol, Start, End,
+            // MaxStepWindow, Bin, StateCol, dynamic(['s1', …, 'sk'])) —
+            // Kusto's before/after funnel analysis: find every
+            // occurrence of the exact state sequence in each id's
+            // serialized timeline (IMMEDIATELY consecutive events, each
+            // consecutive gap ≤ MaxStepWindow) and report what state
+            // came immediately before and after each occurrence.
+            // Pinned determinizations: serialization order is
+            // (ts, state) (Kusto leaves ties unspecified); overlapping
+            // occurrences each count; prev/next at the timeline edges
+            // are empty strings (oracle-comparable, never null-ordered);
+            // the occurrence is binned by ITS START time (the Bin arg).
+            // Kusto emits three result tables — pinned to the
+            // prev/next matrix (the primary one) keyed by
+            // (bin, prev, next) with sequence + id counts. Scale shape:
+            // ONE hash shuffle on the id (all lead/lag chains share the
+            // window), one (bin, prev, next) aggregate; never a
+            // self-join, never per-id arrays.
+            val idCol = ident(); expect(",")
+            val tsCol = ident(); expect(",")
+            val startI = pluginDatetime(); expect(",")
+            val endI = pluginDatetime(); expect(",")
+            val winUs = timespanMicros(); expect(",")
+            val binUs = timespanMicros(); expect(",")
+            val stCol = ident(); expect(",")
+            if (ident() != "dynamic")
+              throw new KqlParseException("funnel_sequence: sequence must be a dynamic(['…']) literal")
+            expect("("); expect("[")
+            val seq = sepBy1(() => {
+              val t = next()
+              if (t.kind != "str")
+                throw new KqlParseException("funnel_sequence: sequence elements must be string literals")
+              t.text
+            })
+            expect("]"); expect(")"); expect(")")
+            if (seq.isEmpty || seq.length > 16)
+              throw new KqlParseException("funnel_sequence: sequence must have 1..16 steps")
+            if (winUs <= 0 || binUs <= 0)
+              throw new KqlParseException("funnel_sequence: windows must be positive")
+            val k = seq.length
+            val startUs = startI.getEpochSecond * 1000000L + startI.getNano / 1000L
+            val endUs = endI.getEpochSecond * 1000000L + endI.getNano / 1000L
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col(idCol)).orderBy(col(tsCol).asc, col(stCol).asc)
+            val inRange = df.where(unix_micros(col(tsCol)).between(startUs, endUs))
+            val stateOk = (0 until k).map { i =>
+              (if (i == 0) col(stCol) else lead(col(stCol), i).over(w)) === lit(seq(i))
+            }.reduce(_ && _)
+            val gapsOk = (1 until k).map { i =>
+              (lead(unix_micros(col(tsCol)), i).over(w) -
+                lead(unix_micros(col(tsCol)), i - 1).over(w)) <= lit(winUs)
+            }.foldLeft(lit(true))(_ && _)
+            inRange
+              .withColumn("__fs_m", stateOk && gapsOk)
+              .withColumn("__fs_prev", coalesce(lag(col(stCol), 1).over(w), lit("")))
+              .withColumn("__fs_next", coalesce(lead(col(stCol), k).over(w), lit("")))
+              .where(col("__fs_m"))
+              .groupBy(
+                timestamp_micros(floor(unix_micros(col(tsCol)) / lit(binUs.toDouble))
+                  .cast("long") * lit(binUs)).as(tsCol),
+                col("__fs_prev").as("prev"), col("__fs_next").as("next"))
+              .agg(count(lit(1)).as("count_sequences"),
+                countDistinct(col(idCol)).as("dcount_ids"))
           case "new_activity_metrics" =>
             // new_activity_metrics(IdCol, TimelineCol, Start, End, Bin)
             // — Kusto's cohort retention/churn matrix: the cohort NEW at
@@ -2756,9 +2820,10 @@ object KqlCompiler {
         val steps = List.newBuilder[Either[String, Long]] // Left key / Right index
         while (peekIs(".") || peekIs("[")) {
           if (peekIs(".")) { expect("."); steps += Left(ident()) }
-          else { // array index: `.arr[0]` or chained `[0][1]`
-            expect("["); val i = number(); expect("]")
-            steps += Right(i)
+          else { // `[0]` array index, or `['key with spaces']` bag key
+            expect("[")
+            if (peek.exists(_.kind == "str")) { steps += Left(next().text); expect("]") }
+            else { val i = number(); expect("]"); steps += Right(i) }
           }
         }
         val ss = steps.result()
@@ -2780,8 +2845,11 @@ object KqlCompiler {
               case (c, Left(k)) => c.getField(k)
             }
           else {
-            val p = ss.map { case Left(k) => "." + k case Right(i) => s"[$i]" }
-              .mkString("$", "", "")
+            val p = ss.map {
+              case Left(k) if k.matches("[A-Za-z0-9_]+") => "." + k
+              case Left(k) => s"['$k']"
+              case Right(i) => s"[$i]"
+            }.mkString("$", "", "")
             get_json_object(b, p)
           }
         }
@@ -3941,6 +4009,42 @@ object KqlCompiler {
             val bv = if (bArr) try_element_at(b, i + 1) else b
             when(c.cast("boolean"), av).otherwise(bv)
           })
+        }
+        // parse_path → dynamic with Kusto's key set {Scheme, RootPath,
+        // DirectoryPath, DirectoryName, Filename, Extension,
+        // AlternateDataStreamName}: pure regex/substring algebra over
+        // both separator styles ('/' and '\'), empty strings for absent
+        // parts. Pinned subset: extension excludes the dot; the ADS is
+        // the ':stream' tail of the filename (never the drive colon).
+        case "parse_path" => arity(1); df => {
+          val p0 = args.head(df)
+          val scheme = regexp_extract(p0, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
+          val p = regexp_replace(p0, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+          val root = regexp_extract(p, "^([a-zA-Z]:[\\\\/]|/|\\\\\\\\)", 1)
+          val fileFull = regexp_extract(p, "([^/\\\\]*)$", 1)
+          val ads = regexp_extract(fileFull, "^[^:]+:(.+)$", 1)
+          val file = when(length(ads) > 0, substring_index(fileFull, ":", 1)).otherwise(fileFull)
+          val dirPath = p.substr(lit(1), length(p) - length(fileFull) - 1)
+          val dirName = regexp_extract(dirPath, "([^/\\\\]*)$", 1)
+          val ext = regexp_extract(file, "\\.([^.]*)$", 1)
+          to_json(struct(
+            scheme.as("Scheme"),
+            coalesce(root, lit("")).as("RootPath"),
+            coalesce(dirPath, lit("")).as("DirectoryPath"),
+            dirName.as("DirectoryName"),
+            file.as("Filename"),
+            ext.as("Extension"),
+            ads.as("AlternateDataStreamName")))
+        }
+        // parse_urlquery → dynamic {"Query Parameters": {k: v}} (the
+        // Kusto shape); accepts a bare query string or a full URL
+        // (everything after the first '?')
+        case "parse_urlquery" => arity(1); df => {
+          val q0 = args.head(df)
+          val q = when(q0.contains("?"), substring_index(q0, "?", -1)).otherwise(q0)
+          to_json(struct(
+            coalesce(str_to_map(q, lit("&"), lit("=")),
+              map().cast("map<string,string>")).as("Query Parameters")))
         }
         // crypto hashes return lowercase hex strings, as in Kusto
         case "hash_sha256" => arity(1); df => sha2(args.head(df).cast("binary"), 256)

@@ -1102,6 +1102,34 @@ object KqlQueries extends QueryModule {
           | | order by event_id asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // funnel_sequence — what happens immediately before/after every
+    // view→click run: one id-keyed window (all lead/lag chains share
+    // it), one (bin, prev, next) aggregate.
+    "q166_kql_text_funnel_seq" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | evaluate funnel_sequence(user_id, ts, datetime(2024-01-01), datetime(2024-01-31), 12h, 1d, event_type, dynamic(['view', 'click']))
+          | | order by ts asc, prev asc, next asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // scalar ring 11: parse_path (Kusto key set over both separator
+    // styles incl. ADS tails) + parse_urlquery — map-only dynamic
+    // constructors in the scan projection.
+    "q167_kql_text_scalar11" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_id % 101 == 0
+          | | extend p = strcat('/var/log/app', tostring(user_id % 10), '/events/', event_type, '_', tostring(event_id), '.json')
+          | | extend w = strcat('C:\\data\\s', tostring(user_id % 5), '\\f', tostring(event_id), '.csv:zone')
+          | | extend q = strcat('https://h.example.com/p?id=', tostring(event_id), '&t=', event_type, '&u=', tostring(user_id))
+          | | extend pp = parse_path(p), pw = parse_path(w), uq = parse_urlquery(q)
+          | | extend fn = tostring(pp.Filename), ex = tostring(pp.Extension), dn = tostring(pp.DirectoryName),
+          |          wr = tostring(pw.RootPath), wa = tostring(pw.AlternateDataStreamName), wf = tostring(pw.Filename),
+          |          qid = tostring(uq['Query Parameters'].id), qt = tostring(uq['Query Parameters'].t)
+          | | project event_id, fn, ex, dn, wr, wa, wf, qid, qt
+          | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // single-step `scan` — Kusto's canonical running-accumulator form:
     // the step consumes every matching record, the additive
     // self-referencing assignment lowers to a running window sum, and a
@@ -2501,6 +2529,37 @@ object KqlQueries extends QueryModule {
                 '","x"],"e":null}}' AS j,
                 CAST(user_id AS VARCHAR) AS uid
          FROM events WHERE event_id % 97 = 0
+         ORDER BY event_id""",
+
+    // funnel_sequence: immediate view→click runs, gap ≤ 12h, binned by
+    // start day; edge prev/next pinned to ''
+    "q166_kql_text_funnel_seq" ->
+      """WITH ev AS (SELECT user_id, ts, event_type FROM events
+                     WHERE ts >= TIMESTAMP '2024-01-01' AND ts <= TIMESTAMP '2024-01-31'),
+         w AS (SELECT user_id, ts, event_type,
+                      lead(event_type, 1) OVER win AS s2,
+                      epoch_us(lead(ts, 1) OVER win) - epoch_us(ts) AS gap1,
+                      coalesce(lag(event_type, 1) OVER win, '') AS pv,
+                      coalesce(lead(event_type, 2) OVER win, '') AS nx
+               FROM ev WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_type)),
+         m AS (SELECT * FROM w WHERE event_type = 'view' AND s2 = 'click'
+                                 AND gap1 <= 43200000000)
+         SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS ts,
+                pv AS prev, nx AS next,
+                CAST(count(1) AS BIGINT) AS count_sequences,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS dcount_ids
+         FROM m GROUP BY 1, 2, 3 ORDER BY ts, prev, next""",
+
+    // scalar ring 11: every component reconstructed from the same
+    // column arithmetic the engine-side strings are built from
+    "q167_kql_text_scalar11" ->
+      """SELECT event_id,
+                event_type || '_' || CAST(event_id AS VARCHAR) || '.json' AS fn,
+                'json' AS ex, 'events' AS dn,
+                'C:\' AS wr, 'zone' AS wa,
+                'f' || CAST(event_id AS VARCHAR) || '.csv' AS wf,
+                CAST(event_id AS VARCHAR) AS qid, event_type AS qt
+         FROM events WHERE event_id % 101 = 0
          ORDER BY event_id""",
 
     // keyed running scan = per-key running window sum in the scan order

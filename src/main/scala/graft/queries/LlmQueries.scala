@@ -1738,6 +1738,31 @@ object LlmQueries extends QueryModule {
            round(CASE WHEN n_truth = 0 THEN 1.0 ELSE n_hit::DOUBLE / n_truth END, 6) AS recall_
     FROM cnts"""
 
+  /** Stratified eval-set sampler (q168) — the held-out-set builder:
+    * exactly k=3 documents per (lang, source) cell, chosen by
+    * content-stable md5 order (re-runs, backfills and cluster-size
+    * changes select IDENTICAL docs — the q55/q89 no-rand stance), with
+    * the cell population alongside for coverage review. ONE window over
+    * the (lang, source) key; the rank and the cell count share the same
+    * shuffle. */
+  private val evalSamplerSql = """
+    WITH ranked AS (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang, source ORDER BY md5(text), doc_id) AS rk,
+             count(1) OVER (PARTITION BY lang, source) AS cell_n
+      FROM documents)
+    SELECT lang, source, rk, doc_id, cell_n
+    FROM ranked WHERE rk <= 3 ORDER BY lang, source, rk"""
+
+  private val evalSamplerOracle = """
+    WITH ranked AS (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang, source ORDER BY md5(text), doc_id) AS rk,
+             count(1) OVER (PARTITION BY lang, source) AS cell_n
+      FROM documents)
+    SELECT lang, source, CAST(rk AS BIGINT) AS rk, doc_id, CAST(cell_n AS BIGINT) AS cell_n
+    FROM ranked WHERE rk <= 3 ORDER BY lang, source, rk"""
+
   /** Corpus-derived stopword filtering (q69): the top-20
     * document-frequency terms become the stoplist, and every document
     * reports how much of it survives their removal — the
@@ -3342,7 +3367,8 @@ object LlmQueries extends QueryModule {
     "q155_tfidf_keywords" -> sqlQuery(docs, tfidfSql),
     "q159_pq_ann" -> sqlQuery(embs, pqAnnSql),
     "q161_ppx_buckets" -> sqlQuery(docs, ppxBucketSql),
-    "q164_dedup_audit" -> sqlQuery(docs, dedupAuditSql))
+    "q164_dedup_audit" -> sqlQuery(docs, dedupAuditSql),
+    "q168_eval_sampler" -> sqlQuery(docs, evalSamplerSql))
 
   override val oracles: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -3402,5 +3428,6 @@ object LlmQueries extends QueryModule {
     "q155_tfidf_keywords" -> tfidfOracle,
     "q159_pq_ann" -> pqAnnOracle,
     "q161_ppx_buckets" -> ppxBucketOracle,
-    "q164_dedup_audit" -> dedupAuditOracle)
+    "q164_dedup_audit" -> dedupAuditOracle,
+    "q168_eval_sampler" -> evalSamplerOracle)
 }

@@ -1841,6 +1841,23 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!r.getBoolean(9))
   }
 
+  test("funnel_sequence: prev/next around immediate runs, gap-bounded") {
+    val m = runG2(
+      """let T = datatable(id: long, ts: datetime, st: string)[
+        |  1, datetime(2024-01-01T00:00:00), 'a',
+        |  1, datetime(2024-01-01T01:00:00), 'view',
+        |  1, datetime(2024-01-01T02:00:00), 'click',
+        |  1, datetime(2024-01-01T03:00:00), 'b',
+        |  2, datetime(2024-01-02T00:00:00), 'view',
+        |  2, datetime(2024-01-05T00:00:00), 'click'];
+        | T | evaluate funnel_sequence(id, ts, datetime(2024-01-01), datetime(2024-01-06), 12h, 1d, st, dynamic(['view', 'click']))
+        | | project d = format_datetime(ts, 'dd'), prev, next, n = count_sequences, u = dcount_ids
+        | | order by d asc""".stripMargin).collect()
+    // id 1: a→[view,click]→b matches (gap 1h ≤ 12h); id 2's gap is 3d
+    assert(m.map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))).toSeq ==
+      Seq(("01", "a", "b", 1L, 1L)))
+  }
+
   test("parse_xml: pinned element-to-bag mapping") {
     val r = run(
       """t | where id == 1
