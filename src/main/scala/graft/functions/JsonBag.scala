@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Kusto property-bag mutators over this engine's dynamic (JSON text),
+  * TYPE-PRESERVING via Jackson (already on the Spark classpath — the
+  * same parser Spark's JSON datasource uses). A from_json round-trip
+  * through `map<string,string>` would stringify numbers/booleans/nested
+  * values; these keep the original value nodes intact.
+  *
+  * Pinned semantics:
+  *  - `bag_merge(b1, b2, …)`: left-to-right; the FIRST bag that defines
+  *    a key wins (Kusto rule). Key order = first-occurrence order
+  *    (Jackson ObjectNode preserves insertion order — deterministic).
+  *  - `bag_remove_keys(bag, keys)`: removes TOP-LEVEL keys listed in
+  *    the JSON-array argument (documented subset: no path removal).
+  *  - `bag_set_key(bag, key, value)`: sets a top-level key; the value
+  *    (dynamic JSON text) is parsed as JSON when well-formed, else
+  *    stored as a JSON string.
+  *  - any non-object bag input → null (exception-total).
+  */
+object JsonBagOps extends Serializable {
+  import com.fasterxml.jackson.databind.ObjectMapper
+  import com.fasterxml.jackson.databind.node.ObjectNode
+
+  private val mappers = new ThreadLocal[ObjectMapper] {
+    override def initialValue(): ObjectMapper = new ObjectMapper()
+  }
+
+  private def obj(m: ObjectMapper, s: UTF8String): ObjectNode =
+    m.readTree(s.toString) match {
+      case o: ObjectNode => o
+      case _ => null
+    }
+
+  def bagMerge(a: UTF8String, b: UTF8String): UTF8String =
+    try {
+      val m = mappers.get
+      val oa = obj(m, a); val ob = obj(m, b)
+      if (oa == null || ob == null) null
+      else {
+        val out = oa.deepCopy()
+        val it = ob.fieldNames()
+        while (it.hasNext) {
+          val k = it.next()
+          if (!out.has(k)) out.set(k, ob.get(k))
+        }
+        UTF8String.fromString(m.writeValueAsString(out))
+      }
+    } catch { case scala.util.control.NonFatal(_) => null }
+
+  def bagRemoveKeys(bag: UTF8String, keys: UTF8String): UTF8String =
+    try {
+      val m = mappers.get
+      val o = obj(m, bag)
+      val ks = m.readTree(keys.toString)
+      if (o == null || !ks.isArray) null
+      else {
+        val out = o.deepCopy()
+        ks.forEach(k => out.remove(k.asText()))
+        UTF8String.fromString(m.writeValueAsString(out))
+      }
+    } catch { case scala.util.control.NonFatal(_) => null }
+
+  def bagSetKey(bag: UTF8String, key: UTF8String, value: UTF8String): UTF8String =
+    try {
+      val m = mappers.get
+      val o = obj(m, bag)
+      if (o == null) null
+      else {
+        val out = o.deepCopy()
+        val parsed =
+          try m.readTree(value.toString)
+          catch { case scala.util.control.NonFatal(_) => null }
+        val v: com.fasterxml.jackson.databind.JsonNode =
+          if (parsed == null || parsed.isMissingNode)
+            com.fasterxml.jackson.databind.node.TextNode.valueOf(value.toString)
+          else parsed
+        out.set(key.toString, v)
+        UTF8String.fromString(m.writeValueAsString(out))
+      }
+    } catch { case scala.util.control.NonFatal(_) => null }
+}
+
+case class BagMerge(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = TypeGuards.requireString("bag_merge", left)
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else TypeGuards.requireString("bag_merge", right)
+  }
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    JsonBagOps.bagMerge(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      ${ev.value} = graft.functions.JsonBagOps.bagMerge($a, $b);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BagMerge =
+    copy(left = l, right = r)
+}
+
+case class BagRemoveKeys(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = TypeGuards.requireString("bag_remove_keys", left)
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else TypeGuards.requireString("bag_remove_keys", right)
+  }
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    JsonBagOps.bagRemoveKeys(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      ${ev.value} = graft.functions.JsonBagOps.bagRemoveKeys($a, $b);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BagRemoveKeys =
+    copy(left = l, right = r)
+}
+
+case class BagSetKey(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    children.view.map(TypeGuards.requireString("bag_set_key", _))
+      .find(_ != TypeCheckResult.TypeCheckSuccess)
+      .getOrElse(TypeCheckResult.TypeCheckSuccess)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    JsonBagOps.bagSetKey(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String],
+      c.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) => s"""
+      ${ev.value} = graft.functions.JsonBagOps.bagSetKey($a, $b, $c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): BagSetKey =
+    copy(first = a, second = b, third = c)
+}

@@ -4010,6 +4010,44 @@ object KqlCompiler {
             when(c.cast("boolean"), av).otherwise(bv)
           })
         }
+        // ---- property-bag mutators (type-preserving via Jackson —
+        // graft.functions.JsonBagOps; never a map<string,string>
+        // round-trip that would stringify numbers/nested values) ----
+        case "bag_merge" =>
+          if (args.length < 2)
+            throw new KqlParseException("bag_merge() expects at least 2 bags")
+          df => {
+            import org.apache.spark.sql.GraftColumnBridge
+            args.map(_(df)).reduce((a, b) => GraftColumnBridge.column(
+              graft.functions.BagMerge(
+                GraftColumnBridge.catalystExpression(a),
+                GraftColumnBridge.catalystExpression(b))))
+          }
+        case "bag_remove_keys" => arity(2); df => {
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.BagRemoveKeys(
+            GraftColumnBridge.catalystExpression(args(0)(df)),
+            GraftColumnBridge.catalystExpression(args(1)(df))))
+        }
+        case "bag_set_key" => arity(3); df => {
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.BagSetKey(
+            GraftColumnBridge.catalystExpression(args(0)(df)),
+            GraftColumnBridge.catalystExpression(args(1)(df)),
+            GraftColumnBridge.catalystExpression(args(2)(df))))
+        }
+        // extract_json(path, doc) — Kusto's JSON-path probe ($.a.b[0]);
+        // one get_json_object, same engine as dynamic postfix access.
+        // The path must be a literal (get_json_object's contract).
+        case "extract_json" | "extractjson" => arity(2); df =>
+          org.apache.spark.sql.GraftColumnBridge.catalystExpression(args(0)(df)) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(
+                s: org.apache.spark.unsafe.types.UTF8String,
+                org.apache.spark.sql.types.StringType) =>
+              get_json_object(args(1)(df), s.toString)
+            case _ =>
+              throw new KqlParseException("extract_json() path must be a string literal")
+          }
         // parse_path → dynamic with Kusto's key set {Scheme, RootPath,
         // DirectoryPath, DirectoryName, Filename, Extension,
         // AlternateDataStreamName}: pure regex/substring algebra over

@@ -1130,6 +1130,22 @@ object KqlQueries extends QueryModule {
           | | order by event_id asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // property-bag mutators — type-preserving Jackson natives (numbers
+    // stay numbers through merge/remove/set; first-bag-wins on merge)
+    // + extract_json path probe. Map-only.
+    "q170_kql_text_bags" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_id % 101 == 0
+          | | extend bag = pack('id', event_id, 'ty', event_type)
+          | | extend m = bag_merge(bag, pack('ty', 'x', 'u', user_id))
+          | | extend rm = bag_remove_keys(m, dynamic(['id'])),
+          |          sk = bag_set_key(bag, 'n', tostring(user_id)),
+          |          ej = extract_json('$.ty', bag)
+          | | project event_id, m, rm, sk, ej
+          | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // single-step `scan` — Kusto's canonical running-accumulator form:
     // the step consumes every matching record, the additive
     // self-referencing assignment lowers to a running window sum, and a
@@ -2559,6 +2575,20 @@ object KqlQueries extends QueryModule {
                 'C:\' AS wr, 'zone' AS wa,
                 'f' || CAST(event_id AS VARCHAR) || '.csv' AS wf,
                 CAST(event_id AS VARCHAR) AS qid, event_type AS qt
+         FROM events WHERE event_id % 101 = 0
+         ORDER BY event_id""",
+
+    // bag mutators: expected JSON rebuilt from the same columns;
+    // first-bag-wins merge keeps ty, adds u; set_key of a numeric
+    // string stores a number
+    "q170_kql_text_bags" ->
+      """SELECT event_id,
+                '{"id":' || CAST(event_id AS VARCHAR) || ',"ty":"' || event_type ||
+                  '","u":' || CAST(user_id AS VARCHAR) || '}' AS m,
+                '{"ty":"' || event_type || '","u":' || CAST(user_id AS VARCHAR) || '}' AS rm,
+                '{"id":' || CAST(event_id AS VARCHAR) || ',"ty":"' || event_type ||
+                  '","n":' || CAST(user_id AS VARCHAR) || '}' AS sk,
+                event_type AS ej
          FROM events WHERE event_id % 101 = 0
          ORDER BY event_id""",
 

@@ -1763,6 +1763,59 @@ object LlmQueries extends QueryModule {
     SELECT lang, source, CAST(rk AS BIGINT) AS rk, doc_id, CAST(cell_n AS BIGINT) AS cell_n
     FROM ranked WHERE rk <= 3 ORDER BY lang, source, rk"""
 
+  /** Embedding outlier detection (q169) — the mislabel/out-of-
+    * distribution audit: distance of every vector to its OWN label's
+    * centroid, z-scored within the label, flag z ≥ 2. Determinism: the
+    * centroid is 6dp-rounded (the q61 pinning), the distance is a
+    * sequential IEEE fold, the per-label mean/stddev are 9dp-rounded
+    * before the z (group-agg float-order guard), the flag compares the
+    * 6dp-rounded z. Physical shape at 100 TB: ONE (label, pos) hash agg
+    * for centroids (k×dim rows, broadcast back), one map-side distance
+    * pass, ONE label-keyed stats agg (k rows, broadcast back) — no
+    * sort, no pair join, nothing driver-side. */
+  private val embOutlierSql = """
+    WITH emb AS (SELECT vec_id, label, transform(embedding, x -> cast(x AS double)) AS e
+                 FROM embeddings),
+    cent_rows AS (
+      SELECT label AS cl, pos, round(avg(cast(v AS double)), 6) AS m
+      FROM embeddings LATERAL VIEW posexplode(embedding) AS pos, v
+      GROUP BY label, pos),
+    cents AS (SELECT cl, transform(sort_array(collect_list(struct(pos, m))), s -> s.m) AS cvec
+              FROM cent_rows GROUP BY cl),
+    dist AS (
+      SELECT e.vec_id, e.label,
+             sqrt(aggregate(zip_with(e.e, c.cvec, (x, y) -> (x - y) * (x - y)),
+                  cast(0.0 AS double), (s, x) -> s + x)) AS d
+      FROM emb e JOIN cents c ON e.label = c.cl),
+    stats AS (SELECT label, round(avg(d), 9) AS mu, round(stddev_samp(d), 9) AS sd
+              FROM dist GROUP BY label),
+    z AS (SELECT vec_id, dist.label, round((d - mu) / sd, 6) AS z
+          FROM dist JOIN stats ON dist.label = stats.label)
+    SELECT vec_id, label, z FROM z WHERE z >= 2.0
+    ORDER BY label, z DESC, vec_id"""
+
+  private val embOutlierOracle = """
+    WITH emb AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e
+                 FROM embeddings),
+    cent_rows AS (
+      SELECT label AS cl, i AS pos, round(avg(embedding[i+1]::DOUBLE), 6) AS m
+      FROM embeddings, unnest(range(len(embedding))) AS t(i)
+      GROUP BY label, i),
+    cents AS (SELECT cl, list(m ORDER BY pos) AS cvec FROM cent_rows GROUP BY cl),
+    dist AS (
+      SELECT e.vec_id, e.label,
+             sqrt(list_reduce(list_prepend(0.0,
+                  list_transform(range(len(e.e)), i ->
+                    (e.e[i+1] - c.cvec[i+1]) * (e.e[i+1] - c.cvec[i+1]))),
+                  (s, x) -> s + x)) AS d
+      FROM emb e JOIN cents c ON e.label = c.cl),
+    stats AS (SELECT label, round(avg(d), 9) AS mu, round(stddev_samp(d), 9) AS sd
+              FROM dist GROUP BY label),
+    z AS (SELECT vec_id, dist.label AS label, round((d - mu) / sd, 6) AS z
+          FROM dist JOIN stats ON dist.label = stats.label)
+    SELECT vec_id, label, z FROM z WHERE z >= 2.0
+    ORDER BY label, z DESC, vec_id"""
+
   /** Corpus-derived stopword filtering (q69): the top-20
     * document-frequency terms become the stoplist, and every document
     * reports how much of it survives their removal — the
@@ -3368,7 +3421,8 @@ object LlmQueries extends QueryModule {
     "q159_pq_ann" -> sqlQuery(embs, pqAnnSql),
     "q161_ppx_buckets" -> sqlQuery(docs, ppxBucketSql),
     "q164_dedup_audit" -> sqlQuery(docs, dedupAuditSql),
-    "q168_eval_sampler" -> sqlQuery(docs, evalSamplerSql))
+    "q168_eval_sampler" -> sqlQuery(docs, evalSamplerSql),
+    "q169_emb_outliers" -> sqlQuery(embs, embOutlierSql))
 
   override val oracles: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -3429,5 +3483,6 @@ object LlmQueries extends QueryModule {
     "q159_pq_ann" -> pqAnnOracle,
     "q161_ppx_buckets" -> ppxBucketOracle,
     "q164_dedup_audit" -> dedupAuditOracle,
-    "q168_eval_sampler" -> evalSamplerOracle)
+    "q168_eval_sampler" -> evalSamplerOracle,
+    "q169_emb_outliers" -> embOutlierOracle)
 }

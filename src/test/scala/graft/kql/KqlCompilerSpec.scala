@@ -1858,6 +1858,24 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(("01", "a", "b", 1L, 1L)))
   }
 
+  test("property-bag mutators are type-preserving; extract_json probes paths") {
+    val r = run(
+      """t | where id == 1
+        | | project a = bag_merge(pack('x', 1, 'y', 'old'), pack('y', 2.5, 'z', 'zz')),
+        |           b = bag_remove_keys(pack('p', 1, 'q', 2, 'r', 3), dynamic(['q', 'r'])),
+        |           c = bag_set_key(pack('a', 1), 'b', '7'),
+        |           d = bag_set_key(pack('a', 1), 's', 'hi'),
+        |           e = extract_json('$.a.b', '{"a":{"b":42}}'),
+        |           f = bag_merge('not json', pack('a', 1))""".stripMargin)
+      .collect().head
+    assert(r.getString(0) == """{"x":1,"y":"old","z":"zz"}""")
+    assert(r.getString(1) == """{"p":1}""")
+    assert(r.getString(2) == """{"a":1,"b":7}""")
+    assert(r.getString(3) == """{"a":1,"s":"hi"}""")
+    assert(r.getString(4) == "42")
+    assert(r.isNullAt(5))
+  }
+
   test("parse_xml: pinned element-to-bag mapping") {
     val r = run(
       """t | where id == 1
