@@ -226,6 +226,97 @@ object SeriesDecompose {
       })
     })
 
+  /** series_fit_2lines(arr): best single-changepoint two-segment OLS —
+    * Kusto's (rsquare, split_idx, variance, rvariance, line_fit).
+    * Pinned semantics (Kusto's internals unpublished; the oracle
+    * replicates exactly this spec):
+    *  - split s = first index of the RIGHT segment, ranging over
+    *    [2, n-2] so both segments keep ≥ 2 points; series shorter than
+    *    4 → all-null outputs (exception-total);
+    *  - the winning split minimizes total RSS; ties keep the SMALLEST s;
+    *  - x is the global 0-based bin index (fitted values are invariant
+    *    to the per-segment reparameterization, so this only pins the
+    *    internal arithmetic);
+    *  - variance = sample variance of the series, rvariance =
+    *    RSS/(n-1) — the same residual convention as fitLineStruct;
+    *  - rsquare = 1 − RSS/SStot, pinned 1.0 for constant series.
+    * One O(n) prefix pass (3 running sums materialized as a prefix
+    * struct array, O(n²) HOF construction — the file's documented
+    * stance), then O(1) closed-form regression per candidate split:
+    * Sx/Sxx come from triangular/square-pyramidal closed forms and
+    * RSS = Syy − b̂·Sy − m̂·Sxy (the OLS normal-equation identity). */
+  def fit2LinesStruct(series: Column): Column = let1(dbl(series), xd => {
+    val n = size(xd)
+    val pre = transform(sequence(lit(0), n), k => struct(
+      aggregate(slice(xd, lit(1), k), lit(0.0), (s, x) => s + x).as("sy"),
+      aggregate(slice(xd, lit(1), k), lit(0.0), (s, x) => s + x * x).as("syy"),
+      when(k === 0, lit(0.0)).otherwise(
+        aggregate(sequence(lit(0), k - 1), lit(0.0), (s, i) =>
+          s + i.cast("double") * element_at(xd, i.cast("int") + 1))).as("sxy")))
+    let1(pre, p => {
+      def tri(k: Column): Column =
+        k.cast("double") * (k + 1).cast("double") / lit(2.0)
+      def pyr(k: Column): Column =
+        k.cast("double") * (k + 1).cast("double") * (lit(2.0) * k.cast("double") + 1) / lit(6.0)
+      def pf(b: Column, f: String): Column = element_at(p, (b + 1).cast("int")).getField(f)
+      // OLS over segment [a, b) against the global index: (slope,
+      // intercept, rss) — all O(1) from the prefix sums
+      def seg(a: Column, b: Column): Column = {
+        val m = (b - a).cast("double")
+        val sx = tri(b - 1) - tri(a - 1)
+        val sxx = pyr(b - 1) - pyr(a - 1)
+        val sy = pf(b, "sy") - pf(a, "sy")
+        val syy = pf(b, "syy") - pf(a, "syy")
+        val sxy = pf(b, "sxy") - pf(a, "sxy")
+        val denom = m * sxx - sx * sx
+        val slope = when(denom =!= 0.0, (m * sxy - sx * sy) / denom).otherwise(lit(0.0))
+        val icept = (sy - slope * sx) / m
+        struct(slope.as("m"), icept.as("b"),
+          (syy - icept * sy - slope * sxy).as("rss"))
+      }
+      val nullOut = struct(
+        lit(null).cast("double").as("rsquare"),
+        lit(null).cast("long").as("split_idx"),
+        lit(null).cast("double").as("variance"),
+        lit(null).cast("double").as("rvariance"),
+        lit(null).cast("array<double>").as("line_fit"))
+      // every prefix access below is guarded by n >= 4 (CaseWhen is
+      // branch-lazy, so short series never touch an out-of-range
+      // element_at — ANSI mode would throw); a null-poisoned series
+      // leaves the fold at s = -1 and falls to the null output too
+      val computed = let1(
+        aggregate(sequence(lit(2), n - 2),
+          struct(lit(Double.MaxValue).as("rss"), lit(-1).as("s")),
+          (acc, sIdx) => {
+            val tot = seg(lit(0), sIdx).getField("rss") + seg(sIdx, n).getField("rss")
+            when(tot < acc.getField("rss"), struct(tot.as("rss"), sIdx.as("s")))
+              .otherwise(acc)
+          }),
+        b => when(b.getField("s") === -1, nullOut).otherwise(
+          let1(struct(seg(lit(0), b.getField("s")).as("l"),
+                      seg(b.getField("s"), n).as("r")), lr => {
+            val syT = pf(n, "sy"); val syyT = pf(n, "syy")
+            val nD = n.cast("double")
+            val sstot = syyT - syT * syT / nD
+            val rss = b.getField("rss")
+            struct(
+              when(sstot === 0.0, lit(1.0))
+                .otherwise(lit(1.0) - rss / sstot).as("rsquare"),
+              b.getField("s").cast("long").as("split_idx"),
+              (sstot / (nD - 1)).as("variance"),
+              (rss / (nD - 1)).as("rvariance"),
+              transform(sequence(lit(0), n - 1), i => {
+                val x = i.cast("double")
+                when(i < b.getField("s"),
+                  lr.getField("l").getField("b") + lr.getField("l").getField("m") * x)
+                  .otherwise(
+                    lr.getField("r").getField("b") + lr.getField("r").getField("m") * x)
+              }).as("line_fit"))
+          })))
+      when(n >= 4, computed).otherwise(nullOut)
+    })
+  })
+
   /** Gap-filling family over make-series arrays with null gaps (the
     * no-`default` make-series form). All compute in doubles; the index
     * scans are O(n²) per series cell — fine for dashboard-scale axes

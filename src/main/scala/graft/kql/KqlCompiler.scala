@@ -881,6 +881,16 @@ object KqlCompiler {
               throw new KqlParseException("series_fit_line yields at most 6 values (rsquare, slope, variance, rvariance, interception, line_fit)")
             viaStruct(graft.functions.SeriesDecompose.fitLineStruct(arrB(df)),
               Seq("rsquare", "slope", "variance", "rvariance", "interception", "line_fit"))
+          case "series_fit_2lines" =>
+            // (rsquare, split_idx, variance, rvariance, line_fit) =
+            //  series_fit_2lines(arr) — best two-segment OLS changepoint
+            // (pinned spec on SeriesDecompose.fit2LinesStruct: split
+            // minimizes RSS, ties → smallest, both segments ≥ 2 points).
+            expect("("); val arrB = expr(); expect(")")
+            if (names.length > 5)
+              throw new KqlParseException("series_fit_2lines yields at most 5 values (rsquare, split_idx, variance, rvariance, line_fit)")
+            viaStruct(graft.functions.SeriesDecompose.fit2LinesStruct(arrB(df)),
+              Seq("rsquare", "split_idx", "variance", "rvariance", "line_fit"))
           case "series_decompose_forecast" =>
             // (baseline, seasonal, trend, residual) =
             //  series_decompose_forecast(arr, points [, period [, trend]])
@@ -910,7 +920,7 @@ object KqlCompiler {
               arrB(df), loB(df), hiB(df), numB(df)), Seq("periods", "scores"))
           case other =>
             throw new KqlParseException(
-              s"multi-assign extend supports series_stats/series_decompose/series_decompose_anomalies/series_fit_line/series_periods_detect, got '$other'")
+              s"multi-assign extend supports series_stats/series_decompose/series_decompose_anomalies/series_fit_line/series_fit_2lines/series_periods_detect, got '$other'")
         }
       case "extend" =>
         sepBy1(() => { val n = ident(); expect("="); (n, expr()) })
@@ -1796,24 +1806,100 @@ object KqlCompiler {
         lets(ident()) = df
         df
       case "partition" =>
-        // `partition by Key ( top N by Col [asc|desc] )` — Kusto's
-        // per-partition subquery, restricted to the top-k form (its
-        // dominant dashboard use). Lowers to ONE window row_number
-        // partitioned by the key — no per-value subplans, no N² plans:
-        // the only form that survives high-cardinality keys at scale.
+        // `partition [hint.strategy=shuffle|native|legacy] by Key
+        //  ( <subpipeline> )` — Kusto's per-partition subquery,
+        // GENERALIZED. Never a per-value subplan loop (Kusto's legacy
+        // strategy, O(distinct keys) scans — unusable at scale): every
+        // inner operator is rewritten into its keyed equivalent so the
+        // whole thing stays ONE plan with one hash shuffle on the key:
+        //   - row-local ops (where/extend/project*/mv-*/parse*) apply
+        //     unchanged — per-partition and global are identical;
+        //   - `summarize aggs [by cols]` groups by (Key, cols); Kusto's
+        //     output schema keeps only the subquery's own columns, so
+        //     the injected Key is dropped unless the by-list names it;
+        //   - `top N by …` / `order by … | take N` → ONE row_number
+        //     window partitioned by Key;
+        //   - bare `take N` pins per-key "arbitrary rows" to xxhash64
+        //     row order (the engine's q96 `sample` stance — Kusto's
+        //     pick is non-reproducible in a distributed engine);
+        //   - `count` → one Count row per partition (Key dropped);
+        //   - `scan …` → the keyed scan path (see the scan-specific
+        //     case above).
+        // Strategy hints are accepted and advisory — this lowering IS
+        // the shuffle strategy; `legacy` gets the same plan.
+        while (peekIs("hint")) {
+          expect("hint"); expect("."); val h = ident(); expect("=")
+          val v = ident()
+          if (h != "strategy" || !Set("shuffle", "native", "legacy")(v))
+            throw new KqlParseException(s"unsupported partition hint '$h=$v'")
+        }
         expect("by")
         val pkey = ident()
         expect("(")
-        expect("top")
-        val n = number(); expect("by")
-        val ord = expr()
-        val asc = if (peekIs("asc")) { expect("asc"); true }
-                  else { if (peekIs("desc")) expect("desc"); false }
+        var cur = df
+        var innerOrder: Option[Seq[ColB]] = None // pending `order by` for a following take
+        var first = true
+        while (!peekIs(")")) {
+          if (!first) expect("|")
+          first = false
+          val innerOp = ident()
+          // a pending inner `order by` is only meaningful feeding take
+          if (innerOrder.isDefined && innerOp != "take" && innerOp != "limit")
+            throw new KqlParseException(
+              "inside partition, 'order by' must be followed by 'take N' " +
+              "(per-partition order is not observable otherwise; put 'order by' after the partition operator)")
+          innerOp match {
+            case "summarize" =>
+              val aggs = sepBy1(() => aggItemMulti()).flatten
+              val keys = if (peekIs("by")) { expect("by"); sepBy1(projItem) } else Nil
+              val keyCols = keys.map(_(cur))
+              val keyNames = keyCols.map(c => cur.select(c).columns.head)
+              val aggCols = aggs.map(_(cur))
+              cur =
+                if (keyNames.contains(pkey))
+                  cur.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+                else
+                  cur.groupBy((col(pkey) +: keyCols): _*)
+                    .agg(aggCols.head, aggCols.tail: _*).drop(pkey)
+            case "count" =>
+              cur = cur.groupBy(col(pkey)).agg(count(lit(1)).as("Count")).select("Count")
+            case "top" =>
+              val n = number(); expect("by")
+              val items = sepBy1(orderItem)
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(col(pkey)).orderBy(items.map(_(cur)): _*)
+              cur = cur.withColumn("__prn", row_number().over(w))
+                .where(col("__prn") <= n).drop("__prn")
+            case "order" | "sort" =>
+              expect("by")
+              innerOrder = Some(sepBy1(orderItem))
+            case "take" | "limit" =>
+              val n = number()
+              val ord: Seq[org.apache.spark.sql.Column] = innerOrder match {
+                case Some(items) => items.map(_(cur))
+                case None => Seq(xxhash64(cur.columns.map(col).toSeq: _*).asc)
+              }
+              innerOrder = None
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(col(pkey)).orderBy(ord: _*)
+              cur = cur.withColumn("__prn", row_number().over(w))
+                .where(col("__prn") <= n).drop("__prn")
+            case "scan" =>
+              cur = scanOp(cur, Seq(col(pkey)))
+            case rowLocal @ ("where" | "filter" | "project" | "extend" | "mv" | "parse") =>
+              cur = pipeOpNamed(rowLocal, cur)
+            case other =>
+              throw new KqlParseException(
+                s"unsupported operator '$other' inside partition " +
+                "(supported: where/extend/project*/mv-*/parse*/summarize/top/order+take/take/count/scan)")
+          }
+        }
+        if (innerOrder.isDefined)
+          throw new KqlParseException(
+            "inside partition, 'order by' must be followed by 'take N' " +
+            "(per-partition order is not observable otherwise; put 'order by' after the partition operator)")
         expect(")")
-        val w = org.apache.spark.sql.expressions.Window.partitionBy(col(pkey))
-          .orderBy(if (asc) ord(df).asc else ord(df).desc)
-        df.withColumn("__prn", row_number().over(w))
-          .where(col("__prn") <= n).drop("__prn")
+        cur
       case "graph" =>
         // Kusto graph semantics: `graph-match [pattern] [where …]
         // project …` and `graph-to-table nodes|edges`, consuming the
@@ -2508,18 +2594,46 @@ object KqlCompiler {
         if (r.isEmpty) throw new KqlParseException("percentiles() needs at least one P value")
         (cName, r)
       }
+      // percentilesw(col, weight, p1, p2, …) — the weighted multi-p
+      // form; same pinned exact weighted nearest-rank as percentilew()
+      def pctwList(): (String, ColB, List[Double]) = {
+        expect("("); val cName = ident()
+        expect(","); val wExpr = expr()
+        val ps = List.newBuilder[Double]
+        while (peekIs(",")) {
+          expect(",")
+          val t = next()
+          if (t.kind != "num") throw new KqlParseException("percentilesw() P values must be number literals")
+          val p = t.text.toDouble
+          if (p < 0 || p > 100) throw new KqlParseException(s"percentile P must be 0..100, got $p")
+          ps += p
+        }
+        expect(")")
+        val r = ps.result()
+        if (r.isEmpty) throw new KqlParseException("percentilesw() needs at least one P value")
+        (cName, wExpr, r)
+      }
       if (peekIs("(")) {
         expect("(")
         val names = sepBy1(() => ident())
         expect(")"); expect("=")
         val fn = ident()
-        if (fn != "percentiles")
-          throw new KqlParseException(s"tuple assignment in summarize supports percentiles(), got '$fn'")
-        val (cName, ps) = pctList()
-        if (ps.length != names.length)
-          throw new KqlParseException(s"percentiles tuple arity mismatch: ${names.length} names, ${ps.length} P values")
-        names.zip(ps).map { case (n, p) =>
-          (df: DataFrame) => percentile(col(cName), lit(p / 100.0)).as(n)
+        if (fn != "percentiles" && fn != "percentilesw")
+          throw new KqlParseException(s"tuple assignment in summarize supports percentiles()/percentilesw(), got '$fn'")
+        if (fn == "percentilesw") {
+          val (cName, wExpr, ps) = pctwList()
+          if (ps.length != names.length)
+            throw new KqlParseException(s"percentilesw tuple arity mismatch: ${names.length} names, ${ps.length} P values")
+          names.zip(ps).map { case (n, p) =>
+            (df: DataFrame) => weightedPercentile(col(cName), wExpr(df), p).as(n)
+          }
+        } else {
+          val (cName, ps) = pctList()
+          if (ps.length != names.length)
+            throw new KqlParseException(s"percentiles tuple arity mismatch: ${names.length} names, ${ps.length} P values")
+          names.zip(ps).map { case (n, p) =>
+            (df: DataFrame) => percentile(col(cName), lit(p / 100.0)).as(n)
+          }
         }
       } else if (peek.exists(t => t.kind == "id" && t.text == "percentiles") &&
                  toks.lift(pos + 1).exists(_.text == "(")) {
@@ -2528,6 +2642,15 @@ object KqlCompiler {
         ps.map { p =>
           val suffix = if (p == math.floor(p)) p.toLong.toString else p.toString.replace('.', '_')
           (df: DataFrame) => percentile(col(cName), lit(p / 100.0)).as(s"percentile_${cName}_$suffix")
+        }
+      } else if (peek.exists(t => t.kind == "id" && t.text == "percentilesw") &&
+                 toks.lift(pos + 1).exists(_.text == "(")) {
+        expect("percentilesw")
+        val (cName, wExpr, ps) = pctwList()
+        ps.map { p =>
+          val suffix = if (p == math.floor(p)) p.toLong.toString else p.toString.replace('.', '_')
+          (df: DataFrame) => weightedPercentile(col(cName), wExpr(df), p)
+            .as(s"percentilew_${cName}_$suffix")
         }
       } else List(aggItem())
     }
@@ -2773,6 +2896,31 @@ object KqlCompiler {
 
     /** Haversine distance in meters on the IUGG mean-radius sphere —
       * the pinned geo_distance_2points semantics (see ring-9 note). */
+    /** Exact weighted nearest-rank percentile: sort (value, weight)
+      * pairs, walk cumulative weight, return the first value reaching
+      * P% of the total. One collect_list aggregate per group (Catalyst
+      * dedups the two references into ONE physical agg buffer); the
+      * fold is a scalar post-aggregation expression — the same
+      * group-sized-array stance as make_list/make-series. Nulls in
+      * either argument drop the pair (Kusto ignores nulls); struct
+      * sort order (value, then weight) makes ties deterministic. */
+    private def weightedPercentile(v: Column, w: Column, p: Double): Column = {
+      val pair = when(v.isNotNull && w.isNotNull,
+        struct(v.cast("double").as("v"), w.cast("double").as("w")))
+      val pairs = sort_array(collect_list(pair))
+      val tot = aggregate(pairs, lit(0.0), (s, x) => s + x.getField("w"))
+      val thr = tot * lit(p / 100.0)
+      aggregate(pairs,
+        struct(lit(0.0).as("cum"), lit(null).cast("double").as("ans")),
+        (s, x) => {
+          val cum2 = s.getField("cum") + x.getField("w")
+          struct(cum2.as("cum"),
+            when(s.getField("ans").isNotNull, s.getField("ans"))
+              .when(cum2 >= thr, x.getField("v")).as("ans"))
+        },
+        s => s.getField("ans"))
+    }
+
     private def haversineM(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column = {
       val dlat = radians(lat2 - lat1) / 2
       val dlon = radians(lon2 - lon1) / 2
@@ -2974,6 +3122,22 @@ object KqlCompiler {
       * `pack` and `round` parse literal sub-arguments at parse time (the
       * Spark 4 Column API is opaque — no expression introspection). */
     private def functionCall(name: String): ColB = {
+      // Kusto typed nulls: real(null), long(null), … — a NULL literal
+      // carrying the named type (the only way to write one in KQL)
+      if (peek.exists(t => t.kind == "id" && t.text == "null") &&
+          toks.lift(pos + 1).exists(t => t.text == ")" && t.kind == "sym")) {
+        val dt: Option[org.apache.spark.sql.types.DataType] = name match {
+          case "real" | "double" => Some(org.apache.spark.sql.types.DoubleType)
+          case "long" | "timespan" => Some(org.apache.spark.sql.types.LongType)
+          case "int" => Some(org.apache.spark.sql.types.IntegerType)
+          case "bool" | "boolean" => Some(org.apache.spark.sql.types.BooleanType)
+          case "datetime" => Some(org.apache.spark.sql.types.TimestampType)
+          case "decimal" => Some(org.apache.spark.sql.types.DecimalType(38, 18))
+          case "string" | "guid" => Some(org.apache.spark.sql.types.StringType)
+          case _ => None
+        }
+        dt.foreach { t => expect("null"); expect(")"); return _ => lit(null).cast(t) }
+      }
       if (name == "datetime") {
         val inst = datetimeLiteral()
         return _ => lit(inst)
@@ -3197,6 +3361,17 @@ object KqlCompiler {
         val p = number(); expect(")")
         if (p < 0 || p > 100) throw new KqlParseException(s"percentile P must be 0..100, got $p")
         return df => percentile(e(df), lit(p / 100.0))
+      }
+      if (name == "percentilew") {
+        // percentilew(col, weight, P) — weighted percentile, PINNED to
+        // exact weighted nearest-rank (smallest value whose cumulative
+        // weight reaches P% of the total; Kusto t-digest-approximates —
+        // same exactness upgrade as percentile()).
+        val e = expr(); expect(",")
+        val w = expr(); expect(",")
+        val p = number(); expect(")")
+        if (p < 0 || p > 100) throw new KqlParseException(s"percentilew P must be 0..100, got $p")
+        return df => weightedPercentile(e(df), w(df), p)
       }
       if (name == "round") {
         val e = expr()
@@ -3687,6 +3862,31 @@ object KqlCompiler {
         // encounter order, which is partition-dependent, as in Kusto
         case "make_set" => arity(1); df => array_sort(collect_set(args.head(df)))
         case "make_list" => arity(1); df => collect_list(args.head(df))
+        // conditional collect forms: when() yields null on a false
+        // predicate and collect_set/collect_list skip nulls — one agg
+        // buffer, no pre-filter pass
+        case "make_set_if" => arity(2); df =>
+          array_sort(collect_set(when(args(1)(df), args(0)(df))))
+        case "make_list_if" => arity(2); df =>
+          collect_list(when(args(1)(df), args(0)(df)))
+        // make_list_with_nulls: collect_list drops nulls, so collect the
+        // value boxed in a struct (never null) and unbox after
+        case "make_list_with_nulls" => arity(1); df =>
+          transform(collect_list(struct(args.head(df).as("v"))), x => x.getField("v"))
+        // make_bag(bag): merge property bags across the group. Kusto
+        // keeps "an arbitrary" value on key collisions — pinned here to
+        // first-wins over the LEXICOGRAPHICALLY SORTED bag list (same
+        // determinization stance as take_any→min), via the same
+        // type-preserving Jackson merge as bag_merge()
+        case "make_bag" => arity(1); df => {
+          import org.apache.spark.sql.GraftColumnBridge
+          aggregate(
+            sort_array(collect_list(args.head(df))),
+            lit("{}"),
+            (acc, x) => GraftColumnBridge.column(graft.functions.BagMerge(
+              GraftColumnBridge.catalystExpression(acc),
+              GraftColumnBridge.catalystExpression(x))))
+        }
         // Kusto take_any/any: "an arbitrary row's value". Arbitrary is
         // non-deterministic across engines and re-runs, so this engine
         // pins it to MIN — indistinguishable in take_any's intended use
@@ -3768,10 +3968,6 @@ object KqlCompiler {
           haversineM(args(0)(df), args(1)(df), args(2)(df), args(3)(df))
         case "geo_point_in_circle" => arity(5); df =>
           haversineM(args(0)(df), args(1)(df), args(2)(df), args(3)(df)) <= args(4)(df)
-        // bag_keys(dynamic) → the object's keys; Kusto order is
-        // unspecified, pinned to SORTED here (deterministic)
-        case "bag_keys" => arity(1); df =>
-          array_sort(json_object_keys(args.head(df)))
         // ---- scalar ring 8: ipv4 / version / url-structure family ----
         // parse_ipv4('a.b.c.d[/p]') → long (big-endian octets), masked
         // to the prefix when '/p' is present; null on malformed input.

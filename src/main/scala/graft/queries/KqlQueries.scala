@@ -724,6 +724,20 @@ object KqlQueries extends QueryModule {
           | | order by event_type asc, i asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // series_fit_2lines — the changepoint variant: best two-segment OLS
+    // by total RSS over the same count() series (integer-valued bins
+    // keep every sum IEEE-exact, so the DuckDB split-scan oracle
+    // hash-matches bit-for-bit); ties pinned to the smallest split.
+    "q173_kql_text_fit2lines" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | make-series n = count() default = 0 on ts from datetime(2024-01-03) to datetime(2024-01-27) step 2d by event_type
+          | | extend (rsq, sp, vr, rvr, lf) = series_fit_2lines(n)
+          | | mv-expand with_itemindex=i lf to typeof(real)
+          | | project event_type, i, rsq = round(rsq, 6), sp, vr = round(vr, 6), rvr = round(rvr, 6), lf = round(lf, 6)
+          | | order by event_type asc, i asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // series_fill family over a make-series WITHOUT default (null gaps):
     // const / forward / backward / linear-interpolated fills, with the
     // pinned edge rules (leading nulls stay under forward, trailing
@@ -1144,6 +1158,49 @@ object KqlQueries extends QueryModule {
           |          ej = extract_json('$.ty', bag)
           | | project event_id, m, rm, sk, ej
           | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // generalized `partition by` — per-key subpipeline rewritten into
+    // keyed windows/aggregates (ONE shuffle on the key, never Kusto's
+    // legacy per-value subplan loop): filter + extend + order-take per
+    // event_type, then a second partition whose summarize groups by
+    // (key, band) and drops the injected key (Kusto schema rule).
+    "q171_kql_text_partition" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_id % 5 == 0
+          | | partition by event_type (
+          |     where value >= 5
+          |     | extend v2 = round(value * 2.0, 4)
+          |     | order by v2 desc, event_id asc
+          |     | take 4
+          |   )
+          | | partition by event_type (
+          |     summarize picked = count(), top_v2 = max(v2) by band = event_id % 2
+          |   )
+          | | order by band asc, picked asc, top_v2 asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // aggregate ring 12 — weighted percentiles (exact nearest-rank
+    // pinning), conditional collect forms, null-keeping list, and the
+    // sorted-first-wins make_bag merge. One hash aggregate; the
+    // percentile folds are post-agg scalar expressions over ONE shared
+    // collect_list buffer (integer-valued weights keep every partial
+    // sum IEEE-exact, so the DuckDB window-cumsum oracle hash-matches).
+    "q172_kql_text_agg_ring12" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_id % 11 == 0
+          | | extend band = user_id % 5, w = user_id % 7 + 1
+          | | summarize pw = percentilew(value, w, 50),
+          |             (p25, p90) = percentilesw(value, w, 25, 90),
+          |             st = strcat_array(make_set_if(event_type, value > 50), '|'),
+          |             lst = strcat_array(array_sort_asc(make_list_if(tolong(value), value < 10)), '|'),
+          |             n_all = array_length(make_list_with_nulls(iff(value > 90, value, real(null)))),
+          |             n_val = array_length(make_list(iff(value > 90, value, real(null)))),
+          |             mb = make_bag(bag_set_key('{}', event_type, '1'))
+          |   by band
+          | | order by band asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
     // single-step `scan` — Kusto's canonical running-accumulator form:
@@ -2095,6 +2152,59 @@ object KqlQueries extends QueryModule {
                 round(b + m * b2.i, 6) AS lf
          FROM fin f2 CROSS JOIN bins b2 ORDER BY f2.event_type, b2.i""",
 
+    // 2-line changepoint: per-(split, side) segment sums → closed-form
+    // OLS → RSS; argmin split via row_number (rss, s) = the engine's
+    // strict-less fold tie-break; fitted values re-joined by side
+    "q173_kql_text_fit2lines" ->
+      """WITH bins AS (SELECT i FROM unnest(range(0, 12)) AS t(i)),
+         keys AS (SELECT DISTINCT event_type FROM events
+                  WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+                    AND ts < TIMESTAMP '2024-01-27 00:00:00'),
+         agg AS (
+           SELECT event_type,
+                  (epoch_us(ts) - 1704240000000000) // 172800000000 AS i,
+                  count(*) AS c
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+             AND ts < TIMESTAMP '2024-01-27 00:00:00'
+           GROUP BY 1, 2),
+         filled AS (
+           SELECT k.event_type, b.i, CAST(coalesce(a.c, 0) AS DOUBLE) AS x
+           FROM keys k CROSS JOIN bins b
+           LEFT JOIN agg a ON a.event_type = k.event_type AND a.i = b.i),
+         splits AS (SELECT s FROM unnest(range(2, 11)) AS t(s)),
+         segstat AS (
+           SELECT f.event_type, sp.s, (f.i < sp.s) AS ls,
+                  CAST(count(*) AS DOUBLE) AS m, sum(f.x) AS sy,
+                  sum(f.x * f.x) AS syy, sum(f.i * f.x) AS sxy,
+                  CAST(sum(f.i) AS DOUBLE) AS sx, CAST(sum(f.i * f.i) AS DOUBLE) AS sxx
+           FROM filled f CROSS JOIN splits sp GROUP BY 1, 2, 3),
+         fit1 AS (SELECT *, CASE WHEN m * sxx - sx * sx = 0 THEN 0.0
+                                 ELSE (m * sxy - sx * sy) / (m * sxx - sx * sx) END AS mm
+                  FROM segstat),
+         fit2 AS (SELECT *, (sy - mm * sx) / m AS bb FROM fit1),
+         fit3 AS (SELECT *, syy - bb * sy - mm * sxy AS rss FROM fit2),
+         tot AS (SELECT event_type, s, sum(rss) AS rss FROM fit3 GROUP BY 1, 2),
+         best AS (SELECT event_type, s, rss FROM
+                    (SELECT *, row_number() OVER
+                       (PARTITION BY event_type ORDER BY rss, s) AS rn FROM tot)
+                  WHERE rn = 1),
+         stats AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n, sum(x) AS sy,
+                          sum(x * x) AS syy FROM filled GROUP BY 1),
+         fin AS (SELECT b.event_type, b.s, b.rss, st.n,
+                        st.syy - st.sy * st.sy / st.n AS sstot
+                 FROM best b JOIN stats st USING (event_type)),
+         coefs AS (SELECT f3.event_type, f3.ls, f3.mm, f3.bb
+                   FROM fit3 f3 JOIN best b ON b.event_type = f3.event_type AND b.s = f3.s)
+         SELECT fin.event_type, b2.i,
+                round(CASE WHEN sstot = 0 THEN 1.0 ELSE 1.0 - fin.rss / sstot END, 6) AS rsq,
+                fin.s AS sp,
+                round(sstot / (n - 1), 6) AS vr, round(fin.rss / (n - 1), 6) AS rvr,
+                round(c.bb + c.mm * b2.i, 6) AS lf
+         FROM fin CROSS JOIN bins b2
+         JOIN coefs c ON c.event_type = fin.event_type AND c.ls = (b2.i < fin.s)
+         ORDER BY fin.event_type, b2.i""",
+
     // series_fill family: forward/backward indices via window max/min of
     // non-null positions, values re-joined by index
     "q136_kql_text_series_fill" ->
@@ -2591,6 +2701,52 @@ object KqlQueries extends QueryModule {
                 event_type AS ej
          FROM events WHERE event_id % 101 = 0
          ORDER BY event_id""",
+
+    // generalized partition: window top-4 per event_type on the doubled
+    // value, then per-(event_type, band) counts with the key projected away
+    "q171_kql_text_partition" ->
+      """WITH f AS (SELECT event_type, event_id,
+                           round(value * 2.0, 4) AS v2
+                    FROM events WHERE event_id % 5 = 0 AND value >= 5),
+           r AS (SELECT *, row_number() OVER
+                     (PARTITION BY event_type ORDER BY v2 DESC, event_id) AS rn
+                 FROM f),
+           k AS (SELECT * FROM r WHERE rn <= 4)
+         SELECT event_id % 2 AS band, count(*) AS picked, max(v2) AS top_v2
+         FROM k GROUP BY event_type, event_id % 2
+         ORDER BY band, picked, top_v2""",
+
+    // weighted nearest-rank percentiles via window cumsum; collects as
+    // ordered string_aggs; with_nulls length = group count
+    "q172_kql_text_agg_ring12" ->
+      """WITH f AS (SELECT user_id % 5 AS band, CAST(user_id % 7 + 1 AS DOUBLE) AS w,
+                           value, event_type FROM events WHERE event_id % 11 = 0),
+           c AS (SELECT band, value,
+                        sum(w) OVER (PARTITION BY band ORDER BY value, w
+                                     ROWS UNBOUNDED PRECEDING) AS cum,
+                        sum(w) OVER (PARTITION BY band) AS tot FROM f),
+           pcts AS (SELECT band,
+                           min(CASE WHEN cum >= 0.5 * tot THEN value END) AS pw,
+                           min(CASE WHEN cum >= 0.25 * tot THEN value END) AS p25,
+                           min(CASE WHEN cum >= 0.9 * tot THEN value END) AS p90
+                    FROM c GROUP BY band),
+           st AS (SELECT band, string_agg(et, '|' ORDER BY et) AS st
+                  FROM (SELECT DISTINCT band, event_type AS et FROM f WHERE value > 50)
+                  GROUP BY band),
+           lst AS (SELECT band, string_agg(CAST(CAST(trunc(value) AS BIGINT) AS VARCHAR),
+                                           '|' ORDER BY CAST(trunc(value) AS BIGINT)) AS lst
+                   FROM f WHERE value < 10 GROUP BY band),
+           nn AS (SELECT band, count(*) AS n_all,
+                         count(CASE WHEN value > 90 THEN 1 END) AS n_val
+                  FROM f GROUP BY band),
+           mb AS (SELECT band, '{' || string_agg('"' || et || '":1', ',' ORDER BY et) || '}' AS mb
+                  FROM (SELECT DISTINCT band, event_type AS et FROM f) GROUP BY band)
+         SELECT pcts.band, pw, p25, p90,
+                coalesce(st.st, '') AS st, coalesce(lst.lst, '') AS lst,
+                n_all, n_val, mb.mb
+         FROM pcts JOIN nn USING (band) JOIN mb USING (band)
+              LEFT JOIN st USING (band) LEFT JOIN lst USING (band)
+         ORDER BY band""",
 
     // keyed running scan = per-key running window sum in the scan order
     "q125_kql_text_scan_keyed" ->

@@ -1890,6 +1890,113 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getString(3) == "7")
   }
 
+  test("partition by: general subpipeline (where/extend/order+take per key)") {
+    val out = run(
+      """t | partition by name (
+        |     where value >= 15
+        |     | extend v2 = value * 2
+        |     | order by v2 desc, id asc
+        |     | take 1
+        |   )
+        | | project name, id, v2 | order by name asc""".stripMargin).collect()
+    // alpha: ids 1(10 filtered),3(95) → id 3; beta: 2(55),5(70) → id 5;
+    // gamma: 4(20) → id 4
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq(("alpha", 3L, 190.0), ("beta", 5L, 140.0), ("gamma", 4L, 40.0)))
+  }
+
+  test("partition by: summarize drops the injected key unless the by-list names it; count form") {
+    val s = run(
+      """t | partition by name ( summarize n = count(), mx = max(value) by ok = status == 'ok' )
+        | | order by ok asc, n desc, mx asc""".stripMargin)
+    assert(s.columns.toSeq == Seq("ok", "n", "mx")) // name NOT in output (Kusto schema rule)
+    val rows = s.collect().map(r => (r.getBoolean(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows == Seq((false, 2L, 95.0), (false, 1L, 20.0), (true, 2L, 70.0)))
+    // by-list naming the partition key keeps it (no duplicate grouping)
+    val k = run("""t | partition by name ( summarize n = count() by name ) | order by name asc""")
+    assert(k.columns.toSeq == Seq("name", "n"))
+    assert(k.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("alpha", 2L), ("beta", 2L), ("gamma", 1L)))
+    // count → one Count row per partition, key dropped
+    val c = run("""t | partition by name ( count ) | order by Count asc""").collect()
+    assert(c.map(_.getLong(0)).toSeq == Seq(1L, 2L, 2L))
+  }
+
+  test("partition by: bare take pins per-key arbitrary rows to xxhash64 order (deterministic)") {
+    val q = """t | partition by name ( take 1 ) | order by name asc"""
+    val a = run(q).collect().map(_.toSeq).toSeq
+    assert(a == run(q).collect().map(_.toSeq).toSeq) // re-run identical
+    assert(a.map(_(1)) == Seq("alpha", "beta", "gamma")) // exactly one row per key
+  }
+
+  test("partition by: trailing order-by and non-rewritable operators are loud errors") {
+    assert(intercept[KqlParseException](
+      run("t | partition by name ( order by value desc )"))
+      .getMessage.contains("take"))
+    assert(intercept[KqlParseException](
+      run("t | partition by name ( distinct status )"))
+      .getMessage.contains("unsupported operator"))
+  }
+
+  test("percentilew/percentilesw: exact weighted nearest-rank") {
+    // values 10,55,95,20,70 with weights 1,1,8,1,1 (w = id of row 3 → 8
+    // via case): p50 threshold 6 of total 12 lands inside value 95's mass
+    val r = run(
+      """t | extend w = iff(id == 3, 8, 1)
+        | | summarize p50 = percentilew(value, w, 50),
+        |             (a, b) = percentilesw(value, w, 25, 100)""".stripMargin)
+      .collect().head
+    assert(r.getDouble(0) == 95.0) // cum: 10→1,20→2,55→3,70→4,95→12; thr 6
+    assert(r.getDouble(1) == 55.0) // thr 3 → 55
+    assert(r.getDouble(2) == 95.0) // thr 12 → last value
+    // auto-named bare form
+    val auto = run("t | summarize percentilesw(value, id, 50)")
+    assert(auto.columns.toSeq == Seq("percentilew_value_50"))
+    // weights 1..5 by id, sorted by value: 10(w1),20(w4),55(w2),70(w5),95(w3)
+    // cum 1,5,7,12,15; thr 7.5 → 70
+    assert(auto.collect().head.getDouble(0) == 70.0)
+  }
+
+  test("make_set_if / make_list_if / make_list_with_nulls / make_bag") {
+    val r = run(
+      """t | summarize s = strcat_array(make_set_if(name, value >= 55), '|'),
+        |             l = strcat_array(array_sort_asc(make_list_if(id, value < 60)), '|'),
+        |             nAll = array_length(make_list_with_nulls(iff(value > 60, value, real(null)))),
+        |             nVal = array_length(make_list(iff(value > 60, value, real(null)))),
+        |             mb = make_bag(bag_set_key('{}', name, '1'))""".stripMargin)
+      .collect().head
+    assert(r.getString(0) == "alpha|beta")      // ids 2(beta,55),3(alpha,95),5(beta,70)
+    assert(r.getString(1) == "1|2|4")           // values 10,55,20
+    assert(r.getLong(2) == 5L && r.getLong(3) == 2L) // with_nulls keeps the 3 nulls
+    assert(r.getString(4) == """{"alpha":1,"beta":1,"gamma":1}""") // sorted-first-wins merge
+  }
+
+  test("series_fit_2lines: exact changepoint, tie-break, short-series nulls") {
+    val r = run(
+      """t | where id == 1
+        | | extend s = pack_array(0.0, 1.0, 2.0, 10.0, 11.0, 12.0)
+        | | extend (rsq, sp, v, rv, lf) = series_fit_2lines(s)
+        | | project rsq, sp, v, rv, lf""".stripMargin).collect().head
+    assert(r.getDouble(0) == 1.0)      // both segments fit exactly
+    assert(r.getLong(1) == 3L)         // right segment starts at index 3
+    assert(math.abs(r.getDouble(2) - 30.8) < 1e-9) // sample variance
+    assert(r.getDouble(3) == 0.0)
+    assert(r.getSeq[Double](4) == Seq(0.0, 1.0, 2.0, 10.0, 11.0, 12.0))
+    // constant series: all splits tie at RSS 0 → smallest split wins,
+    // sstot 0 → rsquare pinned 1.0
+    val c = run(
+      """t | where id == 1
+        | | extend (rsq, sp) = series_fit_2lines(pack_array(5.0, 5.0, 5.0, 5.0))
+        | | project rsq, sp""".stripMargin).collect().head
+    assert(c.getDouble(0) == 1.0 && c.getLong(1) == 2L)
+    // shorter than 4 points → all-null
+    val s = run(
+      """t | where id == 1
+        | | extend (rsq, sp, v) = series_fit_2lines(pack_array(1.0, 2.0, 3.0))
+        | | project rsq, sp, v""".stripMargin).collect().head
+    assert(s.isNullAt(0) && s.isNullAt(1) && s.isNullAt(2))
+  }
+
   test("scan state references outside the additive form are loud errors") {
     assert(intercept[KqlParseException](run(
       """t | order by id asc
