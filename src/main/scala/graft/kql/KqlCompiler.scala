@@ -1657,6 +1657,68 @@ object KqlCompiler {
                 round(col("PercentB"), 6).as("PercentB"),
                 round(col("__diff"), 6).as("PercentDiffAB")) ++
                 cols.map(c => coalesce(col(c).cast("string"), lit("*")).as(c)): _*)
+          case "ipv4_lookup" =>
+            // `evaluate ipv4_lookup(LookupTable, SourceIPCol, IPKeyCol
+            //  [, ExtraKey1, …] [, return_unmatched = true|false])` —
+            // Kusto's CIDR lookup with LONGEST-PREFIX-MATCH semantics.
+            // Scale shape (the classic distributed LPM join): the
+            // lookup is a DIM table by contract (Kusto caps it at 1M
+            // rows), so its distinct prefix lengths (≤ 33) broadcast-
+            // cross the probe — ≤ |lens| row inflation, typically 2-5 —
+            // and the prepped (len, net)-keyed lookup broadcast-joins;
+            // the longest match survives via ONE probe-row-keyed window.
+            // No per-row UDF, no driver fetch, no range cross-product.
+            // Duplicate (len, net) lookup rows all survive at the
+            // winning length (deterministic; Kusto keeps one arbitrary).
+            val lookup = subquery()
+            expect(",")
+            val srcCol = ident()
+            expect(",")
+            val keyCol = ident()
+            var extraKeys = List.empty[String]
+            var retUnmatched = false
+            while (peekIs(",")) {
+              expect(",")
+              val t = ident()
+              if (t == "return_unmatched") {
+                if (peekIs("=")) { expect("=")
+                  retUnmatched = ident() match {
+                    case "true" => true
+                    case "false" => false
+                    case o => throw new KqlParseException(s"return_unmatched expects true/false, got '$o'")
+                  }
+                } else retUnmatched = true
+              } else extraKeys :+= t
+            }
+            expect(")")
+            import org.apache.spark.sql.expressions.Window
+            val kc = col(keyCol)
+            val prepped = lookup
+              .withColumn("__g_len", coalesce(
+                when(kc.contains("/"), substring_index(kc, "/", -1).cast("int")), lit(32)))
+              .withColumn("__g_net", ipv4WithPrefix(kc, lit(32)))
+              .where(col("__g_net").isNotNull && col("__g_len").between(0, 32))
+            val lens = prepped.select("__g_len").distinct()
+            val withId = df.withColumn("__g_rid", monotonically_increasing_id())
+            val probeNet = {
+              val ip = ipv4WithPrefix(substring_index(col(srcCol), "/", 1), lit(32))
+              val blk = pow(lit(2.0), (lit(32) - col("__g_len")).cast("double")).cast("long")
+              ip - pmod(ip, blk)
+            }
+            val joined = withId.crossJoin(broadcast(lens))
+              .withColumn("__g_net", probeNet)
+              .join(broadcast(prepped), Seq("__g_len", "__g_net") ++ extraKeys, "inner")
+            val matched = joined
+              .withColumn("__g_max", max(col("__g_len")).over(Window.partitionBy(col("__g_rid"))))
+              .where(col("__g_len") === col("__g_max"))
+              .drop("__g_len", "__g_net", "__g_max")
+            if (!retUnmatched) matched.drop("__g_rid")
+            else {
+              val lookupCols = prepped.columns.filterNot(c =>
+                c == "__g_len" || c == "__g_net" || extraKeys.contains(c))
+              val right = matched.select(("__g_rid" +: lookupCols).map(col): _*)
+              withId.join(right, Seq("__g_rid"), "left").drop("__g_rid")
+            }
           case "sequence_detect" =>
             // `evaluate sequence_detect(TimelineCol, MaxStepWindow,
             //  MaxSequenceGap, boolCol1, …, boolColN) by KeyCol` —
@@ -3900,6 +3962,23 @@ object KqlCompiler {
         case "minif" => arity(2); df => min(when(args(1)(df), args(0)(df)))
         case "maxif" => arity(2); df => max(when(args(1)(df), args(0)(df)))
         case "dcountif" => arity(2); df => countDistinct(when(args(1)(df), args(0)(df)))
+        // tdigest()/tdigest_merge()/percentile_tdigest(): Kusto's
+        // mergeable-percentile sketch, pinned to a deterministic
+        // order-insensitive log-histogram (graft.functions.TdigestAgg
+        // Scaladoc has the full spec) — bounded O(kB) state per group,
+        // exact bucket-count merge, the 100 TB percentile path.
+        case "tdigest" => arity(1); df => {
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.TdigestAgg(
+            GraftColumnBridge.catalystExpression(args.head(df).cast("double")))
+            .toAggregateExpression())
+        }
+        case "tdigest_merge" | "merge_tdigest" => arity(1); df => {
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.TdigestMergeAgg(
+            GraftColumnBridge.catalystExpression(args.head(df).cast("string")))
+            .toAggregateExpression())
+        }
         // bitwise aggregates (Kusto binary_all_*; long-typed)
         case "binary_all_or" => arity(1); df => bit_or(args.head(df).cast("long"))
         case "binary_all_and" => arity(1); df => bit_and(args.head(df).cast("long"))
@@ -3958,6 +4037,14 @@ object KqlCompiler {
         case "url_encode_component" => arity(1); df =>
           replace(url_encode(args.head(df)), lit("+"), lit("%20"))
         case "url_decode" => arity(1); df => url_decode(args.head(df))
+        // percentile_tdigest(sketch, p) — nearest-rank walk over the
+        // pinned log-histogram sketch (see TdigestAgg)
+        case "percentile_tdigest" => arity(2); df => {
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.PercentileTdigest(
+            GraftColumnBridge.catalystExpression(args(0)(df).cast("string")),
+            GraftColumnBridge.catalystExpression(args(1)(df).cast("double"))))
+        }
         // ---- scalar ring 9: geo family + property-bag keys ----
         // geo_distance_2points(lon1, lat1, lon2, lat2) → meters.
         // PINNED to the haversine on the IUGG mean radius 6371009 m

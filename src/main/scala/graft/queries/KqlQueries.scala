@@ -1203,6 +1203,45 @@ object KqlQueries extends QueryModule {
           | | order by band asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // evaluate ipv4_lookup — distributed longest-prefix-match CIDR
+    // join: distinct prefix lengths broadcast-cross the probe (4 lens
+    // here), (len, net)-keyed broadcast join, probe-row-keyed window
+    // keeps the winner. The oracle hand-derives the LPM decision tree.
+    "q174_kql_text_ipv4_lookup" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """let ranges = datatable(network: string, tier: string) [
+          |  '10.0.0.0/8', 'all10',
+          |  '10.5.0.0/16', 'b5',
+          |  '10.5.12.0/24', 'c12',
+          |  '10.17.0.0/16', 'b17',
+          |  '172.16.0.0/12', 'rfc1918-b'];
+          |events
+          | | where event_id % 13 == 0
+          | | extend ip = strcat('10.', tostring(user_id % 20), '.', tostring(event_id % 30), '.9')
+          | | evaluate ipv4_lookup(ranges, ip, network)
+          | | summarize n = count() by network, tier
+          | | order by network asc""".stripMargin,
+        _ => Tables.events(s, dir), java.time.Instant.EPOCH, s)),
+
+    // tdigest sketch ring — build per-(type, band) sketches, roll them
+    // up with tdigest_merge (the stored-sketch two-level pattern), then
+    // extract percentiles. The sketch is the pinned order-insensitive
+    // log-histogram (TdigestAgg Scaladoc), so the DuckDB oracle
+    // replicates the bucket math exactly — an APPROXIMATE percentile
+    // that is still hash-gated, because the approximation itself is
+    // deterministic and spec-pinned.
+    "q175_kql_text_tdigest" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | extend band = user_id % 8
+          | | summarize s = tdigest(value) by event_type, band
+          | | summarize s = tdigest_merge(s) by event_type
+          | | project event_type, p50 = round(percentile_tdigest(s, 50), 6),
+          |           p95 = round(percentile_tdigest(s, 95), 6),
+          |           p99 = round(percentile_tdigest(s, 99), 6)
+          | | order by event_type asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // single-step `scan` — Kusto's canonical running-accumulator form:
     // the step consumes every matching record, the additive
     // self-referencing assignment lowers to a running window sum, and a
@@ -2747,6 +2786,52 @@ object KqlQueries extends QueryModule {
          FROM pcts JOIN nn USING (band) JOIN mb USING (band)
               LEFT JOIN st USING (band) LEFT JOIN lst USING (band)
          ORDER BY band""",
+
+    // LPM decision tree hand-derived: /24 beats /16 beats /8; the
+    // 172.16/12 range never matches a 10.x address
+    "q174_kql_text_ipv4_lookup" ->
+      """WITH f AS (SELECT user_id % 20 AS x, event_id % 30 AS y
+                    FROM events WHERE event_id % 13 = 0),
+         m AS (SELECT CASE WHEN x = 5 AND y = 12 THEN '10.5.12.0/24'
+                           WHEN x = 5 THEN '10.5.0.0/16'
+                           WHEN x = 17 THEN '10.17.0.0/16'
+                           ELSE '10.0.0.0/8' END AS network,
+                      CASE WHEN x = 5 AND y = 12 THEN 'c12'
+                           WHEN x = 5 THEN 'b5'
+                           WHEN x = 17 THEN 'b17'
+                           ELSE 'all10' END AS tier
+               FROM f)
+         SELECT network, tier, count(*) AS n FROM m
+         GROUP BY network, tier ORDER BY network""",
+
+    // pinned log-histogram replicated: bucket = ceil(round(ln v / ln γ,
+    // 9)), γ = 101/99; nearest-rank target over cumulative bucket
+    // counts; estimate = 2/(γ+1)·γ^i rounded 6dp (all values positive
+    // in this table, so no sign/zero classes in play)
+    "q175_kql_text_tdigest" ->
+      """WITH b AS (SELECT event_type,
+                           CAST(ceil(round(ln(value) / ln(101.0/99.0), 9)) AS INT) AS i,
+                           count(*) AS c
+                    FROM events GROUP BY 1, 2),
+         tot AS (SELECT event_type, sum(c) AS n FROM b GROUP BY 1),
+         cum AS (SELECT event_type, i,
+                        sum(c) OVER (PARTITION BY event_type ORDER BY i) AS cum
+                 FROM b),
+         ps AS (SELECT * FROM (VALUES (50.0), (95.0), (99.0)) AS t(p)),
+         tgt AS (SELECT tot.event_type, ps.p,
+                        greatest(1, CAST(ceil(ps.p / 100.0 * tot.n) AS BIGINT)) AS target
+                 FROM tot CROSS JOIN ps),
+         sel AS (SELECT t.event_type, t.p, min(c.i) AS i
+                 FROM tgt t JOIN cum c ON c.event_type = t.event_type AND c.cum >= t.target
+                 GROUP BY 1, 2),
+         est AS (SELECT event_type, p,
+                        round(2.0 / (101.0/99.0 + 1.0) * pow(101.0/99.0, i), 6) AS v
+                 FROM sel)
+         SELECT event_type,
+                max(CASE WHEN p = 50 THEN v END) AS p50,
+                max(CASE WHEN p = 95 THEN v END) AS p95,
+                max(CASE WHEN p = 99 THEN v END) AS p99
+         FROM est GROUP BY event_type ORDER BY event_type""",
 
     // keyed running scan = per-key running window sum in the scan order
     "q125_kql_text_scan_keyed" ->

@@ -3363,6 +3363,66 @@ object LlmQueries extends QueryModule {
   private def sqlQuery(view: (SparkSession, String) => SparkSession, sql: String): (SparkSession, String) => DataFrame =
     (s, dir) => view(s, dir).sql(sql)
 
+  /** q176 — bloom-prefiltered benchmark decontamination: the scale-path
+    * complement of q113. q113 bounds the gram join with a df cap, which
+    * still SHUFFLES every corpus gram once to count frequencies; here
+    * the benchmark side (small by nature — it's an eval set) builds ONE
+    * bounded bloom sketch over its gram hashes, and the corpus side
+    * drops non-matching grams MAP-SIDE (codegen'd
+    * `BloomFilterMightContain` on a literal sketch — zero shuffle, zero
+    * join for the ~99% of grams that can't be contaminated). Survivors
+    * exact-confirm against the benchmark gram set (broadcast — it's
+    * dim-sized), which removes bloom false positives, so the output is
+    * EXACTLY the uncapped exact-join semantics and the DuckDB oracle
+    * hash-matches. The sketch collect is one ~1 MB driver round-trip —
+    * the same pattern as Spark's own DataFrameStatFunctions.bloomFilter
+    * and the runtime row-level filters Spark injects for shuffle joins
+    * (which use an uncorrelated scalar subquery for the same sketch). */
+  private def bloomDecontam(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("ws")) - 3),
+          i => md5(concat_ws(" ", slice(col("ws"), i + 1, lit(3))))))).as("fp"))
+    val bench = grams.where(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("bench_id"), col("fp"))
+    val corpus = grams.where(col("doc_id") % 97 =!= 0)
+    val sketch = bench.select(GraftColumnBridge.column(
+        new BloomFilterAggregate(
+          GraftColumnBridge.catalystExpression(xxhash64(col("fp"))),
+          Literal(1000000L), Literal(8388608L)).toAggregateExpression()).as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val survivors =
+      if (sketch == null) corpus.where(lit(false)) // empty benchmark side
+      else corpus.where(GraftColumnBridge.column(BloomFilterMightContain(
+        Literal(sketch, BinaryType),
+        GraftColumnBridge.catalystExpression(xxhash64(col("fp"))))))
+    survivors.join(broadcast(bench), "fp")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("fp")).as("shared_grams"),
+           countDistinct(col("bench_id")).as("n_bench_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val bloomDecontamOracle = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (
+      SELECT doc_id, list_distinct(list_transform(range(len(ws) - 2),
+               i -> md5(array_to_string(ws[i+1:i+3], ' ')))) AS gl
+      FROM w WHERE len(ws) >= 3),
+    fps AS (SELECT doc_id, unnest(gl) AS fp FROM g),
+    bench AS (SELECT doc_id AS bench_id, fp FROM fps WHERE doc_id % 97 = 0),
+    corpus AS (SELECT doc_id, fp FROM fps WHERE doc_id % 97 <> 0)
+    SELECT c.doc_id, count(DISTINCT c.fp) AS shared_grams,
+           count(DISTINCT b.bench_id) AS n_bench_docs
+    FROM corpus c JOIN bench b ON c.fp = b.fp
+    GROUP BY c.doc_id ORDER BY c.doc_id"""
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_exact_dedup" -> (exactDedup(_, _)),
     "q22_minhash_lsh" -> sqlQuery(docs, minhashSql()),
@@ -3422,7 +3482,8 @@ object LlmQueries extends QueryModule {
     "q161_ppx_buckets" -> sqlQuery(docs, ppxBucketSql),
     "q164_dedup_audit" -> sqlQuery(docs, dedupAuditSql),
     "q168_eval_sampler" -> sqlQuery(docs, evalSamplerSql),
-    "q169_emb_outliers" -> sqlQuery(embs, embOutlierSql))
+    "q169_emb_outliers" -> sqlQuery(embs, embOutlierSql),
+    "q176_bloom_decontam" -> (bloomDecontam(_, _)))
 
   override val oracles: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -3484,5 +3545,6 @@ object LlmQueries extends QueryModule {
     "q161_ppx_buckets" -> ppxBucketOracle,
     "q164_dedup_audit" -> dedupAuditOracle,
     "q168_eval_sampler" -> evalSamplerOracle,
-    "q169_emb_outliers" -> embOutlierOracle)
+    "q169_emb_outliers" -> embOutlierOracle,
+    "q176_bloom_decontam" -> bloomDecontamOracle)
 }

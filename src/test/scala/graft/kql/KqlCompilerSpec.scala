@@ -1997,6 +1997,33 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.isNullAt(0) && s.isNullAt(1) && s.isNullAt(2))
   }
 
+  test("evaluate ipv4_lookup: longest-prefix match, /32 keys, return_unmatched") {
+    def run(kql: String) =
+      KqlCompiler.compile(kql, _ => df, java.time.Instant.EPOCH, spark)
+    val q =
+      """let ranges = datatable(network: string, zone: string) [
+        |  '10.0.0.0/8', 'corp',
+        |  '10.1.0.0/16', 'corp-east',
+        |  '192.168.0.0/16', 'home',
+        |  '8.8.8.8', 'dns'];
+        |t | extend ip = case(id == 1, '10.1.2.3', id == 2, '10.9.9.9',
+        |                     id == 3, '192.168.5.5', id == 4, '8.8.8.8', '1.1.1.1')
+        | | evaluate ipv4_lookup(ranges, ip, network)
+        | | project id, ip, network, zone | order by id asc""".stripMargin
+    val m = run(q).collect().map(r => (r.getLong(0), r.getString(2), r.getString(3))).toSeq
+    assert(m == Seq(
+      (1L, "10.1.0.0/16", "corp-east"), // /16 beats /8
+      (2L, "10.0.0.0/8", "corp"),
+      (3L, "192.168.0.0/16", "home"),
+      (4L, "8.8.8.8", "dns")))          // bare key = /32; 1.1.1.1 dropped
+    val u = run(q.replace("evaluate ipv4_lookup(ranges, ip, network)",
+                          "evaluate ipv4_lookup(ranges, ip, network, return_unmatched = true)"))
+      .collect()
+    assert(u.length == 5)
+    val miss = u.find(_.getLong(0) == 5L).get
+    assert(miss.getString(1) == "1.1.1.1" && miss.isNullAt(2) && miss.isNullAt(3))
+  }
+
   test("scan state references outside the additive form are loud errors") {
     assert(intercept[KqlParseException](run(
       """t | order by id asc
