@@ -44,5 +44,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.queries.LlmQueries.MinhashParams.map(_._1),
       graft.queries.LlmQueries.MinhashParams.map(_._2),
       graft.queries.LlmQueries.MinhashP))
+    // mergeable quantile sketch + property-bag mutators (round 13)
+    fn(ext, "tdigest", exprs => TdigestAgg(exprs.head))
+    fn(ext, "tdigest_merge", exprs => TdigestMergeAgg(exprs.head))
+    fn(ext, "percentile_tdigest", exprs => PercentileTdigest(exprs.head, exprs(1)))
+    fn(ext, "bag_merge", exprs => exprs.reduce(BagMerge(_, _)))
+    fn(ext, "bag_remove_keys", exprs => BagRemoveKeys(exprs.head, exprs(1)))
+    fn(ext, "bag_set_key", exprs => BagSetKey(exprs.head, exprs(1), exprs(2)))
   }
 }

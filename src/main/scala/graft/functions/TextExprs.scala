@@ -438,6 +438,21 @@ object GraftFunctions {
       exprs => DotProductD(exprs.head, exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("deflate_ratio",
       exprs => DeflateRatio(exprs.head), "scala_udf")
+    // mergeable quantile sketch (the analyzer wraps the bare
+    // AggregateFunction in an AggregateExpression)
+    reg.createOrReplaceTempFunction("tdigest",
+      exprs => TdigestAgg(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("tdigest_merge",
+      exprs => TdigestMergeAgg(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("percentile_tdigest",
+      exprs => PercentileTdigest(exprs.head, exprs(1)), "scala_udf")
+    // type-preserving property-bag mutators
+    reg.createOrReplaceTempFunction("bag_merge",
+      exprs => exprs.reduce(BagMerge(_, _)), "scala_udf")
+    reg.createOrReplaceTempFunction("bag_remove_keys",
+      exprs => BagRemoveKeys(exprs.head, exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("bag_set_key",
+      exprs => BagSetKey(exprs.head, exprs(1), exprs(2)), "scala_udf")
   }
 
   /** minhash_sig is parameterized by the query's lane constants, so it is

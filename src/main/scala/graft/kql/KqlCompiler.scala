@@ -146,7 +146,7 @@ object KqlCompiler {
   private final case class Tok(kind: String, text: String) // kind: id|num|str|sym
   private object Lexer {
     private val symbols = List("==", "!=", "=~", "!~", "=>", "<=", ">=", "..", ".", "|", "(", ")", ",",
-      ";", "=", "<", ">", "+", "-", "*", "/", "%", ":", "[", "]", "{", "}", "!in", "~")
+      ";", "=", "<", ">", "+", "-", "*", "/", "%", ":", "[", "]", "{", "}", "!in", "~", "$")
     def tokens(s: String): Vector[Tok] = {
       val out = Vector.newBuilder[Tok]
       var i = 0
@@ -922,6 +922,9 @@ object KqlCompiler {
             throw new KqlParseException(
               s"multi-assign extend supports series_stats/series_decompose/series_decompose_anomalies/series_fit_line/series_fit_2lines/series_periods_detect, got '$other'")
         }
+      case "extend" if toks.lift(pos + 2).exists(t =>
+          t.kind == "id" && t.text == "row_window_session") =>
+        rowWindowSessionOp(df, Nil)
       case "extend" =>
         sepBy1(() => { val n = ident(); expect("="); (n, expr()) })
           .foldLeft(df) { case (d, (n, e)) => d.withColumn(n, e(d)) }
@@ -1657,6 +1660,36 @@ object KqlCompiler {
                 round(col("PercentB"), 6).as("PercentB"),
                 round(col("__diff"), 6).as("PercentDiffAB")) ++
                 cols.map(c => coalesce(col(c).cast("string"), lit("*")).as(c)): _*)
+          case "dcount_intersect" =>
+            // `evaluate dcount_intersect(hll1, hll2 [, hll3])` —
+            // Kusto's cumulative-intersection estimator over hll
+            // sketch columns: s0 = |A|, s1 = |A∩B|, s2 = |A∩B∩C| via
+            // inclusion-exclusion on union estimates (the only
+            // mergeable-sketch route to an intersection). Map-only —
+            // the sketches were aggregated upstream; estimates clamp
+            // at 0 (inclusion-exclusion can go slightly negative).
+            val cols = sepBy1(() => ident())
+            expect(")")
+            if (cols.length < 2 || cols.length > 3)
+              throw new KqlParseException("dcount_intersect() expects 2 or 3 hll columns")
+            def est(c: String) = hll_sketch_estimate(col(c))
+            def u2(a: String, b: String) =
+              hll_sketch_estimate(hll_union(col(a), col(b)))
+            val s0 = est(cols(0))
+            val s1 = greatest(lit(0L), est(cols(0)) + est(cols(1)) - u2(cols(0), cols(1)))
+            val outs =
+              if (cols.length == 2) Seq(s0.as("s0"), s1.as("s1"))
+              else {
+                val u012 = hll_sketch_estimate(
+                  hll_union(hll_union(col(cols(0)), col(cols(1))), col(cols(2))))
+                val s2 = greatest(lit(0L),
+                  est(cols(0)) + est(cols(1)) + est(cols(2)) -
+                    u2(cols(0), cols(1)) - u2(cols(0), cols(2)) - u2(cols(1), cols(2)) +
+                    u012)
+                Seq(s0.as("s0"), s1.as("s1"), s2.as("s2"))
+              }
+            val keep = df.columns.filterNot(cols.contains).map(col).toSeq
+            df.select(keep ++ outs: _*)
           case "ipv4_lookup" =>
             // `evaluate ipv4_lookup(LookupTable, SourceIPCol, IPKeyCol
             //  [, ExtraKey1, …] [, return_unmatched = true|false])` —
@@ -1813,7 +1846,26 @@ object KqlCompiler {
         }
         val right = subquery()
         expect("on")
-        val keys = sepBy1(() => ident())
+        // each key is either a bare Name (same column both sides —
+        // Kusto's shorthand, lowered as a using-join that keeps ONE key
+        // column) or the explicit `$left.A == $right.B` form (either
+        // side order). Any explicit pair switches the whole join to the
+        // condition form, where Kusto keeps BOTH sides' columns and
+        // renames right-side duplicates with a `1` suffix — replicated
+        // here with an explicit post-join projection.
+        val keyPairs = sepBy1 { () =>
+          if (peekIs("$")) {
+            expect("$"); val s1 = ident(); expect("."); val n1 = ident()
+            expect("=="); expect("$"); val s2 = ident(); expect("."); val n2 = ident()
+            (s1, s2) match {
+              case ("left", "right") => (n1, n2, false)
+              case ("right", "left") => (n2, n1, false)
+              case _ => throw new KqlParseException(
+                "join key must relate $left and $right (e.g. $left.a == $right.b)")
+            }
+          } else { val n = ident(); (n, n, true) }
+        }
+        val keys = keyPairs.map(_._1)
         val leftBase =
           if (kind != "innerunique") df
           else {
@@ -1829,10 +1881,28 @@ object KqlCompiler {
           case Some("shuffle") => leftBase.hint("shuffle_hash")
           case _ => leftBase
         }
-        sparkKind match {
+        if (keyPairs.forall(_._3)) sparkKind match {
           case "right_semi" => right.join(left, keys, "left_semi")
           case "right_anti" => right.join(left, keys, "left_anti")
           case k => left.join(right, keys, k)
+        } else {
+          // alias both plans so self-joins resolve (same-lineage
+          // attributes are ambiguous without qualified names)
+          val l = left.alias("__gl")
+          val r = right.alias("__gr")
+          def lc(c: String) = col(s"__gl.`$c`")
+          def rc(c: String) = col(s"__gr.`$c`")
+          val cond = keyPairs.map { case (a, b, _) => lc(a) === rc(b) }.reduce(_ && _)
+          sparkKind match {
+            case "right_semi" => r.join(l, cond, "left_semi")
+            case "right_anti" => r.join(l, cond, "left_anti")
+            case "left_semi" | "left_anti" => l.join(r, cond, sparkKind)
+            case k =>
+              val lCols = left.columns.toSeq.map(c => lc(c).as(c))
+              val rCols = right.columns.toSeq.map(c =>
+                if (left.columns.contains(c)) rc(c).as(c + "1") else rc(c).as(c))
+              l.join(r, cond, k).select(lCols ++ rCols: _*)
+          }
         }
       case "union" =>
         // `union [withsource=Col] T1 [, T2 …]` — KQL union merges by
@@ -1948,6 +2018,9 @@ object KqlCompiler {
                 .where(col("__prn") <= n).drop("__prn")
             case "scan" =>
               cur = scanOp(cur, Seq(col(pkey)))
+            case "extend" if toks.lift(pos + 2).exists(t =>
+                t.kind == "id" && t.text == "row_window_session") =>
+              cur = rowWindowSessionOp(cur, Seq(col(pkey)))
             case rowLocal @ ("where" | "filter" | "project" | "extend" | "mv" | "parse") =>
               cur = pipeOpNamed(rowLocal, cur)
             case other =>
@@ -2449,6 +2522,35 @@ object KqlCompiler {
       * natural order); with empty `partitionCols` the windows are the
       * documented opt-in global partition, with a key they hash-shuffle
       * once on it. */
+    /** `extend S = row_window_session(ts, maxDur, idle [, restart])` —
+      * the serialized sessionization scalar (semantics + scale shape on
+      * [[graft.ops.Funnel.rowWindowSession]]). Serialize-class: needs
+      * the explicit preceding sort, warns when unkeyed; the keyed form
+      * is `partition by Key ( extend S = row_window_session(...) )`.
+      * Kusto allows it mixed into a larger extend list; here it must
+      * stand alone (documented subset — the lowering is a whole-frame
+      * pass, not a column). */
+    private def rowWindowSessionOp(df: DataFrame, partitionCols: Seq[Column]): DataFrame = {
+      val outName = ident(); expect("="); expect("row_window_session"); expect("(")
+      val tsB = expr(); expect(",")
+      val maxFirstUs = timespanMicros(); expect(",")
+      val idleUs = timespanMicros()
+      val restart = if (peekIs(",")) { expect(","); Some(expr()) } else None
+      expect(")")
+      if (peekIs(","))
+        throw new KqlParseException(
+          "row_window_session must be the only assignment in its extend (whole-frame lowering)")
+      if (lastOrder.isEmpty)
+        throw new KqlParseException(
+          "row_window_session requires a preceding 'order by' (no stable natural order in a distributed engine)")
+      if (partitionCols.isEmpty)
+        warn("row_window_session without a partition key lowers to ONE global partition " +
+          "(Kusto's serialized-input semantics); wrap it as " +
+          "`partition by Key ( extend ... )` to distribute per-key sessionization")
+      graft.ops.Funnel.rowWindowSession(df, partitionCols, lastOrder.get.map(_(df)),
+        tsB(df), maxFirstUs, idleUs, restart.map(_(df)), outName)
+    }
+
     private def scanOp(df: DataFrame, partitionCols: Seq[Column]): DataFrame = {
         // Kusto `scan` — restricted single-earliest-instance core (see
         // [[graft.ops.Funnel.scanEarliest]] for semantics + scale shape):
@@ -3811,6 +3913,14 @@ object KqlCompiler {
         case "isinf" => arity(1); df =>
           args.head(df) === lit(Double.PositiveInfinity) ||
             args.head(df) === lit(Double.NegativeInfinity)
+        // isfinite: not NaN, not ±Inf, not null (Kusto: null → false)
+        case "isfinite" => arity(1); df => {
+          val v = args.head(df)
+          coalesce(!isnan(v) && v =!= lit(Double.PositiveInfinity) &&
+            v =!= lit(Double.NegativeInfinity), lit(false))
+        }
+        case "set_has_element" => arity(2); df =>
+          array_contains(args(0)(df), args(1)(df))
         case "todatetime" => arity(1); df => args.head(df).cast("timestamp")
         // start-of-period truncations (Grafana time-range macros expand to
         // these). Kusto weeks start SUNDAY — Spark's date_trunc("week") is

@@ -331,6 +331,76 @@ object Funnel {
     out
   }
 
+  /** Kusto `row_window_session(ts, MaxDistanceFromFirst,
+    * MaxDistanceBetweenNeighbors [, Restart])` — the serialized
+    * sessionization scalar: each row gets its session's START
+    * timestamp. A new session opens on the first row, on a key change,
+    * when the gap to the previous row exceeds the idle timeout, when
+    * the distance to the CURRENT session's start exceeds the max
+    * duration (the rule that makes this genuinely sequential — the
+    * anchor moves as sessions close, so no window/gaps-and-islands
+    * rewrite exists), or when the Restart condition fires.
+    *
+    * Same lowering discipline as [[scanSequential]]: timestamps and
+    * the restart predicate are precomputed as codegen'd cells BEFORE
+    * the shuffle; ONE hash shuffle on the key (or the documented
+    * serialize-class single partition when unkeyed), a sort within
+    * partitions, then a single O(1)-state streaming pass.
+    *
+    * Pinned edge rule: a null timestamp emits a null session start and
+    * does not advance the session state. */
+  def rowWindowSession(df: DataFrame, partitionCols: Seq[Column], orderCols: Seq[Column],
+                       ts: Column, maxFirstUs: Long, idleUs: Long,
+                       restart: Option[Column], outName: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.{Encoders, Row}
+    require(orderCols.nonEmpty, "row_window_session needs an explicit row order")
+    if (df.columns.contains(outName))
+      throw new IllegalArgumentException(
+        s"row_window_session output column '$outName' collides with an input column")
+    val inCols = df.columns.toSeq
+    val keyCol = (if (partitionCols.isEmpty) lit(0) else struct(partitionCols: _*)).as("__rws_key")
+    val tsCell = unix_micros(ts.cast("timestamp")).as("__rws_ts")
+    val rCell = coalesce(restart.getOrElse(lit(false)).cast("boolean"), lit(false)).as("__rws_r")
+    val eval = df.select(inCols.map(col) ++ Seq(keyCol, tsCell, rCell): _*)
+    val prepared =
+      if (partitionCols.isEmpty) eval.repartition(1).sortWithinPartitions(orderCols: _*)
+      else eval.repartition(col("__rws_key"))
+        .sortWithinPartitions(col("__rws_key") +: orderCols: _*)
+    val schema = eval.schema
+    val kI = schema.fieldIndex("__rws_key")
+    val tI = schema.fieldIndex("__rws_ts")
+    val rI = schema.fieldIndex("__rws_r")
+    val inLen = inCols.length
+    val outSchema = StructType(df.schema.fields :+ StructField(outName, LongType, nullable = true))
+    val out = prepared.mapPartitions { it =>
+      var curKey: Any = null
+      var started = false
+      var haveSess = false
+      var sessStart = 0L
+      var prevTs = 0L
+      it.map { row =>
+        val key = row.get(kI)
+        if (!started || key != curKey) { started = true; curKey = key; haveSess = false }
+        val vals = new Array[Any](inLen + 1)
+        var i = 0
+        while (i < inLen) { vals(i) = row.get(i); i += 1 }
+        if (row.isNullAt(tI)) vals(inLen) = null
+        else {
+          val t = row.getLong(tI)
+          val r = row.getBoolean(rI)
+          if (!haveSess || r || t - prevTs > idleUs || t - sessStart > maxFirstUs) {
+            sessStart = t; haveSess = true
+          }
+          prevTs = t
+          vals(inLen) = sessStart
+        }
+        Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+      }
+    }(Encoders.row(outSchema))
+    out.withColumn(outName, timestamp_micros(col(outName)))
+  }
+
   /** Declared-variable lowering classes for the single-step scan
     * ([[scanRunning]]): untouched default, per-row assignment, or the
     * self-referencing additive accumulation `v = v + e`. */

@@ -1242,6 +1242,65 @@ object KqlQueries extends QueryModule {
           | | order by event_type asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // explicit-key join form — `on $left.A == $right.B` (the
+    // different-name equi-join Kusto dashboards use against dimension
+    // subqueries); leftouter misses keep null right columns. Lowered as
+    // a condition join over aliased plans (self-join-safe), Kusto's
+    // right-side `1`-suffix dup rule replicated by projection.
+    "q177_kql_text_join_explicit" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """let dim = events | where value > 100
+          |  | summarize mx = round(max(value), 4), n = count() by et = event_type
+          |  | where n > 3;
+          |events
+          | | where event_id % 17 == 0
+          | | join kind=leftouter (dim) on $left.event_type == $right.et
+          | | summarize rows_ = count(), matched = countif(isnotnull(et)) by event_type, et, mx
+          | | order by event_type asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // dcount_intersect — cumulative set intersections from mergeable
+    // hll sketches via inclusion-exclusion on union estimates; gated
+    // the q104 way: exact intersections + in-tolerance flags hash-match
+    // while the sketch estimates stay advisory.
+    "q178_kql_text_dcount_intersect" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | extend band = event_id % 3
+          | | summarize h0 = hll(iff(band == 0, user_id, long(null))),
+          |             h1 = hll(iff(band == 1, user_id, long(null))),
+          |             h2 = hll(iff(band == 2, user_id, long(null))) by event_type
+          | | evaluate dcount_intersect(h0, h1, h2)
+          | | join kind=inner (
+          |     events
+          |     | extend band = event_id % 3
+          |     | summarize i0 = max(iff(band == 0, 1, 0)), i1 = max(iff(band == 1, 1, 0)),
+          |                 i2 = max(iff(band == 2, 1, 0)) by event_type, user_id
+          |     | summarize e0 = sum(i0), e01 = sum(i0 * i1), e012 = sum(i0 * i1 * i2) by event_type
+          |   ) on event_type
+          | | project event_type, e0, e01, e012,
+          |           ok0 = iff(abs(todouble(s0) / e0 - 1.0) < 0.1, 1, 0),
+          |           ok1 = iff(abs(todouble(s1) / e01 - 1.0) < 0.1, 1, 0),
+          |           ok2 = iff(abs(todouble(s2) / e012 - 1.0) < 0.1, 1, 0)
+          | | order by event_type asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // row_window_session — the serialized sessionization scalar, keyed
+    // through partition-by (one hash shuffle + in-partition sort + one
+    // O(1)-state pass, Funnel.rowWindowSession). The 365d max-duration
+    // keeps only the idle rule in play so the DuckDB gaps-and-islands
+    // oracle is exact; the sequential max-duration rule (no SQL window
+    // rewrite exists) is pinned by the hand-computed golden spec.
+    "q179_kql_text_row_window_session" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where user_id % 23 == 0
+          | | order by user_id asc, ts asc, event_id asc
+          | | partition by user_id ( extend s = row_window_session(ts, 365d, 30m) )
+          | | summarize n_events = count(), n_sessions = dcount(s) by user_id
+          | | order by user_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // single-step `scan` — Kusto's canonical running-accumulator form:
     // the step consumes every matching record, the additive
     // self-referencing assignment lowers to a running window sum, and a
@@ -2832,6 +2891,46 @@ object KqlQueries extends QueryModule {
                 max(CASE WHEN p = 95 THEN v END) AS p95,
                 max(CASE WHEN p = 99 THEN v END) AS p99
          FROM est GROUP BY event_type ORDER BY event_type""",
+
+    // explicit-key leftouter: unmatched types keep null et/mx
+    "q177_kql_text_join_explicit" ->
+      """WITH dim AS (SELECT event_type AS et, round(max(value), 4) AS mx
+                      FROM events WHERE value > 100
+                      GROUP BY event_type HAVING count(*) > 3),
+         f AS (SELECT e.event_type, d.et, d.mx
+               FROM events e LEFT JOIN dim d ON e.event_type = d.et
+               WHERE e.event_id % 17 = 0)
+         SELECT event_type, et, mx, CAST(count(*) AS BIGINT) AS rows_,
+                CAST(count(et) AS BIGINT) AS matched
+         FROM f GROUP BY 1, 2, 3 ORDER BY event_type""",
+
+    // exact band intersections; sketch flags pinned in-tolerance
+    "q178_kql_text_dcount_intersect" ->
+      """WITH b AS (SELECT event_type, user_id,
+                           max(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) AS i0,
+                           max(CASE WHEN event_id % 3 = 1 THEN 1 ELSE 0 END) AS i1,
+                           max(CASE WHEN event_id % 3 = 2 THEN 1 ELSE 0 END) AS i2
+                    FROM events GROUP BY 1, 2)
+         SELECT event_type, CAST(sum(i0) AS BIGINT) AS e0,
+                CAST(sum(i0 * i1) AS BIGINT) AS e01,
+                CAST(sum(i0 * i1 * i2) AS BIGINT) AS e012,
+                1::BIGINT AS ok0, 1::BIGINT AS ok1, 1::BIGINT AS ok2
+         FROM b GROUP BY event_type ORDER BY event_type""",
+
+    // gaps-and-islands: a session opens on the first event or a > 30m
+    // gap; session count = sum of opens
+    "q179_kql_text_row_window_session" ->
+      """WITH f AS (SELECT user_id, ts, event_id,
+                           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+                    FROM events WHERE user_id % 23 = 0),
+         m AS (SELECT user_id,
+                      CASE WHEN pts IS NULL
+                             OR epoch_us(ts) - epoch_us(pts) > 1800000000 THEN 1
+                           ELSE 0 END AS opens
+               FROM f)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(opens) AS BIGINT) AS n_sessions
+         FROM m GROUP BY user_id ORDER BY user_id""",
 
     // keyed running scan = per-key running window sum in the scan order
     "q125_kql_text_scan_keyed" ->

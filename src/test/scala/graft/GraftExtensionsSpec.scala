@@ -32,6 +32,21 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Int]("nm") == 12)
   }
 
+  test("round-13 additions resolve in SQL: tdigest family + bag mutators") {
+    spark.range(1000).createOrReplaceTempView("r13")
+    val r = spark.sql(
+      """SELECT percentile_tdigest(tdigest_merge(s), 50) AS p50 FROM (
+           SELECT tdigest(CAST(id AS DOUBLE)) AS s FROM r13 GROUP BY id % 7)""").head()
+    assert(math.abs(r.getDouble(0) - 500.0) <= 6.0) // within 1% + bucket width
+    val b = spark.sql(
+      """SELECT bag_merge('{"a":1}', '{"a":9,"b":2.5}') AS m,
+                bag_remove_keys('{"x":1,"y":2}', '["y"]') AS rm,
+                bag_set_key('{"k":1}', 'n', '7') AS sk""").head()
+    assert(b.getString(0) == """{"a":1,"b":2.5}""")
+    assert(b.getString(1) == """{"x":1}""")
+    assert(b.getString(2) == """{"k":1,"n":7}""")
+  }
+
   test("extension-injected functions match the explicitly-registered path") {
     val s2 = spark.newSession()
     graft.functions.GraftFunctions.register(s2)

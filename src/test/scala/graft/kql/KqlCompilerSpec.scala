@@ -2024,6 +2024,90 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(miss.getString(1) == "1.1.1.1" && miss.isNullAt(2) && miss.isNullAt(3))
   }
 
+  test("join on $left.A == $right.B: condition form keeps both sides, right dups get '1'") {
+    val q =
+      """let dim = t | project ref_id = id, tag = status;
+        |t | join kind=inner (dim) on $left.id == $right.ref_id
+        | | project id, ref_id, tag | order by id asc""".stripMargin
+    val out = run(q)
+    assert(out.columns.toSeq == Seq("id", "ref_id", "tag"))
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      (1L to 5L).map(i => (i, i)))
+    // duplicate non-key names from the right side get the Kusto '1' suffix
+    val dup = run(
+      """let dim = t | project ref_id = id, status;
+        |t | join kind=inner (dim) on $left.id == $right.ref_id""".stripMargin)
+    assert(dup.columns.count(_ == "status") == 1 && dup.columns.contains("status1"))
+    // anti join via the explicit form
+    val anti = run(
+      """let dim = t | where value > 50 | project ref_id = id;
+        |t | join kind=leftanti (dim) on $left.id == $right.ref_id
+        | | project id | order by id asc""".stripMargin)
+    assert(anti.collect().map(_.getLong(0)).toSeq == Seq(1L, 4L))
+    // reversed side order parses too
+    assert(run(
+      """let dim = t | project ref_id = id;
+        |t | join kind=inner (dim) on $right.ref_id == $left.id""".stripMargin)
+      .count() == 5)
+  }
+
+  test("evaluate dcount_intersect + isfinite/set_has_element strays") {
+    def runS(kql: String) =
+      KqlCompiler.compile(kql, _ => df, java.time.Instant.EPOCH, spark)
+    // two overlapping small sets: sketches are exact in sparse mode
+    val r = runS(
+      """datatable(g: long, v: long, grp: long)[
+        |  1, 1, 0,  1, 2, 0,  1, 3, 0,
+        |  1, 2, 1,  1, 3, 1,  1, 4, 1]
+        | | summarize h0 = hll(iff(grp == 0, v, long(null))),
+        |             h1 = hll(iff(grp == 1, v, long(null))) by g
+        | | evaluate dcount_intersect(h0, h1)""".stripMargin).collect().head
+    assert(r.getLong(1) == 3L && r.getLong(2) == 2L) // |A|=3, |A∩B|={2,3}=2
+    val s = run(
+      """t | where id == 1
+        | | project a = isfinite(1.5), b = isfinite(real(null)),
+        |           c = set_has_element(pack_array(1, 2, 3), 2),
+        |           d = set_has_element(pack_array(1, 2, 3), 9)""".stripMargin)
+      .collect().head
+    assert(s.getBoolean(0) && !s.getBoolean(1) && s.getBoolean(2) && !s.getBoolean(3))
+  }
+
+  test("row_window_session: idle timeout, max duration, restart, keyed via partition") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val t = Seq(
+      (1L, "a", ts(0)), (2L, "a", ts(3)), (3L, "a", ts(6)),
+      (4L, "a", ts(20)), (5L, "a", ts(25)), (6L, "a", ts(70)),
+      (7L, "b", ts(0)), (8L, "b", ts(8)), (9L, "b", ts(16)), (10L, "b", ts(24)))
+      .toDF("id", "k", "ts")
+    def runT(kql: String) = KqlCompiler.compile(kql, _ => t)
+    def mins(kql: String): Seq[Long] =
+      runT(kql).orderBy("id").collect()
+        .map(r => (r.getTimestamp(1).getTime - base.getTime) / 60000L).toSeq
+    // idle 10m splits at the 14m and 45m gaps
+    assert(mins("""t | where k == 'a' | order by id asc
+                  | | extend s = row_window_session(ts, 30m, 10m) | project id, s""".stripMargin)
+      == Seq(0L, 0L, 0L, 20L, 20L, 70L))
+    // max duration 20m forces a split at minute 24 even with small gaps
+    assert(mins("""t | where k == 'b' | order by id asc
+                  | | extend s = row_window_session(ts, 20m, 10m) | project id, s""".stripMargin)
+      == Seq(0L, 0L, 0L, 24L))
+    // restart condition opens a session mid-stream
+    assert(mins("""t | where k == 'a' | order by id asc
+                  | | extend s = row_window_session(ts, 30m, 10m, id == 3) | project id, s""".stripMargin)
+      == Seq(0L, 0L, 6L, 20L, 20L, 70L))
+    // keyed: per-key state, b never splits at 30m/10m
+    assert(mins("""t | order by id asc
+                  | | partition by k ( extend s = row_window_session(ts, 30m, 10m) )
+                  | | project id, s""".stripMargin)
+      == Seq(0L, 0L, 0L, 20L, 20L, 70L, 0L, 0L, 0L, 0L))
+    // serialize-class guards: order required; unkeyed warns
+    assert(intercept[KqlParseException](
+      runT("t | extend s = row_window_session(ts, 30m, 10m)"))
+      .getMessage.contains("order by"))
+  }
+
   test("scan state references outside the additive form are loud errors") {
     assert(intercept[KqlParseException](run(
       """t | order by id asc
