@@ -369,7 +369,31 @@ object KqlCompiler {
       * scalar the rest of the plan needs as a literal (thresholds,
       * counts); the subquery itself still runs distributed. */
     def statements(): DataFrame = {
-      while (peekIs("let")) {
+      // `set name = value;` request-property statements (Kusto allows any
+      // number before the lets). The binning properties feed bin_auto();
+      // unrecognized properties are accepted-and-ignored with a warning,
+      // exactly Kusto's stance on engine-irrelevant client properties.
+      while (peekIs("set") || peekIs("let")) {
+        if (peekIs("set")) {
+          expect("set"); val n = ident(); expect("=")
+          n match {
+            case "query_bin_auto_size" =>
+              binAutoSize = Some(
+                if (peekTimespan) Left(timespanMicros()) else Right(expr()))
+            case "query_bin_auto_at" =>
+              binAutoAt = Some(expr())
+            case other =>
+              warn(s"set '$other' ignored (unsupported request property)")
+              while (!peekIs(";")) next()
+          }
+          expect(";")
+        } else letStatement()
+      }
+      pipeline()
+    }
+
+    private def letStatement(): Unit = {
+      {
         expect("let"); val n = ident(); expect("=")
         if (peekIs("(") && toks.lift(pos + 1).exists(_.kind == "id") &&
             toks.lift(pos + 2).exists(t => t.text == ":" && t.kind == "sym")) {
@@ -1769,6 +1793,47 @@ object KqlCompiler {
             val keyName = ident()
             graft.ops.Funnel.sequenceDetect(df, keyName, col(tsName),
               stepNames.map(n => n -> col(n)), stepWin, totalGap)
+          case "rows_near" =>
+            // `evaluate rows_near(Condition, NumRows [, RowsAfter])
+            //  [by Key, …]` — Kusto's context-window plugin: keep every
+            // row within NumRows BEFORE and RowsAfter (default NumRows)
+            // AFTER a row satisfying Condition, plus the condition rows
+            // themselves. A serialized operator in Kusto, so like `scan`
+            // it requires an explicit preceding `order by`; the trailing
+            // `by` key list (engine extension, the sequence_detect shape)
+            // distributes the matching per key with ONE hash shuffle.
+            // Lowering is a single window aggregate — a row is kept iff
+            // max(Condition) over ROWS BETWEEN RowsAfter PRECEDING AND
+            // NumRows FOLLOWING is true (a preceding condition row at
+            // distance ≤ RowsAfter means *this* row is within RowsAfter
+            // after it, and vice versa). No self-join, no explode: the
+            // cost is one sort per partition regardless of match count.
+            val condB = expr(); expect(",")
+            val before = number()
+            val after = if (peekIs(",")) { expect(","); number() } else before
+            expect(")")
+            if (before < 0 || after < 0)
+              throw new KqlParseException("rows_near window sizes must be >= 0")
+            val nearKeys: List[Column] =
+              if (peekIs("by")) { expect("by"); sepBy1(() => ident()).map(col(_)) }
+              else Nil
+            if (lastOrder.isEmpty)
+              throw new KqlParseException(
+                "rows_near requires a preceding 'order by' (no stable natural order in a distributed engine)")
+            if (nearKeys.isEmpty)
+              warn("rows_near without a trailing 'by' key lowers to ONE global " +
+                "partition (Kusto's serialized-input semantics); add `by Key` " +
+                "to distribute the context windows per key")
+            val ordCols = lastOrder.get.map(_(df))
+            val w0 =
+              if (nearKeys.isEmpty)
+                org.apache.spark.sql.expressions.Window.orderBy(ordCols: _*)
+              else org.apache.spark.sql.expressions.Window
+                .partitionBy(nearKeys: _*).orderBy(ordCols: _*)
+            val w = w0.rowsBetween(-after.toLong, before.toLong)
+            df.withColumn("__rn_keep",
+                max(condB(df).cast(org.apache.spark.sql.types.BooleanType)).over(w))
+              .where(col("__rn_keep")).drop("__rn_keep")
           case "funnel" =>
             val k = ident(); expect(",")
             val ts = ident(); expect(",")

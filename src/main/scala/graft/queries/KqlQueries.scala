@@ -1301,6 +1301,20 @@ object KqlQueries extends QueryModule {
           | | order by user_id asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // evaluate rows_near — Kusto's context-window plugin: every error
+    // event plus the 2 rows before and 1 row after it in the per-user
+    // stream (the incident-context query: "what led up to and followed
+    // each error"). One keyed window aggregate; asymmetric window
+    // exercises the NumRows/RowsAfter distinction.
+    "q180_kql_text_rows_near" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | order by ts asc, event_id asc
+          | | evaluate rows_near(event_type == 'error', 2, 1) by user_id
+          | | project event_id, user_id, event_type
+          | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // single-step `scan` — Kusto's canonical running-accumulator form:
     // the step consumes every matching record, the additive
     // self-referencing assignment lowers to a running window sum, and a
@@ -2931,6 +2945,19 @@ object KqlQueries extends QueryModule {
          SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
                 CAST(sum(opens) AS BIGINT) AS n_sessions
          FROM m GROUP BY user_id ORDER BY user_id""",
+
+    // rows_near oracle: keep iff a condition row lands in ROWS BETWEEN
+    // RowsAfter PRECEDING AND NumRows FOLLOWING of this row (a
+    // preceding condition row within RowsAfter means this row is within
+    // RowsAfter after it, and symmetrically for following)
+    "q180_kql_text_rows_near" ->
+      """SELECT event_id, user_id, event_type FROM (
+           SELECT event_id, user_id, event_type,
+                  max(event_type = 'error') OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 PRECEDING AND 2 FOLLOWING) AS keep
+           FROM events)
+         WHERE keep ORDER BY event_id""",
 
     // keyed running scan = per-key running window sum in the scan order
     "q125_kql_text_scan_keyed" ->

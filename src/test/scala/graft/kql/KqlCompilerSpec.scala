@@ -2108,6 +2108,41 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getMessage.contains("order by"))
   }
 
+  test("rows_near: asymmetric context windows, keyed + global, guards") {
+    import spark.implicits._
+    // hand-traced: ids in order; condition rows marked x
+    //   k=a: 1 2 3x 4 5 6 7x 8    before=1, after=2
+    //        keep: 2 (1-before of 3), 3, 4, 5 (2-after of 3), 6 (1-before
+    //        of 7), 7, 8 (1-after of 7)   → drop only 1
+    //   k=b: 9 10 11  (no condition row) → drop all
+    val t = Seq(
+      (1L, "a", false), (2L, "a", false), (3L, "a", true), (4L, "a", false),
+      (5L, "a", false), (6L, "a", false), (7L, "a", true), (8L, "a", false),
+      (9L, "b", false), (10L, "b", false), (11L, "b", false))
+      .toDF("id", "k", "hit")
+    def ids(kql: String): Seq[Long] =
+      KqlCompiler.compile(kql, _ => t).orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(ids("""t | order by id asc
+                 | | evaluate rows_near(hit, 1, 2) by k | project id""".stripMargin)
+      == Seq(2L, 3L, 4L, 5L, 6L, 7L, 8L))
+    // symmetric default: RowsAfter omitted = NumRows; window 1 each way
+    assert(ids("""t | order by id asc
+                 | | evaluate rows_near(hit, 1) by k | project id""".stripMargin)
+      == Seq(2L, 3L, 4L, 6L, 7L, 8L))
+    // global (unkeyed): id 8 and 9 are now neighbors across keys
+    assert(ids("""t | order by id asc
+                 | | evaluate rows_near(hit, 1, 2) | project id""".stripMargin)
+      == Seq(2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L))
+    // NumRows=0: condition rows plus RowsAfter following only
+    assert(ids("""t | order by id asc
+                 | | evaluate rows_near(hit, 0, 1) by k | project id""".stripMargin)
+      == Seq(3L, 4L, 7L, 8L))
+    // serialized-operator guard: order by required
+    assert(intercept[KqlParseException](
+      KqlCompiler.compile("t | evaluate rows_near(hit, 1) by k", _ => t))
+      .getMessage.contains("order by"))
+  }
+
   test("scan state references outside the additive form are loud errors") {
     assert(intercept[KqlParseException](run(
       """t | order by id asc
