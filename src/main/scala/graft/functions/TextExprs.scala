@@ -27,6 +27,10 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextHash extends Serializable {
 
+  /** Boost-style 64-bit hash combine (wrap-around arithmetic). */
+  def hashCombine(a: Long, b: Long): Long =
+    a ^ (b + 0x9e3779b97f4a7c15L + (a << 6) + (a >>> 2))
+
   /** Deflate compression ratio (compressed/raw bytes, level 6, raw
     * stream): the classic corpus-quality signal — highly repetitive text
     * compresses far below ~0.4, random noise stays near 1. Deflaters are
@@ -398,6 +402,26 @@ case class DeflateRatio(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.deflateRatio($c)")
   override protected def withNewChildInternal(newChild: Expression): DeflateRatio = copy(child = newChild)
+}
+
+/** hash_combine(a, b): boost-style 64-bit hash mix
+  * a ⊕ (b + 0x9e3779b97f4a7c15 + (a<<6) + (a>>>2)) — a native
+  * expression because the mix NEEDS Java wrap-around arithmetic
+  * (ANSI-mode Column `+` throws on long overflow by design). */
+case class HashCombine(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"hash_combine requires LONG arguments, got ${l.catalogString}, ${r.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHash.hashCombine(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextHash.hashCombine($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): HashCombine =
+    copy(left = newLeft, right = newRight)
 }
 
 /** dot_d(a, b): sequential-fold dot product of two double arrays. */

@@ -393,7 +393,6 @@ object KqlCompiler {
     }
 
     private def letStatement(): Unit = {
-      {
         expect("let"); val n = ident(); expect("=")
         if (peekIs("(") && toks.lift(pos + 1).exists(_.kind == "id") &&
             toks.lift(pos + 2).exists(t => t.text == ":" && t.kind == "sym")) {
@@ -429,9 +428,14 @@ object KqlCompiler {
           scalarLets(n) = row.get(0)
         } else lets(n) = pipeline()
         expect(";")
-      }
-      pipeline()
     }
+
+    /** `set query_bin_auto_size` — bin_auto()'s bin width: a timespan
+      * (Left, exact micros) or a numeric expression (Right). */
+    private var binAutoSize: Option[Either[Long, ColB]] = None
+    /** `set query_bin_auto_at` — bin_auto()'s fixed alignment point
+      * (defaults to the epoch / zero when unset, Kusto's default). */
+    private var binAutoAt: Option[ColB] = None
 
     /** toscalar() bindings: name → evaluated constant. */
     private val scalarLets = scala.collection.mutable.Map.empty[String, Any]
@@ -3437,6 +3441,37 @@ object KqlCompiler {
         val fp = expr(); expect(")")
         return df => fp(df) + floor((e(df) - fp(df)) / w(df)) * w(df)
       }
+      if (name == "bin_auto") {
+        // bin_auto(x) = bin_at(x, query_bin_auto_size, query_bin_auto_at)
+        // — the dashboard-axis form whose width/alignment ride `set`
+        // request properties instead of arguments.
+        val e = expr(); expect(")")
+        val size = binAutoSize.getOrElse(throw new KqlParseException(
+          "bin_auto() requires a preceding `set query_bin_auto_size = ...;`"))
+        size match {
+          case Left(w) => return df => {
+            val fp = binAutoAt.map(b => unix_micros(b(df))).getOrElse(lit(0L))
+            val delta = unix_micros(e(df)) - fp
+            timestamp_micros(fp + (delta - pmod(delta, lit(w))))
+          }
+          case Right(wb) => return df => {
+            val w = wb(df)
+            val fp = binAutoAt.map(_(df)).getOrElse(lit(0))
+            fp + floor((e(df) - fp) / w) * w
+          }
+        }
+      }
+      if (name == "column_ifexists") {
+        // column_ifexists('name', default) — schema-probe reference: the
+        // named column when the frame has it, else the default. Resolved
+        // per-frame at plan time (no runtime cost), the Kusto contract.
+        val t = next()
+        if (t.kind != "id" && t.kind != "str")
+          throw new KqlParseException("column_ifexists() expects a column name")
+        expect(",")
+        val dflt = expr(); expect(")")
+        return df => if (df.columns.contains(t.text)) col(t.text) else dflt(df)
+      }
       if (name == "extract") {
         // Kusto extract(regex, captureGroup, source) — regex is a literal
         // (parse-time, like split's delimiter); group 0 = whole match
@@ -3458,7 +3493,7 @@ object KqlCompiler {
         val group = if (java.util.regex.Pattern.compile(r.text).matcher("").groupCount() > 0) 1 else 0
         return df => regexp_extract_all(src(df), lit(r.text), lit(group))
       }
-      if (name == "pack" || name == "bag_pack") { // bag_pack = Kusto's current name for pack
+      if (name == "pack" || name == "bag_pack" || name == "pack_dictionary") { // bag_pack = Kusto's current name for pack; pack_dictionary = legacy alias
         val pairs = sepBy1(() => {
           val k = next()
           if (k.kind != "str") throw new KqlParseException("pack() keys must be string literals")
@@ -4049,6 +4084,59 @@ object KqlCompiler {
         // Kusto hash(): xxhash64 (documented engine choice; Kusto's own
         // hash is also a 64-bit xx-family hash, values differ by seed)
         case "hash" => arity(1); df => xxhash64(args.head(df))
+        // hash_many(v1, v2, …): one hash over all the values — engine
+        // choice pinned to multi-argument xxhash64 (the hash() family
+        // stance; Kusto's own function is likewise engine-specific, so
+        // the gate compares dcount-class facts, never raw hash values)
+        case "hash_many" =>
+          if (args.length < 2)
+            throw new KqlParseException("hash_many() expects at least 2 arguments")
+          df => xxhash64(args.map(_(df)): _*)
+        // hash_combine(h1, h2, …): combine already-computed hashes —
+        // pinned to the boost-style 64-bit mix
+        // a ⊕ (b + 0x9e3779b97f4a7c15 + (a<<6) + (a>>>2)), folded left
+        // (documented engine choice; Java wrap-around arithmetic)
+        case "hash_combine" =>
+          if (args.length < 2)
+            throw new KqlParseException("hash_combine() expects at least 2 arguments")
+          df => {
+            import org.apache.spark.sql.GraftColumnBridge
+            args.map(_(df).cast(org.apache.spark.sql.types.LongType))
+              .reduce((a, b) => GraftColumnBridge.column(graft.functions.HashCombine(
+                GraftColumnBridge.catalystExpression(a),
+                GraftColumnBridge.catalystExpression(b))))
+          }
+        // bag_zip(keys, values): property bag from parallel arrays —
+        // truncated to the shorter array, keys stringified (pinned
+        // stance; Kusto skips non-string keys, which for stringifiable
+        // scalars coincides after tostring)
+        case "bag_zip" => arity(2); df => {
+          val ks = args(0)(df); val vs = args(1)(df)
+          val n = least(size(ks), size(vs))
+          to_json(map_from_arrays(
+            transform(slice(ks, lit(1), n), _.cast("string")),
+            slice(vs, lit(1), n)))
+        }
+        // gettype(x): the value's Kusto type name, resolved from the
+        // plan's schema at compile time — including the documented
+        // legacy quirk gettype(bool) == 'int8'
+        case "gettype" => arity(1); df => {
+          import org.apache.spark.sql.types._
+          val tn = dataTypeOf(df, args.head(df)) match {
+            case Some(LongType | IntegerType | ShortType | ByteType) => "long"
+            case Some(DoubleType | FloatType) => "real"
+            case Some(_: StringType) => "string"
+            case Some(BooleanType) => "int8"
+            case Some(TimestampType | TimestampNTZType) => "datetime"
+            case Some(_: DecimalType) => "decimal"
+            case Some(DayTimeIntervalType(_, _)) => "timespan"
+            case Some(_: ArrayType) => "array"
+            case Some(_: MapType) | Some(_: StructType) => "dictionary"
+            case Some(NullType) | None => "null"
+            case Some(other) => other.simpleString
+          }
+          lit(tn)
+        }
         // estimate a stored/merged HLL sketch (long, like Kusto)
         case "dcount_hll" => arity(1); df => hll_sketch_estimate(args.head(df))
         case "isempty" => arity(1); df => args.head(df).isNull || length(args.head(df)) === 0

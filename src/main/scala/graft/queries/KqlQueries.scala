@@ -1301,6 +1301,34 @@ object KqlQueries extends QueryModule {
           | | order by user_id asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // scalar ring 12: `set` request properties + bin_auto (6h bins
+    // aligned to 2024-01-01), hash_many / hash_combine (gated via
+    // dcount + order-asymmetry facts, never raw hash values),
+    // bag_zip round-trip through extract_json, gettype (incl. the
+    // documented gettype(bool)=='int8' legacy quirk), column_ifexists
+    // for both an existing and a missing column.
+    "q181_kql_text_scalar12" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """set query_bin_auto_size = 6h;
+          |set query_bin_auto_at = datetime(2024-01-01);
+          |events
+          | | where event_id % 11 == 0
+          | | extend b = bin_auto(ts),
+          |          hm = hash_many(event_type, user_id),
+          |          hc = hash_combine(hash(event_type), hash(user_id)),
+          |          hr = hash_combine(hash(user_id), hash(event_type)),
+          |          bz = bag_zip(pack_array('t', 'u'), pack_array(event_type, tostring(user_id)))
+          | | extend zt = tostring(extract_json('$.t', bz)), zu = tolong(extract_json('$.u', bz)),
+          |          ty = gettype(value), tb = gettype(value > 0), tt = gettype(ts),
+          |          ve = column_ifexists('value', 0.0), mi = column_ifexists('missing_col', -1)
+          | | summarize n = count(), dhm = dcount(hm), dhc = dcount(hc),
+          |             asym = countif(hc != hr),
+          |             zok = countif(zt == event_type and zu == user_id),
+          |             vs = round(sum(ve), 4), mis = sum(mi)
+          |       by b, ty, tb, tt
+          | | order by b asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // evaluate rows_near — Kusto's context-window plugin: every error
     // event plus the 2 rows before and 1 row after it in the per-user
     // stream (the incident-context query: "what led up to and followed
@@ -2945,6 +2973,30 @@ object KqlQueries extends QueryModule {
          SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
                 CAST(sum(opens) AS BIGINT) AS n_sessions
          FROM m GROUP BY user_id ORDER BY user_id""",
+
+    // scalar ring 12 oracle: bin_auto = aligned pmod binning in exact
+    // micros (1704067200000000 = 2024-01-01, 21600000000 = 6h); the
+    // hash facts reduce to distinct-pair counts and always-true
+    // asymmetry/round-trip counts; gettype values are literals
+    "q181_kql_text_scalar12" ->
+      """WITH f AS (
+           SELECT event_id, user_id, event_type, value,
+                  epoch_us(ts) - 1704067200000000 AS delta
+           FROM events WHERE event_id % 11 = 0),
+         g AS (
+           SELECT *,
+                  make_timestamp(1704067200000000 + delta
+                    - (((delta % 21600000000) + 21600000000) % 21600000000)) AS b
+           FROM f)
+         SELECT b, 'real' AS ty, 'int8' AS tb, 'datetime' AS tt,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(count(DISTINCT (event_type, user_id)) AS BIGINT) AS dhm,
+                CAST(count(DISTINCT (event_type, user_id)) AS BIGINT) AS dhc,
+                CAST(count(*) AS BIGINT) AS asym,
+                CAST(count(*) AS BIGINT) AS zok,
+                round(sum(value), 4) AS vs,
+                CAST(-count(*) AS BIGINT) AS mis
+         FROM g GROUP BY b ORDER BY b""",
 
     // rows_near oracle: keep iff a condition row lands in ROWS BETWEEN
     // RowsAfter PRECEDING AND NumRows FOLLOWING of this row (a

@@ -2108,6 +2108,50 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getMessage.contains("order by"))
   }
 
+  test("scalar ring 12: set/bin_auto, hash_combine/many, bag_zip, gettype, column_ifexists") {
+    import spark.implicits._
+    val t = Seq((1L, "a", 2.5, 17L), (2L, "b", 10.0, 42L)).toDF("id", "s", "v", "u")
+    def run1(kql: String) = KqlCompiler.compile(kql, _ => t)
+    // bin_auto numeric form: width 3, aligned at 1
+    val ba = run1("""set query_bin_auto_size = 3;
+                    |set query_bin_auto_at = 1;
+                    |t | extend b = bin_auto(u) | project id, b | order by id asc""".stripMargin)
+      .collect().map(_.get(1))
+    assert(ba.toSeq == Seq(16L, 40L)) // 17→16 (1+3k), 42→40
+    // bin_auto without the size property is a loud error
+    assert(intercept[KqlParseException](run1("t | extend b = bin_auto(u)"))
+      .getMessage.contains("query_bin_auto_size"))
+    // unknown set property: accepted and warned, not an error
+    val (_, ws) = KqlCompiler.compileWithWarnings(
+      "set notruncation = 1;\nt | project id", _ => t)
+    assert(ws.exists(_.contains("notruncation")))
+    // hash_combine: order-sensitive, deterministic; hash_many != either input hash
+    val h = run1("""t | extend a = hash_combine(hash(s), hash(u)),
+                   |           b = hash_combine(hash(u), hash(s)),
+                   |           m = hash_many(s, u)
+                   | | project a, b, m | order by a asc""".stripMargin).collect()
+    assert(h.forall(r => r.getLong(0) != r.getLong(1)))
+    assert(h.map(_.getLong(0)).distinct.length == 2)
+    // bag_zip: truncates to the shorter array, stringifies keys
+    val bz = run1("""t | where id == 1
+                    | | extend z = bag_zip(pack_array('x', 'y', 'orphan'), pack_array(u, v))
+                    | | project z""".stripMargin).collect().head.getString(0)
+    assert(bz == """{"x":17.0,"y":2.5}""")
+    // gettype: schema-resolved names incl. the bool→int8 legacy quirk
+    val g = run1("""t | extend a = gettype(u), b = gettype(v), c = gettype(s),
+                   |           d = gettype(v > 0), e = gettype(pack_array(u))
+                   | | project a, b, c, d, e | take 1""".stripMargin).collect().head
+    assert(g.toSeq == Seq("long", "real", "string", "int8", "array"))
+    // column_ifexists: present column binds, absent falls back
+    val ce = run1("""t | extend w = column_ifexists('v', -1.0), q = column_ifexists('nope', -1.0)
+                    | | project w, q | order by w asc""".stripMargin).collect()
+    assert(ce.map(r => (r.getDouble(0), r.getDouble(1))).toSeq == Seq((2.5, -1.0), (10.0, -1.0)))
+    // pack_dictionary aliases pack
+    val pd = run1("""t | where id == 2 | extend p = pack_dictionary('k', s) | project p""")
+      .collect().head.getString(0)
+    assert(pd == """{"k":"b"}""")
+  }
+
   test("rows_near: asymmetric context windows, keyed + global, guards") {
     import spark.implicits._
     // hand-traced: ids in order; condition rows marked x
