@@ -424,6 +424,66 @@ case class HashCombine(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** punycode_from_string(s): RFC 3492 encode of one label (string →
+  * punycode; the `X_from_string` = encode / `X_to_string` = decode
+  * naming convention of the Kusto base64 family). */
+case class PunycodeEncode(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeGuards.requireString("punycode_from_string", child)
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(Punycode.encode(input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"UTF8String.fromString(graft.functions.Punycode.encode($c.toString()))")
+  override protected def withNewChildInternal(newChild: Expression): PunycodeEncode = copy(child = newChild)
+}
+
+/** punycode_to_string(p): RFC 3492 decode; malformed input → null. */
+case class PunycodeDecode(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeGuards.requireString("punycode_to_string", child)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    Punycode.decodeU(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.Punycode.decodeU($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): PunycodeDecode = copy(child = newChild)
+}
+
+/** punycode_domain_from_string(d): per-label `xn--` ACE encode. */
+case class PunycodeDomainEncode(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeGuards.requireString("punycode_domain_from_string", child)
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(Punycode.encodeDomain(input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"UTF8String.fromString(graft.functions.Punycode.encodeDomain($c.toString()))")
+  override protected def withNewChildInternal(newChild: Expression): PunycodeDomainEncode = copy(child = newChild)
+}
+
+/** punycode_domain_to_string(d): per-label ACE decode; malformed → null. */
+case class PunycodeDomainDecode(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeGuards.requireString("punycode_domain_to_string", child)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    Punycode.decodeDomainU(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.Punycode.decodeDomainU($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): PunycodeDomainDecode = copy(child = newChild)
+}
+
 /** dot_d(a, b): sequential-fold dot product of two double arrays. */
 case class DotProductD(left: Expression, right: Expression)
   extends BinaryExpression {

@@ -4084,6 +4084,33 @@ object KqlCompiler {
         // Kusto hash(): xxhash64 (documented engine choice; Kusto's own
         // hash is also a 64-bit xx-family hash, values differ by seed)
         case "hash" => arity(1); df => xxhash64(args.head(df))
+        // special functions — pure codegen'd Column arithmetic (KMath)
+        case "gamma" => arity(1); df => graft.functions.KMath.gamma(args.head(df))
+        case "loggamma" => arity(1); df => graft.functions.KMath.loggamma(args.head(df))
+        case "erf" => arity(1); df => graft.functions.KMath.erf(args.head(df))
+        case "erfc" => arity(1); df => graft.functions.KMath.erfc(args.head(df))
+        // punycode family (RFC 3492 natives; from_string = encode,
+        // to_string = decode — the base64-family naming convention)
+        case "punycode_from_string" => arity(1); df => {
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.PunycodeEncode(
+            GraftColumnBridge.catalystExpression(args.head(df))))
+        }
+        case "punycode_to_string" => arity(1); df => {
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.PunycodeDecode(
+            GraftColumnBridge.catalystExpression(args.head(df))))
+        }
+        case "punycode_domain_from_string" => arity(1); df => {
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.PunycodeDomainEncode(
+            GraftColumnBridge.catalystExpression(args.head(df))))
+        }
+        case "punycode_domain_to_string" => arity(1); df => {
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.PunycodeDomainDecode(
+            GraftColumnBridge.catalystExpression(args.head(df))))
+        }
         // hash_many(v1, v2, …): one hash over all the values — engine
         // choice pinned to multi-argument xxhash64 (the hash() family
         // stance; Kusto's own function is likewise engine-specific, so

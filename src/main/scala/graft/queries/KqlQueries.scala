@@ -1329,6 +1329,44 @@ object KqlQueries extends QueryModule {
           | | order by b asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // special-function scalars: gamma/loggamma (Lanczos g=7 vs DuckDB
+    // libm, 6dp gate incl. the sin-reflection negative branch) and
+    // erf/erfc (A&S 7.1.26 — chosen BECAUSE the oracle can mirror the
+    // exact polynomial where DuckDB lacks erf; 9dp gate on the
+    // bit-identical Horner form).
+    "q182_kql_text_special_fns" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_id % 11 == 0
+          | | extend x = (event_id % 7 + 1) / 2.0,
+          |          z = (value - 50.0) / 20.0
+          | | extend xn = x - 4.2
+          | | extend lg = round(loggamma(x), 6), gm = round(gamma(x), 6),
+          |          lgn = round(loggamma(xn), 6), gmn = round(gamma(xn), 6),
+          |          ef = round(erf(z), 9), ec = round(erfc(z), 9)
+          | | project event_id, lg, gm, lgn, gmn, ef, ec
+          | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // punycode family (RFC 3492): encode (ASCII label = label + '-'),
+    // round-trip identity, per-label xn-- domain form, malformed
+    // decode → null. Goldens cross-checked against Python's punycode
+    // codec (PunycodeSpec carries the RFC sample vectors).
+    "q183_kql_text_punycode" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_id % 101 == 0
+          | | extend d = strcat(event_type, 'é')
+          | | extend p = punycode_from_string(d),
+          |          rt = punycode_to_string(punycode_from_string(d)),
+          |          pa = punycode_from_string(event_type),
+          |          dom = punycode_domain_from_string(strcat(d, '.example.com')),
+          |          back = punycode_domain_to_string(punycode_domain_from_string(strcat(d, '.example.com'))),
+          |          bad = punycode_to_string('é-x')
+          | | project event_id, event_type, p, rt, pa, dom, back, bad
+          | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // evaluate rows_near — Kusto's context-window plugin: every error
     // event plus the 2 rows before and 1 row after it in the per-user
     // stream (the incident-context query: "what led up to and followed
@@ -2997,6 +3035,52 @@ object KqlQueries extends QueryModule {
                 round(sum(value), 4) AS vs,
                 CAST(-count(*) AS BIGINT) AS mis
          FROM g GROUP BY b ORDER BY b""",
+
+    // special-function oracle: lgamma/gamma are DuckDB libm (Lanczos
+    // agrees past 6dp); erf has no DuckDB builtin, so the oracle
+    // mirrors the A&S 7.1.26 Horner polynomial TERM FOR TERM — both
+    // engines run the same IEEE double ops in the same order
+    "q182_kql_text_special_fns" ->
+      """WITH f AS (
+           SELECT event_id,
+                  (event_id % 7 + 1) / 2.0 AS x,
+                  (value - 50.0) / 20.0 AS z,
+                  (event_id % 7 + 1) / 2.0 - 4.2 AS xn
+           FROM events WHERE event_id % 11 = 0),
+         e AS (
+           SELECT event_id, x, xn, z,
+                  1.0 / (1.0 + 0.3275911 * abs(z)) AS t
+           FROM f),
+         g AS (
+           SELECT event_id, x, xn,
+                  sign(z) * (1.0 - (((((1.061405429 * t + -1.453152027) * t
+                    + 1.421413741) * t + -0.284496736) * t + 0.254829592) * t)
+                    * exp(-(z * z))) AS erfv
+           FROM e)
+         SELECT event_id,
+                round(lgamma(x), 6) AS lg, round(gamma(x), 6) AS gm,
+                round(lgamma(xn), 6) AS lgn, round(gamma(xn), 6) AS gmn,
+                round(erfv, 9) AS ef, round(1.0 - erfv, 9) AS ec
+         FROM g ORDER BY event_id""",
+
+    // punycode oracle: the five event_type+'é' encodings precomputed
+    // with Python's RFC 3492 punycode codec; ASCII encode = label+'-';
+    // round-trips reproduce the input; malformed decode is NULL
+    "q183_kql_text_punycode" ->
+      """SELECT event_id, event_type,
+                CASE event_type
+                  WHEN 'click' THEN 'click-fsa' WHEN 'view' THEN 'view-epa'
+                  WHEN 'purchase' THEN 'purchase-i1a' WHEN 'signup' THEN 'signup-gva'
+                  WHEN 'error' THEN 'error-fsa' END AS p,
+                event_type || 'é' AS rt,
+                event_type || '-' AS pa,
+                'xn--' || (CASE event_type
+                  WHEN 'click' THEN 'click-fsa' WHEN 'view' THEN 'view-epa'
+                  WHEN 'purchase' THEN 'purchase-i1a' WHEN 'signup' THEN 'signup-gva'
+                  WHEN 'error' THEN 'error-fsa' END) || '.example.com' AS dom,
+                event_type || 'é.example.com' AS back,
+                CAST(NULL AS VARCHAR) AS bad
+         FROM events WHERE event_id % 101 = 0 ORDER BY event_id""",
 
     // rows_near oracle: keep iff a condition row lands in ROWS BETWEEN
     // RowsAfter PRECEDING AND NumRows FOLLOWING of this row (a
