@@ -2494,6 +2494,59 @@ object LlmQueries extends QueryModule {
     FROM corpus c JOIN bench b ON c.fp = b.fp
     GROUP BY c.doc_id ORDER BY c.doc_id"""
 
+  // ------------------------------------------- memorization audit
+
+  /** q184 — per-eval-doc n-gram novelty / memorization-risk audit (the
+    * Carlini-et-al-class leakage check, and the per-document complement
+    * of q113's decontamination verdicts): for every EVAL-split document,
+    * the fraction of its distinct word n-grams that appear verbatim
+    * anywhere in the TRAIN split. Low novelty = the eval doc is largely
+    * reconstructable from training text — exactly what an eval-set audit
+    * must catch before metrics are trusted. Split is the deterministic
+    * doc_id stance (eval = doc_id %% 10 == 0); production would use the
+    * q89 content-stable md5 bucket — downstream shape is identical.
+    *
+    * Scale shape at 100 TB: gram explode is map-only; the train side
+    * reduces to a DISTINCT gram-hash set (partial dedup map-side, one
+    * shuffle on the hash); the audit is ONE hash equi-join eval-grams ⋈
+    * train-set — after distinct the train side has ≤1 row per key, so
+    * join fan-out is 1 and boilerplate grams cost O(1) per eval gram
+    * (no df cap needed, the q130 no-pair-join guarantee); one doc_id
+    * agg finishes. Nothing is all-pairs, nothing collects. */
+  private val memorizationSql = """
+    WITH w AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
+    g AS (
+      SELECT doc_id, array_distinct(transform(sequence(0, size(ws) - 3),
+               i -> md5(concat_ws(' ', slice(ws, i + 1, 3))))) AS gl
+      FROM w WHERE size(ws) >= 3),
+    fps AS (SELECT doc_id, explode(gl) AS fp FROM g),
+    train AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 10 != 0),
+    ev AS (SELECT doc_id, fp FROM fps WHERE doc_id % 10 = 0)
+    SELECT ev.doc_id,
+           count(1) AS total_grams,
+           count(train.fp) AS seen_grams,
+           round(CAST(1 AS DOUBLE) - count(train.fp) / count(1), 6) AS novelty,
+           CAST(CASE WHEN count(train.fp) * 2 >= count(1) THEN 1 ELSE 0 END AS BIGINT) AS memorization_risk
+    FROM ev LEFT JOIN train ON ev.fp = train.fp
+    GROUP BY ev.doc_id ORDER BY ev.doc_id"""
+
+  private val memorizationOracle = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (
+      SELECT doc_id, list_distinct(list_transform(range(len(ws) - 2),
+               i -> md5(array_to_string(ws[i+1:i+3], ' ')))) AS gl
+      FROM w WHERE len(ws) >= 3),
+    fps AS (SELECT doc_id, unnest(gl) AS fp FROM g),
+    train AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 10 <> 0),
+    ev AS (SELECT doc_id, fp FROM fps WHERE doc_id % 10 = 0)
+    SELECT ev.doc_id,
+           count(1) AS total_grams,
+           count(train.fp) AS seen_grams,
+           round(1.0 - count(train.fp) * 1.0 / count(1), 6) AS novelty,
+           CAST(CASE WHEN count(train.fp) * 2 >= count(1) THEN 1 ELSE 0 END AS BIGINT) AS memorization_risk
+    FROM ev LEFT JOIN train ON ev.fp = train.fp
+    GROUP BY ev.doc_id ORDER BY ev.doc_id"""
+
   // ------------------------------------------- exact-substring dedup
 
   /** q130 — exact-substring duplicate-span detection (the Lee et al. 2021
@@ -3483,7 +3536,8 @@ object LlmQueries extends QueryModule {
     "q164_dedup_audit" -> sqlQuery(docs, dedupAuditSql),
     "q168_eval_sampler" -> sqlQuery(docs, evalSamplerSql),
     "q169_emb_outliers" -> sqlQuery(embs, embOutlierSql),
-    "q176_bloom_decontam" -> (bloomDecontam(_, _)))
+    "q176_bloom_decontam" -> (bloomDecontam(_, _)),
+    "q184_memorization_audit" -> sqlQuery(docs, memorizationSql))
 
   override val oracles: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -3546,5 +3600,6 @@ object LlmQueries extends QueryModule {
     "q164_dedup_audit" -> dedupAuditOracle,
     "q168_eval_sampler" -> evalSamplerOracle,
     "q169_emb_outliers" -> embOutlierOracle,
-    "q176_bloom_decontam" -> bloomDecontamOracle)
+    "q176_bloom_decontam" -> bloomDecontamOracle,
+    "q184_memorization_audit" -> memorizationOracle)
 }
