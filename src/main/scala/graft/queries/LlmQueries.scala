@@ -1466,6 +1466,73 @@ object LlmQueries extends QueryModule {
     SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, round(score, 6) AS score
     FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk"""
 
+  /** q185 — sparse TF-IDF cosine top-k document similarity through an
+    * INVERTED-INDEX join: the sparse-vector complement of the dense ANN
+    * family (q25/q26/q38/q76/q90/q159 all search `embeddings`; real
+    * retrieval stacks also run lexical/sparse search over the text
+    * itself — this is that operator, the self-search form of BM25-class
+    * retrieval). Weights are tf·idf with the q155 smoothed idf, L2-
+    * normalized per doc so the posting-join dot product IS cosine.
+    *
+    * Scale shape at 100 TB: no document ever meets another except
+    * through a shared term — the similarity join is posting-list keyed
+    * (term), and terms above the document-frequency cap (df > 1000 here — sized to
+    * the synthetic corpus's ~30-term vocabulary; production uses a
+    * much smaller relative cap since high-df terms carry near-zero
+    * idf weight anyway) are dropped BEFORE the join, so posting lists are bounded
+    * and the candidate set per query is O(Σ|posting|), never corpus².
+    * Norms use the FULL vector (cap applies to the join only — the
+    * dropped mass is the near-zero idf tail, documented approximation).
+    * Ranking is by the ROUNDED score then doc id (the q155/DSIR
+    * ulp-drift-proof cut). */
+  private val sparseCosineSql = """
+    WITH tok AS (SELECT doc_id, split(text, ' ') AS t FROM documents),
+    tf AS (SELECT doc_id, x AS term, count(1) AS tf
+           FROM tok LATERAL VIEW explode(t) AS x GROUP BY doc_id, x),
+    dfreq AS (SELECT term, count(1) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(1) AS n FROM documents),
+    w AS (SELECT tf.doc_id, tf.term,
+                 tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0) AS wt,
+                 dfreq.df
+          FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n),
+    nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nv FROM w GROUP BY doc_id),
+    posting AS (SELECT w.doc_id, w.term, w.wt / nrm.nv AS uw
+                FROM w JOIN nrm ON w.doc_id = nrm.doc_id WHERE w.df <= 1000),
+    q AS (SELECT doc_id AS qid, term, uw AS qw FROM posting WHERE doc_id % 97 = 0),
+    sims AS (SELECT q.qid, p.doc_id AS did, sum(q.qw * p.uw) AS sim
+             FROM q JOIN posting p ON q.term = p.term AND p.doc_id != q.qid
+             GROUP BY q.qid, p.doc_id),
+    ranked AS (SELECT qid, did, sim,
+                      row_number() OVER (PARTITION BY qid
+                        ORDER BY round(sim, 6) DESC, did) AS rk
+               FROM sims)
+    SELECT qid, rk, did, round(sim, 6) AS sim
+    FROM ranked WHERE rk <= 3 ORDER BY qid, rk"""
+
+  private val sparseCosineOracle = """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    tf AS (SELECT doc_id, u.term AS term, CAST(count(1) AS BIGINT) AS tf
+           FROM tok, unnest(t) AS u(term) GROUP BY doc_id, u.term),
+    dfreq AS (SELECT term, CAST(count(1) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(count(1) AS BIGINT) AS n FROM documents),
+    w AS (SELECT tf.doc_id, tf.term,
+                 tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0) AS wt,
+                 dfreq.df
+          FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n),
+    nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nv FROM w GROUP BY doc_id),
+    posting AS (SELECT w.doc_id, w.term, w.wt / nrm.nv AS uw
+                FROM w JOIN nrm ON w.doc_id = nrm.doc_id WHERE w.df <= 1000),
+    q AS (SELECT doc_id AS qid, term, uw AS qw FROM posting WHERE doc_id % 97 = 0),
+    sims AS (SELECT q.qid, p.doc_id AS did, sum(q.qw * p.uw) AS sim
+             FROM q JOIN posting p ON q.term = p.term AND p.doc_id <> q.qid
+             GROUP BY q.qid, p.doc_id),
+    ranked AS (SELECT qid, did, sim,
+                      row_number() OVER (PARTITION BY qid
+                        ORDER BY round(sim, 6) DESC, did) AS rk
+               FROM sims)
+    SELECT qid, CAST(rk AS BIGINT) AS rk, did, round(sim, 6) AS sim
+    FROM ranked WHERE rk <= 3 ORDER BY qid, rk"""
+
   /** Product-quantization ANN (q159) — the Jégou et al. 2011 memory-
     * compressed ANN that completes the family (q25 brute / q26 LSH /
     * q38+q62+q65 IVF / q76 int8 / q90 Matryoshka): the 64-dim space is
@@ -3537,7 +3604,8 @@ object LlmQueries extends QueryModule {
     "q168_eval_sampler" -> sqlQuery(docs, evalSamplerSql),
     "q169_emb_outliers" -> sqlQuery(embs, embOutlierSql),
     "q176_bloom_decontam" -> (bloomDecontam(_, _)),
-    "q184_memorization_audit" -> sqlQuery(docs, memorizationSql))
+    "q184_memorization_audit" -> sqlQuery(docs, memorizationSql),
+    "q185_sparse_cosine_topk" -> sqlQuery(docs, sparseCosineSql))
 
   override val oracles: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -3601,5 +3669,6 @@ object LlmQueries extends QueryModule {
     "q168_eval_sampler" -> evalSamplerOracle,
     "q169_emb_outliers" -> embOutlierOracle,
     "q176_bloom_decontam" -> bloomDecontamOracle,
-    "q184_memorization_audit" -> memorizationOracle)
+    "q184_memorization_audit" -> memorizationOracle,
+    "q185_sparse_cosine_topk" -> sparseCosineOracle)
 }
