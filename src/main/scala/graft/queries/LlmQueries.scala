@@ -1533,6 +1533,74 @@ object LlmQueries extends QueryModule {
     SELECT qid, CAST(rk AS BIGINT) AS rk, did, round(sim, 6) AS sim
     FROM ranked WHERE rk <= 3 ORDER BY qid, rk"""
 
+  /** q186 — Johnson-Lindenstrauss random projection (64 → 16 dims) with
+    * a distance-preservation audit: the dimensionality-reduction
+    * operator a 100-TB embedding pipeline runs before expensive
+    * downstream passes (clustering, dedup, ANN candidate generation).
+    * The projection matrix is DETERMINISTIC — sign(i,j) = ±1 from the
+    * first md5 hex digit of "i_j" (the content-stable no-rand-state
+    * stance of q55/q89: any executor, any run, any engine derives the
+    * same matrix — nothing is broadcast, nothing is seeded), scaled by
+    * 1/√k. The audit reports per-sampled-pair squared-distance ratios
+    * ‖ya−yb‖²/‖xa−xb‖² — the JL lemma's preserved quantity.
+    *
+    * Scale shape: the projection is MAP-ONLY array lambdas (sequential
+    * folds — no explode, no shuffle, no matrix join); the audit joins
+    * only the O(N/25) sampled pairs on vec_id. */
+  private val randomProjSql = """
+    WITH e AS (SELECT vec_id, transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+               FROM embeddings),
+    y AS (SELECT vec_id, x, transform(sequence(0, 15), j ->
+            aggregate(sequence(0, 63), CAST(0 AS DOUBLE), (acc, i) ->
+              acc + element_at(x, i + 1) *
+                (CASE WHEN substring(md5(concat(CAST(i AS STRING), '_', CAST(j AS STRING))), 1, 1)
+                      IN ('0','1','2','3','4','5','6','7')
+                 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)) / CAST(4 AS DOUBLE)) AS yv
+          FROM e),
+    pairs AS (SELECT a.vec_id AS aid, b.vec_id AS bid,
+                     a.x AS ax, b.x AS bx, a.yv AS ay, b.yv AS byv
+              FROM y a JOIN y b ON b.vec_id = a.vec_id + 7
+              WHERE a.vec_id % 25 = 0)
+    SELECT aid, bid,
+           round(aggregate(sequence(0, 63), CAST(0 AS DOUBLE),
+             (acc, i) -> acc + (element_at(ax, i + 1) - element_at(bx, i + 1))
+                             * (element_at(ax, i + 1) - element_at(bx, i + 1))), 6) AS d2x,
+           round(aggregate(sequence(0, 15), CAST(0 AS DOUBLE),
+             (acc, j) -> acc + (element_at(ay, j + 1) - element_at(byv, j + 1))
+                             * (element_at(ay, j + 1) - element_at(byv, j + 1))), 6) AS d2y,
+           round(aggregate(sequence(0, 15), CAST(0 AS DOUBLE),
+             (acc, j) -> acc + (element_at(ay, j + 1) - element_at(byv, j + 1))
+                             * (element_at(ay, j + 1) - element_at(byv, j + 1)))
+             / aggregate(sequence(0, 63), CAST(0 AS DOUBLE),
+             (acc, i) -> acc + (element_at(ax, i + 1) - element_at(bx, i + 1))
+                             * (element_at(ax, i + 1) - element_at(bx, i + 1))), 6) AS ratio
+    FROM pairs ORDER BY aid"""
+
+  private val randomProjOracle = """
+    WITH e AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+               FROM embeddings),
+    y AS (SELECT vec_id, x, list_transform(range(16), j ->
+            list_aggregate(list_transform(range(64), i ->
+              x[i + 1] *
+                (CASE WHEN substring(md5(i::VARCHAR || '_' || j::VARCHAR), 1, 1)
+                      IN ('0','1','2','3','4','5','6','7')
+                 THEN 1.0 ELSE -1.0 END)), 'sum') / 4.0) AS yv
+          FROM e),
+    pairs AS (SELECT a.vec_id AS aid, b.vec_id AS bid,
+                     a.x AS ax, b.x AS bx, a.yv AS ay, b.yv AS byv
+              FROM y a JOIN y b ON b.vec_id = a.vec_id + 7
+              WHERE a.vec_id % 25 = 0)
+    SELECT aid, bid,
+           round(list_aggregate(list_transform(range(64),
+             i -> (ax[i + 1] - bx[i + 1]) * (ax[i + 1] - bx[i + 1])), 'sum'), 6) AS d2x,
+           round(list_aggregate(list_transform(range(16),
+             j -> (ay[j + 1] - byv[j + 1]) * (ay[j + 1] - byv[j + 1])), 'sum'), 6) AS d2y,
+           round(list_aggregate(list_transform(range(16),
+             j -> (ay[j + 1] - byv[j + 1]) * (ay[j + 1] - byv[j + 1])), 'sum')
+             / list_aggregate(list_transform(range(64),
+             i -> (ax[i + 1] - bx[i + 1]) * (ax[i + 1] - bx[i + 1])), 'sum'), 6) AS ratio
+    FROM pairs ORDER BY aid"""
+
   /** Product-quantization ANN (q159) — the Jégou et al. 2011 memory-
     * compressed ANN that completes the family (q25 brute / q26 LSH /
     * q38+q62+q65 IVF / q76 int8 / q90 Matryoshka): the 64-dim space is
@@ -3605,7 +3673,8 @@ object LlmQueries extends QueryModule {
     "q169_emb_outliers" -> sqlQuery(embs, embOutlierSql),
     "q176_bloom_decontam" -> (bloomDecontam(_, _)),
     "q184_memorization_audit" -> sqlQuery(docs, memorizationSql),
-    "q185_sparse_cosine_topk" -> sqlQuery(docs, sparseCosineSql))
+    "q185_sparse_cosine_topk" -> sqlQuery(docs, sparseCosineSql),
+    "q186_random_projection" -> sqlQuery(embs, randomProjSql))
 
   override val oracles: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -3670,5 +3739,6 @@ object LlmQueries extends QueryModule {
     "q169_emb_outliers" -> embOutlierOracle,
     "q176_bloom_decontam" -> bloomDecontamOracle,
     "q184_memorization_audit" -> memorizationOracle,
-    "q185_sparse_cosine_topk" -> sparseCosineOracle)
+    "q185_sparse_cosine_topk" -> sparseCosineOracle,
+    "q186_random_projection" -> randomProjOracle)
 }
