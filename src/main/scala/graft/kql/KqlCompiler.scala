@@ -508,6 +508,9 @@ object KqlCompiler {
       case Some(t) if t.kind == "id" && t.text == "datatable" &&
           toks.lift(pos + 1).exists(_.text == "(") =>
         next(); headName = None; datatableSource()
+      case Some(t) if t.kind == "id" && t.text == "externaldata" &&
+          toks.lift(pos + 1).exists(_.text == "(") =>
+        next(); headName = None; externaldataSource()
       case _ => val n = ident(); headName = Some(n); resolveName(n)
     }
 
@@ -578,6 +581,73 @@ object KqlCompiler {
       one.select(items.zipWithIndex.map { case (it, i) =>
         it.b(one).as(it.name.getOrElse(s"print_$i"))
       }: _*)
+    }
+
+    /** `externaldata (c1:t1, …) ['uri', …] [with (format='csv',
+      * ignoreFirstRecord=true)]` — Kusto's external-table source.
+      * Lowers straight onto `spark.read` with the DECLARED schema (no
+      * inference scan — one footer/first-bytes read, then a distributed
+      * scan of however many files/partitions the URIs expand to, which
+      * is exactly the 100-TB path: Kusto streams external blobs,
+      * Spark's DataSource does the same with partition-parallel reads,
+      * pushdown and pruning intact for parquet). Formats: csv/tsv
+      * (ignoreFirstRecord → header), json/multijson, parquet. URIs are
+      * whatever the cluster's Hadoop FS understands — local paths here
+      * (the sandbox has no egress); abfss/s3a in production builds. */
+    private def externaldataSource(): DataFrame = {
+      import org.apache.spark.sql.types._
+      expect("(")
+      val cols = sepBy1(() => {
+        val n = ident(); expect(":")
+        val dt = ident() match {
+          case "long" | "int" => LongType
+          case "real" | "double" => DoubleType
+          case "string" | "dynamic" => StringType
+          case "bool" | "boolean" => BooleanType
+          case "datetime" => TimestampType
+          case "decimal" => DecimalType(38, 18)
+          case other => throw new KqlParseException(s"unsupported externaldata type '$other'")
+        }
+        StructField(n, dt)
+      })
+      expect(")"); expect("[")
+      val uris = sepBy1(() => {
+        val t = next()
+        if (t.kind != "str")
+          throw new KqlParseException("externaldata URIs must be string literals")
+        t.text
+      })
+      expect("]")
+      var format = "csv"
+      var header = false
+      if (peekIs("with")) {
+        expect("with"); expect("(")
+        sepBy1[Unit](() => {
+          val k = ident(); expect("=")
+          val v = next()
+          k match {
+            case "format" => format = v.text
+            case "ignoreFirstRecord" => header = v.text == "true"
+            case other => warn(s"externaldata option '$other' ignored")
+          }
+        })
+        expect(")")
+      }
+      val schema = StructType(cols.toArray)
+      val rd = session.read
+      format match {
+        case "csv" =>
+          rd.schema(schema).option("header", header.toString).csv(uris: _*)
+        case "tsv" =>
+          rd.schema(schema).option("header", header.toString).option("sep", "\t").csv(uris: _*)
+        case "json" | "multijson" =>
+          rd.schema(schema).json(uris: _*)
+        case "parquet" =>
+          val raw = session.read.parquet(uris: _*)
+          raw.select(cols.map(f => col(f.name).cast(f.dataType)): _*)
+        case other =>
+          throw new KqlParseException(s"unsupported externaldata format '$other'")
+      }
     }
 
     /** `datatable(c1: t1, c2: t2, …)[v, v, …]` — inline literal table,

@@ -1367,6 +1367,31 @@ object KqlQueries extends QueryModule {
           | | order by event_id asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // externaldata — Kusto's external-table source over spark.read with
+    // the declared schema. The fixture is DERIVED (spark.range affine
+    // projection, written as headered CSV each run), so the oracle can
+    // re-derive identical content from range() without touching the
+    // file: the gate checks the full CSV round trip through the
+    // operator — schema binding, header skip, type parsing (long/real/
+    // bool/datetime), aggregation downstream.
+    "q187_kql_text_externaldata" -> ((s, dir) => {
+      val fix = "/tmp/graft_externaldata_fixture"
+      s.range(100).selectExpr(
+          "id",
+          "concat('n', id % 7) AS name",
+          "round(id * 1.5 - 20, 1) AS val",
+          "id % 3 = 0 AS flag",
+          "date_format(timestampadd(HOUR, CAST(id AS INT), timestamp'2024-01-01 00:00:00'), 'yyyy-MM-dd HH:mm:ss') AS ts")
+        .coalesce(1).write.mode("overwrite").option("header", "true").csv(fix)
+      graft.kql.KqlCompiler.compile(
+        s"""externaldata (id:long, name:string, val:real, flag:bool, ts:datetime)
+           | ['$fix']
+           | with (format='csv', ignoreFirstRecord=true)
+           | | summarize n = count(), sv = round(sum(val), 4), nf = countif(flag), mx = max(ts) by name
+           | | order by name asc""".stripMargin,
+        nm => throw new IllegalArgumentException(nm), java.time.Instant.now(), s)
+    }),
+
     // evaluate rows_near — Kusto's context-window plugin: every error
     // event plus the 2 rows before and 1 row after it in the per-user
     // stream (the incident-context query: "what led up to and followed
@@ -3081,6 +3106,20 @@ object KqlQueries extends QueryModule {
                 event_type || 'é.example.com' AS back,
                 CAST(NULL AS VARCHAR) AS bad
          FROM events WHERE event_id % 101 = 0 ORDER BY event_id""",
+
+    // externaldata oracle: re-derives the fixture rows from range() —
+    // identical affine content, no file dependency
+    "q187_kql_text_externaldata" ->
+      """WITH f AS (
+           SELECT range AS id, 'n' || (range % 7) AS name,
+                  round(range * 1.5 - 20, 1) AS val,
+                  (range % 3 = 0) AS flag,
+                  TIMESTAMP '2024-01-01 00:00:00' + range * INTERVAL 1 HOUR AS ts
+           FROM range(0, 100))
+         SELECT name, CAST(count(*) AS BIGINT) AS n, round(sum(val), 4) AS sv,
+                CAST(sum(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS nf,
+                max(ts) AS mx
+         FROM f GROUP BY name ORDER BY name""",
 
     // rows_near oracle: keep iff a condition row lands in ROWS BETWEEN
     // RowsAfter PRECEDING AND NumRows FOLLOWING of this row (a

@@ -2108,6 +2108,36 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getMessage.contains("order by"))
   }
 
+  test("externaldata: csv header skip, tsv, json, declared-schema binding") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ext").toFile
+    def compileExt(kql: String) =
+      KqlCompiler.compile(kql, n => throw new IllegalArgumentException(n),
+        java.time.Instant.now(), spark)
+    val csv = new java.io.File(dir, "a.csv")
+    java.nio.file.Files.writeString(csv.toPath, "id,name\n1,alpha\n2,beta\n")
+    val r1 = compileExt(
+      s"""externaldata (id:long, name:string) ['${csv.getAbsolutePath}']
+         | with (format='csv', ignoreFirstRecord=true)
+         | | order by id asc""".stripMargin).collect()
+    assert(r1.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "alpha"), (2L, "beta")))
+    val tsv = new java.io.File(dir, "b.tsv")
+    java.nio.file.Files.writeString(tsv.toPath, "3\t2.5\n4\t-1.0\n")
+    val r2 = compileExt(
+      s"""externaldata (k:long, v:real) ['${tsv.getAbsolutePath}'] with (format='tsv')
+         | | summarize s = sum(v), n = count()""".stripMargin).collect().head
+    assert(r2.getDouble(0) == 1.5 && r2.getLong(1) == 2L)
+    val json = new java.io.File(dir, "c.json")
+    java.nio.file.Files.writeString(json.toPath,
+      """{"x": 10, "ok": true}""" + "\n" + """{"x": 20, "ok": false}""" + "\n")
+    val r3 = compileExt(
+      s"""externaldata (x:long, ok:bool) ['${json.getAbsolutePath}'] with (format='multijson')
+         | | where ok | project x""".stripMargin).collect()
+    assert(r3.map(_.getLong(0)).toSeq == Seq(10L))
+    assert(intercept[KqlParseException](compileExt(
+      "externaldata (a:long) ['/tmp/x'] with (format='xml')"))
+      .getMessage.contains("format"))
+  }
+
   test("scalar ring 12: set/bin_auto, hash_combine/many, bag_zip, gettype, column_ifexists") {
     import spark.implicits._
     val t = Seq((1L, "a", 2.5, 17L), (2L, "b", 10.0, 42L)).toDF("id", "s", "v", "u")
