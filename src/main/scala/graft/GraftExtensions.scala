@@ -48,6 +48,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn(ext, "tdigest", exprs => TdigestAgg(exprs.head))
     fn(ext, "tdigest_merge", exprs => TdigestMergeAgg(exprs.head))
     fn(ext, "percentile_tdigest", exprs => PercentileTdigest(exprs.head, exprs(1)))
+    fn(ext, "cm_sketch", exprs => CmSketchAgg(exprs.head))
+    fn(ext, "cm_merge", exprs => CmMergeAgg(exprs.head))
+    fn(ext, "cm_estimate", exprs => CmEstimate(exprs.head, exprs(1)))
+    fn(ext, "cm_total", exprs => CmTotal(exprs.head))
     fn(ext, "bag_merge", exprs => exprs.reduce(BagMerge(_, _)))
     fn(ext, "bag_remove_keys", exprs => BagRemoveKeys(exprs.head, exprs(1)))
     fn(ext, "bag_set_key", exprs => BagSetKey(exprs.head, exprs(1), exprs(2)))

@@ -530,6 +530,15 @@ object GraftFunctions {
       exprs => TdigestMergeAgg(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("percentile_tdigest",
       exprs => PercentileTdigest(exprs.head, exprs(1)), "scala_udf")
+    // count-min frequency sketch
+    reg.createOrReplaceTempFunction("cm_sketch",
+      exprs => CmSketchAgg(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("cm_merge",
+      exprs => CmMergeAgg(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("cm_estimate",
+      exprs => CmEstimate(exprs.head, exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("cm_total",
+      exprs => CmTotal(exprs.head), "scala_udf")
     // type-preserving property-bag mutators
     reg.createOrReplaceTempFunction("bag_merge",
       exprs => exprs.reduce(BagMerge(_, _)), "scala_udf")

@@ -4339,6 +4339,22 @@ object KqlCompiler {
             GraftColumnBridge.catalystExpression(args.head(df).cast("string")))
             .toAggregateExpression())
         }
+        // cm_sketch()/cm_merge(): count-min frequency sketch (pinned
+        // spec in graft.functions.CountMinOps — d=4 w=256 xxhash rows,
+        // canonical-JSON value, exact elementwise merge; fixed 8 KB
+        // state per group at any stream length)
+        case "cm_sketch" => arity(1); df => {
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.CmSketchAgg(
+            GraftColumnBridge.catalystExpression(args.head(df).cast("string")))
+            .toAggregateExpression())
+        }
+        case "cm_merge" | "merge_cm" => arity(1); df => {
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.CmMergeAgg(
+            GraftColumnBridge.catalystExpression(args.head(df).cast("string")))
+            .toAggregateExpression())
+        }
         // bitwise aggregates (Kusto binary_all_*; long-typed)
         case "binary_all_or" => arity(1); df => bit_or(args.head(df).cast("long"))
         case "binary_all_and" => arity(1); df => bit_and(args.head(df).cast("long"))
@@ -4399,6 +4415,17 @@ object KqlCompiler {
         case "url_decode" => arity(1); df => url_decode(args.head(df))
         // percentile_tdigest(sketch, p) — nearest-rank walk over the
         // pinned log-histogram sketch (see TdigestAgg)
+        case "cm_estimate" => arity(2); df => {
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.CmEstimate(
+            GraftColumnBridge.catalystExpression(args(0)(df)),
+            GraftColumnBridge.catalystExpression(args(1)(df).cast("string"))))
+        }
+        case "cm_total" => arity(1); df => {
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.CmTotal(
+            GraftColumnBridge.catalystExpression(args.head(df))))
+        }
         case "percentile_tdigest" => arity(2); df => {
           import org.apache.spark.sql.GraftColumnBridge
           GraftColumnBridge.column(graft.functions.PercentileTdigest(

@@ -1392,6 +1392,31 @@ object KqlQueries extends QueryModule {
         nm => throw new IllegalArgumentException(nm), java.time.Instant.now(), s)
     }),
 
+    // count-min frequency sketch: per-type sketches + a cm_merge'd
+    // global rollup (the two-level path: shard sketches stored, merged
+    // at query time without touching raw data), probed per (type,
+    // user). The gate checks the count-min CONTRACT — true ≤ estimate
+    // ≤ true + 1 + 2%·N — not sketch bytes (the q104 HLL stance):
+    // exact counts come from both engines, the bound flags must be
+    // uniformly true.
+    "q188_kql_text_countmin" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """let S = materialize(events | summarize sk = cm_sketch(user_id) by event_type);
+          |let m = toscalar(S | summarize mm = cm_merge(sk));
+          |let G = events | summarize gcnt = count() by user_id;
+          |events
+          | | summarize cnt = count() by event_type, user_id
+          | | join kind=inner (S) on event_type
+          | | join kind=inner (G) on user_id
+          | | extend est = cm_estimate(sk, user_id),
+          |          gest = cm_estimate(m, user_id),
+          |          nt = cm_total(sk)
+          | | extend ok = est >= cnt and est <= cnt + 1 + nt / 50,
+          |          okm = gest >= gcnt and gest <= gcnt + 1 + cm_total(m) / 50
+          | | project event_type, user_id, cnt, gcnt, ok, okm
+          | | order by event_type asc, user_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // evaluate rows_near — Kusto's context-window plugin: every error
     // event plus the 2 rows before and 1 row after it in the per-user
     // stream (the incident-context query: "what led up to and followed
@@ -3120,6 +3145,16 @@ object KqlQueries extends QueryModule {
                 CAST(sum(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS nf,
                 max(ts) AS mx
          FROM f GROUP BY name ORDER BY name""",
+
+    // count-min oracle: exact counts + uniformly-true contract flags
+    "q188_kql_text_countmin" ->
+      """WITH c AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS cnt
+                    FROM events GROUP BY 1, 2),
+         g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS gcnt
+               FROM events GROUP BY 1)
+         SELECT c.event_type, c.user_id, c.cnt, g.gcnt, TRUE AS ok, TRUE AS okm
+         FROM c JOIN g ON c.user_id = g.user_id
+         ORDER BY c.event_type, c.user_id""",
 
     // rows_near oracle: keep iff a condition row lands in ROWS BETWEEN
     // RowsAfter PRECEDING AND NumRows FOLLOWING of this row (a
