@@ -1601,6 +1601,58 @@ object LlmQueries extends QueryModule {
              i -> (ax[i + 1] - bx[i + 1]) * (ax[i + 1] - bx[i + 1])), 'sum'), 6) AS ratio
     FROM pairs ORDER BY aid"""
 
+  /** q189 — WordPiece tokenizer (frequency vocab + greedy longest-match
+    * inference): see [[graft.ops.WordPiece]] for the pinned spec and the
+    * determinism rationale (greedy inference is integer-exact, which is
+    * what lets a cross-engine oracle pin SEGMENTATIONS — the unigram-LM
+    * EM alternative compares float log-prob sums mid-algorithm). The
+    * oracle replicates vocab selection with the same integer ordering
+    * and the greedy walk with a recursive CTE. */
+  private def wordpieceQuery(s0: SparkSession, dir: String): DataFrame = {
+    val s = docs(s0, dir)
+    val words = s.sql(
+      """SELECT x AS word, count(1) AS wf
+         FROM (SELECT explode(split(text, ' ')) AS x FROM documents)
+         GROUP BY x""")
+    graft.ops.WordPiece.segmentWords(s, words, 24).orderBy("word")
+  }
+
+  private val wordpieceOracle = """
+    WITH RECURSIVE words AS (
+      SELECT u.w AS word, CAST(count(1) AS BIGINT) AS wf
+      FROM (SELECT string_split(text, ' ') AS t FROM documents), unnest(t) AS u(w)
+      GROUP BY u.w),
+    cand AS (
+      SELECT (pp.p = 0) AS is_initial, substr(word, pp.p + 1, ll.l) AS piece,
+             sum(wf) AS score
+      FROM words,
+           LATERAL (SELECT unnest(range(length(word))) AS p) pp,
+           LATERAL (SELECT unnest(range(1, 1 + least(4, length(word) - pp.p))) AS l) ll
+      GROUP BY 1, 2),
+    vocab AS (
+      SELECT is_initial, piece, length(piece) AS l FROM cand WHERE length(piece) = 1
+      UNION ALL
+      SELECT is_initial, piece, length(piece) FROM (
+        SELECT is_initial, piece FROM cand WHERE length(piece) > 1
+        ORDER BY score DESC, is_initial DESC, piece ASC LIMIT 24)),
+    seg AS (
+      SELECT word, wf, 0 AS pos, CAST('' AS VARCHAR) AS seg, CAST(0 AS BIGINT) AS np
+      FROM words
+      UNION ALL
+      SELECT st.word, st.wf, st.pos + st.l,
+             st.seg || CASE WHEN st.pos = 0 THEN '' ELSE ' ' END ||
+               CASE WHEN st.pos = 0 THEN st.piece ELSE '##' || st.piece END,
+             st.np + 1
+      FROM (
+        SELECT s.word, s.wf, s.pos, s.seg, s.np, max(v.l) AS l,
+               substr(s.word, s.pos + 1, max(v.l)) AS piece
+        FROM seg s JOIN vocab v
+          ON v.is_initial = (s.pos = 0)
+         AND v.piece = substr(s.word, s.pos + 1, v.l)
+        WHERE s.pos < length(s.word)
+        GROUP BY s.word, s.wf, s.pos, s.seg, s.np) st)
+    SELECT word, wf, seg, np FROM seg WHERE pos = length(word) ORDER BY word"""
+
   /** Product-quantization ANN (q159) — the Jégou et al. 2011 memory-
     * compressed ANN that completes the family (q25 brute / q26 LSH /
     * q38+q62+q65 IVF / q76 int8 / q90 Matryoshka): the 64-dim space is
@@ -3674,7 +3726,8 @@ object LlmQueries extends QueryModule {
     "q176_bloom_decontam" -> (bloomDecontam(_, _)),
     "q184_memorization_audit" -> sqlQuery(docs, memorizationSql),
     "q185_sparse_cosine_topk" -> sqlQuery(docs, sparseCosineSql),
-    "q186_random_projection" -> sqlQuery(embs, randomProjSql))
+    "q186_random_projection" -> sqlQuery(embs, randomProjSql),
+    "q189_wordpiece_tokenizer" -> (wordpieceQuery(_, _)))
 
   override val oracles: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -3740,5 +3793,6 @@ object LlmQueries extends QueryModule {
     "q176_bloom_decontam" -> bloomDecontamOracle,
     "q184_memorization_audit" -> memorizationOracle,
     "q185_sparse_cosine_topk" -> sparseCosineOracle,
-    "q186_random_projection" -> randomProjOracle)
+    "q186_random_projection" -> randomProjOracle,
+    "q189_wordpiece_tokenizer" -> wordpieceOracle)
 }
