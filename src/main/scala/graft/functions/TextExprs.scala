@@ -27,6 +27,30 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextHash extends Serializable {
 
+  /** Code points of a string (supplementary-plane exact — Spark's own
+    * chr() is mod-256 ASCII, hence the native). */
+  def codepointsFrom(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val cps = s.toString.codePoints().toArray
+    val out = new Array[Long](cps.length)
+    var i = 0
+    while (i < cps.length) { out(i) = cps(i).toLong; i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  /** Inverse of [[codepointsFrom]]; invalid code points → null. */
+  def codepointsTo(a: org.apache.spark.sql.catalyst.util.ArrayData): UTF8String = {
+    val n = a.numElements()
+    val cps = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val v = a.getLong(i)
+      if (v < 0 || v > Character.MAX_CODE_POINT || !Character.isValidCodePoint(v.toInt)) return null
+      cps(i) = v.toInt
+      i += 1
+    }
+    UTF8String.fromString(new String(cps, 0, n))
+  }
+
   /** Boost-style 64-bit hash combine (wrap-around arithmetic). */
   def hashCombine(a: Long, b: Long): Long =
     a ^ (b + 0x9e3779b97f4a7c15L + (a << 6) + (a >>> 2))
@@ -422,6 +446,38 @@ case class HashCombine(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextHash.hashCombine($a, $b)")
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): HashCombine =
     copy(left = newLeft, right = newRight)
+}
+
+/** unicode_codepoints_from_string(s): array of code points. */
+case class CodepointsFromString(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeGuards.requireString("unicode_codepoints_from_string", child)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.codepointsFrom(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.codepointsFrom($c)")
+  override protected def withNewChildInternal(newChild: Expression): CodepointsFromString = copy(child = newChild)
+}
+
+/** unicode_codepoints_to_string(arr): string from code points; invalid
+  * code points → null. */
+case class CodepointsToString(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"unicode_codepoints_to_string requires ARRAY<LONG>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.codepointsTo(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.TextHash.codepointsTo($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): CodepointsToString = copy(child = newChild)
 }
 
 /** punycode_from_string(s): RFC 3492 encode of one label (string →

@@ -2358,17 +2358,23 @@ object KqlCompiler {
             return df
           case other => throw new KqlParseException(s"unsupported operator 'make-$other'")
         }
-        val aggName = ident(); expect("=")
-        val aggB = expr()
-        val default: Option[Any] =
-          if (peekIs("default")) {
-            expect("default"); expect("=")
-            val neg = peekIs("-"); if (neg) expect("-")
-            val t = next()
-            if (t.kind != "num") throw new KqlParseException("make-series default must be a number literal")
-            Some(if (t.text.contains('.')) { val d = t.text.toDouble; if (neg) -d else d }
-                 else { val l = t.text.toLong; if (neg) -l else l })
-          } else None
+        // one or more `name = agg() [default = lit]` specs (Kusto's
+        // multi-series form) — all aggregates share ONE hash shuffle
+        // and ONE per-key array assembly
+        val aggSpecs = sepBy1(() => {
+          val aggName = ident(); expect("=")
+          val aggB = expr()
+          val default: Option[Any] =
+            if (peekIs("default")) {
+              expect("default"); expect("=")
+              val neg = peekIs("-"); if (neg) expect("-")
+              val t = next()
+              if (t.kind != "num") throw new KqlParseException("make-series default must be a number literal")
+              Some(if (t.text.contains('.')) { val d = t.text.toDouble; if (neg) -d else d }
+                   else { val l = t.text.toLong; if (neg) -l else l })
+            } else None
+          (aggName, aggB, default)
+        })
         expect("on"); val tname = ident()
         expect("from"); val fromI = constantInstant()
         expect("to"); val toI = constantInstant()
@@ -2385,7 +2391,9 @@ object KqlCompiler {
         val delta = unix_micros(tsc) - lit(fromUs)
         val binCol = ((delta - pmod(delta, lit(stepUs))) / lit(stepUs)).cast("long")
         val withBin = df.filter(tsc >= lit(fromI) && tsc < lit(toI)).withColumn("__bin", binCol)
-        val aggd = withBin.groupBy((keys.map(col) :+ col("__bin")): _*).agg(aggB(withBin).as("__v"))
+        val aggCols = aggSpecs.zipWithIndex.map { case ((_, b, _), i) => b(withBin).as(s"__v$i") }
+        val aggd = withBin.groupBy((keys.map(col) :+ col("__bin")): _*)
+          .agg(aggCols.head, aggCols.tail: _*)
         val binsDf = df.sparkSession.range(nbins).select(col("id").as("__bin"))
         // Scaffold keys come from the window-FILTERED frame: Kusto derives
         // series groups only from in-range rows, so a key whose rows all
@@ -2395,22 +2403,25 @@ object KqlCompiler {
           else withBin.select(keys.map(col): _*).distinct().crossJoin(binsDf)
         // null-safe key equality: a null-keyed series must keep its data
         // (an equi-join would orphan it onto a default-filled series)
+        val vNames = aggSpecs.indices.map(i => s"__v$i")
         val filled =
           if (keys.isEmpty) scaffold.join(aggd, Seq("__bin"), "left")
           else {
             val cond = keys.map(k => scaffold(k) <=> aggd(k)).reduce(_ && _) &&
               scaffold("__bin") === aggd("__bin")
             scaffold.join(aggd, cond, "left")
-              .select(((keys :+ "__bin").map(scaffold(_)) :+ aggd("__v")): _*)
+              .select(((keys :+ "__bin").map(scaffold(_)) ++ vNames.map(aggd(_))): _*)
           }
-        val full = default.fold(filled)(d =>
-          filled.withColumn("__v", coalesce(col("__v"), lit(d))))
+        val full = aggSpecs.zipWithIndex.foldLeft(filled) { case (acc, ((_, _, d), i)) =>
+          d.fold(acc)(dv => acc.withColumn(s"__v$i", coalesce(col(s"__v$i"), lit(dv))))
+        }
         val sqlExpr = org.apache.spark.sql.functions.expr _ // parser's expr() shadows functions.expr
-        val seriesAgg =
-          sqlExpr("transform(sort_array(collect_list(struct(__bin, __v))), s -> s.__v)").as(aggName)
+        val seriesAggs = aggSpecs.zipWithIndex.map { case ((name, _, _), i) =>
+          sqlExpr(s"transform(sort_array(collect_list(struct(__bin, __v$i))), s -> s.__v$i)").as(name)
+        }
         val grouped =
-          if (keys.isEmpty) full.agg(seriesAgg)
-          else full.groupBy(keys.map(col): _*).agg(seriesAgg)
+          if (keys.isEmpty) full.agg(seriesAggs.head, seriesAggs.tail: _*)
+          else full.groupBy(keys.map(col): _*).agg(seriesAggs.head, seriesAggs.tail: _*)
         grouped.withColumn(tname, sqlExpr(
           s"transform(sequence(0, ${nbins - 1}L), i -> timestamp_micros(${fromUs}L + i * ${stepUs}L))"))
       case "parse" if peekIs("-") && toks.lift(pos + 1).exists(t => t.kind == "id" && t.text == "kv") =>
@@ -4048,6 +4059,23 @@ object KqlCompiler {
           graft.functions.SeriesDecompose.seasonal(args(0)(df), args(1)(df))
         case "series_iir" => arity(3); df =>
           graft.functions.SeriesDecompose.iir(args(0)(df), args(1)(df), args(2)(df))
+        // series_pearson_correlation(a, b): Pearson r over the common
+        // prefix (make-series axes share lengths; slices guard anyway).
+        // Pure sequential folds — index order pinned for cross-engine
+        // reproducibility.
+        case "series_pearson_correlation" => arity(2); df => {
+          val n0 = least(size(args(0)(df)), size(args(1)(df)))
+          val a = transform(slice(args(0)(df), lit(1), n0), _.cast("double"))
+          val b = transform(slice(args(1)(df), lit(1), n0), _.cast("double"))
+          val n = n0.cast("double")
+          def fold(xs: Column) = aggregate(xs, lit(0.0), (s, x) => s + x)
+          val sx = fold(a); val sy = fold(b)
+          val sxy = fold(zip_with(a, b, (x, y) => x * y))
+          val sxx = fold(zip_with(a, a, (x, y) => x * y))
+          val syy = fold(zip_with(b, b, (x, y) => x * y))
+          val den = sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+          when(n0 >= 2 && den > 0.0, (n * sxy - sx * sy) / den)
+        }
         case "case" =>
           if (args.length < 3 || args.length % 2 == 0)
             throw new KqlParseException("case() expects p1, v1, …, default")
@@ -4159,6 +4187,49 @@ object KqlCompiler {
         case "loggamma" => arity(1); df => graft.functions.KMath.loggamma(args.head(df))
         case "erf" => arity(1); df => graft.functions.KMath.erf(args.head(df))
         case "erfc" => arity(1); df => graft.functions.KMath.erfc(args.head(df))
+        // unicode code points (supplementary-plane-exact natives —
+        // Spark's own chr() is mod-256)
+        case "unicode_codepoints_from_string" => arity(1); df => {
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.CodepointsFromString(
+            GraftColumnBridge.catalystExpression(args.head(df))))
+        }
+        case "unicode_codepoints_to_string" => arity(1); df => {
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.CodepointsToString(
+            GraftColumnBridge.catalystExpression(args.head(df).cast("array<long>"))))
+        }
+        // toguid: normalize a GUID string (lowercase, {}/() wrappers
+        // stripped, canonical 8-4-4-4-12 shape) — null if malformed,
+        // the togNNN cast-family contract
+        case "toguid" => arity(1); df => {
+          val s0 = lower(trim(args.head(df)))
+          val s = regexp_replace(s0, "^[\\{\\(]|[\\}\\)]$", "")
+          when(s.rlike("^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"), s)
+        }
+        // regex_quote: per-char metacharacter escaping (pinned to
+        // backslash-escape, portable across regex engines — not
+        // Java's \Q…\E which only Java understands)
+        case "regex_quote" => arity(1); df =>
+          regexp_replace(args.head(df), "([\\\\^$.|?*+()\\[\\]{}])", "\\\\$1")
+        // parse_ipv6_mask(ip, prefix): canonicalize then zero the low
+        // 128-prefix bits — per-group hex→int→mask→hex, all codegen'd
+        // Column arithmetic over the 8 canonical groups
+        case "parse_ipv6_mask" => arity(2); df => {
+          val canon = ipv6Canonical(args(0)(df))
+          val pfx = args(1)(df).cast("int")
+          val groups = split(canon, ":")
+          val masked = transform(groups, (g, i) => {
+            val keep = greatest(least(pfx - i * 16, lit(16)), lit(0))
+            val v = conv(g, 16, 10).cast("long")
+            // top-`keep`-bits mask = 65536 - 2^(16-keep) (exact in
+            // double for exponents ≤ 16; shiftleft() needs a literal)
+            val mask = (lit(65536L) - pow(lit(2.0), (lit(16) - keep).cast("double")).cast("long"))
+            val m = v.bitwiseAND(mask)
+            lpad(lower(conv(m.cast("string"), 10, 16)), 4, "0")
+          })
+          when(canon.isNotNull && pfx.between(0, 128), array_join(masked, ":"))
+        }
         // punycode family (RFC 3492 natives; from_string = encode,
         // to_string = decode — the base64-family naming convention)
         case "punycode_from_string" => arity(1); df => {

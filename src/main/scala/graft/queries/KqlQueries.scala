@@ -1417,6 +1417,39 @@ object KqlQueries extends QueryModule {
           | | order by event_type asc, user_id asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // scalar ring 13: unicode code points (supplementary-exact natives,
+    // round-tripped + invalid→null), toguid normalization (brace strip,
+    // lowercase, malformed→null), regex_quote (portable backslash
+    // escaping), parse_ipv6_mask (canonical 8-group hex mask
+    // arithmetic at byte-, mid-nibble- and zero prefixes).
+    "q190_kql_text_scalar13" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_id % 101 == 0
+          | | extend h = hash_md5(event_type)
+          | | extend ip = strcat(substring(h,0,4),':',substring(h,4,4),':',substring(h,8,4),':',substring(h,12,4),':',substring(h,16,4),':',substring(h,20,4),':',substring(h,24,4),':',substring(h,28,4))
+          | | extend m64 = parse_ipv6_mask(ip, 64), m35 = parse_ipv6_mask(ip, 35), m0 = parse_ipv6_mask(ip, 0)
+          | | extend cp = unicode_codepoints_from_string(strcat(event_type, 'é')),
+          |          rt = unicode_codepoints_to_string(cp),
+          |          bad = unicode_codepoints_to_string(pack_array(65, 1114112))
+          | | extend g = toguid(strcat('{', substring(h,0,8), '-', substring(h,8,4), '-', substring(h,12,4), '-', substring(h,16,4), '-', substring(h,20,12), '}')),
+          |          gbad = toguid('not-a-guid'),
+          |          rq = regex_quote(strcat(event_type, '.*[a]'))
+          | | project event_id, ip, m64, m35, m0, cps = tostring(cp), rt, bad, g, gbad, rq
+          | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // series_pearson_correlation over two make-series outputs — the
+    // series-level correlation scalar (count vs value-sum per 2d bin).
+    "q191_kql_text_series_pearson" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | make-series c = count() default = 0, s = sum(value) default = 0 on ts from datetime(2024-01-03) to datetime(2024-01-27) step 2d by event_type
+          | | extend r = round(series_pearson_correlation(c, s), 6)
+          | | project event_type, r
+          | | order by event_type asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // evaluate rows_near — Kusto's context-window plugin: every error
     // event plus the 2 rows before and 1 row after it in the per-user
     // stream (the incident-context query: "what led up to and followed
@@ -3155,6 +3188,76 @@ object KqlQueries extends QueryModule {
          SELECT c.event_type, c.user_id, c.cnt, g.gcnt, TRUE AS ok, TRUE AS okm
          FROM c JOIN g ON c.user_id = g.user_id
          ORDER BY c.event_type, c.user_id""",
+
+    // ring 13 oracle: same md5-derived ip/guid fixtures; mask = per-
+    // group hex→int, AND with the prefix window, back to %04x; code
+    // points via a per-char unicode() walk; regex_quote needs the 'g'
+    // flag (DuckDB replaces first-only by default)
+    "q190_kql_text_scalar13" ->
+      """WITH f AS (
+           SELECT event_id, event_type, md5(event_type) AS h
+           FROM events WHERE event_id % 101 = 0),
+         g AS (
+           SELECT event_id, event_type, h,
+                  substr(h,1,4) || ':' || substr(h,5,4) || ':' || substr(h,9,4) || ':' || substr(h,13,4) || ':' ||
+                  substr(h,17,4) || ':' || substr(h,21,4) || ':' || substr(h,25,4) || ':' || substr(h,29,4) AS ip
+           FROM f),
+         m AS (
+           SELECT event_id, event_type, h, ip,
+                  list_transform(string_split(ip, ':'), x -> ('0x' || x)::BIGINT) AS gv
+           FROM g),
+         k AS (
+           SELECT event_id, event_type, h, ip,
+                  (SELECT string_agg(printf('%04x',
+                     gv[i+1] & ((65535 << (16 - greatest(least(64 - i*16, 16), 0))) & 65535)), ':' ORDER BY i)
+                   FROM unnest(range(8)) AS t(i)) AS m64,
+                  (SELECT string_agg(printf('%04x',
+                     gv[i+1] & ((65535 << (16 - greatest(least(35 - i*16, 16), 0))) & 65535)), ':' ORDER BY i)
+                   FROM unnest(range(8)) AS t(i)) AS m35,
+                  (SELECT string_agg(printf('%04x',
+                     gv[i+1] & ((65535 << (16 - greatest(least(0 - i*16, 16), 0))) & 65535)), ':' ORDER BY i)
+                   FROM unnest(range(8)) AS t(i)) AS m0
+           FROM m)
+         SELECT event_id, ip, m64, m35, m0,
+                '[' || array_to_string(list_transform(range(length(event_type || 'é')),
+                  i -> unicode(substr(event_type || 'é', i + 1, 1))), ',') || ']' AS cps,
+                event_type || 'é' AS rt,
+                CAST(NULL AS VARCHAR) AS bad,
+                substr(h,1,8) || '-' || substr(h,9,4) || '-' || substr(h,13,4) || '-' || substr(h,17,4) || '-' || substr(h,21,12) AS g,
+                CAST(NULL AS VARCHAR) AS gbad,
+                regexp_replace(event_type || '.*[a]', '([\\^$.|?*+()\[\]{}])', '\\\1', 'g') AS rq
+         FROM k ORDER BY event_id""",
+
+    // pearson oracle: the q128 binning convention + the standard
+    // product-moment formula over the 12 bins, rounded at 6dp
+    "q191_kql_text_series_pearson" ->
+      """WITH bins AS (SELECT i FROM unnest(range(0, 12)) AS t(i)),
+         keys AS (SELECT DISTINCT event_type FROM events
+                  WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+                    AND ts < TIMESTAMP '2024-01-27 00:00:00'),
+         agg AS (
+           SELECT event_type,
+                  (epoch_us(ts) - 1704240000000000) // 172800000000 AS i,
+                  count(*) AS c, sum(value) AS s
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+             AND ts < TIMESTAMP '2024-01-27 00:00:00'
+           GROUP BY 1, 2),
+         filled AS (
+           SELECT k.event_type, b.i,
+                  CAST(coalesce(a.c, 0) AS DOUBLE) AS x,
+                  CAST(coalesce(a.s, 0) AS DOUBLE) AS y
+           FROM keys k CROSS JOIN bins b
+           LEFT JOIN agg a ON a.event_type = k.event_type AND a.i = b.i),
+         st AS (
+           SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                  sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+           FROM filled GROUP BY event_type)
+         SELECT event_type,
+                CASE WHEN n >= 2 AND (n*sxx - sx*sx) * (n*syy - sy*sy) > 0
+                     THEN round((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6)
+                END AS r
+         FROM st ORDER BY event_type""",
 
     // rows_near oracle: keep iff a condition row lands in ROWS BETWEEN
     // RowsAfter PRECEDING AND NumRows FOLLOWING of this row (a
