@@ -3553,6 +3553,91 @@ object KqlCompiler {
         val dflt = expr(); expect(")")
         return df => if (df.columns.contains(t.text)) col(t.text) else dflt(df)
       }
+      if (name == "parse_user_agent") {
+        // parse_user_agent(ua, 'browser' | 'os' | 'device' |
+        // dynamic(['browser', …])) → dynamic bag with Browser /
+        // OperatingSystem / DeviceType sections. Pinned regex family
+        // subset (documented; the oracle asserts the parsed fields):
+        // Browser: Edge → Opera → Chrome → Firefox → Safari
+        // (Version/…Safari) → IE → Other, first match wins (Edge/Opera
+        // UAs also contain Chrome/; Chrome UAs also contain Safari/ —
+        // the order IS the disambiguation, as in ua-parser). OS:
+        // Windows NT → Mac OS X → iOS → Android → Linux → Other
+        // (Android before Linux: Android UAs contain Linux). Device:
+        // Bot → Tablet → Phone → Other. Pure codegen'd rlike/
+        // regexp_extract — map-only, no UDF.
+        val ua = expr(); expect(",")
+        val sections: Seq[String] =
+          if (peekIs("dynamic")) {
+            expect("dynamic"); expect("("); expect("[")
+            val ss = sepBy1(() => {
+              val t = next()
+              if (t.kind != "str") throw new KqlParseException("parse_user_agent sections must be string literals")
+              t.text
+            })
+            expect("]"); expect(")"); ss
+          } else {
+            val t = next()
+            if (t.kind != "str") throw new KqlParseException("parse_user_agent sections must be string literals")
+            Seq(t.text)
+          }
+        expect(")")
+        return df => {
+          val u = ua(df)
+          def verStruct(fam: Column, ver: Column) = {
+            val parts = split(ver, "\\.")
+            struct(fam.as("Family"),
+              coalesce(try_element_at(parts, lit(1)), lit("")).as("MajorVersion"),
+              coalesce(try_element_at(parts, lit(2)), lit("")).as("MinorVersion"))
+          }
+          def browser = {
+            val fam = when(u.rlike("Edg(e|A|iOS)?/"), lit("Edge"))
+              .when(u.rlike("OPR/"), lit("Opera"))
+              .when(u.rlike("Chrome/"), lit("Chrome"))
+              .when(u.rlike("Firefox/"), lit("Firefox"))
+              .when(u.rlike("Version/[0-9.]+.*Safari/"), lit("Safari"))
+              .when(u.rlike("MSIE |Trident/"), lit("Internet Explorer"))
+              .otherwise(lit("Other"))
+            val ver = when(fam === "Edge", regexp_extract(u, "Edg(?:e|A|iOS)?/([0-9.]+)", 1))
+              .when(fam === "Opera", regexp_extract(u, "OPR/([0-9.]+)", 1))
+              .when(fam === "Chrome", regexp_extract(u, "Chrome/([0-9.]+)", 1))
+              .when(fam === "Firefox", regexp_extract(u, "Firefox/([0-9.]+)", 1))
+              .when(fam === "Safari", regexp_extract(u, "Version/([0-9.]+)", 1))
+              .when(fam === "Internet Explorer", regexp_extract(u, "(?:MSIE |rv:)([0-9.]+)", 1))
+              .otherwise(lit(""))
+            verStruct(fam, ver)
+          }
+          def os = {
+            val fam = when(u.rlike("Windows NT"), lit("Windows"))
+              .when(u.rlike("Mac OS X"), lit("Mac OS X"))
+              .when(u.rlike("iPhone OS|iPad"), lit("iOS"))
+              .when(u.rlike("Android"), lit("Android"))
+              .when(u.rlike("Linux"), lit("Linux"))
+              .otherwise(lit("Other"))
+            val ver = when(fam === "Windows", regexp_extract(u, "Windows NT ([0-9.]+)", 1))
+              .when(fam === "Mac OS X", translate(regexp_extract(u, "Mac OS X ([0-9_.]+)", 1), "_", "."))
+              .when(fam === "iOS", translate(regexp_extract(u, "OS ([0-9_]+)", 1), "_", "."))
+              .when(fam === "Android", regexp_extract(u, "Android ([0-9.]+)", 1))
+              .otherwise(lit(""))
+            struct(fam.as("Family"), ver.as("MajorVersion"))
+          }
+          def device = {
+            val fam = when(u.rlike("(?i)bot|crawler|spider"), lit("Bot"))
+              .when(u.rlike("iPad|Tablet"), lit("Tablet"))
+              .when(u.rlike("Mobile|iPhone|Android"), lit("Phone"))
+              .otherwise(lit("Other"))
+            struct(fam.as("Family"))
+          }
+          val fields = sections.map {
+            case "browser" => browser.as("Browser")
+            case "os" => os.as("OperatingSystem")
+            case "device" => device.as("DeviceType")
+            case other => throw new KqlParseException(
+              s"parse_user_agent section '$other' (supported: browser, os, device)")
+          }
+          to_json(struct(fields: _*))
+        }
+      }
       if (name == "extract") {
         // Kusto extract(regex, captureGroup, source) — regex is a literal
         // (parse-time, like split's delimiter); group 0 = whole match

@@ -1450,6 +1450,31 @@ object KqlQueries extends QueryModule {
           | | order by event_type asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // parse_user_agent over five real-world UA fixtures (Chrome/
+    // Safari/Android-Chrome/Edge/Googlebot): multi-section bag +
+    // field extraction. The disambiguation order is the point —
+    // Edge UAs contain Chrome/, Chrome UAs contain Safari/.
+    "q193_kql_text_user_agent" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_id % 101 == 0
+          | | extend ua = case(
+          |     event_type == 'click', 'Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/126.0.6478.127 Safari/537.36',
+          |     event_type == 'view', 'Mozilla/5.0 (Macintosh; Intel Mac OS X 13_4) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/16.5 Safari/605.1.15',
+          |     event_type == 'purchase', 'Mozilla/5.0 (Linux; Android 14; Pixel 8) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/125.0.0.0 Mobile Safari/537.36',
+          |     event_type == 'signup', 'Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/126.0.0.0 Safari/537.36 Edg/126.0.2592.87',
+          |     'Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)')
+          | | extend all = parse_user_agent(ua, dynamic(['browser', 'os', 'device']))
+          | | extend bf = tostring(parse_json(all).Browser.Family),
+          |          bmaj = tostring(parse_json(all).Browser.MajorVersion),
+          |          bmin = tostring(parse_json(all).Browser.MinorVersion),
+          |          osf = tostring(parse_json(all).OperatingSystem.Family),
+          |          osv = tostring(parse_json(all).OperatingSystem.MajorVersion),
+          |          dev = tostring(parse_json(all).DeviceType.Family)
+          | | project event_id, event_type, bf, bmaj, bmin, osf, osv, dev
+          | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // evaluate rows_near — Kusto's context-window plugin: every error
     // event plus the 2 rows before and 1 row after it in the per-user
     // stream (the incident-context query: "what led up to and followed
@@ -3258,6 +3283,23 @@ object KqlQueries extends QueryModule {
                      THEN round((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6)
                 END AS r
          FROM st ORDER BY event_type""",
+
+    // user-agent oracle: hand-verified parse results per fixture
+    "q193_kql_text_user_agent" ->
+      """SELECT event_id, event_type,
+                CASE event_type WHEN 'click' THEN 'Chrome' WHEN 'view' THEN 'Safari'
+                  WHEN 'purchase' THEN 'Chrome' WHEN 'signup' THEN 'Edge' ELSE 'Other' END AS bf,
+                CASE event_type WHEN 'click' THEN '126' WHEN 'view' THEN '16'
+                  WHEN 'purchase' THEN '125' WHEN 'signup' THEN '126' ELSE '' END AS bmaj,
+                CASE event_type WHEN 'click' THEN '0' WHEN 'view' THEN '5'
+                  WHEN 'purchase' THEN '0' WHEN 'signup' THEN '0' ELSE '' END AS bmin,
+                CASE event_type WHEN 'click' THEN 'Windows' WHEN 'view' THEN 'Mac OS X'
+                  WHEN 'purchase' THEN 'Android' WHEN 'signup' THEN 'Windows' ELSE 'Other' END AS osf,
+                CASE event_type WHEN 'click' THEN '10.0' WHEN 'view' THEN '13.4'
+                  WHEN 'purchase' THEN '14' WHEN 'signup' THEN '10.0' ELSE '' END AS osv,
+                CASE event_type WHEN 'purchase' THEN 'Phone'
+                  WHEN 'error' THEN 'Bot' ELSE 'Other' END AS dev
+         FROM events WHERE event_id % 101 = 0 ORDER BY event_id""",
 
     // rows_near oracle: keep iff a condition row lands in ROWS BETWEEN
     // RowsAfter PRECEDING AND NumRows FOLLOWING of this row (a

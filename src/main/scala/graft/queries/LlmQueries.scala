@@ -668,6 +668,83 @@ object LlmQueries extends QueryModule {
       FROM sims)
     SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 3 ORDER BY qid, rank"""
 
+  /** q192 — hard-negative mining for contrastive/embedding training
+    * (the triplet-mining pass every retrieval/embedding fine-tune
+    * runs): for each sampled anchor, the hardest POSITIVE (top same-
+    * label candidate) and the 3 hardest NEGATIVES (top different-label
+    * candidates by cosine) from the anchor's nprobe=2 IVF cells — high-
+    * similarity wrong-label neighbors are exactly the informative
+    * training pairs. Candidates come from the q38 deterministic-IVF
+    * machinery (RNG-free codebook), so the search is cell-bounded —
+    * never all-pairs — and the oracle replicates candidate generation
+    * exactly. Sequential-fold dot products are bit-identical across
+    * engines (the q38 stance), so raw sims hash-match. */
+  private val hardNegSql = """
+    WITH v AS (SELECT vec_id, label, transform(embedding, x -> cast(x AS double)) AS e FROM embeddings),
+    vn AS (SELECT vec_id, label, e, sqrt(dot_d(e, e)) AS nrm FROM v),
+    cent AS (SELECT vec_id AS c_id, e AS ce, nrm AS cnrm FROM vn WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT /*+ BROADCAST(cent) */ vn.vec_id, vn.label, vn.e, vn.nrm, cent.c_id,
+             dot_d(vn.e, cent.ce) / (vn.nrm * cent.cnrm) AS csim
+      FROM vn CROSS JOIN cent),
+    cells AS (
+      SELECT vec_id, w.label AS label, w.e AS e, w.nrm AS nrm, w.cell AS cell FROM (
+        SELECT vec_id,
+               max_by(named_struct('label', label, 'e', e, 'nrm', nrm, 'cell', c_id),
+                      named_struct('s', csim, 'nc', -c_id)) AS w
+        FROM scored GROUP BY vec_id)),
+    qprobe AS (
+      SELECT vec_id AS qid, c_id AS cell FROM (
+        SELECT vec_id, c_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS rk
+        FROM scored WHERE vec_id % 100 = 0)
+      WHERE rk <= 2),
+    qv AS (SELECT vec_id AS qid, label AS qlabel, e AS qe, nrm AS qnrm FROM vn WHERE vec_id % 100 = 0),
+    sims AS (
+      SELECT /*+ BROADCAST(qp, qv) */ qp.qid, qv.qlabel, c.vec_id, c.label,
+             dot_d(qv.qe, c.e) / (qv.qnrm * c.nrm) AS sim
+      FROM qprobe qp JOIN cells c ON c.cell = qp.cell JOIN qv ON qv.qid = qp.qid
+      WHERE c.vec_id <> qp.qid),
+    ranked AS (
+      SELECT qid, vec_id, sim,
+             CASE WHEN label = qlabel THEN 'pos' ELSE 'neg' END AS kind,
+             row_number() OVER (PARTITION BY qid, label = qlabel
+               ORDER BY sim DESC, vec_id) AS rk
+      FROM sims)
+    SELECT qid, kind, rk, vec_id, sim FROM ranked
+    WHERE (kind = 'neg' AND rk <= 3) OR (kind = 'pos' AND rk = 1)
+    ORDER BY qid, kind, rk"""
+
+  private val hardNegOracle = """
+    WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    vn AS (SELECT vec_id, label, e, sqrt(list_reduce(list_transform(e, x -> x * x), (s, x) -> s + x)) AS nrm FROM v),
+    cent AS (SELECT vec_id AS c_id, e AS ce, nrm AS cnrm FROM vn WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT vn.vec_id, vn.label, vn.e, vn.nrm, cent.c_id,
+             list_reduce(list_transform(range(64), i -> vn.e[i+1] * cent.ce[i+1]), (s, x) -> s + x) / (vn.nrm * cent.cnrm) AS csim
+      FROM vn CROSS JOIN cent),
+    assign AS (
+      SELECT vec_id, label, e, nrm, c_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS rk
+      FROM scored),
+    cells AS (SELECT vec_id, label, e, nrm, c_id AS cell FROM assign WHERE rk = 1),
+    qprobe AS (SELECT vec_id AS qid, c_id AS cell FROM assign WHERE vec_id % 100 = 0 AND rk <= 2),
+    qv AS (SELECT vec_id AS qid, label AS qlabel, e AS qe, nrm AS qnrm FROM vn WHERE vec_id % 100 = 0),
+    sims AS (
+      SELECT qp.qid, qv.qlabel, c.vec_id, c.label,
+             list_reduce(list_transform(range(64), i -> qv.qe[i+1] * c.e[i+1]), (s, x) -> s + x) / (qv.qnrm * c.nrm) AS sim
+      FROM qprobe qp JOIN cells c ON c.cell = qp.cell JOIN qv ON qv.qid = qp.qid
+      WHERE c.vec_id <> qp.qid),
+    ranked AS (
+      SELECT qid, vec_id, sim,
+             CASE WHEN label = qlabel THEN 'pos' ELSE 'neg' END AS kind,
+             row_number() OVER (PARTITION BY qid, (label = qlabel)
+               ORDER BY sim DESC, vec_id) AS rk
+      FROM sims)
+    SELECT qid, kind, CAST(rk AS BIGINT) AS rk, vec_id, sim FROM ranked
+    WHERE (kind = 'neg' AND rk <= 3) OR (kind = 'pos' AND rk = 1)
+    ORDER BY qid, kind, rk"""
+
   // ------------------------------------------------------ text analysis
 
   /** Whitespace token stats + BPE-ish subtoken count — per-document
@@ -3727,7 +3804,8 @@ object LlmQueries extends QueryModule {
     "q184_memorization_audit" -> sqlQuery(docs, memorizationSql),
     "q185_sparse_cosine_topk" -> sqlQuery(docs, sparseCosineSql),
     "q186_random_projection" -> sqlQuery(embs, randomProjSql),
-    "q189_wordpiece_tokenizer" -> (wordpieceQuery(_, _)))
+    "q189_wordpiece_tokenizer" -> (wordpieceQuery(_, _)),
+    "q192_hard_negatives" -> sqlQuery(embs, hardNegSql))
 
   override val oracles: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -3794,5 +3872,6 @@ object LlmQueries extends QueryModule {
     "q184_memorization_audit" -> memorizationOracle,
     "q185_sparse_cosine_topk" -> sparseCosineOracle,
     "q186_random_projection" -> randomProjOracle,
-    "q189_wordpiece_tokenizer" -> wordpieceOracle)
+    "q189_wordpiece_tokenizer" -> wordpieceOracle,
+    "q192_hard_negatives" -> hardNegOracle)
 }
