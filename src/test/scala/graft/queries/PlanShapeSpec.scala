@@ -243,6 +243,24 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q180 rows_near keyed: per-key window shuffle, never a SinglePartition exchange") {
+    val p = plan("q180_kql_text_rows_near")
+    assert(!p.contains("SinglePartition"), "keyed rows_near must distribute per key")
+  }
+
+  test("q184 memorization audit: scan reads only doc_id and text; join stays equi") {
+    val p = plan("q184_memorization_audit")
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("doc_id") && read.contains("text"))
+    assert(!read.contains("lang") && !read.contains("source"),
+      "memorization audit must prune unused document columns")
+  }
+
+  test("q185 sparse cosine: posting join is an equi-join on term (no broadcast of the corpus side)") {
+    val p = plan("q185_sparse_cosine_topk")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("blanket sweep: NO CartesianProduct in any of the declared query plans") {
     // Nested-loop joins are allowed only as BROADCAST nested loops
     // (query samples, one-row scalars, codebook cross-scores — all
