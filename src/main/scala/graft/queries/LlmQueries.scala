@@ -3650,6 +3650,115 @@ object LlmQueries extends QueryModule {
   private def expr_dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** Power-iterate C·v over a persisted centered table (`c` column):
+    * per round one map-side fold dot + ONE 64-group hash agg; 64
+    * doubles to/from the driver (codebook pattern). Returns (v, ‖s‖). */
+  private def powerIterate(cent: DataFrame, dim: Int, rounds: Int): (Array[Double], Double) = {
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim))
+    var sNorm = 0.0
+    for (_ <- 1 to rounds) {
+      val vArr = array(v.map(lit).toIndexedSeq: _*)
+      val sRows = cent.withColumn("dot", expr_dot(col("c"), vArr))
+        .select(posexplode(col("c")).as(Seq("pos", "cv")), col("dot"))
+        .groupBy(col("pos")).agg(sum(col("cv") * col("dot")).as("s"))
+        .collect()
+      val sVec = Array.fill(dim)(0.0)
+      sRows.foreach(r => sVec(r.getInt(0)) = r.getDouble(1))
+      sNorm = math.sqrt(sVec.map(x => x * x).sum)
+      v = sVec.map(_ / sNorm)
+    }
+    (v, sNorm)
+  }
+
+  /** q194 — top-2 PCA by power iteration + DEFLATION (Hotelling): PC1
+    * as in q145, then the rank-one deflated table c₂ = c − (c·v₁)v₁
+    * (computed map-side against the broadcast-literal v₁ — the
+    * covariance is still never materialized) and a second power
+    * iteration on it. Completes the PCA surface from one component to
+    * a top-k scheme: each extra component costs `rounds` more scans of
+    * the SAME persisted centered table, nothing quadratic anywhere.
+    * Output: (comp, dim, loading) with the eigenvalue at dim = −1 and
+    * the v₁·v₂ orthogonality check at comp 0 / dim −2 (≈ 0 pinned to
+    * 6dp). Oracle unrolls both iterations + the deflation as CTEs. */
+  private def pcaTop2Query(s0: SparkSession, dir: String): DataFrame = {
+    val s = embs(s0, dir)
+    val dim = 64
+    val e = s.sql("SELECT vec_id, cast(embedding AS array<double>) AS emb FROM embeddings")
+    val muRows = e.select(posexplode(col("emb")).as(Seq("pos", "v")))
+      .groupBy(col("pos")).agg(avg(col("v")).as("m")).collect()
+    val mu = Array.fill(dim)(0.0)
+    muRows.foreach(r => mu(r.getInt(0)) = r.getDouble(1))
+    val muArr = array(mu.map(lit).toIndexedSeq: _*)
+    val cent = e.select(col("vec_id"), zip_with(col("emb"), muArr, (x, m) => x - m).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = cent.count().toDouble
+      val (v1, s1) = powerIterate(cent, dim, PcaRounds)
+      val v1Arr = array(v1.map(lit).toIndexedSeq: _*)
+      val cent2 = cent.withColumn("dot", expr_dot(col("c"), v1Arr))
+        .select(col("vec_id"),
+          zip_with(col("c"), v1Arr, (x, vv) => x - col("dot") * vv).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val (v2, s2) = powerIterate(cent2, dim, PcaRounds)
+        val cross = v1.zip(v2).map { case (a, b) => a * b }.sum
+        import s.implicits._
+        val rows =
+          v1.toIndexedSeq.zipWithIndex.map { case (lv, d) => (1L, d.toLong, lv) } ++
+          Seq((1L, -1L, s1 / (n - 1))) ++
+          v2.toIndexedSeq.zipWithIndex.map { case (lv, d) => (2L, d.toLong, lv) } ++
+          Seq((2L, -1L, s2 / (n - 1)), (0L, -2L, cross))
+        rows.toDF("comp", "dim", "loading")
+          // + 0.0 canonicalizes IEEE −0.0 (the orthogonality row rounds
+          // to signed zero on one engine and not the other)
+          .select(col("comp"), col("dim"),
+            (round(col("loading"), 6) + lit(0.0)).as("loading"))
+          .orderBy(col("comp"), col("dim"))
+      } finally cent2.unpersist(blocking = false)
+    } finally cent.unpersist(blocking = false)
+  }
+
+  private def pca2RoundSql(tbl: String, pfx: String, r: Int): String = {
+    val prevV = s"$pfx${r - 1}"
+    // MATERIALIZED: without it DuckDB inlines the CTE chain and the
+    // 6-round double-component tree re-evaluates `cent` exponentially
+    s"""
+    ${pfx}r$r AS MATERIALIZED (SELECT c.vec_id, sum(c.c * p.v) AS dot
+            FROM $tbl c JOIN $prevV p ON p.i = c.i GROUP BY c.vec_id),
+    ${pfx}s$r AS MATERIALIZED (SELECT c.i, sum(c.c * d.dot) AS s
+            FROM $tbl c JOIN ${pfx}r$r d ON d.vec_id = c.vec_id GROUP BY c.i),
+    ${pfx}n$r AS MATERIALIZED (SELECT sqrt(sum(s * s)) AS nrm FROM ${pfx}s$r),
+    $pfx$r AS MATERIALIZED (SELECT i, s / (SELECT nrm FROM ${pfx}n$r) AS v FROM ${pfx}s$r)"""
+  }
+
+  private def pcaTop2Oracle: String = s"""
+    WITH expl AS (
+      SELECT vec_id, i::BIGINT AS i, embedding[i + 1]::DOUBLE AS x
+      FROM embeddings, unnest(range(len(embedding))) AS t(i)),
+    mu AS (SELECT i, avg(x) AS m FROM expl GROUP BY i),
+    cent AS MATERIALIZED (SELECT e.vec_id, e.i, e.x - mu.m AS c FROM expl e JOIN mu ON mu.i = e.i),
+    nrows AS (SELECT count(DISTINCT vec_id)::DOUBLE AS n FROM cent),
+    a0 AS (SELECT CAST(range AS BIGINT) AS i, 1.0 / sqrt(64) AS v FROM range(64)),
+    ${(1 to PcaRounds).map(pca2RoundSql("cent", "a", _)).mkString(",")},
+    d1 AS MATERIALIZED (SELECT c.vec_id, sum(c.c * p.v) AS dot
+           FROM cent c JOIN a$PcaRounds p ON p.i = c.i GROUP BY c.vec_id),
+    cent2 AS MATERIALIZED (SELECT c.vec_id, c.i, c.c - d1.dot * p.v AS c
+              FROM cent c JOIN d1 ON d1.vec_id = c.vec_id
+              JOIN a$PcaRounds p ON p.i = c.i),
+    b0 AS (SELECT CAST(range AS BIGINT) AS i, 1.0 / sqrt(64) AS v FROM range(64)),
+    ${(1 to PcaRounds).map(pca2RoundSql("cent2", "b", _)).mkString(",")}
+    SELECT comp, dim, round(loading, 6) + 0.0 AS loading FROM (
+      SELECT CAST(1 AS BIGINT) AS comp, i AS dim, v AS loading FROM a$PcaRounds
+      UNION ALL
+      SELECT 1, -1, (SELECT nrm FROM an$PcaRounds) / ((SELECT n FROM nrows) - 1)
+      UNION ALL
+      SELECT 2, i, v FROM b$PcaRounds
+      UNION ALL
+      SELECT 2, -1, (SELECT nrm FROM bn$PcaRounds) / ((SELECT n FROM nrows) - 1)
+      UNION ALL
+      SELECT 0, -2, (SELECT sum(a.v * b.v) FROM a$PcaRounds a JOIN b$PcaRounds b ON a.i = b.i))
+    ORDER BY comp, dim"""
+
   private def pcaRoundSql(r: Int): String = {
     val prevV = s"v${r - 1}"
     s"""
@@ -3805,7 +3914,8 @@ object LlmQueries extends QueryModule {
     "q185_sparse_cosine_topk" -> sqlQuery(docs, sparseCosineSql),
     "q186_random_projection" -> sqlQuery(embs, randomProjSql),
     "q189_wordpiece_tokenizer" -> (wordpieceQuery(_, _)),
-    "q192_hard_negatives" -> sqlQuery(embs, hardNegSql))
+    "q192_hard_negatives" -> sqlQuery(embs, hardNegSql),
+    "q194_pca_top2" -> (pcaTop2Query(_, _)))
 
   override val oracles: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -3873,5 +3983,6 @@ object LlmQueries extends QueryModule {
     "q185_sparse_cosine_topk" -> sparseCosineOracle,
     "q186_random_projection" -> randomProjOracle,
     "q189_wordpiece_tokenizer" -> wordpieceOracle,
-    "q192_hard_negatives" -> hardNegOracle)
+    "q192_hard_negatives" -> hardNegOracle,
+    "q194_pca_top2" -> pcaTop2Oracle)
 }
