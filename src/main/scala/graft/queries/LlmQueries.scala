@@ -70,6 +70,12 @@ object LlmQueries extends QueryModule {
     Tables.embeddings(s2, dir).createOrReplaceTempView("embeddings")
     s2
   }
+  private def evts(s: SparkSession, dir: String): SparkSession = {
+    val s2 = s.newSession()
+    registerFunctions(s2)
+    Tables.events(s2, dir).createOrReplaceTempView("events")
+    s2
+  }
 
   // ---------------------------------------------------------------- dedup
 
@@ -744,6 +750,68 @@ object LlmQueries extends QueryModule {
     SELECT qid, kind, CAST(rk AS BIGINT) AS rk, vec_id, sim FROM ranked
     WHERE (kind = 'neg' AND rk <= 3) OR (kind = 'pos' AND rk = 1)
     ORDER BY qid, kind, rk"""
+
+  /** q195 — sequential pattern mining (PrefixSpan-restricted): support
+    * of every distinct-type length-2 and length-3 ordered subsequence
+    * of each user's event stream — the funnel-DISCOVERY op (q84/q166
+    * measure funnels you already know; this finds which orderings are
+    * frequent enough to be funnels). Subsequence existence uses the
+    * standard greedy matching: first a, earliest b after it, any c
+    * after that — correct for existence and purely relational, so the
+    * same SQL runs on both engines.
+    *
+    * Scale shape: per-user first/last-occurrence tables are one hash
+    * agg; the candidate joins are USER-KEYED equi-joins whose per-user
+    * fan-out is bounded by the distinct-type alphabet (|T|² / |T|³ per
+    * user with |T| small and fixed) — never by the event count; support
+    * ≥ 8 prunes the tail at the end. No per-user arrays ever ship. */
+  private val seqMineSql = """
+    WITH e AS (SELECT user_id, event_type AS t,
+                      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+               FROM events),
+    fo AS (SELECT user_id, t, min(rn) AS fr, max(rn) AS xr FROM e GROUP BY user_id, t),
+    pairs AS (
+      SELECT a.t AS t1, b.t AS t2, count(1) AS support
+      FROM fo a JOIN fo b ON a.user_id = b.user_id AND a.t != b.t AND a.fr < b.xr
+      GROUP BY a.t, b.t),
+    tb AS (SELECT a.user_id, a.t AS t1, b.t AS t2, min(b.rn) AS rb
+           FROM fo a JOIN e b ON a.user_id = b.user_id AND b.t != a.t AND b.rn > a.fr
+           GROUP BY a.user_id, a.t, b.t),
+    triples AS (
+      SELECT tb.t1, tb.t2, c.t AS t3, count(1) AS support
+      FROM tb JOIN fo c ON c.user_id = tb.user_id AND c.t != tb.t1 AND c.t != tb.t2
+                        AND c.xr > tb.rb
+      GROUP BY tb.t1, tb.t2, c.t)
+    SELECT kind, seq, support FROM (
+      SELECT 'pair' AS kind, concat(t1, '>', t2) AS seq, support FROM pairs
+      UNION ALL
+      SELECT 'triple', concat(t1, '>', t2, '>', t3), support FROM triples)
+    WHERE support >= 8
+    ORDER BY kind, support DESC, seq"""
+
+  private val seqMineOracle = """
+    WITH e AS (SELECT user_id, event_type AS t,
+                      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+               FROM events),
+    fo AS (SELECT user_id, t, min(rn) AS fr, max(rn) AS xr FROM e GROUP BY user_id, t),
+    pairs AS (
+      SELECT a.t AS t1, b.t AS t2, CAST(count(1) AS BIGINT) AS support
+      FROM fo a JOIN fo b ON a.user_id = b.user_id AND a.t <> b.t AND a.fr < b.xr
+      GROUP BY a.t, b.t),
+    tb AS (SELECT a.user_id, a.t AS t1, b.t AS t2, min(b.rn) AS rb
+           FROM fo a JOIN e b ON a.user_id = b.user_id AND b.t <> a.t AND b.rn > a.fr
+           GROUP BY a.user_id, a.t, b.t),
+    triples AS (
+      SELECT tb.t1, tb.t2, c.t AS t3, CAST(count(1) AS BIGINT) AS support
+      FROM tb JOIN fo c ON c.user_id = tb.user_id AND c.t <> tb.t1 AND c.t <> tb.t2
+                        AND c.xr > tb.rb
+      GROUP BY tb.t1, tb.t2, c.t)
+    SELECT kind, seq, support FROM (
+      SELECT 'pair' AS kind, t1 || '>' || t2 AS seq, support FROM pairs
+      UNION ALL
+      SELECT 'triple', t1 || '>' || t2 || '>' || t3, support FROM triples)
+    WHERE support >= 8
+    ORDER BY kind, support DESC, seq"""
 
   // ------------------------------------------------------ text analysis
 
@@ -3915,7 +3983,8 @@ object LlmQueries extends QueryModule {
     "q186_random_projection" -> sqlQuery(embs, randomProjSql),
     "q189_wordpiece_tokenizer" -> (wordpieceQuery(_, _)),
     "q192_hard_negatives" -> sqlQuery(embs, hardNegSql),
-    "q194_pca_top2" -> (pcaTop2Query(_, _)))
+    "q194_pca_top2" -> (pcaTop2Query(_, _)),
+    "q195_sequence_mining" -> sqlQuery(evts, seqMineSql))
 
   override val oracles: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -3984,5 +4053,6 @@ object LlmQueries extends QueryModule {
     "q186_random_projection" -> randomProjOracle,
     "q189_wordpiece_tokenizer" -> wordpieceOracle,
     "q192_hard_negatives" -> hardNegOracle,
-    "q194_pca_top2" -> pcaTop2Oracle)
+    "q194_pca_top2" -> pcaTop2Oracle,
+    "q195_sequence_mining" -> seqMineOracle)
 }
