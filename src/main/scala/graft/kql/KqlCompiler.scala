@@ -1429,6 +1429,51 @@ object KqlCompiler {
                 col("__fs_prev").as("prev"), col("__fs_next").as("next"))
               .agg(count(lit(1)).as("count_sequences"),
                 countDistinct(col(idCol)).as("dcount_ids"))
+          case "active_users_count" =>
+            // active_users_count(IdCol, TimelineCol, Start, End,
+            // LookbackWindow, Period, ActivePeriodsCount, Bin) —
+            // Kusto's sliding-lookback engagement counter: at each
+            // report bin T, count ids active in ≥ ActivePeriodsCount
+            // DISTINCT periods whose period-start falls in
+            // (T − Lookback, T] (membership by period start, pinned).
+            // Scale shape: ONE distinct (id, period) aggregate; the
+            // report axis (≤ 1024 bins, loud cap) broadcast-crosses the
+            // activity table with the window filter — fan-out per
+            // activity is lookback/bin, never data²; then one
+            // (bin, id) agg + one bin agg, zero-filled on the axis.
+            val idCol = ident(); expect(",")
+            val tsCol = ident(); expect(",")
+            val startI = pluginDatetime(); expect(",")
+            val endI = pluginDatetime(); expect(",")
+            val lookUs = timespanMicros(); expect(",")
+            val periodUs = timespanMicros(); expect(",")
+            val minPeriods = number(); expect(",")
+            val binUs = timespanMicros(); expect(")")
+            if (binUs <= 0 || periodUs <= 0 || lookUs <= 0 || minPeriods <= 0)
+              throw new KqlParseException("active_users_count: windows and count must be positive")
+            val startUs = startI.getEpochSecond * 1000000L + startI.getNano / 1000L
+            val endUs = endI.getEpochSecond * 1000000L + endI.getNano / 1000L
+            val startB = Math.floorDiv(startUs, binUs)
+            val endB = Math.floorDiv(endUs, binUs)
+            if (endB < startB || endB - startB > 1024)
+              throw new KqlParseException("active_users_count: bad axis (empty or > 1024 bins)")
+            val acts = df
+              .where(unix_micros(col(tsCol)).between(startUs, endUs))
+              .select(col(idCol).as("__au_id"),
+                floor(unix_micros(col(tsCol)) / lit(periodUs.toDouble)).cast("long").as("__au_p"))
+              .distinct()
+            val axis = df.sparkSession.range(startB, endB + 1).toDF("__au_k")
+            val joined = acts.crossJoin(broadcast(axis))
+              .where(col("__au_p") * lit(periodUs) <= col("__au_k") * lit(binUs) &&
+                col("__au_p") * lit(periodUs) > col("__au_k") * lit(binUs) - lit(lookUs))
+            val counts = joined
+              .groupBy(col("__au_k"), col("__au_id"))
+              .agg(countDistinct(col("__au_p")).as("__au_np"))
+              .where(col("__au_np") >= minPeriods)
+              .groupBy(col("__au_k")).agg(countDistinct(col("__au_id")).as("__au_d"))
+            axis.join(counts, Seq("__au_k"), "left")
+              .select(timestamp_micros(col("__au_k") * lit(binUs)).as(tsCol),
+                coalesce(col("__au_d"), lit(0L)).as("dcount"))
           case "new_activity_metrics" =>
             // new_activity_metrics(IdCol, TimelineCol, Start, End, Bin)
             // — Kusto's cohort retention/churn matrix: the cohort NEW at
@@ -1867,6 +1912,63 @@ object KqlCompiler {
             val keyName = ident()
             graft.ops.Funnel.sequenceDetect(df, keyName, col(tsName),
               stepNames.map(n => n -> col(n)), stepWin, totalGap)
+          case "diffpatterns_text" =>
+            // `evaluate diffpatterns_text(TextCol, SplitCondition
+            //  [, MinDiffPercent])` — differential text patterns between
+            // the condition-true and condition-false slices. Pinned to
+            // the DIFFERENTIAL-TOKEN core (documented restriction, the
+            // basket/autocluster stance): tokens are lowercased
+            // whitespace splits deduped per row; for each token the
+            // slice presence percentages and their absolute difference;
+            // rows with diff ≥ the threshold, callers order by diff.
+            // (Kusto's wildcard token-SEQUENCE patterns subsume this;
+            // single-token patterns are its dominant output class.)
+            // Scale: one explode + ONE token hash agg (conditional
+            // sums; Zipf head absorbs map-side), totals are one
+            // broadcast row — no pair joins, no driver fetch.
+            val txtB = expr(); expect(",")
+            val condB = expr()
+            val thr: Double =
+              if (peekIs(",")) {
+                expect(",")
+                val t = next()
+                if (t.kind != "num") throw new KqlParseException("diffpatterns_text threshold must be a number literal")
+                t.text.toDouble
+              } else 0.0
+            expect(")")
+            val t0 = df.withColumn("__dp_s", condB(df)).where(col("__dp_s").isNotNull)
+            val tot = t0.agg(
+              sum(when(col("__dp_s"), 1).otherwise(0)).cast("double").as("__dp_na"),
+              sum(when(!col("__dp_s"), 1).otherwise(0)).cast("double").as("__dp_nb"))
+            val toks = t0.select(col("__dp_s"),
+                explode(array_distinct(split(lower(txtB(t0)), "\\s+"))).as("__dp_tok"))
+              .where(length(col("__dp_tok")) > 0)
+            val counts = toks.groupBy(col("__dp_tok"))
+              .agg(sum(when(col("__dp_s"), 1L).otherwise(0L)).as("__dp_ca"),
+                sum(when(!col("__dp_s"), 1L).otherwise(0L)).as("__dp_cb"))
+            val pa = lit(100.0) * col("__dp_ca") / col("__dp_na")
+            val pb = lit(100.0) * col("__dp_cb") / col("__dp_nb")
+            counts.crossJoin(broadcast(tot))
+              .where(abs(pa - pb) >= thr)
+              .select(col("__dp_tok").as("token"),
+                col("__dp_ca").as("count_a"), col("__dp_cb").as("count_b"),
+                round(pa, 4).as("percent_a"), round(pb, 4).as("percent_b"),
+                round(abs(pa - pb), 4).as("diff"))
+          case "preview" =>
+            // `evaluate preview(N)` — Kusto's two-result preview: an
+            // N-row sample plus the total row count. Both tables land in
+            // multiOut (the fork/facet contract, read via compileMulti);
+            // the single-frame compile returns the sample. The sample is
+            // a plain limit (no sort — Kusto previews are arbitrary
+            // rows; limit takes the first partitions scanned, never a
+            // global shuffle) and the count is one partial+final agg.
+            val n = number(); expect(")")
+            if (n < 0) throw new KqlParseException("preview() count must be >= 0")
+            val sample = df.limit(n)
+            val cnt = df.agg(count(lit(1)).as("Count"))
+            multiOut += (("preview", sample))
+            multiOut += (("preview_count", cnt))
+            sample
           case "rows_near" =>
             // `evaluate rows_near(Condition, NumRows [, RowsAfter])
             //  [by Key, …]` — Kusto's context-window plugin: keep every

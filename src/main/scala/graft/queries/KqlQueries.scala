@@ -1450,6 +1450,26 @@ object KqlQueries extends QueryModule {
           | | order by event_type asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // diffpatterns_text — differential tokens between the English and
+    // non-English document slices (threshold 5 percentage points).
+    "q197_kql_text_diffpatterns_text" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """documents
+          | | evaluate diffpatterns_text(text, lang == 'en', 5.0)
+          | | order by diff desc, token asc""".stripMargin,
+        name => if (name == "documents") Tables.documents(s, dir)
+                else throw new IllegalArgumentException(name))),
+
+    // active_users_count — the sliding-lookback engagement plugin:
+    // users with >= 2 distinct active DAYS in the trailing 7d, per 2d
+    // report bin over the January window.
+    "q196_kql_text_active_users" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | evaluate active_users_count(user_id, ts, datetime(2024-01-03), datetime(2024-01-27), 7d, 1d, 2, 2d)
+          | | order by ts asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // parse_user_agent over five real-world UA fixtures (Chrome/
     // Safari/Android-Chrome/Edge/Googlebot): multi-section bag +
     // field extraction. The disambiguation order is the point —
@@ -3283,6 +3303,42 @@ object KqlQueries extends QueryModule {
                      THEN round((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6)
                 END AS r
          FROM st ORDER BY event_type""",
+
+    // diffpatterns_text oracle: same token dedup + conditional counts;
+    // percents from single divisions so the doubles match bit-for-bit
+    "q197_kql_text_diffpatterns_text" ->
+      """WITH t AS (SELECT (lang = 'en') AS s, text FROM documents),
+         tot AS (SELECT sum(CASE WHEN s THEN 1 ELSE 0 END)::DOUBLE AS na,
+                        sum(CASE WHEN NOT s THEN 1 ELSE 0 END)::DOUBLE AS nb FROM t),
+         tk AS (SELECT s, unnest(list_distinct(regexp_split_to_array(lower(text), '\s+'))) AS tok FROM t),
+         c AS (SELECT tok, CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                      CAST(sum(CASE WHEN NOT s THEN 1 ELSE 0 END) AS BIGINT) AS cb
+               FROM tk WHERE tok <> '' GROUP BY tok)
+         SELECT tok AS token, ca AS count_a, cb AS count_b,
+                round(100.0 * ca / na, 4) AS percent_a,
+                round(100.0 * cb / nb, 4) AS percent_b,
+                round(abs(100.0 * ca / na - 100.0 * cb / nb), 4) AS diff
+         FROM c CROSS JOIN tot
+         WHERE abs(100.0 * ca / na - 100.0 * cb / nb) >= 5.0
+         ORDER BY diff DESC, token""",
+
+    // active_users_count oracle: period membership by period START in
+    // (T - lookback, T]; axis zero-filled
+    "q196_kql_text_active_users" ->
+      """WITH acts AS (
+           SELECT DISTINCT user_id AS id, epoch_us(ts) // 86400000000 AS p
+           FROM events
+           WHERE epoch_us(ts) BETWEEN 1704240000000000 AND 1706313600000000),
+         axis AS (SELECT range AS k FROM range(9862, 9875)),
+         j AS (SELECT a.id, a.p, x.k FROM acts a CROSS JOIN axis x
+               WHERE a.p * 86400000000 <= x.k * 172800000000
+                 AND a.p * 86400000000 > x.k * 172800000000 - 604800000000),
+         pu AS (SELECT k, id, count(DISTINCT p) AS np FROM j GROUP BY k, id),
+         c AS (SELECT k, CAST(count(DISTINCT id) AS BIGINT) AS dcount
+               FROM pu WHERE np >= 2 GROUP BY k)
+         SELECT make_timestamp(x.k * 172800000000) AS ts,
+                coalesce(c.dcount, 0) AS dcount
+         FROM axis x LEFT JOIN c ON c.k = x.k ORDER BY ts""",
 
     // user-agent oracle: hand-verified parse results per fixture
     "q193_kql_text_user_agent" ->

@@ -2108,6 +2108,17 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getMessage.contains("order by"))
   }
 
+  test("evaluate preview: two result tables (sample + count) via compileMulti") {
+    import spark.implicits._
+    val t = (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v")
+    val multi = KqlCompiler.compileMulti("t | evaluate preview(3)", _ => t)
+    assert(multi.map(_._1) == Seq("preview", "preview_count"))
+    assert(multi.head._2.count() == 3)
+    assert(multi(1)._2.collect().head.getLong(0) == 10L)
+    // single-frame compile returns the sample leg
+    assert(KqlCompiler.compile("t | evaluate preview(4)", _ => t).count() == 4)
+  }
+
   test("externaldata: csv header skip, tsv, json, declared-schema binding") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ext").toFile
     def compileExt(kql: String) =
