@@ -178,6 +178,52 @@ object StreamOps {
       }
   }
 
+  final case class HHState(cm: Array[Byte], leaders: Map[String, Long])
+  final case class HeavyOut(event_type: String, value: String, est: Long, rank: Int)
+
+  /** Streaming heavy hitters — the count-min sketch ([[graft.functions
+    * .CountMinOps]]) composed with Structured Streaming state: per key
+    * (event_type here), a bounded sketch absorbs every value ever seen
+    * and a k-entry leader board tracks the current top values by sketch
+    * estimate. Emits the full refreshed top-k per group per batch
+    * (Update mode).
+    *
+    * State per group is FIXED-SIZE forever: the 8 KB sketch + k leader
+    * entries — the property that makes per-key heavy-hitter tracking
+    * viable over an unbounded stream where exact per-value counts would
+    * grow with cardinality. The leader board is space-saving style: a
+    * trimmed value that keeps occurring re-enters with its full sketch
+    * estimate (count-min never undercounts), so sustained heavy hitters
+    * cannot be starved by an early trim — only transiently-hot values
+    * fade, which is the approximation's documented contract. Ties pin
+    * to (estimate DESC, value ASC) so emissions are deterministic. */
+  def streamingHeavyHitters(events: Dataset[SEvent], delayThreshold: String,
+                            k: Int): Dataset[HeavyOut] = {
+    require(k > 0, "k must be positive")
+    import events.sparkSession.implicits._
+    import graft.functions.CountMinOps
+    import org.apache.spark.unsafe.types.UTF8String
+    events
+      .withWatermark("ts", delayThreshold)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[HHState, HeavyOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (etype, rows, state) =>
+          val buf = state.getOption.map(s => CountMinOps.deserialize(s.cm))
+            .getOrElse(CountMinOps.empty())
+          var leaders = state.getOption.map(_.leaders).getOrElse(Map.empty[String, Long])
+          rows.foreach { e =>
+            val v = e.user_id.toString
+            val u = UTF8String.fromString(v)
+            CountMinOps.add(buf, u)
+            leaders += v -> CountMinOps.estimate(buf, u)
+          }
+          val top = leaders.toSeq.sortBy { case (v, c) => (-c, v) }.take(k)
+          state.update(HHState(CountMinOps.serialize(buf), top.toMap))
+          top.zipWithIndex.map { case ((v, c), i) => HeavyOut(etype, v, c, i + 1) }.iterator
+      }
+  }
+
   final case class SeqState(stepMs: Vector[Long])
   final case class SeqMatchOut(user_id: Long, step_ts: Seq[Timestamp], duration_ms: Long)
 

@@ -226,4 +226,36 @@ class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         (2L, Seq(50L, 52L, 54L), 4000L)), s"got $rows")
     } finally q.stop()
   }
+
+  test("streamingHeavyHitters: sketch+leaders state, trimmed value re-enters with full estimate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[SEvent]
+    val q = StreamOps.streamingHeavyHitters(stream.toDS(), "5 seconds", 2)
+      .writeStream.format("memory").queryName("hh").outputMode(OutputMode.Update).start()
+    try {
+      // batch 1: user 7 ×3, user 8 ×2, user 9 ×1 under one key
+      stream.addData(
+        (Seq.fill(3)(7L) ++ Seq.fill(2)(8L) ++ Seq(9L)).zipWithIndex
+          .map { case (u, i) => SEvent(u, ts(i), "click") }: _*)
+      q.processAllAvailable()
+      val b1 = spark.table("hh").as[StreamOps.HeavyOut].collect()
+        .map(h => (h.value, h.est, h.rank)).toSet
+      assert(b1 == Set(("7", 3L, 1), ("8", 2L, 2)), s"got $b1")
+      // batch 2: user 9 surges past both — it was TRIMMED from the
+      // leader board, but the sketch remembers its batch-1 count, so it
+      // re-enters at 1 + 5 = 6
+      stream.addData((10 until 15).map(i => SEvent(9L, ts(i), "click")): _*)
+      q.processAllAvailable()
+      val b2 = spark.table("hh").as[StreamOps.HeavyOut].collect()
+        .map(h => (h.value, h.est, h.rank)).toSet
+      assert(b2.contains(("9", 6L, 1)), s"trimmed value must re-enter with its sketch estimate, got $b2")
+      // per-key isolation: a different event_type starts fresh
+      stream.addData(SEvent(7L, ts(20), "view"))
+      q.processAllAvailable()
+      val views = spark.table("hh").as[StreamOps.HeavyOut].collect()
+        .filter(_.event_type == "view").map(h => (h.value, h.est, h.rank)).toSet
+      assert(views == Set(("7", 1L, 1)), s"got $views")
+    } finally q.stop()
+  }
 }
