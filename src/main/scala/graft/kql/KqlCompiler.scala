@@ -511,6 +511,9 @@ object KqlCompiler {
       case Some(t) if t.kind == "id" && t.text == "externaldata" &&
           toks.lift(pos + 1).exists(_.text == "(") =>
         next(); headName = None; externaldataSource()
+      case Some(t) if t.kind == "id" && t.text == "infer_storage_schema" &&
+          toks.lift(pos + 1).exists(_.text == "(") =>
+        next(); headName = None; inferStorageSchemaSource()
       case _ => val n = ident(); headName = Some(n); resolveName(n)
     }
 
@@ -648,6 +651,50 @@ object KqlCompiler {
         case other =>
           throw new KqlParseException(s"unsupported externaldata format '$other'")
       }
+    }
+
+    /** `infer_storage_schema('uri', 'format' [, ignoreFirstRecord])` —
+      * the companion of externaldata: infer the external files' schema
+      * and return it as ONE row with the Kusto schema string
+      * (`CslSchema`), ready to paste into an externaldata declaration.
+      * Inference reads a bounded sample (Spark's csv/json inference
+      * scan), which is the operator's documented cost in Kusto too. */
+    private def inferStorageSchemaSource(): DataFrame = {
+      expect("(")
+      def strArg(): String = {
+        val t = next()
+        if (t.kind != "str")
+          throw new KqlParseException("infer_storage_schema() arguments must be string literals")
+        t.text
+      }
+      val uri = strArg(); expect(",")
+      val format = strArg()
+      val header = if (peekIs(",")) { expect(","); ident() == "true" } else false
+      expect(")")
+      val inferred = format match {
+        case "csv" =>
+          session.read.option("inferSchema", "true").option("header", header.toString).csv(uri)
+        case "tsv" =>
+          session.read.option("inferSchema", "true").option("header", header.toString)
+            .option("sep", "\t").csv(uri)
+        case "json" | "multijson" => session.read.json(uri)
+        case "parquet" => session.read.parquet(uri)
+        case other => throw new KqlParseException(s"unsupported infer_storage_schema format '$other'")
+      }
+      import org.apache.spark.sql.types._
+      def kustoName(dt: DataType): String = dt match {
+        case LongType => "long"
+        case IntegerType | ShortType | ByteType => "int"
+        case DoubleType | FloatType => "real"
+        case _: StringType => "string"
+        case BooleanType => "bool"
+        case TimestampType | TimestampNTZType | DateType => "datetime"
+        case _: DecimalType => "decimal"
+        case _ => "dynamic"
+      }
+      val schemaStr = inferred.schema.fields
+        .map(f => s"${f.name}:${kustoName(f.dataType)}").mkString(", ")
+      session.range(1).select(lit(schemaStr).as("CslSchema"))
     }
 
     /** `datatable(c1: t1, c2: t2, …)[v, v, …]` — inline literal table,
@@ -1912,6 +1959,18 @@ object KqlCompiler {
             val keyName = ident()
             graft.ops.Funnel.sequenceDetect(df, keyName, col(tsName),
               stepNames.map(n => n -> col(n)), stepWin, totalGap)
+          case "schema_merge" =>
+            // `evaluate schema_merge()` over a union of getschema
+            // outputs (ColumnName/ColumnOrdinal/DataType rows): one row
+            // per column name; agreeing types keep the type, conflicts
+            // surface as 'conflict' (loud, never silently coerced);
+            // ordinal = the minimum observed. One hash aggregate.
+            expect(")")
+            df.groupBy(col("ColumnName"))
+              .agg(min(col("ColumnOrdinal")).as("ColumnOrdinal"),
+                when(countDistinct(col("DataType")) === 1, first(col("DataType")))
+                  .otherwise(lit("conflict")).as("DataType"))
+              .select(col("ColumnName"), col("ColumnOrdinal"), col("DataType"))
           case "diffpatterns_text" =>
             // `evaluate diffpatterns_text(TextCol, SplitCondition
             //  [, MinDiffPercent])` — differential text patterns between
@@ -3655,6 +3714,18 @@ object KqlCompiler {
         val dflt = expr(); expect(")")
         return df => if (df.columns.contains(t.text)) col(t.text) else dflt(df)
       }
+      if (name == "around") {
+        // around(value, center, delta) → bool; datetime form takes a
+        // timespan delta (exact micros arithmetic)
+        val v = expr(); expect(",")
+        val c = expr(); expect(",")
+        if (peekTimespan) {
+          val d = timespanMicros(); expect(")")
+          return df => abs(unix_micros(v(df)) - unix_micros(c(df))) <= lit(d)
+        }
+        val d = expr(); expect(")")
+        return df => abs(v(df) - c(df)) <= d(df)
+      }
       if (name == "parse_user_agent") {
         // parse_user_agent(ua, 'browser' | 'os' | 'device' |
         // dynamic(['browser', …])) → dynamic bag with Browser /
@@ -4740,6 +4811,14 @@ object KqlCompiler {
           org.apache.spark.sql.GraftColumnBridge.column(
             graft.functions.XmlToJson(
               org.apache.spark.sql.GraftColumnBridge.catalystExpression(args.head(df))))
+        // ipv4_netmask_suffix(ip): the /nn prefix length, 32 when the
+        // suffix is absent, null when the shape is not IPv4[/nn]
+        case "ipv4_netmask_suffix" => arity(1); df => {
+          val s = args.head(df)
+          val valid = s.rlike("^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}(/\\d{1,2})?$")
+          when(valid && s.contains("/"), split(s, "/").getItem(1).cast("long"))
+            .when(valid, lit(32L))
+        }
         // ---- ipv6 family (canonical-form string algebra; see
         // ipv6Canonical for the pinned subset) ----
         // parse_ipv6 → canonical form string (Kusto returns the

@@ -2108,6 +2108,44 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getMessage.contains("order by"))
   }
 
+  test("around, ipv4_netmask_suffix, infer_storage_schema, schema_merge") {
+    import spark.implicits._
+    val t = Seq((1L, 95.0, "10.1.2.3/24"), (2L, 120.0, "10.1.2.3"),
+                (3L, 80.0, "999.1.2.3/xx")).toDF("id", "v", "ip")
+    def run1(kql: String) = KqlCompiler.compile(kql, _ => t)
+    // around: numeric tolerance
+    assert(run1("t | where around(v, 100.0, 10.0) | project id").collect().map(_.getLong(0)).toSeq
+      == Seq(1L))
+    // around: datetime + timespan delta
+    val d = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 13:00:00"))).toDF("id", "ts")
+    assert(KqlCompiler.compile(
+        "d | where around(ts, datetime(2024-01-01T11:00:00), 90m) | project id", _ => d)
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // ipv4_netmask_suffix: explicit, defaulted, malformed
+    val sfx = run1("t | extend s = ipv4_netmask_suffix(ip) | project id, s | order by id asc")
+      .collect().map(r => if (r.isNullAt(1)) -1L else r.getLong(1))
+    assert(sfx.toSeq == Seq(24L, 32L, -1L))
+    // infer_storage_schema over a headered CSV
+    val f = java.nio.file.Files.createTempFile("graft_infer", ".csv")
+    java.nio.file.Files.writeString(f, "id,name,score\n1,a,2.5\n2,b,3.0\n")
+    val cs = KqlCompiler.compile(
+      s"infer_storage_schema('${f.toAbsolutePath}', 'csv', true)",
+      n => throw new IllegalArgumentException(n), java.time.Instant.now(), spark)
+      .collect().head.getString(0)
+    assert(cs == "id:int, name:string, score:real", cs)
+    // schema_merge: agreeing columns keep types, conflicts are loud
+    val t2 = Seq((1L, "x")).toDF("id", "extra")
+    val merged = KqlCompiler.compile(
+      """t | getschema | union (t2 | getschema) | evaluate schema_merge()
+        | | order by ColumnOrdinal asc, ColumnName asc""".stripMargin,
+      n => if (n == "t") t else t2)
+      .collect().map(r => (r.getString(0), r.getString(2)))
+    assert(merged.toSeq == Seq(("id", "bigint"), ("extra", "string"),
+      ("v", "double"), ("ip", "string")))
+  }
+
   test("evaluate preview: two result tables (sample + count) via compileMulti") {
     import spark.implicits._
     val t = (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v")
