@@ -2468,6 +2468,132 @@ object LlmQueries extends QueryModule {
     FROM bf b LEFT JOIN ivf i ON b.qid = i.qid AND b.vec_id = i.vec_id
     GROUP BY b.qid ORDER BY b.qid"""
 
+  /** q198 — ANN ranking-quality metrics (MRR + binary NDCG@10 + hit
+    * count) of the q85 IVF candidate search against the brute-force
+    * ground truth: the other half of the eval harness every production
+    * ANN deployment runs (q85 answers "how much of the truth did we
+    * find", this answers "how well ORDERED is what we found").
+    * Relevance is binary membership in the truth top-10; IDCG is the
+    * |truth| = 10 constant, computed — not hardcoded — in both engines.
+    * Same candidate machinery and scale shape as q85 (sampled queries
+    * only for the exact pass; probed cells only for the IVF pass). */
+  private val rankMetricsSql = """
+    WITH v AS (SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS e FROM embeddings),
+    vn AS (SELECT vec_id, e, sqrt(dot_d(e, e)) AS nrm FROM v),
+    q AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM vn WHERE vec_id % 100 = 0),
+    sims AS (
+      SELECT /*+ BROADCAST(q) */ q.qid, vn.vec_id,
+             dot_d(qe, e) / (qnrm * nrm) AS sim
+      FROM q JOIN vn ON vn.vec_id <> q.qid),
+    bf AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+        FROM sims) WHERE rank <= 10),
+    cent_rows AS (
+      SELECT label AS c_label, pos, round(avg(cast(v AS double)), 6) AS mean_v
+      FROM embeddings LATERAL VIEW posexplode(embedding) AS pos, v
+      GROUP BY label, pos),
+    cents AS (
+      SELECT c_label,
+             transform(sort_array(collect_list(struct(pos, mean_v))), s -> s.mean_v) AS cvec
+      FROM cent_rows GROUP BY c_label),
+    cdist AS (
+      SELECT /*+ BROADCAST(c) */ vn.vec_id, vn.e, vn.nrm, c.c_label,
+             aggregate(zip_with(vn.e, c.cvec, (x, y) -> (x - y) * (x - y)),
+                       cast(0.0 AS double), (s, x) -> s + x) AS d2
+      FROM vn CROSS JOIN cents c),
+    cells AS (
+      SELECT vec_id, w.e AS e, w.nrm AS nrm, w.cell AS cell FROM (
+        SELECT vec_id,
+               min_by(named_struct('e', e, 'nrm', nrm, 'cell', c_label),
+                      named_struct('d', d2, 'c', c_label)) AS w
+        FROM cdist GROUP BY vec_id)),
+    qprobe AS (
+      SELECT vec_id AS qid, c_label AS cell FROM (
+        SELECT vec_id, c_label,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk
+        FROM cdist WHERE vec_id % 100 = 0) WHERE rk <= 2),
+    isims AS (
+      SELECT qp.qid, c.vec_id, dot_d(q.qe, c.e) / (q.qnrm * c.nrm) AS sim
+      FROM qprobe qp JOIN cells c ON c.cell = qp.cell JOIN q ON q.qid = qp.qid
+      WHERE c.vec_id <> qp.qid),
+    ivf AS (
+      SELECT qid, vec_id, rank FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+        FROM isims) WHERE rank <= 10),
+    matched AS (
+      SELECT i.qid, i.rank FROM ivf i JOIN bf b ON b.qid = i.qid AND b.vec_id = i.vec_id),
+    idcg AS (SELECT sum(cast(1 AS double) / log2(r + 1)) AS v
+             FROM (SELECT explode(sequence(1, 10)) AS r))
+    SELECT q.qid,
+           coalesce(round(cast(1 AS double) / min(m.rank), 6), cast(0 AS double)) AS mrr,
+           round(coalesce(sum(cast(1 AS double) / log2(m.rank + 1)), cast(0 AS double))
+             / (SELECT v FROM idcg), 6) AS ndcg,
+           CAST(count(m.rank) AS BIGINT) AS hits
+    FROM (SELECT DISTINCT qid FROM bf) q LEFT JOIN matched m ON m.qid = q.qid
+    GROUP BY q.qid ORDER BY q.qid"""
+
+  private val rankMetricsOracle = """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+    vn AS (SELECT vec_id, e,
+                  sqrt(list_reduce(list_transform(e, x -> x * x), (s, x) -> s + x)) AS nrm FROM v),
+    q AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM vn WHERE vec_id % 100 = 0),
+    sims AS (
+      SELECT q.qid, vn.vec_id,
+             list_reduce(list_transform(range(64), i -> qe[i+1] * e[i+1]), (s, x) -> s + x) / (qnrm * nrm) AS sim
+      FROM q CROSS JOIN vn WHERE vn.vec_id <> q.qid),
+    bf AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+        FROM sims) WHERE rank <= 10),
+    cent_rows AS (
+      SELECT label AS c_label, i AS pos, round(avg(embedding[i+1]::DOUBLE), 6) AS mean_v
+      FROM embeddings, unnest(range(len(embedding))) AS t(i)
+      GROUP BY label, i),
+    cents AS (
+      SELECT c_label, list(mean_v ORDER BY pos) AS cvec
+      FROM cent_rows GROUP BY c_label),
+    cdist AS (
+      SELECT vn.vec_id, vn.e, vn.nrm, c.c_label,
+             list_reduce(list_transform(range(len(c.cvec)),
+                 i -> (vn.e[i+1] - c.cvec[i+1]) * (vn.e[i+1] - c.cvec[i+1])),
+               (s, x) -> s + x) AS d2
+      FROM vn CROSS JOIN cents c),
+    cells AS (
+      SELECT vec_id, e, nrm, c_label AS cell FROM (
+        SELECT vec_id, e, nrm, c_label,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk
+        FROM cdist) WHERE rk = 1),
+    qprobe AS (
+      SELECT vec_id AS qid, c_label AS cell FROM (
+        SELECT vec_id, c_label,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk
+        FROM cdist WHERE vec_id % 100 = 0)
+      WHERE rk <= 2),
+    isims AS (
+      SELECT qp.qid, c.vec_id,
+             list_reduce(list_transform(range(len(c.e)), i -> q.qe[i+1] * c.e[i+1]),
+               (s, x) -> s + x) / (q.qnrm * c.nrm) AS sim
+      FROM qprobe qp JOIN cells c ON c.cell = qp.cell JOIN q ON q.qid = qp.qid
+      WHERE c.vec_id <> qp.qid),
+    ivf AS (
+      SELECT qid, vec_id, rank FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+        FROM isims) WHERE rank <= 10),
+    matched AS (
+      SELECT i.qid, i.rank FROM ivf i JOIN bf b ON b.qid = i.qid AND b.vec_id = i.vec_id),
+    idcg AS (SELECT sum(1.0 / log2(r + 1)) AS v FROM (SELECT unnest(range(1, 11)) AS r))
+    SELECT q.qid,
+           coalesce(round(1.0 / min(m.rank), 6), 0.0) AS mrr,
+           round(coalesce(sum(1.0 / log2(m.rank + 1)), 0.0) / (SELECT v FROM idcg), 6) AS ndcg,
+           CAST(count(m.rank) AS BIGINT) AS hits
+    FROM (SELECT DISTINCT qid FROM bf) q LEFT JOIN matched m ON m.qid = q.qid
+    GROUP BY q.qid ORDER BY q.qid"""
+
   // --------------------------------------------- Matryoshka-prefix ANN
 
   /** q90 — two-pass ANN over nested ("Matryoshka") embedding prefixes:
@@ -3984,7 +4110,8 @@ object LlmQueries extends QueryModule {
     "q189_wordpiece_tokenizer" -> (wordpieceQuery(_, _)),
     "q192_hard_negatives" -> sqlQuery(embs, hardNegSql),
     "q194_pca_top2" -> (pcaTop2Query(_, _)),
-    "q195_sequence_mining" -> sqlQuery(evts, seqMineSql))
+    "q195_sequence_mining" -> sqlQuery(evts, seqMineSql),
+    "q198_ranking_metrics" -> sqlQuery(embs, rankMetricsSql))
 
   override val oracles: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -4054,5 +4181,6 @@ object LlmQueries extends QueryModule {
     "q189_wordpiece_tokenizer" -> wordpieceOracle,
     "q192_hard_negatives" -> hardNegOracle,
     "q194_pca_top2" -> pcaTop2Oracle,
-    "q195_sequence_mining" -> seqMineOracle)
+    "q195_sequence_mining" -> seqMineOracle,
+    "q198_ranking_metrics" -> rankMetricsOracle)
 }
