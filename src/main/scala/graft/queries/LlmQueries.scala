@@ -2594,6 +2594,95 @@ object LlmQueries extends QueryModule {
     FROM (SELECT DISTINCT qid FROM bf) q LEFT JOIN matched m ON m.qid = q.qid
     GROUP BY q.qid ORDER BY q.qid"""
 
+  /** q199 — semi-supervised label propagation (Zhu & Ghahramani 2002 /
+    * Raghavan 2007 LPA) over the order–part bipartite graph: seed part
+    * nodes carry a clamped label, every node iteratively adopts its
+    * neighbors' MAJORITY label (ties → min label, pinned), 3 rounds.
+    * The label-spread counterpart of the other iterated graph ops
+    * (q41 CC, q111 PageRank, q146 SSSP) — this one moves CATEGORICAL
+    * state, the primitive behind graph-based corpus labeling (spread
+    * topic/quality labels from a hand-labeled seed set over a
+    * doc-similarity graph).
+    *
+    * Scale shape: per round ONE edges⋈labels equi-join + one
+    * (node, label) hash agg + one argmax (max_by struct — no window
+    * over the full message relation) + one node-keyed update join;
+    * labels stay nodes-sized; localCheckpoint per round keeps the plan
+    * flat (the q64/q111 loop pattern). Nothing driver-side but the
+    * loop counter. */
+  private def labelPropQuery(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val e0 = li.select(concat(lit("o"), col("l_orderkey")).as("src"),
+        concat(lit("p"), col("l_partkey")).as("dst")).distinct()
+    val ed = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = ed.select(col("src").as("node")).distinct()
+    val seeds = li.select(col("l_partkey")).where(col("l_partkey") % 17 === 0).distinct()
+      .select(concat(lit("p"), col("l_partkey")).as("node"),
+        (col("l_partkey") % 4).cast("long").as("seed"))
+    try {
+      var labels = nodes.join(seeds, Seq("node"), "left")
+        .select(col("node"), col("seed").as("label"))
+        .localCheckpoint()
+      for (_ <- 1 to 3) {
+        val l = labels.where(col("label").isNotNull)
+          .select(col("node").as("lnode"), col("label").as("llab"))
+        val msgs = ed.join(l, ed("src") === col("lnode"))
+          .groupBy(col("dst"), col("llab")).agg(count(lit(1)).as("c"))
+        val maj = msgs.groupBy(col("dst"))
+          .agg(max_by(col("llab"), struct(col("c"), (-col("llab")).as("nl"))).as("mlab"))
+        labels = labels.join(seeds, Seq("node"), "left")
+          .join(maj, labels("node") === maj("dst"), "left")
+          .select(labels("node"),
+            coalesce(col("seed"), col("mlab"), col("label")).as("label"))
+          .localCheckpoint()
+      }
+      labels.groupBy(col("label")).agg(
+          count(lit(1)).as("n_nodes"),
+          sum(when(col("node").startsWith("p"), 1L).otherwise(0L)).as("n_parts"),
+          sum(when(col("node").startsWith("o"), 1L).otherwise(0L)).as("n_orders"))
+        .select(coalesce(col("label"), lit(-1L)).as("label"),
+          col("n_nodes"), col("n_parts"), col("n_orders"))
+        .orderBy(col("label"))
+    } finally ed.unpersist(blocking = false)
+  }
+
+  private def lpaRoundSql(r: Int): String = {
+    val prev = s"l${r - 1}"
+    s"""
+    m$r AS MATERIALIZED (
+      SELECT ed.dst AS node, l.label, count(*) AS c
+      FROM ed JOIN $prev l ON l.node = ed.src WHERE l.label IS NOT NULL
+      GROUP BY ed.dst, l.label),
+    j$r AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rk
+        FROM m$r) WHERE rk = 1),
+    l$r AS MATERIALIZED (
+      SELECT n.node, coalesce(s.seed, j.label, p.label) AS label
+      FROM nodes n
+      LEFT JOIN seeds s ON s.node = n.node
+      LEFT JOIN j$r j ON j.node = n.node
+      LEFT JOIN $prev p ON p.node = n.node)"""
+  }
+
+  private def labelPropOracle: String = s"""
+    WITH e0 AS (SELECT DISTINCT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst FROM lineitem),
+    ed AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM ed),
+    seeds AS MATERIALIZED (
+      SELECT DISTINCT 'p' || l_partkey AS node, CAST(l_partkey % 4 AS BIGINT) AS seed
+      FROM lineitem WHERE l_partkey % 17 = 0),
+    l0 AS MATERIALIZED (
+      SELECT n.node, s.seed AS label FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
+    ${(1 to 3).map(lpaRoundSql).mkString(",")}
+    SELECT coalesce(label, -1) AS label,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(CASE WHEN node LIKE 'p%' THEN 1 ELSE 0 END) AS BIGINT) AS n_parts,
+           CAST(sum(CASE WHEN node LIKE 'o%' THEN 1 ELSE 0 END) AS BIGINT) AS n_orders
+    FROM l3 GROUP BY coalesce(label, -1) ORDER BY label"""
+
   // --------------------------------------------- Matryoshka-prefix ANN
 
   /** q90 — two-pass ANN over nested ("Matryoshka") embedding prefixes:
@@ -4111,7 +4200,8 @@ object LlmQueries extends QueryModule {
     "q192_hard_negatives" -> sqlQuery(embs, hardNegSql),
     "q194_pca_top2" -> (pcaTop2Query(_, _)),
     "q195_sequence_mining" -> sqlQuery(evts, seqMineSql),
-    "q198_ranking_metrics" -> sqlQuery(embs, rankMetricsSql))
+    "q198_ranking_metrics" -> sqlQuery(embs, rankMetricsSql),
+    "q199_label_propagation" -> (labelPropQuery(_, _)))
 
   override val oracles: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -4182,5 +4272,6 @@ object LlmQueries extends QueryModule {
     "q192_hard_negatives" -> hardNegOracle,
     "q194_pca_top2" -> pcaTop2Oracle,
     "q195_sequence_mining" -> seqMineOracle,
-    "q198_ranking_metrics" -> rankMetricsOracle)
+    "q198_ranking_metrics" -> rankMetricsOracle,
+    "q199_label_propagation" -> labelPropOracle)
 }
