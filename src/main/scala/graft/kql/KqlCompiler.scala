@@ -3547,7 +3547,9 @@ object KqlCompiler {
           sb.toString
         }
       expect(")")
-      parseInstant(raw)
+      // the lexer drops whitespace, so the Kusto space form
+      // `datetime(2024-01-01 11:00:00)` arrives glued — re-split it
+      parseInstant(raw.replaceFirst("^(\\d{4}-\\d{2}-\\d{2})(\\d{1,2}:)", "$1T$2"))
     }
 
     /** Window over the serialized order for row_number/prev/next. */

@@ -2683,6 +2683,110 @@ object LlmQueries extends QueryModule {
            CAST(sum(CASE WHEN node LIKE 'o%' THEN 1 ELSE 0 END) AS BIGINT) AS n_orders
     FROM l3 GROUP BY coalesce(label, -1) ORDER BY label"""
 
+  /** q200 — the corpus-pipeline funnel: one query composing the
+    * pinned pipeline stages end to end and reporting per-source
+    * survival at each — the "training manifest" every corpus release
+    * ships. Stages (each reusing an already-gated rule):
+    *   raw → exact-dedup keepers (q21's min-doc_id-per-content-hash)
+    *       → quality pass (≥ 5 words AND distinct-word fraction ≥ 0.2,
+    *         the q28/q121 class)
+    *       → decontaminated (no shared df-capped 3-gram with the
+    *         q113 benchmark slice)
+    *       → split train/val/test (q89's content-stable md5 bucket).
+    * Everything is one pass over documents plus the bounded q113 gram
+    * join — no stage materializes an intermediate corpus; the funnel
+    * is a set of boolean columns aggregated per source. */
+  private val pipelineFunnelSql = """
+    WITH base AS (
+      SELECT doc_id, source, text, lower(text) AS lt, split(text, ' ') AS ws
+      FROM documents),
+    dedup AS (
+      SELECT doc_id, source, text, lt, ws,
+             (doc_id = min(doc_id) OVER (PARTITION BY md5(lt))) AS keep_dedup
+      FROM base),
+    quality AS (
+      SELECT *,
+             (size(ws) >= 5 AND
+              size(array_distinct(ws)) >= cast(0.2 * size(ws) AS int)) AS keep_quality
+      FROM dedup),
+    g AS (
+      SELECT doc_id, array_distinct(transform(sequence(0, size(ws) - 3),
+               i -> md5(concat_ws(' ', slice(ws, i + 1, 3))))) AS gl
+      FROM base WHERE size(ws) >= 3),
+    fps AS (SELECT doc_id, explode(gl) AS fp FROM g),
+    kept AS (SELECT doc_id, fp FROM (
+               SELECT doc_id, fp, count(1) OVER (PARTITION BY fp) AS df FROM fps)
+             WHERE df <= 50),
+    contaminated AS (
+      SELECT DISTINCT c.doc_id
+      FROM (SELECT doc_id, fp FROM kept WHERE doc_id % 97 != 0) c
+      JOIN (SELECT fp FROM kept WHERE doc_id % 97 = 0) b ON c.fp = b.fp),
+    flags AS (
+      SELECT q.doc_id, q.source,
+             (q.doc_id % 97 != 0) AS in_corpus,
+             q.keep_dedup,
+             q.keep_quality,
+             (ct.doc_id IS NULL) AS keep_clean,
+             CASE WHEN cast(conv(substr(md5(q.lt), 1, 8), 16, 10) AS bigint) % 100 < 90 THEN 'train'
+                  WHEN cast(conv(substr(md5(q.lt), 1, 8), 16, 10) AS bigint) % 100 < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM quality q LEFT JOIN contaminated ct ON ct.doc_id = q.doc_id)
+    SELECT source,
+           count(1) AS n_raw,
+           sum(CASE WHEN in_corpus THEN 1 ELSE 0 END) AS n_corpus,
+           sum(CASE WHEN in_corpus AND keep_dedup THEN 1 ELSE 0 END) AS n_dedup,
+           sum(CASE WHEN in_corpus AND keep_dedup AND keep_quality THEN 1 ELSE 0 END) AS n_quality,
+           sum(CASE WHEN in_corpus AND keep_dedup AND keep_quality AND keep_clean THEN 1 ELSE 0 END) AS n_clean,
+           sum(CASE WHEN in_corpus AND keep_dedup AND keep_quality AND keep_clean AND split = 'train' THEN 1 ELSE 0 END) AS n_train,
+           sum(CASE WHEN in_corpus AND keep_dedup AND keep_quality AND keep_clean AND split = 'val' THEN 1 ELSE 0 END) AS n_val,
+           sum(CASE WHEN in_corpus AND keep_dedup AND keep_quality AND keep_clean AND split = 'test' THEN 1 ELSE 0 END) AS n_test
+    FROM flags GROUP BY source ORDER BY source"""
+
+  private val pipelineFunnelOracle = """
+    WITH base AS (
+      SELECT doc_id, source, text, lower(text) AS lt, string_split(text, ' ') AS ws
+      FROM documents),
+    dedup AS (
+      SELECT doc_id, source, lt, ws,
+             (doc_id = min(doc_id) OVER (PARTITION BY md5(lt))) AS keep_dedup
+      FROM base),
+    quality AS (
+      SELECT *,
+             (len(ws) >= 5 AND
+              len(list_distinct(ws)) >= CAST(0.2 * len(ws) AS INT)) AS keep_quality
+      FROM dedup),
+    g AS (
+      SELECT doc_id, list_distinct(list_transform(range(len(ws) - 2),
+               i -> md5(array_to_string(ws[i+1:i+3], ' ')))) AS gl
+      FROM base WHERE len(ws) >= 3),
+    fps AS (SELECT doc_id, unnest(gl) AS fp FROM g),
+    freq AS (SELECT fp, count(1) AS df FROM fps GROUP BY fp),
+    kept AS (SELECT fps.doc_id, fps.fp FROM fps JOIN freq ON fps.fp = freq.fp
+             WHERE freq.df <= 50),
+    contaminated AS (
+      SELECT DISTINCT c.doc_id
+      FROM (SELECT doc_id, fp FROM kept WHERE doc_id % 97 <> 0) c
+      JOIN (SELECT fp FROM kept WHERE doc_id % 97 = 0) b ON c.fp = b.fp),
+    flags AS (
+      SELECT q.doc_id, q.source,
+             (q.doc_id % 97 <> 0) AS in_corpus,
+             q.keep_dedup, q.keep_quality,
+             (ct.doc_id IS NULL) AS keep_clean,
+             CASE WHEN ('0x' || substring(md5(q.lt), 1, 8))::BIGINT % 100 < 90 THEN 'train'
+                  WHEN ('0x' || substring(md5(q.lt), 1, 8))::BIGINT % 100 < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM quality q LEFT JOIN contaminated ct ON ct.doc_id = q.doc_id)
+    SELECT source,
+           CAST(count(1) AS BIGINT) AS n_raw,
+           CAST(sum(CASE WHEN in_corpus THEN 1 ELSE 0 END) AS BIGINT) AS n_corpus,
+           CAST(sum(CASE WHEN in_corpus AND keep_dedup THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+           CAST(sum(CASE WHEN in_corpus AND keep_dedup AND keep_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           CAST(sum(CASE WHEN in_corpus AND keep_dedup AND keep_quality AND keep_clean THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+           CAST(sum(CASE WHEN in_corpus AND keep_dedup AND keep_quality AND keep_clean AND split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+           CAST(sum(CASE WHEN in_corpus AND keep_dedup AND keep_quality AND keep_clean AND split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+           CAST(sum(CASE WHEN in_corpus AND keep_dedup AND keep_quality AND keep_clean AND split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+    FROM flags GROUP BY source ORDER BY source"""
+
   // --------------------------------------------- Matryoshka-prefix ANN
 
   /** q90 — two-pass ANN over nested ("Matryoshka") embedding prefixes:
@@ -4201,7 +4305,8 @@ object LlmQueries extends QueryModule {
     "q194_pca_top2" -> (pcaTop2Query(_, _)),
     "q195_sequence_mining" -> sqlQuery(evts, seqMineSql),
     "q198_ranking_metrics" -> sqlQuery(embs, rankMetricsSql),
-    "q199_label_propagation" -> (labelPropQuery(_, _)))
+    "q199_label_propagation" -> (labelPropQuery(_, _)),
+    "q200_pipeline_funnel" -> sqlQuery(docs, pipelineFunnelSql))
 
   override val oracles: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -4273,5 +4378,6 @@ object LlmQueries extends QueryModule {
     "q194_pca_top2" -> pcaTop2Oracle,
     "q195_sequence_mining" -> seqMineOracle,
     "q198_ranking_metrics" -> rankMetricsOracle,
-    "q199_label_propagation" -> labelPropOracle)
+    "q199_label_propagation" -> labelPropOracle,
+    "q200_pipeline_funnel" -> pipelineFunnelOracle)
 }

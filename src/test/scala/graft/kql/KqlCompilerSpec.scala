@@ -2123,6 +2123,10 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(KqlCompiler.compile(
         "d | where around(ts, datetime(2024-01-01T11:00:00), 90m) | project id", _ => d)
       .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // Kusto's space form survives the whitespace-dropping lexer
+    assert(KqlCompiler.compile(
+        "d | where around(ts, datetime(2024-01-01 11:00:00), 90m) | project id", _ => d)
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
     // ipv4_netmask_suffix: explicit, defaulted, malformed
     val sfx = run1("t | extend s = ipv4_netmask_suffix(ip) | project id, s | order by id asc")
       .collect().map(r => if (r.isNullAt(1)) -1L else r.getLong(1))
