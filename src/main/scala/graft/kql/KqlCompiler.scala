@@ -3384,16 +3384,26 @@ object KqlCompiler {
         struct(v.cast("double").as("v"), w.cast("double").as("w")))
       val pairs = sort_array(collect_list(pair))
       val tot = aggregate(pairs, lit(0.0), (s, x) => s + x.getField("w"))
-      val thr = tot * lit(p / 100.0)
-      aggregate(pairs,
-        struct(lit(0.0).as("cum"), lit(null).cast("double").as("ans")),
-        (s, x) => {
-          val cum2 = s.getField("cum") + x.getField("w")
-          struct(cum2.as("cum"),
-            when(s.getField("ans").isNotNull, s.getField("ans"))
-              .when(cum2 >= thr, x.getField("v")).as("ans"))
-        },
-        s => s.getField("ans"))
+      // let1-bind (pairs, threshold): the threshold subtree is ITSELF a
+      // full fold over the pairs, and referencing it inside the walk's
+      // lambda re-evaluates it PER ELEMENT — O(n²), 25 s on q172's
+      // 9k-row groups (the series_decompose lesson). Binding through a
+      // single-element transform evaluates it once per group.
+      element_at(transform(
+        array(struct(pairs.as("ps"), (tot * lit(p / 100.0)).as("thr"))),
+        b => {
+          val ps = b.getField("ps")
+          val thr = b.getField("thr")
+          aggregate(ps,
+            struct(lit(0.0).as("cum"), lit(null).cast("double").as("ans")),
+            (s, x) => {
+              val cum2 = s.getField("cum") + x.getField("w")
+              struct(cum2.as("cum"),
+                when(s.getField("ans").isNotNull, s.getField("ans"))
+                  .when(cum2 >= thr, x.getField("v")).as("ans"))
+            },
+            s => s.getField("ans"))
+        }), 1)
     }
 
     private def haversineM(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column = {
@@ -4633,8 +4643,18 @@ object KqlCompiler {
         // type-preserving Jackson merge as bag_merge()
         case "make_bag" => arity(1); df => {
           import org.apache.spark.sql.GraftColumnBridge
+          // array_distinct before the fold is EXACTLY equivalent
+          // (BagMerge is idempotent on identical bags, and first-wins
+          // over the sorted order is unchanged — distinct keeps the
+          // first occurrence) but turns the quadratic Jackson fold over
+          // repeated bags into one merge per DISTINCT bag: the q172
+          // 9k-bags-per-group case went 25 s → merge count 5. A
+          // distinct-heavy input would still fold sequentially; the
+          // scale path there is a TypedImperativeAggregate over a key
+          // map (the tdigest/count-min pattern) — not needed until a
+          // workload actually has per-group distinct-bag cardinality.
           aggregate(
-            sort_array(collect_list(args.head(df))),
+            array_distinct(sort_array(collect_list(args.head(df)))),
             lit("{}"),
             (acc, x) => GraftColumnBridge.column(graft.functions.BagMerge(
               GraftColumnBridge.catalystExpression(acc),
