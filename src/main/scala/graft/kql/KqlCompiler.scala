@@ -1074,10 +1074,28 @@ object KqlCompiler {
         sepBy1(() => { val n = ident(); expect("="); (n, expr()) })
           .foldLeft(df) { case (d, (n, e)) => d.withColumn(n, e(d)) }
       case "summarize" =>
+        // Kusto perf hints: `hint.shufflekey=Col` pre-partitions on the
+        // named key (HashPartitioning on a subset of the group keys
+        // satisfies the aggregate's clustering requirement, so Spark
+        // skips its own exchange — exactly Kusto's skew-spread intent);
+        // `hint.strategy=shuffle` is accepted as a no-op (the hash
+        // aggregate IS the shuffle strategy). Both advisory, as in Kusto.
+        var shuffleKeys = List.empty[String]
+        while (peekIs("hint")) {
+          expect("hint"); expect("."); val h = ident(); expect("=")
+          val v = next().text // hint values may be identifiers or numbers
+          h match {
+            case "shufflekey" => shuffleKeys :+= v
+            case "strategy" =>
+              if (v != "shuffle") warn(s"summarize strategy '$v' ignored (hash aggregate is the only strategy)")
+            case other => warn(s"summarize hint '$other' ignored")
+          }
+        }
         val aggs = sepBy1(() => aggItemMulti()).flatten
         val keys = if (peekIs("by")) { expect("by"); sepBy1(projItem) } else Nil
-        val aggCols = aggs.map(_(df))
-        df.groupBy(keys.map(_(df)): _*).agg(aggCols.head, aggCols.tail: _*)
+        val base = if (shuffleKeys.isEmpty) df else df.repartition(shuffleKeys.map(col): _*)
+        val aggCols = aggs.map(_(base))
+        base.groupBy(keys.map(_(base)): _*).agg(aggCols.head, aggCols.tail: _*)
       case "order" | "sort" =>
         expect("by")
         val items = sepBy1(orderItem)

@@ -2150,6 +2150,22 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("v", "double"), ("ip", "string")))
   }
 
+  test("summarize hints: shufflekey pre-partitions, unknown hints warn") {
+    import spark.implicits._
+    val t = Seq((1L, "a", 2.0), (1L, "b", 3.0), (2L, "a", 4.0)).toDF("k", "g", "v")
+    val r = KqlCompiler.compile(
+      """t | summarize hint.shufflekey=k hint.strategy=shuffle s = sum(v) by k, g
+        | | order by k asc, g asc""".stripMargin, _ => t)
+    assert(r.collect().map(x => (x.getLong(0), x.getString(1), x.getDouble(2))).toSeq
+      == Seq((1L, "a", 2.0), (1L, "b", 3.0), (2L, "a", 4.0)))
+    // the hinted plan repartitions on k and adds no second exchange for the agg
+    val plan = r.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(k"), plan.take(400))
+    val (_, ws) = KqlCompiler.compileWithWarnings(
+      "t | summarize hint.num_partitions=4 s = sum(v) by k", _ => t)
+    assert(ws.exists(_.contains("num_partitions")))
+  }
+
   test("evaluate preview: two result tables (sample + count) via compileMulti") {
     import spark.implicits._
     val t = (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v")
