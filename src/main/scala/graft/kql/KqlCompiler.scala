@@ -4638,6 +4638,18 @@ object KqlCompiler {
         case "hll_merge" => arity(1); df => hll_union_agg(args.head(df))
         case "stdev" => arity(1); df => stddev_samp(args.head(df))
         case "variance" => arity(1); df => var_samp(args.head(df))
+        // population forms + covariance family
+        case "stdevp" => arity(1); df => stddev_pop(args.head(df))
+        case "variancep" => arity(1); df => var_pop(args.head(df))
+        case "covariance" => arity(2); df => covar_samp(args(0)(df), args(1)(df))
+        case "covariancep" => arity(2); df => covar_pop(args(0)(df), args(1)(df))
+        // conditional forms completing the *if family
+        case "count_distinctif" => arity(2); df =>
+          countDistinct(when(args(1)(df), args(0)(df)))
+        case "take_anyif" | "anyif" => arity(2); df =>
+          min(when(args(1)(df), args(0)(df))) // take_any's MIN pinning
+        case "hll_if" => arity(2); df =>
+          hll_sketch_agg(when(args(1)(df), args(0)(df)))
         // make_set is SORTED here (a determinism upgrade over Kusto's
         // unspecified order — oracle-comparable); make_list keeps
         // encounter order, which is partition-dependent, as in Kusto

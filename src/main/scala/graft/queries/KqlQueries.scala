@@ -1450,6 +1450,27 @@ object KqlQueries extends QueryModule {
           | | order by event_type asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // aggregate ring 15: population stdev/variance, covariance family,
+    // and the conditional *if completions (count_distinctif,
+    // take_anyif via the MIN pinning, hll_if gated through dcount_hll
+    // against the exact conditional distinct).
+    "q201_kql_text_agg_ring15" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | extend band = user_id % 5
+          | | summarize sp = round(stdevp(value), 6), vp = round(variancep(value), 6),
+          |             cv = round(covariance(value, event_id % 100), 6),
+          |             cvp = round(covariancep(value, event_id % 100), 6),
+          |             cd = count_distinctif(event_type, value > 50),
+          |             ta = take_anyif(event_type, value > 90),
+          |             hd = dcount_hll(hll_if(user_id, event_type == 'click')),
+          |             xd = count_distinctif(user_id, event_type == 'click')
+          |   by band
+          | | extend hll_ok = hd == xd
+          | | project band, sp, vp, cv, cvp, cd, ta, hll_ok
+          | | order by band asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // diffpatterns_text — differential tokens between the English and
     // non-English document slices (threshold 5 percentage points).
     "q197_kql_text_diffpatterns_text" -> ((s, dir) =>
@@ -3303,6 +3324,21 @@ object KqlQueries extends QueryModule {
                      THEN round((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6)
                 END AS r
          FROM st ORDER BY event_type""",
+
+    // agg ring 15 oracle: population/conditional forms; take_anyif =
+    // MIN over the passing rows (the take_any pinning); the hll gate
+    // compares the sketch estimate to the exact conditional distinct
+    // (small per-band cardinalities sit in the sketch's exact region)
+    "q201_kql_text_agg_ring15" ->
+      """SELECT user_id % 5 AS band,
+                round(stddev_pop(value), 6) AS sp,
+                round(var_pop(value), 6) AS vp,
+                round(covar_samp(value, event_id % 100), 6) AS cv,
+                round(covar_pop(value, event_id % 100), 6) AS cvp,
+                CAST(count(DISTINCT CASE WHEN value > 50 THEN event_type END) AS BIGINT) AS cd,
+                min(CASE WHEN value > 90 THEN event_type END) AS ta,
+                TRUE AS hll_ok
+         FROM events GROUP BY 1 ORDER BY band""",
 
     // diffpatterns_text oracle: same token dedup + conditional counts;
     // percents from single divisions so the doubles match bit-for-bit
