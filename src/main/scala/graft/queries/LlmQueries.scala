@@ -2787,6 +2787,101 @@ object LlmQueries extends QueryModule {
            CAST(sum(CASE WHEN in_corpus AND keep_dedup AND keep_quality AND keep_clean AND split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
     FROM flags GROUP BY source ORDER BY source"""
 
+  /** q202 — INCREMENTAL snapshot dedup: dedupe a new batch against the
+    * existing corpus index, never corpus×corpus — the operational
+    * reality at 100 TB (daily deltas dedupe against yesterday's index;
+    * nobody re-dedupes the whole corpus). New docs (doc_id %% 3 == 0
+    * here; production = the arriving snapshot) are classified exact-dup
+    * (content hash present in the index), near-dup (shares a capped LSH
+    * band bucket with an index doc AND q22's est-Jaccard ≥ 0.5
+    * decision), or kept. Per-source admission report out.
+    *
+    * Scale shape: the exact pass is a hash semi-join against the
+    * DISTINCT index-hash set; the near pass reuses the q22 machinery
+    * with candidates RESTRICTED to new×old at the band join (the new
+    * side is delta-sized, so candidate volume is O(|delta|·bucket),
+    * independent of corpus size). */
+  private val incrementalDedupSql = s"""
+    WITH sig AS (
+      SELECT doc_id, minhash_sig(text) AS mh
+      FROM documents WHERE size(split(lower(text), '\\\\s+')) >= 3),
+    bands AS (
+      SELECT doc_id, b,
+             md5(concat_ws(',', cast(element_at(mh, b*3+1) AS string), cast(element_at(mh, b*3+2) AS string), cast(element_at(mh, b*3+3) AS string))) AS bh
+      FROM sig LATERAL VIEW explode(sequence(0, 3)) bt AS b),
+    bandsc AS (
+      SELECT doc_id, b, bh, count(1) OVER (PARTITION BY b, bh) AS bsz FROM bands),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+      FROM bandsc n JOIN bandsc o ON n.b = o.b AND n.bh = o.bh
+      WHERE n.doc_id % 3 = 0 AND o.doc_id % 3 != 0 AND n.bsz <= $BandCap),
+    near0 AS (
+      SELECT DISTINCT new_id FROM (
+        SELECT cand.new_id,
+               size(filter(sequence(0, 11), k -> element_at(sa.mh, k+1) = element_at(sb.mh, k+1))) / cast(12 AS double) AS ej
+        FROM cand JOIN sig sa ON cand.new_id = sa.doc_id JOIN sig sb ON cand.old_id = sb.doc_id)
+      WHERE ej >= 0.5),
+    hashes AS (SELECT doc_id, source, md5(lower(text)) AS h FROM documents),
+    exact0 AS (
+      SELECT DISTINCT n.doc_id AS new_id
+      FROM hashes n JOIN (SELECT DISTINCT h FROM hashes WHERE doc_id % 3 != 0) o ON n.h = o.h
+      WHERE n.doc_id % 3 = 0),
+    newdocs AS (SELECT doc_id, source FROM documents WHERE doc_id % 3 = 0)
+    SELECT source,
+           count(1) AS n_new,
+           sum(CASE WHEN e.new_id IS NOT NULL THEN 1 ELSE 0 END) AS n_exact,
+           sum(CASE WHEN e.new_id IS NULL AND nr.new_id IS NOT NULL THEN 1 ELSE 0 END) AS n_near,
+           sum(CASE WHEN e.new_id IS NULL AND nr.new_id IS NULL THEN 1 ELSE 0 END) AS n_kept
+    FROM newdocs d
+    LEFT JOIN exact0 e ON e.new_id = d.doc_id
+    LEFT JOIN near0 nr ON nr.new_id = d.doc_id
+    GROUP BY source ORDER BY source"""
+
+  private def incrementalDedupOracle: String = s"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents),
+    shingles AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(len(t)-2), i -> array_to_string(t[i+1:i+3], ' '))) AS sh
+      FROM toks WHERE len(t) >= 3),
+    shingle_rows AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % $MinhashP AS hx
+      FROM (SELECT doc_id, unnest(sh) AS shingle FROM shingles)),
+    sig AS (
+      SELECT doc_id,
+             [${minhashLanes(e => s"min($e)")}] AS mh
+      FROM shingle_rows GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, b, md5(concat_ws(',', mh[b*3+1]::VARCHAR, mh[b*3+2]::VARCHAR, mh[b*3+3]::VARCHAR)) AS bh
+      FROM sig, unnest(range(4)) AS bt(b)),
+    bandsc AS (
+      SELECT doc_id, b, bh, count(1) OVER (PARTITION BY b, bh) AS bsz FROM bands),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+      FROM bandsc n JOIN bandsc o ON n.b = o.b AND n.bh = o.bh
+      WHERE n.doc_id % 3 = 0 AND o.doc_id % 3 <> 0 AND n.bsz <= $BandCap),
+    near0 AS (
+      SELECT DISTINCT new_id FROM (
+        SELECT cand.new_id,
+               len(list_filter(range(12), k -> sa.mh[k+1] = sb.mh[k+1])) / 12.0 AS ej
+        FROM cand JOIN sig sa ON cand.new_id = sa.doc_id JOIN sig sb ON cand.old_id = sb.doc_id)
+      WHERE ej >= 0.5),
+    hashes AS (SELECT doc_id, source, md5(lower(text)) AS h FROM documents),
+    exact0 AS (
+      SELECT DISTINCT n.doc_id AS new_id
+      FROM hashes n JOIN (SELECT DISTINCT h FROM hashes WHERE doc_id % 3 <> 0) o ON n.h = o.h
+      WHERE n.doc_id % 3 = 0),
+    newdocs AS (SELECT doc_id, source FROM documents WHERE doc_id % 3 = 0)
+    SELECT source,
+           CAST(count(1) AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN e.new_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN e.new_id IS NULL AND nr.new_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+           CAST(sum(CASE WHEN e.new_id IS NULL AND nr.new_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM newdocs d
+    LEFT JOIN exact0 e ON e.new_id = d.doc_id
+    LEFT JOIN near0 nr ON nr.new_id = d.doc_id
+    GROUP BY source ORDER BY source"""
+
   // --------------------------------------------- Matryoshka-prefix ANN
 
   /** q90 — two-pass ANN over nested ("Matryoshka") embedding prefixes:
@@ -4306,7 +4401,8 @@ object LlmQueries extends QueryModule {
     "q195_sequence_mining" -> sqlQuery(evts, seqMineSql),
     "q198_ranking_metrics" -> sqlQuery(embs, rankMetricsSql),
     "q199_label_propagation" -> (labelPropQuery(_, _)),
-    "q200_pipeline_funnel" -> sqlQuery(docs, pipelineFunnelSql))
+    "q200_pipeline_funnel" -> sqlQuery(docs, pipelineFunnelSql),
+    "q202_incremental_dedup" -> sqlQuery(docs, incrementalDedupSql))
 
   override val oracles: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -4379,5 +4475,6 @@ object LlmQueries extends QueryModule {
     "q195_sequence_mining" -> seqMineOracle,
     "q198_ranking_metrics" -> rankMetricsOracle,
     "q199_label_propagation" -> labelPropOracle,
-    "q200_pipeline_funnel" -> pipelineFunnelOracle)
+    "q200_pipeline_funnel" -> pipelineFunnelOracle,
+    "q202_incremental_dedup" -> incrementalDedupOracle)
 }
