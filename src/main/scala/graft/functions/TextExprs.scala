@@ -51,6 +51,43 @@ object TextHash extends Serializable {
     UTF8String.fromString(new String(cps, 0, n))
   }
 
+  /** zlib/gzip base64 codecs (the Kusto compression-scalar family).
+    * zlib bytes are canonical across implementations at a given level
+    * (Java Deflater IS zlib), so zlib compress output is golden-
+    * comparable; gzip headers carry impl-specific OS/mtime bytes, so
+    * gzip is gated on DECODE + round-trip (documented). Errors → null
+    * through the expression layer, never a task-killing throw. */
+  def zlibCompressB64(s: UTF8String): UTF8String = {
+    val out = new java.io.ByteArrayOutputStream()
+    val d = new java.util.zip.DeflaterOutputStream(out,
+      new java.util.zip.Deflater(6, false))
+    d.write(s.getBytes); d.close()
+    UTF8String.fromString(java.util.Base64.getEncoder.encodeToString(out.toByteArray))
+  }
+
+  def zlibDecompressB64(s: UTF8String): UTF8String =
+    try {
+      val bytes = java.util.Base64.getDecoder.decode(s.toString)
+      val in = new java.util.zip.InflaterInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      UTF8String.fromBytes(in.readAllBytes())
+    } catch { case _: Exception => null }
+
+  def gzipCompressB64(s: UTF8String): UTF8String = {
+    val out = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(out)
+    g.write(s.getBytes); g.close()
+    UTF8String.fromString(java.util.Base64.getEncoder.encodeToString(out.toByteArray))
+  }
+
+  def gzipDecompressB64(s: UTF8String): UTF8String =
+    try {
+      val bytes = java.util.Base64.getDecoder.decode(s.toString)
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      UTF8String.fromBytes(in.readAllBytes())
+    } catch { case _: Exception => null }
+
   /** Boost-style 64-bit hash combine (wrap-around arithmetic). */
   def hashCombine(a: Long, b: Long): Long =
     a ^ (b + 0x9e3779b97f4a7c15L + (a << 6) + (a >>> 2))
@@ -478,6 +515,36 @@ case class CodepointsToString(child: Expression) extends UnaryExpression {
       if (${ev.value} == null) { ${ev.isNull} = true; }
     """)
   override protected def withNewChildInternal(newChild: Expression): CodepointsToString = copy(child = newChild)
+}
+
+/** zlib/gzip base64 codec expression — `kind` picks the TextHash
+  * bridge (zc/zd/gc/gd); decompress of malformed input → SQL null. */
+case class CompressionCodec(child: Expression, kind: String) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeGuards.requireString(s"compression codec $kind", child)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  private def method: String = kind match {
+    case "zc" => "zlibCompressB64"
+    case "zd" => "zlibDecompressB64"
+    case "gc" => "gzipCompressB64"
+    case "gd" => "gzipDecompressB64"
+  }
+  override protected def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[UTF8String]
+    kind match {
+      case "zc" => TextHash.zlibCompressB64(u)
+      case "zd" => TextHash.zlibDecompressB64(u)
+      case "gc" => TextHash.gzipCompressB64(u)
+      case "gd" => TextHash.gzipDecompressB64(u)
+    }
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.TextHash.$method($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): CompressionCodec = copy(child = newChild)
 }
 
 /** punycode_from_string(s): RFC 3492 encode of one label (string →

@@ -4518,6 +4518,25 @@ object KqlCompiler {
           })
           when(canon.isNotNull && pfx.between(0, 128), array_join(masked, ":"))
         }
+        // compression-scalar family: zlib bytes are canonical across
+        // implementations (Java Deflater IS zlib) so the compressed
+        // base64 itself is golden-comparable; gzip headers carry
+        // impl-specific OS/mtime bytes, so gzip is gated on decode +
+        // round-trip; malformed decompress → null
+        case "zlib_deflate_compress_to_base64_string" | "zlib_deflate_decompress_from_base64_string" |
+             "gzip_compress_to_base64_string" | "gzip_decompress_from_base64_string" =>
+          arity(1)
+          val kind = name match {
+            case "zlib_deflate_compress_to_base64_string" => "zc"
+            case "zlib_deflate_decompress_from_base64_string" => "zd"
+            case "gzip_compress_to_base64_string" => "gc"
+            case "gzip_decompress_from_base64_string" => "gd"
+          }
+          df => {
+            import org.apache.spark.sql.GraftColumnBridge
+            GraftColumnBridge.column(graft.functions.CompressionCodec(
+              GraftColumnBridge.catalystExpression(args.head(df)), kind))
+          }
         // punycode family (RFC 3492 natives; from_string = encode,
         // to_string = decode — the base64-family naming convention)
         case "punycode_from_string" => arity(1); df => {

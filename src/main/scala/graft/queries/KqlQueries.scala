@@ -1450,6 +1450,36 @@ object KqlQueries extends QueryModule {
           | | order by event_type asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // compression scalars: zlib compress bytes are canonical (Java
+    // Deflater IS zlib, matching the Python-generated goldens);
+    // gzip gated on decode + round-trip (headers carry OS/mtime);
+    // malformed decompress is null.
+    "q203_kql_text_compression" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_id % 101 == 0
+          | | extend payload = strcat(event_type, ' payload')
+          | | extend zc = zlib_deflate_compress_to_base64_string(payload),
+          |          zrt = zlib_deflate_decompress_from_base64_string(zlib_deflate_compress_to_base64_string(payload)),
+          |          grt = gzip_decompress_from_base64_string(gzip_compress_to_base64_string(payload)),
+          |          zg = zlib_deflate_decompress_from_base64_string(case(
+          |                 event_type == 'click', 'eJxLzslMzlYoSKzMyU9MAQAjHgUR',
+          |                 event_type == 'view', 'eJwry0wtVyhIrMzJT0wBAB8OBMY=',
+          |                 event_type == 'purchase', 'eJwrKC1KzkgsTlUoSKzMyU9MAQA3GgZm',
+          |                 event_type == 'signup', 'eJwrzkzPKy1QKEiszMlPTAEAKpMFoQ==',
+          |                 'eJxLLSrKL1IoSKzMyU9MAQAkmgU1')),
+          |          gg = gzip_decompress_from_base64_string(case(
+          |                 event_type == 'click', 'H4sIAAAAAAAAA0vOyUzOVihIrMzJT0wBABEOXHgNAAAA',
+          |                 event_type == 'view', 'H4sIAAAAAAAAAyvLTC1XKEiszMlPTAEA0/wBHgwAAAA=',
+          |                 event_type == 'purchase', 'H4sIAAAAAAAAAysoLUrOSCxOVShIrMzJT0wBAFAjhiwQAAAA',
+          |                 event_type == 'signup', 'H4sIAAAAAAAAAyvOTM8rLVAoSKzMyU9MAQBiXU5WDgAAAA==',
+          |                 'H4sIAAAAAAAAA0stKsovUihIrMzJT0wBAAW4GKoNAAAA')),
+          |          bad = zlib_deflate_decompress_from_base64_string('not-base64!!'),
+          |          bad2 = gzip_decompress_from_base64_string('AAAA')
+          | | project event_id, zc, zrt, grt, zg, gg, bad, bad2
+          | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // aggregate ring 15: population stdev/variance, covariance family,
     // and the conditional *if completions (count_distinctif,
     // take_anyif via the MIN pinning, hll_if gated through dcount_hll
@@ -3324,6 +3354,25 @@ object KqlQueries extends QueryModule {
                      THEN round((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6)
                 END AS r
          FROM st ORDER BY event_type""",
+
+    // compression oracle: zlib compress equals the Python zlib golden
+    // byte-for-byte; every decompress resolves to the plain payload;
+    // malformed inputs are NULL
+    "q203_kql_text_compression" ->
+      """SELECT event_id,
+                CASE event_type
+                  WHEN 'click' THEN 'eJxLzslMzlYoSKzMyU9MAQAjHgUR'
+                  WHEN 'view' THEN 'eJwry0wtVyhIrMzJT0wBAB8OBMY='
+                  WHEN 'purchase' THEN 'eJwrKC1KzkgsTlUoSKzMyU9MAQA3GgZm'
+                  WHEN 'signup' THEN 'eJwrzkzPKy1QKEiszMlPTAEAKpMFoQ=='
+                  ELSE 'eJxLLSrKL1IoSKzMyU9MAQAkmgU1' END AS zc,
+                event_type || ' payload' AS zrt,
+                event_type || ' payload' AS grt,
+                event_type || ' payload' AS zg,
+                event_type || ' payload' AS gg,
+                CAST(NULL AS VARCHAR) AS bad,
+                CAST(NULL AS VARCHAR) AS bad2
+         FROM events WHERE event_id % 101 = 0 ORDER BY event_id""",
 
     // agg ring 15 oracle: population/conditional forms; take_anyif =
     // MIN over the passing rows (the take_any pinning); the hll gate
