@@ -91,6 +91,14 @@ object CountMinOps {
     val root = m.readTree(s)
     val b = empty()
     if (root == null || !root.isObject) return b
+    // A sketch built with different parameters is NOT mergeable with
+    // this family (row hashes disagree) — reject loudly rather than
+    // silently misreading counts.
+    val d = root.path("d").asInt(Depth)
+    val w = root.path("w").asInt(Width)
+    if (d != Depth || w != Width)
+      throw new IllegalArgumentException(
+        s"count-min sketch parameter mismatch: expected d=$Depth w=$Width, got d=$d w=$w")
     b.n = root.path("n").asLong(0L)
     val r = root.path("r")
     var j = 0
@@ -134,6 +142,12 @@ case class CmSketchAgg(
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = StringType
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cm_sketch expects a string column, got ${child.dataType}")
   override def createAggregationBuffer(): Buf = empty()
   override def update(b: Buf, row: InternalRow): Buf = {
     val v = child.eval(row)
@@ -160,6 +174,12 @@ case class CmMergeAgg(
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = StringType
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cm_merge expects a sketch string column, got ${child.dataType}")
   override def createAggregationBuffer(): Buf = empty()
   override def update(b: Buf, row: InternalRow): Buf = {
     val v = child.eval(row)

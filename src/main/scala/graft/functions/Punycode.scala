@@ -110,14 +110,27 @@ object Punycode extends Serializable {
         val digit = digitVal(input.charAt(pos))
         pos += 1
         if (digit < 0) throw new IllegalArgumentException("bad punycode digit")
-        i += digit * w
-        val t = if (k <= bias) TMin else if (k >= bias + TMax) TMax else k - bias
-        if (digit < t) done = true
-        else { w *= Base - t; k += Base }
+        // RFC 3492 §6.4 overflow guards: a crafted/long label must fail
+        // loudly (→ SQL null via the bridge), not wrap Int into a
+        // wrong-but-valid string.
+        try {
+          i = Math.addExact(i, Math.multiplyExact(digit, w))
+          val t = if (k <= bias) TMin else if (k >= bias + TMax) TMax else k - bias
+          if (digit < t) done = true
+          else { w = Math.multiplyExact(w, Base - t); k += Base }
+        } catch {
+          case _: ArithmeticException =>
+            throw new IllegalArgumentException("punycode overflow")
+        }
       }
       numPoints += 1
       bias = adapt(i - oldi, numPoints, oldi == 0)
-      n += i / numPoints
+      n = try Math.addExact(n, i / numPoints) catch {
+        case _: ArithmeticException =>
+          throw new IllegalArgumentException("punycode overflow")
+      }
+      if (n > Character.MAX_CODE_POINT)
+        throw new IllegalArgumentException("punycode overflow: code point out of range")
       i %= numPoints
       out.insert(charIndexOfCodePointIndex(out, i), Character.toChars(n))
       i += 1

@@ -250,6 +250,21 @@ object KqlCompiler {
       val whereB = if (peekIs("where")) { expect("where"); Some(expr()) } else None
       expect("project")
       val projs = sepBy1(() => { val n = ident(); expect("="); (n, expr()) })
+      // ---- frontier-BFS fast path for shortest-paths over a single
+      // variable-length hop starting at length 1: chain enumeration's
+      // intermediate cardinality is the number of WALKS (degree^k
+      // through hub nodes); BFS settles each endpoint pair at its first
+      // round, so intermediates are bounded by min-length paths. Falls
+      // back to chains (None) when a where conjunct touches the edge
+      // alias — there min length depends on path content. ----
+      if (shortest.isDefined && hops.length == 1 && hops.head.range.exists(_._1 == 1)) {
+        val h = hops.head
+        bfsShortestPaths(g, n0, h.to, h.edgeAlias, h.forward,
+            h.range.get._2, whereB, projs, shortest.get) match {
+          case Some(out) => return out
+          case None => ()
+        }
+      }
       // ---- lowering ----
       val nodeAliases: Seq[String] = n0 +: hops.map(_.to).toSeq
       val lengthChoices: Seq[Seq[Int]] =
@@ -343,6 +358,192 @@ object KqlCompiler {
           winnowed.select(projs.map { case (n, _) => col(n) }: _*)
       }
     }
+
+    /** Frontier-BFS lowering for `graph-shortest-paths (a)-[e*1..k]->(b)`
+      * (single variable-length hop). Iterates k rounds of ONE
+      * edges⋈frontier hash equi-join each, settling every (source,
+      * node) pair at the first round that reaches it — the q41/PageRank
+      * loop discipline (localCheckpoint per round cuts lineage, driver
+      * sees only an emptiness probe). Intermediate cardinality is
+      * bounded by minimum-length paths (output=any: by endpoint PAIRS),
+      * never by walks, so hub-heavy graphs at 100× scale stay linear in
+      * reachable pairs per round.
+      *
+      * The where clause splits into Catalyst conjuncts: source-only
+      * conjuncts prefilter the BFS sources (a pinned single source runs
+      * ONE BFS, not |V|); endpoint conjuncts are constant per (src,dst)
+      * pair, so applying them after the settle is identical to the
+      * chain lowering's filter-before-winnow; a conjunct referencing
+      * the edge alias makes minimum length depend on path content —
+      * those return None and ride the chain lowering unchanged.
+      *
+      * output=any pins the per-hop (src, dst, edge-JSON) lexicographic
+      * minimum path. The per-round greedy minimum per (src, node) is
+      * the global minimum because every hop contributes a fixed-width
+      * triple, making the array ordering prefix-decomposable: the best
+      * full path through a node always extends that node's best prefix. */
+    private def bfsShortestPaths(
+        g: GraphCtx, aAlias: String, bAlias: String, eAlias: String,
+        forward: Boolean, maxHops: Int,
+        whereB: Option[ColB], projs: List[(String, ColB)],
+        mode: String): Option[DataFrame] = {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Expression => CExpr}
+      import org.apache.spark.sql.GraftColumnBridge
+      def withBinds[A](bs: Map[String, Column])(body: => A): A = {
+        val saved = elemBinds
+        elemBinds = elemBinds ++ bs
+        try body finally elemBinds = saved
+      }
+      val nCols = g.nodes.columns.toSeq
+      val eCols = g.edges.columns.toSeq
+      // probe df binding the three aliases with their REAL types, so the
+      // builder's type-directed paths (native struct vs dynamic JSON)
+      // choose exactly as they will at execution; plan/schema only,
+      // never executed.
+      val probe = g.nodes
+        .select(struct(nCols.map(g.nodes(_)): _*).as("__bfs_ca"),
+                struct(nCols.map(g.nodes(_)): _*).as("__bfs_cb"))
+        .limit(1)
+        .crossJoin(g.edges
+          .select(array(struct(eCols.map(g.edges(_)): _*)).as("__bfs_ce"))
+          .limit(1))
+      def conjuncts(e: CExpr): Seq[CExpr] = e match {
+        case And(l, r) => conjuncts(l) ++ conjuncts(r)
+        case other => Seq(other)
+      }
+      def refNames(e: CExpr): Set[String] = e.collect {
+        case a: AttributeReference => Seq(a.name)
+        case u: UnresolvedAttribute => u.nameParts.take(1)
+      }.flatten.toSet
+      val markers = Set("__bfs_ca", "__bfs_cb", "__bfs_ce")
+      val classified: Option[(Seq[CExpr], Seq[CExpr])] = whereB match {
+        case None => Some((Nil, Nil))
+        case Some(w) =>
+          try {
+            val cond = withBinds(Map(
+                aAlias -> probe("__bfs_ca"), bAlias -> probe("__bfs_cb"),
+                eAlias -> probe("__bfs_ce"))) {
+              GraftColumnBridge.catalystExpression(w(probe))
+            }
+            val cs = conjuncts(cond)
+            val refs = cs.map(refNames)
+            if (refs.exists(r => r.contains("__bfs_ce") || !r.subsetOf(markers))) None
+            else {
+              val (aOnly, withB) = cs.zip(refs)
+                .partition { case (_, r) => !r.contains("__bfs_cb") }
+              Some((aOnly.map(_._1), withB.map(_._1)))
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+      }
+      classified.map { case (aConj, pairConj) =>
+        def rehost(e: CExpr, m: Map[String, Column]): Column =
+          GraftColumnBridge.column(e.transform {
+            case a: AttributeReference if m.contains(a.name) =>
+              GraftColumnBridge.catalystExpression(m(a.name))
+            case u: UnresolvedAttribute
+                if u.nameParts.length == 1 && m.contains(u.nameParts.head) =>
+              GraftColumnBridge.catalystExpression(m(u.nameParts.head))
+          })
+        // the edge view feeds one join per round and the node view two
+        // scans (sources + endpoint bind) — persist both for the loop,
+        // the standard iterative-graph discipline (PageRank/q41 shape;
+        // MEMORY_AND_DISK spills rather than recomputing the upstream
+        // plan k times at 100 TB)
+        val edges = {
+          val (inC, outC) = if (forward) (g.srcCol, g.dstCol) else (g.dstCol, g.srcCol)
+          g.edges.select(
+            struct(eCols.map(g.edges(_)): _*).as("__bfs_edge"),
+            g.edges(inC).as("__bfs_in"),
+            g.edges(outC).as("__bfs_out"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        }
+        val nodes = g.nodes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // a frontier/settled side known (from the round's count) to be
+        // small broadcasts — the single-source BFS never shuffles the
+        // full edge table into new partitionings per round
+        val BcastRows = 100000L
+        def maybeBcast(d: DataFrame, n: Long): DataFrame =
+          if (n <= BcastRows) broadcast(d) else d
+        val src0 = nodes.select(
+          nodes(g.idCol).as("__bfs_src"),
+          struct(nCols.map(nodes(_)): _*).as("__bfs_a"))
+        val sources = aConj.foldLeft(src0)((d, c) =>
+          d.filter(rehost(c, Map("__bfs_ca" -> d("__bfs_a")))))
+        def dedupAny(f: DataFrame): DataFrame =
+          if (mode != "any") f
+          else {
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("__bfs_src"), col("__bfs_cur"))
+              .orderBy(col("__bfs_sig").asc)
+            f.withColumn("__bfs_rn", row_number().over(w))
+              .where(col("__bfs_rn") === 1).drop("__bfs_rn")
+          }
+        val srcCnt = sources.count() // materializes the node cache too
+        val sSide = maybeBcast(sources, srcCnt)
+        var frontier = dedupAny(
+          sSide.join(edges, sSide("__bfs_src") === edges("__bfs_in"))
+            .select(sSide("__bfs_src"), sSide("__bfs_a"),
+              edges("__bfs_out").as("__bfs_cur"),
+              array(edges("__bfs_edge")).as("__bfs_path"),
+              array(sSide("__bfs_src").cast("string"),
+                    edges("__bfs_out").cast("string"),
+                    to_json(edges("__bfs_edge"))).as("__bfs_sig")))
+          .localCheckpoint()
+        var frontierCnt = frontier.count()
+        var settled = frontier.select(col("__bfs_src"), col("__bfs_cur"))
+          .distinct().localCheckpoint()
+        var settledCnt = frontierCnt // upper bound; exact enough for the hint
+        val perLevel = scala.collection.mutable.Buffer[DataFrame](frontier)
+        var reachedCnt = frontierCnt
+        var lvl = 1
+        while (lvl < maxHops && frontierCnt > 0) {
+          val fSide = maybeBcast(frontier, frontierCnt)
+          val ext = fSide.join(edges, fSide("__bfs_cur") === edges("__bfs_in"))
+            .select(fSide("__bfs_src"), fSide("__bfs_a"),
+              edges("__bfs_out").as("__bfs_cur"),
+              concat(fSide("__bfs_path"), array(edges("__bfs_edge"))).as("__bfs_path"),
+              concat(fSide("__bfs_sig"),
+                array(fSide("__bfs_cur").cast("string"),
+                      edges("__bfs_out").cast("string"),
+                      to_json(edges("__bfs_edge")))).as("__bfs_sig"))
+          val fresh = dedupAny(
+            ext.join(maybeBcast(settled, settledCnt),
+              Seq("__bfs_src", "__bfs_cur"), "left_anti"))
+            .localCheckpoint()
+          frontierCnt = fresh.count()
+          settled = settled
+            .union(fresh.select(col("__bfs_src"), col("__bfs_cur")))
+            .localCheckpoint()
+          settledCnt += frontierCnt
+          reachedCnt += frontierCnt
+          perLevel += fresh
+          frontier = fresh
+          lvl += 1
+        }
+        val reached = perLevel.reduce(_ unionByName _)
+        val nodesB = nodes.select(
+          nodes(g.idCol).as("__bfs_bid"),
+          struct(nCols.map(nodes(_)): _*).as("__bfs_b"))
+        var out = maybeBcast(reached, reachedCnt)
+          .join(nodesB, reached("__bfs_cur") === nodesB("__bfs_bid"))
+        // repeated endpoint alias (a)-[e*…]->(a): same-node constraint
+        if (aAlias == bAlias)
+          out = out.filter(col("__bfs_src") === col("__bfs_bid"))
+        out = pairConj.foldLeft(out)((d, c) =>
+          d.filter(rehost(c, Map(
+            "__bfs_ca" -> d("__bfs_a"), "__bfs_cb" -> d("__bfs_b")))))
+        val binds: Map[String, Column] =
+          (if (aAlias == bAlias) Map(aAlias -> col("__bfs_a"))
+           else Map(aAlias -> col("__bfs_a"), bAlias -> col("__bfs_b"))) +
+          (eAlias -> col("__bfs_path"))
+        val fin = out
+        withBinds(binds) {
+          fin.select(projs.map { case (n, e) => e(fin).as(n) }: _*)
+        }
+      }
+    }
+
     /** Element bindings for mv-apply's sub-pipeline: while a lambda body
       * is being BUILT (plan time — Spark's HOF wrappers invoke the
       * Scala function once, synchronously, with the lambda variable),
@@ -4886,7 +5087,10 @@ object KqlCompiler {
         // suffix is absent, null when the shape is not IPv4[/nn]
         case "ipv4_netmask_suffix" => arity(1); df => {
           val s = args.head(df)
-          val valid = s.rlike("^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}(/\\d{1,2})?$")
+          // octets bounded 0-255 and suffix 0-32, like Kusto — '300.1.2.3'
+          // and '/99' are null, not pass-through
+          val oct = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+          val valid = s.rlike(s"^$oct(\\.$oct){3}(/(3[0-2]|[12]?[0-9]))?$$")
           when(valid && s.contains("/"), split(s, "/").getItem(1).cast("long"))
             .when(valid, lit(32L))
         }

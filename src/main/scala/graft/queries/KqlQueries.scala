@@ -31,6 +31,13 @@ import graft.kql.Kql._
   */
 object KqlQueries extends QueryModule {
 
+  /** q187's derived-CSV fixture lives in a per-JVM temp directory so two
+    * concurrent bench/test invocations on one machine never race on a
+    * shared /tmp path (each process overwrites only its own copy). */
+  private lazy val externaldataFixtureDir: String =
+    java.nio.file.Files.createTempDirectory("graft_externaldata_fixture_")
+      .toFile.getAbsolutePath
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_count" -> ((s, dir) => Tables.events(s, dir).kqlCount("cnt")),
 
@@ -1375,7 +1382,7 @@ object KqlQueries extends QueryModule {
     // operator — schema binding, header skip, type parsing (long/real/
     // bool/datetime), aggregation downstream.
     "q187_kql_text_externaldata" -> ((s, dir) => {
-      val fix = "/tmp/graft_externaldata_fixture"
+      val fix = externaldataFixtureDir
       s.range(100).selectExpr(
           "id",
           "concat('n', id % 7) AS name",

@@ -2707,7 +2707,7 @@ object LlmQueries extends QueryModule {
     quality AS (
       SELECT *,
              (size(ws) >= 5 AND
-              size(array_distinct(ws)) >= cast(0.2 * size(ws) AS int)) AS keep_quality
+              size(array_distinct(ws)) * 5 >= size(ws)) AS keep_quality
       FROM dedup),
     g AS (
       SELECT doc_id, array_distinct(transform(sequence(0, size(ws) - 3),
@@ -2753,7 +2753,7 @@ object LlmQueries extends QueryModule {
     quality AS (
       SELECT *,
              (len(ws) >= 5 AND
-              len(list_distinct(ws)) >= CAST(0.2 * len(ws) AS INT)) AS keep_quality
+              len(list_distinct(ws)) * 5 >= len(ws)) AS keep_quality
       FROM dedup),
     g AS (
       SELECT doc_id, list_distinct(list_transform(range(len(ws) - 2),

@@ -1568,6 +1568,45 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(("b", 1L), ("c", 1L), ("d", 2L), ("e", 1L), ("f", 2L)))
   }
 
+  test("graph-shortest-paths: BFS lowering handles ranges beyond the chain cap, cycles, edge-filter fallback") {
+    // a 40-node chain with a *1..40 range: the chain lowering would blow
+    // the 32-chain cap — only the frontier-BFS path can run this.
+    // Also: early-exit (frontier dries up at hop 39).
+    val chainEdges = (0 until 39).map(i => s"'n${"%02d".format(i)}', 'n${"%02d".format(i + 1)}'").mkString(", ")
+    val longG =
+      s"""let E = datatable(src: string, dst: string)[$chainEdges];
+         | E | make-graph src --> dst
+         | | graph-shortest-paths (s)-[e*1..40]->(t)
+         |   where s.node_id == 'n00'
+         |   project t = t.node_id, hops = array_length(e)
+         | | summarize n = count(), mx = max(hops)
+         |""".stripMargin
+    val out = runG2(longG).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((39L, 39L)))
+    // cycle pattern (s)-[e*1..4]->(s): min cycle length back to self
+    val cyc = runG2(
+      """let E = datatable(src: string, dst: string)[
+        |  'a', 'b', 'b', 'c', 'c', 'a', 'a', 'x'];
+        | E | make-graph src --> dst
+        | | graph-shortest-paths (s)-[e*1..4]->(s)
+        |   where s.node_id == 'a'
+        |   project s = s.node_id, hops = array_length(e)
+        |""".stripMargin).collect()
+    assert(cyc.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("a", 3L)))
+    // a where conjunct on the EDGE alias must ride the chain lowering
+    // (min length depends on path content): heavy edges only — the
+    // 1-hop a→d light edge is filtered out, the 2-hop heavy route wins
+    val eFil = runG2(
+      """let E = datatable(src: string, dst: string, w: long)[
+        |  'a', 'd', 1, 'a', 'b', 5, 'b', 'd', 5];
+        | E | make-graph src --> dst
+        | | graph-shortest-paths (s)-[e*1..4]->(t)
+        |   where s.node_id == 'a' and t.node_id == 'd' and e[0].w > 2
+        |   project hops = array_length(e)
+        |""".stripMargin).collect()
+    assert(eFil.map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("graph-mark-components: weak components, min-id label, isolated nodes") {
     // two chains (a-b-c, d-e) + isolated node z (in the nodes table only)
     val out = runG2(
