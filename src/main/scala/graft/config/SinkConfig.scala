@@ -45,6 +45,19 @@ final case class SinkConfig(
     behaviorOnError: ErrorBehavior = ErrorBehavior.Fail,
     /** Dead-letter topic; None disables per-record retention + DLQ. */
     dlqTopic: Option[String] = None,
+    /** DLQ producer bootstrap servers (connector surface; the
+      * programmatic API may instead inject a DlqProducer factory).
+      * (reference: KustoSinkConfig.java:38,448-456) */
+    dlqBootstrapServers: Seq[String] = Nil,
+    /** Extra `misc.deadletterqueue.*` producer properties, prefix
+      * stripped — the security-prop passthrough (SASL/SSL settings ride
+      * to the DLQ producer untouched).
+      * (reference: KustoSinkConfig.java:45,464-472 getDlqProps) */
+    dlqPassthroughProps: Map[String, String] = Map.empty,
+    /** Opt-in startup table/mapping/permission validation (the
+      * reference's `kusto.validation.table.enable`, default false).
+      * (reference: KustoSinkConfig.java:44,327-336,483-485) */
+    enableTableValidation: Boolean = false,
     tempDir: String = System.getProperty("java.io.tmpdir")) {
 
   require(mappings.nonEmpty, "at least one topic→table mapping is required")
@@ -63,6 +76,16 @@ final case class SinkConfig(
   def maxRetryAttempts: Int = (maxRetryTimeMs / math.max(retryBackoffMs, 1L)).toInt + 1
 
   def dlqEnabled: Boolean = dlqTopic.exists(_.nonEmpty)
+
+  /** The DLQ producer's full property set: passthrough props, then the
+    * engine-forced keys — bootstrap servers and byte-array serializers
+    * win over any passthrough value, exactly the reference's
+    * getDlqProps layering (reference: KustoSinkConfig.java:464-472). */
+  def dlqProducerProps: Map[String, String] =
+    dlqPassthroughProps ++ Map(
+      "bootstrap.servers" -> dlqBootstrapServers.mkString(","),
+      "key.serializer" -> "org.apache.kafka.common.serialization.ByteArraySerializer",
+      "value.serializer" -> "org.apache.kafka.common.serialization.ByteArraySerializer")
 
   val router: MappingRouter = new MappingRouter(mappings)
 }
@@ -85,6 +108,28 @@ object SinkConfig {
       }.getOrElse(dflt)
     val mappingJson = props.getOrElse("kusto.tables.topics.mapping",
       throw new SinkConfigException("kusto.tables.topics.mapping is required"))
+    def bool(k: String, dflt: Boolean): Boolean =
+      props.get(k).map(_.trim.toLowerCase).map {
+        case "true" => true
+        case "false" => false
+        case v => throw new SinkConfigException(s"$k must be true or false, got '$v'")
+      }.getOrElse(dflt)
+    // the connector DLQ needs BOTH the topic and the bootstrap servers;
+    // configuring one without the other is a config error, not a silent
+    // half-enable (reference: KustoSinkConfig.java:437-446 isDlqEnabled)
+    val dlqTopicP = props.get("misc.deadletterqueue.topic.name").filter(_.nonEmpty)
+    val dlqServersP = props.get("misc.deadletterqueue.bootstrap.servers")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    if (dlqTopicP.isDefined != dlqServersP.nonEmpty)
+      throw new SinkConfigException(
+        "to enable the dead-letter queue configure both " +
+          "misc.deadletterqueue.bootstrap.servers and misc.deadletterqueue.topic.name")
+    val dlqReserved = Set("misc.deadletterqueue.topic.name",
+      "misc.deadletterqueue.bootstrap.servers")
+    val dlqPass = props.collect {
+      case (k, v) if k.startsWith("misc.deadletterqueue.") && !dlqReserved(k) =>
+        k.stripPrefix("misc.deadletterqueue.") -> v
+    }
     SinkConfig(
       mappings = TableMapping.parseList(mappingJson),
       ingestUrl = props.getOrElse("kusto.ingestion.url", ""),
@@ -94,7 +139,10 @@ object SinkConfig {
       maxRetryTimeMs = long("errors.retry.max.time.ms", DefaultMaxRetryTimeMs),
       retryBackoffMs = long("errors.retry.backoff.time.ms", DefaultRetryBackoffMs),
       behaviorOnError = ErrorBehavior.parse(props.getOrElse("behavior.on.error", "FAIL")),
-      dlqTopic = props.get("misc.deadletterqueue.topic.name").filter(_.nonEmpty),
+      dlqTopic = dlqTopicP,
+      dlqBootstrapServers = dlqServersP,
+      dlqPassthroughProps = dlqPass,
+      enableTableValidation = bool("kusto.validation.table.enable", dflt = false),
       tempDir = props.getOrElse("tempdir.path", System.getProperty("java.io.tmpdir")))
   }
 }

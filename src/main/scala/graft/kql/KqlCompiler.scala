@@ -1860,6 +1860,10 @@ object KqlCompiler {
             val keys = df.columns.filterNot(c => c == pcol || argCol.contains(c))
             val grouped = df.groupBy(keys.map(col): _*)
             val piv = outs.result() match {
+              // Kusto's default form: infer the column set. ONE bounded
+              // distinct job on the pivot column (spark.sql.pivotMaxValues
+              // caps it, loud error past that — the toscalar-class
+              // bounded driver read), values sorted → deterministic schema.
               case Nil => grouped.pivot(pcol)
               case vs => grouped.pivot(pcol, vs)
             }
@@ -2596,29 +2600,37 @@ object KqlCompiler {
             // with the augmented node table, exactly as in Kusto — follow
             // with graph-to-table nodes, or graph-match where the
             // component is a node property. Component id pinned to the
-            // MINIMUM node id in the component (take_any stance); the
-            // computation is the q41 machinery: alternating large-star/
-            // small-star contraction, O(log n) rounds on any graph shape,
-            // O(1) driver checksums only. kind=strong is a loud error
-            // (strongly connected components need a different algorithm).
+            // MINIMUM node id in the component (take_any stance).
+            // kind=weak: the q41 machinery — alternating large-star/
+            // small-star contraction, O(log n) rounds on any graph
+            // shape, O(1) driver checksums only. kind=strong:
+            // forward-backward anchor peeling (ops.StronglyConnected) —
+            // per round a trim pass plus two min-label fixpoints, every
+            // min-anchored SCC resolves simultaneously.
             expect("-"); expect("components")
             val g = pendingGraph.getOrElse(throw new KqlParseException(
               "graph-mark-components requires a preceding make-graph"))
             var compCol = "ComponentId"
+            var strong = false
             var more2 = true
             while (more2) {
               if (peekIs("kind")) {
                 expect("kind"); expect("=")
                 val k = ident()
-                if (k != "weak") throw new KqlParseException(
-                  s"graph-mark-components supports kind=weak only, got '$k'")
+                if (k != "weak" && k != "strong") throw new KqlParseException(
+                  s"graph-mark-components kind must be weak or strong, got '$k'")
+                strong = k == "strong"
               } else if (peekIs("with_component_id")) {
                 expect("with_component_id"); expect("="); compCol = ident()
               } else more2 = false
             }
             val pairs = g.edges.select(col(g.srcCol), col(g.dstCol))
-            val comp = graft.queries.LlmQueries.connectedComponents(pairs)
-              .select(col("doc_id").as("__gmc_id"), col("cluster_rep").as(compCol))
+            val comp =
+              if (strong)
+                graft.ops.StronglyConnected.components(pairs)
+                  .select(col("node").as("__gmc_id"), col("comp").as(compCol))
+              else graft.queries.LlmQueries.connectedComponents(pairs)
+                .select(col("doc_id").as("__gmc_id"), col("cluster_rep").as(compCol))
             val marked = g.nodes
               .join(comp, g.nodes(g.idCol) === col("__gmc_id"), "left")
               .withColumn(compCol, coalesce(col(compCol), g.nodes(g.idCol)))

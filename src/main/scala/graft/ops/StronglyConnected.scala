@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.storage.StorageLevel
+
+/** Strongly connected components — `graph-mark-components kind=strong`.
+  *
+  * Forward-backward anchor peeling (the FW-BW coloring family —
+  * Salihoglu & Widom, VLDB 2014; GraphX ships the same shape): each
+  * round
+  *
+  *  1. TRIM: nodes with no in-edges or no out-edges inside the active
+  *     subgraph are singleton SCCs — assign and drop them (one degree
+  *     aggregate; cascades resolve across rounds);
+  *  2. LABEL: propagate min-ancestor labels over forward and over
+  *     reversed edges to fixpoint — per iteration ONE edges⋈labels
+  *     hash join + min aggregate, diameter-bounded, localCheckpoint
+  *     cuts lineage (the PageRank/q41 loop discipline);
+  *  3. PEEL: a node whose forward and backward labels AGREE on anchor
+  *     m satisfies m ⇝ v and v ⇝ m, so it lies in SCC(m); assign all
+  *     agreeing nodes (every min-anchored SCC resolves simultaneously)
+  *     and remove them.
+  *
+  * The minimum active id is always its own anchor, so every round
+  * assigns at least one SCC — termination is guaranteed; rounds are
+  * bounded by the condensation's anchor-chain depth (short on real
+  * graphs; a loud 64-round cap catches the adversarial long-chain DAG
+  * rather than running unbounded). Component id is pinned to the
+  * MINIMUM node id in the component — the same deterministic stance as
+  * the weak variant. Driver state is loop control only; labels and
+  * assignments live in DataFrames.
+  */
+object StronglyConnected {
+
+  private val MaxRounds = 64
+
+  /** edges: first two columns are (src, dst); any id type with an
+    * ordering. Returns (node, comp) covering every edge endpoint —
+    * isolated nodes are the caller's concern (as in the weak variant). */
+  def components(edges: DataFrame): DataFrame = {
+    val Seq(sc, dc) = edges.columns.toSeq.take(2)
+    val e0 = edges.select(F.col(sc).as("src"), F.col(dc).as("dst"))
+      .where(F.col("src").isNotNull && F.col("dst").isNotNull)
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var active = e0.select(F.col("src").as("node"))
+      .union(e0.select(F.col("dst").as("node")))
+      .distinct().localCheckpoint()
+    var eAct = e0
+    val parts = scala.collection.mutable.Buffer.empty[DataFrame]
+    var round = 0
+    while (active.count() > 0) {
+      round += 1
+      if (round > MaxRounds)
+        throw new IllegalStateException(
+          s"strongly-connected components did not converge in $MaxRounds rounds " +
+            "(condensation chain deeper than the cap); consider kind=weak or " +
+            "pre-condensing the graph")
+      // 1. trim: no in-edges or no out-edges inside the active set →
+      // singleton SCC
+      val hasIn = eAct.select(F.col("dst").as("node")).distinct()
+      val hasOut = eAct.select(F.col("src").as("node")).distinct()
+      val trimmed = active
+        .join(hasIn, Seq("node"), "left_anti")
+        .union(active.join(hasOut, Seq("node"), "left_anti"))
+        .distinct()
+        .select(F.col("node"), F.col("node").as("comp"))
+        .localCheckpoint()
+      parts += trimmed
+      active = active.join(trimmed.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint()
+      eAct = eAct
+        .join(active.select(F.col("node").as("src")), Seq("src"), "left_semi")
+        .join(active.select(F.col("node").as("dst")), Seq("dst"), "left_semi")
+        .localCheckpoint()
+      // 2-3. min-anchor labels both ways; agreeing nodes peel as SCCs
+      val fwd = minAncestor(eAct, active, forward = true, out = "lbl_f")
+      val bwd = minAncestor(eAct, active, forward = false, out = "lbl_b")
+      val scc = fwd.join(bwd, Seq("node"))
+        .where(F.col("lbl_f") === F.col("lbl_b"))
+        .select(F.col("node"), F.col("lbl_f").as("comp"))
+        .localCheckpoint()
+      parts += scc
+      active = active.join(scc.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint()
+      eAct = eAct
+        .join(active.select(F.col("node").as("src")), Seq("src"), "left_semi")
+        .join(active.select(F.col("node").as("dst")), Seq("dst"), "left_semi")
+        .localCheckpoint()
+    }
+    e0.unpersist()
+    parts.reduce(_ union _)
+  }
+
+  /** lbl(v) = min id over {v} ∪ {u : u ⇝ v} (ancestors via `forward`
+    * edges; via reversed edges this is the min-descendant label).
+    * Fixpoint iteration, one join + min-agg per step. */
+  private def minAncestor(
+      e: DataFrame, nodes: DataFrame, forward: Boolean, out: String): DataFrame = {
+    val (from, to) = if (forward) ("src", "dst") else ("dst", "src")
+    var lbl = nodes.select(F.col("node"), F.col("node").as(out)).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val inc = e.select(F.col(from).as("u"), F.col(to).as("node"))
+        .join(lbl.select(F.col("node").as("u"), F.col(out).as("ulbl")), Seq("u"))
+        .groupBy("node").agg(F.min("ulbl").as("minin"))
+      val next = lbl.join(inc, Seq("node"), "left")
+        .select(F.col("node"),
+          F.least(F.col(out), F.coalesce(F.col("minin"), F.col(out))).as(out),
+          (F.coalesce(F.col("minin"), F.col(out)) < F.col(out)).as("__chg"))
+        .localCheckpoint()
+      changed = next.where(F.col("__chg")).count()
+      lbl = next.drop("__chg")
+    }
+    lbl
+  }
+}

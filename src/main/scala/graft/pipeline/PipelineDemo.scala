@@ -33,6 +33,7 @@ object PipelineDemo {
         TableMapping("telemetry", "demo_db", "telemetry_table", streaming = true),
         TableMapping("*", "demo_db", "catchall")),
       flushSizeBytes = 256, flushIntervalMs = 0,
+      enableTableValidation = true, // opt in to the startup metadata probes
       tempDir = Files.createTempDirectory("demo-stage").toString)
 
     // V1 startup validation before any stream starts (fail-fast)

@@ -33,6 +33,12 @@ object Preflight {
     * defeating the mode the mapping asked for. Caught at startup. */
   val StreamingMaxFlushBytes: Long = 4L * 1024 * 1024
 
+  /** Config-local checks (flush cap, Avro schema parse) ALWAYS run —
+    * they need no cluster round trip. The metadata probes (table /
+    * mapping / permission / streaming policy) run only when the config
+    * opts in via `kusto.validation.table.enable`, the reference's
+    * default-off stance (KustoSinkTask.java:345-355: probes gated on
+    * getEnableTableValidation()). */
   def validate(config: SinkConfig, client: MetadataClient): Unit = {
     val flushErrors =
       if (config.flushSizeBytes > StreamingMaxFlushBytes)
@@ -40,9 +46,23 @@ object Preflight {
           s"flushSizeBytes ${config.flushSizeBytes} exceeds the 4 MB streaming ingestion cap " +
             s"(topic '${m.topic}' → ${m.db}.${m.table} requests streaming)")
       else Nil
-    val errors = flushErrors ++ config.mappings.flatMap(validateMapping(_, client))
+    val schemaErrors = config.mappings.flatMap(schemaCheck)
+    val metaErrors =
+      if (config.enableTableValidation)
+        config.mappings.flatMap(validateMapping(_, client))
+      else Nil
+    val errors = flushErrors ++ schemaErrors ++ metaErrors
     if (errors.nonEmpty) throw new PreflightException(errors)
   }
+
+  /** A malformed Avro value schema must fail at startup, not mid-stream. */
+  private def schemaCheck(m: TableMapping): Option[String] =
+    m.valueSchema.flatMap { json =>
+      try { new org.apache.avro.Schema.Parser().parse(json); None }
+      catch { case e: Exception =>
+        Some(s"valueSchema for topic '${m.topic}' is not a valid Avro schema: ${e.getMessage}")
+      }
+    }
 
   private def validateMapping(m: TableMapping, client: MetadataClient): Seq[String] = {
     val id = s"${m.db}.${m.table}"
@@ -60,13 +80,6 @@ object Preflight {
       if (m.streaming && !client.streamingPolicyEnabled(m.db, m.table))
         Some(s"streaming ingestion policy is not enabled on $id but mapping for topic '${m.topic}' requests streaming")
       else None
-    // a malformed Avro value schema must fail at startup, not mid-stream
-    val schemaErr = m.valueSchema.flatMap { json =>
-      try { new org.apache.avro.Schema.Parser().parse(json); None }
-      catch { case e: Exception =>
-        Some(s"valueSchema for topic '${m.topic}' is not a valid Avro schema: ${e.getMessage}")
-      }
-    }
-    mappingErr.toSeq ++ permErr ++ streamErr ++ schemaErr
+    mappingErr.toSeq ++ permErr ++ streamErr
   }
 }

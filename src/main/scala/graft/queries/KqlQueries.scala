@@ -359,6 +359,22 @@ object KqlQueries extends QueryModule {
           | | order by b asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // evaluate pivot WITHOUT explicit output columns — Kusto's default
+    // form infers the column set from the data. Lowers to Spark's
+    // bounded inference: ONE distinct job on the pivot column (capped
+    // by spark.sql.pivotMaxValues, loud error past it — the
+    // toscalar-class bounded driver read), values sorted so the output
+    // schema is deterministic. The oracle names the known fixture
+    // values; the engine must DISCOVER them.
+    "q204_kql_text_pivot_inferred" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | extend b = tolong(value / 25)
+          | | project b, event_type
+          | | evaluate pivot(event_type, count())
+          | | order by b asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // evaluate funnel — the ops.Funnel sequence matcher from KQL text
     // (the funnel_sequence_completion plugin shape).
     "q88_kql_text_funnel" -> ((s, dir) =>
@@ -1932,6 +1948,18 @@ object KqlQueries extends QueryModule {
                 round(sum(CASE WHEN event_type = 'signup' THEN value END), 6) AS signup,
                 round(sum(CASE WHEN event_type = 'error' THEN value END), 6) AS error,
                 round(sum(CASE WHEN event_type = 'view' THEN value END), 6) AS view
+         FROM base GROUP BY b ORDER BY b""",
+
+    // the oracle enumerates the fixture's event types; the engine infers
+    // them (absent (b, type) combos are NULL on both sides)
+    "q204_kql_text_pivot_inferred" ->
+      """WITH base AS (SELECT floor(value / 25)::BIGINT AS b, event_type FROM events)
+         SELECT b,
+                CAST(sum(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+                CAST(sum(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+                CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+                CAST(sum(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+                CAST(sum(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
          FROM base GROUP BY b ORDER BY b""",
 
     "q88_kql_text_funnel" ->

@@ -2787,6 +2787,120 @@ object LlmQueries extends QueryModule {
            CAST(sum(CASE WHEN in_corpus AND keep_dedup AND keep_quality AND keep_clean AND split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
     FROM flags GROUP BY source ORDER BY source"""
 
+  /** q205 — HTML boilerplate extraction (the trafilatura/jusText class):
+    * the FIRST stage of every real web-corpus pipeline — strip markup,
+    * drop chrome (nav/footer/ads), keep main-content blocks. Pinned
+    * deterministic ring (documented, engine-stable):
+    *  1. remove script/style elements and their content
+    *     (`(?is)<(script|style)[^>]*>.*?</(script|style)>`);
+    *  2. split on block-level tags (p, div, h1-h6, li, ul, ol, table,
+    *     tr, td, br, nav, header, footer, section, article, aside,
+    *     blockquote);
+    *  3. per block: text = inline tags → space, whitespace collapsed,
+    *     trimmed, basic entities (&amp; &lt; &gt;) decoded; link text =
+    *     concatenated <a>…</a> contents;
+    *  4. keep a block iff text length ≥ 25 AND link density ≤ 1/3
+    *     (integer form 3·linklen ≤ textlen — the jusText-style
+    *     short/link-heavy heuristic that kills nav bars, ad strips and
+    *     footers);
+    *  5. main text = kept blocks joined by newline, in document order.
+    *
+    * All array-lambda + regex column functions — per-row map-only work,
+    * zero UDFs, zero shuffles beyond the final order: the 100 TB shape
+    * (extraction cost scales with bytes scanned, embarrassingly
+    * parallel). The HTML is DERIVED from documents.text (the fixture
+    * carries no markup): each doc wraps into a page with nav/ads/footer
+    * chrome and per-doc link-density variation, so the oracle can build
+    * the identical page and the gate checks the full ring — tag
+    * stripping, block split, density decisions, reassembly order. */
+  private val htmlExtractSql = """
+    WITH h AS (
+      SELECT doc_id, source,
+             concat(
+               '<html><head><title>d</title><style>p{margin:0}</style>',
+               '<script>var t=1;</script></head><body>',
+               '<nav><a href="/">Home</a> <a href="/a">About</a> <a href="/b">Blog</a></nav>',
+               '<h1>', substr(text, 1, 40), '</h1>',
+               '<p>', substr(text, 41, 300), '</p>',
+               '<p>', substr(text, 341, 300),
+               CASE WHEN doc_id % 3 = 0
+                    THEN ' <a href="/x">read more</a> <a href="/y">related</a>'
+                    ELSE '' END, '</p>',
+               '<div><a href="/buy">Buy now</a> <a href="/c">cheap deals</a> go</div>',
+               '<footer>(c) 2024 <a href="/p">Privacy</a></footer></body></html>') AS html
+      FROM documents WHERE doc_id % 7 = 0),
+    c AS (
+      SELECT doc_id, source,
+             regexp_replace(html, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ') AS ch
+      FROM h),
+    b AS (
+      SELECT doc_id, source,
+             filter(
+               split(ch, '(?i)</?(p|div|h[1-6]|li|ul|ol|table|tr|td|br|nav|header|footer|section|article|aside|blockquote)[^>]*>'),
+               x -> length(trim(x)) > 0) AS cand
+      FROM c),
+    k AS (
+      SELECT doc_id, source, size(cand) AS n_blocks,
+             filter(cand, x ->
+               length(replace(replace(replace(trim(regexp_replace(regexp_replace(x, '<[^>]*>', ' '), '\\s+', ' ')), '&amp;', '&'), '&lt;', '<'), '&gt;', '>')) >= 25
+               AND 3 * length(array_join(regexp_extract_all(x, '<a[^>]*>(.*?)</a>', 1), ''))
+                   <= length(replace(replace(replace(trim(regexp_replace(regexp_replace(x, '<[^>]*>', ' '), '\\s+', ' ')), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'))) AS kept
+      FROM b),
+    m AS (
+      SELECT doc_id, source, n_blocks, size(kept) AS n_kept,
+             array_join(transform(kept, x ->
+               replace(replace(replace(trim(regexp_replace(regexp_replace(x, '<[^>]*>', ' '), '\\s+', ' ')), '&amp;', '&'), '&lt;', '<'), '&gt;', '>')), '\n') AS main
+      FROM k)
+    SELECT doc_id, source, CAST(n_blocks AS BIGINT) AS n_blocks,
+           CAST(n_kept AS BIGINT) AS n_kept,
+           CAST(length(main) AS BIGINT) AS main_len,
+           substr(main, 1, 60) AS prefix
+    FROM m ORDER BY doc_id"""
+
+  private val htmlExtractOracle = """
+    WITH h AS (
+      SELECT doc_id, source,
+             concat(
+               '<html><head><title>d</title><style>p{margin:0}</style>',
+               '<script>var t=1;</script></head><body>',
+               '<nav><a href="/">Home</a> <a href="/a">About</a> <a href="/b">Blog</a></nav>',
+               '<h1>', substr(text, 1, 40), '</h1>',
+               '<p>', substr(text, 41, 300), '</p>',
+               '<p>', substr(text, 341, 300),
+               CASE WHEN doc_id % 3 = 0
+                    THEN ' <a href="/x">read more</a> <a href="/y">related</a>'
+                    ELSE '' END, '</p>',
+               '<div><a href="/buy">Buy now</a> <a href="/c">cheap deals</a> go</div>',
+               '<footer>(c) 2024 <a href="/p">Privacy</a></footer></body></html>') AS html
+      FROM documents WHERE doc_id % 7 = 0),
+    c AS (
+      SELECT doc_id, source,
+             regexp_replace(html, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS ch
+      FROM h),
+    b AS (
+      SELECT doc_id, source,
+             list_filter(
+               regexp_split_to_array(ch, '(?i)</?(p|div|h[1-6]|li|ul|ol|table|tr|td|br|nav|header|footer|section|article|aside|blockquote)[^>]*>'),
+               x -> length(trim(x)) > 0) AS cand
+      FROM c),
+    k AS (
+      SELECT doc_id, source, len(cand) AS n_blocks,
+             list_filter(cand, x ->
+               length(replace(replace(replace(trim(regexp_replace(regexp_replace(x, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')), '&amp;', '&'), '&lt;', '<'), '&gt;', '>')) >= 25
+               AND 3 * coalesce(length(array_to_string(regexp_extract_all(x, '<a[^>]*>(.*?)</a>', 1), '')), 0)
+                   <= length(replace(replace(replace(trim(regexp_replace(regexp_replace(x, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'))) AS kept
+      FROM b),
+    m AS (
+      SELECT doc_id, source, n_blocks, len(kept) AS n_kept,
+             coalesce(array_to_string(list_transform(kept, x ->
+               replace(replace(replace(trim(regexp_replace(regexp_replace(x, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')), '&amp;', '&'), '&lt;', '<'), '&gt;', '>')), chr(10)), '') AS main
+      FROM k)
+    SELECT doc_id, source, CAST(n_blocks AS BIGINT) AS n_blocks,
+           CAST(n_kept AS BIGINT) AS n_kept,
+           CAST(length(main) AS BIGINT) AS main_len,
+           substr(main, 1, 60) AS prefix
+    FROM m ORDER BY doc_id"""
+
   /** q202 — INCREMENTAL snapshot dedup: dedupe a new batch against the
     * existing corpus index, never corpus×corpus — the operational
     * reality at 100 TB (daily deltas dedupe against yesterday's index;
@@ -4402,6 +4516,7 @@ object LlmQueries extends QueryModule {
     "q198_ranking_metrics" -> sqlQuery(embs, rankMetricsSql),
     "q199_label_propagation" -> (labelPropQuery(_, _)),
     "q200_pipeline_funnel" -> sqlQuery(docs, pipelineFunnelSql),
+    "q205_html_extract" -> sqlQuery(docs, htmlExtractSql),
     "q202_incremental_dedup" -> sqlQuery(docs, incrementalDedupSql))
 
   override val oracles: Map[String, String] = Map(
@@ -4476,5 +4591,6 @@ object LlmQueries extends QueryModule {
     "q198_ranking_metrics" -> rankMetricsOracle,
     "q199_label_propagation" -> labelPropOracle,
     "q200_pipeline_funnel" -> pipelineFunnelOracle,
+    "q205_html_extract" -> htmlExtractOracle,
     "q202_incremental_dedup" -> incrementalDedupOracle)
 }

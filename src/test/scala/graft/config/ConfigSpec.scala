@@ -112,12 +112,37 @@ class ConfigSpec extends AnyFunSuite {
       "errors.retry.max.time.ms" -> "60000",
       "errors.retry.backoff.time.ms" -> "5000",
       "behavior.on.error" -> "LOG",
-      "misc.deadletterqueue.topic.name" -> "dlq"))
+      "misc.deadletterqueue.topic.name" -> "dlq",
+      "misc.deadletterqueue.bootstrap.servers" -> "k1:9092, k2:9092",
+      "misc.deadletterqueue.security.protocol" -> "SASL_SSL",
+      "misc.deadletterqueue.sasl.mechanism" -> "PLAIN",
+      "kusto.validation.table.enable" -> "true"))
     assert(c.flushSizeBytes == 4096 && c.maxRetryAttempts == 13)
     assert(c.behaviorOnError == ErrorBehavior.Log && c.dlqEnabled)
+    assert(c.dlqBootstrapServers == Seq("k1:9092", "k2:9092"))
+    assert(c.enableTableValidation)
+    // security props ride to the DLQ producer; forced keys win
+    val p = c.dlqProducerProps
+    assert(p("security.protocol") == "SASL_SSL" && p("sasl.mechanism") == "PLAIN")
+    assert(p("bootstrap.servers") == "k1:9092,k2:9092")
+    assert(p("key.serializer").endsWith("ByteArraySerializer"))
     assertThrows[SinkConfigException](SinkConfig.fromProps(Map.empty))
     assertThrows[SinkConfigException](SinkConfig.fromProps(Map(
       "kusto.tables.topics.mapping" -> "[{'topic':'t','db':'d','table':'x'}]",
       "behavior.on.error" -> "EXPLODE")))
+  }
+
+  test("DLQ needs BOTH topic and bootstrap servers; validation flag must be boolean") {
+    val base = Map("kusto.tables.topics.mapping" -> "[{'topic':'t','db':'d','table':'x'}]")
+    // topic without servers / servers without topic: loud config error
+    assertThrows[SinkConfigException](SinkConfig.fromProps(
+      base + ("misc.deadletterqueue.topic.name" -> "dlq")))
+    assertThrows[SinkConfigException](SinkConfig.fromProps(
+      base + ("misc.deadletterqueue.bootstrap.servers" -> "k:9092")))
+    // neither: DLQ disabled, no error
+    assert(!SinkConfig.fromProps(base).dlqEnabled)
+    assert(!SinkConfig.fromProps(base).enableTableValidation) // default off
+    assertThrows[SinkConfigException](SinkConfig.fromProps(
+      base + ("kusto.validation.table.enable" -> "yes")))
   }
 }

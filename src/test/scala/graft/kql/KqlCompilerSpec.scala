@@ -897,6 +897,12 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
                     | evaluate pivot(name, count(), 'alpha', 'beta')
                     | order by parity asc""").collect()
     assert(pk.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    // Kusto's default form: column set INFERRED from the data (bounded
+    // distinct, sorted → deterministic schema)
+    val pi = run("""t | project name, value
+                    | evaluate pivot(name, sum(value))""").head()
+    assert(pi.schema.fieldNames.toSeq == Seq("alpha", "beta", "gamma"))
+    assert(pi.getDouble(0) == 105.0 && pi.getDouble(1) == 125.0 && pi.getDouble(2) == 20.0)
     // funnel: sequence matching over an ordered step list
     val ev = Seq(
       (1L, 10L, "a"), (1L, 20L, "b"), (2L, 10L, "b"), (2L, 20L, "a"))
@@ -1631,12 +1637,44 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
         | | order by y asc""".stripMargin).collect()
     assert(m.map(r => (r.getString(0), r.getString(1))).toSeq ==
       Seq(("b", "a"), ("b", "c")))
-    // strong components are a loud error
+    // only weak|strong are accepted
     assert(intercept[KqlParseException](runG2(
       """let E = datatable(src: string, dst: string)['a', 'b'];
-        | E | make-graph src --> dst | graph-mark-components kind=strong
+        | E | make-graph src --> dst | graph-mark-components kind=tangled
         | | graph-to-table nodes""".stripMargin))
-      .getMessage.contains("weak"))
+      .getMessage.contains("weak or strong"))
+  }
+
+  test("graph-mark-components kind=strong: SCCs, min-id label, DAG tails are singletons") {
+    // 3-cycle {a,b,c} → bridge → 2-cycle {d,e} → tail f; z isolated
+    val out = runG2(
+      """let E = datatable(src: string, dst: string)[
+        |  'a', 'b', 'b', 'c', 'c', 'a', 'c', 'd',
+        |  'd', 'e', 'e', 'd', 'e', 'f'];
+        | let N = datatable(id: string)['a', 'b', 'c', 'd', 'e', 'f', 'z'];
+        | E | make-graph src --> dst with N on id
+        | | graph-mark-components kind=strong with_component_id=comp
+        | | graph-to-table nodes
+        | | order by id asc""".stripMargin).collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(
+      ("a", "a"), ("b", "a"), ("c", "a"), ("d", "d"), ("e", "d"),
+      ("f", "f"), ("z", "z")))
+    // weak merges everything reachable; strong must not
+    val weak = runG2(
+      """let E = datatable(src: string, dst: string)[
+        |  'a', 'b', 'b', 'c', 'c', 'a', 'c', 'd', 'd', 'e', 'e', 'd', 'e', 'f'];
+        | E | make-graph src --> dst
+        | | graph-mark-components kind=weak with_component_id=comp
+        | | graph-to-table nodes | summarize n = dcount(comp)""".stripMargin).head()
+    assert(weak.getLong(0) == 1L)
+    // a pure DAG: every node is its own strong component
+    val dag = runG2(
+      """let E = datatable(src: string, dst: string)[
+        |  'p', 'q', 'q', 'r', 'p', 'r', 'r', 's'];
+        | E | make-graph src --> dst
+        | | graph-mark-components kind=strong with_component_id=comp
+        | | graph-to-table nodes | summarize n = dcount(comp)""".stripMargin).head()
+    assert(dag.getLong(0) == 4L)
   }
 
   test("graph-to-table and make-graph misuse are handled") {

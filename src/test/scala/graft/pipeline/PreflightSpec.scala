@@ -17,7 +17,20 @@ class PreflightSpec extends AnyFunSuite {
     def streamingPolicyEnabled(db: String, table: String) = streamingOk(db -> table)
   }
 
-  private def cfg(ms: TableMapping*) = SinkConfig(mappings = ms)
+  private def cfg(ms: TableMapping*) =
+    SinkConfig(mappings = ms, enableTableValidation = true)
+
+  test("metadata probes are opt-in: default config skips them (reference default-off)") {
+    // ghost table, but kusto.validation.table.enable is unset → no probe
+    Preflight.validate(
+      SinkConfig(mappings = Seq(TableMapping("a", "db", "ghost"))), new Stub())
+    // the config-local Avro schema check still runs with validation off
+    val e = intercept[PreflightException](Preflight.validate(
+      SinkConfig(mappings = Seq(
+        TableMapping("a", "db", "t1", format = "avro", valueSchema = Some("{not avro}")))),
+      new Stub()))
+    assert(e.errors.exists(_.contains("valueSchema")))
+  }
 
   test("healthy config passes") {
     Preflight.validate(cfg(
