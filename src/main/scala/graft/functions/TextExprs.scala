@@ -37,6 +37,39 @@ object TextHash extends Serializable {
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
   }
 
+  /** RFC 4180 single-record CSV field split (Kusto parse_csv): fields
+    * separated by commas; a field starting with `"` is quoted — it may
+    * contain commas and `""` escapes a literal quote; text after the
+    * closing quote up to the next comma is appended verbatim (the
+    * lenient Kusto/Excel stance, not an error). Single line only:
+    * parse_csv documents first-record behavior; embedded newlines end
+    * the record. */
+  def parseCsvLine(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val line0 = s.toString
+    val nl = { val i = line0.indexOf('\n'); if (i >= 0) line0.substring(0, i) else line0 }
+    val line = if (nl.nonEmpty && nl.last == '\r') nl.substring(0, nl.length - 1) else nl
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    val cur = new java.lang.StringBuilder
+    var i = 0
+    var inQ = false
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQ) {
+        if (c == '"') {
+          if (i + 1 < line.length && line.charAt(i + 1) == '"') { cur.append('"'); i += 1 }
+          else inQ = false
+        } else cur.append(c)
+      } else c match {
+        case ',' => out += UTF8String.fromString(cur.toString); cur.setLength(0)
+        case '"' if cur.length() == 0 => inQ = true
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    out += UTF8String.fromString(cur.toString)
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray)
+  }
+
   /** Inverse of [[codepointsFrom]]; invalid code points → null. */
   def codepointsTo(a: org.apache.spark.sql.catalyst.util.ArrayData): UTF8String = {
     val n = a.numElements()
@@ -495,6 +528,19 @@ case class CodepointsFromString(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.codepointsFrom($c)")
   override protected def withNewChildInternal(newChild: Expression): CodepointsFromString = copy(child = newChild)
+}
+
+/** parse_csv(line): RFC 4180 single-record field split → array of
+  * strings (see [[TextHash.parseCsvLine]] for the pinned quote rules). */
+case class ParseCsvLine(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeGuards.requireString("parse_csv", child)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.parseCsvLine(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.parseCsvLine($c)")
+  override protected def withNewChildInternal(newChild: Expression): ParseCsvLine = copy(child = newChild)
 }
 
 /** unicode_codepoints_to_string(arr): string from code points; invalid

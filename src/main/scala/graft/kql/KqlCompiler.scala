@@ -4673,6 +4673,38 @@ object KqlCompiler {
         // parse_json/todynamic are the identity; access happens postfix.
         case "parse_json" | "todynamic" | "parse_dynamic" => arity(1); df => args.head(df)
         case "abs" => arity(1); df => abs(args.head(df))
+        // ---- basic math ring (round 14): the everyday Kusto scalars;
+        // all lower to Spark's codegen'd math Columns ----
+        case "exp" => arity(1); df => exp(args.head(df).cast("double"))
+        case "exp2" => arity(1); df => pow(lit(2.0), args.head(df).cast("double"))
+        case "exp10" => arity(1); df => pow(lit(10.0), args.head(df).cast("double"))
+        case "log" => arity(1); df => log(args.head(df).cast("double"))
+        case "log2" => arity(1); df => log2(args.head(df).cast("double"))
+        case "log10" => arity(1); df => log10(args.head(df).cast("double"))
+        case "sqrt" => arity(1); df => sqrt(args.head(df).cast("double"))
+        case "pow" => arity(2); df => pow(args(0)(df).cast("double"), args(1)(df).cast("double"))
+        case "sin" => arity(1); df => sin(args.head(df).cast("double"))
+        case "cos" => arity(1); df => cos(args.head(df).cast("double"))
+        case "tan" => arity(1); df => tan(args.head(df).cast("double"))
+        case "asin" => arity(1); df => asin(args.head(df).cast("double"))
+        case "acos" => arity(1); df => acos(args.head(df).cast("double"))
+        case "atan" => arity(1); df => atan(args.head(df).cast("double"))
+        case "atan2" => arity(2); df => atan2(args(0)(df).cast("double"), args(1)(df).cast("double"))
+        case "cot" => arity(1); df => lit(1.0) / tan(args.head(df).cast("double"))
+        case "pi" => arity(0); _ => lit(math.Pi)
+        case "degrees" => arity(1); df => degrees(args.head(df).cast("double"))
+        case "radians" => arity(1); df => radians(args.head(df).cast("double"))
+        // Kusto sign(): real -1/0/1
+        case "sign" => arity(1); df => signum(args.head(df).cast("double"))
+        // ASCII iff the UTF-8 byte count equals the character count
+        case "isascii" => arity(1); df =>
+          octet_length(args.head(df)) === length(args.head(df))
+        // rand() ∈ [0,1) / rand(n) ∈ {0..n-1}: NONDETERMINISTIC by
+        // definition (per-row, per-run) — spec-covered for range only,
+        // never oracle-gated
+        case "rand" => df =>
+          if (args.isEmpty) rand()
+          else floor(rand() * args.head(df).cast("double")).cast("long")
         case "isnull" => arity(1); df => args.head(df).isNull
         case "isnotnull" => arity(1); df => args.head(df).isNotNull
         // Kusto strcmp: -1/0/1 three-way binary-collation compare
@@ -4690,6 +4722,14 @@ object KqlCompiler {
         case "erfc" => arity(1); df => graft.functions.KMath.erfc(args.head(df))
         // unicode code points (supplementary-plane-exact natives —
         // Spark's own chr() is mod-256)
+        // parse_csv(line) → array of fields (RFC 4180 quotes/escapes;
+        // one codegen'd native, single-record stance documented on
+        // TextHash.parseCsvLine)
+        case "parse_csv" => arity(1); df => {
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.ParseCsvLine(
+            GraftColumnBridge.catalystExpression(args.head(df))))
+        }
         case "unicode_codepoints_from_string" => arity(1); df => {
           import org.apache.spark.sql.GraftColumnBridge
           GraftColumnBridge.column(graft.functions.CodepointsFromString(

@@ -1503,6 +1503,49 @@ object KqlQueries extends QueryModule {
           | | order by event_id asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // basic math ring (round 14): exp/log families, sqrt/pow, trig +
+    // inverse trig, pi/degrees/radians, sign, isascii — the everyday
+    // Kusto scalars, all lowering to Spark's codegen'd math Columns.
+    // 9dp round gate: JDK StrictMath-adjacent libm vs DuckDB libm agree
+    // within 1 ulp, far inside the grid (the q182 gamma/erf stance).
+    "q206_kql_text_mathring" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_id % 11 == 0
+          | | extend x = (value - 50.0) / 20.0, p = (event_id % 7 + 1) / 2.0
+          | | extend e = round(exp(x), 9), e2 = round(exp2(x), 9), e10 = round(exp10(x / 10.0), 9),
+          |          ln = round(log(p), 9), l2 = round(log2(p), 9), l10 = round(log10(p), 9),
+          |          sq = round(sqrt(p), 9), pw = round(pow(p, 2.5), 9),
+          |          sn = round(sin(x), 9), cs = round(cos(x), 9), tn = round(tan(x), 9),
+          |          asn = round(asin(sin(x)), 6), acs = round(acos(sin(x)), 6),
+          |          at = round(atan(x), 9), at2 = round(atan2(x, p), 9),
+          |          ct = round(cot(0.5 + (event_id % 3)), 9),
+          |          dg = round(degrees(x), 9), rd = round(radians(value), 9),
+          |          pp = round(pi(), 9), sg = sign(x),
+          |          ia = isascii(event_type), ib = isascii(strcat(event_type, 'é'))
+          | | project event_id, e, e2, e10, ln, l2, l10, sq, pw, sn, cs, tn,
+          |           asn, acs, at, at2, ct, dg, rd, pp, sg, ia, ib
+          | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // parse_csv (round 14): RFC 4180 single-record split as one
+    // codegen'd native — quoted fields keep commas, "" escapes a
+    // literal quote. The CSV line is DERIVED from event columns, so
+    // the oracle reconstructs the expected fields directly and the
+    // gate checks the parser's quote handling against constructible
+    // truth.
+    "q207_kql_text_parsecsv" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_id % 101 == 0
+          | | extend line = strcat(event_type, ',', '"a,', tostring(user_id), '""q"', ',', tostring(event_id), ',trail,')
+          | | extend f = parse_csv(line)
+          | | project event_id, n = array_length(f),
+          |           f0 = tostring(f[0]), f1 = tostring(f[1]),
+          |           f2 = tolong(f[2]), f3 = tostring(f[3]), f4 = tostring(f[4])
+          | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // aggregate ring 15: population stdev/variance, covariance family,
     // and the conditional *if completions (count_distinctif,
     // take_anyif via the MIN pinning, hll_if gated through dcount_hll
@@ -1949,6 +1992,33 @@ object KqlQueries extends QueryModule {
                 round(sum(CASE WHEN event_type = 'error' THEN value END), 6) AS error,
                 round(sum(CASE WHEN event_type = 'view' THEN value END), 6) AS view
          FROM base GROUP BY b ORDER BY b""",
+
+    "q206_kql_text_mathring" ->
+      """WITH base AS (
+           SELECT event_id, (value - 50.0)/20.0 AS x, ((event_id % 7) + 1)/2.0 AS p,
+                  value, event_type
+           FROM events WHERE event_id % 11 = 0)
+         SELECT event_id,
+                round(exp(x), 9) AS e, round(power(2.0, x), 9) AS e2,
+                round(power(10.0, x/10.0), 9) AS e10,
+                round(ln(p), 9) AS ln, round(log2(p), 9) AS l2, round(log10(p), 9) AS l10,
+                round(sqrt(p), 9) AS sq, round(power(p, 2.5), 9) AS pw,
+                round(sin(x), 9) AS sn, round(cos(x), 9) AS cs, round(tan(x), 9) AS tn,
+                round(asin(sin(x)), 6) AS asn, round(acos(sin(x)), 6) AS acs,
+                round(atan(x), 9) AS at, round(atan2(x, p), 9) AS at2,
+                round(1.0/tan(0.5 + (event_id % 3)), 9) AS ct,
+                round(degrees(x), 9) AS dg, round(radians(value), 9) AS rd,
+                round(pi(), 9) AS pp, CAST(sign(x) AS DOUBLE) AS sg,
+                (strlen(event_type) = length(event_type)) AS ia,
+                (strlen(event_type || 'é') = length(event_type || 'é')) AS ib
+         FROM base ORDER BY event_id""",
+
+    "q207_kql_text_parsecsv" ->
+      """SELECT event_id, CAST(5 AS BIGINT) AS n,
+              event_type AS f0,
+              'a,' || CAST(user_id AS VARCHAR) || '"q' AS f1,
+              event_id AS f2, 'trail' AS f3, '' AS f4
+         FROM events WHERE event_id % 101 = 0 ORDER BY event_id""",
 
     // the oracle enumerates the fixture's event types; the engine infers
     // them (absent (b, type) combos are NULL on both sides)

@@ -341,6 +341,52 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getMessage.contains("unterminated datetime"))
   }
 
+  test("scalar ring 16: basic math, isascii, rand range, parse_csv RFC vectors") {
+    val m = run(
+      """t | where id == 2
+        | | extend e = round(exp(1.0), 9), l = round(log(exp(1.0)), 9),
+        |          l2 = log2(8.0), l10 = log10(1000.0), e2 = exp2(10.0),
+        |          sq = sqrt(16.0), pw = pow(2.0, 10.0),
+        |          s0 = sin(0.0), c0 = cos(0.0), sg = sign(-3.5),
+        |          dgr = degrees(pi()), rdn = round(radians(180.0) - pi(), 9),
+        |          ct = round(cot(pi() / 4.0), 9),
+        |          at2 = round(atan2(1.0, 1.0) - pi() / 4.0, 9),
+        |          ia = isascii('plain'), ib = isascii('café')
+        | | project e, l, l2, l10, e2, sq, pw, s0, c0, sg, dgr, rdn, ct, at2, ia, ib""".stripMargin).head()
+    assert(m.getDouble(0) == 2.718281828 && m.getDouble(1) == 1.0)
+    assert(m.getDouble(2) == 3.0 && m.getDouble(3) == 3.0 && m.getDouble(4) == 1024.0)
+    assert(m.getDouble(5) == 4.0 && m.getDouble(6) == 1024.0)
+    assert(m.getDouble(7) == 0.0 && m.getDouble(8) == 1.0 && m.getDouble(9) == -1.0)
+    assert(m.getDouble(10) == 180.0 && m.getDouble(11) == 0.0)
+    assert(m.getDouble(12) == 1.0 && m.getDouble(13) == 0.0)
+    assert(m.getBoolean(14) && !m.getBoolean(15))
+    // rand(): range-only (nondeterministic by definition, never gated)
+    val r = run("t | extend r = rand(), rn = rand(10) | project r, rn").collect()
+    assert(r.forall(x => x.getDouble(0) >= 0.0 && x.getDouble(0) < 1.0))
+    assert(r.forall(x => x.getLong(1) >= 0L && x.getLong(1) < 10L))
+    // parse_csv: plain fields, quoted comma, "" escape, trailing empty,
+    // lenient text-after-quote, first-record-only on embedded newline
+    val c = run(
+      """t | where id == 1
+        | | extend a = parse_csv('x,y,z'),
+        |          b = parse_csv('a,"b,c",d'),
+        |          q = parse_csv('"he said ""hi"" ok",2'),
+        |          tr = parse_csv('a,b,'),
+        |          lx = parse_csv('"q"tail,2')
+        | | project n1 = array_length(a), b1 = tostring(b[1]),
+        |           q0 = tostring(q[0]), n3 = array_length(tr), t2 = tostring(tr[2]),
+        |           lx0 = tostring(lx[0])""".stripMargin).head()
+    assert(c.getLong(0) == 3L)
+    assert(c.getString(1) == "b,c")
+    assert(c.getString(2) == "he said \"hi\" ok")
+    assert(c.getLong(3) == 3L && c.getString(4) == "")
+    assert(c.getString(5) == "qtail")
+    import spark.implicits._
+    val nl = KqlCompiler.compile("t | project n = array_length(parse_csv(s))",
+      _ => Seq(("x,y\nz,w,v")).toDF("s")).head()
+    assert(nl.getLong(0) == 2L)
+  }
+
   test("scalar ring 2: matches regex, extract, has_cs, date parts, bin_at") {
     import spark.implicits._
     val fixedNow = java.time.Instant.parse("2024-03-01T12:00:00Z")
