@@ -4478,7 +4478,9 @@ object KqlCompiler {
           }
         // elementwise unary series math — map-only array lambdas
         case "series_abs" | "series_exp" | "series_log" | "series_sqrt" |
-             "series_sign" | "series_sin" | "series_cos" | "series_tan" =>
+             "series_sign" | "series_sin" | "series_cos" | "series_tan" |
+             "series_atan" | "series_asin" | "series_acos" |
+             "series_floor" | "series_ceiling" =>
           arity(1)
           df => transform(args.head(df), x => name match {
             case "series_abs" => abs(x.cast("double"))
@@ -4488,7 +4490,42 @@ object KqlCompiler {
             case "series_sign" => signum(x.cast("double"))
             case "series_sin" => sin(x.cast("double"))
             case "series_cos" => cos(x.cast("double"))
+            case "series_atan" => atan(x.cast("double"))
+            case "series_asin" => asin(x.cast("double"))
+            case "series_acos" => acos(x.cast("double"))
+            case "series_floor" => floor(x.cast("double")).cast("double")
+            case "series_ceiling" => ceil(x.cast("double")).cast("double")
             case _ => tan(x.cast("double"))
+          })
+        // series reductions → scalar real. Pinned empty-array results:
+        // sum 0, product 1 (the fold identities), min/max/avg null.
+        case "series_sum" => arity(1); df =>
+          aggregate(args.head(df), lit(0.0), (acc, x) => acc + x.cast("double"))
+        case "series_product" => arity(1); df =>
+          aggregate(args.head(df), lit(1.0), (acc, x) => acc * x.cast("double"))
+        case "series_min" => arity(1); df =>
+          array_min(transform(args.head(df), _.cast("double")))
+        case "series_max" => arity(1); df =>
+          array_max(transform(args.head(df), _.cast("double")))
+        case "series_avg" => arity(1); df => {
+          val a = args.head(df)
+          when(size(a) > 0,
+            aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double")) / size(a))
+        }
+        // element-wise comparisons → bool arrays (series_sum counts trues)
+        case "series_greater" | "series_greater_equals" | "series_less" |
+             "series_less_equals" | "series_equals" | "series_not_equals" =>
+          arity(2)
+          df => zip_with(args(0)(df), args(1)(df), (x, y) => {
+            val (a, b) = (x.cast("double"), y.cast("double"))
+            name match {
+              case "series_greater" => a > b
+              case "series_greater_equals" => a >= b
+              case "series_less" => a < b
+              case "series_less_equals" => a <= b
+              case "series_equals" => a === b
+              case _ => a =!= b
+            }
           })
         // gap-filling family over no-default make-series output — pinned
         // edge rules documented on graft.functions.SeriesDecompose
@@ -4715,6 +4752,16 @@ object KqlCompiler {
         // Kusto hash(): xxhash64 (documented engine choice; Kusto's own
         // hash is also a 64-bit xx-family hash, values differ by seed)
         case "hash" => arity(1); df => xxhash64(args.head(df))
+        // statistical family on the regularized incomplete beta
+        // (functions/KStat.scala): welch_test(m1,v1,n1,m2,v2,n2) and
+        // beta_cdf/beta_pdf(x,α,β), beta_inv(p,α,β)
+        case "welch_test" | "beta_cdf" | "beta_pdf" | "beta_inv" =>
+          arity(if (name == "welch_test") 6 else 3)
+          df => {
+            import org.apache.spark.sql.GraftColumnBridge
+            GraftColumnBridge.column(graft.functions.KStatCall(name,
+              args.map(a => GraftColumnBridge.catalystExpression(a(df).cast("double")))))
+          }
         // special functions — pure codegen'd Column arithmetic (KMath)
         case "gamma" => arity(1); df => graft.functions.KMath.gamma(args.head(df))
         case "loggamma" => arity(1); df => graft.functions.KMath.loggamma(args.head(df))
@@ -4969,6 +5016,11 @@ object KqlCompiler {
         case "take_any" | "any" => arity(1); df => min(args.head(df))
         // bag_keys over dynamic (JSON text): sorted key array
         case "bag_keys" => arity(1); df => array_sort(json_object_keys(args.head(df)))
+        // top-level key membership (Kusto bag_has_key also accepts a
+        // JSONPath for nested keys; the documented subset here is the
+        // top-level form, matching the engine's bag surface)
+        case "bag_has_key" => arity(2); df =>
+          coalesce(array_contains(json_object_keys(args(0)(df)), args(1)(df)), lit(false))
         // conditional aggregates: aggregate only rows passing the predicate
         case "sumif" => arity(2); df => sum(when(args(1)(df), args(0)(df)))
         case "avgif" => arity(2); df => avg(when(args(1)(df), args(0)(df)))
@@ -5160,8 +5212,11 @@ object KqlCompiler {
           when(a.isNull || b.isNull, lit(null).cast("long"))
             .otherwise(when(a < b, lit(-1L)).when(a > b, lit(1L)).otherwise(lit(0L)))
         }
-        case "ipv6_is_match" =>
-          if (args.length < 2 || args.length > 3)
+        // ipv6_is_in_range(ip, range) ≡ ipv6_is_match(ip, range): the
+        // range's /p suffix bounds the compared prefix either way
+        case "ipv6_is_match" | "ipv6_is_in_range" =>
+          if (name == "ipv6_is_in_range") arity(2)
+          else if (args.length < 2 || args.length > 3)
             throw new KqlParseException("ipv6_is_match() expects 2 or 3 arguments")
           df => {
             // effective prefix = min(arg prefix, either side's /p

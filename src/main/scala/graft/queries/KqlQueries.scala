@@ -1546,6 +1546,61 @@ object KqlQueries extends QueryModule {
           | | order by event_id asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // statistical ring (round 14): welch_test + beta_cdf/pdf/inv on the
+    // regularized incomplete beta (functions/KStat.scala). The oracle
+    // mirrors EXACT closed forms the parameters are steered into —
+    // I_x(1,b) = 1-(1-x)^b, I_x(a,1) = x^a, symmetry I_x(a,a) +
+    // I_{1-x}(a,a) = 1, beta_inv round trip, and welch constructed with
+    // equal se and n=2 so df=2 exactly, where P(|T|>t) = 1 - t/sqrt(2+t^2)
+    // — so the continued-fraction numerics gate against constructible
+    // truth at data scale (KStatSpec pins the nu=1 form and edge cases).
+    "q209_kql_text_stat" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_id % 17 == 0
+          | | extend xx = value / 409.7 + 0.0013,
+          |          aa = 1.0 + event_id % 5, bb = 2.0 + event_id % 3
+          | | extend c1 = round(beta_cdf(xx, 1.0, bb), 7),
+          |          c2 = round(beta_cdf(xx, aa, 1.0), 7),
+          |          sym = round(beta_cdf(xx, aa, aa) + beta_cdf(1.0 - xx, aa, aa), 9),
+          |          rt = round(beta_cdf(beta_inv(xx, aa, bb), aa, bb) - xx, 9),
+          |          pd = round(beta_pdf(xx, 2.0, 1.0), 7),
+          |          w2 = round(welch_test(value, 8.0, 2.0, value * 0.5, 8.0, 2.0), 7)
+          | | project event_id, c1, c2, sym, rt, pd, w2
+          | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // series ring 5 (round 14): reductions (sum/product/min/max/avg —
+    // fold identities pinned on empty), element-wise comparison
+    // families (bool arrays, scalarized through series_sum so the gate
+    // sees scalars), new unary members (atan/floor/ceiling), plus
+    // bag_has_key and the constant ipv6_is_in_range forms. All array
+    // lambdas — map-only, codegen'd.
+    "q208_kql_text_series5" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_id % 13 == 0
+          | | extend a = pack_array(value, value + 1.0, value * 0.5, 1.0 + event_id % 3),
+          |          b = pack_array(value * 0.75, value, value, 2.0)
+          | | extend ssum = round(series_sum(a), 6), sprod = round(series_product(b), 4),
+          |          smin = series_min(a), smax = series_max(a), savg = round(series_avg(a), 6),
+          |          ngt = series_sum(series_greater(a, b)),
+          |          nge = series_sum(series_greater_equals(a, b)),
+          |          nlt = series_sum(series_less(a, b)),
+          |          nle = series_sum(series_less_equals(a, b)),
+          |          neq = series_sum(series_equals(a, b)),
+          |          nne = series_sum(series_not_equals(a, b)),
+          |          sat = round(series_sum(series_atan(a)), 9),
+          |          sfl = series_sum(series_floor(a)), scl = series_sum(series_ceiling(b)),
+          |          bh = bag_has_key(pack('k1', value, 'k2', event_type), 'k1'),
+          |          bm = bag_has_key(pack('k1', value), 'nope'),
+          |          r1 = ipv6_is_in_range('2001:db8::5', '2001:db8::/64'),
+          |          r2 = ipv6_is_in_range('2001:db9::5', '2001:db8::/64')
+          | | project event_id, ssum, sprod, smin, smax, savg, ngt, nge, nlt, nle,
+          |           neq, nne, sat, sfl, scl, bh, bm, r1, r2
+          | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // aggregate ring 15: population stdev/variance, covariance family,
     // and the conditional *if completions (count_distinctif,
     // take_anyif via the MIN pinning, hll_if gated through dcount_hll
@@ -1992,6 +2047,48 @@ object KqlQueries extends QueryModule {
                 round(sum(CASE WHEN event_type = 'error' THEN value END), 6) AS error,
                 round(sum(CASE WHEN event_type = 'view' THEN value END), 6) AS view
          FROM base GROUP BY b ORDER BY b""",
+
+    "q209_kql_text_stat" ->
+      """WITH base AS (
+           SELECT event_id, value, value / 409.7 + 0.0013 AS xx,
+                  1.0 + (event_id % 5) AS aa, 2.0 + (event_id % 3) AS bb,
+                  (value - value * 0.5) / sqrt(8.0) AS t
+           FROM events WHERE event_id % 17 = 0)
+         SELECT event_id,
+                round(1.0 - power(1.0 - xx, bb), 7) AS c1,
+                round(power(xx, aa), 7) AS c2,
+                CAST(1.0 AS DOUBLE) AS sym,
+                CAST(0.0 AS DOUBLE) AS rt,
+                round(2.0 * xx, 7) AS pd,
+                round(1.0 - t / sqrt(2.0 + t * t), 7) AS w2
+         FROM base ORDER BY event_id""",
+
+    // per-element formulas are known (a/b derive from value/event_id),
+    // so the oracle computes reductions/counts directly with the SAME
+    // left-to-right IEEE fold order the engine's aggregate() uses
+    "q208_kql_text_series5" ->
+      """WITH base AS (
+           SELECT event_id, value,
+                  value AS a1, value + 1.0 AS a2, value * 0.5 AS a3,
+                  1.0 + (event_id % 3) AS a4,
+                  value * 0.75 AS b1, value AS b2, value AS b3, 2.0 AS b4
+           FROM events WHERE event_id % 13 = 0)
+         SELECT event_id,
+                round(((a1 + a2) + a3) + a4, 6) AS ssum,
+                round(((b1 * b2) * b3) * b4, 4) AS sprod,
+                least(a1, a2, a3, a4) AS smin, greatest(a1, a2, a3, a4) AS smax,
+                round((((a1 + a2) + a3) + a4) / 4, 6) AS savg,
+                CAST((a1 > b1)::INT + (a2 > b2)::INT + (a3 > b3)::INT + (a4 > b4)::INT AS DOUBLE) AS ngt,
+                CAST((a1 >= b1)::INT + (a2 >= b2)::INT + (a3 >= b3)::INT + (a4 >= b4)::INT AS DOUBLE) AS nge,
+                CAST((a1 < b1)::INT + (a2 < b2)::INT + (a3 < b3)::INT + (a4 < b4)::INT AS DOUBLE) AS nlt,
+                CAST((a1 <= b1)::INT + (a2 <= b2)::INT + (a3 <= b3)::INT + (a4 <= b4)::INT AS DOUBLE) AS nle,
+                CAST((a1 = b1)::INT + (a2 = b2)::INT + (a3 = b3)::INT + (a4 = b4)::INT AS DOUBLE) AS neq,
+                CAST((a1 <> b1)::INT + (a2 <> b2)::INT + (a3 <> b3)::INT + (a4 <> b4)::INT AS DOUBLE) AS nne,
+                round(((atan(a1) + atan(a2)) + atan(a3)) + atan(a4), 9) AS sat,
+                CAST(floor(a1) + floor(a2) + floor(a3) + floor(a4) AS DOUBLE) AS sfl,
+                CAST(ceil(b1) + ceil(b2) + ceil(b3) + ceil(b4) AS DOUBLE) AS scl,
+                TRUE AS bh, FALSE AS bm, TRUE AS r1, FALSE AS r2
+         FROM base ORDER BY event_id""",
 
     "q206_kql_text_mathring" ->
       """WITH base AS (
