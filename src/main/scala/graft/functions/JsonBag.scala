@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -36,6 +36,38 @@ object JsonBagOps extends Serializable {
       case o: ObjectNode => o
       case _ => null
     }
+
+  /** dynamic_to_json: canonical serialization — object keys sorted
+    * recursively at every level (Kusto's documented normalization);
+    * arrays keep element order; non-JSON input serializes as a JSON
+    * string (a bare scalar IS a dynamic value). */
+  def dynamicToJson(s: UTF8String): UTF8String =
+    try {
+      val m = mappers.get
+      val node =
+        try m.readTree(s.toString)
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (node == null || node.isMissingNode)
+        UTF8String.fromString(m.writeValueAsString(s.toString))
+      else UTF8String.fromString(m.writeValueAsString(sortKeys(m, node)))
+    } catch { case scala.util.control.NonFatal(_) => null }
+
+  private def sortKeys(m: ObjectMapper,
+      n: com.fasterxml.jackson.databind.JsonNode): com.fasterxml.jackson.databind.JsonNode = n match {
+    case o: ObjectNode =>
+      val out = m.createObjectNode()
+      val it = o.fieldNames()
+      val names = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) names += it.next()
+      names.sorted.foreach(k => out.set[com.fasterxml.jackson.databind.JsonNode](k, sortKeys(m, o.get(k))))
+      out
+    case a: com.fasterxml.jackson.databind.node.ArrayNode =>
+      val out = m.createArrayNode()
+      val it = a.elements()
+      while (it.hasNext) out.add(sortKeys(m, it.next()))
+      out
+    case other => other
+  }
 
   def bagMerge(a: UTF8String, b: UTF8String): UTF8String =
     try {
@@ -84,6 +116,21 @@ object JsonBagOps extends Serializable {
         UTF8String.fromString(m.writeValueAsString(out))
       }
     } catch { case scala.util.control.NonFatal(_) => null }
+}
+
+case class DynamicToJson(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeGuards.requireString("dynamic_to_json", child)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(a: Any): Any =
+    JsonBagOps.dynamicToJson(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.JsonBagOps.dynamicToJson($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(newChild: Expression): DynamicToJson =
+    copy(child = newChild)
 }
 
 case class BagMerge(left: Expression, right: Expression) extends BinaryExpression {

@@ -1176,6 +1176,21 @@ object KqlCompiler {
           }.drop(tmp)
         }
         fn match {
+          case "series_fft" | "series_ifft" =>
+            // `(re, im) = series_fft(x [, x_im])` — any-length DFT
+            // (radix-2 / Bluestein, functions/Fft.scala)
+            expect("("); val reB = expr()
+            val imB = if (peekIs(",")) { expect(","); Some(expr()) } else None
+            expect(")")
+            if (names.length != 2)
+              throw new KqlParseException(s"$fn yields (real, imaginary) — assign exactly 2 names")
+            import org.apache.spark.sql.GraftColumnBridge
+            val kids = (Seq(reB) ++ imB.toSeq).map(b =>
+              GraftColumnBridge.catalystExpression(
+                transform(b(df), _.cast("double"))))
+            viaStruct(GraftColumnBridge.column(
+              graft.functions.SeriesFft(kids, inverse = fn == "series_ifft")),
+              Seq("re", "im"))
           case "series_stats" =>
             expect("("); val arrB = expr(); expect(")")
             if (names.length > 7)
@@ -5016,6 +5031,29 @@ object KqlCompiler {
         case "take_any" | "any" => arity(1); df => min(args.head(df))
         // bag_keys over dynamic (JSON text): sorted key array
         case "bag_keys" => arity(1); df => array_sort(json_object_keys(args.head(df)))
+        // dynamic_to_json: canonical form — keys sorted recursively
+        // (functions/JsonBag.scala); bare scalars serialize as JSON
+        case "dynamic_to_json" => arity(1); df => {
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.DynamicToJson(
+            GraftColumnBridge.catalystExpression(args.head(df).cast("string"))))
+        }
+        // series_stats_dynamic(arr): the series_stats tuple as ONE bag —
+        // same component definitions as the multi-assign form
+        case "series_stats_dynamic" => arity(1); df => {
+          val a = args.head(df)
+          val sn = size(a).cast("double")
+          val av = aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double")) / sn
+          val vr = greatest(lit(0.0),
+            aggregate(a, lit(0.0), (acc, x) =>
+              acc + (x.cast("double") - av) * (x.cast("double") - av)) / (sn - lit(1.0)))
+          to_json(struct(
+            array_min(a).cast("double").as("min"),
+            (array_position(a, array_min(a)) - 1).cast("long").as("min_idx"),
+            array_max(a).cast("double").as("max"),
+            (array_position(a, array_max(a)) - 1).cast("long").as("max_idx"),
+            av.as("avg"), sqrt(vr).as("stdev"), vr.as("variance")))
+        }
         // top-level key membership (Kusto bag_has_key also accepts a
         // JSONPath for nested keys; the documented subset here is the
         // top-level form, matching the engine's bag surface)

@@ -1546,6 +1546,29 @@ object KqlQueries extends QueryModule {
           | | order by event_id asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // series_fft / series_ifft (round 14): any-length DFT — the
+    // make-series axis here is 15 bins, NOT a power of two, so the
+    // data-scale path exercises Bluestein. Gated through exact
+    // invariants the oracle can compute without an FFT: the DC bin is
+    // the series sum (= windowed sum of value per type), the DC
+    // imaginary part is 0, Parseval ties spectrum power to signal
+    // power, and ifft∘fft is the identity.
+    "q210_kql_text_fft" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | make-series s = sum(value) default = 0.0 on ts from datetime(2024-01-01) to datetime(2024-01-31) step 2d by event_type
+          | | extend (fr, fi) = series_fft(s)
+          | | extend (br, bi) = series_ifft(fr, fi)
+          | | extend n = array_length(s),
+          |          dc = round(fr[0], 4),
+          |          dci = round(fi[0], 6),
+          |          par = round(series_sum(series_multiply(s, s)) - series_sum(series_add(series_multiply(fr, fr), series_multiply(fi, fi))) / n, 3),
+          |          rt = round(series_sum(series_abs(series_subtract(s, br))), 6),
+          |          rti = round(series_sum(series_abs(bi)), 6)
+          | | project event_type, n, dc, dci, par, rt, rti
+          | | order by event_type asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // statistical ring (round 14): welch_test + beta_cdf/pdf/inv on the
     // regularized incomplete beta (functions/KStat.scala). The oracle
     // mirrors EXACT closed forms the parameters are steered into —
@@ -2047,6 +2070,14 @@ object KqlQueries extends QueryModule {
                 round(sum(CASE WHEN event_type = 'error' THEN value END), 6) AS error,
                 round(sum(CASE WHEN event_type = 'view' THEN value END), 6) AS view
          FROM base GROUP BY b ORDER BY b""",
+
+    "q210_kql_text_fft" ->
+      """SELECT event_type, CAST(15 AS BIGINT) AS n,
+              round(coalesce(sum(value) FILTER (
+                ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'), 0.0), 4) AS dc,
+              CAST(0.0 AS DOUBLE) AS dci, CAST(0.0 AS DOUBLE) AS par,
+              CAST(0.0 AS DOUBLE) AS rt, CAST(0.0 AS DOUBLE) AS rti
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q209_kql_text_stat" ->
       """WITH base AS (

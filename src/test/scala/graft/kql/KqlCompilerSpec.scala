@@ -387,6 +387,26 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nl.getLong(0) == 2L)
   }
 
+  test("dynamic_to_json canonical keys; series_stats_dynamic bag") {
+    val out = run(
+      """t | where id == 1
+        | | extend d = dynamic_to_json('{"b":2,"a":{"z":1,"y":[{"q":1,"p":2}]}}'),
+        |          sc = dynamic_to_json('7'), st = dynamic_to_json('plain'),
+        |          sd = series_stats_dynamic(pack_array(4.0, 1.0, 7.0, 4.0))
+        | | extend mn = todouble(extract_json('$.min', sd)),
+        |          mni = tolong(extract_json('$.min_idx', sd)),
+        |          mx = todouble(extract_json('$.max', sd)),
+        |          mxi = tolong(extract_json('$.max_idx', sd)),
+        |          av = todouble(extract_json('$.avg', sd)),
+        |          vr = todouble(extract_json('$.variance', sd))
+        | | project d, sc, st, mn, mni, mx, mxi, av, vr""".stripMargin).head()
+    assert(out.getString(0) == """{"a":{"y":[{"p":2,"q":1}],"z":1},"b":2}""")
+    assert(out.getString(1) == "7" && out.getString(2) == "\"plain\"")
+    assert(out.getDouble(3) == 1.0 && out.getLong(4) == 1L)
+    assert(out.getDouble(5) == 7.0 && out.getLong(6) == 2L)
+    assert(out.getDouble(7) == 4.0 && out.getDouble(8) == 6.0)
+  }
+
   test("scalar ring 2: matches regex, extract, has_cs, date parts, bin_at") {
     import spark.implicits._
     val fixedNow = java.time.Instant.parse("2024-03-01T12:00:00Z")
