@@ -2901,6 +2901,130 @@ object LlmQueries extends QueryModule {
            substr(main, 1, 60) AS prefix
     FROM m ORDER BY doc_id"""
 
+  /** q211 — URL canonicalization + URL-level dedup accounting: the web
+    * pipeline stage BEFORE content dedup (crawls carry the same page
+    * under scheme-case/default-port/tracking-param/fragment variants;
+    * canonicalizing first collapses them for free). Pinned rules:
+    *  1. scheme and host lowercase; leading `www.` stripped;
+    *  2. default ports dropped (`:80` http, `:443` https), others kept;
+    *  3. fragment dropped;
+    *  4. tracking params dropped (`utm_*`, `gclid`, `fbclid`),
+    *     remaining params SORTED (byte order) and rejoined;
+    *  5. trailing path slash stripped (root stays `/`; empty → `/`).
+    * URLs are DERIVED from doc columns (several variants of the same
+    * logical page per doc_id class), so the oracle re-derives and
+    * re-canonicalizes identically, and the dedup accounting (raw vs
+    * canonical distinct per source) has constructible truth. All
+    * split/regexp/array-lambda column work — map-only; the only
+    * shuffle is the final per-source aggregate. */
+  private val urlCanonSql = """
+    WITH raw AS (
+      SELECT doc_id, source,
+             concat(
+               CASE WHEN (doc_id div 20) % 4 = 0 THEN 'HTTP://WWW.' ELSE 'http://' END,
+               source, '.Example.com',
+               CASE WHEN (doc_id div 20) % 4 = 1 THEN ':80' WHEN (doc_id div 20) % 4 = 2 THEN ':8080' ELSE '' END,
+               '/Pages/p', CAST((doc_id div 20) % 5 AS STRING),
+               CASE WHEN (doc_id div 20) % 3 = 0 THEN '/' ELSE '' END,
+               CASE WHEN (doc_id div 20) % 2 = 0 THEN '?utm_source=feed&b=2&a=1&gclid=9' ELSE '?a=1&b=2' END,
+               CASE WHEN (doc_id div 20) % 7 = 0 THEN '#frag' ELSE '' END) AS url
+      FROM documents),
+    parts AS (
+      SELECT doc_id, source, url,
+             lower(split_part(url, '://', 1)) AS scheme,
+             split_part(split_part(url, '://', 2), '#', 1) AS rest
+      FROM raw),
+    hp AS (
+      SELECT *, split_part(rest, '/', 1) AS hostport,
+             substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
+      FROM parts),
+    comps AS (
+      SELECT doc_id, source, url, scheme,
+             CASE WHEN lower(split_part(hostport, ':', 1)) LIKE 'www.%'
+                  THEN substr(lower(split_part(hostport, ':', 1)), 5)
+                  ELSE lower(split_part(hostport, ':', 1)) END AS host,
+             split_part(hostport, ':', 2) AS port,
+             split_part(pathq, '?', 1) AS path,
+             split_part(pathq, '?', 2) AS qs
+      FROM hp),
+    canon AS (
+      SELECT doc_id, source, url,
+             concat(
+               scheme, '://', host,
+               CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                         OR (scheme = 'https' AND port = '443')
+                    THEN '' ELSE concat(':', port) END,
+               CASE WHEN path = '' OR path = '/' THEN '/'
+                    ELSE regexp_replace(path, '/+$', '') END,
+               CASE WHEN size(filter(split(qs, '&'), p -> p != '' AND NOT p LIKE 'utm_%'
+                                       AND NOT p LIKE 'gclid=%' AND NOT p LIKE 'fbclid=%')) > 0
+                    THEN concat('?', array_join(array_sort(
+                           filter(split(qs, '&'), p -> p != '' AND NOT p LIKE 'utm_%'
+                             AND NOT p LIKE 'gclid=%' AND NOT p LIKE 'fbclid=%')), '&'))
+                    ELSE '' END) AS curl
+      FROM comps)
+    SELECT source,
+           CAST(count(1) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_raw,
+           CAST(count(DISTINCT curl) AS BIGINT) AS n_canon,
+           CAST(count(DISTINCT url) - count(DISTINCT curl) AS BIGINT) AS n_collapsed,
+           min(curl) AS sample
+    FROM canon GROUP BY source ORDER BY source"""
+
+  private val urlCanonOracle = """
+    WITH raw AS (
+      SELECT doc_id, source,
+             concat(
+               CASE WHEN (doc_id // 20) % 4 = 0 THEN 'HTTP://WWW.' ELSE 'http://' END,
+               source, '.Example.com',
+               CASE WHEN (doc_id // 20) % 4 = 1 THEN ':80' WHEN (doc_id // 20) % 4 = 2 THEN ':8080' ELSE '' END,
+               '/Pages/p', CAST((doc_id // 20) % 5 AS VARCHAR),
+               CASE WHEN (doc_id // 20) % 3 = 0 THEN '/' ELSE '' END,
+               CASE WHEN (doc_id // 20) % 2 = 0 THEN '?utm_source=feed&b=2&a=1&gclid=9' ELSE '?a=1&b=2' END,
+               CASE WHEN (doc_id // 20) % 7 = 0 THEN '#frag' ELSE '' END) AS url
+      FROM documents),
+    parts AS (
+      SELECT doc_id, source, url,
+             lower(split_part(url, '://', 1)) AS scheme,
+             split_part(split_part(url, '://', 2), '#', 1) AS rest
+      FROM raw),
+    hp AS (
+      SELECT *, split_part(rest, '/', 1) AS hostport,
+             substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
+      FROM parts),
+    comps AS (
+      SELECT doc_id, source, url, scheme,
+             CASE WHEN lower(split_part(hostport, ':', 1)) LIKE 'www.%'
+                  THEN substr(lower(split_part(hostport, ':', 1)), 5)
+                  ELSE lower(split_part(hostport, ':', 1)) END AS host,
+             split_part(hostport, ':', 2) AS port,
+             split_part(pathq, '?', 1) AS path,
+             split_part(pathq, '?', 2) AS qs
+      FROM hp),
+    canon AS (
+      SELECT doc_id, source, url,
+             concat(
+               scheme, '://', host,
+               CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                         OR (scheme = 'https' AND port = '443')
+                    THEN '' ELSE concat(':', port) END,
+               CASE WHEN path = '' OR path = '/' THEN '/'
+                    ELSE regexp_replace(path, '/+$', '', 'g') END,
+               CASE WHEN len(list_filter(string_split(qs, '&'), p -> p != '' AND NOT p LIKE 'utm_%'
+                              AND NOT p LIKE 'gclid=%' AND NOT p LIKE 'fbclid=%')) > 0
+                    THEN concat('?', array_to_string(list_sort(
+                           list_filter(string_split(qs, '&'), p -> p != '' AND NOT p LIKE 'utm_%'
+                             AND NOT p LIKE 'gclid=%' AND NOT p LIKE 'fbclid=%')), '&'))
+                    ELSE '' END) AS curl
+      FROM comps)
+    SELECT source,
+           CAST(count(1) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_raw,
+           CAST(count(DISTINCT curl) AS BIGINT) AS n_canon,
+           CAST(count(DISTINCT url) - count(DISTINCT curl) AS BIGINT) AS n_collapsed,
+           min(curl) AS sample
+    FROM canon GROUP BY source ORDER BY source"""
+
   /** q202 — INCREMENTAL snapshot dedup: dedupe a new batch against the
     * existing corpus index, never corpus×corpus — the operational
     * reality at 100 TB (daily deltas dedupe against yesterday's index;
@@ -4517,6 +4641,7 @@ object LlmQueries extends QueryModule {
     "q199_label_propagation" -> (labelPropQuery(_, _)),
     "q200_pipeline_funnel" -> sqlQuery(docs, pipelineFunnelSql),
     "q205_html_extract" -> sqlQuery(docs, htmlExtractSql),
+    "q211_url_canon" -> sqlQuery(docs, urlCanonSql),
     "q202_incremental_dedup" -> sqlQuery(docs, incrementalDedupSql))
 
   override val oracles: Map[String, String] = Map(
@@ -4592,5 +4717,6 @@ object LlmQueries extends QueryModule {
     "q199_label_propagation" -> labelPropOracle,
     "q200_pipeline_funnel" -> pipelineFunnelOracle,
     "q205_html_extract" -> htmlExtractOracle,
+    "q211_url_canon" -> urlCanonOracle,
     "q202_incremental_dedup" -> incrementalDedupOracle)
 }
