@@ -4767,6 +4767,69 @@ object KqlCompiler {
         // Kusto hash(): xxhash64 (documented engine choice; Kusto's own
         // hash is also a 64-bit xx-family hash, values differ by seed)
         case "hash" => arity(1); df => xxhash64(args.head(df))
+        // unit-conversion family (UnitsNet naming, the Kusto surface).
+        // Documented subset: the common SI + imperial units per family;
+        // factors are exact public constants expressed as the SAME
+        // IEEE divisions the oracle writes (1852.0/3600.0, π/180, …) so
+        // cross-engine results bit-match. Unknown unit → null
+        // (exception-total stance). value · f(from) / f(to).
+        case "convert_length" | "convert_mass" | "convert_speed" |
+             "convert_energy" | "convert_angle" | "convert_volume" |
+             "convert_force" =>
+          arity(3)
+          df => {
+            val factors: Map[String, Double] = name match {
+              case "convert_length" => Map(
+                "Meter" -> 1.0, "Kilometer" -> 1000.0, "Centimeter" -> 0.01,
+                "Millimeter" -> 0.001, "Micrometer" -> 1e-6, "Mile" -> 1609.344,
+                "Yard" -> 0.9144, "Foot" -> 0.3048, "Inch" -> 0.0254,
+                "NauticalMile" -> 1852.0)
+              case "convert_mass" => Map(
+                "Kilogram" -> 1.0, "Gram" -> 0.001, "Milligram" -> 1e-6,
+                "Tonne" -> 1000.0, "Pound" -> 0.45359237,
+                "Ounce" -> 0.45359237 / 16.0, "Stone" -> 6.35029318)
+              case "convert_speed" => Map(
+                "MeterPerSecond" -> 1.0, "KilometerPerHour" -> 1.0 / 3.6,
+                "MilePerHour" -> 0.44704, "Knot" -> 1852.0 / 3600.0,
+                "FootPerSecond" -> 0.3048)
+              case "convert_energy" => Map(
+                "Joule" -> 1.0, "Kilojoule" -> 1000.0, "Calorie" -> 4.184,
+                "Kilocalorie" -> 4184.0, "WattHour" -> 3600.0,
+                "KilowattHour" -> 3.6e6, "BritishThermalUnit" -> 1055.05585262,
+                "Electronvolt" -> 1.602176634e-19)
+              case "convert_angle" => Map(
+                "Radian" -> 1.0, "Degree" -> math.Pi / 180.0,
+                "Gradian" -> math.Pi / 200.0, "Revolution" -> 2.0 * math.Pi)
+              case "convert_volume" => Map(
+                "CubicMeter" -> 1.0, "Liter" -> 0.001, "Milliliter" -> 1e-6,
+                "CubicFoot" -> 0.3048 * 0.3048 * 0.3048,
+                "CubicInch" -> 0.0254 * 0.0254 * 0.0254,
+                "UsGallon" -> 0.003785411784, "ImperialGallon" -> 0.00454609)
+              case _ => Map(
+                "Newton" -> 1.0, "Kilonewton" -> 1000.0,
+                "PoundForce" -> 4.4482216152605, "KilogramForce" -> 9.80665,
+                "Dyn" -> 1e-5)
+            }
+            val v = args(0)(df).cast("double")
+            def f(c: Column): Column = factors.foldLeft(lit(null).cast("double")) {
+              case (acc, (u, d)) => when(c === lit(u), lit(d)).otherwise(acc)
+            }
+            v * f(args(1)(df)) / f(args(2)(df))
+          }
+        // temperature is AFFINE, not a factor: via Kelvin, with the
+        // exact op order (v + 459.67) · 5 / 9 the oracle mirrors
+        case "convert_temperature" => arity(3); df => {
+          val v = args(0)(df).cast("double")
+          def toK(u: Column, x: Column): Column =
+            when(u === "Kelvin", x)
+              .when(u === "DegreeCelsius", x + lit(273.15))
+              .when(u === "DegreeFahrenheit", (x + lit(459.67)) * lit(5.0) / lit(9.0))
+          def fromK(u: Column, k: Column): Column =
+            when(u === "Kelvin", k)
+              .when(u === "DegreeCelsius", k - lit(273.15))
+              .when(u === "DegreeFahrenheit", k * lit(9.0) / lit(5.0) - lit(459.67))
+          fromK(args(2)(df), toK(args(1)(df), v))
+        }
         // statistical family on the regularized incomplete beta
         // (functions/KStat.scala): welch_test(m1,v1,n1,m2,v2,n2) and
         // beta_cdf/beta_pdf(x,α,β), beta_inv(p,α,β)

@@ -1569,6 +1569,31 @@ object KqlQueries extends QueryModule {
           | | order by event_type asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // unit-conversion family (round 14): length/mass/speed/energy/
+    // angle/volume/force factor conversions + affine temperature, with
+    // a column-valued from-unit case. The oracle multiplies the SAME
+    // IEEE-exact constants (1852.0/3600.0, pi()/180, ...) in the same
+    // op order, so results bit-match before the round.
+    "q212_kql_text_convert" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_id % 19 == 0
+          | | extend lm = round(convert_length(value, 'Mile', 'Kilometer'), 6),
+          |          li = round(convert_length(value, 'Foot', 'Inch'), 6),
+          |          ms = round(convert_mass(value, 'Pound', 'Gram'), 6),
+          |          sp = round(convert_speed(value, 'KilometerPerHour', 'MilePerHour'), 6),
+          |          en = round(convert_energy(value, 'KilowattHour', 'Kilocalorie'), 4),
+          |          an = round(convert_angle(value, 'Degree', 'Gradian'), 6),
+          |          vo = round(convert_volume(value, 'UsGallon', 'Liter'), 6),
+          |          fo = round(convert_force(value, 'PoundForce', 'Newton'), 6),
+          |          tc = round(convert_temperature(value, 'DegreeFahrenheit', 'DegreeCelsius'), 6),
+          |          tk = round(convert_temperature(value, 'DegreeCelsius', 'Kelvin'), 6),
+          |          dyn = round(convert_length(value, iff(event_id % 2 == 0, 'Foot', 'Yard'), 'Meter'), 6),
+          |          bad = convert_length(value, 'Parsec', 'Meter')
+          | | project event_id, lm, li, ms, sp, en, an, vo, fo, tc, tk, dyn, bad
+          | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // statistical ring (round 14): welch_test + beta_cdf/pdf/inv on the
     // regularized incomplete beta (functions/KStat.scala). The oracle
     // mirrors EXACT closed forms the parameters are steered into —
@@ -2070,6 +2095,23 @@ object KqlQueries extends QueryModule {
                 round(sum(CASE WHEN event_type = 'error' THEN value END), 6) AS error,
                 round(sum(CASE WHEN event_type = 'view' THEN value END), 6) AS view
          FROM base GROUP BY b ORDER BY b""",
+
+    "q212_kql_text_convert" ->
+      """SELECT event_id,
+              round(value * 1609.344 / 1000.0, 6) AS lm,
+              round(value * 0.3048 / 0.0254, 6) AS li,
+              round(value * 0.45359237 / 0.001, 6) AS ms,
+              round(value * (1.0 / 3.6) / 0.44704, 6) AS sp,
+              round(value * 3600000.0 / 4184.0, 4) AS en,
+              round(value * (pi() / 180.0) / (pi() / 200.0), 6) AS an,
+              round(value * 0.003785411784 / 0.001, 6) AS vo,
+              round(value * 4.4482216152605 / 1.0, 6) AS fo,
+              round((value + 459.67) * 5.0 / 9.0 - 273.15, 6) AS tc,
+              round(value + 273.15, 6) AS tk,
+              round(CASE WHEN event_id % 2 = 0 THEN value * 0.3048 / 1.0
+                         ELSE value * 0.9144 / 1.0 END, 6) AS dyn,
+              CAST(NULL AS DOUBLE) AS bad
+         FROM events WHERE event_id % 19 = 0 ORDER BY event_id""",
 
     "q210_kql_text_fft" ->
       """SELECT event_type, CAST(15 AS BIGINT) AS n,
