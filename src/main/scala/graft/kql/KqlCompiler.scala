@@ -4542,6 +4542,15 @@ object KqlCompiler {
               case _ => a =!= b
             }
           })
+        // ipv4_range_to_cidr_list(start, end): minimal covering CIDR
+        // blocks (greedy largest-aligned-block split; ≤ 64 entries —
+        // functions/Ipv4Cidr.scala); malformed/inverted range → null
+        case "ipv4_range_to_cidr_list" => arity(2); df => {
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.Ipv4RangeToCidrList(
+            GraftColumnBridge.catalystExpression(args(0)(df)),
+            GraftColumnBridge.catalystExpression(args(1)(df))))
+        }
         // gap-filling family over no-default make-series output — pinned
         // edge rules documented on graft.functions.SeriesDecompose
         case "series_fill_const" =>

@@ -1569,6 +1569,25 @@ object KqlQueries extends QueryModule {
           | | order by event_type asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // ipv4_range_to_cidr_list (round 14): greedy largest-aligned-block
+    // covering set (bounded ≤ 64 blocks); the oracle states the
+    // expected lists for the derived ranges, incl. a multi-block split,
+    // the aligned /24 case, and the inverted-range null path.
+    "q213_kql_text_cidr" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_id % 23 == 0
+          | | extend cl = tostring(ipv4_range_to_cidr_list('10.0.0.0', '10.0.0.255')),
+          |          c2 = tostring(ipv4_range_to_cidr_list(
+          |                 strcat('10.', tostring(event_id % 200), '.0.3'),
+          |                 strcat('10.', tostring(event_id % 200), '.0.10'))),
+          |          c3 = tostring(ipv4_range_to_cidr_list('0.0.0.0', '255.255.255.255')),
+          |          cbad = isnull(ipv4_range_to_cidr_list('10.0.0.9', '10.0.0.2')),
+          |          cmal = isnull(ipv4_range_to_cidr_list('10.0.0.300', '10.0.1.2'))
+          | | project event_id, cl, c2, c3, cbad, cmal
+          | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // unit-conversion family (round 14): length/mass/speed/energy/
     // angle/volume/force factor conversions + affine temperature, with
     // a column-valued from-unit case. The oracle multiplies the SAME
@@ -2095,6 +2114,17 @@ object KqlQueries extends QueryModule {
                 round(sum(CASE WHEN event_type = 'error' THEN value END), 6) AS error,
                 round(sum(CASE WHEN event_type = 'view' THEN value END), 6) AS view
          FROM base GROUP BY b ORDER BY b""",
+
+    "q213_kql_text_cidr" ->
+      """SELECT event_id,
+              '["10.0.0.0/24"]' AS cl,
+              concat('["10.', CAST(event_id % 200 AS VARCHAR), '.0.3/32","10.',
+                     CAST(event_id % 200 AS VARCHAR), '.0.4/30","10.',
+                     CAST(event_id % 200 AS VARCHAR), '.0.8/31","10.',
+                     CAST(event_id % 200 AS VARCHAR), '.0.10/32"]') AS c2,
+              '["0.0.0.0/0"]' AS c3,
+              TRUE AS cbad, TRUE AS cmal
+         FROM events WHERE event_id % 23 = 0 ORDER BY event_id""",
 
     "q212_kql_text_convert" ->
       """SELECT event_id,
