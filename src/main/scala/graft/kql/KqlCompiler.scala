@@ -1242,6 +1242,35 @@ object KqlCompiler {
               throw new KqlParseException("series_fit_line yields at most 6 values (rsquare, slope, variance, rvariance, interception, line_fit)")
             viaStruct(graft.functions.SeriesDecompose.fitLineStruct(arrB(df)),
               Seq("rsquare", "slope", "variance", "rvariance", "interception", "line_fit"))
+          case "series_fit_poly" =>
+            // (rsquare, coefficients, variance, rvariance, poly_fit) =
+            //  series_fit_poly(y [, x] [, degree]) — per-row OLS
+            // polynomial fit (functions/PolyFit.scala; coefficients
+            // highest power first, x defaults to the series index).
+            // degree is a parse-time literal (compile-time cap 8).
+            expect("("); val yB = expr()
+            var xB: Option[ColB] = None
+            var deg = 1
+            if (peekIs(",")) {
+              expect(",")
+              if (peek.exists(_.kind == "num") && toks.lift(pos + 1).exists(_.text == ")"))
+                deg = number()
+              else {
+                xB = Some(expr())
+                if (peekIs(",")) { expect(","); deg = number() }
+              }
+            }
+            expect(")")
+            if (names.length > 5)
+              throw new KqlParseException("series_fit_poly yields at most 5 values (rsquare, coefficients, variance, rvariance, poly_fit)")
+            if (deg < 0 || deg > 8)
+              throw new KqlParseException(s"series_fit_poly degree must be 0..8, got $deg")
+            val polyKids = (Seq(yB) ++ xB.toSeq).map(bld =>
+              org.apache.spark.sql.GraftColumnBridge.catalystExpression(
+                transform(bld(df), _.cast("double"))))
+            viaStruct(org.apache.spark.sql.GraftColumnBridge.column(
+              graft.functions.SeriesFitPoly(polyKids, deg)),
+              Seq("rsquare", "coefficients", "variance", "rvariance", "poly_fit"))
           case "series_fit_2lines" =>
             // (rsquare, split_idx, variance, rvariance, line_fit) =
             //  series_fit_2lines(arr) — best two-segment OLS changepoint
@@ -1281,7 +1310,7 @@ object KqlCompiler {
               arrB(df), loB(df), hiB(df), numB(df)), Seq("periods", "scores"))
           case other =>
             throw new KqlParseException(
-              s"multi-assign extend supports series_stats/series_decompose/series_decompose_anomalies/series_fit_line/series_fit_2lines/series_periods_detect, got '$other'")
+              s"multi-assign extend supports series_stats/series_decompose/series_decompose_anomalies/series_fit_line/series_fit_2lines/series_fit_poly/series_fft/series_ifft/series_periods_detect, got '$other'")
         }
       case "extend" if toks.lift(pos + 2).exists(t =>
           t.kind == "id" && t.text == "row_window_session") =>

@@ -1569,6 +1569,25 @@ object KqlQueries extends QueryModule {
           | | order by event_type asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // series_fit_poly (round 14): per-row OLS polynomial fit. The
+    // series is an exact quadratic derived from value, so the oracle
+    // states the recovered coefficients in closed form (c2=3, c1=2,
+    // c0=value), rsquare 1, zero residuals — gating the normal-equation
+    // solve at data scale.
+    "q214_kql_text_fitpoly" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_id % 29 == 0
+          | | extend a = pack_array(value, value + 5.0, value + 16.0, value + 33.0,
+          |                         value + 56.0, value + 85.0, value + 120.0, value + 161.0)
+          | | extend (rs, co, vr, rv, pf) = series_fit_poly(a, 2)
+          | | extend rs = round(rs, 9), c2 = round(co[0], 6), c1 = round(co[1], 6),
+          |          c0 = round(co[2], 6), rv = round(rv, 6),
+          |          rt = round(series_sum(series_abs(series_subtract(a, pf))), 4)
+          | | project event_id, rs, c2, c1, c0, rv, rt
+          | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // ipv4_range_to_cidr_list (round 14): greedy largest-aligned-block
     // covering set (bounded ≤ 64 blocks); the oracle states the
     // expected lists for the derived ranges, incl. a multi-block split,
@@ -2114,6 +2133,13 @@ object KqlQueries extends QueryModule {
                 round(sum(CASE WHEN event_type = 'error' THEN value END), 6) AS error,
                 round(sum(CASE WHEN event_type = 'view' THEN value END), 6) AS view
          FROM base GROUP BY b ORDER BY b""",
+
+    "q214_kql_text_fitpoly" ->
+      """SELECT event_id, CAST(1.0 AS DOUBLE) AS rs,
+              CAST(3.0 AS DOUBLE) AS c2, CAST(2.0 AS DOUBLE) AS c1,
+              round(value, 6) AS c0, CAST(0.0 AS DOUBLE) AS rv,
+              CAST(0.0 AS DOUBLE) AS rt
+         FROM events WHERE event_id % 29 = 0 ORDER BY event_id""",
 
     "q213_kql_text_cidr" ->
       """SELECT event_id,
