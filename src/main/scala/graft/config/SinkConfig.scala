@@ -80,12 +80,21 @@ final case class SinkConfig(
   /** The DLQ producer's full property set: passthrough props, then the
     * engine-forced keys — bootstrap servers and byte-array serializers
     * win over any passthrough value, exactly the reference's
-    * getDlqProps layering (reference: KustoSinkConfig.java:464-472). */
-  def dlqProducerProps: Map[String, String] =
+    * getDlqProps layering (reference: KustoSinkConfig.java:464-472).
+    * The programmatic API may enable the DLQ with an INJECTED producer
+    * factory and no servers; asking for connector-style producer props
+    * without servers is a config error HERE, fail-fast, not a
+    * first-write ConfigException inside the Kafka producer. */
+  def dlqProducerProps: Map[String, String] = {
+    if (dlqBootstrapServers.isEmpty)
+      throw new SinkConfigException(
+        "DLQ producer properties need misc.deadletterqueue.bootstrap.servers " +
+          "(or inject a DlqProducer factory instead)")
     dlqPassthroughProps ++ Map(
       "bootstrap.servers" -> dlqBootstrapServers.mkString(","),
       "key.serializer" -> "org.apache.kafka.common.serialization.ByteArraySerializer",
       "value.serializer" -> "org.apache.kafka.common.serialization.ByteArraySerializer")
+  }
 
   val router: MappingRouter = new MappingRouter(mappings)
 }

@@ -133,9 +133,10 @@ case class SeriesFft(children: Seq[Expression], inverse: Boolean)
     StructField("im", ArrayType(DoubleType, containsNull = false))))
   override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult =
-    if (children.forall(_.dataType == ArrayType(DoubleType, containsNull = false)) ||
-        children.forall(_.dataType.isInstanceOf[ArrayType]))
-      TypeCheckResult.TypeCheckSuccess
+    if (children.forall(_.dataType match {
+        case ArrayType(DoubleType, _) => true
+        case _ => false
+      })) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"series_fft expects double-array arguments, got ${children.map(_.dataType.catalogString).mkString(", ")}")
   override def eval(input: InternalRow): Any = {

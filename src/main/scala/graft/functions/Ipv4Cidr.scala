@@ -22,7 +22,9 @@ object Ipv4Cidr {
     var i = 0
     while (i < 4) {
       val p = parts(i)
-      if (p.isEmpty || p.length > 3 || !p.forall(_.isDigit)) return -1L
+      // ASCII digits only — Char.isDigit accepts Unicode digit classes
+      // (e.g. Arabic-Indic), which the ipv4 family rejects
+      if (p.isEmpty || p.length > 3 || !p.forall(c => c >= '0' && c <= '9')) return -1L
       val o = p.toInt
       if (o > 255) return -1L
       v = (v << 8) | o

@@ -38,9 +38,12 @@ case class SeriesFitPoly(children: Seq[Expression], degree: Int)
   override def checkInputDataTypes(): TypeCheckResult =
     if (degree < 0 || degree > 8)
       TypeCheckResult.TypeCheckFailure(s"series_fit_poly degree must be 0..8, got $degree")
-    else if (children.forall(_.dataType.isInstanceOf[ArrayType])) TypeCheckResult.TypeCheckSuccess
+    else if (children.forall(_.dataType match {
+        case ArrayType(DoubleType, _) => true
+        case _ => false
+      })) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"series_fit_poly expects array arguments, got ${children.map(_.dataType.catalogString).mkString(", ")}")
+      s"series_fit_poly expects double-array arguments, got ${children.map(_.dataType.catalogString).mkString(", ")}")
 
   override def eval(input: InternalRow): Any = {
     def arr(e: Expression): Array[Double] = e.eval(input) match {

@@ -512,19 +512,35 @@ object KqlCompiler {
               Seq("__bfs_src", "__bfs_cur"), "left_anti"))
             .localCheckpoint()
           frontierCnt = fresh.count()
-          settled = settled
-            .union(fresh.select(col("__bfs_src"), col("__bfs_cur")))
-            .localCheckpoint()
-          settledCnt += frontierCnt
+          // settled tracks PAIRS: for output=all the frontier carries one
+          // row per shortest path, so dedupe before the union or the
+          // settled set (and its broadcast-size estimate) grows with path
+          // multiplicity instead of pair count
+          val freshPairs =
+            if (mode == "any") fresh.select(col("__bfs_src"), col("__bfs_cur"))
+            else fresh.select(col("__bfs_src"), col("__bfs_cur")).distinct()
+          settled = settled.union(freshPairs).localCheckpoint()
+          settledCnt += (if (mode == "any") frontierCnt else freshPairs.count())
           reachedCnt += frontierCnt
           perLevel += fresh
           frontier = fresh
           lvl += 1
         }
+        // per-level results are checkpointed — the edge cache is no
+        // longer referenced by the result plan
+        edges.unpersist()
         val reached = perLevel.reduce(_ unionByName _)
+        // the endpoint-bind projection is the last reader of the node
+        // cache: checkpoint it (reads the cache once; the RDD blocks are
+        // reclaimed by the ContextCleaner when the result is dropped,
+        // unlike a persist which outlives the query) and release the
+        // cache so repeated shortest-paths queries in one session don't
+        // accumulate cached node tables
         val nodesB = nodes.select(
           nodes(g.idCol).as("__bfs_bid"),
           struct(nCols.map(nodes(_)): _*).as("__bfs_b"))
+          .localCheckpoint()
+        nodes.unpersist()
         var out = maybeBcast(reached, reachedCnt)
           .join(nodesB, reached("__bfs_cur") === nodesB("__bfs_bid"))
         // repeated endpoint alias (a)-[e*…]->(a): same-node constraint
@@ -4792,9 +4808,12 @@ object KqlCompiler {
         // rand() ∈ [0,1) / rand(n) ∈ {0..n-1}: NONDETERMINISTIC by
         // definition (per-row, per-run) — spec-covered for range only,
         // never oracle-gated
-        case "rand" => df =>
-          if (args.isEmpty) rand()
-          else floor(rand() * args.head(df).cast("double")).cast("long")
+        case "rand" =>
+          if (args.length > 1)
+            throw new KqlParseException(s"rand() expects 0 or 1 arguments, got ${args.length}")
+          df =>
+            if (args.isEmpty) rand()
+            else floor(rand() * args.head(df).cast("double")).cast("long")
         case "isnull" => arity(1); df => args.head(df).isNull
         case "isnotnull" => arity(1); df => args.head(df).isNotNull
         // Kusto strcmp: -1/0/1 three-way binary-collation compare

@@ -89,7 +89,11 @@ object StronglyConnected {
         .localCheckpoint()
     }
     e0.unpersist()
-    parts.reduce(_ union _)
+    // edge-free graph: no endpoints, empty (node, comp) result with the
+    // right schema (the caller coalesces isolated nodes to their own id)
+    if (parts.isEmpty)
+      e0.select(F.col("src").as("node"), F.col("src").as("comp")).limit(0)
+    else parts.reduce(_ union _)
   }
 
   /** lbl(v) = min id over {v} ∪ {u : u ⇝ v} (ancestors via `forward`

@@ -1644,7 +1644,7 @@ object KqlQueries extends QueryModule {
       graft.kql.KqlCompiler.compile(
         """events
           | | where event_id % 17 == 0
-          | | extend xx = value / 409.7 + 0.0013,
+          | | extend xx = min_of(value, 300.0) / 409.7 + 0.0013,
           |          aa = 1.0 + event_id % 5, bb = 2.0 + event_id % 3
           | | extend c1 = round(beta_cdf(xx, 1.0, bb), 7),
           |          c2 = round(beta_cdf(xx, aa, 1.0), 7),
@@ -2179,7 +2179,7 @@ object KqlQueries extends QueryModule {
 
     "q209_kql_text_stat" ->
       """WITH base AS (
-           SELECT event_id, value, value / 409.7 + 0.0013 AS xx,
+           SELECT event_id, value, least(value, 300.0) / 409.7 + 0.0013 AS xx,
                   1.0 + (event_id % 5) AS aa, 2.0 + (event_id % 3) AS bb,
                   (value - value * 0.5) / sqrt(8.0) AS t
            FROM events WHERE event_id % 17 = 0)

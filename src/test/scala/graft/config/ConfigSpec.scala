@@ -144,5 +144,10 @@ class ConfigSpec extends AnyFunSuite {
     assert(!SinkConfig.fromProps(base).enableTableValidation) // default off
     assertThrows[SinkConfigException](SinkConfig.fromProps(
       base + ("kusto.validation.table.enable" -> "yes")))
+    // programmatic API: DLQ via injected factory is fine, but asking for
+    // connector-style producer props without servers fails fast
+    val prog = SinkConfig(Seq(mapping()), dlqTopic = Some("dlq"))
+    assert(prog.dlqEnabled)
+    assertThrows[SinkConfigException](prog.dlqProducerProps)
   }
 }

@@ -385,6 +385,12 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     val nl = KqlCompiler.compile("t | project n = array_length(parse_csv(s))",
       _ => Seq(("x,y\nz,w,v")).toDF("s")).head()
     assert(nl.getLong(0) == 2L)
+    // rand arity is loud; cidr parse rejects non-ASCII Unicode digits
+    assertThrows[KqlCompiler.KqlParseException](run("t | project r = rand(1, 2)"))
+    val uni = run(
+      "t | where id == 1 | project bad = isnull(ipv4_range_to_cidr_list('10.٣.0.0', '10.3.0.255'))")
+      .head()
+    assert(uni.getBoolean(0))
   }
 
   test("dynamic_to_json canonical keys; series_stats_dynamic bag") {
@@ -1741,6 +1747,16 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
         | | graph-mark-components kind=strong with_component_id=comp
         | | graph-to-table nodes | summarize n = dcount(comp)""".stripMargin).head()
     assert(dag.getLong(0) == 4L)
+    // edge-free graph (all edges filtered): isolated nodes label
+    // themselves, no crash (regression: empty.reduce)
+    val empty = runG2(
+      """let E = datatable(src: string, dst: string)['a', 'b'];
+        | let N = datatable(id: string)['a', 'b', 'z'];
+        | E | where src == 'nope' | make-graph src --> dst with N on id
+        | | graph-mark-components kind=strong with_component_id=comp
+        | | graph-to-table nodes | order by id asc""".stripMargin).collect()
+    assert(empty.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("a", "a"), ("b", "b"), ("z", "z")))
   }
 
   test("graph-to-table and make-graph misuse are handled") {
