@@ -4145,6 +4145,12 @@ object KqlCompiler {
         expect(")")
         return df => Kql.pack(pairs.map { case (k, v) => v(df).as(k) }: _*)
       }
+      if (name == "bag_pack_columns") {
+        // bag_pack_columns(c1, c2, …): column NAMES become the keys
+        val cols0 = sepBy1(() => ident())
+        expect(")")
+        return df => Kql.pack(cols0.map(n => df(n).as(n)): _*)
+      }
       if (name == "prev" || name == "next") {
         // prev(col[, offset]) / next(col[, offset]) over the serialized
         // order — offset is a parse-time literal (lag/lead need Int)
@@ -5320,6 +5326,27 @@ object KqlCompiler {
             (v >= 2886729728L && v <= 2887778303L) ||
             (v >= 3232235520L && v <= 3232301055L))
         }
+        // has_ipv4 family (security-log scalars): does the TEXT contain
+        // a properly-delimited valid IPv4 (equal to / prefixed by the
+        // given values)? Lowering: ONE regexp_extract_all of delimited
+        // valid-octet candidates (lookaround boundaries — no char
+        // consumption, so adjacent IPs all extract), then array
+        // membership / prefix lambdas. Map-only, codegen'd.
+        case "has_ipv4" | "has_any_ipv4" | "has_ipv4_prefix" | "has_any_ipv4_prefix" =>
+          if (args.length < 2)
+            throw new KqlParseException(s"$name() expects the source text and at least one value")
+          if ((name == "has_ipv4" || name == "has_ipv4_prefix") && args.length != 2)
+            throw new KqlParseException(s"$name() expects exactly 2 arguments")
+          df => {
+            val oct = "(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+            val cands = regexp_extract_all(args(0)(df),
+              lit(s"(?<![0-9A-Za-z.])($oct(?:\\.$oct){3})(?![0-9A-Za-z.])"), lit(1))
+            val vals = args.tail.map(_(df))
+            if (name.endsWith("_prefix"))
+              vals.map(p => exists(cands, c => c.startsWith(p))).reduce(_ || _)
+            else
+              vals.map(v => array_contains(cands, v)).reduce(_ || _)
+          }
         case "ipv4_is_in_range" => arity(2); df => {
           // ipv4_is_in_range(ip, 'base/p'): both sides masked to p
           val range = args(1)(df)

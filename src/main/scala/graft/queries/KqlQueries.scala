@@ -1569,6 +1569,31 @@ object KqlQueries extends QueryModule {
           | | order by event_type asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // has_ipv4 family + bag_pack_columns (round 14): delimited valid-IP
+    // text scans (lookaround boundaries, one regexp_extract_all) with
+    // constructible truth — the log line embeds IPs derived from event
+    // columns plus an invalid-octet decoy, so every boolean is known.
+    "q215_kql_text_hasipv4" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_id % 31 == 0
+          | | extend ip = strcat(tostring(event_id % 250), '.', tostring(user_id % 250), '.7.9')
+          | | extend line = strcat('conn from ', ip, ':443 and 10.0.0.', tostring(event_id % 250), ', junk 999.1.2.3 t=', event_type)
+          | | extend h1 = has_ipv4(line, ip),
+          |          h2 = has_ipv4(line, strcat('10.0.0.', tostring(event_id % 250))),
+          |          h3 = has_ipv4(line, '999.1.2.3'),
+          |          h4 = has_ipv4(strcat('x', line), ip),
+          |          h5 = has_ipv4(strcat('a', ip), ip),
+          |          hp = has_ipv4_prefix(line, strcat(tostring(event_id % 250), '.')),
+          |          hp2 = has_ipv4_prefix(line, '999.'),
+          |          ha = has_any_ipv4(line, '8.8.8.8', ip),
+          |          hap = has_any_ipv4_prefix(line, '8.8.', '10.0.0.'),
+          |          bp = bag_pack_columns(event_id, event_type)
+          | | extend bk = tostring(bag_keys(bp)), bv = tolong(extract_json('$.event_id', bp))
+          | | project event_id, h1, h2, h3, h4, h5, hp, hp2, ha, hap, bk, bv
+          | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // series_fit_poly (round 14): per-row OLS polynomial fit. The
     // series is an exact quadratic derived from value, so the oracle
     // states the recovered coefficients in closed form (c2=3, c1=2,
@@ -2133,6 +2158,13 @@ object KqlQueries extends QueryModule {
                 round(sum(CASE WHEN event_type = 'error' THEN value END), 6) AS error,
                 round(sum(CASE WHEN event_type = 'view' THEN value END), 6) AS view
          FROM base GROUP BY b ORDER BY b""",
+
+    "q215_kql_text_hasipv4" ->
+      """SELECT event_id,
+              TRUE AS h1, TRUE AS h2, FALSE AS h3, TRUE AS h4, FALSE AS h5,
+              TRUE AS hp, FALSE AS hp2, TRUE AS ha, TRUE AS hap,
+              '["event_id","event_type"]' AS bk, event_id AS bv
+         FROM events WHERE event_id % 31 = 0 ORDER BY event_id""",
 
     "q214_kql_text_fitpoly" ->
       """SELECT event_id, CAST(1.0 AS DOUBLE) AS rs,
