@@ -2617,12 +2617,20 @@ object LlmQueries extends QueryModule {
     val ed = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = ed.select(col("src").as("node")).distinct()
+    // the seed table is tiny (|parts|/17 rows) and loop-INVARIANT:
+    // checkpoint it once (never re-scan lineitem per round) and carry a
+    // clamped flag on the label table, so the per-round update is ONE
+    // left join against the majority table instead of re-joining seeds
+    // every round — same semantics (a seeded node's coalesce always
+    // resolves to its seed)
     val seeds = li.select(col("l_partkey")).where(col("l_partkey") % 17 === 0).distinct()
       .select(concat(lit("p"), col("l_partkey")).as("node"),
         (col("l_partkey") % 4).cast("long").as("seed"))
+      .localCheckpoint()
     try {
-      var labels = nodes.join(seeds, Seq("node"), "left")
-        .select(col("node"), col("seed").as("label"))
+      var labels = nodes.join(broadcast(seeds), Seq("node"), "left")
+        .select(col("node"), col("seed").as("label"),
+          col("seed").isNotNull.as("clamped"))
         .localCheckpoint()
       for (_ <- 1 to 3) {
         val l = labels.where(col("label").isNotNull)
@@ -2631,10 +2639,11 @@ object LlmQueries extends QueryModule {
           .groupBy(col("dst"), col("llab")).agg(count(lit(1)).as("c"))
         val maj = msgs.groupBy(col("dst"))
           .agg(max_by(col("llab"), struct(col("c"), (-col("llab")).as("nl"))).as("mlab"))
-        labels = labels.join(seeds, Seq("node"), "left")
-          .join(maj, labels("node") === maj("dst"), "left")
+        labels = labels.join(maj, labels("node") === maj("dst"), "left")
           .select(labels("node"),
-            coalesce(col("seed"), col("mlab"), col("label")).as("label"))
+            when(labels("clamped"), labels("label"))
+              .otherwise(coalesce(col("mlab"), labels("label"))).as("label"),
+            labels("clamped"))
           .localCheckpoint()
       }
       labels.groupBy(col("label")).agg(
