@@ -286,4 +286,60 @@ object StreamOps {
           }
       }
   }
+
+  final case class LshBucketState(keeper: Long, lastMs: Long)
+  final case class LshCand(bucket: String, keeper: Long, candidate: Long)
+
+  /** Streaming LSH candidate-pair generator — the streaming front end of
+    * the batch q22 near-dup machinery: documents arrive with their LSH
+    * band keys (computed map-side by the batch expressions —
+    * minhash_sig + banding; any deterministic `array<string>` of bucket
+    * keys works), each bucket keeps its FIRST document as the keeper,
+    * and every later same-bucket arrival emits a (bucket, keeper,
+    * candidate) pair for downstream exact verification (the batch
+    * est-Jaccard join — candidates only, never corpus×corpus).
+    *
+    * State per bucket is ONE (keeper id, last-seen) entry, hash
+    * partitioned, evicted `horizonMs` of event time after the bucket
+    * last fired (event-time timeout above the watermark) — fixed bytes
+    * per live bucket, the same bounded-state contract as the other
+    * keyed operators here. Within a batch, arrivals order by
+    * (ts, doc_id) so keeper election is deterministic. */
+  def lshCandidatePairs(docs: DataFrame, tsCol: String, delayThreshold: String,
+                        docIdCol: String, bandKeys: Column,
+                        horizonMs: Long): Dataset[LshCand] = {
+    require(horizonMs > 0, "horizonMs must be positive")
+    import docs.sparkSession.implicits._
+    docs
+      .withWatermark(tsCol, delayThreshold)
+      .select(col(tsCol).as("__ts"), col(docIdCol).cast("long").as("__doc"),
+        explode(bandKeys).as("__bucket"))
+      .as[(Timestamp, Long, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[LshBucketState, LshCand](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (bucket, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toVector.sortBy(r => (r._1.getTime, r._2))
+            var cur = state.getOption
+            val out = Vector.newBuilder[LshCand]
+            sorted.foreach { case (ts, doc, _) =>
+              cur match {
+                case Some(s) =>
+                  if (doc != s.keeper) out += LshCand(bucket, s.keeper, doc)
+                  cur = Some(s.copy(lastMs = math.max(s.lastMs, ts.getTime)))
+                case None =>
+                  cur = Some(LshBucketState(doc, ts.getTime))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(
+                math.max(s.lastMs + horizonMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
 }

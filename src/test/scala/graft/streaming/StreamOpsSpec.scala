@@ -125,6 +125,29 @@ class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("lshCandidatePairs: first doc per bucket keeps, later arrivals emit pairs, disjoint buckets stay silent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Seq[String])]
+    val df = stream.toDF().toDF("doc_id", "ts", "bands")
+    val q = StreamOps.lshCandidatePairs(df, "ts", "10 seconds", "doc_id",
+        org.apache.spark.sql.functions.col("bands"), horizonMs = 60000L)
+      .writeStream.format("memory").queryName("lsh_cand").outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(
+        (1L, ts(1), Seq("b0", "b1")),  // keeper of b0, b1
+        (2L, ts(2), Seq("b1", "b2")),  // pair with 1 via b1; keeper of b2
+        (3L, ts(3), Seq("b9")),        // lone bucket: silent
+        (4L, ts(4), Seq("b0", "b2")))  // pairs with 1 (b0) and 2 (b2)
+      q.processAllAvailable()
+      val pairs = spark.table("lsh_cand")
+        .select("bucket", "keeper", "candidate")
+        .as[(String, Long, Long)].collect().sorted
+      assert(pairs.toSeq == Seq(("b0", 1L, 4L), ("b1", 1L, 2L), ("b2", 2L, 4L)),
+        s"got ${pairs.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("enrichJoin: stream-stream banded join matches in-window dims only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
