@@ -132,6 +132,37 @@ object QuantileSketchOps {
     null
   }
 
+  /** percentrank_tdigest: the inverse of [[percentile]] — the value's
+    * percentage rank in [0, 100]. Pinned rule: cumulative mass of all
+    * buckets strictly before the value's bucket (in value order) plus
+    * HALF the value's own bucket, over the total. The half-bucket term
+    * makes the pair self-inverse: percentile(b, percentRank(b, v))
+    * walks back into v's bucket for any v present in the data, so the
+    * round trip is bounded by one bucket's relative error (the
+    * contract the gate checks). */
+  def percentRank(b: Buf, v: Double): java.lang.Double = {
+    val total = b.zero + b.pos.valuesIterator.sum + b.neg.valuesIterator.sum
+    if (total == 0L || java.lang.Double.isNaN(v)) return null
+    var below = 0L
+    var own = 0L
+    if (v <= -1e-300) {
+      val bi = bucket(-v)
+      b.neg.foreach { case (i, c) =>
+        if (i > bi) below += c else if (i == bi) own += c
+      }
+    } else if (v < 1e-300) {
+      below += b.neg.valuesIterator.sum
+      own = b.zero
+    } else {
+      val bi = bucket(v)
+      below += b.neg.valuesIterator.sum + b.zero
+      b.pos.foreach { case (i, c) =>
+        if (i < bi) below += c else if (i == bi) own += c
+      }
+    }
+    100.0 * (below + 0.5 * own) / total
+  }
+
   def serialize(b: Buf): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val o = new java.io.DataOutputStream(bos)
@@ -209,6 +240,33 @@ case class TdigestMergeAgg(
   override def withNewInputAggBufferOffset(o: Int): TdigestMergeAgg = copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): TdigestMergeAgg =
     copy(child = c.head)
+}
+
+/** `percentrank_tdigest(sketch, v)` — see
+  * [[QuantileSketchOps.percentRank]] for the pinned rule. Aggregated
+  * rows only, so CodegenFallback is free. */
+case class PercentRankTdigest(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullSafeEval(sketch: Any, v: Any): Any = {
+    val b = QuantileSketchOps.fromJson(sketch.toString)
+    val vd = v match {
+      case d: Double => d
+      case i: Int => i.toDouble
+      case l: Long => l.toDouble
+      case other => other.toString.toDouble
+    }
+    QuantileSketchOps.percentRank(b, vd)
+  }
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (left.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"percentrank_tdigest expects a sketch string, got ${left.dataType}")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PercentRankTdigest =
+    copy(left = l, right = r)
 }
 
 /** `percentile_tdigest(sketch, p)` — nearest-rank walk over the

@@ -5301,6 +5301,14 @@ object KqlCompiler {
             GraftColumnBridge.catalystExpression(args(0)(df).cast("string")),
             GraftColumnBridge.catalystExpression(args(1)(df).cast("double"))))
         }
+        // percentrank_tdigest(sketch, v) — the inverse read: the value's
+        // percentage rank (QuantileSketchOps.percentRank pinned rule)
+        case "percentrank_tdigest" => arity(2); df => {
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.PercentRankTdigest(
+            GraftColumnBridge.catalystExpression(args(0)(df).cast("string")),
+            GraftColumnBridge.catalystExpression(args(1)(df).cast("double"))))
+        }
         // ---- scalar ring 9: geo family + property-bag keys ----
         // geo_distance_2points(lon1, lat1, lon2, lat2) → meters.
         // PINNED to the haversine on the IUGG mean radius 6371009 m

@@ -1569,6 +1569,28 @@ object KqlQueries extends QueryModule {
           | | order by event_type asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // percentrank_tdigest (round 14): the inverse sketch read. Gated
+    // through EXACT self-inverse contracts: the rank of a bucket
+    // representative walks back to the identical representative
+    // (double equality — both reads resolve the same bucket), ranks
+    // are bounded/monotone, and the rank of the p-th percentile
+    // estimate sits within half a bucket's mass of p.
+    "q216_kql_text_percentrank" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """let S = events | summarize sk = tdigest(value) by event_type;
+          |S
+          | | extend v50 = percentile_tdigest(sk, 50), v90 = percentile_tdigest(sk, 90)
+          | | extend r50 = percentrank_tdigest(sk, v50), r90 = percentrank_tdigest(sk, v90)
+          | | extend ok_rt50 = percentile_tdigest(sk, r50) == v50,
+          |          ok_rt90 = percentile_tdigest(sk, r90) == v90,
+          |          ok_bounds = r50 >= 0.0 and r50 <= 100.0 and r90 >= 0.0 and r90 <= 100.0,
+          |          ok_mono = r50 <= r90,
+          |          ok_loc50 = abs(r50 - 50.0) <= 3.0,
+          |          ok_loc90 = abs(r90 - 90.0) <= 3.0
+          | | project event_type, ok_rt50, ok_rt90, ok_bounds, ok_mono, ok_loc50, ok_loc90
+          | | order by event_type asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // has_ipv4 family + bag_pack_columns (round 14): delimited valid-IP
     // text scans (lookaround boundaries, one regexp_extract_all) with
     // constructible truth — the log line embeds IPs derived from event
@@ -2158,6 +2180,11 @@ object KqlQueries extends QueryModule {
                 round(sum(CASE WHEN event_type = 'error' THEN value END), 6) AS error,
                 round(sum(CASE WHEN event_type = 'view' THEN value END), 6) AS view
          FROM base GROUP BY b ORDER BY b""",
+
+    "q216_kql_text_percentrank" ->
+      """SELECT event_type, TRUE AS ok_rt50, TRUE AS ok_rt90, TRUE AS ok_bounds,
+              TRUE AS ok_mono, TRUE AS ok_loc50, TRUE AS ok_loc90
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q215_kql_text_hasipv4" ->
       """SELECT event_id,

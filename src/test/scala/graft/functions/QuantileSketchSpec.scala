@@ -58,6 +58,38 @@ class QuantileSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.isNullAt(0))
   }
 
+  test("percentrank_tdigest: inverse of percentile within one bucket, accurate vs exact rank") {
+    // exact percent rank (strictly-below + half-ties) for probes
+    import spark.implicits._
+    val vals = df.select("v").as[Double].collect()
+    val n = vals.length.toDouble
+    def exactRank(x: Double): Double =
+      100.0 * (vals.count(_ < x) + 0.5 * vals.count(_ == x)) / n
+    val r = run(
+      """t | summarize s = tdigest(v)
+        | | project r1 = percentrank_tdigest(s, -500.0), r2 = percentrank_tdigest(s, 0.0),
+        |           r3 = percentrank_tdigest(s, 500.0),
+        |           v1 = percentile_tdigest(s, percentrank_tdigest(s, -500.0)),
+        |           v3 = percentile_tdigest(s, percentrank_tdigest(s, 500.0))""".stripMargin,
+      df).collect().head
+    // rank accuracy: the probe's bucket spreads at most the bucket mass
+    // around the exact rank — generous 2.5-point bound on this data
+    assert(math.abs(r.getDouble(0) - exactRank(-500.0)) <= 2.5)
+    assert(math.abs(r.getDouble(1) - exactRank(0.0)) <= 2.5)
+    assert(math.abs(r.getDouble(2) - exactRank(500.0)) <= 2.5)
+    // ranks are ordered and inside [0, 100]
+    assert(r.getDouble(0) < r.getDouble(1) && r.getDouble(1) < r.getDouble(2))
+    assert(r.getDouble(0) >= 0.0 && r.getDouble(2) <= 100.0)
+    // round trip lands back within the bucket's relative error
+    assert(math.abs(r.getDouble(3) - (-500.0)) <= 0.03 * 500.0)
+    assert(math.abs(r.getDouble(4) - 500.0) <= 0.03 * 500.0)
+    // empty sketch → null
+    val e = run(
+      "t | where v > 99999999.0 | summarize s = tdigest(v) | project r = percentrank_tdigest(s, 1.0)",
+      df).collect().head
+    assert(e.isNullAt(0))
+  }
+
   test("sign and zero handling: p0 hits the most negative bucket, zeros return 0.0") {
     import spark.implicits._
     val d = Seq(-100.0, -1.0, 0.0, 0.0, 5.0).zipWithIndex
