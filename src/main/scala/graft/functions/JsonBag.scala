@@ -118,6 +118,119 @@ object JsonBagOps extends Serializable {
     } catch { case scala.util.control.NonFatal(_) => null }
 }
 
+/** buildschema() support: per-value dynamic schemas and their
+  * conflict-aware merge. Pinned rules (the evaluate schema_merge
+  * stance — conflicts surface, never silently coerce):
+  *  - schemaOf: object → object of member schemas (recursive); array →
+  *    single-element array of the FIRST element's schema (empty array →
+  *    []); scalars → "string"/"bool"/"long"/"real"/"null"; non-JSON
+  *    text IS a string value → "string".
+  *  - merge: object∪object unions keys and recurses; arrays merge
+  *    their element schema; equal leaves stay; ANYTHING else →
+  *    "conflict". Commutative and associative (conflict absorbs), so
+  *    the fold order never shows. */
+object SchemaOps extends Serializable {
+  import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+  import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode, TextNode}
+
+  private val mappers = new ThreadLocal[ObjectMapper] {
+    override def initialValue(): ObjectMapper = new ObjectMapper()
+  }
+  /** Merge identity — resolves to the other side. */
+  val Empty = "\"__graft_empty\""
+
+  private def schemaOf(m: ObjectMapper, n: JsonNode): JsonNode = n match {
+    case o: ObjectNode =>
+      val out = m.createObjectNode()
+      val it = o.fieldNames()
+      while (it.hasNext) { val k = it.next(); out.set[JsonNode](k, schemaOf(m, o.get(k))) }
+      out
+    case a: ArrayNode =>
+      val out = m.createArrayNode()
+      if (a.size() > 0) out.add(schemaOf(m, a.get(0)))
+      out
+    case t if t.isTextual => TextNode.valueOf("string")
+    case b if b.isBoolean => TextNode.valueOf("bool")
+    case i if i.isIntegralNumber => TextNode.valueOf("long")
+    case d if d.isNumber => TextNode.valueOf("real")
+    case _ => TextNode.valueOf("null")
+  }
+
+  def dynamicSchema(s: UTF8String): UTF8String =
+    try {
+      val m = mappers.get
+      val node =
+        try m.readTree(s.toString)
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (node == null || node.isMissingNode)
+        UTF8String.fromString("\"string\"")
+      else UTF8String.fromString(m.writeValueAsString(schemaOf(m, node)))
+    } catch { case scala.util.control.NonFatal(_) => null }
+
+  private def merge(m: ObjectMapper, a: JsonNode, b: JsonNode): JsonNode = (a, b) match {
+    case (t: TextNode, _) if t.textValue() == "__graft_empty" => b
+    case (_, t: TextNode) if t.textValue() == "__graft_empty" => a
+    case (oa: ObjectNode, ob: ObjectNode) =>
+      val out = m.createObjectNode()
+      val keys = scala.collection.mutable.TreeSet.empty[String]
+      val ia = oa.fieldNames(); while (ia.hasNext) keys += ia.next()
+      val ib = ob.fieldNames(); while (ib.hasNext) keys += ib.next()
+      keys.foreach { k =>
+        val va = oa.get(k); val vb = ob.get(k)
+        out.set[JsonNode](k,
+          if (va == null) vb else if (vb == null) va else merge(m, va, vb))
+      }
+      out
+    case (aa: ArrayNode, ab: ArrayNode) =>
+      val out = m.createArrayNode()
+      if (aa.size() == 0) { if (ab.size() > 0) out.add(ab.get(0)) }
+      else if (ab.size() == 0) out.add(aa.get(0))
+      else out.add(merge(m, aa.get(0), ab.get(0)))
+      out
+    case _ => if (a == b) a else TextNode.valueOf("conflict")
+  }
+
+  def schemaMergeBags(a: UTF8String, b: UTF8String): UTF8String =
+    try {
+      val m = mappers.get
+      UTF8String.fromString(m.writeValueAsString(
+        merge(m, m.readTree(a.toString), m.readTree(b.toString))))
+    } catch { case scala.util.control.NonFatal(_) => null }
+}
+
+case class DynamicSchema(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeGuards.requireString("buildschema", child)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(a: Any): Any =
+    SchemaOps.dynamicSchema(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.SchemaOps.dynamicSchema($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(newChild: Expression): DynamicSchema =
+    copy(child = newChild)
+}
+
+case class SchemaMergeBags(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = TypeGuards.requireString("schema merge", left)
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else TypeGuards.requireString("schema merge", right)
+  }
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SchemaOps.schemaMergeBags(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      ${ev.value} = graft.functions.SchemaOps.schemaMergeBags($a, $b);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SchemaMergeBags =
+    copy(left = l, right = r)
+}
+
 case class DynamicToJson(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     TypeGuards.requireString("dynamic_to_json", child)

@@ -5150,6 +5150,36 @@ object KqlCompiler {
               GraftColumnBridge.catalystExpression(acc),
               GraftColumnBridge.catalystExpression(x))))
         }
+        // conditional form of make_bag: same deterministic fold, only
+        // rows passing the predicate contribute
+        case "make_bag_if" => arity(2); df => {
+          import org.apache.spark.sql.GraftColumnBridge
+          aggregate(
+            array_distinct(sort_array(collect_list(
+              when(args(1)(df), args(0)(df))))),
+            lit("{}"),
+            (acc, x) => GraftColumnBridge.column(graft.functions.BagMerge(
+              GraftColumnBridge.catalystExpression(acc),
+              GraftColumnBridge.catalystExpression(x))))
+        }
+        // buildschema(d): the merged value-schema of the group's dynamic
+        // values — per-row schemas (functions/SchemaOps.dynamicSchema)
+        // folded with the conflict-aware merge (type disagreements
+        // surface as "conflict", never silently coerce — the evaluate
+        // schema_merge stance). The fold runs over the DISTINCT sorted
+        // per-row schemas; the merge is commutative/associative, so the
+        // result is partition-insensitive.
+        case "buildschema" => arity(1); df => {
+          import org.apache.spark.sql.GraftColumnBridge
+          aggregate(
+            array_distinct(sort_array(collect_list(
+              GraftColumnBridge.column(graft.functions.DynamicSchema(
+                GraftColumnBridge.catalystExpression(args.head(df).cast("string"))))))),
+            lit(graft.functions.SchemaOps.Empty),
+            (acc, x) => GraftColumnBridge.column(graft.functions.SchemaMergeBags(
+              GraftColumnBridge.catalystExpression(acc),
+              GraftColumnBridge.catalystExpression(x))))
+        }
         // Kusto take_any/any: "an arbitrary row's value". Arbitrary is
         // non-deterministic across engines and re-runs, so this engine
         // pins it to MIN — indistinguishable in take_any's intended use

@@ -1569,6 +1569,20 @@ object KqlQueries extends QueryModule {
           | | order by event_type asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // buildschema + make_bag_if (round 14): the schema aggregate folds
+    // per-row dynamic schemas with the conflict-aware merge; bags built
+    // from typed pack() values so the oracle states the expected
+    // schema/bag text exactly.
+    "q217_kql_text_buildschema" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | extend d = pack('t', event_type, 'u', user_id, 'v', value)
+          | | summarize sc = buildschema(d),
+          |             mb = make_bag_if(pack('ty', event_type), value > 50.0)
+          |       by event_type
+          | | order by event_type asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // percentrank_tdigest (round 14): the inverse sketch read. Gated
     // through EXACT self-inverse contracts: the rank of a bucket
     // representative walks back to the identical representative
@@ -2180,6 +2194,12 @@ object KqlQueries extends QueryModule {
                 round(sum(CASE WHEN event_type = 'error' THEN value END), 6) AS error,
                 round(sum(CASE WHEN event_type = 'view' THEN value END), 6) AS view
          FROM base GROUP BY b ORDER BY b""",
+
+    "q217_kql_text_buildschema" ->
+      """SELECT event_type,
+              '{"t":"string","u":"long","v":"real"}' AS sc,
+              concat('{"ty":"', event_type, '"}') AS mb
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q216_kql_text_percentrank" ->
       """SELECT event_type, TRUE AS ok_rt50, TRUE AS ok_rt90, TRUE AS ok_bounds,

@@ -393,6 +393,28 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(uni.getBoolean(0))
   }
 
+  test("make_bag_if and buildschema aggregates") {
+    val out = run(
+      """t | extend b = pack('k', name, 'n', id)
+        | | summarize mb = make_bag_if(pack('v', value), value > 60),
+        |             sc = buildschema(b)
+        |""".stripMargin).head()
+    // only rows with value > 60 contribute (ids 3, 5); first-wins over
+    // sorted bags → min value wins
+    assert(out.getString(0) == """{"v":70.0}""")
+    assert(out.getString(1) == """{"k":"string","n":"long"}""")
+    // conflicting member types surface as "conflict"; nested + arrays
+    val c = run(
+      """t | extend d = iff(id % 2 == 0, '{"x":1,"y":{"z":"s"},"a":[1]}', '{"x":"t","y":{"z":"u"},"a":[2]}')
+        | | summarize sc = buildschema(d)""".stripMargin).head()
+    assert(c.getString(0) == """{"a":["long"],"x":"conflict","y":{"z":"string"}}""")
+    // scalar + object mix → conflict at the top
+    val s2 = run(
+      """t | extend d = iff(id == 1, '7', '{"x":1}')
+        | | summarize sc = buildschema(d)""".stripMargin).head()
+    assert(s2.getString(0) == "\"conflict\"")
+  }
+
   test("dynamic_to_json canonical keys; series_stats_dynamic bag") {
     val out = run(
       """t | where id == 1
