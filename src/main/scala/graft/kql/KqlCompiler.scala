@@ -4265,6 +4265,17 @@ object KqlCompiler {
           throw new KqlParseException(s"geo_point_to_geohash precision must be 1..12, got $prec")
         return df => geohashCol(lonE(df), latE(df), prec)
       }
+      if (name == "geo_geohash_to_central_point") {
+        // decode: GeoJSON point at the cell center (the center always
+        // re-encodes to the same hash — the round-trip contract);
+        // malformed hashes → null (functions/GeoHash.scala)
+        val e = expr(); expect(")")
+        return df => {
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.GeohashCentralPoint(
+            GraftColumnBridge.catalystExpression(e(df).cast("string"))))
+        }
+      }
       if (name == "percentile") {
         // percentile(col, P) — exact interpolated percentile (an exactness
         // upgrade over Kusto's T-digest approximation; same interpolation

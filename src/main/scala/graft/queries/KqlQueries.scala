@@ -1569,6 +1569,26 @@ object KqlQueries extends QueryModule {
           | | order by event_type asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // geo_geohash_to_central_point (round 14): geohash decode to the
+    // GeoJSON cell center. Gated by EXACT round-trip (the center
+    // re-encodes to the same hash), half-cell-width distance bounds,
+    // the canonical 'ezs42' vector, and the malformed-null path.
+    "q218_kql_text_geohash_decode" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_id % 89 == 0
+          | | extend lon = (user_id % 360) - 180 + 0.25, lat = (event_id % 170) - 85 + 0.25
+          | | extend gh = geo_point_to_geohash(lon, lat, 6)
+          | | extend cp = geo_geohash_to_central_point(gh)
+          | | extend dlon = todouble(cp.coordinates[0]), dlat = todouble(cp.coordinates[1])
+          | | extend ok_lon = abs(dlon - lon) <= 0.0055, ok_lat = abs(dlat - lat) <= 0.0028,
+          |          ok_rt = geo_point_to_geohash(dlon, dlat, 6) == gh,
+          |          v = tostring(geo_geohash_to_central_point('ezs42')),
+          |          bad = isnull(geo_geohash_to_central_point('ez!42'))
+          | | project event_id, ok_lon, ok_lat, ok_rt, v, bad
+          | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // buildschema + make_bag_if (round 14): the schema aggregate folds
     // per-row dynamic schemas with the conflict-aware merge; bags built
     // from typed pack() values so the oracle states the expected
@@ -2194,6 +2214,12 @@ object KqlQueries extends QueryModule {
                 round(sum(CASE WHEN event_type = 'error' THEN value END), 6) AS error,
                 round(sum(CASE WHEN event_type = 'view' THEN value END), 6) AS view
          FROM base GROUP BY b ORDER BY b""",
+
+    "q218_kql_text_geohash_decode" ->
+      """SELECT event_id, TRUE AS ok_lon, TRUE AS ok_lat, TRUE AS ok_rt,
+              '{"type":"Point","coordinates":[-5.60302734375,42.60498046875]}' AS v,
+              TRUE AS bad
+         FROM events WHERE event_id % 89 = 0 ORDER BY event_id""",
 
     "q217_kql_text_buildschema" ->
       """SELECT event_type,

@@ -1837,6 +1837,24 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.getString(15) == "-01:30")
   }
 
+  test("geo_geohash_to_central_point: canonical vector, round trip, malformed null") {
+    val out = run(
+      """t | where id == 1
+        | | extend cp = geo_geohash_to_central_point('ezs42')
+        | | extend gh2 = geo_point_to_geohash(0.0 - 122.27, 37.80, 7)
+        | | extend cp2 = geo_geohash_to_central_point(gh2)
+        | | project v = tostring(cp),
+        |           lon = todouble(cp.coordinates[0]), lat = todouble(cp.coordinates[1]),
+        |           rt = geo_point_to_geohash(todouble(cp2.coordinates[0]),
+        |                                     todouble(cp2.coordinates[1]), 7) == gh2,
+        |           bad = isnull(geo_geohash_to_central_point('ez!42')),
+        |           bad2 = isnull(geo_geohash_to_central_point(''))""".stripMargin).head()
+    assert(out.getString(0) ==
+      """{"type":"Point","coordinates":[-5.60302734375,42.60498046875]}""")
+    assert(out.getDouble(1) == -5.60302734375 && out.getDouble(2) == 42.60498046875)
+    assert(out.getBoolean(3) && out.getBoolean(4) && out.getBoolean(5))
+  }
+
   test("scalar ring 9: geo distance/circle, geohash vectors, bag_keys") {
     val out = run(
       """t | where id == 1
