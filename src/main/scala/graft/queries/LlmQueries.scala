@@ -27,4491 +27,9 @@ import org.apache.spark.sql.functions._
   * bands / inverted index / hyperplane buckets) — all-pairs never happens
   * on the big side.
   */
-object LlmQueries extends QueryModule {
-
-  /** Registers the native text/vector functions used by the SQL below
-    * (also used by specs that run the query shapes on synthetic views).
-    *
-    * Also excludes `InferFiltersFromGenerate`: that rule adds
-    * `size(arr) > 0 AND isnotnull(arr)` under every explode and pushes
-    * them through the defining projection, substituting the expression —
-    * so an expensive generator child like `word_shingle_hashes(text, 3)`
-    * is computed 3× per row (filter ×2 + project). Every explode in this
-    * workload is over a COMPUTED array (shingles, bands, sequences), so
-    * the rule only costs here (measured 23% on q24 at sf0.1); its benefit
-    * case — pruning stored array columns before a generate — does not
-    * occur in this engine. The exclusion applies to the session PASSED
-    * IN; the top-level `queries` pass a child session (see [[docs]]) so
-    * it never affects the caller's other workloads. */
-  private[graft] def registerFunctions(s: SparkSession): Unit = {
-    GraftFunctions.register(s)
-    GraftFunctions.registerMinhash(s, MinhashParams, MinhashP)
-    s.conf.set("spark.sql.optimizer.excludedRules",
-      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-  }
-
-  /** LLM queries run in a CHILD session (`newSession`: same
-    * SparkContext and shared catalog, but separate conf / temp views /
-    * function registry), so the [[registerFunctions]] rule exclusion is
-    * scoped to this module's plans and never leaks into the caller's
-    * session — a mixed workload keeps `InferFiltersFromGenerate` for its
-    * stored-array explodes (VERDICT r4). The returned DataFrames carry
-    * the child session, so their execution (whenever the caller acts on
-    * them) sees the exclusion without any save/restore races. */
-  private def docs(s: SparkSession, dir: String): SparkSession = {
-    val s2 = s.newSession()
-    registerFunctions(s2)
-    Tables.documents(s2, dir).createOrReplaceTempView("documents")
-    s2
-  }
-  private def embs(s: SparkSession, dir: String): SparkSession = {
-    val s2 = s.newSession()
-    registerFunctions(s2)
-    Tables.embeddings(s2, dir).createOrReplaceTempView("embeddings")
-    s2
-  }
-  private def evts(s: SparkSession, dir: String): SparkSession = {
-    val s2 = s.newSession()
-    registerFunctions(s2)
-    Tables.events(s2, dir).createOrReplaceTempView("events")
-    s2
-  }
-
-  // ---------------------------------------------------------------- dedup
-
-  /** Exact dedup by content hash: hash-groupBy with partial aggregation —
-    * the canonical shuffle-light exact dedup at any scale (hashes are
-    * uniform, so no skew; map-side combine keeps the shuffle at one row
-    * per distinct hash per partition). The trailing orderBy — like every
-    * global ORDER BY in this module — exists only so the correctness
-    * oracle compares deterministically; a production run drops it. */
-  private def exactDedup(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
-    d.groupBy(md5(lower(col("text"))).as("content_hash"))
-      .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
-      .select("content_hash", "keeper_doc_id", "n_copies")
-      .orderBy("keeper_doc_id")
-  }
-
-  /** MinHash signature (K=12, universal hashing h_k(x) = (a_k·x + b_k)
-    * mod p over a 60-bit md5-derived base hash) + banded LSH (4 bands ×
-    * 3 rows): candidate pairs meet only inside a band bucket, so the
-    * join is |bucket|² per bucket, never all-pairs. The band-bucket join
-    * is the standard near-dup plan at 100 TB (each band hash is a
-    * shuffle key; skew only if thousands of docs share a band hash,
-    * which means they ARE near-duplicates).
-    *
-    * Physical shape: ONE md5 per shingle (not one per seed), reduced to
-    * x ∈ [0, p) with p = 2^31−1; the 12 signature lanes are then cheap
-    * integer `min((a_k·x + b_k) % p)` aggregates in a single codegen'd
-    * hash aggregation with map-side combine. All arithmetic stays below
-    * 2^62 so Spark and DuckDB (both 64-bit signed) agree bit-for-bit. */
-  private[graft] val MinhashP = 2147483647L // 2^31 - 1
-  private[graft] val MinhashParams: Seq[(Long, Long)] = (0 until 12).map { k =>
-    ((1103515245L * (k + 7) + 11) % MinhashP, (12345L + 987654321L * k) % MinhashP)
-  }
-
-  private def minhashLanes(minExpr: String => String): String =
-    MinhashParams.map { case (a, b) => minExpr(s"($a * hx + $b) % $MinhashP") }.mkString(",\n                   ")
-
-  /** Fan-out caps — the difference between "bucketed" and "quadratic on a
-    * degenerate key". A band bucket of size s yields s² candidate pairs;
-    * at 100 TB one popular signature (boilerplate docs) would otherwise
-    * put millions of rows behind one shuffle key and sink the stage. A
-    * bucket larger than BandCap is a dense near-dup cluster; production
-    * handles those with a connected-components pass, not pairwise
-    * scoring, so dropping them from PAIR generation is the standard
-    * guard (same reasoning for shingle document frequency: a shingle in
-    * >DocFreqCap docs is a stop phrase and cannot push any single pair's
-    * Jaccard high by itself). Both caps are applied IDENTICALLY in the
-    * DuckDB oracle, so correctness comparison is exact. */
-  private[graft] val BandCap = 200
-  private[graft] val DocFreqCap = 1000
-  private[graft] val CellCap = 200
-
-  private[graft] def minhashSql(bandCap: Int = BandCap) = s"""
-    WITH sig AS (
-      -- minhash_sig is a native codegen'd Expression (graft.functions
-      -- .MinhashSignature): shingling + md5 + the 12 min-lanes run as one
-      -- JVM loop per document, map-side — no shingle explode, no shuffle
-      -- of shingle rows, no interpreted HOF lambdas. The cheap split()
-      -- filter mirrors the old WHERE size(t) >= 3 so the optimizer never
-      -- pushes an IsNotNull(mh) through the project (which would compute
-      -- the signature twice).
-      SELECT doc_id, minhash_sig(text) AS mh
-      FROM documents WHERE size(split(lower(text), '\\\\s+')) >= 3),
-    bands AS (
-      SELECT doc_id, b,
-             md5(concat_ws(',', cast(element_at(mh, b*3+1) AS string), cast(element_at(mh, b*3+2) AS string), cast(element_at(mh, b*3+3) AS string))) AS bh
-      FROM sig LATERAL VIEW explode(sequence(0, 3)) bt AS b),
-    bandsc AS (
-      -- bucket-size window shares the (b, bh) shuffle the self-join needs
-      SELECT doc_id, b, bh, count(1) OVER (PARTITION BY b, bh) AS bsz FROM bands),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bandsc a JOIN bandsc b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
-      WHERE a.bsz <= $bandCap),
-    est AS (
-      SELECT id_a, id_b,
-             size(filter(sequence(0, 11), k -> element_at(sa.mh, k+1) = element_at(sb.mh, k+1))) / cast(12 AS double) AS est_jaccard
-      FROM cand JOIN sig sa ON cand.id_a = sa.doc_id JOIN sig sb ON cand.id_b = sb.doc_id)
-    SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b"""
-
-  /** The q22 oracle's CTE list up through `est` — shared with the q41
-    * cluster oracle, which extends it with a recursive reachability CTE. */
-  private def minhashOracleCtes(bandCap: Int) = s"""toks AS (
-      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents),
-    shingles AS (
-      SELECT doc_id,
-             list_distinct(list_transform(range(len(t)-2), i -> array_to_string(t[i+1:i+3], ' '))) AS sh
-      FROM toks WHERE len(t) >= 3),
-    shingle_rows AS (
-      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % $MinhashP AS hx
-      FROM (SELECT doc_id, unnest(sh) AS shingle FROM shingles)),
-    sig AS (
-      SELECT doc_id,
-             [${minhashLanes(e => s"min($e)")}] AS mh
-      FROM shingle_rows GROUP BY doc_id),
-    bands AS (
-      SELECT doc_id, b, md5(concat_ws(',', mh[b*3+1]::VARCHAR, mh[b*3+2]::VARCHAR, mh[b*3+3]::VARCHAR)) AS bh
-      FROM sig, unnest(range(4)) AS bt(b)),
-    bandsc AS (
-      SELECT doc_id, b, bh, count(1) OVER (PARTITION BY b, bh) AS bsz FROM bands),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bandsc a JOIN bandsc b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
-      WHERE a.bsz <= $bandCap),
-    est AS (
-      SELECT id_a, id_b,
-             len(list_filter(range(12), k -> sa.mh[k+1] = sb.mh[k+1])) / 12.0 AS est_jaccard
-      FROM cand JOIN sig sa ON cand.id_a = sa.doc_id JOIN sig sb ON cand.id_b = sb.doc_id)"""
-
-  private[graft] def minhashOracle(bandCap: Int = BandCap) = s"""
-    WITH ${minhashOracleCtes(bandCap)}
-    SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b"""
-
-  /** q41 oracle: same pair generation, then connected components by
-    * recursive reachability (DuckDB supports recursive CTEs; Spark does
-    * not, so the engine side iterates min-propagation — see
-    * [[dupClusters]]). `reach(id, r)` holds every (node, reachable node);
-    * min(r) per id is the component's minimum doc_id. */
-  private[graft] def dupClustersOracle(bandCap: Int = BandCap) = s"""
-    WITH RECURSIVE ${minhashOracleCtes(bandCap)},
-    pairs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5),
-    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-              UNION ALL SELECT id_b, id_a FROM pairs),
-    verts AS (SELECT DISTINCT src AS id FROM edges),
-    reach(id, r) AS (
-      SELECT id, id FROM verts
-      UNION
-      SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
-    comp AS (SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY id)
-    SELECT doc_id, cluster_rep,
-           count(1) OVER (PARTITION BY cluster_rep) AS cluster_size
-    FROM comp ORDER BY doc_id"""
-
-  /** Near-dup CLUSTERS from the q22 pair graph: connected components with
-    * the component's minimum doc_id as representative — the operation a
-    * corpus dedup actually runs after LSH pair detection (keep the rep,
-    * drop the rest). Spark has no recursive CTE, so components are
-    * computed by alternating large-star/small-star contraction (Kiveris
-    * et al., "Connected Components in MapReduce and Beyond", SoCC'14):
-    * rounds are O(log n) on ANY graph shape — including the pathological
-    * chain that makes plain min-label propagation take O(diameter) = O(n)
-    * Spark jobs. Each round is two neighborhood-min passes over the edge
-    * list (window-min + dedup — no join); the driver loop only reads a
-    * COUNT/CHECKSUM per round, no row data ever reaches the driver. */
-  private def dupClusters(s: SparkSession, dir: String): DataFrame = {
-    val s2 = docs(s, dir)
-    connectedComponents(s2.sql(minhashSql()).select(col("id_a"), col("id_b")))
-  }
-
-  /** The dedup MATERIALIZER — what a corpus pipeline actually runs after
-    * near-dup detection: keep each cluster's representative (minimum
-    * doc_id), drop the other members, emit the surviving corpus. The
-    * anti-join carries NO broadcast hint on purpose (VERDICT r5): on a
-    * duplicate-heavy crawl corpus the drop set is O(corpus) doc_ids —
-    * 30-80% of documents is routine — and a forced broadcast of billions
-    * of ids OOMs the driver. Left unhinted, AQE broadcasts when the drop
-    * side measures small at runtime and degrades to a shuffled hash
-    * anti-join (both sides partitioned by doc_id, still one shuffle of
-    * 8-byte keys) when it doesn't — the correct behavior at every dup
-    * rate. Everything upstream is the q22+q41 machinery unchanged. */
-  private def dedupKeep(s: SparkSession, dir: String): DataFrame = {
-    val s2 = docs(s, dir)
-    val clusters = connectedComponents(s2.sql(minhashSql()).select(col("id_a"), col("id_b")))
-    val drop = clusters.filter(col("doc_id") =!= col("cluster_rep")).select("doc_id")
-    s2.table("documents").join(drop, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("source"), col("lang"))
-      .orderBy("doc_id")
-  }
-
-  /** q57 oracle: q41's recursive-CTE components, then keep docs that are
-    * not a non-representative member. */
-  private def dedupKeepOracle(bandCap: Int = BandCap) = s"""
-    WITH RECURSIVE ${minhashOracleCtes(bandCap)},
-    pairs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5),
-    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-              UNION ALL SELECT id_b, id_a FROM pairs),
-    verts AS (SELECT DISTINCT src AS id FROM edges),
-    reach(id, r) AS (
-      SELECT id, id FROM verts
-      UNION
-      SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
-    comp AS (SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY id),
-    dropset AS (SELECT doc_id FROM comp WHERE doc_id <> cluster_rep)
-    SELECT d.doc_id, d.source, d.lang
-    FROM documents d LEFT JOIN dropset x ON d.doc_id = x.doc_id
-    WHERE x.doc_id IS NULL
-    ORDER BY d.doc_id"""
-
-  private val ccWin = org.apache.spark.sql.expressions.Window.partitionBy("src")
-
-  /** Large-star: every node connects its strictly-LARGER neighbors to the
-    * minimum of its closed neighborhood. One window-min shuffle over the
-    * symmetric edge list + one dedup shuffle; output stays oriented
-    * src > dst (m <= u < v). */
-  private def largeStar(edges: DataFrame): DataFrame =
-    edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .withColumn("m", least(col("src"), min("dst").over(ccWin)))
-      .where(col("dst") > col("src"))
-      .select(col("dst").as("src"), col("m").as("dst"))
-      .distinct()
-
-  /** Small-star: every node connects its smaller-or-equal neighbors (and
-    * itself) to its neighborhood minimum. Operates on edges oriented
-    * src > dst, so the window min IS the neighborhood min. */
-  private def smallStar(edges: DataFrame): DataFrame = {
-    val withM = edges
-      .select(greatest(col("src"), col("dst")).as("src"), least(col("src"), col("dst")).as("dst"))
-      .withColumn("m", min("dst").over(ccWin))
-    withM.select(col("dst").as("src"), col("m").as("dst"))
-      .union(withM.select(col("src"), col("m").as("dst")))
-      .where(col("src") =!= col("dst"))
-      .distinct()
-  }
-
-  /** Connected components over an undirected pair list (`id_a`, `id_b`)
-    * → (`doc_id`, `cluster_rep`, `cluster_size`), rep = component
-    * minimum. Exposed for direct testing on pathological graph shapes
-    * (chains, rings) independent of the LSH pair source. */
-  private[graft] def connectedComponents(pairs: DataFrame): DataFrame =
-    connectedComponentsWithRounds(pairs)._1
-
-  /** Alternating large-star/small-star contraction to a star-forest
-    * fixpoint: every non-root node ends up with a single edge to its
-    * component's minimum id. Returns the result plus the number of
-    * contraction rounds taken (spec-asserted O(log n) on a chain).
-    * localCheckpoint(eager) each round materializes the edge set AND
-    * truncates the logical plan, without which the round-over-round
-    * lineage makes Catalyst re-optimize an ever-deeper plan (the classic
-    * iterative-algorithm blowup; GraphFrames checkpoints for the same
-    * reason). Convergence = (count, xxhash64-xor) checksum of the
-    * canonically-oriented edge set unchanged — an O(1) driver-side
-    * comparison of two aggregates (xor, not sum: overflow-free under
-    * ANSI mode, order-independent, and the edge set is distinct so no
-    * duplicate cancellation can occur). */
-  private[graft] def connectedComponentsWithRounds(pairs: DataFrame): (DataFrame, Int) = {
-    val verts = pairs.select(col(pairs.columns(0)).as("id"))
-      .union(pairs.select(col(pairs.columns(1)).as("id")))
-      .distinct().localCheckpoint(true)
-    def checksum(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
-    }
-    var edges = pairs.toDF("src", "dst")
-      .select(greatest(col("src"), col("dst")).as("src"), least(col("src"), col("dst")).as("dst"))
-      .where(col("src") =!= col("dst")).distinct().localCheckpoint(true)
-    val ccDebug = sys.env.contains("GRAFT_CC_DEBUG") || sys.props.contains("graft.cc.debug")
-    var sig = checksum(edges)
-    var rounds = 0
-    var converged = sig._1 == 0L
-    while (!converged) {
-      val t0 = System.nanoTime()
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      rounds += 1
-      val nextSig = checksum(next)
-      if (ccDebug) System.err.println(
-        f"[cc] round $rounds: ${(System.nanoTime() - t0) / 1e6}%.0f ms, edges=${nextSig._1}")
-      converged = nextSig == sig
-      sig = nextSig
-      edges = next
-    }
-    // At the fixpoint edges form stars (child -> component-min root);
-    // the groupBy is belt-and-braces canonicalization, roots/isolated
-    // vertices label themselves via the left join.
-    val reps = verts.join(
-        edges.groupBy(col("src").as("id")).agg(min("dst").as("rep")), Seq("id"), "left")
-      .select(col("id").as("doc_id"), coalesce(col("rep"), col("id")).as("cluster_rep"))
-    val out = reps.withColumn("cluster_size",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("cluster_rep")))
-      .orderBy("doc_id")
-    (out, rounds)
-  }
-
-  /** 32-bit SimHash over token hashes (frequency-weighted, standard
-    * construction). Physical shape: simhash32 is a native codegen'd
-    * Expression (graft.functions.SimHash32) — tokenization, per-token
-    * md5, the 32 vote counters, and bit assembly run as one JVM loop per
-    * DOCUMENT, entirely map-side. The previous shape (explode tokens →
-    * 32-sum hash aggregation) shuffled one row per document; this one
-    * shuffles nothing. Integer vote sums are order-independent, so the
-    * result is bit-identical to the aggregation form (property-tested). */
-  private val simhashSql = """
-    SELECT doc_id, simhash32(text) AS simhash
-    FROM documents ORDER BY doc_id"""
-
-  private val simhashOracle = """
-    WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
-    h AS (SELECT doc_id, list_transform(t, tok -> ('0x' || substr(md5(tok), 1, 8))::BIGINT) AS hs FROM toks)
-    SELECT doc_id,
-      list_reduce(list_transform(range(32), i ->
-        CASE WHEN list_reduce(list_transform(hs, x -> ((x >> i) & 1) * 2 - 1), (s, x) -> s + x) > 0
-             THEN (1::BIGINT << i) ELSE 0::BIGINT END), (s, x) -> s + x) AS simhash
-    FROM h ORDER BY doc_id"""
-
-  /** Exact n-gram Jaccard via an inverted index: group shingles into
-    * posting lists, generate candidate pairs only WITHIN a posting list,
-    * then |A∩B| / (|A|+|B|-|A∩B|). Physical shape: ONE shuffle of the
-    * (shingle, doc) rows into a hash aggregation (vs TWO for a self-join)
-    * keyed on `xxhash64(shingle)` — 8-byte shuffle keys instead of long
-    * strings (collision odds ~|shingles|²/2^65, immaterial); single-doc
-    * shingles are dropped before pair generation, so unique shingles
-    * (the vast majority) never produce join work. Per-doc shingle counts
-    * are map-side (`size(shs)`) and broadcast into the final join. Hot
-    * shingles (stop phrases) are dropped by the document-frequency cap
-    * in the HAVING — a shingle in >cap docs would make the posting-list
-    * explode d² for that key, and it cannot by itself push any pair's
-    * Jaccard high (both docs have ≥cap other shingles' worth of text
-    * only if they share much more than the stop phrase). */
-  private[graft] def ngramJaccardSql(dfCap: Int = DocFreqCap) = s"""
-    WITH sh AS (
-      -- word_shingle_hashes (native Expression): tokenize + shingle +
-      -- xxhash64 in one codegen'd loop per row; only 8-byte hashes are
-      -- exploded and shuffled, never shingle strings.
-      SELECT doc_id, word_shingle_hashes(text, 3) AS shs
-      FROM documents WHERE size(split(lower(text), '\\\\s+')) >= 3),
-    n AS (SELECT doc_id, cast(size(shs) AS bigint) AS cnt FROM sh),
-    ds AS (SELECT doc_id, sid FROM sh LATERAL VIEW explode(shs) st AS sid),
-    posting AS (
-      SELECT sid, collect_list(doc_id) AS ids FROM ds GROUP BY sid
-      HAVING count(1) BETWEEN 2 AND $dfCap),
-    common AS (
-      SELECT id_a, id_b, count(1) AS cm
-      FROM (SELECT a AS id_a, b AS id_b
-            FROM posting
-            LATERAL VIEW explode(ids) ta AS a
-            LATERAL VIEW explode(ids) tb AS b) p
-      WHERE id_a < id_b
-      GROUP BY id_a, id_b)
-    SELECT id_a, id_b, cast(cm AS double) / (na.cnt + nb.cnt - cm) AS jaccard
-    FROM common JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
-    WHERE cast(cm AS double) / (na.cnt + nb.cnt - cm) >= 0.4
-    ORDER BY id_a, id_b"""
-
-  private[graft] def ngramJaccardOracle(dfCap: Int = DocFreqCap) = s"""
-    WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents),
-    sh AS (
-      SELECT doc_id,
-             list_distinct(list_transform(range(len(t)-2), i -> array_to_string(t[i+1:i+3], ' '))) AS shs
-      FROM toks WHERE len(t) >= 3),
-    ds AS (SELECT doc_id, unnest(shs) AS shingle FROM sh),
-    n AS (SELECT doc_id, count(1) AS cnt FROM ds GROUP BY doc_id),
-    df AS (SELECT shingle FROM ds GROUP BY shingle HAVING count(1) BETWEEN 2 AND $dfCap),
-    dsf AS (SELECT ds.doc_id, ds.shingle FROM ds JOIN df USING (shingle)),
-    common AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(1) AS cm
-      FROM dsf a JOIN dsf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id)
-    SELECT id_a, id_b, cm::DOUBLE / (na.cnt + nb.cnt - cm) AS jaccard
-    FROM common JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
-    WHERE cm::DOUBLE / (na.cnt + nb.cnt - cm) >= 0.4
-    ORDER BY id_a, id_b"""
-
-  // ------------------------------------------------- similarity search
-
-  /** Brute-force cosine top-10 for a fixed query subset (vec_id % 100 = 0)
-    * — the correctness baseline every ANN variant is judged against.
-    * Scale shape: the query side is tiny and broadcast; similarities are
-    * computed map-side; top-k is TWO-PHASE (per-partition row_number,
-    * then global) so the shuffle carries ≤ k rows per (query, partition)
-    * instead of the full N·Q similarity matrix. */
-  private val knnSql = """
-    WITH v AS (SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS e FROM embeddings),
-    vn AS (SELECT vec_id, e,
-                  sqrt(dot_d(e, e)) AS nrm FROM v),
-    q AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM vn WHERE vec_id % 100 = 0),
-    sims AS (
-      -- dot_d is a native codegen'd Expression: the 64-wide dot product
-      -- is one JVM loop (same sequential IEEE fold as the oracle), not 64
-      -- interpreted lambda calls per pair.
-      SELECT /*+ BROADCAST(q) */ q.qid, vn.vec_id,
-             dot_d(qe, e) / (qnrm * nrm) AS sim,
-             spark_partition_id() AS pid
-      FROM q JOIN vn ON vn.vec_id <> q.qid),
-    local_top AS (
-      SELECT qid, vec_id, sim,
-             row_number() OVER (PARTITION BY qid, pid ORDER BY sim DESC, vec_id) AS lrn
-      FROM sims),
-    ranked AS (
-      SELECT qid, vec_id, sim,
-             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
-      FROM local_top WHERE lrn <= 10)
-    SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 10 ORDER BY qid, rank"""
-
-  private val knnOracle = """
-    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
-    vn AS (SELECT vec_id, e,
-                  sqrt(list_reduce(list_transform(e, x -> x * x), (s, x) -> s + x)) AS nrm FROM v),
-    q AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM vn WHERE vec_id % 100 = 0),
-    sims AS (
-      SELECT q.qid, vn.vec_id,
-             list_reduce(list_transform(range(64), i -> qe[i+1] * e[i+1]), (s, x) -> s + x) / (qnrm * nrm) AS sim
-      FROM q CROSS JOIN vn WHERE vn.vec_id <> q.qid),
-    ranked AS (
-      SELECT qid, vec_id, sim,
-             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
-      FROM sims)
-    SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 10 ORDER BY qid, rank"""
-
-  /** Hyperplane weights as a SQL literal array. The planes derive
-    * deterministically from md5(plane:dim) — CONSTANTS — so instead of
-    * materializing them as rows and re-aggregating a broadcast CROSS
-    * JOIN (a full shuffle keyed on (vec_id, e)), each signature is a
-    * single map-side projection over literal arrays. Bit-identical to
-    * the oracle's SQL-built planes: same md5, same `(x % 2001 - 1000) /
-    * 1000.0` arithmetic, same IEEE division. */
-  private def planeLiteral(h: Int): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    (0 until 64).map { d =>
-      val hex = md.digest(s"$h:$d".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-      (java.lang.Long.parseLong(hex, 16) % 2001 - 1000) / 1000.0
-    }.mkString("array(", "D, ", "D)")
-  }
-
-  private def planeSignature(nPlanes: Int): String =
-    (0 until nPlanes).map(h =>
-      s"(CASE WHEN dot_d(e, ${planeLiteral(h)}) > 0 THEN ${1L << h}L ELSE 0L END)")
-      .mkString(" + ")
-
-  /** Random-hyperplane LSH (6 planes → 64 buckets), then cosine top-3
-    * WITHIN the query's bucket — the scale path: candidate size drops by
-    * ~bucket-count× and the bucket id is a plain shuffle key. Hyperplane
-    * components derive deterministically from md5(plane:dim), so engine
-    * and oracle build identical planes with no RNG; the engine embeds
-    * them as literals (see planeLiteral) so bucketing is map-only. */
-  private lazy val lshKnnSql = s"""
-    WITH v AS (SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS e FROM embeddings),
-    vb AS (
-      SELECT vec_id, e, ${planeSignature(6)} AS bucket
-      FROM v),
-    vn AS (SELECT vec_id, e, bucket,
-                  sqrt(dot_d(e, e)) AS nrm FROM vb),
-    q AS (SELECT vec_id AS qid, e AS qe, bucket AS qb, nrm AS qnrm FROM vn WHERE vec_id % 100 = 0),
-    sims AS (
-      SELECT /*+ BROADCAST(q) */ q.qid, vn.vec_id,
-             dot_d(qe, e) / (qnrm * nrm) AS sim
-      FROM q JOIN vn ON vn.bucket = q.qb AND vn.vec_id <> q.qid),
-    ranked AS (
-      SELECT qid, vec_id, sim,
-             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
-      FROM sims)
-    SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 3 ORDER BY qid, rank"""
-
-  private val lshKnnOracle = """
-    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
-    hp AS (
-      SELECT h, list_transform(range(64), d ->
-               ((('0x' || substr(md5(h::VARCHAR || ':' || d::VARCHAR), 1, 8))::BIGINT % 2001 - 1000) / 1000.0)) AS w
-      FROM unnest(range(6)) AS ht(h)),
-    vb AS (
-      SELECT vec_id, e,
-             sum(CASE WHEN list_reduce(list_transform(range(64), i -> e[i+1] * w[i+1]), (s, x) -> s + x) > 0
-                      THEN (1 << h) ELSE 0 END) AS bucket
-      FROM v CROSS JOIN hp GROUP BY vec_id, e),
-    vn AS (SELECT vec_id, e, bucket,
-                  sqrt(list_reduce(list_transform(e, x -> x * x), (s, x) -> s + x)) AS nrm FROM vb),
-    q AS (SELECT vec_id AS qid, e AS qe, bucket AS qb, nrm AS qnrm FROM vn WHERE vec_id % 100 = 0),
-    sims AS (
-      SELECT q.qid, vn.vec_id,
-             list_reduce(list_transform(range(64), i -> qe[i+1] * e[i+1]), (s, x) -> s + x) / (qnrm * nrm) AS sim
-      FROM q JOIN vn ON vn.bucket = q.qb AND vn.vec_id <> q.qid),
-    ranked AS (
-      SELECT qid, vec_id, sim,
-             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
-      FROM sims)
-    SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 3 ORDER BY qid, rank"""
-
-  /** Embedding-cosine near-duplicate detection — the dedup-family variant
-    * of ANN: find PAIRS above a cosine threshold, not top-k per query.
-    * Candidates come from OR-amplified random-hyperplane LSH (24 planes →
-    * 4 bands × 6 bits): a pair collides when ANY band's 6 sign-bits all
-    * match, so for true near-dups (production threshold ≥0.9, where
-    * per-plane agreement p ≈ 0.86) recall is 1-(1-p^6)^4 ≈ 0.87 while
-    * random pairs are pruned ~16×. The synthetic corpus has no real
-    * near-dups, so the demo threshold is 0.35 (top of its cosine range) —
-    * the PLAN is the production plan; only the constant differs. Band
-    * buckets get the q22-style size cap: at scale, band width (bits per
-    * band) is the knob that keeps buckets O(1), and the cap is the
-    * backstop against a degenerate key. Exact cosine is verified on
-    * candidates only — never all-pairs. */
-  private[graft] def embedNeardupSql(bandCap: Int = BandCap) = s"""
-    WITH v AS (SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS e FROM embeddings),
-    bits AS (
-      SELECT vec_id, e, ${planeSignature(24)} AS sig
-      FROM v),
-    bands AS (
-      SELECT vec_id, b, (shiftright(sig, b * 6) & 63) AS bh
-      FROM bits LATERAL VIEW explode(sequence(0, 3)) bt AS b),
-    bandsc AS (
-      SELECT vec_id, b, bh, count(1) OVER (PARTITION BY b, bh) AS bsz FROM bands),
-    cand AS (
-      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM bandsc a JOIN bandsc b ON a.b = b.b AND a.bh = b.bh AND a.vec_id < b.vec_id
-      WHERE a.bsz <= $bandCap),
-    vn AS (SELECT vec_id, e, sqrt(dot_d(e, e)) AS nrm FROM v),
-    pairs AS (
-      SELECT id_a, id_b, dot_d(va.e, vb.e) / (va.nrm * vb.nrm) AS cosine
-      FROM cand JOIN vn va ON id_a = va.vec_id JOIN vn vb ON id_b = vb.vec_id)
-    SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.35 ORDER BY id_a, id_b"""
-
-  private[graft] def embedNeardupOracle(bandCap: Int = BandCap) = s"""
-    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
-    hp AS (
-      SELECT h, list_transform(range(64), d ->
-               ((('0x' || substr(md5(h::VARCHAR || ':' || d::VARCHAR), 1, 8))::BIGINT % 2001 - 1000) / 1000.0)) AS w
-      FROM unnest(range(24)) AS ht(h)),
-    bits AS (
-      SELECT vec_id, e,
-             sum(CASE WHEN list_reduce(list_transform(range(64), i -> e[i+1] * w[i+1]), (s, x) -> s + x) > 0
-                      THEN (1::BIGINT << h) ELSE 0::BIGINT END) AS sig
-      FROM v CROSS JOIN hp GROUP BY vec_id, e),
-    bands AS (
-      SELECT vec_id, b, (sig >> (b * 6)::INTEGER) & 63 AS bh
-      FROM bits, unnest(range(4)) AS bt(b)),
-    bandsc AS (
-      SELECT vec_id, b, bh, count(1) OVER (PARTITION BY b, bh) AS bsz FROM bands),
-    cand AS (
-      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM bandsc a JOIN bandsc b ON a.b = b.b AND a.bh = b.bh AND a.vec_id < b.vec_id
-      WHERE a.bsz <= $bandCap),
-    vn AS (SELECT vec_id, e, sqrt(list_reduce(list_transform(e, x -> x * x), (s, x) -> s + x)) AS nrm FROM v),
-    pairs AS (
-      SELECT id_a, id_b,
-             list_reduce(list_transform(range(64), i -> va.e[i+1] * vb.e[i+1]), (s, x) -> s + x) / (va.nrm * vb.nrm) AS cosine
-      FROM cand JOIN vn va ON id_a = va.vec_id JOIN vn vb ON id_b = vb.vec_id)
-    SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.35 ORDER BY id_a, id_b"""
-
-  /** IVF-style ANN — the second scale path beside hyperplane LSH (q26):
-    * a deterministic coarse quantizer (every 50th vector is a centroid ≈
-    * an IVF codebook without k-means, keeping engine and oracle
-    * RNG-free), each vector assigned to its nearest centroid cell, and
-    * each query probing only its nprobe=2 nearest cells. Physical shape:
-    * centroids BROADCAST into a map-side cross score; the big-side cell
-    * assignment is a max_by HASH AGGREGATE (partial+final: each vector's
-    * C scored rows combine map-side to one row — a sort-based window
-    * here would shuffle the whole |V|×|C| score relation); the nprobe
-    * window runs only on the tiny query subset. The search join touches
-    * |cells probed| ≈ 2N/C vectors per query instead of N. At 100 TB: C
-    * grows as √N, cells stay O(√N), and the cell id is a plain shuffle
-    * key — the standard IVF partition story. */
-  private val ivfKnnSql = """
-    WITH v AS (SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS e FROM embeddings),
-    vn AS (SELECT vec_id, e, sqrt(dot_d(e, e)) AS nrm FROM v),
-    cent AS (SELECT vec_id AS c_id, e AS ce, nrm AS cnrm FROM vn WHERE vec_id % 50 = 0),
-    scored AS (
-      SELECT /*+ BROADCAST(cent) */ vn.vec_id, vn.e, vn.nrm, cent.c_id,
-             dot_d(vn.e, cent.ce) / (vn.nrm * cent.cnrm) AS csim
-      FROM vn CROSS JOIN cent),
-    -- argmax with (csim DESC, c_id ASC) tie-break via lexicographic struct
-    cells AS (
-      SELECT vec_id, w.e AS e, w.nrm AS nrm, w.cell AS cell FROM (
-        SELECT vec_id,
-               max_by(named_struct('e', e, 'nrm', nrm, 'cell', c_id),
-                      named_struct('s', csim, 'nc', -c_id)) AS w
-        FROM scored GROUP BY vec_id)),
-    qprobe AS (
-      SELECT vec_id AS qid, c_id AS cell FROM (
-        SELECT vec_id, c_id,
-               row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS rk
-        FROM scored WHERE vec_id % 100 = 0)
-      WHERE rk <= 2),
-    qv AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM vn WHERE vec_id % 100 = 0),
-    sims AS (
-      SELECT /*+ BROADCAST(qp, qv) */ qp.qid, c.vec_id,
-             dot_d(qv.qe, c.e) / (qv.qnrm * c.nrm) AS sim
-      FROM qprobe qp JOIN cells c ON c.cell = qp.cell JOIN qv ON qv.qid = qp.qid
-      WHERE c.vec_id <> qp.qid),
-    ranked AS (
-      SELECT qid, vec_id, sim,
-             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
-      FROM sims)
-    SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 3 ORDER BY qid, rank"""
-
-  private val ivfKnnOracle = """
-    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
-    vn AS (SELECT vec_id, e, sqrt(list_reduce(list_transform(e, x -> x * x), (s, x) -> s + x)) AS nrm FROM v),
-    cent AS (SELECT vec_id AS c_id, e AS ce, nrm AS cnrm FROM vn WHERE vec_id % 50 = 0),
-    scored AS (
-      SELECT vn.vec_id, vn.e, vn.nrm, cent.c_id,
-             list_reduce(list_transform(range(64), i -> vn.e[i+1] * cent.ce[i+1]), (s, x) -> s + x) / (vn.nrm * cent.cnrm) AS csim
-      FROM vn CROSS JOIN cent),
-    assign AS (
-      SELECT vec_id, e, nrm, c_id,
-             row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS rk
-      FROM scored),
-    cells AS (SELECT vec_id, e, nrm, c_id AS cell FROM assign WHERE rk = 1),
-    qprobe AS (SELECT vec_id AS qid, c_id AS cell FROM assign WHERE vec_id % 100 = 0 AND rk <= 2),
-    qv AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM vn WHERE vec_id % 100 = 0),
-    sims AS (
-      SELECT qp.qid, c.vec_id,
-             list_reduce(list_transform(range(64), i -> qv.qe[i+1] * c.e[i+1]), (s, x) -> s + x) / (qv.qnrm * c.nrm) AS sim
-      FROM qprobe qp JOIN cells c ON c.cell = qp.cell JOIN qv ON qv.qid = qp.qid
-      WHERE c.vec_id <> qp.qid),
-    ranked AS (
-      SELECT qid, vec_id, sim,
-             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
-      FROM sims)
-    SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 3 ORDER BY qid, rank"""
-
-  /** q192 — hard-negative mining for contrastive/embedding training
-    * (the triplet-mining pass every retrieval/embedding fine-tune
-    * runs): for each sampled anchor, the hardest POSITIVE (top same-
-    * label candidate) and the 3 hardest NEGATIVES (top different-label
-    * candidates by cosine) from the anchor's nprobe=2 IVF cells — high-
-    * similarity wrong-label neighbors are exactly the informative
-    * training pairs. Candidates come from the q38 deterministic-IVF
-    * machinery (RNG-free codebook), so the search is cell-bounded —
-    * never all-pairs — and the oracle replicates candidate generation
-    * exactly. Sequential-fold dot products are bit-identical across
-    * engines (the q38 stance), so raw sims hash-match. */
-  private val hardNegSql = """
-    WITH v AS (SELECT vec_id, label, transform(embedding, x -> cast(x AS double)) AS e FROM embeddings),
-    vn AS (SELECT vec_id, label, e, sqrt(dot_d(e, e)) AS nrm FROM v),
-    cent AS (SELECT vec_id AS c_id, e AS ce, nrm AS cnrm FROM vn WHERE vec_id % 50 = 0),
-    scored AS (
-      SELECT /*+ BROADCAST(cent) */ vn.vec_id, vn.label, vn.e, vn.nrm, cent.c_id,
-             dot_d(vn.e, cent.ce) / (vn.nrm * cent.cnrm) AS csim
-      FROM vn CROSS JOIN cent),
-    cells AS (
-      SELECT vec_id, w.label AS label, w.e AS e, w.nrm AS nrm, w.cell AS cell FROM (
-        SELECT vec_id,
-               max_by(named_struct('label', label, 'e', e, 'nrm', nrm, 'cell', c_id),
-                      named_struct('s', csim, 'nc', -c_id)) AS w
-        FROM scored GROUP BY vec_id)),
-    qprobe AS (
-      SELECT vec_id AS qid, c_id AS cell FROM (
-        SELECT vec_id, c_id,
-               row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS rk
-        FROM scored WHERE vec_id % 100 = 0)
-      WHERE rk <= 2),
-    qv AS (SELECT vec_id AS qid, label AS qlabel, e AS qe, nrm AS qnrm FROM vn WHERE vec_id % 100 = 0),
-    sims AS (
-      SELECT /*+ BROADCAST(qp, qv) */ qp.qid, qv.qlabel, c.vec_id, c.label,
-             dot_d(qv.qe, c.e) / (qv.qnrm * c.nrm) AS sim
-      FROM qprobe qp JOIN cells c ON c.cell = qp.cell JOIN qv ON qv.qid = qp.qid
-      WHERE c.vec_id <> qp.qid),
-    ranked AS (
-      SELECT qid, vec_id, sim,
-             CASE WHEN label = qlabel THEN 'pos' ELSE 'neg' END AS kind,
-             row_number() OVER (PARTITION BY qid, label = qlabel
-               ORDER BY sim DESC, vec_id) AS rk
-      FROM sims)
-    SELECT qid, kind, rk, vec_id, sim FROM ranked
-    WHERE (kind = 'neg' AND rk <= 3) OR (kind = 'pos' AND rk = 1)
-    ORDER BY qid, kind, rk"""
-
-  private val hardNegOracle = """
-    WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
-    vn AS (SELECT vec_id, label, e, sqrt(list_reduce(list_transform(e, x -> x * x), (s, x) -> s + x)) AS nrm FROM v),
-    cent AS (SELECT vec_id AS c_id, e AS ce, nrm AS cnrm FROM vn WHERE vec_id % 50 = 0),
-    scored AS (
-      SELECT vn.vec_id, vn.label, vn.e, vn.nrm, cent.c_id,
-             list_reduce(list_transform(range(64), i -> vn.e[i+1] * cent.ce[i+1]), (s, x) -> s + x) / (vn.nrm * cent.cnrm) AS csim
-      FROM vn CROSS JOIN cent),
-    assign AS (
-      SELECT vec_id, label, e, nrm, c_id,
-             row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS rk
-      FROM scored),
-    cells AS (SELECT vec_id, label, e, nrm, c_id AS cell FROM assign WHERE rk = 1),
-    qprobe AS (SELECT vec_id AS qid, c_id AS cell FROM assign WHERE vec_id % 100 = 0 AND rk <= 2),
-    qv AS (SELECT vec_id AS qid, label AS qlabel, e AS qe, nrm AS qnrm FROM vn WHERE vec_id % 100 = 0),
-    sims AS (
-      SELECT qp.qid, qv.qlabel, c.vec_id, c.label,
-             list_reduce(list_transform(range(64), i -> qv.qe[i+1] * c.e[i+1]), (s, x) -> s + x) / (qv.qnrm * c.nrm) AS sim
-      FROM qprobe qp JOIN cells c ON c.cell = qp.cell JOIN qv ON qv.qid = qp.qid
-      WHERE c.vec_id <> qp.qid),
-    ranked AS (
-      SELECT qid, vec_id, sim,
-             CASE WHEN label = qlabel THEN 'pos' ELSE 'neg' END AS kind,
-             row_number() OVER (PARTITION BY qid, (label = qlabel)
-               ORDER BY sim DESC, vec_id) AS rk
-      FROM sims)
-    SELECT qid, kind, CAST(rk AS BIGINT) AS rk, vec_id, sim FROM ranked
-    WHERE (kind = 'neg' AND rk <= 3) OR (kind = 'pos' AND rk = 1)
-    ORDER BY qid, kind, rk"""
-
-  /** q195 — sequential pattern mining (PrefixSpan-restricted): support
-    * of every distinct-type length-2 and length-3 ordered subsequence
-    * of each user's event stream — the funnel-DISCOVERY op (q84/q166
-    * measure funnels you already know; this finds which orderings are
-    * frequent enough to be funnels). Subsequence existence uses the
-    * standard greedy matching: first a, earliest b after it, any c
-    * after that — correct for existence and purely relational, so the
-    * same SQL runs on both engines.
-    *
-    * Scale shape: per-user first/last-occurrence tables are one hash
-    * agg; the candidate joins are USER-KEYED equi-joins whose per-user
-    * fan-out is bounded by the distinct-type alphabet (|T|² / |T|³ per
-    * user with |T| small and fixed) — never by the event count; support
-    * ≥ 8 prunes the tail at the end. No per-user arrays ever ship. */
-  private val seqMineSql = """
-    WITH e AS (SELECT user_id, event_type AS t,
-                      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-               FROM events),
-    fo AS (SELECT user_id, t, min(rn) AS fr, max(rn) AS xr FROM e GROUP BY user_id, t),
-    pairs AS (
-      SELECT a.t AS t1, b.t AS t2, count(1) AS support
-      FROM fo a JOIN fo b ON a.user_id = b.user_id AND a.t != b.t AND a.fr < b.xr
-      GROUP BY a.t, b.t),
-    tb AS (SELECT a.user_id, a.t AS t1, b.t AS t2, min(b.rn) AS rb
-           FROM fo a JOIN e b ON a.user_id = b.user_id AND b.t != a.t AND b.rn > a.fr
-           GROUP BY a.user_id, a.t, b.t),
-    triples AS (
-      SELECT tb.t1, tb.t2, c.t AS t3, count(1) AS support
-      FROM tb JOIN fo c ON c.user_id = tb.user_id AND c.t != tb.t1 AND c.t != tb.t2
-                        AND c.xr > tb.rb
-      GROUP BY tb.t1, tb.t2, c.t)
-    SELECT kind, seq, support FROM (
-      SELECT 'pair' AS kind, concat(t1, '>', t2) AS seq, support FROM pairs
-      UNION ALL
-      SELECT 'triple', concat(t1, '>', t2, '>', t3), support FROM triples)
-    WHERE support >= 8
-    ORDER BY kind, support DESC, seq"""
-
-  private val seqMineOracle = """
-    WITH e AS (SELECT user_id, event_type AS t,
-                      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-               FROM events),
-    fo AS (SELECT user_id, t, min(rn) AS fr, max(rn) AS xr FROM e GROUP BY user_id, t),
-    pairs AS (
-      SELECT a.t AS t1, b.t AS t2, CAST(count(1) AS BIGINT) AS support
-      FROM fo a JOIN fo b ON a.user_id = b.user_id AND a.t <> b.t AND a.fr < b.xr
-      GROUP BY a.t, b.t),
-    tb AS (SELECT a.user_id, a.t AS t1, b.t AS t2, min(b.rn) AS rb
-           FROM fo a JOIN e b ON a.user_id = b.user_id AND b.t <> a.t AND b.rn > a.fr
-           GROUP BY a.user_id, a.t, b.t),
-    triples AS (
-      SELECT tb.t1, tb.t2, c.t AS t3, CAST(count(1) AS BIGINT) AS support
-      FROM tb JOIN fo c ON c.user_id = tb.user_id AND c.t <> tb.t1 AND c.t <> tb.t2
-                        AND c.xr > tb.rb
-      GROUP BY tb.t1, tb.t2, c.t)
-    SELECT kind, seq, support FROM (
-      SELECT 'pair' AS kind, t1 || '>' || t2 AS seq, support FROM pairs
-      UNION ALL
-      SELECT 'triple', t1 || '>' || t2 || '>' || t3, support FROM triples)
-    WHERE support >= 8
-    ORDER BY kind, support DESC, seq"""
-
-  // ------------------------------------------------------ text analysis
-
-  /** Whitespace token stats + BPE-ish subtoken count — per-document
-    * map-only work (scales embarrassingly). */
-  private val tokenStatsSql = """
-    WITH toks AS (SELECT doc_id, text, split(lower(text), '\\s+') AS t FROM documents)
-    SELECT doc_id, size(t) AS n_tokens, size(array_distinct(t)) AS n_distinct,
-           cast(size(array_distinct(t)) AS double) / size(t) AS ttr,
-           aggregate(t, 0, (s, x) -> s + length(x)) AS total_token_chars,
-           cast(aggregate(t, 0, (s, x) -> s + length(x)) AS double) / size(t) AS avg_token_len,
-           size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) AS n_subtokens
-    FROM toks ORDER BY doc_id"""
-
-  private val tokenStatsOracle = """
-    WITH toks AS (SELECT doc_id, text, regexp_split_to_array(lower(text), '\s+') AS t FROM documents)
-    SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct,
-           len(list_distinct(t))::DOUBLE / len(t) AS ttr,
-           list_reduce(list_transform(t, x -> len(x)), (s, x) -> s + x) AS total_token_chars,
-           list_reduce(list_transform(t, x -> len(x)), (s, x) -> s + x)::DOUBLE / len(t) AS avg_token_len,
-           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_subtokens
-    FROM toks ORDER BY doc_id"""
-
-  private val StopEn = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
-
-  /** Heuristic quality score: stopword ratio + alpha ratio + type-token
-    * ratio + length saturation, combined with fixed weights. Map-only. */
-  private val qualitySql = s"""
-    WITH toks AS (SELECT doc_id, text, n_chars, split(lower(text), '\\\\s+') AS t FROM documents)
-    SELECT doc_id, n_chars, size(t) AS n_tokens,
-           cast(size(filter(t, x -> array_contains(array(${StopEn.map("'" + _ + "'").mkString(",")}), x))) AS double) / size(t) AS stopword_ratio,
-           cast(length(regexp_replace(lower(text), '[^a-z ]', '')) AS double) / length(text) AS alpha_ratio,
-           0.4 * least(cast(1.0 AS double), size(t) / cast(100 AS double))
-             + 0.3 * (cast(size(filter(t, x -> array_contains(array(${StopEn.map("'" + _ + "'").mkString(",")}), x))) AS double) / size(t))
-             + 0.3 * (cast(size(array_distinct(t)) AS double) / size(t)) AS quality
-    FROM toks ORDER BY doc_id"""
-
-  private val qualityOracle = s"""
-    WITH toks AS (SELECT doc_id, text, n_chars, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents)
-    SELECT doc_id, n_chars, len(t) AS n_tokens,
-           len(list_filter(t, x -> list_contains([${StopEn.map("'" + _ + "'").mkString(",")}], x)))::DOUBLE / len(t) AS stopword_ratio,
-           len(regexp_replace(lower(text), '[^a-z ]', '', 'g'))::DOUBLE / len(text) AS alpha_ratio,
-           0.4 * least(1.0, len(t) / 100.0)
-             + 0.3 * (len(list_filter(t, x -> list_contains([${StopEn.map("'" + _ + "'").mkString(",")}], x)))::DOUBLE / len(t))
-             + 0.3 * (len(list_distinct(t))::DOUBLE / len(t)) AS quality
-    FROM toks ORDER BY doc_id"""
-
-  private val Lex: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "was"),
-    "es" -> Seq("el", "la", "los", "de", "que", "y", "en", "un", "por", "con"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"),
-    "fr" -> Seq("le", "la", "les", "de", "et", "des", "un", "une", "est", "dans"))
-
-  private def lexArr(l: String, spark: Boolean): String = {
-    val items = Lex(l).map("'" + _ + "'").mkString(",")
-    if (spark) s"array($items)" else s"[$items]"
-  }
-
-  /** N-gram/stopword language-ID heuristic with a deterministic argmax
-    * tie-break (en > es > de > fr > unknown). Map-only; the `lang` column
-    * is ground truth for an accuracy readout downstream. */
-  private def langidSql(spark: Boolean): String = {
-    def score(l: String) =
-      if (spark) s"size(filter(t, x -> array_contains(${lexArr(l, spark = true)}, x)))"
-      else s"len(list_filter(t, x -> list_contains(${lexArr(l, spark = false)}, x)))"
-    val split = if (spark) "split(lower(text), '\\\\s+')" else "regexp_split_to_array(lower(text), '\\s+')"
-    s"""
-    WITH toks AS (SELECT doc_id, lang, $split AS t FROM documents),
-    scores AS (
-      SELECT doc_id, lang, ${score("en")} AS s_en, ${score("es")} AS s_es,
-             ${score("de")} AS s_de, ${score("fr")} AS s_fr
-      FROM toks)
-    SELECT doc_id, lang, s_en, s_es, s_de, s_fr,
-           CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
-                WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
-                WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
-                WHEN s_fr > 0 THEN 'fr'
-                ELSE 'unknown' END AS predicted_lang
-    FROM scores ORDER BY doc_id"""
-  }
-
-  /** Winnowing-style fingerprint: md5 over char 8-grams, lexicographic
-    * min per 4-gram window, distinct mins = the document's fingerprint
-    * set. Physical shape: entirely MAP-SIDE — the gram array, sliding
-    * window minima, distinct set, and summary stats are all array
-    * expressions evaluated per row, so there is no explode, no shuffle,
-    * and no per-position row blowup (the previous explode+window variant
-    * shuffled length(text) rows per document and was 50× slower).
-    * Per-row memory is O(length(text)) — bounded by the document, so the
-    * shape scales embarrassingly with corpus size. */
-  private val fingerprintSql = """
-    WITH w AS (
-      -- winnow_fps (native Expression): md5 char-8-grams + monotonic-deque
-      -- sliding-window minima + distinct, one O(n) loop per document in
-      -- whole-stage codegen — replaces two interpreted HOF transforms that
-      -- were 50x slower. length(text) >= 11 ≡ the old size(grams) >= 4.
-      SELECT doc_id, winnow_fps(text, 8, 4) AS fps
-      FROM documents WHERE length(text) >= 11)
-    SELECT doc_id, cast(size(fps) AS bigint) AS n_fingerprints,
-           array_min(fps) AS min_fp, array_max(fps) AS max_fp
-    FROM w ORDER BY doc_id"""
-
-  private val fingerprintOracle = """
-    WITH g AS (
-      SELECT doc_id, list_transform(range(len(text)-7), i -> md5(substr(text, i+1, 8))) AS grams
-      FROM documents WHERE len(text) >= 8),
-    w AS (
-      SELECT doc_id,
-             list_distinct(list_transform(range(len(grams)-3), wi -> list_min(grams[wi+1:wi+4]))) AS fps
-      FROM g WHERE len(grams) >= 4)
-    SELECT doc_id, len(fps) AS n_fingerprints, list_min(fps) AS min_fp, list_max(fps) AS max_fp
-    FROM w ORDER BY doc_id"""
-
-  /** Train/test CONTAMINATION check — the decontamination primitive of a
-    * training pipeline: which corpus documents share winnowing
-    * fingerprints with a benchmark set (here: doc_id % 97 = 0 plays the
-    * held-out benchmark). Physical shape at 100 TB: fingerprints are
-    * map-side (native winnow_fps), the fingerprint-frequency cap (df <=
-    * [[ContamFpCap]]) removes boilerplate n-grams BEFORE the join — the
-    * same stop-phrase guard as q24's inverted index, and standard
-    * decontamination practice (ubiquitous fingerprints carry no overlap
-    * signal, only skew) — then the corpus×bench equi-join runs on capped
-    * posting lists, never all-pairs. The >= 2 shared-fps floor drops
-    * single-gram coincidences. Cap and floor are mirrored in the oracle. */
-  private val ContamFpCap = 200
-  private val contaminationSql = s"""
-    WITH fps AS (
-      SELECT doc_id, explode(winnow_fps(text, 8, 4)) AS fp
-      FROM documents WHERE length(text) >= 11),
-    -- (doc_id, fp) is unique after winnowing's in-row distinct, so the
-    -- frequency cap is a count-over-window: ONE pass over fps and one fp
-    -- shuffle, instead of a groupBy + self-join that would compute the
-    -- winnow explode twice (same trick as q22's band-size cap)
-    kept AS (SELECT doc_id, fp FROM (
-               SELECT doc_id, fp, count(1) OVER (PARTITION BY fp) AS fdf FROM fps)
-             WHERE fdf <= $ContamFpCap),
-    bench AS (SELECT doc_id AS bench_id, fp FROM kept WHERE doc_id % 97 = 0),
-    corpus AS (SELECT doc_id, fp FROM kept WHERE doc_id % 97 != 0)
-    SELECT c.doc_id, count(DISTINCT c.fp) AS shared_fps,
-           count(DISTINCT b.bench_id) AS n_bench_docs
-    FROM corpus c JOIN bench b ON c.fp = b.fp
-    GROUP BY c.doc_id
-    HAVING count(DISTINCT c.fp) >= 2
-    ORDER BY doc_id"""
-
-  private val contaminationOracle = s"""
-    WITH g AS (
-      SELECT doc_id, list_transform(range(len(text)-7), i -> md5(substr(text, i+1, 8))) AS grams
-      FROM documents WHERE len(text) >= 8),
-    w AS (
-      SELECT doc_id,
-             list_distinct(list_transform(range(len(grams)-3), wi -> list_min(grams[wi+1:wi+4]))) AS fpl
-      FROM g WHERE len(grams) >= 4),
-    fps AS (SELECT doc_id, unnest(fpl) AS fp FROM w),
-    freq AS (SELECT fp, count(DISTINCT doc_id) AS fdf FROM fps GROUP BY fp),
-    kept AS (SELECT fps.doc_id, fps.fp FROM fps JOIN freq ON fps.fp = freq.fp
-             WHERE freq.fdf <= $ContamFpCap),
-    bench AS (SELECT doc_id AS bench_id, fp FROM kept WHERE doc_id % 97 = 0),
-    corpus AS (SELECT doc_id, fp FROM kept WHERE doc_id % 97 <> 0)
-    SELECT c.doc_id, count(DISTINCT c.fp) AS shared_fps,
-           count(DISTINCT b.bench_id) AS n_bench_docs
-    FROM corpus c JOIN bench b ON c.fp = b.fp
-    GROUP BY c.doc_id
-    HAVING count(DISTINCT c.fp) >= 2
-    ORDER BY doc_id"""
-
-  /** Vocabulary statistics — the tokenizer/BPE-prep primitive: term
-    * frequency and document frequency per token, top-100 by tf. Physical
-    * shape at 100 TB: explode + partial/final hash aggregate (map-side
-    * combine absorbs the Zipf head — 'the' pre-aggregates to one row per
-    * map task, so token skew never reaches the shuffle), df via
-    * array_distinct BEFORE exploding (dedup inside the row, not a
-    * count(DISTINCT) shuffle), then top-k. */
-  private val vocabSql = """
-    WITH tf AS (
-      SELECT tok, count(1) AS term_freq
-      FROM (SELECT explode(split(lower(text), '\\s+')) AS tok FROM documents)
-      GROUP BY tok),
-    df AS (
-      SELECT tok, count(1) AS doc_freq
-      FROM (SELECT doc_id, explode(array_distinct(split(lower(text), '\\s+'))) AS tok
-            FROM documents)
-      GROUP BY tok)
-    SELECT tf.tok, term_freq, doc_freq
-    FROM tf JOIN df ON tf.tok = df.tok
-    ORDER BY term_freq DESC, tf.tok
-    LIMIT 100"""
-
-  private val vocabOracle = """
-    WITH tf AS (
-      SELECT tok, count(1) AS term_freq
-      FROM (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS tok FROM documents)
-      GROUP BY tok),
-    df AS (
-      SELECT tok, count(1) AS doc_freq
-      FROM (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(text), '\s+'))) AS tok
-            FROM documents)
-      GROUP BY tok)
-    SELECT tf.tok, term_freq, doc_freq
-    FROM tf JOIN df ON tf.tok = df.tok
-    ORDER BY term_freq DESC, tf.tok
-    LIMIT 100"""
-
-  /** Deterministic data-mixture sampling — the corpus-mixing primitive
-    * of a training pipeline: each source gets a sampling rate (here
-    * derived from the source digit: src3 → 40%), membership is decided
-    * by a content-stable hash of the doc id (md5 → 32-bit bucket % 100),
-    * and the query audits the realized mixture per source. Physical
-    * shape at any scale: the sample predicate is a map-side expression —
-    * a re-run, a different cluster, or an incremental ingest selects the
-    * SAME documents (no rand(), no seed state to ship); the audit is one
-    * partial/final aggregate over ~|sources| rows. */
-  private val mixtureSql = """
-    WITH rated AS (
-      SELECT doc_id, source,
-             (cast(substr(source, 4, 1) AS int) + 1) * 10 AS rate_pct,
-             cast(conv(substr(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS bigint) % 100 AS bucket
-      FROM documents)
-    SELECT source, rate_pct, count(1) AS n_docs,
-           count(CASE WHEN bucket < rate_pct THEN 1 END) AS n_sampled
-    FROM rated GROUP BY source, rate_pct ORDER BY source"""
-
-  private val mixtureOracle = """
-    WITH rated AS (
-      SELECT doc_id, source,
-             (substr(source, 4, 1)::INT + 1) * 10 AS rate_pct,
-             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
-      FROM documents)
-    SELECT source, rate_pct, count(1) AS n_docs,
-           count(CASE WHEN bucket < rate_pct THEN 1 END) AS n_sampled
-    FROM rated GROUP BY source, rate_pct ORDER BY source"""
-
-  /** Repetition detection — the duplicate-3-gram-ratio quality filter
-    * (the Gopher-rules corpus-filter signal: boilerplate and degenerate
-    * generations repeat n-grams). Total 3-grams come from the token
-    * count; distinct ones from the native word_shingle_count, which
-    * interns tokens and counts packed id-tuples in one per-row loop —
-    * no shingle-string arrays are ever materialized (VERDICT r5 item 2:
-    * word_shingles built full distinct string arrays where only the
-    * count is consumed). Map-only: zero shuffles except the
-    * oracle-determinism sort. */
-  private val repetitionSql = """
-    WITH s AS (
-      SELECT doc_id, size(split(lower(text), '\\s+')) AS nt,
-             word_shingle_count(text, 3) AS nsh3
-      FROM documents)
-    SELECT doc_id,
-           cast(nt - 2 AS bigint) AS n_3grams,
-           cast(nsh3 AS bigint) AS n_distinct_3grams,
-           cast(1.0 AS double) - cast(nsh3 AS double) / cast(nt - 2 AS double) AS dup_ratio
-    FROM s WHERE nt >= 3 ORDER BY doc_id"""
-
-  private val repetitionOracle = """
-    WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
-    s AS (
-      SELECT doc_id, t,
-             list_distinct(list_transform(range(len(t)-2),
-               i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh3
-      FROM toks)
-    SELECT doc_id,
-           (len(t) - 2)::BIGINT AS n_3grams,
-           len(sh3)::BIGINT AS n_distinct_3grams,
-           1.0::DOUBLE - len(sh3)::DOUBLE / (len(t) - 2)::DOUBLE AS dup_ratio
-    FROM s WHERE len(t) >= 3 ORDER BY doc_id"""
-
-  /** Per-source length profile — the corpus-audit query run before/after
-    * filtering: exact interpolated percentiles of document length per
-    * source. percentile() is a single-pass typed aggregate (sorted
-    * per-group buffers merge map-side), one partial/final agg over
-    * |sources| groups. */
-  private val lengthProfileSql = """
-    SELECT source,
-           count(1) AS n_docs,
-           round(percentile(n_chars, 0.5), 6) AS p50_chars,
-           round(percentile(n_chars, 0.9), 6) AS p90_chars,
-           min(n_chars) AS min_chars,
-           max(n_chars) AS max_chars
-    FROM documents GROUP BY source ORDER BY source"""
-
-  /** The 100 TB variant of q58: exact percentile() buffers every value
-    * per group — fine for bounded metrics like n_chars, wrong for
-    * unbounded ones (per-group memory is O(distinct values)).
-    * approx_percentile is a t-digest-style mergeable sketch: O(accuracy)
-    * memory per group regardless of cardinality, partials combine
-    * map-side like any hash aggregate. Rank error ≤ 1/accuracy — at
-    * 10000, the p50/p90 of any column land within 0.01% rank of exact.
-    * Not oracle-gated (DuckDB's sketch differs); spec-compared to the
-    * exact q58 within rank tolerance instead. */
-  private[graft] def lengthProfileApprox(s: SparkSession, dir: String): DataFrame = {
-    val s2 = docs(s, dir)
-    s2.sql("""
-      SELECT source,
-             count(1) AS n_docs,
-             cast(approx_percentile(n_chars, 0.5, 10000) AS double) AS p50_chars,
-             cast(approx_percentile(n_chars, 0.9, 10000) AS double) AS p90_chars,
-             min(n_chars) AS min_chars,
-             max(n_chars) AS max_chars
-      FROM documents GROUP BY source ORDER BY source""")
-  }
-
-  /** The exact q58, callable for the approx-vs-exact comparison spec. */
-  private[graft] def lengthProfileExact(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).sql(lengthProfileSql)
-
-  private val lengthProfileOracle = """
-    SELECT source,
-           count(1) AS n_docs,
-           round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
-           round(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
-           min(n_chars) AS min_chars,
-           max(n_chars) AS max_chars
-    FROM documents GROUP BY source ORDER BY source"""
-
-  /** Per-label centroids — the k-means/IVF TRAINING step (q38 consumes a
-    * codebook; this computes one): element-wise mean of the embedding
-    * vectors per label. Physical shape at 100 TB: posexplode to
-    * (label, pos, v) then ONE partial/final hash aggregate on
-    * (label, pos) — means accumulate map-side, no vector ever
-    * collect_list'd, centroid count × dim rows come back. */
-  private val centroidsSql = """
-    SELECT label, pos, round(avg(cast(v AS double)), 6) AS mean_v
-    FROM embeddings LATERAL VIEW posexplode(embedding) AS pos, v
-    GROUP BY label, pos ORDER BY label, pos"""
-
-  private val centroidsOracle = """
-    SELECT label, i::INT AS pos, round(avg(embedding[i+1]::DOUBLE), 6) AS mean_v
-    FROM embeddings, unnest(range(len(embedding))) AS t(i)
-    GROUP BY label, i ORDER BY label, pos"""
-
-  /** k-means E-step + evaluation — assign every vector to its nearest
-    * q60 centroid (squared L2) and report the label-vs-assigned
-    * confusion. Determinism across engines: centroids are ROUNDED to 6dp
-    * before distances (both engines see identical codebooks), and the
-    * distance is an explicit left fold over zip_with — fixed IEEE
-    * order, the q25 technique. Physical shape at 100 TB: the codebook is
-    * k×dim values cross-joined (broadcast) against the vectors, argmin
-    * via min_by with a (distance, label) tie-break — one pass, one
-    * partial/final confusion aggregate. */
-  private val kmeansAssignSql = """
-    WITH cent_rows AS (
-      SELECT label AS c_label, pos, round(avg(cast(v AS double)), 6) AS mean_v
-      FROM embeddings LATERAL VIEW posexplode(embedding) AS pos, v
-      GROUP BY label, pos),
-    cents AS (
-      SELECT c_label,
-             transform(sort_array(collect_list(struct(pos, mean_v))), s -> s.mean_v) AS cvec
-      FROM cent_rows GROUP BY c_label),
-    dists AS (
-      SELECT e.vec_id, e.label, c.c_label,
-             aggregate(zip_with(transform(e.embedding, x -> cast(x AS double)), c.cvec,
-                                (x, y) -> (x - y) * (x - y)),
-                       cast(0.0 AS double), (s, x) -> s + x) AS d2
-      FROM embeddings e CROSS JOIN cents c),
-    assign AS (
-      SELECT vec_id, label, min_by(c_label, struct(d2, c_label)) AS assigned
-      FROM dists GROUP BY vec_id, label)
-    SELECT label, assigned, count(1) AS n
-    FROM assign GROUP BY label, assigned ORDER BY label, assigned"""
-
-  private val kmeansAssignOracle = """
-    WITH cent_rows AS (
-      SELECT label AS c_label, i AS pos, round(avg(embedding[i+1]::DOUBLE), 6) AS mean_v
-      FROM embeddings, unnest(range(len(embedding))) AS t(i)
-      GROUP BY label, i),
-    cents AS (
-      SELECT c_label, list(mean_v ORDER BY pos) AS cvec
-      FROM cent_rows GROUP BY c_label),
-    dists AS (
-      SELECT e.vec_id, e.label, c.c_label,
-             list_reduce(list_transform(range(len(c.cvec)),
-                 i -> (e.embedding[i+1]::DOUBLE - c.cvec[i+1]) * (e.embedding[i+1]::DOUBLE - c.cvec[i+1])),
-               (s, x) -> s + x) AS d2
-      FROM embeddings e CROSS JOIN cents c),
-    assign AS (
-      -- DuckDB arg_min has no struct key; a ranked window gives the same
-      -- deterministic (d2, c_label) argmin
-      SELECT vec_id, label, c_label AS assigned
-      FROM (SELECT vec_id, label, c_label,
-                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
-            FROM dists)
-      WHERE rn = 1)
-    SELECT label, assigned, count(1) AS n
-    FROM assign GROUP BY label, assigned ORDER BY label, assigned"""
-
-  /** Iterated k-means TRAINING — the full Lloyd's loop over q60's M-step
-    * and q61's E-step, run by [[graft.ops.KMeans]] with per-round
-    * broadcast codebooks, one hash aggregate per step, and an O(1)
-    * convergence checksum (assignment count + bit_xor(xxhash64)) — the
-    * q41 driver-loop pattern. Fixed at 2 iterations with the
-    * deterministic `vec_id < 8` init so the DuckDB oracle can unroll the
-    * same two E/M rounds as CTEs and hash-match exactly (6dp-rounded
-    * centroids, sequential IEEE folds, (d2, cluster) tie-breaks). */
-  private def kmeansTrain(s: SparkSession, dir: String): DataFrame = {
-    val s2 = embs(s, dir)
-    val emb = s2.sql(
-      "SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS e FROM embeddings")
-    val (cents, _) = graft.ops.KMeans.train(s2, emb, k = 8, maxIter = 2)
-    cents.orderBy("cluster", "pos")
-  }
-
-  private val kmeansTrainOracle = """
-    WITH emb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
-    init AS (SELECT vec_id AS cluster, e AS cvec FROM emb WHERE vec_id < 8),
-    d1 AS (SELECT emb.vec_id, emb.e, c.cluster,
-                  list_reduce(list_transform(range(64),
-                      i -> (emb.e[i+1] - c.cvec[i+1]) * (emb.e[i+1] - c.cvec[i+1])),
-                    (s, x) -> s + x) AS d2
-           FROM emb CROSS JOIN init c),
-    a1 AS (SELECT vec_id, e, cluster AS assigned FROM
-             (SELECT vec_id, e, cluster,
-                     row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
-              FROM d1) WHERE rn = 1),
-    c1 AS (SELECT assigned AS cluster, i AS pos, round(avg(e[i+1]), 6) AS mean_v
-           FROM a1, unnest(range(64)) AS t(i)
-           GROUP BY assigned, i),
-    c1v AS (SELECT cluster, list(mean_v ORDER BY pos) AS cvec FROM c1 GROUP BY cluster),
-    d2s AS (SELECT emb.vec_id, emb.e, c.cluster,
-                   list_reduce(list_transform(range(64),
-                       i -> (emb.e[i+1] - c.cvec[i+1]) * (emb.e[i+1] - c.cvec[i+1])),
-                     (s, x) -> s + x) AS d2
-            FROM emb CROSS JOIN c1v c),
-    a2 AS (SELECT vec_id, e, cluster AS assigned FROM
-             (SELECT vec_id, e, cluster,
-                     row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
-              FROM d2s) WHERE rn = 1),
-    c2 AS (SELECT assigned AS cluster, i::INT AS pos, round(avg(e[i+1]), 6) AS mean_v
-           FROM a2, unnest(range(64)) AS t(i)
-           GROUP BY assigned, i)
-    SELECT cluster, pos, mean_v FROM c2 ORDER BY cluster, pos"""
-
-  /** IVF ANN over the TRAINED q60 codebook — train → index → probe →
-    * search end-to-end (q38 uses a deterministic sampled codebook; this
-    * uses the learned centroids, the real IVF deployment shape).
-    * Vectors index into their nearest-centroid cell (q61's assignment),
-    * queries probe the nprobe=2 nearest cells by centroid distance, and
-    * exact cosine runs only inside probed cells. Same determinism rules
-    * as q60/q61: 6dp-rounded centroids, fixed-order folds, (value, id)
-    * tie-breaks. Scale shape: codebook broadcast twice (assignment +
-    * probe), search joins on the cell key — never all-pairs. */
-  private val ivfTrainedSql = """
-    WITH cent_rows AS (
-      SELECT label AS c_label, pos, round(avg(cast(v AS double)), 6) AS mean_v
-      FROM embeddings LATERAL VIEW posexplode(embedding) AS pos, v
-      GROUP BY label, pos),
-    cents AS (
-      SELECT c_label,
-             transform(sort_array(collect_list(struct(pos, mean_v))), s -> s.mean_v) AS cvec
-      FROM cent_rows GROUP BY c_label),
-    vn AS (
-      SELECT vec_id, e, sqrt(dot_d(e, e)) AS nrm
-      FROM (SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS e FROM embeddings)),
-    cdist AS (
-      SELECT /*+ BROADCAST(c) */ vn.vec_id, vn.e, vn.nrm, c.c_label,
-             aggregate(zip_with(vn.e, c.cvec, (x, y) -> (x - y) * (x - y)),
-                       cast(0.0 AS double), (s, x) -> s + x) AS d2
-      FROM vn CROSS JOIN cents c),
-    cells AS (
-      SELECT vec_id, w.e AS e, w.nrm AS nrm, w.cell AS cell FROM (
-        SELECT vec_id,
-               min_by(named_struct('e', e, 'nrm', nrm, 'cell', c_label),
-                      named_struct('d', d2, 'c', c_label)) AS w
-        FROM cdist GROUP BY vec_id)),
-    qprobe AS (
-      SELECT vec_id AS qid, c_label AS cell FROM (
-        SELECT vec_id, c_label,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk
-        FROM cdist WHERE vec_id % 100 = 0)
-      WHERE rk <= 2),
-    qv AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM vn WHERE vec_id % 100 = 0),
-    sims AS (
-      SELECT /*+ BROADCAST(qp, qv) */ qp.qid, c.vec_id,
-             dot_d(qv.qe, c.e) / (qv.qnrm * c.nrm) AS sim
-      FROM qprobe qp JOIN cells c ON c.cell = qp.cell JOIN qv ON qv.qid = qp.qid
-      WHERE c.vec_id <> qp.qid),
-    ranked AS (
-      SELECT qid, vec_id, sim,
-             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
-      FROM sims)
-    SELECT qid, vec_id, round(sim, 6) AS sim, rank
-    FROM ranked WHERE rank <= 3 ORDER BY qid, rank"""
-
-  private val ivfTrainedOracle = """
-    WITH cent_rows AS (
-      SELECT label AS c_label, i AS pos, round(avg(embedding[i+1]::DOUBLE), 6) AS mean_v
-      FROM embeddings, unnest(range(len(embedding))) AS t(i)
-      GROUP BY label, i),
-    cents AS (
-      SELECT c_label, list(mean_v ORDER BY pos) AS cvec
-      FROM cent_rows GROUP BY c_label),
-    v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
-    vn AS (SELECT vec_id, e,
-                  sqrt(list_reduce(list_transform(e, x -> x * x), (s, x) -> s + x)) AS nrm
-           FROM v),
-    cdist AS (
-      SELECT vn.vec_id, vn.e, vn.nrm, c.c_label,
-             list_reduce(list_transform(range(len(c.cvec)),
-                 i -> (vn.e[i+1] - c.cvec[i+1]) * (vn.e[i+1] - c.cvec[i+1])),
-               (s, x) -> s + x) AS d2
-      FROM vn CROSS JOIN cents c),
-    cells AS (
-      SELECT vec_id, e, nrm, c_label AS cell FROM (
-        SELECT vec_id, e, nrm, c_label,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk
-        FROM cdist) WHERE rk = 1),
-    qprobe AS (
-      SELECT vec_id AS qid, c_label AS cell FROM (
-        SELECT vec_id, c_label,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk
-        FROM cdist WHERE vec_id % 100 = 0)
-      WHERE rk <= 2),
-    qv AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM vn WHERE vec_id % 100 = 0),
-    sims AS (
-      SELECT qp.qid, c.vec_id,
-             list_reduce(list_transform(range(len(c.e)), i -> qv.qe[i+1] * c.e[i+1]),
-               (s, x) -> s + x) / (qv.qnrm * c.nrm) AS sim
-      FROM qprobe qp JOIN cells c ON c.cell = qp.cell JOIN qv ON qv.qid = qp.qid
-      WHERE c.vec_id <> qp.qid),
-    ranked AS (
-      SELECT qid, vec_id, sim,
-             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
-      FROM sims)
-    SELECT qid, vec_id, round(sim, 6) AS sim, rank
-    FROM ranked WHERE rank <= 3 ORDER BY qid, rank"""
-
-  /** Converged-IVF end-to-end (q65): [[graft.ops.KMeans]] TRAINS the
-    * codebook (k=8, maxIter=4), then the q62 IVF index/probe/search runs
-    * over the TRAINED centroids — the full train → index → probe →
-    * search deployment path with no label-derived codebook anywhere.
-    * Oracle parity with early stop: the DuckDB oracle unrolls exactly 4
-    * E/M rounds; if the engine converges at round r < 4 the remaining
-    * oracle rounds are a fixpoint (a repeated assignment regenerates
-    * identical 6dp-rounded centroids), and if it doesn't converge both
-    * sides run exactly 4 M-steps — equal either way (KMeansSpec pins the
-    * fixpoint property). Scale shape: identical to q62 — codebook
-    * broadcast twice (cell assignment + probe), search joins on the cell
-    * key, never all-pairs — plus the q64 training loop up front. */
-  private def ivfConverged(s: SparkSession, dir: String): DataFrame = {
-    val s2 = embs(s, dir)
-    val emb = s2.sql(
-      "SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS e FROM embeddings")
-    val (codebook, _) = graft.ops.KMeans.trainCodebook(s2, emb, k = 8, maxIter = 4)
-    codebook.createOrReplaceTempView("trained_cents")
-    s2.sql(ivfConvergedSearchSql)
-  }
-
-  private val ivfConvergedSearchSql = """
-    WITH vn AS (
-      SELECT vec_id, e, sqrt(dot_d(e, e)) AS nrm
-      FROM (SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS e FROM embeddings)),
-    cdist AS (
-      SELECT /*+ BROADCAST(c) */ vn.vec_id, vn.e, vn.nrm, c.cluster,
-             aggregate(zip_with(vn.e, c.cvec, (x, y) -> (x - y) * (x - y)),
-                       cast(0.0 AS double), (s, x) -> s + x) AS d2
-      FROM vn CROSS JOIN trained_cents c),
-    cells AS (
-      SELECT vec_id, w.e AS e, w.nrm AS nrm, w.cell AS cell FROM (
-        SELECT vec_id,
-               min_by(named_struct('e', e, 'nrm', nrm, 'cell', cluster),
-                      named_struct('d', d2, 'c', cluster)) AS w
-        FROM cdist GROUP BY vec_id)),
-    qprobe AS (
-      SELECT vec_id AS qid, cluster AS cell FROM (
-        SELECT vec_id, cluster,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
-        FROM cdist WHERE vec_id % 100 = 0)
-      WHERE rk <= 2),
-    qv AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM vn WHERE vec_id % 100 = 0),
-    sims AS (
-      SELECT /*+ BROADCAST(qp, qv) */ qp.qid, c.vec_id,
-             dot_d(qv.qe, c.e) / (qv.qnrm * c.nrm) AS sim
-      FROM qprobe qp JOIN cells c ON c.cell = qp.cell JOIN qv ON qv.qid = qp.qid
-      WHERE c.vec_id <> qp.qid),
-    ranked AS (
-      SELECT qid, vec_id, sim,
-             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
-      FROM sims)
-    SELECT qid, vec_id, round(sim, 6) AS sim, rank
-    FROM ranked WHERE rank <= 3 ORDER BY qid, rank"""
-
-  /** q64's 2-round unroll extended to 4 rounds, feeding the q62 search
-    * CTE chain — entirely mechanical, as promised. */
-  private val ivfConvergedOracle = """
-    WITH emb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
-    init AS (SELECT vec_id AS cluster, e AS cvec FROM emb WHERE vec_id < 8),
-    d1 AS (SELECT emb.vec_id, emb.e, c.cluster,
-                  list_reduce(list_transform(range(64),
-                      i -> (emb.e[i+1] - c.cvec[i+1]) * (emb.e[i+1] - c.cvec[i+1])),
-                    (s, x) -> s + x) AS d2
-           FROM emb CROSS JOIN init c),
-    a1 AS (SELECT vec_id, e, cluster AS assigned FROM
-             (SELECT vec_id, e, cluster,
-                     row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
-              FROM d1) WHERE rn = 1),
-    c1 AS (SELECT assigned AS cluster, i AS pos, round(avg(e[i+1]), 6) AS mean_v
-           FROM a1, unnest(range(64)) AS t(i) GROUP BY assigned, i),
-    c1v AS (SELECT cluster, list(mean_v ORDER BY pos) AS cvec FROM c1 GROUP BY cluster),
-    d2s AS (SELECT emb.vec_id, emb.e, c.cluster,
-                   list_reduce(list_transform(range(64),
-                       i -> (emb.e[i+1] - c.cvec[i+1]) * (emb.e[i+1] - c.cvec[i+1])),
-                     (s, x) -> s + x) AS d2
-            FROM emb CROSS JOIN c1v c),
-    a2 AS (SELECT vec_id, e, cluster AS assigned FROM
-             (SELECT vec_id, e, cluster,
-                     row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
-              FROM d2s) WHERE rn = 1),
-    c2 AS (SELECT assigned AS cluster, i AS pos, round(avg(e[i+1]), 6) AS mean_v
-           FROM a2, unnest(range(64)) AS t(i) GROUP BY assigned, i),
-    c2v AS (SELECT cluster, list(mean_v ORDER BY pos) AS cvec FROM c2 GROUP BY cluster),
-    d3s AS (SELECT emb.vec_id, emb.e, c.cluster,
-                   list_reduce(list_transform(range(64),
-                       i -> (emb.e[i+1] - c.cvec[i+1]) * (emb.e[i+1] - c.cvec[i+1])),
-                     (s, x) -> s + x) AS d2
-            FROM emb CROSS JOIN c2v c),
-    a3 AS (SELECT vec_id, e, cluster AS assigned FROM
-             (SELECT vec_id, e, cluster,
-                     row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
-              FROM d3s) WHERE rn = 1),
-    c3 AS (SELECT assigned AS cluster, i AS pos, round(avg(e[i+1]), 6) AS mean_v
-           FROM a3, unnest(range(64)) AS t(i) GROUP BY assigned, i),
-    c3v AS (SELECT cluster, list(mean_v ORDER BY pos) AS cvec FROM c3 GROUP BY cluster),
-    d4s AS (SELECT emb.vec_id, emb.e, c.cluster,
-                   list_reduce(list_transform(range(64),
-                       i -> (emb.e[i+1] - c.cvec[i+1]) * (emb.e[i+1] - c.cvec[i+1])),
-                     (s, x) -> s + x) AS d2
-            FROM emb CROSS JOIN c3v c),
-    a4 AS (SELECT vec_id, e, cluster AS assigned FROM
-             (SELECT vec_id, e, cluster,
-                     row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
-              FROM d4s) WHERE rn = 1),
-    c4 AS (SELECT assigned AS cluster, i AS pos, round(avg(e[i+1]), 6) AS mean_v
-           FROM a4, unnest(range(64)) AS t(i) GROUP BY assigned, i),
-    cents AS (SELECT cluster, list(mean_v ORDER BY pos) AS cvec FROM c4 GROUP BY cluster),
-    vn AS (SELECT vec_id, e,
-                  sqrt(list_reduce(list_transform(e, x -> x * x), (s, x) -> s + x)) AS nrm
-           FROM emb),
-    cdist AS (
-      SELECT vn.vec_id, vn.e, vn.nrm, c.cluster,
-             list_reduce(list_transform(range(len(c.cvec)),
-                 i -> (vn.e[i+1] - c.cvec[i+1]) * (vn.e[i+1] - c.cvec[i+1])),
-               (s, x) -> s + x) AS d2
-      FROM vn CROSS JOIN cents c),
-    cells AS (
-      SELECT vec_id, e, nrm, cluster AS cell FROM (
-        SELECT vec_id, e, nrm, cluster,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
-        FROM cdist) WHERE rk = 1),
-    qprobe AS (
-      SELECT vec_id AS qid, cluster AS cell FROM (
-        SELECT vec_id, cluster,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
-        FROM cdist WHERE vec_id % 100 = 0)
-      WHERE rk <= 2),
-    qv AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM vn WHERE vec_id % 100 = 0),
-    sims AS (
-      SELECT qp.qid, c.vec_id,
-             list_reduce(list_transform(range(len(c.e)), i -> qv.qe[i+1] * c.e[i+1]),
-               (s, x) -> s + x) / (qv.qnrm * c.nrm) AS sim
-      FROM qprobe qp JOIN cells c ON c.cell = qp.cell JOIN qv ON qv.qid = qp.qid
-      WHERE c.vec_id <> qp.qid),
-    ranked AS (
-      SELECT qid, vec_id, sim,
-             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
-      FROM sims)
-    SELECT qid, vec_id, round(sim, 6) AS sim, rank
-    FROM ranked WHERE rank <= 3 ORDER BY qid, rank"""
-
-  /** Document chunking (q68): fixed-size token windows (32 tokens,
-    * stride 24 → 8-token overlap) — the context-window prep step of
-    * every training/RAG pipeline. Physical shape at any scale: split in
-    * the scan projection, one generator (explode of the stride sequence)
-    * per document, chunk text sliced from the SAME in-memory token array
-    * — map-only, zero shuffle except the oracle's ORDER BY; output rows
-    * ≈ tokens/stride, never tokens². chunk_id = start/stride keeps ids
-    * stable under any parallelism. */
-  private val chunkingSql = """
-    WITH tok AS (SELECT doc_id, split(text, ' ') AS t FROM documents),
-    starts AS (
-      SELECT doc_id, t, start
-      FROM tok LATERAL VIEW explode(sequence(0, greatest(size(t) - 1, 0), 24)) AS start)
-    SELECT doc_id, start div 24 AS chunk_id,
-           array_join(slice(t, start + 1, 32), ' ') AS chunk_text,
-           CAST(least(size(t) - start, 32) AS BIGINT) AS n_tokens
-    FROM starts ORDER BY doc_id, chunk_id"""
-
-  private val chunkingOracle = """
-    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    starts AS (
-      SELECT doc_id, t, s.s AS start
-      FROM tok, unnest(range(0, greatest(len(t) - 1, 0) + 1, 24)) AS s(s))
-    SELECT doc_id, start // 24 AS chunk_id,
-           array_to_string(t[start + 1 : start + 32], ' ') AS chunk_text,
-           least(len(t) - start, 32) AS n_tokens
-    FROM starts ORDER BY doc_id, chunk_id"""
-
-  /** Line-level cross-document dedup audit (q154) — the CCNet shard
-    * pass (Wenzek et al. 2020): normalize each line, hash it, drop every
-    * later occurrence of a line seen anywhere else in the corpus, report
-    * per-source retention. The synthetic corpus has no '\n', so the line
-    * segmenter is PINNED to 12-token segments (documented stand-in — in
-    * production the boundary function is the newline split; everything
-    * downstream is segmenter-agnostic). "First occurrence" is pinned to
-    * min (doc_id, line_idx) — deterministic under any parallelism, where
-    * CCNet's shard-order rule is not. Physical shape at 100 TB: one
-    * map-only segment explode, ONE window over the line-hash key (hash
-    * shuffle — the same class as q130's fingerprint window; a duplicated
-    * boilerplate line costs O(df), never O(df²)), one doc-keyed agg, one
-    * source-keyed agg. No pair join anywhere. */
-  private val lineDedupSql = """
-    WITH tok AS (SELECT doc_id, source, split(text, ' ') AS t FROM documents),
-    lines AS (
-      SELECT doc_id, source, start div 12 AS line_idx,
-             array_join(slice(t, start + 1, 12), ' ') AS line
-      FROM tok LATERAL VIEW explode(sequence(0, greatest(size(t) - 1, 0), 12)) AS start),
-    ranked AS (
-      SELECT doc_id, source, line,
-             row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, line_idx) AS occ
-      FROM lines),
-    perdoc AS (
-      SELECT doc_id, source, count(1) AS n_lines,
-             sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS kept,
-             sum(CASE WHEN occ = 1 THEN length(line) ELSE 0 END) AS kept_chars,
-             sum(length(line)) AS chars
-      FROM ranked GROUP BY doc_id, source)
-    SELECT source, count(1) AS docs, sum(n_lines) AS n_lines,
-           sum(n_lines - kept) AS dropped_lines,
-           round(sum(kept_chars) / sum(chars), 6) AS retained_frac,
-           sum(CASE WHEN kept = 0 THEN 1 ELSE 0 END) AS empty_docs
-    FROM perdoc GROUP BY source ORDER BY source"""
-
-  private val lineDedupOracle = """
-    WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
-    lines AS (
-      SELECT doc_id, source, s.s // 12 AS line_idx,
-             array_to_string(t[s.s + 1 : s.s + 12], ' ') AS line
-      FROM tok, unnest(range(0, greatest(len(t) - 1, 0) + 1, 12)) AS s(s)),
-    ranked AS (
-      SELECT doc_id, source, line,
-             row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, line_idx) AS occ
-      FROM lines),
-    perdoc AS (
-      SELECT doc_id, source, count(1) AS n_lines,
-             sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS kept,
-             sum(CASE WHEN occ = 1 THEN length(line) ELSE 0 END) AS kept_chars,
-             sum(length(line)) AS chars
-      FROM ranked GROUP BY doc_id, source)
-    SELECT source, CAST(count(1) AS BIGINT) AS docs, CAST(sum(n_lines) AS BIGINT) AS n_lines,
-           CAST(sum(n_lines - kept) AS BIGINT) AS dropped_lines,
-           round(CAST(sum(kept_chars) AS DOUBLE) / sum(chars), 6) AS retained_frac,
-           CAST(sum(CASE WHEN kept = 0 THEN 1 ELSE 0 END) AS BIGINT) AS empty_docs
-    FROM perdoc GROUP BY source ORDER BY source"""
-
-  /** Tf-idf keyword extraction (q155): top-3 terms per sampled document
-    * by tf·idf with the smoothed idf ln((N+1)/(df+1))+1 (the
-    * scikit-learn pinning — no zero idf, no div-by-zero). Ranking is by
-    * the ROUNDED score (9 digits) then term — the ulp-drift-proof cut
-    * from the DSIR playbook, since Spark and the oracle disagree in the
-    * last ulp of ln(). Physical shape: the doc×term tf agg absorbs the
-    * Zipf head map-side; df is vocab-sized; the score join is term-keyed
-    * (broadcastable); the doc sample predicate lands BEFORE the join and
-    * window, so the expensive top-3 ranking only touches sampled docs
-    * while idf still sees the whole corpus. */
-  private val tfidfSql = """
-    WITH tok AS (SELECT doc_id, split(text, ' ') AS t FROM documents),
-    tf AS (SELECT doc_id, x AS term, count(1) AS tf
-           FROM tok LATERAL VIEW explode(t) AS x GROUP BY doc_id, x),
-    dfreq AS (SELECT term, count(1) AS df FROM tf GROUP BY term),
-    n AS (SELECT count(1) AS n FROM documents),
-    scored AS (
-      SELECT tf.doc_id, tf.term,
-             tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0) AS score
-      FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
-      WHERE tf.doc_id % 20 = 0),
-    ranked AS (
-      SELECT doc_id, term, score,
-             row_number() OVER (PARTITION BY doc_id
-               ORDER BY round(score, 9) DESC, term) AS rk
-      FROM scored)
-    SELECT doc_id, rk, term, round(score, 6) AS score
-    FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk"""
-
-  private val tfidfOracle = """
-    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    tf AS (SELECT doc_id, u.term AS term, CAST(count(1) AS BIGINT) AS tf
-           FROM tok, unnest(t) AS u(term) GROUP BY doc_id, u.term),
-    dfreq AS (SELECT term, CAST(count(1) AS BIGINT) AS df FROM tf GROUP BY term),
-    n AS (SELECT CAST(count(1) AS BIGINT) AS n FROM documents),
-    scored AS (
-      SELECT tf.doc_id, tf.term,
-             tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0) AS score
-      FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
-      WHERE tf.doc_id % 20 = 0),
-    ranked AS (
-      SELECT doc_id, term, score,
-             row_number() OVER (PARTITION BY doc_id
-               ORDER BY round(score, 9) DESC, term) AS rk
-      FROM scored)
-    SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, round(score, 6) AS score
-    FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk"""
-
-  /** q185 — sparse TF-IDF cosine top-k document similarity through an
-    * INVERTED-INDEX join: the sparse-vector complement of the dense ANN
-    * family (q25/q26/q38/q76/q90/q159 all search `embeddings`; real
-    * retrieval stacks also run lexical/sparse search over the text
-    * itself — this is that operator, the self-search form of BM25-class
-    * retrieval). Weights are tf·idf with the q155 smoothed idf, L2-
-    * normalized per doc so the posting-join dot product IS cosine.
-    *
-    * Scale shape at 100 TB: no document ever meets another except
-    * through a shared term — the similarity join is posting-list keyed
-    * (term), and terms above the document-frequency cap (df > 1000 here — sized to
-    * the synthetic corpus's ~30-term vocabulary; production uses a
-    * much smaller relative cap since high-df terms carry near-zero
-    * idf weight anyway) are dropped BEFORE the join, so posting lists are bounded
-    * and the candidate set per query is O(Σ|posting|), never corpus².
-    * Norms use the FULL vector (cap applies to the join only — the
-    * dropped mass is the near-zero idf tail, documented approximation).
-    * Ranking is by the ROUNDED score then doc id (the q155/DSIR
-    * ulp-drift-proof cut). */
-  private val sparseCosineSql = """
-    WITH tok AS (SELECT doc_id, split(text, ' ') AS t FROM documents),
-    tf AS (SELECT doc_id, x AS term, count(1) AS tf
-           FROM tok LATERAL VIEW explode(t) AS x GROUP BY doc_id, x),
-    dfreq AS (SELECT term, count(1) AS df FROM tf GROUP BY term),
-    n AS (SELECT count(1) AS n FROM documents),
-    w AS (SELECT tf.doc_id, tf.term,
-                 tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0) AS wt,
-                 dfreq.df
-          FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n),
-    nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nv FROM w GROUP BY doc_id),
-    posting AS (SELECT w.doc_id, w.term, w.wt / nrm.nv AS uw
-                FROM w JOIN nrm ON w.doc_id = nrm.doc_id WHERE w.df <= 1000),
-    q AS (SELECT doc_id AS qid, term, uw AS qw FROM posting WHERE doc_id % 97 = 0),
-    sims AS (SELECT q.qid, p.doc_id AS did, sum(q.qw * p.uw) AS sim
-             FROM q JOIN posting p ON q.term = p.term AND p.doc_id != q.qid
-             GROUP BY q.qid, p.doc_id),
-    ranked AS (SELECT qid, did, sim,
-                      row_number() OVER (PARTITION BY qid
-                        ORDER BY round(sim, 6) DESC, did) AS rk
-               FROM sims)
-    SELECT qid, rk, did, round(sim, 6) AS sim
-    FROM ranked WHERE rk <= 3 ORDER BY qid, rk"""
-
-  private val sparseCosineOracle = """
-    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    tf AS (SELECT doc_id, u.term AS term, CAST(count(1) AS BIGINT) AS tf
-           FROM tok, unnest(t) AS u(term) GROUP BY doc_id, u.term),
-    dfreq AS (SELECT term, CAST(count(1) AS BIGINT) AS df FROM tf GROUP BY term),
-    n AS (SELECT CAST(count(1) AS BIGINT) AS n FROM documents),
-    w AS (SELECT tf.doc_id, tf.term,
-                 tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0) AS wt,
-                 dfreq.df
-          FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n),
-    nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nv FROM w GROUP BY doc_id),
-    posting AS (SELECT w.doc_id, w.term, w.wt / nrm.nv AS uw
-                FROM w JOIN nrm ON w.doc_id = nrm.doc_id WHERE w.df <= 1000),
-    q AS (SELECT doc_id AS qid, term, uw AS qw FROM posting WHERE doc_id % 97 = 0),
-    sims AS (SELECT q.qid, p.doc_id AS did, sum(q.qw * p.uw) AS sim
-             FROM q JOIN posting p ON q.term = p.term AND p.doc_id <> q.qid
-             GROUP BY q.qid, p.doc_id),
-    ranked AS (SELECT qid, did, sim,
-                      row_number() OVER (PARTITION BY qid
-                        ORDER BY round(sim, 6) DESC, did) AS rk
-               FROM sims)
-    SELECT qid, CAST(rk AS BIGINT) AS rk, did, round(sim, 6) AS sim
-    FROM ranked WHERE rk <= 3 ORDER BY qid, rk"""
-
-  /** q186 — Johnson-Lindenstrauss random projection (64 → 16 dims) with
-    * a distance-preservation audit: the dimensionality-reduction
-    * operator a 100-TB embedding pipeline runs before expensive
-    * downstream passes (clustering, dedup, ANN candidate generation).
-    * The projection matrix is DETERMINISTIC — sign(i,j) = ±1 from the
-    * first md5 hex digit of "i_j" (the content-stable no-rand-state
-    * stance of q55/q89: any executor, any run, any engine derives the
-    * same matrix — nothing is broadcast, nothing is seeded), scaled by
-    * 1/√k. The audit reports per-sampled-pair squared-distance ratios
-    * ‖ya−yb‖²/‖xa−xb‖² — the JL lemma's preserved quantity.
-    *
-    * Scale shape: the projection is MAP-ONLY array lambdas (sequential
-    * folds — no explode, no shuffle, no matrix join); the audit joins
-    * only the O(N/25) sampled pairs on vec_id. */
-  private val randomProjSql = """
-    WITH e AS (SELECT vec_id, transform(embedding, v -> CAST(v AS DOUBLE)) AS x
-               FROM embeddings),
-    y AS (SELECT vec_id, x, transform(sequence(0, 15), j ->
-            aggregate(sequence(0, 63), CAST(0 AS DOUBLE), (acc, i) ->
-              acc + element_at(x, i + 1) *
-                (CASE WHEN substring(md5(concat(CAST(i AS STRING), '_', CAST(j AS STRING))), 1, 1)
-                      IN ('0','1','2','3','4','5','6','7')
-                 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)) / CAST(4 AS DOUBLE)) AS yv
-          FROM e),
-    pairs AS (SELECT a.vec_id AS aid, b.vec_id AS bid,
-                     a.x AS ax, b.x AS bx, a.yv AS ay, b.yv AS byv
-              FROM y a JOIN y b ON b.vec_id = a.vec_id + 7
-              WHERE a.vec_id % 25 = 0)
-    SELECT aid, bid,
-           round(aggregate(sequence(0, 63), CAST(0 AS DOUBLE),
-             (acc, i) -> acc + (element_at(ax, i + 1) - element_at(bx, i + 1))
-                             * (element_at(ax, i + 1) - element_at(bx, i + 1))), 6) AS d2x,
-           round(aggregate(sequence(0, 15), CAST(0 AS DOUBLE),
-             (acc, j) -> acc + (element_at(ay, j + 1) - element_at(byv, j + 1))
-                             * (element_at(ay, j + 1) - element_at(byv, j + 1))), 6) AS d2y,
-           round(aggregate(sequence(0, 15), CAST(0 AS DOUBLE),
-             (acc, j) -> acc + (element_at(ay, j + 1) - element_at(byv, j + 1))
-                             * (element_at(ay, j + 1) - element_at(byv, j + 1)))
-             / aggregate(sequence(0, 63), CAST(0 AS DOUBLE),
-             (acc, i) -> acc + (element_at(ax, i + 1) - element_at(bx, i + 1))
-                             * (element_at(ax, i + 1) - element_at(bx, i + 1))), 6) AS ratio
-    FROM pairs ORDER BY aid"""
-
-  private val randomProjOracle = """
-    WITH e AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
-               FROM embeddings),
-    y AS (SELECT vec_id, x, list_transform(range(16), j ->
-            list_aggregate(list_transform(range(64), i ->
-              x[i + 1] *
-                (CASE WHEN substring(md5(i::VARCHAR || '_' || j::VARCHAR), 1, 1)
-                      IN ('0','1','2','3','4','5','6','7')
-                 THEN 1.0 ELSE -1.0 END)), 'sum') / 4.0) AS yv
-          FROM e),
-    pairs AS (SELECT a.vec_id AS aid, b.vec_id AS bid,
-                     a.x AS ax, b.x AS bx, a.yv AS ay, b.yv AS byv
-              FROM y a JOIN y b ON b.vec_id = a.vec_id + 7
-              WHERE a.vec_id % 25 = 0)
-    SELECT aid, bid,
-           round(list_aggregate(list_transform(range(64),
-             i -> (ax[i + 1] - bx[i + 1]) * (ax[i + 1] - bx[i + 1])), 'sum'), 6) AS d2x,
-           round(list_aggregate(list_transform(range(16),
-             j -> (ay[j + 1] - byv[j + 1]) * (ay[j + 1] - byv[j + 1])), 'sum'), 6) AS d2y,
-           round(list_aggregate(list_transform(range(16),
-             j -> (ay[j + 1] - byv[j + 1]) * (ay[j + 1] - byv[j + 1])), 'sum')
-             / list_aggregate(list_transform(range(64),
-             i -> (ax[i + 1] - bx[i + 1]) * (ax[i + 1] - bx[i + 1])), 'sum'), 6) AS ratio
-    FROM pairs ORDER BY aid"""
-
-  /** q189 — WordPiece tokenizer (frequency vocab + greedy longest-match
-    * inference): see [[graft.ops.WordPiece]] for the pinned spec and the
-    * determinism rationale (greedy inference is integer-exact, which is
-    * what lets a cross-engine oracle pin SEGMENTATIONS — the unigram-LM
-    * EM alternative compares float log-prob sums mid-algorithm). The
-    * oracle replicates vocab selection with the same integer ordering
-    * and the greedy walk with a recursive CTE. */
-  private def wordpieceQuery(s0: SparkSession, dir: String): DataFrame = {
-    val s = docs(s0, dir)
-    val words = s.sql(
-      """SELECT x AS word, count(1) AS wf
-         FROM (SELECT explode(split(text, ' ')) AS x FROM documents)
-         GROUP BY x""")
-    graft.ops.WordPiece.segmentWords(s, words, 24).orderBy("word")
-  }
-
-  private val wordpieceOracle = """
-    WITH RECURSIVE words AS (
-      SELECT u.w AS word, CAST(count(1) AS BIGINT) AS wf
-      FROM (SELECT string_split(text, ' ') AS t FROM documents), unnest(t) AS u(w)
-      GROUP BY u.w),
-    cand AS (
-      SELECT (pp.p = 0) AS is_initial, substr(word, pp.p + 1, ll.l) AS piece,
-             sum(wf) AS score
-      FROM words,
-           LATERAL (SELECT unnest(range(length(word))) AS p) pp,
-           LATERAL (SELECT unnest(range(1, 1 + least(4, length(word) - pp.p))) AS l) ll
-      GROUP BY 1, 2),
-    vocab AS (
-      SELECT is_initial, piece, length(piece) AS l FROM cand WHERE length(piece) = 1
-      UNION ALL
-      SELECT is_initial, piece, length(piece) FROM (
-        SELECT is_initial, piece FROM cand WHERE length(piece) > 1
-        ORDER BY score DESC, is_initial DESC, piece ASC LIMIT 24)),
-    seg AS (
-      SELECT word, wf, 0 AS pos, CAST('' AS VARCHAR) AS seg, CAST(0 AS BIGINT) AS np
-      FROM words
-      UNION ALL
-      SELECT st.word, st.wf, st.pos + st.l,
-             st.seg || CASE WHEN st.pos = 0 THEN '' ELSE ' ' END ||
-               CASE WHEN st.pos = 0 THEN st.piece ELSE '##' || st.piece END,
-             st.np + 1
-      FROM (
-        SELECT s.word, s.wf, s.pos, s.seg, s.np, max(v.l) AS l,
-               substr(s.word, s.pos + 1, max(v.l)) AS piece
-        FROM seg s JOIN vocab v
-          ON v.is_initial = (s.pos = 0)
-         AND v.piece = substr(s.word, s.pos + 1, v.l)
-        WHERE s.pos < length(s.word)
-        GROUP BY s.word, s.wf, s.pos, s.seg, s.np) st)
-    SELECT word, wf, seg, np FROM seg WHERE pos = length(word) ORDER BY word"""
-
-  /** Product-quantization ANN (q159) — the Jégou et al. 2011 memory-
-    * compressed ANN that completes the family (q25 brute / q26 LSH /
-    * q38+q62+q65 IVF / q76 int8 / q90 Matryoshka): the 64-dim space is
-    * cut into m=4 subspaces of 16 dims; each subspace trains an 8-entry
-    * codebook (deterministic vec_id<8 seeds + ONE Lloyd E/M round, the
-    * q64 pinning — seeds and means 6dp-rounded so both engines see
-    * identical codebooks); every vector encodes to 4 one-byte codes
-    * (16× compression); search is asymmetric-distance (ADC): per query,
-    * a 4×8 lookup table of exact subspace distances, then adc(v) =
-    * Σ_s LUT[s, code_v[s]]. Determinism: subspace folds are sequential
-    * IEEE left folds (q25 technique), argmins tie-break on (d2, cid),
-    * the 4-term ADC sum is four single-valued conditional sums added in
-    * FIXED order (never a float sum over an unordered group), ranking
-    * cuts on the 6dp-rounded distance then vec_id. Physical shape at
-    * 100 TB: codebook = 32 tiny rows (broadcast everywhere), encode =
-    * one broadcast-join pass over the vectors, the LUT is |Q|×32
-    * (broadcast), and the ADC join is (subspace, code)-keyed with a
-    * 4-rows-per-vector fan — the scan reads CODES (4 bytes/vec), never
-    * re-reads float vectors; nothing is ever all-pairs in the full
-    * 64-dim space. */
-  private val pqAnnSql = """
-    WITH emb AS (SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS e
-                 FROM embeddings),
-    seeds AS (
-      SELECT sp, c.vec_id AS cid,
-             transform(sequence(0, 15), i -> round(element_at(c.e, sp * 16 + i + 1), 6)) AS svec
-      FROM emb c LATERAL VIEW explode(sequence(0, 3)) s AS sp
-      WHERE c.vec_id < 8),
-    ed AS (
-      SELECT v.vec_id AS vid, sd.sp, sd.cid,
-             aggregate(zip_with(slice(v.e, sd.sp * 16 + 1, 16), sd.svec,
-                                (x, y) -> (x - y) * (x - y)),
-                       cast(0.0 AS double), (s, x) -> s + x) AS d2
-      FROM emb v CROSS JOIN seeds sd),
-    assign AS (SELECT vid, sp, min_by(cid, struct(d2, cid)) AS cid FROM ed GROUP BY vid, sp),
-    cb_rows AS (
-      SELECT a.sp, a.cid, p.pos, round(avg(element_at(v.e, a.sp * 16 + p.pos + 1)), 6) AS cv
-      FROM assign a JOIN emb v ON a.vid = v.vec_id
-      LATERAL VIEW explode(sequence(0, 15)) p AS pos
-      GROUP BY a.sp, a.cid, p.pos),
-    cb AS (SELECT sp, cid,
-                  transform(sort_array(collect_list(struct(pos, cv))), s -> s.cv) AS cvec
-           FROM cb_rows GROUP BY sp, cid),
-    enc_d AS (
-      SELECT v.vec_id AS vid, cb.sp, cb.cid,
-             aggregate(zip_with(slice(v.e, cb.sp * 16 + 1, 16), cb.cvec,
-                                (x, y) -> (x - y) * (x - y)),
-                       cast(0.0 AS double), (s, x) -> s + x) AS d2
-      FROM emb v CROSS JOIN cb),
-    codes AS (SELECT vid, sp, min_by(cid, struct(d2, cid)) AS code FROM enc_d GROUP BY vid, sp),
-    lut AS (SELECT vid AS qid, sp, cid, d2 FROM enc_d WHERE vid % 100 = 0),
-    adc AS (
-      SELECT l.qid, c.vid,
-             sum(CASE WHEN c.sp = 0 THEN l.d2 END) + sum(CASE WHEN c.sp = 1 THEN l.d2 END) +
-             sum(CASE WHEN c.sp = 2 THEN l.d2 END) + sum(CASE WHEN c.sp = 3 THEN l.d2 END) AS adc
-      FROM codes c JOIN lut l ON c.sp = l.sp AND c.code = l.cid
-      WHERE c.vid != l.qid
-      GROUP BY l.qid, c.vid),
-    ranked AS (
-      SELECT qid, vid, adc,
-             row_number() OVER (PARTITION BY qid ORDER BY round(adc, 6), vid) AS rk
-      FROM adc)
-    SELECT qid, rk, vid AS vec_id, round(adc, 6) AS adc
-    FROM ranked WHERE rk <= 5 ORDER BY qid, rk"""
-
-  private val pqAnnOracle = """
-    WITH emb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
-                 FROM embeddings),
-    seeds AS (
-      SELECT s.sp AS sp, c.vec_id AS cid,
-             list_transform(range(0, 16), i -> round(c.e[s.sp * 16 + i + 1], 6)) AS svec
-      FROM emb c, unnest(range(0, 4)) AS s(sp)
-      WHERE c.vec_id < 8),
-    ed AS (
-      SELECT v.vec_id AS vid, sd.sp, sd.cid,
-             list_reduce(list_transform(range(0, 16),
-                 i -> (v.e[sd.sp * 16 + i + 1] - sd.svec[i + 1])
-                    * (v.e[sd.sp * 16 + i + 1] - sd.svec[i + 1])),
-               (s, x) -> s + x) AS d2
-      FROM emb v CROSS JOIN seeds sd),
-    assign AS (
-      SELECT vid, sp, cid FROM (
-        SELECT vid, sp, cid, row_number() OVER (PARTITION BY vid, sp ORDER BY d2, cid) AS rn
-        FROM ed) WHERE rn = 1),
-    cb_rows AS (
-      SELECT a.sp, a.cid, p.pos AS pos, round(avg(v.e[a.sp * 16 + p.pos + 1]), 6) AS cv
-      FROM assign a JOIN emb v ON a.vid = v.vec_id, unnest(range(0, 16)) AS p(pos)
-      GROUP BY a.sp, a.cid, p.pos),
-    cb AS (SELECT sp, cid, list(cv ORDER BY pos) AS cvec FROM cb_rows GROUP BY sp, cid),
-    enc_d AS (
-      SELECT v.vec_id AS vid, cb.sp, cb.cid,
-             list_reduce(list_transform(range(0, 16),
-                 i -> (v.e[cb.sp * 16 + i + 1] - cb.cvec[i + 1])
-                    * (v.e[cb.sp * 16 + i + 1] - cb.cvec[i + 1])),
-               (s, x) -> s + x) AS d2
-      FROM emb v CROSS JOIN cb),
-    codes AS (
-      SELECT vid, sp, cid AS code FROM (
-        SELECT vid, sp, cid, row_number() OVER (PARTITION BY vid, sp ORDER BY d2, cid) AS rn
-        FROM enc_d) WHERE rn = 1),
-    lut AS (SELECT vid AS qid, sp, cid, d2 FROM enc_d WHERE vid % 100 = 0),
-    adc AS (
-      SELECT l.qid, c.vid,
-             sum(CASE WHEN c.sp = 0 THEN l.d2 END) + sum(CASE WHEN c.sp = 1 THEN l.d2 END) +
-             sum(CASE WHEN c.sp = 2 THEN l.d2 END) + sum(CASE WHEN c.sp = 3 THEN l.d2 END) AS adc
-      FROM codes c JOIN lut l ON c.sp = l.sp AND c.code = l.cid
-      WHERE c.vid != l.qid
-      GROUP BY l.qid, c.vid),
-    ranked AS (
-      SELECT qid, vid, adc,
-             row_number() OVER (PARTITION BY qid ORDER BY round(adc, 6), vid) AS rk
-      FROM adc)
-    SELECT qid, CAST(rk AS BIGINT) AS rk, vid AS vec_id, round(adc, 6) AS adc
-    FROM ranked WHERE rk <= 5 ORDER BY qid, rk"""
-
-  /** CCNet perplexity-bucket mixture audit (q161) — Wenzek et al.
-    * 2020's head/middle/tail split: score every document by its
-    * cross-entropy under a corpus unigram LM (add-one smoothing — the
-    * in-corpus stand-in for CCNet's external KenLM), cut the corpus at
-    * the exact cross-entropy terciles, report per-(source, bucket) doc
-    * counts and mean score. Determinism: per-doc cross-entropy is
-    * ROUNDED to 9dp before the tercile cut and bucket compare (the
-    * group-avg float-order guard), thresholds are the same exact
-    * interpolated percentile both engines pin. Physical shape at
-    * 100 TB: the token explode feeds ONE vocab-sized hash agg
-    * (Zipf head absorbs map-side) and ONE doc-keyed avg; the LM join is
-    * vocab-keyed; the tercile thresholds are ONE aggregated row
-    * broadcast back (the q51 corpus-stats trick) — no sort of the
-    * corpus, no driver loop. */
-  private val ppxBucketSql = """
-    WITH tok AS (SELECT doc_id, source, split(text, ' ') AS t FROM documents),
-    words AS (SELECT doc_id, source, x AS w FROM tok LATERAL VIEW explode(t) AS x),
-    vocab AS (SELECT w, count(1) AS c FROM words GROUP BY w),
-    tot AS (SELECT sum(c) AS n, count(1) AS v FROM vocab),
-    scored AS (
-      SELECT doc_id, source,
-             round(-avg(ln((c + 1.0) / (n + v))), 9) AS h
-      FROM words JOIN vocab USING (w) CROSS JOIN tot
-      GROUP BY doc_id, source),
-    th AS (SELECT percentile(h, 1.0/3) AS t1, percentile(h, 2.0/3) AS t2 FROM scored),
-    bucketed AS (
-      SELECT source,
-             CASE WHEN h <= t1 THEN 'head' WHEN h <= t2 THEN 'middle' ELSE 'tail' END AS bucket, h
-      FROM scored CROSS JOIN th)
-    SELECT source, bucket, count(1) AS n_docs, round(avg(h), 6) AS mean_h
-    FROM bucketed GROUP BY source, bucket ORDER BY source, bucket"""
-
-  private val ppxBucketOracle = """
-    WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
-    words AS (SELECT doc_id, source, u.w AS w FROM tok, unnest(t) AS u(w)),
-    vocab AS (SELECT w, CAST(count(1) AS BIGINT) AS c FROM words GROUP BY w),
-    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(1) AS BIGINT) AS v FROM vocab),
-    scored AS (
-      SELECT doc_id, source,
-             round(-avg(ln((c + 1.0) / (n + v))), 9) AS h
-      FROM words JOIN vocab USING (w) CROSS JOIN tot
-      GROUP BY doc_id, source),
-    th AS (SELECT quantile_cont(h, 1.0/3) AS t1, quantile_cont(h, 2.0/3) AS t2 FROM scored),
-    bucketed AS (
-      SELECT source,
-             CASE WHEN h <= t1 THEN 'head' WHEN h <= t2 THEN 'middle' ELSE 'tail' END AS bucket, h
-      FROM scored CROSS JOIN th)
-    SELECT source, bucket, CAST(count(1) AS BIGINT) AS n_docs, round(avg(h), 6) AS mean_h
-    FROM bucketed GROUP BY source, bucket ORDER BY source, bucket"""
-
-  /** MinHash-LSH dedup-quality audit (q164) — the eval harness every
-    * production dedup deployment runs (the q85 recall-audit idea, for
-    * the q22 pipeline): compare the LSH near-dup decision (band-bucket
-    * candidates + est-Jaccard ≥ 0.5 — exactly the q22 pipeline, band
-    * cap included) against ground truth = the q24 exact 3-gram Jaccard
-    * pipeline at ≥ 0.5. Reports candidate/truth/hit counts, precision
-    * and recall (pinned 1.0 on empty denominators). Both passes are the
-    * proven corpus-scale shapes: truth is the df-capped posting-list
-    * join (pairs sharing zero informative shingles never materialize;
-    * the cap may hide pathological boilerplate pairs — the documented
-    * q24 stance), candidates are the capped band buckets. An id-random
-    * doc sample would be WRONG here: near-dup pairs almost never
-    * co-survive random sampling (verified on the corpus — the %5 sample
-    * holds 0 of the 25 true pairs), so the audit joins two full
-    * scale-sane passes instead. */
-  private val dedupAuditSql = s"""
-    WITH sh AS (SELECT doc_id, word_shingle_hashes(text, 3) AS shs
-           FROM documents WHERE size(split(lower(text), '\\\\s+')) >= 3),
-    n AS (SELECT doc_id, cast(size(shs) AS bigint) AS cnt FROM sh),
-    ds AS (SELECT doc_id, sid FROM sh LATERAL VIEW explode(shs) st AS sid),
-    posting AS (SELECT sid, collect_list(doc_id) AS ids FROM ds GROUP BY sid
-                HAVING count(1) BETWEEN 2 AND $DocFreqCap),
-    common AS (
-      SELECT id_a, id_b, count(1) AS cm
-      FROM (SELECT a AS id_a, b AS id_b FROM posting
-            LATERAL VIEW explode(ids) ta AS a LATERAL VIEW explode(ids) tb AS b) p
-      WHERE id_a < id_b GROUP BY id_a, id_b),
-    exact AS (
-      SELECT id_a, id_b, cast(cm AS double) / (na.cnt + nb.cnt - cm) AS jaccard
-      FROM common JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id),
-    truth AS (SELECT id_a, id_b FROM exact WHERE jaccard >= 0.5),
-    sig AS (SELECT doc_id, minhash_sig(text) AS mh
-            FROM documents WHERE size(split(lower(text), '\\\\s+')) >= 3),
-    bands AS (
-      SELECT doc_id, b,
-             md5(concat_ws(',', cast(element_at(mh, b*3+1) AS string),
-                 cast(element_at(mh, b*3+2) AS string),
-                 cast(element_at(mh, b*3+3) AS string))) AS bh
-      FROM sig LATERAL VIEW explode(sequence(0, 3)) bt AS b),
-    bandsc AS (
-      SELECT doc_id, b, bh, count(1) OVER (PARTITION BY b, bh) AS bsz FROM bands),
-    cand0 AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bandsc a JOIN bandsc b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
-      WHERE a.bsz <= $BandCap),
-    cand AS (
-      SELECT c.id_a, c.id_b
-      FROM cand0 c JOIN sig sa ON c.id_a = sa.doc_id JOIN sig sb ON c.id_b = sb.doc_id
-      WHERE size(filter(sequence(0, 11), k -> element_at(sa.mh, k+1) = element_at(sb.mh, k+1)))
-              / cast(12 AS double) >= 0.5),
-    hit AS (SELECT c.id_a FROM cand c JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b),
-    cnts AS (SELECT (SELECT count(1) FROM truth) AS n_truth,
-                    (SELECT count(1) FROM cand) AS n_cand,
-                    (SELECT count(1) FROM hit) AS n_hit)
-    SELECT n_truth, n_cand, n_hit,
-           round(CASE WHEN n_cand = 0 THEN 1.0 ELSE cast(n_hit AS double) / n_cand END, 6) AS precision_,
-           round(CASE WHEN n_truth = 0 THEN 1.0 ELSE cast(n_hit AS double) / n_truth END, 6) AS recall_
-    FROM cnts"""
-
-  private val dedupAuditOracle = s"""
-    WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents),
-    shl AS (
-      SELECT doc_id,
-             list_distinct(list_transform(range(len(t)-2), i -> array_to_string(t[i+1:i+3], ' '))) AS shs
-      FROM toks WHERE len(t) >= 3),
-    ds AS (SELECT doc_id, unnest(shs) AS shingle FROM shl),
-    n AS (SELECT doc_id, count(1) AS cnt FROM ds GROUP BY doc_id),
-    dfs AS (SELECT shingle FROM ds GROUP BY shingle HAVING count(1) BETWEEN 2 AND $DocFreqCap),
-    dsf AS (SELECT ds.doc_id, ds.shingle FROM ds JOIN dfs USING (shingle)),
-    common AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(1) AS cm
-      FROM dsf a JOIN dsf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id),
-    exact AS (
-      SELECT id_a, id_b, cm::DOUBLE / (na.cnt + nb.cnt - cm) AS jaccard
-      FROM common JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id),
-    truth AS (SELECT id_a, id_b FROM exact WHERE jaccard >= 0.5),
-    shingle_rows AS (
-      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % $MinhashP AS hx
-      FROM (SELECT doc_id, unnest(shs) AS shingle FROM shl)),
-    sig AS (
-      SELECT doc_id,
-             [${minhashLanes(e => s"min($e)")}] AS mh
-      FROM shingle_rows GROUP BY doc_id),
-    bands AS (
-      SELECT doc_id, b, md5(concat_ws(',', mh[b*3+1]::VARCHAR, mh[b*3+2]::VARCHAR, mh[b*3+3]::VARCHAR)) AS bh
-      FROM sig, unnest(range(4)) AS bt(b)),
-    bandsc AS (
-      SELECT doc_id, b, bh, count(1) OVER (PARTITION BY b, bh) AS bsz FROM bands),
-    cand0 AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bandsc a JOIN bandsc b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
-      WHERE a.bsz <= $BandCap),
-    cand AS (
-      SELECT c.id_a, c.id_b
-      FROM cand0 c JOIN sig sa ON c.id_a = sa.doc_id JOIN sig sb ON c.id_b = sb.doc_id
-      WHERE len(list_filter(range(12), k -> sa.mh[k+1] = sb.mh[k+1])) / 12.0 >= 0.5),
-    hit AS (SELECT c.id_a FROM cand c JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b),
-    cnts AS (SELECT (SELECT count(1) FROM truth) AS n_truth,
-                    (SELECT count(1) FROM cand) AS n_cand,
-                    (SELECT count(1) FROM hit) AS n_hit)
-    SELECT CAST(n_truth AS BIGINT) AS n_truth, CAST(n_cand AS BIGINT) AS n_cand,
-           CAST(n_hit AS BIGINT) AS n_hit,
-           round(CASE WHEN n_cand = 0 THEN 1.0 ELSE n_hit::DOUBLE / n_cand END, 6) AS precision_,
-           round(CASE WHEN n_truth = 0 THEN 1.0 ELSE n_hit::DOUBLE / n_truth END, 6) AS recall_
-    FROM cnts"""
-
-  /** Stratified eval-set sampler (q168) — the held-out-set builder:
-    * exactly k=3 documents per (lang, source) cell, chosen by
-    * content-stable md5 order (re-runs, backfills and cluster-size
-    * changes select IDENTICAL docs — the q55/q89 no-rand stance), with
-    * the cell population alongside for coverage review. ONE window over
-    * the (lang, source) key; the rank and the cell count share the same
-    * shuffle. */
-  private val evalSamplerSql = """
-    WITH ranked AS (
-      SELECT doc_id, lang, source,
-             row_number() OVER (PARTITION BY lang, source ORDER BY md5(text), doc_id) AS rk,
-             count(1) OVER (PARTITION BY lang, source) AS cell_n
-      FROM documents)
-    SELECT lang, source, rk, doc_id, cell_n
-    FROM ranked WHERE rk <= 3 ORDER BY lang, source, rk"""
-
-  private val evalSamplerOracle = """
-    WITH ranked AS (
-      SELECT doc_id, lang, source,
-             row_number() OVER (PARTITION BY lang, source ORDER BY md5(text), doc_id) AS rk,
-             count(1) OVER (PARTITION BY lang, source) AS cell_n
-      FROM documents)
-    SELECT lang, source, CAST(rk AS BIGINT) AS rk, doc_id, CAST(cell_n AS BIGINT) AS cell_n
-    FROM ranked WHERE rk <= 3 ORDER BY lang, source, rk"""
-
-  /** Embedding outlier detection (q169) — the mislabel/out-of-
-    * distribution audit: distance of every vector to its OWN label's
-    * centroid, z-scored within the label, flag z ≥ 2. Determinism: the
-    * centroid is 6dp-rounded (the q61 pinning), the distance is a
-    * sequential IEEE fold, the per-label mean/stddev are 9dp-rounded
-    * before the z (group-agg float-order guard), the flag compares the
-    * 6dp-rounded z. Physical shape at 100 TB: ONE (label, pos) hash agg
-    * for centroids (k×dim rows, broadcast back), one map-side distance
-    * pass, ONE label-keyed stats agg (k rows, broadcast back) — no
-    * sort, no pair join, nothing driver-side. */
-  private val embOutlierSql = """
-    WITH emb AS (SELECT vec_id, label, transform(embedding, x -> cast(x AS double)) AS e
-                 FROM embeddings),
-    cent_rows AS (
-      SELECT label AS cl, pos, round(avg(cast(v AS double)), 6) AS m
-      FROM embeddings LATERAL VIEW posexplode(embedding) AS pos, v
-      GROUP BY label, pos),
-    cents AS (SELECT cl, transform(sort_array(collect_list(struct(pos, m))), s -> s.m) AS cvec
-              FROM cent_rows GROUP BY cl),
-    dist AS (
-      SELECT e.vec_id, e.label,
-             sqrt(aggregate(zip_with(e.e, c.cvec, (x, y) -> (x - y) * (x - y)),
-                  cast(0.0 AS double), (s, x) -> s + x)) AS d
-      FROM emb e JOIN cents c ON e.label = c.cl),
-    stats AS (SELECT label, round(avg(d), 9) AS mu, round(stddev_samp(d), 9) AS sd
-              FROM dist GROUP BY label),
-    z AS (SELECT vec_id, dist.label, round((d - mu) / sd, 6) AS z
-          FROM dist JOIN stats ON dist.label = stats.label)
-    SELECT vec_id, label, z FROM z WHERE z >= 2.0
-    ORDER BY label, z DESC, vec_id"""
-
-  private val embOutlierOracle = """
-    WITH emb AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e
-                 FROM embeddings),
-    cent_rows AS (
-      SELECT label AS cl, i AS pos, round(avg(embedding[i+1]::DOUBLE), 6) AS m
-      FROM embeddings, unnest(range(len(embedding))) AS t(i)
-      GROUP BY label, i),
-    cents AS (SELECT cl, list(m ORDER BY pos) AS cvec FROM cent_rows GROUP BY cl),
-    dist AS (
-      SELECT e.vec_id, e.label,
-             sqrt(list_reduce(list_prepend(0.0,
-                  list_transform(range(len(e.e)), i ->
-                    (e.e[i+1] - c.cvec[i+1]) * (e.e[i+1] - c.cvec[i+1]))),
-                  (s, x) -> s + x)) AS d
-      FROM emb e JOIN cents c ON e.label = c.cl),
-    stats AS (SELECT label, round(avg(d), 9) AS mu, round(stddev_samp(d), 9) AS sd
-              FROM dist GROUP BY label),
-    z AS (SELECT vec_id, dist.label AS label, round((d - mu) / sd, 6) AS z
-          FROM dist JOIN stats ON dist.label = stats.label)
-    SELECT vec_id, label, z FROM z WHERE z >= 2.0
-    ORDER BY label, z DESC, vec_id"""
-
-  /** Corpus-derived stopword filtering (q69): the top-20
-    * document-frequency terms become the stoplist, and every document
-    * reports how much of it survives their removal — the
-    * vocabulary-driven cousin of the q28 quality score. Physical shape:
-    * the stoplist is ONE aggregated row (the q51 corpus-stats trick)
-    * cross-joined back — a broadcast at any scale — and the per-document
-    * filter is a single lambda over the token array in the projection,
-    * map-side. The df aggregate absorbs the Zipf head map-side
-    * (partial count-distinct on (token, doc_id)); ties at the cut break
-    * on (ndocs DESC, token) so the stoplist is deterministic. */
-  private val stopwordSql = """
-    WITH tok AS (SELECT doc_id, split(text, ' ') AS t FROM documents),
-    dfreq AS (SELECT x AS token, count(DISTINCT doc_id) AS ndocs
-              FROM tok LATERAL VIEW explode(t) AS x GROUP BY x),
-    stop AS (SELECT collect_list(token) AS sl FROM (
-        SELECT token FROM dfreq ORDER BY ndocs DESC, token LIMIT 20) z)
-    SELECT /*+ BROADCAST(stop) */ doc_id,
-           CAST(size(t) AS BIGINT) AS n_tokens,
-           CAST(size(filter(t, x -> NOT array_contains(sl, x))) AS BIGINT) AS n_kept,
-           round(size(filter(t, x -> NOT array_contains(sl, x))) / cast(size(t) AS double), 6) AS kept_ratio
-    FROM tok CROSS JOIN stop ORDER BY doc_id"""
-
-  private val stopwordOracle = """
-    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    dfreq AS (SELECT x AS token, count(DISTINCT doc_id) AS ndocs
-              FROM tok, unnest(t) AS u(x) GROUP BY x),
-    stop AS (SELECT list(token) AS sl FROM (
-        SELECT token FROM dfreq ORDER BY ndocs DESC, token LIMIT 20) z)
-    SELECT doc_id, len(t) AS n_tokens,
-           len(list_filter(t, x -> NOT list_contains(sl, x))) AS n_kept,
-           round(len(list_filter(t, x -> NOT list_contains(sl, x))) / len(t), 6) AS kept_ratio
-    FROM tok CROSS JOIN stop ORDER BY doc_id"""
-
-  /** Int8-quantized ANN (q76): symmetric per-vector int8 quantization
-    * (scale = max|x|/127, q_i = floor(x_i·127/max + 0.5) — exact integer
-    * outputs, so Spark and DuckDB agree bit-wise), candidate generation
-    * on the QUANTIZED dot product, exact cosine re-rank on the top-10
-    * candidates only. At 100 TB this is the memory-bandwidth lever:
-    * int8 vectors scan 4× less data than float32, the candidate pass is
-    * integer arithmetic, and full-precision vectors are touched only for
-    * the short re-rank list. Determinism: quantized dots are exact
-    * integers in doubles (≤64·127² ≪ 2⁵³); the tie-break is (score desc,
-    * vec_id), and the scale product is written `dot * (sa * sb)` with
-    * fixed parenthesization so both engines round identically. */
-  private val quantizedAnnSql = """
-    WITH v AS (
-      SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS e FROM embeddings),
-    mx AS (
-      SELECT vec_id, e,
-             greatest(aggregate(e, cast(0.0 AS double), (s, x) -> greatest(s, abs(x))), cast(1e-30 AS double)) AS m
-      FROM v),
-    qv AS (
-      SELECT vec_id, e, m / 127.0D AS scale,
-             transform(e, x -> cast(floor(x * 127.0D / m + 0.5D) AS tinyint)) AS q
-      FROM mx),
-    qq AS (SELECT vec_id AS qid, e AS qe, scale AS qscale, q AS qq FROM qv WHERE vec_id % 100 = 0),
-    sims AS (
-      SELECT /*+ BROADCAST(qq) */ qq.qid, d.vec_id,
-             dot_d(transform(qq.qq, x -> cast(x AS double)),
-                   transform(d.q, x -> cast(x AS double))) * (qq.qscale * d.scale) AS qsim,
-             qq.qe AS qe, d.e AS de
-      FROM qv d JOIN qq ON d.vec_id <> qq.qid),
-    cand AS (
-      SELECT qid, vec_id, qe, de FROM (
-        SELECT qid, vec_id, qe, de,
-               row_number() OVER (PARTITION BY qid ORDER BY qsim DESC, vec_id) AS crk
-        FROM sims) WHERE crk <= 10),
-    exact AS (
-      SELECT qid, vec_id,
-             dot_d(qe, de) / (sqrt(dot_d(qe, qe)) * sqrt(dot_d(de, de))) AS sim
-      FROM cand),
-    ranked AS (
-      SELECT qid, vec_id, sim,
-             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
-      FROM exact)
-    SELECT qid, vec_id, round(sim, 6) AS sim, rank
-    FROM ranked WHERE rank <= 3 ORDER BY qid, rank"""
-
-  private val quantizedAnnOracle = """
-    WITH v AS (
-      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
-    mx AS (
-      SELECT vec_id, e,
-             greatest(list_reduce(list_transform(e, x -> abs(x)), (s, x) -> greatest(s, x)), 1e-30) AS m
-      FROM v),
-    qv AS (
-      SELECT vec_id, e, m / 127.0 AS scale,
-             list_transform(e, x -> floor(x * 127.0 / m + 0.5)::TINYINT) AS q
-      FROM mx),
-    qq AS (SELECT vec_id AS qid, e AS qe, scale AS qscale, q AS qq FROM qv WHERE vec_id % 100 = 0),
-    sims AS (
-      SELECT qq.qid, d.vec_id,
-             list_reduce(list_transform(range(len(d.q)),
-                 i -> qq.qq[i+1]::DOUBLE * d.q[i+1]::DOUBLE), (s, x) -> s + x)
-               * (qq.qscale * d.scale) AS qsim,
-             qq.qe AS qe, d.e AS de
-      FROM qv d JOIN qq ON d.vec_id <> qq.qid),
-    cand AS (
-      SELECT qid, vec_id, qe, de FROM (
-        SELECT qid, vec_id, qe, de,
-               row_number() OVER (PARTITION BY qid ORDER BY qsim DESC, vec_id) AS crk
-        FROM sims) WHERE crk <= 10),
-    exact AS (
-      SELECT qid, vec_id,
-             list_reduce(list_transform(range(len(de)), i -> qe[i+1] * de[i+1]), (s, x) -> s + x)
-               / (sqrt(list_reduce(list_transform(qe, x -> x * x), (s, x) -> s + x))
-                  * sqrt(list_reduce(list_transform(de, x -> x * x), (s, x) -> s + x))) AS sim
-      FROM cand),
-    ranked AS (
-      SELECT qid, vec_id, sim,
-             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
-      FROM exact)
-    SELECT qid, vec_id, round(sim, 6) AS sim, rank
-    FROM ranked WHERE rank <= 3 ORDER BY qid, rank"""
-
-  /** Sequence packing (q78): assign documents to fixed-token-budget
-    * packs (2048 tokens) by cumulative offset within each source stream —
-    * the context-window packing step of training prep. Offset-based
-    * packing (pack = floor(preceding-tokens / budget)) is deterministic
-    * and one-pass; a pack may overflow by at most one document, which is
-    * the standard trade for avoiding a sequential bin-packer. Scale
-    * shape: ONE hash shuffle on source + an in-partition ordered window —
-    * packing is inherently sequential per stream but embarrassingly
-    * parallel across streams, which is exactly what the partitioning
-    * expresses. */
-  private val packingSql = """
-    WITH tok AS (
-      SELECT doc_id, source, CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens
-      FROM documents),
-    w AS (
-      SELECT doc_id, source, n_tokens,
-             coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
-      FROM tok)
-    SELECT doc_id, source, n_tokens, off div 2048 AS pack_id,
-           off - (off div 2048) * 2048 AS pack_offset
-    FROM w ORDER BY doc_id"""
-
-  private val packingOracle = """
-    WITH tok AS (
-      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
-      FROM documents),
-    w AS (
-      SELECT doc_id, source, n_tokens,
-             coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
-      FROM tok)
-    SELECT doc_id, source, n_tokens, (off // 2048)::BIGINT AS pack_id,
-           (off - (off // 2048) * 2048)::BIGINT AS pack_offset
-    FROM w ORDER BY doc_id"""
-
-  // ------------------------------------------ compression-ratio filter
-
-  /** q91 — deflate-compression-ratio quality filter (the Gopher /
-    * RefinedWeb repetitiveness signal): highly repetitive documents
-    * compress far below ~0.4 while diverse text stays high. Map-only —
-    * the deflate runs inside whole-stage codegen via the native
-    * [[graft.functions.DeflateRatio]] expression with per-thread
-    * Deflater reuse. NO DuckDB oracle (DuckDB ships no deflate scalar),
-    * so the driver records the weaker rows-only check; exact semantics
-    * are spec-pinned against java.util.zip directly. */
-  private val compressionSql = """
-    SELECT doc_id,
-           round(deflate_ratio(text), 6) AS zratio,
-           CASE WHEN deflate_ratio(text) < 0.35 THEN 1 ELSE 0 END AS flag_repetitive
-    FROM documents ORDER BY doc_id"""
-
-  // -------------------------------------------- stratified split audit
-
-  /** q89 — deterministic stratified train/val/test split (90/5/5 by a
-    * content-stable hash bucket, stratified per source): every training
-    * pipeline's first materialization step. The split is a pure
-    * projection of the row (md5 of the content), so re-runs, backfills,
-    * and different cluster sizes all assign the SAME documents to the
-    * same split — no rand()/seed state anywhere. Audit output: per
-    * (source, split) counts + observed rate. Map-only + one hash agg. */
-  private val splitSql = """
-    WITH b AS (
-      SELECT doc_id, source,
-             cast(conv(substr(md5(text), 1, 8), 16, 10) AS bigint) % 100 AS bucket
-      FROM documents),
-    a AS (
-      SELECT doc_id, source,
-             CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
-      FROM b)
-    SELECT source, split, count(1) AS n, min(doc_id) AS first_doc,
-           round(count(1) / cast(sum(count(1)) OVER (PARTITION BY source) AS double), 6) AS rate
-    FROM a GROUP BY source, split ORDER BY source, split"""
-
-  private val splitOracle = """
-    WITH b AS (
-      SELECT doc_id, source,
-             ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS bucket
-      FROM documents),
-    a AS (
-      SELECT doc_id, source,
-             CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
-      FROM b)
-    SELECT source, split, count(1)::BIGINT AS n, min(doc_id) AS first_doc,
-           round(count(1) / sum(count(1)) OVER (PARTITION BY source), 6) AS rate
-    FROM a GROUP BY source, split ORDER BY source, split"""
-
-  // ------------------------------------------------- ANN recall audit
-
-  /** q85 — ANN recall audit: recall@10 of the IVF candidate search
-    * (label codebook, nprobe=2 — the q62 index shape) against exact
-    * brute-force ground truth, per sampled query vector. This is the
-    * eval harness every production ANN deployment runs: ground truth is
-    * computed only for a SAMPLE of queries (vec_id % 100 here), so the
-    * exact pass costs |sample|×N, not N² — the standard way recall is
-    * audited at 100 TB. Join on (qid, neighbor id) only — set overlap,
-    * no float comparisons cross-engine. */
-  private val annRecallSql = """
-    WITH v AS (SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS e FROM embeddings),
-    vn AS (SELECT vec_id, e, sqrt(dot_d(e, e)) AS nrm FROM v),
-    q AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM vn WHERE vec_id % 100 = 0),
-    sims AS (
-      SELECT /*+ BROADCAST(q) */ q.qid, vn.vec_id,
-             dot_d(qe, e) / (qnrm * nrm) AS sim,
-             spark_partition_id() AS pid
-      FROM q JOIN vn ON vn.vec_id <> q.qid),
-    local_top AS (
-      SELECT qid, vec_id, sim,
-             row_number() OVER (PARTITION BY qid, pid ORDER BY sim DESC, vec_id) AS lrn
-      FROM sims),
-    bf AS (
-      SELECT qid, vec_id FROM (
-        SELECT qid, vec_id,
-               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
-        FROM local_top WHERE lrn <= 10) WHERE rank <= 10),
-    cent_rows AS (
-      SELECT label AS c_label, pos, round(avg(cast(v AS double)), 6) AS mean_v
-      FROM embeddings LATERAL VIEW posexplode(embedding) AS pos, v
-      GROUP BY label, pos),
-    cents AS (
-      SELECT c_label,
-             transform(sort_array(collect_list(struct(pos, mean_v))), s -> s.mean_v) AS cvec
-      FROM cent_rows GROUP BY c_label),
-    cdist AS (
-      SELECT /*+ BROADCAST(c) */ vn.vec_id, vn.e, vn.nrm, c.c_label,
-             aggregate(zip_with(vn.e, c.cvec, (x, y) -> (x - y) * (x - y)),
-                       cast(0.0 AS double), (s, x) -> s + x) AS d2
-      FROM vn CROSS JOIN cents c),
-    cells AS (
-      SELECT vec_id, w.e AS e, w.nrm AS nrm, w.cell AS cell FROM (
-        SELECT vec_id,
-               min_by(named_struct('e', e, 'nrm', nrm, 'cell', c_label),
-                      named_struct('d', d2, 'c', c_label)) AS w
-        FROM cdist GROUP BY vec_id)),
-    qprobe AS (
-      SELECT vec_id AS qid, c_label AS cell FROM (
-        SELECT vec_id, c_label,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk
-        FROM cdist WHERE vec_id % 100 = 0) WHERE rk <= 2),
-    isims AS (
-      SELECT qp.qid, c.vec_id, dot_d(q.qe, c.e) / (q.qnrm * c.nrm) AS sim
-      FROM qprobe qp JOIN cells c ON c.cell = qp.cell JOIN q ON q.qid = qp.qid
-      WHERE c.vec_id <> qp.qid),
-    ivf AS (
-      SELECT qid, vec_id FROM (
-        SELECT qid, vec_id,
-               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
-        FROM isims) WHERE rank <= 10)
-    SELECT b.qid, CAST(count(i.vec_id) AS DOUBLE) / 10.0 AS recall_at_10
-    FROM bf b LEFT JOIN ivf i ON b.qid = i.qid AND b.vec_id = i.vec_id
-    GROUP BY b.qid ORDER BY b.qid"""
-
-  private val annRecallOracle = """
-    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
-    vn AS (SELECT vec_id, e,
-                  sqrt(list_reduce(list_transform(e, x -> x * x), (s, x) -> s + x)) AS nrm FROM v),
-    q AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM vn WHERE vec_id % 100 = 0),
-    sims AS (
-      SELECT q.qid, vn.vec_id,
-             list_reduce(list_transform(range(64), i -> qe[i+1] * e[i+1]), (s, x) -> s + x) / (qnrm * nrm) AS sim
-      FROM q CROSS JOIN vn WHERE vn.vec_id <> q.qid),
-    bf AS (
-      SELECT qid, vec_id FROM (
-        SELECT qid, vec_id,
-               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
-        FROM sims) WHERE rank <= 10),
-    cent_rows AS (
-      SELECT label AS c_label, i AS pos, round(avg(embedding[i+1]::DOUBLE), 6) AS mean_v
-      FROM embeddings, unnest(range(len(embedding))) AS t(i)
-      GROUP BY label, i),
-    cents AS (
-      SELECT c_label, list(mean_v ORDER BY pos) AS cvec
-      FROM cent_rows GROUP BY c_label),
-    cdist AS (
-      SELECT vn.vec_id, vn.e, vn.nrm, c.c_label,
-             list_reduce(list_transform(range(len(c.cvec)),
-                 i -> (vn.e[i+1] - c.cvec[i+1]) * (vn.e[i+1] - c.cvec[i+1])),
-               (s, x) -> s + x) AS d2
-      FROM vn CROSS JOIN cents c),
-    cells AS (
-      SELECT vec_id, e, nrm, c_label AS cell FROM (
-        SELECT vec_id, e, nrm, c_label,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk
-        FROM cdist) WHERE rk = 1),
-    qprobe AS (
-      SELECT vec_id AS qid, c_label AS cell FROM (
-        SELECT vec_id, c_label,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk
-        FROM cdist WHERE vec_id % 100 = 0)
-      WHERE rk <= 2),
-    isims AS (
-      SELECT qp.qid, c.vec_id,
-             list_reduce(list_transform(range(len(c.e)), i -> q.qe[i+1] * c.e[i+1]),
-               (s, x) -> s + x) / (q.qnrm * c.nrm) AS sim
-      FROM qprobe qp JOIN cells c ON c.cell = qp.cell JOIN q ON q.qid = qp.qid
-      WHERE c.vec_id <> qp.qid),
-    ivf AS (
-      SELECT qid, vec_id FROM (
-        SELECT qid, vec_id,
-               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
-        FROM isims) WHERE rank <= 10)
-    SELECT b.qid, count(i.vec_id)::DOUBLE / 10.0 AS recall_at_10
-    FROM bf b LEFT JOIN ivf i ON b.qid = i.qid AND b.vec_id = i.vec_id
-    GROUP BY b.qid ORDER BY b.qid"""
-
-  /** q198 — ANN ranking-quality metrics (MRR + binary NDCG@10 + hit
-    * count) of the q85 IVF candidate search against the brute-force
-    * ground truth: the other half of the eval harness every production
-    * ANN deployment runs (q85 answers "how much of the truth did we
-    * find", this answers "how well ORDERED is what we found").
-    * Relevance is binary membership in the truth top-10; IDCG is the
-    * |truth| = 10 constant, computed — not hardcoded — in both engines.
-    * Same candidate machinery and scale shape as q85 (sampled queries
-    * only for the exact pass; probed cells only for the IVF pass). */
-  private val rankMetricsSql = """
-    WITH v AS (SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS e FROM embeddings),
-    vn AS (SELECT vec_id, e, sqrt(dot_d(e, e)) AS nrm FROM v),
-    q AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM vn WHERE vec_id % 100 = 0),
-    sims AS (
-      SELECT /*+ BROADCAST(q) */ q.qid, vn.vec_id,
-             dot_d(qe, e) / (qnrm * nrm) AS sim
-      FROM q JOIN vn ON vn.vec_id <> q.qid),
-    bf AS (
-      SELECT qid, vec_id FROM (
-        SELECT qid, vec_id,
-               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
-        FROM sims) WHERE rank <= 10),
-    cent_rows AS (
-      SELECT label AS c_label, pos, round(avg(cast(v AS double)), 6) AS mean_v
-      FROM embeddings LATERAL VIEW posexplode(embedding) AS pos, v
-      GROUP BY label, pos),
-    cents AS (
-      SELECT c_label,
-             transform(sort_array(collect_list(struct(pos, mean_v))), s -> s.mean_v) AS cvec
-      FROM cent_rows GROUP BY c_label),
-    cdist AS (
-      SELECT /*+ BROADCAST(c) */ vn.vec_id, vn.e, vn.nrm, c.c_label,
-             aggregate(zip_with(vn.e, c.cvec, (x, y) -> (x - y) * (x - y)),
-                       cast(0.0 AS double), (s, x) -> s + x) AS d2
-      FROM vn CROSS JOIN cents c),
-    cells AS (
-      SELECT vec_id, w.e AS e, w.nrm AS nrm, w.cell AS cell FROM (
-        SELECT vec_id,
-               min_by(named_struct('e', e, 'nrm', nrm, 'cell', c_label),
-                      named_struct('d', d2, 'c', c_label)) AS w
-        FROM cdist GROUP BY vec_id)),
-    qprobe AS (
-      SELECT vec_id AS qid, c_label AS cell FROM (
-        SELECT vec_id, c_label,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk
-        FROM cdist WHERE vec_id % 100 = 0) WHERE rk <= 2),
-    isims AS (
-      SELECT qp.qid, c.vec_id, dot_d(q.qe, c.e) / (q.qnrm * c.nrm) AS sim
-      FROM qprobe qp JOIN cells c ON c.cell = qp.cell JOIN q ON q.qid = qp.qid
-      WHERE c.vec_id <> qp.qid),
-    ivf AS (
-      SELECT qid, vec_id, rank FROM (
-        SELECT qid, vec_id,
-               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
-        FROM isims) WHERE rank <= 10),
-    matched AS (
-      SELECT i.qid, i.rank FROM ivf i JOIN bf b ON b.qid = i.qid AND b.vec_id = i.vec_id),
-    idcg AS (SELECT sum(cast(1 AS double) / log2(r + 1)) AS v
-             FROM (SELECT explode(sequence(1, 10)) AS r))
-    SELECT q.qid,
-           coalesce(round(cast(1 AS double) / min(m.rank), 6), cast(0 AS double)) AS mrr,
-           round(coalesce(sum(cast(1 AS double) / log2(m.rank + 1)), cast(0 AS double))
-             / (SELECT v FROM idcg), 6) AS ndcg,
-           CAST(count(m.rank) AS BIGINT) AS hits
-    FROM (SELECT DISTINCT qid FROM bf) q LEFT JOIN matched m ON m.qid = q.qid
-    GROUP BY q.qid ORDER BY q.qid"""
-
-  private val rankMetricsOracle = """
-    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
-    vn AS (SELECT vec_id, e,
-                  sqrt(list_reduce(list_transform(e, x -> x * x), (s, x) -> s + x)) AS nrm FROM v),
-    q AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM vn WHERE vec_id % 100 = 0),
-    sims AS (
-      SELECT q.qid, vn.vec_id,
-             list_reduce(list_transform(range(64), i -> qe[i+1] * e[i+1]), (s, x) -> s + x) / (qnrm * nrm) AS sim
-      FROM q CROSS JOIN vn WHERE vn.vec_id <> q.qid),
-    bf AS (
-      SELECT qid, vec_id FROM (
-        SELECT qid, vec_id,
-               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
-        FROM sims) WHERE rank <= 10),
-    cent_rows AS (
-      SELECT label AS c_label, i AS pos, round(avg(embedding[i+1]::DOUBLE), 6) AS mean_v
-      FROM embeddings, unnest(range(len(embedding))) AS t(i)
-      GROUP BY label, i),
-    cents AS (
-      SELECT c_label, list(mean_v ORDER BY pos) AS cvec
-      FROM cent_rows GROUP BY c_label),
-    cdist AS (
-      SELECT vn.vec_id, vn.e, vn.nrm, c.c_label,
-             list_reduce(list_transform(range(len(c.cvec)),
-                 i -> (vn.e[i+1] - c.cvec[i+1]) * (vn.e[i+1] - c.cvec[i+1])),
-               (s, x) -> s + x) AS d2
-      FROM vn CROSS JOIN cents c),
-    cells AS (
-      SELECT vec_id, e, nrm, c_label AS cell FROM (
-        SELECT vec_id, e, nrm, c_label,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk
-        FROM cdist) WHERE rk = 1),
-    qprobe AS (
-      SELECT vec_id AS qid, c_label AS cell FROM (
-        SELECT vec_id, c_label,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk
-        FROM cdist WHERE vec_id % 100 = 0)
-      WHERE rk <= 2),
-    isims AS (
-      SELECT qp.qid, c.vec_id,
-             list_reduce(list_transform(range(len(c.e)), i -> q.qe[i+1] * c.e[i+1]),
-               (s, x) -> s + x) / (q.qnrm * c.nrm) AS sim
-      FROM qprobe qp JOIN cells c ON c.cell = qp.cell JOIN q ON q.qid = qp.qid
-      WHERE c.vec_id <> qp.qid),
-    ivf AS (
-      SELECT qid, vec_id, rank FROM (
-        SELECT qid, vec_id,
-               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
-        FROM isims) WHERE rank <= 10),
-    matched AS (
-      SELECT i.qid, i.rank FROM ivf i JOIN bf b ON b.qid = i.qid AND b.vec_id = i.vec_id),
-    idcg AS (SELECT sum(1.0 / log2(r + 1)) AS v FROM (SELECT unnest(range(1, 11)) AS r))
-    SELECT q.qid,
-           coalesce(round(1.0 / min(m.rank), 6), 0.0) AS mrr,
-           round(coalesce(sum(1.0 / log2(m.rank + 1)), 0.0) / (SELECT v FROM idcg), 6) AS ndcg,
-           CAST(count(m.rank) AS BIGINT) AS hits
-    FROM (SELECT DISTINCT qid FROM bf) q LEFT JOIN matched m ON m.qid = q.qid
-    GROUP BY q.qid ORDER BY q.qid"""
-
-  /** q199 — semi-supervised label propagation (Zhu & Ghahramani 2002 /
-    * Raghavan 2007 LPA) over the order–part bipartite graph: seed part
-    * nodes carry a clamped label, every node iteratively adopts its
-    * neighbors' MAJORITY label (ties → min label, pinned), 3 rounds.
-    * The label-spread counterpart of the other iterated graph ops
-    * (q41 CC, q111 PageRank, q146 SSSP) — this one moves CATEGORICAL
-    * state, the primitive behind graph-based corpus labeling (spread
-    * topic/quality labels from a hand-labeled seed set over a
-    * doc-similarity graph).
-    *
-    * Scale shape: per round ONE edges⋈labels equi-join + one
-    * (node, label) hash agg + one argmax (max_by struct — no window
-    * over the full message relation) + one node-keyed update join;
-    * labels stay nodes-sized; localCheckpoint per round keeps the plan
-    * flat (the q64/q111 loop pattern). Nothing driver-side but the
-    * loop counter. */
-  private def labelPropQuery(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-    val e0 = li.select(concat(lit("o"), col("l_orderkey")).as("src"),
-        concat(lit("p"), col("l_partkey")).as("dst")).distinct()
-    val ed = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = ed.select(col("src").as("node")).distinct()
-    // the seed table is tiny (|parts|/17 rows) and loop-INVARIANT:
-    // checkpoint it once (never re-scan lineitem per round) and carry a
-    // clamped flag on the label table, so the per-round update is ONE
-    // left join against the majority table instead of re-joining seeds
-    // every round — same semantics (a seeded node's coalesce always
-    // resolves to its seed)
-    val seeds = li.select(col("l_partkey")).where(col("l_partkey") % 17 === 0).distinct()
-      .select(concat(lit("p"), col("l_partkey")).as("node"),
-        (col("l_partkey") % 4).cast("long").as("seed"))
-      .localCheckpoint()
-    try {
-      var labels = nodes.join(broadcast(seeds), Seq("node"), "left")
-        .select(col("node"), col("seed").as("label"),
-          col("seed").isNotNull.as("clamped"))
-        .localCheckpoint()
-      for (_ <- 1 to 3) {
-        val l = labels.where(col("label").isNotNull)
-          .select(col("node").as("lnode"), col("label").as("llab"))
-        val msgs = ed.join(l, ed("src") === col("lnode"))
-          .groupBy(col("dst"), col("llab")).agg(count(lit(1)).as("c"))
-        val maj = msgs.groupBy(col("dst"))
-          .agg(max_by(col("llab"), struct(col("c"), (-col("llab")).as("nl"))).as("mlab"))
-        labels = labels.join(maj, labels("node") === maj("dst"), "left")
-          .select(labels("node"),
-            when(labels("clamped"), labels("label"))
-              .otherwise(coalesce(col("mlab"), labels("label"))).as("label"),
-            labels("clamped"))
-          .localCheckpoint()
-      }
-      labels.groupBy(col("label")).agg(
-          count(lit(1)).as("n_nodes"),
-          sum(when(col("node").startsWith("p"), 1L).otherwise(0L)).as("n_parts"),
-          sum(when(col("node").startsWith("o"), 1L).otherwise(0L)).as("n_orders"))
-        .select(coalesce(col("label"), lit(-1L)).as("label"),
-          col("n_nodes"), col("n_parts"), col("n_orders"))
-        .orderBy(col("label"))
-    } finally ed.unpersist(blocking = false)
-  }
-
-  private def lpaRoundSql(r: Int): String = {
-    val prev = s"l${r - 1}"
-    s"""
-    m$r AS MATERIALIZED (
-      SELECT ed.dst AS node, l.label, count(*) AS c
-      FROM ed JOIN $prev l ON l.node = ed.src WHERE l.label IS NOT NULL
-      GROUP BY ed.dst, l.label),
-    j$r AS MATERIALIZED (
-      SELECT node, label FROM (
-        SELECT node, label,
-               row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rk
-        FROM m$r) WHERE rk = 1),
-    l$r AS MATERIALIZED (
-      SELECT n.node, coalesce(s.seed, j.label, p.label) AS label
-      FROM nodes n
-      LEFT JOIN seeds s ON s.node = n.node
-      LEFT JOIN j$r j ON j.node = n.node
-      LEFT JOIN $prev p ON p.node = n.node)"""
-  }
-
-  private def labelPropOracle: String = s"""
-    WITH e0 AS (SELECT DISTINCT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst FROM lineitem),
-    ed AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
-    nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM ed),
-    seeds AS MATERIALIZED (
-      SELECT DISTINCT 'p' || l_partkey AS node, CAST(l_partkey % 4 AS BIGINT) AS seed
-      FROM lineitem WHERE l_partkey % 17 = 0),
-    l0 AS MATERIALIZED (
-      SELECT n.node, s.seed AS label FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
-    ${(1 to 3).map(lpaRoundSql).mkString(",")}
-    SELECT coalesce(label, -1) AS label,
-           CAST(count(*) AS BIGINT) AS n_nodes,
-           CAST(sum(CASE WHEN node LIKE 'p%' THEN 1 ELSE 0 END) AS BIGINT) AS n_parts,
-           CAST(sum(CASE WHEN node LIKE 'o%' THEN 1 ELSE 0 END) AS BIGINT) AS n_orders
-    FROM l3 GROUP BY coalesce(label, -1) ORDER BY label"""
-
-  /** q200 — the corpus-pipeline funnel: one query composing the
-    * pinned pipeline stages end to end and reporting per-source
-    * survival at each — the "training manifest" every corpus release
-    * ships. Stages (each reusing an already-gated rule):
-    *   raw → exact-dedup keepers (q21's min-doc_id-per-content-hash)
-    *       → quality pass (≥ 5 words AND distinct-word fraction ≥ 0.2,
-    *         the q28/q121 class)
-    *       → decontaminated (no shared df-capped 3-gram with the
-    *         q113 benchmark slice)
-    *       → split train/val/test (q89's content-stable md5 bucket).
-    * Everything is one pass over documents plus the bounded q113 gram
-    * join — no stage materializes an intermediate corpus; the funnel
-    * is a set of boolean columns aggregated per source. */
-  private val pipelineFunnelSql = """
-    WITH base AS (
-      SELECT doc_id, source, text, lower(text) AS lt, split(text, ' ') AS ws
-      FROM documents),
-    dedup AS (
-      SELECT doc_id, source, text, lt, ws,
-             (doc_id = min(doc_id) OVER (PARTITION BY md5(lt))) AS keep_dedup
-      FROM base),
-    quality AS (
-      SELECT *,
-             (size(ws) >= 5 AND
-              size(array_distinct(ws)) * 5 >= size(ws)) AS keep_quality
-      FROM dedup),
-    g AS (
-      SELECT doc_id, array_distinct(transform(sequence(0, size(ws) - 3),
-               i -> md5(concat_ws(' ', slice(ws, i + 1, 3))))) AS gl
-      FROM base WHERE size(ws) >= 3),
-    fps AS (SELECT doc_id, explode(gl) AS fp FROM g),
-    kept AS (SELECT doc_id, fp FROM (
-               SELECT doc_id, fp, count(1) OVER (PARTITION BY fp) AS df FROM fps)
-             WHERE df <= 50),
-    contaminated AS (
-      SELECT DISTINCT c.doc_id
-      FROM (SELECT doc_id, fp FROM kept WHERE doc_id % 97 != 0) c
-      JOIN (SELECT fp FROM kept WHERE doc_id % 97 = 0) b ON c.fp = b.fp),
-    flags AS (
-      SELECT q.doc_id, q.source,
-             (q.doc_id % 97 != 0) AS in_corpus,
-             q.keep_dedup,
-             q.keep_quality,
-             (ct.doc_id IS NULL) AS keep_clean,
-             CASE WHEN cast(conv(substr(md5(q.lt), 1, 8), 16, 10) AS bigint) % 100 < 90 THEN 'train'
-                  WHEN cast(conv(substr(md5(q.lt), 1, 8), 16, 10) AS bigint) % 100 < 95 THEN 'val'
-                  ELSE 'test' END AS split
-      FROM quality q LEFT JOIN contaminated ct ON ct.doc_id = q.doc_id)
-    SELECT source,
-           count(1) AS n_raw,
-           sum(CASE WHEN in_corpus THEN 1 ELSE 0 END) AS n_corpus,
-           sum(CASE WHEN in_corpus AND keep_dedup THEN 1 ELSE 0 END) AS n_dedup,
-           sum(CASE WHEN in_corpus AND keep_dedup AND keep_quality THEN 1 ELSE 0 END) AS n_quality,
-           sum(CASE WHEN in_corpus AND keep_dedup AND keep_quality AND keep_clean THEN 1 ELSE 0 END) AS n_clean,
-           sum(CASE WHEN in_corpus AND keep_dedup AND keep_quality AND keep_clean AND split = 'train' THEN 1 ELSE 0 END) AS n_train,
-           sum(CASE WHEN in_corpus AND keep_dedup AND keep_quality AND keep_clean AND split = 'val' THEN 1 ELSE 0 END) AS n_val,
-           sum(CASE WHEN in_corpus AND keep_dedup AND keep_quality AND keep_clean AND split = 'test' THEN 1 ELSE 0 END) AS n_test
-    FROM flags GROUP BY source ORDER BY source"""
-
-  private val pipelineFunnelOracle = """
-    WITH base AS (
-      SELECT doc_id, source, text, lower(text) AS lt, string_split(text, ' ') AS ws
-      FROM documents),
-    dedup AS (
-      SELECT doc_id, source, lt, ws,
-             (doc_id = min(doc_id) OVER (PARTITION BY md5(lt))) AS keep_dedup
-      FROM base),
-    quality AS (
-      SELECT *,
-             (len(ws) >= 5 AND
-              len(list_distinct(ws)) * 5 >= len(ws)) AS keep_quality
-      FROM dedup),
-    g AS (
-      SELECT doc_id, list_distinct(list_transform(range(len(ws) - 2),
-               i -> md5(array_to_string(ws[i+1:i+3], ' ')))) AS gl
-      FROM base WHERE len(ws) >= 3),
-    fps AS (SELECT doc_id, unnest(gl) AS fp FROM g),
-    freq AS (SELECT fp, count(1) AS df FROM fps GROUP BY fp),
-    kept AS (SELECT fps.doc_id, fps.fp FROM fps JOIN freq ON fps.fp = freq.fp
-             WHERE freq.df <= 50),
-    contaminated AS (
-      SELECT DISTINCT c.doc_id
-      FROM (SELECT doc_id, fp FROM kept WHERE doc_id % 97 <> 0) c
-      JOIN (SELECT fp FROM kept WHERE doc_id % 97 = 0) b ON c.fp = b.fp),
-    flags AS (
-      SELECT q.doc_id, q.source,
-             (q.doc_id % 97 <> 0) AS in_corpus,
-             q.keep_dedup, q.keep_quality,
-             (ct.doc_id IS NULL) AS keep_clean,
-             CASE WHEN ('0x' || substring(md5(q.lt), 1, 8))::BIGINT % 100 < 90 THEN 'train'
-                  WHEN ('0x' || substring(md5(q.lt), 1, 8))::BIGINT % 100 < 95 THEN 'val'
-                  ELSE 'test' END AS split
-      FROM quality q LEFT JOIN contaminated ct ON ct.doc_id = q.doc_id)
-    SELECT source,
-           CAST(count(1) AS BIGINT) AS n_raw,
-           CAST(sum(CASE WHEN in_corpus THEN 1 ELSE 0 END) AS BIGINT) AS n_corpus,
-           CAST(sum(CASE WHEN in_corpus AND keep_dedup THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
-           CAST(sum(CASE WHEN in_corpus AND keep_dedup AND keep_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
-           CAST(sum(CASE WHEN in_corpus AND keep_dedup AND keep_quality AND keep_clean THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
-           CAST(sum(CASE WHEN in_corpus AND keep_dedup AND keep_quality AND keep_clean AND split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
-           CAST(sum(CASE WHEN in_corpus AND keep_dedup AND keep_quality AND keep_clean AND split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
-           CAST(sum(CASE WHEN in_corpus AND keep_dedup AND keep_quality AND keep_clean AND split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
-    FROM flags GROUP BY source ORDER BY source"""
-
-  /** q205 — HTML boilerplate extraction (the trafilatura/jusText class):
-    * the FIRST stage of every real web-corpus pipeline — strip markup,
-    * drop chrome (nav/footer/ads), keep main-content blocks. Pinned
-    * deterministic ring (documented, engine-stable):
-    *  1. remove script/style elements and their content
-    *     (`(?is)<(script|style)[^>]*>.*?</(script|style)>`);
-    *  2. split on block-level tags (p, div, h1-h6, li, ul, ol, table,
-    *     tr, td, br, nav, header, footer, section, article, aside,
-    *     blockquote);
-    *  3. per block: text = inline tags → space, whitespace collapsed,
-    *     trimmed, basic entities (&amp; &lt; &gt;) decoded; link text =
-    *     concatenated <a>…</a> contents;
-    *  4. keep a block iff text length ≥ 25 AND link density ≤ 1/3
-    *     (integer form 3·linklen ≤ textlen — the jusText-style
-    *     short/link-heavy heuristic that kills nav bars, ad strips and
-    *     footers);
-    *  5. main text = kept blocks joined by newline, in document order.
-    *
-    * All array-lambda + regex column functions — per-row map-only work,
-    * zero UDFs, zero shuffles beyond the final order: the 100 TB shape
-    * (extraction cost scales with bytes scanned, embarrassingly
-    * parallel). The HTML is DERIVED from documents.text (the fixture
-    * carries no markup): each doc wraps into a page with nav/ads/footer
-    * chrome and per-doc link-density variation, so the oracle can build
-    * the identical page and the gate checks the full ring — tag
-    * stripping, block split, density decisions, reassembly order. */
-  private val htmlExtractSql = """
-    WITH h AS (
-      SELECT doc_id, source,
-             concat(
-               '<html><head><title>d</title><style>p{margin:0}</style>',
-               '<script>var t=1;</script></head><body>',
-               '<nav><a href="/">Home</a> <a href="/a">About</a> <a href="/b">Blog</a></nav>',
-               '<h1>', substr(text, 1, 40), '</h1>',
-               '<p>', substr(text, 41, 300), '</p>',
-               '<p>', substr(text, 341, 300),
-               CASE WHEN doc_id % 3 = 0
-                    THEN ' <a href="/x">read more</a> <a href="/y">related</a>'
-                    ELSE '' END, '</p>',
-               '<div><a href="/buy">Buy now</a> <a href="/c">cheap deals</a> go</div>',
-               '<footer>(c) 2024 <a href="/p">Privacy</a></footer></body></html>') AS html
-      FROM documents WHERE doc_id % 7 = 0),
-    c AS (
-      SELECT doc_id, source,
-             regexp_replace(html, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ') AS ch
-      FROM h),
-    b AS (
-      SELECT doc_id, source,
-             filter(
-               split(ch, '(?i)</?(p|div|h[1-6]|li|ul|ol|table|tr|td|br|nav|header|footer|section|article|aside|blockquote)[^>]*>'),
-               x -> length(trim(x)) > 0) AS cand
-      FROM c),
-    k AS (
-      SELECT doc_id, source, size(cand) AS n_blocks,
-             filter(cand, x ->
-               length(replace(replace(replace(trim(regexp_replace(regexp_replace(x, '<[^>]*>', ' '), '\\s+', ' ')), '&amp;', '&'), '&lt;', '<'), '&gt;', '>')) >= 25
-               AND 3 * length(array_join(regexp_extract_all(x, '<a[^>]*>(.*?)</a>', 1), ''))
-                   <= length(replace(replace(replace(trim(regexp_replace(regexp_replace(x, '<[^>]*>', ' '), '\\s+', ' ')), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'))) AS kept
-      FROM b),
-    m AS (
-      SELECT doc_id, source, n_blocks, size(kept) AS n_kept,
-             array_join(transform(kept, x ->
-               replace(replace(replace(trim(regexp_replace(regexp_replace(x, '<[^>]*>', ' '), '\\s+', ' ')), '&amp;', '&'), '&lt;', '<'), '&gt;', '>')), '\n') AS main
-      FROM k)
-    SELECT doc_id, source, CAST(n_blocks AS BIGINT) AS n_blocks,
-           CAST(n_kept AS BIGINT) AS n_kept,
-           CAST(length(main) AS BIGINT) AS main_len,
-           substr(main, 1, 60) AS prefix
-    FROM m ORDER BY doc_id"""
-
-  private val htmlExtractOracle = """
-    WITH h AS (
-      SELECT doc_id, source,
-             concat(
-               '<html><head><title>d</title><style>p{margin:0}</style>',
-               '<script>var t=1;</script></head><body>',
-               '<nav><a href="/">Home</a> <a href="/a">About</a> <a href="/b">Blog</a></nav>',
-               '<h1>', substr(text, 1, 40), '</h1>',
-               '<p>', substr(text, 41, 300), '</p>',
-               '<p>', substr(text, 341, 300),
-               CASE WHEN doc_id % 3 = 0
-                    THEN ' <a href="/x">read more</a> <a href="/y">related</a>'
-                    ELSE '' END, '</p>',
-               '<div><a href="/buy">Buy now</a> <a href="/c">cheap deals</a> go</div>',
-               '<footer>(c) 2024 <a href="/p">Privacy</a></footer></body></html>') AS html
-      FROM documents WHERE doc_id % 7 = 0),
-    c AS (
-      SELECT doc_id, source,
-             regexp_replace(html, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS ch
-      FROM h),
-    b AS (
-      SELECT doc_id, source,
-             list_filter(
-               regexp_split_to_array(ch, '(?i)</?(p|div|h[1-6]|li|ul|ol|table|tr|td|br|nav|header|footer|section|article|aside|blockquote)[^>]*>'),
-               x -> length(trim(x)) > 0) AS cand
-      FROM c),
-    k AS (
-      SELECT doc_id, source, len(cand) AS n_blocks,
-             list_filter(cand, x ->
-               length(replace(replace(replace(trim(regexp_replace(regexp_replace(x, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')), '&amp;', '&'), '&lt;', '<'), '&gt;', '>')) >= 25
-               AND 3 * coalesce(length(array_to_string(regexp_extract_all(x, '<a[^>]*>(.*?)</a>', 1), '')), 0)
-                   <= length(replace(replace(replace(trim(regexp_replace(regexp_replace(x, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'))) AS kept
-      FROM b),
-    m AS (
-      SELECT doc_id, source, n_blocks, len(kept) AS n_kept,
-             coalesce(array_to_string(list_transform(kept, x ->
-               replace(replace(replace(trim(regexp_replace(regexp_replace(x, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')), '&amp;', '&'), '&lt;', '<'), '&gt;', '>')), chr(10)), '') AS main
-      FROM k)
-    SELECT doc_id, source, CAST(n_blocks AS BIGINT) AS n_blocks,
-           CAST(n_kept AS BIGINT) AS n_kept,
-           CAST(length(main) AS BIGINT) AS main_len,
-           substr(main, 1, 60) AS prefix
-    FROM m ORDER BY doc_id"""
-
-  /** q211 — URL canonicalization + URL-level dedup accounting: the web
-    * pipeline stage BEFORE content dedup (crawls carry the same page
-    * under scheme-case/default-port/tracking-param/fragment variants;
-    * canonicalizing first collapses them for free). Pinned rules:
-    *  1. scheme and host lowercase; leading `www.` stripped;
-    *  2. default ports dropped (`:80` http, `:443` https), others kept;
-    *  3. fragment dropped;
-    *  4. tracking params dropped (`utm_*`, `gclid`, `fbclid`),
-    *     remaining params SORTED (byte order) and rejoined;
-    *  5. trailing path slash stripped (root stays `/`; empty → `/`).
-    * URLs are DERIVED from doc columns (several variants of the same
-    * logical page per doc_id class), so the oracle re-derives and
-    * re-canonicalizes identically, and the dedup accounting (raw vs
-    * canonical distinct per source) has constructible truth. All
-    * split/regexp/array-lambda column work — map-only; the only
-    * shuffle is the final per-source aggregate. */
-  private val urlCanonSql = """
-    WITH raw AS (
-      SELECT doc_id, source,
-             concat(
-               CASE WHEN (doc_id div 20) % 4 = 0 THEN 'HTTP://WWW.' ELSE 'http://' END,
-               source, '.Example.com',
-               CASE WHEN (doc_id div 20) % 4 = 1 THEN ':80' WHEN (doc_id div 20) % 4 = 2 THEN ':8080' ELSE '' END,
-               '/Pages/p', CAST((doc_id div 20) % 5 AS STRING),
-               CASE WHEN (doc_id div 20) % 3 = 0 THEN '/' ELSE '' END,
-               CASE WHEN (doc_id div 20) % 2 = 0 THEN '?utm_source=feed&b=2&a=1&gclid=9' ELSE '?a=1&b=2' END,
-               CASE WHEN (doc_id div 20) % 7 = 0 THEN '#frag' ELSE '' END) AS url
-      FROM documents),
-    parts AS (
-      SELECT doc_id, source, url,
-             lower(split_part(url, '://', 1)) AS scheme,
-             split_part(split_part(url, '://', 2), '#', 1) AS rest
-      FROM raw),
-    hp AS (
-      SELECT *, split_part(rest, '/', 1) AS hostport,
-             substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
-      FROM parts),
-    comps AS (
-      SELECT doc_id, source, url, scheme,
-             CASE WHEN lower(split_part(hostport, ':', 1)) LIKE 'www.%'
-                  THEN substr(lower(split_part(hostport, ':', 1)), 5)
-                  ELSE lower(split_part(hostport, ':', 1)) END AS host,
-             split_part(hostport, ':', 2) AS port,
-             split_part(pathq, '?', 1) AS path,
-             split_part(pathq, '?', 2) AS qs
-      FROM hp),
-    canon AS (
-      SELECT doc_id, source, url,
-             concat(
-               scheme, '://', host,
-               CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
-                         OR (scheme = 'https' AND port = '443')
-                    THEN '' ELSE concat(':', port) END,
-               CASE WHEN path = '' OR path = '/' THEN '/'
-                    ELSE regexp_replace(path, '/+$', '') END,
-               CASE WHEN size(filter(split(qs, '&'), p -> p != '' AND NOT p LIKE 'utm_%'
-                                       AND NOT p LIKE 'gclid=%' AND NOT p LIKE 'fbclid=%')) > 0
-                    THEN concat('?', array_join(array_sort(
-                           filter(split(qs, '&'), p -> p != '' AND NOT p LIKE 'utm_%'
-                             AND NOT p LIKE 'gclid=%' AND NOT p LIKE 'fbclid=%')), '&'))
-                    ELSE '' END) AS curl
-      FROM comps)
-    SELECT source,
-           CAST(count(1) AS BIGINT) AS n_docs,
-           CAST(count(DISTINCT url) AS BIGINT) AS n_raw,
-           CAST(count(DISTINCT curl) AS BIGINT) AS n_canon,
-           CAST(count(DISTINCT url) - count(DISTINCT curl) AS BIGINT) AS n_collapsed,
-           min(curl) AS sample
-    FROM canon GROUP BY source ORDER BY source"""
-
-  private val urlCanonOracle = """
-    WITH raw AS (
-      SELECT doc_id, source,
-             concat(
-               CASE WHEN (doc_id // 20) % 4 = 0 THEN 'HTTP://WWW.' ELSE 'http://' END,
-               source, '.Example.com',
-               CASE WHEN (doc_id // 20) % 4 = 1 THEN ':80' WHEN (doc_id // 20) % 4 = 2 THEN ':8080' ELSE '' END,
-               '/Pages/p', CAST((doc_id // 20) % 5 AS VARCHAR),
-               CASE WHEN (doc_id // 20) % 3 = 0 THEN '/' ELSE '' END,
-               CASE WHEN (doc_id // 20) % 2 = 0 THEN '?utm_source=feed&b=2&a=1&gclid=9' ELSE '?a=1&b=2' END,
-               CASE WHEN (doc_id // 20) % 7 = 0 THEN '#frag' ELSE '' END) AS url
-      FROM documents),
-    parts AS (
-      SELECT doc_id, source, url,
-             lower(split_part(url, '://', 1)) AS scheme,
-             split_part(split_part(url, '://', 2), '#', 1) AS rest
-      FROM raw),
-    hp AS (
-      SELECT *, split_part(rest, '/', 1) AS hostport,
-             substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
-      FROM parts),
-    comps AS (
-      SELECT doc_id, source, url, scheme,
-             CASE WHEN lower(split_part(hostport, ':', 1)) LIKE 'www.%'
-                  THEN substr(lower(split_part(hostport, ':', 1)), 5)
-                  ELSE lower(split_part(hostport, ':', 1)) END AS host,
-             split_part(hostport, ':', 2) AS port,
-             split_part(pathq, '?', 1) AS path,
-             split_part(pathq, '?', 2) AS qs
-      FROM hp),
-    canon AS (
-      SELECT doc_id, source, url,
-             concat(
-               scheme, '://', host,
-               CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
-                         OR (scheme = 'https' AND port = '443')
-                    THEN '' ELSE concat(':', port) END,
-               CASE WHEN path = '' OR path = '/' THEN '/'
-                    ELSE regexp_replace(path, '/+$', '', 'g') END,
-               CASE WHEN len(list_filter(string_split(qs, '&'), p -> p != '' AND NOT p LIKE 'utm_%'
-                              AND NOT p LIKE 'gclid=%' AND NOT p LIKE 'fbclid=%')) > 0
-                    THEN concat('?', array_to_string(list_sort(
-                           list_filter(string_split(qs, '&'), p -> p != '' AND NOT p LIKE 'utm_%'
-                             AND NOT p LIKE 'gclid=%' AND NOT p LIKE 'fbclid=%')), '&'))
-                    ELSE '' END) AS curl
-      FROM comps)
-    SELECT source,
-           CAST(count(1) AS BIGINT) AS n_docs,
-           CAST(count(DISTINCT url) AS BIGINT) AS n_raw,
-           CAST(count(DISTINCT curl) AS BIGINT) AS n_canon,
-           CAST(count(DISTINCT url) - count(DISTINCT curl) AS BIGINT) AS n_collapsed,
-           min(curl) AS sample
-    FROM canon GROUP BY source ORDER BY source"""
-
-  /** q202 — INCREMENTAL snapshot dedup: dedupe a new batch against the
-    * existing corpus index, never corpus×corpus — the operational
-    * reality at 100 TB (daily deltas dedupe against yesterday's index;
-    * nobody re-dedupes the whole corpus). New docs (doc_id %% 3 == 0
-    * here; production = the arriving snapshot) are classified exact-dup
-    * (content hash present in the index), near-dup (shares a capped LSH
-    * band bucket with an index doc AND q22's est-Jaccard ≥ 0.5
-    * decision), or kept. Per-source admission report out.
-    *
-    * Scale shape: the exact pass is a hash semi-join against the
-    * DISTINCT index-hash set; the near pass reuses the q22 machinery
-    * with candidates RESTRICTED to new×old at the band join (the new
-    * side is delta-sized, so candidate volume is O(|delta|·bucket),
-    * independent of corpus size). */
-  private val incrementalDedupSql = s"""
-    WITH sig AS (
-      SELECT doc_id, minhash_sig(text) AS mh
-      FROM documents WHERE size(split(lower(text), '\\\\s+')) >= 3),
-    bands AS (
-      SELECT doc_id, b,
-             md5(concat_ws(',', cast(element_at(mh, b*3+1) AS string), cast(element_at(mh, b*3+2) AS string), cast(element_at(mh, b*3+3) AS string))) AS bh
-      FROM sig LATERAL VIEW explode(sequence(0, 3)) bt AS b),
-    bandsc AS (
-      SELECT doc_id, b, bh, count(1) OVER (PARTITION BY b, bh) AS bsz FROM bands),
-    cand AS (
-      SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
-      FROM bandsc n JOIN bandsc o ON n.b = o.b AND n.bh = o.bh
-      WHERE n.doc_id % 3 = 0 AND o.doc_id % 3 != 0 AND n.bsz <= $BandCap),
-    near0 AS (
-      SELECT DISTINCT new_id FROM (
-        SELECT cand.new_id,
-               size(filter(sequence(0, 11), k -> element_at(sa.mh, k+1) = element_at(sb.mh, k+1))) / cast(12 AS double) AS ej
-        FROM cand JOIN sig sa ON cand.new_id = sa.doc_id JOIN sig sb ON cand.old_id = sb.doc_id)
-      WHERE ej >= 0.5),
-    hashes AS (SELECT doc_id, source, md5(lower(text)) AS h FROM documents),
-    exact0 AS (
-      SELECT DISTINCT n.doc_id AS new_id
-      FROM hashes n JOIN (SELECT DISTINCT h FROM hashes WHERE doc_id % 3 != 0) o ON n.h = o.h
-      WHERE n.doc_id % 3 = 0),
-    newdocs AS (SELECT doc_id, source FROM documents WHERE doc_id % 3 = 0)
-    SELECT source,
-           count(1) AS n_new,
-           sum(CASE WHEN e.new_id IS NOT NULL THEN 1 ELSE 0 END) AS n_exact,
-           sum(CASE WHEN e.new_id IS NULL AND nr.new_id IS NOT NULL THEN 1 ELSE 0 END) AS n_near,
-           sum(CASE WHEN e.new_id IS NULL AND nr.new_id IS NULL THEN 1 ELSE 0 END) AS n_kept
-    FROM newdocs d
-    LEFT JOIN exact0 e ON e.new_id = d.doc_id
-    LEFT JOIN near0 nr ON nr.new_id = d.doc_id
-    GROUP BY source ORDER BY source"""
-
-  private def incrementalDedupOracle: String = s"""
-    WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents),
-    shingles AS (
-      SELECT doc_id,
-             list_distinct(list_transform(range(len(t)-2), i -> array_to_string(t[i+1:i+3], ' '))) AS sh
-      FROM toks WHERE len(t) >= 3),
-    shingle_rows AS (
-      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % $MinhashP AS hx
-      FROM (SELECT doc_id, unnest(sh) AS shingle FROM shingles)),
-    sig AS (
-      SELECT doc_id,
-             [${minhashLanes(e => s"min($e)")}] AS mh
-      FROM shingle_rows GROUP BY doc_id),
-    bands AS (
-      SELECT doc_id, b, md5(concat_ws(',', mh[b*3+1]::VARCHAR, mh[b*3+2]::VARCHAR, mh[b*3+3]::VARCHAR)) AS bh
-      FROM sig, unnest(range(4)) AS bt(b)),
-    bandsc AS (
-      SELECT doc_id, b, bh, count(1) OVER (PARTITION BY b, bh) AS bsz FROM bands),
-    cand AS (
-      SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
-      FROM bandsc n JOIN bandsc o ON n.b = o.b AND n.bh = o.bh
-      WHERE n.doc_id % 3 = 0 AND o.doc_id % 3 <> 0 AND n.bsz <= $BandCap),
-    near0 AS (
-      SELECT DISTINCT new_id FROM (
-        SELECT cand.new_id,
-               len(list_filter(range(12), k -> sa.mh[k+1] = sb.mh[k+1])) / 12.0 AS ej
-        FROM cand JOIN sig sa ON cand.new_id = sa.doc_id JOIN sig sb ON cand.old_id = sb.doc_id)
-      WHERE ej >= 0.5),
-    hashes AS (SELECT doc_id, source, md5(lower(text)) AS h FROM documents),
-    exact0 AS (
-      SELECT DISTINCT n.doc_id AS new_id
-      FROM hashes n JOIN (SELECT DISTINCT h FROM hashes WHERE doc_id % 3 <> 0) o ON n.h = o.h
-      WHERE n.doc_id % 3 = 0),
-    newdocs AS (SELECT doc_id, source FROM documents WHERE doc_id % 3 = 0)
-    SELECT source,
-           CAST(count(1) AS BIGINT) AS n_new,
-           CAST(sum(CASE WHEN e.new_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
-           CAST(sum(CASE WHEN e.new_id IS NULL AND nr.new_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
-           CAST(sum(CASE WHEN e.new_id IS NULL AND nr.new_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-    FROM newdocs d
-    LEFT JOIN exact0 e ON e.new_id = d.doc_id
-    LEFT JOIN near0 nr ON nr.new_id = d.doc_id
-    GROUP BY source ORDER BY source"""
-
-  // --------------------------------------------- Matryoshka-prefix ANN
-
-  /** q90 — two-pass ANN over nested ("Matryoshka") embedding prefixes:
-    * a coarse pass scores only the FIRST 16 of 64 dimensions (4× less
-    * data through the hot loop — with MRL-trained embeddings the prefix
-    * is itself a valid low-dim embedding), keeps top-50 candidates per
-    * query, then re-ranks exactly on all 64 dims. Same scale story as
-    * the int8 pass (q76) on the orthogonal axis: q76 shrinks precision,
-    * this shrinks dimensionality; production stacks compose both. The
-    * query set is broadcast; the coarse pass is the only corpus-wide
-    * scan, and full-precision vectors are touched only for the ≤50-row
-    * candidate short list per query. */
-  private val matryoshkaAnnSql = """
-    WITH v AS (SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS e FROM embeddings),
-    vc AS (
-      SELECT vec_id, e, sqrt(dot_d(e, e)) AS nrm,
-             slice(e, 1, 16) AS e16
-      FROM v),
-    vn AS (SELECT vec_id, e, nrm, e16, sqrt(dot_d(e16, e16)) AS nrm16 FROM vc),
-    q AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm, e16 AS q16, nrm16 AS qnrm16
-          FROM vn WHERE vec_id % 100 = 0),
-    coarse AS (
-      SELECT /*+ BROADCAST(q) */ q.qid, vn.vec_id, vn.e, vn.nrm, q.qe, q.qnrm,
-             dot_d(q.q16, vn.e16) / (q.qnrm16 * vn.nrm16) AS csim
-      FROM q JOIN vn ON vn.vec_id <> q.qid),
-    cand AS (
-      SELECT qid, vec_id, e, nrm, qe, qnrm FROM (
-        SELECT qid, vec_id, e, nrm, qe, qnrm,
-               row_number() OVER (PARTITION BY qid ORDER BY csim DESC, vec_id) AS crk
-        FROM coarse) WHERE crk <= 50),
-    exact AS (
-      SELECT qid, vec_id, dot_d(qe, e) / (qnrm * nrm) AS sim FROM cand)
-    SELECT qid, vec_id, round(sim, 6) AS sim, rank FROM (
-      SELECT qid, vec_id, sim,
-             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
-      FROM exact) WHERE rank <= 15 ORDER BY qid, rank"""
-
-  private val matryoshkaAnnOracle = """
-    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
-    vn AS (
-      SELECT vec_id, e,
-             sqrt(list_reduce(list_transform(e, x -> x * x), (s, x) -> s + x)) AS nrm,
-             e[1:16] AS e16,
-             sqrt(list_reduce(list_transform(e[1:16], x -> x * x), (s, x) -> s + x)) AS nrm16
-      FROM v),
-    q AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm, e16 AS q16, nrm16 AS qnrm16
-          FROM vn WHERE vec_id % 100 = 0),
-    coarse AS (
-      SELECT q.qid, vn.vec_id, vn.e, vn.nrm, q.qe, q.qnrm,
-             list_reduce(list_transform(range(16), i -> q.q16[i+1] * vn.e16[i+1]), (s, x) -> s + x)
-               / (q.qnrm16 * vn.nrm16) AS csim
-      FROM q CROSS JOIN vn WHERE vn.vec_id <> q.qid),
-    cand AS (
-      SELECT qid, vec_id, e, nrm, qe, qnrm FROM (
-        SELECT qid, vec_id, e, nrm, qe, qnrm,
-               row_number() OVER (PARTITION BY qid ORDER BY csim DESC, vec_id) AS crk
-        FROM coarse) WHERE crk <= 50),
-    exact AS (
-      SELECT qid, vec_id,
-             list_reduce(list_transform(range(64), i -> qe[i+1] * e[i+1]), (s, x) -> s + x)
-               / (qnrm * nrm) AS sim
-      FROM cand)
-    SELECT qid, vec_id, round(sim, 6) AS sim, rank FROM (
-      SELECT qid, vec_id, sim,
-             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
-      FROM exact) WHERE rank <= 15 ORDER BY qid, rank"""
-
-  // -------------------------------------------------- bigram LM scoring
-
-  /** q79 — bigram-LM perplexity scoring, the classic corpus-quality
-    * filter (CCNet/KenLM style: score each document under a language
-    * model TRAINED ON THE CORPUS ITSELF; high perplexity = noise/outlier,
-    * low = boilerplate). Model: add-one-smoothed bigram LM,
-    * P(w2|w1) = (C(w1,w2)+1) / (C(w1·)+V), with a document-frequency
-    * floor on the bigram table (count >= 2) — the standard pruning that
-    * keeps the LM table O(head-of-Zipf) instead of O(corpus): singleton
-    * bigrams back off to pure smoothing, exactly as a pruned KenLM does.
-    *
-    * Scale shape: the token-stream explode is inherent to LM scoring
-    * (one row per bigram position); both model tables aggregate with
-    * map-side combine (Zipf head absorbs there), and the scoring joins
-    * are equi-joins on the context/bigram keys — the unigram table is
-    * vocabulary-sized (broadcastable), the pruned bigram table shuffles
-    * on its key at worst. Nothing is all-pairs, nothing driver-side. */
-  private val bigramLmSql = """
-    WITH tok AS (
-      SELECT doc_id, split(text, ' ') AS ws FROM documents),
-    big AS (
-      SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
-      FROM tok LATERAL VIEW explode(sequence(0, size(ws) - 2)) t AS i
-      WHERE size(ws) >= 2),
-    uni AS (SELECT w1 AS w, count(*) AS cu FROM big GROUP BY w1),
-    bg AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY w1, w2 HAVING count(*) >= 2),
-    v AS (SELECT count(*) AS vs FROM uni),
-    sc AS (
-      SELECT b.doc_id,
-             avg(-ln((coalesce(g.cb, 0) + 1) / (u.cu + v.vs))) AS nll
-      FROM big b
-      JOIN uni u ON b.w1 = u.w
-      LEFT JOIN bg g ON b.w1 = g.w1 AND b.w2 = g.w2
-      CROSS JOIN v
-      GROUP BY b.doc_id)
-    SELECT doc_id, round(nll, 6) AS nll, round(exp(nll), 6) AS ppl
-    FROM sc ORDER BY doc_id"""
-
-  private val bigramLmOracle = """
-    WITH tok AS (
-      SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-    big AS (
-      SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
-      FROM tok, unnest(range(1, len(ws))) AS t(i)
-      WHERE len(ws) >= 2),
-    uni AS (SELECT w1 AS w, count(*) AS cu FROM big GROUP BY w1),
-    bg AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY w1, w2 HAVING count(*) >= 2),
-    v AS (SELECT count(*) AS vs FROM uni),
-    sc AS (
-      SELECT b.doc_id,
-             avg(-ln((coalesce(g.cb, 0) + 1) / (u.cu + v.vs))) AS nll
-      FROM big b
-      JOIN uni u ON b.w1 = u.w
-      LEFT JOIN bg g ON b.w1 = g.w1 AND b.w2 = g.w2
-      CROSS JOIN v
-      GROUP BY b.doc_id)
-    SELECT doc_id, round(nll, 6) AS nll, round(exp(nll), 6) AS ppl
-    FROM sc ORDER BY doc_id"""
-
-  // -------------------------------------------------------- multimodal
-
-  /** Opaque-binary metadata plumbing: payload byte length, content hash,
-    * fixed-size frame count, header prefix — the schema/partitioning
-    * shape a real image/audio decode stage plugs into (the decode itself
-    * lives in graft.ops.Multimodal as a deterministic stub; this query
-    * checks the metadata layer against the oracle). */
-  private val multimodalSql = """
-    SELECT doc_id,
-           octet_length(text) AS payload_bytes,
-           sha2(text, 256) AS content_sha,
-           substr(sha2(text, 256), 1, 16) AS header,
-           cast(ceil(octet_length(text) / 64.0) AS bigint) AS n_frames
-    FROM documents ORDER BY doc_id"""
-
-  private val multimodalOracle = """
-    SELECT doc_id,
-           octet_length(text::BLOB) AS payload_bytes,
-           sha256(text) AS content_sha,
-           substr(sha256(text), 1, 16) AS header,
-           ceil(octet_length(text::BLOB) / 64.0)::BIGINT AS n_frames
-    FROM documents ORDER BY doc_id"""
-
-  /** BM25 keyword scoring (k1=1.2, b=0.75) for a FIXED query term set —
-    * the retrieval/quality-filter primitive of a training-data pipeline
-    * ("pull the top docs about X from the corpus"). Physical shape at
-    * any scale: per-doc term frequencies are computed in the SCAN
-    * projection (map-only `filter` over the token array — no explode, no
-    * shuffle), corpus statistics (N, avgdl, per-term document
-    * frequencies) are ONE global aggregate row cross-joined back
-    * (broadcast), and the result is a top-k (TakeOrderedAndProject,
-    * never a global sort). An inverted index only pays off for ad-hoc
-    * query workloads; for a fixed term set this one-pass scan is the
-    * minimal-shuffle plan. Term contributions are summed in fixed
-    * written order and rounded to 6dp so Spark and DuckDB agree bit-wise
-    * after rounding. */
-  private val Bm25Terms = Seq("query", "stream", "vector")
-  private def bm25TfCols(filterFn: String, sizeFn: String): String =
-    Bm25Terms.zipWithIndex.map { case (t, i) =>
-      s"$sizeFn($filterFn(t, x -> x = '$t')) AS tf${i + 1}"
-    }.mkString(",\n           ")
-  private def bm25Score(castD: String => String): String =
-    Bm25Terms.indices.map { i =>
-      val (tf, df) = (s"tf${i + 1}", s"df${i + 1}")
-      s"ln(1.0 + (n - $df + 0.5) / ($df + 0.5)) * (${castD(tf)} * 2.2) / " +
-        s"(${castD(tf)} + 1.2 * (0.25 + 0.75 * ${castD("dl")} / avgdl))"
-    }.mkString("\n         + ")
-
-  private val bm25Sql = s"""
-    WITH toks AS (SELECT doc_id, split(lower(text), '\\\\s+') AS t FROM documents),
-    stats AS (
-      SELECT doc_id, size(t) AS dl,
-           ${bm25TfCols("filter", "size")}
-      FROM toks),
-    corpus AS (
-      SELECT cast(count(1) AS double) AS n, avg(cast(dl AS double)) AS avgdl,
-             ${Bm25Terms.indices.map(i =>
-               s"cast(sum(CASE WHEN tf${i + 1} > 0 THEN 1 ELSE 0 END) AS double) AS df${i + 1}")
-               .mkString(",\n             ")}
-      FROM stats)
-    SELECT doc_id,
-       round(${bm25Score(c => s"cast($c AS double)")}, 6) AS bm25
-    FROM stats CROSS JOIN corpus
-    WHERE tf1 + tf2 + tf3 > 0
-    ORDER BY bm25 DESC, doc_id
-    LIMIT 20"""
-
-  private val bm25Oracle = s"""
-    WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents),
-    stats AS (
-      SELECT doc_id, len(t) AS dl,
-           ${bm25TfCols("list_filter", "len")}
-      FROM toks),
-    corpus AS (
-      SELECT count(1)::DOUBLE AS n, avg(dl::DOUBLE) AS avgdl,
-             ${Bm25Terms.indices.map(i =>
-               s"sum(CASE WHEN tf${i + 1} > 0 THEN 1 ELSE 0 END)::DOUBLE AS df${i + 1}")
-               .mkString(",\n             ")}
-      FROM stats)
-    SELECT doc_id,
-       round(${bm25Score(c => s"$c::DOUBLE")}, 6) AS bm25
-    FROM stats CROSS JOIN corpus
-    WHERE tf1 + tf2 + tf3 > 0
-    ORDER BY bm25 DESC, doc_id
-    LIMIT 20"""
-
-  // -------------------------------------------------- Zipf-law audit
-
-  /** q109 — rank-frequency Zipf audit: the slope of log(freq) vs
-    * log(rank) over the top-200 terms should sit near −1 for natural
-    * language; a corpus that drifts far off is template/boilerplate
-    * heavy (or synthetically generated) — a standard pretraining-corpus
-    * health check. One term-freq hash agg (Zipf head absorbs map-side),
-    * a top-k, a rank window over ≤200 rows, one regr_slope aggregate —
-    * nothing scales with corpus size past the first agg. Tokenizer is a
-    * literal single-space split on BOTH sides (as q113/q114): a regex
-    * \s+ here against string_split(' ') in DuckDB would diverge on any
-    * tab/newline in the corpus. */
-  private val zipfSql = """
-    WITH tf AS (
-      SELECT tok, count(1) AS f
-      FROM (SELECT explode(split(lower(text), ' ')) AS tok FROM documents)
-      WHERE tok != ''
-      GROUP BY tok
-      ORDER BY f DESC, tok ASC
-      LIMIT 200),
-    ranked AS (
-      SELECT f, row_number() OVER (ORDER BY f DESC, tok ASC) AS r FROM tf)
-    SELECT round(regr_slope(ln(f), ln(r)), 6) AS zipf_slope,
-           round(regr_r2(ln(f), ln(r)), 6) AS fit_r2,
-           count(1) AS n_terms,
-           CASE WHEN regr_slope(ln(f), ln(r)) BETWEEN -2.0 AND -0.3
-                THEN 1 ELSE 0 END AS looks_natural
-    FROM ranked"""
-
-  private val zipfOracle = """
-    WITH tf AS (
-      SELECT tok, count(*) AS f
-      FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
-      WHERE tok != ''
-      GROUP BY tok
-      ORDER BY f DESC, tok ASC
-      LIMIT 200),
-    ranked AS (
-      SELECT f, row_number() OVER (ORDER BY f DESC, tok ASC) AS r FROM tf)
-    SELECT round(regr_slope(ln(f), ln(r)), 6) AS zipf_slope,
-           round(regr_r2(ln(f), ln(r)), 6) AS fit_r2,
-           count(*) AS n_terms,
-           (CASE WHEN regr_slope(ln(f), ln(r)) BETWEEN -2.0 AND -0.3
-                 THEN 1 ELSE 0 END)::BIGINT AS looks_natural
-    FROM ranked"""
-
-  // ------------------------------------------------------- PageRank
-
-  /** q111 — damped PageRank ([[graft.ops.PageRank]]) over the
-    * order→part bipartite graph from lineitem (3 power iterations,
-    * d=0.85): the link-centrality scorer used for graph-based document
-    * quality. The oracle unrolls the same 3 iterations as plain CTEs —
-    * both engines drop dangling mass identically. Ranks normalize by N
-    * and round to 6 so the top-k boundary is deterministic. */
-  private def pagerankQuery(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-    val edges = li.select(
-      concat(lit("o"), col("l_orderkey")).as("src"),
-      concat(lit("p"), col("l_partkey")).as("dst")).distinct()
-    graft.ops.PageRank.run(edges, k = 3, normalize = true)
-      .filter(col("node").startsWith("p"))
-      .select(col("node"), round(col("rank"), 6).as("nrank"))
-      .orderBy(col("nrank").desc, col("node").asc)
-      .limit(20)
-  }
-
-  private val pagerankOracle = """
-    WITH edges AS (
-      SELECT DISTINCT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst FROM lineitem),
-    nodes AS (
-      SELECT DISTINCT node FROM (
-        SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
-    params AS (SELECT count(*)::DOUBLE AS n FROM nodes),
-    outdeg AS (SELECT src, count(*)::DOUBLE AS od FROM edges GROUP BY src),
-    r0 AS (SELECT node, 1.0 / (SELECT n FROM params) AS rank FROM nodes),
-    r1 AS (
-      SELECT nodes.node, 0.15 / (SELECT n FROM params) + 0.85 * coalesce(c.s, 0) AS rank
-      FROM nodes LEFT JOIN (
-        SELECT e.dst AS node, sum(r.rank / od.od) AS s
-        FROM edges e JOIN r0 r ON r.node = e.src JOIN outdeg od ON od.src = e.src
-        GROUP BY e.dst) c ON c.node = nodes.node),
-    r2 AS (
-      SELECT nodes.node, 0.15 / (SELECT n FROM params) + 0.85 * coalesce(c.s, 0) AS rank
-      FROM nodes LEFT JOIN (
-        SELECT e.dst AS node, sum(r.rank / od.od) AS s
-        FROM edges e JOIN r1 r ON r.node = e.src JOIN outdeg od ON od.src = e.src
-        GROUP BY e.dst) c ON c.node = nodes.node),
-    r3 AS (
-      SELECT nodes.node, 0.15 / (SELECT n FROM params) + 0.85 * coalesce(c.s, 0) AS rank
-      FROM nodes LEFT JOIN (
-        SELECT e.dst AS node, sum(r.rank / od.od) AS s
-        FROM edges e JOIN r2 r ON r.node = e.src JOIN outdeg od ON od.src = e.src
-        GROUP BY e.dst) c ON c.node = nodes.node)
-    SELECT node, round(rank * (SELECT n FROM params), 6) AS nrank
-    FROM r3 WHERE node LIKE 'p%'
-    ORDER BY nrank DESC, node ASC LIMIT 20"""
-
-  // ----------------------------------------- exact n-gram decontamination
-
-  /** q113 — exact word-n-gram benchmark decontamination (the GPT-3
-    * appendix-C method, distinct from q53's winnowing-FINGERPRINT
-    * screen): a corpus document is contaminated when it shares ANY exact
-    * word n-gram with a benchmark document. GPT-3 used 13-grams on web
-    * text; n is a parameter and is 3 here because the synthetic docs are
-    * short — the plan shape is identical at any n. Grams above the
-    * document-frequency cap (boilerplate) are dropped first, exactly the
-    * posting-list bound q24/q53 use: the gram join is over bounded
-    * posting lists, never corpus×corpus. (doc_id, gram) is unique after
-    * the per-doc array_distinct, so the df cap is one count-over-window
-    * pass — no groupBy + re-join, q53's trick. Output: each contaminated
-    * corpus doc with its distinct shared-gram count and how many bench
-    * docs it collides with. */
-  private val decontamSql = """
-    WITH w AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
-    g AS (
-      SELECT doc_id, array_distinct(transform(sequence(0, size(ws) - 3),
-               i -> md5(concat_ws(' ', slice(ws, i + 1, 3))))) AS gl
-      FROM w WHERE size(ws) >= 3),
-    fps AS (SELECT doc_id, explode(gl) AS fp FROM g),
-    kept AS (SELECT doc_id, fp FROM (
-               SELECT doc_id, fp, count(1) OVER (PARTITION BY fp) AS df FROM fps)
-             WHERE df <= 50),
-    bench AS (SELECT doc_id AS bench_id, fp FROM kept WHERE doc_id % 97 = 0),
-    corpus AS (SELECT doc_id, fp FROM kept WHERE doc_id % 97 != 0)
-    SELECT c.doc_id, count(DISTINCT c.fp) AS shared_grams,
-           count(DISTINCT b.bench_id) AS n_bench_docs
-    FROM corpus c JOIN bench b ON c.fp = b.fp
-    GROUP BY c.doc_id ORDER BY c.doc_id"""
-
-  private val decontamOracle = """
-    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-    g AS (
-      SELECT doc_id, list_distinct(list_transform(range(len(ws) - 2),
-               i -> md5(array_to_string(ws[i+1:i+3], ' ')))) AS gl
-      FROM w WHERE len(ws) >= 3),
-    fps AS (SELECT doc_id, unnest(gl) AS fp FROM g),
-    freq AS (SELECT fp, count(DISTINCT doc_id) AS df FROM fps GROUP BY fp),
-    kept AS (SELECT fps.doc_id, fps.fp FROM fps JOIN freq ON fps.fp = freq.fp
-             WHERE freq.df <= 50),
-    bench AS (SELECT doc_id AS bench_id, fp FROM kept WHERE doc_id % 97 = 0),
-    corpus AS (SELECT doc_id, fp FROM kept WHERE doc_id % 97 <> 0)
-    SELECT c.doc_id, count(DISTINCT c.fp) AS shared_grams,
-           count(DISTINCT b.bench_id) AS n_bench_docs
-    FROM corpus c JOIN bench b ON c.fp = b.fp
-    GROUP BY c.doc_id ORDER BY c.doc_id"""
-
-  // ------------------------------------------- memorization audit
-
-  /** q184 — per-eval-doc n-gram novelty / memorization-risk audit (the
-    * Carlini-et-al-class leakage check, and the per-document complement
-    * of q113's decontamination verdicts): for every EVAL-split document,
-    * the fraction of its distinct word n-grams that appear verbatim
-    * anywhere in the TRAIN split. Low novelty = the eval doc is largely
-    * reconstructable from training text — exactly what an eval-set audit
-    * must catch before metrics are trusted. Split is the deterministic
-    * doc_id stance (eval = doc_id %% 10 == 0); production would use the
-    * q89 content-stable md5 bucket — downstream shape is identical.
-    *
-    * Scale shape at 100 TB: gram explode is map-only; the train side
-    * reduces to a DISTINCT gram-hash set (partial dedup map-side, one
-    * shuffle on the hash); the audit is ONE hash equi-join eval-grams ⋈
-    * train-set — after distinct the train side has ≤1 row per key, so
-    * join fan-out is 1 and boilerplate grams cost O(1) per eval gram
-    * (no df cap needed, the q130 no-pair-join guarantee); one doc_id
-    * agg finishes. Nothing is all-pairs, nothing collects. */
-  private val memorizationSql = """
-    WITH w AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
-    g AS (
-      SELECT doc_id, array_distinct(transform(sequence(0, size(ws) - 3),
-               i -> md5(concat_ws(' ', slice(ws, i + 1, 3))))) AS gl
-      FROM w WHERE size(ws) >= 3),
-    fps AS (SELECT doc_id, explode(gl) AS fp FROM g),
-    train AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 10 != 0),
-    ev AS (SELECT doc_id, fp FROM fps WHERE doc_id % 10 = 0)
-    SELECT ev.doc_id,
-           count(1) AS total_grams,
-           count(train.fp) AS seen_grams,
-           round(CAST(1 AS DOUBLE) - count(train.fp) / count(1), 6) AS novelty,
-           CAST(CASE WHEN count(train.fp) * 2 >= count(1) THEN 1 ELSE 0 END AS BIGINT) AS memorization_risk
-    FROM ev LEFT JOIN train ON ev.fp = train.fp
-    GROUP BY ev.doc_id ORDER BY ev.doc_id"""
-
-  private val memorizationOracle = """
-    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-    g AS (
-      SELECT doc_id, list_distinct(list_transform(range(len(ws) - 2),
-               i -> md5(array_to_string(ws[i+1:i+3], ' ')))) AS gl
-      FROM w WHERE len(ws) >= 3),
-    fps AS (SELECT doc_id, unnest(gl) AS fp FROM g),
-    train AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 10 <> 0),
-    ev AS (SELECT doc_id, fp FROM fps WHERE doc_id % 10 = 0)
-    SELECT ev.doc_id,
-           count(1) AS total_grams,
-           count(train.fp) AS seen_grams,
-           round(1.0 - count(train.fp) * 1.0 / count(1), 6) AS novelty,
-           CAST(CASE WHEN count(train.fp) * 2 >= count(1) THEN 1 ELSE 0 END AS BIGINT) AS memorization_risk
-    FROM ev LEFT JOIN train ON ev.fp = train.fp
-    GROUP BY ev.doc_id ORDER BY ev.doc_id"""
-
-  // ------------------------------------------- exact-substring dedup
-
-  /** q130 — exact-substring duplicate-span detection (the Lee et al. 2021
-    * "Deduplicating Training Data Makes Language Models Better" class:
-    * verbatim ≥k-token spans repeated anywhere in the corpus, within or
-    * across documents). Lee et al. build a suffix array; the Spark-native
-    * shape is stride-1 overlapping k-token window hashes (the q68 chunker
-    * at stride 1), a repetition flag per window, and per-document interval
-    * merge of the flagged windows into maximal spans.
-    *
-    * Scale shape at 100 TB: window generation is map-only (≈ one row per
-    * corpus token); the repetition flag is ONE count-over-window pass
-    * hash-shuffled on the window fingerprint (q113's df trick — no
-    * groupBy + re-join); the span merge is one shuffle on doc_id with two
-    * window functions. Crucially there is NO pair join anywhere — a
-    * boilerplate window repeated in a million documents costs O(df) rows
-    * through one shuffle key, never O(df²) candidate pairs, so this needs
-    * no posting-list cap at all (a stronger guarantee than q22/q24's
-    * capped buckets; ExactSubstringSpec pins it on an all-identical
-    * corpus). Spans merge when flagged windows overlap OR touch
-    * (pos gap ≤ k), so a duplicated run of any length reports as one
-    * span of its full token length. k = 8 here (synthetic docs are
-    * short; Lee et al. used 50 BPE tokens on web text) — the plan shape
-    * is identical at any k. */
-  def exactSubstringSql(k: Int = 8): String = s"""
-    WITH w AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
-    wins AS (
-      SELECT doc_id, CAST(w0.pos AS BIGINT) AS pos, w0.fp AS fp FROM (
-        SELECT doc_id, explode(transform(sequence(0, size(ws) - $k), i ->
-          struct(i AS pos, md5(concat_ws(' ', slice(ws, i + 1, $k))) AS fp))) AS w0
-        FROM w WHERE size(ws) >= $k) g),
-    occ AS (SELECT doc_id, pos, count(1) OVER (PARTITION BY fp) AS n FROM wins),
-    flagged AS (SELECT doc_id, pos FROM occ WHERE n >= 2),
-    isl AS (SELECT doc_id, pos,
-              CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $k
-                   THEN 0 ELSE 1 END AS brk
-            FROM flagged),
-    isl2 AS (SELECT doc_id, pos,
-               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-             FROM isl),
-    spans AS (SELECT doc_id, island, min(pos) AS s, max(pos) + $k AS e
-              FROM isl2 GROUP BY 1, 2)
-    SELECT doc_id, count(1) AS n_spans, sum(e - s) AS dup_tokens, min(s) AS first_pos
-    FROM spans GROUP BY doc_id ORDER BY doc_id"""
-
-  private def exactSubstringOracle(k: Int = 8): String = s"""
-    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-    wins AS (SELECT doc_id, i AS pos, md5(array_to_string(ws[i+1:i+$k], ' ')) AS fp
-             FROM w, unnest(range(len(ws) - $k + 1)) AS t(i) WHERE len(ws) >= $k),
-    occ AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY fp) AS n FROM wins),
-    flagged AS (SELECT doc_id, pos FROM occ WHERE n >= 2),
-    isl AS (SELECT doc_id, pos,
-              CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $k
-                   THEN 0 ELSE 1 END AS brk
-            FROM flagged),
-    isl2 AS (SELECT doc_id, pos,
-               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-             FROM isl),
-    spans AS (SELECT doc_id, island, min(pos) AS s, max(pos) + $k AS e
-              FROM isl2 GROUP BY 1, 2)
-    SELECT doc_id, count(*) AS n_spans, CAST(sum(e - s) AS BIGINT) AS dup_tokens,
-           min(s) AS first_pos
-    FROM spans GROUP BY doc_id ORDER BY doc_id"""
-
-  // --------------------------------------------- token-distribution drift
-
-  /** q114 — token-distribution drift between two corpus slices (the
-    * mixture-health check run before changing a pretraining data recipe):
-    * unigram distributions of src0 vs src1 with add-one smoothing over
-    * the union vocabulary, reporting KL(P‖Q), KL(Q‖P) and the symmetric
-    * Jensen–Shannon divergence. Physical shape at 100 TB: ONE
-    * partial+final hash aggregate over (word) with both slice counts as
-    * conditional sums (the Zipf head combines map-side), then a
-    * vocabulary-sized relation (≪ corpus) crossed with a single totals
-    * row — the corpus is scanned exactly once and nothing vocabulary×
-    * vocabulary ever forms. Doubles are summed once and rounded to 6dp
-    * on both engines. */
-  private val tokenDriftSql = """
-    WITH tok AS (
-      SELECT source, explode(split(text, ' ')) AS w
-      FROM documents WHERE source IN ('src0', 'src1')),
-    cnt AS (
-      SELECT w, sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS cp,
-             sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS cq
-      FROM tok GROUP BY w),
-    tot AS (SELECT cast(sum(cp) AS double) AS np, cast(sum(cq) AS double) AS nq,
-                   cast(count(1) AS double) AS v FROM cnt),
-    probs AS (
-      SELECT (cast(cp AS double) + 1.0) / (np + v) AS p,
-             (cast(cq AS double) + 1.0) / (nq + v) AS q
-      FROM cnt CROSS JOIN tot)
-    SELECT cast(v AS bigint) AS vocab_size, cast(np AS bigint) AS n_tokens_p,
-           cast(nq AS bigint) AS n_tokens_q,
-           round(sum(p * ln(p / q)), 6) AS kl_pq,
-           round(sum(q * ln(q / p)), 6) AS kl_qp,
-           round(0.5 * sum(p * ln(2.0 * p / (p + q)))
-               + 0.5 * sum(q * ln(2.0 * q / (p + q))), 6) AS js
-    FROM probs CROSS JOIN tot
-    GROUP BY v, np, nq"""
-
-  private val tokenDriftOracle = """
-    WITH tok AS (
-      SELECT source, unnest(string_split(text, ' ')) AS w
-      FROM documents WHERE source IN ('src0', 'src1')),
-    cnt AS (
-      SELECT w, sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::DOUBLE AS cp,
-             sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)::DOUBLE AS cq
-      FROM tok GROUP BY w),
-    tot AS (SELECT sum(cp)::DOUBLE AS np, sum(cq)::DOUBLE AS nq,
-                   count(1)::DOUBLE AS v FROM cnt),
-    probs AS (
-      SELECT (cp + 1.0) / (np + v) AS p, (cq + 1.0) / (nq + v) AS q
-      FROM cnt CROSS JOIN tot)
-    SELECT v::BIGINT AS vocab_size, np::BIGINT AS n_tokens_p, nq::BIGINT AS n_tokens_q,
-           round(sum(p * ln(p / q)), 6) AS kl_pq,
-           round(sum(q * ln(q / p)), 6) AS kl_qp,
-           round(0.5 * sum(p * ln(2.0 * p / (p + q)))
-               + 0.5 * sum(q * ln(2.0 * q / (p + q))), 6) AS js
-    FROM probs CROSS JOIN tot
-    GROUP BY v, np, nq"""
-
-  // -------------------------------------------------------- SemDeDup
-
-  /** q112 — semantic deduplication (SemDeDup, Abbas et al. 2023): assign
-    * every embedding to its nearest q60-style centroid cell, then find
-    * near-duplicate pairs ONLY within a cell (cosine ≥ 0.35 on rounded
-    * values) and drop every vector that has a lower-id near-duplicate —
-    * the min-id representative of each similarity group survives (greedy
-    * one-pass rule, documented and mirrored exactly by the oracle).
-    * Output is the per-cell audit: vectors seen, vectors dropped.
-    *
-    * Scale shape at 100 TB: the codebook is k×dim values — broadcast
-    * cross-score + min_by argmin exactly as q61; the pair search is an
-    * equi-join on the CELL key (never corpus×corpus). k ∝ √N keeps the
-    * AVERAGE cell small, but nothing in the assignment bounds a hot cell
-    * (a boilerplate embedding cluster), so pair generation additionally
-    * applies the q22 BandCap guard: a cell-size window shares the cell
-    * shuffle, and cells above [[CellCap]] are excluded from pairing —
-    * those are dense near-dup clusters that production routes to a
-    * connected-components pass (q41) rather than s² scoring. The cap is
-    * applied IDENTICALLY in the oracle, and the audit output still
-    * reports the over-cap cell's size (n_dropped = 0 documents the
-    * not-pairwise-scored state honestly).
-    * Determinism: centroids rounded to 6dp before distances, fixed-order
-    * zip_with folds, (d2, label) argmin tie-break, cosine rounded to 6dp
-    * before the threshold compare. */
-  private[graft] def semdedupSql(cellCap: Int = CellCap) = s"""
-    WITH cent_rows AS (
-      SELECT label AS c_label, pos, round(avg(cast(v AS double)), 6) AS mean_v
-      FROM embeddings LATERAL VIEW posexplode(embedding) AS pos, v
-      GROUP BY label, pos),
-    cents AS (
-      SELECT c_label,
-             transform(sort_array(collect_list(struct(pos, mean_v))), s -> s.mean_v) AS cvec
-      FROM cent_rows GROUP BY c_label),
-    dists AS (
-      SELECT e.vec_id, c.c_label,
-             aggregate(zip_with(transform(e.embedding, x -> cast(x AS double)), c.cvec,
-                                (x, y) -> (x - y) * (x - y)),
-                       cast(0.0 AS double), (s, x) -> s + x) AS d2
-      FROM embeddings e CROSS JOIN cents c),
-    assign AS (
-      SELECT vec_id, min_by(c_label, struct(d2, c_label)) AS cell
-      FROM dists GROUP BY vec_id),
-    v AS (
-      SELECT a.cell, e.vec_id,
-             transform(e.embedding, x -> cast(x AS double)) AS ve
-      FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id),
-    vn AS (SELECT cell, vec_id, ve, sqrt(dot_d(ve, ve)) AS nrm,
-                  count(1) OVER (PARTITION BY cell) AS csz FROM v),
-    drops AS (
-      SELECT DISTINCT b.vec_id
-      FROM vn a JOIN vn b ON a.cell = b.cell AND a.vec_id < b.vec_id
-      WHERE a.csz <= $cellCap
-        AND round(dot_d(a.ve, b.ve) / (a.nrm * b.nrm), 6) >= 0.35)
-    SELECT v.cell, count(1) AS n_vecs,
-           sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_dropped
-    FROM v LEFT JOIN drops d ON v.vec_id = d.vec_id
-    GROUP BY v.cell ORDER BY v.cell"""
-
-  private[graft] def semdedupOracle(cellCap: Int = CellCap) = s"""
-    WITH cent_rows AS (
-      SELECT label AS c_label, i AS pos, round(avg(embedding[i+1]::DOUBLE), 6) AS mean_v
-      FROM embeddings, unnest(range(len(embedding))) AS t(i)
-      GROUP BY label, i),
-    cents AS (
-      SELECT c_label, list(mean_v ORDER BY pos) AS cvec
-      FROM cent_rows GROUP BY c_label),
-    dists AS (
-      SELECT e.vec_id, c.c_label,
-             list_reduce(list_transform(range(len(c.cvec)),
-                 i -> (e.embedding[i+1]::DOUBLE - c.cvec[i+1]) * (e.embedding[i+1]::DOUBLE - c.cvec[i+1])),
-               (s, x) -> s + x) AS d2
-      FROM embeddings e CROSS JOIN cents c),
-    assign AS (
-      SELECT vec_id, c_label AS cell
-      FROM (SELECT vec_id, c_label,
-                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
-            FROM dists)
-      WHERE rn = 1),
-    v AS (
-      SELECT a.cell, e.vec_id, list_transform(e.embedding, x -> x::DOUBLE) AS ve
-      FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id),
-    vn AS (
-      SELECT cell, vec_id, ve,
-             sqrt(list_reduce(list_transform(ve, x -> x * x), (s, x) -> s + x)) AS nrm,
-             count(1) OVER (PARTITION BY cell) AS csz
-      FROM v),
-    drops AS (
-      SELECT DISTINCT b.vec_id
-      FROM vn a JOIN vn b ON a.cell = b.cell AND a.vec_id < b.vec_id
-      WHERE a.csz <= $cellCap
-        AND round(list_reduce(list_transform(range(64), i -> a.ve[i+1] * b.ve[i+1]),
-                              (s, x) -> s + x) / (a.nrm * b.nrm), 6) >= 0.35)
-    SELECT v.cell, count(1)::BIGINT AS n_vecs,
-           sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_dropped
-    FROM v LEFT JOIN drops d ON v.vec_id = d.vec_id
-    GROUP BY v.cell ORDER BY v.cell"""
-
-  // --------------------------------------------------- PII scrubbing
-
-  /** q110 — PII scrub (email / IPv4 / phone redaction): the mandatory
-    * pre-release pass on any training corpus. Map-only regexp_replace
-    * chain (codegen'd), counts via regexp_extract_all so the audit and
-    * the scrub share one scan; patterns restricted to RE2-compatible
-    * syntax so the DuckDB oracle matches byte-for-byte. The synthetic
-    * corpus contains no PII — the gate then proves the scrubber is
-    * exactly IDENTITY on clean text (zero counts, hash-equal output),
-    * while PiiScrubSpec pins the redaction behavior on seeded fixtures. */
-  private val piiEmail = "[a-z0-9._%+-]+@[a-z0-9.-]+\\\\.[a-z]{2,}"
-  private val piiIp = "\\\\b\\\\d{1,3}\\\\.\\\\d{1,3}\\\\.\\\\d{1,3}\\\\.\\\\d{1,3}\\\\b"
-  private val piiPhone = "\\\\b\\\\d{3}[-.]\\\\d{3}[-.]\\\\d{4}\\\\b"
-
-  private val piiSql = s"""
-    SELECT doc_id,
-           md5(regexp_replace(regexp_replace(regexp_replace(lower(text),
-               '$piiEmail', '<EMAIL>'),
-               '$piiIp', '<IP>'),
-               '$piiPhone', '<PHONE>')) AS scrub_hash,
-           CAST(size(regexp_extract_all(lower(text), '$piiEmail', 0)) AS BIGINT) AS n_emails,
-           CAST(size(regexp_extract_all(lower(text), '$piiIp', 0)) AS BIGINT) AS n_ips,
-           CAST(size(regexp_extract_all(lower(text), '$piiPhone', 0)) AS BIGINT) AS n_phones
-    FROM documents ORDER BY doc_id"""
-
-  private val piiOracle = s"""
-    SELECT doc_id,
-           md5(regexp_replace(regexp_replace(regexp_replace(lower(text),
-               '${piiEmail.replace("\\\\", "\\")}', '<EMAIL>', 'g'),
-               '${piiIp.replace("\\\\", "\\")}', '<IP>', 'g'),
-               '${piiPhone.replace("\\\\", "\\")}', '<PHONE>', 'g')) AS scrub_hash,
-           len(regexp_extract_all(lower(text), '${piiEmail.replace("\\\\", "\\")}'))::BIGINT AS n_emails,
-           len(regexp_extract_all(lower(text), '${piiIp.replace("\\\\", "\\")}'))::BIGINT AS n_ips,
-           len(regexp_extract_all(lower(text), '${piiPhone.replace("\\\\", "\\")}'))::BIGINT AS n_phones
-    FROM documents ORDER BY doc_id"""
-
-  // ----------------------------- C4/Gopher rule-filter audit (q121)
-
-  /** q121 — classic rule-filter audit (C4, Raffel et al. 2020; Gopher,
-    * Rae et al. 2021): per-document pass/fail for the standard quality
-    * rules, aggregated to per-rule pass counts + composite retention —
-    * the first report any corpus-curation run produces. Rules: word
-    * count in [50, 100k] and mean word length in [3, 10] (Gopher),
-    * distinct-word fraction ≥ 0.3 and top-word dominance ≤ 20% (the
-    * Gopher repetition family), no curly braces and no 'lorem ipsum'
-    * (C4).
-    *
-    * Scale shape: ONE word explode feeding two chained hash aggs
-    * (doc×word histogram → per-doc metrics; the histogram is where
-    * map-side combine absorbs the Zipf head), one join back to the
-    * map-only per-doc text flags, one global agg → a single row. */
-  private val qualityRulesSql = """
-    WITH wcnt AS (
-      SELECT doc_id, tok, count(1) AS c
-      FROM (SELECT doc_id, explode(split(lower(text), ' ')) AS tok FROM documents)
-      WHERE tok != ''
-      GROUP BY doc_id, tok),
-    docm AS (
-      SELECT doc_id, sum(c) AS wc, count(1) AS dw, max(c) AS topc,
-             sum(length(tok) * c) AS chars
-      FROM wcnt GROUP BY doc_id),
-    flags AS (
-      SELECT m.doc_id,
-             CASE WHEN m.wc >= 50 AND m.wc <= 100000 THEN 1 ELSE 0 END AS r_wc,
-             CASE WHEN m.chars / cast(m.wc AS double) >= 3
-                   AND m.chars / cast(m.wc AS double) <= 10 THEN 1 ELSE 0 END AS r_wlen,
-             CASE WHEN m.dw / cast(m.wc AS double) >= 0.3 THEN 1 ELSE 0 END AS r_distinct,
-             CASE WHEN m.topc / cast(m.wc AS double) <= 0.2 THEN 1 ELSE 0 END AS r_topword,
-             CASE WHEN instr(d.text, '{') = 0 THEN 1 ELSE 0 END AS r_brace,
-             CASE WHEN instr(lower(d.text), 'lorem ipsum') = 0 THEN 1 ELSE 0 END AS r_lorem
-      FROM docm m JOIN documents d ON m.doc_id = d.doc_id)
-    SELECT count(1) AS n_docs,
-           sum(r_wc) AS n_wc, sum(r_wlen) AS n_wlen,
-           sum(r_distinct) AS n_distinct, sum(r_topword) AS n_topword,
-           sum(r_brace) AS n_brace, sum(r_lorem) AS n_lorem,
-           sum(r_wc * r_wlen * r_distinct * r_topword * r_brace * r_lorem) AS n_keep,
-           round(sum(r_wc * r_wlen * r_distinct * r_topword * r_brace * r_lorem)
-                 / cast(count(1) AS double), 6) AS retention
-    FROM flags"""
-
-  private val qualityRulesOracle = """
-    WITH wcnt AS (
-      SELECT doc_id, tok, count(*) AS c
-      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)
-      WHERE tok != ''
-      GROUP BY doc_id, tok),
-    docm AS (
-      SELECT doc_id, sum(c) AS wc, count(*) AS dw, max(c) AS topc,
-             sum(length(tok) * c) AS chars
-      FROM wcnt GROUP BY doc_id),
-    flags AS (
-      SELECT m.doc_id,
-             CASE WHEN m.wc >= 50 AND m.wc <= 100000 THEN 1 ELSE 0 END AS r_wc,
-             CASE WHEN m.chars / m.wc::DOUBLE >= 3
-                   AND m.chars / m.wc::DOUBLE <= 10 THEN 1 ELSE 0 END AS r_wlen,
-             CASE WHEN m.dw / m.wc::DOUBLE >= 0.3 THEN 1 ELSE 0 END AS r_distinct,
-             CASE WHEN m.topc / m.wc::DOUBLE <= 0.2 THEN 1 ELSE 0 END AS r_topword,
-             CASE WHEN instr(d.text, '{') = 0 THEN 1 ELSE 0 END AS r_brace,
-             CASE WHEN instr(lower(d.text), 'lorem ipsum') = 0 THEN 1 ELSE 0 END AS r_lorem
-      FROM docm m JOIN documents d ON m.doc_id = d.doc_id)
-    SELECT count(*)::BIGINT AS n_docs,
-           sum(r_wc)::BIGINT AS n_wc, sum(r_wlen)::BIGINT AS n_wlen,
-           sum(r_distinct)::BIGINT AS n_distinct, sum(r_topword)::BIGINT AS n_topword,
-           sum(r_brace)::BIGINT AS n_brace, sum(r_lorem)::BIGINT AS n_lorem,
-           sum(r_wc * r_wlen * r_distinct * r_topword * r_brace * r_lorem)::BIGINT AS n_keep,
-           round(sum(r_wc * r_wlen * r_distinct * r_topword * r_brace * r_lorem)
-                 / count(*)::DOUBLE, 6) AS retention
-    FROM flags"""
-
-  // ------------------------------- DSIR importance weighting (q118)
-
-  /** q118 — hashed-feature importance weighting for data selection
-    * (DSIR, Xie et al. 2023, "Data Selection for Language Models via
-    * Importance Resampling"): fit bag-of-hashed-unigram models on a
-    * TARGET slice (here `source = 'src0'`, the benchmark-like
-    * distribution) and on the RAW pool, then score every raw document by
-    * its log importance weight Σ_f n_f·(ln p̂_target(f) − ln p̂_raw(f))
-    * with add-one smoothing over [[DsirBuckets]] hash buckets; the top
-    * slice is what importance resampling would keep.
-    *
-    * Scale shape at 100 TB: a token explode + hash agg produces the
-    * bucket-count table (exactly [[DsirBuckets]] rows — broadcast); the
-    * per-doc score re-derives the exploded relation in a SECOND scan
-    * (Spark inlines the CTE) rather than materializing a corpus-sized
-    * token intermediate — two cheap columnar scans beat caching the
-    * explode at 100 TB. Selection is TakeOrdered top-k — nothing
-    * driver-side, nothing quadratic, the ratio table never exceeds a
-    * few KB. Tokenizer is
-    * the literal single-space split shared with q113/q114; the hash is
-    * the md5-prefix bucket idiom shared with q89 so DuckDB reproduces
-    * it bit-for-bit. Floats: scores round to 6dp and the top-k orders
-    * by the ROUNDED value (doc_id tie-break) so cross-engine ulp drift
-    * cannot reorder the cut. */
-  private val DsirBuckets = 256
-
-  private val dsirSql = s"""
-    WITH tok AS (
-      SELECT doc_id, source,
-             cast(conv(substr(md5(tok), 1, 8), 16, 10) AS bigint) % $DsirBuckets AS b
-      FROM (SELECT doc_id, source, explode(split(lower(text), ' ')) AS tok FROM documents)
-      WHERE tok != ''),
-    cnt AS (
-      SELECT b,
-             sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS t_cnt,
-             sum(CASE WHEN source != 'src0' THEN 1 ELSE 0 END) AS r_cnt
-      FROM tok GROUP BY b),
-    tot AS (SELECT sum(t_cnt) AS t_tot, sum(r_cnt) AS r_tot FROM cnt),
-    lr AS (
-      SELECT b, ln((t_cnt + 1) / (t_tot + $DsirBuckets.0))
-                - ln((r_cnt + 1) / (r_tot + $DsirBuckets.0)) AS lw
-      FROM cnt CROSS JOIN tot),
-    score AS (
-      SELECT t.doc_id, sum(l.lw) AS logw, count(1) AS n_toks
-      FROM tok t JOIN lr l ON t.b = l.b
-      WHERE t.source != 'src0'
-      GROUP BY t.doc_id)
-    SELECT doc_id, round(logw, 6) AS logw, n_toks
-    FROM score
-    ORDER BY round(logw, 6) DESC, doc_id ASC
-    LIMIT 50"""
-
-  private val dsirOracle = s"""
-    WITH tok AS (
-      SELECT doc_id, source,
-             ('0x' || substr(md5(tok), 1, 8))::BIGINT % $DsirBuckets AS b
-      FROM (SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS tok FROM documents)
-      WHERE tok != ''),
-    cnt AS (
-      SELECT b,
-             sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::BIGINT AS t_cnt,
-             sum(CASE WHEN source != 'src0' THEN 1 ELSE 0 END)::BIGINT AS r_cnt
-      FROM tok GROUP BY b),
-    tot AS (SELECT sum(t_cnt)::DOUBLE AS t_tot, sum(r_cnt)::DOUBLE AS r_tot FROM cnt),
-    lr AS (
-      SELECT b, ln((t_cnt + 1) / (t_tot + $DsirBuckets.0))
-                - ln((r_cnt + 1) / (r_tot + $DsirBuckets.0)) AS lw
-      FROM cnt CROSS JOIN tot),
-    score AS (
-      SELECT t.doc_id, sum(l.lw) AS logw, count(*)::BIGINT AS n_toks
-      FROM tok t JOIN lr l ON t.b = l.b
-      WHERE t.source != 'src0'
-      GROUP BY t.doc_id)
-    SELECT doc_id, round(logw, 6) AS logw, n_toks
-    FROM score
-    ORDER BY round(logw, 6) DESC, doc_id ASC
-    LIMIT 50"""
-
-  // ------------------------------------------------------- BPE tokenizer
-
-  /** q97/q98/q99 — distributed BPE tokenizer over `documents`
-    * ([[graft.ops.Bpe]]). q97 (round-1 pair counts) is SQL-expressible
-    * directly; q98 (the trained merge list) and q99 (tokenized output)
-    * are iterative-training results — their oracles unroll the
-    * [[BpeMerges]] merge rounds as chained DuckDB CTEs (exactly the way
-    * the q111 pagerank oracle unrolls its power iterations), so the full
-    * train + encode path is cross-engine hash-gated; BpeSpec additionally
-    * pins the merge sequence on a hand-computed fixture. */
-  private val BpeMerges = 12
-
-  private def bpePairs(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Bpe.round1PairCounts(Tables.documents(s, dir), "text")
-      .orderBy(col("cnt").desc, col("pair").asc).limit(20)
-
-  private def bpeVocab(s: SparkSession, dir: String): DataFrame = {
-    val merges = graft.ops.Bpe.train(Tables.documents(s, dir), "text", BpeMerges)
-    import s.implicits._
-    merges.toDF().orderBy(col("rank").asc)
-  }
-
-  private def bpeTokenize(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
-    val merges = graft.ops.Bpe.train(d, "text", BpeMerges)
-    graft.ops.Bpe.tokenize(d, "doc_id", "text", merges)
-      .select(col("doc_id"), size(col("tokens")).cast("long").as("n_tokens"),
-        to_json(slice(col("tokens"), 1, 8)).as("head_tokens"))
-      .orderBy(col("doc_id").asc)
-  }
-
-  /** The q98/q99 oracle core: one CTE chain per BPE merge round.
-    *
-    * Representation: each word's symbol sequence is a string of
-    * individually-bracketed symbols (`hello` → `<h><e><l><l><o>`).
-    * Brackets cannot occur inside a symbol (symbols are `[a-z]+`
-    * fragments), so (a) adjacent-pair extraction is an exact split on
-    * `><`, and (b) applying a merge is a plain non-overlapping
-    * left-to-right `replace('<l><r>', '<lr>')` — which is precisely
-    * [[graft.ops.Bpe.mergeOnce]]'s leftmost-first rule (a shared
-    * delimiter scheme like space-joining would double-consume the
-    * separator between back-to-back occurrences and diverge).
-    *
-    * `MATERIALIZED` is load-bearing: each round references the previous
-    * one twice (argmax + rewrite), so inlined CTEs would re-evaluate the
-    * chain 2^k times.
-    *
-    * The trainer stops early when no pair occurs twice; the unrolled
-    * oracle cannot, so [[BpeMerges]] must complete on the gate corpus —
-    * it does at every driver sf (the distinct-word table is far past 12
-    * productive merges even at sf0.001). */
-  private def bpeRounds(k: Int): Seq[String] = (1 to k).map { n =>
-    val p = n - 1
-    s"""b$n AS MATERIALIZED (SELECT string_split(trim(s, '<>'), '><') AS ss, f FROM r$p),
-    p$n AS (SELECT ss, f, unnest(range(1, len(ss))) AS i FROM b$n WHERE len(ss) >= 2),
-    c$n AS (SELECT ss[i] AS l, ss[i+1] AS r, sum(f)::BIGINT AS cnt FROM p$n GROUP BY 1, 2),
-    m$n AS MATERIALIZED (SELECT l, r FROM c$n ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
-    r$n AS MATERIALIZED (
-      SELECT w, replace(s, '<'||m.l||'><'||m.r||'>', '<'||m.l||m.r||'>') AS s, f FROM r$p, m$n m)"""
-  }
-
-  private def bpeMergeCtes(k: Int): String = {
-    val header = s"""words AS (
-      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents),
-    wf AS (SELECT w, count(*)::BIGINT AS f FROM words GROUP BY w),
-    r0 AS MATERIALIZED (
-      SELECT w, '<' || array_to_string(string_split(w, ''), '><') || '>' AS s, f FROM wf)"""
-    (header +: bpeRounds(k)).mkString(",\n    ")
-  }
-
-  /** Byte-level variant of [[bpeMergeCtes]]: GPT-2-style pretokens (the
-    * SAME RE2 pattern the engine uses — lookahead-free by design), space
-    * byte mapped to 'Ġ' exactly as [[graft.ops.Bpe.ByteToChar]] maps byte
-    * 0x20. Valid for this ASCII single-space corpus, where byte == char
-    * and 'Ġ' is the only remapped symbol; the general byte fallback
-    * (multi-byte UTF-8) is pinned in BpeSpec's golden tests instead. The
-    * bracket scheme carries over unchanged — the mapped alphabet (a-z,
-    * digits, punctuation-minus-angle-brackets, 'Ġ') never contains '<'
-    * or '>'. */
-  private def byteBpeMergeCtes(k: Int): String = {
-    val pat = graft.ops.Bpe.BytePretokenPattern.replace("'", "''")
-    val header = s"""words AS (
-      SELECT unnest(regexp_extract_all(lower(text), '$pat')) AS w FROM documents),
-    wf AS (SELECT w, count(*)::BIGINT AS f FROM words GROUP BY w),
-    r0 AS MATERIALIZED (
-      SELECT w, '<' || array_to_string(string_split(replace(w, ' ', 'Ġ'), ''), '><') || '>' AS s, f FROM wf)"""
-    (header +: bpeRounds(k)).mkString(",\n    ")
-  }
-
-  private def bpeVocabOracle: String = {
-    val k = BpeMerges
-    val rows = (1 to k).map(n =>
-      s"""SELECT $n::INTEGER AS "rank", l AS "left", r AS "right", l||r AS merged FROM m$n""")
-      .mkString(" UNION ALL ")
-    s"""WITH ${bpeMergeCtes(k)}
-    SELECT * FROM ($rows) ORDER BY "rank" """
-  }
-
-  /** q119 — tokenizer fertility audit: per-language tokens-per-word and
-    * chars-per-token of the trained BPE. Fertility is THE health metric
-    * for a subword vocabulary on multilingual corpora (a language
-    * averaging ≫1.5 tokens/word is under-served by the merge table and
-    * will train/infer proportionally slower). Same scale shape as q99:
-    * training on the Zipf-compressed word table, encoding map-only with
-    * broadcast merges, then ONE per-language agg; docs with no [a-z]
-    * words are excluded on both sides. */
-  private def bpeFertility(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
-    val merges = graft.ops.Bpe.train(d, "text", BpeMerges)
-    val tk = graft.ops.Bpe.tokenize(d, "doc_id", "text", merges)
-    d.select(col("doc_id"), col("lang"),
-        expr(s"regexp_extract_all(lower(text), '${graft.ops.Bpe.WordPattern}', 0)").as("ws"))
-      .where(size(col("ws")) > 0)
-      .join(tk, "doc_id")
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(size(col("tokens")).cast("long")).as("toks"),
-        sum(size(col("ws")).cast("long")).as("words"),
-        sum(expr("aggregate(ws, 0L, (a, x) -> a + length(x))")).as("chars"))
-      .select(col("lang"), col("n_docs"),
-        round(col("toks") / col("words"), 6).as("tok_per_word"),
-        round(col("chars") / col("toks"), 6).as("chars_per_tok"))
-      .orderBy(col("lang"))
-  }
-
-  private def bpeFertilityOracle: String = {
-    val k = BpeMerges
-    s"""WITH ${bpeMergeCtes(k)},
-    enc AS MATERIALIZED (
-      SELECT w, len(string_split(trim(s, '<>'), '><'))::BIGINT AS nt FROM r$k),
-    dw AS (
-      SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
-      FROM documents),
-    j AS (SELECT dw.doc_id, dw.lang, enc.nt, length(dw.w)::BIGINT AS wc
-          FROM dw JOIN enc USING (w)),
-    agg AS (
-      SELECT lang, count(DISTINCT doc_id)::BIGINT AS n_docs,
-             sum(nt)::BIGINT AS toks, count(*)::BIGINT AS words,
-             sum(wc)::BIGINT AS chars
-      FROM j GROUP BY lang)
-    SELECT lang, n_docs,
-           round(toks / words::DOUBLE, 6) AS tok_per_word,
-           round(chars / toks::DOUBLE, 6) AS chars_per_tok
-    FROM agg ORDER BY lang"""
-  }
-
-  /** q134 — byte-level BPE fertility: the q119 audit re-run over the
-    * GPT-2-style byte-level tokenizer ([[graft.ops.Bpe.trainByteLevel]]):
-    * pretokens keep their leading space (so ' the' and 'the' learn
-    * separate merges — the GPT-2 word-boundary trick), base symbols are
-    * mapped BYTES, and fertility is tokens-per-pretoken / chars-per-token
-    * per language. Same scale shape as q119: train on the distinct-
-    * pretoken table, broadcast merges, mapPartitions encode, ONE agg. */
-  private def byteBpeFertility(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
-    val merges = graft.ops.Bpe.trainByteLevel(d, "text", BpeMerges)
-    val tk = graft.ops.Bpe.tokenizeByteLevel(d, "doc_id", "text", merges)
-    val sqlPat = graft.ops.Bpe.BytePretokenPattern
-      .replace("\\", "\\\\").replace("'", "\\'")
-    d.select(col("doc_id"), col("lang"),
-        expr(s"regexp_extract_all(lower(text), '$sqlPat', 0)").as("ws"))
-      .where(size(col("ws")) > 0)
-      .join(tk, "doc_id")
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(size(col("tokens")).cast("long")).as("toks"),
-        sum(size(col("ws")).cast("long")).as("pretoks"),
-        sum(expr("aggregate(ws, 0L, (a, x) -> a + length(x))")).as("chars"))
-      .select(col("lang"), col("n_docs"),
-        round(col("toks") / col("pretoks"), 6).as("tok_per_pretok"),
-        round(col("chars") / col("toks"), 6).as("chars_per_tok"))
-      .orderBy(col("lang"))
-  }
-
-  private def byteBpeFertilityOracle: String = {
-    val k = BpeMerges
-    val pat = graft.ops.Bpe.BytePretokenPattern.replace("'", "''")
-    s"""WITH ${byteBpeMergeCtes(k)},
-    enc AS MATERIALIZED (
-      SELECT w, len(string_split(trim(s, '<>'), '><'))::BIGINT AS nt FROM r$k),
-    dw AS (
-      SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '$pat')) AS w
-      FROM documents),
-    j AS (SELECT dw.doc_id, dw.lang, enc.nt, length(dw.w)::BIGINT AS wc
-          FROM dw JOIN enc USING (w)),
-    agg AS (
-      SELECT lang, count(DISTINCT doc_id)::BIGINT AS n_docs,
-             sum(nt)::BIGINT AS toks, count(*)::BIGINT AS pretoks,
-             sum(wc)::BIGINT AS chars
-      FROM j GROUP BY lang)
-    SELECT lang, n_docs,
-           round(toks / pretoks::DOUBLE, 6) AS tok_per_pretok,
-           round(chars / toks::DOUBLE, 6) AS chars_per_tok
-    FROM agg ORDER BY lang"""
-  }
-
-  /** q99 oracle: r<k> already holds every distinct training word's final
-    * symbolization (encoding a training word with the merge list
-    * reproduces exactly that — the trainer's own rewrite), so the encode
-    * table is just a split of r<k>; per-document output re-assembles the
-    * word sequence in order and flattens. */
-  private def bpeTokenizeOracle: String = {
-    val k = BpeMerges
-    s"""WITH ${bpeMergeCtes(k)},
-    enc AS MATERIALIZED (SELECT w, string_split(trim(s, '<>'), '><') AS toks FROM r$k),
-    dwb AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
-    dwp AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM dwb WHERE len(ws) >= 1),
-    dw AS (SELECT doc_id, i, ws[i] AS w FROM dwp),
-    dt AS (SELECT dw.doc_id, dw.i, enc.toks FROM dw JOIN enc USING (w)),
-    ag AS (SELECT doc_id, flatten(list(toks ORDER BY i)) AS all_toks FROM dt GROUP BY doc_id)
-    SELECT d.doc_id, coalesce(len(a.all_toks), 0)::BIGINT AS n_tokens,
-           to_json(coalesce(a.all_toks[1:8], []::VARCHAR[])) AS head_tokens
-    FROM documents d LEFT JOIN ag a ON d.doc_id = a.doc_id
-    ORDER BY d.doc_id"""
-  }
-
-  private val bpePairsOracle = """
-    WITH words AS (
-      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents),
-    wf AS (SELECT w, count(*) AS f FROM words GROUP BY w),
-    pairs AS (
-      SELECT substring(w, i, 2) AS pair, f
-      FROM wf, unnest(range(1, length(w))) AS t(i)
-      WHERE length(w) >= 2)
-    SELECT pair, sum(f)::BIGINT AS cnt FROM pairs GROUP BY pair
-    ORDER BY cnt DESC, pair ASC LIMIT 20"""
-
-  // ------------------------------------ temperature mixture audit (q148)
-
-  /** α-temperature source re-weighting (the GPT-3/multilingual mixture
-    * rule): target sampling mass ∝ n_s^α (α=0.7), realized as per-source
-    * inclusion rates against a total budget of half the corpus, capped
-    * at 1; selection is the q55/q89 content-stable md5-bucket predicate
-    * (no rand()/seed state — re-runs and backfills select identical
-    * docs). Output: per-source corpus count, target keep rate, selected
-    * count. Shape: two tiny aggregates (sources ≈ dozens) + ONE corpus
-    * scan with the rate table broadcast — map-side selection, one
-    * partial/final count agg. */
-  private val mixtureAlpha = 0.7
-  private val temperatureMixtureSql = s"""
-    WITH src AS (SELECT source, cast(count(1) AS double) AS n FROM documents GROUP BY source),
-    tot AS (SELECT sum(pow(n, $mixtureAlpha)) AS z, sum(n) AS nn FROM src),
-    rates AS (SELECT source, n,
-                     least(1.0, 0.5 * tot.nn * pow(n, $mixtureAlpha) / tot.z / n) AS keep
-              FROM src CROSS JOIN tot),
-    sel AS (SELECT d.source,
-                   count(1) AS n_docs,
-                   count(1) FILTER (WHERE
-                     cast(conv(substr(md5(d.text), 1, 8), 16, 10) AS bigint) % 1000000
-                       / 1000000.0 < r.keep) AS n_sel
-            FROM documents d JOIN rates r ON d.source = r.source
-            GROUP BY d.source)
-    SELECT s.source, s.n_docs, round(r.keep, 6) AS keep_rate, s.n_sel
-    FROM sel s JOIN rates r ON s.source = r.source
-    ORDER BY s.source"""
-
-  private val temperatureMixtureOracle = s"""
-    WITH src AS (SELECT source, count(1)::DOUBLE AS n FROM documents GROUP BY source),
-    tot AS (SELECT sum(pow(n, $mixtureAlpha)) AS z, sum(n) AS nn FROM src),
-    rates AS (SELECT source, n,
-                     least(1.0, 0.5 * tot.nn * pow(n, $mixtureAlpha) / tot.z / n) AS keep
-              FROM src CROSS JOIN tot),
-    sel AS (SELECT d.source,
-                   count(1) AS n_docs,
-                   count(1) FILTER (
-                     ('0x' || substr(md5(d.text), 1, 8))::BIGINT % 1000000
-                       / 1000000.0 < r.keep) AS n_sel
-            FROM documents d JOIN rates r ON d.source = r.source
-            GROUP BY d.source)
-    SELECT s.source, s.n_docs, round(r.keep, 6) AS keep_rate, s.n_sel
-    FROM sel s JOIN rates r ON s.source = r.source
-    ORDER BY s.source"""
-
-  // ----------------------------------------- quality classifier (q144)
-
-  /** Distributed logistic-regression quality classifier (the GPT-3/
-    * CCNet-style learned quality filter): hashed bag-of-unigram features
-    * (64 md5 buckets, tf-normalized), label = (lang == 'en'), full-batch
-    * gradient descent, 3 rounds, lr 0.5. Returns the trained weight per
-    * bucket plus the intercept (bucket −1), rounded 6dp.
-    *
-    * Scale design (the KMeans loop playbook):
-    *  - The tf table (doc, bucket, x) aggregates once and persists; the
-    *    Zipf token head absorbs map-side in that one partial/final agg.
-    *  - Per round the model is 64 doubles — broadcast as a LITERAL array
-    *    into the scoring projection (no join against a weights table);
-    *    scoring is ONE hash agg by doc over the persisted tf rows, and
-    *    the gradient is ONE hash agg by bucket after a doc-keyed join
-    *    whose both sides share the same key.
-    *  - The driver sees 64+1 gradient scalars per round (codebook
-    *    pattern) — never row data.
-    *
-    * Oracle: the 3 GD rounds unroll as DuckDB CTEs over the identical
-    * md5-bucket tf table (the q98 merge-round playbook). */
-  private val ClsBuckets = 64
-  private val ClsLr = 0.5
-  private val ClsRounds = 3
-
-  private def qualityClassifierQuery(s0: SparkSession, dir: String): DataFrame = {
-    val s = docs(s0, dir)
-    val fx = s.sql(s"""
-      WITH tok AS (
-        SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
-               cast(conv(substr(md5(tok), 1, 8), 16, 10) AS bigint) % $ClsBuckets AS b
-        FROM (SELECT doc_id, lang, explode(split(lower(text), ' ')) AS tok FROM documents)
-        WHERE tok != ''),
-      feat AS (SELECT doc_id, y, b, cast(count(1) AS double) AS c FROM tok GROUP BY 1, 2, 3),
-      ntok AS (SELECT doc_id, sum(c) AS n FROM feat GROUP BY 1)
-      SELECT f.doc_id, f.y, f.b, f.c / t.n AS x
-      FROM feat f JOIN ntok t ON f.doc_id = t.doc_id""")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val nDocs = fx.select(countDistinct(col("doc_id"))).head.getLong(0).toDouble
-      val w = Array.fill(ClsBuckets)(0.0)
-      var b0 = 0.0
-      for (_ <- 1 to ClsRounds) {
-        val wArr = array(w.map(lit).toIndexedSeq: _*)
-        val err = fx.groupBy(col("doc_id"))
-          .agg(max(col("y")).as("y"),
-            sum(col("x") * element_at(wArr, col("b").cast("int") + 1)).as("dot"))
-          .select(col("doc_id"),
-            (lit(1.0) / (lit(1.0) + exp(-(col("dot") + lit(b0)))) - col("y")).as("err"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val gRows = fx.join(err, "doc_id")
-          .groupBy(col("b")).agg(sum(col("err") * col("x")).as("g"))
-          .collect()
-        val g0 = err.agg(avg(col("err"))).head.getDouble(0)
-        err.unpersist(blocking = false)
-        gRows.foreach(r => w(r.getLong(0).toInt) -= ClsLr * r.getDouble(1) / nDocs)
-        b0 -= ClsLr * g0
-      }
-      import s.implicits._
-      (w.toIndexedSeq.zipWithIndex.map { case (wv, b) => (b.toLong, wv) } :+ (-1L, b0))
-        .toDF("b", "w")
-        .select(col("b"), round(col("w"), 6).as("w"))
-        .orderBy(col("b"))
-    } finally fx.unpersist(blocking = false)
-  }
-
-  private def clsRoundSql(r: Int): String = {
-    val prevW = if (r == 1) "w0" else s"w${r - 1}"
-    val prevB = if (r == 1) "bi0" else s"bi${r - 1}"
-    s"""
-    s$r AS (SELECT f.doc_id, max(f.y) AS y, sum(f.x * p.w) AS dot
-            FROM fx f JOIN $prevW p ON p.b = f.b GROUP BY f.doc_id),
-    e$r AS (SELECT doc_id, 1 / (1 + exp(-(dot + (SELECT b0 FROM $prevB)))) - y AS err FROM s$r),
-    g$r AS (SELECT f.b, sum(e.err * f.x) / (SELECT nd FROM nd) AS g
-            FROM fx f JOIN e$r e ON e.doc_id = f.doc_id GROUP BY f.b),
-    w$r AS (SELECT p.b, p.w - $ClsLr * coalesce(g$r.g, 0) AS w
-            FROM $prevW p LEFT JOIN g$r ON g$r.b = p.b),
-    bi$r AS (SELECT (SELECT b0 FROM $prevB) - $ClsLr * avg(err) AS b0 FROM e$r)"""
-  }
-
-  private def qualityClassifierOracle: String = s"""
-    WITH tok AS (
-      SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
-             ('0x' || substr(md5(tok), 1, 8))::BIGINT % $ClsBuckets AS b
-      FROM (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok FROM documents)
-      WHERE tok != ''),
-    feat AS (SELECT doc_id, y, b, count(1)::DOUBLE AS c FROM tok GROUP BY 1, 2, 3),
-    ntok AS (SELECT doc_id, sum(c) AS n FROM feat GROUP BY 1),
-    fx AS (SELECT f.doc_id, f.y, f.b, f.c / t.n AS x
-           FROM feat f JOIN ntok t ON f.doc_id = t.doc_id),
-    nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS nd FROM fx),
-    w0 AS (SELECT CAST(range AS BIGINT) AS b, 0.0 AS w FROM range($ClsBuckets)),
-    bi0 AS (SELECT 0.0 AS b0),
-    ${(1 to ClsRounds).map(clsRoundSql).mkString(",")}
-    SELECT b, round(w, 6) AS w FROM w$ClsRounds
-    UNION ALL
-    SELECT -1, round(b0, 6) FROM bi$ClsRounds
-    ORDER BY b"""
-
-  // ------------------------------------------ PCA power iteration (q145)
-
-  /** Distributed PCA of the embedding corpus — top principal component
-    * via MATRIX-FREE power iteration: the 64×64 covariance is never
-    * materialized; each round applies C·v = Σ (x−μ)((x−μ)·v)/(n−1) with
-    * one map-side dot product (sequential fold, fixed IEEE order) and
-    * ONE hash aggregate on the dimension index (64 groups). v₀ =
-    * 1/√64 · 1⃗, 3 rounds, output the component loading per dim plus the
-    * eigenvalue estimate λ = ‖s‖/(n−1) (row −1), rounded 6dp.
-    *
-    * Scale: the centered table persists once; each round's driver
-    * traffic is 64 doubles (broadcast back as a literal array — the
-    * KMeans codebook pattern). At 100 TB this is one scan per round
-    * with a 64-row shuffle — the optimal distributed PCA shape when
-    * d is small; the oracle unrolls the same rounds as DuckDB CTEs. */
-  private val PcaRounds = 3
-
-  private def pcaPowerQuery(s0: SparkSession, dir: String): DataFrame = {
-    val s = embs(s0, dir)
-    val dim = 64
-    val e = s.sql("SELECT vec_id, cast(embedding AS array<double>) AS emb FROM embeddings")
-    // mean vector: 64 scalars to the driver (codebook pattern), broadcast
-    // back as a literal array — subqueries can't appear inside zip_with
-    val muRows = e.select(posexplode(col("emb")).as(Seq("pos", "v")))
-      .groupBy(col("pos")).agg(avg(col("v")).as("m")).collect()
-    val mu = Array.fill(dim)(0.0)
-    muRows.foreach(r => mu(r.getInt(0)) = r.getDouble(1))
-    val muArr = array(mu.map(lit).toIndexedSeq: _*)
-    val cent = e.select(col("vec_id"), zip_with(col("emb"), muArr, (x, m) => x - m).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val n = cent.count().toDouble
-      var v = Array.fill(dim)(1.0 / math.sqrt(dim))
-      var sNorm = 0.0
-      for (_ <- 1 to PcaRounds) {
-        val vArr = array(v.map(lit).toIndexedSeq: _*)
-        val withDot = cent.withColumn("dot",
-          expr_dot(col("c"), vArr))
-        val sRows = withDot
-          .select(posexplode(col("c")).as(Seq("pos", "cv")), col("dot"))
-          .groupBy(col("pos")).agg(sum(col("cv") * col("dot")).as("s"))
-          .collect()
-        val sVec = Array.fill(dim)(0.0)
-        sRows.foreach(r => sVec(r.getInt(0)) = r.getDouble(1))
-        sNorm = math.sqrt(sVec.map(x => x * x).sum)
-        v = sVec.map(_ / sNorm)
-      }
-      val lambda = sNorm / (n - 1)
-      import s.implicits._
-      (v.toIndexedSeq.zipWithIndex.map { case (lv, d) => (d.toLong, lv) } :+ (-1L, lambda))
-        .toDF("dim", "loading")
-        .select(col("dim"), round(col("loading"), 6).as("loading"))
-        .orderBy(col("dim"))
-    } finally cent.unpersist(blocking = false)
-  }
-
-  /** Sequential-fold dot product of an array column against a literal
-    * array — fixed IEEE order, matching the oracle's list_reduce. */
-  private def expr_dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  /** Power-iterate C·v over a persisted centered table (`c` column):
-    * per round one map-side fold dot + ONE 64-group hash agg; 64
-    * doubles to/from the driver (codebook pattern). Returns (v, ‖s‖). */
-  private def powerIterate(cent: DataFrame, dim: Int, rounds: Int): (Array[Double], Double) = {
-    var v = Array.fill(dim)(1.0 / math.sqrt(dim))
-    var sNorm = 0.0
-    for (_ <- 1 to rounds) {
-      val vArr = array(v.map(lit).toIndexedSeq: _*)
-      val sRows = cent.withColumn("dot", expr_dot(col("c"), vArr))
-        .select(posexplode(col("c")).as(Seq("pos", "cv")), col("dot"))
-        .groupBy(col("pos")).agg(sum(col("cv") * col("dot")).as("s"))
-        .collect()
-      val sVec = Array.fill(dim)(0.0)
-      sRows.foreach(r => sVec(r.getInt(0)) = r.getDouble(1))
-      sNorm = math.sqrt(sVec.map(x => x * x).sum)
-      v = sVec.map(_ / sNorm)
-    }
-    (v, sNorm)
-  }
-
-  /** q194 — top-2 PCA by power iteration + DEFLATION (Hotelling): PC1
-    * as in q145, then the rank-one deflated table c₂ = c − (c·v₁)v₁
-    * (computed map-side against the broadcast-literal v₁ — the
-    * covariance is still never materialized) and a second power
-    * iteration on it. Completes the PCA surface from one component to
-    * a top-k scheme: each extra component costs `rounds` more scans of
-    * the SAME persisted centered table, nothing quadratic anywhere.
-    * Output: (comp, dim, loading) with the eigenvalue at dim = −1 and
-    * the v₁·v₂ orthogonality check at comp 0 / dim −2 (≈ 0 pinned to
-    * 6dp). Oracle unrolls both iterations + the deflation as CTEs. */
-  private def pcaTop2Query(s0: SparkSession, dir: String): DataFrame = {
-    val s = embs(s0, dir)
-    val dim = 64
-    val e = s.sql("SELECT vec_id, cast(embedding AS array<double>) AS emb FROM embeddings")
-    val muRows = e.select(posexplode(col("emb")).as(Seq("pos", "v")))
-      .groupBy(col("pos")).agg(avg(col("v")).as("m")).collect()
-    val mu = Array.fill(dim)(0.0)
-    muRows.foreach(r => mu(r.getInt(0)) = r.getDouble(1))
-    val muArr = array(mu.map(lit).toIndexedSeq: _*)
-    val cent = e.select(col("vec_id"), zip_with(col("emb"), muArr, (x, m) => x - m).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val n = cent.count().toDouble
-      val (v1, s1) = powerIterate(cent, dim, PcaRounds)
-      val v1Arr = array(v1.map(lit).toIndexedSeq: _*)
-      val cent2 = cent.withColumn("dot", expr_dot(col("c"), v1Arr))
-        .select(col("vec_id"),
-          zip_with(col("c"), v1Arr, (x, vv) => x - col("dot") * vv).as("c"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val (v2, s2) = powerIterate(cent2, dim, PcaRounds)
-        val cross = v1.zip(v2).map { case (a, b) => a * b }.sum
-        import s.implicits._
-        val rows =
-          v1.toIndexedSeq.zipWithIndex.map { case (lv, d) => (1L, d.toLong, lv) } ++
-          Seq((1L, -1L, s1 / (n - 1))) ++
-          v2.toIndexedSeq.zipWithIndex.map { case (lv, d) => (2L, d.toLong, lv) } ++
-          Seq((2L, -1L, s2 / (n - 1)), (0L, -2L, cross))
-        rows.toDF("comp", "dim", "loading")
-          // + 0.0 canonicalizes IEEE −0.0 (the orthogonality row rounds
-          // to signed zero on one engine and not the other)
-          .select(col("comp"), col("dim"),
-            (round(col("loading"), 6) + lit(0.0)).as("loading"))
-          .orderBy(col("comp"), col("dim"))
-      } finally cent2.unpersist(blocking = false)
-    } finally cent.unpersist(blocking = false)
-  }
-
-  private def pca2RoundSql(tbl: String, pfx: String, r: Int): String = {
-    val prevV = s"$pfx${r - 1}"
-    // MATERIALIZED: without it DuckDB inlines the CTE chain and the
-    // 6-round double-component tree re-evaluates `cent` exponentially
-    s"""
-    ${pfx}r$r AS MATERIALIZED (SELECT c.vec_id, sum(c.c * p.v) AS dot
-            FROM $tbl c JOIN $prevV p ON p.i = c.i GROUP BY c.vec_id),
-    ${pfx}s$r AS MATERIALIZED (SELECT c.i, sum(c.c * d.dot) AS s
-            FROM $tbl c JOIN ${pfx}r$r d ON d.vec_id = c.vec_id GROUP BY c.i),
-    ${pfx}n$r AS MATERIALIZED (SELECT sqrt(sum(s * s)) AS nrm FROM ${pfx}s$r),
-    $pfx$r AS MATERIALIZED (SELECT i, s / (SELECT nrm FROM ${pfx}n$r) AS v FROM ${pfx}s$r)"""
-  }
-
-  private def pcaTop2Oracle: String = s"""
-    WITH expl AS (
-      SELECT vec_id, i::BIGINT AS i, embedding[i + 1]::DOUBLE AS x
-      FROM embeddings, unnest(range(len(embedding))) AS t(i)),
-    mu AS (SELECT i, avg(x) AS m FROM expl GROUP BY i),
-    cent AS MATERIALIZED (SELECT e.vec_id, e.i, e.x - mu.m AS c FROM expl e JOIN mu ON mu.i = e.i),
-    nrows AS (SELECT count(DISTINCT vec_id)::DOUBLE AS n FROM cent),
-    a0 AS (SELECT CAST(range AS BIGINT) AS i, 1.0 / sqrt(64) AS v FROM range(64)),
-    ${(1 to PcaRounds).map(pca2RoundSql("cent", "a", _)).mkString(",")},
-    d1 AS MATERIALIZED (SELECT c.vec_id, sum(c.c * p.v) AS dot
-           FROM cent c JOIN a$PcaRounds p ON p.i = c.i GROUP BY c.vec_id),
-    cent2 AS MATERIALIZED (SELECT c.vec_id, c.i, c.c - d1.dot * p.v AS c
-              FROM cent c JOIN d1 ON d1.vec_id = c.vec_id
-              JOIN a$PcaRounds p ON p.i = c.i),
-    b0 AS (SELECT CAST(range AS BIGINT) AS i, 1.0 / sqrt(64) AS v FROM range(64)),
-    ${(1 to PcaRounds).map(pca2RoundSql("cent2", "b", _)).mkString(",")}
-    SELECT comp, dim, round(loading, 6) + 0.0 AS loading FROM (
-      SELECT CAST(1 AS BIGINT) AS comp, i AS dim, v AS loading FROM a$PcaRounds
-      UNION ALL
-      SELECT 1, -1, (SELECT nrm FROM an$PcaRounds) / ((SELECT n FROM nrows) - 1)
-      UNION ALL
-      SELECT 2, i, v FROM b$PcaRounds
-      UNION ALL
-      SELECT 2, -1, (SELECT nrm FROM bn$PcaRounds) / ((SELECT n FROM nrows) - 1)
-      UNION ALL
-      SELECT 0, -2, (SELECT sum(a.v * b.v) FROM a$PcaRounds a JOIN b$PcaRounds b ON a.i = b.i))
-    ORDER BY comp, dim"""
-
-  private def pcaRoundSql(r: Int): String = {
-    val prevV = s"v${r - 1}"
-    s"""
-    r$r AS (SELECT c.vec_id, sum(c.c * p.v) AS dot
-            FROM cent c JOIN $prevV p ON p.i = c.i GROUP BY c.vec_id),
-    s$r AS (SELECT c.i, sum(c.c * d.dot) AS s
-            FROM cent c JOIN r$r d ON d.vec_id = c.vec_id GROUP BY c.i),
-    n$r AS (SELECT sqrt(sum(s * s)) AS nrm FROM s$r),
-    v$r AS (SELECT i, s / (SELECT nrm FROM n$r) AS v FROM s$r)"""
-  }
-
-  private def pcaOracle: String = s"""
-    WITH expl AS (
-      SELECT vec_id, i::BIGINT AS i, embedding[i + 1]::DOUBLE AS x
-      FROM embeddings, unnest(range(len(embedding))) AS t(i)),
-    mu AS (SELECT i, avg(x) AS m FROM expl GROUP BY i),
-    cent AS (SELECT e.vec_id, e.i, e.x - mu.m AS c FROM expl e JOIN mu ON mu.i = e.i),
-    nrows AS (SELECT count(DISTINCT vec_id)::DOUBLE AS n FROM cent),
-    v0 AS (SELECT CAST(range AS BIGINT) AS i, 1.0 / sqrt(64) AS v FROM range(64)),
-    ${(1 to PcaRounds).map(pcaRoundSql).mkString(",")}
-    SELECT i AS dim, round(v, 6) AS loading FROM v$PcaRounds
-    UNION ALL
-    SELECT -1, round((SELECT nrm FROM n$PcaRounds) / ((SELECT n FROM nrows) - 1), 6)
-    ORDER BY dim"""
+object LlmQueries extends QueryModule
+    with LlmDedupQueries with LlmAnnQueries with LlmTextQueries
+    with LlmTokenizerQueries with LlmIterativeQueries {
 
   // ------------------------------------------------------------ wiring
 
