@@ -1755,6 +1755,68 @@ object KqlCompiler {
                 col("__fs_prev").as("prev"), col("__fs_next").as("next"))
               .agg(count(lit(1)).as("count_sequences"),
                 countDistinct(col(idCol)).as("dcount_ids"))
+          case "funnel_sequence_completion" =>
+            // funnel_sequence_completion(IdCol, TimelineCol, Start, End,
+            // BinSize, StateCol, dynamic(['s1', …, 'sk']),
+            // dynamic([p1, …, pm])) — Kusto's period-compared completion
+            // funnel: per id, the greedy-earliest completion times
+            // t1..tk of the state sequence (step i strictly after step
+            // i−1, all events inside [Start, End] inclusive — the same
+            // range rule as funnel_sequence); then for each max-period
+            // p_j and each BinSize bin of t1, the number of ids whose
+            // prefix 1..i completed within p_j of the sequence start
+            // (t_i − t1 ≤ p_j). Output: `period` (pinned to the
+            // timespan's MICROSECONDS as long — this engine's timespan
+            // carrier), the binned TimelineCol, and one long count
+            // column per step named by its state; columns form a
+            // non-increasing funnel left to right. Scale shape:
+            // ops.Funnel.earliest is ONE hash shuffle on the id (the
+            // chained per-step window minima share that partitioning);
+            // the per-id t-table (≤ 1 row per funnel entrant) explodes
+            // over the ≤16-element period literal axis and aggregates
+            // once on (period, bin) — fan-out m, never data².
+            val idCol = ident(); expect(",")
+            val tsCol = ident(); expect(",")
+            val startI = pluginDatetime(); expect(",")
+            val endI = pluginDatetime(); expect(",")
+            val binUs = timespanMicros(); expect(",")
+            val stCol = ident(); expect(",")
+            if (ident() != "dynamic")
+              throw new KqlParseException("funnel_sequence_completion: sequence must be a dynamic(['…']) literal")
+            expect("("); expect("[")
+            val seq = sepBy1(() => {
+              val t = next()
+              if (t.kind != "str")
+                throw new KqlParseException("funnel_sequence_completion: sequence elements must be string literals")
+              t.text
+            })
+            expect("]"); expect(")"); expect(",")
+            if (ident() != "dynamic")
+              throw new KqlParseException("funnel_sequence_completion: periods must be a dynamic([…]) literal of timespans")
+            expect("("); expect("[")
+            val periods = sepBy1(() => timespanMicros())
+            expect("]"); expect(")"); expect(")")
+            if (seq.isEmpty || seq.length > 16)
+              throw new KqlParseException("funnel_sequence_completion: sequence must have 1..16 steps")
+            if (seq.distinct.length != seq.length)
+              throw new KqlParseException("funnel_sequence_completion: sequence states must be distinct (they name output columns)")
+            if (periods.isEmpty || periods.length > 16 || periods.exists(_ <= 0))
+              throw new KqlParseException("funnel_sequence_completion: 1..16 positive periods required")
+            if (binUs <= 0)
+              throw new KqlParseException("funnel_sequence_completion: bin size must be positive")
+            val startUs = startI.getEpochSecond * 1000000L + startI.getNano / 1000L
+            val endUs = endI.getEpochSecond * 1000000L + endI.getNano / 1000L
+            val inRange = df.where(unix_micros(col(tsCol)).between(startUs, endUs))
+            val t = graft.ops.Funnel.earliest(inRange, col(idCol), col(tsCol), col(stCol), seq)
+            val aggs = seq.zipWithIndex.map { case (s, i) =>
+              count(when(col(s"t${i + 1}").isNotNull &&
+                (unix_micros(col(s"t${i + 1}")) - unix_micros(col("t1"))) <= col("__fc_p"), 1)).as(s)
+            }
+            t.withColumn("__fc_p", explode(array(periods.map(lit(_)): _*)))
+              .groupBy(col("__fc_p").as("period"),
+                timestamp_micros(floor(unix_micros(col("t1")) / lit(binUs.toDouble))
+                  .cast("long") * lit(binUs)).as(tsCol))
+              .agg(aggs.head, aggs.tail: _*)
           case "active_users_count" =>
             // active_users_count(IdCol, TimelineCol, Start, End,
             // LookbackWindow, Period, ActivePeriodsCount, Bin) —

@@ -1569,6 +1569,19 @@ object KqlQueries extends QueryModule {
           | | order by event_type asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // funnel_sequence_completion (round 14): the period-compared
+    // completion funnel — per user the greedy-earliest view→click→
+    // purchase completion times, counted per (max-period, 7d bin of
+    // the sequence start) with one cumulative column per step. Oracle
+    // rebuilds the chained earliest times with per-step LEFT-JOIN
+    // minima at data scale.
+    "q219_kql_text_funnel_completion" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | evaluate funnel_sequence_completion(user_id, ts, datetime(2024-01-01), datetime(2025-01-01), 7d, event_type, dynamic(['view', 'click', 'purchase']), dynamic([1h, 1d, 30d]))
+          | | order by period asc, ts asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // geo_geohash_to_central_point (round 14): geohash decode to the
     // GeoJSON cell center. Gated by EXACT round-trip (the center
     // re-encodes to the same hash), half-cell-width distance bounds,
@@ -2214,6 +2227,28 @@ object KqlQueries extends QueryModule {
                 round(sum(CASE WHEN event_type = 'error' THEN value END), 6) AS error,
                 round(sum(CASE WHEN event_type = 'view' THEN value END), 6) AS view
          FROM base GROUP BY b ORDER BY b""",
+
+    "q219_kql_text_funnel_completion" ->
+      """WITH ev AS (SELECT user_id, ts, event_type FROM events
+                     WHERE ts >= TIMESTAMP '2024-01-01' AND ts <= TIMESTAMP '2025-01-01'),
+         e1 AS (SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),
+         e2 AS (SELECT e1.user_id, e1.t1, min(ev.ts) AS t2
+                FROM e1 LEFT JOIN ev ON ev.user_id = e1.user_id
+                     AND ev.event_type = 'click' AND ev.ts > e1.t1
+                GROUP BY 1, 2),
+         e3 AS (SELECT e2.user_id, e2.t1, e2.t2, min(ev.ts) AS t3
+                FROM e2 LEFT JOIN ev ON ev.user_id = e2.user_id
+                     AND ev.event_type = 'purchase' AND ev.ts > e2.t2
+                GROUP BY 1, 2, 3),
+         x AS (SELECT CAST(p.period AS BIGINT) AS period,
+                      make_timestamp(epoch_us(t1) // 604800000000 * 604800000000) AS ts,
+                      t1, t2, t3
+               FROM e3 CROSS JOIN (VALUES (3600000000), (86400000000), (2592000000000)) AS p(period))
+         SELECT period, ts,
+                count(*) AS "view",
+                count(CASE WHEN t2 IS NOT NULL AND epoch_us(t2) - epoch_us(t1) <= period THEN 1 END) AS click,
+                count(CASE WHEN t3 IS NOT NULL AND epoch_us(t3) - epoch_us(t1) <= period THEN 1 END) AS purchase
+         FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q218_kql_text_geohash_decode" ->
       """SELECT event_id, TRUE AS ok_lon, TRUE AS ok_lat, TRUE AS ok_rt,

@@ -2057,6 +2057,37 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(("01", "a", "b", 1L, 1L)))
   }
 
+  test("funnel_sequence_completion: per-period cumulative funnel, greedy-earliest anchor") {
+    val m = runG2(
+      """let T = datatable(id: long, ts: datetime, st: string)[
+        |  1, datetime(2024-01-01T00:00:00), 'view',
+        |  1, datetime(2024-01-01T00:30:00), 'click',
+        |  1, datetime(2024-01-02T06:00:00), 'buy',
+        |  2, datetime(2024-01-01T10:00:00), 'view',
+        |  2, datetime(2024-01-01T10:20:00), 'click',
+        |  2, datetime(2024-01-01T10:40:00), 'buy',
+        |  3, datetime(2024-01-09T00:00:00), 'view',
+        |  4, datetime(2024-01-01T00:00:00), 'click'];
+        | T | evaluate funnel_sequence_completion(id, ts, datetime(2024-01-01), datetime(2024-02-01), 7d, st, dynamic(['view', 'click', 'buy']), dynamic([1h, 2d]))
+        | | order by period asc, ts asc""".stripMargin).collect()
+    // Bins: ids 1,2 anchor in the 2024-01-01 week; id 3 in the next; id 4 never enters.
+    // 1h period: id1 completes view+click in 30m (buy at +30h misses); id2 all three in 40m.
+    // 2d period: both complete everything; id 3 is view-only in its bin.
+    val rows = m.map(r => (r.getLong(0), r.getTimestamp(1).toString.take(10),
+      r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(rows == Seq(
+      (3600000000L, "2023-12-28", 2L, 2L, 1L),
+      (3600000000L, "2024-01-04", 1L, 0L, 0L),
+      (172800000000L, "2023-12-28", 2L, 2L, 2L),
+      (172800000000L, "2024-01-04", 1L, 0L, 0L)))
+    val e1 = intercept[KqlParseException](runG2(
+      "events | evaluate funnel_sequence_completion(user_id, ts, datetime(2024-01-01), datetime(2024-02-01), 7d, event_type, dynamic(['a', 'a']), dynamic([1h]))"))
+    assert(e1.getMessage.contains("distinct"))
+    val e2 = intercept[KqlParseException](runG2(
+      "events | evaluate funnel_sequence_completion(user_id, ts, datetime(2024-01-01), datetime(2024-02-01), 7d, event_type, dynamic(['a']), dynamic([-1h]))"))
+    assert(e2.getMessage.contains("positive"))
+  }
+
   test("property-bag mutators are type-preserving; extract_json probes paths") {
     val r = run(
       """t | where id == 1
