@@ -3767,6 +3767,48 @@ object KqlCompiler {
       lit(2.0 * 6371009.0) * asin(sqrt(a))
     }
 
+    /** GeoJSON helpers for the ring-2 geo scalars (geo_line_length,
+      * geo_polygon_perimeter, geo_polygon_area, geo_point_in_polygon).
+      * Shapes parse from the dynamic's JSON text (one codegen'd
+      * from_json in the scan projection — map-only); a polygon ring is
+      * traversed CLOSED by appending its first vertex, a no-op
+      * zero-length/zero-area segment when the ring is already closed
+      * per the GeoJSON spec. Malformed JSON / wrong `type` / truncated
+      * vertices → null (from_json null + type guard + try_element_at).
+      * Spherical determinizations are pinned to the IUGG mean radius
+      * 6371009 m: lengths/perimeters are per-segment haversine sums;
+      * area uses the Chamberlain–Duquette spherical-excess
+      * approximation (the Turf.js ringArea formula), holes subtracted;
+      * point-in-polygon is the planar even-odd ray cast over ALL rings
+      * in lon/lat coordinates (a point inside a hole crosses an odd+
+      * even total). Kusto evaluates these on the WGS84 spheroid — the
+      * same documented <0.5% deviation stance as geo_distance_2points. */
+    private val GeoR2Half = 20294877839040.5 // 6371009^2 / 2
+    private def geoShape(c: Column, coordsDdl: String): Column =
+      from_json(c.cast("string"), org.apache.spark.sql.types.StructType.fromDDL(
+        s"type STRING, coordinates $coordsDdl"))
+    private def geoPt(p: Column, i: Int): Column = try_element_at(p, lit(i))
+    /** Per-segment map over a CLOSED traversal of `ring`. */
+    private def geoRingSegs(ring: Column, f: (Column, Column) => Column): Column = {
+      val cl = concat(ring, slice(ring, 1, 1))
+      zip_with(slice(cl, lit(1), size(cl) - 1), slice(cl, lit(2), size(cl) - 1), f)
+    }
+    private def geoRingLenM(ring: Column): Column =
+      aggregate(geoRingSegs(ring, (a, b) =>
+        haversineM(geoPt(a, 1), geoPt(a, 2), geoPt(b, 1), geoPt(b, 2))),
+        lit(0.0), (acc, x) => acc + x)
+    private def geoRingAreaAbs(ring: Column): Column =
+      abs(aggregate(geoRingSegs(ring, (a, b) =>
+        radians(geoPt(b, 1) - geoPt(a, 1)) *
+          (lit(2.0) + sin(radians(geoPt(a, 2))) + sin(radians(geoPt(b, 2))))),
+        lit(0.0), (acc, x) => acc + x)) * lit(GeoR2Half)
+    private def geoRingCrossings(ring: Column, px: Column, py: Column): Column =
+      aggregate(geoRingSegs(ring, (a, b) => {
+        val (x1, y1, x2, y2) = (geoPt(a, 1), geoPt(a, 2), geoPt(b, 1), geoPt(b, 2))
+        when(((y1 > py) =!= (y2 > py)) &&
+          (px < (x2 - x1) * (py - y1) / (y2 - y1) + x1), lit(1L)).otherwise(lit(0L))
+      }), lit(0L), (acc, x) => acc + x)
+
     private val GeohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
 
     /** Standard geohash at compile-time `prec`: lon gets ceil(5p/2)
@@ -5422,6 +5464,41 @@ object KqlCompiler {
           haversineM(args(0)(df), args(1)(df), args(2)(df), args(3)(df))
         case "geo_point_in_circle" => arity(5); df =>
           haversineM(args(0)(df), args(1)(df), args(2)(df), args(3)(df)) <= args(4)(df)
+        // ---- geo ring 2: GeoJSON shape scalars (see geoShape note) ----
+        case "geo_line_length" => arity(1); df => {
+          val g = geoShape(args.head(df), "ARRAY<ARRAY<DOUBLE>>")
+          val c = g.getField("coordinates")
+          when(g.getField("type") === "LineString" && size(c) >= 2,
+            aggregate(zip_with(slice(c, lit(1), size(c) - 1), slice(c, lit(2), size(c) - 1),
+              (a, b) => haversineM(geoPt(a, 1), geoPt(a, 2), geoPt(b, 1), geoPt(b, 2))),
+              lit(0.0), (acc, x) => acc + x))
+        }
+        case "geo_polygon_perimeter" => arity(1); df => {
+          val g = geoShape(args.head(df), "ARRAY<ARRAY<ARRAY<DOUBLE>>>")
+          val rs = g.getField("coordinates")
+          when(g.getField("type") === "Polygon" && size(rs) >= 1,
+            aggregate(rs, lit(0.0), (acc, ring) =>
+              acc + when(size(ring) >= 1, geoRingLenM(ring)).otherwise(lit(0.0))))
+        }
+        case "geo_polygon_area" => arity(1); df => {
+          // exterior − holes = 2·|ring₀| − Σ|ringᵢ| (one pass over rings)
+          val g = geoShape(args.head(df), "ARRAY<ARRAY<ARRAY<DOUBLE>>>")
+          val rs = g.getField("coordinates")
+          when(g.getField("type") === "Polygon" && size(rs) >= 1 && size(element_at(rs, 1)) >= 1,
+            lit(2.0) * geoRingAreaAbs(element_at(rs, 1)) -
+              aggregate(rs, lit(0.0), (acc, ring) =>
+                acc + when(size(ring) >= 1, geoRingAreaAbs(ring)).otherwise(lit(0.0))))
+        }
+        case "geo_point_in_polygon" => arity(3); df => {
+          val px = args(0)(df).cast("double"); val py = args(1)(df).cast("double")
+          val g = geoShape(args(2)(df), "ARRAY<ARRAY<ARRAY<DOUBLE>>>")
+          val rs = g.getField("coordinates")
+          when(g.getField("type") === "Polygon" && size(rs) >= 1 &&
+            px.isNotNull && py.isNotNull,
+            aggregate(rs, lit(0L), (acc, ring) =>
+              acc + when(size(ring) >= 1, geoRingCrossings(ring, px, py)).otherwise(lit(0L)))
+              % 2 === 1)
+        }
         // ---- scalar ring 8: ipv4 / version / url-structure family ----
         // parse_ipv4('a.b.c.d[/p]') → long (big-endian octets), masked
         // to the prefix when '/p' is present; null on malformed input.

@@ -1569,6 +1569,30 @@ object KqlQueries extends QueryModule {
           | | order by event_type asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // geo ring 2 (round 14): GeoJSON shape scalars. The polygon is a
+    // fixed rect-with-hole so DuckDB states point-in-polygon truth by
+    // INDEPENDENT range comparisons (points constructed at .5 offsets,
+    // never on edges); lengths/perimeter/area replicate the pinned
+    // haversine / Chamberlain–Duquette sums term by term in the same
+    // fold order (the q147 stance), area reported in km² so rounding
+    // sits far above ulp noise.
+    "q220_kql_text_geo2" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_id % 97 == 0
+          | | extend px = todouble(user_id % 80) - 40 + 0.5, py = todouble(event_id % 60) - 30 + 0.5
+          | | extend poly = '{"type":"Polygon","coordinates":[[[-20.0,-15.0],[25.0,-15.0],[25.0,18.0],[-20.0,18.0],[-20.0,-15.0]],[[0.0,0.0],[10.0,0.0],[10.0,8.0],[0.0,8.0],[0.0,0.0]]]}'
+          | | extend line = strcat('{"type":"LineString","coordinates":[[', tostring(px), ',', tostring(py), '],[', tostring(px), ',', tostring(py + 2.0), '],[', tostring(px + 3.0), ',', tostring(py + 2.0), ']]}')
+          | | extend inp = geo_point_in_polygon(px, py, poly),
+          |          llen = round(geo_line_length(line), 3),
+          |          per = round(geo_polygon_perimeter(poly), 3),
+          |          area = round(geo_polygon_area(poly) / 1000000.0, 3),
+          |          badp = isnull(geo_polygon_area('{"type":"Point","coordinates":[1.0,2.0]}')),
+          |          badl = isnull(geo_line_length('nope'))
+          | | project event_id, px, py, inp, llen, per, area, badp, badl
+          | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // funnel_sequence_completion (round 14): the period-compared
     // completion funnel — per user the greedy-earliest view→click→
     // purchase completion times, counted per (max-period, 7d bin of
@@ -1956,6 +1980,40 @@ object KqlQueries extends QueryModule {
       val v = (0 until 5).map(i => s"${bit(5 * k + i)} * ${1L << (4 - i)}").mkString(" + ")
       s"substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST($v AS INT) + 1, 1)"
     }.mkString(" || ")
+  }
+
+  /** geo ring 2 oracle: point-in-polygon truth from independent range
+    * comparisons on the fixed rect-with-hole; line/perimeter/area
+    * replicate the engine's haversine / Chamberlain–Duquette folds
+    * term by term (zero-valued closing/λ-constant terms omitted — IEEE
+    * x + 0.0 == x). Constants: C = 6371009²/2; area = 2·A1 − (A1+A2). */
+  private def geo2Oracle: String = {
+    val hav = (lonA: String, latA: String, lonB: String, latB: String) =>
+      s"""2 * 6371009 * asin(sqrt(
+            pow(sin(radians(($latB) - ($latA)) / 2), 2) +
+            cos(radians($latA)) * cos(radians($latB)) *
+            pow(sin(radians(($lonB) - ($lonA)) / 2), 2)))"""
+    val cd = (lonA: String, latA: String, lonB: String, latB: String) =>
+      s"""radians(($lonB) - ($lonA)) * (2.0 + sin(radians($latA)) + sin(radians($latB)))"""
+    val a1 = s"abs(${cd("-20", "-15", "25", "-15")} + ${cd("25", "18", "-20", "18")}) * 20294877839040.5"
+    val a2 = s"abs(${cd("0", "0", "10", "0")} + ${cd("10", "8", "0", "8")}) * 20294877839040.5"
+    val per = s"""(((${hav("-20", "-15", "25", "-15")} + ${hav("25", "-15", "25", "18")})
+                    + ${hav("25", "18", "-20", "18")}) + ${hav("-20", "18", "-20", "-15")})
+                + (((${hav("0", "0", "10", "0")} + ${hav("10", "0", "10", "8")})
+                    + ${hav("10", "8", "0", "8")}) + ${hav("0", "8", "0", "0")})"""
+    s"""WITH p AS (
+         SELECT event_id,
+                CAST(user_id % 80 AS DOUBLE) - 40 + 0.5 AS px,
+                CAST(event_id % 60 AS DOUBLE) - 30 + 0.5 AS py
+         FROM events WHERE event_id % 97 = 0)
+       SELECT event_id, px, py,
+              ((px > -20 AND px < 25 AND py > -15 AND py < 18)
+               AND NOT (px > 0 AND px < 10 AND py > 0 AND py < 8)) AS inp,
+              round(${hav("px", "py", "px", "py + 2")} + ${hav("px", "py + 2", "px + 3", "py + 2")}, 3) AS llen,
+              round($per, 3) AS per,
+              round((2 * ($a1) - (($a1) + ($a2))) / 1000000.0, 3) AS area,
+              TRUE AS badp, TRUE AS badl
+       FROM p ORDER BY event_id"""
   }
 
   private def geoOracle: String = {
@@ -3279,6 +3337,8 @@ object KqlQueries extends QueryModule {
          SELECT hops, count(1) AS n FROM md GROUP BY hops ORDER BY hops""",
 
     "q147_kql_text_geo" -> geoOracle,
+
+    "q220_kql_text_geo2" -> geo2Oracle,
 
     "q150_kql_text_binagg" -> s"""
       WITH base AS (SELECT event_type, trunc(value * 100)::BIGINT AS b FROM events),

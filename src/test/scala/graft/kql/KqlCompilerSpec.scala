@@ -1837,6 +1837,33 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.getString(15) == "-01:30")
   }
 
+  test("geo ring 2: point-in-polygon holes/edges, line length, perimeter, area") {
+    val sq = """'{"type":"Polygon","coordinates":[[[0.0,0.0],[10.0,0.0],[10.0,10.0],[0.0,10.0],[0.0,0.0]],[[4.0,4.0],[6.0,4.0],[6.0,6.0],[4.0,6.0],[4.0,4.0]]]}'"""
+    // unclosed ring: traversal closes it (same membership as the closed form)
+    val open = """'{"type":"Polygon","coordinates":[[[0.0,0.0],[10.0,0.0],[10.0,10.0],[0.0,10.0]]]}'"""
+    val r = run(
+      s"""t | where id == 1
+         | | project inside = geo_point_in_polygon(2.0, 2.0, $sq),
+         |           inHole = geo_point_in_polygon(5.0, 5.0, $sq),
+         |           outside = geo_point_in_polygon(11.0, 5.0, $sq),
+         |           openIn = geo_point_in_polygon(2.0, 2.0, $open),
+         |           openOut = geo_point_in_polygon(-1.0, 2.0, $open),
+         |           badPoly = geo_point_in_polygon(1.0, 1.0, '{"type":"Point","coordinates":[1.0,2.0]}'),
+         |           meridian = round(geo_line_length('{"type":"LineString","coordinates":[[7.0,10.0],[7.0,11.0]]}'), 1),
+         |           oneSeg = round(geo_polygon_perimeter('{"type":"Polygon","coordinates":[[[0.0,0.0],[0.0,1.0]]]}'), 1),
+         |           badLine = geo_line_length('[1,2]'),
+         |           areaPos = geo_polygon_area($sq) > 0,
+         |           holeShrinks = geo_polygon_area($sq) < geo_polygon_area($open)""".stripMargin)
+      .collect().head
+    assert(r.getBoolean(0)); assert(!r.getBoolean(1)); assert(!r.getBoolean(2))
+    assert(r.getBoolean(3)); assert(!r.getBoolean(4)); assert(r.isNullAt(5))
+    // 1° of meridian arc on the 6371009 m sphere = 111195.1 m
+    assert(r.getDouble(6) == 111195.1)
+    // 2-point "ring" closes: up 1° and back = two meridian degrees
+    assert(r.getDouble(7) == 222390.2)
+    assert(r.isNullAt(8)); assert(r.getBoolean(9)); assert(r.getBoolean(10))
+  }
+
   test("geo_geohash_to_central_point: canonical vector, round trip, malformed null") {
     val out = run(
       """t | where id == 1
