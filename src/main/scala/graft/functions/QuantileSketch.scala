@@ -163,6 +163,29 @@ object QuantileSketchOps {
     100.0 * (below + 0.5 * own) / total
   }
 
+  /** `rank_tdigest` read: the number of sketched values ≤ v (the
+    * "smaller-or-equal count" rank, pinned — Kusto's doc phrases rank
+    * relative to set membership; this engine returns the ≤-count as a
+    * long so the value is integral and oracle-comparable). Walks the
+    * same sign/zero/bucket cases as [[percentRank]] with own counted
+    * fully. Null on the empty sketch or NaN probe. */
+  def rankLe(b: Buf, v: Double): java.lang.Long = {
+    val total = b.zero + b.pos.valuesIterator.sum + b.neg.valuesIterator.sum
+    if (total == 0L || java.lang.Double.isNaN(v)) return null
+    var le = 0L
+    if (v <= -1e-300) {
+      val bi = bucket(-v)
+      b.neg.foreach { case (i, c) => if (i >= bi) le += c }
+    } else if (v < 1e-300) {
+      le = b.neg.valuesIterator.sum + b.zero
+    } else {
+      val bi = bucket(v)
+      le = b.neg.valuesIterator.sum + b.zero
+      b.pos.foreach { case (i, c) => if (i <= bi) le += c }
+    }
+    le
+  }
+
   def serialize(b: Buf): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val o = new java.io.DataOutputStream(bos)
@@ -266,6 +289,32 @@ case class PercentRankTdigest(left: Expression, right: Expression)
       s"percentrank_tdigest expects a sketch string, got ${left.dataType}")
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): PercentRankTdigest =
+    copy(left = l, right = r)
+}
+
+/** `rank_tdigest(sketch, v)` — the ≤-count rank read (see
+  * [[QuantileSketchOps.rankLe]]). */
+case class RankTdigest(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def nullSafeEval(sketch: Any, v: Any): Any = {
+    val b = QuantileSketchOps.fromJson(sketch.toString)
+    val vd = v match {
+      case d: Double => d
+      case i: Int => i.toDouble
+      case l: Long => l.toDouble
+      case other => other.toString.toDouble
+    }
+    QuantileSketchOps.rankLe(b, vd)
+  }
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (left.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"rank_tdigest expects a sketch string, got ${left.dataType}")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): RankTdigest =
     copy(left = l, right = r)
 }
 

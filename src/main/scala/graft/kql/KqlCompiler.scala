@@ -4622,6 +4622,34 @@ object KqlCompiler {
         val e = expr(); expect(")")
         return df => translate(e(df), search.text, repl.text)
       }
+      if (name == "estimate_data_size") {
+        // estimate_data_size(*) / estimate_data_size(c1, c2, …) —
+        // Kusto's payload-size estimator, pinned to the documented
+        // per-type sizes: int 4; long/real/datetime/timespan/date 8;
+        // bool 1; decimal 17; string and dynamic their UTF-8 BYTE
+        // length; null contributes 0. Codegen'd octet_length + literal
+        // adds in the scan projection — map-only.
+        val explicit: Option[List[ColB]] =
+          if (peekIs("*")) { expect("*"); expect(")"); None }
+          else { val a = sepBy1(() => expr()); expect(")"); Some(a) }
+        return df => {
+          import org.apache.spark.sql.types._
+          val cs: Seq[Column] =
+            explicit.map(_.map(_(df))).getOrElse(df.columns.toSeq.map(col(_)))
+          cs.map { c =>
+            val sz: Column = dataTypeOf(df, c) match {
+              case Some(IntegerType)               => lit(4)
+              case Some(BooleanType)               => lit(1)
+              case Some(_: DecimalType)            => lit(17)
+              case Some(LongType | DoubleType | FloatType |
+                        TimestampType | TimestampNTZType | DateType) => lit(8)
+              case Some(StringType)                => octet_length(c)
+              case _                               => octet_length(c.cast("string"))
+            }
+            when(c.isNull, lit(0)).otherwise(sz)
+          }.reduce(_ + _).cast("long")
+        }
+      }
       val args: List[ColB] =
         if (peekIs(")")) { expect(")"); Nil }
         else { val a = sepBy1(() => expr()); expect(")"); a }
@@ -5446,6 +5474,41 @@ object KqlCompiler {
             GraftColumnBridge.catalystExpression(args(0)(df).cast("string")),
             GraftColumnBridge.catalystExpression(args(1)(df).cast("double"))))
         }
+        // rank_tdigest(sketch, v) — the ≤-count rank read (long),
+        // QuantileSketchOps.rankLe pinned rule
+        case "rank_tdigest" => arity(2); df => {
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.RankTdigest(
+            GraftColumnBridge.catalystExpression(args(0)(df).cast("string")),
+            GraftColumnBridge.catalystExpression(args(1)(df).cast("double"))))
+        }
+        // array_iif(cond, t, f) — element-wise conditional: element i is
+        // t[i] when cond[i] casts true, else f[i]; null condition element
+        // → null; scalar t/f broadcast; an array branch shorter than the
+        // condition yields nulls (try_element_at). Branch types must
+        // unify (loud analysis error otherwise — this engine's typed
+        // stance on Kusto's dynamic). Codegen'd transform, map-only.
+        case "array_iif" | "array_iff" => arity(3); df => {
+          val c = args(0)(df)
+          def branch(a: Column): Column => Column =
+            dataTypeOf(df, a) match {
+              case Some(_: org.apache.spark.sql.types.ArrayType) =>
+                idx => try_element_at(a, idx + lit(1))
+              case _ => _ => a
+            }
+          val tb = branch(args(1)(df)); val fb = branch(args(2)(df))
+          transform(c, (ce, i) =>
+            when(ce.isNull, lit(null)).otherwise(
+              when(ce.cast("boolean"), tb(i)).otherwise(fb(i))))
+        }
+        // datetime_utc_to_local / datetime_local_to_utc — IANA zone
+        // conversion (Spark's from/to_utc_timestamp carries the tz
+        // database; null on unknown zones is Spark's loud-error side —
+        // zones are literal in practice)
+        case "datetime_utc_to_local" => arity(2); df =>
+          from_utc_timestamp(args(0)(df), args(1)(df))
+        case "datetime_local_to_utc" => arity(2); df =>
+          to_utc_timestamp(args(0)(df), args(1)(df))
         // percentrank_tdigest(sketch, v) — the inverse read: the value's
         // percentage rank (QuantileSketchOps.percentRank pinned rule)
         case "percentrank_tdigest" => arity(2); df => {

@@ -1569,6 +1569,37 @@ object KqlQueries extends QueryModule {
           | | order by event_type asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // scalar ring 14b (round 14): estimate_data_size (*-form and
+    // explicit columns, pinned per-type sizes), IANA zone conversion
+    // pair (DST-free zones so the round trip is unambiguous), and
+    // array_iif with scalar broadcast + short-branch nulls.
+    "q221_kql_text_scalar14b" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_id % 61 == 0
+          | | extend eds = estimate_data_size(*), eds2 = estimate_data_size(event_type, value)
+          | | extend lc = datetime_utc_to_local(ts, 'Asia/Kolkata'),
+          |          rt = datetime_local_to_utc(datetime_utc_to_local(ts, 'Asia/Tokyo'), 'Asia/Tokyo') == ts,
+          |          ai = tostring(array_iif(pack_array(1, 0, user_id % 2), pack_array(10, 20, 30), 0)),
+          |          ai2 = tostring(array_iif(pack_array(true, true), pack_array(7), 5))
+          | | project event_id, eds, eds2, lc, rt, ai, ai2
+          | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // rank_tdigest (round 14): the ≤-count sketch rank read. Probe
+    // values are powers of ten (well beyond bucket resolution), so the
+    // oracle states ranks exactly: mid probe = count of pv ≤ 50, hi
+    // probe = group size, lo probe below the minimum = 0.
+    "q222_kql_text_rank_tdigest" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | extend pv = pow(10.0, user_id % 4)
+          | | summarize s = tdigest(pv), n = count() by event_type
+          | | extend r50 = rank_tdigest(s, 50.0), rhi = rank_tdigest(s, 1000000.0), rlo = rank_tdigest(s, 0.5)
+          | | project event_type, n, r50, rhi, rlo
+          | | order by event_type asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // geo ring 2 (round 14): GeoJSON shape scalars. The polygon is a
     // fixed rect-with-hole so DuckDB states point-in-polygon truth by
     // INDEPENDENT range comparisons (points constructed at .5 offsets,
@@ -3339,6 +3370,22 @@ object KqlQueries extends QueryModule {
     "q147_kql_text_geo" -> geoOracle,
 
     "q220_kql_text_geo2" -> geo2Oracle,
+
+    "q221_kql_text_scalar14b" ->
+      """SELECT event_id,
+              32 + strlen(event_type) + strlen(props) AS eds,
+              strlen(event_type) + 8 AS eds2,
+              timezone('Asia/Kolkata', timezone('UTC', ts)) AS lc,
+              TRUE AS rt,
+              '[10,0,' || CASE WHEN user_id % 2 <> 0 THEN '30' ELSE '0' END || ']' AS ai,
+              '[7,null]' AS ai2
+         FROM events WHERE event_id % 61 = 0 ORDER BY event_id""",
+
+    "q222_kql_text_rank_tdigest" ->
+      """SELECT event_type, count(*) AS n,
+              count(CASE WHEN user_id % 4 <= 1 THEN 1 END) AS r50,
+              count(*) AS rhi, CAST(0 AS BIGINT) AS rlo
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q150_kql_text_binagg" -> s"""
       WITH base AS (SELECT event_type, trunc(value * 100)::BIGINT AS b FROM events),
