@@ -34,6 +34,19 @@ object StronglyConnected {
 
   private val MaxRounds = 64
 
+  /** Instrumentation for the fixpoint's driver-round-trip budget: the
+    * label loop folds checkpoint materialization AND the convergence
+    * probe into ONE action per step (lazy localCheckpoint — the first
+    * action over the marked RDD persists it), so `driverActions` stays
+    * at `fixpointSteps + minAncestorCalls` (the +1 per call is the
+    * seed-label checkpoint). A spec pins actions ≤ 2 per step. */
+  private[graft] val driverActions = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val fixpointSteps = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val minAncestorCalls = new java.util.concurrent.atomic.AtomicLong
+  private[graft] def resetProbeStats(): Unit = {
+    driverActions.set(0); fixpointSteps.set(0); minAncestorCalls.set(0)
+  }
+
   /** edges: first two columns are (src, dst); any id type with an
     * ordering. Returns (node, comp) covering every edge endpoint —
     * isolated nodes are the caller's concern (as in the weak variant). */
@@ -98,11 +111,18 @@ object StronglyConnected {
 
   /** lbl(v) = min id over {v} ∪ {u : u ⇝ v} (ancestors via `forward`
     * edges; via reversed edges this is the min-descendant label).
-    * Fixpoint iteration, one join + min-agg per step. */
-  private def minAncestor(
+    * Fixpoint iteration, one join + min-agg per step. ONE driver action
+    * per step: the next-label frame is marked for LAZY localCheckpoint
+    * and the convergence probe's count both materializes the
+    * checkpointed partitions and returns the change count in the same
+    * job — the q41 checksum-batching discipline, so a long-chain graph
+    * costs O(diameter) job launches, not O(2·diameter). */
+  private[graft] def minAncestor(
       e: DataFrame, nodes: DataFrame, forward: Boolean, out: String): DataFrame = {
+    minAncestorCalls.incrementAndGet()
     val (from, to) = if (forward) ("src", "dst") else ("dst", "src")
     var lbl = nodes.select(F.col("node"), F.col("node").as(out)).localCheckpoint()
+    driverActions.incrementAndGet() // seed-label checkpoint (once per call)
     var changed = 1L
     while (changed > 0) {
       val inc = e.select(F.col(from).as("u"), F.col(to).as("node"))
@@ -112,7 +132,9 @@ object StronglyConnected {
         .select(F.col("node"),
           F.least(F.col(out), F.coalesce(F.col("minin"), F.col(out))).as(out),
           (F.coalesce(F.col("minin"), F.col(out)) < F.col(out)).as("__chg"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
+      fixpointSteps.incrementAndGet()
+      driverActions.incrementAndGet()
       changed = next.where(F.col("__chg")).count()
       lbl = next.drop("__chg")
     }

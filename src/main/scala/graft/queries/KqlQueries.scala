@@ -1600,6 +1600,36 @@ object KqlQueries extends QueryModule {
           | | order by event_type asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // graph-mark-components kind=strong at data scale (round 15): a
+    // DIRECTED graph where strong ≠ weak components. Per customer, its
+    // sampled orders form a bidirectional star on the min orderkey
+    // (k⇄m), so each customer's order set is ONE SCC anchored at m;
+    // every order also points ONE-WAY at hub node -1 (below every
+    // orderkey) — weakly that fuses the whole graph into a single
+    // component, strongly the hub is a lone sink SCC and the
+    // per-customer SCCs stay separate, so the gate fails if direction
+    // is ever dropped. Oracle needs no recursion: SCC(customer) = its
+    // sampled-order count, comp = min orderkey; hub = (-1, 1).
+    "q223_kql_text_graph_scc" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """let O = orders | where o_orderkey % 7 == 0 | project k = o_orderkey, c = o_custkey;
+          | let M = O | summarize m = min(k) by c;
+          | let A = O | join kind=inner (M) on c | where k != m | project src = k, dst = m;
+          | let B = O | join kind=inner (M) on c | where k != m | project src = m, dst = k;
+          | let H = O | project src = k, dst = tolong(-1);
+          | A
+          | | union (B)
+          | | union (H)
+          | | make-graph src --> dst
+          | | graph-mark-components kind=strong with_component_id=comp
+          | | graph-to-table nodes
+          | | summarize n = count() by comp
+          | | order by comp asc""".stripMargin,
+        (n: String) => n match {
+          case "orders" => Tables.orders(s, dir)
+          case other => throw new IllegalArgumentException(other)
+        })),
+
     // geo ring 2 (round 14): GeoJSON shape scalars. The polygon is a
     // fixed rect-with-hole so DuckDB states point-in-polygon truth by
     // INDEPENDENT range comparisons (points constructed at .5 offsets,
@@ -3386,6 +3416,18 @@ object KqlQueries extends QueryModule {
               count(CASE WHEN user_id % 4 <= 1 THEN 1 END) AS r50,
               count(*) AS rhi, CAST(0 AS BIGINT) AS rlo
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // strong components: one SCC per customer (its sampled orders,
+    // anchored at the min orderkey) + the one-way hub sink node -1
+    "q223_kql_text_graph_scc" ->
+      """WITH O AS (SELECT o_orderkey AS k, o_custkey AS c FROM orders
+                    WHERE o_orderkey % 7 = 0),
+         M AS (SELECT c, min(k) AS m, count(1) AS cnt FROM O GROUP BY c)
+         SELECT comp, n FROM (
+           SELECT m AS comp, CAST(cnt AS BIGINT) AS n FROM M
+           UNION ALL
+           SELECT CAST(-1 AS BIGINT), CAST(1 AS BIGINT))
+         ORDER BY comp""",
 
     "q150_kql_text_binagg" -> s"""
       WITH base AS (SELECT event_type, trunc(value * 100)::BIGINT AS b FROM events),

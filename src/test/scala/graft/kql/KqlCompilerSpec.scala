@@ -1781,6 +1781,31 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(("a", "a"), ("b", "b"), ("z", "z")))
   }
 
+  test("SCC fixpoint spends at most 2 driver actions per label step (probe batched into the update job)") {
+    // a 12-cycle forces a ~diameter-length min-label fixpoint in each
+    // direction; the convergence probe must ride the SAME job that
+    // materializes the lazily-checkpointed label frame (q41 checksum
+    // batching), so driver actions stay at steps + one seed checkpoint
+    // per minAncestor call — on a long-chain 100× graph the O(diameter)
+    // job-launch budget is the difference between linear and 2× linear
+    // driver round-trips.
+    import graft.ops.StronglyConnected
+    val s = spark
+    import s.implicits._
+    val n = 12
+    val edges = (1 to n).map(i => (i.toLong, (i % n + 1).toLong)).toDF("src", "dst")
+    StronglyConnected.resetProbeStats()
+    val comp = StronglyConnected.components(edges).collect()
+    assert(comp.length == n && comp.forall(_.getLong(1) == 1L), "one SCC anchored at min id 1")
+    val steps = StronglyConnected.fixpointSteps.get
+    val calls = StronglyConnected.minAncestorCalls.get
+    val actions = StronglyConnected.driverActions.get
+    assert(steps >= n - 2, s"cycle of $n should need ~diameter label steps, got $steps")
+    assert(actions == steps + calls,
+      s"one action per step + one seed per call; got actions=$actions steps=$steps calls=$calls")
+    assert(actions <= 2 * steps, s"probe budget: ≤2 driver actions per fixpoint step")
+  }
+
   test("graph-to-table and make-graph misuse are handled") {
     val nodes = runG2(
       """let E = datatable(src: string, dst: string)['a', 'b', 'b', 'c'];
