@@ -29,6 +29,16 @@ object TextHash extends Serializable {
 
   /** Code points of a string (supplementary-plane exact — Spark's own
     * chr() is mod-256 ASCII, hence the native). */
+  /** to_utf8(s): the string's UTF-8 bytes as 0..255 longs — a flat
+    * copy, since UTF8String's backing storage IS UTF-8. */
+  def utf8Bytes(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val b = s.getBytes
+    val out = new Array[Long](b.length)
+    var i = 0
+    while (i < b.length) { out(i) = (b(i) & 0xff).toLong; i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
   def codepointsFrom(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
     val cps = s.toString.codePoints().toArray
     val out = new Array[Long](cps.length)
@@ -519,6 +529,19 @@ case class HashCombine(left: Expression, right: Expression)
 }
 
 /** unicode_codepoints_from_string(s): array of code points. */
+/** to_utf8(s) → the UTF-8 byte values of the string (dynamic array of
+  * longs). See [[TextHash.utf8Bytes]]. */
+case class Utf8Bytes(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeGuards.requireString("to_utf8", child)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.utf8Bytes(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.utf8Bytes($c)")
+  override protected def withNewChildInternal(newChild: Expression): Utf8Bytes = copy(child = newChild)
+}
+
 case class CodepointsFromString(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     TypeGuards.requireString("unicode_codepoints_from_string", child)

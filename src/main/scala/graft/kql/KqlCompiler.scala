@@ -175,6 +175,20 @@ object KqlCompiler {
           }
           if (j >= s.length) throw new KqlParseException(s"unterminated string at offset $i")
           out += Tok("str", sb.toString); i = j + 1
+        } else if (c == '@' && i + 1 < s.length && (s(i + 1) == '\'' || s(i + 1) == '"')) {
+          // Kusto verbatim string: @'...' / @"..." — NO backslash
+          // escaping (the regex-friendly form); the only escape is
+          // quote doubling ('' → ')
+          val q = s(i + 1); val sb = new StringBuilder; var j = i + 2
+          var closed = false
+          while (j < s.length && !closed) {
+            if (s(j) == q) {
+              if (j + 1 < s.length && s(j + 1) == q) { sb += q; j += 2 }
+              else { closed = true; j += 1 }
+            } else { sb += s(j); j += 1 }
+          }
+          if (!closed) throw new KqlParseException(s"unterminated verbatim string at offset $i")
+          out += Tok("str", sb.toString); i = j
         } else symbols.find(sym => s.startsWith(sym, i)) match {
           case Some(sym) => out += Tok("sym", sym); i += sym.length
           case None => throw new KqlParseException(s"unexpected character '$c' at offset $i")
@@ -3705,7 +3719,28 @@ object KqlCompiler {
       * tail, no zone index — the hex-groups grammar. All codegen'd
       * string/array ops, no UDF. */
     private def ipv6Canonical(c: Column): Column = {
-      val s = lower(trim(c))
+      val raw = lower(trim(c))
+      // embedded dotted-IPv4 tail (`::ffff:192.168.1.1`, and the general
+      // `x:…:a.b.c.d` form): rewrite the quad as its two 16-bit hex
+      // groups, then canonicalize as usual. Octets > 255 fall through
+      // with the quad intact, fail the hex/colon shape check below, and
+      // return null — the same loudly-null stance as zone suffixes
+      // (`fe80::1%eth0`), which Kusto also rejects.
+      val quadRe = "([0-9]{1,3})\\.([0-9]{1,3})\\.([0-9]{1,3})\\.([0-9]{1,3})$"
+      val hasV4 = raw.rlike("^[0-9a-f:]*:" + quadRe.replace("(", "(?:"))
+      // ANSI guard: regexp_extract yields '' on no match and `&&` does
+      // not short-circuit, so cast only behind a nonempty CaseWhen arm
+      def oct(i: Int) = {
+        val x = regexp_extract(raw, quadRe, i)
+        when(x =!= "", x.cast("int"))
+      }
+      val octsOk = (1 to 4).map(i => oct(i) <= 255).reduce(_ && _)
+      val hexTail = concat(
+        lpad(lower(hex(oct(1) * 256 + oct(2))), 4, "0"), lit(":"),
+        lpad(lower(hex(oct(3) * 256 + oct(4))), 4, "0"))
+      val s = when(hasV4 && octsOk,
+          concat(regexp_replace(raw, quadRe, ""), hexTail))
+        .otherwise(raw)
       val hasGap = s.contains("::")
       val left = when(hasGap, substring_index(s, "::", 1)).otherwise(s)
       val right = when(hasGap, substring_index(s, "::", -1)).otherwise(lit(""))
@@ -4515,9 +4550,11 @@ object KqlCompiler {
         }
       }
       if (name == "countof") {
-        // countof(source, search[, kind]) — OVERLAPPING occurrence count
-        // (Kusto semantics): a zero-width lookahead counts every match
-        // position. kind 'normal' quotes the search; 'regex' uses it raw.
+        // countof(source, search[, kind]) — Kusto's documented split:
+        // plain-string matches OVERLAP (a zero-width lookahead counts
+        // every match position), regex matches do NOT (the scanner
+        // resumes after each match) — "Plain string matches may
+        // overlap; regex matches don't."
         val e = expr(); expect(",")
         val s = next()
         if (s.kind != "str") throw new KqlParseException("countof() search must be a string literal")
@@ -4530,7 +4567,7 @@ object KqlCompiler {
         } else "normal"
         expect(")")
         val pat = if (kind == "normal") s"(?=${java.util.regex.Pattern.quote(s.text)})"
-                  else s"(?=${s.text})"
+                  else s.text
         return df => regexp_count(e(df), lit(pat)).cast("long")
       }
       if (name == "decimal") {
@@ -5408,6 +5445,44 @@ object KqlCompiler {
           if (args.length == 2) df => { val c = args(0)(df); c.substr(args(1)(df) + 1, length(c)) }
           else df => args(0)(df).substr(args(1)(df) + 1, args(2)(df))
         case "replace_string" => arity(3); df => replace(args(0)(df), args(1)(df), args(2)(df))
+        // replace_regex(source, pattern, rewrite): replaces ALL matches
+        // (Spark's default). Kusto rewrite capture refs are \0..\9; Java
+        // replacement syntax is $N — translate at runtime on the rewrite
+        // column (literal '$' is escaped FIRST so it can't become an
+        // accidental group ref). The translation handles the documented
+        // \N form; a Kusto literal-backslash escape (\\) followed by a
+        // digit is outside the pinned subset.
+        case "replace_regex" => arity(3); df => {
+          val rw = regexp_replace(
+            regexp_replace(args(2)(df), "\\$", "\\\\\\$"),
+            "\\\\([0-9])", "\\$$1")
+          regexp_replace(args(0)(df), args(1)(df), rw)
+        }
+        // countof_regex(source, pattern) ≡ countof(…, kind='regex'):
+        // NON-overlapping regex match count (the documented contrast
+        // with plain countof). Pattern may be any expression here —
+        // regexp_count takes a column.
+        case "countof_regex" => arity(2); df =>
+          regexp_count(args(0)(df), args(1)(df)).cast("long")
+        // ceiling(x): smallest integer ≥ x, result in the INPUT's type
+        // family (Kusto: real→real, long→long, decimal→decimal; Spark's
+        // ceil collapses double→long, so cast back for real inputs)
+        case "ceiling" => arity(1); df => {
+          val c = args.head(df)
+          dataTypeOf(df, c) match {
+            case Some(org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType) =>
+              ceil(c).cast("double")
+            case _ => ceil(c)
+          }
+        }
+        // to_utf8(s): dynamic array of the string's UTF-8 BYTES
+        // (0..255 longs) — UTF8String already stores UTF-8, so this is
+        // a flat byte copy in a native codegen'd expression
+        case "to_utf8" => arity(1); df => {
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.Utf8Bytes(
+            GraftColumnBridge.catalystExpression(args.head(df))))
+        }
         case "reverse" => arity(1); df => reverse(args.head(df))
         // Kusto indexof is 0-based, -1 when absent (instr is 1-based, 0-absent)
         case "indexof" => arity(2); df => (instr(args(0)(df), args(1)(df)) - lit(1)).cast("long")

@@ -1630,6 +1630,29 @@ object KqlQueries extends QueryModule {
           case other => throw new IllegalArgumentException(other)
         })),
 
+    // scalar stray ring (round 15): replace_regex (capture-ref rewrite
+    // through the \N→$N translation, verbatim @'' strings), ceiling
+    // (real stays real, long stays long), countof_regex
+    // (non-overlapping — the documented contrast with plain countof),
+    // to_utf8 (byte array of the UTF-8 encoding; ASCII here so the
+    // oracle states bytes as codepoints), parse_ipv6 embedded
+    // dotted-IPv4 tail + the loudly-null zone-suffix stance.
+    "q224_kql_text_scalar_strays" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_id % 97 == 0
+          | | extend rr = replace_regex(event_type, @'([aeiou])', @'<\1>'),
+          |          ce = ceiling(value / 7.0),
+          |          cn = ceiling(0.0 - value / 7.0),
+          |          cl = ceiling(event_id * 3),
+          |          cr = countof_regex(event_type, @'[aeiou]+'),
+          |          u8 = strcat_array(to_utf8(event_type), ','),
+          |          ip4 = parse_ipv6(strcat('::ffff:10.', tostring(user_id % 200), '.', tostring(event_id % 256), '.7')),
+          |          ipz = parse_ipv6('fe80::1%eth0')
+          | | project event_id, rr, ce, cn, cl, cr, u8, ip4, ipz
+          | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // geo ring 2 (round 14): GeoJSON shape scalars. The polygon is a
     // fixed rect-with-hole so DuckDB states point-in-polygon truth by
     // INDEPENDENT range comparisons (points constructed at .5 offsets,
@@ -3428,6 +3451,21 @@ object KqlQueries extends QueryModule {
            UNION ALL
            SELECT CAST(-1 AS BIGINT), CAST(1 AS BIGINT))
          ORDER BY comp""",
+
+    "q224_kql_text_scalar_strays" ->
+      """SELECT event_id,
+              regexp_replace(event_type, '([aeiou])', '<\1>', 'g') AS rr,
+              ceil(value / 7.0) + 0.0 AS ce,
+              ceil(0.0 - value / 7.0) + 0.0 AS cn,
+              event_id * 3 AS cl,
+              CAST(len(regexp_extract_all(event_type, '[aeiou]+')) AS BIGINT) AS cr,
+              array_to_string(list_transform(range(1, strlen(event_type) + 1),
+                i -> ord(substr(event_type, CAST(i AS INT), 1))), ',') AS u8,
+              '0000:0000:0000:0000:0000:ffff:' ||
+                printf('%04x', 10 * 256 + user_id % 200) || ':' ||
+                printf('%04x', (event_id % 256) * 256 + 7) AS ip4,
+              CAST(NULL AS VARCHAR) AS ipz
+         FROM events WHERE event_id % 97 = 0 ORDER BY event_id""",
 
     "q150_kql_text_binagg" -> s"""
       WITH base AS (SELECT event_type, trunc(value * 100)::BIGINT AS b FROM events),

@@ -1781,6 +1781,42 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(("a", "a"), ("b", "b"), ("z", "z")))
   }
 
+  test("replace_regex, ceiling, countof_regex, to_utf8 (round-15 stray scalars)") {
+    val r = run(
+      """t | where id == 1 | project
+        |  rr = replace_regex(status, @'([aeiou])', @'<\1>'),
+        |  rr0 = replace_regex(status, @'t\w+', @'[\0]'),
+        |  rrd = replace_regex('cost: 5', @'(\d)', @'$\1'),
+        |  ce = ceiling(value / 3.0), cl = ceiling(id * 2 - 1),
+        |  cr = countof_regex('aaaa', 'aa'),
+        |  cro = countof('aaaa', 'aa'),
+        |  u8 = strcat_array(to_utf8('aé€'), ',')""".stripMargin).head()
+    assert(r.getString(0) == "<e>rr-t<i>m<e><o><u>t")
+    assert(r.getString(1) == "err-[timeout]", "\\0 is the whole match")
+    assert(r.getString(2) == "cost: $5", "literal $ survives the rewrite translation")
+    assert(r.getDouble(3) == 4.0, "ceiling(real) stays real")
+    assert(r.getLong(4) == 1L, "ceiling(long) stays long")
+    assert(r.getLong(5) == 2L, "countof_regex does NOT overlap")
+    assert(r.getLong(6) == 3L, "plain countof DOES overlap")
+    // 'a' = 1 byte, 'é' = 2 bytes (U+00E9), '€' = 3 bytes (U+20AC)
+    assert(r.getString(7) == "97,195,169,226,130,172")
+  }
+
+  test("parse_ipv6: embedded dotted-IPv4 tail canonicalizes; zones and bad octets are null") {
+    val r = run(
+      """t | where id == 1 | project
+        |  a = parse_ipv6('::ffff:192.168.1.1'),
+        |  b = parse_ipv6('64:ff9b::1.2.3.4'),
+        |  c = parse_ipv6('2001:db8::'),
+        |  zone = parse_ipv6('fe80::1%eth0'),
+        |  bad = parse_ipv6('::ffff:300.1.1.1')""".stripMargin).head()
+    assert(r.getString(0) == "0000:0000:0000:0000:0000:ffff:c0a8:0101")
+    assert(r.getString(1) == "0064:ff9b:0000:0000:0000:0000:0102:0304")
+    assert(r.getString(2) == "2001:0db8:0000:0000:0000:0000:0000:0000")
+    assert(r.isNullAt(3), "zone suffix is loudly null")
+    assert(r.isNullAt(4), "octet > 255 is loudly null")
+  }
+
   test("SCC fixpoint spends at most 2 driver actions per label step (probe batched into the update job)") {
     // a 12-cycle forces a ~diameter-length min-label fixpoint in each
     // direction; the convergence probe must ride the SAME job that
