@@ -1,0 +1,237 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** S2 cell-id algebra — `geo_point_to_s2cell(lon, lat, level)` and
+  * `geo_s2cell_to_central_point(token)` (Kusto's geo JOIN keys; the
+  * reference's query surface is KQL, so these carry its dashboards'
+  * geo aggregations — see SURVEY §2.2 geo ring note).
+  *
+  * Implements the PUBLIC s2geometry cell scheme (s2geometry.io
+  * "S2 Cells"; the `S2CellId::FromFaceIJ` / `ToFaceIJOrientation` /
+  * `STtoUV` quadratic-projection algorithms are published under
+  * Apache-2.0 and re-derived here from the documented math):
+  *
+  *  1. lon/lat → unit-sphere (x,y,z); face 0..5 = ±x/±y/±z by largest
+  *     absolute component; per-face gnomonic (u,v) in [-1,1]²;
+  *  2. the QUADRATIC (u,v)→(s,t) reprojection (areas equalized within
+  *     2.1×) — s = √(1+3u)/2 for u ≥ 0, mirrored below;
+  *  3. (s,t) → 30-bit leaf (i,j); face-local HILBERT position via the
+  *     standard 4-bit lookup tables (built by the published recursive
+  *     subdivision with orientation swap/invert masks);
+  *  4. 64-bit id = face(3 bits) · curve position (2·level bits) ·
+  *     sentinel 1 bit · zeros; parent(level) keeps the high 2·level
+  *     position bits and re-plants the sentinel;
+  *  5. token = 16-nibble lowercase hex, trailing zeros stripped — the
+  *     interchange form every S2 binding emits.
+  *
+  * The Hilbert adjacency property is what makes these ids GOOD join /
+  * partition keys at 100 TB: nearby points share cell prefixes, so a
+  * shuffle on the level-k token co-locates spatial neighborhoods and
+  * range scans touch contiguous id runs. Encode and decode are flat
+  * per-row arithmetic inside whole-stage codegen (table lookups on
+  * 1 KiB static arrays — no allocation but the output token).
+  *
+  * Pinned stances: invalid lon/lat/token → null (the loudly-null geo
+  * family rule, same as the geohash pair); the center point decode is
+  * the EXACT cell center (si/ti midpoint), so center re-encodes to the
+  * same token at the same level — the round-trip contract the gate
+  * checks; level 0 faces 0..5 tokens are the published "1"/"3"/"5"/
+  * "7"/"9"/"b" vectors.
+  */
+object S2CellOps {
+  private val MaxLevel = 30
+  private val LookupBits = 4
+  private val SwapMask = 1
+  private val InvertMask = 2
+  // published traversal tables: child order per orientation, and the
+  // orientation change each child applies
+  private val PosToIJ = Array(
+    Array(0, 1, 3, 2), Array(0, 2, 3, 1), Array(3, 2, 0, 1), Array(3, 1, 0, 2))
+  private val PosToOrientation = Array(SwapMask, 0, 0, InvertMask | SwapMask)
+
+  private val lookupPos = new Array[Int](1 << (2 * LookupBits + 2))
+  private val lookupIJ = new Array[Int](1 << (2 * LookupBits + 2))
+  locally {
+    def go(level: Int, i: Int, j: Int, origO: Int, pos: Int, o: Int): Unit =
+      if (level == LookupBits) {
+        val ij = (i << LookupBits) + j
+        lookupPos((ij << 2) + origO) = (pos << 2) + o
+        lookupIJ((pos << 2) + origO) = (ij << 2) + o
+      } else {
+        val r = PosToIJ(o)
+        var idx = 0
+        while (idx < 4) {
+          go(level + 1, (i << 1) + (r(idx) >> 1), (j << 1) + (r(idx) & 1),
+            origO, (pos << 2) + idx, o ^ PosToOrientation(idx))
+          idx += 1
+        }
+      }
+    go(0, 0, 0, 0, 0, 0)
+    go(0, 0, 0, SwapMask, 0, SwapMask)
+    go(0, 0, 0, InvertMask, 0, InvertMask)
+    go(0, 0, 0, SwapMask | InvertMask, 0, SwapMask | InvertMask)
+  }
+
+  private def fromFaceIJ(face: Int, i: Int, j: Int): Long = {
+    var n: Long = face.toLong << 60
+    var bits: Int = face & SwapMask
+    var k = 7
+    while (k >= 0) {
+      val mask = (1 << LookupBits) - 1
+      bits += ((i >> (k * LookupBits)) & mask) << (LookupBits + 2)
+      bits += ((j >> (k * LookupBits)) & mask) << 2
+      bits = lookupPos(bits)
+      n |= (bits >> 2).toLong << (k * 2 * LookupBits)
+      bits &= (SwapMask | InvertMask)
+      k -= 1
+    }
+    n * 2 + 1 // leaf id: position shifted up one, sentinel planted
+  }
+
+  private def idToToken(id: Long): String = {
+    val hx = java.lang.Long.toHexString(id)
+    val s = "0" * (16 - hx.length) + hx
+    var e = s.length
+    while (e > 1 && s.charAt(e - 1) == '0') e -= 1
+    s.substring(0, e)
+  }
+
+  private def tokenToId(tok: String): Long = {
+    if (tok == null || tok.isEmpty || tok.length > 16) return 0L
+    var k = 0
+    while (k < tok.length) {
+      val c = tok.charAt(k)
+      if (!((c >= '0' && c <= '9') || (c >= 'a' && c <= 'f'))) return 0L
+      k += 1
+    }
+    java.lang.Long.parseUnsignedLong(tok + "0" * (16 - tok.length), 16)
+  }
+
+  private def isValidId(id: Long): Boolean =
+    (id >>> 61) <= 5 && ((id & -id) & 0x1555555555555555L) != 0
+
+  /** Encode: token of the level-`level` cell containing (lon, lat);
+    * null for out-of-range coordinates or level (0..30). */
+  def token(lonDeg: Double, latDeg: Double, level: Int): UTF8String = {
+    if (level < 0 || level > MaxLevel ||
+        java.lang.Double.isNaN(lonDeg) || java.lang.Double.isNaN(latDeg) ||
+        lonDeg < -180.0 || lonDeg > 180.0 || latDeg < -90.0 || latDeg > 90.0)
+      return null
+    val phi = math.toRadians(latDeg)
+    val theta = math.toRadians(lonDeg)
+    val cosphi = math.cos(phi)
+    val x = cosphi * math.cos(theta)
+    val y = cosphi * math.sin(theta)
+    val z = math.sin(phi)
+    val ax = math.abs(x); val ay = math.abs(y); val az = math.abs(z)
+    val axis = if (ax > ay) { if (ax > az) 0 else 2 } else { if (ay > az) 1 else 2 }
+    val comp = if (axis == 0) x else if (axis == 1) y else z
+    val face = if (comp < 0) axis + 3 else axis
+    var u = 0.0; var v = 0.0
+    face match {
+      case 0 => u = y / x; v = z / x
+      case 1 => u = -x / y; v = z / y
+      case 2 => u = -x / z; v = -y / z
+      case 3 => u = z / x; v = y / x
+      case 4 => u = z / y; v = -x / y
+      case _ => u = -y / z; v = -x / z
+    }
+    def uvToST(w: Double): Double =
+      if (w >= 0) 0.5 * math.sqrt(1.0 + 3.0 * w) else 1.0 - 0.5 * math.sqrt(1.0 - 3.0 * w)
+    def stToIJ(s: Double): Int = {
+      val lim = 1 << MaxLevel
+      math.max(0, math.min(lim - 1, math.floor(s * lim).toInt))
+    }
+    val leaf = fromFaceIJ(face, stToIJ(uvToST(u)), stToIJ(uvToST(v)))
+    val lsb = 1L << (2 * (MaxLevel - level))
+    UTF8String.fromString(idToToken((leaf & -lsb) | lsb))
+  }
+
+  /** Decode: GeoJSON point at the EXACT cell center; malformed tokens
+    * (bad chars, bad sentinel, face > 5) → null. */
+  def centralPoint(tok: UTF8String): UTF8String = {
+    val id = tokenToId(tok.toString)
+    if (id == 0L || !isValidId(id)) return null
+    val face = (id >>> 61).toInt
+    var bits = face & SwapMask
+    var i = 0; var j = 0
+    var k = 7
+    while (k >= 0) {
+      val nbits = if (k == 7) MaxLevel - 7 * LookupBits else LookupBits
+      bits += ((id >>> (k * 2 * LookupBits + 1)).toInt & ((1 << (2 * nbits)) - 1)) << 2
+      bits = lookupIJ(bits)
+      i += (bits >> (LookupBits + 2)) << (k * LookupBits)
+      j += ((bits >> 2) & ((1 << LookupBits) - 1)) << (k * LookupBits)
+      bits &= (SwapMask | InvertMask)
+      k -= 1
+    }
+    // center offset in (si, ti) half-leaf units: leaf centers sit at
+    // odd si; a non-leaf cell's center depends on the curve parity
+    val delta =
+      if ((id & 1) != 0) 1
+      else if (((i ^ (id >>> 2).toInt) & 1) != 0) 2
+      else 0
+    val s = (2L * i + delta).toDouble / (1L << (MaxLevel + 1)).toDouble
+    val t = (2L * j + delta).toDouble / (1L << (MaxLevel + 1)).toDouble
+    def stToUV(w: Double): Double =
+      if (w >= 0.5) (1.0 / 3.0) * (4.0 * w * w - 1.0)
+      else (1.0 / 3.0) * (1.0 - 4.0 * (1.0 - w) * (1.0 - w))
+    val u = stToUV(s); val v = stToUV(t)
+    var x = 0.0; var y = 0.0; var z = 0.0
+    face match {
+      case 0 => x = 1; y = u; z = v
+      case 1 => x = -u; y = 1; z = v
+      case 2 => x = -u; y = -v; z = 1
+      case 3 => x = -1; y = -v; z = -u
+      case 4 => x = v; y = -1; z = -u
+      case _ => x = v; y = u; z = -1
+    }
+    val lon = math.toDegrees(math.atan2(y, x))
+    val lat = math.toDegrees(math.atan2(z, math.sqrt(x * x + y * y)))
+    UTF8String.fromString(s"""{"type":"Point","coordinates":[$lon,$lat]}""")
+  }
+}
+
+/** geo_point_to_s2cell(lon, lat, level-literal) → S2 token string. */
+case class S2CellToken(left: Expression, right: Expression, level: Int)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == DoubleType && right.dataType == DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"geo_point_to_s2cell requires (double, double), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(lon: Any, lat: Any): Any =
+    S2CellOps.token(lon.asInstanceOf[Double], lat.asInstanceOf[Double], level)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lon, lat) => s"""
+      ${ev.value} = graft.functions.S2CellOps.token($lon, $lat, $level);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): S2CellToken =
+    copy(left = newLeft, right = newRight)
+}
+
+/** geo_s2cell_to_central_point(token) → GeoJSON point at the cell
+  * center (re-encodes to the same token at the same level). */
+case class S2CellCentralPoint(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeGuards.requireString("geo_s2cell_to_central_point", child)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(a: Any): Any =
+    S2CellOps.centralPoint(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.S2CellOps.centralPoint($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(newChild: Expression): S2CellCentralPoint =
+    copy(child = newChild)
+}

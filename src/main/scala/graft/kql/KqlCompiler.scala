@@ -4415,6 +4415,35 @@ object KqlCompiler {
             GraftColumnBridge.catalystExpression(e(df).cast("string"))))
         }
       }
+      if (name == "geo_point_to_s2cell") {
+        // geo_point_to_s2cell(lon, lat, level) — S2 cell token (Kusto's
+        // geo join/partition key; default level 11 per the docs). Level
+        // is a parse-time literal like geohash precision; encode is one
+        // flat native codegen'd expression (functions/S2Cell.scala).
+        val lonE = expr(); expect(",")
+        val latE = expr()
+        val level = if (peekIs(",")) { expect(","); number() } else 11
+        expect(")")
+        if (level < 0 || level > 30)
+          throw new KqlParseException(s"geo_point_to_s2cell level must be 0..30, got $level")
+        return df => {
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.S2CellToken(
+            GraftColumnBridge.catalystExpression(lonE(df).cast("double")),
+            GraftColumnBridge.catalystExpression(latE(df).cast("double")),
+            level.toInt))
+        }
+      }
+      if (name == "geo_s2cell_to_central_point") {
+        // decode: GeoJSON point at the exact cell center (same
+        // round-trip contract as the geohash pair); malformed → null
+        val e = expr(); expect(")")
+        return df => {
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.S2CellCentralPoint(
+            GraftColumnBridge.catalystExpression(e(df).cast("string"))))
+        }
+      }
       if (name == "percentile") {
         // percentile(col, P) — exact interpolated percentile (an exactness
         // upgrade over Kusto's T-digest approximation; same interpolation

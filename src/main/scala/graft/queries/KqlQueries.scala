@@ -1630,6 +1630,33 @@ object KqlQueries extends QueryModule {
           case other => throw new IllegalArgumentException(other)
         })),
 
+    // geo ring 3 (round 15): S2 cells — Kusto's geo join/partition
+    // keys. DuckDB can't compute S2 ids, so the gate rides invariants
+    // the oracle CAN state (the q218 playbook): token length at a fixed
+    // level is a constant of the id layout (level 10 ⇒ 40 trailing zero
+    // bits ⇒ 10 stripped nibbles ⇒ 6 chars); every cell center decodes
+    // within a level-10 cell radius of its source point and re-encodes
+    // to the SAME token (exact-center contract); and level-30 leaves
+    // are injective on this grid (points are ≥0.25° apart, leaves are
+    // centimeter-scale), so distinct-leaf count equals the exact
+    // distinct-point count DuckDB computes independently. The encode
+    // itself is pinned by the published face/quadrant vectors in the
+    // compiler spec.
+    "q225_kql_text_s2cell" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_id % 89 == 0
+          | | extend lon = todouble(user_id % 360) - 180.0 + 0.25, lat = todouble(event_id % 170) - 85.0 + 0.25
+          | | extend c10 = geo_point_to_s2cell(lon, lat, 10), c30 = geo_point_to_s2cell(lon, lat, 30)
+          | | extend cp = geo_s2cell_to_central_point(c10)
+          | | extend rt = geo_point_to_s2cell(todouble(cp.coordinates[0]), todouble(cp.coordinates[1]), 10) == c10,
+          |          near = geo_distance_2points(todouble(cp.coordinates[0]), todouble(cp.coordinates[1]), lon, lat) < 25000.0
+          | | summarize n = count(), lens = countif(strlen(c10) == 6), rts = countif(rt),
+          |             nears = countif(near), cells = dcount(c30),
+          |             points = dcount(strcat(tostring(lon), ',', tostring(lat)))
+          | | project n, lens, rts, nears, points, bijective = cells == points""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // scalar stray ring (round 15): replace_regex (capture-ref rewrite
     // through the \N→$N translation, verbatim @'' strings), ceiling
     // (real stays real, long stays long), countof_regex
@@ -3451,6 +3478,21 @@ object KqlQueries extends QueryModule {
            UNION ALL
            SELECT CAST(-1 AS BIGINT), CAST(1 AS BIGINT))
          ORDER BY comp""",
+
+    // S2 invariants: every gate column collapses to a count the oracle
+    // states exactly; distinct points computed independently in DuckDB
+    "q225_kql_text_s2cell" ->
+      """WITH e AS (
+           SELECT CAST(user_id % 360 AS DOUBLE) - 180.0 + 0.25 AS lon,
+                  CAST(event_id % 170 AS DOUBLE) - 85.0 + 0.25 AS lat
+           FROM events WHERE event_id % 89 = 0)
+         SELECT CAST(count(1) AS BIGINT) AS n,
+                CAST(count(1) AS BIGINT) AS lens,
+                CAST(count(1) AS BIGINT) AS rts,
+                CAST(count(1) AS BIGINT) AS nears,
+                CAST(count(DISTINCT CAST(lon AS VARCHAR) || ',' || CAST(lat AS VARCHAR)) AS BIGINT) AS points,
+                TRUE AS bijective
+         FROM e""",
 
     "q224_kql_text_scalar_strays" ->
       """SELECT event_id,

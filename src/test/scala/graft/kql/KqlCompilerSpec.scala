@@ -1817,6 +1817,57 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.isNullAt(4), "octet > 255 is loudly null")
   }
 
+  test("geo_point_to_s2cell: published face/quadrant vectors, round trips, loud nulls") {
+    // level-0 face cells — the published token vectors: face f id is
+    // f<<61 | 1<<60, tokens 1/3/5/7/9/b for the six axis directions
+    val faces = run(
+      """t | where id == 1 | project
+        |  f0 = geo_point_to_s2cell(0.0, 0.0, 0), f1 = geo_point_to_s2cell(90.0, 0.0, 0),
+        |  f2 = geo_point_to_s2cell(0.0, 90.0, 0), f3 = geo_point_to_s2cell(180.0, 0.0, 0),
+        |  f4 = geo_point_to_s2cell(-90.0, 0.0, 0), f5 = geo_point_to_s2cell(0.0, -90.0, 0)""".stripMargin)
+      .head()
+    assert((0 to 5).map(faces.getString) == Seq("1", "3", "5", "7", "9", "b"))
+    // level-1 quadrants of face 0 follow the published kPosToIJ(0) =
+    // {0,1,3,2} Hilbert child order: ij(0,0)→pos0 '04', ij(0,1)→pos1
+    // '0c', ij(1,1)→pos2 '14', ij(1,0)→pos3 '1c'
+    val quads = run(
+      """t | where id == 1 | project
+        |  q00 = geo_point_to_s2cell(-22.5, -22.5, 1), q01 = geo_point_to_s2cell(-22.5, 22.5, 1),
+        |  q11 = geo_point_to_s2cell(22.5, 22.5, 1), q10 = geo_point_to_s2cell(22.5, -22.5, 1)""".stripMargin)
+      .head()
+    assert((0 to 3).map(quads.getString) == Seq("04", "0c", "14", "1c"))
+    // round trip at several levels: the decoded center re-encodes to
+    // the SAME token (exact center contract), across faces
+    val rt = run(
+      """t | project lon = todouble(id * 37 % 360) - 180.0 + 0.25, lat = todouble(id * 53 % 170) - 85.0 + 0.25
+        | | extend c11 = geo_point_to_s2cell(lon, lat, 11), c30 = geo_point_to_s2cell(lon, lat, 30), c5 = geo_point_to_s2cell(lon, lat, 5)
+        | | extend p11 = geo_s2cell_to_central_point(c11), p30 = geo_s2cell_to_central_point(c30), p5 = geo_s2cell_to_central_point(c5)
+        | | extend ok11 = geo_point_to_s2cell(todouble(p11.coordinates[0]), todouble(p11.coordinates[1]), 11) == c11,
+        |          ok30 = geo_point_to_s2cell(todouble(p30.coordinates[0]), todouble(p30.coordinates[1]), 30) == c30,
+        |          ok5 = geo_point_to_s2cell(todouble(p5.coordinates[0]), todouble(p5.coordinates[1]), 5) == c5,
+        |          near = geo_distance_2points(todouble(p11.coordinates[0]), todouble(p11.coordinates[1]), lon, lat) < 10000.0
+        | | summarize n = count(), ok = countif(ok11 and ok30 and ok5 and near)""".stripMargin).head()
+    assert(rt.getLong(0) == rt.getLong(1), "every point round-trips at levels 5/11/30 and center is within 10 km at level 11")
+    // containment: the level-11 center decodes inside the level-5 cell
+    // (re-encoding it at level 5 gives the same level-5 token)
+    val cont = run(
+      """t | project lon = todouble(id) * 11.0 - 30.0, lat = todouble(id) * 7.0 - 20.0
+        | | extend c5 = geo_point_to_s2cell(lon, lat, 5), p11 = geo_s2cell_to_central_point(geo_point_to_s2cell(lon, lat, 11))
+        | | extend ok = geo_point_to_s2cell(todouble(p11.coordinates[0]), todouble(p11.coordinates[1]), 5) == c5
+        | | summarize bad = countif(not(ok))""".stripMargin).head()
+    assert(cont.getLong(0) == 0L)
+    // loud nulls: out-of-range coordinates, malformed tokens
+    val bad = run(
+      """t | where id == 1 | project
+        |  a = isnull(geo_point_to_s2cell(181.0, 0.0, 11)), b = isnull(geo_point_to_s2cell(0.0, 91.0, 11)),
+        |  c = isnull(geo_s2cell_to_central_point('zz')), d = isnull(geo_s2cell_to_central_point('')),
+        |  e = isnull(geo_s2cell_to_central_point('e6'))""".stripMargin).head()
+    assert((0 to 4).forall(bad.getBoolean), "e6 has face 7 > 5 — invalid id")
+    // parse-time level validation is loud
+    assert(intercept[KqlParseException](run("t | project x = geo_point_to_s2cell(0.0, 0.0, 31)"))
+      .getMessage.contains("level"))
+  }
+
   test("SCC fixpoint spends at most 2 driver actions per label step (probe batched into the update job)") {
     // a 12-cycle forces a ~diameter-length min-label fixpoint in each
     // direction; the convergence probe must ride the SAME job that
