@@ -208,6 +208,7 @@ object LlmQueries extends QueryModule
     "q85_ann_recall" -> annRecallOracle,
     "q89_train_split" -> splitOracle,
     "q90_matryoshka_ann" -> matryoshkaAnnOracle,
+    "q91_compression_ratio" -> compressionOracle,
     "q97_bpe_pairs" -> bpePairsOracle,
     "q98_bpe_vocab" -> bpeVocabOracle,
     "q99_bpe_tokenize" -> bpeTokenizeOracle,

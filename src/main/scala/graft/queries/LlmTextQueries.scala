@@ -554,14 +554,44 @@ private[queries] trait LlmTextQueries extends LlmShared {
     * compress far below ~0.4 while diverse text stays high. Map-only —
     * the deflate runs inside whole-stage codegen via the native
     * [[graft.functions.DeflateRatio]] expression with per-thread
-    * Deflater reuse. NO DuckDB oracle (DuckDB ships no deflate scalar),
-    * so the driver records the weaker rows-only check; exact semantics
-    * are spec-pinned against java.util.zip directly. */
+    * Deflater reuse; exact byte semantics are spec-pinned against
+    * java.util.zip directly.
+    *
+    * DuckDB ships no deflate scalar, so the gate rides CONSTRUCTED
+    * compressibility invariants the oracle can state (the q203/q225
+    * playbook): per document, repeating its 512-char prefix k times
+    * multiplies the uncompressed length by k while deflate encodes the
+    * repeats as a few match tokens (repeat distance ≤ 2 KiB, far
+    * inside the 32 KiB window), so the ratio ORDER z16 ≪ z8 < z2 < z1
+    * holds for every ≥256-char document; z16 sits under 0.2 (one copy
+    * + headers over 16× the length) and trips the 0.35 repetitiveness
+    * flag; the unrepeated ratio stays inside deflate's hard band
+    * (zlib header+payload ≥ ~12 bytes over ≤512 chars ⇒ > 0.01;
+    * stored-block worst case ⇒ ≤ 1.05). Every output column is a
+    * boolean the oracle pins to TRUE — a wrong window size, a broken
+    * Deflater reuse, or a swapped numerator all flip one of them. */
   private[queries] lazy val compressionSql = """
+    WITH s AS (
+      SELECT doc_id, substr(text, 1, 512) AS base
+      FROM documents WHERE length(text) >= 256),
+    r AS (
+      SELECT doc_id,
+             deflate_ratio(base) AS z1,
+             deflate_ratio(repeat(base, 2)) AS z2,
+             deflate_ratio(repeat(base, 8)) AS z8,
+             deflate_ratio(repeat(base, 16)) AS z16
+      FROM s)
     SELECT doc_id,
-           round(deflate_ratio(text), 6) AS zratio,
-           CASE WHEN deflate_ratio(text) < 0.35 THEN 1 ELSE 0 END AS flag_repetitive
-    FROM documents ORDER BY doc_id"""
+           (z16 < z8 AND z8 < z2 AND z2 < z1) AS ord_ok,
+           (z16 < 0.2) AS band_repetitive,
+           (z1 > 0.01 AND z1 <= 1.05) AS band_natural,
+           (z16 < 0.35) AS flag_repetitive
+    FROM r ORDER BY doc_id"""
+
+  private[queries] lazy val compressionOracle = """
+    SELECT doc_id, TRUE AS ord_ok, TRUE AS band_repetitive,
+           TRUE AS band_natural, TRUE AS flag_repetitive
+    FROM documents WHERE strlen(text) >= 256 ORDER BY doc_id"""
 
   // -------------------------------------------- stratified split audit
 
