@@ -250,6 +250,50 @@ class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("batch sequence_detect and streaming matcher agree (surface parity on first completions)") {
+    // The two sequence surfaces must not drift: batch sequence_detect
+    // (greedy earliest completion per key under step/total gap budgets)
+    // and the streaming matcher (all sequential completions under the
+    // total gap) agree wherever their contracts overlap — each key
+    // completes at most once and only the total budget binds. One
+    // fixture, both engines, same matches: completions with distractor
+    // events interleaved, a prefix killed by the gap budget, an
+    // out-of-order key that never completes, and a completion exactly
+    // AT the gap boundary (<= on both sides).
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val fixture = Seq(
+      SEvent(1, ts(0), "view"), SEvent(1, ts(1), "view"), SEvent(1, ts(2), "error"),
+      SEvent(1, ts(3), "click"), SEvent(1, ts(7), "purchase"),
+      SEvent(2, ts(0), "view"), SEvent(2, ts(40), "click"), SEvent(2, ts(45), "purchase"),
+      SEvent(4, ts(0), "purchase"), SEvent(4, ts(1), "click"), SEvent(4, ts(2), "view"),
+      SEvent(5, ts(0), "view"), SEvent(5, ts(10), "click"), SEvent(5, ts(30), "purchase"))
+    val gapUs = 30L * 1000 * 1000
+    val batch = graft.ops.Funnel.sequenceDetect(
+      fixture.toDF(), "user_id", col("ts"),
+      Seq("view" -> (col("event_type") === "view"),
+        "click" -> (col("event_type") === "click"),
+        "purchase" -> (col("event_type") === "purchase")),
+      stepWindowUs = gapUs, totalGapUs = gapUs)
+    val batchSet = batch.collect().map(r =>
+      (r.getLong(0), Seq(rel(r.getTimestamp(1)), rel(r.getTimestamp(2)), rel(r.getTimestamp(3))))).toSet
+    val stream = MemoryStream[SEvent]
+    val q = StreamOps.statefulSequenceMatch(stream.toDS(), "5 seconds",
+        Seq("view", "click", "purchase"), totalGapMs = 30000L)
+      .writeStream.format("memory").queryName("seq_parity").outputMode(OutputMode.Append).start()
+    val streamSet =
+      try {
+        stream.addData(fixture: _*)
+        q.processAllAvailable()
+        spark.table("seq_parity").as[StreamOps.SeqMatchOut].collect()
+          .map(m => (m.user_id, m.step_ts.map(rel))).toSet
+      } finally q.stop()
+    assert(batchSet == Set((1L, Seq(0L, 3L, 7L)), (5L, Seq(0L, 10L, 30L))),
+      s"batch matches: $batchSet")
+    assert(streamSet == batchSet, s"stream $streamSet must equal batch $batchSet")
+  }
+
   test("streamingHeavyHitters: sketch+leaders state, trimmed value re-enters with full estimate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
