@@ -25,6 +25,9 @@ object Ipv4Cidr {
       // ASCII digits only — Char.isDigit accepts Unicode digit classes
       // (e.g. Arabic-Indic), which the ipv4 family rejects
       if (p.isEmpty || p.length > 3 || !p.forall(c => c >= '0' && c <= '9')) return -1L
+      // leading-zero octets ('01.2.3.4') are rejected, matching Kusto
+      // (and avoiding the octal-interpretation ambiguity CVEs)
+      if (p.length > 1 && p.charAt(0) == '0') return -1L
       val o = p.toInt
       if (o > 255) return -1L
       v = (v << 8) | o

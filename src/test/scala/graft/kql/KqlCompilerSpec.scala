@@ -388,9 +388,11 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     // rand arity is loud; cidr parse rejects non-ASCII Unicode digits
     assertThrows[KqlCompiler.KqlParseException](run("t | project r = rand(1, 2)"))
     val uni = run(
-      "t | where id == 1 | project bad = isnull(ipv4_range_to_cidr_list('10.٣.0.0', '10.3.0.255'))")
+      """t | where id == 1 | project bad = isnull(ipv4_range_to_cidr_list('10.٣.0.0', '10.3.0.255')),
+        |  lz = isnull(ipv4_range_to_cidr_list('01.2.3.4', '1.2.3.9'))""".stripMargin)
       .head()
     assert(uni.getBoolean(0))
+    assert(uni.getBoolean(1), "leading-zero octets are rejected (Kusto stance)")
   }
 
   test("make_bag_if and buildschema aggregates") {
