@@ -29,6 +29,59 @@ object TextHash extends Serializable {
 
   /** Code points of a string (supplementary-plane exact — Spark's own
     * chr() is mod-256 ASCII, hence the native). */
+  // .NET Guid.ToByteArray order (data1/2/3 little-endian, data4 big) —
+  // the wire form Kusto's base64_encode_fromguid documents; the block
+  // swaps are involutions, so the same table decodes
+  private val GuidByteOrder = Array(3, 2, 1, 0, 5, 4, 7, 6, 8, 9, 10, 11, 12, 13, 14, 15)
+
+  /** base64_encode_fromguid: canonical 8-4-4-4-12 guid → base64 of its
+    * 16 .NET-ordered bytes (doc vector: ae3133f2-… → "8jMxriJurkmwahbmqbIS6w==").
+    * Non-canonical input → null (compose with toguid() to normalize). */
+  def guidToBase64(g: UTF8String): UTF8String = {
+    val s = g.toString
+    if (s.length != 36) return null
+    val hex = new Array[Int](32)
+    var hi = 0
+    var i = 0
+    while (i < 36) {
+      val c = s.charAt(i)
+      if (i == 8 || i == 13 || i == 18 || i == 23) { if (c != '-') return null }
+      else {
+        val v = if (c >= '0' && c <= '9') c - '0'
+                else if (c >= 'a' && c <= 'f') c - 'a' + 10
+                else return null
+        hex(hi) = v; hi += 1
+      }
+      i += 1
+    }
+    val out = new Array[Byte](16)
+    i = 0
+    while (i < 16) {
+      val src = GuidByteOrder(i)
+      out(i) = ((hex(2 * src) << 4) | hex(2 * src + 1)).toByte
+      i += 1
+    }
+    UTF8String.fromString(java.util.Base64.getEncoder.encodeToString(out))
+  }
+
+  /** base64_decode_toguid: inverse of [[guidToBase64]]; null when the
+    * input is not base64 of exactly 16 bytes. */
+  def base64ToGuid(s: UTF8String): UTF8String = {
+    val raw =
+      try java.util.Base64.getDecoder.decode(s.toString)
+      catch { case _: IllegalArgumentException => null }
+    if (raw == null || raw.length != 16) return null
+    val sb = new java.lang.StringBuilder(36)
+    var i = 0
+    while (i < 16) {
+      val b = raw(GuidByteOrder(i)) & 0xff
+      sb.append(Character.forDigit(b >> 4, 16)).append(Character.forDigit(b & 15, 16))
+      if (i == 3 || i == 5 || i == 7 || i == 9) sb.append('-')
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** to_utf8(s): the string's UTF-8 bytes as 0..255 longs — a flat
     * copy, since UTF8String's backing storage IS UTF-8. */
   def utf8Bytes(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
@@ -529,6 +582,38 @@ case class HashCombine(left: Expression, right: Expression)
 }
 
 /** unicode_codepoints_from_string(s): array of code points. */
+/** base64_encode_fromguid(g) → base64 of the guid's 16 .NET-ordered
+  * bytes. See [[TextHash.guidToBase64]]. */
+case class Base64FromGuid(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeGuards.requireString("base64_encode_fromguid", child)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.guidToBase64(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.TextHash.guidToBase64($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(newChild: Expression): Base64FromGuid = copy(child = newChild)
+}
+
+/** base64_decode_toguid(s) → canonical guid string, null on malformed
+  * base64 / wrong length. See [[TextHash.base64ToGuid]]. */
+case class Base64ToGuid(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeGuards.requireString("base64_decode_toguid", child)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.base64ToGuid(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.TextHash.base64ToGuid($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(newChild: Expression): Base64ToGuid = copy(child = newChild)
+}
+
 /** to_utf8(s) → the UTF-8 byte values of the string (dynamic array of
   * longs). See [[TextHash.utf8Bytes]]. */
 case class Utf8Bytes(child: Expression) extends UnaryExpression {

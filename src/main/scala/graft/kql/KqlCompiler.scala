@@ -3713,11 +3713,46 @@ object KqlCompiler {
       when(ipStr.rlike(s"^$oct(\\.$oct){3}$$"), v - pmod(v, block))
     }
 
+    /** ipv4_is_in_range / ipv4_is_in_any_range core: both sides masked
+      * to the range's /p (32 when absent); null when either side is
+      * malformed. */
+    private def ipv4InRangeCol(ipRaw: Column, range: Column): Column = {
+      val p = coalesce(
+        when(range.contains("/"), substring_index(range, "/", -1).cast("int")),
+        lit(32))
+      val base = ipv4WithPrefix(range, p)
+      val ip = ipv4WithPrefix(substring_index(ipRaw, "/", 1), p)
+      when(ip.isNull || base.isNull, lit(null).cast("boolean"))
+        .otherwise(ip === base)
+    }
+
+    /** ipv6_is_match / ipv6_is_in_range / ipv6_is_in_any_range core:
+      * effective prefix = min(arg prefix, either side's /p suffix,
+      * 128); compares the first p bits of the canonical nibble strings
+      * — whole nibbles by substring, the partial nibble by an exact
+      * power-of-two division. Null on malformed input or p ∉ [0,128]. */
+    private def ipv6MatchCol(rawA: Column, rawB: Column, pArg: Column): Column = {
+      def sfx(c: Column) =
+        when(c.contains("/"), substring_index(c, "/", -1).cast("int")).otherwise(lit(128))
+      val p = least(sfx(rawA), sfx(rawB), pArg)
+      val ha = regexp_replace(ipv6Canonical(substring_index(rawA, "/", 1)), ":", "")
+      val hb = regexp_replace(ipv6Canonical(substring_index(rawB, "/", 1)), ":", "")
+      val full = (p / 4).cast("int")
+      val rem = pmod(p, lit(4))
+      def nib(h: Column) = coalesce(
+        floor(conv(h.substr(full + 1, lit(1)), 16, 10).cast("double") /
+          pow(lit(2.0), (lit(4) - rem).cast("double"))).cast("long"), lit(0L))
+      when(ha.isNull || hb.isNull || p < 0 || p > 128, lit(null).cast("boolean"))
+        .otherwise(ha.substr(lit(1), full) === hb.substr(lit(1), full) &&
+          (rem === 0 || nib(ha) === nib(hb)))
+    }
+
     /** Canonical IPv6 form: lowercase, '::' expanded, every group
       * zero-padded to 4 hex digits ('2001:0db8:…', 39 chars). Null on
-      * malformed input. Documented subset: no embedded dotted-IPv4
-      * tail, no zone index — the hex-groups grammar. All codegen'd
-      * string/array ops, no UDF. */
+      * malformed input. Grammar: hex groups + an optional embedded
+      * dotted-IPv4 tail (round 15); zone indexes (`%eth0`) stay loudly
+      * null — Kusto rejects them too. All codegen'd string/array ops,
+      * no UDF. */
     private def ipv6Canonical(c: Column): Column = {
       val raw = lower(trim(c))
       // embedded dotted-IPv4 tail (`::ffff:192.168.1.1`, and the general
@@ -4577,6 +4612,19 @@ object KqlCompiler {
           val w = org.apache.spark.sql.expressions.Window.orderBy(e(df).asc)
           (if (dense) dense_rank() else rank()).over(w).cast("long")
         }
+      }
+      if (name == "column_ifexists") {
+        // column_ifexists('Name', default): the column when the input
+        // schema has it, else the default expression — resolved at
+        // COMPILE time against the operator's input (the Kusto
+        // contract: a schema probe, not a row-level fallback)
+        val t = next()
+        if (t.kind != "str")
+          throw new KqlParseException("column_ifexists() column name must be a string literal")
+        expect(",")
+        val defE = expr(); expect(")")
+        val nm = t.text
+        return df => if (df.columns.contains(nm)) df(nm) else defE(df)
       }
       if (name == "countof") {
         // countof(source, search[, kind]) — Kusto's documented split:
@@ -5519,6 +5567,18 @@ object KqlCompiler {
         case "array_length" => arity(1); df => size(args.head(df)).cast("long")
         case "base64_encode_tostring" => arity(1); df => base64(args.head(df).cast("binary"))
         case "base64_decode_tostring" => arity(1); df => unbase64(args.head(df)).cast("string")
+        // guid ⇄ base64 of the 16 .NET-ordered bytes (doc-vector-pinned
+        // byte order; see TextHash.guidToBase64)
+        case "base64_encode_fromguid" => arity(1); df => {
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.Base64FromGuid(
+            GraftColumnBridge.catalystExpression(args.head(df).cast("string"))))
+        }
+        case "base64_decode_toguid" => arity(1); df => {
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.Base64ToGuid(
+            GraftColumnBridge.catalystExpression(args.head(df).cast("string"))))
+        }
         // n-ary scalar min/max
         case "min_of" => df => least(args.map(_(df)): _*)
         case "max_of" => df => greatest(args.map(_(df)): _*)
@@ -5578,6 +5638,20 @@ object KqlCompiler {
             GraftColumnBridge.catalystExpression(args(0)(df).cast("string")),
             GraftColumnBridge.catalystExpression(args(1)(df).cast("double"))))
         }
+        // percentile_array_tdigest(sketch, p1, p2, …) — the array form:
+        // one sketch deserialization feeds every requested percentile
+        // read (Catalyst dedups the shared child), result is a dynamic
+        // array in argument order
+        case "percentile_array_tdigest" =>
+          if (args.length < 2)
+            throw new KqlParseException("percentile_array_tdigest() expects the sketch and at least one percentile")
+          df => {
+            import org.apache.spark.sql.GraftColumnBridge
+            val sk = args(0)(df).cast("string")
+            array(args.tail.map(p => GraftColumnBridge.column(graft.functions.PercentileTdigest(
+              GraftColumnBridge.catalystExpression(sk),
+              GraftColumnBridge.catalystExpression(p(df).cast("double"))))): _*)
+          }
         // rank_tdigest(sketch, v) — the ≤-count rank read (long),
         // QuantileSketchOps.rankLe pinned rule
         case "rank_tdigest" => arity(2); df => {
@@ -5702,16 +5776,20 @@ object KqlCompiler {
             else
               vals.map(v => array_contains(cands, v)).reduce(_ || _)
           }
-        case "ipv4_is_in_range" => arity(2); df => {
-          // ipv4_is_in_range(ip, 'base/p'): both sides masked to p
-          val range = args(1)(df)
-          val p = coalesce(
-            when(range.contains("/"), substring_index(range, "/", -1).cast("int")),
-            lit(32))
-          val base = ipv4WithPrefix(range, p)
-          val ip = ipv4WithPrefix(substring_index(args(0)(df), "/", 1), p)
-          when(ip.isNull || base.isNull, lit(null).cast("boolean"))
-            .otherwise(ip === base)
+        case "ipv4_is_in_range" => arity(2); df =>
+          ipv4InRangeCol(args(0)(df), args(1)(df))
+        // parse_ipv4_mask(ip, prefix): the address masked to the first
+        // `prefix` bits, as a long — the parse_ipv4 arithmetic with an
+        // explicit mask; an embedded '/q' suffix composes by the
+        // min-prefix rule (the ipv4_is_match stance); prefix outside
+        // 1..32 → null (documented range)
+        case "parse_ipv4_mask" => arity(2); df => {
+          val ip = args(0)(df)
+          val p = args(1)(df).cast("int")
+          val sfx = when(ip.contains("/"),
+            substring_index(ip, "/", -1).cast("int")).otherwise(lit(32))
+          when(p >= 1 && p <= 32,
+            ipv4WithPrefix(substring_index(ip, "/", 1), least(sfx, p)))
         }
         case "ipv4_compare" => arity(2); df => {
           val a = ipv4WithPrefix(args(0)(df), lit(32))
@@ -5759,25 +5837,28 @@ object KqlCompiler {
           else if (args.length < 2 || args.length > 3)
             throw new KqlParseException("ipv6_is_match() expects 2 or 3 arguments")
           df => {
-            // effective prefix = min(arg prefix, either side's /p
-            // suffix, 128); compare the first p bits of the canonical
-            // nibble strings — whole nibbles by substring, the partial
-            // nibble by an exact power-of-two division
-            val rawA = args(0)(df); val rawB = args(1)(df)
-            def sfx(c: Column) =
-              when(c.contains("/"), substring_index(c, "/", -1).cast("int")).otherwise(lit(128))
             val pArg = if (args.length == 3) args(2)(df).cast("int") else lit(128)
-            val p = least(sfx(rawA), sfx(rawB), pArg)
-            val ha = regexp_replace(ipv6Canonical(substring_index(rawA, "/", 1)), ":", "")
-            val hb = regexp_replace(ipv6Canonical(substring_index(rawB, "/", 1)), ":", "")
-            val full = (p / 4).cast("int")
-            val rem = pmod(p, lit(4))
-            def nib(h: Column) = coalesce(
-              floor(conv(h.substr(full + 1, lit(1)), 16, 10).cast("double") /
-                pow(lit(2.0), (lit(4) - rem).cast("double"))).cast("long"), lit(0L))
-            when(ha.isNull || hb.isNull || p < 0 || p > 128, lit(null).cast("boolean"))
-              .otherwise(ha.substr(lit(1), full) === hb.substr(lit(1), full) &&
-                (rem === 0 || nib(ha) === nib(hb)))
+            ipv6MatchCol(args(0)(df), args(1)(df), pArg)
+          }
+        // ipv6_is_in_any_range(ip, range1, range2, …): true if the ip
+        // prefix-matches ANY range; false if it matches none; null if
+        // the ip or every non-matching comparison is malformed (a TRUE
+        // match wins over another range's parse failure — the
+        // short-circuit Kusto documents)
+        case "ipv6_is_in_any_range" | "ipv4_is_in_any_range" =>
+          if (args.length < 2)
+            throw new KqlParseException(s"$name() expects the address and at least one range")
+          df => {
+            val per = args.tail.map { rB =>
+              if (name == "ipv6_is_in_any_range")
+                ipv6MatchCol(args(0)(df), rB(df), lit(128))
+              else ipv4InRangeCol(args(0)(df), rB(df))
+            }
+            val anyTrue = per.map(_ <=> lit(true)).reduce(_ || _)
+            val anyNull = per.map(_.isNull).reduce(_ || _)
+            when(anyTrue, lit(true))
+              .when(anyNull, lit(null).cast("boolean"))
+              .otherwise(lit(false))
           }
         case "ipv4_is_match" =>
           if (args.length < 2 || args.length > 3)

@@ -1630,6 +1630,32 @@ object KqlQueries extends QueryModule {
           case other => throw new IllegalArgumentException(other)
         })),
 
+    // stray ring 2 (round 15): ipv4/ipv6_is_in_any_range (TRUE-wins
+    // null semantics), parse_ipv4_mask (min-prefix composition with an
+    // embedded suffix), the guid⇄base64 pair (the .NET byte order the
+    // oracle reorders hex pairs to restate), column_ifexists (compile
+    // time schema probe — hit and miss), percentile_array_tdigest
+    // (array read ≡ scalar reads, gated as a boolean).
+    "q226_kql_text_strays2" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_id % 101 == 0
+          | | extend ip = strcat('10.', tostring(user_id % 250), '.', tostring(event_id % 256), '.9')
+          | | extend hx = strcat('000000000000', tohex(user_id * 65536 + event_id % 65536))
+          | | extend g = strcat('aaaaaaaa-bbbb-4ccc-8ddd-', substring(hx, strlen(hx) - 12, 12))
+          | | extend ge = base64_encode_fromguid(g)
+          | | extend any1 = ipv4_is_in_any_range(ip, '10.0.0.0/9', '10.128.0.0/9'),
+          |          any2 = ipv4_is_in_any_range(ip, '192.168.0.0/16', '172.16.0.0/12'),
+          |          any3 = isnull(ipv4_is_in_any_range(ip, 'not-an-ip')),
+          |          any6 = ipv6_is_in_any_range(strcat('2001:db8:', tostring(user_id % 10), '::1'), '2001:db8::/32', 'fe80::/10'),
+          |          m = parse_ipv4_mask(ip, 12),
+          |          grt = base64_decode_toguid(ge) == g,
+          |          ce = column_ifexists('event_type', 'x'),
+          |          cm = column_ifexists('missing_col', 'fallback')
+          | | project event_id, any1, any2, any3, any6, m, ge, grt, ce, cm
+          | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // geo ring 3 (round 15): S2 cells — Kusto's geo join/partition
     // keys. DuckDB can't compute S2 ids, so the gate rides invariants
     // the oracle CAN state (the q218 playbook): token length at a fixed
@@ -3478,6 +3504,28 @@ object KqlQueries extends QueryModule {
            UNION ALL
            SELECT CAST(-1 AS BIGINT), CAST(1 AS BIGINT))
          ORDER BY comp""",
+
+    // guid base64: DuckDB restates the .NET byte order by reordering
+    // the guid's hex pairs (3,2,1,0 / 5,4 / 7,6 / 8..15) before base64
+    "q226_kql_text_strays2" ->
+      """WITH b AS (
+           SELECT event_id,
+                  '10.' || CAST(user_id % 250 AS VARCHAR) || '.' ||
+                    CAST(event_id % 256 AS VARCHAR) || '.9' AS ip,
+                  10 * 16777216 + (user_id % 250) * 65536 + (event_id % 256) * 256 + 9 AS ipv,
+                  'aaaaaaaabbbb4ccc8ddd' || printf('%012x', user_id * 65536 + event_id % 65536) AS h
+           FROM events WHERE event_id % 101 = 0)
+         SELECT event_id,
+                TRUE AS any1, FALSE AS any2, TRUE AS any3, TRUE AS any6,
+                CAST(ipv - ipv % 1048576 AS BIGINT) AS m,
+                base64(from_hex(
+                  substr(h, 7, 2) || substr(h, 5, 2) || substr(h, 3, 2) || substr(h, 1, 2) ||
+                  substr(h, 11, 2) || substr(h, 9, 2) ||
+                  substr(h, 15, 2) || substr(h, 13, 2) ||
+                  substr(h, 17, 16))) AS ge,
+                TRUE AS grt, event_type AS ce, 'fallback' AS cm
+         FROM b JOIN events USING (event_id)
+         ORDER BY event_id""",
 
     // S2 invariants: every gate column collapses to a count the oracle
     // states exactly; distinct points computed independently in DuckDB

@@ -1819,6 +1819,46 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.isNullAt(4), "octet > 255 is loudly null")
   }
 
+  test("ip any-range, parse_ipv4_mask, guid base64 pair, column_ifexists, percentile_array_tdigest") {
+    val r = run(
+      """t | where id == 1 | project
+        |  a4 = ipv4_is_in_any_range('192.168.1.7', '10.0.0.0/8', '192.168.0.0/16'),
+        |  b4 = ipv4_is_in_any_range('8.8.8.8', '10.0.0.0/8', '192.168.0.0/16'),
+        |  n4 = ipv4_is_in_any_range('8.8.8.8', 'nope', '192.168.0.0/16'),
+        |  t4 = ipv4_is_in_any_range('192.168.1.7', 'nope', '192.168.0.0/16'),
+        |  a6 = ipv6_is_in_any_range('2001:db8::5', '2001:db8::/32', 'fe80::/10'),
+        |  b6 = ipv6_is_in_any_range('2001:db9::5', '2001:db8::/64', 'fe80::/10'),
+        |  m1 = parse_ipv4_mask('127.0.0.1', 24), m2 = parse_ipv4_mask('127.0.255.1/16', 24),
+        |  m3 = isnull(parse_ipv4_mask('1.2.3.4', 0)),
+        |  ge = base64_encode_fromguid('ae3133f2-6e22-49ae-b06a-16e6a9b212eb'),
+        |  gd = base64_decode_toguid('8jMxriJurkmwahbmqbIS6w=='),
+        |  gn = isnull(base64_decode_toguid('shortb64')),
+        |  ce = column_ifexists('status', 'fallback'), cm = column_ifexists('nope', strcat(name, '!'))""".stripMargin)
+      .head()
+    assert(r.getBoolean(0), "in the second range")
+    assert(!r.getBoolean(1), "in neither range")
+    assert(r.isNullAt(2), "malformed range + no match is null")
+    assert(r.getBoolean(3), "a TRUE match wins over another range's parse failure")
+    assert(r.getBoolean(4) && !r.getBoolean(5))
+    assert(r.getLong(6) == 2130706432L, "127.0.0.0")
+    assert(r.getLong(7) == 2130706432L,
+      "embedded /16 composes by min-prefix: 127.0.255.1/16 @24 is 127.0.0.0, not 127.0.255.0")
+    assert(r.getBoolean(8), "prefix 0 is outside the documented 1..32")
+    // the published doc vector for the .NET guid byte order, both ways
+    assert(r.getString(9) == "8jMxriJurkmwahbmqbIS6w==")
+    assert(r.getString(10) == "ae3133f2-6e22-49ae-b06a-16e6a9b212eb")
+    assert(r.getBoolean(11))
+    assert(r.getString(12) == "err-timeout" && r.getString(13) == "alpha!")
+    // percentile_array_tdigest: array reads equal the scalar reads
+    val pa = run(
+      """t | summarize s = tdigest(value)
+        | | project arr = percentile_array_tdigest(s, 25.0, 50.0, 75.0),
+        |           p25 = percentile_tdigest(s, 25.0), p50 = percentile_tdigest(s, 50.0),
+        |           p75 = percentile_tdigest(s, 75.0)""".stripMargin).head()
+    val arr = pa.getSeq[Double](0)
+    assert(arr == Seq(pa.getDouble(1), pa.getDouble(2), pa.getDouble(3)))
+  }
+
   test("geo_point_to_s2cell: published face/quadrant vectors, round trips, loud nulls") {
     // level-0 face cells — the published token vectors: face f id is
     // f<<61 | 1<<60, tokens 1/3/5/7/9/b for the six axis directions
