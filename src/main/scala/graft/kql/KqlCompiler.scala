@@ -3829,6 +3829,38 @@ object KqlCompiler {
         }), 1)
     }
 
+    /** Great-circle point-to-segment distance in meters (IUGG sphere):
+      * cross-track distance |asin(sin d13 · sin(θ13−θ12))|·R when the
+      * along-track projection falls inside the segment, else the
+      * distance to the nearer endpoint. asin/acos inputs clamped to
+      * [-1,1] (FP guard); a zero-length segment degenerates to the
+      * point distance. The exact op order is mirrored by the q227
+      * oracle — keep them in sync. */
+    private def segDistM(pLon: Column, pLat: Column, lon1: Column, lat1: Column,
+                         lon2: Column, lat2: Column): Column = {
+      val R = lit(6371009.0)
+      def ang(aLon: Column, aLat: Column, bLon: Column, bLat: Column): Column =
+        lit(2.0) * asin(sqrt(
+          pow(sin(radians(bLat - aLat) / 2), 2) +
+            cos(radians(aLat)) * cos(radians(bLat)) * pow(sin(radians(bLon - aLon) / 2), 2)))
+      def brg(aLon: Column, aLat: Column, bLon: Column, bLat: Column): Column =
+        atan2(
+          sin(radians(bLon - aLon)) * cos(radians(bLat)),
+          cos(radians(aLat)) * sin(radians(bLat)) -
+            sin(radians(aLat)) * cos(radians(bLat)) * cos(radians(bLon - aLon)))
+      val d13 = ang(lon1, lat1, pLon, pLat)
+      val d12 = ang(lon1, lat1, lon2, lat2)
+      val t13 = brg(lon1, lat1, pLon, pLat)
+      val t12 = brg(lon1, lat1, lon2, lat2)
+      val dxt = asin(greatest(lit(-1.0), least(lit(1.0), sin(d13) * sin(t13 - t12))))
+      val dat = acos(greatest(lit(-1.0), least(lit(1.0), cos(d13) / cos(dxt)))) *
+        signum(cos(t13 - t12))
+      when(d12 === 0.0, d13 * R)
+        .when(dat <= 0.0, d13 * R)
+        .when(dat >= d12, ang(lon2, lat2, pLon, pLat) * R)
+        .otherwise(abs(dxt) * R)
+    }
+
     private def haversineM(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column = {
       val dlat = radians(lat2 - lat1) / 2
       val dlon = radians(lon2 - lon1) / 2
@@ -5713,6 +5745,21 @@ object KqlCompiler {
             aggregate(zip_with(slice(c, lit(1), size(c) - 1), slice(c, lit(2), size(c) - 1),
               (a, b) => haversineM(geoPt(a, 1), geoPt(a, 2), geoPt(b, 1), geoPt(b, 2))),
               lit(0.0), (acc, x) => acc + x))
+        }
+        // geo_distance_point_to_line(lon, lat, line): min over the
+        // LineString's segments of the great-circle point-to-segment
+        // distance (see segDistM); malformed shape / out-of-range
+        // point → null — the geo family's loudly-null stance
+        case "geo_distance_point_to_line" => arity(3); df => {
+          val px = args(0)(df).cast("double"); val py = args(1)(df).cast("double")
+          val g = geoShape(args(2)(df), "ARRAY<ARRAY<DOUBLE>>")
+          val c = g.getField("coordinates")
+          when(g.getField("type") === "LineString" && size(c) >= 2 &&
+              px >= -180 && px <= 180 && py >= -90 && py <= 90,
+            aggregate(
+              zip_with(slice(c, lit(1), size(c) - 1), slice(c, lit(2), size(c) - 1),
+                (a, b) => segDistM(px, py, geoPt(a, 1), geoPt(a, 2), geoPt(b, 1), geoPt(b, 2))),
+              lit(Double.MaxValue), (acc, x) => least(acc, x)))
         }
         case "geo_polygon_perimeter" => arity(1); df => {
           val g = geoShape(args.head(df), "ARRAY<ARRAY<ARRAY<DOUBLE>>>")

@@ -1630,6 +1630,24 @@ object KqlQueries extends QueryModule {
           case other => throw new IllegalArgumentException(other)
         })),
 
+    // geo_distance_point_to_line at data scale (round 15): one fixed
+    // equator segment so the oracle can restate the cross-track /
+    // along-track spherical formulas term by term in the SAME IEEE op
+    // order (the q147/q220 bit-stability stance; round(,3) sits far
+    // above ulp noise). The grid spans both clamp branches (|px| > 20)
+    // and the interior cross-track branch.
+    "q227_kql_text_pt_to_line" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_id % 97 == 0
+          | | extend px = todouble(user_id % 80) - 40.0 + 0.5, py = todouble(event_id % 60) - 30.0 + 0.5
+          | | extend line = '{"type":"LineString","coordinates":[[-20.0,0.0],[20.0,0.0]]}'
+          | | extend d = round(geo_distance_point_to_line(px, py, line), 3) + 0.0,
+          |          bad = isnull(geo_distance_point_to_line(px, py, 'nope'))
+          | | project event_id, px, py, d, bad
+          | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // stray ring 2 (round 15): ipv4/ipv6_is_in_any_range (TRUE-wins
     // null semantics), parse_ipv4_mask (min-prefix composition with an
     // embedded suffix), the guid⇄base64 pair (the .NET byte order the
@@ -3504,6 +3522,44 @@ object KqlQueries extends QueryModule {
            UNION ALL
            SELECT CAST(-1 AS BIGINT), CAST(1 AS BIGINT))
          ORDER BY comp""",
+
+    // point-to-line: the cross-track/along-track formulas restated in
+    // the engine's exact op order (segDistM — keep in sync)
+    "q227_kql_text_pt_to_line" ->
+      """WITH e AS (
+           SELECT event_id,
+                  CAST(user_id % 80 AS DOUBLE) - 40.0 + 0.5 AS px,
+                  CAST(event_id % 60 AS DOUBLE) - 30.0 + 0.5 AS py
+           FROM events WHERE event_id % 97 = 0),
+         c AS (
+           SELECT event_id, px, py,
+             2*asin(sqrt(pow(sin(radians(py - 0.0)/2), 2) +
+               cos(radians(0.0))*cos(radians(py))*pow(sin(radians(px - (-20.0))/2), 2))) AS d13,
+             2*asin(sqrt(pow(sin(radians(0.0 - 0.0)/2), 2) +
+               cos(radians(0.0))*cos(radians(0.0))*pow(sin(radians(20.0 - (-20.0))/2), 2))) AS d12,
+             atan2(sin(radians(px - (-20.0)))*cos(radians(py)),
+               cos(radians(0.0))*sin(radians(py)) -
+               sin(radians(0.0))*cos(radians(py))*cos(radians(px - (-20.0)))) AS t13,
+             atan2(sin(radians(20.0 - (-20.0)))*cos(radians(0.0)),
+               cos(radians(0.0))*sin(radians(0.0)) -
+               sin(radians(0.0))*cos(radians(0.0))*cos(radians(20.0 - (-20.0)))) AS t12
+           FROM e),
+         dd AS (
+           SELECT *, asin(greatest(-1.0, least(1.0, sin(d13)*sin(t13 - t12)))) AS dxt FROM c),
+         f AS (
+           SELECT *, acos(greatest(-1.0, least(1.0, cos(d13)/cos(dxt)))) * sign(cos(t13 - t12)) AS dat
+           FROM dd),
+         g AS (
+           SELECT event_id, px, py,
+             CASE WHEN d12 = 0.0 THEN d13 * 6371009.0
+                  WHEN dat <= 0.0 THEN d13 * 6371009.0
+                  WHEN dat >= d12 THEN
+                    2*asin(sqrt(pow(sin(radians(py - 0.0)/2), 2) +
+                      cos(radians(0.0))*cos(radians(py))*pow(sin(radians(px - 20.0)/2), 2))) * 6371009.0
+                  ELSE abs(dxt) * 6371009.0 END AS dist
+           FROM f)
+         SELECT event_id, px, py, round(dist, 3) + 0.0 AS d, TRUE AS bad
+         FROM g ORDER BY event_id""",
 
     // guid base64: DuckDB restates the .NET byte order by reordering
     // the guid's hex pairs (3,2,1,0 / 5,4 / 7,6 / 8..15) before base64

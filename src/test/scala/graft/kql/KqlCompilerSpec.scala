@@ -1859,6 +1859,32 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(arr == Seq(pa.getDouble(1), pa.getDouble(2), pa.getDouble(3)))
   }
 
+  test("geo_distance_point_to_line: cross-track, endpoint clamp, multi-segment min, nulls") {
+    val r = run(
+      """t | where id == 1
+        | | extend eq = '{"type":"LineString","coordinates":[[-10.0,0.0],[10.0,0.0]]}'
+        | | project
+        |  xt = geo_distance_point_to_line(0.0, 1.0, eq),
+        |  on_line = geo_distance_point_to_line(3.0, 0.0, eq),
+        |  past_end = geo_distance_point_to_line(15.0, 2.0, eq),
+        |  end_ref = geo_distance_2points(15.0, 2.0, 10.0, 0.0),
+        |  before_start = geo_distance_point_to_line(-15.0, 2.0, eq),
+        |  start_ref = geo_distance_2points(-15.0, 2.0, -10.0, 0.0),
+        |  multi = geo_distance_point_to_line(0.0, 1.0,
+        |    '{"type":"LineString","coordinates":[[-10.0,50.0],[10.0,50.0],[-10.0,0.0],[10.0,0.0]]}'),
+        |  bad = isnull(geo_distance_point_to_line(0.0, 1.0, 'nope')),
+        |  badp = isnull(geo_distance_point_to_line(200.0, 1.0, eq))""".stripMargin).head()
+    // cross-track to the equator great circle = the latitude arc
+    // exactly: 1° · (π/180) · 6371009 m
+    val oneDeg = math.toRadians(1.0) * 6371009.0
+    assert(math.abs(r.getDouble(0) - oneDeg) < 1e-3, s"cross-track ${r.getDouble(0)} vs $oneDeg")
+    assert(r.getDouble(1) == 0.0, "a point on the segment is at distance 0")
+    assert(r.getDouble(2) == r.getDouble(3), "past the end clamps to the end point distance")
+    assert(r.getDouble(4) == r.getDouble(5), "before the start clamps to the start point distance")
+    assert(r.getDouble(6) == r.getDouble(0), "multi-segment takes the min (the far northern legs lose)")
+    assert(r.getBoolean(7) && r.getBoolean(8))
+  }
+
   test("geo_point_to_s2cell: published face/quadrant vectors, round trips, loud nulls") {
     // level-0 face cells — the published token vectors: face f id is
     // f<<61 | 1<<60, tokens 1/3/5/7/9/b for the six axis directions
