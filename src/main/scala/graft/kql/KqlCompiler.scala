@@ -5368,6 +5368,9 @@ object KqlCompiler {
           approx_count_distinct(args.head(df), rsd(t.toInt))
         }
         case "dcount" => arity(1); df => countDistinct(args.head(df))
+        // count_distinct(x): Kusto's EXACT distinct-count aggregate —
+        // the same lowering as 1-arg dcount (already exact here)
+        case "count_distinct" => arity(1); df => countDistinct(args.head(df))
         // hll()/hll_merge()/dcount_hll(): Kusto's mergeable cardinality
         // sketches → Spark's DataSketches HLL functions. The sketch is
         // an opaque binary column exactly as in Kusto; merge composes

@@ -56,9 +56,15 @@ object StronglyConnected {
       .where(F.col("src").isNotNull && F.col("dst").isNotNull)
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // every intermediate frame in the round loop is marked for LAZY
+    // localCheckpoint: the round-gate count() (and the label fixpoint's
+    // own probes) materialize the whole pending chain in ONE job while
+    // still truncating lineage — the round-15 driver-round-trip
+    // discipline (the q41/minAncestor batching, applied to the outer
+    // loop: ~3 driver actions per round instead of ~9)
     var active = e0.select(F.col("src").as("node"))
       .union(e0.select(F.col("dst").as("node")))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(eager = false)
     var eAct = e0
     val parts = scala.collection.mutable.Buffer.empty[DataFrame]
     var round = 0
@@ -78,28 +84,28 @@ object StronglyConnected {
         .union(active.join(hasOut, Seq("node"), "left_anti"))
         .distinct()
         .select(F.col("node"), F.col("node").as("comp"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       parts += trimmed
       active = active.join(trimmed.select("node"), Seq("node"), "left_anti")
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       eAct = eAct
         .join(active.select(F.col("node").as("src")), Seq("src"), "left_semi")
         .join(active.select(F.col("node").as("dst")), Seq("dst"), "left_semi")
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       // 2-3. min-anchor labels both ways; agreeing nodes peel as SCCs
       val fwd = minAncestor(eAct, active, forward = true, out = "lbl_f")
       val bwd = minAncestor(eAct, active, forward = false, out = "lbl_b")
       val scc = fwd.join(bwd, Seq("node"))
         .where(F.col("lbl_f") === F.col("lbl_b"))
         .select(F.col("node"), F.col("lbl_f").as("comp"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       parts += scc
       active = active.join(scc.select("node"), Seq("node"), "left_anti")
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       eAct = eAct
         .join(active.select(F.col("node").as("src")), Seq("src"), "left_semi")
         .join(active.select(F.col("node").as("dst")), Seq("dst"), "left_semi")
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     e0.unpersist()
     // edge-free graph: no endpoints, empty (node, comp) result with the
