@@ -1876,6 +1876,63 @@ object KqlCompiler {
             axis.join(counts, Seq("__au_k"), "left")
               .select(timestamp_micros(col("__au_k") * lit(binUs)).as(tsCol),
                 coalesce(col("__au_d"), lit(0L)).as("dcount"))
+          case "activity_metrics" =>
+            // activity_metrics(IdCol, TimelineCol, Start, End, Window)
+            // — per window: distinct active ids, distinct FIRST-seen ids
+            // (within the [Start, End] slice, the counts-metrics
+            // stance), and the backward-looking retention/churn pair
+            // PINNED as retention(t) = |A(t) ∩ A(t−1)| / |A(t−1)|,
+            // churn(t) = 1 − retention(t); 0.0 when the previous window
+            // is empty or absent (first window). Scale shape: ONE
+            // distinct (id, bin) aggregate, the retained/new flags ride
+            // ONE id-keyed window (lag/row_number share it — a node's
+            // previous ACTIVE bin being t−1 is exactly membership in
+            // A(t)∩A(t−1)), one bin hash agg, and an unkeyed lag over
+            // the ≤1e6-row AXIS only — never a self-join, never a
+            // data-sized window.
+            val idCol = ident(); expect(",")
+            val tsCol = ident(); expect(",")
+            val startI = pluginDatetime(); expect(",")
+            val endI = pluginDatetime(); expect(",")
+            val binUs = timespanMicros()
+            expect(")")
+            if (binUs <= 0)
+              throw new KqlParseException("activity_metrics: window must be positive")
+            val startB = Math.floorDiv(startI.getEpochSecond * 1000000L + startI.getNano / 1000L, binUs)
+            val endB = Math.floorDiv(endI.getEpochSecond * 1000000L + endI.getNano / 1000L, binUs)
+            if (endB < startB || endB - startB > 1000000L)
+              throw new KqlParseException("activity_metrics: bad axis (empty or > 1e6 bins)")
+            val acts = df.select(col(idCol).as("__am_id"),
+                floor(unix_micros(col(tsCol)) / lit(binUs.toDouble)).cast("long").as("__am_b"))
+              .where(col("__am_b").between(startB, endB))
+              .distinct()
+            val wId = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("__am_id")).orderBy(col("__am_b").asc)
+            val flagged = acts.select(col("__am_b"),
+              (lag(col("__am_b"), 1).over(wId) === col("__am_b") - 1).as("__am_ret"),
+              (row_number().over(wId) === 1).as("__am_new"))
+            val perBin = flagged.groupBy(col("__am_b")).agg(
+              count(lit(1)).as("__am_d"),
+              count(when(col("__am_ret"), lit(1))).as("__am_r"),
+              count(when(col("__am_new"), lit(1))).as("__am_n"))
+            val wAxis = org.apache.spark.sql.expressions.Window.orderBy(col("__am_axis"))
+            df.sparkSession.range(startB, endB + 1).toDF("__am_axis")
+              .join(perBin, col("__am_axis") === col("__am_b"), "left")
+              .select(col("__am_axis"),
+                coalesce(col("__am_d"), lit(0L)).as("__am_d"),
+                coalesce(col("__am_r"), lit(0L)).as("__am_r"),
+                coalesce(col("__am_n"), lit(0L)).as("__am_n"))
+              .withColumn("__am_prevd", lag(col("__am_d"), 1).over(wAxis))
+              .select(
+                timestamp_micros(col("__am_axis") * lit(binUs)).as(tsCol),
+                col("__am_d").as("dcount_values"),
+                col("__am_n").as("dcount_newvalues"),
+                when(coalesce(col("__am_prevd"), lit(0L)) === 0L, lit(0.0))
+                  .otherwise(col("__am_r").cast("double") / col("__am_prevd"))
+                  .as("retention_rate"),
+                when(coalesce(col("__am_prevd"), lit(0L)) === 0L, lit(0.0))
+                  .otherwise((col("__am_prevd") - col("__am_r")).cast("double") / col("__am_prevd"))
+                  .as("churn_rate"))
           case "new_activity_metrics" =>
             // new_activity_metrics(IdCol, TimelineCol, Start, End, Bin)
             // — Kusto's cohort retention/churn matrix: the cohort NEW at

@@ -1630,6 +1630,19 @@ object KqlQueries extends QueryModule {
           case other => throw new IllegalArgumentException(other)
         })),
 
+    // activity_metrics (round 15): the last activity-family plugin —
+    // per 1d window the distinct/new id counts and the pinned
+    // backward-looking retention/churn pair (|A(t)∩A(t−1)|/|A(t−1)|).
+    // Oracle rebuilds the same flags with SQL windows.
+    "q228_kql_text_activity_full" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | evaluate activity_metrics(user_id, ts, datetime(2024-01-05), datetime(2024-01-25), 1d)
+          | | project ts, dcount_values, dcount_newvalues,
+          |           rr = round(retention_rate, 6), cr = round(churn_rate, 6)
+          | | order by ts asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // geo_distance_point_to_line at data scale (round 15): one fixed
     // equator segment so the oracle can restate the cross-track /
     // along-track spherical formulas term by term in the SAME IEEE op
@@ -3522,6 +3535,37 @@ object KqlQueries extends QueryModule {
            UNION ALL
            SELECT CAST(-1 AS BIGINT), CAST(1 AS BIGINT))
          ORDER BY comp""",
+
+    // activity_metrics: days 19727..19747 (2024-01-05..2024-01-25);
+    // retained(t) = ids whose previous active day is exactly t-1
+    "q228_kql_text_activity_full" ->
+      """WITH acts AS (
+           SELECT DISTINCT user_id AS id, epoch_us(ts) // 86400000000 AS b
+           FROM events),
+         sl AS (SELECT * FROM acts WHERE b BETWEEN 19727 AND 19747),
+         f AS (
+           SELECT b,
+                  lag(b) OVER (PARTITION BY id ORDER BY b) AS pb,
+                  row_number() OVER (PARTITION BY id ORDER BY b) AS rn
+           FROM sl),
+         per AS (
+           SELECT b, count(1) AS d,
+                  count(CASE WHEN pb = b - 1 THEN 1 END) AS r,
+                  count(CASE WHEN rn = 1 THEN 1 END) AS n
+           FROM f GROUP BY b),
+         axis AS (SELECT r.range AS t FROM range(19727, 19748) r),
+         j AS (
+           SELECT t, coalesce(d, 0) AS d, coalesce(r, 0) AS r, coalesce(n, 0) AS n
+           FROM axis LEFT JOIN per ON t = b),
+         w AS (SELECT *, lag(d) OVER (ORDER BY t) AS prevd FROM j)
+         SELECT make_timestamp(t * 86400000000) AS ts,
+                CAST(d AS BIGINT) AS dcount_values,
+                CAST(n AS BIGINT) AS dcount_newvalues,
+                CASE WHEN coalesce(prevd, 0) = 0 THEN 0.0
+                     ELSE round(r / CAST(prevd AS DOUBLE), 6) + 0.0 END AS rr,
+                CASE WHEN coalesce(prevd, 0) = 0 THEN 0.0
+                     ELSE round((prevd - r) / CAST(prevd AS DOUBLE), 6) + 0.0 END AS cr
+         FROM w ORDER BY ts""",
 
     // point-to-line: the cross-track/along-track formulas restated in
     // the engine's exact op order (segDistM — keep in sync)
