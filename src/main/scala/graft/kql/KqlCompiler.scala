@@ -5671,6 +5671,37 @@ object KqlCompiler {
           GraftColumnBridge.column(graft.functions.Base64ToGuid(
             GraftColumnBridge.catalystExpression(args.head(df).cast("string"))))
         }
+        // new_guid(): one random v4 guid per row (Spark's uuid —
+        // nondeterministic by contract, so spec-gated on shape only)
+        case "new_guid" => arity(0); _ => org.apache.spark.sql.functions.expr("uuid()")
+        // isutf8(s): engine strings are structurally valid UTF-8
+        // (UTF8String), as in Kusto — true for any non-null string
+        case "isutf8" => arity(1); df => args.head(df).cast("string").isNotNull
+        // has_any_index(source, values): 0-based index of the FIRST
+        // value that whole-term-matches the source (the `has` stance:
+        // case-insensitive word-boundary); -1 when none match or the
+        // array is empty/null
+        case "has_any_index" => arity(2); df => {
+          val src = args(0)(df)
+          // dynamic IS JSON text in this engine — parse string-typed
+          // args to the string array; pass real arrays through
+          val valsRaw = args(1)(df)
+          val vals = dataTypeOf(df, valsRaw) match {
+            case Some(org.apache.spark.sql.types.StringType) =>
+              from_json(valsRaw, org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.StringType))
+            case _ => valsRaw
+          }
+          val indexed = zip_with(vals, sequence(lit(0), greatest(size(vals) - 1, lit(0))),
+            (v, i) => struct(i.as("i"), v.as("v")))
+          val matched = filter(indexed, s =>
+            regexp_like(src, concat(lit("(?i)\\b"),
+              regexp_replace(s.getField("v").cast("string"),
+                lit("([^a-zA-Z0-9])"), lit("\\\\$1")), lit("\\b"))))
+          when(size(vals) <= 0, lit(-1L))
+            .otherwise(coalesce(
+              try_element_at(matched, lit(1)).getField("i").cast("long"), lit(-1L)))
+        }
         // n-ary scalar min/max
         case "min_of" => df => least(args.map(_(df)): _*)
         case "max_of" => df => greatest(args.map(_(df)): _*)

@@ -1859,6 +1859,23 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(arr == Seq(pa.getDouble(1), pa.getDouble(2), pa.getDouble(3)))
   }
 
+  test("new_guid shape, isutf8, has_any_index") {
+    val r = run(
+      """t | where id == 1 | project
+        |  g1 = new_guid(), g2 = new_guid(),
+        |  u = isutf8(status), un = isutf8(tostring(split(status, '-', 9))),
+        |  h0 = has_any_index('this is an example', dynamic(['this', 'example'])),
+        |  h1 = has_any_index('this is an example', dynamic(['not', 'example'])),
+        |  hn = has_any_index('this is an example', dynamic(['nope', 'nada'])),
+        |  he = has_any_index('x', dynamic([]))""".stripMargin).head()
+    assert(r.getString(0).matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"))
+    assert(r.getString(0) != r.getString(1), "two calls yield distinct guids")
+    assert(r.getBoolean(2))
+    assert(r.getLong(4) == 0L, "first value matching wins: index 0")
+    assert(r.getLong(5) == 1L, "'example' is at index 1")
+    assert(r.getLong(6) == -1L && r.getLong(7) == -1L)
+  }
+
   test("geo_distance_point_to_line: cross-track, endpoint clamp, multi-segment min, nulls") {
     val r = run(
       """t | where id == 1
