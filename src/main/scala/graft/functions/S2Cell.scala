@@ -115,6 +115,106 @@ object S2CellOps {
   private def isValidId(id: Long): Boolean =
     (id >>> 61) <= 5 && ((id & -id) & 0x1555555555555555L) != 0
 
+  private def faceUVtoXYZ(face: Int, u: Double, v: Double): (Double, Double, Double) =
+    face match {
+      case 0 => (1.0, u, v)
+      case 1 => (-u, 1.0, v)
+      case 2 => (-u, -v, 1.0)
+      case 3 => (-1.0, -v, -u)
+      case 4 => (v, -1.0, -u)
+      case _ => (v, u, -1.0)
+    }
+
+  private def xyzToFaceUV(x: Double, y: Double, z: Double): (Int, Double, Double) = {
+    val ax = math.abs(x); val ay = math.abs(y); val az = math.abs(z)
+    val axis = if (ax > ay) { if (ax > az) 0 else 2 } else { if (ay > az) 1 else 2 }
+    val comp = if (axis == 0) x else if (axis == 1) y else z
+    val face = if (comp < 0) axis + 3 else axis
+    face match {
+      case 0 => (0, y / x, z / x)
+      case 1 => (1, -x / y, z / y)
+      case 2 => (2, -x / z, -y / z)
+      case 3 => (3, z / x, y / x)
+      case 4 => (4, z / y, -x / y)
+      case _ => (5, -y / z, -x / z)
+    }
+  }
+
+  /** (face, leaf-i, leaf-j) of the id's bit pattern. */
+  private def toFaceIJ(id: Long): (Int, Int, Int) = {
+    val face = (id >>> 61).toInt
+    var bits = face & SwapMask
+    var i = 0; var j = 0
+    var k = 7
+    while (k >= 0) {
+      val nbits = if (k == 7) MaxLevel - 7 * LookupBits else LookupBits
+      bits += ((id >>> (k * 2 * LookupBits + 1)).toInt & ((1 << (2 * nbits)) - 1)) << 2
+      bits = lookupIJ(bits)
+      i += (bits >> (LookupBits + 2)) << (k * LookupBits)
+      j += ((bits >> 2) & ((1 << LookupBits) - 1)) << (k * LookupBits)
+      bits &= (SwapMask | InvertMask)
+      k -= 1
+    }
+    (face, i, j)
+  }
+
+  /** Published FromFaceIJWrap: out-of-face (i,j) re-projected through
+    * the LINEAR st↦uv mapping (exact inverse pair, so in-face inputs
+    * round-trip bit-identically) and the cube geometry onto the
+    * adjacent face. */
+  private def fromFaceIJWrap(faceIn: Int, iIn: Int, jIn: Int): Long = {
+    val kMax = 1 << MaxLevel
+    val i = math.max(-1, math.min(kMax, iIn))
+    val j = math.max(-1, math.min(kMax, jIn))
+    val kScale = 1.0 / kMax
+    val kLimit = 1.0 + 2.220446049250313e-16
+    val u = math.max(-kLimit, math.min(kLimit, kScale * (2.0 * (i - kMax / 2) + 1.0)))
+    val v = math.max(-kLimit, math.min(kLimit, kScale * (2.0 * (j - kMax / 2) + 1.0)))
+    val (x, y, z) = faceUVtoXYZ(faceIn, u, v)
+    val (f2, u2, v2) = xyzToFaceUV(x, y, z)
+    def stToIJlin(s: Double): Int =
+      math.max(0, math.min(kMax - 1, Math.round(kMax * s - 0.5).toInt))
+    fromFaceIJ(f2, stToIJlin(0.5 * (u2 + 1.0)), stToIJlin(0.5 * (v2 + 1.0)))
+  }
+
+  /** geo_s2cell_neighbors(token): the 8 same-level neighbors (edge +
+    * vertex; 7 distinct at cube corners — deduped, algorithm order),
+    * crossing cube faces via fromFaceIJWrap — the published
+    * AppendAllNeighbors walk. Null on malformed tokens. */
+  def neighbors(tok: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val id = tokenToId(tok.toString)
+    if (id == 0L || !isValidId(id)) return null
+    val level = MaxLevel - (java.lang.Long.numberOfTrailingZeros(id) >> 1)
+    val size = 1 << (MaxLevel - level)
+    val kMax = 1 << MaxLevel
+    val (face, i0, j0) = toFaceIJ(id)
+    val i = i0 & -size
+    val j = j0 & -size
+    val lsb = 1L << (2 * (MaxLevel - level))
+    def nbr(cond: Boolean, ii: Int, jj: Int): Long = {
+      val leaf = if (cond) fromFaceIJ(face, ii, jj) else fromFaceIJWrap(face, ii, jj)
+      (leaf & -lsb) | lsb
+    }
+    val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+    var k = -size
+    var done = false
+    while (!done) {
+      val sameFace =
+        if (k < 0) j + k >= 0
+        else if (k >= size) j + k < kMax
+        else true
+      if (k >= 0 && k < size) {
+        out += nbr(j - size >= 0, i + k, j - size)
+        out += nbr(j + size < kMax, i + k, j + size)
+      }
+      out += nbr(sameFace && i - size >= 0, i - size, j + k)
+      out += nbr(sameFace && i + size < kMax, i + size, j + k)
+      if (k >= size) done = true else k += size
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      out.toArray.map(n => UTF8String.fromString(idToToken(n))))
+  }
+
   /** Encode: token of the level-`level` cell containing (lon, lat);
     * null for out-of-range coordinates or level (0..30). */
   def token(lonDeg: Double, latDeg: Double, level: Int): UTF8String = {
@@ -157,19 +257,7 @@ object S2CellOps {
   def centralPoint(tok: UTF8String): UTF8String = {
     val id = tokenToId(tok.toString)
     if (id == 0L || !isValidId(id)) return null
-    val face = (id >>> 61).toInt
-    var bits = face & SwapMask
-    var i = 0; var j = 0
-    var k = 7
-    while (k >= 0) {
-      val nbits = if (k == 7) MaxLevel - 7 * LookupBits else LookupBits
-      bits += ((id >>> (k * 2 * LookupBits + 1)).toInt & ((1 << (2 * nbits)) - 1)) << 2
-      bits = lookupIJ(bits)
-      i += (bits >> (LookupBits + 2)) << (k * LookupBits)
-      j += ((bits >> 2) & ((1 << LookupBits) - 1)) << (k * LookupBits)
-      bits &= (SwapMask | InvertMask)
-      k -= 1
-    }
+    val (face, i, j) = toFaceIJ(id)
     // center offset in (si, ti) half-leaf units: leaf centers sit at
     // odd si; a non-leaf cell's center depends on the curve parity
     val delta =
@@ -217,6 +305,24 @@ case class S2CellToken(left: Expression, right: Expression, level: Int)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): S2CellToken =
     copy(left = newLeft, right = newRight)
+}
+
+/** geo_s2cell_neighbors(token) → dynamic array of the same-level
+  * neighbor tokens (8; 7 distinct at cube corners). */
+case class S2CellNeighbors(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeGuards.requireString("geo_s2cell_neighbors", child)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(a: Any): Any =
+    S2CellOps.neighbors(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.S2CellOps.neighbors($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(newChild: Expression): S2CellNeighbors =
+    copy(child = newChild)
 }
 
 /** geo_s2cell_to_central_point(token) → GeoJSON point at the cell

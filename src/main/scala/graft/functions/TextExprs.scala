@@ -29,6 +29,50 @@ object TextHash extends Serializable {
 
   /** Code points of a string (supplementary-plane exact — Spark's own
     * chr() is mod-256 ASCII, hence the native). */
+  /** parse_command_line(s, 'windows'): the documented Windows
+    * CommandLineToArgvW tokenization — whitespace-delimited args; a
+    * double-quoted span is one arg; 2n backslashes before a quote
+    * collapse to n with the quote acting as delimiter, 2n+1 produce n
+    * plus a literal quote; `""` inside a quoted span is a literal
+    * quote; backslashes not before a quote are literal. Empty/blank
+    * input → empty array. */
+  def parseCommandLine(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val str = s.toString
+    val args = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    val cur = new java.lang.StringBuilder
+    var inQ = false
+    var started = false
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val c = str.charAt(i)
+      if (c == '\\') {
+        var nb = 0
+        while (i < n && str.charAt(i) == '\\') { nb += 1; i += 1 }
+        if (i < n && str.charAt(i) == '"') {
+          var k = 0
+          while (k < nb / 2) { cur.append('\\'); k += 1 }
+          if (nb % 2 == 1) { cur.append('"'); i += 1 }
+        } else {
+          var k = 0
+          while (k < nb) { cur.append('\\'); k += 1 }
+        }
+        started = true
+      } else if (c == '"') {
+        if (inQ && i + 1 < n && str.charAt(i + 1) == '"') { cur.append('"'); i += 2 }
+        else { inQ = !inQ; i += 1 }
+        started = true
+      } else if (!inQ && (c == ' ' || c == '\t')) {
+        if (started) { args += UTF8String.fromString(cur.toString); cur.setLength(0); started = false }
+        i += 1
+      } else {
+        cur.append(c); i += 1; started = true
+      }
+    }
+    if (started) args += UTF8String.fromString(cur.toString)
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(args.toArray)
+  }
+
   // .NET Guid.ToByteArray order (data1/2/3 little-endian, data4 big) —
   // the wire form Kusto's base64_encode_fromguid documents; the block
   // swaps are involutions, so the same table decodes
@@ -582,6 +626,19 @@ case class HashCombine(left: Expression, right: Expression)
 }
 
 /** unicode_codepoints_from_string(s): array of code points. */
+/** parse_command_line(s, 'windows') → argv array. See
+  * [[TextHash.parseCommandLine]]. */
+case class ParseCommandLine(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeGuards.requireString("parse_command_line", child)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.parseCommandLine(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.parseCommandLine($c)")
+  override protected def withNewChildInternal(newChild: Expression): ParseCommandLine = copy(child = newChild)
+}
+
 /** base64_encode_fromguid(g) → base64 of the guid's 16 .NET-ordered
   * bytes. See [[TextHash.guidToBase64]]. */
 case class Base64FromGuid(child: Expression) extends UnaryExpression {

@@ -4387,6 +4387,25 @@ object KqlCompiler {
         val src = expr(); expect(")")
         return df => regexp_extract(src(df), r.text, group)
       }
+      if (name == "extract_groups") {
+        // extract_groups(regex, source): ALL capture groups of the
+        // first match as a dynamic string array; null when no match.
+        // Regex is a parse-time literal (the extract/countof stance),
+        // so the group count unrolls to one regexp_extract per group —
+        // Catalyst dedups the shared pattern probe.
+        val r = next()
+        if (r.kind != "str") throw new KqlParseException("extract_groups() regex must be a string literal")
+        expect(",")
+        val src = expr(); expect(")")
+        val nGroups = java.util.regex.Pattern.compile(r.text).matcher("").groupCount()
+        if (nGroups < 1)
+          throw new KqlParseException("extract_groups() regex must declare at least one capture group")
+        return df => {
+          val s = src(df)
+          when(regexp_like(s, lit(r.text)),
+            array((1 to nGroups).map(g => regexp_extract(s, r.text, g)): _*))
+        }
+      }
       if (name == "extract_all") {
         // extract_all(regex, source): array of every match — of capture
         // group 1 when the regex declares groups, of the whole match
@@ -4568,6 +4587,26 @@ object KqlCompiler {
             GraftColumnBridge.catalystExpression(e(df).cast("string"))))
         }
       }
+      if (name == "geo_s2cell_neighbors") {
+        // the 8 same-level neighbors (7 distinct at cube corners),
+        // crossing faces via the published FromFaceIJWrap walk
+        val e = expr(); expect(")")
+        return df => {
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.S2CellNeighbors(
+            GraftColumnBridge.catalystExpression(e(df).cast("string"))))
+        }
+      }
+      if (name == "geo_geohash_neighbors") {
+        // up-to-8 surrounding cells at the same precision (lon wraps,
+        // pole neighbors dropped — pinned)
+        val e = expr(); expect(")")
+        return df => {
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.GeohashNeighbors(
+            GraftColumnBridge.catalystExpression(e(df).cast("string"))))
+        }
+      }
       if (name == "percentile") {
         // percentile(col, P) — exact interpolated percentile (an exactness
         // upgrade over Kusto's T-digest approximation; same interpolation
@@ -4702,18 +4741,22 @@ object KqlCompiler {
           (if (dense) dense_rank() else rank()).over(w).cast("long")
         }
       }
-      if (name == "column_ifexists") {
-        // column_ifexists('Name', default): the column when the input
-        // schema has it, else the default expression — resolved at
-        // COMPILE time against the operator's input (the Kusto
-        // contract: a schema probe, not a row-level fallback)
+      if (name == "parse_command_line") {
+        // parse_command_line(cmd, 'windows'): CommandLineToArgvW argv
+        // split — parser type is a parse-time literal and 'windows' is
+        // the only type Kusto documents (loud otherwise); one native
+        // codegen'd expression, TextHash.parseCommandLine has the
+        // pinned quote/backslash rules
+        val src = expr(); expect(",")
         val t = next()
-        if (t.kind != "str")
-          throw new KqlParseException("column_ifexists() column name must be a string literal")
-        expect(",")
-        val defE = expr(); expect(")")
-        val nm = t.text
-        return df => if (df.columns.contains(nm)) df(nm) else defE(df)
+        if (t.kind != "str" || t.text != "windows")
+          throw new KqlParseException("parse_command_line() parser type must be the literal 'windows'")
+        expect(")")
+        return df => {
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.ParseCommandLine(
+            GraftColumnBridge.catalystExpression(src(df).cast("string"))))
+        }
       }
       if (name == "countof") {
         // countof(source, search[, kind]) — Kusto's documented split:
@@ -5851,6 +5894,64 @@ object KqlCompiler {
               zip_with(slice(c, lit(1), size(c) - 1), slice(c, lit(2), size(c) - 1),
                 (a, b) => segDistM(px, py, geoPt(a, 1), geoPt(a, 2), geoPt(b, 1), geoPt(b, 2))),
               lit(Double.MaxValue), (acc, x) => least(acc, x)))
+        }
+        // geo_line_centroid(line): segment-LENGTH-weighted average of
+        // segment midpoints (haversine weights — the engine's pinned
+        // length measure; planar lon/lat midpoints, the documented
+        // no-antimeridian subset of the geo ring). Zero total length
+        // (degenerate line) → the first vertex.
+        case "geo_line_centroid" => arity(1); df => {
+          val g = geoShape(args.head(df), "ARRAY<ARRAY<DOUBLE>>")
+          val c = g.getField("coordinates")
+          val segs = zip_with(slice(c, lit(1), size(c) - 1), slice(c, lit(2), size(c) - 1),
+            (a, b) => struct(
+              haversineM(geoPt(a, 1), geoPt(a, 2), geoPt(b, 1), geoPt(b, 2)).as("w"),
+              ((geoPt(a, 1) + geoPt(b, 1)) / 2).as("mx"),
+              ((geoPt(a, 2) + geoPt(b, 2)) / 2).as("my")))
+          val acc = aggregate(segs,
+            struct(lit(0.0).as("w"), lit(0.0).as("x"), lit(0.0).as("y")),
+            (s, e) => struct(
+              (s.getField("w") + e.getField("w")).as("w"),
+              (s.getField("x") + e.getField("w") * e.getField("mx")).as("x"),
+              (s.getField("y") + e.getField("w") * e.getField("my")).as("y")))
+          def pt(x: Column, y: Column) = concat(
+            lit("{\"type\":\"Point\",\"coordinates\":["), x.cast("string"),
+            lit(","), y.cast("string"), lit("]}"))
+          when(g.getField("type") === "LineString" && size(c) >= 2,
+            when(acc.getField("w") > 0,
+              pt(acc.getField("x") / acc.getField("w"), acc.getField("y") / acc.getField("w")))
+              .otherwise(pt(geoPt(element_at(c, 1), 1), geoPt(element_at(c, 1), 2))))
+        }
+        // geo_polygon_centroid(polygon): planar shoelace centroid over
+        // lon/lat, SIGNED ring sums so GeoJSON-oriented holes (CW vs
+        // the CCW exterior) subtract naturally; Cx = Σ(xᵢ+xᵢ₊₁)·crossᵢ
+        // / (3·Σcross). Degenerate zero signed area → null.
+        case "geo_polygon_centroid" => arity(1); df => {
+          val g = geoShape(args.head(df), "ARRAY<ARRAY<ARRAY<DOUBLE>>>")
+          val rs = g.getField("coordinates")
+          def zero = struct(lit(0.0).as("s"), lit(0.0).as("x"), lit(0.0).as("y"))
+          val acc = aggregate(rs, zero, (outer, ring) => {
+            val r = aggregate(
+              geoRingSegs(ring, (a, b) => {
+                val cr = geoPt(a, 1) * geoPt(b, 2) - geoPt(b, 1) * geoPt(a, 2)
+                struct(cr.as("s"),
+                  ((geoPt(a, 1) + geoPt(b, 1)) * cr).as("x"),
+                  ((geoPt(a, 2) + geoPt(b, 2)) * cr).as("y"))
+              }),
+              zero, (s, e) => struct(
+                (s.getField("s") + e.getField("s")).as("s"),
+                (s.getField("x") + e.getField("x")).as("x"),
+                (s.getField("y") + e.getField("y")).as("y")))
+            struct(
+              (outer.getField("s") + when(size(ring) >= 3, r.getField("s")).otherwise(lit(0.0))).as("s"),
+              (outer.getField("x") + when(size(ring) >= 3, r.getField("x")).otherwise(lit(0.0))).as("x"),
+              (outer.getField("y") + when(size(ring) >= 3, r.getField("y")).otherwise(lit(0.0))).as("y"))
+          })
+          when(g.getField("type") === "Polygon" && size(rs) >= 1 &&
+              acc.getField("s") =!= 0.0,
+            concat(lit("{\"type\":\"Point\",\"coordinates\":["),
+              (acc.getField("x") / (lit(3.0) * acc.getField("s"))).cast("string"), lit(","),
+              (acc.getField("y") / (lit(3.0) * acc.getField("s"))).cast("string"), lit("]}")))
         }
         case "geo_polygon_perimeter" => arity(1); df => {
           val g = geoShape(args.head(df), "ARRAY<ARRAY<ARRAY<DOUBLE>>>")

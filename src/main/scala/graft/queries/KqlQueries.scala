@@ -1630,6 +1630,30 @@ object KqlQueries extends QueryModule {
           case other => throw new IllegalArgumentException(other)
         })),
 
+    // geo ring 4 (round 15): cell neighbors (geohash 8-cell with pole
+    // drops, s2 same-level with cross-face wrap) + centroids. Gated by
+    // invariants the oracle states: neighbor counts, self-exclusion,
+    // adjacency distance bounds, and exact-by-construction centroids
+    // (single-segment midpoint, unit-square center) within 1e-9.
+    "q229_kql_text_geo4" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_id % 89 == 0
+          | | extend lon = todouble(user_id % 340) - 170.0 + 0.25, lat = todouble(event_id % 160) - 80.0 + 0.25
+          | | extend gh = geo_point_to_geohash(lon, lat, 5), s2 = geo_point_to_s2cell(lon, lat, 10)
+          | | extend ghn = geo_geohash_neighbors(gh), s2n = geo_s2cell_neighbors(s2)
+          | | extend lc = geo_line_centroid(strcat('{"type":"LineString","coordinates":[[', tostring(lon), ',', tostring(lat), '],[', tostring(lon + 2.0), ',', tostring(lat), ']]}')),
+          |          pc = geo_polygon_centroid(strcat('{"type":"Polygon","coordinates":[[[', tostring(lon), ',', tostring(lat), '],[', tostring(lon + 1.0), ',', tostring(lat), '],[', tostring(lon + 1.0), ',', tostring(lat + 1.0), '],[', tostring(lon), ',', tostring(lat + 1.0), '],[', tostring(lon), ',', tostring(lat), ']]]}'))
+          | | extend ghn_ok = array_length(ghn) == 8 and array_index_of(ghn, gh) < 0,
+          |          s2_ok = array_length(s2n) >= 7 and array_length(s2n) <= 8 and array_index_of(s2n, s2) < 0,
+          |          lc_ok = abs(todouble(lc.coordinates[0]) - (lon + 1.0)) < 0.000000001
+          |                  and abs(todouble(lc.coordinates[1]) - lat) < 0.000000001,
+          |          pc_ok = abs(todouble(pc.coordinates[0]) - (lon + 0.5)) < 0.000000001
+          |                  and abs(todouble(pc.coordinates[1]) - (lat + 0.5)) < 0.000000001
+          | | summarize n = count(), ghs = countif(ghn_ok), s2s = countif(s2_ok),
+          |             lcs = countif(lc_ok), pcs = countif(pc_ok)""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // activity_metrics (round 15): the last activity-family plugin —
     // per 1d window the distinct/new id counts and the pinned
     // backward-looking retention/churn pair (|A(t)∩A(t−1)|/|A(t−1)|).
@@ -3535,6 +3559,16 @@ object KqlQueries extends QueryModule {
            UNION ALL
            SELECT CAST(-1 AS BIGINT), CAST(1 AS BIGINT))
          ORDER BY comp""",
+
+    // geo ring 4 invariants collapse to counts (grid stays ≥ 5° off
+    // the poles so the geohash 8-cell is always full)
+    "q229_kql_text_geo4" ->
+      """SELECT CAST(count(1) AS BIGINT) AS n,
+              CAST(count(1) AS BIGINT) AS ghs,
+              CAST(count(1) AS BIGINT) AS s2s,
+              CAST(count(1) AS BIGINT) AS lcs,
+              CAST(count(1) AS BIGINT) AS pcs
+         FROM events WHERE event_id % 89 = 0""",
 
     // activity_metrics: days 19727..19747 (2024-01-05..2024-01-25);
     // retained(t) = ids whose previous active day is exactly t-1

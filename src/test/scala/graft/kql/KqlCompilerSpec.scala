@@ -1859,6 +1859,104 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(arr == Seq(pa.getDouble(1), pa.getDouble(2), pa.getDouble(3)))
   }
 
+  test("extract_groups and parse_command_line (windows argv rules)") {
+    val r = run(
+      """t | where id == 1 | project
+        |  g = strcat_array(extract_groups(@'(\w+)-(\w+)', status), '|'),
+        |  gn = isnull(extract_groups(@'(\d+)x(\d+)', status)),
+        |  a1 = strcat_array(parse_command_line('prog.exe -a "hello world" -b', 'windows'), '|'),
+        |  a2 = strcat_array(parse_command_line('c:\\path\\prog "a\\"b" x\\\\', 'windows'), '|'),
+        |  a3 = strcat_array(parse_command_line('x "she said ""hi"" ok" y', 'windows'), '|'),
+        |  a4 = array_length(parse_command_line('   ', 'windows'))""".stripMargin).head()
+    assert(r.getString(0) == "err|timeout")
+    assert(r.getBoolean(1), "no match is null, not empty-string groups")
+    assert(r.getString(2) == "prog.exe|-a|hello world|-b")
+    // KQL '\\' in a plain string is one backslash: the command line is
+    //   c:\path\prog "a\"b" x\\
+    // → arg2 quotes 'a"b' (odd backslash escapes the quote); trailing
+    //   \\ has no quote after it, so both backslashes are literal
+    assert(r.getString(3) == "c:\\path\\prog|a\"b|x\\\\")
+    // "" inside a quoted span is a literal quote
+    assert(r.getString(4) == "x|she said \"hi\" ok|y")
+    assert(r.getLong(5) == 0L, "blank command line has no args")
+    assert(intercept[KqlParseException](
+      run("t | project x = parse_command_line(status, 'posix')"))
+      .getMessage.contains("windows"))
+  }
+
+  test("geo centroids: line length-weighted, polygon shoelace with holes, degenerate nulls") {
+    val r = run(
+      """t | where id == 1 | project
+        |  lc = geo_line_centroid('{"type":"LineString","coordinates":[[0.0,0.0],[10.0,0.0]]}'),
+        |  lcw = geo_line_centroid('{"type":"LineString","coordinates":[[0.0,0.0],[0.0,10.0],[4.0,10.0]]}'),
+        |  pc = geo_polygon_centroid('{"type":"Polygon","coordinates":[[[0.0,0.0],[4.0,0.0],[4.0,2.0],[0.0,2.0],[0.0,0.0]]]}'),
+        |  ph = geo_polygon_centroid('{"type":"Polygon","coordinates":[[[0.0,0.0],[10.0,0.0],[10.0,10.0],[0.0,10.0],[0.0,0.0]],[[6.0,4.0],[6.0,6.0],[8.0,6.0],[8.0,4.0],[6.0,4.0]]]}'),
+        |  dg = isnull(geo_polygon_centroid('{"type":"Polygon","coordinates":[[[1.0,1.0],[1.0,1.0],[1.0,1.0]]]}')),
+        |  bad = isnull(geo_line_centroid('nope'))""".stripMargin).head()
+    def xy(s: String): (Double, Double) = {
+      val c = s.split("\\[")(1).split("\\]")(0).split(",")
+      (c(0).toDouble, c(1).toDouble)
+    }
+    assert(xy(r.getString(0)) == ((5.0, 0.0)), "straight equator segment centers at its midpoint")
+    // two legs: 10-unit vertical (midpoint (0,5)) and 4-unit horizontal
+    // at lat 10 (midpoint (2,10), shorter AND length-shrunk by cos(lat))
+    val (wx, wy) = xy(r.getString(1))
+    assert(wx > 0.5 && wx < 1.2 && wy > 6.0 && wy < 7.0,
+      s"length-weighted centroid leans toward the long leg, got ($wx,$wy)")
+    assert(xy(r.getString(2)) == ((2.0, 1.0)), "rectangle centroid is exact (planar shoelace)")
+    // 10x10 square (centroid 5,5, area 100) minus 2x2 hole centered at
+    // (7,5), area 4: cx = (100*5 - 4*7)/96 = 4.9166..., cy = 5
+    val (hx, hy) = xy(r.getString(3))
+    assert(math.abs(hx - 4.916666666666667) < 1e-9 && math.abs(hy - 5.0) < 1e-9,
+      s"hole subtracts from the centroid, got ($hx,$hy)")
+    assert(r.getBoolean(4), "zero-area polygon is null")
+    assert(r.getBoolean(5))
+  }
+
+  test("geo cell neighbors: geohash 8/5-cell, s2 same-level cross-face, symmetry") {
+    val r = run(
+      """t | where id == 1
+        | | extend gh = geo_point_to_geohash(13.4, 52.5, 6), s2 = geo_point_to_s2cell(13.4, 52.5, 12)
+        | | project
+        |  ghn = geo_geohash_neighbors(gh), gh0 = gh,
+        |  ghp = geo_geohash_neighbors(geo_point_to_geohash(0.0, 89.99, 3)),
+        |  s2n = geo_s2cell_neighbors(s2), s2c = s2,
+        |  f2n = geo_s2cell_neighbors('1'),
+        |  bad = isnull(geo_s2cell_neighbors('zz'))""".stripMargin).head()
+    val ghn = r.getSeq[String](0)
+    assert(ghn.length == 8 && ghn.distinct.length == 8 && !ghn.contains(r.getString(1)))
+    assert(ghn.forall(_.length == 6))
+    // every neighbor is itself adjacent back (symmetry through centers)
+    val ghBack = run(
+      s"""t | where id == 1 | project ok = array_length(set_intersect(
+         |  geo_geohash_neighbors('${ghn.head}'), pack_array('${r.getString(1)}')))""".stripMargin).head()
+    assert(ghBack.getLong(0) == 1L, "geohash neighbor relation is symmetric")
+    // near the pole the 3 northern neighbors are dropped
+    assert(r.getSeq[String](2).length == 5, "pole row drops the out-of-range latitude neighbors")
+    val s2n = r.getSeq[String](3)
+    assert(s2n.length == 8 && s2n.distinct.length == 8 && !s2n.contains(r.getString(4)))
+    // all neighbors are valid same-level cells: each decodes and its
+    // center is within ~3 cell diagonals of the source center
+    val s2sym = run(
+      s"""t | where id == 1
+         | | extend c = geo_s2cell_to_central_point('${r.getString(4)}')
+         | | extend narr = pack_array(${s2n.map("'" + _ + "'").mkString(", ")})
+         | | mv-expand narr to typeof(string)
+         | | extend p = geo_s2cell_to_central_point(narr)
+         | | extend near = geo_distance_2points(todouble(p.coordinates[0]), todouble(p.coordinates[1]),
+         |                                      todouble(c.coordinates[0]), todouble(c.coordinates[1])) < 20000.0,
+         |          back = array_length(set_intersect(geo_s2cell_neighbors(narr), pack_array('${r.getString(4)}'))) == 1
+         | | summarize n_ = count(), ok = countif(near and back)""".stripMargin).head()
+    assert(s2sym.getLong(0) == 8L && s2sym.getLong(1) == 8L,
+      "s2 neighbors decode nearby and are symmetric")
+    // a level-0 face cell's neighbors are the 4 adjacent faces (edge
+    // neighbors dedupe to 4 distinct cells at the cube level)
+    val f2n = r.getSeq[String](5)
+    assert(f2n.distinct.length == 4 && !f2n.contains("1"),
+      s"face cell has 4 distinct face neighbors, got $f2n")
+    assert(r.getBoolean(6))
+  }
+
   test("new_guid shape, isutf8, has_any_index") {
     val r = run(
       """t | where id == 1 | project
