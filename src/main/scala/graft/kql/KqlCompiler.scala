@@ -3818,35 +3818,47 @@ object KqlCompiler {
       // with the quad intact, fail the hex/colon shape check below, and
       // return null — the same loudly-null stance as zone suffixes
       // (`fe80::1%eth0`), which Kusto also rejects.
+      //
+      // PERF: the rewrite is regex-heavy (rlike + 8 regexp_extract), and
+      // the canonicalization below references its input ~15 times —
+      // Catalyst does not CSE across CaseWhen branches, so an unbound
+      // rewrite re-evaluates at every site (q163 went 2 s → 24 s at
+      // sf0.1). Two guards: the quad machinery only runs for rows that
+      // CONTAIN a dot, and the preprocessed string is let1-BOUND through
+      // a single-element transform (the weightedPercentile lesson) so it
+      // evaluates exactly once per row.
       val quadRe = "([0-9]{1,3})\\.([0-9]{1,3})\\.([0-9]{1,3})\\.([0-9]{1,3})$"
-      val hasV4 = raw.rlike("^[0-9a-f:]*:" + quadRe.replace("(", "(?:"))
       // ANSI guard: regexp_extract yields '' on no match and `&&` does
       // not short-circuit, so cast only behind a nonempty CaseWhen arm
       def oct(i: Int) = {
         val x = regexp_extract(raw, quadRe, i)
         when(x =!= "", x.cast("int"))
       }
+      val hasV4 = raw.rlike("^[0-9a-f:]*:" + quadRe.replace("(", "(?:"))
       val octsOk = (1 to 4).map(i => oct(i) <= 255).reduce(_ && _)
       val hexTail = concat(
         lpad(lower(hex(oct(1) * 256 + oct(2))), 4, "0"), lit(":"),
         lpad(lower(hex(oct(3) * 256 + oct(4))), 4, "0"))
-      val s = when(hasV4 && octsOk,
-          concat(regexp_replace(raw, quadRe, ""), hexTail))
+      val pre = when(raw.contains("."),
+          when(hasV4 && octsOk, concat(regexp_replace(raw, quadRe, ""), hexTail))
+            .otherwise(raw))
         .otherwise(raw)
-      val hasGap = s.contains("::")
-      val left = when(hasGap, substring_index(s, "::", 1)).otherwise(s)
-      val right = when(hasGap, substring_index(s, "::", -1)).otherwise(lit(""))
-      def groupsOf(part: Column) =
-        filter(split(part, ":"), g => length(g) > 0)
-      val l = groupsOf(left); val r = groupsOf(right)
-      val mid = when(hasGap, greatest(lit(8) - size(l) - size(r), lit(0))).otherwise(lit(0))
-      val all = concat(l, array_repeat(lit("0"), mid), r)
-      val shapeOk = s.rlike("^[0-9a-f:]+$") &&
-        size(split(s, "::", -1)) <= 2 &&
-        (hasGap || size(l) === 8) &&
-        size(all) === 8 &&
-        forall(all, g => length(g) <= 4)
-      when(shapeOk, array_join(transform(all, g => lpad(g, 4, "0")), ":"))
+      element_at(transform(array(pre), s => {
+        val hasGap = s.contains("::")
+        val left = when(hasGap, substring_index(s, "::", 1)).otherwise(s)
+        val right = when(hasGap, substring_index(s, "::", -1)).otherwise(lit(""))
+        def groupsOf(part: Column) =
+          filter(split(part, ":"), g => length(g) > 0)
+        val l = groupsOf(left); val r = groupsOf(right)
+        val mid = when(hasGap, greatest(lit(8) - size(l) - size(r), lit(0))).otherwise(lit(0))
+        val all = concat(l, array_repeat(lit("0"), mid), r)
+        val shapeOk = s.rlike("^[0-9a-f:]+$") &&
+          size(split(s, "::", -1)) <= 2 &&
+          (hasGap || size(l) === 8) &&
+          size(all) === 8 &&
+          forall(all, g => length(g) <= 4)
+        when(shapeOk, array_join(transform(all, g => lpad(g, 4, "0")), ":"))
+      }), 1)
     }
 
     /** Haversine distance in meters on the IUGG mean-radius sphere —
