@@ -54,7 +54,11 @@ object PageRank {
       .union(e.select(col("dst").as("node"))).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count() // O(1) driver scalar
-    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
+    // LAZY checkpoints (round 15): the per-round convergence probe (or
+    // the caller's final action when tol == 0) materializes each round's
+    // marked frame in the SAME job — lineage still truncates at every
+    // round, but the loop stops paying one extra job launch per round
+    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(eager = false)
     var iters = 0
     var converged = false
     while (iters < k && !converged) {
@@ -69,7 +73,7 @@ object PageRank {
         .select(col("node"),
           (lit((1 - damping) / n) + lit(damping) * coalesce(col("in"), lit(0.0))).as("rank"),
           col("__prev"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       iters += 1
       if (tol > 0) {
         // O(1) driver scalar off the checkpointed table — no replay

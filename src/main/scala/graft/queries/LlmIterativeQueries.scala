@@ -463,10 +463,13 @@ private[queries] trait LlmIterativeQueries extends LlmShared {
         (col("l_partkey") % 4).cast("long").as("seed"))
       .localCheckpoint()
     try {
+      // lazy round checkpoints: the final aggregate's single action
+      // materializes all three rounds with lineage cuts at each (the
+      // round-15 SCC/PageRank job-batching discipline)
       var labels = nodes.join(broadcast(seeds), Seq("node"), "left")
         .select(col("node"), col("seed").as("label"),
           col("seed").isNotNull.as("clamped"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       for (_ <- 1 to 3) {
         val l = labels.where(col("label").isNotNull)
           .select(col("node").as("lnode"), col("label").as("llab"))
@@ -479,7 +482,7 @@ private[queries] trait LlmIterativeQueries extends LlmShared {
             when(labels("clamped"), labels("label"))
               .otherwise(coalesce(col("mlab"), labels("label"))).as("label"),
             labels("clamped"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
       }
       labels.groupBy(col("label")).agg(
           count(lit(1)).as("n_nodes"),
