@@ -503,10 +503,10 @@ object KqlCompiler {
               array(sSide("__bfs_src").cast("string"),
                     edges("__bfs_out").cast("string"),
                     to_json(edges("__bfs_edge"))).as("__bfs_sig")))
-          .localCheckpoint()
+          .localCheckpoint(eager = false) // the count below materializes it
         var frontierCnt = frontier.count()
         var settled = frontier.select(col("__bfs_src"), col("__bfs_cur"))
-          .distinct().localCheckpoint()
+          .distinct().localCheckpoint(eager = false)
         var settledCnt = frontierCnt // upper bound; exact enough for the hint
         val perLevel = scala.collection.mutable.Buffer[DataFrame](frontier)
         var reachedCnt = frontierCnt
@@ -521,10 +521,13 @@ object KqlCompiler {
                 array(fSide("__bfs_cur").cast("string"),
                       edges("__bfs_out").cast("string"),
                       to_json(edges("__bfs_edge")))).as("__bfs_sig"))
+          // lazy marks: the per-level count (the loop's one driver probe)
+          // materializes the checkpointed frontier in the SAME job — one
+          // job launch per level instead of three (round-15 discipline)
           val fresh = dedupAny(
             ext.join(maybeBcast(settled, settledCnt),
               Seq("__bfs_src", "__bfs_cur"), "left_anti"))
-            .localCheckpoint()
+            .localCheckpoint(eager = false)
           frontierCnt = fresh.count()
           // settled tracks PAIRS: for output=all the frontier carries one
           // row per shortest path, so dedupe before the union or the
@@ -533,7 +536,7 @@ object KqlCompiler {
           val freshPairs =
             if (mode == "any") fresh.select(col("__bfs_src"), col("__bfs_cur"))
             else fresh.select(col("__bfs_src"), col("__bfs_cur")).distinct()
-          settled = settled.union(freshPairs).localCheckpoint()
+          settled = settled.union(freshPairs).localCheckpoint(eager = false)
           settledCnt += (if (mode == "any") frontierCnt else freshPairs.count())
           reachedCnt += frontierCnt
           perLevel += fresh
