@@ -3088,11 +3088,16 @@ object KqlCompiler {
             if (ident() != "where") throw new KqlParseException("expected 'parse-where'")
             true
           } else false
+        // kind=relaxed lowers like simple: both build type-aware capture
+        // patterns (a `:long` capture matches digits, the Kusto rule),
+        // and a non-matching row null-fills every output column instead
+        // of erroring — Kusto's relaxed contract; its partial-prefix
+        // match nulling is the documented subset boundary
         val regexMode =
           if (peekIs("kind")) {
             expect("kind"); expect("=")
             ident() match {
-              case "simple" => false
+              case "simple" | "relaxed" => false
               case "regex" => true
               case other => throw new KqlParseException(s"unsupported parse kind '$other'")
             }
@@ -3120,9 +3125,20 @@ object KqlCompiler {
               val name = ident()
               val tpe = if (peekIs(":")) { expect(":"); Some(ident()) } else None
               group += 1
-              // lazy up to the next literal; greedy-to-end when last
+              // typed captures get TYPE-AWARE patterns in simple mode
+              // (Kusto: `x:long` matches digits) — a row whose text does
+              // not conform fails the WHOLE pattern and null-fills, so
+              // the ANSI cast below can never see non-numeric input;
+              // untyped/string/datetime captures stay lazy-to-next-literal
+              // (greedy when last)
               val lazyCapture = peek.exists(_.kind == "str")
-              sb ++= (if (lazyCapture) "(.*?)" else "(.*)")
+              val pat = tpe match {
+                case Some("long") | Some("int") if !regexMode => "(-?\\d+)"
+                case Some("real") | Some("double") if !regexMode =>
+                  "(-?\\d+(?:\\.\\d+)?(?:[eE][-+]?\\d+)?)"
+                case _ => if (lazyCapture) "(.*?)" else "(.*)"
+              }
+              sb ++= pat
               cols += ((name, group, tpe))
             case _ => scanning = false
           }
@@ -3132,10 +3148,15 @@ object KqlCompiler {
         val base = if (dropNonMatching) df.filter(regexp_like(src(df), lit(pattern))) else df
         cols.result().foldLeft(base) { case (d, (name, g, tpe)) =>
           val raw = regexp_extract(src(d), pattern, g)
+          // empty-capture guard: a non-matching row extracts '' for
+          // every group; ANSI cast('') throws, Kusto null-fills —
+          // convert only nonempty captures (the CaseWhen arm is the
+          // lazy-eval point, the ipv6 oct() lesson)
+          def conv(f: Column => Column) = when(raw =!= "", f(raw))
           d.withColumn(name, tpe.fold(raw) {
-            case "long" | "int" => raw.cast("long")
-            case "real" | "double" => raw.cast("double")
-            case "datetime" => raw.cast("timestamp")
+            case "long" | "int" => conv(_.cast("long"))
+            case "real" | "double" => conv(_.cast("double"))
+            case "datetime" => conv(c => try_to_timestamp(c))
             case "string" => raw
             case other => throw new KqlParseException(s"unsupported parse type '$other'")
           })

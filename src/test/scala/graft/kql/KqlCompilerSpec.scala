@@ -1884,6 +1884,27 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getMessage.contains("windows"))
   }
 
+  test("parse: non-matching and non-conforming rows null-fill typed captures; kind=relaxed") {
+    // '-v=abc' has the literal but a non-numeric payload: the TYPE-AWARE
+    // capture pattern fails the whole match, so the row null-fills
+    // instead of detonating the ANSI cast — the Kusto contract for both
+    // simple and relaxed kinds
+    val out = runG2(
+      """let d = datatable(s: string)['x-v=12-end', 'x-v=abc-end', 'nope'];
+        | d | parse kind=relaxed s with * 'v=' n:long '-end' | order by s asc""".stripMargin)
+      .collect()
+    assert(out.length == 3)
+    val byS = out.map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(byS("x-v=12-end") == 12L)
+    assert(byS("x-v=abc-end") == null, "non-numeric payload null-fills, no ANSI crash")
+    assert(byS("nope") == null)
+    // plain simple mode gets the same null-fill guard
+    val simple = runG2(
+      """let d = datatable(s: string)['a 1.5', 'a x'];
+        | d | parse s with 'a ' v:real | order by s asc""".stripMargin).collect()
+    assert(simple(0).getDouble(1) == 1.5 && simple(1).isNullAt(1))
+  }
+
   test("geo centroids: line length-weighted, polygon shoelace with holes, degenerate nulls") {
     val r = run(
       """t | where id == 1 | project
