@@ -5142,7 +5142,11 @@ object KqlCompiler {
             case _ => c.cast("string")
           }
         }
-        case "tobool" | "toboolean" => arity(1); df => args.head(df).cast("boolean")
+        // toX conversion family: Kusto contract is NULL on unparseable
+        // input — ANSI cast throws, so these lower to try_cast (same
+        // result for valid input, null instead of error otherwise; the
+        // round-15 parse-operator lesson applied to the whole family)
+        case "tobool" | "toboolean" => arity(1); df => args.head(df).try_cast("boolean")
         case "tohex" => arity(1); df => lower(hex(args.head(df)))
         case "string_size" => arity(1); df => octet_length(args.head(df)).cast("long")
         case "isnan" => arity(1); df => isnan(args.head(df))
@@ -5157,7 +5161,7 @@ object KqlCompiler {
         }
         case "set_has_element" => arity(2); df =>
           array_contains(args(0)(df), args(1)(df))
-        case "todatetime" => arity(1); df => args.head(df).cast("timestamp")
+        case "todatetime" => arity(1); df => args.head(df).try_cast("timestamp")
         // start-of-period truncations (Grafana time-range macros expand to
         // these). Kusto weeks start SUNDAY — Spark's date_trunc("week") is
         // Monday-based, so startofweek subtracts (dayofweek-1) days
@@ -5197,15 +5201,15 @@ object KqlCompiler {
             date_sub(c.cast("date"), dayofweek(c) - lit(1)).cast("timestamp")) +
             lit(7L * 86400000000L - 1))
         }
-        case "tolong" => arity(1); df => args.head(df).cast("long")
-        case "toint" => arity(1); df => args.head(df).cast("int")
-        case "todouble" | "toreal" => arity(1); df => args.head(df).cast("double")
+        case "tolong" => arity(1); df => args.head(df).try_cast("long")
+        case "toint" => arity(1); df => args.head(df).try_cast("int")
+        case "todouble" | "toreal" => arity(1); df => args.head(df).try_cast("double")
         // Kusto decimal is a 128-bit decimal; the widest Spark analog is
         // DecimalType(38, 18) — 20 integer digits, 18 fractional, exact
         // arithmetic (Catalyst's decimal rules then widen/narrow per
         // operation). The reference's own IT table carries a decimal
         // column (it-table-setup.kql:1, `vdec`).
-        case "todecimal" => arity(1); df => args.head(df).cast("decimal(38,18)")
+        case "todecimal" => arity(1); df => args.head(df).try_cast("decimal(38,18)")
         // dynamic IS the JSON text in this engine (see dynamicPath), so
         // parse_json/todynamic are the identity; access happens postfix.
         case "parse_json" | "todynamic" | "parse_dynamic" => arity(1); df => args.head(df)

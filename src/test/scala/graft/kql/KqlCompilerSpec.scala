@@ -1884,6 +1884,17 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getMessage.contains("windows"))
   }
 
+  test("toX conversion family: unparseable input is null, never an ANSI error") {
+    val r = run(
+      """t | where id == 1 | project
+        |  a = tolong('abc'), b = toint(name), c = todouble('1.2.3'),
+        |  d = todatetime('not a date'), e = tobool('maybe'),
+        |  f = todecimal('x'), g = tolong('1.5'),
+        |  ok1 = tolong('42'), ok2 = todouble('1.5'), ok3 = tobool('true')""".stripMargin).head()
+    (0 to 6).foreach(i => assert(r.isNullAt(i), s"col $i should be null"))
+    assert(r.getLong(7) == 42L && r.getDouble(8) == 1.5 && r.getBoolean(9))
+  }
+
   test("parse: non-matching and non-conforming rows null-fill typed captures; kind=relaxed") {
     // '-v=abc' has the literal but a non-numeric payload: the TYPE-AWARE
     // capture pattern fails the whole match, so the row null-fills
