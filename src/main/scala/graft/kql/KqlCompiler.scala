@@ -1077,21 +1077,32 @@ object KqlCompiler {
                   case other => throw new KqlParseException(s"unsupported mv-expand typeof '$other'")
                 })
               } else None
-            val items = sepBy1(() => { val n = ident(); (n, castOf()) })
+            // each item: Name [= ArrayExpr] [to typeof(T)] — the
+            // aliased form (`mv-expand n = pack_array(…)`) binds the
+            // expression as a column FIRST, then expands like a plain
+            // column reference (Kusto's documented syntax)
+            val items = sepBy1(() => {
+              val n = ident()
+              val bind = if (peekIs("=")) { expect("="); Some(expr()) } else None
+              (n, bind, castOf())
+            })
             val perRowCap =
               if (peekIs("limit")) { expect("limit"); Some(number()) } else None
+            val dfB = items.foldLeft(df) { case (d, (n, bind, _)) =>
+              bind.fold(d)(e => d.withColumn(n, e(d)))
+            }
             def prepared(c: String, castTo: Option[String]): Column = {
-              val arr0 = perRowCap.fold(df(c))(n => slice(df(c), lit(1), lit(n)))
+              val arr0 = perRowCap.fold(dfB(c))(n => slice(dfB(c), lit(1), lit(n)))
               castTo.fold(arr0)(t => arr0.cast(s"array<$t>"))
             }
             items match {
-              case List((c, castTo)) =>
+              case List((c, _, castTo)) =>
                 val arr = prepared(c, castTo)
                 idxCol match {
-                  case None => df.withColumn(c, explode(arr))
+                  case None => dfB.withColumn(c, explode(arr))
                   case Some(ix) =>
-                    val keep = df.columns.filterNot(_ == c).map(col)
-                    df.select((keep :+ posexplode(arr).as(Seq(ix, c))): _*)
+                    val keep = dfB.columns.filterNot(_ == c).map(col)
+                    dfB.select((keep :+ posexplode(arr).as(Seq(ix, c))): _*)
                       .withColumn(ix, col(ix).cast("long"))
                 }
               case many =>
@@ -1100,14 +1111,14 @@ object KqlCompiler {
                 // arrays pad with null — Kusto's documented semantics).
                 // Lowering: ONE arrays_zip + explode, then unpack the
                 // struct fields — a single generator, no join, no shuffle.
-                val zipped = arrays_zip(many.map { case (c, t) => prepared(c, t).as(c) }: _*)
+                val zipped = arrays_zip(many.map { case (c, _, t) => prepared(c, t).as(c) }: _*)
                 val names = many.map(_._1)
-                val keep = df.columns.filterNot(names.contains).map(col)
+                val keep = dfB.columns.filterNot(names.contains).map(col)
                 val exploded = idxCol match {
                   case None =>
-                    df.select((keep :+ explode(zipped).as("__mvz")): _*)
+                    dfB.select((keep :+ explode(zipped).as("__mvz")): _*)
                   case Some(ix) =>
-                    df.select((keep :+ posexplode(zipped).as(Seq(ix, "__mvz"))): _*)
+                    dfB.select((keep :+ posexplode(zipped).as(Seq(ix, "__mvz"))): _*)
                       .withColumn(ix, col(ix).cast("long"))
                 }
                 names.foldLeft(exploded)((d, c) => d.withColumn(c, col("__mvz")(c)))

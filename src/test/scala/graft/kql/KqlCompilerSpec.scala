@@ -1884,6 +1884,23 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getMessage.contains("windows"))
   }
 
+  test("mv-expand aliased expression form") {
+    val r = run(
+      """t | where id <= 2
+        | | mv-expand v = pack_array(id, id * 10) to typeof(long)
+        | | project id, v | order by id asc, v asc""".stripMargin).collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1))).toSeq ==
+      Seq((1L, 1L), (1L, 10L), (2L, 2L), (2L, 20L)))
+    // aliased + plain mixed in the zipped multi-column form
+    val z = run(
+      """t | where id == 1
+        | | extend a = pack_array(1, 2)
+        | | mv-expand with_itemindex=ix a to typeof(long), b = pack_array('x', 'y') to typeof(string)
+        | | project ix, a, b | order by ix asc""".stripMargin).collect()
+    assert(z.map(x => (x.getLong(0), x.getLong(1), x.getString(2))).toSeq ==
+      Seq((0L, 1L, "x"), (1L, 2L, "y")))
+  }
+
   test("toX conversion family: unparseable input is null, never an ANSI error") {
     val r = run(
       """t | where id == 1 | project
