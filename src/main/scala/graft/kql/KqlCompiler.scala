@@ -146,7 +146,7 @@ object KqlCompiler {
   private final case class Tok(kind: String, text: String) // kind: id|num|str|sym
   private object Lexer {
     private val symbols = List("==", "!=", "=~", "!~", "=>", "<=", ">=", "..", ".", "|", "(", ")", ",",
-      ";", "=", "<", ">", "+", "-", "*", "/", "%", ":", "[", "]", "{", "}", "!in", "~", "$")
+      ";", "=", "<", ">", "+", "-", "*", "/", "%", ":", "[", "]", "{", "}", "!between", "!in", "~", "$")
     def tokens(s: String): Vector[Tok] = {
       val out = Vector.newBuilder[Tok]
       var i = 0
@@ -1384,7 +1384,24 @@ object KqlCompiler {
         val keys = if (peekIs("by")) { expect("by"); sepBy1(projItem) } else Nil
         val base = if (shuffleKeys.isEmpty) df else df.repartition(shuffleKeys.map(col): _*)
         val aggCols = aggs.map(_(base))
-        base.groupBy(keys.map(_(base)): _*).agg(aggCols.head, aggCols.tail: _*)
+        val agged = base.groupBy(keys.map(_(base)): _*).agg(aggCols.head, aggCols.tail: _*)
+        // expand arg_max/arg_min row-struct markers into real columns;
+        // fields colliding with an existing output column (group keys,
+        // or an earlier expansion) dedupe away
+        if (agged.columns.exists(_.startsWith("__arg_expand_"))) {
+          val plain = agged.columns.filterNot(_.startsWith("__arg_expand_")).toSet
+          val taken = scala.collection.mutable.Set.empty[String] ++= plain
+          agged.select(agged.columns.toSeq.flatMap { c =>
+            if (c.startsWith("__arg_expand_")) {
+              val st = agged.schema(c).dataType
+                .asInstanceOf[org.apache.spark.sql.types.StructType]
+              st.fieldNames.toSeq.flatMap { f =>
+                if (taken(f)) None
+                else { taken += f; Some(agged(c).getField(f).as(f)) }
+              }
+            } else Seq(agged(c))
+          }: _*)
+        } else agged
       case "order" | "sort" =>
         expect("by")
         val items = sepBy1(orderItem)
@@ -3586,8 +3603,49 @@ object KqlCompiler {
           (df: DataFrame) => weightedPercentile(col(cName), wExpr(df), p)
             .as(s"percentilew_${cName}_$suffix")
         }
+      } else if (peek.exists(t => t.kind == "id" && (t.text == "arg_max" || t.text == "arg_min")) &&
+                 toks.lift(pos + 1).exists(t => t.kind == "sym" && t.text == "(")) {
+        // UNALIASED arg_max/arg_min: Kusto returns a ROW's worth of
+        // columns — the maximized expression plus every returned column
+        // (or * = all columns). Lowered as ONE max_by/min_by of a struct
+        // with a deterministic full-row ordering key; the summarize case
+        // expands the marker struct into real columns (group keys and
+        // duplicates dedupe at expansion). The aliased form
+        // `x = arg_max(v, c)` keeps the single-column path.
+        val fn = ident(); expect("(")
+        def bareName(): Option[String] =
+          peek.filter(_.kind == "id").map(_.text).filter(_ =>
+            toks.lift(pos + 1).exists(t => t.kind == "sym" && (t.text == "," || t.text == ")")))
+        val vName = bareName().getOrElse(s"${fn}_")
+        val v = expr()
+        var star = false
+        val rets = List.newBuilder[(String, ColB)]
+        while (peekIs(",")) {
+          expect(",")
+          if (peekIs("*")) { expect("*"); star = true }
+          else {
+            val rn = bareName().getOrElse(throw new KqlParseException(
+              s"$fn returned arguments must be column references or *"))
+            rets += ((rn, expr()))
+          }
+        }
+        expect(")")
+        val retsL = rets.result()
+        if (!star && retsL.isEmpty)
+          throw new KqlParseException(s"$fn needs at least one returned column or *")
+        val marker = { argExpandCounter += 1; s"__arg_expand_$argExpandCounter" }
+        List({ (df: DataFrame) =>
+          val fields: Seq[(String, Column)] =
+            if (star) (vName -> v(df)) +: df.columns.toSeq.filterNot(_ == vName).map(c => c -> df(c))
+            else (vName -> v(df)) +: retsL.filterNot(_._1 == vName).map { case (n, e) => n -> e(df) }
+          val payload = struct(fields.map { case (n, c) => c.as(n) }: _*)
+          val ord = struct(v(df) +: fields.map(_._2): _*)
+          (if (fn == "arg_max") max_by(payload, ord) else min_by(payload, ord)).as(marker)
+        })
       } else List(aggItem())
     }
+
+    private var argExpandCounter = 0
 
     private def aggItem(): ColB = {
       if (peek.exists(_.kind == "id") &&
@@ -3596,18 +3654,52 @@ object KqlCompiler {
         val e = expr()
         df => e(df).as(n)
       } else {
+        // Kusto default agg names: `fn_col` when the one argument is a
+        // bare column (sum_value, dcount_name), `percentile_col_P`, and
+        // plain `fn_` otherwise (count_, countif_)
         val fnName = peek.map(_.text).getOrElse("agg")
+        def t(i: Int) = toks.lift(pos + i)
+        val isCall = t(1).exists(x => x.kind == "sym" && x.text == "(")
+        val defName =
+          if (isCall && t(2).exists(_.kind == "id") &&
+              t(3).exists(x => x.kind == "sym" && x.text == ")"))
+            s"${fnName}_${t(2).get.text}"
+          else if (isCall && fnName == "percentile" && t(2).exists(_.kind == "id") &&
+              t(3).exists(x => x.kind == "sym" && x.text == ",") && t(4).exists(_.kind == "num") &&
+              t(5).exists(x => x.kind == "sym" && x.text == ")"))
+            s"percentile_${t(2).get.text}_${t(4).get.text.replace('.', '_')}"
+          else s"${fnName}_"
         val e = expr()
-        df => e(df).as(s"${fnName}_")
+        df => e(df).as(defName)
       }
     }
 
-    /** KQL order defaults to DESCENDING. */
+    /** KQL order defaults to DESCENDING; `nulls first|last` overrides
+      * the default placement (Kusto ≡ Spark defaults: asc puts nulls
+      * first, desc puts them last). */
     private def orderItem(): ColB = {
       val e = expr()
-      if (peekIs("asc")) { expect("asc"); df => e(df).asc }
-      else if (peekIs("desc")) { expect("desc"); df => e(df).desc }
-      else df => e(df).desc
+      val asc =
+        if (peekIs("asc")) { expect("asc"); true }
+        else if (peekIs("desc")) { expect("desc"); false }
+        else false
+      val nullsFirst: Option[Boolean] =
+        if (peekIs("nulls")) {
+          expect("nulls")
+          ident() match {
+            case "first" => Some(true)
+            case "last" => Some(false)
+            case o => throw new KqlParseException(s"expected nulls first|last, got '$o'")
+          }
+        } else None
+      (asc, nullsFirst) match {
+        case (true, None) => df => e(df).asc
+        case (false, None) => df => e(df).desc
+        case (true, Some(true)) => df => e(df).asc_nulls_first
+        case (true, Some(false)) => df => e(df).asc_nulls_last
+        case (false, Some(true)) => df => e(df).desc_nulls_first
+        case (false, Some(false)) => df => e(df).desc_nulls_last
+      }
     }
 
     // ------------------------------------------------------ expressions
@@ -3696,6 +3788,10 @@ object KqlCompiler {
           expect("between"); expect("(")
           val lo = additive(); expect(".."); val hi = additive(); expect(")")
           df => l(df) >= lo(df) && l(df) <= hi(df)
+        case Some("!between") =>
+          expect("!between"); expect("(")
+          val lo = additive(); expect(".."); val hi = additive(); expect(")")
+          df => !(l(df) >= lo(df) && l(df) <= hi(df))
         case Some("matches") =>
           // `s matches regex 'pattern'` — RE2-compatible patterns only in
           // practice (the oracle runs them through DuckDB's RE2)
@@ -4054,10 +4150,15 @@ object KqlCompiler {
         val steps = List.newBuilder[Either[String, Long]] // Left key / Right index
         while (peekIs(".") || peekIs("[")) {
           if (peekIs(".")) { expect("."); steps += Left(ident()) }
-          else { // `[0]` array index, or `['key with spaces']` bag key
+          else { // `[0]` array index (negative = from the end), or
+                 // `['key with spaces']` bag key
             expect("[")
             if (peek.exists(_.kind == "str")) { steps += Left(next().text); expect("]") }
-            else { val i = number(); expect("]"); steps += Right(i) }
+            else {
+              val neg = peekIs("-"); if (neg) expect("-")
+              val i = number(); expect("]")
+              steps += Right(if (neg) -i else i)
+            }
           }
         }
         val ss = steps.result()
@@ -4074,15 +4175,19 @@ object KqlCompiler {
           }
           if (native)
             ss.foldLeft(b) {
-              case (c, Right(i)) =>
+              case (c, Right(i)) if i >= 0 =>
                 when(size(c) > lit(i), element_at(c, lit(i + 1).cast("int")))
+              case (c, Right(i)) => // negative: from the end, size-guarded
+                when(size(c) >= lit(-i), element_at(c, lit(i).cast("int")))
               case (c, Left(k)) => c.getField(k)
             }
           else {
             val p = ss.map {
               case Left(k) if k.matches("[A-Za-z0-9_]+") => "." + k
               case Left(k) => s"['$k']"
-              case Right(i) => s"[$i]"
+              case Right(i) if i >= 0 => s"[$i]"
+              case Right(i) => throw new KqlParseException(
+                s"negative index [$i] is supported on native arrays only, not dynamic JSON text")
             }.mkString("$", "", "")
             get_json_object(b, p)
           }
@@ -4653,6 +4758,43 @@ object KqlCompiler {
           GraftColumnBridge.column(graft.functions.GeohashNeighbors(
             GraftColumnBridge.catalystExpression(e(df).cast("string"))))
         }
+      }
+      if (name == "range") {
+        // scalar range(start, stop [, step]) → dynamic array, stop
+        // INCLUSIVE (Kusto); numeric and datetime+timespan forms ride
+        // Spark's sequence
+        val a = expr(); expect(",")
+        val b = expr()
+        val st = if (peekIs(",")) { expect(","); Some(expr()) } else None
+        expect(")")
+        return df => st match {
+          case Some(sc) => sequence(a(df), b(df), sc(df))
+          case None => sequence(a(df), b(df))
+        }
+      }
+      if (name == "percentiles_array" || name == "percentilesw_array") {
+        // array forms of the multi-percentile aggregates: one exact
+        // kernel per P, packed into a dynamic array (Kusto shape)
+        val c = expr()
+        val w = if (name == "percentilesw_array") { expect(","); Some(expr()) } else None
+        val ps = List.newBuilder[Double]
+        while (peekIs(",")) {
+          expect(",")
+          val t = next()
+          if (t.kind != "num") throw new KqlParseException(s"$name() P values must be number literals")
+          val p = t.text.toDouble
+          if (p < 0 || p > 100) throw new KqlParseException(s"percentile P must be 0..100, got $p")
+          ps += p
+        }
+        expect(")")
+        val psL = ps.result()
+        if (psL.isEmpty) throw new KqlParseException(s"$name() needs at least one P value")
+        return df => array(psL.map { p =>
+          w match {
+            case Some(we) => weightedPercentile(c(df), we(df), p)
+            case None => percentile(c(df), lit(p / 100.0))
+          }
+        }: _*)
       }
       if (name == "percentile") {
         // percentile(col, P) — exact interpolated percentile (an exactness
@@ -5269,7 +5411,13 @@ object KqlCompiler {
             .otherwise(lit(0L))
         // Kusto hash(): xxhash64 (documented engine choice; Kusto's own
         // hash is also a 64-bit xx-family hash, values differ by seed)
-        case "hash" => arity(1); df => xxhash64(args.head(df))
+        case "hash" =>
+          if (args.length < 1 || args.length > 2)
+            throw new KqlParseException("hash() expects 1 or 2 arguments")
+          // 2-arg form: hash reduced modulo mod (Kusto contract;
+          // non-negative via pmod)
+          if (args.length == 1) df => xxhash64(args.head(df))
+          else df => pmod(xxhash64(args(0)(df)), args(1)(df).cast("long"))
         // unit-conversion family (UnitsNet naming, the Kusto surface).
         // Documented subset: the common SI + imperial units per family;
         // factors are exact public constants expressed as the SAME
@@ -5556,8 +5704,19 @@ object KqlCompiler {
         // make_set is SORTED here (a determinism upgrade over Kusto's
         // unspecified order — oracle-comparable); make_list keeps
         // encounter order, which is partition-dependent, as in Kusto
-        case "make_set" => arity(1); df => array_sort(collect_set(args.head(df)))
-        case "make_list" => arity(1); df => collect_list(args.head(df))
+        // optional 2nd arg: maxSize caps the collected elements
+        // (Kusto's documented form; cap applied after the deterministic
+        // sort so the kept subset is stable)
+        case "make_set" =>
+          if (args.length < 1 || args.length > 2)
+            throw new KqlParseException("make_set() expects 1 or 2 arguments")
+          if (args.length == 1) df => array_sort(collect_set(args.head(df)))
+          else df => slice(array_sort(collect_set(args(0)(df))), lit(1), args(1)(df).cast("int"))
+        case "make_list" =>
+          if (args.length < 1 || args.length > 2)
+            throw new KqlParseException("make_list() expects 1 or 2 arguments")
+          if (args.length == 1) df => collect_list(args.head(df))
+          else df => slice(collect_list(args(0)(df)), lit(1), args(1)(df).cast("int"))
         // conditional collect forms: when() yields null on a false
         // predicate and collect_set/collect_list skip nulls — one agg
         // buffer, no pre-filter pass
@@ -5748,7 +5907,46 @@ object KqlCompiler {
         }
         case "reverse" => arity(1); df => reverse(args.head(df))
         // Kusto indexof is 0-based, -1 when absent (instr is 1-based, 0-absent)
-        case "indexof" => arity(2); df => (instr(args(0)(df), args(1)(df)) - lit(1)).cast("long")
+        case "indexof" =>
+          if (args.length < 2 || args.length > 5)
+            throw new KqlParseException("indexof() expects 2..5 arguments")
+          df => {
+            val src = args(0)(df); val look = args(1)(df)
+            if (args.length == 2) (instr(src, look) - lit(1)).cast("long")
+            else {
+              // start/length window + Nth occurrence: walk with Spark's
+              // 1-based locate from the window start; -1 when absent or
+              // past the window (Kusto: length -1 = to end)
+              val start = args(2)(df).cast("int")
+              val len = if (args.length >= 4) args(3)(df).cast("int") else lit(-1)
+              val occ = if (args.length == 5) args(4)(df).cast("int") else lit(1)
+              // fold occurrence via repeated locate on a bounded literal
+              // range (occurrence beyond 16 is a loud error — the
+              // documented-subset stance for an unbounded runtime loop)
+              val windowed = when(len >= 0, src.substr(lit(1), start + len)).otherwise(src)
+              // column-position locate: Spark's functions.locate takes
+              // literal args only, so drop to the catalyst StringLocate
+              def locateFrom(str: Column, sub: Column, p: Column): Column = {
+                import org.apache.spark.sql.GraftColumnBridge
+                GraftColumnBridge.column(
+                  org.apache.spark.sql.catalyst.expressions.StringLocate(
+                    GraftColumnBridge.catalystExpression(sub),
+                    GraftColumnBridge.catalystExpression(str),
+                    GraftColumnBridge.catalystExpression(p.cast("int"))))
+              }
+              def nth(n: Int): Column = {
+                var p: Column = locateFrom(windowed, look, start + 1)
+                var i = 1
+                while (i < n) { p = when(p > 0, locateFrom(windowed, look, p + 1)).otherwise(lit(0)); i += 1 }
+                p
+              }
+              val occs = (1 to 16).foldLeft(when(lit(false), lit(0))) { (acc, n) =>
+                acc.when(occ === n, nth(n))
+              }.otherwise(lit(0))
+              when(start < 0 || occ < 1 || occ > 16, lit(null).cast("long"))
+                .otherwise((occs - 1).cast("long"))
+            }
+          }
         case "strrep" => arity(2); df => repeat(args(0)(df), args(1)(df).cast("int"))
         case "array_length" => arity(1); df => size(args.head(df)).cast("long")
         case "base64_encode_tostring" => arity(1); df => base64(args.head(df).cast("binary"))
@@ -6390,7 +6588,20 @@ object KqlCompiler {
         case "hash_md5" => arity(1); df => md5(args.head(df).cast("binary"))
         case "pack_array" => df => array(args.map(_(df)): _*)
         // Kusto zip: pairwise [ [a1,b1], [a2,b2], … ]
-        case "zip" => arity(2); df => zip_with(args(0)(df), args(1)(df), (x, y) => array(x, y))
+        // zip pairs elements positionally; heterogeneous element types
+        // coerce to string pairs (dynamic-text stance) instead of the
+        // ANSI array() coercion error
+        case "zip" => arity(2); df => {
+          def elemT(c: Column) = dataTypeOf(df, c) match {
+            case Some(org.apache.spark.sql.types.ArrayType(t, _)) => Some(t)
+            case _ => None
+          }
+          val (a, b) = (args(0)(df), args(1)(df))
+          (elemT(a), elemT(b)) match {
+            case (Some(x), Some(y)) if x == y => zip_with(a, b, (p, q) => array(p, q))
+            case _ => zip_with(a, b, (p, q) => array(p.cast("string"), q.cast("string")))
+          }
+        }
         // set_* return DISTINCT elements; order is unspecified in Kusto,
         // pinned to sorted here (deterministic + oracle-comparable)
         case "set_union" => df => array_sort(args.map(_(df)).reduce(array_union))

@@ -80,9 +80,10 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
         | | order by name asc""".stripMargin).collect()
     assert(out.map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSeq ==
       Seq(("alpha", 2L, "err-refused", 95.0), ("beta", 2L, "ok", 70.0), ("gamma", 1L, "retry", 20.0)))
-    // unnamed aggregate gets KQL's <fn>_ name; global summarize (no by)
+    // unnamed aggregates get KQL's default names: fn_ for no args,
+    // fn_col for a bare column argument; global summarize (no by)
     val g = run("t | summarize count(), dcount(name)")
-    assert(g.columns.toSeq == Seq("count_", "dcount_"))
+    assert(g.columns.toSeq == Seq("count_", "dcount_name"))
     assert(g.collect().head.getLong(1) == 3)
   }
 
@@ -1882,6 +1883,55 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(intercept[KqlParseException](
       run("t | project x = parse_command_line(status, 'posix')"))
       .getMessage.contains("windows"))
+  }
+
+  test("arg_max/arg_min star and multi-column forms expand to row columns") {
+    // arg_max(v, *): the whole winning row, group keys deduped
+    val star = run("t | summarize arg_max(value, *) by name | order by name asc").collect()
+    assert(star.head.schema.fieldNames.toSeq == Seq("name", "value", "id", "status"))
+    assert(star.map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getString(3))).toSeq ==
+      Seq(("alpha", 95.0, 3L, "err-refused"), ("beta", 70.0, 5L, "ok"), ("gamma", 20.0, 4L, "retry")))
+    // multi-column form returns the maximized column plus the named ones
+    val multi = run("t | summarize arg_min(value, id, status)").head()
+    assert(multi.schema.fieldNames.toSeq == Seq("value", "id", "status"))
+    assert((multi.getDouble(0), multi.getLong(1), multi.getString(2)) == ((10.0, 1L, "err-timeout")))
+  }
+
+  test("Kusto default aggregate names; make_list/make_set caps; percentiles_array") {
+    val n = run("t | summarize sum(value), dcount(name), percentile(value, 50), countif(value > 20) by status")
+    assert(n.columns.toSeq == Seq("status", "sum_value", "dcount_name", "percentile_value_50", "countif_"))
+    val caps = run("t | summarize l = make_list(name, 2), s = make_set(id, 3)").head()
+    assert(caps.getSeq[String](0).length == 2 && caps.getSeq[Long](1).length == 3)
+    val pa = run(
+      """t | summarize p = percentiles_array(value, 25, 50, 75),
+        |              p25 = percentile(value, 25), p50 = percentile(value, 50), p75 = percentile(value, 75)""".stripMargin)
+      .head()
+    assert(pa.getSeq[Double](0) == Seq(pa.getDouble(1), pa.getDouble(2), pa.getDouble(3)))
+  }
+
+  test("nulls first/last, !between, hash mod, scalar range, zip coercion, negative index, indexof windows") {
+    assert(run("t | order by value desc nulls first | project id").collect().map(_.getLong(0)).toSeq ==
+      Seq(3L, 5L, 2L, 4L, 1L))
+    assert(run("t | where value !between (20.0 .. 94.0) | project id | order by id asc")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    val r = run(
+      """t | where id == 1 | project
+        |  h = hash(name, 100),
+        |  r1 = strcat_array(range(1, 5), ','), r2 = strcat_array(range(0, 10, 5), ','),
+        |  z = tostring(zip(pack_array(1, 2), pack_array('a', 'b'))),
+        |  last = pack_array(10, 20, 30)[-1], oob = isnull(pack_array(10, 20)[-5]),
+        |  i1 = indexof('hello world hello', 'hello', 3),
+        |  i2 = indexof('hello world hello', 'hello', 0, -1, 2),
+        |  i3 = indexof('hello world hello', 'hello', 0, 8),
+        |  i4 = indexof('abc', 'z', 0)""".stripMargin).head()
+    assert(r.getLong(0) >= 0 && r.getLong(0) < 100, "hash mod stays in [0, mod)")
+    assert(r.getString(1) == "1,2,3,4,5" && r.getString(2) == "0,5,10", "range stop is inclusive")
+    assert(r.getString(3) == """[["1","a"],["2","b"]]""", "heterogeneous zip coerces to strings")
+    assert(r.getLong(4) == 30L && r.getBoolean(5), "negative index from the end, out-of-range null")
+    assert(r.getLong(6) == 12L, "start skips the first occurrence")
+    assert(r.getLong(7) == 12L, "occurrence=2 finds the second match")
+    assert(r.getLong(8) == 0L, "window [0,8) still contains the first match")
+    assert(r.getLong(9) == -1L)
   }
 
   test("mv-expand aliased expression form") {
