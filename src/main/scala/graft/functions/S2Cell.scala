@@ -215,6 +215,202 @@ object S2CellOps {
       out.toArray.map(n => UTF8String.fromString(idToToken(n))))
   }
 
+  private def stToUVd(w: Double): Double =
+    if (w >= 0.5) (1.0 / 3.0) * (4.0 * w * w - 1.0)
+    else (1.0 / 3.0) * (1.0 - 4.0 * (1.0 - w) * (1.0 - w))
+
+  private def lonLatOf(face: Int, u: Double, v: Double): (Double, Double) = {
+    val (x, y, z) = faceUVtoXYZ(face, u, v)
+    (math.toDegrees(math.atan2(y, x)),
+      math.toDegrees(math.atan2(z, math.sqrt(x * x + y * y))))
+  }
+
+  /** The cell's 4 boundary corners as lon/lat, in ring order. */
+  private def cellQuad(id: Long): Array[Double] = {
+    val (face, i, j) = toFaceIJ(id)
+    val level = MaxLevel - (java.lang.Long.numberOfTrailingZeros(id) >> 1)
+    val size = 1 << (MaxLevel - level)
+    val i0 = i & -size; val j0 = j & -size
+    val kMax = (1 << MaxLevel).toDouble
+    def uvAt(x: Int) = stToUVd(x / kMax)
+    val (u0, u1) = (uvAt(i0), uvAt(i0 + size))
+    val (v0, v1) = (uvAt(j0), uvAt(j0 + size))
+    val cs = Array((u0, v0), (u1, v0), (u1, v1), (u0, v1))
+    val out = new Array[Double](8)
+    var k = 0
+    while (k < 4) {
+      val (lon, lat) = lonLatOf(face, cs(k)._1, cs(k)._2)
+      out(2 * k) = lon; out(2 * k + 1) = lat
+      k += 1
+    }
+    out
+  }
+
+  // planar even-odd ray cast over closed rings — the SAME pinned rule
+  // as the column-level geo_point_in_polygon
+  private def inRings(px: Double, py: Double, rings: Array[Array[Double]]): Boolean = {
+    var crossings = 0
+    var r = 0
+    while (r < rings.length) {
+      val ring = rings(r)
+      val n = ring.length / 2
+      var a = 0
+      while (a < n) {
+        val b = (a + 1) % n
+        val x1 = ring(2 * a); val y1 = ring(2 * a + 1)
+        val x2 = ring(2 * b); val y2 = ring(2 * b + 1)
+        if ((y1 > py) != (y2 > py) && px < (x2 - x1) * (py - y1) / (y2 - y1) + x1)
+          crossings += 1
+        a += 1
+      }
+      r += 1
+    }
+    (crossings & 1) == 1
+  }
+
+  private def segsIntersect(ax: Double, ay: Double, bx: Double, by: Double,
+                            cx: Double, cy: Double, dx: Double, dy: Double): Boolean = {
+    def o(px: Double, py: Double, qx: Double, qy: Double, rx: Double, ry: Double): Double =
+      (qx - px) * (ry - py) - (qy - py) * (rx - px)
+    val o1 = o(ax, ay, bx, by, cx, cy); val o2 = o(ax, ay, bx, by, dx, dy)
+    val o3 = o(cx, cy, dx, dy, ax, ay); val o4 = o(cx, cy, dx, dy, bx, by)
+    (o1 * o2 < 0 && o3 * o4 < 0) ||
+      (o1 == 0 && between1(ax, ay, bx, by, cx, cy)) ||
+      (o2 == 0 && between1(ax, ay, bx, by, dx, dy)) ||
+      (o3 == 0 && between1(cx, cy, dx, dy, ax, ay)) ||
+      (o4 == 0 && between1(cx, cy, dx, dy, bx, by))
+  }
+  private def between1(ax: Double, ay: Double, bx: Double, by: Double,
+                       px: Double, py: Double): Boolean =
+    math.min(ax, bx) <= px && px <= math.max(ax, bx) &&
+      math.min(ay, by) <= py && py <= math.max(ay, by)
+
+  private def quadIntersectsPolygon(quad: Array[Double], rings: Array[Array[Double]]): Boolean = {
+    // any quad corner inside the polygon
+    var k = 0
+    while (k < 4) {
+      if (inRings(quad(2 * k), quad(2 * k + 1), rings)) return true
+      k += 1
+    }
+    // any polygon vertex inside the quad
+    val quadRing = Array(quad)
+    var r = 0
+    while (r < rings.length) {
+      val ring = rings(r)
+      var a = 0
+      while (a < ring.length / 2) {
+        if (inRings(ring(2 * a), ring(2 * a + 1), quadRing)) return true
+        a += 1
+      }
+      r += 1
+    }
+    // any edge crossing
+    r = 0
+    while (r < rings.length) {
+      val ring = rings(r)
+      val n = ring.length / 2
+      var a = 0
+      while (a < n) {
+        val b = (a + 1) % n
+        k = 0
+        while (k < 4) {
+          val k2 = (k + 1) % 4
+          if (segsIntersect(ring(2 * a), ring(2 * a + 1), ring(2 * b), ring(2 * b + 1),
+              quad(2 * k), quad(2 * k + 1), quad(2 * k2), quad(2 * k2 + 1))) return true
+          k += 1
+        }
+        a += 1
+      }
+      r += 1
+    }
+    false
+  }
+
+  private val coverMappers = new ThreadLocal[com.fasterxml.jackson.databind.ObjectMapper] {
+    override def initialValue() = new com.fasterxml.jackson.databind.ObjectMapper()
+  }
+
+  /** geo_polygon_to_s2cells(polygon, level): the level-`level` cells
+    * intersecting the GeoJSON polygon — Kusto's polygon-join covering.
+    * PINNED determinizations (documented subset, consistent with the
+    * rest of the geo ring): intersection is tested in the PLANAR
+    * lon/lat plane (the geo_point_in_polygon even-odd rule) between the
+    * polygon rings and each cell's 4 boundary corners, so coverings and
+    * point cells agree on membership away from the antimeridian/poles;
+    * holes exclude per even-odd. Search is a BFS over the 8-neighbor
+    * graph seeded at the vertex cells (a connected polygon's covering
+    * is 8-connected). Output: tokens in ascending cell-id order. Null
+    * on malformed polygons, level outside 0..30, or coverings past the
+    * 65536-cell cap (the loud-bound stance). */
+  def polygonCover(polyJson: UTF8String, level: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (level < 0 || level > MaxLevel) return null
+    val rings: Array[Array[Double]] =
+      try {
+        val root = coverMappers.get().readTree(polyJson.toString)
+        if (root == null || !"Polygon".equals(
+            if (root.get("type") == null) null else root.get("type").asText())) return null
+        val cs = root.get("coordinates")
+        if (cs == null || !cs.isArray || cs.size() == 0) return null
+        val out = new Array[Array[Double]](cs.size())
+        var r = 0
+        while (r < cs.size()) {
+          val ring = cs.get(r)
+          if (!ring.isArray || ring.size() < 3) return null
+          val flat = new Array[Double](2 * ring.size())
+          var a = 0
+          while (a < ring.size()) {
+            val pt = ring.get(a)
+            if (!pt.isArray || pt.size() < 2) return null
+            flat(2 * a) = pt.get(0).asDouble()
+            flat(2 * a + 1) = pt.get(1).asDouble()
+            a += 1
+          }
+          out(r) = flat
+          r += 1
+        }
+        out
+      } catch { case _: Exception => return null }
+    val lsb = 1L << (2 * (MaxLevel - level))
+    def cellOf(lon: Double, lat: Double): Long = {
+      val t = token(lon, lat, level)
+      if (t == null) 0L else tokenToId(t.toString)
+    }
+    val included = scala.collection.mutable.Set.empty[Long]
+    val visited = scala.collection.mutable.Set.empty[Long]
+    val seeds = scala.collection.mutable.Set.empty[Long]
+    val queue = scala.collection.mutable.Queue.empty[Long]
+    var r = 0
+    while (r < rings.length) {
+      val ring = rings(r)
+      var a = 0
+      while (a < ring.length / 2) {
+        val c = cellOf(ring(2 * a), ring(2 * a + 1))
+        if (c != 0L && visited.add(c)) { seeds += c; queue += c }
+        a += 1
+      }
+      r += 1
+    }
+    while (queue.nonEmpty) {
+      val c = queue.dequeue()
+      // a vertex cell intersects BY CONSTRUCTION (it contains the
+      // vertex) — don't let planar epsilon on the quad boundary kill
+      // the BFS seed
+      if (seeds(c) || quadIntersectsPolygon(cellQuad(c), rings)) {
+        included += c
+        if (included.size > 65536) return null
+        val nbrs = neighbors(UTF8String.fromString(idToToken(c)))
+        var k = 0
+        while (k < nbrs.numElements()) {
+          val n = tokenToId(nbrs.getUTF8String(k).toString)
+          if (n != 0L && visited.add(n)) queue += n
+          k += 1
+        }
+      }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      included.toArray.sorted.map(n => UTF8String.fromString(idToToken(n))))
+  }
+
   /** Encode: token of the level-`level` cell containing (lon, lat);
     * null for out-of-range coordinates or level (0..30). */
   def token(lonDeg: Double, latDeg: Double, level: Int): UTF8String = {
@@ -305,6 +501,24 @@ case class S2CellToken(left: Expression, right: Expression, level: Int)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): S2CellToken =
     copy(left = newLeft, right = newRight)
+}
+
+/** geo_polygon_to_s2cells(polygon, level-literal) → tokens of the
+  * level cells intersecting the polygon (see S2CellOps.polygonCover). */
+case class S2PolygonCover(child: Expression, level: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeGuards.requireString("geo_polygon_to_s2cells", child)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(a: Any): Any =
+    S2CellOps.polygonCover(a.asInstanceOf[UTF8String], level)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.S2CellOps.polygonCover($c, $level);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(newChild: Expression): S2PolygonCover =
+    copy(child = newChild)
 }
 
 /** geo_s2cell_neighbors(token) → dynamic array of the same-level

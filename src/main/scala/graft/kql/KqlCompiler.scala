@@ -4739,6 +4739,23 @@ object KqlCompiler {
             GraftColumnBridge.catalystExpression(e(df).cast("string"))))
         }
       }
+      if (name == "geo_polygon_to_s2cells") {
+        // geo_polygon_to_s2cells(polygon, level) — the covering that
+        // makes polygon joins a cell-key equi-join: cover the polygons
+        // at level L, explode, and join point cells at the same level.
+        // Level is a parse-time literal (the s2cell stance); coverings
+        // past 65536 cells, malformed polygons → null.
+        val e = expr(); expect(",")
+        val level = number()
+        expect(")")
+        if (level < 0 || level > 30)
+          throw new KqlParseException(s"geo_polygon_to_s2cells level must be 0..30, got $level")
+        return df => {
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.S2PolygonCover(
+            GraftColumnBridge.catalystExpression(e(df).cast("string")), level.toInt))
+        }
+      }
       if (name == "geo_s2cell_neighbors") {
         // the 8 same-level neighbors (7 distinct at cube corners),
         // crossing faces via the published FromFaceIJWrap walk

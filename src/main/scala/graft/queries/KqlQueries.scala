@@ -1654,6 +1654,28 @@ object KqlQueries extends QueryModule {
           |             lcs = countif(lc_ok), pcs = countif(pc_ok)""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // geo polygon covering join (round 15): the Kusto geo-join pattern
+    // end to end — cover the polygon at level 7, candidate-match point
+    // cells against the covering, refine with exact point-in-polygon.
+    // The oracle states rectangle membership independently; the gate
+    // proves the covering is COMPLETE (refined join membership equals
+    // the analytic truth — a missing covering cell would drop an
+    // interior point) and that candidacy is a superset of membership.
+    "q230_kql_text_s2cover_join" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_id % 89 == 0
+          | | extend lon = todouble(user_id % 120) - 60.0 + 0.25, lat = todouble(event_id % 80) - 40.0 + 0.25
+          | | extend poly = '{"type":"Polygon","coordinates":[[[-20.0,-15.0],[25.0,-15.0],[25.0,18.0],[-20.0,18.0],[-20.0,-15.0]]]}'
+          | | extend cells = geo_polygon_to_s2cells(poly, 7), pc = geo_point_to_s2cell(lon, lat, 7)
+          | | extend candidate = array_index_of(cells, pc) >= 0,
+          |          truth = geo_point_in_polygon(lon, lat, poly)
+          | | extend inside = candidate and truth
+          | | summarize n = count(), inside_n = countif(inside),
+          |             complete = countif(inside == truth),
+          |             superset = countif(candidate or not(truth))""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // activity_metrics (round 15): the last activity-family plugin —
     // per 1d window the distinct/new id counts and the pinned
     // backward-looking retention/churn pair (|A(t)∩A(t−1)|/|A(t−1)|).
@@ -3559,6 +3581,21 @@ object KqlQueries extends QueryModule {
            UNION ALL
            SELECT CAST(-1 AS BIGINT), CAST(1 AS BIGINT))
          ORDER BY comp""",
+
+    // covering join: inside_n is the analytic rectangle count (grid
+    // offsets keep points off ring boundaries); completeness and
+    // supersetness collapse to n
+    "q230_kql_text_s2cover_join" ->
+      """WITH e AS (
+           SELECT CAST(user_id % 120 AS DOUBLE) - 60.0 + 0.25 AS lon,
+                  CAST(event_id % 80 AS DOUBLE) - 40.0 + 0.25 AS lat
+           FROM events WHERE event_id % 89 = 0)
+         SELECT CAST(count(1) AS BIGINT) AS n,
+                CAST(count(CASE WHEN lon > -20 AND lon < 25 AND lat > -15 AND lat < 18
+                           THEN 1 END) AS BIGINT) AS inside_n,
+                CAST(count(1) AS BIGINT) AS complete,
+                CAST(count(1) AS BIGINT) AS superset
+         FROM e""",
 
     // geo ring 4 invariants collapse to counts (grid stays ≥ 5° off
     // the poles so the geohash 8-cell is always full)

@@ -2056,6 +2056,47 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getBoolean(6))
   }
 
+  test("geo_polygon_to_s2cells: covering is complete vs point cells, holes excluded, caps and nulls") {
+    // completeness — the property polygon JOINS rely on: every interior
+    // point's cell is in the covering (probe a dense grid)
+    val cover = run(
+      """t | where id == 1
+        | | project c = geo_polygon_to_s2cells('{"type":"Polygon","coordinates":[[[10.0,40.0],[16.0,40.0],[16.0,44.0],[10.0,44.0],[10.0,40.0]]]}', 9)""".stripMargin)
+      .head().getSeq[String](0)
+    assert(cover.nonEmpty && cover.distinct.length == cover.length)
+    val grid = for (i <- 0 until 12; j <- 0 until 8)
+      yield (10.25 + i * 0.5, 40.25 + j * 0.5)
+    val probe = run(
+      s"""t | where id == 1
+         | | extend pts = pack_array(${grid.map { case (x, y) => s"pack_array($x, $y)" }.mkString(", ")})
+         | | mv-expand p = pts
+         | | extend cell = geo_point_to_s2cell(todouble(p[0]), todouble(p[1]), 9)
+         | | extend covered = cell in (${cover.map("'" + _ + "'").mkString(", ")})
+         | | summarize n = count(), ok = countif(covered)""".stripMargin).head()
+    assert(probe.getLong(0) == 96L && probe.getLong(1) == 96L,
+      "every interior grid point's level-9 cell is in the covering")
+    // a cell-sized hole: points inside the hole whose cells are FULLY
+    // inside it are not covered; the hole ring spans 12..14 x 41..43,
+    // probe its center (level 12 cells are ~7 km, well inside)
+    val hole = run(
+      """t | where id == 1
+        | | extend c = geo_polygon_to_s2cells('{"type":"Polygon","coordinates":[[[10.0,40.0],[16.0,40.0],[16.0,44.0],[10.0,44.0],[10.0,40.0]],[[12.0,41.0],[14.0,41.0],[14.0,43.0],[12.0,43.0],[12.0,41.0]]]}', 12)
+        | | extend hc = geo_point_to_s2cell(13.0, 42.0, 12)
+        | | project inhole = array_index_of(c, hc) >= 0, n = array_length(c)""".stripMargin).head()
+    assert(!hole.getBoolean(0), "a cell wholly inside a hole is excluded")
+    assert(hole.getLong(1) > 0L)
+    // vertex cells always covered; malformed/capped → null
+    val misc = run(
+      """t | where id == 1
+        | | extend c5 = geo_polygon_to_s2cells('{"type":"Polygon","coordinates":[[[1.0,1.0],[1.2,1.0],[1.2,1.2],[1.0,1.2],[1.0,1.0]]]}', 5)
+        | | extend vx = geo_point_to_s2cell(1.0, 1.0, 5)
+        | | project hasv = array_index_of(c5, vx) >= 0,
+        |           bad = isnull(geo_polygon_to_s2cells('nope', 9)),
+        |           cap = isnull(geo_polygon_to_s2cells('{"type":"Polygon","coordinates":[[[-60.0,-30.0],[60.0,-30.0],[60.0,30.0],[-60.0,30.0],[-60.0,-30.0]]]}', 14))""".stripMargin)
+      .head()
+    assert(misc.getBoolean(0) && misc.getBoolean(1) && misc.getBoolean(2))
+  }
+
   test("new_guid shape, isutf8, has_any_index") {
     val r = run(
       """t | where id == 1 | project
