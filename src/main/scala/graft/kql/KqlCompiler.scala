@@ -588,6 +588,11 @@ object KqlCompiler {
       elemBinds = elemBinds + (name -> c)
       try body finally elemBinds = saved
     }
+    private def withBinds[A](bs: Map[String, Column])(body: => A): A = {
+      val saved = elemBinds
+      elemBinds = elemBinds ++ bs
+      try body finally elemBinds = saved
+    }
     private def resolveName(n: String): DataFrame = lets.getOrElse(n, resolve(n))
 
     /** `let name = <pipeline>; … <pipeline>` — bindings compile eagerly
@@ -631,16 +636,24 @@ object KqlCompiler {
         if (peekIs("(") && toks.lift(pos + 1).exists(_.kind == "id") &&
             toks.lift(pos + 2).exists(t => t.text == ":" && t.kind == "sym")) {
           // `let f = (T:(*)) { <pipeline over T> };` — a tabular lambda
-          // (Kusto user function). The BODY is captured as tokens and
-          // compiled at each `| invoke f()` site with T bound to the
-          // incoming frame — pure plan substitution, nothing executes.
-          expect("("); val param = ident(); expect(":")
-          if (peekIs("(")) { // (*) or a parenthesized table schema — skip
-            expect("(")
-            var d = 1
-            while (d > 0) { val t = next(); if (t.text == "(" && t.kind == "sym") d += 1
-                            else if (t.text == ")" && t.kind == "sym") d -= 1 }
-          } else ident() // scalar/table type name
+          // applied with `| invoke f()` — or `let f = (x: long, …)
+          // { <scalar expr> };` — a scalar user function called like any
+          // built-in. Either way the BODY is captured as a token range
+          // and compiled at each use site — pure plan substitution,
+          // nothing executes.
+          expect("(")
+          val params = List.newBuilder[String]
+          var moreP = true
+          while (moreP) {
+            params += ident(); expect(":")
+            if (peekIs("(")) { // (*) or a parenthesized table schema — skip
+              expect("(")
+              var d = 1
+              while (d > 0) { val t = next(); if (t.text == "(" && t.kind == "sym") d += 1
+                              else if (t.text == ")" && t.kind == "sym") d -= 1 }
+            } else ident() // scalar/table type name
+            if (peekIs(",")) expect(",") else moreP = false
+          }
           expect(")"); expect("{")
           val start = pos
           var depth = 1
@@ -649,7 +662,22 @@ object KqlCompiler {
             if (t.text == "{" && t.kind == "sym") depth += 1
             else if (t.text == "}" && t.kind == "sym") depth -= 1
           }
-          funcLets(n) = (param, toks.slice(start, pos - 1))
+          funcLets(n) = (params.result(), start, pos - 1)
+        } else if (peek.exists(t => t.kind == "num" || t.kind == "str") ||
+                   (peekIs("-") && toks.lift(pos + 1).exists(_.kind == "num")) ||
+                   peekIs("true") || peekIs("false")) {
+          // scalar literal let: `let lim = 100;` / `let who = 'x';` /
+          // `let w = 7d;` — binds a compile-time value usable anywhere
+          // an expression (or a count like take/top N) appears
+          if (peekTimespan) scalarLets(n) = timespanMicros()
+          else if (peekIs("true") || peekIs("false")) scalarLets(n) = next().text == "true"
+          else {
+            val neg = peekIs("-"); if (neg) expect("-")
+            val t = next()
+            if (t.kind == "str") scalarLets(n) = t.text
+            else if (t.text.contains(".")) scalarLets(n) = (if (neg) -1 else 1) * t.text.toDouble
+            else scalarLets(n) = (if (neg) -1 else 1) * t.text.toLong
+          }
         } else if (peekIs("materialize")) {
           expect("materialize"); expect("(")
           val d = pipeline(); expect(")")
@@ -686,7 +714,9 @@ object KqlCompiler {
     private def warn(msg: String): Unit = warnings += msg
 
     /** Tabular lambda bindings: name → (parameter, captured body tokens). */
-    private val funcLets = scala.collection.mutable.Map.empty[String, (String, Vector[Tok])]
+    // name → (params, body token range [start, end)) in THIS parser's
+    // token stream — re-parsed in place at each call/invoke site
+    private val funcLets = scala.collection.mutable.Map.empty[String, (List[String], Int, Int)]
 
     def pipeline(): DataFrame = {
       var df = source()
@@ -1005,6 +1035,14 @@ object KqlCompiler {
     }
     private def number(): Int = {
       val t = next()
+      // a scalar let binding usable where Kusto allows one (`let lim =
+      // 100; t | take lim`) — resolved to its compile-time value
+      if (t.kind == "id" && scalarLets.contains(t.text))
+        scalarLets(t.text) match {
+          case n: Number => return n.intValue()
+          case other => throw new KqlParseException(
+            s"expected number, got let '${t.text}' = $other")
+        }
       if (t.kind != "num") throw new KqlParseException(s"expected number, got '${t.text}'")
       try t.text.toInt
       catch { case _: NumberFormatException =>
@@ -3195,9 +3233,11 @@ object KqlCompiler {
         // to the incoming frame (outer tables/lets stay resolvable).
         val fname = ident()
         expect("("); expect(")")
-        val (param, body) = funcLets.getOrElse(fname,
+        val (params, bStart, bEnd) = funcLets.getOrElse(fname,
           throw new KqlParseException(s"invoke: no lambda let binding named '$fname'"))
-        val sub = new Parser(body, nm => if (nm == param) df else resolveName(nm),
+        val param = params.head
+        val sub = new Parser(toks.slice(bStart, bEnd),
+          nm => if (nm == param) df else resolveName(nm),
           now, sessionHint)
         val out = sub.statements()
         sub.expectEnd()
@@ -3734,17 +3774,40 @@ object KqlCompiler {
         case Some(">=") => expect(">="); val r = additive(); df => l(df) >= r(df)
         case Some("in") | Some("!in") =>
           // in / !in / in~ / !in~ — the `~` suffix is Kusto's
-          // case-insensitive variant
+          // case-insensitive variant. A TABULAR operand (`in (T | …)`
+          // or `in (letName)`) takes the subquery's FIRST column,
+          // capped at Kusto's documented 1,000,000 values — a bounded
+          // broadcast-class fetch (the toscalar stance), which keeps
+          // membership a composable Column in any boolean context.
           val negated = next().text == "!in"
           val ci = peekIs("~")
           if (ci) expect("~")
-          expect("(")
-          val items = sepBy1(() => expr()); expect(")")
-          df => {
-            val base =
-              if (ci) lower(l(df)).isin(items.map(i => lower(i(df))): _*)
-              else l(df).isin(items.map(_(df)): _*)
-            if (negated) !base else base
+          val isSub = peekIs("(") && toks.lift(pos + 1).exists(_.kind == "id") && (
+            toks.lift(pos + 2).exists(t => t.kind == "sym" && t.text == "|") ||
+            (toks.lift(pos + 2).exists(t => t.kind == "sym" && t.text == ")") &&
+              lets.contains(toks(pos + 1).text)))
+          if (isSub) {
+            val sub = subquery()
+            val vals = sub.select(sub.columns.head).distinct()
+              .limit(1000001).collect().map(_.get(0))
+            if (vals.length > 1000000)
+              throw new KqlParseException(
+                "in (subquery): more than 1,000,000 distinct values (the Kusto cap)")
+            df => {
+              val base =
+                if (ci) lower(l(df)).isin(vals.map(v => String.valueOf(v).toLowerCase): _*)
+                else l(df).isin(vals.toIndexedSeq: _*)
+              if (negated) !base else base
+            }
+          } else {
+            expect("(")
+            val items = sepBy1(() => expr()); expect(")")
+            df => {
+              val base =
+                if (ci) lower(l(df)).isin(items.map(i => lower(i(df))): _*)
+                else l(df).isin(items.map(_(df)): _*)
+              if (negated) !base else base
+            }
           }
         // Kusto string predicates are case-INSENSITIVE by default; the
         // `_cs` variants are the case-sensitive forms — exact KQL
@@ -3827,6 +3890,9 @@ object KqlCompiler {
           timestamp_micros(unix_micros(lc) + (if (op == "+") rc else -rc))
         case (Some(lt), Some(TimestampType)) if integral(lt) && op == "+" =>
           timestamp_micros(unix_micros(rc) + lc)
+        case (Some(org.apache.spark.sql.types.StringType),
+              Some(org.apache.spark.sql.types.StringType)) if op == "+" =>
+          concat(lc, rc) // Kusto allows string + string concatenation
         case _ => if (op == "+") lc + rc else lc - rc
       }
     }
@@ -6690,6 +6756,28 @@ object KqlCompiler {
           val vs = args.tail.map(_(df).cast("string"))
           concat(vs.head +: vs.tail.flatMap(v => Seq(d, v)): _*)
         }
+        case other if funcLets.contains(other) =>
+          // scalar user function: re-parse the captured body IN PLACE
+          // (same parser — outer lets/functions stay visible) with the
+          // parameters bound through the elemBinds scope, exactly the
+          // mv-apply lambda mechanism. Stack-disciplined pos save makes
+          // nested user-function calls compose.
+          val (params, bStart, bEnd) = funcLets(other)
+          if (args.length != params.length)
+            throw new KqlParseException(
+              s"$other() expects ${params.length} arguments, got ${args.length}")
+          df => {
+            val binds = params.zip(args.map(_(df))).toMap
+            val saved = pos
+            pos = bStart
+            try {
+              val e = withBinds(binds)(expr())
+              if (pos != bEnd)
+                throw new KqlParseException(
+                  s"$other is a multi-statement lambda — call it with | invoke $other()")
+              withBinds(binds)(e(df))
+            } finally pos = saved
+          }
         case other => throw new KqlParseException(s"unsupported function '$other'")
       }
     }

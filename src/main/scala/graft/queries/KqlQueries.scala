@@ -1654,6 +1654,22 @@ object KqlQueries extends QueryModule {
           |             lcs = countif(lc_ok), pcs = countif(pc_ok)""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // scalar user functions + in-subquery + literal lets (round 15):
+    // the everyday dashboard composition — a let-bound threshold, a
+    // let-bound cohort subquery consumed by `in` (first-column
+    // semi-filter, 1M cap), and a scalar lambda applied per row.
+    "q231_kql_text_udf_in" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """let thresh = 150.0;
+          | let topusers = events | summarize s = sum(value) by user_id | where s > thresh | project user_id;
+          | let bucket = (v: real) { iff(v >= 100.0, 'big', iff(v >= 10.0, 'mid', 'small')) };
+          | events
+          | | where user_id in (topusers)
+          | | extend b = bucket(value)
+          | | summarize n = count(), sv = round(sum(value), 4) by event_type, b
+          | | order by event_type asc, b asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // geo polygon covering join (round 15): the Kusto geo-join pattern
     // end to end — cover the polygon at level 7, candidate-match point
     // cells against the covering, refine with exact point-in-polygon.
@@ -3581,6 +3597,17 @@ object KqlQueries extends QueryModule {
            UNION ALL
            SELECT CAST(-1 AS BIGINT), CAST(1 AS BIGINT))
          ORDER BY comp""",
+
+    "q231_kql_text_udf_in" ->
+      """WITH topusers AS (
+           SELECT user_id FROM events GROUP BY user_id HAVING sum(value) > 150.0)
+         SELECT event_type,
+                CASE WHEN value >= 100.0 THEN 'big'
+                     WHEN value >= 10.0 THEN 'mid' ELSE 'small' END AS b,
+                CAST(count(1) AS BIGINT) AS n,
+                round(sum(value), 4) + 0.0 AS sv
+         FROM events WHERE user_id IN (SELECT user_id FROM topusers)
+         GROUP BY 1, 2 ORDER BY event_type, b""",
 
     // covering join: inside_n is the analytic rectangle count (grid
     // offsets keep points off ring boundaries); completeness and

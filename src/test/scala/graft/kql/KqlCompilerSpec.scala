@@ -1885,6 +1885,35 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getMessage.contains("windows"))
   }
 
+  test("scalar user functions, literal lets, in (subquery), string +") {
+    // scalar let-lambdas: body re-parsed at the call site with params
+    // bound through the lambda scope; nesting composes
+    val f = run(
+      """let double_it = (x: long) { x * 2 };
+        | let clamp = (x: long, m: long) { iff(x > m, m, x) };
+        | t | extend y = clamp(double_it(id), 7) | project y | order by y asc""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    assert(f == Seq(2L, 4L, 6L, 7L, 7L))
+    // literal lets bind anywhere an expression or a take/top count goes
+    val lets = run(
+      """let lim = 2; let who = 'beta'; let w = 12345;
+        | t | where name == who | extend k = id + w | take lim""".stripMargin).collect()
+    assert(lets.length == 2 && lets.forall(_.getLong(4) > 12345L))
+    // in (subquery): first column, semi-filter semantics; !in negates;
+    // a let-bound table works as the bare operand
+    assert(run("t | where id in (t | where value > 50 | project id) | count").head().getLong(0) == 3L)
+    assert(run("t | where name !in (t | where value > 90 | project name) | count").head().getLong(0) == 3L)
+    assert(run(
+      """let big = t | where value > 50;
+        | t | where id in (big | project id) | count""".stripMargin).head().getLong(0) == 3L)
+    // string + string concatenates (Kusto operator form)
+    assert(run("t | where id == 1 | project s = 'x' + name").head().getString(0) == "xalpha")
+    // arity mismatch on a user function is loud
+    assert(intercept[KqlParseException](
+      run("let f = (x: long) { x }; t | extend y = f(id, 2)").collect())
+      .getMessage.contains("expects 1"))
+  }
+
   test("arg_max/arg_min star and multi-column forms expand to row columns") {
     // arg_max(v, *): the whole winning row, group keys deduped
     val star = run("t | summarize arg_max(value, *) by name | order by name asc").collect()
