@@ -1398,8 +1398,15 @@ object KqlCompiler {
           t.kind == "id" && t.text == "row_window_session") =>
         rowWindowSessionOp(df, Nil)
       case "extend" =>
-        sepBy1(() => { val n = ident(); expect("="); (n, expr()) })
-          .foldLeft(df) { case (d, (n, e)) => d.withColumn(n, e(d)) }
+        sepBy1(() => {
+          // plain identifier or Kusto's ['bracket quoted'] output name
+          val n =
+            if (peekIs("[")) { expect("["); val t = next()
+              if (t.kind != "str") throw new KqlParseException("expected ['name']")
+              expect("]"); t.text }
+            else ident()
+          expect("="); (n, expr())
+        }).foldLeft(df) { case (d, (n, e)) => d.withColumn(n, e(d)) }
       case "summarize" =>
         // Kusto perf hints: `hint.shufflekey=Col` pre-partitions on the
         // named key (HashPartitioning on a subset of the group keys
@@ -3558,6 +3565,14 @@ object KqlCompiler {
         val n = ident(); expect("=")
         val e = expr()
         df => e(df).as(n)
+      } else if (peek.exists(t => t.kind == "sym" && t.text == "[") &&
+                 toks.lift(pos + 1).exists(_.kind == "str") &&
+                 toks.lift(pos + 2).exists(t => t.kind == "sym" && t.text == "]") &&
+                 toks.lift(pos + 3).exists(t => t.kind == "sym" && t.text == "=")) {
+        // `['col name'] = expr` — bracket-quoted output alias
+        expect("["); val n = next().text; expect("]"); expect("=")
+        val e = expr()
+        df => e(df).as(n)
       } else expr()
     }
 
@@ -3941,6 +3956,11 @@ object KqlCompiler {
             scalarLets.get(name).map(lit(_)).getOrElse(df(name)))
         }
         case "sym" if t.text == "(" => val e = expr(); expect(")"); e
+        case "sym" if t.text == "[" && peek.exists(_.kind == "str") =>
+          // ['column name'] — Kusto's bracket-quoted identifier for
+          // columns whose names aren't plain identifiers
+          val k = next().text; expect("]")
+          (df: DataFrame) => df(k)
         case _ => throw new KqlParseException(s"unexpected token '${t.text}'")
       }
       dynamicPath(base)
@@ -4652,15 +4672,26 @@ object KqlCompiler {
         return df => Kql.pack(cols0.map(n => df(n).as(n)): _*)
       }
       if (name == "prev" || name == "next") {
-        // prev(col[, offset]) / next(col[, offset]) over the serialized
-        // order — offset is a parse-time literal (lag/lead need Int)
+        // prev(col[, offset[, default]]) / next(…) over the serialized
+        // order — offset is a parse-time literal (lag/lead need Int);
+        // the optional third argument fills past-the-edge rows (Kusto's
+        // documented form)
         val e = expr()
         val off = if (peekIs(",")) { expect(","); number() } else 1
+        val dflt = if (peekIs(",")) { expect(","); Some(expr()) } else None
         expect(")")
         val fn = name
         return df => {
           val w = serializedWindow(df)
-          if (fn == "prev") lag(e(df), off).over(w) else lead(e(df), off).over(w)
+          // lag/lead's own default fills ONLY past-the-edge rows (a
+          // genuine null value stays null — the Kusto contract; a
+          // coalesce would overwrite those too)
+          (dflt, fn) match {
+            case (None, "prev") => lag(e(df), off).over(w)
+            case (None, _) => lead(e(df), off).over(w)
+            case (Some(d), "prev") => lag(e(df), off, d(df)).over(w)
+            case (Some(d), _) => lead(e(df), off, d(df)).over(w)
+          }
         }
       }
       if (name == "format_datetime") {

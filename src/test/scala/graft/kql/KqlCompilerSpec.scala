@@ -1885,6 +1885,22 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getMessage.contains("windows"))
   }
 
+  test("prev/next default argument, bracket-quoted identifiers") {
+    val r = run(
+      """t | order by id asc
+        | | extend p = prev(value, 1, -1.0), nx = next(value, 2, -2.0)
+        | | project id, p, nx | order by id asc""".stripMargin).collect()
+    assert(r.head.getDouble(1) == -1.0, "edge row gets the default")
+    assert(r(1).getDouble(1) == 10.0, "interior rows get the shifted value")
+    assert(r.last.getDouble(2) == -2.0 && r(2).getDouble(2) == 70.0)
+    val b = run(
+      """t | where id == 1
+        | | extend ['my col'] = value * 2
+        | | project ['my col'], n2 = ['my col'] + 1""".stripMargin).head()
+    assert(b.schema.fieldNames.toSeq == Seq("my col", "n2"))
+    assert(b.getDouble(0) == 20.0 && b.getDouble(1) == 21.0)
+  }
+
   test("scalar user functions, literal lets, in (subquery), string +") {
     // scalar let-lambdas: body re-parsed at the call site with params
     // bound through the lambda scope; nesting composes
