@@ -1175,12 +1175,56 @@ object KqlCompiler {
             val arrB = expr()
             if (peekIs("to")) { expect("to"); expect("typeof"); expect("("); ident(); expect(")") }
             expect("on"); expect("(")
-            val filters = List.newBuilder[ColB]
+            val fns = org.apache.spark.sql.functions
+            // the sub-pipeline applies SEQUENTIALLY to the element
+            // array, all as array lambdas: where → filter(), extend →
+            // a named per-element binding visible to later steps,
+            // sort by → array_sort with a comparator on the key,
+            // top N by → sort + slice, take N → slice; summarize folds
+            // and must be last. Zero shuffles, zero explodes until the
+            // final row expansion.
+            var arr = arrB(df)
+            var exts = List.empty[(String, Column => Column)]
+            def withElem[A](x: Column)(body: => A): A = {
+              val binds = exts.foldLeft(Map(elemName -> x)) { case (m, (n, f)) =>
+                m + (n -> f(x))
+              }
+              withBinds(binds)(body)
+            }
             var aggs = List.empty[(String, String, Option[ColB])]
             var scanning = true
             while (scanning) {
               ident() match {
-                case "where" => filters += expr()
+                case "where" =>
+                  val p = expr()
+                  arr = fns.filter(arr, x => withElem(x)(p(df)))
+                case "extend" =>
+                  sepBy1(() => {
+                    val n = ident(); expect("=")
+                    val e = expr()
+                    val extsNow = exts // bind to the scope at THIS step
+                    exts = exts :+ (n, (x: Column) => {
+                      val binds = extsNow.foldLeft(Map(elemName -> x)) { case (m, (nm, f)) =>
+                        m + (nm -> f(x))
+                      }
+                      withBinds(binds)(e(df))
+                    })
+                    ()
+                  })
+                case "sort" | "order" =>
+                  expect("by")
+                  val k = expr()
+                  val asc = if (peekIs("asc")) { expect("asc"); true }
+                            else { if (peekIs("desc")) expect("desc"); false }
+                  arr = sortByKey(arr, x => withElem(x)(k(df)), asc)
+                case "top" =>
+                  val n = number(); expect("by")
+                  val k = expr()
+                  val asc = if (peekIs("asc")) { expect("asc"); true }
+                            else { if (peekIs("desc")) expect("desc"); false }
+                  arr = slice(sortByKey(arr, x => withElem(x)(k(df)), asc), lit(1), lit(n))
+                case "take" | "limit" =>
+                  arr = slice(arr, lit(1), lit(number()))
                 case "summarize" =>
                   aggs = sepBy1(() => {
                     val n = ident(); expect("=")
@@ -1191,20 +1235,24 @@ object KqlCompiler {
                   })
                   scanning = false // summarize must be the last step
                 case other =>
-                  throw new KqlParseException(s"mv-apply supports where/summarize steps, got '$other'")
+                  throw new KqlParseException(
+                    s"mv-apply supports where/extend/sort/top/take/summarize steps, got '$other'")
               }
               if (scanning) { if (peekIs("|")) expect("|") else scanning = false }
             }
             expect(")")
-            val fns = org.apache.spark.sql.functions
-            val filtered = filters.result().foldLeft(arrB(df))((a, p) =>
-              fns.filter(a, x => withBind(elemName, x)(p(df))))
+            val filtered = arr
             def mapped(argB: Option[ColB]): Column = argB match {
-              case Some(b) => fns.transform(filtered, x => withBind(elemName, x)(b(df)))
+              case Some(b) => fns.transform(filtered, x => withElem(x)(b(df)))
               case None => filtered
             }
-            if (aggs.isEmpty) df.withColumn(elemName, explode(filtered))
-            else aggs.foldLeft(df) { case (d, (n, fn, argB)) =>
+            if (aggs.isEmpty) {
+              // row-per-element output carries the extended columns too
+              val exploded = df.withColumn(elemName, explode(filtered))
+              exts.foldLeft(exploded) { case (d, (n, f)) =>
+                d.withColumn(n, f(col(elemName)))
+              }
+            } else aggs.foldLeft(df) { case (d, (n, fn, argB)) =>
               d.withColumn(n, fn match {
                 case "count" =>
                   if (argB.nonEmpty) throw new KqlParseException("mv-apply count() takes no argument")
@@ -1218,6 +1266,7 @@ object KqlCompiler {
                     fns.aggregate(mapped(argB), lit(0.0).cast("double"), (s, x) => s + x) /
                       size(filtered))
                 case "dcount" => size(array_distinct(mapped(argB))).cast("long")
+                case "make_list" => mapped(argB)
                 case other => throw new KqlParseException(s"unsupported mv-apply aggregate '$other'")
               })
             }
@@ -3559,6 +3608,19 @@ object KqlCompiler {
     }
 
     /** `name = expr` or bare expr (aliased to its identifier when simple). */
+    /** array_sort with a computed key (mv-apply sort/top): comparator
+      * -1/0/1, nulls LAST regardless of direction. */
+    private def sortByKey(arr: Column, key: Column => Column, asc: Boolean): Column =
+      array_sort(arr, (l, r) => {
+        val kl = key(l); val kr = key(r)
+        val lt = if (asc) kl < kr else kl > kr
+        val gt = if (asc) kl > kr else kl < kr
+        when(kl.isNull && kr.isNull, lit(0))
+          .when(kl.isNull, lit(1))
+          .when(kr.isNull, lit(-1))
+          .when(lt, lit(-1)).when(gt, lit(1)).otherwise(lit(0))
+      })
+
     private def projItem(): ColB = {
       if (peek.exists(_.kind == "id") && toks.lift(pos + 1).exists(_.text == "=") &&
           toks.lift(pos + 1).exists(_.kind == "sym")) {

@@ -1885,6 +1885,31 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getMessage.contains("windows"))
   }
 
+  test("mv-apply extended sub-pipeline: extend, sort by, top, take") {
+    // top 2 by computed key, descending (the per-row top-k idiom)
+    val r = run(
+      """t | where id == 1
+        | | extend a = pack_array(3, 1, 7, 5)
+        | | mv-apply e = a to typeof(long) on (top 2 by e desc | summarize s = make_list(e))
+        | | project s""".stripMargin).head()
+    assert(r.getSeq[Long](0) == Seq(7L, 5L))
+    // extend feeds later where and sort; row-per-element output carries
+    // the extended column
+    val e = run(
+      """t | where id == 1
+        | | extend a = pack_array(3, 1, 7, 5)
+        | | mv-apply e = a to typeof(long) on (extend sq = e * e | where sq > 4 | sort by sq asc)
+        | | project e, sq""".stripMargin).collect()
+    assert(e.map(x => (x.getLong(0), x.getLong(1))).toSeq == Seq((3L, 9L), (5L, 25L), (7L, 49L)))
+    // take truncates after sort
+    val t2 = run(
+      """t | where id == 1
+        | | extend a = pack_array(9, 2, 5)
+        | | mv-apply e = a to typeof(long) on (sort by e asc | take 2 | summarize m = max(e))
+        | | project m""".stripMargin).head()
+    assert(t2.getLong(0) == 5L)
+  }
+
   test("prev/next default argument, bracket-quoted identifiers") {
     val r = run(
       """t | order by id asc
