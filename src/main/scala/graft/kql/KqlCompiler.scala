@@ -1561,18 +1561,21 @@ object KqlCompiler {
         }
         val sqlW = org.apache.spark.sql.expressions.Window
         var acc: DataFrame = null
+        var workDf = df // levels with `others` REWRITE their key column here
         var keys = List.empty[String]
         var prevAggs = List.empty[String]
         for (lv <- levels.result()) {
-          val grouped = df.groupBy((keys :+ lv.colName).map(col): _*).agg(lv.aggB(df).as(lv.aggName))
+          val grouped = workDf.groupBy((keys :+ lv.colName).map(col): _*)
+            .agg(lv.aggB(workDf).as(lv.aggName))
           // null-safe key equality: a null parent group must keep its
           // children (equi-join keys would drop them)
-          val joined =
-            if (acc == null) grouped
-            else grouped.join(broadcast(acc),
-                keys.map(k => grouped(k) <=> acc(k)).reduce(_ && _), "inner")
-              .select((keys :+ lv.colName :+ lv.aggName).map(grouped(_)) ++
+          def parentJoin(g: DataFrame): DataFrame =
+            if (acc == null) g
+            else g.join(broadcast(acc),
+                keys.map(k => g(k) <=> acc(k)).reduce(_ && _), "inner")
+              .select((keys :+ lv.colName :+ lv.aggName).map(g(_)) ++
                 prevAggs.map(acc(_)): _*)
+          val joined = parentJoin(grouped)
           val w =
             if (keys.isEmpty) sqlW.orderBy(col(lv.aggName).desc, col(lv.colName).asc)
             else sqlW.partitionBy(keys.map(col): _*).orderBy(col(lv.aggName).desc, col(lv.colName).asc)
@@ -1581,27 +1584,24 @@ object KqlCompiler {
           acc = lv.others match {
             case None => winners
             case Some(label) =>
-              val isLast = lv eq levels.result().last
-              if (!isLast)
-                throw new KqlParseException("top-nested 'with others' is supported on the last level only")
-              // the excluded groups re-aggregate per parent; count/sum/
-              // min/max compose from the per-group aggregates (avg and
-              // dcount do not — loud error rather than a wrong number)
-              val combined = lv.fn match {
-                case Some("count") | Some("sum") => sum(col(lv.aggName))
-                case Some("min") => min(col(lv.aggName))
-                case Some("max") => max(col(lv.aggName))
-                case other => throw new KqlParseException(
-                  s"top-nested with others supports count/sum/min/max, got '${other.getOrElse("?")}'")
-              }
-              val losers = ranked.where(col("__rn") > lv.n).drop("__rn")
-              val parentCols = keys ++ prevAggs
-              val otherAgg =
-                if (parentCols.isEmpty) losers.agg(combined.as(lv.aggName))
-                else losers.groupBy(parentCols.map(col): _*).agg(combined.as(lv.aggName))
+              // ANY level may roll its losers into a labeled bucket: the
+              // level column is rewritten to the label in the raw working
+              // frame and the level re-aggregates, so every aggregate
+              // (avg/dcount included) is exact over the rolled-up rows
+              // and DEEPER levels nest inside the bucket like any other
+              // parent group — full Kusto semantics, not last-level-only
+              val keyCols = keys :+ lv.colName
               val colType = joined.schema(lv.colName).dataType
-              val othersDf = otherAgg.withColumn(lv.colName, lit(label).cast(colType))
-              winners.unionByName(othersDf.select(winners.columns.map(col): _*))
+              val wk = winners.select(keyCols.zipWithIndex.map { case (k, i) =>
+                col(k).as(s"__tn_k$i") } :+ lit(1).as("__tn_w"): _*)
+              val cond = keyCols.zipWithIndex.map { case (k, i) =>
+                workDf(k) <=> wk(s"__tn_k$i") }.reduce(_ && _)
+              workDf = workDf.join(broadcast(wk), cond, "left")
+                .withColumn(lv.colName,
+                  when(col("__tn_w").isNull, lit(label).cast(colType)).otherwise(col(lv.colName)))
+                .drop(("__tn_w" +: keyCols.indices.map(i => s"__tn_k$i")): _*)
+              parentJoin(workDf.groupBy(keyCols.map(col): _*)
+                .agg(lv.aggB(workDf).as(lv.aggName)))
           }
           keys = keys :+ lv.colName
           prevAggs = prevAggs :+ lv.aggName

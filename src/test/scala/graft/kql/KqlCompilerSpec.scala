@@ -757,9 +757,22 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
                     | order by name asc""").collect()
     assert(s2.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
       Seq(("beta", 125.0), ("rest", 125.0))) // beta 55+70; alpha 105 + gamma 20
-    // avg cannot compose from group aggregates — loud error
-    assertThrows[KqlParseException](
-      run("t | top-nested 1 of name with others = 'rest' by a = avg(value)"))
+    // avg is EXACT over the rolled-up raw rows (the round-15 rewrite
+    // re-aggregates the working frame instead of composing group aggs)
+    val a2 = run("""t | top-nested 1 of name with others = 'rest' by a = avg(value)
+                    | order by name asc""").collect()
+    assert(a2.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("beta", 62.5), ("rest", (10.0 + 95.0 + 20.0) / 3))) // beta avg(55,70); rest avg(alpha+gamma rows)
+    // non-last-level others: the bucket nests like any parent — statuses
+    // within 'rest' get their own top-1 rows
+    val nested = run(
+      """t | top-nested 1 of name with others = 'rest' by v = sum(value),
+        |     top-nested 1 of status by sv = sum(value)
+        | | order by name asc, status asc""".stripMargin).collect()
+    val byName = nested.map(r => (r.getString(0), r.getString(2))).toMap
+    assert(byName.keySet == Set("beta", "rest"), s"got ${nested.mkString(";")}")
+    assert(byName("beta") == "ok", "beta's top status")
+    assert(byName("rest") == "err-refused", "the rolled-up bucket breaks down by its own top status (95.0)")
     // narrow: (Row, Column, Value) strings over the serialized order
     val n = run("""t | where id <= 2 | project id, name | order by id asc
                    | evaluate narrow() | order by Row asc, Column asc""").collect()
