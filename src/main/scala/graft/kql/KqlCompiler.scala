@@ -2166,16 +2166,25 @@ object KqlCompiler {
               case _ => throw new KqlParseException(
                 s"evaluate pivot supports count()/sum(c)/avg(c)/min(c)/max(c)/dcount(c), got '$fn'")
             }
+            // trailing args: STRING literals pin the output value set
+            // (this engine's deterministic q87 form); IDENTIFIERS are
+            // Kusto's group-by column list (default: every column not
+            // consumed by the pivot)
             val outs = List.newBuilder[String]
+            val groupCols = List.newBuilder[String]
             while (peekIs(",")) {
               expect(",")
               val t = next()
-              if (t.kind != "str") throw new KqlParseException("pivot output columns must be string literals")
-              outs += t.text
+              if (t.kind == "str") outs += t.text
+              else if (t.kind == "id") groupCols += t.text
+              else throw new KqlParseException(
+                "pivot trailing args must be output-value string literals or group-by column names")
             }
             expect(")")
-            // Kusto groups by every column not consumed by the pivot
-            val keys = df.columns.filterNot(c => c == pcol || argCol.contains(c))
+            val gc = groupCols.result()
+            val keys =
+              if (gc.nonEmpty) gc.toArray
+              else df.columns.filterNot(c => c == pcol || argCol.contains(c))
             val grouped = df.groupBy(keys.map(col): _*)
             val piv = outs.result() match {
               // Kusto's default form: infer the column set. ONE bounded
@@ -3838,6 +3847,29 @@ object KqlCompiler {
       else comparison()
 
     private def comparison(): ColB = {
+      // `* has 'x'` / `* contains 'x'` — the search-every-column
+      // predicate (Kusto): OR of the string predicate over every column
+      // (each cast to string, the search-operator stance)
+      if (peekIs("*") && toks.lift(pos + 1).exists(t => t.kind == "id" &&
+          Set("has", "has_cs", "contains", "contains_cs", "startswith", "endswith")(t.text))) {
+        expect("*")
+        val op = ident()
+        val r = additive()
+        return df => {
+          val needle = r(df)
+          def pred(c: Column): Column = op match {
+            case "has" => regexp_like(c, concat(lit("(?i)\\b"),
+              regexp_replace(needle, lit("([^a-zA-Z0-9])"), lit("\\\\$1")), lit("\\b")))
+            case "has_cs" => regexp_like(c, concat(lit("\\b"),
+              regexp_replace(needle, lit("([^a-zA-Z0-9])"), lit("\\\\$1")), lit("\\b")))
+            case "contains" => lower(c).contains(lower(needle))
+            case "contains_cs" => c.contains(needle)
+            case "startswith" => lower(c).startsWith(lower(needle))
+            case _ => lower(c).endsWith(lower(needle))
+          }
+          df.columns.map(cn => coalesce(pred(df(cn).cast("string")), lit(false))).reduce(_ || _)
+        }
+      }
       val l = additive()
       peek.filter(_.kind != "str").map(_.text) match {
         case Some("==") => expect("=="); val r = additive(); df => l(df) === r(df)
@@ -4678,14 +4710,36 @@ object KqlCompiler {
         }
       }
       if (name == "extract") {
-        // Kusto extract(regex, captureGroup, source) — regex is a literal
-        // (parse-time, like split's delimiter); group 0 = whole match
+        // Kusto extract(regex, captureGroup, source [, typeof(T)]) —
+        // regex is a literal (parse-time, like split's delimiter);
+        // group 0 = whole match; the typeof form converts with the toX
+        // null-on-unparseable contract (empty no-match included)
         val r = next()
         if (r.kind != "str") throw new KqlParseException("extract() regex must be a string literal")
         expect(",")
         val group = number(); expect(",")
-        val src = expr(); expect(")")
-        return df => regexp_extract(src(df), r.text, group)
+        val src = expr()
+        val tpe =
+          if (peekIs(",")) {
+            expect(","); expect("typeof"); expect("(")
+            val t = ident(); expect(")")
+            Some(t match {
+              case "long" | "int" => "long"
+              case "real" | "double" => "double"
+              case "datetime" => "timestamp"
+              case "bool" | "boolean" => "boolean"
+              case "string" => "string"
+              case other => throw new KqlParseException(s"unsupported extract typeof '$other'")
+            })
+          } else None
+        expect(")")
+        return df => {
+          val raw = regexp_extract(src(df), r.text, group)
+          tpe match {
+            case None | Some("string") => raw
+            case Some(t) => when(raw =!= "", raw.try_cast(t))
+          }
+        }
       }
       if (name == "extract_groups") {
         // extract_groups(regex, source): ALL capture groups of the
@@ -6190,8 +6244,21 @@ object KqlCompiler {
         case "array_sort_asc" => arity(1); df => sort_array(args.head(df), asc = true)
         case "array_sort_desc" => arity(1); df => sort_array(args.head(df), asc = false)
         // 0-based first index, -1 when absent (array_position is 1-based/0-absent)
-        case "array_index_of" => arity(2); df =>
-          (array_position(args(0)(df), args(1)(df)) - lit(1L)).cast("long")
+        // array_index_of(arr, v [, start]): 0-based, -1 absent; the
+        // optional start searches from that index (slice + re-offset)
+        case "array_index_of" =>
+          if (args.length < 2 || args.length > 3)
+            throw new KqlParseException("array_index_of() expects 2 or 3 arguments")
+          if (args.length == 2) df =>
+            (array_position(args(0)(df), args(1)(df)) - lit(1L)).cast("long")
+          else df => {
+            val arr = args(0)(df)
+            val st = args(2)(df).cast("int")
+            val sub = slice(arr, st + 1, greatest(size(arr) - st, lit(0)))
+            val p = array_position(sub, args(1)(df))
+            when(st < 0, lit(null).cast("long"))
+              .when(p > 0, (p - 1 + st).cast("long")).otherwise(lit(-1L))
+          }
         case "arg_max" => arity(2); df => Kql.argMax(args(0)(df), args(1)(df))
         case "arg_min" => arity(2); df => Kql.argMin(args(0)(df), args(1)(df))
         // bitwise family (Kusto binary_*; long-typed as in Kusto)

@@ -1898,6 +1898,26 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getMessage.contains("windows"))
   }
 
+  test("star predicates, typed extract, array_index_of start, pivot group-by columns") {
+    // * has / * contains search every column (cast to string)
+    assert(run("t | where * has 'alpha' | count").head().getLong(0) == 2L)
+    assert(run("t | where * contains 'TIME' | count").head().getLong(0) == 1L)
+    assert(run("t | where * contains '95' | count").head().getLong(0) == 1L, "numeric columns searched as strings")
+    val r = run(
+      """t | where id == 1 | project
+        |  e1 = extract(@'(\d+)', 1, 'ab 42 cd', typeof(long)),
+        |  e2 = isnull(extract(@'(\d+)', 1, 'no digits', typeof(long))),
+        |  a1 = array_index_of(pack_array('a','b','a'), 'a', 1),
+        |  a2 = array_index_of(pack_array('a','b'), 'z', 0)""".stripMargin).head()
+    assert(r.getLong(0) == 42L && r.getBoolean(1))
+    assert(r.getLong(2) == 2L, "start=1 skips index 0, finds the later 'a'")
+    assert(r.getLong(3) == -1L)
+    // pivot with explicit group-by columns (Kusto form): only the named
+    // key survives alongside the pivoted columns
+    val p = run("t | evaluate pivot(name, sum(value), status) | order by status asc")
+    assert(p.columns.toSeq.head == "status" && p.columns.length >= 3)
+  }
+
   test("mv-apply extended sub-pipeline: extend, sort by, top, take") {
     // top 2 by computed key, descending (the per-row top-k idiom)
     val r = run(
