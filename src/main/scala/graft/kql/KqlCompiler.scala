@@ -4952,6 +4952,22 @@ object KqlCompiler {
             GraftColumnBridge.catalystExpression(e(df).cast("string"))))
         }
       }
+      if (name == "geo_line_simplify" || name == "geo_polygon_simplify") {
+        // Douglas–Peucker on the sphere (great-circle point-to-segment
+        // distances — agrees with geo_distance_point_to_line about
+        // "within tolerance"); null on malformed shapes / tolerance ≤ 0
+        val shape = expr(); expect(",")
+        val tol = expr(); expect(")")
+        val isLine = name == "geo_line_simplify"
+        return df => {
+          import org.apache.spark.sql.GraftColumnBridge
+          val s = GraftColumnBridge.catalystExpression(shape(df).cast("string"))
+          val t = GraftColumnBridge.catalystExpression(tol(df).cast("double"))
+          GraftColumnBridge.column(
+            if (isLine) graft.functions.GeoLineSimplify(s, t)
+            else graft.functions.GeoPolygonSimplify(s, t))
+        }
+      }
       if (name == "geo_polygon_to_s2cells") {
         // geo_polygon_to_s2cells(polygon, level) — the covering that
         // makes polygon joins a cell-key equi-join: cover the polygons

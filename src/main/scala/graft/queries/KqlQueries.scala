@@ -1654,6 +1654,22 @@ object KqlQueries extends QueryModule {
           |             lcs = countif(lc_ok), pcs = countif(pc_ok)""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // geo simplify (round 15): Douglas–Peucker at data scale — per
+    // point a 3-vertex line whose midpoint sits ~1.1 m off the chord;
+    // 500 m tolerance collapses it to the endpoints, 0.1 m keeps it
+    // verbatim. Oracle states both invariants as counts.
+    "q232_kql_text_geo_simplify" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_id % 97 == 0
+          | | extend px = todouble(user_id % 120) - 60.0 + 0.25, py = todouble(event_id % 80) - 40.0 + 0.25
+          | | extend line = strcat('{"type":"LineString","coordinates":[[', tostring(px), ',', tostring(py), '],[', tostring(px + 1.0), ',', tostring(py + 0.00001), '],[', tostring(px + 2.0), ',', tostring(py), ']]}')
+          | | extend s500 = geo_line_simplify(line, 500.0), s01 = geo_line_simplify(line, 0.1)
+          | | extend collapsed = countof(s500, '[') == 3,
+          |          kept = countof(s01, '[') == 4
+          | | summarize n = count(), coll = countif(collapsed), keeps = countif(kept)""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // scalar user functions + in-subquery + literal lets (round 15):
     // the everyday dashboard composition — a let-bound threshold, a
     // let-bound cohort subquery consumed by `in` (first-column
@@ -3598,6 +3614,12 @@ object KqlQueries extends QueryModule {
            UNION ALL
            SELECT CAST(-1 AS BIGINT), CAST(1 AS BIGINT))
          ORDER BY comp""",
+
+    "q232_kql_text_geo_simplify" ->
+      """SELECT CAST(count(1) AS BIGINT) AS n,
+              CAST(count(1) AS BIGINT) AS coll,
+              CAST(count(1) AS BIGINT) AS keeps
+         FROM events WHERE event_id % 97 = 0""",
 
     "q231_kql_text_udf_in" ->
       """WITH topusers AS (

@@ -2159,6 +2159,30 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getBoolean(6))
   }
 
+  test("geo_line_simplify / geo_polygon_simplify: DP keeps shape, collapses noise, ring floor") {
+    val r = run(
+      """t | where id == 1
+        | | extend wiggle = '{"type":"LineString","coordinates":[[0.0,0.0],[1.0,0.001],[2.0,-0.001],[3.0,0.0005],[4.0,0.0]]}'
+        | | extend zig = '{"type":"LineString","coordinates":[[0.0,0.0],[1.0,2.0],[2.0,0.0],[3.0,2.0],[4.0,0.0]]}'
+        | | extend s1 = geo_line_simplify(wiggle, 1000.0),
+        |          s2 = geo_line_simplify(zig, 1000.0),
+        |          keeps = geo_line_simplify(zig, 1000.0) == zig,
+        |          ring = geo_polygon_simplify('{"type":"Polygon","coordinates":[[[0.0,0.0],[5.0,0.001],[10.0,0.0],[10.0,10.0],[0.0,10.0],[0.0,0.0]]]}', 5000.0),
+        |          badt = isnull(geo_line_simplify(wiggle, 0.0)),
+        |          badj = isnull(geo_line_simplify('nope', 10.0)),
+        |          floor_ = geo_polygon_simplify('{"type":"Polygon","coordinates":[[[0.0,0.0],[1.0,0.0001],[2.0,0.0],[0.0,0.0]]]}', 100000.0)
+        | | project s1, keeps, ring, badt, badj, floor_""".stripMargin).head()
+    // ~100m wiggles collapse at 1km tolerance; the zigzag (±2° ≈ 220km) survives
+    assert(r.getString(0) == """{"type":"LineString","coordinates":[[0.0,0.0],[4.0,0.0]]}""")
+    assert(r.getBoolean(1), "large zigzag is preserved verbatim")
+    // the near-collinear mid-point on the bottom edge drops; corners stay
+    assert(r.getString(2) == """{"type":"Polygon","coordinates":[[[0.0,0.0],[10.0,0.0],[10.0,10.0],[0.0,10.0],[0.0,0.0]]]}""")
+    assert(r.getBoolean(3) && r.getBoolean(4))
+    // a degenerate-thin triangle keeps its 4-point closed ring
+    val fl = r.getString(5)
+    assert(fl.count(_ == '[') >= 5, s"ring floor keeps >= 4 points, got $fl")
+  }
+
   test("geo_polygon_to_s2cells: covering is complete vs point cells, holes excluded, caps and nulls") {
     // completeness — the property polygon JOINS rely on: every interior
     // point's cell is in the covering (probe a dense grid)
