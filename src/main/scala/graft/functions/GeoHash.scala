@@ -141,6 +141,59 @@ object GeoHashNeighborOps {
   }
 }
 
+object GeoHashPolygonOps {
+  import GeoHashOps.Idx
+
+  /** geo_geohash_to_polygon(hash): the cell's bounds rectangle as a
+    * closed GeoJSON Polygon ring (SW → SE → NE → NW → SW). Null on
+    * malformed hashes. */
+  def polygon(hash: UTF8String): UTF8String = {
+    val h = hash.toString
+    if (h.isEmpty || h.length > 12) return null
+    var lonLo = -180.0; var lonHi = 180.0
+    var latLo = -90.0; var latHi = 90.0
+    var evenBit = true
+    var i = 0
+    while (i < h.length) {
+      val c = h.charAt(i)
+      val v = if (c < 128) Idx(c.toInt) else -1
+      if (v < 0) return null
+      var b = 4
+      while (b >= 0) {
+        val bit = (v >> b) & 1
+        if (evenBit) {
+          val mid = (lonLo + lonHi) / 2.0
+          if (bit == 1) lonLo = mid else lonHi = mid
+        } else {
+          val mid = (latLo + latHi) / 2.0
+          if (bit == 1) latLo = mid else latHi = mid
+        }
+        evenBit = !evenBit
+        b -= 1
+      }
+      i += 1
+    }
+    UTF8String.fromString(
+      s"""{"type":"Polygon","coordinates":[[[$lonLo,$latLo],[$lonHi,$latLo],[$lonHi,$latHi],[$lonLo,$latHi],[$lonLo,$latLo]]]}""")
+  }
+}
+
+/** geo_geohash_to_polygon(hash) → the cell bounds rectangle. */
+case class GeohashPolygon(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeGuards.requireString("geo_geohash_to_polygon", child)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(a: Any): Any =
+    GeoHashPolygonOps.polygon(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.GeoHashPolygonOps.polygon($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(newChild: Expression): GeohashPolygon =
+    copy(child = newChild)
+}
+
 /** geo_geohash_neighbors(hash) → dynamic array of surrounding cells. */
 case class GeohashNeighbors(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =

@@ -177,6 +177,26 @@ object S2CellOps {
     fromFaceIJ(f2, stToIJlin(0.5 * (u2 + 1.0)), stToIJlin(0.5 * (v2 + 1.0)))
   }
 
+  /** geo_s2cell_to_polygon(token): the cell's boundary quad as a
+    * GeoJSON Polygon (closed ring, ij-corner order — consistent with
+    * the covering's intersection quad). Null on malformed tokens. */
+  def cellPolygon(tok: UTF8String): UTF8String = {
+    val id = tokenToId(tok.toString)
+    if (id == 0L || !isValidId(id)) return null
+    val q = cellQuad(id)
+    val sb = new java.lang.StringBuilder(96)
+    sb.append("{\"type\":\"Polygon\",\"coordinates\":[[")
+    var k = 0
+    while (k <= 4) {
+      val i = (k % 4) * 2
+      if (k > 0) sb.append(',')
+      sb.append('[').append(q(i)).append(',').append(q(i + 1)).append(']')
+      k += 1
+    }
+    sb.append("]]}")
+    UTF8String.fromString(sb.toString)
+  }
+
   /** geo_s2cell_neighbors(token): the 8 same-level neighbors (edge +
     * vertex; 7 distinct at cube corners — deduped, algorithm order),
     * crossing cube faces via fromFaceIJWrap — the published
@@ -518,6 +538,22 @@ case class S2PolygonCover(child: Expression, level: Int) extends UnaryExpression
       ${ev.value} = graft.functions.S2CellOps.polygonCover($c, $level);
       ${ev.isNull} = ${ev.value} == null;""")
   override protected def withNewChildInternal(newChild: Expression): S2PolygonCover =
+    copy(child = newChild)
+}
+
+/** geo_s2cell_to_polygon(token) → the cell's boundary quad. */
+case class S2CellPolygon(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeGuards.requireString("geo_s2cell_to_polygon", child)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(a: Any): Any =
+    S2CellOps.cellPolygon(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.S2CellOps.cellPolygon($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(newChild: Expression): S2CellPolygon =
     copy(child = newChild)
 }
 

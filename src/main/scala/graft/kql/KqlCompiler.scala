@@ -4952,6 +4952,18 @@ object KqlCompiler {
             GraftColumnBridge.catalystExpression(e(df).cast("string"))))
         }
       }
+      if (name == "geo_s2cell_to_polygon" || name == "geo_geohash_to_polygon") {
+        // cell boundary as a closed GeoJSON Polygon ring — composes
+        // with the shape scalars (area/perimeter/point-in-polygon)
+        val e = expr(); expect(")")
+        val s2 = name == "geo_s2cell_to_polygon"
+        return df => {
+          import org.apache.spark.sql.GraftColumnBridge
+          val c = GraftColumnBridge.catalystExpression(e(df).cast("string"))
+          GraftColumnBridge.column(
+            if (s2) graft.functions.S2CellPolygon(c) else graft.functions.GeohashPolygon(c))
+        }
+      }
       if (name == "geo_line_simplify" || name == "geo_polygon_simplify") {
         // Douglas–Peucker on the sphere (great-circle point-to-segment
         // distances — agrees with geo_distance_point_to_line about
@@ -6460,6 +6472,26 @@ object KqlCompiler {
             concat(lit("{\"type\":\"Point\",\"coordinates\":["),
               (acc.getField("x") / (lit(3.0) * acc.getField("s"))).cast("string"), lit(","),
               (acc.getField("y") / (lit(3.0) * acc.getField("s"))).cast("string"), lit("]}")))
+        }
+        // geo_distance_point_to_polygon(lon, lat, polygon): 0.0 for a
+        // point inside (even-odd over all rings — a point in a hole is
+        // OUTSIDE and gets its distance to the hole boundary), else the
+        // min great-circle point-to-segment distance over every ring
+        case "geo_distance_point_to_polygon" => arity(3); df => {
+          val px = args(0)(df).cast("double"); val py = args(1)(df).cast("double")
+          val g = geoShape(args(2)(df), "ARRAY<ARRAY<ARRAY<DOUBLE>>>")
+          val rs = g.getField("coordinates")
+          val inside = rs.isNotNull &&
+            pmod(aggregate(rs, lit(0L), (acc, ring) => acc + geoRingCrossings(ring, px, py)),
+              lit(2L)) === 1L
+          val minD = aggregate(rs, lit(Double.MaxValue), (acc, ring) =>
+            least(acc, aggregate(
+              geoRingSegs(ring, (a, b) =>
+                segDistM(px, py, geoPt(a, 1), geoPt(a, 2), geoPt(b, 1), geoPt(b, 2))),
+              lit(Double.MaxValue), (a2, x) => least(a2, x))))
+          when(g.getField("type") === "Polygon" && size(rs) >= 1 &&
+              px >= -180 && px <= 180 && py >= -90 && py <= 90,
+            when(inside, lit(0.0)).otherwise(minD))
         }
         case "geo_polygon_perimeter" => arity(1); df => {
           val g = geoShape(args.head(df), "ARRAY<ARRAY<ARRAY<DOUBLE>>>")

@@ -1654,6 +1654,27 @@ object KqlQueries extends QueryModule {
           |             lcs = countif(lc_ok), pcs = countif(pc_ok)""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // cell-to-polygon + point-to-polygon distance (round 15): every
+    // point lies inside its own cell's boundary polygon (geohash
+    // rectangle and s2 quad), and its polygon distance is exactly 0.
+    // Grid offsets are 0.013 — never on a dyadic geohash cell edge
+    // (1000·lon+13 ≢ 0 mod 5), so even-odd boundary ambiguity can't
+    // bite. Oracle states the invariants as counts.
+    "q233_kql_text_cell_polygons" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_id % 89 == 0
+          | | extend lon = todouble(user_id % 340) - 170.0 + 0.013, lat = todouble(event_id % 160) - 80.0 + 0.013
+          | | extend ghp = geo_geohash_to_polygon(geo_point_to_geohash(lon, lat, 5)),
+          |          s2p = geo_s2cell_to_polygon(geo_point_to_s2cell(lon, lat, 10))
+          | | extend ghin = geo_point_in_polygon(lon, lat, ghp),
+          |          s2in = geo_point_in_polygon(lon, lat, s2p),
+          |          dz = geo_distance_point_to_polygon(lon, lat, s2p) == 0.0,
+          |          ga = geo_polygon_area(ghp) > 0
+          | | summarize n = count(), ghs = countif(ghin), s2s = countif(s2in),
+          |             dzs = countif(dz), gas = countif(ga)""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // geo simplify (round 15): Douglas–Peucker at data scale — per
     // point a 3-vertex line whose midpoint sits ~1.1 m off the chord;
     // 500 m tolerance collapses it to the endpoints, 0.1 m keeps it
@@ -3620,6 +3641,14 @@ object KqlQueries extends QueryModule {
               CAST(count(1) AS BIGINT) AS coll,
               CAST(count(1) AS BIGINT) AS keeps
          FROM events WHERE event_id % 97 = 0""",
+
+    "q233_kql_text_cell_polygons" ->
+      """SELECT CAST(count(1) AS BIGINT) AS n,
+              CAST(count(1) AS BIGINT) AS ghs,
+              CAST(count(1) AS BIGINT) AS s2s,
+              CAST(count(1) AS BIGINT) AS dzs,
+              CAST(count(1) AS BIGINT) AS gas
+         FROM events WHERE event_id % 89 = 0""",
 
     "q231_kql_text_udf_in" ->
       """WITH topusers AS (

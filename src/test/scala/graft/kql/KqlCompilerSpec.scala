@@ -2159,6 +2159,32 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getBoolean(6))
   }
 
+  test("cell-to-polygon round trips; geo_distance_point_to_polygon") {
+    val r = run(
+      """t | where id == 1
+        | | extend gh = geo_point_to_geohash(13.4, 52.5, 5), s2 = geo_point_to_s2cell(13.4, 52.5, 10)
+        | | extend ghp = geo_geohash_to_polygon(gh), s2p = geo_s2cell_to_polygon(s2)
+        | | extend gh_in = geo_point_in_polygon(13.4, 52.5, ghp),
+        |          s2_in = geo_point_in_polygon(13.4, 52.5, s2p),
+        |          gh_area = geo_polygon_area(ghp) > 0, s2_area = geo_polygon_area(s2p) > 0,
+        |          badg = isnull(geo_geohash_to_polygon('!!')), bads = isnull(geo_s2cell_to_polygon('zz'))
+        | | project gh_in, s2_in, gh_area, s2_area, badg, bads""".stripMargin).head()
+    assert((0 to 5).forall(r.getBoolean), "the source point lies inside both cell polygons; areas positive; malformed null")
+    val d = run(
+      """t | where id == 1
+        | | extend sq = '{"type":"Polygon","coordinates":[[[0.0,0.0],[10.0,0.0],[10.0,10.0],[0.0,10.0],[0.0,0.0]]]}'
+        | | project z = geo_distance_point_to_polygon(5.0, 5.0, sq),
+        |           edge = geo_distance_point_to_polygon(5.0, -1.0, sq),
+        |           ref = geo_distance_2points(5.0, -1.0, 5.0, 0.0),
+        |           corner = geo_distance_point_to_polygon(-3.0, -4.0, sq),
+        |           cref = geo_distance_2points(-3.0, -4.0, 0.0, 0.0),
+        |           bad = isnull(geo_distance_point_to_polygon(5.0, 5.0, 'x'))""".stripMargin).head()
+    assert(d.getDouble(0) == 0.0, "inside is exactly zero")
+    assert(math.abs(d.getDouble(1) - d.getDouble(2)) < 1e-6, "below the south edge: cross-track to it")
+    assert(math.abs(d.getDouble(3) - d.getDouble(4)) < 1e-6, "past the corner clamps to the vertex")
+    assert(d.getBoolean(5))
+  }
+
   test("geo_line_simplify / geo_polygon_simplify: DP keeps shape, collapses noise, ring floor") {
     val r = run(
       """t | where id == 1
