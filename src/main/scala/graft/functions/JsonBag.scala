@@ -98,6 +98,42 @@ object JsonBagOps extends Serializable {
       }
     } catch { case scala.util.control.NonFatal(_) => null }
 
+  /** treepath(bag): every path expression in the dynamic value, Kusto's
+    * documented form — object members append `['key']`, array elements
+    * collapse to ONE generic `[0]` indexer (the doc's
+    * `['listProperty'][0]['x']` example), every intermediate node
+    * contributes its own path. Depth-first document order; duplicate
+    * paths (several array elements with the same member) keep the first
+    * occurrence. A bare scalar has no paths → empty array; malformed
+    * JSON → null. */
+  def treepath(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val m = mappers.get
+    val root =
+      try m.readTree(s.toString)
+      catch { case scala.util.control.NonFatal(_) => return null }
+    if (root == null || root.isMissingNode) return null
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    def walk(n: com.fasterxml.jackson.databind.JsonNode, path: String): Unit = {
+      if (n.isObject) {
+        val it = n.fields()
+        while (it.hasNext) {
+          val e = it.next()
+          val p = path + "['" + e.getKey + "']"
+          out.add(UTF8String.fromString(p))
+          walk(e.getValue, p)
+        }
+      } else if (n.isArray && n.size() > 0) {
+        val p = path + "[0]"
+        out.add(UTF8String.fromString(p))
+        var i = 0
+        while (i < n.size()) { walk(n.get(i), p); i += 1 }
+      }
+    }
+    walk(root, "")
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(Array.empty[AnyRef]))
+  }
+
   def bagSetKey(bag: UTF8String, key: UTF8String, value: UTF8String): UTF8String =
     try {
       val m = mappers.get
@@ -243,6 +279,22 @@ case class DynamicToJson(child: Expression) extends UnaryExpression {
       ${ev.value} = graft.functions.JsonBagOps.dynamicToJson($c);
       ${ev.isNull} = ${ev.value} == null;""")
   override protected def withNewChildInternal(newChild: Expression): DynamicToJson =
+    copy(child = newChild)
+}
+
+case class Treepath(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeGuards.requireString("treepath", child)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(a: Any): Any =
+    JsonBagOps.treepath(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.JsonBagOps.treepath($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(newChild: Expression): Treepath =
     copy(child = newChild)
 }
 

@@ -317,6 +317,54 @@ object SeriesDecompose {
     })
   })
 
+  /** series_periods_validate(arr, p1, …, pN): scores the GIVEN integer
+    * lags with the same normalized-ACF measure as [[periodsStruct]]
+    * (Kusto's validator is unspecified; this engine pins
+    * score(L) = max(0, acf(L)) for 2 ≤ L ≤ n−1, else 0 — out-of-range
+    * lags and constant series score 0, matching the detector's "nothing
+    * detected" stance). Periods echo back as doubles, the detect shape. */
+  def periodsValidateStruct(series: Column, lags: Column): Column =
+    let1(dbl(series), xd => {
+      val n = size(xd)
+      val mu = aggregate(xd, lit(0.0), (s, x) => s + x) / n.cast("double")
+      let1(transform(xd, x => x - mu), c =>
+        let1(aggregate(c, lit(0.0), (s, x) => s + x * x), d =>
+          let1(transform(lags, l => l.cast("int")), li =>
+            struct(
+              transform(li, l => l.cast("double")).as("periods"),
+              transform(li, l =>
+                when(d =!= 0.0 && l >= 2 && l <= n - 1,
+                  greatest(lit(0.0),
+                    aggregate(sequence(lit(0), n - 1 - l), lit(0.0), (s, i) =>
+                      s + element_at(c, i.cast("int") + 1) *
+                        element_at(c, (i + l).cast("int") + 1)) / d))
+                  .otherwise(lit(0.0))).as("scores")))))
+    })
+
+  /** series_fit_2lines_dynamic: the fit_2lines tuple as ONE struct (the
+    * compiler JSON-packs it into a bag) plus per-segment `left`/`right`
+    * line summaries — each an independent [[fitLineStruct]] over its
+    * segment with the x index LOCAL to the segment (interception = the
+    * fitted value at the segment's own start; Kusto leaves the sub-line
+    * parameterization unspecified, this pins the local form), line_fit
+    * dropped from the sub-bags (Kusto's documented sub-keys are rsquare/
+    * slope/interception/variance/rvariance). Series shorter than 4 keep
+    * split_idx null — the compiler maps that to a null bag. */
+  def fit2LinesDynamic(series: Column): Column =
+    let1(dbl(series), xd =>
+      let1(fit2LinesStruct(xd), f2 =>
+        let1(f2.getField("split_idx").cast("int"), s =>
+          struct(
+            f2.getField("rsquare").as("rsquare"),
+            f2.getField("split_idx").as("split_idx"),
+            f2.getField("variance").as("variance"),
+            f2.getField("rvariance").as("rvariance"),
+            f2.getField("line_fit").as("line_fit"),
+            fitLineStruct(slice(xd, lit(1), s))
+              .dropFields("line_fit").as("left"),
+            fitLineStruct(slice(xd, s + 1, size(xd) - s))
+              .dropFields("line_fit").as("right")))))
+
   /** Gap-filling family over make-series arrays with null gaps (the
     * no-`default` make-series form). All compute in doubles; the index
     * scans are O(n²) per series cell — fine for dashboard-scale axes

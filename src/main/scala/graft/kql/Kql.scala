@@ -42,6 +42,10 @@ object Kql {
   /** `pack(...)` over an explicit column list (preserves given order). */
   def pack(cols: Column*): Column = to_json(struct(cols: _*), packOpts)
 
+  /** JSON-pack an already-built struct column (the `*_dynamic` scalar
+    * family returns one struct that becomes one bag). */
+  def packStruct(s: Column): Column = to_json(s, packOpts)
+
   /** KQL `case(p1, v1, p2, v2, …, default)`. */
   def kqlCase(branches: Seq[(Column, Column)], default: Column): Column = {
     require(branches.nonEmpty, "case() needs at least one predicate/value pair")

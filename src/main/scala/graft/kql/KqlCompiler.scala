@@ -1439,9 +1439,24 @@ object KqlCompiler {
               throw new KqlParseException("series_periods_detect yields at most 2 values (periods, scores)")
             viaStruct(graft.functions.SeriesDecompose.periodsStruct(
               arrB(df), loB(df), hiB(df), numB(df)), Seq("periods", "scores"))
+          case "series_periods_validate" =>
+            // (periods, scores) = series_periods_validate(arr, p1, …, pN)
+            // — scores the GIVEN lags with the detector's normalized-ACF
+            // measure (SeriesDecompose.periodsValidateStruct pins the
+            // spec; out-of-range lags and constant series score 0).
+            expect("("); val arrB = expr()
+            val lagBs = scala.collection.mutable.Buffer.empty[ColB]
+            while (peekIs(",")) { expect(","); lagBs += expr() }
+            expect(")")
+            if (lagBs.isEmpty)
+              throw new KqlParseException("series_periods_validate needs at least one period argument")
+            if (names.length > 2)
+              throw new KqlParseException("series_periods_validate yields at most 2 values (periods, scores)")
+            viaStruct(graft.functions.SeriesDecompose.periodsValidateStruct(
+              arrB(df), array(lagBs.toSeq.map(_(df)): _*)), Seq("periods", "scores"))
           case other =>
             throw new KqlParseException(
-              s"multi-assign extend supports series_stats/series_decompose/series_decompose_anomalies/series_fit_line/series_fit_2lines/series_fit_poly/series_fft/series_ifft/series_periods_detect, got '$other'")
+              s"multi-assign extend supports series_stats/series_decompose/series_decompose_anomalies/series_fit_line/series_fit_2lines/series_fit_poly/series_fft/series_ifft/series_periods_detect/series_periods_validate, got '$other'")
         }
       case "extend" if toks.lift(pos + 2).exists(t =>
           t.kind == "id" && t.text == "row_window_session") =>
@@ -4241,6 +4256,46 @@ object KqlCompiler {
         .otherwise(abs(dxt) * R)
     }
 
+    /** Great-circle point-to-segment CLOSEST POINT: the same case split
+      * and op order as [[segDistM]] (the two MUST agree — the q235 gate
+      * equates the fold's min distance with geo_distance_point_to_line),
+      * with the interior case projected from the segment start along its
+      * initial bearing by the along-track angle (the spherical
+      * destination formula). Longitude is NOT antimeridian-wrapped — the
+      * geo ring's documented no-antimeridian subset. Returns
+      * struct<d (meters), x (lon), y (lat)>. */
+    private def segClosestM(pLon: Column, pLat: Column, lon1: Column, lat1: Column,
+                            lon2: Column, lat2: Column): Column = {
+      val R = lit(6371009.0)
+      def ang(aLon: Column, aLat: Column, bLon: Column, bLat: Column): Column =
+        lit(2.0) * asin(sqrt(
+          pow(sin(radians(bLat - aLat) / 2), 2) +
+            cos(radians(aLat)) * cos(radians(bLat)) * pow(sin(radians(bLon - aLon) / 2), 2)))
+      def brg(aLon: Column, aLat: Column, bLon: Column, bLat: Column): Column =
+        atan2(
+          sin(radians(bLon - aLon)) * cos(radians(bLat)),
+          cos(radians(aLat)) * sin(radians(bLat)) -
+            sin(radians(aLat)) * cos(radians(bLat)) * cos(radians(bLon - aLon)))
+      val d13 = ang(lon1, lat1, pLon, pLat)
+      val d12 = ang(lon1, lat1, lon2, lat2)
+      val t13 = brg(lon1, lat1, pLon, pLat)
+      val t12 = brg(lon1, lat1, lon2, lat2)
+      val dxt = asin(greatest(lit(-1.0), least(lit(1.0), sin(d13) * sin(t13 - t12))))
+      val dat = acos(greatest(lit(-1.0), least(lit(1.0), cos(d13) / cos(dxt)))) *
+        signum(cos(t13 - t12))
+      val sinLat1 = sin(radians(lat1)); val cosLat1 = cos(radians(lat1))
+      val latF = asin(greatest(lit(-1.0), least(lit(1.0),
+        sinLat1 * cos(dat) + cosLat1 * sin(dat) * cos(t12))))
+      val lonF = radians(lon1) +
+        atan2(sin(t12) * sin(dat) * cosLat1, cos(dat) - sinLat1 * sin(latF))
+      def out(d: Column, x: Column, y: Column) =
+        struct(d.as("d"), x.as("x"), y.as("y"))
+      when(d12 === 0.0, out(d13 * R, lon1, lat1))
+        .when(dat <= 0.0, out(d13 * R, lon1, lat1))
+        .when(dat >= d12, out(ang(lon2, lat2, pLon, pLat) * R, lon2, lat2))
+        .otherwise(out(abs(dxt) * R, degrees(lonF), degrees(latF)))
+    }
+
     private def haversineM(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column = {
       val dlat = radians(lat2 - lat1) / 2
       val dlon = radians(lon2 - lon1) / 2
@@ -4290,6 +4345,49 @@ object KqlCompiler {
         when(((y1 > py) =!= (y2 > py)) &&
           (px < (x2 - x1) * (py - y1) / (y2 - y1) + x1), lit(1L)).otherwise(lit(0L))
       }), lit(0L), (acc, x) => acc + x)
+
+    /** geo_intersects_* support: PLANAR lon/lat segment-pair crossing
+      * (the same planar stance as the even-odd point-in-polygon, so the
+      * predicates agree with it about boundaries). Proper crossings via
+      * the four orientation signs; collinear/endpoint TOUCHING counts
+      * as intersecting (Kusto: shapes sharing any common point
+      * intersect). Segments are struct<a, b> of [lon, lat] pairs. */
+    private def segPairCross(s: Column, t: Column): Column = {
+      def x(p: Column) = geoPt(p, 1); def y(p: Column) = geoPt(p, 2)
+      def o(p: Column, q: Column, r: Column): Column =
+        (x(q) - x(p)) * (y(r) - y(p)) - (y(q) - y(p)) * (x(r) - x(p))
+      def onSeg(p: Column, q: Column, r: Column): Column =
+        o(p, q, r) === 0.0 &&
+          x(r) >= least(x(p), x(q)) && x(r) <= greatest(x(p), x(q)) &&
+          y(r) >= least(y(p), y(q)) && y(r) <= greatest(y(p), y(q))
+      val a = s.getField("a"); val b = s.getField("b")
+      val c = t.getField("a"); val d = t.getField("b")
+      val o1 = o(a, b, c); val o2 = o(a, b, d)
+      val o3 = o(c, d, a); val o4 = o(c, d, b)
+      (((o1 > 0) && (o2 < 0) || (o1 < 0) && (o2 > 0)) &&
+        ((o3 > 0) && (o4 < 0) || (o3 < 0) && (o4 > 0))) ||
+        onSeg(a, b, c) || onSeg(a, b, d) || onSeg(c, d, a) || onSeg(c, d, b)
+    }
+    /** A LineString's segments as struct<a, b> pairs. */
+    private def lineSegPairs(c: Column): Column =
+      zip_with(slice(c, lit(1), size(c) - 1), slice(c, lit(2), size(c) - 1),
+        (a, b) => struct(a.as("a"), b.as("b")))
+    /** All CLOSED-traversal segments of every ring of a polygon. */
+    private def polySegPairs(rs: Column): Column =
+      flatten(transform(rs, ring =>
+        geoRingSegs(ring, (a, b) => struct(a.as("a"), b.as("b")))))
+    private def anyPairCross(segsA: Column, segsB: Column): Column =
+      aggregate(segsA, lit(false), (acc, s) =>
+        acc || aggregate(segsB, lit(false), (acc2, t) => acc2 || segPairCross(s, t)))
+    /** Even-odd inside test over ALL rings (the point-in-polygon rule). */
+    private def evenOddInside(rs: Column, px: Column, py: Column): Column =
+      pmod(aggregate(rs, lit(0L), (acc, ring) =>
+        acc + when(size(ring) >= 1, geoRingCrossings(ring, px, py)).otherwise(lit(0L))),
+        lit(2L)) === 1L
+    /** Any vertex of any ring inside the other polygon's ring set. */
+    private def anyVertexInside(rsOf: Column, rsIn: Column): Column =
+      aggregate(flatten(rsOf), lit(false), (acc, v) =>
+        acc || evenOddInside(rsIn, geoPt(v, 1), geoPt(v, 2)))
 
     private val GeohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
 
@@ -6054,6 +6152,14 @@ object KqlCompiler {
           GraftColumnBridge.column(graft.functions.DynamicToJson(
             GraftColumnBridge.catalystExpression(args.head(df).cast("string"))))
         }
+        // treepath(bag): all path expressions of the dynamic value
+        // (functions/JsonBag.scala pins the documented ['key'] / [0]
+        // form, depth-first, first-occurrence dedup)
+        case "treepath" => arity(1); df => {
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.Treepath(
+            GraftColumnBridge.catalystExpression(args.head(df).cast("string"))))
+        }
         // series_stats_dynamic(arr): the series_stats tuple as ONE bag —
         // same component definitions as the multi-assign form
         case "series_stats_dynamic" => arity(1); df => {
@@ -6070,6 +6176,24 @@ object KqlCompiler {
             (array_position(a, array_max(a)) - 1).cast("long").as("max_idx"),
             av.as("avg"), sqrt(vr).as("stdev"), vr.as("variance")))
         }
+        // series_fit_line_dynamic(arr): the fit_line tuple as ONE bag —
+        // identical component definitions to the multi-assign form
+        case "series_fit_line_dynamic" => arity(1); df => {
+          val a = args.head(df)
+          when(a.isNull, lit(null).cast("string")).otherwise(
+            Kql.packStruct(graft.functions.SeriesDecompose.fitLineStruct(a)))
+        }
+        // series_fit_2lines_dynamic(arr): the fit_2lines tuple plus
+        // left/right per-segment line bags (SeriesDecompose.
+        // fit2LinesDynamic pins the sub-line spec); too-short series
+        // (split_idx null) → null bag. The struct binds ONCE through a
+        // single-element transform so the O(n²) fit isn't re-evaluated
+        // by the null guard.
+        case "series_fit_2lines_dynamic" => arity(1); df =>
+          element_at(transform(
+            array(graft.functions.SeriesDecompose.fit2LinesDynamic(args.head(df))),
+            f => when(f.getField("split_idx").isNull, lit(null).cast("string"))
+              .otherwise(Kql.packStruct(f))), 1)
         // top-level key membership (Kusto bag_has_key also accepts a
         // JSONPath for nested keys; the documented subset here is the
         // top-level form, matching the engine's bag surface)
@@ -6125,6 +6249,37 @@ object KqlCompiler {
           if (args.length == 2) df => { val c = args(0)(df); c.substr(args(1)(df) + 1, length(c)) }
           else df => args(0)(df).substr(args(1)(df) + 1, args(2)(df))
         case "replace_string" => arity(3); df => replace(args(0)(df), args(1)(df), args(2)(df))
+        // replace_strings(text, lookups, rewrites): each (lookup →
+        // rewrite) pair applied IN ORDER (a later lookup sees earlier
+        // rewrites — Kusto's documented sequential semantics); length
+        // mismatch → null; a null/empty lookup leaves the text unchanged
+        // and a null rewrite deletes (empty-string) — the non-error
+        // stances of the scalar family.
+        case "replace_strings" => arity(3); df => {
+          val txt = args(0)(df).cast("string")
+          // dynamic IS JSON text in this engine — parse string-typed
+          // args to the string array; pass real arrays through
+          def arr(b: ColB): Column = {
+            val raw = b(df)
+            dataTypeOf(df, raw) match {
+              case Some(org.apache.spark.sql.types.StringType) =>
+                from_json(raw, org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.StringType))
+              case _ => raw
+            }
+          }
+          val looks = arr(args(1)); val rews = arr(args(2))
+          when(looks.isNull || rews.isNull || size(looks) =!= size(rews),
+            lit(null).cast("string"))
+            .otherwise(aggregate(
+              zip_with(looks, rews, (l, r) =>
+                struct(l.cast("string").as("l"), r.cast("string").as("r"))),
+              txt,
+              (acc, p) =>
+                when(p.getField("l").isNull || p.getField("l") === "", acc)
+                  .otherwise(replace(acc, p.getField("l"),
+                    coalesce(p.getField("r"), lit(""))))))
+        }
         // replace_regex(source, pattern, rewrite): replaces ALL matches
         // (Spark's default). Kusto rewrite capture refs are \0..\9; Java
         // replacement syntax is $N — translate at runtime on the rewrite
@@ -6414,6 +6569,81 @@ object KqlCompiler {
               zip_with(slice(c, lit(1), size(c) - 1), slice(c, lit(2), size(c) - 1),
                 (a, b) => segDistM(px, py, geoPt(a, 1), geoPt(a, 2), geoPt(b, 1), geoPt(b, 2))),
               lit(Double.MaxValue), (acc, x) => least(acc, x)))
+        }
+        // geo_closest_point_on_line(lon, lat, line): the point on the
+        // LineString nearest the query point — per segment the same
+        // case split as geo_distance_point_to_line (segClosestM shares
+        // segDistM's op order, so the two scalars agree exactly about
+        // the min distance), fold keeps the FIRST strict minimum.
+        case "geo_closest_point_on_line" => arity(3); df => {
+          val px = args(0)(df).cast("double"); val py = args(1)(df).cast("double")
+          val g = geoShape(args(2)(df), "ARRAY<ARRAY<DOUBLE>>")
+          val c = g.getField("coordinates")
+          val best = aggregate(
+            zip_with(slice(c, lit(1), size(c) - 1), slice(c, lit(2), size(c) - 1),
+              (a, b) => segClosestM(px, py, geoPt(a, 1), geoPt(a, 2), geoPt(b, 1), geoPt(b, 2))),
+            struct(lit(Double.MaxValue).as("d"), lit(0.0).as("x"), lit(0.0).as("y")),
+            (acc, s) => when(s.getField("d") < acc.getField("d"), s).otherwise(acc))
+          when(g.getField("type") === "LineString" && size(c) >= 2 &&
+              px >= -180 && px <= 180 && py >= -90 && py <= 90,
+            concat(lit("{\"type\":\"Point\",\"coordinates\":["),
+              best.getField("x").cast("string"), lit(","),
+              best.getField("y").cast("string"), lit("]}")))
+        }
+        // geo_closest_point_on_polygon(lon, lat, polygon): the input
+        // point itself when inside (even-odd over all rings — distance
+        // 0, the geo_distance_point_to_polygon stance), else the
+        // nearest boundary point over every ring's closed traversal.
+        case "geo_closest_point_on_polygon" => arity(3); df => {
+          val px = args(0)(df).cast("double"); val py = args(1)(df).cast("double")
+          val g = geoShape(args(2)(df), "ARRAY<ARRAY<ARRAY<DOUBLE>>>")
+          val rs = g.getField("coordinates")
+          val best = aggregate(rs,
+            struct(lit(Double.MaxValue).as("d"), lit(0.0).as("x"), lit(0.0).as("y")),
+            (acc, ring) => aggregate(
+              geoRingSegs(ring, (a, b) =>
+                segClosestM(px, py, geoPt(a, 1), geoPt(a, 2), geoPt(b, 1), geoPt(b, 2))),
+              acc, (a2, s) => when(s.getField("d") < a2.getField("d"), s).otherwise(a2)))
+          def pt(x: Column, y: Column) = concat(
+            lit("{\"type\":\"Point\",\"coordinates\":["), x.cast("string"),
+            lit(","), y.cast("string"), lit("]}"))
+          when(g.getField("type") === "Polygon" && size(rs) >= 1 &&
+              px >= -180 && px <= 180 && py >= -90 && py <= 90,
+            when(evenOddInside(rs, px, py), pt(px, py))
+              .otherwise(pt(best.getField("x"), best.getField("y"))))
+        }
+        // geo_intersects_2lines / geo_intersects_line_with_polygon /
+        // geo_intersects_2polygons: boolean spatial-join predicates,
+        // PLANAR lon/lat (the even-odd family's pinned stance — the
+        // predicates agree with geo_point_in_polygon about membership);
+        // touching counts as intersecting. Containment without edge
+        // crossing is caught by the vertex-inside tests.
+        case "geo_intersects_2lines" => arity(2); df => {
+          val g1 = geoShape(args(0)(df), "ARRAY<ARRAY<DOUBLE>>")
+          val g2 = geoShape(args(1)(df), "ARRAY<ARRAY<DOUBLE>>")
+          val c1 = g1.getField("coordinates"); val c2 = g2.getField("coordinates")
+          when(g1.getField("type") === "LineString" && size(c1) >= 2 &&
+              g2.getField("type") === "LineString" && size(c2) >= 2,
+            anyPairCross(lineSegPairs(c1), lineSegPairs(c2)))
+        }
+        case "geo_intersects_line_with_polygon" => arity(2); df => {
+          val gl = geoShape(args(0)(df), "ARRAY<ARRAY<DOUBLE>>")
+          val gp = geoShape(args(1)(df), "ARRAY<ARRAY<ARRAY<DOUBLE>>>")
+          val cl = gl.getField("coordinates"); val rs = gp.getField("coordinates")
+          when(gl.getField("type") === "LineString" && size(cl) >= 2 &&
+              gp.getField("type") === "Polygon" && size(rs) >= 1,
+            aggregate(cl, lit(false), (acc, v) =>
+              acc || evenOddInside(rs, geoPt(v, 1), geoPt(v, 2))) ||
+              anyPairCross(lineSegPairs(cl), polySegPairs(rs)))
+        }
+        case "geo_intersects_2polygons" => arity(2); df => {
+          val g1 = geoShape(args(0)(df), "ARRAY<ARRAY<ARRAY<DOUBLE>>>")
+          val g2 = geoShape(args(1)(df), "ARRAY<ARRAY<ARRAY<DOUBLE>>>")
+          val r1 = g1.getField("coordinates"); val r2 = g2.getField("coordinates")
+          when(g1.getField("type") === "Polygon" && size(r1) >= 1 &&
+              g2.getField("type") === "Polygon" && size(r2) >= 1,
+            anyVertexInside(r1, r2) || anyVertexInside(r2, r1) ||
+              anyPairCross(polySegPairs(r1), polySegPairs(r2)))
         }
         // geo_line_centroid(line): segment-LENGTH-weighted average of
         // segment midpoints (haversine weights — the engine's pinned

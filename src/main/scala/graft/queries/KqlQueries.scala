@@ -1654,6 +1654,92 @@ object KqlQueries extends QueryModule {
           |             lcs = countif(lc_ok), pcs = countif(pc_ok)""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // geo ring 6 (round 15): intersect predicates + closest-point
+    // scalars. The predicates are PLANAR (the even-odd family stance)
+    // over dyadic-exact coordinates (offsets .25, integer shape bounds)
+    // so orientation signs are IEEE-exact and DuckDB states truth by
+    // interval logic: the X-cross pair intersects iff |u| ≤ 2 (touch
+    // at |u|=2 counts — shared-point rule), the horizontal line hits
+    // the square iff its y sits strictly inside and the x-intervals
+    // overlap, rect×rect iff both interval pairs overlap. Closest-point
+    // outputs gate by INVARIANTS: dist(P, foot) equals the point-to-
+    // shape distance (shared segClosestM/segDistM op order) and the
+    // foot lies on the shape; the inside branch echoes the point
+    // exactly (double→string→double round trip is exact).
+    "q235_kql_text_geo_intersects" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_id % 97 == 0
+          | | extend px = todouble(user_id % 120) - 60.0 + 0.25, py = todouble(event_id % 80) - 40.0 + 0.25,
+          |          u = todouble(event_id % 7) - 3.0
+          | | extend line = strcat('{"type":"LineString","coordinates":[[', tostring(px), ',', tostring(py), '],[', tostring(px + 2.0), ',', tostring(py + 2.0), ']]}'),
+          |          xline = strcat('{"type":"LineString","coordinates":[[', tostring(px + u), ',', tostring(py + 2.0), '],[', tostring(px + 2.0 + u), ',', tostring(py), ']]}'),
+          |          hline = strcat('{"type":"LineString","coordinates":[[', tostring(px), ',', tostring(py), '],[', tostring(px + 6.0), ',', tostring(py), ']]}'),
+          |          sq = '{"type":"Polygon","coordinates":[[[0.0,0.0],[10.0,0.0],[10.0,10.0],[0.0,10.0],[0.0,0.0]]]}',
+          |          mv = strcat('{"type":"Polygon","coordinates":[[[', tostring(px), ',', tostring(py), '],[', tostring(px + 4.0), ',', tostring(py), '],[', tostring(px + 4.0), ',', tostring(py + 4.0), '],[', tostring(px), ',', tostring(py + 4.0), '],[', tostring(px), ',', tostring(py), ']]]}')
+          | | extend q2x = px + 1.75, q2y = py + 0.25, qox = px + 9.0, qoy = py + 2.0
+          | | extend cl = parse_json(geo_closest_point_on_line(q2x, q2y, line)),
+          |          cin = parse_json(geo_closest_point_on_polygon(px + 2.0, py + 2.0, mv)),
+          |          cout = parse_json(geo_closest_point_on_polygon(qox, qoy, mv))
+          | | extend clx = todouble(cl.coordinates[0]), cly = todouble(cl.coordinates[1]),
+          |          cox = todouble(cout.coordinates[0]), coy = todouble(cout.coordinates[1])
+          | | project event_id,
+          |           l2 = geo_intersects_2lines(line, xline),
+          |           lwp = geo_intersects_line_with_polygon(hline, sq),
+          |           pp = geo_intersects_2polygons(mv, sq),
+          |           ia = abs(geo_distance_2points(q2x, q2y, clx, cly) - geo_distance_point_to_line(q2x, q2y, line)) < 0.01,
+          |           ib = geo_distance_point_to_line(clx, cly, line) < 0.01,
+          |           ci = todouble(cin.coordinates[0]) == px + 2.0 and todouble(cin.coordinates[1]) == py + 2.0,
+          |           oa = abs(geo_distance_2points(qox, qoy, cox, coy) - geo_distance_point_to_polygon(qox, qoy, mv)) < 0.01,
+          |           ob = geo_distance_point_to_polygon(cox, coy, mv) < 0.01
+          | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // stray ring 3 (round 15): the *_dynamic series-fit bags, the
+    // given-lag period validator, ordered multi-replace, and bag
+    // treepath. Fit inputs are constructed per row from exact small
+    // integers (k = user_id%3) so every OLS is IEEE-exact: arr2 is one
+    // perfect line (slope 5, icept 3k), arr is two perfect lines split
+    // at 4 (left slope 1/icept k; right LOCAL slope 4/icept 10k+12;
+    // rsquare 1). series_periods_validate scores given lags with the
+    // detector's normalized ACF — the oracle recomputes the sums with
+    // DuckDB list lambdas (score ≤ 1, round-6 far above ulp).
+    // replace_strings order-sensitivity is pinned by an overlapping
+    // pair ('er' before 'e'); treepath runs over both a nested literal
+    // and the per-row props bag.
+    "q234_kql_text_strays3" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_id % 499 == 0
+          | | extend kk = user_id % 3
+          | | extend k = todouble(kk)
+          | | extend arr = pack_array(k, k + 1.0, k + 2.0, k + 3.0, 10.0 * k + 12.0, 10.0 * k + 16.0, 10.0 * k + 20.0, 10.0 * k + 24.0),
+          |          arr2 = pack_array(3.0 * k, 3.0 * k + 5.0, 3.0 * k + 10.0, 3.0 * k + 15.0, 3.0 * k + 20.0, 3.0 * k + 25.0),
+          |          arr3 = pack_array(9.0, todouble(kk % 3), todouble((2 * kk) % 3), todouble((3 * kk) % 3), 9.0 + todouble((4 * kk) % 3), todouble((5 * kk) % 3), todouble((6 * kk) % 3), todouble((7 * kk) % 3), 9.0 + todouble((8 * kk) % 3), todouble((9 * kk) % 3), todouble((10 * kk) % 3), todouble((11 * kk) % 3))
+          | | extend fl = series_fit_line_dynamic(arr2), f2 = series_fit_2lines_dynamic(arr)
+          | | extend (vp, vs) = series_periods_validate(arr3, 4, 6, 200)
+          | | project event_id, k,
+          |           fl_m = round(todouble(parse_json(fl).slope), 6),
+          |           fl_b = round(todouble(parse_json(fl).interception), 6),
+          |           fl_r = round(todouble(parse_json(fl).rsquare), 6),
+          |           fl_v = round(todouble(parse_json(fl).variance), 6),
+          |           f2_sp = tolong(parse_json(f2).split_idx),
+          |           f2_r = round(todouble(parse_json(f2).rsquare), 6),
+          |           f2_lm = round(todouble(parse_json(f2).left.slope), 6),
+          |           f2_lb = round(todouble(parse_json(f2).left.interception), 6),
+          |           f2_rm = round(todouble(parse_json(f2).right.slope), 6),
+          |           f2_rb = round(todouble(parse_json(f2).right.interception), 6),
+          |           f2n = isnull(series_fit_2lines_dynamic(pack_array(1.0, 2.0, 3.0))),
+          |           s4 = round(todouble(vs[0]), 6),
+          |           s6 = round(todouble(vs[1]), 6),
+          |           s200 = round(todouble(vs[2]), 6),
+          |           rs = replace_strings(event_type, dynamic(['er', 'e']), dynamic(['ER', '3'])),
+          |           rsn = isnull(replace_strings(event_type, dynamic(['a']), dynamic([]))),
+          |           tp = strcat_array(treepath(dynamic({"a":{"b":1},"c":[1,2,{"d":3}]})), ';'),
+          |           tpd = strcat_array(treepath(parse_json(props)), ';')
+          | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // cell-to-polygon + point-to-polygon distance (round 15): every
     // point lies inside its own cell's boundary polygon (geohash
     // rectangle and s2 quad), and its polygon distance is exactly 0.
@@ -3641,6 +3727,51 @@ object KqlQueries extends QueryModule {
               CAST(count(1) AS BIGINT) AS coll,
               CAST(count(1) AS BIGINT) AS keeps
          FROM events WHERE event_id % 97 = 0""",
+
+    "q235_kql_text_geo_intersects" ->
+      """SELECT event_id,
+                (abs(u) <= 2.0) AS l2,
+                (px < 10.0 AND px + 6.0 > 0.0 AND py > 0.0 AND py < 10.0) AS lwp,
+                (px < 10.0 AND px + 4.0 > 0.0 AND py < 10.0 AND py + 4.0 > 0.0) AS pp,
+                true AS ia, true AS ib, true AS ci, true AS oa, true AS ob
+         FROM (SELECT event_id,
+                      CAST(user_id % 120 AS DOUBLE) - 60.0 + 0.25 AS px,
+                      CAST(event_id % 80 AS DOUBLE) - 40.0 + 0.25 AS py,
+                      CAST(event_id % 7 AS DOUBLE) - 3.0 AS u
+               FROM events WHERE event_id % 97 = 0)
+         ORDER BY event_id""",
+
+    "q234_kql_text_strays3" ->
+      """WITH base AS (
+           SELECT event_id, user_id % 3 AS kk, CAST(user_id % 3 AS DOUBLE) AS k,
+                  event_type, props
+           FROM events WHERE event_id % 499 = 0),
+         ser AS (
+           SELECT *, list_transform(range(12), i ->
+                    (CASE WHEN i % 4 = 0 THEN 9.0 ELSE 0.0 END) +
+                    CAST((i * kk) % 3 AS DOUBLE)) AS p
+           FROM base),
+         cen AS (
+           SELECT *, list_transform(p, v -> v - list_sum(p) / 12.0) AS c FROM ser),
+         sc AS (
+           SELECT *,
+                  list_sum(list_transform(c, v -> v * v)) AS den,
+                  list_sum(list_transform(range(8), i -> c[i + 1] * c[i + 5])) AS num4,
+                  list_sum(list_transform(range(6), i -> c[i + 1] * c[i + 7])) AS num6
+           FROM cen)
+         SELECT event_id, k,
+                5.0 AS fl_m, 3.0 * k AS fl_b, 1.0 AS fl_r, 87.5 AS fl_v,
+                CAST(4 AS BIGINT) AS f2_sp, 1.0 AS f2_r,
+                1.0 AS f2_lm, k AS f2_lb, 4.0 AS f2_rm, 10.0 * k + 12.0 AS f2_rb,
+                true AS f2n,
+                round(CASE WHEN den = 0 THEN 0.0 ELSE greatest(0.0, num4 / den) END, 6) AS s4,
+                round(CASE WHEN den = 0 THEN 0.0 ELSE greatest(0.0, num6 / den) END, 6) AS s6,
+                0.0 AS s200,
+                replace(replace(event_type, 'er', 'ER'), 'e', '3') AS rs,
+                true AS rsn,
+                '[''a''];[''a''][''b''];[''c''];[''c''][0];[''c''][0][''d'']' AS tp,
+                list_aggregate(list_transform(json_keys(props), x -> '[''' || x || ''']'), 'string_agg', ';') AS tpd
+         FROM sc ORDER BY event_id""",
 
     "q233_kql_text_cell_polygons" ->
       """SELECT CAST(count(1) AS BIGINT) AS n,

@@ -1818,6 +1818,58 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getString(7) == "97,195,169,226,130,172")
   }
 
+  test("replace_strings, treepath (round-15 stray ring 3)") {
+    val r = run(
+      """t | where id == 1 | project
+        |  rs = replace_strings('abb', dynamic(['ab', 'b']), dynamic(['X', 'Y'])),
+        |  rsn = replace_strings('abb', dynamic(['a']), dynamic([])),
+        |  rse = replace_strings('abb', dynamic(['', 'b']), dynamic(['Z', 'Y'])),
+        |  tp1 = strcat_array(treepath(dynamic({"a":"b","c":123})), ';'),
+        |  tp2 = strcat_array(treepath(dynamic({"prop1":[1,2,3,4],"prop2":"v"})), ';'),
+        |  tp3 = strcat_array(treepath(dynamic({"listProperty":[100,200,300,"abcde",{"x":"y"}]})), ';'),
+        |  tps = strcat_array(treepath(dynamic(7)), ';'),
+        |  tpn = treepath('{oops')""".stripMargin).head()
+    assert(r.getString(0) == "XY", "pairs apply IN ORDER ('ab' first, then 'b' on the rewrite)")
+    assert(r.isNullAt(1), "length mismatch is null")
+    assert(r.getString(2) == "aYY", "empty lookup leaves text unchanged, later pairs still apply")
+    assert(r.getString(3) == "['a'];['c']")
+    assert(r.getString(4) == "['prop1'];['prop1'][0];['prop2']",
+      "array elements collapse to one generic [0] indexer")
+    assert(r.getString(5) == "['listProperty'];['listProperty'][0];['listProperty'][0]['x']",
+      "the documented doc example")
+    assert(r.getString(6) == "", "a bare scalar has no paths")
+    assert(r.isNullAt(7), "malformed JSON is null")
+  }
+
+  test("series_fit_line_dynamic / series_fit_2lines_dynamic / series_periods_validate") {
+    val r = run(
+      """t | where id == 1
+        | | extend arr = pack_array(2.0, 3.0, 4.0, 5.0, 22.0, 26.0, 30.0, 34.0)
+        | | extend fl = series_fit_line_dynamic(pack_array(1.0, 3.0, 5.0, 7.0)),
+        |          f2 = series_fit_2lines_dynamic(arr),
+        |          f2n = series_fit_2lines_dynamic(pack_array(1.0, 2.0, 3.0))
+        | | extend (vp, vs) = series_periods_validate(pack_array(9.0, 1.0, 1.0, 1.0, 9.0, 1.0, 1.0, 1.0, 9.0, 1.0, 1.0, 1.0), 4, 6, 200)
+        | | project
+        |  flm = todouble(parse_json(fl).slope), flb = todouble(parse_json(fl).interception),
+        |  flr = todouble(parse_json(fl).rsquare),
+        |  sp = tolong(parse_json(f2).split_idx),
+        |  lm = todouble(parse_json(f2).left.slope), lb = todouble(parse_json(f2).left.interception),
+        |  rm = todouble(parse_json(f2).right.slope), rb = todouble(parse_json(f2).right.interception),
+        |  f2n,
+        |  p0 = todouble(vp[0]), s0 = todouble(vs[0]), s1 = todouble(vs[1]), s2 = todouble(vs[2])""".stripMargin).head()
+    assert(r.getDouble(0) == 2.0 && r.getDouble(1) == 1.0 && r.getDouble(2) == 1.0)
+    assert(r.getLong(3) == 4L, "changepoint at the right-segment start")
+    assert(r.getDouble(4) == 1.0 && r.getDouble(5) == 2.0, "left sub-line: slope 1, icept 2")
+    assert(r.getDouble(6) == 4.0 && r.getDouble(7) == 22.0,
+      "right sub-line uses the segment-LOCAL x (interception = value at segment start)")
+    assert(r.isNullAt(8), "series shorter than 4 is a null bag")
+    assert(r.getDouble(9) == 4.0, "periods echo back")
+    // exactly periodic series: acf(period) = (8 of 12 centered squares)/(all 12) = 2/3
+    assert(math.abs(r.getDouble(10) - 2.0 / 3.0) < 1e-12)
+    assert(r.getDouble(11) == 0.0, "half-phase lag scores negative -> clamped 0")
+    assert(r.getDouble(12) == 0.0, "out-of-range lag scores 0")
+  }
+
   test("parse_ipv6: embedded dotted-IPv4 tail canonicalizes; zones and bad octets are null") {
     val r = run(
       """t | where id == 1 | project
@@ -2291,6 +2343,66 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getDouble(4) == r.getDouble(5), "before the start clamps to the start point distance")
     assert(r.getDouble(6) == r.getDouble(0), "multi-segment takes the min (the far northern legs lose)")
     assert(r.getBoolean(7) && r.getBoolean(8))
+  }
+
+  test("geo_closest_point_on_line / _on_polygon: foot, clamps, inside passthrough") {
+    val r = run(
+      """t | where id == 1
+        | | extend eq = '{"type":"LineString","coordinates":[[-10.0,0.0],[10.0,0.0]]}',
+        |          poly = '{"type":"Polygon","coordinates":[[[-5.0,-5.0],[5.0,-5.0],[5.0,5.0],[-5.0,5.0],[-5.0,-5.0]]]}'
+        | | extend cl = parse_json(geo_closest_point_on_line(0.0, 1.0, eq)),
+        |          ce = parse_json(geo_closest_point_on_line(15.0, 2.0, eq)),
+        |          cin = parse_json(geo_closest_point_on_polygon(1.0, 2.0, poly)),
+        |          cout = parse_json(geo_closest_point_on_polygon(9.0, 0.5, poly))
+        | | project clx = todouble(cl.coordinates[0]), cly = todouble(cl.coordinates[1]),
+        |           cex = todouble(ce.coordinates[0]), cey = todouble(ce.coordinates[1]),
+        |           cinx = todouble(cin.coordinates[0]), ciny = todouble(cin.coordinates[1]),
+        |           coutx = todouble(cout.coordinates[0]), couty = todouble(cout.coordinates[1]),
+        |           d = geo_distance_point_to_line(0.0, 1.0, eq),
+        |           bad = isnull(geo_closest_point_on_line(0.0, 1.0, 'nope'))""".stripMargin).head()
+    // foot of (0,1) on the equator great circle is (0,0)
+    assert(math.abs(r.getDouble(0)) < 1e-9 && math.abs(r.getDouble(1)) < 1e-9)
+    assert(r.getDouble(2) == 10.0 && r.getDouble(3) == 0.0, "past the end clamps to the endpoint")
+    assert(r.getDouble(4) == 1.0 && r.getDouble(5) == 2.0, "inside the polygon returns the point itself")
+    // outside: the nearest boundary is the x=5 edge — the spherical
+    // foot sits near (not exactly at) the query latitude
+    assert(r.getDouble(6) == 5.0 && math.abs(r.getDouble(7) - 0.5) < 0.01)
+    // the foot's distance equals geo_distance_point_to_line (shared op order)
+    val footD = r.getDouble(8)
+    assert(math.abs(footD - math.toRadians(1.0) * 6371009.0) < 1e-3)
+    assert(r.getBoolean(9))
+  }
+
+  test("geo_intersects_2lines / line_with_polygon / 2polygons: cross, touch, contain, disjoint") {
+    val r = run(
+      """t | where id == 1
+        | | extend x1 = '{"type":"LineString","coordinates":[[-1.0,-1.0],[1.0,1.0]]}',
+        |          x2 = '{"type":"LineString","coordinates":[[-1.0,1.0],[1.0,-1.0]]}',
+        |          par = '{"type":"LineString","coordinates":[[-1.0,2.0],[1.0,2.0]]}',
+        |          tch = '{"type":"LineString","coordinates":[[1.0,1.0],[3.0,1.0]]}',
+        |          sq = '{"type":"Polygon","coordinates":[[[-5.0,-5.0],[5.0,-5.0],[5.0,5.0],[-5.0,5.0],[-5.0,-5.0]]]}',
+        |          sq2 = '{"type":"Polygon","coordinates":[[[3.0,3.0],[8.0,3.0],[8.0,8.0],[3.0,8.0],[3.0,3.0]]]}',
+        |          far = '{"type":"Polygon","coordinates":[[[20.0,20.0],[21.0,20.0],[21.0,21.0],[20.0,21.0],[20.0,20.0]]]}',
+        |          innr = '{"type":"Polygon","coordinates":[[[-1.0,-1.0],[1.0,-1.0],[1.0,1.0],[-1.0,1.0],[-1.0,-1.0]]]}'
+        | | project ll = geo_intersects_2lines(x1, x2),
+        |           lp = geo_intersects_2lines(x1, par),
+        |           lt = geo_intersects_2lines(x1, tch),
+        |           lin = geo_intersects_line_with_polygon(x1, sq),
+        |           lout = geo_intersects_line_with_polygon(par, far),
+        |           pp = geo_intersects_2polygons(sq, sq2),
+        |           pd = geo_intersects_2polygons(sq, far),
+        |           pc = geo_intersects_2polygons(sq, innr),
+        |           pc2 = geo_intersects_2polygons(innr, sq),
+        |           bad = isnull(geo_intersects_2lines(x1, 'nope'))""".stripMargin).head()
+    assert(r.getBoolean(0), "X-crossing lines intersect")
+    assert(!r.getBoolean(1), "parallel offset lines do not")
+    assert(r.getBoolean(2), "endpoint touch counts as intersecting")
+    assert(r.getBoolean(3), "a line inside the polygon intersects it (vertex-inside)")
+    assert(!r.getBoolean(4))
+    assert(r.getBoolean(5), "overlapping squares intersect")
+    assert(!r.getBoolean(6), "disjoint squares do not")
+    assert(r.getBoolean(7) && r.getBoolean(8), "containment intersects from both sides")
+    assert(r.getBoolean(9))
   }
 
   test("geo_point_to_s2cell: published face/quadrant vectors, round trips, loud nulls") {
