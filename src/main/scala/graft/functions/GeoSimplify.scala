@@ -135,6 +135,107 @@ object GeoSimplifyOps {
     } catch { case _: Exception => null }
   }
 
+  /** Spherical midpoint of the geodesic a→b (degrees in/out). */
+  private def geodesicMid(aLon: Double, aLat: Double,
+                          bLon: Double, bLat: Double): (Double, Double) = {
+    val la1 = math.toRadians(aLat); val la2 = math.toRadians(bLat)
+    val dLon = math.toRadians(bLon - aLon)
+    val bx = math.cos(la2) * math.cos(dLon)
+    val by = math.cos(la2) * math.sin(dLon)
+    val latm = math.atan2(math.sin(la1) + math.sin(la2),
+      math.sqrt((math.cos(la1) + bx) * (math.cos(la1) + bx) + by * by))
+    val lonm = math.toRadians(aLon) + math.atan2(by, math.cos(la1) + bx)
+    (math.toDegrees(lonm), math.toDegrees(latm))
+  }
+
+  /** Densify the planar edge a→b: if the midpoint deviation (great-circle
+    * distance from the PLANAR midpoint to the GEODESIC midpoint) exceeds
+    * the tolerance, split at the planar midpoint and recurse — every
+    * added point is an exact planar bisection, so the output chain stays
+    * collinear with the input edge in lon/lat. Emits (a..b], a excluded.
+    * Depth cap 16 (deviation shrinks ~4× per split; 16 levels turn a
+    * half-circumference edge into sub-millimeter parts). */
+  private def densifyEdge(ax: Double, ay: Double, bx: Double, by: Double,
+      tolM: Double, depth: Int,
+      out: scala.collection.mutable.ArrayBuffer[(Double, Double)]): Unit = {
+    val mx = (ax + bx) / 2; val my = (ay + by) / 2
+    val (gx, gy) = geodesicMid(ax, ay, bx, by)
+    if (depth >= 16 || angDist(mx, my, gx, gy) * R <= tolM) out += ((bx, by))
+    else {
+      densifyEdge(ax, ay, mx, my, tolM, depth + 1, out)
+      densifyEdge(mx, my, bx, by, tolM, depth + 1, out)
+    }
+  }
+
+  private def densifyPts(xs: Array[Double], ys: Array[Double],
+      tolM: Double): scala.collection.mutable.ArrayBuffer[(Double, Double)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(Double, Double)]((xs(0), ys(0)))
+    var i = 0
+    while (i < xs.length - 1) {
+      densifyEdge(xs(i), ys(i), xs(i + 1), ys(i + 1), tolM, 0, out)
+      i += 1
+    }
+    out
+  }
+
+  private def fmtChain(sb: java.lang.StringBuilder,
+      pts: scala.collection.mutable.ArrayBuffer[(Double, Double)]): Unit = {
+    var i = 0
+    while (i < pts.length) {
+      if (i > 0) sb.append(',')
+      sb.append('[').append(pts(i)._1).append(',').append(pts(i)._2).append(']')
+      i += 1
+    }
+  }
+
+  /** geo_line_densify(line, tolerance_m): converts planar edges to
+    * geodesic chains — Kusto's documented contract; tolerance must be in
+    * [0.1, 5000] (Kusto's range), out-of-range / malformed → null. The
+    * pinned subdivision rule (Kusto's internals unspecified): recursive
+    * planar bisection until each part's midpoint deviation ≤ tolerance. */
+  def densifyLine(json: UTF8String, tolM: Double): UTF8String = {
+    if (!(tolM >= 0.1 && tolM <= 5000.0)) return null
+    try {
+      val root = mappers.get().readTree(json.toString)
+      if (root == null || root.get("type") == null ||
+          !"LineString".equals(root.get("type").asText())) return null
+      val (xs, ys) = parseRing(root.get("coordinates")).getOrElse(return null)
+      val sb = new java.lang.StringBuilder(64)
+      sb.append("{\"type\":\"LineString\",\"coordinates\":[")
+      fmtChain(sb, densifyPts(xs, ys, tolM))
+      sb.append("]}")
+      UTF8String.fromString(sb.toString)
+    } catch { case _: Exception => null }
+  }
+
+  /** geo_polygon_densify(polygon, tolerance_m): every ring's stored
+    * vertex sequence densified edge-by-edge (the GeoJSON closure vertex
+    * is part of the sequence, so closure is preserved verbatim). */
+  def densifyPolygon(json: UTF8String, tolM: Double): UTF8String = {
+    if (!(tolM >= 0.1 && tolM <= 5000.0)) return null
+    try {
+      val root = mappers.get().readTree(json.toString)
+      if (root == null || root.get("type") == null ||
+          !"Polygon".equals(root.get("type").asText())) return null
+      val rings = root.get("coordinates")
+      if (rings == null || !rings.isArray || rings.size() < 1) return null
+      val sb = new java.lang.StringBuilder(64)
+      sb.append("{\"type\":\"Polygon\",\"coordinates\":[")
+      var r = 0
+      while (r < rings.size()) {
+        val (xs, ys) = parseRing(rings.get(r)).getOrElse(return null)
+        if (xs.length < 4) return null
+        if (r > 0) sb.append(',')
+        sb.append('[')
+        fmtChain(sb, densifyPts(xs, ys, tolM))
+        sb.append(']')
+        r += 1
+      }
+      sb.append("]}")
+      UTF8String.fromString(sb.toString)
+    } catch { case _: Exception => null }
+  }
+
   def simplifyPolygon(json: UTF8String, tolM: Double): UTF8String = {
     if (!(tolM > 0)) return null
     try {
@@ -195,6 +296,30 @@ case class GeoLineSimplify(left: Expression, right: Expression) extends GeoSimpl
       ${ev.value} = graft.functions.GeoSimplifyOps.simplifyLine($s, $t);
       ${ev.isNull} = ${ev.value} == null;""")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): GeoLineSimplify =
+    copy(left = l, right = r)
+}
+
+/** geo_line_densify(line, tolerance_m). */
+case class GeoLineDensify(left: Expression, right: Expression) extends GeoSimplifyExpr {
+  override protected def fnName = "geo_line_densify"
+  override protected def evalFn = GeoSimplifyOps.densifyLine
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, t) => s"""
+      ${ev.value} = graft.functions.GeoSimplifyOps.densifyLine($s, $t);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): GeoLineDensify =
+    copy(left = l, right = r)
+}
+
+/** geo_polygon_densify(polygon, tolerance_m). */
+case class GeoPolygonDensify(left: Expression, right: Expression) extends GeoSimplifyExpr {
+  override protected def fnName = "geo_polygon_densify"
+  override protected def evalFn = GeoSimplifyOps.densifyPolygon
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, t) => s"""
+      ${ev.value} = graft.functions.GeoSimplifyOps.densifyPolygon($s, $t);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): GeoPolygonDensify =
     copy(left = l, right = r)
 }
 

@@ -5078,6 +5078,26 @@ object KqlCompiler {
             else graft.functions.GeoPolygonSimplify(s, t))
         }
       }
+      if (name == "geo_line_densify" || name == "geo_polygon_densify") {
+        // planar edges → geodesic chains by recursive planar bisection
+        // (GeoSimplifyOps pins the midpoint-deviation rule); tolerance
+        // optional, Kusto's default 10 m, valid range [0.1, 5000] →
+        // out-of-range is loudly null. The preserve_crossing antimeridian
+        // argument is outside the geo ring's documented subset.
+        val shape = expr()
+        val tol = if (peekIs(",")) { expect(","); Some(expr()) } else None
+        expect(")")
+        val isLine = name == "geo_line_densify"
+        return df => {
+          import org.apache.spark.sql.GraftColumnBridge
+          val s = GraftColumnBridge.catalystExpression(shape(df).cast("string"))
+          val t = GraftColumnBridge.catalystExpression(
+            tol.fold(lit(10.0))(_(df)).cast("double"))
+          GraftColumnBridge.column(
+            if (isLine) graft.functions.GeoLineDensify(s, t)
+            else graft.functions.GeoPolygonDensify(s, t))
+        }
+      }
       if (name == "geo_polygon_to_s2cells") {
         // geo_polygon_to_s2cells(polygon, level) — the covering that
         // makes polygon joins a cell-key equi-join: cover the polygons

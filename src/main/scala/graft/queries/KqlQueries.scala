@@ -1654,6 +1654,33 @@ object KqlQueries extends QueryModule {
           |             lcs = countif(lc_ok), pcs = countif(pc_ok)""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // geo densify (round 15): a 10°-wide parallel segment at a per-row
+    // latitude — splitting at the planar midpoint keeps every sub-edge a
+    // parallel, so the bisection depth m is uniform and the point count
+    // is exactly 2^m + 1. The oracle REPLICATES the midpoint-deviation
+    // rule (spherical-midpoint + haversine, engine op order) per
+    // halving level and counts levels above tolerance; the nearest
+    // |deviation − 100 m| across all (lat, level) pairs is 0.97 m —
+    // ulp-safe. Invariants: every point stays on the planar edge
+    // (',lat]' count), endpoints preserved, meridians are geodesics
+    // (identity), tolerance outside [0.1, 5000] null.
+    "q236_kql_text_geo_densify" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_id % 97 == 0
+          | | extend ly = todouble(event_id % 120) - 60.0 + 0.25
+          | | extend line = strcat('{"type":"LineString","coordinates":[[0.25,', tostring(ly), '],[10.25,', tostring(ly), ']]}'),
+          |          mer = strcat('{"type":"LineString","coordinates":[[3.0,', tostring(ly), '],[3.0,', tostring(ly + 1.0), ']]}')
+          | | extend dense = geo_line_densify(line, 100.0)
+          | | extend n = countof(dense, '[') - 1, needle = strcat(',', tostring(ly), ']')
+          | | project event_id, ly, n,
+          |           lat_ok = strlen(dense) - strlen(replace_string(dense, needle, '')) == n * strlen(needle),
+          |           ends_ok = indexof(dense, strcat('[[0.25,', tostring(ly), '],')) >= 0 and indexof(dense, strcat(',[10.25,', tostring(ly), ']]}')) >= 0,
+          |           tol_null = isnull(geo_line_densify(line, 0.05)),
+          |           mer_id = geo_line_densify(mer, 0.5) == mer
+          | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // geo ring 6 (round 15): intersect predicates + closest-point
     // scalars. The predicates are PLANAR (the even-odd family stance)
     // over dyadic-exact coordinates (offsets .25, integer shape bounds)
@@ -3727,6 +3754,38 @@ object KqlQueries extends QueryModule {
               CAST(count(1) AS BIGINT) AS coll,
               CAST(count(1) AS BIGINT) AS keeps
          FROM events WHERE event_id % 97 = 0""",
+
+    "q236_kql_text_geo_densify" ->
+      """WITH base AS (
+           SELECT event_id, CAST(event_id % 120 AS DOUBLE) - 60.0 + 0.25 AS ly
+           FROM events WHERE event_id % 97 = 0),
+         s1 AS (
+           SELECT *, list_transform(range(17), k -> {'w': 10.0 / pow(2.0, k)}) AS ws
+           FROM base),
+         s2 AS (
+           SELECT *, list_transform(ws, s -> {
+                    'w': s.w,
+                    'bx': cos(radians(ly)) * cos(radians(s.w)),
+                    'by': cos(radians(ly)) * sin(radians(s.w))}) AS sb
+           FROM s1),
+         s3 AS (
+           SELECT *, list_transform(sb, s -> {
+                    'gy': degrees(atan2(sin(radians(ly)) + sin(radians(ly)),
+                          sqrt(pow(cos(radians(ly)) + s.bx, 2) + pow(s.by, 2)))),
+                    'gx': degrees(radians(0.25) + atan2(s.by, cos(radians(ly)) + s.bx)),
+                    'mx': 0.25 + s.w / 2.0}) AS sg
+           FROM s2),
+         s4 AS (
+           SELECT *, list_transform(sg, s ->
+                    2.0 * 6371009.0 * asin(sqrt(
+                      pow(sin(radians(s.gy - ly) / 2.0), 2) +
+                      cos(radians(ly)) * cos(radians(s.gy)) *
+                        pow(sin(radians(s.gx - s.mx) / 2.0), 2)))) AS devs
+           FROM s3)
+         SELECT event_id, ly,
+                CAST(pow(2.0, len(list_filter(devs, d -> d > 100.0))) + 1 AS BIGINT) AS n,
+                true AS lat_ok, true AS ends_ok, true AS tol_null, true AS mer_id
+         FROM s4 ORDER BY event_id""",
 
     "q235_kql_text_geo_intersects" ->
       """SELECT event_id,

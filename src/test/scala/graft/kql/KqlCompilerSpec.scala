@@ -2345,6 +2345,44 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getBoolean(7) && r.getBoolean(8))
   }
 
+  test("geo_line_densify / geo_polygon_densify: bisection, invariance, tolerance range") {
+    val r = run(
+      """t | where id == 1
+        | | extend ln = '{"type":"LineString","coordinates":[[0.0,50.0],[10.0,50.0]]}',
+        |          mer = '{"type":"LineString","coordinates":[[3.0,10.0],[3.0,20.0]]}',
+        |          sq = '{"type":"Polygon","coordinates":[[[0.0,40.0],[8.0,40.0],[8.0,48.0],[0.0,48.0],[0.0,40.0]]]}'
+        | | project d5k = geo_line_densify(ln, 5000.0), d1 = geo_line_densify(ln, 1.0),
+        |           dm = geo_line_densify(mer, 0.5), dp = geo_polygon_densify(sq, 100.0),
+        |           ddef = geo_line_densify(ln),
+        |           bad = isnull(geo_line_densify(ln, 0.01)),
+        |           bad2 = isnull(geo_line_densify(ln, 9999.0)),
+        |           badj = isnull(geo_line_densify('nope', 10.0))""".stripMargin).head()
+    def pts(json: String): Seq[(Double, Double)] =
+      """\[(-?[\d.E-]+),(-?[\d.E-]+)\]""".r.findAllMatchIn(json)
+        .map(m => (m.group(1).toDouble, m.group(2).toDouble)).toSeq
+    val p5k = pts(r.getString(0)); val p1 = pts(r.getString(1))
+    // a 10-degree parallel at lat 50 bows ~21 km off the planar edge:
+    // every tolerance splits, tighter tolerance splits strictly more
+    assert(p5k.length > 2, "tol=5000 m still densifies")
+    assert(p1.length > p5k.length, "tighter tolerance adds strictly more points")
+    assert(pts(r.getString(4)).length > p5k.length, "default tolerance (10 m) is tighter than 5000")
+    // every added point stays ON the planar edge (exact bisections) and
+    // the longitudes stay sorted with endpoints preserved
+    assert(p1.forall(_._2 == 50.0))
+    assert(p1.head == ((0.0, 50.0)) && p1.last == ((10.0, 50.0)))
+    assert(p1.map(_._1) == p1.map(_._1).sorted)
+    // a meridian IS a geodesic: planar midpoint == geodesic midpoint, no split
+    assert(r.getString(2) == "{\"type\":\"LineString\",\"coordinates\":[[3.0,10.0],[3.0,20.0]]}")
+    // polygon: the two lat-40/48 parallels densify, the two meridian
+    // edges don't; ring stays closed
+    val pp = pts(r.getString(3))
+    assert(pp.length > 5 && pp.head == pp.last, "polygon densified, ring closed")
+    assert(pp.forall(p => p._2 == 40.0 || p._2 == 48.0 || p._1 == 0.0 || p._1 == 8.0),
+      "every added point lies on the rectangle boundary")
+    assert(r.getBoolean(5) && r.getBoolean(6), "tolerance outside [0.1, 5000] is null")
+    assert(r.getBoolean(7))
+  }
+
   test("geo_closest_point_on_line / _on_polygon: foot, clamps, inside passthrough") {
     val r = run(
       """t | where id == 1
