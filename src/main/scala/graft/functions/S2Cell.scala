@@ -346,8 +346,94 @@ object S2CellOps {
     false
   }
 
+  private def quadIntersectsLine(quad: Array[Double], pts: Array[Double]): Boolean = {
+    val quadRing = Array(quad)
+    val n = pts.length / 2
+    // any line vertex inside the quad
+    var a = 0
+    while (a < n) {
+      if (inRings(pts(2 * a), pts(2 * a + 1), quadRing)) return true
+      a += 1
+    }
+    // any segment crossing a quad edge (a segment passing THROUGH the
+    // quad with both endpoints outside crosses two edges)
+    a = 0
+    while (a < n - 1) {
+      var k = 0
+      while (k < 4) {
+        val k2 = (k + 1) % 4
+        if (segsIntersect(pts(2 * a), pts(2 * a + 1), pts(2 * a + 2), pts(2 * a + 3),
+            quad(2 * k), quad(2 * k + 1), quad(2 * k2), quad(2 * k2 + 1))) return true
+        k += 1
+      }
+      a += 1
+    }
+    false
+  }
+
   private val coverMappers = new ThreadLocal[com.fasterxml.jackson.databind.ObjectMapper] {
     override def initialValue() = new com.fasterxml.jackson.databind.ObjectMapper()
+  }
+
+  /** geo_line_to_s2cells(line, level): the level-`level` cells
+    * intersecting the GeoJSON LineString — the line-join covering,
+    * [[polygonCover]]'s exact stance (PLANAR lon/lat intersection
+    * tests, BFS over the 8-neighbor graph from the vertex cells — a
+    * connected curve's covering is 8-connected — ascending-id tokens,
+    * loud 65536-cell cap, malformed/level-out-of-range null). Kusto's
+    * optional buffer radius is outside the documented subset (the
+    * no-buffer stance). */
+  def lineCover(lineJson: UTF8String, level: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (level < 0 || level > MaxLevel) return null
+    val pts: Array[Double] =
+      try {
+        val root = coverMappers.get().readTree(lineJson.toString)
+        if (root == null || !"LineString".equals(
+            if (root.get("type") == null) null else root.get("type").asText())) return null
+        val cs = root.get("coordinates")
+        if (cs == null || !cs.isArray || cs.size() < 2) return null
+        val flat = new Array[Double](2 * cs.size())
+        var a = 0
+        while (a < cs.size()) {
+          val pt = cs.get(a)
+          if (!pt.isArray || pt.size() < 2) return null
+          flat(2 * a) = pt.get(0).asDouble()
+          flat(2 * a + 1) = pt.get(1).asDouble()
+          a += 1
+        }
+        flat
+      } catch { case _: Exception => return null }
+    def cellOf(lon: Double, lat: Double): Long = {
+      val t = token(lon, lat, level)
+      if (t == null) 0L else tokenToId(t.toString)
+    }
+    val included = scala.collection.mutable.Set.empty[Long]
+    val visited = scala.collection.mutable.Set.empty[Long]
+    val seeds = scala.collection.mutable.Set.empty[Long]
+    val queue = scala.collection.mutable.Queue.empty[Long]
+    var a = 0
+    while (a < pts.length / 2) {
+      val c = cellOf(pts(2 * a), pts(2 * a + 1))
+      if (c != 0L && visited.add(c)) { seeds += c; queue += c }
+      a += 1
+    }
+    while (queue.nonEmpty) {
+      val c = queue.dequeue()
+      // vertex cells intersect by construction (they contain a vertex)
+      if (seeds(c) || quadIntersectsLine(cellQuad(c), pts)) {
+        included += c
+        if (included.size > 65536) return null
+        val nbrs = neighbors(UTF8String.fromString(idToToken(c)))
+        var k = 0
+        while (k < nbrs.numElements()) {
+          val n = tokenToId(nbrs.getUTF8String(k).toString)
+          if (n != 0L && visited.add(n)) queue += n
+          k += 1
+        }
+      }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      included.toArray.sorted.map(n => UTF8String.fromString(idToToken(n))))
   }
 
   /** geo_polygon_to_s2cells(polygon, level): the level-`level` cells
@@ -538,6 +624,22 @@ case class S2PolygonCover(child: Expression, level: Int) extends UnaryExpression
       ${ev.value} = graft.functions.S2CellOps.polygonCover($c, $level);
       ${ev.isNull} = ${ev.value} == null;""")
   override protected def withNewChildInternal(newChild: Expression): S2PolygonCover =
+    copy(child = newChild)
+}
+
+case class S2LineCover(child: Expression, level: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeGuards.requireString("geo_line_to_s2cells", child)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(a: Any): Any =
+    S2CellOps.lineCover(a.asInstanceOf[UTF8String], level)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.S2CellOps.lineCover($c, $level);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(newChild: Expression): S2LineCover =
     copy(child = newChild)
 }
 

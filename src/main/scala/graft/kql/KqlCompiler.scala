@@ -5115,6 +5115,23 @@ object KqlCompiler {
             GraftColumnBridge.catalystExpression(e(df).cast("string")), level.toInt))
         }
       }
+      if (name == "geo_line_to_s2cells") {
+        // geo_line_to_s2cells(line, level) — the line-join covering:
+        // cells intersecting the LineString, polygonCover's exact BFS +
+        // planar-test stance. Kusto's optional buffer radius is outside
+        // the documented subset (the no-buffer stance) — two-arg form
+        // only. Level is a parse-time literal; 65536-cell cap.
+        val e = expr(); expect(",")
+        val level = number()
+        expect(")")
+        if (level < 0 || level > 30)
+          throw new KqlParseException(s"geo_line_to_s2cells level must be 0..30, got $level")
+        return df => {
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.S2LineCover(
+            GraftColumnBridge.catalystExpression(e(df).cast("string")), level.toInt))
+        }
+      }
       if (name == "geo_s2cell_neighbors") {
         // the 8 same-level neighbors (7 distinct at cube corners),
         // crossing faces via the published FromFaceIJWrap walk

@@ -1654,6 +1654,31 @@ object KqlQueries extends QueryModule {
           |             lcs = countif(lc_ok), pcs = countif(pc_ok)""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // line covering (round 15): geo_line_to_s2cells over a per-row
+    // two-segment polyline. Invariants DuckDB pins as counts (the q233
+    // stance): every vertex cell and exact on-line interior points'
+    // cells (dyadic planar interpolations) are members — guaranteed by
+    // construction, the containing quad intersects the line; finer
+    // level never covers fewer cells; covering is non-trivial. Grid
+    // offsets .013 keep points off cell boundaries.
+    "q237_kql_text_line_cover" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_id % 89 == 0
+          | | extend lon = todouble(user_id % 340) - 170.0 + 0.013, lat = todouble(event_id % 160) - 80.0 + 0.013
+          | | extend line = strcat('{"type":"LineString","coordinates":[[', tostring(lon), ',', tostring(lat), '],[', tostring(lon + 2.0), ',', tostring(lat + 1.0), '],[', tostring(lon + 4.0), ',', tostring(lat), ']]}')
+          | | extend cov = geo_line_to_s2cells(line, 8), cov9 = geo_line_to_s2cells(line, 9)
+          | | extend v1 = set_has_element(cov, geo_point_to_s2cell(lon, lat, 8)),
+          |          v2 = set_has_element(cov, geo_point_to_s2cell(lon + 2.0, lat + 1.0, 8)),
+          |          v3 = set_has_element(cov, geo_point_to_s2cell(lon + 4.0, lat, 8)),
+          |          m1 = set_has_element(cov, geo_point_to_s2cell(lon + 1.0, lat + 0.5, 8)),
+          |          m2 = set_has_element(cov, geo_point_to_s2cell(lon + 0.5, lat + 0.25, 8)),
+          |          mono = array_length(cov9) >= array_length(cov),
+          |          ne = array_length(cov) >= 2
+          | | summarize n = count(), v1s = countif(v1), v2s = countif(v2), v3s = countif(v3),
+          |             m1s = countif(m1), m2s = countif(m2), mos = countif(mono), nes = countif(ne)""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // geo densify (round 15): a 10°-wide parallel segment at a per-row
     // latitude — splitting at the planar midpoint keeps every sub-edge a
     // parallel, so the bisection depth m is uniform and the point count
@@ -3754,6 +3779,17 @@ object KqlQueries extends QueryModule {
               CAST(count(1) AS BIGINT) AS coll,
               CAST(count(1) AS BIGINT) AS keeps
          FROM events WHERE event_id % 97 = 0""",
+
+    "q237_kql_text_line_cover" ->
+      """SELECT CAST(count(1) AS BIGINT) AS n,
+              CAST(count(1) AS BIGINT) AS v1s,
+              CAST(count(1) AS BIGINT) AS v2s,
+              CAST(count(1) AS BIGINT) AS v3s,
+              CAST(count(1) AS BIGINT) AS m1s,
+              CAST(count(1) AS BIGINT) AS m2s,
+              CAST(count(1) AS BIGINT) AS mos,
+              CAST(count(1) AS BIGINT) AS nes
+         FROM events WHERE event_id % 89 = 0""",
 
     "q236_kql_text_geo_densify" ->
       """WITH base AS (

@@ -2345,6 +2345,27 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getBoolean(7) && r.getBoolean(8))
   }
 
+  test("geo_line_to_s2cells: vertex/on-line membership, level monotonicity, nulls") {
+    val r = run(
+      """t | where id == 1
+        | | extend ln = '{"type":"LineString","coordinates":[[0.1,0.1],[1.5,0.1],[1.5,1.3]]}'
+        | | extend c8 = geo_line_to_s2cells(ln, 8), c9 = geo_line_to_s2cells(ln, 9)
+        | | project n8 = array_length(c8), n9 = array_length(c9),
+        |           v1 = set_has_element(c8, geo_point_to_s2cell(0.1, 0.1, 8)),
+        |           v2 = set_has_element(c8, geo_point_to_s2cell(1.5, 0.1, 8)),
+        |           v3 = set_has_element(c8, geo_point_to_s2cell(1.5, 1.3, 8)),
+        |           mid = set_has_element(c8, geo_point_to_s2cell(0.8, 0.1, 8)),
+        |           mid2 = set_has_element(c8, geo_point_to_s2cell(1.5, 0.7, 8)),
+        |           bad = isnull(geo_line_to_s2cells('nope', 8)),
+        |           pt = isnull(geo_line_to_s2cells('{"type":"Point","coordinates":[1.0,2.0]}', 8))""".stripMargin)
+      .head()
+    assert(r.getLong(0) >= 3L, "a two-segment line covers at least its vertex cells")
+    assert(r.getLong(1) >= r.getLong(0), "finer level covers at least as many cells")
+    assert(r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4), "vertex cells included")
+    assert(r.getBoolean(5) && r.getBoolean(6), "on-line interior points' cells included")
+    assert(r.getBoolean(7) && r.getBoolean(8), "malformed / non-LineString is null")
+  }
+
   test("geo_line_densify / geo_polygon_densify: bisection, invariance, tolerance range") {
     val r = run(
       """t | where id == 1
