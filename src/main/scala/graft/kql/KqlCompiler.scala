@@ -4136,55 +4136,17 @@ object KqlCompiler {
       * dotted-IPv4 tail (round 15); zone indexes (`%eth0`) stay loudly
       * null — Kusto rejects them too. All codegen'd string/array ops,
       * no UDF. */
+    /** IPv6 canonicalization — ONE native string walk (functions/
+      * Ipv6Canon.scala holds the pinned subset spec, replicated verbatim
+      * from the retired Column tree). The old form was a ~15-site
+      * regex-heavy CaseWhen whose Catalyst analysis + janino compile
+      * cost ~2.5 s of FIXED time per ipv6 query (q163/q226) at ANY
+      * scale; the native expression compiles in microseconds and does
+      * one pass per row instead of eight regexp_extracts. */
     private def ipv6Canonical(c: Column): Column = {
-      val raw = lower(trim(c))
-      // embedded dotted-IPv4 tail (`::ffff:192.168.1.1`, and the general
-      // `x:…:a.b.c.d` form): rewrite the quad as its two 16-bit hex
-      // groups, then canonicalize as usual. Octets > 255 fall through
-      // with the quad intact, fail the hex/colon shape check below, and
-      // return null — the same loudly-null stance as zone suffixes
-      // (`fe80::1%eth0`), which Kusto also rejects.
-      //
-      // PERF: the rewrite is regex-heavy (rlike + 8 regexp_extract), and
-      // the canonicalization below references its input ~15 times —
-      // Catalyst does not CSE across CaseWhen branches, so an unbound
-      // rewrite re-evaluates at every site (q163 went 2 s → 24 s at
-      // sf0.1). Two guards: the quad machinery only runs for rows that
-      // CONTAIN a dot, and the preprocessed string is let1-BOUND through
-      // a single-element transform (the weightedPercentile lesson) so it
-      // evaluates exactly once per row.
-      val quadRe = "([0-9]{1,3})\\.([0-9]{1,3})\\.([0-9]{1,3})\\.([0-9]{1,3})$"
-      // ANSI guard: regexp_extract yields '' on no match and `&&` does
-      // not short-circuit, so cast only behind a nonempty CaseWhen arm
-      def oct(i: Int) = {
-        val x = regexp_extract(raw, quadRe, i)
-        when(x =!= "", x.cast("int"))
-      }
-      val hasV4 = raw.rlike("^[0-9a-f:]*:" + quadRe.replace("(", "(?:"))
-      val octsOk = (1 to 4).map(i => oct(i) <= 255).reduce(_ && _)
-      val hexTail = concat(
-        lpad(lower(hex(oct(1) * 256 + oct(2))), 4, "0"), lit(":"),
-        lpad(lower(hex(oct(3) * 256 + oct(4))), 4, "0"))
-      val pre = when(raw.contains("."),
-          when(hasV4 && octsOk, concat(regexp_replace(raw, quadRe, ""), hexTail))
-            .otherwise(raw))
-        .otherwise(raw)
-      element_at(transform(array(pre), s => {
-        val hasGap = s.contains("::")
-        val left = when(hasGap, substring_index(s, "::", 1)).otherwise(s)
-        val right = when(hasGap, substring_index(s, "::", -1)).otherwise(lit(""))
-        def groupsOf(part: Column) =
-          filter(split(part, ":"), g => length(g) > 0)
-        val l = groupsOf(left); val r = groupsOf(right)
-        val mid = when(hasGap, greatest(lit(8) - size(l) - size(r), lit(0))).otherwise(lit(0))
-        val all = concat(l, array_repeat(lit("0"), mid), r)
-        val shapeOk = s.rlike("^[0-9a-f:]+$") &&
-          size(split(s, "::", -1)) <= 2 &&
-          (hasGap || size(l) === 8) &&
-          size(all) === 8 &&
-          forall(all, g => length(g) <= 4)
-        when(shapeOk, array_join(transform(all, g => lpad(g, 4, "0")), ":"))
-      }), 1)
+      import org.apache.spark.sql.GraftColumnBridge
+      GraftColumnBridge.column(graft.functions.Ipv6Canonical(
+        GraftColumnBridge.catalystExpression(c.cast("string"))))
     }
 
     /** Haversine distance in meters on the IUGG mean-radius sphere —
