@@ -12,10 +12,11 @@ import org.apache.spark.storage.StorageLevel
   *  1. TRIM: nodes with no in-edges or no out-edges inside the active
   *     subgraph are singleton SCCs — assign and drop them (one degree
   *     aggregate; cascades resolve across rounds);
-  *  2. LABEL: propagate min-ancestor labels over forward and over
-  *     reversed edges to fixpoint — per iteration ONE edges⋈labels
-  *     hash join + min aggregate, diameter-bounded, localCheckpoint
-  *     cuts lineage (the PageRank/q41 loop discipline);
+  *  2. LABEL: propagate min-anchor labels over forward AND reversed
+  *     edges in ONE fused fixpoint — per iteration two edges⋈labels
+  *     hash joins + min aggregates inside one job, max(diam_f, diam_b)
+  *     steps, localCheckpoint cuts lineage (the PageRank/q41 loop
+  *     discipline);
   *  3. PEEL: a node whose forward and backward labels AGREE on anchor
   *     m satisfies m ⇝ v and v ⇝ m, so it lies in SCC(m); assign all
   *     agreeing nodes (every min-anchored SCC resolves simultaneously)
@@ -93,9 +94,8 @@ object StronglyConnected {
         .join(active.select(F.col("node").as("dst")), Seq("dst"), "left_semi")
         .localCheckpoint(eager = false)
       // 2-3. min-anchor labels both ways; agreeing nodes peel as SCCs
-      val fwd = minAncestor(eAct, active, forward = true, out = "lbl_f")
-      val bwd = minAncestor(eAct, active, forward = false, out = "lbl_b")
-      val scc = fwd.join(bwd, Seq("node"))
+      val both = minAnchorBoth(eAct, active)
+      val scc = both
         .where(F.col("lbl_f") === F.col("lbl_b"))
         .select(F.col("node"), F.col("lbl_f").as("comp"))
         .localCheckpoint(eager = false)
@@ -115,29 +115,35 @@ object StronglyConnected {
     else parts.reduce(_ union _)
   }
 
-  /** lbl(v) = min id over {v} ∪ {u : u ⇝ v} (ancestors via `forward`
-    * edges; via reversed edges this is the min-descendant label).
-    * Fixpoint iteration, one join + min-agg per step. ONE driver action
-    * per step: the next-label frame is marked for LAZY localCheckpoint
-    * and the convergence probe's count both materializes the
-    * checkpointed partitions and returns the change count in the same
-    * job — the q41 checksum-batching discipline, so a long-chain graph
-    * costs O(diameter) job launches, not O(2·diameter). */
-  private[graft] def minAncestor(
-      e: DataFrame, nodes: DataFrame, forward: Boolean, out: String): DataFrame = {
+  /** (lbl_f, lbl_b)(v) = min id over {v} ∪ ancestors / ∪ descendants —
+    * BOTH directions in ONE fused fixpoint (round-15: the two
+    * propagations were sequential loops, costing diam_f + diam_b driver
+    * round-trips; fused, each step joins the edges twice inside one
+    * plan and the loop runs to the LATER of the two convergences —
+    * max(diam_f, diam_b) job launches, ~half the wall-clock on the SCC
+    * gate). ONE driver action per step: the next-label frame is marked
+    * for LAZY localCheckpoint and the convergence probe's count both
+    * materializes the checkpointed partitions and returns the change
+    * count in the same job — the q41 checksum-batching discipline. */
+  private[graft] def minAnchorBoth(e: DataFrame, nodes: DataFrame): DataFrame = {
     minAncestorCalls.incrementAndGet()
-    val (from, to) = if (forward) ("src", "dst") else ("dst", "src")
-    var lbl = nodes.select(F.col("node"), F.col("node").as(out)).localCheckpoint()
+    var lbl = nodes.select(F.col("node"),
+      F.col("node").as("lbl_f"), F.col("node").as("lbl_b")).localCheckpoint()
     driverActions.incrementAndGet() // seed-label checkpoint (once per call)
     var changed = 1L
     while (changed > 0) {
-      val inc = e.select(F.col(from).as("u"), F.col(to).as("node"))
-        .join(lbl.select(F.col("node").as("u"), F.col(out).as("ulbl")), Seq("u"))
-        .groupBy("node").agg(F.min("ulbl").as("minin"))
-      val next = lbl.join(inc, Seq("node"), "left")
+      val incF = e.select(F.col("src").as("u"), F.col("dst").as("node"))
+        .join(lbl.select(F.col("node").as("u"), F.col("lbl_f").as("ulbl")), Seq("u"))
+        .groupBy("node").agg(F.min("ulbl").as("minf"))
+      val incB = e.select(F.col("dst").as("u"), F.col("src").as("node"))
+        .join(lbl.select(F.col("node").as("u"), F.col("lbl_b").as("ulbl")), Seq("u"))
+        .groupBy("node").agg(F.min("ulbl").as("minb"))
+      val next = lbl.join(incF, Seq("node"), "left").join(incB, Seq("node"), "left")
         .select(F.col("node"),
-          F.least(F.col(out), F.coalesce(F.col("minin"), F.col(out))).as(out),
-          (F.coalesce(F.col("minin"), F.col(out)) < F.col(out)).as("__chg"))
+          F.least(F.col("lbl_f"), F.coalesce(F.col("minf"), F.col("lbl_f"))).as("lbl_f"),
+          F.least(F.col("lbl_b"), F.coalesce(F.col("minb"), F.col("lbl_b"))).as("lbl_b"),
+          (F.coalesce(F.col("minf"), F.col("lbl_f")) < F.col("lbl_f") ||
+            F.coalesce(F.col("minb"), F.col("lbl_b")) < F.col("lbl_b")).as("__chg"))
         .localCheckpoint(eager = false)
       fixpointSteps.incrementAndGet()
       driverActions.incrementAndGet()
