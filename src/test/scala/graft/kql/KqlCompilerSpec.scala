@@ -2345,6 +2345,32 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getBoolean(7) && r.getBoolean(8))
   }
 
+  test("round-15 algebraic pins: intersect symmetry, replace agreement, treepath/keys") {
+    // every row (5 distinct shapes via id-dependent offsets) must satisfy
+    // the algebraic properties, not just one fixture
+    val rows = run(
+      """t
+        | | extend o = todouble(id) * 1.5 - 4.0
+        | | extend a = strcat('{"type":"LineString","coordinates":[[', tostring(o), ',0.0],[', tostring(o + 2.0), ',2.0]]}'),
+        |          b = '{"type":"LineString","coordinates":[[-1.0,2.0],[3.0,0.0]]}',
+        |          pa = strcat('{"type":"Polygon","coordinates":[[[', tostring(o), ',0.0],[', tostring(o + 3.0), ',0.0],[', tostring(o + 3.0), ',3.0],[', tostring(o), ',3.0],[', tostring(o), ',0.0]]]}'),
+        |          pb = '{"type":"Polygon","coordinates":[[[1.0,1.0],[5.0,1.0],[5.0,5.0],[1.0,5.0],[1.0,1.0]]]}'
+        | | project sym_l = geo_intersects_2lines(a, b) == geo_intersects_2lines(b, a),
+        |           sym_p = geo_intersects_2polygons(pa, pb) == geo_intersects_2polygons(pb, pa),
+        |           rs_eq = replace_strings(status, dynamic(['err']), dynamic(['E'])) == replace_string(status, 'err', 'E'),
+        |           tp_keys = array_length(treepath(pack('k', id, 'm', name))) >= array_length(bag_keys(pack('k', id, 'm', name))),
+        |           fit_eq = todouble(parse_json(series_fit_line_dynamic(pack_array(1.0, 2.0, 4.0, 8.0))).rsquare) > 0.0""".stripMargin)
+      .collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getBoolean(0), "geo_intersects_2lines is symmetric")
+      assert(r.getBoolean(1), "geo_intersects_2polygons is symmetric")
+      assert(r.getBoolean(2), "single-pair replace_strings agrees with replace_string")
+      assert(r.getBoolean(3), "treepath covers at least the top-level keys")
+      assert(r.getBoolean(4))
+    }
+  }
+
   test("geo_line_to_s2cells: vertex/on-line membership, level monotonicity, nulls") {
     val r = run(
       """t | where id == 1
