@@ -188,6 +188,46 @@ object GeoSimplifyOps {
     }
   }
 
+  /** geo_point_buffer(lon, lat, radius_m, tolerance_m): the circle
+    * polygon around a point — a regular spherical N-gon whose vertices
+    * sit EXACTLY at great-circle distance `radius` (destination
+    * formula), counterclockwise per GeoJSON, ring closed by repeating
+    * vertex 0 verbatim. N = clamp(⌈π / acos(1 − tol/radius)⌉, 4, 16384)
+    * — the chord-sagitta bound, so the polygon's edge deviates from the
+    * true circle by at most `tolerance` meters. Pinned documented
+    * subset: null when radius ∉ (0, 10^7] m, tolerance ≤ 0, the point
+    * is out of range, or the circle reaches past lat ±85 / lon ±179.9
+    * (the geo ring's no-pole/no-antimeridian stance — planar even-odd
+    * tests stay valid on the result). */
+  def pointBuffer(lon: Double, lat: Double, radiusM: Double, tolM: Double): UTF8String = {
+    if (!(radiusM > 0.0) || radiusM > 1.0e7 || !(tolM > 0.0)) return null
+    if (lon < -180 || lon > 180 || lat < -90 || lat > 90) return null
+    val rDeg = math.toDegrees(radiusM / R)
+    val maxAbsLat = math.abs(lat) + rDeg
+    if (maxAbsLat > 85.0) return null
+    if (math.abs(lon) + rDeg / math.cos(math.toRadians(maxAbsLat)) > 179.9) return null
+    val tt = math.min(tolM, radiusM)
+    val n = math.max(4, math.min(16384,
+      math.ceil(math.Pi / math.acos(1.0 - tt / radiusM)).toInt))
+    val d = radiusM / R
+    val sinLat = math.sin(math.toRadians(lat)); val cosLat = math.cos(math.toRadians(lat))
+    val cosD = math.cos(d); val sinD = math.sin(d)
+    def vertex(k: Int): String = {
+      val theta = -2.0 * math.Pi * k / n // CCW on the map
+      val la = math.asin(sinLat * cosD + cosLat * sinD * math.cos(theta))
+      val lo = math.toRadians(lon) +
+        math.atan2(math.sin(theta) * sinD * cosLat, cosD - sinLat * math.sin(la))
+      "[" + math.toDegrees(lo) + "," + math.toDegrees(la) + "]"
+    }
+    val first = vertex(0)
+    val sb = new java.lang.StringBuilder(32 + 44 * (n + 1))
+    sb.append("{\"type\":\"Polygon\",\"coordinates\":[[").append(first)
+    var k = 1
+    while (k < n) { sb.append(',').append(vertex(k)); k += 1 }
+    sb.append(',').append(first).append("]]}")
+    UTF8String.fromString(sb.toString)
+  }
+
   /** geo_line_densify(line, tolerance_m): converts planar edges to
     * geodesic chains — Kusto's documented contract; tolerance must be in
     * [0.1, 5000] (Kusto's range), out-of-range / malformed → null. The
@@ -297,6 +337,30 @@ case class GeoLineSimplify(left: Expression, right: Expression) extends GeoSimpl
       ${ev.isNull} = ${ev.value} == null;""")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): GeoLineSimplify =
     copy(left = l, right = r)
+}
+
+/** geo_point_buffer(lon, lat, radius_m, tolerance_m). */
+case class GeoPointBuffer(first: Expression, second: Expression,
+                          third: Expression, fourth: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == org.apache.spark.sql.types.DoubleType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"geo_point_buffer requires four doubles, got " +
+        children.map(_.dataType.catalogString).mkString("(", ", ", ")"))
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    GeoSimplifyOps.pointBuffer(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c, d) => s"""
+      ${ev.value} = graft.functions.GeoSimplifyOps.pointBuffer($a, $b, $c, $d);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): GeoPointBuffer =
+    copy(first = f, second = s, third = t, fourth = q)
 }
 
 /** geo_line_densify(line, tolerance_m). */

@@ -5040,6 +5040,27 @@ object KqlCompiler {
             else graft.functions.GeoPolygonSimplify(s, t))
         }
       }
+      if (name == "geo_point_buffer") {
+        // geo_point_buffer(lon, lat, radius [, tolerance]) — the circle
+        // polygon (GeoSimplifyOps.pointBuffer pins the N-gon spec);
+        // tolerance defaults to max(radius·3%, 0.1 m) — Kusto leaves the
+        // default unspecified, this pin keeps the vertex count bounded
+        // and scale-proportional.
+        val lonB = expr(); expect(","); val latB = expr(); expect(",")
+        val radB = expr()
+        val tolB = if (peekIs(",")) { expect(","); Some(expr()) } else None
+        expect(")")
+        return df => {
+          import org.apache.spark.sql.GraftColumnBridge
+          val rad = radB(df).cast("double")
+          val tol = tolB.fold(greatest(rad * lit(0.03), lit(0.1)))(_(df).cast("double"))
+          GraftColumnBridge.column(graft.functions.GeoPointBuffer(
+            GraftColumnBridge.catalystExpression(lonB(df).cast("double")),
+            GraftColumnBridge.catalystExpression(latB(df).cast("double")),
+            GraftColumnBridge.catalystExpression(rad),
+            GraftColumnBridge.catalystExpression(tol)))
+        }
+      }
       if (name == "geo_line_densify" || name == "geo_polygon_densify") {
         // planar edges → geodesic chains by recursive planar bisection
         // (GeoSimplifyOps pins the midpoint-deviation rule); tolerance

@@ -1654,6 +1654,30 @@ object KqlQueries extends QueryModule {
           |             lcs = countif(lc_ok), pcs = countif(pc_ok)""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // point buffer (round 15): circle polygons with data-dependent
+    // radius/tolerance. The N-gon count replicates in DuckDB from the
+    // chord-sagitta formula (nearest |x − ⌈x⌉| across the 12 (rad, tol)
+    // combos is 0.02 — ulp-safe); vertices sit exactly at the radius
+    // (destination formula, haversine round-trip < 1 mm); membership
+    // probed from inside (0.2·r east ≤ inradius) and outside (4·r-deg
+    // east ≥ 2.5·r at |lat| ≤ 51).
+    "q238_kql_text_point_buffer" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_id % 97 == 0
+          | | extend cx = todouble(user_id % 240) - 120.0 + 0.25, cy = todouble(event_id % 100) - 50.0 + 0.25,
+          |          rad = 2000.0 + 1000.0 * todouble(user_id % 3),
+          |          tol = 50.0 + 50.0 * todouble(event_id % 4)
+          | | extend buf = geo_point_buffer(cx, cy, rad, tol), rdeg = degrees(rad / 6371009.0)
+          | | project event_id, rad, tol,
+          |           np = countof(buf, '[') - 2,
+          |           cin = geo_point_in_polygon(cx, cy, buf),
+          |           v0ok = abs(geo_distance_2points(cx, cy, todouble(parse_json(buf).coordinates[0][0][0]), todouble(parse_json(buf).coordinates[0][0][1])) - rad) < 0.001,
+          |           nin = geo_point_in_polygon(cx + rdeg * 0.2, cy, buf),
+          |           fout = not(geo_point_in_polygon(cx + rdeg * 4.0, cy, buf))
+          | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // line covering (round 15): geo_line_to_s2cells over a per-row
     // two-segment polyline. Invariants DuckDB pins as counts (the q233
     // stance): every vertex cell and exact on-line interior points'
@@ -3779,6 +3803,17 @@ object KqlQueries extends QueryModule {
               CAST(count(1) AS BIGINT) AS coll,
               CAST(count(1) AS BIGINT) AS keeps
          FROM events WHERE event_id % 97 = 0""",
+
+    "q238_kql_text_point_buffer" ->
+      """SELECT event_id,
+              2000.0 + 1000.0 * CAST(user_id % 3 AS DOUBLE) AS rad,
+              50.0 + 50.0 * CAST(event_id % 4 AS DOUBLE) AS tol,
+              CAST(greatest(4, least(16384, ceil(pi() / acos(1.0 -
+                least(50.0 + 50.0 * CAST(event_id % 4 AS DOUBLE),
+                      2000.0 + 1000.0 * CAST(user_id % 3 AS DOUBLE)) /
+                (2000.0 + 1000.0 * CAST(user_id % 3 AS DOUBLE)))))) + 1 AS BIGINT) AS np,
+              true AS cin, true AS v0ok, true AS nin, true AS fout
+         FROM events WHERE event_id % 97 = 0 ORDER BY event_id""",
 
     "q237_kql_text_line_cover" ->
       """SELECT CAST(count(1) AS BIGINT) AS n,

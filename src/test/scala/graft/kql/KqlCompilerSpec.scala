@@ -2371,6 +2371,37 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("geo_point_buffer: N-gon count, exact-radius vertices, membership, guards") {
+    val r = run(
+      """t | where id == 1
+        | | extend b = geo_point_buffer(10.0, 45.0, 2000.0, 100.0),
+        |          bd = geo_point_buffer(10.0, 45.0, 2000.0)
+        | | project np = countof(b, '[') - 2,
+        |           npd = countof(bd, '[') - 2,
+        |           v0d = geo_distance_2points(10.0, 45.0,
+        |             todouble(parse_json(b).coordinates[0][0][0]),
+        |             todouble(parse_json(b).coordinates[0][0][1])),
+        |           cin = geo_point_in_polygon(10.0, 45.0, b),
+        |           nin = geo_point_in_polygon(10.003, 45.0, b),
+        |           fout = geo_point_in_polygon(10.1, 45.0, b),
+        |           closed = substring(b, strlen(b) - 3, 3) == ']]}',
+        |           bad0 = isnull(geo_point_buffer(10.0, 45.0, 0.0)),
+        |           badp = isnull(geo_point_buffer(10.0, 84.9, 500000.0)),
+        |           badm = isnull(geo_point_buffer(179.5, 45.0, 500000.0))""".stripMargin).head()
+    // chord-sagitta: r=2000 tol=100 -> ceil(pi/acos(0.95)) = 10 vertices
+    // (+1 ring closure, +2 outer braces accounted in countof arithmetic)
+    assert(r.getLong(0) == 11L, s"10-gon + closure, got ${r.getLong(0)}")
+    // default tolerance = 3% of radius -> ceil(pi/acos(0.97)) = 13
+    assert(r.getLong(1) == 14L, s"13-gon + closure, got ${r.getLong(1)}")
+    assert(math.abs(r.getDouble(2) - 2000.0) < 1e-6, "vertices sit exactly at the radius")
+    assert(r.getBoolean(3), "center inside")
+    assert(r.getBoolean(4), "a point ~236 m east is inside")
+    assert(!r.getBoolean(5), "a point ~7.9 km east is outside")
+    assert(r.getBoolean(6), "ring closed")
+    assert(r.getBoolean(7) && r.getBoolean(8) && r.getBoolean(9),
+      "zero radius / pole reach / antimeridian reach are loudly null")
+  }
+
   test("geo_line_to_s2cells: vertex/on-line membership, level monotonicity, nulls") {
     val r = run(
       """t | where id == 1
