@@ -2507,6 +2507,69 @@ object KqlCompiler {
               val right = matched.select(("__g_rid" +: lookupCols).map(col): _*)
               withId.join(right, Seq("__g_rid"), "left").drop("__g_rid")
             }
+          case "geo_polygon_lookup" =>
+            // `evaluate geo_polygon_lookup(LookupTable, PolygonKeyCol,
+            //  SourceLonCol, SourceLatCol [, return_unmatched =
+            //  true|false])` — the polygon spatial-join plugin: each
+            // source point joins every lookup polygon containing it.
+            // Scale shape (the covering join q230 gates end-to-end):
+            // the lookup is a DIM table by contract (Kusto caps it), so
+            // its polygons are covered ONCE with level-8 S2 cells
+            // (~70 km — small polygons cover 1-4 cells; the 65536 cap
+            // drops a malformed/continental polygon loudly via null
+            // covering) and the exploded (cell → lookup row) table
+            // BROADCASTS; the probe side computes one point cell and
+            // equi-joins — no cross product, no per-row UDF — then the
+            // exact even-odd refine keeps true containment (level only
+            // affects candidate count, never correctness). Overlapping
+            // polygons yield one row per match (Kusto's stance).
+            val lookup = subquery()
+            expect(",")
+            val polyCol = ident(); expect(",")
+            val lonCol = ident(); expect(",")
+            val latCol = ident()
+            var retUnmatched = false
+            while (peekIs(",")) {
+              expect(",")
+              val t = ident()
+              if (t == "return_unmatched") {
+                if (peekIs("=")) { expect("=")
+                  retUnmatched = ident() match {
+                    case "true" => true
+                    case "false" => false
+                    case o => throw new KqlParseException(s"return_unmatched expects true/false, got '$o'")
+                  }
+                } else retUnmatched = true
+              } else throw new KqlParseException(
+                s"geo_polygon_lookup supports the return_unmatched option, got '$t'")
+            }
+            expect(")")
+            import org.apache.spark.sql.GraftColumnBridge
+            val Level = 8
+            val prepped = lookup
+              .withColumn("__gp_cell", explode(GraftColumnBridge.column(
+                graft.functions.S2PolygonCover(
+                  GraftColumnBridge.catalystExpression(col(polyCol).cast("string")), Level))))
+            val withId = df.withColumn("__gp_rid", monotonically_increasing_id())
+            val probed = withId.withColumn("__gp_cell", GraftColumnBridge.column(
+              graft.functions.S2CellToken(
+                GraftColumnBridge.catalystExpression(col(lonCol).cast("double")),
+                GraftColumnBridge.catalystExpression(col(latCol).cast("double")), Level)))
+            val g = geoShape(col(polyCol), "ARRAY<ARRAY<ARRAY<DOUBLE>>>")
+            val inside = g.getField("type") === "Polygon" &&
+              evenOddInside(g.getField("coordinates"),
+                col(lonCol).cast("double"), col(latCol).cast("double"))
+            val matched = probed
+              .join(broadcast(prepped), Seq("__gp_cell"), "inner")
+              .where(inside)
+              .drop("__gp_cell")
+            if (!retUnmatched) matched.drop("__gp_rid")
+            else {
+              val lookupCols = prepped.columns.filterNot(c =>
+                c == "__gp_cell" || withId.columns.contains(c))
+              val right = matched.select(("__gp_rid" +: lookupCols.toSeq).map(col): _*)
+              withId.join(right, Seq("__gp_rid"), "left").drop("__gp_rid")
+            }
           case "sequence_detect" =>
             // `evaluate sequence_detect(TimelineCol, MaxStepWindow,
             //  MaxSequenceGap, boolCol1, …, boolColN) by KeyCol` —

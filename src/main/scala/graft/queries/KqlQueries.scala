@@ -1654,6 +1654,27 @@ object KqlQueries extends QueryModule {
           |             lcs = countif(lc_ok), pcs = countif(pc_ok)""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // polygon lookup (round 15): the spatial-join PLUGIN — per-row
+    // points join a dim table of polygons via the level-8 S2 covering
+    // (broadcast cell equi-join) with exact even-odd refine. Zones are
+    // axis-aligned rectangles (one with a hole) at .25-offset points,
+    // so DuckDB states containment by interval logic; return_unmatched
+    // keeps misses with a null zone.
+    "q239_kql_text_polygon_lookup" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """let zones = datatable(zone: string, poly: string)[
+          |  'a', '{"type":"Polygon","coordinates":[[[-20.0,-15.0],[-5.0,-15.0],[-5.0,5.0],[-20.0,5.0],[-20.0,-15.0]]]}',
+          |  'b', '{"type":"Polygon","coordinates":[[[5.0,0.0],[25.0,0.0],[25.0,15.0],[5.0,15.0],[5.0,0.0]]]}',
+          |  'c', '{"type":"Polygon","coordinates":[[[-30.0,8.0],[-22.0,8.0],[-22.0,18.0],[-30.0,18.0],[-30.0,8.0]],[[-28.0,10.0],[-24.0,10.0],[-24.0,14.0],[-28.0,14.0],[-28.0,10.0]]]}'];
+          |events
+          | | where event_id % 97 == 0
+          | | extend lon = todouble(user_id % 60) - 30.0 + 0.25, lat = todouble(event_id % 40) - 20.0 + 0.25
+          | | evaluate geo_polygon_lookup(zones, poly, lon, lat, return_unmatched = true)
+          | | project event_id, lon, lat, zone
+          | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir),
+        java.time.Instant.now(), s)),
+
     // point buffer (round 15): circle polygons with data-dependent
     // radius/tolerance. The N-gon count replicates in DuckDB from the
     // chord-sagitta formula (nearest |x − ⌈x⌉| across the 12 (rad, tol)
@@ -3803,6 +3824,19 @@ object KqlQueries extends QueryModule {
               CAST(count(1) AS BIGINT) AS coll,
               CAST(count(1) AS BIGINT) AS keeps
          FROM events WHERE event_id % 97 = 0""",
+
+    "q239_kql_text_polygon_lookup" ->
+      """SELECT event_id, lon, lat,
+              CASE WHEN lon > -20 AND lon < -5 AND lat > -15 AND lat < 5 THEN 'a'
+                   WHEN lon > 5 AND lon < 25 AND lat > 0 AND lat < 15 THEN 'b'
+                   WHEN lon > -30 AND lon < -22 AND lat > 8 AND lat < 18
+                        AND NOT (lon > -28 AND lon < -24 AND lat > 10 AND lat < 14) THEN 'c'
+                   ELSE NULL END AS zone
+         FROM (SELECT event_id,
+                      CAST(user_id % 60 AS DOUBLE) - 30.0 + 0.25 AS lon,
+                      CAST(event_id % 40 AS DOUBLE) - 20.0 + 0.25 AS lat
+               FROM events WHERE event_id % 97 = 0)
+         ORDER BY event_id""",
 
     "q238_kql_text_point_buffer" ->
       """SELECT event_id,

@@ -2371,6 +2371,31 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("evaluate geo_polygon_lookup: containment join, hole exclusion, return_unmatched") {
+    val out = runG2(
+      """let zones = datatable(zone: string, poly: string)[
+        |  'sq', '{"type":"Polygon","coordinates":[[[0.0,0.0],[2.0,0.0],[2.0,2.0],[0.0,2.0],[0.0,0.0]]]}',
+        |  'hl', '{"type":"Polygon","coordinates":[[[3.0,0.0],[7.0,0.0],[7.0,4.0],[3.0,4.0],[3.0,0.0]],[[4.0,1.0],[6.0,1.0],[6.0,3.0],[4.0,3.0],[4.0,1.0]]]}'];
+        | t | extend px = todouble(id) + 0.5, py = 0.5
+        | | evaluate geo_polygon_lookup(zones, poly, px, py, return_unmatched = true)
+        | | project id, zone
+        | | order by id asc""".stripMargin).collect()
+    // id 1..5 → px 1.5..5.5 at py 0.5: 1.5 in sq; 3.5 and 6.5 in hl's
+    // outer ring; 4.5 and 5.5 sit in the hole (lat 0.5 is BELOW the
+    // hole's y-range [1,3] — so only containment by the outer ring)
+    val got = out.map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toSeq
+    assert(got == Seq((1L, "sq"), (2L, null), (3L, "hl"), (4L, "hl"), (5L, "hl")),
+      s"got $got")
+    // a point inside the hole is unmatched
+    val hole = runG2(
+      """let zones = datatable(zone: string, poly: string)[
+        |  'hl', '{"type":"Polygon","coordinates":[[[3.0,0.0],[7.0,0.0],[7.0,4.0],[3.0,4.0],[3.0,0.0]],[[4.0,1.0],[6.0,1.0],[6.0,3.0],[4.0,3.0],[4.0,1.0]]]}'];
+        | t | where id == 5 | extend px = 5.0, py = 2.0
+        | | evaluate geo_polygon_lookup(zones, poly, px, py)
+        | | project zone""".stripMargin).collect()
+    assert(hole.isEmpty, "a point in the hole matches nothing (even-odd)")
+  }
+
   test("geo_point_buffer: N-gon count, exact-radius vertices, membership, guards") {
     val r = run(
       """t | where id == 1
