@@ -91,6 +91,35 @@ object Bpe {
     pretoken.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       .map(b => ByteToChar(b & 0xff).toString).toIndexedSeq
 
+  /** Inverse of [[ByteToChar]]: visible char → original byte. */
+  val CharToByte: Map[Char, Byte] =
+    ByteToChar.zipWithIndex.map { case (c, b) => c -> b.toByte }.toMap
+
+  /** Detokenize byte-level BPE output: concatenate the token symbols, map
+    * each visible char back to its byte, UTF-8 decode — the TOTAL inverse
+    * of the symbolize+merge pipeline (byte fallback has no unknown-token
+    * class and merges only concatenate symbols), so
+    * decodeByteLevel(encode(pretokens)) reproduces the pretoken
+    * concatenation exactly for ANY input bytes. The detokenization /
+    * serving path, and the loss-free audit q240 gates. */
+  def decodeByteLevel(tokens: Seq[String]): String = {
+    val chars = tokens.mkString
+    val bytes = new Array[Byte](chars.length)
+    var i = 0
+    while (i < chars.length) { bytes(i) = CharToByte(chars.charAt(i)); i += 1 }
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** DataFrame form over a tokens-array column (Dataset map — the Bpe
+    * family's codec stance: per-partition plain-Scala walks). */
+  def detokenizeByteLevel(tk: DataFrame, idCol: String, tokensCol: String): DataFrame = {
+    val spark = tk.sparkSession
+    import spark.implicits._
+    tk.select(col(idCol).cast("long"), col(tokensCol)).as[(Long, Seq[String])]
+      .map { case (id, toks) => (id, decodeByteLevel(toks)) }
+      .toDF(idCol, "decoded")
+  }
+
   /** (w, f): distinct-PRETOKEN frequencies — the byte-level working set
     * (pretokens keep their leading space, so ' the' and 'the' are
     * distinct entries, exactly as in GPT-2). */

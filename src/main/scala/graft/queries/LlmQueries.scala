@@ -145,6 +145,7 @@ object LlmQueries extends QueryModule
     "q118_dsir_weights" -> sqlQuery(docs, dsirSql),
     "q119_bpe_fertility" -> (bpeFertility(_, _)),
     "q134_byte_bpe_fertility" -> (byteBpeFertility(_, _)),
+    "q240_byte_bpe_roundtrip" -> (byteBpeRoundTrip(_, _)),
     "q121_quality_rules" -> sqlQuery(docs, qualityRulesSql),
     "q144_quality_classifier" -> (qualityClassifierQuery(_, _)),
     "q145_pca_power" -> (pcaPowerQuery(_, _)),
@@ -215,6 +216,7 @@ object LlmQueries extends QueryModule
     "q118_dsir_weights" -> dsirOracle,
     "q119_bpe_fertility" -> bpeFertilityOracle,
     "q134_byte_bpe_fertility" -> byteBpeFertilityOracle,
+    "q240_byte_bpe_roundtrip" -> byteBpeRoundTripOracle,
     "q121_quality_rules" -> qualityRulesOracle,
     "q109_zipf_audit" -> zipfOracle,
     "q110_pii_scrub" -> piiOracle,

@@ -298,6 +298,38 @@ private[queries] trait LlmTokenizerQueries extends LlmShared {
       .orderBy(col("lang"))
   }
 
+  /** q240: the byte-level round trip — decode(tokenize(text)) must equal
+    * the pretoken concatenation EXACTLY for every document (the BPE
+    * layer is a total inverse; Bpe.decodeByteLevel Scaladoc has the
+    * argument). cover_ok additionally reports whether the pretokenizer
+    * covered the whole text (the pinned pattern drops non-contraction
+    * apostrophes, so coverage is data, not an invariant) — the oracle
+    * recomputes it with the same regex in DuckDB. */
+  private[queries] def byteBpeRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).where(col("doc_id") % 3 === 0)
+    val merges = graft.ops.Bpe.trainByteLevel(d, "text", BpeMerges)
+    val tk = graft.ops.Bpe.tokenizeByteLevel(d, "doc_id", "text", merges)
+    val dec = graft.ops.Bpe.detokenizeByteLevel(tk, "doc_id", "tokens")
+    val sqlPat = graft.ops.Bpe.BytePretokenPattern
+      .replace("\\", "\\\\").replace("'", "\\'")
+    d.select(col("doc_id"), lower(col("text")).as("lt"),
+        expr(s"regexp_extract_all(lower(text), '$sqlPat', 0)").as("ws"))
+      .join(dec, "doc_id")
+      .select(col("doc_id"),
+        length(col("lt")).cast("long").as("n_chars"),
+        (col("decoded") === array_join(col("ws"), "")).as("rt_ok"),
+        (array_join(col("ws"), "") === col("lt")).as("cover_ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  private[queries] def byteBpeRoundTripOracle: String = {
+    val pat = graft.ops.Bpe.BytePretokenPattern.replace("'", "''")
+    s"""SELECT doc_id, length(lower(text))::BIGINT AS n_chars,
+              true AS rt_ok,
+              array_to_string(regexp_extract_all(lower(text), '$pat'), '') = lower(text) AS cover_ok
+       FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id"""
+  }
+
   private[queries] def byteBpeFertilityOracle: String = {
     val k = BpeMerges
     val pat = graft.ops.Bpe.BytePretokenPattern.replace("'", "''")

@@ -85,6 +85,26 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.head.getSeq[String](1) == Seq("aa", "Ġ", "aa"))
   }
 
+  test("byte-level decode is a total inverse: unicode, supplementary plane, whitespace") {
+    import spark.implicits._
+    // accents (2-byte UTF-8), CJK (3-byte), an emoji (4-byte,
+    // supplementary plane), tabs/newlines — decode must reproduce the
+    // pretoken concatenation byte-for-byte
+    val texts = Seq("héllo wörld", "日本語 テスト", "mix 🎉 2024!", "a\tb\nc  d", "")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = Bpe.trainByteLevel(df, "text", 8)
+    val decoded = Bpe.detokenizeByteLevel(
+      Bpe.tokenizeByteLevel(df, "doc_id", "text", merges), "doc_id", "tokens")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val re = Bpe.BytePretokenPattern.r
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val expect = re.findAllIn(t.toLowerCase).mkString
+      assert(decoded(i.toLong) == expect, s"round trip failed on '$t'")
+    }
+    // the visible-alphabet inverse is total over all 256 bytes
+    assert((0 to 255).forall(b => Bpe.CharToByte(Bpe.ByteToChar(b)) == b.toByte))
+  }
+
   test("encode parity: in-vocab words reproduce trained symbolization; OOV decomposes") {
     import spark.implicits._
     val merges = Bpe.train(docs, "text", 5)
