@@ -5103,6 +5103,19 @@ object KqlCompiler {
             else graft.functions.GeoPolygonSimplify(s, t))
         }
       }
+      if (name == "geo_intersection_2polygons") {
+        // the CONVEX-CLIP documented subset (functions/GeoClip.scala
+        // pins the Sutherland–Hodgman spec): polygon2 must be convex
+        // and hole-free — loudly null otherwise, never a silently-wrong
+        // shape; empty intersections are null.
+        val aB = expr(); expect(","); val bB = expr(); expect(")")
+        return df => {
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.GeoIntersection2Polygons(
+            GraftColumnBridge.catalystExpression(aB(df).cast("string")),
+            GraftColumnBridge.catalystExpression(bB(df).cast("string"))))
+        }
+      }
       if (name == "geo_point_buffer") {
         // geo_point_buffer(lon, lat, radius [, tolerance]) — the circle
         // polygon (GeoSimplifyOps.pointBuffer pins the N-gon spec);

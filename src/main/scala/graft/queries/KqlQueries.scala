@@ -1654,6 +1654,32 @@ object KqlQueries extends QueryModule {
           |             lcs = countif(lc_ok), pcs = countif(pc_ok)""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // convex-clip intersection (round 15): a per-row rect-with-hole
+    // subject clipped by a fixed window. The clipped shape's bounds are
+    // interval arithmetic, so DuckDB re-derives the engine's spherical
+    // area term-by-term (the q220 Chamberlain–Duquette replication —
+    // vertical edges contribute exactly 0, horizontal splits telescope
+    // to ulps; area reported in 10^3 km² keeps |value|·10^decimals
+    // inside the rounding rule) and membership of the overlap center by
+    // interval logic (offset analysis: the center never lands on a hole
+    // boundary). Empty overlaps are null through area/inm.
+    "q241_kql_text_clip" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_id % 97 == 0
+          | | extend px = todouble(user_id % 30) - 15.0 + 0.25, py = todouble(event_id % 20) - 10.0 + 0.25
+          | | extend sub = strcat('{"type":"Polygon","coordinates":[[[', tostring(px), ',', tostring(py), '],[', tostring(px + 8.0), ',', tostring(py), '],[', tostring(px + 8.0), ',', tostring(py + 6.0), '],[', tostring(px), ',', tostring(py + 6.0), '],[', tostring(px), ',', tostring(py), ']],[[', tostring(px + 2.0), ',', tostring(py + 2.0), '],[', tostring(px + 4.0), ',', tostring(py + 2.0), '],[', tostring(px + 4.0), ',', tostring(py + 4.0), '],[', tostring(px + 2.0), ',', tostring(py + 4.0), '],[', tostring(px + 2.0), ',', tostring(py + 2.0), ']]]}'),
+          |          win = '{"type":"Polygon","coordinates":[[[0.0,0.0],[10.0,0.0],[10.0,8.0],[0.0,8.0],[0.0,0.0]]]}'
+          | | extend c = geo_intersection_2polygons(sub, win)
+          | | extend cx1 = max_of(px, 0.0), cx2 = min_of(px + 8.0, 10.0),
+          |          cy1 = max_of(py, 0.0), cy2 = min_of(py + 6.0, 8.0)
+          | | project event_id, px, py,
+          |           isn = isnull(c),
+          |           area = round(geo_polygon_area(c) / 1000000000.0, 3),
+          |           inm = coalesce(geo_point_in_polygon((cx1 + cx2) / 2.0, (cy1 + cy2) / 2.0, c), false)
+          | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // polygon lookup (round 15): the spatial-join PLUGIN — per-row
     // points join a dim table of polygons via the level-8 S2 covering
     // (broadcast cell equi-join) with exact even-odd refine. Zones are
@@ -2437,6 +2463,39 @@ object KqlQueries extends QueryModule {
     * replicate the engine's haversine / Chamberlain–Duquette folds
     * term by term (zero-valued closing/λ-constant terms omitted — IEEE
     * x + 0.0 == x). Constants: C = 6371009²/2; area = 2·A1 − (A1+A2). */
+  /** q241: the engine's spherical area of the clipped rect-with-hole,
+    * re-derived from interval bounds with the same Chamberlain–Duquette
+    * terms (vertical edges are exactly 0; the q220 replication). */
+  private def clipOracle: String = {
+    val cd = (lonA: String, latA: String, lonB: String, latB: String) =>
+      s"""radians(($lonB) - ($lonA)) * (2.0 + sin(radians($latA)) + sin(radians($latB)))"""
+    val aOuter = s"abs(${cd("cx1", "cy1", "cx2", "cy1")} + ${cd("cx2", "cy2", "cx1", "cy2")})"
+    val aHole = s"abs(${cd("hx1", "hy1", "hx2", "hy1")} + ${cd("hx2", "hy2", "hx1", "hy2")})"
+    s"""WITH p AS (
+         SELECT event_id,
+                CAST(user_id % 30 AS DOUBLE) - 15.0 + 0.25 AS px,
+                CAST(event_id % 20 AS DOUBLE) - 10.0 + 0.25 AS py
+         FROM events WHERE event_id % 97 = 0),
+       b AS (
+         SELECT *, greatest(px, 0.0) AS cx1, least(px + 8.0, 10.0) AS cx2,
+                greatest(py, 0.0) AS cy1, least(py + 6.0, 8.0) AS cy2,
+                greatest(px + 2.0, 0.0) AS hx1, least(px + 4.0, 10.0) AS hx2,
+                greatest(py + 2.0, 0.0) AS hy1, least(py + 4.0, 8.0) AS hy2,
+                (px < 10.0 AND px + 8.0 > 0.0 AND py < 8.0 AND py + 6.0 > 0.0) AS ov
+         FROM p)
+       SELECT event_id, px, py,
+              NOT ov AS isn,
+              CASE WHEN ov THEN round((
+                $aOuter
+                - CASE WHEN hx1 < hx2 AND hy1 < hy2 THEN $aHole ELSE 0.0 END
+              ) * 20294877839040.5 / 1000000000.0, 3) END AS area,
+              CASE WHEN ov THEN
+                NOT ((cx1 + cx2) / 2.0 > px + 2.0 AND (cx1 + cx2) / 2.0 < px + 4.0
+                     AND (cy1 + cy2) / 2.0 > py + 2.0 AND (cy1 + cy2) / 2.0 < py + 4.0)
+              ELSE false END AS inm
+       FROM b ORDER BY event_id"""
+  }
+
   private def geo2Oracle: String = {
     val hav = (lonA: String, latA: String, lonB: String, latB: String) =>
       s"""2 * 6371009 * asin(sqrt(
@@ -3824,6 +3883,8 @@ object KqlQueries extends QueryModule {
               CAST(count(1) AS BIGINT) AS coll,
               CAST(count(1) AS BIGINT) AS keeps
          FROM events WHERE event_id % 97 = 0""",
+
+    "q241_kql_text_clip" -> clipOracle,
 
     "q239_kql_text_polygon_lookup" ->
       """SELECT event_id, lon, lat,

@@ -2396,6 +2396,37 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hole.isEmpty, "a point in the hole matches nothing (even-odd)")
   }
 
+  test("geo_intersection_2polygons: convex clip, holes, containment, empty/guard nulls") {
+    val r = run(
+      """t | where id == 1
+        | | extend sub = '{"type":"Polygon","coordinates":[[[2.0,2.0],[14.0,2.0],[14.0,12.0],[2.0,12.0],[2.0,2.0]],[[4.0,4.0],[6.0,4.0],[6.0,6.0],[4.0,6.0],[4.0,4.0]]]}',
+        |          win = '{"type":"Polygon","coordinates":[[[0.0,0.0],[10.0,0.0],[10.0,8.0],[0.0,8.0],[0.0,0.0]]]}',
+        |          tri = '{"type":"Polygon","coordinates":[[[0.0,0.0],[20.0,0.0],[0.0,20.0],[0.0,0.0]]]}',
+        |          cave = '{"type":"Polygon","coordinates":[[[0.0,0.0],[10.0,0.0],[10.0,10.0],[5.0,2.0],[0.0,10.0],[0.0,0.0]]]}',
+        |          far = '{"type":"Polygon","coordinates":[[[50.0,50.0],[60.0,50.0],[60.0,60.0],[50.0,60.0],[50.0,50.0]]]}'
+        | | extend c = geo_intersection_2polygons(sub, win),
+        |          ct = geo_intersection_2polygons(sub, tri)
+        | | project
+        |  in1 = geo_point_in_polygon(3.0, 3.0, c),
+        |  hole1 = geo_point_in_polygon(5.0, 5.0, c),
+        |  out1 = geo_point_in_polygon(11.0, 5.0, c),
+        |  in2 = geo_point_in_polygon(3.0, 3.0, ct),
+        |  out2 = geo_point_in_polygon(13.0, 11.0, ct),
+        |  contained = geo_intersection_2polygons(win, '{"type":"Polygon","coordinates":[[[-5.0,-5.0],[30.0,-5.0],[30.0,30.0],[-5.0,30.0],[-5.0,-5.0]]]}') == win,
+        |  empty = isnull(geo_intersection_2polygons(sub, far)),
+        |  nonconvex = isnull(geo_intersection_2polygons(sub, cave)),
+        |  holedclip = isnull(geo_intersection_2polygons(win, sub))""".stripMargin).head()
+    assert(r.getBoolean(0), "a point in both polygons is in the intersection")
+    assert(!r.getBoolean(1), "the subject's hole survives clipping (even-odd)")
+    assert(!r.getBoolean(2), "a point outside the window is clipped away")
+    assert(r.getBoolean(3), "triangle clip keeps the near corner")
+    assert(!r.getBoolean(4), "triangle clip removes beyond the hypotenuse (13+11 > 20: inside sub, outside tri)")
+    assert(r.getBoolean(5), "a fully-contained subject comes back verbatim")
+    assert(r.getBoolean(6), "disjoint polygons intersect to null")
+    assert(r.getBoolean(7), "a concave clip polygon is loudly null")
+    assert(r.getBoolean(8), "a clip polygon with holes is loudly null")
+  }
+
   test("geo_point_buffer: N-gon count, exact-radius vertices, membership, guards") {
     val r = run(
       """t | where id == 1
