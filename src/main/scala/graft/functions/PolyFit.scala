@@ -22,7 +22,7 @@ import org.apache.spark.sql.types._
   *    first); degree capped at 8 (loud analysis error above);
   *  - rsquare = 1 − SSres/SStot pinned 1.0 for constant series,
   *    variance = SStot/(n−1), rvariance = SSres/(n−1) — the same
-  *    conventions as SeriesDecompose.fitLineStruct.
+  *    conventions as SeriesFitLine.
   *
   * Per-row O(n·d²) work, map-only; CodegenFallback because the solve
   * dominates the interpreted call overhead (the FFT/KStat stance). */

@@ -188,183 +188,6 @@ object SeriesDecompose {
                 .when(v < q("ql"), (v - q("ql")) / iqr)
                 .otherwise(lit(0.0)))))))
 
-  /** One struct<rsquare, slope, variance, rvariance, interception,
-    * line_fit> column — Kusto's series_fit_line output order. OLS over
-    * the raw series vs bin index; variance/rvariance are SAMPLE
-    * variances (n−1, matching this engine's series_stats), rsquare =
-    * 1 − SSres/SStot (pinned 1.0 for a constant series where SStot=0). */
-  def fitLineStruct(series: Column): Column =
-    let1(dbl(series), xd => {
-      val n = size(xd).cast("double")
-      val sy = aggregate(xd, lit(0.0), (s, x) => s + x)
-      val syy = aggregate(xd, lit(0.0), (s, x) => s + x * x)
-      val sxy = aggregate(sequence(lit(0), size(xd) - 1), lit(0.0), (s, i) =>
-        s + i.cast("double") * element_at(xd, i.cast("int") + 1))
-      val sx = n * (n - 1) / lit(2.0)
-      val sxx = n * (n - 1) * (lit(2.0) * n - 1) / lit(6.0)
-      let1(struct(n.as("n"), sx.as("sx"), sxx.as("sxx"), sy.as("sy"),
-          syy.as("syy"), sxy.as("sxy")), c => {
-        val denom = c("n") * c("sxx") - c("sx") * c("sx")
-        val slope = when(denom =!= 0.0, (c("n") * c("sxy") - c("sx") * c("sy")) / denom)
-          .otherwise(lit(0.0))
-        val icept = when(c("n") > 0, (c("sy") - slope * c("sx")) / c("n")).otherwise(lit(0.0))
-        let1(struct(slope.as("m"), icept.as("b")), mb =>
-          let1(aggregate(sequence(lit(0), size(xd) - 1), lit(0.0), (s, i) => {
-              val e = element_at(xd, i.cast("int") + 1) -
-                (mb("b") + mb("m") * i.cast("double"))
-              s + e * e
-            }), ssres =>
-            let1(c("syy") - c("sy") * c("sy") / c("n"), sstot =>
-              struct(
-                when(sstot === 0.0, lit(1.0)).otherwise(lit(1.0) - ssres / sstot).as("rsquare"),
-                mb("m").as("slope"),
-                (sstot / (c("n") - 1)).as("variance"),
-                (ssres / (c("n") - 1)).as("rvariance"),
-                mb("b").as("interception"),
-                transform(sequence(lit(0), size(xd) - 1), i =>
-                  mb("b") + mb("m") * i.cast("double")).as("line_fit")))))
-      })
-    })
-
-  /** series_fit_2lines(arr): best single-changepoint two-segment OLS —
-    * Kusto's (rsquare, split_idx, variance, rvariance, line_fit).
-    * Pinned semantics (Kusto's internals unpublished; the oracle
-    * replicates exactly this spec):
-    *  - split s = first index of the RIGHT segment, ranging over
-    *    [2, n-2] so both segments keep ≥ 2 points; series shorter than
-    *    4 → all-null outputs (exception-total);
-    *  - the winning split minimizes total RSS; ties keep the SMALLEST s;
-    *  - x is the global 0-based bin index (fitted values are invariant
-    *    to the per-segment reparameterization, so this only pins the
-    *    internal arithmetic);
-    *  - variance = sample variance of the series, rvariance =
-    *    RSS/(n-1) — the same residual convention as fitLineStruct;
-    *  - rsquare = 1 − RSS/SStot, pinned 1.0 for constant series.
-    * One O(n) prefix pass (3 running sums materialized as a prefix
-    * struct array, O(n²) HOF construction — the file's documented
-    * stance), then O(1) closed-form regression per candidate split:
-    * Sx/Sxx come from triangular/square-pyramidal closed forms and
-    * RSS = Syy − b̂·Sy − m̂·Sxy (the OLS normal-equation identity). */
-  def fit2LinesStruct(series: Column): Column = let1(dbl(series), xd => {
-    val n = size(xd)
-    val pre = transform(sequence(lit(0), n), k => struct(
-      aggregate(slice(xd, lit(1), k), lit(0.0), (s, x) => s + x).as("sy"),
-      aggregate(slice(xd, lit(1), k), lit(0.0), (s, x) => s + x * x).as("syy"),
-      when(k === 0, lit(0.0)).otherwise(
-        aggregate(sequence(lit(0), k - 1), lit(0.0), (s, i) =>
-          s + i.cast("double") * element_at(xd, i.cast("int") + 1))).as("sxy")))
-    let1(pre, p => {
-      def tri(k: Column): Column =
-        k.cast("double") * (k + 1).cast("double") / lit(2.0)
-      def pyr(k: Column): Column =
-        k.cast("double") * (k + 1).cast("double") * (lit(2.0) * k.cast("double") + 1) / lit(6.0)
-      def pf(b: Column, f: String): Column = element_at(p, (b + 1).cast("int")).getField(f)
-      // OLS over segment [a, b) against the global index: (slope,
-      // intercept, rss) — all O(1) from the prefix sums
-      def seg(a: Column, b: Column): Column = {
-        val m = (b - a).cast("double")
-        val sx = tri(b - 1) - tri(a - 1)
-        val sxx = pyr(b - 1) - pyr(a - 1)
-        val sy = pf(b, "sy") - pf(a, "sy")
-        val syy = pf(b, "syy") - pf(a, "syy")
-        val sxy = pf(b, "sxy") - pf(a, "sxy")
-        val denom = m * sxx - sx * sx
-        val slope = when(denom =!= 0.0, (m * sxy - sx * sy) / denom).otherwise(lit(0.0))
-        val icept = (sy - slope * sx) / m
-        struct(slope.as("m"), icept.as("b"),
-          (syy - icept * sy - slope * sxy).as("rss"))
-      }
-      val nullOut = struct(
-        lit(null).cast("double").as("rsquare"),
-        lit(null).cast("long").as("split_idx"),
-        lit(null).cast("double").as("variance"),
-        lit(null).cast("double").as("rvariance"),
-        lit(null).cast("array<double>").as("line_fit"))
-      // every prefix access below is guarded by n >= 4 (CaseWhen is
-      // branch-lazy, so short series never touch an out-of-range
-      // element_at — ANSI mode would throw); a null-poisoned series
-      // leaves the fold at s = -1 and falls to the null output too
-      val computed = let1(
-        aggregate(sequence(lit(2), n - 2),
-          struct(lit(Double.MaxValue).as("rss"), lit(-1).as("s")),
-          (acc, sIdx) => {
-            val tot = seg(lit(0), sIdx).getField("rss") + seg(sIdx, n).getField("rss")
-            when(tot < acc.getField("rss"), struct(tot.as("rss"), sIdx.as("s")))
-              .otherwise(acc)
-          }),
-        b => when(b.getField("s") === -1, nullOut).otherwise(
-          let1(struct(seg(lit(0), b.getField("s")).as("l"),
-                      seg(b.getField("s"), n).as("r")), lr => {
-            val syT = pf(n, "sy"); val syyT = pf(n, "syy")
-            val nD = n.cast("double")
-            val sstot = syyT - syT * syT / nD
-            val rss = b.getField("rss")
-            struct(
-              when(sstot === 0.0, lit(1.0))
-                .otherwise(lit(1.0) - rss / sstot).as("rsquare"),
-              b.getField("s").cast("long").as("split_idx"),
-              (sstot / (nD - 1)).as("variance"),
-              (rss / (nD - 1)).as("rvariance"),
-              transform(sequence(lit(0), n - 1), i => {
-                val x = i.cast("double")
-                when(i < b.getField("s"),
-                  lr.getField("l").getField("b") + lr.getField("l").getField("m") * x)
-                  .otherwise(
-                    lr.getField("r").getField("b") + lr.getField("r").getField("m") * x)
-              }).as("line_fit"))
-          })))
-      when(n >= 4, computed).otherwise(nullOut)
-    })
-  })
-
-  /** series_periods_validate(arr, p1, …, pN): scores the GIVEN integer
-    * lags with the same normalized-ACF measure as [[periodsStruct]]
-    * (Kusto's validator is unspecified; this engine pins
-    * score(L) = max(0, acf(L)) for 2 ≤ L ≤ n−1, else 0 — out-of-range
-    * lags and constant series score 0, matching the detector's "nothing
-    * detected" stance). Periods echo back as doubles, the detect shape. */
-  def periodsValidateStruct(series: Column, lags: Column): Column =
-    let1(dbl(series), xd => {
-      val n = size(xd)
-      val mu = aggregate(xd, lit(0.0), (s, x) => s + x) / n.cast("double")
-      let1(transform(xd, x => x - mu), c =>
-        let1(aggregate(c, lit(0.0), (s, x) => s + x * x), d =>
-          let1(transform(lags, l => l.cast("int")), li =>
-            struct(
-              transform(li, l => l.cast("double")).as("periods"),
-              transform(li, l =>
-                when(d =!= 0.0 && l >= 2 && l <= n - 1,
-                  greatest(lit(0.0),
-                    aggregate(sequence(lit(0), n - 1 - l), lit(0.0), (s, i) =>
-                      s + element_at(c, i.cast("int") + 1) *
-                        element_at(c, (i + l).cast("int") + 1)) / d))
-                  .otherwise(lit(0.0))).as("scores")))))
-    })
-
-  /** series_fit_2lines_dynamic: the fit_2lines tuple as ONE struct (the
-    * compiler JSON-packs it into a bag) plus per-segment `left`/`right`
-    * line summaries — each an independent [[fitLineStruct]] over its
-    * segment with the x index LOCAL to the segment (interception = the
-    * fitted value at the segment's own start; Kusto leaves the sub-line
-    * parameterization unspecified, this pins the local form), line_fit
-    * dropped from the sub-bags (Kusto's documented sub-keys are rsquare/
-    * slope/interception/variance/rvariance). Series shorter than 4 keep
-    * split_idx null — the compiler maps that to a null bag. */
-  def fit2LinesDynamic(series: Column): Column =
-    let1(dbl(series), xd =>
-      let1(fit2LinesStruct(xd), f2 =>
-        let1(f2.getField("split_idx").cast("int"), s =>
-          struct(
-            f2.getField("rsquare").as("rsquare"),
-            f2.getField("split_idx").as("split_idx"),
-            f2.getField("variance").as("variance"),
-            f2.getField("rvariance").as("rvariance"),
-            f2.getField("line_fit").as("line_fit"),
-            fitLineStruct(slice(xd, lit(1), s))
-              .dropFields("line_fit").as("left"),
-            fitLineStruct(slice(xd, s + 1, size(xd) - s))
-              .dropFields("line_fit").as("right")))))
-
   /** Gap-filling family over make-series arrays with null gaps (the
     * no-`default` make-series form). All compute in doubles; the index
     * scans are O(n²) per series cell — fine for dashboard-scale axes
@@ -406,50 +229,6 @@ object SeriesDecompose {
                 element_at(xd, ix("li") + 1) +
                   (element_at(xd, ix("ni") + 1) - element_at(xd, ix("li") + 1)) *
                     (i - ix("li")).cast("double") / (ix("ni") - ix("li")).cast("double"))))))
-
-  /** One struct<periods: array<double>, scores: array<double>> column —
-    * Kusto's series_periods_detect output shape. Pinned spec (Kusto's
-    * detector is FFT-based and unspecified): normalized autocorrelation
-    * acf(L) = Σ c_i·c_{i+L} / Σ c_i² over the mean-centered series, for
-    * integer lags L in [max(2, minP) .. min(maxP, n−1)]; candidates with
-    * acf > 0 ranked by acf ROUNDED TO 9 DECIMALS desc (the rounding pins
-    * cross-engine rank order against last-ulp summation differences),
-    * then L asc; top `num` returned, periods as doubles. A constant
-    * series (zero denominator) detects nothing. */
-  def periodsStruct(series: Column, minP: Column, maxP: Column, num: Column): Column =
-    let1(dbl(series), xd => {
-      val n = size(xd)
-      val mu = aggregate(xd, lit(0.0), (s, x) => s + x) / n.cast("double")
-      let1(transform(xd, x => x - mu), c => {
-        val denom = aggregate(c, lit(0.0), (s, x) => s + x * x)
-        val lo = greatest(lit(2), minP.cast("int"))
-        val hi = least(maxP.cast("int"), n - 1)
-        let1(denom, d => {
-          val cands = filter(
-            transform(sequence(lo, greatest(lo, hi)), l =>
-              struct(
-                when(d =!= 0.0 && l <= hi,
-                  aggregate(sequence(lit(0), n - 1 - l), lit(0.0), (s, i) =>
-                    s + element_at(c, i.cast("int") + 1) *
-                      element_at(c, (i + l).cast("int") + 1)) / d)
-                  .otherwise(lit(-1.0)).as("a"),
-                l.as("l"))),
-            p => p.getField("a") > 0)
-          val ranked = array_sort(cands, (x, y) => {
-            val ax = round(x.getField("a"), 9)
-            val ay = round(y.getField("a"), 9)
-            when(ax > ay, -1).when(ax < ay, 1)
-              .when(x.getField("l") < y.getField("l"), -1)
-              .when(x.getField("l") > y.getField("l"), 1)
-              .otherwise(0)
-          })
-          let1(slice(ranked, lit(1), num.cast("int")), top =>
-            struct(
-              transform(top, _.getField("l").cast("double")).as("periods"),
-              transform(top, _.getField("a")).as("scores")))
-        })
-      })
-    })
 
   /** series_decompose_forecast: the input series carries `points`
     * trailing slots to forecast (the make-series axis extends past the

@@ -1371,7 +1371,10 @@ object KqlCompiler {
             expect("("); val arrB = expr(); expect(")")
             if (names.length > 6)
               throw new KqlParseException("series_fit_line yields at most 6 values (rsquare, slope, variance, rvariance, interception, line_fit)")
-            viaStruct(graft.functions.SeriesDecompose.fitLineStruct(arrB(df)),
+            viaStruct(org.apache.spark.sql.GraftColumnBridge.column(
+              graft.functions.SeriesFitLine(
+                org.apache.spark.sql.GraftColumnBridge.catalystExpression(
+                  transform(arrB(df), _.cast("double"))))),
               Seq("rsquare", "slope", "variance", "rvariance", "interception", "line_fit"))
           case "series_fit_poly" =>
             // (rsquare, coefficients, variance, rvariance, poly_fit) =
@@ -1405,12 +1408,15 @@ object KqlCompiler {
           case "series_fit_2lines" =>
             // (rsquare, split_idx, variance, rvariance, line_fit) =
             //  series_fit_2lines(arr) — best two-segment OLS changepoint
-            // (pinned spec on SeriesDecompose.fit2LinesStruct: split
+            // (pinned spec on functions/SeriesFit.scala: split
             // minimizes RSS, ties → smallest, both segments ≥ 2 points).
             expect("("); val arrB = expr(); expect(")")
             if (names.length > 5)
               throw new KqlParseException("series_fit_2lines yields at most 5 values (rsquare, split_idx, variance, rvariance, line_fit)")
-            viaStruct(graft.functions.SeriesDecompose.fit2LinesStruct(arrB(df)),
+            viaStruct(org.apache.spark.sql.GraftColumnBridge.column(
+              graft.functions.SeriesFit2Lines(
+                org.apache.spark.sql.GraftColumnBridge.catalystExpression(
+                  transform(arrB(df), _.cast("double"))), dynamic = false)),
               Seq("rsquare", "split_idx", "variance", "rvariance", "line_fit"))
           case "series_decompose_forecast" =>
             // (baseline, seasonal, trend, residual) =
@@ -1430,19 +1436,23 @@ object KqlCompiler {
           case "series_periods_detect" =>
             // (periods, scores) = series_periods_detect(arr, minP, maxP,
             //  num) — ACF-ranked integer lags (pinned spec on
-            // graft.functions.SeriesDecompose.periodsStruct; Kusto's
+            // graft.functions.SeriesPeriods; Kusto's
             // FFT detector is unspecified). Composes with
             // series_decompose via array indexing: toint(periods[0]).
             expect("("); val arrB = expr(); expect(","); val loB = expr()
             expect(","); val hiB = expr(); expect(","); val numB = expr(); expect(")")
             if (names.length > 2)
               throw new KqlParseException("series_periods_detect yields at most 2 values (periods, scores)")
-            viaStruct(graft.functions.SeriesDecompose.periodsStruct(
-              arrB(df), loB(df), hiB(df), numB(df)), Seq("periods", "scores"))
+            viaStruct(org.apache.spark.sql.GraftColumnBridge.column(
+              graft.functions.SeriesPeriods(Seq(
+                transform(arrB(df), _.cast("double")),
+                loB(df).cast("int"), hiB(df).cast("int"), numB(df).cast("int"))
+                .map(org.apache.spark.sql.GraftColumnBridge.catalystExpression),
+                detect = true)), Seq("periods", "scores"))
           case "series_periods_validate" =>
             // (periods, scores) = series_periods_validate(arr, p1, …, pN)
             // — scores the GIVEN lags with the detector's normalized-ACF
-            // measure (SeriesDecompose.periodsValidateStruct pins the
+            // measure (functions/SeriesFit.scala pins the
             // spec; out-of-range lags and constant series score 0).
             expect("("); val arrB = expr()
             val lagBs = scala.collection.mutable.Buffer.empty[ColB]
@@ -1452,8 +1462,12 @@ object KqlCompiler {
               throw new KqlParseException("series_periods_validate needs at least one period argument")
             if (names.length > 2)
               throw new KqlParseException("series_periods_validate yields at most 2 values (periods, scores)")
-            viaStruct(graft.functions.SeriesDecompose.periodsValidateStruct(
-              arrB(df), array(lagBs.toSeq.map(_(df)): _*)), Seq("periods", "scores"))
+            viaStruct(org.apache.spark.sql.GraftColumnBridge.column(
+              graft.functions.SeriesPeriods(
+                (transform(arrB(df), _.cast("double")) +:
+                  lagBs.toSeq.map(_(df).cast("int")))
+                  .map(org.apache.spark.sql.GraftColumnBridge.catalystExpression),
+                detect = false)), Seq("periods", "scores"))
           case other =>
             throw new KqlParseException(
               s"multi-assign extend supports series_stats/series_decompose/series_decompose_anomalies/series_fit_line/series_fit_2lines/series_fit_poly/series_fft/series_ifft/series_periods_detect/series_periods_validate, got '$other'")
@@ -2555,10 +2569,12 @@ object KqlCompiler {
               graft.functions.S2CellToken(
                 GraftColumnBridge.catalystExpression(col(lonCol).cast("double")),
                 GraftColumnBridge.catalystExpression(col(latCol).cast("double")), Level)))
-            val g = geoShape(col(polyCol), "ARRAY<ARRAY<ARRAY<DOUBLE>>>")
-            val inside = g.getField("type") === "Polygon" &&
-              evenOddInside(g.getField("coordinates"),
-                col(lonCol).cast("double"), col(latCol).cast("double"))
+            // native even-odd kernel — this is the per-candidate-pair
+            // filter of the spatial join, the plugin's hot inner loop
+            val inside = GraftColumnBridge.column(graft.functions.GeoPointInPolygon(
+              GraftColumnBridge.catalystExpression(col(lonCol).cast("double")),
+              GraftColumnBridge.catalystExpression(col(latCol).cast("double")),
+              GraftColumnBridge.catalystExpression(col(polyCol).cast("string"))))
             val matched = probed
               .join(broadcast(prepped), Seq("__gp_cell"), "inner")
               .where(inside)
@@ -4249,77 +4265,6 @@ object KqlCompiler {
         }), 1)
     }
 
-    /** Great-circle point-to-segment distance in meters (IUGG sphere):
-      * cross-track distance |asin(sin d13 · sin(θ13−θ12))|·R when the
-      * along-track projection falls inside the segment, else the
-      * distance to the nearer endpoint. asin/acos inputs clamped to
-      * [-1,1] (FP guard); a zero-length segment degenerates to the
-      * point distance. The exact op order is mirrored by the q227
-      * oracle — keep them in sync. */
-    private def segDistM(pLon: Column, pLat: Column, lon1: Column, lat1: Column,
-                         lon2: Column, lat2: Column): Column = {
-      val R = lit(6371009.0)
-      def ang(aLon: Column, aLat: Column, bLon: Column, bLat: Column): Column =
-        lit(2.0) * asin(sqrt(
-          pow(sin(radians(bLat - aLat) / 2), 2) +
-            cos(radians(aLat)) * cos(radians(bLat)) * pow(sin(radians(bLon - aLon) / 2), 2)))
-      def brg(aLon: Column, aLat: Column, bLon: Column, bLat: Column): Column =
-        atan2(
-          sin(radians(bLon - aLon)) * cos(radians(bLat)),
-          cos(radians(aLat)) * sin(radians(bLat)) -
-            sin(radians(aLat)) * cos(radians(bLat)) * cos(radians(bLon - aLon)))
-      val d13 = ang(lon1, lat1, pLon, pLat)
-      val d12 = ang(lon1, lat1, lon2, lat2)
-      val t13 = brg(lon1, lat1, pLon, pLat)
-      val t12 = brg(lon1, lat1, lon2, lat2)
-      val dxt = asin(greatest(lit(-1.0), least(lit(1.0), sin(d13) * sin(t13 - t12))))
-      val dat = acos(greatest(lit(-1.0), least(lit(1.0), cos(d13) / cos(dxt)))) *
-        signum(cos(t13 - t12))
-      when(d12 === 0.0, d13 * R)
-        .when(dat <= 0.0, d13 * R)
-        .when(dat >= d12, ang(lon2, lat2, pLon, pLat) * R)
-        .otherwise(abs(dxt) * R)
-    }
-
-    /** Great-circle point-to-segment CLOSEST POINT: the same case split
-      * and op order as [[segDistM]] (the two MUST agree — the q235 gate
-      * equates the fold's min distance with geo_distance_point_to_line),
-      * with the interior case projected from the segment start along its
-      * initial bearing by the along-track angle (the spherical
-      * destination formula). Longitude is NOT antimeridian-wrapped — the
-      * geo ring's documented no-antimeridian subset. Returns
-      * struct<d (meters), x (lon), y (lat)>. */
-    private def segClosestM(pLon: Column, pLat: Column, lon1: Column, lat1: Column,
-                            lon2: Column, lat2: Column): Column = {
-      val R = lit(6371009.0)
-      def ang(aLon: Column, aLat: Column, bLon: Column, bLat: Column): Column =
-        lit(2.0) * asin(sqrt(
-          pow(sin(radians(bLat - aLat) / 2), 2) +
-            cos(radians(aLat)) * cos(radians(bLat)) * pow(sin(radians(bLon - aLon) / 2), 2)))
-      def brg(aLon: Column, aLat: Column, bLon: Column, bLat: Column): Column =
-        atan2(
-          sin(radians(bLon - aLon)) * cos(radians(bLat)),
-          cos(radians(aLat)) * sin(radians(bLat)) -
-            sin(radians(aLat)) * cos(radians(bLat)) * cos(radians(bLon - aLon)))
-      val d13 = ang(lon1, lat1, pLon, pLat)
-      val d12 = ang(lon1, lat1, lon2, lat2)
-      val t13 = brg(lon1, lat1, pLon, pLat)
-      val t12 = brg(lon1, lat1, lon2, lat2)
-      val dxt = asin(greatest(lit(-1.0), least(lit(1.0), sin(d13) * sin(t13 - t12))))
-      val dat = acos(greatest(lit(-1.0), least(lit(1.0), cos(d13) / cos(dxt)))) *
-        signum(cos(t13 - t12))
-      val sinLat1 = sin(radians(lat1)); val cosLat1 = cos(radians(lat1))
-      val latF = asin(greatest(lit(-1.0), least(lit(1.0),
-        sinLat1 * cos(dat) + cosLat1 * sin(dat) * cos(t12))))
-      val lonF = radians(lon1) +
-        atan2(sin(t12) * sin(dat) * cosLat1, cos(dat) - sinLat1 * sin(latF))
-      def out(d: Column, x: Column, y: Column) =
-        struct(d.as("d"), x.as("x"), y.as("y"))
-      when(d12 === 0.0, out(d13 * R, lon1, lat1))
-        .when(dat <= 0.0, out(d13 * R, lon1, lat1))
-        .when(dat >= d12, out(ang(lon2, lat2, pLon, pLat) * R, lon2, lat2))
-        .otherwise(out(abs(dxt) * R, degrees(lonF), degrees(latF)))
-    }
 
     private def haversineM(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column = {
       val dlat = radians(lat2 - lat1) / 2
@@ -4364,55 +4309,6 @@ object KqlCompiler {
         radians(geoPt(b, 1) - geoPt(a, 1)) *
           (lit(2.0) + sin(radians(geoPt(a, 2))) + sin(radians(geoPt(b, 2))))),
         lit(0.0), (acc, x) => acc + x)) * lit(GeoR2Half)
-    private def geoRingCrossings(ring: Column, px: Column, py: Column): Column =
-      aggregate(geoRingSegs(ring, (a, b) => {
-        val (x1, y1, x2, y2) = (geoPt(a, 1), geoPt(a, 2), geoPt(b, 1), geoPt(b, 2))
-        when(((y1 > py) =!= (y2 > py)) &&
-          (px < (x2 - x1) * (py - y1) / (y2 - y1) + x1), lit(1L)).otherwise(lit(0L))
-      }), lit(0L), (acc, x) => acc + x)
-
-    /** geo_intersects_* support: PLANAR lon/lat segment-pair crossing
-      * (the same planar stance as the even-odd point-in-polygon, so the
-      * predicates agree with it about boundaries). Proper crossings via
-      * the four orientation signs; collinear/endpoint TOUCHING counts
-      * as intersecting (Kusto: shapes sharing any common point
-      * intersect). Segments are struct<a, b> of [lon, lat] pairs. */
-    private def segPairCross(s: Column, t: Column): Column = {
-      def x(p: Column) = geoPt(p, 1); def y(p: Column) = geoPt(p, 2)
-      def o(p: Column, q: Column, r: Column): Column =
-        (x(q) - x(p)) * (y(r) - y(p)) - (y(q) - y(p)) * (x(r) - x(p))
-      def onSeg(p: Column, q: Column, r: Column): Column =
-        o(p, q, r) === 0.0 &&
-          x(r) >= least(x(p), x(q)) && x(r) <= greatest(x(p), x(q)) &&
-          y(r) >= least(y(p), y(q)) && y(r) <= greatest(y(p), y(q))
-      val a = s.getField("a"); val b = s.getField("b")
-      val c = t.getField("a"); val d = t.getField("b")
-      val o1 = o(a, b, c); val o2 = o(a, b, d)
-      val o3 = o(c, d, a); val o4 = o(c, d, b)
-      (((o1 > 0) && (o2 < 0) || (o1 < 0) && (o2 > 0)) &&
-        ((o3 > 0) && (o4 < 0) || (o3 < 0) && (o4 > 0))) ||
-        onSeg(a, b, c) || onSeg(a, b, d) || onSeg(c, d, a) || onSeg(c, d, b)
-    }
-    /** A LineString's segments as struct<a, b> pairs. */
-    private def lineSegPairs(c: Column): Column =
-      zip_with(slice(c, lit(1), size(c) - 1), slice(c, lit(2), size(c) - 1),
-        (a, b) => struct(a.as("a"), b.as("b")))
-    /** All CLOSED-traversal segments of every ring of a polygon. */
-    private def polySegPairs(rs: Column): Column =
-      flatten(transform(rs, ring =>
-        geoRingSegs(ring, (a, b) => struct(a.as("a"), b.as("b")))))
-    private def anyPairCross(segsA: Column, segsB: Column): Column =
-      aggregate(segsA, lit(false), (acc, s) =>
-        acc || aggregate(segsB, lit(false), (acc2, t) => acc2 || segPairCross(s, t)))
-    /** Even-odd inside test over ALL rings (the point-in-polygon rule). */
-    private def evenOddInside(rs: Column, px: Column, py: Column): Column =
-      pmod(aggregate(rs, lit(0L), (acc, ring) =>
-        acc + when(size(ring) >= 1, geoRingCrossings(ring, px, py)).otherwise(lit(0L))),
-        lit(2L)) === 1L
-    /** Any vertex of any ring inside the other polygon's ring set. */
-    private def anyVertexInside(rsOf: Column, rsIn: Column): Column =
-      aggregate(flatten(rsOf), lit(false), (acc, v) =>
-        acc || evenOddInside(rsIn, geoPt(v, 1), geoPt(v, 2)))
 
     private val GeohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
 
@@ -6277,17 +6173,23 @@ object KqlCompiler {
         case "series_fit_line_dynamic" => arity(1); df => {
           val a = args.head(df)
           when(a.isNull, lit(null).cast("string")).otherwise(
-            Kql.packStruct(graft.functions.SeriesDecompose.fitLineStruct(a)))
+            Kql.packStruct(org.apache.spark.sql.GraftColumnBridge.column(
+              graft.functions.SeriesFitLine(
+                org.apache.spark.sql.GraftColumnBridge.catalystExpression(
+                  transform(a, _.cast("double")))))))
         }
         // series_fit_2lines_dynamic(arr): the fit_2lines tuple plus
         // left/right per-segment line bags (SeriesDecompose.
-        // fit2LinesDynamic pins the sub-line spec); too-short series
+        // SeriesFit2Lines(dynamic=true) pins the sub-line spec); too-short series
         // (split_idx null) → null bag. The struct binds ONCE through a
         // single-element transform so the O(n²) fit isn't re-evaluated
         // by the null guard.
         case "series_fit_2lines_dynamic" => arity(1); df =>
           element_at(transform(
-            array(graft.functions.SeriesDecompose.fit2LinesDynamic(args.head(df))),
+            array(org.apache.spark.sql.GraftColumnBridge.column(
+              graft.functions.SeriesFit2Lines(
+                org.apache.spark.sql.GraftColumnBridge.catalystExpression(
+                  transform(args.head(df), _.cast("double"))), dynamic = true))),
             f => when(f.getField("split_idx").isNull, lit(null).cast("string"))
               .otherwise(Kql.packStruct(f))), 1)
         // top-level key membership (Kusto bag_has_key also accepts a
@@ -6653,93 +6555,67 @@ object KqlCompiler {
         }
         // geo_distance_point_to_line(lon, lat, line): min over the
         // LineString's segments of the great-circle point-to-segment
-        // distance (see segDistM); malformed shape / out-of-range
-        // point → null — the geo family's loudly-null stance
+        // distance; malformed shape / out-of-range point → null — the
+        // geo family's loudly-null stance. Native codegen'd kernel
+        // (functions/GeoPredicates.scala pins the segDistM op-order
+        // mirror the q227 oracle restates) — the retired HOF Column
+        // fold walked an interpreted expression tree per row.
         case "geo_distance_point_to_line" => arity(3); df => {
-          val px = args(0)(df).cast("double"); val py = args(1)(df).cast("double")
-          val g = geoShape(args(2)(df), "ARRAY<ARRAY<DOUBLE>>")
-          val c = g.getField("coordinates")
-          when(g.getField("type") === "LineString" && size(c) >= 2 &&
-              px >= -180 && px <= 180 && py >= -90 && py <= 90,
-            aggregate(
-              zip_with(slice(c, lit(1), size(c) - 1), slice(c, lit(2), size(c) - 1),
-                (a, b) => segDistM(px, py, geoPt(a, 1), geoPt(a, 2), geoPt(b, 1), geoPt(b, 2))),
-              lit(Double.MaxValue), (acc, x) => least(acc, x)))
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.GeoDistancePointToLine(
+            GraftColumnBridge.catalystExpression(args(0)(df).cast("double")),
+            GraftColumnBridge.catalystExpression(args(1)(df).cast("double")),
+            GraftColumnBridge.catalystExpression(args(2)(df).cast("string"))))
         }
         // geo_closest_point_on_line(lon, lat, line): the point on the
         // LineString nearest the query point — per segment the same
-        // case split as geo_distance_point_to_line (segClosestM shares
-        // segDistM's op order, so the two scalars agree exactly about
-        // the min distance), fold keeps the FIRST strict minimum.
+        // case split as geo_distance_point_to_line (the native kernel's
+        // segClosest shares segDist's op order, so the two scalars
+        // agree exactly about the min distance); first strict min wins.
         case "geo_closest_point_on_line" => arity(3); df => {
-          val px = args(0)(df).cast("double"); val py = args(1)(df).cast("double")
-          val g = geoShape(args(2)(df), "ARRAY<ARRAY<DOUBLE>>")
-          val c = g.getField("coordinates")
-          val best = aggregate(
-            zip_with(slice(c, lit(1), size(c) - 1), slice(c, lit(2), size(c) - 1),
-              (a, b) => segClosestM(px, py, geoPt(a, 1), geoPt(a, 2), geoPt(b, 1), geoPt(b, 2))),
-            struct(lit(Double.MaxValue).as("d"), lit(0.0).as("x"), lit(0.0).as("y")),
-            (acc, s) => when(s.getField("d") < acc.getField("d"), s).otherwise(acc))
-          when(g.getField("type") === "LineString" && size(c) >= 2 &&
-              px >= -180 && px <= 180 && py >= -90 && py <= 90,
-            concat(lit("{\"type\":\"Point\",\"coordinates\":["),
-              best.getField("x").cast("string"), lit(","),
-              best.getField("y").cast("string"), lit("]}")))
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.GeoClosestPointOnLine(
+            GraftColumnBridge.catalystExpression(args(0)(df).cast("double")),
+            GraftColumnBridge.catalystExpression(args(1)(df).cast("double")),
+            GraftColumnBridge.catalystExpression(args(2)(df).cast("string"))))
         }
         // geo_closest_point_on_polygon(lon, lat, polygon): the input
         // point itself when inside (even-odd over all rings — distance
         // 0, the geo_distance_point_to_polygon stance), else the
         // nearest boundary point over every ring's closed traversal.
         case "geo_closest_point_on_polygon" => arity(3); df => {
-          val px = args(0)(df).cast("double"); val py = args(1)(df).cast("double")
-          val g = geoShape(args(2)(df), "ARRAY<ARRAY<ARRAY<DOUBLE>>>")
-          val rs = g.getField("coordinates")
-          val best = aggregate(rs,
-            struct(lit(Double.MaxValue).as("d"), lit(0.0).as("x"), lit(0.0).as("y")),
-            (acc, ring) => aggregate(
-              geoRingSegs(ring, (a, b) =>
-                segClosestM(px, py, geoPt(a, 1), geoPt(a, 2), geoPt(b, 1), geoPt(b, 2))),
-              acc, (a2, s) => when(s.getField("d") < a2.getField("d"), s).otherwise(a2)))
-          def pt(x: Column, y: Column) = concat(
-            lit("{\"type\":\"Point\",\"coordinates\":["), x.cast("string"),
-            lit(","), y.cast("string"), lit("]}"))
-          when(g.getField("type") === "Polygon" && size(rs) >= 1 &&
-              px >= -180 && px <= 180 && py >= -90 && py <= 90,
-            when(evenOddInside(rs, px, py), pt(px, py))
-              .otherwise(pt(best.getField("x"), best.getField("y"))))
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.GeoClosestPointOnPolygon(
+            GraftColumnBridge.catalystExpression(args(0)(df).cast("double")),
+            GraftColumnBridge.catalystExpression(args(1)(df).cast("double")),
+            GraftColumnBridge.catalystExpression(args(2)(df).cast("string"))))
         }
         // geo_intersects_2lines / geo_intersects_line_with_polygon /
         // geo_intersects_2polygons: boolean spatial-join predicates,
         // PLANAR lon/lat (the even-odd family's pinned stance — the
         // predicates agree with geo_point_in_polygon about membership);
         // touching counts as intersecting. Containment without edge
-        // crossing is caught by the vertex-inside tests.
+        // crossing is caught by the vertex-inside tests. Native
+        // kernels: the pair-cross scans are O(n·m) per row — as
+        // interpreted HOF folds they dominated q235; as codegen'd
+        // static calls they short-circuit on the first hit.
         case "geo_intersects_2lines" => arity(2); df => {
-          val g1 = geoShape(args(0)(df), "ARRAY<ARRAY<DOUBLE>>")
-          val g2 = geoShape(args(1)(df), "ARRAY<ARRAY<DOUBLE>>")
-          val c1 = g1.getField("coordinates"); val c2 = g2.getField("coordinates")
-          when(g1.getField("type") === "LineString" && size(c1) >= 2 &&
-              g2.getField("type") === "LineString" && size(c2) >= 2,
-            anyPairCross(lineSegPairs(c1), lineSegPairs(c2)))
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.GeoIntersects2Lines(
+            GraftColumnBridge.catalystExpression(args(0)(df).cast("string")),
+            GraftColumnBridge.catalystExpression(args(1)(df).cast("string"))))
         }
         case "geo_intersects_line_with_polygon" => arity(2); df => {
-          val gl = geoShape(args(0)(df), "ARRAY<ARRAY<DOUBLE>>")
-          val gp = geoShape(args(1)(df), "ARRAY<ARRAY<ARRAY<DOUBLE>>>")
-          val cl = gl.getField("coordinates"); val rs = gp.getField("coordinates")
-          when(gl.getField("type") === "LineString" && size(cl) >= 2 &&
-              gp.getField("type") === "Polygon" && size(rs) >= 1,
-            aggregate(cl, lit(false), (acc, v) =>
-              acc || evenOddInside(rs, geoPt(v, 1), geoPt(v, 2))) ||
-              anyPairCross(lineSegPairs(cl), polySegPairs(rs)))
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.GeoIntersectsLineWithPolygon(
+            GraftColumnBridge.catalystExpression(args(0)(df).cast("string")),
+            GraftColumnBridge.catalystExpression(args(1)(df).cast("string"))))
         }
         case "geo_intersects_2polygons" => arity(2); df => {
-          val g1 = geoShape(args(0)(df), "ARRAY<ARRAY<ARRAY<DOUBLE>>>")
-          val g2 = geoShape(args(1)(df), "ARRAY<ARRAY<ARRAY<DOUBLE>>>")
-          val r1 = g1.getField("coordinates"); val r2 = g2.getField("coordinates")
-          when(g1.getField("type") === "Polygon" && size(r1) >= 1 &&
-              g2.getField("type") === "Polygon" && size(r2) >= 1,
-            anyVertexInside(r1, r2) || anyVertexInside(r2, r1) ||
-              anyPairCross(polySegPairs(r1), polySegPairs(r2)))
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.GeoIntersects2Polygons(
+            GraftColumnBridge.catalystExpression(args(0)(df).cast("string")),
+            GraftColumnBridge.catalystExpression(args(1)(df).cast("string"))))
         }
         // geo_line_centroid(line): segment-LENGTH-weighted average of
         // segment midpoints (haversine weights — the engine's pinned
@@ -6802,22 +6678,14 @@ object KqlCompiler {
         // geo_distance_point_to_polygon(lon, lat, polygon): 0.0 for a
         // point inside (even-odd over all rings — a point in a hole is
         // OUTSIDE and gets its distance to the hole boundary), else the
-        // min great-circle point-to-segment distance over every ring
+        // min great-circle point-to-segment distance over every ring.
+        // Native kernel (see geo_distance_point_to_line note).
         case "geo_distance_point_to_polygon" => arity(3); df => {
-          val px = args(0)(df).cast("double"); val py = args(1)(df).cast("double")
-          val g = geoShape(args(2)(df), "ARRAY<ARRAY<ARRAY<DOUBLE>>>")
-          val rs = g.getField("coordinates")
-          val inside = rs.isNotNull &&
-            pmod(aggregate(rs, lit(0L), (acc, ring) => acc + geoRingCrossings(ring, px, py)),
-              lit(2L)) === 1L
-          val minD = aggregate(rs, lit(Double.MaxValue), (acc, ring) =>
-            least(acc, aggregate(
-              geoRingSegs(ring, (a, b) =>
-                segDistM(px, py, geoPt(a, 1), geoPt(a, 2), geoPt(b, 1), geoPt(b, 2))),
-              lit(Double.MaxValue), (a2, x) => least(a2, x))))
-          when(g.getField("type") === "Polygon" && size(rs) >= 1 &&
-              px >= -180 && px <= 180 && py >= -90 && py <= 90,
-            when(inside, lit(0.0)).otherwise(minD))
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.GeoDistancePointToPolygon(
+            GraftColumnBridge.catalystExpression(args(0)(df).cast("double")),
+            GraftColumnBridge.catalystExpression(args(1)(df).cast("double")),
+            GraftColumnBridge.catalystExpression(args(2)(df).cast("string"))))
         }
         case "geo_polygon_perimeter" => arity(1); df => {
           val g = geoShape(args.head(df), "ARRAY<ARRAY<ARRAY<DOUBLE>>>")
@@ -6835,15 +6703,14 @@ object KqlCompiler {
               aggregate(rs, lit(0.0), (acc, ring) =>
                 acc + when(size(ring) >= 1, geoRingAreaAbs(ring)).otherwise(lit(0.0))))
         }
+        // Native even-odd kernel (functions/GeoPredicates.scala) — no
+        // lon/lat range guard, the scalar tests any finite point.
         case "geo_point_in_polygon" => arity(3); df => {
-          val px = args(0)(df).cast("double"); val py = args(1)(df).cast("double")
-          val g = geoShape(args(2)(df), "ARRAY<ARRAY<ARRAY<DOUBLE>>>")
-          val rs = g.getField("coordinates")
-          when(g.getField("type") === "Polygon" && size(rs) >= 1 &&
-            px.isNotNull && py.isNotNull,
-            aggregate(rs, lit(0L), (acc, ring) =>
-              acc + when(size(ring) >= 1, geoRingCrossings(ring, px, py)).otherwise(lit(0L)))
-              % 2 === 1)
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.GeoPointInPolygon(
+            GraftColumnBridge.catalystExpression(args(0)(df).cast("double")),
+            GraftColumnBridge.catalystExpression(args(1)(df).cast("double")),
+            GraftColumnBridge.catalystExpression(args(2)(df).cast("string"))))
         }
         // ---- scalar ring 8: ipv4 / version / url-structure family ----
         // parse_ipv4('a.b.c.d[/p]') → long (big-endian octets), masked
