@@ -369,6 +369,139 @@ object GeoPredOps {
     java.lang.Boolean.valueOf(lineCrossesPoly(line, rings))
   }
 
+  // ---- ring-2 shape scalars (length / perimeter / area / centroids) ----
+
+  /** The `(2R)·asin(√a)` haversine form the ring-2 scalars lower to —
+    * note the DIFFERENT constant factoring from [[ang]] (`2·asin(·)`
+    * then `·R`): the q220 oracle restates THIS form; keep both. */
+  private def havM(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+    val dlat = Math.toRadians(lat2 - lat1) / 2
+    val dlon = Math.toRadians(lon2 - lon1) / 2
+    val a = Math.pow(Math.sin(dlat), 2) +
+      Math.cos(Math.toRadians(lat1)) * Math.cos(Math.toRadians(lat2)) *
+        Math.pow(Math.sin(dlon), 2)
+    (2.0 * 6371009.0) * Math.asin(Math.sqrt(a))
+  }
+
+  def lineLength(json: UTF8String): java.lang.Double = {
+    val line = parseLine(json.toString)
+    if (line == null) return null
+    var s = 0.0
+    val n = line.length / 2
+    var i = 0
+    while (i < n - 1) {
+      s += havM(line(2 * i), line(2 * i + 1), line(2 * i + 2), line(2 * i + 3))
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
+  /** Closed-traversal ring length (the closure duplicate of an
+    * already-closed ring is a zero-length no-op). */
+  private def ringLenM(ring: Array[Double]): Double = {
+    val n = ring.length / 2
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val j = (i + 1) % n
+      s += havM(ring(2 * i), ring(2 * i + 1), ring(2 * j), ring(2 * j + 1))
+      i += 1
+    }
+    s
+  }
+
+  def polygonPerimeter(json: UTF8String): java.lang.Double = {
+    val rings = parsePoly(json.toString)
+    if (rings == null) return null
+    var s = 0.0
+    var r = 0
+    while (r < rings.length) {
+      if (rings(r).length >= 2) s += ringLenM(rings(r))
+      r += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
+  private val GeoR2Half = 20294877839040.5 // 6371009^2 / 2
+
+  /** |ring| under the Chamberlain–Duquette spherical-excess term sum,
+    * closed traversal, left-to-right fold order (the q220 oracle
+    * restates it term by term). */
+  private def ringAreaAbs(ring: Array[Double]): Double = {
+    val n = ring.length / 2
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val j = (i + 1) % n
+      s += Math.toRadians(ring(2 * j) - ring(2 * i)) *
+        (2.0 + Math.sin(Math.toRadians(ring(2 * i + 1))) +
+          Math.sin(Math.toRadians(ring(2 * j + 1))))
+      i += 1
+    }
+    Math.abs(s) * GeoR2Half
+  }
+
+  /** exterior − holes = 2·|ring₀| − Σ|ringᵢ| (one pass over rings). */
+  def polygonArea(json: UTF8String): java.lang.Double = {
+    val rings = parsePoly(json.toString)
+    if (rings == null || rings(0).length < 2) return null
+    var sum = 0.0
+    var r = 0
+    while (r < rings.length) {
+      if (rings(r).length >= 2) sum += ringAreaAbs(rings(r))
+      r += 1
+    }
+    java.lang.Double.valueOf(2.0 * ringAreaAbs(rings(0)) - sum)
+  }
+
+  /** Segment-LENGTH-weighted average of segment midpoints (planar
+    * lon/lat midpoints — the documented no-antimeridian subset); zero
+    * total length (degenerate line) → the first vertex. */
+  def lineCentroid(json: UTF8String): UTF8String = {
+    val line = parseLine(json.toString)
+    if (line == null) return null
+    var w = 0.0; var x = 0.0; var y = 0.0
+    val n = line.length / 2
+    var i = 0
+    while (i < n - 1) {
+      val wi = havM(line(2 * i), line(2 * i + 1), line(2 * i + 2), line(2 * i + 3))
+      w += wi
+      x += wi * ((line(2 * i) + line(2 * i + 2)) / 2)
+      y += wi * ((line(2 * i + 1) + line(2 * i + 3)) / 2)
+      i += 1
+    }
+    if (w > 0) pointJson(x / w, y / w) else pointJson(line(0), line(1))
+  }
+
+  /** Planar shoelace centroid over lon/lat, SIGNED ring sums so
+    * GeoJSON-oriented holes (CW vs the CCW exterior) subtract
+    * naturally; Cx = Σ(xᵢ+xᵢ₊₁)·crossᵢ / (3·Σcross). Rings below 3
+    * vertices contribute nothing; zero signed area → null. */
+  def polygonCentroid(json: UTF8String): UTF8String = {
+    val rings = parsePoly(json.toString)
+    if (rings == null) return null
+    var s = 0.0; var x = 0.0; var y = 0.0
+    var r = 0
+    while (r < rings.length) {
+      val ring = rings(r)
+      val n = ring.length / 2
+      if (n >= 3) {
+        var i = 0
+        while (i < n) {
+          val j = (i + 1) % n
+          val cr = ring(2 * i) * ring(2 * j + 1) - ring(2 * j) * ring(2 * i + 1)
+          s += cr
+          x += (ring(2 * i) + ring(2 * j)) * cr
+          y += (ring(2 * i + 1) + ring(2 * j + 1)) * cr
+          i += 1
+        }
+      }
+      r += 1
+    }
+    if (s == 0.0) return null
+    pointJson(x / (3.0 * s), y / (3.0 * s))
+  }
+
   def intersects2Polygons(aJson: UTF8String, bJson: UTF8String): java.lang.Boolean = {
     val ra = parsePoly(aJson.toString); if (ra == null) return null
     val rb = parsePoly(bJson.toString); if (rb == null) return null
@@ -543,6 +676,62 @@ abstract class GeoIntersectsExpr extends BinaryExpression {
       ${ev.isNull} = $t == null;
       if (!${ev.isNull}) ${ev.value} = $t.booleanValue();"""
     })
+}
+
+/** (shapeJson) → DOUBLE: line_length | polygon_perimeter | polygon_area. */
+case class GeoShapeScalar(child: Expression, op: String)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeGuards.requireString(s"geo_$op", child)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  private def call(s: UTF8String): java.lang.Double = op match {
+    case "line_length" => GeoPredOps.lineLength(s)
+    case "polygon_perimeter" => GeoPredOps.polygonPerimeter(s)
+    case "polygon_area" => GeoPredOps.polygonArea(s)
+  }
+  override protected def nullSafeEval(a: Any): Any = {
+    val r = call(a.asInstanceOf[UTF8String])
+    if (r == null) null else r.doubleValue()
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = op match {
+      case "line_length" => "lineLength"
+      case "polygon_perimeter" => "polygonPerimeter"
+      case "polygon_area" => "polygonArea"
+    }
+    nullSafeCodeGen(ctx, ev, a => {
+      val t = ctx.freshName("gs")
+      s"""
+      java.lang.Double $t = graft.functions.GeoPredOps.$fn($a);
+      ${ev.isNull} = $t == null;
+      if (!${ev.isNull}) ${ev.value} = $t.doubleValue();"""
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): GeoShapeScalar =
+    copy(child = c)
+}
+
+/** (shapeJson) → GeoJSON Point: the length-weighted line centroid or
+  * the signed-shoelace polygon centroid. */
+case class GeoShapeCentroid(child: Expression, line: Boolean)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeGuards.requireString(
+      if (line) "geo_line_centroid" else "geo_polygon_centroid", child)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(a: Any): Any =
+    if (line) GeoPredOps.lineCentroid(a.asInstanceOf[UTF8String])
+    else GeoPredOps.polygonCentroid(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (line) "lineCentroid" else "polygonCentroid"
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = graft.functions.GeoPredOps.$fn($a);
+      ${ev.isNull} = ${ev.value} == null;""")
+  }
+  override protected def withNewChildInternal(c: Expression): GeoShapeCentroid =
+    copy(child = c)
 }
 
 case class GeoPointInPolygon(first: Expression, second: Expression, third: Expression)

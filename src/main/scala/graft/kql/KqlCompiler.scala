@@ -4274,41 +4274,6 @@ object KqlCompiler {
       lit(2.0 * 6371009.0) * asin(sqrt(a))
     }
 
-    /** GeoJSON helpers for the ring-2 geo scalars (geo_line_length,
-      * geo_polygon_perimeter, geo_polygon_area, geo_point_in_polygon).
-      * Shapes parse from the dynamic's JSON text (one codegen'd
-      * from_json in the scan projection — map-only); a polygon ring is
-      * traversed CLOSED by appending its first vertex, a no-op
-      * zero-length/zero-area segment when the ring is already closed
-      * per the GeoJSON spec. Malformed JSON / wrong `type` / truncated
-      * vertices → null (from_json null + type guard + try_element_at).
-      * Spherical determinizations are pinned to the IUGG mean radius
-      * 6371009 m: lengths/perimeters are per-segment haversine sums;
-      * area uses the Chamberlain–Duquette spherical-excess
-      * approximation (the Turf.js ringArea formula), holes subtracted;
-      * point-in-polygon is the planar even-odd ray cast over ALL rings
-      * in lon/lat coordinates (a point inside a hole crosses an odd+
-      * even total). Kusto evaluates these on the WGS84 spheroid — the
-      * same documented <0.5% deviation stance as geo_distance_2points. */
-    private val GeoR2Half = 20294877839040.5 // 6371009^2 / 2
-    private def geoShape(c: Column, coordsDdl: String): Column =
-      from_json(c.cast("string"), org.apache.spark.sql.types.StructType.fromDDL(
-        s"type STRING, coordinates $coordsDdl"))
-    private def geoPt(p: Column, i: Int): Column = try_element_at(p, lit(i))
-    /** Per-segment map over a CLOSED traversal of `ring`. */
-    private def geoRingSegs(ring: Column, f: (Column, Column) => Column): Column = {
-      val cl = concat(ring, slice(ring, 1, 1))
-      zip_with(slice(cl, lit(1), size(cl) - 1), slice(cl, lit(2), size(cl) - 1), f)
-    }
-    private def geoRingLenM(ring: Column): Column =
-      aggregate(geoRingSegs(ring, (a, b) =>
-        haversineM(geoPt(a, 1), geoPt(a, 2), geoPt(b, 1), geoPt(b, 2))),
-        lit(0.0), (acc, x) => acc + x)
-    private def geoRingAreaAbs(ring: Column): Column =
-      abs(aggregate(geoRingSegs(ring, (a, b) =>
-        radians(geoPt(b, 1) - geoPt(a, 1)) *
-          (lit(2.0) + sin(radians(geoPt(a, 2))) + sin(radians(geoPt(b, 2))))),
-        lit(0.0), (acc, x) => acc + x)) * lit(GeoR2Half)
 
     private val GeohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
 
@@ -6546,12 +6511,10 @@ object KqlCompiler {
           haversineM(args(0)(df), args(1)(df), args(2)(df), args(3)(df)) <= args(4)(df)
         // ---- geo ring 2: GeoJSON shape scalars (see geoShape note) ----
         case "geo_line_length" => arity(1); df => {
-          val g = geoShape(args.head(df), "ARRAY<ARRAY<DOUBLE>>")
-          val c = g.getField("coordinates")
-          when(g.getField("type") === "LineString" && size(c) >= 2,
-            aggregate(zip_with(slice(c, lit(1), size(c) - 1), slice(c, lit(2), size(c) - 1),
-              (a, b) => haversineM(geoPt(a, 1), geoPt(a, 2), geoPt(b, 1), geoPt(b, 2))),
-              lit(0.0), (acc, x) => acc + x))
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.GeoShapeScalar(
+            GraftColumnBridge.catalystExpression(args.head(df).cast("string")),
+            "line_length"))
         }
         // geo_distance_point_to_line(lon, lat, line): min over the
         // LineString's segments of the great-circle point-to-segment
@@ -6623,57 +6586,22 @@ object KqlCompiler {
         // no-antimeridian subset of the geo ring). Zero total length
         // (degenerate line) → the first vertex.
         case "geo_line_centroid" => arity(1); df => {
-          val g = geoShape(args.head(df), "ARRAY<ARRAY<DOUBLE>>")
-          val c = g.getField("coordinates")
-          val segs = zip_with(slice(c, lit(1), size(c) - 1), slice(c, lit(2), size(c) - 1),
-            (a, b) => struct(
-              haversineM(geoPt(a, 1), geoPt(a, 2), geoPt(b, 1), geoPt(b, 2)).as("w"),
-              ((geoPt(a, 1) + geoPt(b, 1)) / 2).as("mx"),
-              ((geoPt(a, 2) + geoPt(b, 2)) / 2).as("my")))
-          val acc = aggregate(segs,
-            struct(lit(0.0).as("w"), lit(0.0).as("x"), lit(0.0).as("y")),
-            (s, e) => struct(
-              (s.getField("w") + e.getField("w")).as("w"),
-              (s.getField("x") + e.getField("w") * e.getField("mx")).as("x"),
-              (s.getField("y") + e.getField("w") * e.getField("my")).as("y")))
-          def pt(x: Column, y: Column) = concat(
-            lit("{\"type\":\"Point\",\"coordinates\":["), x.cast("string"),
-            lit(","), y.cast("string"), lit("]}"))
-          when(g.getField("type") === "LineString" && size(c) >= 2,
-            when(acc.getField("w") > 0,
-              pt(acc.getField("x") / acc.getField("w"), acc.getField("y") / acc.getField("w")))
-              .otherwise(pt(geoPt(element_at(c, 1), 1), geoPt(element_at(c, 1), 2))))
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.GeoShapeCentroid(
+            GraftColumnBridge.catalystExpression(args.head(df).cast("string")),
+            line = true))
         }
         // geo_polygon_centroid(polygon): planar shoelace centroid over
         // lon/lat, SIGNED ring sums so GeoJSON-oriented holes (CW vs
         // the CCW exterior) subtract naturally; Cx = Σ(xᵢ+xᵢ₊₁)·crossᵢ
         // / (3·Σcross). Degenerate zero signed area → null.
         case "geo_polygon_centroid" => arity(1); df => {
-          val g = geoShape(args.head(df), "ARRAY<ARRAY<ARRAY<DOUBLE>>>")
-          val rs = g.getField("coordinates")
-          def zero = struct(lit(0.0).as("s"), lit(0.0).as("x"), lit(0.0).as("y"))
-          val acc = aggregate(rs, zero, (outer, ring) => {
-            val r = aggregate(
-              geoRingSegs(ring, (a, b) => {
-                val cr = geoPt(a, 1) * geoPt(b, 2) - geoPt(b, 1) * geoPt(a, 2)
-                struct(cr.as("s"),
-                  ((geoPt(a, 1) + geoPt(b, 1)) * cr).as("x"),
-                  ((geoPt(a, 2) + geoPt(b, 2)) * cr).as("y"))
-              }),
-              zero, (s, e) => struct(
-                (s.getField("s") + e.getField("s")).as("s"),
-                (s.getField("x") + e.getField("x")).as("x"),
-                (s.getField("y") + e.getField("y")).as("y")))
-            struct(
-              (outer.getField("s") + when(size(ring) >= 3, r.getField("s")).otherwise(lit(0.0))).as("s"),
-              (outer.getField("x") + when(size(ring) >= 3, r.getField("x")).otherwise(lit(0.0))).as("x"),
-              (outer.getField("y") + when(size(ring) >= 3, r.getField("y")).otherwise(lit(0.0))).as("y"))
-          })
-          when(g.getField("type") === "Polygon" && size(rs) >= 1 &&
-              acc.getField("s") =!= 0.0,
-            concat(lit("{\"type\":\"Point\",\"coordinates\":["),
-              (acc.getField("x") / (lit(3.0) * acc.getField("s"))).cast("string"), lit(","),
-              (acc.getField("y") / (lit(3.0) * acc.getField("s"))).cast("string"), lit("]}")))
+          // planar shoelace centroid, SIGNED ring sums so GeoJSON-
+          // oriented holes subtract naturally (GeoPredOps pins the spec)
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.GeoShapeCentroid(
+            GraftColumnBridge.catalystExpression(args.head(df).cast("string")),
+            line = false))
         }
         // geo_distance_point_to_polygon(lon, lat, polygon): 0.0 for a
         // point inside (even-odd over all rings — a point in a hole is
@@ -6688,20 +6616,17 @@ object KqlCompiler {
             GraftColumnBridge.catalystExpression(args(2)(df).cast("string"))))
         }
         case "geo_polygon_perimeter" => arity(1); df => {
-          val g = geoShape(args.head(df), "ARRAY<ARRAY<ARRAY<DOUBLE>>>")
-          val rs = g.getField("coordinates")
-          when(g.getField("type") === "Polygon" && size(rs) >= 1,
-            aggregate(rs, lit(0.0), (acc, ring) =>
-              acc + when(size(ring) >= 1, geoRingLenM(ring)).otherwise(lit(0.0))))
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.GeoShapeScalar(
+            GraftColumnBridge.catalystExpression(args.head(df).cast("string")),
+            "polygon_perimeter"))
         }
         case "geo_polygon_area" => arity(1); df => {
           // exterior − holes = 2·|ring₀| − Σ|ringᵢ| (one pass over rings)
-          val g = geoShape(args.head(df), "ARRAY<ARRAY<ARRAY<DOUBLE>>>")
-          val rs = g.getField("coordinates")
-          when(g.getField("type") === "Polygon" && size(rs) >= 1 && size(element_at(rs, 1)) >= 1,
-            lit(2.0) * geoRingAreaAbs(element_at(rs, 1)) -
-              aggregate(rs, lit(0.0), (acc, ring) =>
-                acc + when(size(ring) >= 1, geoRingAreaAbs(ring)).otherwise(lit(0.0))))
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.GeoShapeScalar(
+            GraftColumnBridge.catalystExpression(args.head(df).cast("string")),
+            "polygon_area"))
         }
         // Native even-odd kernel (functions/GeoPredicates.scala) — no
         // lon/lat range guard, the scalar tests any finite point.
