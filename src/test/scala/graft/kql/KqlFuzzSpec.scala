@@ -1,0 +1,156 @@
+package graft.kql
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deterministic grammar fuzz for the KQL text compiler: a seeded
+  * generator assembles pipelines from the supported operator/scalar
+  * surface and asserts each one compiles AND executes (collect) without
+  * crashing, with a sane schema. This is a smoke harness, not an oracle
+  * — value correctness is the 241-query DuckDB gate's job; what this
+  * catches is parser/lowering edges the hand-written fixtures never
+  * exercise in COMBINATION (e.g. a case() inside a summarize key under
+  * an mv-expand). The seed is fixed, so any failure reproduces exactly;
+  * shrink by binary-searching the printed pipeline index. */
+class KqlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  override def afterAll(): Unit = spark.stop()
+
+  private lazy val df = {
+    import spark.implicits._
+    Seq(
+      (1L, "alpha", 10.0, "err-timeout", "2024-01-03T10:00:00Z"),
+      (2L, "beta", 55.0, "ok", "2024-01-04T11:30:00Z"),
+      (3L, "alpha", 95.5, "err-refused", "2024-01-05T09:15:00Z"),
+      (4L, "gamma", 20.25, "retry", "2024-01-06T22:45:00Z"),
+      (5L, "beta", 70.0, "ok", "2024-01-07T03:05:00Z"),
+      (6L, "delta", 0.0, "ok", "2024-01-08T16:20:00Z"),
+      (7L, "alpha", 33.75, "err-timeout", "2024-01-09T12:00:00Z"),
+      (8L, "gamma", 88.0, "retry", "2024-01-10T19:40:00Z"))
+      .toDF("id", "name", "value", "status", "ts_s")
+      .selectExpr("id", "name", "value", "status",
+        "CAST(ts_s AS TIMESTAMP) AS ts")
+  }
+
+  private val rnd = new scala.util.Random(0xf022b15L)
+  private def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
+
+  // ---- expression generators (closed over the fixture's columns) ----
+  private def numExpr(depth: Int): String =
+    if (depth <= 0) pick(Seq("value", "todouble(id)", "1.5", "42.0", "value / 7.0"))
+    else pick[() => String](Seq(
+      () => s"${numExpr(depth - 1)} + ${numExpr(depth - 1)}",
+      () => s"${numExpr(depth - 1)} * 2.0",
+      () => s"abs(${numExpr(depth - 1)})",
+      () => s"round(${numExpr(depth - 1)}, 2)",
+      () => s"bin(${numExpr(depth - 1)}, 10.0)",
+      () => s"iif(${boolExpr(0)}, ${numExpr(depth - 1)}, ${numExpr(depth - 1)})",
+      () => s"min_of(${numExpr(depth - 1)}, ${numExpr(depth - 1)})",
+      () => s"exp(log(abs(${numExpr(depth - 1)}) + 1.0))"
+    ))()
+  private def strExpr(depth: Int): String =
+    if (depth <= 0) pick(Seq("name", "status", "'lit'", "tostring(id)"))
+    else pick[() => String](Seq(
+      () => s"strcat(${strExpr(depth - 1)}, '-', ${strExpr(depth - 1)})",
+      () => s"toupper(${strExpr(depth - 1)})",
+      () => s"substring(${strExpr(depth - 1)}, 0, 3)",
+      () => s"replace_string(${strExpr(depth - 1)}, 'a', 'x')",
+      () => s"extract('([a-z]+)', 1, ${strExpr(depth - 1)})",
+      () => s"case(${boolExpr(0)}, ${strExpr(depth - 1)}, 'other')",
+      () => s"split(${strExpr(depth - 1)}, '-')[0]"
+    ))()
+  private def boolExpr(depth: Int): String =
+    if (depth <= 0) pick(Seq(
+      "value > 30", "id % 2 == 0", "name startswith 'a'",
+      "status has 'ok'", "isnotempty(status)", "value between (10.0 .. 90.0)"))
+    else pick[() => String](Seq(
+      () => s"${boolExpr(depth - 1)} and ${boolExpr(depth - 1)}",
+      () => s"${boolExpr(depth - 1)} or not(${boolExpr(depth - 1)})"
+    ))()
+  /** a1 (the aggregate later stages filter on with `>= 0`) must stay
+    * numeric; the non-numeric aggregates only appear at a2+. */
+  private def numAggExpr(): String = pick(Seq(
+    s"sum(${numExpr(0)})", s"avg(${numExpr(0)})", "count()", "dcount(name)",
+    s"max(${numExpr(0)})", s"min(${numExpr(0)})", s"countif(${boolExpr(0)})",
+    s"percentile(${numExpr(0)}, 50)"))
+  private def aggExpr(): String = pick(Seq(
+    numAggExpr(), numAggExpr(), "make_list(name)", "arg_max(value, status)"))
+  private def keyExpr(): String = pick(Seq(
+    "name", "status", "bin(value, 25.0)", "id % 3",
+    s"case(${boolExpr(0)}, 'hi', 'lo')", "substring(status, 0, 3)"))
+
+  // ---- stage generators; each returns KQL text, tracking whether the
+  // pipeline is still "row-shaped" (summarize changes the schema) ----
+  private def genPipeline(): String = {
+    val sb = new StringBuilder("t")
+    var stages = 1 + rnd.nextInt(5)
+    var aggregated = false
+    var c = 0 // fresh-name counter
+    while (stages > 0) {
+      stages -= 1
+      if (!aggregated) {
+        rnd.nextInt(8) match {
+          case 0 => sb.append(s"\n| where ${boolExpr(1)}")
+          case 1 => c += 1; sb.append(s"\n| extend x$c = ${numExpr(2)}")
+          case 2 => c += 1; sb.append(s"\n| extend s$c = ${strExpr(2)}")
+          case 3 => sb.append(s"\n| order by ${pick(Seq("id", "value", "name"))} ${pick(Seq("asc", "desc"))}")
+          case 4 => sb.append(s"\n| take ${1 + rnd.nextInt(6)}")
+          case 5 => sb.append(s"\n| top ${1 + rnd.nextInt(4)} by ${pick(Seq("value", "id"))}")
+          case 6 =>
+            val aggs = s"a1 = ${numAggExpr()}" +:
+              (2 to 1 + rnd.nextInt(3)).map(i => s"a$i = ${aggExpr()}")
+            sb.append(s"\n| summarize ${aggs.mkString(", ")} by k = ${keyExpr()}")
+            aggregated = true
+          case 7 => sb.append(s"\n| project id, name, value, status")
+        }
+      } else {
+        rnd.nextInt(3) match {
+          case 0 => sb.append(s"\n| where a1 >= 0 or isnull(a1)")
+          case 1 => sb.append(s"\n| order by k asc")
+          case 2 => sb.append(s"\n| take ${1 + rnd.nextInt(4)}")
+        }
+      }
+    }
+    sb.toString
+  }
+
+  test("200 seeded random pipelines compile and execute") {
+    val failures = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
+    for (i <- 0 until 200) {
+      val kql = genPipeline()
+      try {
+        val out = KqlCompiler.compile(kql, _ => df)
+        val rows = out.collect()
+        assert(out.schema.fields.nonEmpty)
+        assert(rows.length <= 8 || kql.contains("mv-expand"),
+          s"fixture has 8 rows; non-expanding pipeline returned ${rows.length}")
+      } catch {
+        case e: Throwable =>
+          failures += ((i, kql, s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+      }
+    }
+    assert(failures.isEmpty, failures.map { case (i, kql, err) =>
+      s"--- pipeline #$i ---\n$kql\n=> $err"
+    }.mkString("\n"))
+  }
+
+  test("64 summarize-over-computed-key pipelines roundtrip row counts") {
+    // keys are total functions of the fixture → group count ≤ 8 and
+    // the sum of count() across groups equals the (filtered) row count
+    for (_ <- 0 until 64) {
+      val pred = boolExpr(1)
+      val key = keyExpr()
+      val kql = s"t\n| where $pred\n| summarize n = count() by k = $key"
+      val base = KqlCompiler.compile(s"t | where $pred", _ => df).count()
+      val grouped = KqlCompiler.compile(kql, _ => df).collect()
+      assert(grouped.map(_.getLong(grouped.head.fieldIndex("n"))).sum == base,
+        s"count mass lost:\n$kql")
+    }
+  }
+}
