@@ -87,49 +87,77 @@ class KqlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---- stage generators; each returns KQL text, tracking whether the
   // pipeline is still "row-shaped" (summarize changes the schema) ----
-  private def genPipeline(): String = {
+  /** Returns (kql, maxRows bound). Stages that keep the base columns
+    * intact may be followed by any other stage; stages that change the
+    * schema (summarize / project-to-fixed) constrain what follows. */
+  private def genPipeline(): (String, Long) = {
     val sb = new StringBuilder("t")
-    var stages = 1 + rnd.nextInt(5)
+    var stages = 1 + rnd.nextInt(6)
     var aggregated = false
+    var maxRows = 8L
     var c = 0 // fresh-name counter
     while (stages > 0) {
       stages -= 1
       if (!aggregated) {
-        rnd.nextInt(8) match {
+        rnd.nextInt(12) match {
           case 0 => sb.append(s"\n| where ${boolExpr(1)}")
           case 1 => c += 1; sb.append(s"\n| extend x$c = ${numExpr(2)}")
           case 2 => c += 1; sb.append(s"\n| extend s$c = ${strExpr(2)}")
           case 3 => sb.append(s"\n| order by ${pick(Seq("id", "value", "name"))} ${pick(Seq("asc", "desc"))}")
-          case 4 => sb.append(s"\n| take ${1 + rnd.nextInt(6)}")
-          case 5 => sb.append(s"\n| top ${1 + rnd.nextInt(4)} by ${pick(Seq("value", "id"))}")
+          case 4 =>
+            val k = 1 + rnd.nextInt(6)
+            sb.append(s"\n| take $k"); maxRows = maxRows.min(k)
+          case 5 =>
+            val k = 1 + rnd.nextInt(4)
+            sb.append(s"\n| top $k by ${pick(Seq("value", "id"))}")
+            maxRows = maxRows.min(k)
           case 6 =>
             val aggs = s"a1 = ${numAggExpr()}" +:
               (2 to 1 + rnd.nextInt(3)).map(i => s"a$i = ${aggExpr()}")
             sb.append(s"\n| summarize ${aggs.mkString(", ")} by k = ${keyExpr()}")
             aggregated = true
-          case 7 => sb.append(s"\n| project id, name, value, status")
+          case 7 => sb.append(s"\n| project id, name, value, status, ts")
+          case 8 =>
+            // row-preserving self-join (id is unique in the fixture);
+            // fresh right-side names avoid duplicate-column renames
+            c += 1
+            sb.append(s"\n| join kind=${pick(Seq("inner", "leftouter"))} " +
+              s"(t | project id, j$c = ${numExpr(1)}) on id")
+          case 9 =>
+            c += 1
+            sb.append(s"\n| mv-expand m$c = pack_array(${numExpr(0)}, ${numExpr(0)})")
+            maxRows *= 2
+          case 10 =>
+            sb.append("\n| union t"); maxRows += 8
+          case 11 =>
+            c += 1
+            sb.append(s"\n| extend d$c = ${pick(Seq(
+              "startofday(ts)", "dayofweek(ts)", "bin(ts, 1d)",
+              "datetime_diff('hour', now(), ts)", "format_datetime(ts, 'yyyy-MM-dd')"))}")
         }
       } else {
         rnd.nextInt(3) match {
           case 0 => sb.append(s"\n| where a1 >= 0 or isnull(a1)")
           case 1 => sb.append(s"\n| order by k asc")
-          case 2 => sb.append(s"\n| take ${1 + rnd.nextInt(4)}")
+          case 2 =>
+            val k = 1 + rnd.nextInt(4)
+            sb.append(s"\n| take $k"); maxRows = maxRows.min(k)
         }
       }
     }
-    sb.toString
+    (sb.toString, maxRows)
   }
 
   test("200 seeded random pipelines compile and execute") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
     for (i <- 0 until 200) {
-      val kql = genPipeline()
+      val (kql, maxRows) = genPipeline()
       try {
         val out = KqlCompiler.compile(kql, _ => df)
         val rows = out.collect()
         assert(out.schema.fields.nonEmpty)
-        assert(rows.length <= 8 || kql.contains("mv-expand"),
-          s"fixture has 8 rows; non-expanding pipeline returned ${rows.length}")
+        assert(rows.length <= maxRows,
+          s"row bound $maxRows exceeded: ${rows.length}")
       } catch {
         case e: Throwable =>
           failures += ((i, kql, s"${e.getClass.getSimpleName}: ${e.getMessage}"))
