@@ -274,6 +274,39 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
   }
 
+  test("kernel-hot queries keep their native expressions — no HOF regression") {
+    // The round-15 native-kernel sweep (SURVEY §4): the geo predicate /
+    // closest-point / distance scalars and the series fit/period/
+    // decompose scalars must lower to ONE native expression per call,
+    // never back to interpreted aggregate()/zip_with() lambda folds.
+    // The analyzed plan prints custom expressions by lowercase class
+    // name, so the kernel names are directly assertable.
+    def analyzed(q: String): String =
+      SparkEntry.queries(q)(spark, dir).queryExecution.analyzed.toString
+    val pins = Seq(
+      "q235_kql_text_geo_intersects" -> Seq(
+        "geointersects2lines", "geointersectslinewithpolygon",
+        "geointersects2polygons", "geoclosestpointonline",
+        "geoclosestpointonpolygon", "geodistancepointtoline",
+        "geodistancepointtopolygon"),
+      "q227_kql_text_pt_to_line" -> Seq("geodistancepointtoline"),
+      "q220_kql_text_geo2" -> Seq("geopointinpolygon", "geoshapescalar"),
+      "q234_kql_text_strays3" -> Seq("seriesfitline", "seriesfit2lines", "seriesperiods"),
+      "q173_kql_text_fit2lines" -> Seq("seriesfit2lines"),
+      "q128_kql_text_series_decompose" -> Seq("seriesdecomposekernel"),
+      "q136_kql_text_series_fill" -> Seq("seriesfillkernel"))
+    for ((q, kernels) <- pins) {
+      val p = analyzed(q).toLowerCase(java.util.Locale.ROOT)
+      for (k <- kernels)
+        assert(p.contains(k), s"$q lost its native kernel '$k'")
+      // the shape walks must not re-appear as lambda folds: the only
+      // legitimate HOF left in these plans is the input-normalizing
+      // transform(cast) — aggregate() lambdas are gone
+      assert(!p.contains("aggregate(lambdafunction"),
+        s"$q regressed to an interpreted aggregate() fold")
+    }
+  }
+
   test("InferFiltersFromGenerate exclusion is scoped to LLM-query sessions") {
     val excludedKey = "spark.sql.optimizer.excludedRules"
     val rule = "InferFiltersFromGenerate"
