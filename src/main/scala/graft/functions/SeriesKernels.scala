@@ -408,6 +408,54 @@ case class SeriesFillKernel(child: Expression, mode: String)
     copy(child = cs.head)
 }
 
+/** `series_fir(x, filter [, normalize])` — y[i] = Σ_j x_{i−j}·f_j,
+  * zero-filled out-of-range history; `normalize` (default: true iff
+  * every coefficient is non-negative, Kusto's rule) divides the filter
+  * by its sum first (skipped when the sum is 0). O(n·k) per row. */
+case class SeriesFirKernel(first: Expression, second: Expression, third: Expression)
+  extends SeriesKernelExpr {
+  override def children: Seq[Expression] = Seq(first, second, third)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val arrays = Seq(first, second).map(requireDoubleArray("series_fir", _))
+    arrays.find(_ != TypeCheckResult.TypeCheckSuccess).getOrElse(
+      third.dataType match {
+        case BooleanType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"series_fir normalize must be BOOLEAN, got ${other.catalogString}")
+      })
+  }
+  override def eval(input: InternalRow): Any = {
+    val x = strictDoubles(first.eval(input))
+    val f0 = strictDoubles(second.eval(input))
+    if (x == null || f0 == null) return null
+    val normalize = third.eval(input) match {
+      case b: java.lang.Boolean => b.booleanValue()
+      case _ => false // null normalize: the un-normalized arm
+    }
+    var fsum = 0.0
+    var j = 0
+    while (j < f0.length) { fsum += f0(j); j += 1 }
+    val f = if (normalize && fsum != 0.0) f0.map(_ / fsum) else f0
+    val n = x.length
+    val y = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      var s = 0.0
+      j = 0
+      while (j < f.length) {
+        s += (if (i - j >= 0) x(i - j) else 0.0) * f(j)
+        j += 1
+      }
+      y(i) = s
+      i += 1
+    }
+    arr(y)
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): SeriesFirKernel =
+    copy(first = cs(0), second = cs(1), third = cs(2))
+}
+
 /** `series_iir(x, b, a)` — y[i] = (Σ_j b_j·x_{i−j} − Σ_{k≥1}
   * a_k·y_{i−k}) / a_0, zero-filled out-of-range history. O(n·(|a|+|b|))
   * per row (the retired fold additionally re-appended the output array

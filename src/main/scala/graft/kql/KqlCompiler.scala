@@ -5526,21 +5526,15 @@ object KqlCompiler {
           if (args.length < 2 || args.length > 3)
             throw new KqlParseException("series_fir() expects 2 or 3 arguments")
           df => {
-            val xs = args(0)(df)
+            import org.apache.spark.sql.GraftColumnBridge
             val f0 = args(1)(df)
             val normalize: Column =
-              if (args.length == 3) args(2)(df)
+              if (args.length == 3) args(2)(df).cast("boolean")
               else forall(f0, c => c.cast("double") >= 0)
-            val fsum = aggregate(f0, lit(0.0), (s, c) => s + c.cast("double"))
-            val fn = when(normalize && fsum =!= 0.0,
-                transform(f0, c => c.cast("double") / fsum))
-              .otherwise(transform(f0, _.cast("double")))
-            transform(sequence(lit(0), size(xs) - 1), i =>
-              aggregate(sequence(lit(0), size(fn) - 1), lit(0.0), (s, j) =>
-                s + when(i - j >= 0,
-                      element_at(xs, (i - j + 1).cast("int")).cast("double"))
-                    .otherwise(lit(0.0)) *
-                  element_at(fn, (j + 1).cast("int"))))
+            GraftColumnBridge.column(graft.functions.SeriesFirKernel(
+              GraftColumnBridge.catalystExpression(transform(args(0)(df), _.cast("double"))),
+              GraftColumnBridge.catalystExpression(transform(f0, _.cast("double"))),
+              GraftColumnBridge.catalystExpression(normalize)))
           }
         // ---- series ring 4: vector algebra + seasonal/IIR ----
         case "series_dot_product" => arity(2); df => {
