@@ -835,6 +835,60 @@ case class DotProductD(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** jl_project(x): the q186 Johnson–Lindenstrauss 64→16 projection with
+  * the CONTENT-DERIVED deterministic sign matrix — sign(i,j) = ±1 from
+  * the first md5 hex digit of "i_j" (the no-rand-state stance; any
+  * executor, any run, any engine derives the same matrix). The retired
+  * SQL-HOF form recomputed 1024 md5 calls PER ROW inside interpreted
+  * lambdas; the matrix is a pure function of (i,j), so it is computed
+  * once per JVM and the projection is one fused multiply loop with the
+  * SAME left-to-right fold order and trailing /4 (= 1/√16) the q186
+  * oracle restates. */
+case class JlProject(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeGuards.requireDoubleArray("jl_project", child)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(a: Any): Any =
+    JlProjectOps.project(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.JlProjectOps.project($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(newChild: Expression): JlProject =
+    copy(child = newChild)
+}
+
+object JlProjectOps {
+  private val In = 64
+  private val Out = 16
+  /** signs(j)(i), computed once: ±1 from md5("i_j")'s first hex digit. */
+  private lazy val signs: Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(Out) { j =>
+      Array.tabulate(In) { i =>
+        md.reset()
+        val d = md.digest(s"${i}_$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if (((d(0) >> 4) & 0xf) <= 7) 1.0 else -1.0
+      }
+    }
+  }
+  def project(x: ArrayData): GenericArrayData = {
+    if (x.numElements() < In) return null // loudly-null on short vectors
+    val out = new Array[Any](Out)
+    var j = 0
+    while (j < Out) {
+      val s = signs(j)
+      var acc = 0.0
+      var i = 0
+      while (i < In) { acc += x.getDouble(i) * s(i); i += 1 }
+      out(j) = acc / 4.0
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object GraftFunctions {
   /** Register the native expressions as SQL functions on this session
     * (idempotent). Queries call e.g. `winnow_fps(text, 8, 4)` directly. */
@@ -854,6 +908,8 @@ object GraftFunctions {
       exprs => WinnowFingerprints(exprs.head, intLit(exprs(1)), intLit(exprs(2))), "scala_udf")
     reg.createOrReplaceTempFunction("dot_d",
       exprs => DotProductD(exprs.head, exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("jl_project",
+      exprs => JlProject(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("deflate_ratio",
       exprs => DeflateRatio(exprs.head), "scala_udf")
     // mergeable quantile sketch (the analyzer wraps the bare

@@ -418,16 +418,15 @@ private[queries] trait LlmAnnQueries extends LlmShared {
     * Scale shape: the projection is MAP-ONLY array lambdas (sequential
     * folds — no explode, no shuffle, no matrix join); the audit joins
     * only the O(N/25) sampled pairs on vec_id. */
+  // the projection runs in the native jl_project kernel (TextExprs.
+  // JlProject): the ±1 matrix is a pure function of (i, j) — the SQL
+  // form recomputed 1024 interpreted md5 calls per ROW; the kernel
+  // derives it once per JVM and keeps the same fold order and /4 scale
+  // the oracle restates, so values are bit-identical.
   private[queries] lazy val randomProjSql = """
     WITH e AS (SELECT vec_id, transform(embedding, v -> CAST(v AS DOUBLE)) AS x
                FROM embeddings),
-    y AS (SELECT vec_id, x, transform(sequence(0, 15), j ->
-            aggregate(sequence(0, 63), CAST(0 AS DOUBLE), (acc, i) ->
-              acc + element_at(x, i + 1) *
-                (CASE WHEN substring(md5(concat(CAST(i AS STRING), '_', CAST(j AS STRING))), 1, 1)
-                      IN ('0','1','2','3','4','5','6','7')
-                 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)) / CAST(4 AS DOUBLE)) AS yv
-          FROM e),
+    y AS (SELECT vec_id, x, jl_project(x) AS yv FROM e),
     pairs AS (SELECT a.vec_id AS aid, b.vec_id AS bid,
                      a.x AS ax, b.x AS bx, a.yv AS ay, b.yv AS byv
               FROM y a JOIN y b ON b.vec_id = a.vec_id + 7
