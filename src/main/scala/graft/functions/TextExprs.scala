@@ -476,6 +476,19 @@ object VecOps extends Serializable {
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
     s
   }
+  /** Sequential-fold squared L2 distance — the
+    * `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0.0, +)` order. */
+  def l2sq(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
 }
 
 /** Shared input-type guard. `AbstractDataType`/`ExpectsInputTypes` are
@@ -889,6 +902,28 @@ object JlProjectOps {
   }
 }
 
+/** l2sq_d(a, b): sequential-fold squared L2 distance of two double
+  * arrays — the exact op-order mirror of
+  * `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0.0, (s,x) -> s+x)`
+  * (per element (x−y)·(x−y), left-to-right sum), which the IVF/k-means/
+  * SemDeDup oracles restate. The HOF form ran interpreted per
+  * (row × centroid) pair — the E-step inner loop. */
+case class L2SqD(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = TypeGuards.requireDoubleArray("l2sq_d", left)
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else TypeGuards.requireDoubleArray("l2sq_d", right)
+  }
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.l2sq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.l2sq($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): L2SqD =
+    copy(left = newLeft, right = newRight)
+}
+
 object GraftFunctions {
   /** Register the native expressions as SQL functions on this session
     * (idempotent). Queries call e.g. `winnow_fps(text, 8, 4)` directly. */
@@ -910,6 +945,8 @@ object GraftFunctions {
       exprs => DotProductD(exprs.head, exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("jl_project",
       exprs => JlProject(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("l2sq_d",
+      exprs => L2SqD(exprs.head, exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("deflate_ratio",
       exprs => DeflateRatio(exprs.head), "scala_udf")
     // mergeable quantile sketch (the analyzer wraps the bare

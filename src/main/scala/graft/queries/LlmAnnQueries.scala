@@ -501,9 +501,7 @@ private[queries] trait LlmAnnQueries extends LlmShared {
       WHERE c.vec_id < 8),
     ed AS (
       SELECT v.vec_id AS vid, sd.sp, sd.cid,
-             aggregate(zip_with(slice(v.e, sd.sp * 16 + 1, 16), sd.svec,
-                                (x, y) -> (x - y) * (x - y)),
-                       cast(0.0 AS double), (s, x) -> s + x) AS d2
+             l2sq_d(slice(v.e, sd.sp * 16 + 1, 16), sd.svec) AS d2
       FROM emb v CROSS JOIN seeds sd),
     assign AS (SELECT vid, sp, min_by(cid, struct(d2, cid)) AS cid FROM ed GROUP BY vid, sp),
     cb_rows AS (
@@ -516,9 +514,7 @@ private[queries] trait LlmAnnQueries extends LlmShared {
            FROM cb_rows GROUP BY sp, cid),
     enc_d AS (
       SELECT v.vec_id AS vid, cb.sp, cb.cid,
-             aggregate(zip_with(slice(v.e, cb.sp * 16 + 1, 16), cb.cvec,
-                                (x, y) -> (x - y) * (x - y)),
-                       cast(0.0 AS double), (s, x) -> s + x) AS d2
+             l2sq_d(slice(v.e, cb.sp * 16 + 1, 16), cb.cvec) AS d2
       FROM emb v CROSS JOIN cb),
     codes AS (SELECT vid, sp, min_by(cid, struct(d2, cid)) AS code FROM enc_d GROUP BY vid, sp),
     lut AS (SELECT vid AS qid, sp, cid, d2 FROM enc_d WHERE vid % 100 = 0),
@@ -607,8 +603,7 @@ private[queries] trait LlmAnnQueries extends LlmShared {
               FROM cent_rows GROUP BY cl),
     dist AS (
       SELECT e.vec_id, e.label,
-             sqrt(aggregate(zip_with(e.e, c.cvec, (x, y) -> (x - y) * (x - y)),
-                  cast(0.0 AS double), (s, x) -> s + x)) AS d
+             sqrt(l2sq_d(e.e, c.cvec)) AS d
       FROM emb e JOIN cents c ON e.label = c.cl),
     stats AS (SELECT label, round(avg(d), 9) AS mu, round(stddev_samp(d), 9) AS sd
               FROM dist GROUP BY label),
@@ -759,8 +754,7 @@ private[queries] trait LlmAnnQueries extends LlmShared {
       FROM cent_rows GROUP BY c_label),
     cdist AS (
       SELECT /*+ BROADCAST(c) */ vn.vec_id, vn.e, vn.nrm, c.c_label,
-             aggregate(zip_with(vn.e, c.cvec, (x, y) -> (x - y) * (x - y)),
-                       cast(0.0 AS double), (s, x) -> s + x) AS d2
+             l2sq_d(vn.e, c.cvec) AS d2
       FROM vn CROSS JOIN cents c),
     cells AS (
       SELECT vec_id, w.e AS e, w.nrm AS nrm, w.cell AS cell FROM (
@@ -871,8 +865,7 @@ private[queries] trait LlmAnnQueries extends LlmShared {
       FROM cent_rows GROUP BY c_label),
     cdist AS (
       SELECT /*+ BROADCAST(c) */ vn.vec_id, vn.e, vn.nrm, c.c_label,
-             aggregate(zip_with(vn.e, c.cvec, (x, y) -> (x - y) * (x - y)),
-                       cast(0.0 AS double), (s, x) -> s + x) AS d2
+             l2sq_d(vn.e, c.cvec) AS d2
       FROM vn CROSS JOIN cents c),
     cells AS (
       SELECT vec_id, w.e AS e, w.nrm AS nrm, w.cell AS cell FROM (

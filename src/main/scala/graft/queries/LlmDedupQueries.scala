@@ -691,9 +691,7 @@ private[queries] trait LlmDedupQueries extends LlmShared {
       FROM cent_rows GROUP BY c_label),
     dists AS (
       SELECT e.vec_id, c.c_label,
-             aggregate(zip_with(transform(e.embedding, x -> cast(x AS double)), c.cvec,
-                                (x, y) -> (x - y) * (x - y)),
-                       cast(0.0 AS double), (s, x) -> s + x) AS d2
+             l2sq_d(transform(e.embedding, x -> cast(x AS double)), c.cvec) AS d2
       FROM embeddings e CROSS JOIN cents c),
     assign AS (
       SELECT vec_id, min_by(c_label, struct(d2, c_label)) AS cell

@@ -112,9 +112,7 @@ private[queries] trait LlmIterativeQueries extends LlmShared {
       FROM cent_rows GROUP BY c_label),
     dists AS (
       SELECT e.vec_id, e.label, c.c_label,
-             aggregate(zip_with(transform(e.embedding, x -> cast(x AS double)), c.cvec,
-                                (x, y) -> (x - y) * (x - y)),
-                       cast(0.0 AS double), (s, x) -> s + x) AS d2
+             l2sq_d(transform(e.embedding, x -> cast(x AS double)), c.cvec) AS d2
       FROM embeddings e CROSS JOIN cents c),
     assign AS (
       SELECT vec_id, label, min_by(c_label, struct(d2, c_label)) AS assigned
@@ -216,8 +214,7 @@ private[queries] trait LlmIterativeQueries extends LlmShared {
       FROM (SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS e FROM embeddings)),
     cdist AS (
       SELECT /*+ BROADCAST(c) */ vn.vec_id, vn.e, vn.nrm, c.c_label,
-             aggregate(zip_with(vn.e, c.cvec, (x, y) -> (x - y) * (x - y)),
-                       cast(0.0 AS double), (s, x) -> s + x) AS d2
+             l2sq_d(vn.e, c.cvec) AS d2
       FROM vn CROSS JOIN cents c),
     cells AS (
       SELECT vec_id, w.e AS e, w.nrm AS nrm, w.cell AS cell FROM (
@@ -314,8 +311,7 @@ private[queries] trait LlmIterativeQueries extends LlmShared {
       FROM (SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS e FROM embeddings)),
     cdist AS (
       SELECT /*+ BROADCAST(c) */ vn.vec_id, vn.e, vn.nrm, c.cluster,
-             aggregate(zip_with(vn.e, c.cvec, (x, y) -> (x - y) * (x - y)),
-                       cast(0.0 AS double), (s, x) -> s + x) AS d2
+             l2sq_d(vn.e, c.cvec) AS d2
       FROM vn CROSS JOIN trained_cents c),
     cells AS (
       SELECT vec_id, w.e AS e, w.nrm AS nrm, w.cell AS cell FROM (
@@ -737,9 +733,16 @@ private[queries] trait LlmIterativeQueries extends LlmShared {
   }
 
   /** Sequential-fold dot product of an array column against a literal
-    * array — fixed IEEE order, matching the oracle's list_reduce. */
-  private[queries] def expr_dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    * array — fixed IEEE order, matching the oracle's list_reduce. Runs
+    * in the native VecOps.dot kernel (same left-to-right order as the
+    * retired aggregate(zip_with) fold — this is the power-iteration
+    * inner loop, evaluated per row per round). */
+  private[queries] def expr_dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.DotProductD(
+      GraftColumnBridge.catalystExpression(a),
+      GraftColumnBridge.catalystExpression(b)))
+  }
 
   /** Power-iterate C·v over a persisted centered table (`c` column):
     * per round one map-side fold dot + ONE 64-group hash agg; 64
