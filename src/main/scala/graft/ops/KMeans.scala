@@ -51,8 +51,15 @@ object KMeans {
       .select(col("vec_id").as("cluster"), col("e").as("cvec"))
       .localCheckpoint()
 
-    val d2 = expr(
-      "aggregate(zip_with(e, cvec, (x, y) -> (x - y) * (x - y)), cast(0.0 AS double), (s, x) -> s + x)")
+    // native squared-L2 kernel — same left-to-right (x−y)² fold order
+    // as the retired aggregate(zip_with) HOF (the Lloyd E-step inner
+    // loop: evaluated per vector × centroid per round)
+    val d2 = {
+      import org.apache.spark.sql.GraftColumnBridge
+      GraftColumnBridge.column(graft.functions.L2SqD(
+        GraftColumnBridge.catalystExpression(col("e")),
+        GraftColumnBridge.catalystExpression(col("cvec"))))
+    }
 
     def eStep(): DataFrame =
       vecs.crossJoin(broadcast(cents))
