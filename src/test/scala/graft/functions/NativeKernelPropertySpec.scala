@@ -144,6 +144,36 @@ class NativeKernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  // ---- vector kernels: independent recomputation ----
+  test("l2sq_d and jl_project match independent re-derivations") {
+    def lit64(xs: Array[Double]) =
+      org.apache.spark.sql.catalyst.expressions.Literal.create(xs,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false))
+    // the sign matrix re-derived here from scratch (hex-string md5 —
+    // a DIFFERENT digit extraction than the kernel's nibble compare)
+    def sign(i: Int, j: Int): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${i}_$j".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      if ("01234567".contains(hex.head)) 1.0 else -1.0
+    }
+    for (_ <- 1 to 30) {
+      val a = arr(64, -3, 3); val b = arr(64, -3, 3)
+      val l2 = L2SqD(lit64(a), lit64(b)).eval(null).asInstanceOf[Double]
+      val naive = a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      assert(math.abs(l2 - naive) < 1e-9)
+      val y = JlProject(lit64(a)).eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      for (j <- 0 until 16) {
+        val expect = (0 until 64).map(i => a(i) * sign(i, j)).sum / 4.0
+        assert(math.abs(y.getDouble(j) - expect) < 1e-9, s"jl dim $j")
+      }
+    }
+    // short vectors are loudly null, never silently truncated
+    assert(JlProject(lit64(arr(63, -1, 1))).eval(null) == null)
+  }
+
   // ---- geo: predicate symmetry + distance/closest agreement ----
   test("geo kernels: intersect symmetry, closest point realizes the distance") {
     def lineJson(pts: Seq[(Double, Double)]): org.apache.spark.unsafe.types.UTF8String =
