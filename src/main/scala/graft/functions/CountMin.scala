@@ -114,6 +114,28 @@ object CountMinOps {
     b
   }
 
+  /** READ-path parse memo: a per-thread LRU of the last few parsed
+    * sketches, keyed by the serialized JSON. A scan that estimates
+    * against a joined sketch column sees the SAME handful of 8 KB
+    * strings on every row (one per group key) — without the memo each
+    * row re-ran a full Jackson parse (and allocated a fresh
+    * ObjectMapper). Cached Bufs are READ-ONLY by contract: only
+    * estimate()/n reads — never hand one to mergeIn/add (the aggregate
+    * paths parse uncached for that reason). */
+  private val parseMemo = new ThreadLocal[java.util.LinkedHashMap[String, Buf]] {
+    override def initialValue() =
+      new java.util.LinkedHashMap[String, Buf](16, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[String, Buf]): Boolean =
+          size() > 8
+      }
+  }
+  def fromJsonCached(s: String): Buf = {
+    val c = parseMemo.get()
+    var b = c.get(s)
+    if (b == null) { b = fromJson(s); c.put(s, b) }
+    b
+  }
+
   def serialize(b: Buf): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(8 * (Depth * Width + 1))
     bb.putLong(b.n)
@@ -203,7 +225,7 @@ case class CmEstimate(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def nullSafeEval(sketch: Any, v: Any): Any =
-    CountMinOps.estimate(CountMinOps.fromJson(sketch.toString),
+    CountMinOps.estimate(CountMinOps.fromJsonCached(sketch.toString),
       v match {
         case u: UTF8String => u
         case other => UTF8String.fromString(String.valueOf(other))
@@ -224,7 +246,7 @@ case class CmTotal(child: Expression)
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override protected def nullSafeEval(sketch: Any): Any =
-    CountMinOps.fromJson(sketch.toString).n
+    CountMinOps.fromJsonCached(sketch.toString).n
   override def checkInputDataTypes():
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == StringType)

@@ -91,6 +91,26 @@ object QuantileSketchOps {
     sb.append('}').toString
   }
 
+  /** READ-path parse memo (the CountMinOps.fromJsonCached pattern): a
+    * per-thread LRU keyed by the serialized JSON — a scan that reads a
+    * joined sketch column sees the same handful of sketch strings on
+    * every row. Cached Bufs are READ-ONLY by contract (percentile/
+    * percentRank/rankLe only read); the aggregate paths keep the
+    * uncached parse because mergeIn mutates. */
+  private val parseMemo = new ThreadLocal[java.util.LinkedHashMap[String, Buf]] {
+    override def initialValue() =
+      new java.util.LinkedHashMap[String, Buf](16, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[String, Buf]): Boolean =
+          size() > 8
+      }
+  }
+  def fromJsonCached(s: String): Buf = {
+    val c = parseMemo.get()
+    var b = c.get(s)
+    if (b == null) { b = fromJson(s); c.put(s, b) }
+    b
+  }
+
   def fromJson(s: String): Buf = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = m.readTree(s)
@@ -273,7 +293,7 @@ case class PercentRankTdigest(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def nullSafeEval(sketch: Any, v: Any): Any = {
-    val b = QuantileSketchOps.fromJson(sketch.toString)
+    val b = QuantileSketchOps.fromJsonCached(sketch.toString)
     val vd = v match {
       case d: Double => d
       case i: Int => i.toDouble
@@ -299,7 +319,7 @@ case class RankTdigest(left: Expression, right: Expression)
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def nullable: Boolean = true
   override def nullSafeEval(sketch: Any, v: Any): Any = {
-    val b = QuantileSketchOps.fromJson(sketch.toString)
+    val b = QuantileSketchOps.fromJsonCached(sketch.toString)
     val vd = v match {
       case d: Double => d
       case i: Int => i.toDouble
@@ -326,7 +346,7 @@ case class PercentileTdigest(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def nullSafeEval(sketch: Any, p: Any): Any = {
-    val b = QuantileSketchOps.fromJson(sketch.toString)
+    val b = QuantileSketchOps.fromJsonCached(sketch.toString)
     val pd = p match {
       case d: Double => d
       case i: Int => i.toDouble
