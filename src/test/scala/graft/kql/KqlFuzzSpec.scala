@@ -43,7 +43,7 @@ class KqlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---- expression generators (closed over the fixture's columns) ----
   private def numExpr(depth: Int): String =
-    if (depth <= 0) pick(Seq("value", "todouble(id)", "1.5", "42.0", "value / 7.0"))
+    if (depth <= 0) pick(Seq("value", "todouble(id)", "1.5", "42.0", "value / 7.0", "k0"))
     else pick[() => String](Seq(
       () => s"${numExpr(depth - 1)} + ${numExpr(depth - 1)}",
       () => s"${numExpr(depth - 1)} * 2.0",
@@ -55,7 +55,7 @@ class KqlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       () => s"exp(log(abs(${numExpr(depth - 1)}) + 1.0))"
     ))()
   private def strExpr(depth: Int): String =
-    if (depth <= 0) pick(Seq("name", "status", "'lit'", "tostring(id)"))
+    if (depth <= 0) pick(Seq("name", "status", "'lit'", "tostring(id)", "s0"))
     else pick[() => String](Seq(
       () => s"strcat(${strExpr(depth - 1)}, '-', ${strExpr(depth - 1)})",
       () => s"toupper(${strExpr(depth - 1)})",
@@ -68,7 +68,8 @@ class KqlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def boolExpr(depth: Int): String =
     if (depth <= 0) pick(Seq(
       "value > 30", "id % 2 == 0", "name startswith 'a'",
-      "status has 'ok'", "isnotempty(status)", "value between (10.0 .. 90.0)"))
+      "status has 'ok'", "isnotempty(status)", "value between (10.0 .. 90.0)",
+      "status matches regex '^err', name contains 'a'".split(", ")(rnd.nextInt(2))))
     else pick[() => String](Seq(
       () => s"${boolExpr(depth - 1)} and ${boolExpr(depth - 1)}",
       () => s"${boolExpr(depth - 1)} or not(${boolExpr(depth - 1)})"
@@ -91,7 +92,9 @@ class KqlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     * intact may be followed by any other stage; stages that change the
     * schema (summarize / project-to-fixed) constrain what follows. */
   private def genPipeline(): (String, Long) = {
-    val sb = new StringBuilder("t")
+    // every pipeline runs under scalar let bindings the expression
+    // leaves may reference (k0 numeric, s0 string)
+    val sb = new StringBuilder("let k0 = 2.5;\nlet s0 = 'err';\nt")
     var stages = 1 + rnd.nextInt(6)
     var aggregated = false
     var maxRows = 8L
@@ -131,9 +134,16 @@ class KqlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
             sb.append("\n| union t"); maxRows += 8
           case 11 =>
             c += 1
-            sb.append(s"\n| extend d$c = ${pick(Seq(
-              "startofday(ts)", "dayofweek(ts)", "bin(ts, 1d)",
-              "datetime_diff('hour', now(), ts)", "format_datetime(ts, 'yyyy-MM-dd')"))}")
+            pick(Seq("dt", "parse", "sort")) match {
+              case "dt" =>
+                sb.append(s"\n| extend d$c = ${pick(Seq(
+                  "startofday(ts)", "dayofweek(ts)", "bin(ts, 1d)",
+                  "datetime_diff('hour', now(), ts)", "format_datetime(ts, 'yyyy-MM-dd')"))}")
+              case "parse" =>
+                sb.append(s"\n| parse status with p$c '-' q$c")
+              case "sort" =>
+                sb.append(s"\n| sort by ${pick(Seq("value", "id"))} ${pick(Seq("asc", "desc"))}")
+            }
         }
       } else {
         rnd.nextInt(3) match {
