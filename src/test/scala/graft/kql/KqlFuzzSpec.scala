@@ -134,7 +134,7 @@ class KqlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
             sb.append("\n| union t"); maxRows += 8
           case 11 =>
             c += 1
-            pick(Seq("dt", "parse", "sort")) match {
+            pick(Seq("dt", "parse", "sort", "mvapply")) match {
               case "dt" =>
                 sb.append(s"\n| extend d$c = ${pick(Seq(
                   "startofday(ts)", "dayofweek(ts)", "bin(ts, 1d)",
@@ -143,6 +143,11 @@ class KqlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
                 sb.append(s"\n| parse status with p$c '-' q$c")
               case "sort" =>
                 sb.append(s"\n| sort by ${pick(Seq("value", "id"))} ${pick(Seq("asc", "desc"))}")
+              case "mvapply" =>
+                // row-preserving: the applied sub-pipeline aggregates the
+                // expanded array back to one row per source row
+                sb.append(s"\n| mv-apply av$c = pack_array(${numExpr(0)}, ${numExpr(0)}) " +
+                  s"on (summarize mv$c = ${pick(Seq("max", "min", "sum"))}(av$c))")
             }
         }
       } else {
