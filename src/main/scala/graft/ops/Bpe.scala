@@ -158,10 +158,15 @@ object Bpe {
   def trainFrom(wf: DataFrame, symsOf: String => Seq[String], k: Int): Seq[Merge] = {
     val spark = wf.sparkSession
     import spark.implicits._
+    // LAZY checkpoints (the round-15 PageRank/LPA/SCC job-batching
+    // discipline): each round's single head(1) action materializes the
+    // previous round's re-symbolized words in the SAME job — lineage
+    // still truncates every round, but the loop stops paying one extra
+    // eager-checkpoint job per merge.
     var words: Dataset[WordSyms] =
       wf.as[(String, Long)]
         .map { case (w, f) => WordSyms(symsOf(w), f) }
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     val merges = List.newBuilder[Merge]
     var round = 0
     var done = false
@@ -178,7 +183,8 @@ object Bpe {
         val l = top.head.getString(0)
         val r = top.head.getString(1)
         merges += Merge(round + 1, l, r, l + r)
-        words = words.map(ws => WordSyms(mergeOnce(ws.syms, l, r), ws.f)).localCheckpoint()
+        words = words.map(ws => WordSyms(mergeOnce(ws.syms, l, r), ws.f))
+          .localCheckpoint(eager = false)
       }
       round += 1
     }

@@ -46,10 +46,13 @@ object KMeans {
     * directly (q65), saving the explode/reassemble round-trip. */
   def trainCodebook(spark: SparkSession, emb: DataFrame, k: Int, maxIter: Int): (DataFrame, Int) = {
     require(k > 0 && maxIter > 0, s"need k > 0 and maxIter > 0, got k=$k maxIter=$maxIter")
-    val vecs = emb.select(col("vec_id"), col("e")).localCheckpoint()
+    // LAZY checkpoints (the round-15 job-batching discipline): each
+    // round's checksum action materializes the pending frames in the
+    // SAME job — lineage still truncates, one job per round saved
+    val vecs = emb.select(col("vec_id"), col("e")).localCheckpoint(eager = false)
     var cents = vecs.filter(col("vec_id") < k)
       .select(col("vec_id").as("cluster"), col("e").as("cvec"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     // native squared-L2 kernel — same left-to-right (x−y)² fold order
     // as the retired aggregate(zip_with) HOF (the Lloyd E-step inner
@@ -95,7 +98,7 @@ object KMeans {
           .agg(round(avg(col("v")), 6).as("mean_v"))
           .groupBy(col("cluster"))
           .agg(expr("transform(sort_array(collect_list(struct(pos, mean_v))), s -> s.mean_v)").as("cvec"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         iters += 1
       }
       assign.unpersist(blocking = false)
