@@ -119,11 +119,12 @@ object Bench {
     // comparable round-over-round (VERDICT r9 item 1c).
     val passes =
       if (loadBefore.headOption.exists(_ > Runtime.getRuntime.availableProcessors / 4.0)) 3 else 2
-    // SPARK_GRAFT_ONLY=q41 benches just the matching queries — the
-    // single-query iteration loop for perf work (not used by the driver)
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
+    // SPARK_GRAFT_ONLY=q41,q146 benches just the matching queries (comma-
+    // separated substrings) — the iteration loop for perf work (not used
+    // by the driver)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(n.contains) }
+      .filter { case (n, _) => only.forall(_.exists(n.contains)) }
     val firstPass = selected.map { case (name, fn) =>
       val first = timeOnce(name, fn)
       val best =

@@ -1,0 +1,412 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `geo_intersection_2polygons` / `geo_union_2polygons` — general
+  * polygon boolean construction (Greiner–Hormann / Weiler–Atherton
+  * class), replacing the round-15 convex-clip subset (GeoClip.scala,
+  * retired).
+  *
+  * Algorithm (planar lon/lat — the geo ring's even-odd stance; per-row
+  * geometries are tens-to-hundreds of vertices, so the O(n·m) pairwise
+  * split is the right trade against sweep-line bookkeeping):
+  *
+  *  1. parse both operands (Polygon or MultiPolygon, holes allowed),
+  *     normalize ring orientation (outers CCW, holes CW by signed area);
+  *  2. split every edge of A at its transversal crossings with edges of
+  *     B and vice versa — the crossing point is computed ONCE per edge
+  *     pair and shared, so stitching can match endpoints exactly;
+  *  3. classify each sub-edge by its midpoint against the OTHER side
+  *     (even-odd over all rings): intersection keeps inside sub-edges of
+  *     both sides, union keeps outside sub-edges of both sides — the
+  *     even-odd selection rule makes holes, containment, and
+  *     multi-component inputs fall out uniformly (a B hole inside A
+  *     becomes a hole of A∩B; an island in a lake unions to a
+  *     MultiPolygon; A⊂B intersects to A verbatim);
+  *  4. stitch selected directed sub-edges into closed rings by exact
+  *     endpoint adjacency; signed area > 0 ⇒ outer, < 0 ⇒ hole; each
+  *     hole attaches to the innermost containing outer;
+  *  5. one outer ⇒ Polygon, several ⇒ MultiPolygon, none ⇒ null (the
+  *     empty intersection keeps round 15's loudly-null stance).
+  *
+  * PINNED GENERAL-POSITION SUBSET (loudly null, never silently wrong):
+  * boundaries must cross transversally — collinear overlapping edges,
+  * vertex-on-edge and vertex-on-vertex contacts between the two
+  * operands are detected during the split pass and return null. Kusto
+  * computes geodesic-edge booleans; this engine is the planar-edge
+  * subset consistent with geo_point_in_polygon / geo_polygon_area
+  * (reference surface: the connector emits no geo KQL — north-star
+  * scope beyond it/KustoSinkIT.java:269-271).
+  */
+object GeoBoolOps {
+  private val mappers = new ThreadLocal[com.fasterxml.jackson.databind.ObjectMapper] {
+    override def initialValue() = new com.fasterxml.jackson.databind.ObjectMapper()
+  }
+
+  /** Parse Polygon or MultiPolygon to rings in OPEN form (closure vertex
+    * stripped), orientation normalized: ring-0-of-component CCW, holes
+    * CW. Returns null on malformed/unsupported input. */
+  def parseSide(json: String): Array[Array[Double]] = {
+    try {
+      val root = mappers.get().readTree(json)
+      if (root == null || root.get("type") == null) return null
+      val t = root.get("type").asText()
+      val cs = root.get("coordinates")
+      if (cs == null || !cs.isArray || cs.size() == 0) return null
+      val polys: Seq[com.fasterxml.jackson.databind.JsonNode] =
+        if ("Polygon".equals(t)) Seq(cs)
+        else if ("MultiPolygon".equals(t)) (0 until cs.size()).map(cs.get)
+        else return null
+      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      for (poly <- polys) {
+        if (!poly.isArray || poly.size() == 0) return null
+        var r = 0
+        while (r < poly.size()) {
+          val ring = poly.get(r)
+          if (ring == null || !ring.isArray || ring.size() < 3) return null
+          val flat = new Array[Double](2 * ring.size())
+          var i = 0
+          while (i < ring.size()) {
+            val p = ring.get(i)
+            if (p == null || !p.isArray || p.size() < 2 ||
+                !p.get(0).isNumber || !p.get(1).isNumber) return null
+            flat(2 * i) = p.get(0).asDouble(); flat(2 * i + 1) = p.get(1).asDouble()
+            i += 1
+          }
+          val opened = open(flat)
+          if (opened.length < 6) return null
+          val wantCcw = r == 0 // component outer CCW, holes CW
+          val a2 = signedArea2(opened)
+          if (a2 == 0.0) return null // degenerate ring
+          out += (if ((a2 > 0) == wantCcw) opened else reverse(opened))
+          r += 1
+        }
+      }
+      out.toArray
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  private def open(ring: Array[Double]): Array[Double] = {
+    val n = ring.length / 2
+    if (n >= 2 && ring(0) == ring(2 * n - 2) && ring(1) == ring(2 * n - 1))
+      ring.take(2 * n - 2)
+    else ring
+  }
+
+  def signedArea2(ring: Array[Double]): Double = {
+    val n = ring.length / 2
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val j = (i + 1) % n
+      s += ring(2 * i) * ring(2 * j + 1) - ring(2 * j) * ring(2 * i + 1)
+      i += 1
+    }
+    s
+  }
+
+  private def reverse(ring: Array[Double]): Array[Double] = {
+    val n = ring.length / 2
+    val out = new Array[Double](ring.length)
+    var i = 0
+    while (i < n) {
+      out(2 * i) = ring(2 * (n - 1 - i)); out(2 * i + 1) = ring(2 * (n - 1 - i) + 1)
+      i += 1
+    }
+    out
+  }
+
+  /** Even-odd crossing parity of the upward ray from (px,py) over all
+    * rings of a side — the membership test the classifier uses. */
+  private def evenOdd(rings: Array[Array[Double]], px: Double, py: Double): Boolean = {
+    var inside = false
+    var r = 0
+    while (r < rings.length) {
+      val ring = rings(r)
+      val n = ring.length / 2
+      var i = 0
+      var j = n - 1
+      while (i < n) {
+        val xi = ring(2 * i); val yi = ring(2 * i + 1)
+        val xj = ring(2 * j); val yj = ring(2 * j + 1)
+        if ((yi > py) != (yj > py) &&
+            px < (xj - xi) * (py - yi) / (yj - yi) + xi) inside = !inside
+        j = i
+        i += 1
+      }
+      r += 1
+    }
+    inside
+  }
+
+  private final class Degenerate extends RuntimeException
+
+  /** Directed edge endpoints plus the (t-sorted) split points collected
+    * against the other side's edges. */
+  private final class Edge(val x1: Double, val y1: Double,
+                           val x2: Double, val y2: Double) {
+    var splits: scala.collection.mutable.ArrayBuffer[(Double, Double, Double)] = null
+    def addSplit(t: Double, x: Double, y: Double): Unit = {
+      if (splits == null) splits = scala.collection.mutable.ArrayBuffer.empty
+      splits += ((t, x, y))
+    }
+  }
+
+  private def edgesOf(rings: Array[Array[Double]]): Array[Edge] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Edge]
+    var r = 0
+    while (r < rings.length) {
+      val ring = rings(r)
+      val n = ring.length / 2
+      var i = 0
+      while (i < n) {
+        val j = (i + 1) % n
+        out += new Edge(ring(2 * i), ring(2 * i + 1), ring(2 * j), ring(2 * j + 1))
+        i += 1
+      }
+      r += 1
+    }
+    out.toArray
+  }
+
+  /** Pairwise split pass. Transversal interior crossings split both
+    * edges at the SAME computed point; any touching contact (t or u at
+    * an endpoint, collinear overlap) throws Degenerate. */
+  private def splitAll(ea: Array[Edge], eb: Array[Edge]): Unit = {
+    var i = 0
+    while (i < ea.length) {
+      val p = ea(i)
+      val dx = p.x2 - p.x1; val dy = p.y2 - p.y1
+      var k = 0
+      while (k < eb.length) {
+        val q = eb(k)
+        val ex = q.x2 - q.x1; val ey = q.y2 - q.y1
+        val denom = dx * ey - dy * ex
+        val wx = q.x1 - p.x1; val wy = q.y1 - p.y1
+        if (denom == 0.0) {
+          // parallel; collinear-overlapping contact is degenerate
+          if (wx * dy - wy * dx == 0.0) {
+            // collinear: 1-D overlap test on the dominant axis
+            val useX = Math.abs(dx) >= Math.abs(dy)
+            val (a1, a2) = if (useX) (p.x1, p.x2) else (p.y1, p.y2)
+            val (b1, b2) = if (useX) (q.x1, q.x2) else (q.y1, q.y2)
+            val lo = Math.max(Math.min(a1, a2), Math.min(b1, b2))
+            val hi = Math.min(Math.max(a1, a2), Math.max(b1, b2))
+            if (lo <= hi) throw new Degenerate
+          }
+        } else {
+          val t = (wx * ey - wy * ex) / denom
+          val u = (wx * dy - wy * dx) / denom
+          if (t > 0.0 && t < 1.0 && u > 0.0 && u < 1.0) {
+            val x = p.x1 + t * dx; val y = p.y1 + t * dy
+            p.addSplit(t, x, y)
+            q.addSplit(u, x, y)
+          } else if (t >= 0.0 && t <= 1.0 && u >= 0.0 && u <= 1.0) {
+            throw new Degenerate // vertex-on-edge / vertex-on-vertex
+          }
+        }
+        k += 1
+      }
+      i += 1
+    }
+  }
+
+  /** Sub-edges of one side with midpoints classified against the other;
+    * keep = inside for intersection, outside for union. */
+  private def selected(edges: Array[Edge], other: Array[Array[Double]],
+                       keepInside: Boolean): Array[(Double, Double, Double, Double)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double, Double)]
+    var i = 0
+    while (i < edges.length) {
+      val e = edges(i)
+      val pts = scala.collection.mutable.ArrayBuffer[(Double, Double)]((e.x1, e.y1))
+      if (e.splits != null) {
+        val s = e.splits.sortBy(_._1)
+        var k = 0
+        while (k < s.length) { pts += ((s(k)._2, s(k)._3)); k += 1 }
+      }
+      pts += ((e.x2, e.y2))
+      var k = 0
+      while (k < pts.length - 1) {
+        val (ax, ay) = pts(k); val (bx, by) = pts(k + 1)
+        if (ax != bx || ay != by) {
+          val in = evenOdd(other, (ax + bx) / 2, (ay + by) / 2)
+          if (in == keepInside) out += ((ax, ay, bx, by))
+        }
+        k += 1
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Stitch directed sub-edges into closed rings by exact endpoint
+    * match; any ambiguity or open walk is degenerate. */
+  private def stitch(subs: Array[(Double, Double, Double, Double)]): Array[Array[Double]] = {
+    val bySrc = new java.util.HashMap[(Double, Double),
+      scala.collection.mutable.ArrayBuffer[Int]]()
+    var i = 0
+    while (i < subs.length) {
+      val key = (subs(i)._1, subs(i)._2)
+      var b = bySrc.get(key)
+      if (b == null) { b = scala.collection.mutable.ArrayBuffer.empty; bySrc.put(key, b) }
+      b += i
+      i += 1
+    }
+    val used = new Array[Boolean](subs.length)
+    val rings = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    i = 0
+    while (i < subs.length) {
+      if (!used(i)) {
+        val pts = scala.collection.mutable.ArrayBuffer.empty[Double]
+        val start = (subs(i)._1, subs(i)._2)
+        var cur = i
+        var guard = 0
+        var done = false
+        while (!done) {
+          if (guard > subs.length) throw new Degenerate
+          guard += 1
+          used(cur) = true
+          pts += subs(cur)._1; pts += subs(cur)._2
+          val nxtKey = (subs(cur)._3, subs(cur)._4)
+          if (nxtKey == start) done = true
+          else {
+            val cands = bySrc.get(nxtKey)
+            if (cands == null) throw new Degenerate
+            val avail = cands.filterNot(used)
+            if (avail.length != 1) throw new Degenerate
+            cur = avail.head
+          }
+        }
+        if (pts.length >= 6) rings += pts.toArray
+      }
+      i += 1
+    }
+    rings.toArray
+  }
+
+  private def emitRing(sb: java.lang.StringBuilder, ring: Array[Double]): Unit = {
+    sb.append('[')
+    val n = ring.length / 2
+    var i = 0
+    while (i < n) {
+      if (i > 0) sb.append(',')
+      sb.append('[').append(ring(2 * i)).append(',').append(ring(2 * i + 1)).append(']')
+      i += 1
+    }
+    sb.append(",[").append(ring(0)).append(',').append(ring(1)).append(']')
+    sb.append(']')
+  }
+
+  private def assemble(rings: Array[Array[Double]]): UTF8String = {
+    val outers = scala.collection.mutable.ArrayBuffer.empty[(Array[Double], Double)]
+    val holes = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    var i = 0
+    while (i < rings.length) {
+      val a2 = signedArea2(rings(i))
+      if (a2 > 0) outers += ((rings(i), a2))
+      else if (a2 < 0) holes += rings(i)
+      i += 1
+    }
+    if (outers.isEmpty) return null
+    // each hole attaches to the innermost (smallest-area) containing outer
+    val byOuter = Array.fill(outers.length)(
+      scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
+    for (h <- holes) {
+      val px = h(0); val py = h(1)
+      var best = -1; var bestArea = Double.MaxValue
+      var o = 0
+      while (o < outers.length) {
+        if (evenOdd(Array(outers(o)._1), px, py) && outers(o)._2 < bestArea) {
+          best = o; bestArea = outers(o)._2
+        }
+        o += 1
+      }
+      if (best < 0) throw new Degenerate
+      byOuter(best) += h
+    }
+    val sb = new java.lang.StringBuilder(128)
+    if (outers.length == 1) {
+      sb.append("{\"type\":\"Polygon\",\"coordinates\":[")
+      emitRing(sb, outers(0)._1)
+      for (h <- byOuter(0)) { sb.append(','); emitRing(sb, h) }
+      sb.append("]}")
+    } else {
+      sb.append("{\"type\":\"MultiPolygon\",\"coordinates\":[")
+      var o = 0
+      while (o < outers.length) {
+        if (o > 0) sb.append(',')
+        sb.append('[')
+        emitRing(sb, outers(o)._1)
+        for (h <- byOuter(o)) { sb.append(','); emitRing(sb, h) }
+        sb.append(']')
+        o += 1
+      }
+      sb.append("]}")
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  private def boolOp(aJson: UTF8String, bJson: UTF8String,
+                     keepInside: Boolean): UTF8String = {
+    try {
+      val pa = parseSide(aJson.toString)
+      val pb = parseSide(bJson.toString)
+      if (pa == null || pb == null) return null
+      val ea = edgesOf(pa)
+      val eb = edgesOf(pb)
+      splitAll(ea, eb)
+      val subs = selected(ea, pb, keepInside) ++ selected(eb, pa, keepInside)
+      if (subs.isEmpty) return null
+      assemble(stitch(subs))
+    } catch {
+      case _: Degenerate => null
+      case scala.util.control.NonFatal(_) => null
+    }
+  }
+
+  def intersection(a: UTF8String, b: UTF8String): UTF8String = boolOp(a, b, keepInside = true)
+  def union(a: UTF8String, b: UTF8String): UTF8String = boolOp(a, b, keepInside = false)
+}
+
+case class GeoIntersection2Polygons(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = TypeGuards.requireString("geo_intersection_2polygons", left)
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else TypeGuards.requireString("geo_intersection_2polygons", right)
+  }
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeoBoolOps.intersection(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      ${ev.value} = graft.functions.GeoBoolOps.intersection($a, $b);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): GeoIntersection2Polygons =
+    copy(left = l, right = r)
+}
+
+case class GeoUnion2Polygons(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = TypeGuards.requireString("geo_union_2polygons", left)
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else TypeGuards.requireString("geo_union_2polygons", right)
+  }
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeoBoolOps.union(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      ${ev.value} = graft.functions.GeoBoolOps.union($a, $b);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): GeoUnion2Polygons =
+    copy(left = l, right = r)
+}

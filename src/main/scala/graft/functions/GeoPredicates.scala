@@ -16,7 +16,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * folds (O(n·m) interpreted closures per row). At spatial-join scale
   * that interpretation overhead dominates the actual math by >10×.
   * Each scalar is now ONE codegen'd static call: parse the GeoJSON once
-  * (Jackson, thread-local mapper — the GeoClipOps pattern), run the
+  * (Jackson, thread-local mapper — the GeoBoolOps pattern), run the
   * same IEEE op-order math in a tight double loop, return.
   *
   * EXACTNESS CONTRACT: the spherical kernels mirror the retired Column
@@ -330,12 +330,59 @@ object GeoPredOps {
     pointJson(bestX, bestY)
   }
 
+  /** Polygon OR MultiPolygon (Kusto accepts both) to per-component
+    * ring groups; null on anything else. The Polygon form is one
+    * component — existing callers flatten. */
+  def parsePolyStruct(json: String): Array[Array[Array[Double]]] = {
+    try {
+      val root = mappers.get().readTree(json)
+      if (root == null || root.get("type") == null) return null
+      val t = root.get("type").asText()
+      if ("Polygon".equals(t)) {
+        val one = parsePoly(json)
+        if (one == null) null else Array(one)
+      } else if ("MultiPolygon".equals(t)) {
+        val cs = root.get("coordinates")
+        if (cs == null || !cs.isArray || cs.size() < 1) return null
+        val out = new Array[Array[Array[Double]]](cs.size())
+        var c = 0
+        while (c < cs.size()) {
+          val poly = cs.get(c)
+          if (poly == null || !poly.isArray || poly.size() < 1) return null
+          val rings = new Array[Array[Double]](poly.size())
+          var r = 0
+          while (r < poly.size()) {
+            val ring = poly.get(r)
+            if (ring == null || !ring.isArray) return null
+            val flat = new Array[Double](2 * ring.size())
+            var i = 0
+            while (i < ring.size()) {
+              val p = ring.get(i)
+              if (p == null || !p.isArray || p.size() < 2 ||
+                  !p.get(0).isNumber || !p.get(1).isNumber) return null
+              flat(2 * i) = p.get(0).asDouble(); flat(2 * i + 1) = p.get(1).asDouble()
+              i += 1
+            }
+            rings(r) = flat
+            r += 1
+          }
+          out(c) = rings
+          c += 1
+        }
+        out
+      } else null
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
   /** Even-odd membership. NOTE: no lon/lat range guard — the scalar's
-    * pinned contract (geo_point_in_polygon) tests any finite point. */
+    * pinned contract (geo_point_in_polygon) tests any finite point.
+    * Accepts Polygon or MultiPolygon (even-odd parity over all rings of
+    * all components — components are disjoint, so the flat sum is the
+    * per-component test). */
   def pointInPolygon(px: Double, py: Double, polyJson: UTF8String): java.lang.Boolean = {
-    val rings = parsePoly(polyJson.toString)
-    if (rings == null) return null
-    java.lang.Boolean.valueOf(evenOddInside(rings, px, py))
+    val comps = parsePolyStruct(polyJson.toString)
+    if (comps == null) return null
+    java.lang.Boolean.valueOf(evenOddInside(comps.flatten, px, py))
   }
 
   def intersects2Lines(aJson: UTF8String, bJson: UTF8String): java.lang.Boolean = {
@@ -441,17 +488,26 @@ object GeoPredOps {
     Math.abs(s) * GeoR2Half
   }
 
-  /** exterior − holes = 2·|ring₀| − Σ|ringᵢ| (one pass over rings). */
+  /** exterior − holes = 2·|ring₀| − Σ|ringᵢ| per component, summed over
+    * components (accepts Polygon or MultiPolygon, the Kusto surface). */
   def polygonArea(json: UTF8String): java.lang.Double = {
-    val rings = parsePoly(json.toString)
-    if (rings == null || rings(0).length < 2) return null
-    var sum = 0.0
-    var r = 0
-    while (r < rings.length) {
-      if (rings(r).length >= 2) sum += ringAreaAbs(rings(r))
-      r += 1
+    val comps = parsePolyStruct(json.toString)
+    if (comps == null) return null
+    var total = 0.0
+    var c = 0
+    while (c < comps.length) {
+      val rings = comps(c)
+      if (rings(0).length < 2) return null
+      var sum = 0.0
+      var r = 0
+      while (r < rings.length) {
+        if (rings(r).length >= 2) sum += ringAreaAbs(rings(r))
+        r += 1
+      }
+      total += 2.0 * ringAreaAbs(rings(0)) - sum
+      c += 1
     }
-    java.lang.Double.valueOf(2.0 * ringAreaAbs(rings(0)) - sum)
+    java.lang.Double.valueOf(total)
   }
 
   /** Segment-LENGTH-weighted average of segment midpoints (planar

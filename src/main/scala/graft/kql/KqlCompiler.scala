@@ -69,6 +69,13 @@ import org.apache.spark.sql.functions._
   */
 object KqlCompiler {
 
+  /** Largest tabular-`in` operand lowered to a literal `isin`. Below
+    * this the literal `In` stays pushdown-friendly and the plan tiny;
+    * above it membership lowers to an `InSubquery` semi-join and no
+    * values are collected to the driver (the 1M Kusto cap is enforced
+    * with a capped count instead). */
+  val TabularInLiteralMax: Int = 4096
+
   /** Compile `kql` — an optional `let name = Table | op…;` prologue
     * followed by the main pipeline "Table | op | op…" — resolving table
     * names through `resolve` (with `let` bindings shadowing tables). */
@@ -3978,10 +3985,16 @@ object KqlCompiler {
         case Some("in") | Some("!in") =>
           // in / !in / in~ / !in~ — the `~` suffix is Kusto's
           // case-insensitive variant. A TABULAR operand (`in (T | …)`
-          // or `in (letName)`) takes the subquery's FIRST column,
-          // capped at Kusto's documented 1,000,000 values — a bounded
-          // broadcast-class fetch (the toscalar stance), which keeps
-          // membership a composable Column in any boolean context.
+          // or `in (letName)`) takes the subquery's FIRST column.
+          // Lowering is two-tier (scale): a bounded probe fetches up
+          // to `TabularInLiteralMax + 1` distinct values — at or below
+          // the threshold the operand becomes a literal `isin`
+          // (pushdown-friendly, tiny plan); above it NOTHING more is
+          // collected — membership lowers to a catalyst `InSubquery`,
+          // which Spark rewrites to a broadcast/shuffle left-semi or
+          // existence join (composable in any boolean context). Kusto's
+          // documented 1,000,000-value cap stays a loud compile-time
+          // error, enforced with a capped `count` (no value fetch).
           val negated = next().text == "!in"
           val ci = peekIs("~")
           if (ci) expect("~")
@@ -3991,16 +4004,31 @@ object KqlCompiler {
               lets.contains(toks(pos + 1).text)))
           if (isSub) {
             val sub = subquery()
-            val vals = sub.select(sub.columns.head).distinct()
-              .limit(1000001).collect().map(_.get(0))
-            if (vals.length > 1000000)
-              throw new KqlParseException(
-                "in (subquery): more than 1,000,000 distinct values (the Kusto cap)")
-            df => {
-              val base =
-                if (ci) lower(l(df)).isin(vals.map(v => String.valueOf(v).toLowerCase): _*)
-                else l(df).isin(vals.toIndexedSeq: _*)
-              if (negated) !base else base
+            val firstCol = sub.col(sub.columns.head)
+            val rawDistinct = sub.select(firstCol).distinct()
+            val vals = rawDistinct
+              .limit(KqlCompiler.TabularInLiteralMax + 1).collect().map(_.get(0))
+            if (vals.length <= KqlCompiler.TabularInLiteralMax) {
+              df => {
+                val base =
+                  if (ci) lower(l(df)).isin(vals.map(v => String.valueOf(v).toLowerCase): _*)
+                  else l(df).isin(vals.toIndexedSeq: _*)
+                if (negated) !base else base
+              }
+            } else {
+              val n = rawDistinct.limit(1000001).count()
+              if (n > 1000000)
+                throw new KqlParseException(
+                  "in (subquery): more than 1,000,000 distinct values (the Kusto cap)")
+              val subSide =
+                if (ci) sub.select(lower(firstCol.cast("string"))).distinct()
+                else rawDistinct
+              df => {
+                val lhs = if (ci) lower(l(df)) else l(df)
+                val base =
+                  org.apache.spark.sql.GraftColumnBridge.inSubquery(lhs, subSide)
+                if (negated) !base else base
+              }
             }
           } else {
             expect("(")
@@ -4964,17 +4992,21 @@ object KqlCompiler {
             else graft.functions.GeoPolygonSimplify(s, t))
         }
       }
-      if (name == "geo_intersection_2polygons") {
-        // the CONVEX-CLIP documented subset (functions/GeoClip.scala
-        // pins the Sutherland–Hodgman spec): polygon2 must be convex
-        // and hole-free — loudly null otherwise, never a silently-wrong
-        // shape; empty intersections are null.
+      if (name == "geo_intersection_2polygons" || name == "geo_union_2polygons") {
+        // general polygon boolean construction (functions/GeoBool.scala
+        // pins the even-odd overlay spec): concave operands, holes, and
+        // MultiPolygon in/out are supported; non-transversal boundary
+        // contact (collinear overlap, vertex-on-edge) and empty
+        // intersections are loudly null — never a silently-wrong shape.
+        val isUnion = name == "geo_union_2polygons"
         val aB = expr(); expect(","); val bB = expr(); expect(")")
         return df => {
           import org.apache.spark.sql.GraftColumnBridge
-          GraftColumnBridge.column(graft.functions.GeoIntersection2Polygons(
-            GraftColumnBridge.catalystExpression(aB(df).cast("string")),
-            GraftColumnBridge.catalystExpression(bB(df).cast("string"))))
+          val l = GraftColumnBridge.catalystExpression(aB(df).cast("string"))
+          val r = GraftColumnBridge.catalystExpression(bB(df).cast("string"))
+          GraftColumnBridge.column(
+            if (isUnion) graft.functions.GeoUnion2Polygons(l, r)
+            else graft.functions.GeoIntersection2Polygons(l, r))
         }
       }
       if (name == "geo_point_buffer") {

@@ -1680,6 +1680,55 @@ object KqlQueries extends QueryModule {
           | | order by event_id asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // general polygon booleans at data scale (round 16): concave ∩ / ∪
+    // concave — a per-row L-shaped subject against a fixed L-shaped
+    // window (both rectilinear, vertices at .25/.0 offsets so every
+    // boundary contact is transversal — the GeoBool general-position
+    // subset). The oracle re-derives both areas by inclusion-exclusion
+    // over the disjoint rectangle decompositions (L1 = A1⊎A2,
+    // L2 = B1⊎B2; ∩ = ΣᵢⱼAᵢ∩Bⱼ, ∪ = |L1|+|L2|−|∩|) with the same
+    // Chamberlain–Duquette spherical terms (q241's replication), and
+    // membership by interval logic at probe points off every boundary.
+    "q243_kql_text_polygon_boolean" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_id % 97 == 0
+          | | extend px = todouble(user_id % 30) - 15.0 + 0.25, py = todouble(event_id % 20) - 10.0 + 0.25
+          | | extend sub = strcat('{"type":"Polygon","coordinates":[[[', tostring(px), ',', tostring(py), '],[', tostring(px + 8.0), ',', tostring(py), '],[', tostring(px + 8.0), ',', tostring(py + 3.0), '],[', tostring(px + 3.0), ',', tostring(py + 3.0), '],[', tostring(px + 3.0), ',', tostring(py + 6.0), '],[', tostring(px), ',', tostring(py + 6.0), '],[', tostring(px), ',', tostring(py), ']]]}'),
+          |          win = '{"type":"Polygon","coordinates":[[[0.0,0.0],[10.0,0.0],[10.0,8.0],[6.0,8.0],[6.0,3.0],[0.0,3.0],[0.0,0.0]]]}'
+          | | extend c = geo_intersection_2polygons(sub, win),
+          |          u = geo_union_2polygons(sub, win)
+          | | project event_id, px, py,
+          |           isn = isnull(c),
+          |           ia = round(geo_polygon_area(c) / 1000000000.0, 3),
+          |           ua = round(geo_polygon_area(u) / 1000000000.0, 3),
+          |           im = coalesce(geo_point_in_polygon(8.125, 1.625, c), false),
+          |           um = geo_point_in_polygon(px - 0.5, py + 1.5, u)
+          | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // tabular `in` at data scale (round 16): the operand (nearly every
+    // o_orderkey — ~15k distinct at sf0.01) is far past the 4096
+    // literal-`isin` threshold, so membership lowers to an InSubquery
+    // semi/existence join with NO driver collect — exercised in all
+    // three composition contexts: extend (Project), OR-composed where
+    // (Filter), and negation. The oracle restates membership with SQL
+    // IN subqueries.
+    "q242_kql_text_in_semijoin" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """let big = orders | where o_totalprice > 900.0 | project o_orderkey;
+          |lineitem
+          | | extend hit = l_orderkey in (big), miss = l_orderkey !in (big)
+          | | where l_orderkey in (big) or l_quantity >= 25.0
+          | | summarize n = count(), hits = countif(hit), misses = countif(miss),
+          |             qty = round(sum(l_quantity), 4) by l_returnflag
+          | | order by l_returnflag asc""".stripMargin,
+        (n: String) => n match {
+          case "orders" => Tables.orders(s, dir)
+          case "lineitem" => Tables.lineitem(s, dir)
+          case other => throw new IllegalArgumentException(other)
+        })),
+
     // polygon lookup (round 15): the spatial-join PLUGIN — per-row
     // points join a dim table of polygons via the level-8 S2 covering
     // (broadcast cell equi-join) with exact even-odd refine. Zones are
@@ -2494,6 +2543,50 @@ object KqlQueries extends QueryModule {
                      AND (cy1 + cy2) / 2.0 > py + 2.0 AND (cy1 + cy2) / 2.0 < py + 4.0)
               ELSE false END AS inm
        FROM b ORDER BY event_id"""
+  }
+
+  /** q243: concave∩concave / ∪ by inclusion-exclusion over disjoint
+    * rectangle decompositions (L1 = A1⊎A2 row-dependent, L2 = B1⊎B2
+    * fixed), each rectangle's spherical area restated with the same
+    * Chamberlain–Duquette terms as the engine (vertical edges are
+    * exactly 0 — the q241 replication); membership by interval logic
+    * at probe points that never touch a boundary (.125/.75 offsets vs
+    * .25/.0 edges). */
+  private def polygonBooleanOracle: String = {
+    val cd = (lonA: String, latA: String, lonB: String, latB: String) =>
+      s"""radians(($lonB) - ($lonA)) * (2.0 + sin(radians($latA)) + sin(radians($latB)))"""
+    // CD area (in pre-scale units) of rect [x1,x2]×[y1,y2], 0 when empty
+    val rect = (x1: String, y1: String, x2: String, y2: String) =>
+      s"""CASE WHEN ($x1) < ($x2) AND ($y1) < ($y2)
+            THEN abs(${cd(x1, y1, x2, y1)} + ${cd(x2, y2, x1, y2)}) ELSE 0.0 END"""
+    val inter =
+      rect("greatest(px, 0.0)", "greatest(py, 0.0)", "least(px + 8.0, 6.0)", "least(py + 3.0, 3.0)") + " + " +
+      rect("greatest(px, 6.0)", "greatest(py, 0.0)", "least(px + 8.0, 10.0)", "least(py + 3.0, 8.0)") + " + " +
+      rect("greatest(px, 0.0)", "greatest(py + 3.0, 0.0)", "least(px + 3.0, 6.0)", "least(py + 6.0, 3.0)") + " + " +
+      rect("greatest(px, 6.0)", "greatest(py + 3.0, 0.0)", "least(px + 3.0, 10.0)", "least(py + 6.0, 8.0)")
+    val l1 = rect("px", "py", "px + 8.0", "py + 3.0") + " + " +
+      rect("px", "py + 3.0", "px + 3.0", "py + 6.0")
+    val l2 = rect("0.0", "0.0", "6.0", "3.0") + " + " + rect("6.0", "0.0", "10.0", "8.0")
+    val ov =
+      """((px < 6.0 AND px + 8.0 > 0.0 AND py < 3.0 AND py + 3.0 > 0.0)
+          OR (px < 10.0 AND px + 8.0 > 6.0 AND py < 8.0 AND py + 3.0 > 0.0)
+          OR (px < 6.0 AND px + 3.0 > 0.0 AND py + 3.0 < 3.0 AND py + 6.0 > 0.0)
+          OR (px < 10.0 AND px + 3.0 > 6.0 AND py + 3.0 < 8.0 AND py + 6.0 > 0.0))"""
+    s"""WITH p AS (
+         SELECT event_id,
+                CAST(user_id % 30 AS DOUBLE) - 15.0 + 0.25 AS px,
+                CAST(event_id % 20 AS DOUBLE) - 10.0 + 0.25 AS py
+         FROM events WHERE event_id % 97 = 0)
+       SELECT event_id, px, py,
+              NOT $ov AS isn,
+              CASE WHEN $ov
+                THEN round(($inter) * 20294877839040.5 / 1000000000.0, 3) END AS ia,
+              round((($l1) + ($l2) - ($inter)) * 20294877839040.5 / 1000000000.0, 3) AS ua,
+              ((px < 8.125 AND 8.125 < px + 8.0 AND py < 1.625 AND 1.625 < py + 3.0)
+               OR (px < 8.125 AND 8.125 < px + 3.0 AND py + 3.0 < 1.625 AND 1.625 < py + 6.0)) AS im,
+              ((0.0 < px - 0.5 AND px - 0.5 < 6.0 AND 0.0 < py + 1.5 AND py + 1.5 < 3.0)
+               OR (6.0 < px - 0.5 AND px - 0.5 < 10.0 AND 0.0 < py + 1.5 AND py + 1.5 < 8.0)) AS um
+       FROM p ORDER BY event_id"""
   }
 
   private def geo2Oracle: String = {
@@ -3885,6 +3978,21 @@ object KqlQueries extends QueryModule {
          FROM events WHERE event_id % 97 = 0""",
 
     "q241_kql_text_clip" -> clipOracle,
+
+    "q243_kql_text_polygon_boolean" -> polygonBooleanOracle,
+
+    "q242_kql_text_in_semijoin" ->
+      """WITH big AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 900.0)
+         SELECT l_returnflag,
+                CAST(count(1) AS BIGINT) AS n,
+                CAST(count(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM big)
+                                THEN 1 END) AS BIGINT) AS hits,
+                CAST(count(CASE WHEN l_orderkey NOT IN (SELECT o_orderkey FROM big)
+                                THEN 1 END) AS BIGINT) AS misses,
+                round(sum(l_quantity), 4) + 0.0 AS qty
+           FROM lineitem
+          WHERE l_orderkey IN (SELECT o_orderkey FROM big) OR l_quantity >= 25.0
+          GROUP BY 1 ORDER BY l_returnflag""",
 
     "q239_kql_text_polygon_lookup" ->
       """SELECT event_id, lon, lat,

@@ -23,4 +23,19 @@ object GraftColumnBridge {
     classic.ColumnNodeToExpressionConverter(c.node)
 
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  /** Membership-in-subquery as a composable boolean Column.
+    *
+    * Wraps catalyst `InSubquery(value, ListQuery(plan))` over the
+    * operand's analyzed plan; Spark's predicate-subquery rewrite lowers
+    * it to a broadcast (or, past the broadcast threshold, shuffle)
+    * left-semi / existence join — no operand values are ever collected
+    * to the driver and no wide `In` literal is built. Used by the KQL
+    * compiler's tabular `in` operand above the literal-`isin`
+    * threshold.
+    */
+  def inSubquery(value: Column, sub: Dataset[Row]): Column =
+    column(catalyst.expressions.InSubquery(
+      Seq(catalystExpression(value)),
+      catalyst.expressions.ListQuery(sub.queryExecution.analyzed)))
 }

@@ -2396,16 +2396,18 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hole.isEmpty, "a point in the hole matches nothing (even-odd)")
   }
 
-  test("geo_intersection_2polygons: convex clip, holes, containment, empty/guard nulls") {
+  test("geo_intersection_2polygons: clip, holes, concave clip, containment, empty/guard nulls") {
     val r = run(
       """t | where id == 1
         | | extend sub = '{"type":"Polygon","coordinates":[[[2.0,2.0],[14.0,2.0],[14.0,12.0],[2.0,12.0],[2.0,2.0]],[[4.0,4.0],[6.0,4.0],[6.0,6.0],[4.0,6.0],[4.0,4.0]]]}',
         |          win = '{"type":"Polygon","coordinates":[[[0.0,0.0],[10.0,0.0],[10.0,8.0],[0.0,8.0],[0.0,0.0]]]}',
         |          tri = '{"type":"Polygon","coordinates":[[[0.0,0.0],[20.0,0.0],[0.0,20.0],[0.0,0.0]]]}',
-        |          cave = '{"type":"Polygon","coordinates":[[[0.0,0.0],[10.0,0.0],[10.0,10.0],[5.0,2.0],[0.0,10.0],[0.0,0.0]]]}',
+        |          cave = '{"type":"Polygon","coordinates":[[[0.0,0.0],[10.0,0.0],[10.0,10.0],[5.0,3.0],[0.0,10.0],[0.0,0.0]]]}',
         |          far = '{"type":"Polygon","coordinates":[[[50.0,50.0],[60.0,50.0],[60.0,60.0],[50.0,60.0],[50.0,50.0]]]}'
         | | extend c = geo_intersection_2polygons(sub, win),
-        |          ct = geo_intersection_2polygons(sub, tri)
+        |          ct = geo_intersection_2polygons(sub, tri),
+        |          cc = geo_intersection_2polygons(sub, cave),
+        |          hc = geo_intersection_2polygons(win, sub)
         | | project
         |  in1 = geo_point_in_polygon(3.0, 3.0, c),
         |  hole1 = geo_point_in_polygon(5.0, 5.0, c),
@@ -2414,8 +2416,12 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
         |  out2 = geo_point_in_polygon(13.0, 11.0, ct),
         |  contained = geo_intersection_2polygons(win, '{"type":"Polygon","coordinates":[[[-5.0,-5.0],[30.0,-5.0],[30.0,30.0],[-5.0,30.0],[-5.0,-5.0]]]}') == win,
         |  empty = isnull(geo_intersection_2polygons(sub, far)),
-        |  nonconvex = isnull(geo_intersection_2polygons(sub, cave)),
-        |  holedclip = isnull(geo_intersection_2polygons(win, sub))""".stripMargin).head()
+        |  cave_in = geo_point_in_polygon(3.0, 2.5, cc),
+        |  cave_notch = geo_point_in_polygon(5.0, 6.0, cc),
+        |  hc_in = geo_point_in_polygon(3.0, 3.0, hc),
+        |  hc_hole = geo_point_in_polygon(5.0, 5.0, hc),
+        |  degen = isnull(geo_intersection_2polygons(win,
+        |    '{"type":"Polygon","coordinates":[[[10.0,0.0],[20.0,0.0],[20.0,8.0],[10.0,8.0],[10.0,0.0]]]}'))""".stripMargin).head()
     assert(r.getBoolean(0), "a point in both polygons is in the intersection")
     assert(!r.getBoolean(1), "the subject's hole survives clipping (even-odd)")
     assert(!r.getBoolean(2), "a point outside the window is clipped away")
@@ -2423,8 +2429,60 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!r.getBoolean(4), "triangle clip removes beyond the hypotenuse (13+11 > 20: inside sub, outside tri)")
     assert(r.getBoolean(5), "a fully-contained subject comes back verbatim")
     assert(r.getBoolean(6), "disjoint polygons intersect to null")
-    assert(r.getBoolean(7), "a concave clip polygon is loudly null")
-    assert(r.getBoolean(8), "a clip polygon with holes is loudly null")
+    assert(r.getBoolean(7), "concave clip keeps a point inside both (general engine)")
+    assert(!r.getBoolean(8), "concave clip removes the notch region (in sub, above the dart)")
+    assert(r.getBoolean(9), "a clip polygon with holes works (general engine)")
+    assert(!r.getBoolean(10), "the hole survives when the holed polygon is the clip side")
+    assert(r.getBoolean(11), "shared-edge contact (non-transversal) is loudly null")
+  }
+
+  test("geo boolean engine: union/intersection with concave shapes, MultiPolygon, islands") {
+    // U-shape: [0,10]x[0,10] minus the open notch (3,7)x(4,10] — concave,
+    // 8 vertices, axis-aligned. band: y in [5,6] crossing both arms.
+    val r = run(
+      """t | where id == 1
+        | | extend u = '{"type":"Polygon","coordinates":[[[0.0,0.0],[10.0,0.0],[10.0,10.0],[7.0,10.0],[7.0,4.0],[3.0,4.0],[3.0,10.0],[0.0,10.0],[0.0,0.0]]]}',
+        |          band = '{"type":"Polygon","coordinates":[[[-1.0,5.0],[11.0,5.0],[11.0,6.0],[-1.0,6.0],[-1.0,5.0]]]}',
+        |          cap = '{"type":"Polygon","coordinates":[[[-1.0,5.0],[11.0,5.0],[11.0,12.0],[-1.0,12.0],[-1.0,5.0]]]}',
+        |          lake = '{"type":"Polygon","coordinates":[[[0.0,0.0],[20.0,0.0],[20.0,20.0],[0.0,20.0],[0.0,0.0]],[[5.0,5.0],[15.0,5.0],[15.0,15.0],[5.0,15.0],[5.0,5.0]]]}',
+        |          island = '{"type":"Polygon","coordinates":[[[8.0,8.0],[12.0,8.0],[12.0,12.0],[8.0,12.0],[8.0,8.0]]]}'
+        | | extend two = geo_intersection_2polygons(u, band),
+        |          donut = geo_union_2polygons(u, cap),
+        |          arch = geo_union_2polygons(lake, island)
+        | | project
+        |  two_multi = two startswith '{"type":"MultiPolygon"',
+        |  two_area = round(geo_polygon_area(two) / 1000000.0, 1),
+        |  two_left = geo_point_in_polygon(1.5, 5.5, two),
+        |  two_gap = geo_point_in_polygon(5.0, 5.5, two),
+        |  two_right = geo_point_in_polygon(8.5, 5.5, two),
+        |  donut_poly = donut startswith '{"type":"Polygon"',
+        |  donut_hole = geo_point_in_polygon(5.0, 4.5, donut),
+        |  donut_body = geo_point_in_polygon(5.0, 2.0, donut),
+        |  donut_cap = geo_point_in_polygon(5.0, 11.0, donut),
+        |  arch_multi = arch startswith '{"type":"MultiPolygon"',
+        |  arch_lake = geo_point_in_polygon(6.0, 6.0, arch),
+        |  arch_isl = geo_point_in_polygon(10.0, 10.0, arch),
+        |  arch_solid = geo_point_in_polygon(2.0, 2.0, arch),
+        |  small_in_big = geo_intersection_2polygons(island,
+        |    '{"type":"Polygon","coordinates":[[[-50.0,-50.0],[50.0,-50.0],[50.0,50.0],[-50.0,50.0],[-50.0,-50.0]]]}') == island,
+        |  disj_union = geo_union_2polygons(island,
+        |    '{"type":"Polygon","coordinates":[[[30.0,30.0],[40.0,30.0],[40.0,40.0],[30.0,40.0],[30.0,30.0]]]}')
+        |      startswith '{"type":"MultiPolygon"',
+        |  multi_in = geo_polygon_area(geo_intersection_2polygons(
+        |    '{"type":"MultiPolygon","coordinates":[[[[0.0,0.0],[4.0,0.0],[4.0,4.0],[0.0,4.0],[0.0,0.0]]],[[[20.0,0.0],[24.0,0.0],[24.0,4.0],[20.0,4.0],[20.0,0.0]]]]}',
+        |    '{"type":"Polygon","coordinates":[[[-1.0,1.0],[25.0,1.0],[25.0,3.0],[-1.0,3.0],[-1.0,1.0]]]}')) > 0.0""".stripMargin).head()
+    assert(r.getBoolean(0), "U ∩ band must be TWO pieces (MultiPolygon)")
+    assert(r.getBoolean(2) && !r.getBoolean(3) && r.getBoolean(4),
+      "left arm in, notch gap out, right arm in")
+    assert(r.getBoolean(5), "U ∪ cap closes the notch into ONE polygon")
+    assert(!r.getBoolean(6), "the closed notch below the cap is a HOLE of the union")
+    assert(r.getBoolean(7) && r.getBoolean(8), "U body and cap body are in the union")
+    assert(r.getBoolean(9), "island in the lake unions to a MultiPolygon")
+    assert(!r.getBoolean(10) && r.getBoolean(11) && r.getBoolean(12),
+      "lake stays empty, island and solid frame stay filled")
+    assert(r.getBoolean(13), "contained polygon intersects to itself verbatim")
+    assert(r.getBoolean(14), "disjoint union is a MultiPolygon")
+    assert(r.getBoolean(15), "MultiPolygon operand intersects per component")
   }
 
   test("geo_point_buffer: N-gon count, exact-radius vertices, membership, guards") {

@@ -307,6 +307,60 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("tabular in at data scale: literal isin below the threshold, semi-join above, " +
+       "no wide In literal anywhere") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+    val resolve: String => DataFrame = {
+      case "probe"    => spark.range(0, 600000).selectExpr("id as x")
+      case "bigops"   => spark.range(0, 200000).selectExpr("id * 3 as k")
+      case "smallops" => spark.range(0, 500).selectExpr("id * 3 as k")
+      case other      => throw new IllegalArgumentException(other)
+    }
+    def wideInSizes(df: DataFrame): Seq[Int] =
+      df.queryExecution.optimizedPlan.collect { case p =>
+        p.expressions.flatMap(_.collect {
+          case i: In    => i.list.size
+          case s: InSet => s.hset.size
+        })
+      }.flatten
+
+    // ≤ threshold: stays a literal membership test — no join introduced
+    val small = graft.kql.KqlCompiler.compile(
+      "probe | where x in (smallops | project k) | summarize n = count()", resolve)
+    assert(!small.queryExecution.optimizedPlan.toString.contains("Join"),
+      "small operand must stay a literal isin, not a join")
+    assert(small.collect()(0).getLong(0) == 500L)
+
+    // 200k-distinct operand (≫ 4096): lowers to a semi/existence join;
+    // no In/InSet literal above the threshold may appear in the plan
+    val big = graft.kql.KqlCompiler.compile(
+      "probe | where x in (bigops | project k) | summarize n = count()", resolve)
+    val opt = big.queryExecution.optimizedPlan.toString
+    assert(opt.contains("LeftSemi") || opt.contains("ExistenceJoin"),
+      s"large operand must lower to a semi/existence join:\n$opt")
+    val sizes = wideInSizes(big)
+    assert(sizes.forall(_ <= graft.kql.KqlCompiler.TabularInLiteralMax),
+      s"wide In literal leaked into the plan: sizes=$sizes")
+    assert(big.collect()(0).getLong(0) == 200000L)
+
+    // negation at scale: null-free !in is the anti-join complement
+    val neg = graft.kql.KqlCompiler.compile(
+      "probe | where x !in (bigops | project k) | summarize n = count()", resolve)
+    assert(wideInSizes(neg).forall(_ <= graft.kql.KqlCompiler.TabularInLiteralMax))
+    assert(neg.collect()(0).getLong(0) == 400000L)
+
+    // composable contexts: extend (Project) and OR-composed filter
+    val composed = graft.kql.KqlCompiler.compile(
+      """let big = bigops | project k;
+        |probe
+        | | extend hit = x in (big)
+        | | where x in (big) or x % 2 == 0
+        | | summarize n = count(), hits = countif(hit)""".stripMargin, resolve)
+    val row = composed.collect()(0)
+    assert(row.getLong(0) == 400000L && row.getLong(1) == 200000L)
+  }
+
   test("InferFiltersFromGenerate exclusion is scoped to LLM-query sessions") {
     val excludedKey = "spark.sql.optimizer.excludedRules"
     val rule = "InferFiltersFromGenerate"
