@@ -2528,6 +2528,83 @@ object KqlCompiler {
               val right = matched.select(("__g_rid" +: lookupCols).map(col): _*)
               withId.join(right, Seq("__g_rid"), "left").drop("__g_rid")
             }
+          case "geo_line_lookup" =>
+            // `evaluate geo_line_lookup(LookupTable, LineKeyCol,
+            //  SourceLonCol, SourceLatCol, radius [, return_unmatched =
+            //  true|false])` — the line-proximity spatial-join plugin:
+            // each source point joins every lookup line within `radius`
+            // meters. Scale shape (the q239 stance): the dim lines are
+            // covered ONCE at level 8 and the covering is EXPANDED with
+            // each cell's 8 neighbors; because the pinned radius cap
+            // (20 km) is below the level-8 minimum cell width (~27 km),
+            // any point within radius of a line lies in a covering cell
+            // or one of its neighbors — candidacy is complete, and the
+            // exact spherical geo_distance_point_to_line ≤ radius refine
+            // keeps only true matches. The exploded (cell → lookup row)
+            // table broadcasts; the probe computes one cell and
+            // equi-joins — no cross product, no per-row UDF.
+            val lookup = subquery()
+            expect(",")
+            val lineCol = ident(); expect(",")
+            val lonCol = ident(); expect(",")
+            val latCol = ident(); expect(",")
+            val radB = expr()
+            var retUnmatched = false
+            while (peekIs(",")) {
+              expect(",")
+              val t = ident()
+              if (t == "return_unmatched") {
+                if (peekIs("=")) { expect("=")
+                  retUnmatched = ident() match {
+                    case "true" => true
+                    case "false" => false
+                    case o => throw new KqlParseException(s"return_unmatched expects true/false, got '$o'")
+                  }
+                } else retUnmatched = true
+              } else throw new KqlParseException(
+                s"geo_line_lookup supports the return_unmatched option, got '$t'")
+            }
+            expect(")")
+            import org.apache.spark.sql.GraftColumnBridge
+            val Level = 8
+            // the radius is the plugin's per-invocation constant: evaluate
+            // it once and enforce the completeness cap loudly
+            val radius: Double = {
+              val one = lookup.sparkSession.range(1).toDF("__r")
+              val v = one.select(radB(one).cast("double")).head().get(0)
+              if (v == null) throw new KqlParseException("geo_line_lookup: radius must be a constant")
+              v.asInstanceOf[Double]
+            }
+            if (!(radius > 0.0 && radius <= 20000.0))
+              throw new KqlParseException(
+                "geo_line_lookup: radius must be in (0, 20000] m — the level-8 " +
+                "covering's completeness bound (min cell width ~27 km)")
+            val cov = GraftColumnBridge.column(graft.functions.S2LineCover(
+              GraftColumnBridge.catalystExpression(col(lineCol).cast("string")), Level))
+            val withNbrs = array_distinct(concat(cov, flatten(transform(cov, c =>
+              GraftColumnBridge.column(graft.functions.S2CellNeighbors(
+                GraftColumnBridge.catalystExpression(c)))))))
+            val prepped = lookup.withColumn("__gl_cell", explode(withNbrs))
+            val withId = df.withColumn("__gl_rid", monotonically_increasing_id())
+            val probed = withId.withColumn("__gl_cell", GraftColumnBridge.column(
+              graft.functions.S2CellToken(
+                GraftColumnBridge.catalystExpression(col(lonCol).cast("double")),
+                GraftColumnBridge.catalystExpression(col(latCol).cast("double")), Level)))
+            val near = GraftColumnBridge.column(graft.functions.GeoDistancePointToLine(
+              GraftColumnBridge.catalystExpression(col(lonCol).cast("double")),
+              GraftColumnBridge.catalystExpression(col(latCol).cast("double")),
+              GraftColumnBridge.catalystExpression(col(lineCol).cast("string")))) <= lit(radius)
+            val matched = probed
+              .join(broadcast(prepped), Seq("__gl_cell"), "inner")
+              .where(near)
+              .drop("__gl_cell")
+            if (!retUnmatched) matched.drop("__gl_rid")
+            else {
+              val lookupCols = prepped.columns.filterNot(c =>
+                c == "__gl_cell" || withId.columns.contains(c))
+              val right = matched.select(("__gl_rid" +: lookupCols.toSeq).map(col): _*)
+              withId.join(right, Seq("__gl_rid"), "left").drop("__gl_rid")
+            }
           case "geo_polygon_lookup" =>
             // `evaluate geo_polygon_lookup(LookupTable, PolygonKeyCol,
             //  SourceLonCol, SourceLatCol [, return_unmatched =
@@ -5028,6 +5105,29 @@ object KqlCompiler {
             GraftColumnBridge.catalystExpression(latB(df).cast("double")),
             GraftColumnBridge.catalystExpression(rad),
             GraftColumnBridge.catalystExpression(tol)))
+        }
+      }
+      if (name == "geo_line_buffer" || name == "geo_polygon_buffer") {
+        // geo_line_buffer(line, radius [, tolerance]) /
+        // geo_polygon_buffer(polygon, radius [, tolerance]) — offset
+        // curves with arc joins (functions/GeoBuffer.scala pins the
+        // planar local-frame subset and the loud-null degeneracies);
+        // tolerance defaults to max(radius·3%, 0.1 m) — the
+        // geo_point_buffer pin.
+        val shapeB = expr(); expect(","); val radB = expr()
+        val tolB = if (peekIs(",")) { expect(","); Some(expr()) } else None
+        expect(")")
+        val isLine = name == "geo_line_buffer"
+        return df => {
+          import org.apache.spark.sql.GraftColumnBridge
+          val rad = radB(df).cast("double")
+          val tol = tolB.fold(greatest(rad * lit(0.03), lit(0.1)))(_(df).cast("double"))
+          val s = GraftColumnBridge.catalystExpression(shapeB(df).cast("string"))
+          val r = GraftColumnBridge.catalystExpression(rad)
+          val t = GraftColumnBridge.catalystExpression(tol)
+          GraftColumnBridge.column(
+            if (isLine) graft.functions.GeoLineBuffer(s, r, t)
+            else graft.functions.GeoPolygonBuffer(s, r, t))
         }
       }
       if (name == "geo_line_densify" || name == "geo_polygon_densify") {

@@ -1680,6 +1680,76 @@ object KqlQueries extends QueryModule {
           | | order by event_id asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // geo_line_buffer at data scale (round 16): the buffer's membership
+    // must agree with the EXACT point-to-line distance everywhere
+    // outside a ±450 m ambiguity band around the radius (polygonization
+    // tolerance 50 m ≪ band; the equator frame makes planar-vs-
+    // spherical drift sub-mm). The probe grid brackets the +20°
+    // endpoint so straight sides AND the round end cap are both
+    // exercised; the oracle recomputes d with the q227 bit-stable
+    // ladder and states the same counts.
+    "q244_kql_text_line_buffer" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_id % 11 == 0
+          | | extend px = todouble(user_id % 168) * 0.005 + 19.58 + 0.0005,
+          |          py = (todouble(event_id % 120) - 60.0) * 0.005 + 0.0005
+          | | extend line = '{"type":"LineString","coordinates":[[-20.0,0.0],[20.0,0.0]]}'
+          | | extend buf = geo_line_buffer(line, 9000.0, 50.0)
+          | | extend d = geo_distance_point_to_line(px, py, line)
+          | | extend band = abs(d - 9000.0) < 450.0,
+          |          inb = geo_point_in_polygon(px, py, buf)
+          | | summarize n = count(), nb = countif(band),
+          |             agree = countif(band or inb == (d < 9000.0)),
+          |             inn = countif(inb and not(band)),
+          |             bufok = countif(isnotnull(buf))""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // geo_line_lookup at data scale (round 16): the LAST geo plugin —
+    // per-row points join dim lines within 9 km via the level-8 line
+    // covering expanded with cell neighbors (completeness: radius ≪
+    // level-8 min cell width), refined by the EXACT spherical
+    // point-to-line distance. Two crossing lines make multi-match rows;
+    // return_unmatched keeps misses with a null name. The oracle
+    // restates both distances with the q227 ladder — no band needed,
+    // the refine is bitwise.
+    "q245_kql_text_line_lookup" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """let lns = datatable(lname: string, l: string)[
+          |  'h', '{"type":"LineString","coordinates":[[-20.0,0.0],[20.0,0.0]]}',
+          |  'v', '{"type":"LineString","coordinates":[[19.9,-0.5],[19.9,0.5]]}'];
+          |events
+          | | where event_id % 11 == 0
+          | | extend px = todouble(user_id % 168) * 0.005 + 19.58 + 0.0005,
+          |          py = (todouble(event_id % 120) - 60.0) * 0.005 + 0.0005
+          | | evaluate geo_line_lookup(lns, l, px, py, 9000.0, return_unmatched = true)
+          | | summarize n = count(), hs = countif(lname == 'h'), vs = countif(lname == 'v'),
+          |             misses = countif(isnull(lname))""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // geo_polygon_buffer at data scale (round 16): same band invariant
+    // against geo_distance_point_to_polygon (0 inside, so inb == d<r is
+    // uniform), square with a hole — the hole shrinks by the radius, so
+    // probes inside the original hole but within r of its boundary land
+    // IN the buffer. Oracle: min over the 8 fixed segments of the q227
+    // ladder, 0 when inside by interval logic.
+    "q246_kql_text_polygon_buffer" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_id % 11 == 0
+          | | extend px = todouble(user_id % 168) * 0.005 - 0.42 + 0.0005,
+          |          py = (todouble(event_id % 120) - 60.0) * 0.005 + 0.0005
+          | | extend poly = '{"type":"Polygon","coordinates":[[[-0.2,-0.15],[0.2,-0.15],[0.2,0.15],[-0.2,0.15],[-0.2,-0.15]],[[-0.05,-0.04],[0.05,-0.04],[0.05,0.04],[-0.05,0.04],[-0.05,-0.04]]]}'
+          | | extend buf = geo_polygon_buffer(poly, 3000.0, 20.0)
+          | | extend d = geo_distance_point_to_polygon(px, py, poly)
+          | | extend band = abs(d - 3000.0) < 200.0,
+          |          inb = geo_point_in_polygon(px, py, buf)
+          | | summarize n = count(), nb = countif(band),
+          |             agree = countif(band or inb == (d < 3000.0)),
+          |             inn = countif(inb and not(band)),
+          |             bufok = countif(isnotnull(buf))""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // general polygon booleans at data scale (round 16): concave ∩ / ∪
     // concave — a per-row L-shaped subject against a fixed L-shaped
     // window (both rectilinear, vertices at .25/.0 offsets so every
@@ -2543,6 +2613,100 @@ object KqlQueries extends QueryModule {
                      AND (cy1 + cy2) / 2.0 > py + 2.0 AND (cy1 + cy2) / 2.0 < py + 4.0)
               ELSE false END AS inm
        FROM b ORDER BY event_id"""
+  }
+
+  /** The engine's spherical point-to-segment ladder (GeoPredicates
+    * `distSeg`: haversine-with-pow, cross-track/along-track clamps, the
+    * d12=0 → dat≤0 → dat≥d12 case order — the q227 bit-stable
+    * restatement) as ONE inline SQL expression for a FIXED segment
+    * (lon1,lat1)→(lon2,lat2), probe columns px/py. Reused by the buffer
+    * and line-lookup oracles so every segment restates the identical
+    * IEEE op order. */
+  private def crossTrackSql(lon1: Double, lat1: Double,
+                            lon2: Double, lat2: Double): String = {
+    def hav(lonA: String, latA: String, lonB: String, latB: String) =
+      s"""2*asin(sqrt(pow(sin(radians(($latB) - ($latA))/2), 2) +
+            cos(radians($latA))*cos(radians($latB))*pow(sin(radians(($lonB) - ($lonA))/2), 2)))"""
+    def brg(lonA: String, latA: String, lonB: String, latB: String) =
+      s"""atan2(sin(radians(($lonB) - ($lonA)))*cos(radians($latB)),
+            cos(radians($latA))*sin(radians($latB)) -
+            sin(radians($latA))*cos(radians($latB))*cos(radians(($lonB) - ($lonA))))"""
+    val d13 = hav(s"$lon1", s"$lat1", "px", "py")
+    val d12 = hav(s"$lon1", s"$lat1", s"$lon2", s"$lat2")
+    val t13 = brg(s"$lon1", s"$lat1", "px", "py")
+    val t12 = brg(s"$lon1", s"$lat1", s"$lon2", s"$lat2")
+    val dxt = s"asin(greatest(-1.0, least(1.0, sin($d13)*sin(($t13) - ($t12)))))"
+    val dat = s"acos(greatest(-1.0, least(1.0, cos($d13)/cos($dxt)))) * sign(cos(($t13) - ($t12)))"
+    s"""CASE WHEN ($d12) = 0.0 THEN ($d13) * 6371009.0
+             WHEN ($dat) <= 0.0 THEN ($d13) * 6371009.0
+             WHEN ($dat) >= ($d12) THEN (${hav(s"$lon2", s"$lat2", "px", "py")}) * 6371009.0
+             ELSE abs($dxt) * 6371009.0 END"""
+  }
+
+  /** q244: the buffer-membership band invariant — d restated with the
+    * single-segment ladder; agreement outside the band is total, so
+    * agree = n and inn counts d below the band's lower edge. */
+  private def lineBufferOracle: String = {
+    val d = crossTrackSql(-20.0, 0.0, 20.0, 0.0)
+    s"""WITH e AS (
+         SELECT CAST(user_id % 168 AS DOUBLE) * 0.005 + 19.58 + 0.0005 AS px,
+                (CAST(event_id % 120 AS DOUBLE) - 60.0) * 0.005 + 0.0005 AS py
+         FROM events WHERE event_id % 11 = 0),
+       dd AS (SELECT px, py, ($d) AS d FROM e)
+       SELECT CAST(count(1) AS BIGINT) AS n,
+              CAST(count(CASE WHEN abs(d - 9000.0) < 450.0 THEN 1 END) AS BIGINT) AS nb,
+              CAST(count(1) AS BIGINT) AS agree,
+              CAST(count(CASE WHEN d < 9000.0 AND NOT abs(d - 9000.0) < 450.0
+                         THEN 1 END) AS BIGINT) AS inn,
+              CAST(count(1) AS BIGINT) AS bufok
+       FROM dd"""
+  }
+
+  /** q245: line-lookup membership restated per line with the q227
+    * ladder (bitwise ≤ radius, no band); one output row per match plus
+    * one null row per miss (return_unmatched). */
+  private def lineLookupOracle: String = {
+    val dh = crossTrackSql(-20.0, 0.0, 20.0, 0.0)
+    val dv = crossTrackSql(19.9, -0.5, 19.9, 0.5)
+    s"""WITH e AS (
+         SELECT CAST(user_id % 168 AS DOUBLE) * 0.005 + 19.58 + 0.0005 AS px,
+                (CAST(event_id % 120 AS DOUBLE) - 60.0) * 0.005 + 0.0005 AS py
+         FROM events WHERE event_id % 11 = 0),
+       dd AS (SELECT px, py, ($dh) AS dh, ($dv) AS dv FROM e)
+       SELECT CAST(sum(CASE WHEN dh <= 9000.0 THEN 1 ELSE 0 END
+                     + CASE WHEN dv <= 9000.0 THEN 1 ELSE 0 END
+                     + CASE WHEN dh > 9000.0 AND dv > 9000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n,
+              CAST(count(CASE WHEN dh <= 9000.0 THEN 1 END) AS BIGINT) AS hs,
+              CAST(count(CASE WHEN dv <= 9000.0 THEN 1 END) AS BIGINT) AS vs,
+              CAST(count(CASE WHEN dh > 9000.0 AND dv > 9000.0 THEN 1 END) AS BIGINT) AS misses
+       FROM dd"""
+  }
+
+  /** q246: same band invariant for the polygon buffer — d is 0 inside
+    * (interval logic) else the min of the 8 fixed segments' ladders in
+    * written ring order (the engine's candidate set bitwise). */
+  private def polygonBufferOracle: String = {
+    val outer = Seq((-0.2, -0.15), (0.2, -0.15), (0.2, 0.15), (-0.2, 0.15), (-0.2, -0.15))
+    val hole = Seq((-0.05, -0.04), (0.05, -0.04), (0.05, 0.04), (-0.05, 0.04), (-0.05, -0.04))
+    val segs = (outer.sliding(2) ++ hole.sliding(2)).map {
+      case Seq((x1, y1), (x2, y2)) => crossTrackSql(x1, y1, x2, y2)
+    }.toSeq
+    val minD = s"least(${segs.mkString(", ")})"
+    val inside =
+      """(px > -0.2 AND px < 0.2 AND py > -0.15 AND py < 0.15
+          AND NOT (px > -0.05 AND px < 0.05 AND py > -0.04 AND py < 0.04))"""
+    s"""WITH e AS (
+         SELECT CAST(user_id % 168 AS DOUBLE) * 0.005 - 0.42 + 0.0005 AS px,
+                (CAST(event_id % 120 AS DOUBLE) - 60.0) * 0.005 + 0.0005 AS py
+         FROM events WHERE event_id % 11 = 0),
+       dd AS (SELECT px, py, CASE WHEN $inside THEN 0.0 ELSE ($minD) END AS d FROM e)
+       SELECT CAST(count(1) AS BIGINT) AS n,
+              CAST(count(CASE WHEN abs(d - 3000.0) < 200.0 THEN 1 END) AS BIGINT) AS nb,
+              CAST(count(1) AS BIGINT) AS agree,
+              CAST(count(CASE WHEN d < 3000.0 AND NOT abs(d - 3000.0) < 200.0
+                         THEN 1 END) AS BIGINT) AS inn,
+              CAST(count(1) AS BIGINT) AS bufok
+       FROM dd"""
   }
 
   /** q243: concave∩concave / ∪ by inclusion-exclusion over disjoint
@@ -3980,6 +4144,12 @@ object KqlQueries extends QueryModule {
     "q241_kql_text_clip" -> clipOracle,
 
     "q243_kql_text_polygon_boolean" -> polygonBooleanOracle,
+
+    "q244_kql_text_line_buffer" -> lineBufferOracle,
+
+    "q245_kql_text_line_lookup" -> lineLookupOracle,
+
+    "q246_kql_text_polygon_buffer" -> polygonBufferOracle,
 
     "q242_kql_text_in_semijoin" ->
       """WITH big AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 900.0)

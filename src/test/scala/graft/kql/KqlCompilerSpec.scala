@@ -2436,6 +2436,82 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getBoolean(11), "shared-edge contact (non-transversal) is loudly null")
   }
 
+  test("geo_line_buffer / geo_polygon_buffer: capsule membership, joins, holes, guards") {
+    // equator fixtures: the local frame is metrically exact, so
+    // membership probes at ±10% of the radius are unambiguous
+    // (tolerance 3% default ≪ margins)
+    val r = run(
+      """t | where id == 1
+        | | extend seg = '{"type":"LineString","coordinates":[[0.0,0.0],[1.0,0.0]]}',
+        |          ell = '{"type":"LineString","coordinates":[[0.0,0.0],[1.0,0.0],[1.0,1.0]]}',
+        |          spike = '{"type":"LineString","coordinates":[[0.0,0.0],[1.0,0.0],[0.0,0.0]]}',
+        |          sq = '{"type":"Polygon","coordinates":[[[0.0,0.0],[1.0,0.0],[1.0,1.0],[0.0,1.0],[0.0,0.0]]]}',
+        |          sqh = '{"type":"Polygon","coordinates":[[[0.0,0.0],[1.0,0.0],[1.0,1.0],[0.0,1.0],[0.0,0.0]],[[0.4,0.4],[0.6,0.4],[0.6,0.6],[0.4,0.6],[0.4,0.4]]]}'
+        | | extend cap = geo_line_buffer(seg, 10000.0),
+        |          lb = geo_line_buffer(ell, 10000.0),
+        |          pb = geo_polygon_buffer(sq, 10000.0),
+        |          hb = geo_polygon_buffer(sqh, 10000.0),
+        |          hb15 = geo_polygon_buffer(sqh, 15000.0)
+        | | project
+        |  side_in = geo_point_in_polygon(0.5, 0.05, cap),
+        |  side_out = geo_point_in_polygon(0.5, 0.12, cap),
+        |  cap_in = geo_point_in_polygon(1.05, 0.0, cap),
+        |  cap_out = geo_point_in_polygon(1.13, 0.0, cap),
+        |  corner_arc = geo_point_in_polygon(1.06, -0.06, lb),
+        |  corner_far = geo_point_in_polygon(1.1, -0.1, lb),
+        |  inner_trim = geo_point_in_polygon(0.95, 0.05, lb),
+        |  p_center = geo_point_in_polygon(0.5, 0.5, pb),
+        |  p_ring = geo_point_in_polygon(-0.05, 0.5, pb),
+        |  p_out = geo_point_in_polygon(-0.12, 0.5, pb),
+        |  p_carc = geo_point_in_polygon(-0.06, -0.06, pb),
+        |  p_cfar = geo_point_in_polygon(-0.1, -0.1, pb),
+        |  h_center = geo_point_in_polygon(0.5, 0.5, hb),
+        |  h_nearedge = geo_point_in_polygon(0.45, 0.5, hb),
+        |  h_gone = geo_point_in_polygon(0.5, 0.5, hb15),
+        |  spike_null = isnull(geo_line_buffer(spike, 10000.0)),
+        |  rad_null = isnull(geo_line_buffer(seg, 0.0)),
+        |  bad_null = isnull(geo_line_buffer(sq, 10000.0))""".stripMargin).head()
+    assert(r.getBoolean(0), "point beside the segment within r is in the buffer")
+    assert(!r.getBoolean(1), "point beside the segment beyond r is out")
+    assert(r.getBoolean(2), "round end cap covers points past the endpoint within r")
+    assert(!r.getBoolean(3), "past the cap radius is out")
+    assert(r.getBoolean(4), "arc join covers the outer corner diagonal within r")
+    assert(!r.getBoolean(5), "outer corner diagonal beyond r is out")
+    assert(r.getBoolean(6), "inner (trimmed) side keeps near-line points")
+    assert(r.getBoolean(7) && r.getBoolean(8) && !r.getBoolean(9),
+      "polygon buffer keeps the interior and the ring band, not beyond")
+    assert(r.getBoolean(10) && !r.getBoolean(11),
+      "polygon corner arc within r, not beyond the diagonal radius")
+    assert(!r.getBoolean(12), "hole center beyond r of the hole edge stays out")
+    assert(r.getBoolean(13), "hole point within r of the hole edge is filled")
+    assert(r.getBoolean(14), "a hole smaller than 2r vanishes from the buffer")
+    assert(r.getBoolean(15), "a reversal spike is loudly null")
+    assert(r.getBoolean(16), "radius 0 is loudly null")
+    assert(r.getBoolean(17), "a polygon fed to line_buffer is loudly null")
+  }
+
+  test("geo_line_lookup: covering+neighbor candidacy, exact refine, radius cap") {
+    val out = runG2(
+      """let lns = datatable(lname: string, l: string)[
+        |  'eq', '{"type":"LineString","coordinates":[[-1.0,0.0],[1.0,0.0]]}'];
+        | t | where id <= 3
+        | | extend px = 0.0, py = todouble(id) * 0.05 - 0.05
+        | | evaluate geo_line_lookup(lns, l, px, py, 9000.0, return_unmatched = true)
+        | | project id, lname
+        | | order by id asc""".stripMargin).collect()
+    // id 1 → py 0.0 (on the line: match), id 2 → py 0.05 (~5.6 km: match),
+    // id 3 → py 0.10 (~11.1 km > 9 km: unmatched null)
+    val got = out.map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toSeq
+    assert(got == Seq((1L, "eq"), (2L, "eq"), (3L, null)), s"got $got")
+    val err = intercept[Exception] {
+      runG2(
+        """let lns = datatable(lname: string, l: string)['eq', '{"type":"LineString","coordinates":[[-1.0,0.0],[1.0,0.0]]}'];
+          | t | extend px = 0.0, py = 0.0
+          | | evaluate geo_line_lookup(lns, l, px, py, 50000.0)""".stripMargin)
+    }
+    assert(err.getMessage.contains("20000"), "radius past the completeness cap is a loud error")
+  }
+
   test("geo boolean engine: union/intersection with concave shapes, MultiPolygon, islands") {
     // U-shape: [0,10]x[0,10] minus the open notch (3,7)x(4,10] — concave,
     // 8 vertices, axis-aligned. band: y in [5,6] crossing both arms.
