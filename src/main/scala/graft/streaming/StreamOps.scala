@@ -342,4 +342,79 @@ object StreamOps {
           }
       }
   }
+
+  /** Streaming incremental dedup — the streaming complement of the
+    * q202 snapshot form: classify each ARRIVING document against a
+    * STATIC corpus index as `exact` (content hash present in the
+    * index), `near` (shares a banded-minhash bucket with an index doc
+    * whose 12-lane est-Jaccard ≥ 0.5 — the q22/q202 decision), or
+    * `kept`. Emits ONE row per arrival with its verdict, append mode.
+    *
+    * Scale/state shape: the corpus side pre-aggregates ONCE into (a)
+    * the distinct content-hash set and (b) a band-bucket → capped
+    * signature-list index (a bucket keeps its first `bandCap` members
+    * by doc id — a dense near-dup cluster needs only enough members to
+    * witness membership; q202 caps the same way on bucket size); both
+    * are static dims that broadcast into stream-static joins. The
+    * stream side is MAP-ONLY: signature, content hash, and the four
+    * band keys are computed as COLUMNS (no explode), looked up with
+    * four broadcast left joins, and the near decision is a per-row
+    * fold over ≤ 4·bandCap candidate signatures — ZERO streaming
+    * state, and per-arrival work independent of corpus size.
+    *
+    * Precondition: `minhash_sig` must be registered on the session
+    * (graft.functions.GraftFunctions.registerMinhash — the q22 lanes).
+    * Documents under 3 words carry no signature (no shingles) and can
+    * only be exact or kept, matching the batch form. */
+  def streamingIncrementalDedup(stream: DataFrame, docIdCol: String, textCol: String,
+                                corpus: DataFrame, bandCap: Int): DataFrame = {
+    require(bandCap > 0, "bandCap must be positive")
+    def bandKey(mh: Column, b: Int): Column =
+      md5(concat_ws(",",
+        element_at(mh, b * 3 + 1).cast("string"),
+        element_at(mh, b * 3 + 2).cast("string"),
+        element_at(mh, b * 3 + 3).cast("string")))
+    // ---- static index (built once; dims broadcast) ----
+    val hashes = corpus.select(md5(lower(col(textCol))).as("__h"))
+      .distinct().withColumn("__exact", lit(true))
+    val sig = corpus
+      .where(size(split(lower(col(textCol)), "\\s+")) >= 3)
+      .select(col(docIdCol).cast("long").as("__cid"),
+        expr(s"minhash_sig($textCol)").as("__cmh"))
+    val bandWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b"), col("__bh")).orderBy(col("__cid"))
+    val idx = sig
+      .select(col("__cid"), col("__cmh"),
+        explode(array((0 to 3).map(b =>
+          struct(lit(b).as("__b"), bandKey(col("__cmh"), b).as("__bh"))): _*)).as("__e"))
+      .select(col("__cid"), col("__cmh"), col("__e.__b").as("__b"), col("__e.__bh").as("__bh"))
+      .withColumn("__rn", row_number().over(bandWin))
+      .where(col("__rn") <= bandCap)
+      .groupBy(col("__b"), col("__bh"))
+      .agg(collect_list(col("__cmh")).as("__sigs"))
+    // ---- map-only stream side ----
+    var s = stream
+      .withColumn("__mh", expr(s"minhash_sig($textCol)"))
+      .withColumn("__h", md5(lower(col(textCol))))
+    for (b <- 0 to 3) s = s.withColumn(s"__bh$b", bandKey(col("__mh"), b))
+    var joined = s.join(broadcast(hashes), Seq("__h"), "left")
+    for (b <- 0 to 3) {
+      val idxB = idx.where(col("__b") === b)
+        .select(col("__bh").as(s"__bh$b"), col("__sigs").as(s"__sigs$b"))
+      joined = joined.join(broadcast(idxB), Seq(s"__bh$b"), "left")
+    }
+    val emptySigs = "cast(array() as array<array<bigint>>)"
+    val near = expr(
+      s"""exists(
+            concat(coalesce(__sigs0, $emptySigs), coalesce(__sigs1, $emptySigs),
+                   coalesce(__sigs2, $emptySigs), coalesce(__sigs3, $emptySigs)),
+            s -> size(filter(sequence(0, 11), k -> element_at(s, k + 1) = element_at(__mh, k + 1)))
+                   / cast(12 as double) >= 0.5)""")
+    joined
+      .withColumn("verdict",
+        when(coalesce(col("__exact"), lit(false)), "exact")
+          .when(size(split(lower(col(textCol)), "\\s+")) >= 3 && coalesce(near, lit(false)), "near")
+          .otherwise("kept"))
+      .select(stream.columns.map(col) :+ col("verdict"): _*)
+  }
 }

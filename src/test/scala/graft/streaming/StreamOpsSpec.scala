@@ -125,6 +125,79 @@ class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streamingIncrementalDedup: verdicts match the batch q202 classification on one fixture") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.queries.LlmQueries.registerFunctions(spark)
+    // q202's id convention: corpus (old) ids % 3 != 0, arrivals (new) % 3 == 0
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "apache spark structured streaming handles stateful aggregation"),
+      (4L, "wide tables compress better with dictionary encoding enabled"))
+      .toDF("doc_id", "text")
+    val arrivals = Seq(
+      (3L, ts(1), "the quick brown fox jumps over the lazy dog"), // exact copy of 1
+      (6L, ts(2), "apache spark structured streaming handles stateful aggregation nicely"), // superset of 2
+      (9L, ts(3), "a totally fresh document about something else entirely unrelated"),
+      (12L, ts(4), "hi there")) // < 3 words: no signature, kept
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val df = stream.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamOps.streamingIncrementalDedup(df, "doc_id", "text", corpus, bandCap = 200)
+      .writeStream.format("memory").queryName("inc_dedup").outputMode(OutputMode.Append).start()
+    val got = try {
+      stream.addData(
+        (3L, ts(1), "the quick brown fox jumps over the lazy dog"),
+        (6L, ts(2), "apache spark structured streaming handles stateful aggregation nicely"),
+        (9L, ts(3), "a totally fresh document about something else entirely unrelated"),
+        (12L, ts(4), "hi there"))
+      q.processAllAvailable()
+      spark.table("inc_dedup").select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    } finally q.stop()
+    // batch classification of the SAME union fixture, the q202 CTE chain
+    corpus.select("doc_id", "text")
+      .union(arrivals.toDF("doc_id", "ts", "text").select("doc_id", "text"))
+      .createOrReplaceTempView("incdocs")
+    val batch = spark.sql(
+      """WITH sig AS (
+        |  SELECT doc_id, minhash_sig(text) AS mh FROM incdocs
+        |  WHERE size(split(lower(text), '\\s+')) >= 3),
+        |bands AS (
+        |  SELECT doc_id, b,
+        |         md5(concat_ws(',', cast(element_at(mh, b*3+1) AS string),
+        |             cast(element_at(mh, b*3+2) AS string),
+        |             cast(element_at(mh, b*3+3) AS string))) AS bh
+        |  FROM sig LATERAL VIEW explode(sequence(0, 3)) bt AS b),
+        |cand AS (
+        |  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+        |  FROM bands n JOIN bands o ON n.b = o.b AND n.bh = o.bh
+        |  WHERE n.doc_id % 3 = 0 AND o.doc_id % 3 != 0),
+        |near0 AS (
+        |  SELECT DISTINCT new_id FROM (
+        |    SELECT cand.new_id,
+        |           size(filter(sequence(0, 11), k -> element_at(sa.mh, k+1) = element_at(sb.mh, k+1)))
+        |             / cast(12 AS double) AS ej
+        |    FROM cand JOIN sig sa ON cand.new_id = sa.doc_id
+        |              JOIN sig sb ON cand.old_id = sb.doc_id)
+        |  WHERE ej >= 0.5),
+        |hashes AS (SELECT doc_id, md5(lower(text)) AS h FROM incdocs),
+        |exact0 AS (
+        |  SELECT DISTINCT n.doc_id AS new_id
+        |  FROM hashes n JOIN (SELECT DISTINCT h FROM hashes WHERE doc_id % 3 != 0) o ON n.h = o.h
+        |  WHERE n.doc_id % 3 = 0)
+        |SELECT d.doc_id,
+        |       CASE WHEN e.new_id IS NOT NULL THEN 'exact'
+        |            WHEN nr.new_id IS NOT NULL THEN 'near'
+        |            ELSE 'kept' END AS verdict
+        |FROM (SELECT doc_id FROM incdocs WHERE doc_id % 3 = 0) d
+        |LEFT JOIN exact0 e ON e.new_id = d.doc_id
+        |LEFT JOIN near0 nr ON nr.new_id = d.doc_id""".stripMargin)
+      .as[(Long, String)].collect().toMap
+    assert(got == batch, s"stream $got != batch $batch")
+    assert(got(3L) == "exact" && got(9L) == "kept" && got(12L) == "kept",
+      s"fixture verdicts moved: $got")
+    assert(got(6L) == "near", s"superset doc must classify near: $got")
+  }
+
   test("lshCandidatePairs: first doc per bucket keeps, later arrivals emit pairs, disjoint buckets stay silent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
