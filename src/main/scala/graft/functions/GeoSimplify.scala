@@ -61,7 +61,7 @@ object GeoSimplifyOps {
   }
 
   /** Douglas–Peucker keep-mask over an OPEN point sequence. */
-  private def dpKeep(xs: Array[Double], ys: Array[Double], tolM: Double): Array[Boolean] = {
+  private[functions] def dpKeep(xs: Array[Double], ys: Array[Double], tolM: Double): Array[Boolean] = {
     val n = xs.length
     val keep = new Array[Boolean](n)
     keep(0) = true; keep(n - 1) = true

@@ -550,21 +550,23 @@ object KqlCompiler {
           frontier = fresh
           lvl += 1
         }
-        // per-level results are checkpointed — the edge cache is no
-        // longer referenced by the result plan
-        edges.unpersist()
+        // cache lifetime: the node/edge persists above are reclaimed by
+        // the ContextCleaner once the result plan becomes unreachable
+        // (persisted RDDs are GC-tracked like shuffles/broadcasts), so
+        // repeated shortest-paths queries in one session do NOT
+        // accumulate caches. Round 15 instead re-materialized nodesB
+        // through an eager end-of-loop localCheckpoint + explicit
+        // unpersists — interleaved A/B at sf0.1 (3 rounds each, idle)
+        // measured that at +0.8 s per query (the q146 regression:
+        // every node row written into a second block set the final
+        // join reads once); checkpointing the INPUTS instead was
+        // equally slow (the materialization job stops pipelining the
+        // cache fill into the first consumer). Plain persist + GC
+        // reclamation is both the fastest and leak-free shape.
         val reached = perLevel.reduce(_ unionByName _)
-        // the endpoint-bind projection is the last reader of the node
-        // cache: checkpoint it (reads the cache once; the RDD blocks are
-        // reclaimed by the ContextCleaner when the result is dropped,
-        // unlike a persist which outlives the query) and release the
-        // cache so repeated shortest-paths queries in one session don't
-        // accumulate cached node tables
         val nodesB = nodes.select(
           nodes(g.idCol).as("__bfs_bid"),
           struct(nCols.map(nodes(_)): _*).as("__bfs_b"))
-          .localCheckpoint()
-        nodes.unpersist()
         var out = maybeBcast(reached, reachedCnt)
           .join(nodesB, reached("__bfs_cur") === nodesB("__bfs_bid"))
         // repeated endpoint alias (a)-[e*…]->(a): same-node constraint
@@ -5051,6 +5053,19 @@ object KqlCompiler {
           val c = GraftColumnBridge.catalystExpression(e(df).cast("string"))
           GraftColumnBridge.column(
             if (s2) graft.functions.S2CellPolygon(c) else graft.functions.GeohashPolygon(c))
+        }
+      }
+      if (name == "geo_simplify_polygons_array") {
+        // JOINT topology-preserving simplification of a polygon set
+        // (functions/GeoJointSimplify.scala pins the shared-chain spec:
+        // shared borders simplify identically on both sides or the
+        // result is loudly null — never diverging slivers).
+        val arrB = expr(); expect(","); val tolB = expr(); expect(")")
+        return df => {
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.GeoSimplifyPolygonsArray(
+            GraftColumnBridge.catalystExpression(arrB(df).cast("array<string>")),
+            GraftColumnBridge.catalystExpression(tolB(df).cast("double"))))
         }
       }
       if (name == "geo_line_simplify" || name == "geo_polygon_simplify") {

@@ -1680,6 +1680,36 @@ object KqlQueries extends QueryModule {
           | | order by event_id asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // geo_simplify_polygons_array at data scale (round 16): per-row
+    // pair of rectangles sharing an edge that carries a super-tolerance
+    // bump — the bump must survive IDENTICALLY in both outputs (the
+    // joint guarantee) while a sub-tolerance noise vertex on an
+    // unshared edge collapses; membership at the bump probe splits
+    // A/B with no sliver. Oracle: constructible counts + membership.
+    // The grid sits NORTH of the equator: for a rect straddling it the
+    // low-latitude noise vertex is genuinely FARTHEST from the long
+    // spherical chord (cos-lat advantage) and the DP correctly keeps
+    // it — off-equator, |lat| orders monotonically along each edge and
+    // sub-tolerance noise always collapses.
+    "q249_kql_text_joint_simplify" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_id % 97 == 0
+          | | extend px = todouble(user_id % 30) - 15.0 + 0.25, py = todouble(event_id % 20) + 2.25
+          | | extend a = strcat('{"type":"Polygon","coordinates":[[[', tostring(px), ',', tostring(py), '],[', tostring(px + 4.0), ',', tostring(py), '],[', tostring(px + 4.02), ',', tostring(py + 1.5), '],[', tostring(px + 4.0), ',', tostring(py + 3.0), '],[', tostring(px), ',', tostring(py + 3.0), '],[', tostring(px + 0.000001), ',', tostring(py + 1.5), '],[', tostring(px), ',', tostring(py), ']]]}'),
+          |          b = strcat('{"type":"Polygon","coordinates":[[[', tostring(px + 4.0), ',', tostring(py), '],[', tostring(px + 8.0), ',', tostring(py), '],[', tostring(px + 8.0), ',', tostring(py + 3.0), '],[', tostring(px + 4.0), ',', tostring(py + 3.0), '],[', tostring(px + 4.02), ',', tostring(py + 1.5), '],[', tostring(px + 4.0), ',', tostring(py), ']]]}')
+          | | extend r = geo_simplify_polygons_array(pack_array(a, b), 500.0)
+          | | extend sa = tostring(r[0]), sb = tostring(r[1])
+          | | extend bkey = strcat('[', tostring(px + 4.02), ',', tostring(py + 1.5), ']')
+          | | project event_id,
+          |           na = countof(sa, '['), nb = countof(sb, '['),
+          |           bump_both = (sa contains bkey) and (sb contains bkey),
+          |           noise_gone = not(sa contains tostring(px + 0.000001)),
+          |           am = geo_point_in_polygon(px + 4.01, py + 1.5, sa),
+          |           bm = geo_point_in_polygon(px + 4.01, py + 1.5, sb)
+          | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // geo_line_buffer at data scale (round 16): the buffer's membership
     // must agree with the EXACT point-to-line distance everywhere
     // outside a ±450 m ambiguity band around the radius (polygonization
@@ -4146,6 +4176,17 @@ object KqlQueries extends QueryModule {
     "q243_kql_text_polygon_boolean" -> polygonBooleanOracle,
 
     "q244_kql_text_line_buffer" -> lineBufferOracle,
+
+    // joint simplify: kept-vertex counts, bump survival, noise
+    // collapse, and the A/B membership split are all constructible
+    // constants of the fixture (5 kept vertices + closure per output;
+    // the probe sits between the straight shared edge and the bump)
+    "q249_kql_text_joint_simplify" ->
+      """SELECT event_id,
+              CAST(8 AS BIGINT) AS na, CAST(8 AS BIGINT) AS nb,
+              true AS bump_both, true AS noise_gone,
+              true AS am, false AS bm
+         FROM events WHERE event_id % 97 = 0 ORDER BY event_id""",
 
     "q245_kql_text_line_lookup" -> lineLookupOracle,
 

@@ -170,7 +170,9 @@ object LlmQueries extends QueryModule
     "q200_pipeline_funnel" -> sqlQuery(docs, pipelineFunnelSql),
     "q205_html_extract" -> sqlQuery(docs, htmlExtractSql),
     "q211_url_canon" -> sqlQuery(docs, urlCanonSql),
-    "q202_incremental_dedup" -> sqlQuery(docs, incrementalDedupSql))
+    "q202_incremental_dedup" -> sqlQuery(docs, incrementalDedupSql),
+    "q247_unigram_vocab" -> (unigramVocabQuery(_, _)),
+    "q248_unigram_segment" -> (unigramSegmentQuery(_, _)))
 
   override val oracles: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -240,6 +242,8 @@ object LlmQueries extends QueryModule
     "q185_sparse_cosine_topk" -> sparseCosineOracle,
     "q186_random_projection" -> randomProjOracle,
     "q189_wordpiece_tokenizer" -> wordpieceOracle,
+    "q247_unigram_vocab" -> unigramVocabOracle,
+    "q248_unigram_segment" -> unigramSegmentOracle,
     "q192_hard_negatives" -> hardNegOracle,
     "q194_pca_top2" -> pcaTop2Oracle,
     "q195_sequence_mining" -> seqMineOracle,

@@ -372,6 +372,164 @@ private[queries] trait LlmTokenizerQueries extends LlmShared {
     ORDER BY d.doc_id"""
   }
 
+  // ---------------- unigram LM (SentencePiece-style) ----------------
+
+  /** q247 — unigram-LM vocabulary: the trained top-30 pieces with their
+    * published 6dp log-probs (graft.ops.UnigramLm pins the full spec:
+    * top-4000 word stats, 512-piece seed, 2 EM iterations, prune to 256
+    * on 6dp-rounded expected counts, one final iteration). The oracle
+    * replicates the ENTIRE training — seed selection on exact integer
+    * weights, three unrolled forward/backward EM passes, the rounded
+    * prune cut — in generated DuckDB SQL. */
+  private[queries] def unigramVocabQuery(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val vocab = graft.ops.UnigramLm.train(d, "text")
+    val top = vocab.sortBy(p => (-p.logp, p.piece)).take(30).zipWithIndex
+      .map { case (p, i) => (i + 1L, p.piece, p.logp) }
+    import s.implicits._
+    top.toDF("rnk", "piece", "lp").orderBy("rnk")
+  }
+
+  /** q248 — unigram-LM Viterbi segmentation of EVERY training word
+    * (the gate corpus's Zipf vocabulary is small, so full coverage is
+    * cheap): pieces joined with '|', plus the piece count. Decisions
+    * ride the published 6dp log-probs with the pinned longer-piece
+    * tie-break, so the oracle's unrolled DP reproduces segmentations
+    * exactly. */
+  private[queries] def unigramSegmentQuery(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val vocab = graft.ops.UnigramLm.train(d, "text")
+    val sample = graft.ops.UnigramLm.wordCounts(d, "text")
+      .orderBy(col("f").desc, col("w").asc).limit(graft.ops.UnigramLm.TrainWords)
+      .select("w")
+    graft.ops.UnigramLm.segment(sample, "w", vocab)
+      .select(col("w"), concat_ws("|", col("pieces")).as("seg"),
+        size(col("pieces")).cast("long").as("np"))
+      .orderBy("w")
+  }
+
+  /** One forward/backward EM pass under vocabulary CTE `v$it` →
+    * expected counts `e$it`. Positions are unrolled (word length ≤ 24,
+    * pieces ≤ 4 chars); float sum order differs from the engine but
+    * every downstream DECISION is on 6dp-rounded quantities. */
+  private def unigramEmPass(it: Int): String = {
+    val maxLen = graft.ops.UnigramLm.MaxWordLen
+    val fwd = (1 to maxLen).map { i =>
+      val branches = (1 to 4).filter(_ <= i).map { k =>
+        s"""SELECT p.w, p.f, p.a * v.p AS ap
+            FROM f${it}_${i - k} p JOIN v$it v ON v.piece = substr(p.w, ${i - k + 1}, $k)
+            WHERE length(p.w) >= $i"""
+      }.mkString(" UNION ALL ")
+      s"""f${it}_$i AS MATERIALIZED (
+            SELECT w, f, sum(ap) AS a FROM ($branches) GROUP BY w, f)"""
+    }
+    val bwd = (maxLen - 1) to 0 by -1 map { j =>
+      val branches = (1 to 4).filter(_ + j <= maxLen).map { k =>
+        s"""SELECT q.w, q.f, v.p * q.b AS pb
+            FROM b${it}_${j + k} q JOIN v$it v ON v.piece = substr(q.w, ${j + 1}, $k)
+            WHERE length(q.w) > $j"""
+      }.mkString(" UNION ALL ")
+      s"""b${it}_$j AS MATERIALIZED (
+            SELECT w, f, sum(pb) AS b FROM ($branches) GROUP BY w, f
+            UNION ALL SELECT w, f, 1.0 AS b FROM tw WHERE length(w) = $j)"""
+    }
+    val fAll = (0 to maxLen).map(i => s"SELECT w, f, $i AS pos, a FROM f${it}_$i")
+      .mkString(" UNION ALL ")
+    val bAll = (0 to maxLen).map(i => s"SELECT w, $i AS pos, b FROM b${it}_$i")
+      .mkString(" UNION ALL ")
+    s"""f${it}_0 AS (SELECT w, f, 1.0 AS a FROM tw),
+    b${it}_$maxLen AS (SELECT w, f, 1.0 AS b FROM tw WHERE length(w) = $maxLen),
+    ${fwd.mkString(",\n    ")},
+    ${bwd.mkString(",\n    ")},
+    fall$it AS MATERIALIZED ($fAll),
+    ball$it AS MATERIALIZED ($bAll),
+    z$it AS (SELECT w, a AS z FROM fall$it WHERE pos = length(w)),
+    occ$it AS (
+      SELECT fa.w, fa.f, fa.pos, kk.k, substr(fa.w, fa.pos + 1, kk.k) AS piece, fa.a
+      FROM fall$it fa, (VALUES (1), (2), (3), (4)) kk(k)
+      WHERE fa.pos + kk.k <= length(fa.w)),
+    e$it AS MATERIALIZED (
+      SELECT o.piece, sum(o.f * o.a * v.p * bb.b / z.z) AS e
+      FROM occ$it o
+      JOIN v$it v ON v.piece = o.piece
+      JOIN ball$it bb ON bb.w = o.w AND bb.pos = o.pos + o.k
+      JOIN z$it z ON z.w = o.w
+      GROUP BY o.piece)"""
+  }
+
+  /** The full training CTE chain: tw → seed (v1) → EM ×2 → prune →
+    * v2 → EM → v3 (published 6dp log-probs). */
+  private[queries] def unigramTrainCtes: String = {
+    val U = graft.ops.UnigramLm
+    s"""words AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents),
+    wcnt AS (SELECT w, count(*)::BIGINT AS f FROM words WHERE length(w) <= ${U.MaxWordLen}
+             GROUP BY w),
+    tw AS MATERIALIZED (
+      SELECT w, f FROM wcnt ORDER BY f DESC, w ASC LIMIT ${U.TrainWords}),
+    subs AS (
+      SELECT substr(w, pp.p + 1, ll.l) AS piece, sum(f)::BIGINT AS wt
+      FROM tw,
+           LATERAL (SELECT unnest(range(length(w))) AS p) pp,
+           LATERAL (SELECT unnest(range(1, 1 + least(${U.MaxPieceLen}, length(w) - pp.p))) AS l) ll
+      GROUP BY 1),
+    seed AS MATERIALIZED (
+      SELECT piece, wt FROM subs WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece, wt FROM (
+        SELECT piece, wt, row_number() OVER (ORDER BY wt DESC, piece ASC) AS rn
+        FROM subs WHERE length(piece) > 1)
+      WHERE rn <= ${U.SeedSize} - (SELECT count(*) FROM subs WHERE length(piece) = 1)),
+    v1 AS MATERIALIZED (
+      SELECT piece, wt / (SELECT sum(wt)::DOUBLE FROM seed) AS p FROM seed),
+    ${unigramEmPass(1)},
+    v2 AS MATERIALIZED (
+      SELECT piece, e / (SELECT sum(e) FROM e1) AS p FROM e1),
+    ${unigramEmPass(2)},
+    kept AS MATERIALIZED (
+      SELECT piece, e FROM e2 WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece, e FROM (
+        SELECT piece, e, row_number() OVER (ORDER BY round(e, 6) DESC, piece ASC) AS rn
+        FROM e2 WHERE length(piece) > 1)
+      WHERE rn <= ${U.VocabSize} - (SELECT count(*) FROM e2 WHERE length(piece) = 1)),
+    v3 AS MATERIALIZED (
+      SELECT piece, e / (SELECT sum(e) FROM kept) AS p FROM kept),
+    ${unigramEmPass(3)},
+    vf AS MATERIALIZED (
+      SELECT piece, round(ln(e / (SELECT sum(e) FROM e3)), 6) AS lp FROM e3)"""
+  }
+
+  private[queries] def unigramVocabOracle: String =
+    s"""WITH ${unigramTrainCtes}
+    SELECT row_number() OVER (ORDER BY lp DESC, piece ASC)::BIGINT AS rnk, piece, lp
+    FROM (SELECT piece, lp FROM vf ORDER BY lp DESC, piece ASC LIMIT 30)
+    ORDER BY rnk"""
+
+  private[queries] def unigramSegmentOracle: String = {
+    val U = graft.ops.UnigramLm
+    val maxLen = U.MaxWordLen
+    val stages = (1 to maxLen).map { i =>
+      val branches = (1 to 4).filter(_ <= i).map { k =>
+        s"""SELECT p.w, p.score + v.lp AS score, $k AS k,
+                   p.seg || '|' || v.piece AS seg, p.np + 1 AS np
+            FROM s${i - k} p JOIN vf v ON v.piece = substr(p.w, ${i - k + 1}, $k)
+            WHERE length(p.w) >= $i"""
+      }.mkString(" UNION ALL ")
+      s"""s$i AS MATERIALIZED (
+            SELECT w, score, seg, np FROM (
+              SELECT c.*, row_number() OVER (PARTITION BY w ORDER BY score DESC, k DESC) AS rn
+              FROM ($branches) c) WHERE rn = 1)"""
+    }
+    val finals = (1 to maxLen).map(i =>
+      s"SELECT w, seg, np FROM s$i WHERE length(w) = $i").mkString(" UNION ALL ")
+    s"""WITH ${unigramTrainCtes},
+    s0 AS (SELECT w, 0.0::DOUBLE AS score, '' AS seg, 0::BIGINT AS np
+           FROM tw),
+    ${stages.mkString(",\n    ")}
+    SELECT w, substr(seg, 2) AS seg, np FROM ($finals) ORDER BY w"""
+  }
+
   private[queries] lazy val bpePairsOracle = """
     WITH words AS (
       SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents),

@@ -2512,6 +2512,38 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(err.getMessage.contains("20000"), "radius past the completeness cap is a loud error")
   }
 
+  test("geo_simplify_polygons_array: shared border simplifies identically, noise collapses") {
+    // two squares sharing the x=5 edge with a super-tolerance bump at
+    // (5.3, 5) on the SHARED chain and a sub-tolerance noise vertex on
+    // A's unshared left edge — the bump must survive in BOTH outputs
+    // (identical chain), the noise must vanish
+    val r = run(
+      """t | where id == 1
+        | | extend a = '{"type":"Polygon","coordinates":[[[0.0,0.0],[5.0,0.0],[5.3,5.0],[5.0,10.0],[0.0,10.0],[0.0,5.000001],[0.0,0.0]]]}',
+        |          b = '{"type":"Polygon","coordinates":[[[5.0,0.0],[10.0,0.0],[10.0,10.0],[5.0,10.0],[5.3,5.0],[5.0,0.0]]]}'
+        | | extend r = geo_simplify_polygons_array(pack_array(a, b), 500.0)
+        | | extend sa = tostring(r[0]), sb = tostring(r[1])
+        | | project
+        |  n_sa = countof(sa, '['), n_sb = countof(sb, '['),
+        |  bump_a = sa contains '[5.3,5.0]', bump_b = sb contains '[5.3,5.0]',
+        |  noise_gone = not(sa contains '5.000001'),
+        |  in_bump_a = geo_point_in_polygon(5.1, 5.0, sa),
+        |  in_bump_b = geo_point_in_polygon(5.1, 5.0, sb),
+        |  in_a = geo_point_in_polygon(2.0, 5.0, sa),
+        |  in_b = geo_point_in_polygon(8.0, 5.0, sb),
+        |  degen = isnull(geo_simplify_polygons_array(pack_array(a, 'nope'), 500.0)),
+        |  badtol = isnull(geo_simplify_polygons_array(pack_array(a), 0.0))""".stripMargin).head()
+    assert(r.getLong(0) == 8L && r.getLong(1) == 8L,
+      s"each output is 5 kept vertices + closure: got ${r.getLong(0)}/${r.getLong(1)}")
+    assert(r.getBoolean(2) && r.getBoolean(3), "the shared bump survives in BOTH outputs")
+    assert(r.getBoolean(4), "sub-tolerance noise on the unshared edge collapses")
+    assert(r.getBoolean(5) && !r.getBoolean(6),
+      "the bump region stays A's (no sliver/overlap between simplified sharers)")
+    assert(r.getBoolean(7) && r.getBoolean(8), "interiors survive")
+    assert(r.getBoolean(9), "a malformed member is loudly null")
+    assert(r.getBoolean(10), "tolerance 0 is loudly null")
+  }
+
   test("geo boolean engine: union/intersection with concave shapes, MultiPolygon, islands") {
     // U-shape: [0,10]x[0,10] minus the open notch (3,7)x(4,10] — concave,
     // 8 vertices, axis-aligned. band: y in [5,6] crossing both arms.

@@ -361,6 +361,14 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getLong(0) == 400000L && row.getLong(1) == 200000L)
   }
 
+  test("q245 line lookup: broadcast cell equi-join with exact refine, never a cartesian") {
+    val p = plan("q245_kql_text_line_lookup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the covering join must stay an equi-join")
+    assert(p.contains("BroadcastExchange"), "the dim line index must broadcast")
+    assert(p.contains("__gl_cell"), "the cell key must drive the join")
+  }
+
   test("InferFiltersFromGenerate exclusion is scoped to LLM-query sessions") {
     val excludedKey = "spark.sql.optimizer.excludedRules"
     val rule = "InferFiltersFromGenerate"
