@@ -179,6 +179,11 @@ object GeoBufferOps {
     }
   }
 
+  /** Pinned output-size cap: a tolerance fine enough to polygonize past
+    * this many vertices would make the O(V²) self-intersection guard the
+    * per-row hot loop — loudly null instead (raise the tolerance). */
+  private[functions] val MaxRingVertices = 4096
+
   /** Any strict crossing between non-adjacent edges of the closed ring
     * (open form)? */
   private def ringSelfIntersects(ring: Array[Double]): Boolean = {
@@ -328,6 +333,7 @@ object GeoBufferOps {
           math.atan2(ddx, -ddy), -math.Pi, stepRad)
       }
       val ring0 = out.toArray
+      if (ring0.length / 2 > MaxRingVertices) return null
       if (ringSelfIntersects(ring0)) return null
       // the walk traverses the boundary CLOCKWISE; reverse for CCW
       val rn = ring0.length / 2
@@ -369,7 +375,8 @@ object GeoBufferOps {
         out.toArray
       }
       val outM = offsetRing(rings0(0))
-      if (outM.length < 6 || ringSelfIntersects(outM)) return null
+      if (outM.length < 6 || outM.length / 2 > MaxRingVertices) return null
+      if (ringSelfIntersects(outM)) return null
       if (signedArea2(outM) <= 0) return null
       val holesM = rings0.drop(1).flatMap { h =>
         val hm = try Some(offsetRing(h)) catch { case _: Degenerate => None }

@@ -218,6 +218,15 @@ object KqlCompiler {
                              sessionHint: Option[org.apache.spark.sql.SparkSession]) {
     private var pos = 0
     private val lets = scala.collection.mutable.Map.empty[String, DataFrame]
+    // per-compile memo of tabular-`in` operand probes, keyed by frame
+    // IDENTITY (let-bound operands reused by several sites share one
+    // probe job instead of re-running distinct+collect per site)
+    private val tabularInProbe =
+      new scala.collection.mutable.AnyRefMap[DataFrame, Array[Any]]()
+    private val tabularInCapCount =
+      new scala.collection.mutable.AnyRefMap[DataFrame, Long]()
+    private val tabularInFullFetch =
+      new scala.collection.mutable.AnyRefMap[DataFrame, Array[Any]]()
     /** Sort columns of the most recent `order by`/`sort by`/`top` — the
       * row order `serialize`'s window functions (row_number/prev/next)
       * run over. Kusto lets serialize ride the "natural" order; a
@@ -4085,8 +4094,11 @@ object KqlCompiler {
             val sub = subquery()
             val firstCol = sub.col(sub.columns.head)
             val rawDistinct = sub.select(firstCol).distinct()
-            val vals = rawDistinct
-              .limit(KqlCompiler.TabularInLiteralMax + 1).collect().map(_.get(0))
+            // probe results memoize per operand FRAME: a let-bound
+            // operand used by several in/!in sites (the q242 shape)
+            // pays its distinct jobs once per compile, not per site
+            val vals = tabularInProbe.getOrElseUpdate(sub,
+              rawDistinct.limit(KqlCompiler.TabularInLiteralMax + 1).collect().map(_.get(0)))
             if (vals.length <= KqlCompiler.TabularInLiteralMax) {
               df => {
                 val base =
@@ -4094,8 +4106,11 @@ object KqlCompiler {
                   else l(df).isin(vals.toIndexedSeq: _*)
                 if (negated) !base else base
               }
-            } else {
-              val n = rawDistinct.limit(1000001).count()
+            } else if (!negated) {
+              // positive membership rewrites to an EQUI existence/semi
+              // join in every context — scale path, nothing collected
+              val n = tabularInCapCount.getOrElseUpdate(sub,
+                rawDistinct.limit(1000001).count())
               if (n > 1000000)
                 throw new KqlParseException(
                   "in (subquery): more than 1,000,000 distinct values (the Kusto cap)")
@@ -4104,9 +4119,35 @@ object KqlCompiler {
                 else rawDistinct
               df => {
                 val lhs = if (ci) lower(l(df)) else l(df)
-                val base =
-                  org.apache.spark.sql.GraftColumnBridge.inSubquery(lhs, subSide)
-                if (negated) !base else base
+                org.apache.spark.sql.GraftColumnBridge.inSubquery(lhs, subSide)
+              }
+            } else {
+              // NEGATED membership above the threshold: Not(InSubquery)
+              // on a nullable key is NULL-AWARE — outside a top-level
+              // WHERE conjunct Spark can only plan it as a
+              // BroadcastNestedLoopJoin existence join (measured: a 15k
+              // operand against 600k probe rows ground for minutes at
+              // sf0.1). Lower to catalyst `InSet` instead: ONE plan node
+              // holding the value set (no wide In literal, no janino
+              // blowup), hash-set probe per row, identical null
+              // semantics to the literal tier; the driver fetch is
+              // bounded by Kusto's documented 1M-value contract.
+              val all = tabularInFullFetch.getOrElseUpdate(sub,
+                rawDistinct.limit(1000001).collect().map(_.get(0)))
+              if (all.length > 1000000)
+                throw new KqlParseException(
+                  "in (subquery): more than 1,000,000 distinct values (the Kusto cap)")
+              import org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToCatalyst
+              val hset: Set[Any] =
+                if (ci) all.iterator.map(v =>
+                  convertToCatalyst(String.valueOf(v).toLowerCase)).toSet
+                else all.iterator.map(convertToCatalyst).toSet
+              df => {
+                val lhs = if (ci) lower(l(df)) else l(df)
+                import org.apache.spark.sql.GraftColumnBridge
+                !GraftColumnBridge.column(
+                  org.apache.spark.sql.catalyst.expressions.InSet(
+                    GraftColumnBridge.catalystExpression(lhs), hset))
               }
             }
           } else {

@@ -344,10 +344,25 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"wide In literal leaked into the plan: sizes=$sizes")
     assert(big.collect()(0).getLong(0) == 200000L)
 
-    // negation at scale: null-free !in is the anti-join complement
+    // negation at scale: Not(InSubquery) on a nullable key is
+    // null-aware and degrades to a BroadcastNestedLoopJoin outside a
+    // top-level WHERE conjunct (measured: minutes at sf0.1) — the
+    // pinned tier is a single-node catalyst InSet (hash-set probe, no
+    // wide In literal, no join)
     val neg = graft.kql.KqlCompiler.compile(
       "probe | where x !in (bigops | project k) | summarize n = count()", resolve)
-    assert(wideInSizes(neg).forall(_ <= graft.kql.KqlCompiler.TabularInLiteralMax))
+    val negOpt = neg.queryExecution.optimizedPlan
+    val negInLits = negOpt.collect { case p =>
+      p.expressions.flatMap(_.collect { case i: In => i.list.size })
+    }.flatten
+    assert(negInLits.forall(_ <= graft.kql.KqlCompiler.TabularInLiteralMax),
+      "no wide In literal in the negated tier")
+    assert(!negOpt.toString.contains("Join"),
+      "negated large operand must lower to an InSet probe, not a join")
+    assert(negOpt.collect { case p =>
+      p.expressions.flatMap(_.collect { case s: InSet => s.hset.size })
+    }.flatten.exists(_ > graft.kql.KqlCompiler.TabularInLiteralMax),
+      "the InSet tier must carry the operand")
     assert(neg.collect()(0).getLong(0) == 400000L)
 
     // composable contexts: extend (Project) and OR-composed filter
