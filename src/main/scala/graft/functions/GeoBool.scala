@@ -371,6 +371,183 @@ object GeoBoolOps {
 
   def intersection(a: UTF8String, b: UTF8String): UTF8String = boolOp(a, b, keepInside = true)
   def union(a: UTF8String, b: UTF8String): UTF8String = boolOp(a, b, keepInside = false)
+
+  /** `geo_union_polygons_array` — left-to-right fold of the pairwise
+    * union over the member polygons (each step's MultiPolygon output
+    * feeds the next as an operand); any degenerate contact between
+    * members (shared edges, vertex-on-edge) is loudly null. */
+  def unionArray(arr: Array[String]): UTF8String = {
+    if (arr == null || arr.isEmpty) return null
+    try {
+      // validate every member parses before folding
+      if (arr.exists(s => parseSide(s) == null)) return null
+      var acc = UTF8String.fromString(arr(0))
+      var i = 1
+      while (i < arr.length) {
+        acc = union(acc, UTF8String.fromString(arr(i)))
+        if (acc == null) return null
+        i += 1
+      }
+      acc
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  /** `geo_intersection_line_with_polygon` — the line CLIPPED to the
+    * polygon: every line segment splits at its transversal crossings
+    * with the polygon boundary, inside sub-segments (midpoint even-odd)
+    * survive, consecutive survivors stitch back into chains. One chain
+    * → LineString, several → MultiLineString, none → null; endpoints
+    * or vertices ON the boundary and collinear-overlapping contact are
+    * loudly null (the general-position pin). */
+  def lineClip(lineJson: UTF8String, polyJson: UTF8String): UTF8String = {
+    try {
+      val line = GeoPredOps.parseLine(lineJson.toString)
+      val poly = parseSide(polyJson.toString)
+      if (line == null || poly == null) return null
+      val pe = edgesOf(poly)
+      val n = line.length / 2
+      val chains = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[Double]]
+      var cur: scala.collection.mutable.ArrayBuffer[Double] = null
+      var i = 0
+      while (i < n - 1) {
+        val x1 = line(2 * i); val y1 = line(2 * i + 1)
+        val x2 = line(2 * i + 2); val y2 = line(2 * i + 3)
+        val dx = x2 - x1; val dy = y2 - y1
+        // collect crossing parameters with every polygon edge
+        val ts = scala.collection.mutable.ArrayBuffer[Double](0.0, 1.0)
+        var k = 0
+        while (k < pe.length) {
+          val q = pe(k)
+          val ex = q.x2 - q.x1; val ey = q.y2 - q.y1
+          val denom = dx * ey - dy * ex
+          val wx = q.x1 - x1; val wy = q.y1 - y1
+          if (denom == 0.0) {
+            if (wx * dy - wy * dx == 0.0) {
+              val useX = Math.abs(dx) >= Math.abs(dy)
+              val (a1, a2) = if (useX) (x1, x2) else (y1, y2)
+              val (b1, b2) = if (useX) (q.x1, q.x2) else (q.y1, q.y2)
+              if (Math.max(Math.min(a1, a2), Math.min(b1, b2)) <=
+                  Math.min(Math.max(a1, a2), Math.max(b1, b2))) throw new Degenerate
+            }
+          } else {
+            val t = (wx * ey - wy * ex) / denom
+            val u = (wx * dy - wy * dx) / denom
+            if (t > 0.0 && t < 1.0 && u > 0.0 && u < 1.0) ts += t
+            else if (t >= 0.0 && t <= 1.0 && u >= 0.0 && u <= 1.0) throw new Degenerate
+          }
+          k += 1
+        }
+        val sorted = ts.distinct.sorted
+        var s = 0
+        while (s < sorted.length - 1) {
+          val ta = sorted(s); val tb = sorted(s + 1)
+          val mx = x1 + (ta + tb) / 2 * dx; val my = y1 + (ta + tb) / 2 * dy
+          if (evenOddPub(poly, mx, my)) {
+            val ax = x1 + ta * dx; val ay = y1 + ta * dy
+            val bx = x1 + tb * dx; val by = y1 + tb * dy
+            if (cur != null && cur(cur.length - 2) == ax && cur(cur.length - 1) == ay) {
+              cur += bx; cur += by
+            } else {
+              cur = scala.collection.mutable.ArrayBuffer(ax, ay, bx, by)
+              chains += cur
+            }
+          }
+          s += 1
+        }
+        i += 1
+      }
+      if (chains.isEmpty) return null
+      val sb = new java.lang.StringBuilder(128)
+      def emitChain(c: scala.collection.mutable.ArrayBuffer[Double]): Unit = {
+        sb.append('[')
+        var j = 0
+        while (j < c.length / 2) {
+          if (j > 0) sb.append(',')
+          sb.append('[').append(c(2 * j)).append(',').append(c(2 * j + 1)).append(']')
+          j += 1
+        }
+        sb.append(']')
+      }
+      if (chains.length == 1) {
+        sb.append("{\"type\":\"LineString\",\"coordinates\":")
+        emitChain(chains(0))
+        sb.append("}")
+      } else {
+        sb.append("{\"type\":\"MultiLineString\",\"coordinates\":[")
+        for (c <- chains.indices) { if (c > 0) sb.append(','); emitChain(chains(c)) }
+        sb.append("]}")
+      }
+      UTF8String.fromString(sb.toString)
+    } catch {
+      case _: Degenerate => null
+      case scala.util.control.NonFatal(_) => null
+    }
+  }
+
+  private def evenOddPub(rings: Array[Array[Double]], px: Double, py: Double): Boolean =
+    evenOdd(rings, px, py)
+
+  /** `geo_intersection_2lines` — the transversal crossing POINTS of two
+    * polylines in first-line-then-parameter order: one → Point, several
+    * → MultiPoint, none → null; endpoint/vertex contact and collinear
+    * overlap are loudly null (the general-position pin). */
+  def lineIntersect(aJson: UTF8String, bJson: UTF8String): UTF8String = {
+    try {
+      val a = GeoPredOps.parseLine(aJson.toString)
+      val b = GeoPredOps.parseLine(bJson.toString)
+      if (a == null || b == null) return null
+      val pts = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+      val n = a.length / 2; val m = b.length / 2
+      var i = 0
+      while (i < n - 1) {
+        val x1 = a(2 * i); val y1 = a(2 * i + 1)
+        val dx = a(2 * i + 2) - x1; val dy = a(2 * i + 3) - y1
+        val seg = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double)]
+        var k = 0
+        while (k < m - 1) {
+          val qx = b(2 * k); val qy = b(2 * k + 1)
+          val ex = b(2 * k + 2) - qx; val ey = b(2 * k + 3) - qy
+          val denom = dx * ey - dy * ex
+          val wx = qx - x1; val wy = qy - y1
+          if (denom == 0.0) {
+            if (wx * dy - wy * dx == 0.0) {
+              val useX = Math.abs(dx) >= Math.abs(dy)
+              val (a1, a2) = if (useX) (x1, x1 + dx) else (y1, y1 + dy)
+              val (b1, b2) = if (useX) (qx, qx + ex) else (qy, qy + ey)
+              if (Math.max(Math.min(a1, a2), Math.min(b1, b2)) <=
+                  Math.min(Math.max(a1, a2), Math.max(b1, b2))) throw new Degenerate
+            }
+          } else {
+            val t = (wx * ey - wy * ex) / denom
+            val u = (wx * dy - wy * dx) / denom
+            if (t > 0.0 && t < 1.0 && u > 0.0 && u < 1.0)
+              seg += ((t, x1 + t * dx, y1 + t * dy))
+            else if (t >= 0.0 && t <= 1.0 && u >= 0.0 && u <= 1.0) throw new Degenerate
+          }
+          k += 1
+        }
+        pts ++= seg.sortBy(_._1).map(s => (s._2, s._3))
+        i += 1
+      }
+      if (pts.isEmpty) return null
+      val sb = new java.lang.StringBuilder(64)
+      if (pts.length == 1) {
+        sb.append("{\"type\":\"Point\",\"coordinates\":[")
+          .append(pts(0)._1).append(',').append(pts(0)._2).append("]}")
+      } else {
+        sb.append("{\"type\":\"MultiPoint\",\"coordinates\":[")
+        for (j <- pts.indices) {
+          if (j > 0) sb.append(',')
+          sb.append('[').append(pts(j)._1).append(',').append(pts(j)._2).append(']')
+        }
+        sb.append("]}")
+      }
+      UTF8String.fromString(sb.toString)
+    } catch {
+      case _: Degenerate => null
+      case scala.util.control.NonFatal(_) => null
+    }
+  }
 }
 
 case class GeoIntersection2Polygons(left: Expression, right: Expression)
@@ -408,5 +585,66 @@ case class GeoUnion2Polygons(left: Expression, right: Expression)
       ${ev.value} = graft.functions.GeoBoolOps.union($a, $b);
       ${ev.isNull} = ${ev.value} == null;""")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): GeoUnion2Polygons =
+    copy(left = l, right = r)
+}
+
+case class GeoUnionPolygonsArray(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = TypeCheckResult.TypeCheckSuccess
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(a: Any): Any = {
+    val in = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val strs = Array.tabulate(in.numElements()) { i =>
+      if (in.isNullAt(i)) return null else in.getUTF8String(i).toString
+    }
+    GeoBoolOps.unionArray(strs)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = classOf[GeoUnionPolygonsArray].getName
+    val ref = ctx.addReferenceObj("unionPolys", this, cls)
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = (org.apache.spark.unsafe.types.UTF8String) $ref.nullSafeEval($a);
+      ${ev.isNull} = ${ev.value} == null;""")
+  }
+  override protected def withNewChildInternal(c: Expression): GeoUnionPolygonsArray =
+    copy(child = c)
+}
+
+case class GeoIntersectionLineWithPolygon(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = TypeGuards.requireString("geo_intersection_line_with_polygon", left)
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else TypeGuards.requireString("geo_intersection_line_with_polygon", right)
+  }
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeoBoolOps.lineClip(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      ${ev.value} = graft.functions.GeoBoolOps.lineClip($a, $b);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): GeoIntersectionLineWithPolygon =
+    copy(left = l, right = r)
+}
+
+case class GeoIntersection2Lines(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = TypeGuards.requireString("geo_intersection_2lines", left)
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else TypeGuards.requireString("geo_intersection_2lines", right)
+  }
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeoBoolOps.lineIntersect(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      ${ev.value} = graft.functions.GeoBoolOps.lineIntersect($a, $b);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): GeoIntersection2Lines =
     copy(left = l, right = r)
 }

@@ -431,14 +431,48 @@ object GeoPredOps {
   }
 
   def lineLength(json: UTF8String): java.lang.Double = {
-    val line = parseLine(json.toString)
-    if (line == null) return null
+    val one = parseLine(json.toString)
+    val chains: Array[Array[Double]] =
+      if (one != null) Array(one)
+      else {
+        // MultiLineString (the Kusto surface accepts both)
+        try {
+          val root = mappers.get().readTree(json.toString)
+          if (root == null || root.get("type") == null ||
+              !"MultiLineString".equals(root.get("type").asText())) return null
+          val cs = root.get("coordinates")
+          if (cs == null || !cs.isArray || cs.size() < 1) return null
+          val out = new Array[Array[Double]](cs.size())
+          var c = 0
+          while (c < cs.size()) {
+            val ch = cs.get(c)
+            if (ch == null || !ch.isArray || ch.size() < 2) return null
+            val flat = new Array[Double](2 * ch.size())
+            var i = 0
+            while (i < ch.size()) {
+              val p = ch.get(i)
+              if (p == null || !p.isArray || p.size() < 2 ||
+                  !p.get(0).isNumber || !p.get(1).isNumber) return null
+              flat(2 * i) = p.get(0).asDouble(); flat(2 * i + 1) = p.get(1).asDouble()
+              i += 1
+            }
+            out(c) = flat
+            c += 1
+          }
+          out
+        } catch { case scala.util.control.NonFatal(_) => return null }
+      }
     var s = 0.0
-    val n = line.length / 2
-    var i = 0
-    while (i < n - 1) {
-      s += havM(line(2 * i), line(2 * i + 1), line(2 * i + 2), line(2 * i + 3))
-      i += 1
+    var c = 0
+    while (c < chains.length) {
+      val line = chains(c)
+      val n = line.length / 2
+      var i = 0
+      while (i < n - 1) {
+        s += havM(line(2 * i), line(2 * i + 1), line(2 * i + 2), line(2 * i + 3))
+        i += 1
+      }
+      c += 1
     }
     java.lang.Double.valueOf(s)
   }

@@ -5125,6 +5125,31 @@ object KqlCompiler {
             else graft.functions.GeoPolygonSimplify(s, t))
         }
       }
+      if (name == "geo_union_polygons_array") {
+        // left-to-right fold of the pairwise union (GeoBool engine);
+        // degenerate contact between members is loudly null
+        val arrB = expr(); expect(")")
+        return df => {
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.GeoUnionPolygonsArray(
+            GraftColumnBridge.catalystExpression(arrB(df).cast("array<string>"))))
+        }
+      }
+      if (name == "geo_intersection_line_with_polygon" || name == "geo_intersection_2lines") {
+        // line-clip / crossing-point construction (GeoBool engine's
+        // general-position pin: boundary contact is loudly null; empty
+        // results are null)
+        val isClip = name == "geo_intersection_line_with_polygon"
+        val aB = expr(); expect(","); val bB = expr(); expect(")")
+        return df => {
+          import org.apache.spark.sql.GraftColumnBridge
+          val l = GraftColumnBridge.catalystExpression(aB(df).cast("string"))
+          val r = GraftColumnBridge.catalystExpression(bB(df).cast("string"))
+          GraftColumnBridge.column(
+            if (isClip) graft.functions.GeoIntersectionLineWithPolygon(l, r)
+            else graft.functions.GeoIntersection2Lines(l, r))
+        }
+      }
       if (name == "geo_intersection_2polygons" || name == "geo_union_2polygons") {
         // general polygon boolean construction (functions/GeoBool.scala
         // pins the even-odd overlay spec): concave operands, holes, and

@@ -1680,6 +1680,58 @@ object KqlQueries extends QueryModule {
           | | order by event_id asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // geo_intersection_line_with_polygon at data scale (round 16): a
+    // horizontal 16°-span line (crossing parameters land on exact
+    // binary fractions, so the clipped endpoints are exact lattice
+    // points) through the q241 rect-with-hole — through the hole band
+    // it clips to TWO chains, above the hole to one; the oracle
+    // restates the chain lengths with the same haversine at constant
+    // latitude and the interval crossings, bitwise.
+    "q250_kql_text_line_clip" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_id % 97 == 0
+          | | extend px = todouble(user_id % 30) - 15.0 + 0.25, py = todouble(event_id % 20) - 10.0 + 0.25
+          | | extend sub = strcat('{"type":"Polygon","coordinates":[[[', tostring(px), ',', tostring(py), '],[', tostring(px + 8.0), ',', tostring(py), '],[', tostring(px + 8.0), ',', tostring(py + 6.0), '],[', tostring(px), ',', tostring(py + 6.0), '],[', tostring(px), ',', tostring(py), ']],[[', tostring(px + 2.0), ',', tostring(py + 2.0), '],[', tostring(px + 4.0), ',', tostring(py + 2.0), '],[', tostring(px + 4.0), ',', tostring(py + 4.0), '],[', tostring(px + 2.0), ',', tostring(py + 4.0), '],[', tostring(px + 2.0), ',', tostring(py + 2.0), ']]]}'),
+          |          lmid = strcat('{"type":"LineString","coordinates":[[', tostring(px - 4.0), ',', tostring(py + 3.0), '],[', tostring(px + 12.0), ',', tostring(py + 3.0), ']]}'),
+          |          ltop = strcat('{"type":"LineString","coordinates":[[', tostring(px - 4.0), ',', tostring(py + 5.0), '],[', tostring(px + 12.0), ',', tostring(py + 5.0), ']]}'),
+          |          lout = strcat('{"type":"LineString","coordinates":[[', tostring(px - 4.0), ',', tostring(py + 6.5), '],[', tostring(px + 12.0), ',', tostring(py + 6.5), ']]}')
+          | | extend cmid = geo_intersection_line_with_polygon(lmid, sub),
+          |          ctop = geo_intersection_line_with_polygon(ltop, sub)
+          | | project event_id,
+          |           two = cmid startswith '{"type":"MultiLineString"',
+          |           parts = countof(cmid, '],['),
+          |           lmidm = round(geo_line_length(cmid), 3),
+          |           one = ctop startswith '{"type":"LineString"',
+          |           ltopm = round(geo_line_length(ctop), 3),
+          |           miss = isnull(geo_intersection_line_with_polygon(lout, sub))
+          | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // geo_union_polygons_array at data scale (round 16): three per-row
+    // rectangles — two overlapping transversally (.25 vs .75 lattice),
+    // one disjoint — folded left-to-right; the area oracle is 3-way
+    // inclusion-exclusion over the CD rectangle terms, membership by
+    // intervals, and the disjoint member forces a MultiPolygon.
+    "q251_kql_text_union_array" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_id % 97 == 0
+          | | extend px = todouble(user_id % 30) - 15.0 + 0.25, py = todouble(event_id % 20) - 10.0 + 0.25
+          | | extend r1 = strcat('{"type":"Polygon","coordinates":[[[', tostring(px), ',', tostring(py), '],[', tostring(px + 4.0), ',', tostring(py), '],[', tostring(px + 4.0), ',', tostring(py + 4.0), '],[', tostring(px), ',', tostring(py + 4.0), '],[', tostring(px), ',', tostring(py), ']]]}'),
+          |          r2 = strcat('{"type":"Polygon","coordinates":[[[', tostring(px + 2.5), ',', tostring(py + 1.5), '],[', tostring(px + 6.5), ',', tostring(py + 1.5), '],[', tostring(px + 6.5), ',', tostring(py + 5.5), '],[', tostring(px + 2.5), ',', tostring(py + 5.5), '],[', tostring(px + 2.5), ',', tostring(py + 1.5), ']]]}'),
+          |          r3 = strcat('{"type":"Polygon","coordinates":[[[', tostring(px + 8.25), ',', tostring(py + 0.25), '],[', tostring(px + 9.25), ',', tostring(py + 0.25), '],[', tostring(px + 9.25), ',', tostring(py + 1.25), '],[', tostring(px + 8.25), ',', tostring(py + 1.25), '],[', tostring(px + 8.25), ',', tostring(py + 0.25), ']]]}')
+          | | extend u = geo_union_polygons_array(pack_array(r1, r2, r3))
+          | | project event_id,
+          |           multi = u startswith '{"type":"MultiPolygon"',
+          |           ua = round(geo_polygon_area(u) / 1000000000.0, 3),
+          |           m1 = geo_point_in_polygon(px + 1.0, py + 1.0, u),
+          |           m2 = geo_point_in_polygon(px + 6.0, py + 5.0, u),
+          |           m3 = geo_point_in_polygon(px + 8.75, py + 0.75, u),
+          |           gap = geo_point_in_polygon(px + 7.25, py + 0.75, u)
+          | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // geo_simplify_polygons_array at data scale (round 16): per-row
     // pair of rectangles sharing an edge that carries a super-tolerance
     // bump — the bump must survive IDENTICALLY in both outputs (the
@@ -2671,6 +2723,57 @@ object KqlQueries extends QueryModule {
              WHEN ($dat) <= 0.0 THEN ($d13) * 6371009.0
              WHEN ($dat) >= ($d12) THEN (${hav(s"$lon2", s"$lat2", "px", "py")}) * 6371009.0
              ELSE abs($dxt) * 6371009.0 END"""
+  }
+
+  /** q251: 3-way inclusion-exclusion over the CD rectangle terms
+    * (r3 is disjoint; only r1∩r2 contributes a correction); membership
+    * by intervals — probes never touch a boundary. */
+  private def unionArrayOracle: String = {
+    val cd = (lonA: String, latA: String, lonB: String, latB: String) =>
+      s"""radians(($lonB) - ($lonA)) * (2.0 + sin(radians($latA)) + sin(radians($latB)))"""
+    val rect = (x1: String, y1: String, x2: String, y2: String) =>
+      s"""abs(${cd(x1, y1, x2, y1)} + ${cd(x2, y2, x1, y2)})"""
+    val area =
+      rect("px", "py", "px + 4.0", "py + 4.0") + " + " +
+      rect("px + 2.5", "py + 1.5", "px + 6.5", "py + 5.5") + " + " +
+      rect("px + 8.25", "py + 0.25", "px + 9.25", "py + 1.25") + " - " +
+      rect("px + 2.5", "py + 1.5", "px + 4.0", "py + 4.0")
+    s"""WITH p AS (
+         SELECT event_id,
+                CAST(user_id % 30 AS DOUBLE) - 15.0 + 0.25 AS px,
+                CAST(event_id % 20 AS DOUBLE) - 10.0 + 0.25 AS py
+         FROM events WHERE event_id % 97 = 0)
+       SELECT event_id,
+              true AS multi,
+              round(($area) * 20294877839040.5 / 1000000000.0, 3) AS ua,
+              true AS m1, true AS m2, true AS m3, false AS gap
+       FROM p ORDER BY event_id"""
+  }
+
+  /** q250: clipped-chain lengths restated with the same haversine at
+    * constant latitude over the interval crossings (exact lattice
+    * endpoints — bitwise); the mid line keeps [px,px+2] ∪ [px+4,px+8],
+    * the top line keeps [px,px+8]. */
+  private def lineClipOracle: String = {
+    val hav = (x1: String, x2: String, lat: String) =>
+      s"""2 * 6371009.0 * asin(sqrt(
+            pow(sin(radians(0.0)/2), 2) +
+            cos(radians($lat)) * cos(radians($lat)) *
+            pow(sin(radians(($x2) - ($x1))/2), 2)))"""
+    s"""WITH p AS (
+         SELECT event_id,
+                CAST(user_id % 30 AS DOUBLE) - 15.0 + 0.25 AS px,
+                CAST(event_id % 20 AS DOUBLE) - 10.0 + 0.25 AS py
+         FROM events WHERE event_id % 97 = 0)
+       SELECT event_id,
+              true AS two,
+              CAST(3 AS BIGINT) AS parts,
+              round((${hav("px", "px + 2.0", "py + 3.0")})
+                  + (${hav("px + 4.0", "px + 8.0", "py + 3.0")}), 3) AS lmidm,
+              true AS one,
+              round(${hav("px", "px + 8.0", "py + 5.0")}, 3) AS ltopm,
+              true AS miss
+       FROM p ORDER BY event_id"""
   }
 
   /** q244: the buffer-membership band invariant — d restated with the
@@ -4181,6 +4284,10 @@ object KqlQueries extends QueryModule {
     // collapse, and the A/B membership split are all constructible
     // constants of the fixture (5 kept vertices + closure per output;
     // the probe sits between the straight shared edge and the bump)
+    "q250_kql_text_line_clip" -> lineClipOracle,
+
+    "q251_kql_text_union_array" -> unionArrayOracle,
+
     "q249_kql_text_joint_simplify" ->
       """SELECT event_id,
               CAST(8 AS BIGINT) AS na, CAST(8 AS BIGINT) AS nb,

@@ -2512,6 +2512,46 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(err.getMessage.contains("20000"), "radius past the completeness cap is a loud error")
   }
 
+  test("geo_union_polygons_array / line-with-polygon clip / 2lines crossings") {
+    val r = run(
+      """t | where id == 1
+        | | extend r1 = '{"type":"Polygon","coordinates":[[[0.0,0.0],[4.0,0.0],[4.0,4.0],[0.0,4.0],[0.0,0.0]]]}',
+        |          r2 = '{"type":"Polygon","coordinates":[[[2.5,1.5],[6.5,1.5],[6.5,5.5],[2.5,5.5],[2.5,1.5]]]}',
+        |          r3 = '{"type":"Polygon","coordinates":[[[8.25,0.25],[9.25,0.25],[9.25,1.25],[8.25,1.25],[8.25,0.25]]]}',
+        |          holed = '{"type":"Polygon","coordinates":[[[0.0,0.0],[10.0,0.0],[10.0,8.0],[0.0,8.0],[0.0,0.0]],[[2.0,0.25],[6.0,0.25],[6.0,0.75],[2.0,0.75],[2.0,0.25]]]}',
+        |          hline = '{"type":"LineString","coordinates":[[-2.0,0.5],[14.0,0.5]]}',
+        |          topline = '{"type":"LineString","coordinates":[[-2.0,7.0],[14.0,7.0]]}',
+        |          diag = '{"type":"LineString","coordinates":[[0.0,0.0],[4.0,4.0]]}',
+        |          horiz = '{"type":"LineString","coordinates":[[-1.0,2.5],[5.0,2.5]]}'
+        | | extend u3 = geo_union_polygons_array(pack_array(r1, r2, r3)),
+        |          clip2 = geo_intersection_line_with_polygon(hline, holed),
+        |          clip1 = geo_intersection_line_with_polygon(topline, holed),
+        |          pt = geo_intersection_2lines(diag, horiz)
+        | | project
+        |  u_multi = u3 startswith '{"type":"MultiPolygon"',
+        |  u_in1 = geo_point_in_polygon(1.0, 1.0, u3),
+        |  u_in2 = geo_point_in_polygon(5.0, 5.0, u3),
+        |  u_in3 = geo_point_in_polygon(8.75, 0.75, u3),
+        |  u_gap = geo_point_in_polygon(7.0, 0.75, u3),
+        |  c2_multi = clip2 startswith '{"type":"MultiLineString"',
+        |  c2_parts = countof(clip2, '],['),
+        |  c1 = clip1 == '{"type":"LineString","coordinates":[[0.0,7.0],[10.0,7.0]]}',
+        |  p1 = pt == '{"type":"Point","coordinates":[2.5,2.5]}',
+        |  disj = isnull(geo_intersection_2lines(diag, '{"type":"LineString","coordinates":[[10.0,0.0],[11.0,1.0]]}')),
+        |  colin = isnull(geo_intersection_2lines(diag, '{"type":"LineString","coordinates":[[1.0,1.0],[3.0,3.0]]}')),
+        |  edegen = isnull(geo_intersection_line_with_polygon('{"type":"LineString","coordinates":[[0.0,0.0],[5.0,0.0]]}', r1))""".stripMargin).head()
+    assert(r.getBoolean(0), "disjoint third member makes the union a MultiPolygon")
+    assert(r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3) && !r.getBoolean(4),
+      "union membership: all three rects in, the gap out")
+    assert(r.getBoolean(5), "the hole splits the clipped line into a MultiLineString")
+    assert(r.getLong(6) == 3L, s"two 2-point chains have 3 '],[' seams, got ${r.getLong(6)}")
+    assert(r.getBoolean(7), "single-chain clip is exact")
+    assert(r.getBoolean(8), "single transversal crossing is an exact Point")
+    assert(r.getBoolean(9), "disjoint lines are null")
+    assert(r.getBoolean(10), "collinear overlap is loudly null")
+    assert(r.getBoolean(11), "a line along the polygon edge is loudly null")
+  }
+
   test("geo_simplify_polygons_array: shared border simplifies identically, noise collapses") {
     // two squares sharing the x=5 edge with a super-tolerance bump at
     // (5.3, 5) on the SHARED chain and a sub-tolerance noise vertex on
