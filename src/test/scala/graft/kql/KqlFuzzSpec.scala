@@ -134,7 +134,15 @@ class KqlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
             sb.append("\n| union t"); maxRows += 8
           case 11 =>
             c += 1
-            pick(Seq("dt", "parse", "sort", "mvapply")) match {
+            pick(Seq("dt", "parse", "sort", "mvapply", "tabin")) match {
+              case "tabin" =>
+                // tabular in/!in (round 16): the literal tier — the
+                // operand subquery re-reads the fixture, so this
+                // exercises the probe + lowering in combination with
+                // whatever stages surround it (row-preserving at worst)
+                val neg = if (rnd.nextBoolean()) "!in" else "in"
+                sb.append(s"\n| where ${pick(Seq("name", "status"))} $neg " +
+                  s"(t | where ${boolExpr(0)} | project name)")
               case "dt" =>
                 sb.append(s"\n| extend d$c = ${pick(Seq(
                   "startofday(ts)", "dayofweek(ts)", "bin(ts, 1d)",
