@@ -227,6 +227,8 @@ object KqlCompiler {
       new scala.collection.mutable.AnyRefMap[DataFrame, Long]()
     private val tabularInFullFetch =
       new scala.collection.mutable.AnyRefMap[DataFrame, Array[Any]]()
+    private val tabularInFrame =
+      scala.collection.mutable.Map.empty[(DataFrame, Boolean), DataFrame]
     /** Sort columns of the most recent `order by`/`sort by`/`top` — the
       * row order `serialize`'s window functions (row_number/prev/next)
       * run over. Kusto lets serialize ride the "natural" order; a
@@ -4093,13 +4095,24 @@ object KqlCompiler {
           if (isSub) {
             val sub = subquery()
             val firstCol = sub.col(sub.columns.head)
-            val rawDistinct = sub.select(firstCol).distinct()
+            // the EXEC-side operand frame memoizes per (operand, ci) so
+            // every site of a shared let operand references the SAME
+            // DataFrame instance — identical plans, so the physical
+            // planner reuses one broadcast exchange across the sites'
+            // existence/semi joins
+            val rawDistinct = tabularInFrame.getOrElseUpdate((sub, false),
+              sub.select(firstCol).distinct())
             // probe results memoize per operand FRAME: a let-bound
             // operand used by several in/!in sites (the q242 shape)
-            // pays its distinct jobs once per compile, not per site
-            val vals = tabularInProbe.getOrElseUpdate(sub,
-              rawDistinct.limit(KqlCompiler.TabularInLiteralMax + 1).collect().map(_.get(0)))
+            // pays its distinct jobs once per compile, not per site;
+            // the transient persist lets the over-threshold cap count
+            // ride the probe's cache instead of re-running the distinct
+            val vals = tabularInProbe.getOrElseUpdate(sub, {
+              rawDistinct.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              rawDistinct.limit(KqlCompiler.TabularInLiteralMax + 1).collect().map(_.get(0))
+            })
             if (vals.length <= KqlCompiler.TabularInLiteralMax) {
+              rawDistinct.unpersist(blocking = false) // probe cache done
               df => {
                 val base =
                   if (ci) lower(l(df)).isin(vals.map(v => String.valueOf(v).toLowerCase): _*)
@@ -4109,13 +4122,17 @@ object KqlCompiler {
             } else if (!negated) {
               // positive membership rewrites to an EQUI existence/semi
               // join in every context — scale path, nothing collected
-              val n = tabularInCapCount.getOrElseUpdate(sub,
-                rawDistinct.limit(1000001).count())
+              val n = tabularInCapCount.getOrElseUpdate(sub, {
+                val c = rawDistinct.limit(1000001).count()
+                rawDistinct.unpersist(blocking = false) // probe cache done
+                c
+              })
               if (n > 1000000)
                 throw new KqlParseException(
                   "in (subquery): more than 1,000,000 distinct values (the Kusto cap)")
               val subSide =
-                if (ci) sub.select(lower(firstCol.cast("string"))).distinct()
+                if (ci) tabularInFrame.getOrElseUpdate((sub, true),
+                  sub.select(lower(firstCol.cast("string"))).distinct())
                 else rawDistinct
               df => {
                 val lhs = if (ci) lower(l(df)) else l(df)
@@ -4132,8 +4149,11 @@ object KqlCompiler {
               // blowup), hash-set probe per row, identical null
               // semantics to the literal tier; the driver fetch is
               // bounded by Kusto's documented 1M-value contract.
-              val all = tabularInFullFetch.getOrElseUpdate(sub,
-                rawDistinct.limit(1000001).collect().map(_.get(0)))
+              val all = tabularInFullFetch.getOrElseUpdate(sub, {
+                val r = rawDistinct.limit(1000001).collect().map(_.get(0))
+                rawDistinct.unpersist(blocking = false) // probe cache done
+                r
+              })
               if (all.length > 1000000)
                 throw new KqlParseException(
                   "in (subquery): more than 1,000,000 distinct values (the Kusto cap)")
