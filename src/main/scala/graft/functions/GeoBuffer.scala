@@ -374,11 +374,40 @@ object GeoBufferOps {
           closed = true, out)
         out.toArray
       }
+      // structural degeneracy of a closed ring — a zero-length edge or a
+      // reversal spike. These are malformed-INPUT conditions (independent
+      // of the radius): the geo family's stance is loudly-null, same as
+      // the outer ring. Only radius-driven trim failures during the
+      // offset below mean "hole vanished".
+      def structurallyBad(lonLat: Array[Double]): Boolean = {
+        val pm = project(lonLat, lon0, lat0, kk)
+        val n = pm.length / 2
+        val dxs = new Array[Double](n); val dys = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          val j = (i + 1) % n
+          val l = math.hypot(pm(2 * j) - pm(2 * i), pm(2 * j + 1) - pm(2 * i + 1))
+          if (l == 0.0) return true // duplicate consecutive vertex
+          dxs(i) = (pm(2 * j) - pm(2 * i)) / l
+          dys(i) = (pm(2 * j + 1) - pm(2 * i + 1)) / l
+          i += 1
+        }
+        var k = 0
+        while (k < n) {
+          val b = (k + 1) % n
+          val cross = dxs(k) * dys(b) - dys(k) * dxs(b)
+          val dot = dxs(k) * dxs(b) + dys(k) * dys(b)
+          if (cross == 0.0 && dot < 0) return true // reversal spike
+          k += 1
+        }
+        false
+      }
       val outM = offsetRing(rings0(0))
       if (outM.length < 6 || outM.length / 2 > MaxRingVertices) return null
       if (ringSelfIntersects(outM)) return null
       if (signedArea2(outM) <= 0) return null
       val holesM = rings0.drop(1).flatMap { h =>
+        if (structurallyBad(h)) throw new Degenerate // malformed hole: null
         val hm = try Some(offsetRing(h)) catch { case _: Degenerate => None }
         hm match {
           case None => None // trim impossible: hole smaller than 2r — vanished

@@ -82,10 +82,14 @@ object GeoJointSimplifyOps {
       }
       val sigOf: ((Pt, Pt)) => Vector[(Int, Int)] =
         k => usage(k).sortBy(identity).toVector
-      // ---- chain registry: canonical vertex seq → keep mask ----
-      val masks = scala.collection.mutable.HashMap.empty[Vector[Pt], Array[Boolean]]
+      // ---- chain registry: (canonical vertex seq, closed) → keep mask ----
+      // keyed by the closed flag too: a cut-free ring's canonical rotation
+      // and an OPEN shared chain with the same vertex sequence run the DP
+      // in different modes (closed appends the head), so sharing one mask
+      // across modes would silently mis-simplify
+      val masks = scala.collection.mutable.HashMap.empty[(Vector[Pt], Boolean), Array[Boolean]]
       def maskFor(chain: Vector[Pt], closed: Boolean): Array[Boolean] =
-        masks.getOrElseUpdate(chain, {
+        masks.getOrElseUpdate((chain, closed), {
           val pts = if (closed) chain :+ chain.head else chain
           val keep = GeoSimplifyOps.dpKeep(
             pts.map(_._1).toArray, pts.map(_._2).toArray, tolM)

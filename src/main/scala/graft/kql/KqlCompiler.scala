@@ -561,19 +561,20 @@ object KqlCompiler {
           frontier = fresh
           lvl += 1
         }
-        // cache lifetime: the node/edge persists above are reclaimed by
-        // the ContextCleaner once the result plan becomes unreachable
-        // (persisted RDDs are GC-tracked like shuffles/broadcasts), so
-        // repeated shortest-paths queries in one session do NOT
-        // accumulate caches. Round 15 instead re-materialized nodesB
-        // through an eager end-of-loop localCheckpoint + explicit
-        // unpersists — interleaved A/B at sf0.1 (3 rounds each, idle)
-        // measured that at +0.8 s per query (the q146 regression:
-        // every node row written into a second block set the final
-        // join reads once); checkpointing the INPUTS instead was
-        // equally slow (the materialization job stops pipelining the
-        // cache fill into the first consumer). Plain persist + GC
-        // reclamation is both the fastest and leak-free shape.
+        // cache lifetime: Dataset.persist registers the plan in the
+        // session CacheManager, which STRONGLY references the
+        // InMemoryRelation — the ContextCleaner never GC-reclaims it, so
+        // leaving the persists in place would leak one edge-projection +
+        // node cache per distinct shortest-paths query for the session
+        // lifetime. Every per-level frontier is a localCheckpoint already
+        // materialized by its count() above, so nothing downstream reads
+        // the edge cache again — unpersist(blocking=false) is free. The
+        // node cache IS read once more (the endpoint bind below); after
+        // unpersist that side recomputes from source inline — one
+        // pipelined scan, NOT the +0.8 s eager end-of-loop
+        // localCheckpoint re-materialization that caused the round-15
+        // q146 regression (that wrote every node row into a second
+        // block set before the final join could start).
         val reached = perLevel.reduce(_ unionByName _)
         val nodesB = nodes.select(
           nodes(g.idCol).as("__bfs_bid"),
@@ -591,9 +592,12 @@ object KqlCompiler {
            else Map(aAlias -> col("__bfs_a"), bAlias -> col("__bfs_b"))) +
           (eAlias -> col("__bfs_path"))
         val fin = out
-        withBinds(binds) {
+        val res = withBinds(binds) {
           fin.select(projs.map { case (n, e) => e(fin).as(n) }: _*)
         }
+        edges.unpersist(blocking = false)
+        nodes.unpersist(blocking = false)
+        res
       }
     }
 
@@ -4113,9 +4117,15 @@ object KqlCompiler {
             })
             if (vals.length <= KqlCompiler.TabularInLiteralMax) {
               rawDistinct.unpersist(blocking = false) // probe cache done
+              // ci null contract (all three ci tiers agree): a NULL
+              // operand value is dropped — String.valueOf(null) would
+              // otherwise smuggle in the string "null" here while the
+              // InSubquery tier keeps SQL NULL, flipping semantics with
+              // operand cardinality. Null lhs stays three-valued NULL.
               df => {
                 val base =
-                  if (ci) lower(l(df)).isin(vals.map(v => String.valueOf(v).toLowerCase): _*)
+                  if (ci) lower(l(df)).isin(
+                    vals.filter(_ != null).map(v => String.valueOf(v).toLowerCase): _*)
                   else l(df).isin(vals.toIndexedSeq: _*)
                 if (negated) !base else base
               }
@@ -4131,8 +4141,12 @@ object KqlCompiler {
                 throw new KqlParseException(
                   "in (subquery): more than 1,000,000 distinct values (the Kusto cap)")
               val subSide =
-                if (ci) tabularInFrame.getOrElseUpdate((sub, true),
-                  sub.select(lower(firstCol.cast("string"))).distinct())
+                if (ci) tabularInFrame.getOrElseUpdate((sub, true), {
+                  // drop NULL operand values: the ci literal/InSet tiers
+                  // filter them (see above), so the join tier must too
+                  val lowered = lower(firstCol.cast("string"))
+                  sub.select(lowered.as("__in_ci")).where(col("__in_ci").isNotNull).distinct()
+                })
                 else rawDistinct
               df => {
                 val lhs = if (ci) lower(l(df)) else l(df)
@@ -4159,7 +4173,7 @@ object KqlCompiler {
                   "in (subquery): more than 1,000,000 distinct values (the Kusto cap)")
               import org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToCatalyst
               val hset: Set[Any] =
-                if (ci) all.iterator.map(v =>
+                if (ci) all.iterator.filter(_ != null).map(v =>
                   convertToCatalyst(String.valueOf(v).toLowerCase)).toSet
                 else all.iterator.map(convertToCatalyst).toSet
               df => {

@@ -209,7 +209,11 @@ object UnigramLm {
     wordsDf.mapPartitions { rows =>
       val v = bc.value
       rows.map { r =>
-        val seg = segmentWord(r.getString(idx), v).map(_.toArray).orNull
+        // null word → null pieces row (the function's loudly-null OOV
+        // contract), not an NPE that fails the whole job
+        val w = if (r.isNullAt(idx)) null else r.getString(idx)
+        val seg = if (w == null) null
+                  else segmentWord(w, v).map(_.toArray).orNull
         Row.fromSeq(r.toSeq :+ seg)
       }
     }(enc)

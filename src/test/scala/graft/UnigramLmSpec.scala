@@ -55,4 +55,15 @@ class UnigramLmSpec extends AnyFunSuite with BeforeAndAfterAll {
     for ((w, _) <- words)
       assert(got(w) == UnigramLm.segmentWord(w, vmap).get, s"mismatch on '$w'")
   }
+
+  test("segment(): a null word yields a null pieces row, not a job-failing NPE") {
+    import spark.implicits._
+    val vocab = UnigramLm.trainLocal(words)
+    val df = Seq(Option(words.head._1), None).toDF("w")
+    val rows = UnigramLm.segment(df, "w", vocab).collect()
+    assert(rows.length == 2)
+    val byWord = rows.map(r => Option(r.getString(0)) -> r).toMap
+    assert(byWord(Some(words.head._1)).getSeq[String](1).nonEmpty)
+    assert(byWord(None).isNullAt(1), "null word must map to null pieces")
+  }
 }

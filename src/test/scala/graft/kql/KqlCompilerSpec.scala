@@ -1684,6 +1684,25 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(("b", 1L), ("c", 1L), ("d", 2L), ("e", 1L), ("f", 2L)))
   }
 
+  test("graph-shortest-paths: loop caches are released — no CacheManager entry outlives the query") {
+    // Dataset.persist registers the plan in the session CacheManager,
+    // which strongly references the InMemoryRelation; the ContextCleaner
+    // never GC-reclaims those. The BFS lowering must therefore unpersist
+    // its edge/node loop caches once the result plan is built, or every
+    // distinct shortest-paths query leaks blocks for the session lifetime.
+    spark.catalog.clearCache()
+    val out = runG2(
+      """let E = datatable(src: string, dst: string)[
+        |  'a', 'b', 'b', 'c', 'a', 'c', 'c', 'd'];
+        | E | make-graph src --> dst
+        | | graph-shortest-paths (s)-[e*1..4]->(t)
+        |   where s.node_id == 'a' and t.node_id == 'd'
+        |   project hops = array_length(e)""".stripMargin)
+    assert(out.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "shortest-paths left a persisted plan in the CacheManager")
+  }
+
   test("graph-shortest-paths: BFS lowering handles ranges beyond the chain cap, cycles, edge-filter fallback") {
     // a 40-node chain with a *1..40 range: the chain lowering would blow
     // the 32-chain cap — only the frontier-BFS path can run this.
@@ -2488,6 +2507,25 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getBoolean(15), "a reversal spike is loudly null")
     assert(r.getBoolean(16), "radius 0 is loudly null")
     assert(r.getBoolean(17), "a polygon fed to line_buffer is loudly null")
+  }
+
+  test("geo_polygon_buffer: a structurally degenerate hole is loudly null, not a vanished hole") {
+    // a zero-length hole edge (duplicate consecutive vertex) and a hole
+    // reversal spike are malformed INPUT, independent of the radius —
+    // they must null the whole buffer (the geo family's stance), never
+    // be silently dropped as if the radius had swallowed the hole
+    val r = run(
+      """t | where id == 1
+        | | extend dup = '{"type":"Polygon","coordinates":[[[0.0,0.0],[1.0,0.0],[1.0,1.0],[0.0,1.0],[0.0,0.0]],[[0.2,0.2],[0.8,0.2],[0.8,0.2],[0.8,0.8],[0.2,0.8],[0.2,0.2]]]}',
+        |          spk = '{"type":"Polygon","coordinates":[[[0.0,0.0],[1.0,0.0],[1.0,1.0],[0.0,1.0],[0.0,0.0]],[[0.2,0.2],[0.8,0.2],[0.5,0.2],[0.8,0.2],[0.8,0.8],[0.2,0.8],[0.2,0.2]]]}',
+        |          ok  = '{"type":"Polygon","coordinates":[[[0.0,0.0],[1.0,0.0],[1.0,1.0],[0.0,1.0],[0.0,0.0]],[[0.2,0.2],[0.8,0.2],[0.8,0.8],[0.2,0.8],[0.2,0.2]]]}'
+        | | project dup_null = isnull(geo_polygon_buffer(dup, 1000.0)),
+        |           spk_null = isnull(geo_polygon_buffer(spk, 1000.0)),
+        |           ok_has_hole = not(geo_point_in_polygon(0.5, 0.5, geo_polygon_buffer(ok, 1000.0)))
+        |""".stripMargin).head()
+    assert(r.getBoolean(0), "duplicate consecutive hole vertex is loudly null")
+    assert(r.getBoolean(1), "hole reversal spike is loudly null")
+    assert(r.getBoolean(2), "a well-formed hole at small radius survives the buffer")
   }
 
   test("geo_line_lookup: covering+neighbor candidacy, exact refine, radius cap") {

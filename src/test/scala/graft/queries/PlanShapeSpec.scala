@@ -376,6 +376,51 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getLong(0) == 400000L && row.getLong(1) == 200000L)
   }
 
+  test("tabular in~ null contract: all three ci tiers drop NULL operand values identically") {
+    // A NULL operand value must never become the string "null"
+    // (String.valueOf) in one tier while staying SQL NULL in another —
+    // semantics must not flip with operand cardinality. Contract: ci
+    // tiers DROP null operand values; a null lhs stays three-valued NULL
+    // (dropped by where, null in extend).
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    val probe = spark.range(0, 100)
+      .selectExpr("concat('v', id) as s")                // v0..v99
+      .union(spark.sql("select 'null' as s"))            // the literal string "null"
+      .union(spark.sql("select cast(null as string) as s"))
+    // matching sets identical across tiers: V0..V49 (ci) + a NULL value;
+    // the big operand pads with values disjoint from the probe
+    val smallOps = spark.range(0, 50).selectExpr("concat('V', id) as k")
+      .union(spark.sql("select cast(null as string) as k"))
+    val bigOps = smallOps
+      .union(spark.range(0, 10000).selectExpr("concat('pad', id) as k"))
+    val resolve: String => DataFrame = {
+      case "probe" => probe; case "smallops" => smallOps; case "bigops" => bigOps
+      case other   => throw new IllegalArgumentException(other)
+    }
+    def n(kql: String): Long =
+      graft.kql.KqlCompiler.compile(kql, resolve).collect()(0).getLong(0)
+    // positive: 50 ci matches in BOTH tiers; neither 'null' nor NULL lhs match
+    assert(n("probe | where s in~ (smallops | project k) | summarize n = count()") == 50L,
+      "literal ci tier")
+    assert(n("probe | where s in~ (bigops | project k) | summarize n = count()") == 50L,
+      "InSubquery ci tier")
+    // negated: v50..v99 + 'null' = 51 in BOTH tiers (NULL lhs stays NULL → dropped)
+    assert(n("probe | where s !in~ (smallops | project k) | summarize n = count()") == 51L,
+      "negated literal ci tier")
+    assert(n("probe | where s !in~ (bigops | project k) | summarize n = count()") == 51L,
+      "negated InSet ci tier")
+    // Project context: null lhs yields NULL hit (not false-by-stringified-null)
+    // in both cardinality tiers
+    for (ops <- Seq("smallops", "bigops")) {
+      val hits = graft.kql.KqlCompiler.compile(
+        s"probe | extend hit = s in~ ($ops | project k) | where isnull(s) | project hit", resolve)
+        .collect()
+      assert(hits.length == 1 && hits(0).isNullAt(0),
+        s"null lhs must stay NULL in the $ops tier")
+    }
+  }
+
   test("q245 line lookup: broadcast cell equi-join with exact refine, never a cartesian") {
     val p = plan("q245_kql_text_line_lookup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
