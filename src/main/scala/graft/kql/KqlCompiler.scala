@@ -3639,17 +3639,17 @@ object KqlCompiler {
     }
 
     private def scanOp(df: DataFrame, partitionCols: Seq[Column]): DataFrame = {
-        // Kusto `scan` — restricted single-earliest-instance core (see
-        // [[graft.ops.Funnel.scanEarliest]] for semantics + scale shape):
+        // Kusto `scan`:
         //   scan [declare (v:type [= default], …)] with (
         //     step name: predicate [=> v = expr, …];
         //     … )
         // Runs over the serialized row order, so like `serialize` it
         // requires an explicit preceding sort (a distributed engine has
         // no stable natural order) and is a deliberate opt-in global
-        // window. Step predicates/assignments read row columns only —
-        // declared-state references would make matching inherently
-        // sequential (loud error via unresolved column).
+        // window (or keyed via `partition by`). Step predicates and
+        // assignments may reference live step state (`stepName.field`,
+        // bare `v` in single-step scans) — the lowering classifier below
+        // picks the cheapest machine that covers the references used.
         if (lastOrder.isEmpty)
           throw new KqlParseException(
             "scan requires a preceding 'order by' (no stable natural order in a distributed engine)")
@@ -3717,13 +3717,22 @@ object KqlCompiler {
         val ss = steps.result()
         if (ss.isEmpty) throw new KqlParseException("scan needs at least one step")
         // Declared vars are visible inside step predicates/assignments
-        // as self-references. They compile against marker columns so the
-        // lowering can classify each use: the single-step running form
-        // supports the additive accumulator (Kusto's canonical
-        // cumulative-sum scan); everything else must be row-only.
+        // as self-references (bare `v`), and every step's state is
+        // addressable as `stepName.field` (Kusto's step-state syntax —
+        // field = an input column captured from the record the step
+        // last consumed, or a declared variable). Both compile against
+        // marker columns so the lowering can CLASSIFY each use:
+        //  - no state references at all → the fully-windowed lowerings
+        //    (scanRunning / scanSequential — the distributed fast path);
+        //  - the bare additive accumulator `v = v + e` on a single step
+        //    → scanRunning's running-window sum (stays windowed);
+        //  - anything else → the general stateful machine
+        //    (Funnel.scanStateful: live-state evaluation, JIT-compiled
+        //    once per partition).
         import org.apache.spark.sql.{GraftColumnBridge => ExpressionUtils}
-        import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-        import org.apache.spark.sql.catalyst.expressions.{Add => CAdd, Expression => CExpr}
+        import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedExtractValue}
+        import org.apache.spark.sql.catalyst.expressions.{Add => CAdd, Alias => CAlias,
+          Cast => CCast, Expression => CExpr, Literal => CLit}
         val markerPrefix = "__scan_self_"
         val markers = declares.map { case (n, _, _) => n -> col(markerPrefix + n) }
         def withBinds[A](bs: List[(String, Column)])(body: => A): A = bs match {
@@ -3746,60 +3755,184 @@ object KqlCompiler {
             Some((f.arguments(0), f.arguments(1)))
           case _ => None
         }
+        // --- step-state markers: `s1.x` must compile as a NATIVE field
+        // access (not a dynamic-JSON probe), so each step name binds to a
+        // typed null-struct literal aliased "__scan_st_<step>" whose
+        // struct type carries every input column and declared variable
+        // at its real type — dynamicPath sees a struct and folds field
+        // accesses into UnresolvedExtractValue nodes we rewrite below.
+        val stepNames = ss.map(_._1)
+        if (stepNames.distinct.size != stepNames.size)
+          throw new KqlParseException("duplicate scan step name")
+        declares.map(_._1).find(df.columns.contains).foreach(c =>
+          throw new KqlParseException(
+            s"scan declared column '$c' collides with an input column"))
+        val stMarkerPrefix = "__scan_st_"
+        val stateStruct = StructType(
+          df.schema.fields ++ declares.map { case (nm, dt, _) => StructField(nm, dt) })
+        def stepMarker(s: String): Column = ExpressionUtils.column(
+          CAlias(CCast(CLit(null, NullType), stateStruct), stMarkerPrefix + s)())
+        val stepBindsAll = stepNames.map(s => s -> stepMarker(s))
+        def hasStepMarker(e: CExpr): Boolean =
+          e.collectFirst { case a: CAlias if a.name.startsWith(stMarkerPrefix) => () }.isDefined
+        val inputType: Map[String, DataType] =
+          df.schema.fields.map(f => f.name -> f.dataType).toMap
+        val declType: Map[String, DataType] = declares.map(d => d._1 -> d._2).toMap
+        val stepIdxOf = stepNames.zipWithIndex.toMap
+        val refsBuf = scala.collection.mutable.LinkedHashMap
+          .empty[(Int, String), graft.ops.Funnel.StateRef]
+        // rewrite step-state accesses (and, in single-step scans, bare
+        // declared references ≡ step-1 state) to the state attributes
+        // Funnel.scanStateful binds — collecting the referenced fields
+        def rewriteState(c: Column): Column = {
+          val singleStep = ss.lengthCompare(1) == 0
+          val out = ExpressionUtils.catalystExpression(c).transformUp {
+            case UnresolvedExtractValue(a: CAlias,
+                CLit(f: org.apache.spark.unsafe.types.UTF8String, StringType))
+                if a.name.startsWith(stMarkerPrefix) =>
+              val step = stepIdxOf(a.name.stripPrefix(stMarkerPrefix))
+              val fld = f.toString
+              val (dt, isDecl) = declType.get(fld).map((_, true))
+                .orElse(inputType.get(fld).map((_, false)))
+                .getOrElse(throw new KqlParseException(
+                  s"scan: step state has no field '$fld' " +
+                  "(not an input column or declared variable)"))
+              refsBuf.getOrElseUpdate((step, fld),
+                graft.ops.Funnel.StateRef(step, fld, dt, isDecl))
+              UnresolvedAttribute(Seq(s"__scan_state_${step}__$fld"))
+            case u: UnresolvedAttribute if u.nameParts.length == 1 &&
+                u.nameParts.head.startsWith(markerPrefix) =>
+              val v = u.nameParts.head.stripPrefix(markerPrefix)
+              if (!singleStep)
+                throw new KqlParseException(
+                  s"scan: bare state reference '$v' is ambiguous in a multi-step " +
+                  s"scan — qualify it with a step name (${stepNames.head}.$v)")
+              refsBuf.getOrElseUpdate((0, v),
+                graft.ops.Funnel.StateRef(0, v, declType(v), isDeclared = true))
+              UnresolvedAttribute(Seq(s"__scan_state_0__$v"))
+          }
+          out.collectFirst { case a: CAlias if a.name.startsWith(stMarkerPrefix) => a }
+            .foreach(a => throw new KqlParseException(
+              s"scan: step state '${a.name.stripPrefix(stMarkerPrefix)}' must be " +
+              "read through a field (step.column or step.declaredVar)"))
+          ExpressionUtils.column(out)
+        }
         val orderCols = lastOrder.get.map(_(df))
         val declared = declares.map { case (n, _, b) => (n, b(df)) }
-        val scanned = ss match {
-          case (_, outMode, condB, assignsB) :: Nil =>
-            // single step → sequential running-state semantics
-            val cond = withBinds(markers)(condB(df))
-            if (hasMarker(ExpressionUtils.catalystExpression(cond)))
-              throw new KqlParseException(
-                "scan state references in step predicates are not supported")
-            val decls = declared.map { case (v, dflt) =>
-              assignsB.reverse.find(_._1 == v) match {
-                case None => graft.ops.Funnel.NotAssigned(v, dflt)
-                case Some((_, ab)) =>
-                  val c = withBinds(markers)(ab(df))
-                  val ex = ExpressionUtils.catalystExpression(c)
-                  addParts(ex) match {
-                    case Some((l, r)) if isMarkerOf(l, v) && !hasMarker(r) =>
-                      graft.ops.Funnel.AddAssign(v, dflt, ExpressionUtils.column(r))
-                    case Some((l, r)) if isMarkerOf(r, v) && !hasMarker(l) =>
-                      graft.ops.Funnel.AddAssign(v, dflt, ExpressionUtils.column(l))
-                    case _ if hasMarker(ex) =>
-                      throw new KqlParseException(
-                        s"scan state reference in the assignment to '$v' must be " +
-                        "additive (v = v + expr or v = expr + v)")
-                    case _ => graft.ops.Funnel.RowAssign(v, dflt, c)
+        // compile every step under the marker binds; a step may reference
+        // its own and earlier steps' states (backward + self, the Kusto
+        // rule — forward names simply aren't bound)
+        val compiledSteps: List[(String, String, Column, List[(String, Column)])] =
+          ss.zipWithIndex.map { case ((nm, om, condB, assignsB), k) =>
+            val binds = markers ++ stepBindsAll.take(k + 1)
+            val cond = withBinds(binds)(condB(df))
+            val assigns = assignsB.map { case (an, ab) => (an, withBinds(binds)(ab(df))) }
+            (nm, om, cond, assigns)
+          }
+        def isStateful(c: Column): Boolean = {
+          val ex = ExpressionUtils.catalystExpression(c)
+          hasMarker(ex) || hasStepMarker(ex)
+        }
+        // 'last' on the stateful single-step form: the sequence never
+        // completes, so the final consumed record per group carries the
+        // state out — same contract scanRunning implements natively
+        def keepLastPerGroup(d: DataFrame): DataFrame = {
+          import org.apache.spark.sql.expressions.Window
+          // the scan output is a NEW frame (mapPartitions) — re-anchor the
+          // order/partition columns by name (their df exprIds don't exist
+          // here) and re-express a catalyst SortOrder through the Column
+          // API so WindowSpec recognizes it instead of double-wrapping
+          def rebind(c: Column): Column = {
+            import org.apache.spark.sql.catalyst.expressions.{Ascending, NullsFirst, NullsLast, SortOrder}
+            val ex = ExpressionUtils.catalystExpression(c).transformUp {
+              case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+                UnresolvedAttribute(Seq(a.name))
+            }
+            ex match {
+              case so: SortOrder =>
+                val ch = ExpressionUtils.column(so.child)
+                if (so.direction == Ascending)
+                  (if (so.nullOrdering == NullsLast) ch.asc_nulls_last else ch.asc_nulls_first)
+                else
+                  (if (so.nullOrdering == NullsFirst) ch.desc_nulls_first else ch.desc_nulls_last)
+              case e => ExpressionUtils.column(e)
+            }
+          }
+          val ord = orderCols.map(rebind)
+          val parts = partitionCols.map(rebind)
+          val wOrd = if (parts.isEmpty) Window.orderBy(ord: _*)
+                     else Window.partitionBy(parts: _*).orderBy(ord: _*)
+          val wFrame = if (parts.isEmpty) Window.partitionBy()
+                       else Window.partitionBy(parts: _*)
+          d.withColumn("__sf_last_rn", row_number().over(wOrd))
+            .withColumn("__sf_last_n", count(lit(1)).over(wFrame))
+            .where(col("__sf_last_rn") === col("__sf_last_n"))
+            .drop("__sf_last_rn", "__sf_last_n")
+        }
+        def statefulLowering(): DataFrame = {
+          val sfSteps = compiledSteps.map { case (nm, om, cond, assigns) =>
+            graft.ops.Funnel.StatefulStep(nm, rewriteState(cond),
+              assigns.map { case (an, ab) => (an, rewriteState(ab)) },
+              emit = om != "none")
+          }
+          val base = graft.ops.Funnel.scanStateful(df, partitionCols, orderCols,
+            declares.map { case (n, dt, b) => (n, dt, b(df)) },
+            sfSteps, refsBuf.values.toSeq, matchIdCol)
+          if (ss.lengthCompare(1) == 0 && ss.head._2 == "last") keepLastPerGroup(base)
+          else base
+        }
+        val scanned = compiledSteps match {
+          case (_, outMode, cond, assigns) :: Nil if !isStateful(cond) =>
+            // single step: the fully-windowed running form when every
+            // assignment is row-only or the bare additive accumulator;
+            // any other state use falls to the general machine
+            val declsOpt: Option[List[graft.ops.Funnel.RunningDecl]] =
+              declared.foldRight(Option(List.empty[graft.ops.Funnel.RunningDecl])) {
+                case ((v, dflt), acc) => acc.flatMap { tail =>
+                  assigns.reverse.find(_._1 == v) match {
+                    case None => Some(graft.ops.Funnel.NotAssigned(v, dflt) :: tail)
+                    case Some((_, c)) =>
+                      val ex = ExpressionUtils.catalystExpression(c)
+                      if (hasStepMarker(ex)) None
+                      else addParts(ex) match {
+                        case Some((l, r)) if isMarkerOf(l, v) && !hasMarker(r) =>
+                          Some(graft.ops.Funnel.AddAssign(v, dflt, ExpressionUtils.column(r)) :: tail)
+                        case Some((l, r)) if isMarkerOf(r, v) && !hasMarker(l) =>
+                          Some(graft.ops.Funnel.AddAssign(v, dflt, ExpressionUtils.column(l)) :: tail)
+                        case _ if hasMarker(ex) => None
+                        case _ => Some(graft.ops.Funnel.RowAssign(v, dflt, c) :: tail)
+                      }
                   }
+                }
               }
+            declsOpt match {
+              case Some(decls) =>
+                val running = graft.ops.Funnel.scanRunning(
+                  df, partitionCols, orderCols, cond, decls, outMode)
+                // the single-step accumulator is ONE never-completing
+                // sequence — every row honestly carries match id 1
+                matchIdCol.fold(running) { m =>
+                  if (running.columns.contains(m))
+                    throw new KqlParseException(
+                      s"with_match_id column '$m' collides with an existing column")
+                  running.withColumn(m, lit(1L))
+                }
+              case None => statefulLowering()
             }
-            val running = graft.ops.Funnel.scanRunning(df, partitionCols, orderCols, cond, decls, outMode)
-            // the single-step accumulator is ONE never-completing
-            // sequence — every row honestly carries match id 1
-            matchIdCol.fold(running) { m =>
-              if (running.columns.contains(m))
-                throw new KqlParseException(
-                  s"with_match_id column '$m' collides with an existing column")
-              running.withColumn(m, lit(1L))
-            }
-          case _ =>
-            // multi-step → the FULL repeated-match state machine
-            // (promote > extend > new, completion retires the sequence
-            // and matching restarts — Kusto's scan logic; see
-            // graft.ops.Funnel.scanSequential). State references would
-            // need per-row re-evaluation against live state, loud error.
-            graft.ops.Funnel.scanSequential(df, partitionCols, orderCols,
-              declares.map { case (n, dt, b) => (n, dt, b(df)) },
-              ss.map { case (n, om, c, as) =>
-                val cond = withBinds(markers)(c(df))
-                val assigns = as.map { case (an, ab) => (an, withBinds(markers)(ab(df))) }
-                (cond +: assigns.map(_._2)).find(cc => hasMarker(ExpressionUtils.catalystExpression(cc)))
-                  .foreach(_ => throw new KqlParseException(
-                    "scan state references are supported only in single-step scans " +
-                    "(additive accumulator form)"))
-                graft.ops.Funnel.SeqStep(n, cond, assigns, emit = om != "none")
-              }, matchIdCol)
+          case single :: Nil => statefulLowering() // stateful predicate
+          case multi =>
+            if (multi.exists { case (_, _, c, as) =>
+                  isStateful(c) || as.exists(a => isStateful(a._2)) })
+              statefulLowering()
+            else
+              // multi-step, no state references → the FULL repeated-match
+              // state machine with fully-precomputed cells (promote >
+              // extend > new; see graft.ops.Funnel.scanSequential)
+              graft.ops.Funnel.scanSequential(df, partitionCols, orderCols,
+                declares.map { case (n, dt, b) => (n, dt, b(df)) },
+                multi.map { case (n, om, cond, assigns) =>
+                  graft.ops.Funnel.SeqStep(n, cond, assigns, emit = om != "none")
+                }, matchIdCol)
         }
         scanned
     }

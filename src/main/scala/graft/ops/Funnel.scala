@@ -331,6 +331,234 @@ object Funnel {
     out
   }
 
+  /** One step of the STATEFUL scan ([[scanStateful]]): the cond/assign
+    * Columns may reference state attributes `__scan_state_<j>__<f>`
+    * (rewritten by the compiler from `stepName.field` syntax). */
+  final case class StatefulStep(name: String, cond: Column,
+                                assigns: Seq[(String, Column)] = Nil,
+                                emit: Boolean = true)
+
+  /** One state reference used by a stateful scan: the 0-based step whose
+    * state is read, the field name (a declared variable or an input
+    * column captured from the record last consumed by that step), its
+    * catalyst type, and which of the two it is. */
+  final case class StateRef(step: Int, field: String,
+                            dt: org.apache.spark.sql.types.DataType,
+                            isDeclared: Boolean)
+
+  /** Kusto `scan` with STATE REFERENCES — the general machine behind
+    * `stepName.field` syntax in step predicates and assignments
+    * (learn.microsoft.com scan-operator: a step's state holds the
+    * declared variables and the record last consumed by the step).
+    *
+    * Same promote > extend > new matching logic as [[scanSequential]],
+    * with the state-resolution rules pinned as:
+    *
+    *  - in a step's PREDICATE, `sJ.field` resolves against the state of
+    *    step J as of BEFORE the record is consumed — an empty state
+    *    yields NULL (a predicate referencing a step no sequence has
+    *    reached simply fails, three-valued). `sJ.inputCol` reads the
+    *    record last consumed by step J; `sJ.declaredVar` the sequence
+    *    values held at J;
+    *  - in the consuming step's ASSIGNMENTS, references resolve against
+    *    the POST-move state (the sequence now sits at the consuming
+    *    step with the current record captured; a promotion has cleared
+    *    the step it left) with PRE-commit declared values: a NEW
+    *    sequence's own assignments see its declare-clause defaults (the
+    *    cumulative form `mx = iff(x > s1.mx, x, s1.mx)` seeds from the
+    *    default, not from an empty-state NULL), and no assignment in
+    *    the list sees an earlier one's update (all RHS evaluate, then
+    *    commit atomically). Deltas across steps carry through declared
+    *    variables (`s1: … => t0 = ts; s2: … => gap = ts - s2.t0`);
+    *  - promotion into the LAST step runs assignments, emits, then
+    *    retires (single-step scans never complete — Kusto's cumulative
+    *    form).
+    *
+    * Scale shape: identical to [[scanSequential]] — ONE hash shuffle on
+    * the group key (or the documented serialize-class single partition),
+    * a sort within partitions, then a single streaming pass. Because
+    * predicates/assignments read LIVE state they cannot be precomputed
+    * as columnar cells; instead each expression is analyzed against the
+    * input schema extended with one field per state reference, bound to
+    * ordinals, and JIT-compiled ONCE per partition (catalyst
+    * Predicate/MutableProjection codegen — no per-row interpretation).
+    * Per-group state is O(steps × (declares + one captured row)). */
+  def scanStateful(df: DataFrame, partitionCols: Seq[Column], orderCols: Seq[Column],
+                   declares: Seq[(String, org.apache.spark.sql.types.DataType, Column)],
+                   steps: Seq[StatefulStep], stateRefs: Seq[StateRef],
+                   matchIdCol: Option[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeSeq, BindReferences,
+      Expression, GenericInternalRow, JoinedRow, MutableProjection, Predicate => CPredicate}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    require(steps.nonEmpty, "scan needs at least one step")
+    require(orderCols.nonEmpty, "scan needs an explicit row order")
+    (declares.map(_._1) ++ matchIdCol).find(df.columns.contains).foreach(c =>
+      throw new IllegalArgumentException(
+        s"scan declared column '$c' collides with an input column"))
+    val n = steps.size
+    val inCols = df.columns.toSeq
+    val declIdx = declares.map(_._1).zipWithIndex.toMap
+    steps.flatMap(_.assigns.map(_._1)).find(v => !declIdx.contains(v)).foreach(v =>
+      throw new IllegalArgumentException(s"scan assignment to undeclared variable '$v'"))
+    val spark = df.sparkSession
+    val keyCol = (if (partitionCols.isEmpty) lit(0) else struct(partitionCols: _*)).as("__sf_key")
+    val eval = df.select(inCols.map(col) :+ keyCol: _*)
+    val prepared =
+      if (partitionCols.isEmpty) eval.repartition(1).sortWithinPartitions(orderCols: _*)
+      else eval.repartition(col("__sf_key"))
+        .sortWithinPartitions(col("__sf_key") +: orderCols: _*)
+    val evalSchema = eval.schema
+    // the evaluation schema every step expression binds against: the
+    // shuffled row's fields, then one nullable field per state reference
+    val extSchema = StructType(evalSchema.fields ++ stateRefs.map(r =>
+      StructField(s"__scan_state_${r.step}__${r.field}", r.dt, nullable = true)))
+    def bound(c: Column, what: String): Expression = {
+      import org.apache.spark.sql.GraftColumnBridge
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      import org.apache.spark.sql.catalyst.expressions.AttributeReference
+      // the compiled Column's attribute references are resolved against
+      // the SOURCE frame (exprIds from df) — de-resolve by name so the
+      // expression re-analyzes against the eval schema extended with the
+      // state fields (names are identical: eval selects df's columns)
+      val dere = GraftColumnBridge.catalystExpression(c).transformUp {
+        case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+      }
+      val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], extSchema)
+      val analyzed = empty.select(GraftColumnBridge.column(dere).as("__sf_e"))
+        .queryExecution.analyzed
+      val expr = analyzed.asInstanceOf[Project].projectList.head.asInstanceOf[Alias].child
+      if (expr.exists(_.isInstanceOf[AggregateExpression]))
+        throw new IllegalArgumentException(s"scan $what cannot contain an aggregate")
+      BindReferences.bindReference(expr, AttributeSeq(analyzed.children.head.output))
+    }
+    val condExprs = steps.map(s => bound(s.cond, s"step '${s.name}' predicate"))
+    val assignExprs: Array[Array[(Int, Expression, DataType)]] = steps.map { s =>
+      s.assigns.map { case (v, rhs) =>
+        val dt = declares(declIdx(v))._2
+        (declIdx(v), bound(rhs.cast(dt), s"assignment to '$v'"), dt)
+      }.toArray
+    }.toArray
+    val defaultExprs: Array[(Expression, DataType)] = declares.map { case (v, dt, dflt) =>
+      (bound(dflt.cast(dt), s"declare default of '$v'"), dt)
+    }.toArray
+    val emitStep = steps.map(_.emit).toArray
+    val nDecl = declares.size
+    val nRefs = stateRefs.size
+    val refStep = stateRefs.map(_.step).toArray
+    val refIsDecl = stateRefs.map(_.isDeclared).toArray
+    val refOrd = stateRefs.map(r =>
+      if (r.isDeclared) declIdx(r.field) else evalSchema.fieldIndex(r.field)).toArray
+    val refDt = stateRefs.map(_.dt).toArray
+    val keyIdx = evalSchema.fieldIndex("__sf_key")
+    val inLen = inCols.length
+    val declDts = declares.map(_._2).toArray
+    val outSchema = StructType(
+      df.schema.fields.toSeq ++
+        declares.map { case (v, dt, _) => StructField(v, dt, nullable = true) } ++
+        matchIdCol.map(m => StructField(m, LongType, nullable = false)))
+    val withId = matchIdCol.isDefined
+    prepared.mapPartitions { it =>
+      val toInternal = CatalystTypeConverters.createToCatalystConverter(evalSchema)
+      val toScala = declDts.map(CatalystTypeConverters.createToScalaConverter)
+      val preds = condExprs.map(CPredicate.create).toArray
+      val assignProjs: Array[Array[MutableProjection]] =
+        assignExprs.map(_.map { case (_, e, _) => MutableProjection.create(Seq(e)) })
+      val defaultProjs = defaultExprs.map { case (e, _) => MutableProjection.create(Seq(e)) }
+      // states(k) = declared values (catalyst form) + match id in the
+      // last slot; captures(k) = the (owned, converter-fresh) internal
+      // row last consumed by step k. Both live iff a sequence sits at k.
+      val states = new Array[Array[Any]](n)
+      val captures = new Array[InternalRow](n)
+      val stateRow = new GenericInternalRow(math.max(nRefs, 1))
+      val joined = new JoinedRow
+      var curKey: Any = null
+      var started = false
+      var nextId = 1L
+      def fillStateRow(): Unit = {
+        var i = 0
+        while (i < nRefs) {
+          val st = refStep(i)
+          val v =
+            if (states(st) == null) null
+            else if (refIsDecl(i)) states(st)(refOrd(i))
+            else captures(st).get(refOrd(i), refDt(i))
+          stateRow.update(i, v)
+          i += 1
+        }
+      }
+      it.flatMap { row =>
+        val key = row.get(keyIdx)
+        if (!started || key != curKey) {
+          started = true; curKey = key
+          java.util.Arrays.fill(states.asInstanceOf[Array[AnyRef]], null)
+          java.util.Arrays.fill(captures.asInstanceOf[Array[AnyRef]], null)
+          nextId = 1L
+        }
+        val ir = toInternal(row).asInstanceOf[InternalRow]
+        // the pre-consumption snapshot all PREDICATES resolve against
+        // (assignments refill after the move — see the Scaladoc pin)
+        fillStateRow()
+        joined(ir, stateRow)
+        var k = n - 1
+        var seq: Array[Any] = null
+        var consumedAt = -1
+        var completing = false
+        while (k >= 0 && consumedAt < 0) {
+          if (preds(k).eval(joined)) {
+            if (k > 0 && states(k - 1) != null) { // promote (move, replace)
+              seq = states(k - 1); states(k - 1) = null; captures(k - 1) = null
+              states(k) = seq; captures(k) = ir
+              consumedAt = k; completing = k == n - 1
+            } else if (states(k) != null) { // extend (greedy)
+              seq = states(k); captures(k) = ir
+              consumedAt = k
+            } else if (k == 0) { // new sequence at step 1
+              seq = new Array[Any](nDecl + 1)
+              var i = 0
+              while (i < nDecl) { seq(i) = defaultProjs(i)(joined).get(0, declDts(i)); i += 1 }
+              seq(nDecl) = nextId; nextId += 1L
+              states(0) = seq; captures(0) = ir
+              consumedAt = 0
+            }
+          }
+          if (consumedAt < 0) k -= 1
+        }
+        if (consumedAt < 0) Iterator.empty
+        else {
+          // assignments: every RHS sees the POST-move state (sequence at
+          // the consuming step, current record captured) with PRE-commit
+          // declared values; commit after evaluating all (atomic)
+          val as = assignExprs(consumedAt)
+          val ps = assignProjs(consumedAt)
+          if (as.nonEmpty) {
+            if (nRefs > 0) fillStateRow()
+            val staged = new Array[Any](as.length)
+            var j = 0
+            while (j < as.length) { staged(j) = ps(j)(joined).get(0, as(j)._3); j += 1 }
+            j = 0
+            while (j < as.length) { seq(as(j)._1) = staged(j); j += 1 }
+          }
+          val out =
+            if (emitStep(consumedAt)) {
+              val vals = new Array[Any](inLen + nDecl + (if (withId) 1 else 0))
+              var i = 0
+              while (i < inLen) { vals(i) = row.get(i); i += 1 }
+              while (i < inLen + nDecl) { vals(i) = toScala(i - inLen)(seq(i - inLen)); i += 1 }
+              if (withId) vals(inLen + nDecl) = seq(nDecl)
+              Iterator.single(Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals)))
+            } else Iterator.empty
+          if (completing && n > 1) { states(consumedAt) = null; captures(consumedAt) = null }
+          out
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Kusto `row_window_session(ts, MaxDistanceFromFirst,
     * MaxDistanceBetweenNeighbors [, Restart])` — the serialized
     * sessionization scalar: each row gets its session's START

@@ -1732,6 +1732,44 @@ object KqlQueries extends QueryModule {
           | | order by event_id asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // scan STATE REFERENCES at data scale (round 17): the single-step
+    // non-additive accumulator — a running max seeded from the declared
+    // default through `iff(value > s1.mx, …)`. Exercises the stateful
+    // machine's new-sequence default seeding and per-extend live-state
+    // assignment; no arithmetic beyond comparison, so doubles compare
+    // bit-exact against the window-max oracle.
+    "q252_kql_text_scan_state_max" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | order by ts asc, event_id asc
+          | | scan declare (mx: real = 0.0) with (
+          |     step s1: isnotnull(value) => mx = iff(value > s1.mx, value, s1.mx);
+          |   )
+          | | project event_id, mx
+          | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
+    // scan state refs, multi-step (round 17): strict odd/even
+    // alternation (dense serialize row numbers) makes the promote/
+    // extend machine lag-equivalent — every even row's s1 state is the
+    // immediately preceding row, whether that odd row STARTED a
+    // sequence or greedily EXTENDED one — so the full semantics
+    // (capture reads `s1.user_id`, post-move delta `value - s2.v0`,
+    // match-id numbering across completions) have an exact SQL oracle.
+    "q253_kql_text_scan_state_pairs" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | project event_id, user_id, value
+          | | order by event_id asc
+          | | serialize rn = row_number()
+          | | scan with_match_id=m declare (v0: real = 0.0, gap: real = -1.0) with (
+          |     step s1: rn % 2 == 1 => v0 = value;
+          |     step s2: rn % 2 == 0 and user_id == s1.user_id => gap = value - s2.v0;
+          |   )
+          | | project event_id, rn, v0 = round(v0, 6), gap = round(gap, 6) + 0.0, m
+          | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // geo_simplify_polygons_array at data scale (round 16): per-row
     // pair of rectangles sharing an edge that carries a super-tolerance
     // bump — the bump must survive IDENTICALLY in both outputs (the
@@ -4287,6 +4325,35 @@ object KqlQueries extends QueryModule {
     "q250_kql_text_line_clip" -> lineClipOracle,
 
     "q251_kql_text_union_array" -> unionArrayOracle,
+
+    // stateful-scan running max: consumed rows only (null values are
+    // skipped by the predicate), seeded at the declared 0.0 default
+    "q252_kql_text_scan_state_max" ->
+      """SELECT event_id,
+                greatest(0.0, max(value) OVER (ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS mx
+         FROM events WHERE value IS NOT NULL ORDER BY event_id""",
+
+    // stateful-scan pair machine under strict rn alternation: every even
+    // row's s1 state IS the previous row (lag), matched evens complete
+    // and retire, and match ids = 1 + completions strictly before the
+    // row (extends keep their sequence's id, so the same formula covers
+    // odd starters and extenders alike)
+    "q253_kql_text_scan_state_pairs" ->
+      """WITH o AS (SELECT event_id, user_id, value,
+                           row_number() OVER (ORDER BY event_id) AS rn
+                    FROM events),
+           l AS (SELECT *, lag(user_id) OVER (ORDER BY rn) AS pu,
+                        lag(value) OVER (ORDER BY rn) AS pv FROM o),
+           g AS (SELECT *, CASE WHEN rn % 2 = 0 AND user_id = pu THEN 1 ELSE 0 END AS hit FROM l),
+           h AS (SELECT *, 1 + coalesce(sum(hit) OVER (ORDER BY rn
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS mid FROM g)
+         SELECT event_id, rn,
+                round(CASE WHEN rn % 2 = 1 THEN value ELSE pv END, 6) AS v0,
+                round(CASE WHEN rn % 2 = 1 THEN -1.0 ELSE value - pv END, 6) + 0.0 AS gap,
+                CAST(mid AS BIGINT) AS m
+         FROM h WHERE rn % 2 = 1 OR hit = 1
+         ORDER BY event_id""",
 
     "q249_kql_text_joint_simplify" ->
       """SELECT event_id,

@@ -3659,21 +3659,118 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getMessage.contains("order by"))
   }
 
-  test("scan state references outside the additive form are loud errors") {
-    assert(intercept[KqlParseException](run(
+  test("scan state refs: single-step non-additive assignment runs the stateful machine") {
+    // s = s * 2 used to be a loud error; the general machine evaluates it
+    // against live state (default 0 → stays 0 on every consumed row)
+    val doubled = run(
       """t | order by id asc
-        | | scan declare (s:long = 0) with (step s1: value > 0 => s = s * 2;)""".stripMargin))
-      .getMessage.contains("additive"))
+        | | scan declare (s:long = 0) with (step s1: value > 0 => s = s * 2;)
+        | | project id, s""".stripMargin).collect()
+    assert(doubled.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (5L, 0L)))
+    // running max via iff — the canonical non-additive accumulator,
+    // step-qualified (s1.mx) and seeded from the declared default
+    val mx = run(
+      """t | order by id asc
+        | | scan declare (mx:real = 0.0) with (
+        |     step s1: true => mx = iff(value > s1.mx, value, s1.mx);
+        |   )
+        | | project id, mx""".stripMargin).collect()
+    assert(mx.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 10.0), (2L, 55.0), (3L, 95.0), (4L, 95.0), (5L, 95.0)))
+    // the bare form is shorthand for step-1 state in a single-step scan
+    val bare = run(
+      """t | order by id asc
+        | | scan declare (mx:real = 0.0) with (
+        |     step s1: true => mx = iff(value > mx, value, mx);
+        |   )
+        | | project id, mx""".stripMargin).collect()
+    assert(bare.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      mx.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+
+  test("scan state refs: step-state captures drive promote/extend/retire") {
+    // s2's predicate reads the record s1 last consumed (greedy extends
+    // keep updating it); promotion into the last step emits and retires,
+    // and a retired step's state reads as NULL (row 5 matches nothing)
+    val out = runG2(
+      """let E = datatable(id:long, ev:string, val:real)[
+        |  1, 'start', 10.0, 2, 'start', 20.0, 3, 'stop', 15.0,
+        |  4, 'stop', 25.0, 5, 'stop', 30.0, 6, 'start', 5.0, 7, 'stop', 6.0];
+        | E | order by id asc
+        | | scan with_match_id=m declare (v0:real = 0.0) with (
+        |     step s1: ev == 'start' => v0 = val;
+        |     step s2: ev == 'stop' and val > s1.val;
+        |   )
+        | | project id, v0, m""".stripMargin).collect()
+    assert(out.map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq ==
+      Seq((1L, 10.0, 1L), (2L, 20.0, 1L), (4L, 20.0, 1L), (6L, 5.0, 2L), (7L, 5.0, 2L)))
+  }
+
+  test("scan state refs: deltas carry through declared vars; completion assignments see the moved state") {
+    val out = runG2(
+      """let E = datatable(id:long, ev:string, val:real)[
+        |  1, 'start', 10.0, 2, 'stop', 25.0, 3, 'stop', 99.0];
+        | E | order by id asc
+        | | scan declare (t0:real = 0.0, gap:real = -1.0) with (
+        |     step s1: ev == 'start' => t0 = val;
+        |     step s2: ev == 'stop' => gap = val - s2.t0;
+        |   )
+        | | project id, t0, gap""".stripMargin).collect()
+    // row1 starts (t0=10, gap default −1); row2 promotes into s2 — its
+    // assignment resolves against the POST-move state (t0 carried with
+    // the sequence), gap = 25−10; row3 has no sequence to join → no match
+    assert(out.map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq ==
+      Seq((1L, 10.0, -1.0), (2L, 10.0, 15.0)))
+  }
+
+  test("scan state refs: empty-state predicates are three-valued; assignment lists commit atomically") {
+    // s1.s against an EMPTY state is NULL → the predicate never passes,
+    // no sequence ever starts
+    assert(run(
+      """t | order by id asc
+        | | scan declare (s:long = 0) with (step s1: s < 3;)""".stripMargin).count() == 0)
+    // all RHS evaluate against pre-commit declared values: b reads a's
+    // PRE-update value even though a commits in the same list
+    val out = run(
+      """t | order by id asc
+        | | scan declare (a:real = -1.0, b:real = -2.0) with (
+        |     step s1: true => a = value, b = s1.a;
+        |   )
+        | | project id, a, b""".stripMargin).collect()
+    assert(out.map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq ==
+      Seq((1L, 10.0, -1.0), (2L, 55.0, 10.0), (3L, 95.0, 55.0),
+          (4L, 20.0, 95.0), (5L, 70.0, 20.0)))
+  }
+
+  test("scan state refs: single-step output=last keeps the final state row") {
+    val out = run(
+      """t | order by id asc
+        | | scan declare (mx:real = 0.0) with (
+        |     step s1 output=last: true => mx = iff(value > s1.mx, value, s1.mx);
+        |   )
+        | | project id, mx""".stripMargin).collect()
+    assert(out.map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq((5L, 95.0)))
+  }
+
+  test("scan state refs: multi-step bare refs, naked step names, unknown fields stay loud") {
     assert(intercept[KqlParseException](run(
       """t | order by id asc
         | | scan declare (s:long = 0) with (
         |     step s1: value > 0 => s = s + 1;
         |     step s2: value > 50;
-        |   )""".stripMargin))
-      .getMessage.contains("single-step"))
+        |   )""".stripMargin)).getMessage.contains("qualify"))
     assert(intercept[KqlParseException](run(
       """t | order by id asc
-        | | scan declare (s:long = 0) with (step s1: s < 3;)""".stripMargin))
-      .getMessage.contains("predicate"))
+        | | scan with (
+        |     step s1: value > 0;
+        |     step s2: strlen(tostring(s1)) > 0;
+        |   )""".stripMargin)).getMessage.contains("field"))
+    assert(intercept[KqlParseException](run(
+      """t | order by id asc
+        | | scan with (
+        |     step s1: value > 0;
+        |     step s2: s1.nonexistent > 0;
+        |   )""".stripMargin)).getMessage.contains("no field"))
   }
 }

@@ -134,7 +134,26 @@ class KqlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
             sb.append("\n| union t"); maxRows += 8
           case 11 =>
             c += 1
-            pick(Seq("dt", "parse", "sort", "mvapply", "tabin")) match {
+            pick(Seq("dt", "parse", "sort", "mvapply", "tabin", "scan")) match {
+              case "scan" =>
+                // scan stages (round 17): the additive running form, the
+                // stateful single-step accumulator (live state refs), and
+                // the two-step machine with a capture read — all
+                // row-preserving at worst (each record emits ≤ 1 row)
+                val d = s"f$c"
+                sb.append("\n| order by id asc")
+                pick(Seq("add", "max", "pair")) match {
+                  case "add" =>
+                    sb.append(s"\n| scan declare ($d:real = 0.0) with " +
+                      s"(step st$c: ${boolExpr(0)} => $d = $d + ${numExpr(0)};)")
+                  case "max" =>
+                    sb.append(s"\n| scan declare ($d:real = 0.0) with " +
+                      s"(step st$c: true => $d = iff(${numExpr(0)} > st$c.$d, ${numExpr(0)}, st$c.$d);)")
+                  case "pair" =>
+                    sb.append(s"\n| scan declare ($d:real = 0.0) with " +
+                      s"(step sa$c: ${boolExpr(0)} => $d = value; " +
+                      s"step sb$c: ${boolExpr(0)} and id >= sa$c.id;)")
+                }
               case "tabin" =>
                 // tabular in/!in (round 16): the literal tier — the
                 // operand subquery re-reads the fixture, so this
