@@ -443,8 +443,12 @@ private[queries] trait LlmIterativeQueries extends LlmShared {
     * loop counter. */
   private[queries] def labelPropQuery(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
-    val e0 = li.select(concat(lit("o"), col("l_orderkey")).as("src"),
-        concat(lit("p"), col("l_partkey")).as("dst")).distinct()
+    // node ids are LONGS inside the loop (orders even, parts odd — the
+    // q111 discipline): every per-round join/agg shuffles 8-byte keys
+    // instead of prefixed strings; the output only needs the part/order
+    // SPLIT, which the id parity still carries
+    val e0 = li.select((col("l_orderkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst")).distinct()
     val ed = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = ed.select(col("src").as("node")).distinct()
@@ -455,7 +459,7 @@ private[queries] trait LlmIterativeQueries extends LlmShared {
     // every round — same semantics (a seeded node's coalesce always
     // resolves to its seed)
     val seeds = li.select(col("l_partkey")).where(col("l_partkey") % 17 === 0).distinct()
-      .select(concat(lit("p"), col("l_partkey")).as("node"),
+      .select((col("l_partkey") * 2 + 1).as("node"),
         (col("l_partkey") % 4).cast("long").as("seed"))
       .localCheckpoint()
     try {
@@ -482,8 +486,8 @@ private[queries] trait LlmIterativeQueries extends LlmShared {
       }
       labels.groupBy(col("label")).agg(
           count(lit(1)).as("n_nodes"),
-          sum(when(col("node").startsWith("p"), 1L).otherwise(0L)).as("n_parts"),
-          sum(when(col("node").startsWith("o"), 1L).otherwise(0L)).as("n_orders"))
+          sum(when(col("node") % 2 === 1, 1L).otherwise(0L)).as("n_parts"),
+          sum(when(col("node") % 2 === 0, 1L).otherwise(0L)).as("n_orders"))
         .select(coalesce(col("label"), lit(-1L)).as("label"),
           col("n_nodes"), col("n_parts"), col("n_orders"))
         .orderBy(col("label"))
@@ -536,12 +540,18 @@ private[queries] trait LlmIterativeQueries extends LlmShared {
     * and round to 6 so the top-k boundary is deterministic. */
   private[queries] def pagerankQuery(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
+    // node ids are LONGS inside the loop (orders even, parts odd): the
+    // 3 power-iteration joins shuffle 8-byte keys instead of 8-10 char
+    // strings — ~half the shuffle bytes and cheap hashing at 100 TB.
+    // The public "p<key>" label is reconstructed on the 20-row output;
+    // the graph is isomorphic so every rank is bit-identical.
     val edges = li.select(
-      concat(lit("o"), col("l_orderkey")).as("src"),
-      concat(lit("p"), col("l_partkey")).as("dst")).distinct()
+      (col("l_orderkey") * 2).as("src"),
+      (col("l_partkey") * 2 + 1).as("dst")).distinct()
     graft.ops.PageRank.run(edges, k = 3, normalize = true)
-      .filter(col("node").startsWith("p"))
-      .select(col("node"), round(col("rank"), 6).as("nrank"))
+      .filter(col("node") % 2 === 1)
+      .select(concat(lit("p"), ((col("node") - 1) / 2).cast("long")).as("node"),
+        round(col("rank"), 6).as("nrank"))
       .orderBy(col("nrank").desc, col("node").asc)
       .limit(20)
   }
