@@ -3753,6 +3753,18 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq((5L, 95.0)))
   }
 
+  test("scan state refs: partition by runs the stateful machine per key") {
+    val out = run(
+      """t | order by id asc
+        | | partition by name ( scan declare (mx: real = 0.0) with (
+        |     step s1: true => mx = iff(value > s1.mx, value, s1.mx);
+        |   ) )
+        | | project id, mx | order by id asc""".stripMargin).collect()
+    // per-name running max: alpha 10→95, beta 55→70, gamma 20
+    assert(out.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 10.0), (2L, 55.0), (3L, 95.0), (4L, 20.0), (5L, 70.0)))
+  }
+
   test("scan state refs: multi-step bare refs, naked step names, unknown fields stay loud") {
     assert(intercept[KqlParseException](run(
       """t | order by id asc
