@@ -478,19 +478,26 @@ object KqlCompiler {
               GraftColumnBridge.catalystExpression(m(u.nameParts.head))
           })
         // the edge view feeds one join per round and the node view two
-        // scans (sources + endpoint bind) — persist both for the loop,
-        // the standard iterative-graph discipline (PageRank/q41 shape;
-        // MEMORY_AND_DISK spills rather than recomputing the upstream
-        // plan k times at 100 TB)
+        // scans (sources + endpoint bind). LAZY localCheckpoint — not
+        // persist: Dataset.persist registers the plan in the session
+        // CacheManager, whose strong reference the ContextCleaner never
+        // GC-reclaims, so persisted loop caches leak for the session
+        // lifetime (one edge projection + node set per distinct query —
+        // the round-16 advisor finding). A lazily-checkpointed RDD
+        // stores the same MEMORY_AND_DISK blocks, fills them pipelined
+        // inside the FIRST consumer job exactly like a cache fill (no
+        // separate materialization job — the round-15 eager-checkpoint
+        // regression), and its blocks ARE GC-tracked: once the result
+        // plan becomes unreachable the ContextCleaner drops them.
         val edges = {
           val (inC, outC) = if (forward) (g.srcCol, g.dstCol) else (g.dstCol, g.srcCol)
           g.edges.select(
             struct(eCols.map(g.edges(_)): _*).as("__bfs_edge"),
             g.edges(inC).as("__bfs_in"),
             g.edges(outC).as("__bfs_out"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager = false)
         }
-        val nodes = g.nodes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nodes = g.nodes.localCheckpoint(eager = false)
         // a frontier/settled side known (from the round's count) to be
         // small broadcasts — the single-source BFS never shuffles the
         // full edge table into new partitionings per round
@@ -561,20 +568,13 @@ object KqlCompiler {
           frontier = fresh
           lvl += 1
         }
-        // cache lifetime: Dataset.persist registers the plan in the
-        // session CacheManager, which STRONGLY references the
-        // InMemoryRelation — the ContextCleaner never GC-reclaims it, so
-        // leaving the persists in place would leak one edge-projection +
-        // node cache per distinct shortest-paths query for the session
-        // lifetime. Every per-level frontier is a localCheckpoint already
-        // materialized by its count() above, so nothing downstream reads
-        // the edge cache again — unpersist(blocking=false) is free. The
-        // node cache IS read once more (the endpoint bind below); after
-        // unpersist that side recomputes from source inline — one
-        // pipelined scan, NOT the +0.8 s eager end-of-loop
-        // localCheckpoint re-materialization that caused the round-15
-        // q146 regression (that wrote every node row into a second
-        // block set before the final join could start).
+        // cache lifetime: edges/nodes are lazily-checkpointed (above), so
+        // the endpoint bind below reads their stored blocks one last time
+        // and the ContextCleaner reclaims everything once the result plan
+        // is dropped — no CacheManager entry, no explicit unpersist, no
+        // final-join recompute (the three failure modes of the persist /
+        // unpersist-early / eager-checkpoint variants measured in rounds
+        // 15-17).
         val reached = perLevel.reduce(_ unionByName _)
         val nodesB = nodes.select(
           nodes(g.idCol).as("__bfs_bid"),
@@ -592,12 +592,9 @@ object KqlCompiler {
            else Map(aAlias -> col("__bfs_a"), bAlias -> col("__bfs_b"))) +
           (eAlias -> col("__bfs_path"))
         val fin = out
-        val res = withBinds(binds) {
+        withBinds(binds) {
           fin.select(projs.map { case (n, e) => e(fin).as(n) }: _*)
         }
-        edges.unpersist(blocking = false)
-        nodes.unpersist(blocking = false)
-        res
       }
     }
 
