@@ -88,10 +88,12 @@ object KqlCompiler {
     * makes time-relative queries deterministic for tests/oracles. */
   def compile(kql: String, resolve: String => DataFrame, now: java.time.Instant): DataFrame = {
     val p = new Parser(Lexer.tokens(kql), resolve, now, None)
-    val df = p.statements()
-    p.expectEnd()
-    logWarnings(p)
-    df
+    try {
+      val df = p.statements()
+      p.expectEnd()
+      logWarnings(p)
+      df
+    } finally p.releaseProbeCaches()
   }
 
   private val compileLog = org.slf4j.LoggerFactory.getLogger(getClass)
@@ -107,10 +109,12 @@ object KqlCompiler {
                           spark: Option[org.apache.spark.sql.SparkSession] = None)
       : (DataFrame, Seq[String]) = {
     val p = new Parser(Lexer.tokens(kql), resolve, now, spark)
-    val df = p.statements()
-    p.expectEnd()
-    logWarnings(p)
-    (df, p.warnings.toSeq)
+    try {
+      val df = p.statements()
+      p.expectEnd()
+      logWarnings(p)
+      (df, p.warnings.toSeq)
+    } finally p.releaseProbeCaches()
   }
 
   /** Compile with an explicit session — required only when the query
@@ -120,10 +124,12 @@ object KqlCompiler {
   def compile(kql: String, resolve: String => DataFrame, now: java.time.Instant,
               spark: org.apache.spark.sql.SparkSession): DataFrame = {
     val p = new Parser(Lexer.tokens(kql), resolve, now, Some(spark))
-    val df = p.statements()
-    p.expectEnd()
-    logWarnings(p)
-    df
+    try {
+      val df = p.statements()
+      p.expectEnd()
+      logWarnings(p)
+      df
+    } finally p.releaseProbeCaches()
   }
 
   /** Convenience: resolve tables as session temp views. */
@@ -142,10 +148,12 @@ object KqlCompiler {
                    spark: Option[org.apache.spark.sql.SparkSession] = None)
       : Seq[(String, DataFrame)] = {
     val p = new Parser(Lexer.tokens(kql), resolve, now, spark)
-    val df = p.statements()
-    p.expectEnd()
-    logWarnings(p)
-    if (p.multiOut.isEmpty) Seq("result" -> df) else p.multiOut.toSeq
+    try {
+      val df = p.statements()
+      p.expectEnd()
+      logWarnings(p)
+      if (p.multiOut.isEmpty) Seq("result" -> df) else p.multiOut.toSeq
+    } finally p.releaseProbeCaches()
   }
 
   // ------------------------------------------------------------- lexer
@@ -229,6 +237,17 @@ object KqlCompiler {
       new scala.collection.mutable.AnyRefMap[DataFrame, Array[Any]]()
     private val tabularInFrame =
       scala.collection.mutable.Map.empty[(DataFrame, Boolean), DataFrame]
+    /** Probe frames persisted during THIS compile. Released exactly once
+      * by the compile entry points (try/finally) after the final plan is
+      * built: early per-site unpersist made a later `!in` on the same
+      * operand re-run the distinct uncached, while no unpersist at all
+      * leaks CacheManager entries for the session's lifetime
+      * (round-16 ADVICE item 1). */
+    private val probePersisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    private[kql] def releaseProbeCaches(): Unit = {
+      probePersisted.foreach(_.unpersist(blocking = false))
+      probePersisted.clear()
+    }
     /** Sort columns of the most recent `order by`/`sort by`/`top` — the
       * row order `serialize`'s window functions (row_number/prev/next)
       * run over. Kusto lets serialize ride the "natural" order; a
@@ -702,7 +721,15 @@ object KqlCompiler {
         } else if (peekIs("materialize")) {
           expect("materialize"); expect("(")
           val d = pipeline(); expect(")")
-          lets(n) = d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // Kusto materialize(): evaluate once, serve every reference in
+          // the query from the cached result. LAZY localCheckpoint, not
+          // persist — persist's CacheManager entry is strongly held for
+          // the session lifetime (one leaked cache per materialize()
+          // query — the BFS-loop finding, round 16); checkpointed blocks
+          // fill pipelined inside the first consumer job, serve all
+          // later references, and are ContextCleaner-GC-reclaimed once
+          // the result plan is dropped.
+          lets(n) = d.localCheckpoint(eager = false)
         } else if (peekIs("toscalar")) {
           expect("toscalar"); expect("(")
           val d = pipeline(); expect(")")
@@ -4240,13 +4267,17 @@ object KqlCompiler {
             // operand used by several in/!in sites (the q242 shape)
             // pays its distinct jobs once per compile, not per site;
             // the transient persist lets the over-threshold cap count
-            // ride the probe's cache instead of re-running the distinct
+            // AND a later !in full fetch on the same operand ride the
+            // probe's cache instead of re-running the distinct. The
+            // cache is released once per compile in the entry points'
+            // try/finally (releaseProbeCaches), never leaked — and
+            // never dropped early between two sites of one operand.
             val vals = tabularInProbe.getOrElseUpdate(sub, {
               rawDistinct.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              probePersisted += rawDistinct
               rawDistinct.limit(KqlCompiler.TabularInLiteralMax + 1).collect().map(_.get(0))
             })
             if (vals.length <= KqlCompiler.TabularInLiteralMax) {
-              rawDistinct.unpersist(blocking = false) // probe cache done
               // ci null contract (all three ci tiers agree): a NULL
               // operand value is dropped — String.valueOf(null) would
               // otherwise smuggle in the string "null" here while the
@@ -4262,11 +4293,8 @@ object KqlCompiler {
             } else if (!negated) {
               // positive membership rewrites to an EQUI existence/semi
               // join in every context — scale path, nothing collected
-              val n = tabularInCapCount.getOrElseUpdate(sub, {
-                val c = rawDistinct.limit(1000001).count()
-                rawDistinct.unpersist(blocking = false) // probe cache done
-                c
-              })
+              val n = tabularInCapCount.getOrElseUpdate(sub,
+                rawDistinct.limit(1000001).count())
               if (n > 1000000)
                 throw new KqlParseException(
                   "in (subquery): more than 1,000,000 distinct values (the Kusto cap)")
@@ -4293,11 +4321,8 @@ object KqlCompiler {
               // blowup), hash-set probe per row, identical null
               // semantics to the literal tier; the driver fetch is
               // bounded by Kusto's documented 1M-value contract.
-              val all = tabularInFullFetch.getOrElseUpdate(sub, {
-                val r = rawDistinct.limit(1000001).collect().map(_.get(0))
-                rawDistinct.unpersist(blocking = false) // probe cache done
-                r
-              })
+              val all = tabularInFullFetch.getOrElseUpdate(sub,
+                rawDistinct.limit(1000001).collect().map(_.get(0)))
               if (all.length > 1000000)
                 throw new KqlParseException(
                   "in (subquery): more than 1,000,000 distinct values (the Kusto cap)")

@@ -38,4 +38,10 @@ object GraftColumnBridge {
     column(catalyst.expressions.InSubquery(
       Seq(catalystExpression(value)),
       catalyst.expressions.ListQuery(sub.queryExecution.analyzed)))
+
+  /** True when the session's CacheManager holds no cached plans — the
+    * test hook pinning that transient compile-time caches (tabular-in
+    * probes) are released and never leak past `compile()`. */
+  def cacheManagerIsEmpty(spark: SparkSession): Boolean =
+    spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
 }

@@ -374,6 +374,13 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
         | | summarize n = count(), hits = countif(hit)""".stripMargin, resolve)
     val row = composed.collect()(0)
     assert(row.getLong(0) == 400000L && row.getLong(1) == 200000L)
+
+    // the probe persist is transient: released at compile end (shared
+    // across all sites of one operand — probe, cap count, !in full
+    // fetch ride ONE cache), never a CacheManager entry that outlives
+    // compile() in a long-lived session (round-16 ADVICE item 1)
+    assert(org.apache.spark.sql.GraftColumnBridge.cacheManagerIsEmpty(spark),
+      "tabular-in probe cache leaked past compile()")
   }
 
   test("tabular in~ null contract: all three ci tiers drop NULL operand values identically") {
