@@ -624,6 +624,13 @@ private[queries] trait LlmIterativeQueries extends LlmShared {
       ntok AS (SELECT doc_id, sum(c) AS n FROM feat GROUP BY 1)
       SELECT f.doc_id, f.y, f.b, f.c / t.n AS x
       FROM feat f JOIN ntok t ON f.doc_id = t.doc_id""")
+      // pre-partition by the ITERATION key before caching: every round
+      // groups by doc_id (the dot product) and joins err by doc_id (the
+      // gradient) — hash(doc_id) blocks satisfy both distributions, so
+      // the 3 GD rounds re-shuffle 64 gradient rows, never the tf table.
+      // At 100 TB this is the difference between one partitioning paid
+      // once and 2 full shuffles of the feature relation per round.
+      .repartition(col("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val nDocs = fx.select(countDistinct(col("doc_id"))).head.getLong(0).toDouble
@@ -637,13 +644,18 @@ private[queries] trait LlmIterativeQueries extends LlmShared {
           .select(col("doc_id"),
             (lit(1.0) / (lit(1.0) + exp(-(col("dot") + lit(b0)))) - col("y")).as("err"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // bucket gradients AND the bias gradient in ONE action (the
+        // bias rides as sentinel bucket −1): one job launch per round,
+        // with the persisted err read by both branches inside it
         val gRows = fx.join(err, "doc_id")
           .groupBy(col("b")).agg(sum(col("err") * col("x")).as("g"))
+          .unionByName(err.agg(avg(col("err")).as("g")).select(lit(-1L).as("b"), col("g")))
           .collect()
-        val g0 = err.agg(avg(col("err"))).head.getDouble(0)
         err.unpersist(blocking = false)
-        gRows.foreach(r => w(r.getLong(0).toInt) -= ClsLr * r.getDouble(1) / nDocs)
-        b0 -= ClsLr * g0
+        gRows.foreach { r =>
+          if (r.getLong(0) < 0) b0 -= ClsLr * r.getDouble(1)
+          else w(r.getLong(0).toInt) -= ClsLr * r.getDouble(1) / nDocs
+        }
       }
       import s.implicits._
       (w.toIndexedSeq.zipWithIndex.map { case (wv, b) => (b.toLong, wv) } :+ (-1L, b0))
