@@ -93,8 +93,13 @@ class KqlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     * schema (summarize / project-to-fixed) constrain what follows. */
   private def genPipeline(): (String, Long) = {
     // every pipeline runs under scalar let bindings the expression
-    // leaves may reference (k0 numeric, s0 string)
-    val sb = new StringBuilder("let k0 = 2.5;\nlet s0 = 'err';\nt")
+    // leaves may reference (k0 numeric, s0 string). One pipeline in
+    // four roots at a materialize()d let (round 17: the lazy
+    // localCheckpoint path) so the whole stage pool also runs over a
+    // checkpointed RDD root instead of the raw in-memory relation.
+    val sb = new StringBuilder("let k0 = 2.5;\nlet s0 = 'err';\n")
+    if (rnd.nextInt(4) == 0) sb.append("let tm = materialize(t);\ntm")
+    else sb.append("t")
     var stages = 1 + rnd.nextInt(6)
     var aggregated = false
     var maxRows = 8L
