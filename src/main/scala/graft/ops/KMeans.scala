@@ -83,11 +83,15 @@ object KMeans {
     var iters = 0
     var converged = false
     while (iters < maxIter && !converged) {
-      // Persist the E-step result: the checksum action populates the cache,
-      // so the M-step reads assignments back instead of re-running the
-      // broadcast cross-score — without this, each round paid the dominant
-      // E-step cost twice. Freed every round (blocks scale with the data).
-      val assign = eStep().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // LAZY checkpoint of the E-step result: the checksum action fills
+      // the blocks, the M-step reads them back instead of re-running
+      // the broadcast cross-score. NOT persist+unpersist-per-round: the
+      // M-step `cents` is itself a lazy mark that only materializes in
+      // the NEXT round's checksum job — an assign cache released at the
+      // bottom of this round would be gone by then, silently re-paying
+      // the dominant E-step cost every round. Checkpointed blocks live
+      // exactly as long as a plan references them (ContextCleaner).
+      val assign = eStep().localCheckpoint(eager = false)
       val sig = checksum(assign)
       if (prev.contains(sig)) converged = true
       else {
@@ -101,7 +105,6 @@ object KMeans {
           .localCheckpoint(eager = false)
         iters += 1
       }
-      assign.unpersist(blocking = false)
     }
     (cents, iters)
   }

@@ -41,19 +41,31 @@ object PageRank {
   private[graft] def runCounted(edges: DataFrame, k: Int, damping: Double = 0.85,
                                 normalize: Boolean = false, tol: Double = 0.0): (DataFrame, Int) = {
     require(k >= 1, "PageRank needs at least one iteration")
-    // out-degree is loop-invariant: bake it into the persisted edge
-    // table once (one window shuffle on src) instead of re-joining a
-    // degree table every round — per round there is then exactly ONE
-    // join (edges ⋈ ranks) plus the dst aggregate.
-    val e = edges.select(col("src").cast("string"), col("dst").cast("string"))
+    // node ids keep the caller's type: long-keyed graphs (q111) shuffle
+    // 8-byte keys through every round; the string cast is only a
+    // normalizer when src/dst types disagree (union safety)
+    val sameType = edges.schema("src").dataType == edges.schema("dst").dataType
+    val srcC = if (sameType) col("src") else col("src").cast("string")
+    val dstC = if (sameType) col("dst") else col("dst").cast("string")
+    // out-degree is loop-invariant: bake it into the edge table once
+    // (one window shuffle on src) instead of re-joining a degree table
+    // every round — per round there is then exactly ONE join
+    // (edges ⋈ ranks) plus the dst aggregate. LAZY localCheckpoint, not
+    // persist: with tol == 0 the whole loop is one lazy chain whose
+    // first action is the CALLER's — a persist released before that
+    // action (or leaked after it) either recomputes the window k times
+    // inside the final job or holds a CacheManager entry forever; the
+    // checkpointed blocks fill once inside that job, serve every
+    // round's reference, and are GC-reclaimed with the plan.
+    val e = edges.select(srcC.as("src"), dstC.as("dst"))
       .withColumn("od", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window.partitionBy("src"))
         .cast("double"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = nodes.count() // O(1) driver scalar
+      .localCheckpoint(eager = false)
+    val n = nodes.count() // O(1) driver scalar; materializes e + nodes blocks
     // LAZY checkpoints (round 15): the per-round convergence probe (or
     // the caller's final action when tol == 0) materializes each round's
     // marked frame in the SAME job — lineage still truncates at every
@@ -82,7 +94,6 @@ object PageRank {
       }
       ranks = stepped.drop("__prev")
     }
-    e.unpersist(); nodes.unpersist()
     (if (normalize) ranks.withColumn("rank", col("rank") * lit(n.toDouble)) else ranks, iters)
   }
 }

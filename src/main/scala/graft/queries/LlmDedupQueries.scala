@@ -206,33 +206,40 @@ private[queries] trait LlmDedupQueries extends LlmShared {
     * fixpoint: every non-root node ends up with a single edge to its
     * component's minimum id. Returns the result plus the number of
     * contraction rounds taken (spec-asserted O(log n) on a chain).
-    * localCheckpoint(eager) each round materializes the edge set AND
-    * truncates the logical plan, without which the round-over-round
-    * lineage makes Catalyst re-optimize an ever-deeper plan (the classic
-    * iterative-algorithm blowup; GraphFrames checkpoints for the same
-    * reason). Convergence = (count, xxhash64-xor) checksum of the
+    * LAZY localCheckpoint each round truncates the logical plan (without
+    * which the round-over-round lineage makes Catalyst re-optimize an
+    * ever-deeper plan — the classic iterative-algorithm blowup;
+    * GraphFrames checkpoints for the same reason) while the round's
+    * checksum probe materializes the marked frame in the SAME job — one
+    * driver action per round, the SCC/PageRank loop discipline.
+    * Convergence = (count, xxhash64-xor) checksum of the
     * canonically-oriented edge set unchanged — an O(1) driver-side
     * comparison of two aggregates (xor, not sum: overflow-free under
     * ANSI mode, order-independent, and the edge set is distinct so no
     * duplicate cancellation can occur). */
   private[graft] def connectedComponentsWithRounds(pairs: DataFrame): (DataFrame, Int) = {
-    val verts = pairs.select(col(pairs.columns(0)).as("id"))
-      .union(pairs.select(col(pairs.columns(1)).as("id")))
-      .distinct().localCheckpoint(true)
+    // checkpoint the pair SOURCE once: both the edge canonicalization
+    // (materialized by the first checksum) and the vertex set (first
+    // read at the caller's final action) ride one block set — for an
+    // LSH pair source (q41/q57) this halves the dominant minhash pass
+    val p0 = pairs.localCheckpoint(eager = false)
+    val verts = p0.select(col(p0.columns(0)).as("id"))
+      .union(p0.select(col(p0.columns(1)).as("id")))
+      .distinct().localCheckpoint(eager = false)
     def checksum(e: DataFrame): (Long, Long) = {
       val r = e.agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
-    var edges = pairs.toDF("src", "dst")
+    var edges = p0.toDF("src", "dst")
       .select(greatest(col("src"), col("dst")).as("src"), least(col("src"), col("dst")).as("dst"))
-      .where(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+      .where(col("src") =!= col("dst")).distinct().localCheckpoint(eager = false)
     val ccDebug = sys.env.contains("GRAFT_CC_DEBUG") || sys.props.contains("graft.cc.debug")
     var sig = checksum(edges)
     var rounds = 0
     var converged = sig._1 == 0L
     while (!converged) {
       val t0 = System.nanoTime()
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
       rounds += 1
       val nextSig = checksum(next)
       if (ccDebug) System.err.println(

@@ -449,8 +449,14 @@ private[queries] trait LlmIterativeQueries extends LlmShared {
     // SPLIT, which the id parity still carries
     val e0 = li.select((col("l_orderkey") * 2).as("src"),
         (col("l_partkey") * 2 + 1).as("dst")).distinct()
+    // LAZY localCheckpoint, not persist: the 3 rounds run as ONE job at
+    // the caller's final action (no driver probes in this loop), so a
+    // persist released in a `finally` at build time is gone before the
+    // blocks could serve anything — the symmetric edge build would
+    // recompute once per round inside that job. Checkpointed blocks
+    // fill at the first reference, serve all rounds, then GC.
     val ed = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false)
     val nodes = ed.select(col("src").as("node")).distinct()
     // the seed table is tiny (|parts|/17 rows) and loop-INVARIANT:
     // checkpoint it once (never re-scan lineitem per round) and carry a
@@ -462,7 +468,7 @@ private[queries] trait LlmIterativeQueries extends LlmShared {
       .select((col("l_partkey") * 2 + 1).as("node"),
         (col("l_partkey") % 4).cast("long").as("seed"))
       .localCheckpoint()
-    try {
+    locally {
       // lazy round checkpoints: the final aggregate's single action
       // materializes all three rounds with lineage cuts at each (the
       // round-15 SCC/PageRank job-batching discipline)
@@ -491,7 +497,7 @@ private[queries] trait LlmIterativeQueries extends LlmShared {
         .select(coalesce(col("label"), lit(-1L)).as("label"),
           col("n_nodes"), col("n_parts"), col("n_orders"))
         .orderBy(col("label"))
-    } finally ed.unpersist(blocking = false)
+    }
   }
 
   private[queries] def lpaRoundSql(r: Int): String = {
