@@ -69,4 +69,22 @@ class PageRankSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n("c") > n("b") && n("b") > n("a"))
     assert(math.abs(n("a") - 0.15) < 1e-12) // 0.05 * 3
   }
+
+  test("node ids keep the caller's type: long keys stay 8-byte through the loop") {
+    import spark.implicits._
+    // long-keyed graphs (q111's shape) must come back long — a string
+    // cast inside the loop would shuffle/hash UTF8 keys every round and
+    // parse them back per row at the output filter (round 17)
+    val edges = Seq(2L -> 3L, 3L -> 5L, 5L -> 2L).toDF("src", "dst")
+    val out = PageRank.run(edges, 2)
+    assert(out.schema("node").dataType == org.apache.spark.sql.types.LongType,
+      s"long node ids must not degrade to ${out.schema("node").dataType}")
+    val r = out.collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r.keySet == Set(2L, 3L, 5L))
+    assert(r.values.forall(v => math.abs(v - 1.0 / 3) < 1e-12), r) // 3-cycle fixpoint
+    // mixed-type endpoints still normalize (union safety)
+    val mixed = spark.range(1).selectExpr("1 AS src", "CAST(2 AS BIGINT) AS dst")
+    assert(PageRank.run(mixed, 1).schema("node").dataType ==
+      org.apache.spark.sql.types.StringType)
+  }
 }
