@@ -76,6 +76,58 @@ object KqlCompiler {
     * with a capped count instead). */
   val TabularInLiteralMax: Int = 4096
 
+  /** Query-duration lifecycle for `materialize()` caches (round 17).
+    *
+    * Kusto scopes a materialized subquery to ONE query execution. Here
+    * the heavy consumers are the compile-time graph/BFS loops (dozens of
+    * actions during compile) and exec-time multi-references in the final
+    * plan — so the cache must live from compile through the FIRST action
+    * that executes the compiled result, then release. A
+    * QueryExecutionListener watches for an executed plan CONTAINING the
+    * compile's result plan (`sameResult` subtree match — callers wrap
+    * results in writes/limits), unpersists the compile's materialize
+    * frames, and unregisters itself. Two backstops keep this leak-free:
+    * a compile that THROWS releases in its finally, and each compile
+    * START retires any still-pending generation (covers
+    * compiled-but-never-executed plans, e.g. plan-shape inspection), so
+    * at most one query's materialize set is ever alive. */
+  private final case class MatGen(
+      frames: Seq[DataFrame],
+      listener: org.apache.spark.sql.util.QueryExecutionListener,
+      session: org.apache.spark.sql.SparkSession)
+  private val pendingMat =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[MatGen]()
+  private def retireMat(g: MatGen): Unit = if (pendingMat.remove(g)) {
+    g.frames.foreach(_.unpersist(blocking = false))
+    try g.session.listenerManager.unregister(g.listener)
+    catch { case scala.util.control.NonFatal(_) => () }
+  }
+  private[kql] def retireAllPendingMaterialize(): Unit = {
+    import scala.jdk.CollectionConverters._
+    pendingMat.asScala.toList.foreach(retireMat)
+  }
+  private def armMaterializeRelease(frames: Seq[DataFrame], results: Seq[DataFrame]): Unit = {
+    if (frames.isEmpty) return
+    val session = frames.head.sparkSession
+    val targets = results.map(_.queryExecution.analyzed)
+    val genRef = new java.util.concurrent.atomic.AtomicReference[MatGen]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      private def matches(qe: org.apache.spark.sql.execution.QueryExecution): Boolean =
+        try targets.exists(t => qe.analyzed.exists(_.sameResult(t)))
+        catch { case scala.util.control.NonFatal(_) => false }
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        if (matches(qe)) Option(genRef.get).foreach(retireMat)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, error: Exception): Unit =
+        if (matches(qe)) Option(genRef.get).foreach(retireMat)
+    }
+    val gen = MatGen(frames, listener, session)
+    genRef.set(gen)
+    session.listenerManager.register(listener)
+    pendingMat.add(gen)
+  }
+
   /** Compile `kql` — an optional `let name = Table | op…;` prologue
     * followed by the main pipeline "Table | op | op…" — resolving table
     * names through `resolve` (with `let` bindings shadowing tables). */
@@ -87,13 +139,20 @@ object KqlCompiler {
     * duration of one query, not re-evaluated per row), and the hook that
     * makes time-relative queries deterministic for tests/oracles. */
   def compile(kql: String, resolve: String => DataFrame, now: java.time.Instant): DataFrame = {
+    retireAllPendingMaterialize()
     val p = new Parser(Lexer.tokens(kql), resolve, now, None)
+    var ok = false
     try {
       val df = p.statements()
       p.expectEnd()
       logWarnings(p)
+      armMaterializeRelease(p.materializedFrames.toSeq, Seq(df))
+      ok = true
       df
-    } finally p.releaseProbeCaches()
+    } finally {
+      p.releaseProbeCaches()
+      if (!ok) p.materializedFrames.foreach(_.unpersist(blocking = false))
+    }
   }
 
   private val compileLog = org.slf4j.LoggerFactory.getLogger(getClass)
@@ -108,13 +167,20 @@ object KqlCompiler {
                           now: java.time.Instant = java.time.Instant.now(),
                           spark: Option[org.apache.spark.sql.SparkSession] = None)
       : (DataFrame, Seq[String]) = {
+    retireAllPendingMaterialize()
     val p = new Parser(Lexer.tokens(kql), resolve, now, spark)
+    var ok = false
     try {
       val df = p.statements()
       p.expectEnd()
       logWarnings(p)
+      armMaterializeRelease(p.materializedFrames.toSeq, Seq(df))
+      ok = true
       (df, p.warnings.toSeq)
-    } finally p.releaseProbeCaches()
+    } finally {
+      p.releaseProbeCaches()
+      if (!ok) p.materializedFrames.foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** Compile with an explicit session — required only when the query
@@ -123,13 +189,20 @@ object KqlCompiler {
     * suites); table-rooted queries never need it. */
   def compile(kql: String, resolve: String => DataFrame, now: java.time.Instant,
               spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    retireAllPendingMaterialize()
     val p = new Parser(Lexer.tokens(kql), resolve, now, Some(spark))
+    var ok = false
     try {
       val df = p.statements()
       p.expectEnd()
       logWarnings(p)
+      armMaterializeRelease(p.materializedFrames.toSeq, Seq(df))
+      ok = true
       df
-    } finally p.releaseProbeCaches()
+    } finally {
+      p.releaseProbeCaches()
+      if (!ok) p.materializedFrames.foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** Convenience: resolve tables as session temp views. */
@@ -147,13 +220,21 @@ object KqlCompiler {
                    now: java.time.Instant = java.time.Instant.now(),
                    spark: Option[org.apache.spark.sql.SparkSession] = None)
       : Seq[(String, DataFrame)] = {
+    retireAllPendingMaterialize()
     val p = new Parser(Lexer.tokens(kql), resolve, now, spark)
+    var ok = false
     try {
       val df = p.statements()
       p.expectEnd()
       logWarnings(p)
-      if (p.multiOut.isEmpty) Seq("result" -> df) else p.multiOut.toSeq
-    } finally p.releaseProbeCaches()
+      val out = if (p.multiOut.isEmpty) Seq("result" -> df) else p.multiOut.toSeq
+      armMaterializeRelease(p.materializedFrames.toSeq, out.map(_._2))
+      ok = true
+      out
+    } finally {
+      p.releaseProbeCaches()
+      if (!ok) p.materializedFrames.foreach(_.unpersist(blocking = false))
+    }
   }
 
   // ------------------------------------------------------------- lexer
@@ -248,6 +329,10 @@ object KqlCompiler {
       probePersisted.foreach(_.unpersist(blocking = false))
       probePersisted.clear()
     }
+    /** materialize() frames persisted by THIS compile — handed to the
+      * entry points, which arm the query-duration release listener
+      * (success path) or unpersist immediately (compile failure). */
+    private[kql] val materializedFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     /** Sort columns of the most recent `order by`/`sort by`/`top` — the
       * row order `serialize`'s window functions (row_number/prev/next)
       * run over. Kusto lets serialize ride the "natural" order; a
@@ -508,15 +593,34 @@ object KqlCompiler {
         // separate materialization job — the round-15 eager-checkpoint
         // regression), and its blocks ARE GC-tracked: once the result
         // plan becomes unreachable the ContextCleaner drops them.
+        // when the edge source is already cache-backed (a materialize()d
+        // let, query-duration persist) and only narrow ops sit above it,
+        // the loop reads THAT cache directly: a second checkpoint of the
+        // same rows costs one redundant block write+read per execution
+        // for zero recompute saved
+        def cheapOverCached(df: DataFrame): Boolean = {
+          import org.apache.spark.sql.catalyst.plans.logical.{Project, Filter => LFilter, SubqueryAlias, LogicalPlan}
+          def ok(p: LogicalPlan): Boolean = p match {
+            case pr: Project => ok(pr.child)
+            case f: LFilter => ok(f.child)
+            case s: SubqueryAlias => ok(s.child)
+            case _: org.apache.spark.sql.execution.LogicalRDD => true
+            case other => GraftColumnBridge.isCachedPlan(df.sparkSession, other)
+          }
+          try ok(df.queryExecution.analyzed)
+          catch { case scala.util.control.NonFatal(_) => false }
+        }
         val edges = {
           val (inC, outC) = if (forward) (g.srcCol, g.dstCol) else (g.dstCol, g.srcCol)
-          g.edges.select(
+          val proj = g.edges.select(
             struct(eCols.map(g.edges(_)): _*).as("__bfs_edge"),
             g.edges(inC).as("__bfs_in"),
             g.edges(outC).as("__bfs_out"))
-            .localCheckpoint(eager = false)
+          if (cheapOverCached(g.edges)) proj else proj.localCheckpoint(eager = false)
         }
-        val nodes = g.nodes.localCheckpoint(eager = false)
+        val nodes =
+          if (cheapOverCached(g.nodes)) g.nodes
+          else g.nodes.localCheckpoint(eager = false)
         // a frontier/settled side known (from the round's count) to be
         // small broadcasts — the single-source BFS never shuffles the
         // full edge table into new partitionings per round
@@ -722,14 +826,19 @@ object KqlCompiler {
           expect("materialize"); expect("(")
           val d = pipeline(); expect(")")
           // Kusto materialize(): evaluate once, serve every reference in
-          // the query from the cached result. LAZY localCheckpoint, not
-          // persist — persist's CacheManager entry is strongly held for
-          // the session lifetime (one leaked cache per materialize()
-          // query — the BFS-loop finding, round 16); checkpointed blocks
-          // fill pipelined inside the first consumer job, serve all
-          // later references, and are ContextCleaner-GC-reclaimed once
-          // the result plan is dropped.
-          lets(n) = d.localCheckpoint(eager = false)
+          // the query from the cached result, for the duration of ONE
+          // query. PERSIST with query-duration release (the entry
+          // points' QueryExecutionListener, see MatGen at the top of
+          // this object): the cache serves the compile-time graph/BFS
+          // loop actions AND exec-time multi-references in the final
+          // plan, then releases after the first execution of the
+          // compiled result — never a session-lifetime CacheManager
+          // leak (the round-16 advisor finding). A lazy localCheckpoint
+          // here measured +2.1 s on the q146 BFS (interleaved A/B,
+          // round 17) against the persisted form.
+          val m = d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          materializedFrames += m
+          lets(n) = m
         } else if (peekIs("toscalar")) {
           expect("toscalar"); expect("(")
           val d = pipeline(); expect(")")

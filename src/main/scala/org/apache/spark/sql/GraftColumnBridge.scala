@@ -44,4 +44,15 @@ object GraftColumnBridge {
     * probes) are released and never leak past `compile()`. */
   def cacheManagerIsEmpty(spark: SparkSession): Boolean =
     spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
+
+  /** True when `plan` has a CacheManager entry (a persisted frame). Used
+    * by the KQL BFS lowering to skip its own loop checkpoint when the
+    * edge source is already cache-backed (a materialize()d let) — a
+    * second materialization of the same rows would only add a redundant
+    * block write+read per execution. */
+  def isCachedPlan(spark: SparkSession,
+                   plan: catalyst.plans.logical.LogicalPlan): Boolean = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    cs.sharedState.cacheManager.lookupCachedData(cs, plan).isDefined
+  }
 }

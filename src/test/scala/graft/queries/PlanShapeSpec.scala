@@ -383,6 +383,36 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "tabular-in probe cache leaked past compile()")
   }
 
+  test("materialize() caches are query-scoped: alive through the first execution, then released") {
+    import org.apache.spark.sql.{DataFrame, GraftColumnBridge}
+    val resolve: String => DataFrame = {
+      case "t" => spark.range(0, 1000).selectExpr("id", "id % 7 as k")
+      case o   => throw new IllegalArgumentException(o)
+    }
+    def emptyEventually(): Boolean = {
+      var i = 0
+      while (i < 100 && !GraftColumnBridge.cacheManagerIsEmpty(spark)) { Thread.sleep(100); i += 1 }
+      GraftColumnBridge.cacheManagerIsEmpty(spark)
+    }
+    val q = "let m = materialize(t | summarize n = count() by k); m | summarize s = sum(n)"
+    val df = graft.kql.KqlCompiler.compile(q, resolve)
+    // alive between compile and execution (Kusto scope: one query)
+    assert(!GraftColumnBridge.cacheManagerIsEmpty(spark),
+      "materialize cache must survive compile for the query's execution")
+    assert(df.collect()(0).getLong(0) == 1000L)
+    // the QueryExecutionListener releases after the first action that
+    // executes the compiled result (async on the listener bus)
+    assert(emptyEventually(),
+      "materialize cache must release after the first execution of the compiled result")
+    // a compiled-but-never-executed generation retires at the NEXT
+    // compile (the plan-inspection backstop)
+    graft.kql.KqlCompiler.compile(q, resolve)
+    assert(!GraftColumnBridge.cacheManagerIsEmpty(spark))
+    graft.kql.KqlCompiler.compile("t | summarize n = count()", resolve)
+    assert(emptyEventually(),
+      "compile-start retirement must release a never-executed generation")
+  }
+
   test("tabular in~ null contract: all three ci tiers drop NULL operand values identically") {
     // A NULL operand value must never become the string "null"
     // (String.valueOf) in one tier while staying SQL NULL in another —
