@@ -98,7 +98,11 @@ object KqlCompiler {
   private val pendingMat =
     java.util.concurrent.ConcurrentHashMap.newKeySet[MatGen]()
   private def retireMat(g: MatGen): Unit = if (pendingMat.remove(g)) {
-    g.frames.foreach(_.unpersist(blocking = false))
+    // both steps tolerate a stopped SparkContext: a pending generation
+    // may belong to a session that has since shut down (e.g. another
+    // test suite's), and retirement must never fail a fresh compile
+    try g.frames.foreach(_.unpersist(blocking = false))
+    catch { case scala.util.control.NonFatal(_) => () }
     try g.session.listenerManager.unregister(g.listener)
     catch { case scala.util.control.NonFatal(_) => () }
   }
