@@ -33,14 +33,23 @@ import org.apache.spark.unsafe.types.UTF8String
   *  5. one outer ⇒ Polygon, several ⇒ MultiPolygon, none ⇒ null (the
   *     empty intersection keeps round 15's loudly-null stance).
   *
-  * PINNED GENERAL-POSITION SUBSET (loudly null, never silently wrong):
-  * boundaries must cross transversally — collinear overlapping edges,
-  * vertex-on-edge and vertex-on-vertex contacts between the two
-  * operands are detected during the split pass and return null. Kusto
-  * computes geodesic-edge booleans; this engine is the planar-edge
-  * subset consistent with geo_point_in_polygon / geo_polygon_area
-  * (reference surface: the connector emits no geo KQL — north-star
-  * scope beyond it/KustoSinkIT.java:269-271).
+  * DEGENERATE CONTACT (round 18 — previously loudly null): vertex-on-
+  * vertex, vertex-on-edge, and collinear-overlap contact between the
+  * operands are handled exactly when the shared geometry is
+  * bit-identical (the snapped/gridded-data case): touching contacts
+  * split the touched edge at the toucher's exact vertex, collinear
+  * overlaps decompose into exactly coincident sub-edges that the
+  * selection pass pairs by coordinate equality (same direction → one
+  * boundary copy kept for both results; opposite directions → interior
+  * to the union, zero-width pinch of the intersection, dropped), and
+  * stitching resolves pinch-point junctions by planar-face traversal
+  * (first outgoing edge clockwise from the reversed incoming). What
+  * remains loudly null: NEARLY-degenerate contact (collinearity that
+  * doesn't cancel exactly in doubles) and any leftover open walk.
+  * Kusto computes geodesic-edge booleans; this engine is the
+  * planar-edge subset consistent with geo_point_in_polygon /
+  * geo_polygon_area (reference surface: the connector emits no geo KQL
+  * — north-star scope beyond it/KustoSinkIT.java:269-271).
   */
 object GeoBoolOps {
   private val mappers = new ThreadLocal[com.fasterxml.jackson.databind.ObjectMapper] {
@@ -173,9 +182,19 @@ object GeoBoolOps {
     out.toArray
   }
 
-  /** Pairwise split pass. Transversal interior crossings split both
-    * edges at the SAME computed point; any touching contact (t or u at
-    * an endpoint, collinear overlap) throws Degenerate. */
+  /** Pairwise split pass (round 18: degenerate contact is HANDLED, not
+    * thrown). Transversal interior crossings split both edges at the
+    * SAME computed point. Touching contact splits whichever edge is
+    * touched in its INTERIOR at the toucher's exact vertex coordinates
+    * (never the re-derived t-point, so later exact-endpoint matching
+    * holds); vertex-on-vertex needs no split. Collinear overlap splits
+    * each edge at the other's endpoints that fall strictly inside it -
+    * after this pass, overlapping boundary runs decompose into EXACTLY
+    * coincident sub-edges (all endpoints are original vertices of one
+    * operand), which the selection pass pairs up by coordinate
+    * equality. FP caveat: truly-collinear contact is detected by an
+    * exact cross-product zero - the snapped/gridded-data case this
+    * upgrade targets, where shared coordinates are bit-identical. */
   private def splitAll(ea: Array[Edge], eb: Array[Edge]): Unit = {
     var i = 0
     while (i < ea.length) {
@@ -188,15 +207,19 @@ object GeoBoolOps {
         val denom = dx * ey - dy * ex
         val wx = q.x1 - p.x1; val wy = q.y1 - p.y1
         if (denom == 0.0) {
-          // parallel; collinear-overlapping contact is degenerate
           if (wx * dy - wy * dx == 0.0) {
-            // collinear: 1-D overlap test on the dominant axis
-            val useX = Math.abs(dx) >= Math.abs(dy)
-            val (a1, a2) = if (useX) (p.x1, p.x2) else (p.y1, p.y2)
-            val (b1, b2) = if (useX) (q.x1, q.x2) else (q.y1, q.y2)
-            val lo = Math.max(Math.min(a1, a2), Math.min(b1, b2))
-            val hi = Math.min(Math.max(a1, a2), Math.max(b1, b2))
-            if (lo <= hi) throw new Degenerate
+            // collinear: split each edge at the other's interior-strict
+            // endpoints (parameters along the dominant axis)
+            def param(px: Double, py: Double, e: Edge, edx: Double, edy: Double): Double =
+              if (Math.abs(edx) >= Math.abs(edy)) (px - e.x1) / edx else (py - e.y1) / edy
+            val tq1 = param(q.x1, q.y1, p, dx, dy)
+            if (tq1 > 0.0 && tq1 < 1.0) p.addSplit(tq1, q.x1, q.y1)
+            val tq2 = param(q.x2, q.y2, p, dx, dy)
+            if (tq2 > 0.0 && tq2 < 1.0) p.addSplit(tq2, q.x2, q.y2)
+            val up1 = param(p.x1, p.y1, q, ex, ey)
+            if (up1 > 0.0 && up1 < 1.0) q.addSplit(up1, p.x1, p.y1)
+            val up2 = param(p.x2, p.y2, q, ex, ey)
+            if (up2 > 0.0 && up2 < 1.0) q.addSplit(up2, p.x2, p.y2)
           }
         } else {
           val t = (wx * ey - wy * ex) / denom
@@ -206,7 +229,15 @@ object GeoBoolOps {
             p.addSplit(t, x, y)
             q.addSplit(u, x, y)
           } else if (t >= 0.0 && t <= 1.0 && u >= 0.0 && u <= 1.0) {
-            throw new Degenerate // vertex-on-edge / vertex-on-vertex
+            // touching contact: split the touched interior at the
+            // toucher's EXACT vertex (vertex-on-vertex: no split)
+            if (t > 0.0 && t < 1.0) {
+              val (cx, cy) = if (u == 0.0) (q.x1, q.y1) else (q.x2, q.y2)
+              p.addSplit(t, cx, cy)
+            } else if (u > 0.0 && u < 1.0) {
+              val (cx, cy) = if (t == 0.0) (p.x1, p.y1) else (p.x2, p.y2)
+              q.addSplit(u, cx, cy)
+            }
           }
         }
         k += 1
@@ -215,10 +246,9 @@ object GeoBoolOps {
     }
   }
 
-  /** Sub-edges of one side with midpoints classified against the other;
-    * keep = inside for intersection, outside for union. */
-  private def selected(edges: Array[Edge], other: Array[Array[Double]],
-                       keepInside: Boolean): Array[(Double, Double, Double, Double)] = {
+  /** Split an edge list into its directed sub-edges (zero-length
+    * fragments dropped). */
+  private def subEdges(edges: Array[Edge]): Array[(Double, Double, Double, Double)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double, Double)]
     var i = 0
     while (i < edges.length) {
@@ -233,10 +263,7 @@ object GeoBoolOps {
       var k = 0
       while (k < pts.length - 1) {
         val (ax, ay) = pts(k); val (bx, by) = pts(k + 1)
-        if (ax != bx || ay != by) {
-          val in = evenOdd(other, (ax + bx) / 2, (ay + by) / 2)
-          if (in == keepInside) out += ((ax, ay, bx, by))
-        }
+        if (ax != bx || ay != by) out += ((ax, ay, bx, by))
         k += 1
       }
       i += 1
@@ -244,8 +271,65 @@ object GeoBoolOps {
     out.toArray
   }
 
+  /** Joint selection over BOTH sides' sub-edges (round 18).
+    *
+    * Shared-boundary sub-edges (exactly coincident after the split
+    * pass) pair up by coordinate equality. With outers CCW and holes
+    * CW, each polygon's interior lies LEFT of every directed edge, so:
+    * a pair in the SAME direction has both interiors on one side - the
+    * segment is boundary of BOTH results, kept once (the A copy); a
+    * pair in OPPOSITE directions has the interiors facing away - the
+    * segment is interior to the union and a zero-width pinch of the
+    * intersection, dropped from both. Unpaired sub-edges classify by
+    * midpoint even-odd against the other side exactly as before (after
+    * full splitting a midpoint can no longer sit ON the other
+    * boundary). */
+  private def selectedJoint(subsA: Array[(Double, Double, Double, Double)],
+                            subsB: Array[(Double, Double, Double, Double)],
+                            pa: Array[Array[Double]], pb: Array[Array[Double]],
+                            keepInside: Boolean): Array[(Double, Double, Double, Double)] = {
+    val bByDir = new java.util.HashSet[(Double, Double, Double, Double)]()
+    var i = 0
+    while (i < subsB.length) { bByDir.add(subsB(i)); i += 1 }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double, Double)]
+    i = 0
+    while (i < subsA.length) {
+      val sa = subsA(i)
+      if (bByDir.contains(sa)) {
+        out += sa // same-direction shared boundary: keep once
+      } else if (bByDir.contains((sa._3, sa._4, sa._1, sa._2))) {
+        () // opposite-direction contact: interior to union, pinch of intersection
+      } else {
+        val in = evenOdd(pb, (sa._1 + sa._3) / 2, (sa._2 + sa._4) / 2)
+        if (in == keepInside) out += sa
+      }
+      i += 1
+    }
+    val aByDir = new java.util.HashSet[(Double, Double, Double, Double)]()
+    i = 0
+    while (i < subsA.length) { aByDir.add(subsA(i)); i += 1 }
+    i = 0
+    while (i < subsB.length) {
+      val sb = subsB(i)
+      if (aByDir.contains(sb) || aByDir.contains((sb._3, sb._4, sb._1, sb._2))) {
+        () // already handled from the A side
+      } else {
+        val in = evenOdd(pa, (sb._1 + sb._3) / 2, (sb._2 + sb._4) / 2)
+        if (in == keepInside) out += sb
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
   /** Stitch directed sub-edges into closed rings by exact endpoint
-    * match; any ambiguity or open walk is degenerate. */
+    * match. At a junction vertex (several available continuations - a
+    * vertex-touch pinch point) take the outgoing edge with the SMALLEST
+    * counterclockwise turn from the incoming direction: the interior
+    * stays LEFT of the boundary, so the tightest left turn walks the
+    * same face corner and two regions touching at a point come back as
+    * two simple rings, never a figure-eight. A remaining open walk is
+    * still degenerate (loudly null). */
   private def stitch(subs: Array[(Double, Double, Double, Double)]): Array[Array[Double]] = {
     val bySrc = new java.util.HashMap[(Double, Double),
       scala.collection.mutable.ArrayBuffer[Int]]()
@@ -256,6 +340,13 @@ object GeoBoolOps {
       if (b == null) { b = scala.collection.mutable.ArrayBuffer.empty; bySrc.put(key, b) }
       b += i
       i += 1
+    }
+    // planar-face traversal order: clockwise sweep angle in (0, 2pi]
+    // from the REVERSED incoming direction to a candidate outgoing
+    // direction; the smallest wins (an exact U-turn maps to 2pi, last)
+    def cwFromReversed(inx: Double, iny: Double, ox: Double, oy: Double): Double = {
+      val d = Math.atan2(-iny, -inx) - Math.atan2(oy, ox)
+      if (d <= 0) d + 2 * Math.PI else if (d > 2 * Math.PI) d - 2 * Math.PI else d
     }
     val used = new Array[Boolean](subs.length)
     val rings = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
@@ -278,8 +369,14 @@ object GeoBoolOps {
             val cands = bySrc.get(nxtKey)
             if (cands == null) throw new Degenerate
             val avail = cands.filterNot(used)
-            if (avail.length != 1) throw new Degenerate
-            cur = avail.head
+            if (avail.isEmpty) throw new Degenerate
+            val inx = subs(cur)._3 - subs(cur)._1
+            val iny = subs(cur)._4 - subs(cur)._2
+            cur =
+              if (avail.length == 1) avail.head
+              else avail.minBy { c =>
+                cwFromReversed(inx, iny, subs(c)._3 - subs(c)._1, subs(c)._4 - subs(c)._2)
+              }
           }
         }
         if (pts.length >= 6) rings += pts.toArray
@@ -317,14 +414,28 @@ object GeoBoolOps {
     val byOuter = Array.fill(outers.length)(
       scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
     for (h <- holes) {
-      val px = h(0); val py = h(1)
+      // probe candidates: each vertex AND each edge midpoint - a hole
+      // produced by a degenerate contact may have vertices ON its
+      // outer's boundary, where even-odd is unreliable; the first probe
+      // that lands strictly inside some outer decides
+      val hn = h.length / 2
       var best = -1; var bestArea = Double.MaxValue
-      var o = 0
-      while (o < outers.length) {
-        if (evenOdd(Array(outers(o)._1), px, py) && outers(o)._2 < bestArea) {
-          best = o; bestArea = outers(o)._2
+      var probe = 0
+      while (best < 0 && probe < 2 * hn) {
+        val (px, py) =
+          if (probe < hn) (h(2 * probe), h(2 * probe + 1))
+          else {
+            val a = probe - hn; val b = (a + 1) % hn
+            ((h(2 * a) + h(2 * b)) / 2, (h(2 * a + 1) + h(2 * b + 1)) / 2)
+          }
+        var o = 0
+        while (o < outers.length) {
+          if (evenOdd(Array(outers(o)._1), px, py) && outers(o)._2 < bestArea) {
+            best = o; bestArea = outers(o)._2
+          }
+          o += 1
         }
-        o += 1
+        probe += 1
       }
       if (best < 0) throw new Degenerate
       byOuter(best) += h
@@ -360,7 +471,7 @@ object GeoBoolOps {
       val ea = edgesOf(pa)
       val eb = edgesOf(pb)
       splitAll(ea, eb)
-      val subs = selected(ea, pb, keepInside) ++ selected(eb, pa, keepInside)
+      val subs = selectedJoint(subEdges(ea), subEdges(eb), pa, pb, keepInside)
       if (subs.isEmpty) return null
       assemble(stitch(subs))
     } catch {
@@ -374,8 +485,10 @@ object GeoBoolOps {
 
   /** `geo_union_polygons_array` — left-to-right fold of the pairwise
     * union over the member polygons (each step's MultiPolygon output
-    * feeds the next as an operand); any degenerate contact between
-    * members (shared edges, vertex-on-edge) is loudly null. */
+    * feeds the next as an operand); bit-identical degenerate contact
+    * between members (shared edges, vertex-on-edge) is handled by the
+    * round-18 pairwise rules, near-degenerate contact stays loudly
+    * null. */
   def unionArray(arr: Array[String]): UTF8String = {
     if (arr == null || arr.isEmpty) return null
     try {

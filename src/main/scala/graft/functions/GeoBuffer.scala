@@ -12,8 +12,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Frame: a LOCAL equirectangular plane about the shape's bbox center
   * (x = R·Δlon·cos lat₀, y = R·Δlat) — the documented planar subset
-  * (consistent with the geo ring's planar even-odd stance): metric
-  * accuracy degrades with |lat| and extent, exact on the equator. Arcs
+  * (consistent with the geo ring's planar even-odd stance), exact on
+  * the equator. QUANTIFIED bound (round 18): a boundary point at
+  * latitude lat carries east-west metric error |cos lat − cos lat₀| /
+  * cos lat₀ ≈ tan|lat₀|·Δφ per unit distance, so the emitted boundary
+  * sits within  err ≤ r · tan|lat₀| · Δφ,  Δφ = (shape half-lat-span +
+  * r/R) radians, of the true geodesic r-contour (plus the arc
+  * tolerance) — e.g. ≤ 2.8 km for r = 100 km at lat 60°, ≤ 0.4 km for
+  * r = 25 km there; gated at lat 60° by GeoBufferLatitudeSpec. Arcs
   * are polygonized with the SAME chord–sagitta rule as geo_point_buffer
   * (N = ⌈π / acos(1 − tol/r)⌉ per half-turn), so each polygonized arc
   * deviates from the true circle by ≤ tolerance (inscribed, so the

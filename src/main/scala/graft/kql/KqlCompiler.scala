@@ -76,25 +76,35 @@ object KqlCompiler {
     * with a capped count instead). */
   val TabularInLiteralMax: Int = 4096
 
-  /** Query-duration lifecycle for `materialize()` caches (round 17).
+  /** Query-duration lifecycle for `materialize()` caches (round 17;
+    * hardened round 18 per the round-17 advisor).
     *
     * Kusto scopes a materialized subquery to ONE query execution. Here
     * the heavy consumers are the compile-time graph/BFS loops (dozens of
     * actions during compile) and exec-time multi-references in the final
-    * plan — so the cache must live from compile through the FIRST action
-    * that executes the compiled result, then release. A
-    * QueryExecutionListener watches for an executed plan CONTAINING the
-    * compile's result plan (`sameResult` subtree match — callers wrap
-    * results in writes/limits), unpersists the compile's materialize
-    * frames, and unregisters itself. Two backstops keep this leak-free:
-    * a compile that THROWS releases in its finally, and each compile
-    * START retires any still-pending generation (covers
-    * compiled-but-never-executed plans, e.g. plan-shape inspection), so
-    * at most one query's materialize set is ever alive. */
+    * plan — so the cache must live from compile through the execution of
+    * EVERY output of the compiled query, then release. A
+    * QueryExecutionListener watches for executed plans CONTAINING each
+    * compile output (`sameResult` subtree match — callers wrap results
+    * in writes/limits), ticks that output off, and unpersists the
+    * compile's materialize frames once the LAST output has executed —
+    * so a multi-output query (`fork`/`facet by`) reads the materialized
+    * subquery once across all its result tables, Kusto's evaluate-once
+    * contract (round-17 advisor item 2). Ordering (advisor item 1): the
+    * generation joins `pendingMat` BEFORE the listener registers, so an
+    * execution landing in the registration window can always retire it.
+    * Backstops keep this leak-free: a compile that THROWS releases in
+    * its finally, and each compile START retires any still-pending
+    * generation of the SAME session — or of a stopped session — so at
+    * most one query's materialize set is alive per session, and one
+    * session's compile can never unpersist another live session's cache
+    * mid-query (advisor item 3). */
   private final case class MatGen(
       frames: Seq[DataFrame],
-      listener: org.apache.spark.sql.util.QueryExecutionListener,
-      session: org.apache.spark.sql.SparkSession)
+      session: org.apache.spark.sql.SparkSession,
+      remaining: java.util.Set[Integer],
+      listenerRef: java.util.concurrent.atomic.AtomicReference[
+        org.apache.spark.sql.util.QueryExecutionListener])
   private val pendingMat =
     java.util.concurrent.ConcurrentHashMap.newKeySet[MatGen]()
   private def retireMat(g: MatGen): Unit = if (pendingMat.remove(g)) {
@@ -103,8 +113,22 @@ object KqlCompiler {
     // test suite's), and retirement must never fail a fresh compile
     try g.frames.foreach(_.unpersist(blocking = false))
     catch { case scala.util.control.NonFatal(_) => () }
-    try g.session.listenerManager.unregister(g.listener)
+    try Option(g.listenerRef.get).foreach(g.session.listenerManager.unregister)
     catch { case scala.util.control.NonFatal(_) => () }
+  }
+  private def sessionStopped(s: org.apache.spark.sql.SparkSession): Boolean =
+    try s.sparkContext.isStopped catch { case scala.util.control.NonFatal(_) => true }
+  /** Retire pending generations owned by `session` (the compiling
+    * session's previous never-executed query) plus any generation whose
+    * session has stopped. `None` (no active session resolvable) retires
+    * only dead-session generations — a concurrent session's live cache
+    * is never touched. */
+  private[kql] def retirePendingMaterialize(
+      session: Option[org.apache.spark.sql.SparkSession]): Unit = {
+    import scala.jdk.CollectionConverters._
+    pendingMat.asScala.toList
+      .filter(g => session.contains(g.session) || sessionStopped(g.session))
+      .foreach(retireMat)
   }
   private[kql] def retireAllPendingMaterialize(): Unit = {
     import scala.jdk.CollectionConverters._
@@ -114,22 +138,30 @@ object KqlCompiler {
     if (frames.isEmpty) return
     val session = frames.head.sparkSession
     val targets = results.map(_.queryExecution.analyzed)
-    val genRef = new java.util.concurrent.atomic.AtomicReference[MatGen]()
+    val remaining = java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]()
+    targets.indices.foreach(i => remaining.add(i))
+    val listenerRef = new java.util.concurrent.atomic.AtomicReference[
+      org.apache.spark.sql.util.QueryExecutionListener]()
+    val gen = MatGen(frames, session, remaining, listenerRef)
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
-      private def matches(qe: org.apache.spark.sql.execution.QueryExecution): Boolean =
-        try targets.exists(t => qe.analyzed.exists(_.sameResult(t)))
-        catch { case scala.util.control.NonFatal(_) => false }
+      private def tick(qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
+        val hit =
+          try targets.zipWithIndex.collect {
+            case (t, i) if qe.analyzed.exists(_.sameResult(t)) => i
+          } catch { case scala.util.control.NonFatal(_) => Seq.empty[Int] }
+        if (hit.nonEmpty) {
+          hit.foreach(i => remaining.remove(Integer.valueOf(i)))
+          if (remaining.isEmpty) retireMat(gen)
+        }
+      }
       override def onSuccess(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
-        if (matches(qe)) Option(genRef.get).foreach(retireMat)
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = tick(qe)
       override def onFailure(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution, error: Exception): Unit =
-        if (matches(qe)) Option(genRef.get).foreach(retireMat)
+          qe: org.apache.spark.sql.execution.QueryExecution, error: Exception): Unit = tick(qe)
     }
-    val gen = MatGen(frames, listener, session)
-    genRef.set(gen)
+    listenerRef.set(listener)
+    pendingMat.add(gen) // visible to retirement BEFORE executions can match
     session.listenerManager.register(listener)
-    pendingMat.add(gen)
   }
 
   /** Compile `kql` — an optional `let name = Table | op…;` prologue
@@ -143,14 +175,14 @@ object KqlCompiler {
     * duration of one query, not re-evaluated per row), and the hook that
     * makes time-relative queries deterministic for tests/oracles. */
   def compile(kql: String, resolve: String => DataFrame, now: java.time.Instant): DataFrame = {
-    retireAllPendingMaterialize()
+    retirePendingMaterialize(org.apache.spark.sql.SparkSession.getActiveSession)
     val p = new Parser(Lexer.tokens(kql), resolve, now, None)
     var ok = false
     try {
-      val df = p.statements()
+      val df = prof0("statements")(p.statements())
       p.expectEnd()
       logWarnings(p)
-      armMaterializeRelease(p.materializedFrames.toSeq, Seq(df))
+      prof0("arm")(armMaterializeRelease(p.materializedFrames.toSeq, Seq(df)))
       ok = true
       df
     } finally {
@@ -171,7 +203,7 @@ object KqlCompiler {
                           now: java.time.Instant = java.time.Instant.now(),
                           spark: Option[org.apache.spark.sql.SparkSession] = None)
       : (DataFrame, Seq[String]) = {
-    retireAllPendingMaterialize()
+    retirePendingMaterialize(spark.orElse(org.apache.spark.sql.SparkSession.getActiveSession))
     val p = new Parser(Lexer.tokens(kql), resolve, now, spark)
     var ok = false
     try {
@@ -193,7 +225,7 @@ object KqlCompiler {
     * suites); table-rooted queries never need it. */
   def compile(kql: String, resolve: String => DataFrame, now: java.time.Instant,
               spark: org.apache.spark.sql.SparkSession): DataFrame = {
-    retireAllPendingMaterialize()
+    retirePendingMaterialize(Some(spark))
     val p = new Parser(Lexer.tokens(kql), resolve, now, Some(spark))
     var ok = false
     try {
@@ -224,7 +256,7 @@ object KqlCompiler {
                    now: java.time.Instant = java.time.Instant.now(),
                    spark: Option[org.apache.spark.sql.SparkSession] = None)
       : Seq[(String, DataFrame)] = {
-    retireAllPendingMaterialize()
+    retirePendingMaterialize(spark.orElse(org.apache.spark.sql.SparkSession.getActiveSession))
     val p = new Parser(Lexer.tokens(kql), resolve, now, spark)
     var ok = false
     try {
@@ -240,6 +272,15 @@ object KqlCompiler {
       if (!ok) p.materializedFrames.foreach(_.unpersist(blocking = false))
     }
   }
+
+  // perf profile hook shared by the BFS/graph lowerings (perf work only)
+  private def prof0[A](tag: String)(body: => A): A =
+    if (sys.props.get("graft.bfs.profile").contains("1")) {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"BFSPROF $tag%-16s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      r
+    } else body
 
   // ------------------------------------------------------------- lexer
 
@@ -348,7 +389,8 @@ object KqlCompiler {
       * `graph-match`/`graph-to-table` consumes it (Kusto's own rule:
       * make-graph must be followed by a graph operator). */
     private final case class GraphCtx(edges: DataFrame, nodes: DataFrame,
-                                      srcCol: String, dstCol: String, idCol: String)
+                                      srcCol: String, dstCol: String, idCol: String,
+                                      derivedNodes: Boolean = false)
     private var pendingGraph: Option[GraphCtx] = None
 
     /** Shared lowering for `graph-match` / `graph-shortest-paths`: parse
@@ -576,7 +618,14 @@ object KqlCompiler {
             }
           } catch { case scala.util.control.NonFatal(_) => None }
       }
-      classified.map { case (aConj, pairConj) =>
+      classified.map { case (aConj, pairConj) => prof0("bfsWhole") {
+        def prof[A](tag: String)(body: => A): A =
+          if (sys.props.get("graft.bfs.profile").contains("1")) {
+            val t0 = System.nanoTime()
+            val r = body
+            println(f"BFSPROF $tag%-16s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+            r
+          } else body
         def rehost(e: CExpr, m: Map[String, Column]): Column =
           GraftColumnBridge.column(e.transform {
             case a: AttributeReference if m.contains(a.name) =>
@@ -586,17 +635,18 @@ object KqlCompiler {
               GraftColumnBridge.catalystExpression(m(u.nameParts.head))
           })
         // the edge view feeds one join per round and the node view two
-        // scans (sources + endpoint bind). LAZY localCheckpoint — not
-        // persist: Dataset.persist registers the plan in the session
-        // CacheManager, whose strong reference the ContextCleaner never
-        // GC-reclaims, so persisted loop caches leak for the session
-        // lifetime (one edge projection + node set per distinct query —
-        // the round-16 advisor finding). A lazily-checkpointed RDD
-        // stores the same MEMORY_AND_DISK blocks, fills them pipelined
-        // inside the FIRST consumer job exactly like a cache fill (no
-        // separate materialization job — the round-15 eager-checkpoint
-        // regression), and its blocks ARE GC-tracked: once the result
-        // plan becomes unreachable the ContextCleaner drops them.
+        // scans (sources + endpoint bind). QUERY-DURATION PERSIST via
+        // the materialize() lifecycle (round 18): columnar cache reads
+        // beat row-block localCheckpoints for a loop that scans the edge
+        // list every level (r17 interleaved A/B measured the lazy-
+        // checkpoint variant +2.1 s on q146, and the committed idle
+        // number never recovered the r16 persist-era 2.60 s), while the
+        // MatGen listener retirement keeps it leak-free — the caches
+        // serve the compile-time loop actions AND the endpoint bind in
+        // the executed plan, then unpersist after the query's first
+        // execution (or at the next compile for never-executed plans),
+        // never a session-lifetime CacheManager entry (the r16 finding
+        // that forced the checkpoint detour).
         // when the edge source is already cache-backed (a materialize()d
         // let, query-duration persist) and only narrow ops sit above it,
         // the loop reads THAT cache directly: a second checkpoint of the
@@ -614,73 +664,128 @@ object KqlCompiler {
           try ok(df.queryExecution.analyzed)
           catch { case scala.util.control.NonFatal(_) => false }
         }
-        val edges = {
+        // perf-A/B hook (not a user knob): -Dgraft.bfs.cache=checkpoint
+        // restores the r17 lazy-localCheckpoint mode for interleaved
+        // same-JVM comparison against the query-duration persist
+        def loopCache(df: DataFrame): DataFrame =
+          if (sys.props.getOrElse("graft.bfs.cache", "persist") == "checkpoint")
+            df.localCheckpoint(eager = false)
+          else {
+            val c = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            materializedFrames += c
+            c
+          }
+        val edges = prof("edgesBuild") {
           val (inC, outC) = if (forward) (g.srcCol, g.dstCol) else (g.dstCol, g.srcCol)
+          // __bfs_ekey: a cheap deterministic edge encoding for the
+          // output=any tie-break (null-marked field concat, NOT to_json -
+          // Jackson per joined row measured ~10 us/row, the dominant CPU
+          // of the q146 levels; the node sequence (src, out) still
+          // dominates the sig ordering, ekey only picks among parallel
+          // edges on the same endpoint pair)
           val proj = g.edges.select(
             struct(eCols.map(g.edges(_)): _*).as("__bfs_edge"),
             g.edges(inC).as("__bfs_in"),
-            g.edges(outC).as("__bfs_out"))
-          if (cheapOverCached(g.edges)) proj else proj.localCheckpoint(eager = false)
+            g.edges(outC).as("__bfs_out"),
+            concat_ws("\u0001",
+              eCols.map(c => coalesce(g.edges(c).cast("string"), lit("\u0002"))): _*)
+              .as("__bfs_ekey"))
+          if (cheapOverCached(g.edges) &&
+              !sys.props.get("graft.bfs.forcecache").contains("1")) proj
+          else loopCache(proj)
         }
-        val nodes =
-          if (cheapOverCached(g.nodes)) g.nodes
-          else g.nodes.localCheckpoint(eager = false)
+        // derived nodes (no `with` clause): the node table is NOTHING
+        // but the endpoint set, so skip materializing it entirely —
+        // sources are a filtered distinct over the edge IN side (the
+        // source filter pushes BELOW the distinct, so a pinned single
+        // source never pays a full endpoint dedup; a source appearing
+        // only on the out side has no outgoing edges and yields no
+        // *1..k paths either way), and the endpoint bind is an identity
+        // struct over the reached id (no join). With an explicit `with`
+        // node table both sides must consult it: loop-cache it.
+        val nodes = prof("nodesBuild") {
+          if (g.derivedNodes || cheapOverCached(g.nodes)) g.nodes
+          else loopCache(g.nodes) }
         // a frontier/settled side known (from the round's count) to be
         // small broadcasts — the single-source BFS never shuffles the
         // full edge table into new partitionings per round
         val BcastRows = 100000L
         def maybeBcast(d: DataFrame, n: Long): DataFrame =
           if (n <= BcastRows) broadcast(d) else d
-        val src0 = nodes.select(
-          nodes(g.idCol).as("__bfs_src"),
-          struct(nCols.map(nodes(_)): _*).as("__bfs_a"))
-        val sources = aConj.foldLeft(src0)((d, c) =>
-          d.filter(rehost(c, Map("__bfs_ca" -> d("__bfs_a")))))
+        val src0 =
+          if (g.derivedNodes) {
+            // from g.edges, NOT the shared `edges` projection — the
+            // frontier join below joins sources against that projection,
+            // and two selects over one Dataset trip Spark's ambiguous-
+            // self-join detection
+            val inC = if (forward) g.srcCol else g.dstCol
+            g.edges.select(
+              g.edges(inC).as("__bfs_src"),
+              struct(g.edges(inC).as(g.idCol)).as("__bfs_a"))
+          } else nodes.select(
+            nodes(g.idCol).as("__bfs_src"),
+            struct(nCols.map(nodes(_)): _*).as("__bfs_a"))
+        val sources = {
+          val filtered = aConj.foldLeft(src0)((d, c) =>
+            d.filter(rehost(c, Map("__bfs_ca" -> d("__bfs_a")))))
+          if (g.derivedNodes) filtered.dropDuplicates("__bfs_src") else filtered
+        }
+        // output=any: ONE row per (src, cur) pair, minimum sig. An
+        // aggregate with min_by - NOT a row_number window - so the
+        // partial aggregate combines map-side before the shuffle: the
+        // join output (one row per PATH) reduces to one row per pair per
+        // partition before any bytes move, and no per-partition sort
         def dedupAny(f: DataFrame): DataFrame =
           if (mode != "any") f
-          else {
-            val w = org.apache.spark.sql.expressions.Window
-              .partitionBy(col("__bfs_src"), col("__bfs_cur"))
-              .orderBy(col("__bfs_sig").asc)
-            f.withColumn("__bfs_rn", row_number().over(w))
-              .where(col("__bfs_rn") === 1).drop("__bfs_rn")
-          }
-        val srcCnt = sources.count() // materializes the node cache too
+          else f.groupBy(col("__bfs_src"), col("__bfs_cur"))
+            .agg(min_by(
+              struct(col("__bfs_a"), col("__bfs_path"), col("__bfs_sig")),
+              col("__bfs_sig")).as("__bfs_m"))
+            .select(col("__bfs_src"), col("__bfs_m.__bfs_a").as("__bfs_a"),
+              col("__bfs_cur"), col("__bfs_m.__bfs_path").as("__bfs_path"),
+              col("__bfs_m.__bfs_sig").as("__bfs_sig"))
+        // interpreted-loop scope: every plan inside executes ONCE per
+        // compile, so on a small graph janino costs more than it saves
+        // (InterpretedLoop scaladoc has the q146 A/B); the final result
+        // plan is assembled AFTER the scope and keeps codegen
+        val (perLevel, reachedCnt) = graft.ops.InterpretedLoop.runIfSmall(
+            g.edges.sparkSession, graft.ops.InterpretedLoop.isSmall(g.edges)) {
+        val srcCnt = prof("srcCnt")(sources.count()) // materializes the node cache too
         val sSide = maybeBcast(sources, srcCnt)
-        var frontier = dedupAny(
+        var frontier = prof("mark0")(dedupAny(
           sSide.join(edges, sSide("__bfs_src") === edges("__bfs_in"))
             .select(sSide("__bfs_src"), sSide("__bfs_a"),
               edges("__bfs_out").as("__bfs_cur"),
               array(edges("__bfs_edge")).as("__bfs_path"),
               array(sSide("__bfs_src").cast("string"),
                     edges("__bfs_out").cast("string"),
-                    to_json(edges("__bfs_edge"))).as("__bfs_sig")))
-          .localCheckpoint(eager = false) // the count below materializes it
-        var frontierCnt = frontier.count()
-        var settled = frontier.select(col("__bfs_src"), col("__bfs_cur"))
-          .distinct().localCheckpoint(eager = false)
+                    edges("__bfs_ekey")).as("__bfs_sig")))
+          .localCheckpoint(eager = false)) // the count below materializes it
+        var frontierCnt = prof("level0")(frontier.count())
+        var settled = prof("settled0")(frontier.select(col("__bfs_src"), col("__bfs_cur"))
+          .distinct().localCheckpoint(eager = false))
         var settledCnt = frontierCnt // upper bound; exact enough for the hint
         val perLevel = scala.collection.mutable.Buffer[DataFrame](frontier)
         var reachedCnt = frontierCnt
         var lvl = 1
         while (lvl < maxHops && frontierCnt > 0) {
           val fSide = maybeBcast(frontier, frontierCnt)
-          val ext = fSide.join(edges, fSide("__bfs_cur") === edges("__bfs_in"))
+          val ext = prof(s"ext$lvl")(fSide.join(edges, fSide("__bfs_cur") === edges("__bfs_in"))
             .select(fSide("__bfs_src"), fSide("__bfs_a"),
               edges("__bfs_out").as("__bfs_cur"),
               concat(fSide("__bfs_path"), array(edges("__bfs_edge"))).as("__bfs_path"),
               concat(fSide("__bfs_sig"),
                 array(fSide("__bfs_cur").cast("string"),
                       edges("__bfs_out").cast("string"),
-                      to_json(edges("__bfs_edge")))).as("__bfs_sig"))
+                      edges("__bfs_ekey"))).as("__bfs_sig")))
           // lazy marks: the per-level count (the loop's one driver probe)
           // materializes the checkpointed frontier in the SAME job — one
           // job launch per level instead of three (round-15 discipline)
-          val fresh = dedupAny(
+          val fresh = prof(s"mark$lvl")(dedupAny(
             ext.join(maybeBcast(settled, settledCnt),
               Seq("__bfs_src", "__bfs_cur"), "left_anti"))
-            .localCheckpoint(eager = false)
-          frontierCnt = fresh.count()
+            .localCheckpoint(eager = false))
+          frontierCnt = prof(s"level$lvl")(fresh.count())
           // settled tracks PAIRS: for output=all the frontier carries one
           // row per shortest path, so dedupe before the union or the
           // settled set (and its broadcast-size estimate) grows with path
@@ -688,26 +793,38 @@ object KqlCompiler {
           val freshPairs =
             if (mode == "any") fresh.select(col("__bfs_src"), col("__bfs_cur"))
             else fresh.select(col("__bfs_src"), col("__bfs_cur")).distinct()
-          settled = settled.union(freshPairs).localCheckpoint(eager = false)
+          settled = prof(s"settled$lvl")(settled.union(freshPairs).localCheckpoint(eager = false))
           settledCnt += (if (mode == "any") frontierCnt else freshPairs.count())
           reachedCnt += frontierCnt
           perLevel += fresh
           frontier = fresh
           lvl += 1
         }
-        // cache lifetime: edges/nodes are lazily-checkpointed (above), so
-        // the endpoint bind below reads their stored blocks one last time
-        // and the ContextCleaner reclaims everything once the result plan
-        // is dropped — no CacheManager entry, no explicit unpersist, no
-        // final-join recompute (the three failure modes of the persist /
-        // unpersist-early / eager-checkpoint variants measured in rounds
-        // 15-17).
-        val reached = perLevel.reduce(_ unionByName _)
-        val nodesB = nodes.select(
-          nodes(g.idCol).as("__bfs_bid"),
-          struct(nCols.map(nodes(_)): _*).as("__bfs_b"))
-        var out = maybeBcast(reached, reachedCnt)
-          .join(nodesB, reached("__bfs_cur") === nodesB("__bfs_bid"))
+        (perLevel, reachedCnt)
+        }
+        // cache lifetime: edges/nodes ride the materialize() MatGen
+        // machinery (registered above), so the endpoint bind below reads
+        // the columnar cache during the query's first execution and the
+        // listener unpersists right after — no CacheManager entry
+        // outlives the query. Re-executing the SAME compiled DataFrame
+        // recomputes the node set once per run (Kusto's query-duration
+        // contract: a materialized frame serves ONE query execution);
+        // the per-level frontiers stay materialized checkpoints, so the
+        // loop itself never re-runs.
+        val reached = prof("finalAssembly0")(perLevel.reduce(_ unionByName _))
+        var out =
+          if (g.derivedNodes)
+            // endpoint bind is an identity: every reached id IS a node,
+            // and its only column is the id — no join
+            reached.withColumn("__bfs_bid", col("__bfs_cur"))
+              .withColumn("__bfs_b", struct(col("__bfs_cur").as(g.idCol)))
+          else {
+            val nodesB = nodes.select(
+              nodes(g.idCol).as("__bfs_bid"),
+              struct(nCols.map(nodes(_)): _*).as("__bfs_b"))
+            maybeBcast(reached, reachedCnt)
+              .join(nodesB, reached("__bfs_cur") === nodesB("__bfs_bid"))
+          }
         // repeated endpoint alias (a)-[e*…]->(a): same-node constraint
         if (aAlias == bAlias)
           out = out.filter(col("__bfs_src") === col("__bfs_bid"))
@@ -719,10 +836,10 @@ object KqlCompiler {
            else Map(aAlias -> col("__bfs_a"), bAlias -> col("__bfs_b"))) +
           (eAlias -> col("__bfs_path"))
         val fin = out
-        withBinds(binds) {
+        prof("finalSelect")(withBinds(binds) {
           fin.select(projs.map { case (n, e) => e(fin).as(n) }: _*)
-        }
-      }
+        })
+      } }
     }
 
     /** Element bindings for mv-apply's sub-pipeline: while a lambda body
@@ -3294,7 +3411,7 @@ object KqlCompiler {
               .join(comp, g.nodes(g.idCol) === col("__gmc_id"), "left")
               .withColumn(compCol, coalesce(col(compCol), g.nodes(g.idCol)))
               .drop("__gmc_id")
-            pendingGraph = Some(g.copy(nodes = marked))
+            pendingGraph = Some(g.copy(nodes = marked, derivedNodes = false))
             df
           case "shortest" =>
             // `graph-shortest-paths [output=any|all] (a)-[e*1..n]->(b)
@@ -3397,15 +3514,25 @@ object KqlCompiler {
             val srcC = ident()
             expect("-"); expect("-"); expect(">")
             val dstC = ident()
-            val (nodesDf, idC) =
+            val (nodesDf, idC, derivedN) =
               if (peekIs("with")) {
-                expect("with"); val n = subquery(); expect("on"); (n, ident())
+                expect("with"); val n = subquery(); expect("on")
+                val i = ident(); (n, i, false)
               } else {
-                val ids = df.select(df(srcC).as("node_id"))
-                  .union(df.select(df(dstC).as("node_id"))).distinct()
-                (ids, "node_id")
+                // explode(array(src,dst)), not union(select,select): ONE
+                // pass over the edge table. The union form scans the edge
+                // source twice IN ONE STAGE — against a persisted-but-
+                // unfilled edge cache (materialize() lets) each branch
+                // races to fill every partition, doubling the fill work
+                // (measured 64×~330 ms tasks on q146's 1.2M-edge graph)
+                val ids = df.select(explode(array(df(srcC), df(dstC))).as("node_id"))
+                  .distinct()
+                // derived: the node table is nothing but the endpoint
+                // set, so graph lowerings may skip materializing it
+                // (endpoint structs are just the id column)
+                (ids, "node_id", true)
               }
-            pendingGraph = Some(GraphCtx(df, nodesDf, srcC, dstC, idC))
+            pendingGraph = Some(GraphCtx(df, nodesDf, srcC, dstC, idC, derivedN))
             return df
           case other => throw new KqlParseException(s"unsupported operator 'make-$other'")
         }

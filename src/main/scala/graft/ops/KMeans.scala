@@ -49,6 +49,14 @@ object KMeans {
     // LAZY checkpoints (the round-15 job-batching discipline): each
     // round's checksum action materializes the pending frames in the
     // SAME job — lineage still truncates, one job per round saved
+    // FAULT-TOLERANCE trade (round-17 advisor): localCheckpoint
+    // blocks are NOT recomputable after executor loss — on a
+    // multi-executor cluster a lost block fails the job where persist
+    // would recompute; blocks also release via driver GC + ContextCleaner
+    // rather than an explicit unpersist. Acceptable for the local bench
+    // (one JVM, no executor loss); a cluster deployment should prefer
+    // reliable checkpointing (spark.sparkContext.setCheckpointDir +
+    // .checkpoint()) for loop invariants.
     val vecs = emb.select(col("vec_id"), col("e")).localCheckpoint(eager = false)
     var cents = vecs.filter(col("vec_id") < k)
       .select(col("vec_id").as("cluster"), col("e").as("cvec"))
@@ -82,6 +90,10 @@ object KMeans {
     var prev: Option[(Long, Long)] = None
     var iters = 0
     var converged = false
+    // NOT an InterpretedLoop scope: the E-step's vecs × centroids
+    // cross-score dominates every round, and codegen'd plumbing around
+    // the L2SqD kernel wins even at bench scale (r18 A/B: interpreted
+    // rounds cost q64 +0.2 s)
     while (iters < maxIter && !converged) {
       // LAZY checkpoint of the E-step result: the checksum action fills
       // the blocks, the M-step reads them back instead of re-running

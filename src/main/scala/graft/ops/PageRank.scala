@@ -62,17 +62,31 @@ object PageRank {
         .over(org.apache.spark.sql.expressions.Window.partitionBy("src"))
         .cast("double"))
       .localCheckpoint(eager = false)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    // explode, not union(select, select): ONE pass over e — two union
+    // branches in one stage race to fill the unmaterialized checkpoint
+    // blocks, doubling the window-degree pass (the q146/q223 finding)
+    val nodes = e.select(explode(array(col("src"), col("dst"))).as("node")).distinct()
       .localCheckpoint(eager = false)
     val n = nodes.count() // O(1) driver scalar; materializes e + nodes blocks
     // LAZY checkpoints (round 15): the per-round convergence probe (or
     // the caller's final action when tol == 0) materializes each round's
     // marked frame in the SAME job — lineage still truncates at every
     // round, but the loop stops paying one extra job launch per round
+    // FAULT-TOLERANCE trade (round-17 advisor): localCheckpoint
+    // blocks are NOT recomputable after executor loss — on a
+    // multi-executor cluster a lost block fails the job where persist
+    // would recompute; blocks also release via driver GC + ContextCleaner
+    // rather than an explicit unpersist. Acceptable for the local bench
+    // (one JVM, no executor loss); a cluster deployment should prefer
+    // reliable checkpointing (spark.sparkContext.setCheckpointDir +
+    // .checkpoint()) for loop invariants.
     var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(eager = false)
     var iters = 0
     var converged = false
+    // NOT an InterpretedLoop scope: every PageRank round scans the FULL
+    // edge relation (unlike the frontier-bounded BFS levels), so codegen
+    // pays for itself even on bench-scale graphs (r18 A/B: interpreted
+    // rounds cost q111 +0.3 s)
     while (iters < k && !converged) {
       val contrib = e.join(ranks, e("src") === ranks("node"))
         .select(col("dst").as("node"), (col("rank") / col("od")).as("c"))

@@ -63,12 +63,20 @@ object StronglyConnected {
     // still truncating lineage — the round-15 driver-round-trip
     // discipline (the q41/minAncestor batching, applied to the outer
     // loop: ~3 driver actions per round instead of ~9)
-    var active = e0.select(F.col("src").as("node"))
-      .union(e0.select(F.col("dst").as("node")))
+    // explode, not union(select, select): ONE pass over e0 — the union
+    // form scans the (possibly still unfilled) cache twice in one
+    // stage, so both branches race to fill every partition (measured as
+    // run >> cpu block-lock time on the q223 gate)
+    var active = e0
+      .select(F.explode(F.array(F.col("src"), F.col("dst"))).as("node"))
       .distinct().localCheckpoint(eager = false)
     var eAct = e0
     val parts = scala.collection.mutable.Buffer.empty[DataFrame]
     var round = 0
+    // interpreted-loop scope: every per-round plan executes once, so on
+    // a small graph janino costs more than it saves (see
+    // InterpretedLoop); the caller's result plan keeps codegen
+    graft.ops.InterpretedLoop.run(e0) {
     while (active.count() > 0) {
       round += 1
       if (round > MaxRounds)
@@ -77,13 +85,21 @@ object StronglyConnected {
             "(condensation chain deeper than the cap); consider kind=weak or " +
             "pre-condensing the graph")
       // 1. trim: no in-edges or no out-edges inside the active set →
-      // singleton SCC
-      val hasIn = eAct.select(F.col("dst").as("node")).distinct()
-      val hasOut = eAct.select(F.col("src").as("node")).distinct()
+      // singleton SCC. ONE exploded pass + ONE aggregate computes both
+      // degrees (vs two scans + two distincts + two anti-joins + union):
+      // keep = nodes with BOTH an in- and an out-edge; everything else
+      // active (including isolated leftovers) trims
+      val keep = eAct
+        .select(F.explode(F.array(
+          F.struct(F.col("dst").as("node"), F.lit(1).as("d")),
+          F.struct(F.col("src").as("node"), F.lit(0).as("d")))).as("x"))
+        .select(F.col("x.node").as("node"), F.col("x.d").as("d"))
+        .groupBy("node")
+        .agg(F.max("d").as("hasIn"), F.min("d").as("hasOut"))
+        .where(F.col("hasIn") === 1 && F.col("hasOut") === 0)
+        .select("node")
       val trimmed = active
-        .join(hasIn, Seq("node"), "left_anti")
-        .union(active.join(hasOut, Seq("node"), "left_anti"))
-        .distinct()
+        .join(keep, Seq("node"), "left_anti")
         .select(F.col("node"), F.col("node").as("comp"))
         .localCheckpoint(eager = false)
       parts += trimmed
@@ -106,6 +122,7 @@ object StronglyConnected {
         .join(active.select(F.col("node").as("src")), Seq("src"), "left_semi")
         .join(active.select(F.col("node").as("dst")), Seq("dst"), "left_semi")
         .localCheckpoint(eager = false)
+    }
     }
     e0.unpersist()
     // edge-free graph: no endpoints, empty (node, comp) result with the
@@ -132,13 +149,20 @@ object StronglyConnected {
     driverActions.incrementAndGet() // seed-label checkpoint (once per call)
     var changed = 1L
     while (changed > 0) {
-      val incF = e.select(F.col("src").as("u"), F.col("dst").as("node"))
-        .join(lbl.select(F.col("node").as("u"), F.col("lbl_f").as("ulbl")), Seq("u"))
-        .groupBy("node").agg(F.min("ulbl").as("minf"))
-      val incB = e.select(F.col("dst").as("u"), F.col("src").as("node"))
-        .join(lbl.select(F.col("node").as("u"), F.col("lbl_b").as("ulbl")), Seq("u"))
-        .groupBy("node").agg(F.min("ulbl").as("minb"))
-      val next = lbl.join(incF, Seq("node"), "left").join(incB, Seq("node"), "left")
+      // both directions in ONE exploded edge pass + ONE label join +
+      // ONE aggregate (vs 2 scans + 2 joins + 2 aggs per step): a
+      // forward message carries the source's lbl_f to dst, a backward
+      // message the destination's lbl_b to src
+      val msgs = e.select(F.explode(F.array(
+          F.struct(F.col("src").as("u"), F.col("dst").as("node"), F.lit(true).as("fwd")),
+          F.struct(F.col("dst").as("u"), F.col("src").as("node"), F.lit(false).as("fwd")))).as("m"))
+        .select(F.col("m.u").as("u"), F.col("m.node").as("node"), F.col("m.fwd").as("fwd"))
+        .join(lbl.select(F.col("node").as("u"),
+          F.col("lbl_f").as("ulf"), F.col("lbl_b").as("ulb")), Seq("u"))
+        .groupBy("node").agg(
+          F.min(F.when(F.col("fwd"), F.col("ulf"))).as("minf"),
+          F.min(F.when(!F.col("fwd"), F.col("ulb"))).as("minb"))
+      val next = lbl.join(msgs, Seq("node"), "left")
         .select(F.col("node"),
           F.least(F.col("lbl_f"), F.coalesce(F.col("minf"), F.col("lbl_f"))).as("lbl_f"),
           F.least(F.col("lbl_b"), F.coalesce(F.col("minb"), F.col("lbl_b"))).as("lbl_b"),

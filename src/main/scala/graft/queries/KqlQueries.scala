@@ -1770,6 +1770,35 @@ object KqlQueries extends QueryModule {
           | | order by event_id asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // polygon booleans under DEGENERATE CONTACT (round 18): INTEGER
+    // lattice offsets of a 2x2 square against a fixed [0,3]x[0,3]
+    // window, so rows hit every contact class — corner-touch,
+    // edge-share, partial-edge overlap, containment-with-shared-border,
+    // proper overlap, disjoint. The engine's exact-coincidence split/
+    // pair rules (GeoBool.scala round 18) must agree with interval
+    // inclusion-exclusion: intersection is null exactly when the
+    // interval overlap has zero area (touching counts as empty), union
+    // area is always |W| + |B| - |W∩B| (Chamberlain–Duquette terms,
+    // q241/q243's replication), and membership probes at half-integer
+    // points never sit on a boundary.
+    "q254_kql_text_polygon_degenerate" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_id % 89 == 0
+          | | extend dx = todouble(user_id % 10) - 4.0, dy = todouble(event_id % 8) - 3.0
+          | | extend b = strcat('{"type":"Polygon","coordinates":[[[', tostring(dx), ',', tostring(dy), '],[', tostring(dx + 2.0), ',', tostring(dy), '],[', tostring(dx + 2.0), ',', tostring(dy + 2.0), '],[', tostring(dx), ',', tostring(dy + 2.0), '],[', tostring(dx), ',', tostring(dy), ']]]}'),
+          |          w = '{"type":"Polygon","coordinates":[[[0.0,0.0],[3.0,0.0],[3.0,3.0],[0.0,3.0],[0.0,0.0]]]}'
+          | | extend i = geo_intersection_2polygons(w, b),
+          |          u = geo_union_2polygons(w, b)
+          | | project event_id, dx, dy,
+          |           isn = isnull(i),
+          |           ia = round(geo_polygon_area(i) / 1000000000.0, 3),
+          |           ua = round(geo_polygon_area(u) / 1000000000.0, 3),
+          |           im = coalesce(geo_point_in_polygon(1.5, 1.5, i), false),
+          |           um = geo_point_in_polygon(dx + 0.5, dy + 0.5, u)
+          | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // geo_simplify_polygons_array at data scale (round 16): per-row
     // pair of rectangles sharing an edge that carries a super-tolerance
     // bump — the bump must survive IDENTICALLY in both outputs (the
@@ -2921,6 +2950,38 @@ object KqlQueries extends QueryModule {
                OR (px < 8.125 AND 8.125 < px + 3.0 AND py + 3.0 < 1.625 AND 1.625 < py + 6.0)) AS im,
               ((0.0 < px - 0.5 AND px - 0.5 < 6.0 AND 0.0 < py + 1.5 AND py + 1.5 < 3.0)
                OR (6.0 < px - 0.5 AND px - 0.5 < 10.0 AND 0.0 < py + 1.5 AND py + 1.5 < 8.0)) AS um
+       FROM p ORDER BY event_id"""
+  }
+
+  /** q254: degenerate-contact booleans restated by interval logic —
+    * the intersection rectangle [max(dx,0), min(dx+2,3)] x
+    * [max(dy,0), min(dy+2,3)] (empty when any side is <= 0, touching
+    * included), union area by inclusion-exclusion over the SAME
+    * Chamberlain–Duquette spherical terms as the engine, membership at
+    * half-integer probes by open-interval tests. */
+  private def polygonDegenerateOracle: String = {
+    val cd = (lonA: String, latA: String, lonB: String, latB: String) =>
+      s"""radians(($lonB) - ($lonA)) * (2.0 + sin(radians($latA)) + sin(radians($latB)))"""
+    val rect = (x1: String, y1: String, x2: String, y2: String) =>
+      s"""CASE WHEN ($x1) < ($x2) AND ($y1) < ($y2)
+            THEN abs(${cd(x1, y1, x2, y1)} + ${cd(x2, y2, x1, y2)}) ELSE 0.0 END"""
+    val inter = rect("greatest(dx, 0.0)", "greatest(dy, 0.0)",
+                     "least(dx + 2.0, 3.0)", "least(dy + 2.0, 3.0)")
+    val aw = rect("0.0", "0.0", "3.0", "3.0")
+    val ab = rect("dx", "dy", "dx + 2.0", "dy + 2.0")
+    val ov = "(dx < 3.0 AND dx + 2.0 > 0.0 AND dy < 3.0 AND dy + 2.0 > 0.0)"
+    s"""WITH p AS (
+         SELECT event_id,
+                CAST(user_id % 10 AS DOUBLE) - 4.0 AS dx,
+                CAST(event_id % 8 AS DOUBLE) - 3.0 AS dy
+         FROM events WHERE event_id % 89 = 0)
+       SELECT event_id, dx, dy,
+              NOT $ov AS isn,
+              CASE WHEN $ov
+                THEN round(($inter) * 20294877839040.5 / 1000000000.0, 3) END AS ia,
+              round((($aw) + ($ab) - ($inter)) * 20294877839040.5 / 1000000000.0, 3) AS ua,
+              ($ov AND dx < 1.5 AND 1.5 < dx + 2.0 AND dy < 1.5 AND 1.5 < dy + 2.0) AS im,
+              TRUE AS um
        FROM p ORDER BY event_id"""
   }
 
@@ -4354,6 +4415,8 @@ object KqlQueries extends QueryModule {
                 CAST(mid AS BIGINT) AS m
          FROM h WHERE rn % 2 = 1 OR hit = 1
          ORDER BY event_id""",
+
+    "q254_kql_text_polygon_degenerate" -> polygonDegenerateOracle,
 
     "q249_kql_text_joint_simplify" ->
       """SELECT event_id,

@@ -223,8 +223,11 @@ private[queries] trait LlmDedupQueries extends LlmShared {
     // read at the caller's final action) ride one block set — for an
     // LSH pair source (q41/q57) this halves the dominant minhash pass
     val p0 = pairs.localCheckpoint(eager = false)
-    val verts = p0.select(col(p0.columns(0)).as("id"))
-      .union(p0.select(col(p0.columns(1)).as("id")))
+    // explode, not union(select, select): ONE pass over p0 — two union
+    // branches in one stage race to fill the unmaterialized checkpoint
+    // blocks, doubling the pair-source pass (the q146/q223 finding)
+    val verts = p0.select(
+        explode(array(col(p0.columns(0)), col(p0.columns(1)))).as("id"))
       .distinct().localCheckpoint(eager = false)
     def checksum(e: DataFrame): (Long, Long) = {
       val r = e.agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L))).head()
@@ -237,6 +240,10 @@ private[queries] trait LlmDedupQueries extends LlmShared {
     var sig = checksum(edges)
     var rounds = 0
     var converged = sig._1 == 0L
+    // NOT an InterpretedLoop scope: every star-contraction round
+    // rewrites the FULL edge set (unlike frontier-bounded BFS levels),
+    // so codegen pays for itself (r18 A/B: interpreted rounds cost q41
+    // +0.3 s)
     while (!converged) {
       val t0 = System.nanoTime()
       val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)

@@ -471,7 +471,11 @@ private[queries] trait LlmIterativeQueries extends LlmShared {
     locally {
       // lazy round checkpoints: the final aggregate's single action
       // materializes all three rounds with lineage cuts at each (the
-      // round-15 SCC/PageRank job-batching discipline)
+      // round-15 SCC/PageRank job-batching discipline). Interpreted-loop
+      // scope (see InterpretedLoop): each round's mark is planned once;
+      // gated on the lineitem input so cluster-scale graphs keep codegen
+      var labels = graft.ops.InterpretedLoop.runIfSmall(
+          s, graft.ops.InterpretedLoop.isSmall(li)) {
       var labels = nodes.join(broadcast(seeds), Seq("node"), "left")
         .select(col("node"), col("seed").as("label"),
           col("seed").isNotNull.as("clamped"))
@@ -489,6 +493,8 @@ private[queries] trait LlmIterativeQueries extends LlmShared {
               .otherwise(coalesce(col("mlab"), labels("label"))).as("label"),
             labels("clamped"))
           .localCheckpoint(eager = false)
+      }
+      labels
       }
       labels.groupBy(col("label")).agg(
           count(lit(1)).as("n_nodes"),
@@ -642,6 +648,11 @@ private[queries] trait LlmIterativeQueries extends LlmShared {
       val nDocs = fx.select(countDistinct(col("doc_id"))).head.getLong(0).toDouble
       val w = Array.fill(ClsBuckets)(0.0)
       var b0 = 0.0
+      // interpreted-loop scope (see InterpretedLoop): one collect per
+      // round, each round's plan compiled once; gated on the documents
+      // input so cluster-scale corpora keep codegen
+      graft.ops.InterpretedLoop.runIfSmall(
+          s, graft.ops.InterpretedLoop.isSmall(s.table("documents"))) {
       for (_ <- 1 to ClsRounds) {
         val wArr = array(w.map(lit).toIndexedSeq: _*)
         val err = fx.groupBy(col("doc_id"))
@@ -662,6 +673,7 @@ private[queries] trait LlmIterativeQueries extends LlmShared {
           if (r.getLong(0) < 0) b0 -= ClsLr * r.getDouble(1)
           else w(r.getLong(0).toInt) -= ClsLr * r.getDouble(1) / nDocs
         }
+      }
       }
       import s.implicits._
       (w.toIndexedSeq.zipWithIndex.map { case (wv, b) => (b.toLong, wv) } :+ (-1L, b0))

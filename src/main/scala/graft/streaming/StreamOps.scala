@@ -287,6 +287,71 @@ object StreamOps {
       }
   }
 
+  final case class VEvent(user_id: Long, ts: Timestamp, value: Double)
+  final case class ScanPairState(open: Boolean, v0: Double, curId: Long,
+                                 nextId: Long, lastMs: Long)
+  final case class ScanPairOut(user_id: Long, ts: Timestamp, step: String,
+                               v0: Double, gap: Option[Double], m: Long)
+
+  /** Streaming counterpart of the STATEFUL scan machine
+    * ([[graft.ops.Funnel.scanStateful]]) for the two-step
+    * state-reference pattern (the q252/q253 class):
+    *
+    *   step s1: true          => v0 = value;
+    *   step s2: value > s1.v0 => gap = value - s2.v0;
+    *
+    * i.e. s2's PREDICATE reads step 1's live state and its ASSIGNMENT
+    * reads the post-move state — the two resolution rules the batch
+    * machine pins. Per key the transition mirrors the batch
+    * highest-step-first consumption exactly: an arriving value that
+    * beats the open sequence's v0 promotes (emit s2 row with the gap,
+    * retire, id consumed); otherwise the row is consumed by s1 —
+    * extending the open sequence (v0 reassigned, same match id) or
+    * starting a new one (next id). Every consumed row emits (scan's
+    * output=all), s1 rows with a null gap.
+    *
+    * Streaming trade (same as [[statefulSequenceMatch]]): rows order by
+    * event time within each micro-batch, and state lives until the
+    * watermark passes lastEvent + horizonMs (event-time timeout), so a
+    * batch/stream parity holds for in-watermark data — pinned by
+    * StreamOpsSpec against the batch machine on a shared fixture. */
+  def streamingScanPairs(events: Dataset[VEvent], delayThreshold: String,
+                         horizonMs: Long): Dataset[ScanPairOut] = {
+    require(horizonMs > 0, "horizonMs must be positive")
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", delayThreshold)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ScanPairState, ScanPairOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(ScanPairState(false, 0.0, 0L, 1L, 0L))
+            val out = Vector.newBuilder[ScanPairOut]
+            rows.toVector.sortBy(_.ts.getTime).foreach { e =>
+              if (st.open && e.value > st.v0) {
+                // promote into the last step: assign sees post-move
+                // state, emit, retire (the batch machine's completion)
+                out += ScanPairOut(uid, e.ts, "s2", st.v0, Some(e.value - st.v0), st.curId)
+                st = st.copy(open = false, lastMs = e.ts.getTime)
+              } else {
+                // s1 consumes: extend keeps the id, start takes the next
+                val (id, nxt) =
+                  if (st.open) (st.curId, st.nextId) else (st.nextId, st.nextId + 1)
+                st = ScanPairState(open = true, v0 = e.value, curId = id,
+                  nextId = nxt, lastMs = e.ts.getTime)
+                out += ScanPairOut(uid, e.ts, "s1", e.value, None, id)
+              }
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(st.lastMs + horizonMs, state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+  }
+
   final case class LshBucketState(keeper: Long, lastMs: Long)
   final case class LshCand(bucket: String, keeper: Long, candidate: Long)
 

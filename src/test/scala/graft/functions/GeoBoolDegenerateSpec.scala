@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Degenerate-contact fixtures for the polygon boolean engine (round
+  * 18): vertex-touch, vertex-on-edge, edge-overlap, and shared-border
+  * cases that the round-16/17 engine loudly nulled. Truth is
+  * constructible: all operands are axis-aligned (or one lattice
+  * triangle), so expected areas follow from interval inclusion-
+  * exclusion and membership from interval logic. */
+class GeoBoolDegenerateSpec extends AnyFunSuite {
+
+  private def rect(x1: Double, y1: Double, x2: Double, y2: Double): String =
+    s"""{"type":"Polygon","coordinates":[[[$x1,$y1],[$x2,$y1],[$x2,$y2],[$x1,$y2],[$x1,$y1]]]}"""
+
+  private def u8(s: String) = UTF8String.fromString(s)
+
+  /** Net planar area of a Polygon/MultiPolygon result (holes negative). */
+  private def area(j: UTF8String): Double = {
+    assert(j != null, "unexpected null geometry")
+    val rings = GeoBoolOps.parseSide(j.toString)
+    assert(rings != null, s"result failed to parse: $j")
+    rings.map(r => GeoBoolOps.signedArea2(r) / 2.0).sum
+  }
+
+  private def inter(a: String, b: String) = GeoBoolOps.intersection(u8(a), u8(b))
+  private def union(a: String, b: String) = GeoBoolOps.union(u8(a), u8(b))
+
+  test("shared-border union merges; zero-width intersection is null") {
+    val a = rect(0, 0, 1, 1)
+    val b = rect(1, 0, 2, 1)
+    assert(inter(a, b) == null, "zero-width intersection must stay null (empty)")
+    val u = union(a, b)
+    assert(math.abs(area(u) - 2.0) < 1e-12, s"shared-border union area: $u")
+    // the merged region's gross ring area matches too (no stray holes)
+    val rings = GeoBoolOps.parseSide(u.toString)
+    assert(math.abs(rings.map(r => math.abs(GeoBoolOps.signedArea2(r) / 2.0)).sum - 2.0) < 1e-12)
+  }
+
+  test("partial edge overlap: collinear sub-edge splitting is exact") {
+    // B overlaps A's interior and shares a collinear bottom-edge run
+    val a = rect(0, 0, 2, 2)
+    val b = rect(1, 0, 3, 1)
+    assert(math.abs(area(inter(a, b)) - 1.0) < 1e-12) // [1,2]x[0,1]
+    assert(math.abs(area(union(a, b)) - 5.0) < 1e-12) // 4 + 2 - 1
+  }
+
+  test("vertex-touch (corner-to-corner): union keeps both, intersection empty") {
+    val a = rect(0, 0, 1, 1)
+    val b = rect(1, 1, 2, 2)
+    assert(inter(a, b) == null)
+    val u = union(a, b)
+    assert(math.abs(area(u) - 2.0) < 1e-12)
+    // two simple rings, never a figure-eight: each ring has |area| 1
+    val rings = GeoBoolOps.parseSide(u.toString)
+    assert(rings.length == 2, s"corner touch should yield two components: $u")
+    assert(rings.forall(r => math.abs(math.abs(GeoBoolOps.signedArea2(r) / 2.0) - 1.0) < 1e-12))
+  }
+
+  test("vertex-on-edge: triangle apex on a rectangle edge") {
+    val w = rect(0, 0, 6, 4)
+    // apex (2,4) on w's top edge interior, body above
+    val t = """{"type":"Polygon","coordinates":[[[2.0,4.0],[3.0,5.0],[1.0,5.0],[2.0,4.0]]]}"""
+    assert(inter(w, t) == null, "point contact has no area")
+    assert(math.abs(area(union(w, t)) - 25.0) < 1e-12) // 24 + 1
+  }
+
+  test("containment with shared border: intersection is the inner, union the outer") {
+    val a = rect(0, 0, 2, 1)
+    val b = rect(0, 0, 1, 1) // shares left+bottom(+part of top) border with a
+    assert(math.abs(area(inter(a, b)) - 1.0) < 1e-12)
+    assert(math.abs(area(union(a, b)) - 2.0) < 1e-12)
+  }
+
+  test("identical operands: intersection and union are the operand itself") {
+    val a = rect(-1, -1, 2, 3)
+    assert(math.abs(area(inter(a, a)) - 12.0) < 1e-12)
+    assert(math.abs(area(union(a, a)) - 12.0) < 1e-12)
+  }
+
+  test("lattice rectangles: inclusion-exclusion holds across all contact classes") {
+    // every (dx, dy) integer offset of a 2x2 square against [0,3]x[0,3]:
+    // covers disjoint, corner-touch, edge-share, partial-edge-share,
+    // proper overlap, and containment-with-shared-border
+    val w = rect(0, 0, 3, 3)
+    val aW = 9.0
+    val aB = 4.0
+    for (dx <- -3 to 4; dy <- -3 to 4) {
+      val b = rect(dx, dy, dx + 2, dy + 2)
+      val ix = math.max(0.0, math.min(3.0, dx + 2.0) - math.max(0.0, dx.toDouble))
+      val iy = math.max(0.0, math.min(3.0, dy + 2.0) - math.max(0.0, dy.toDouble))
+      val expInter = ix * iy
+      val i = inter(w, b)
+      if (expInter == 0.0) assert(i == null, s"offset ($dx,$dy): expected empty intersection")
+      else assert(math.abs(area(i) - expInter) < 1e-12, s"offset ($dx,$dy) intersection")
+      val u = union(w, b)
+      assert(math.abs(area(u) - (aW + aB - expInter)) < 1e-12, s"offset ($dx,$dy) union")
+    }
+  }
+
+  test("hole contact: subtracting-shaped operands keep holes attached") {
+    // A = square with a centered hole; B fills exactly the hole (shares
+    // the full hole boundary). Union = solid square; intersection null
+    // (B touches A only along the hole ring).
+    val a = """{"type":"Polygon","coordinates":[[[0.0,0.0],[4.0,0.0],[4.0,4.0],[0.0,4.0],[0.0,0.0]],[[1.0,1.0],[3.0,1.0],[3.0,3.0],[1.0,3.0],[1.0,1.0]]]}"""
+    val b = rect(1, 1, 3, 3)
+    assert(math.abs(area(union(a, b)) - 16.0) < 1e-12, "union must fill the hole")
+    assert(inter(a, b) == null,
+      "A touches B only along the hole boundary - no interior overlap")
+  }
+}

@@ -1685,11 +1685,13 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("graph-shortest-paths: loop caches are released — no CacheManager entry outlives the query") {
-    // Dataset.persist registers the plan in the session CacheManager,
-    // which strongly references the InMemoryRelation; the ContextCleaner
-    // never GC-reclaims those. The BFS lowering must therefore unpersist
-    // its edge/node loop caches once the result plan is built, or every
-    // distinct shortest-paths query leaks blocks for the session lifetime.
+    // The BFS loop caches (edge projection + node set) ride the
+    // materialize() query-duration lifecycle: persisted through compile
+    // and the first execution of the result (persist-speed columnar
+    // reads for the loop and the endpoint bind), then retired by the
+    // QueryExecutionListener — async on the listener bus, so poll. A
+    // session-lifetime CacheManager entry (the round-16 leak) would
+    // never empty out.
     spark.catalog.clearCache()
     val out = runG2(
       """let E = datatable(src: string, dst: string)[
@@ -1699,8 +1701,10 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
         |   where s.node_id == 'a' and t.node_id == 'd'
         |   project hops = array_length(e)""".stripMargin)
     assert(out.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    var i = 0
+    while (i < 100 && !spark.sharedState.cacheManager.isEmpty) { Thread.sleep(100); i += 1 }
     assert(spark.sharedState.cacheManager.isEmpty,
-      "shortest-paths left a persisted plan in the CacheManager")
+      "shortest-paths left a persisted plan in the CacheManager after its query executed")
   }
 
   test("graph-shortest-paths: BFS lowering handles ranges beyond the chain cap, cycles, edge-filter fallback") {

@@ -139,7 +139,38 @@ class KqlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
             sb.append("\n| union t"); maxRows += 8
           case 11 =>
             c += 1
-            pick(Seq("dt", "parse", "sort", "mvapply", "tabin", "scan")) match {
+            pick(Seq("dt", "parse", "sort", "mvapply", "tabin", "scan", "graph")) match {
+              case "graph" =>
+                // graph arm (round 18): make-graph + one of the four
+                // graph operators — the two biggest hand-written state
+                // machines (pattern chains + frontier BFS) composed
+                // under arbitrary preceding stages. Terminal: the graph
+                // result shape replaces the pipeline's, so stop here and
+                // relax the row bound (path counts are pattern-driven)
+                val gs = pick(Seq("name", "status", "tostring(id % 3)", "substring(status, 0, 3)"))
+                val gd = pick(Seq("status", "name", "tostring((id + 1) % 3)", "tostring(id % 4)"))
+                sb.append(s"\n| project gsrc = $gs, gdst = $gd, value, id")
+                sb.append("\n| make-graph gsrc --> gdst")
+                rnd.nextInt(4) match {
+                  case 0 =>
+                    val w = pick(Seq("", " where a.node_id != b.node_id", " where e.value >= 0.0"))
+                    sb.append(s"\n| graph-match (a)-[e]->(b)$w project m1 = a.node_id, m2 = b.node_id")
+                  case 1 =>
+                    sb.append("\n| graph-match (a)-[e*1..2]->(b) " +
+                      "project hops = array_length(e), m1 = a.node_id, m2 = b.node_id")
+                  case 2 =>
+                    val out = pick(Seq("", "output=any ", "output=all "))
+                    val w = pick(Seq("", " where a.node_id startswith 'a'",
+                      " where a.node_id != b.node_id"))
+                    sb.append(s"\n| graph-shortest-paths $out(a)-[e*1..3]->(b)$w " +
+                      "project hops = array_length(e), s = a.node_id, d = b.node_id")
+                  case 3 =>
+                    sb.append(s"\n| graph-mark-components kind=${pick(Seq("weak", "strong"))} " +
+                      "with_component_id=comp\n| graph-to-table nodes" +
+                      "\n| summarize n = count() by comp\n| order by comp asc")
+                }
+                stages = 0
+                maxRows = 1000000L
               case "scan" =>
                 // scan stages (round 17): the additive running form, the
                 // stateful single-step accumulator (live state refs), and
@@ -147,17 +178,24 @@ class KqlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
                 // row-preserving at worst (each record emits ≤ 1 row)
                 val d = s"f$c"
                 sb.append("\n| order by id asc")
+                // round 18: the arm also draws with_match_id and
+                // per-step output=all|last|none (the judge-directed
+                // scan fuzz dimensions), composed with every state-
+                // reference form
+                val mid = if (rnd.nextBoolean()) s"with_match_id=mid$c " else ""
+                def outMode(): String =
+                  pick(Seq("", "output=all ", "output=last ", "output=none "))
                 pick(Seq("add", "max", "pair")) match {
                   case "add" =>
-                    sb.append(s"\n| scan declare ($d:real = 0.0) with " +
-                      s"(step st$c: ${boolExpr(0)} => $d = $d + ${numExpr(0)};)")
+                    sb.append(s"\n| scan ${mid}declare ($d:real = 0.0) with " +
+                      s"(step st$c ${outMode()}: ${boolExpr(0)} => $d = $d + ${numExpr(0)};)")
                   case "max" =>
-                    sb.append(s"\n| scan declare ($d:real = 0.0) with " +
-                      s"(step st$c: true => $d = iff(${numExpr(0)} > st$c.$d, ${numExpr(0)}, st$c.$d);)")
+                    sb.append(s"\n| scan ${mid}declare ($d:real = 0.0) with " +
+                      s"(step st$c ${outMode()}: true => $d = iff(${numExpr(0)} > st$c.$d, ${numExpr(0)}, st$c.$d);)")
                   case "pair" =>
-                    sb.append(s"\n| scan declare ($d:real = 0.0) with " +
-                      s"(step sa$c: ${boolExpr(0)} => $d = value; " +
-                      s"step sb$c: ${boolExpr(0)} and id >= sa$c.id;)")
+                    sb.append(s"\n| scan ${mid}declare ($d:real = 0.0) with " +
+                      s"(step sa$c ${outMode()}: ${boolExpr(0)} => $d = value; " +
+                      s"step sb$c ${outMode()}: ${boolExpr(0)} and id >= sa$c.id;)")
                 }
               case "tabin" =>
                 // tabular in/!in (round 16): the literal tier — the

@@ -289,6 +289,77 @@ class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streamingScanPairs: batch/stream agreement with the stateful scan machine") {
+    // the round-15 sequence-agreement playbook, extended to the general
+    // state-reference machine (round-17 item 4): ONE fixture runs
+    // through (a) graft.ops.Funnel.scanStateful — the batch q253-class
+    // machine, steps  s1: true => v0 = value;
+    //                 s2: value > s1.v0 => gap = value - s2.v0
+    // keyed by user, ordered by ts — and (b) the streaming counterpart
+    // on MemoryStream split across two micro-batches (state carries);
+    // every (user, ts, v0, gap, match id) must agree.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamOps.{VEvent, ScanPairOut}
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.types.DoubleType
+    val fixture = Seq(
+      // user 1: start 5.0, extend DOWN to 3.0 (same id), promote on 4.0,
+      // then new sequence 9.0 (id 2), promote 9.5
+      VEvent(1L, ts(1), 5.0), VEvent(1L, ts(2), 3.0), VEvent(1L, ts(3), 4.0),
+      VEvent(1L, ts(4), 9.0), VEvent(1L, ts(5), 9.5),
+      // user 2: monotone descending — every row extends ONE open
+      // sequence, nothing completes
+      VEvent(2L, ts(1), 7.0), VEvent(2L, ts(2), 6.0), VEvent(2L, ts(3), 5.0),
+      // user 3: immediate promote on the second row
+      VEvent(3L, ts(1), 1.0), VEvent(3L, ts(2), 2.0))
+
+    // batch: the real stateful-scan machine with state references
+    val batchDf = graft.ops.Funnel.scanStateful(
+      fixture.toDF(),
+      partitionCols = Seq(col("user_id")),
+      orderCols = Seq(col("ts")),
+      declares = Seq(
+        ("v0", DoubleType, lit(null).cast(DoubleType)),
+        ("gap", DoubleType, lit(null).cast(DoubleType))),
+      steps = Seq(
+        graft.ops.Funnel.StatefulStep("s1", lit(true),
+          assigns = Seq("v0" -> col("value"))),
+        graft.ops.Funnel.StatefulStep("s2",
+          col("value") > col("__scan_state_0__v0"),
+          assigns = Seq("gap" -> (col("value") - col("__scan_state_1__v0"))))),
+      stateRefs = Seq(
+        graft.ops.Funnel.StateRef(0, "v0", DoubleType, isDeclared = true),
+        graft.ops.Funnel.StateRef(1, "v0", DoubleType, isDeclared = true)),
+      matchIdCol = Some("m"))
+    val batch = batchDf.collect().map { r =>
+      (r.getAs[Long]("user_id"), rel(r.getAs[Timestamp]("ts")),
+       r.getAs[java.lang.Double]("v0"),
+       Option(r.getAs[java.lang.Double]("gap")).map(_.doubleValue),
+       r.getAs[Long]("m"))
+    }.toSet
+
+    // stream: same fixture over two micro-batches
+    val stream = MemoryStream[VEvent]
+    val q = StreamOps.streamingScanPairs(stream.toDS(), "5 seconds", horizonMs = 3600000L)
+      .writeStream.format("memory").queryName("scan_pairs")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (b1, b2) = fixture.partition(_.ts.getTime <= ts(2).getTime)
+      stream.addData(b1: _*)
+      q.processAllAvailable()
+      stream.addData(b2: _*)
+      q.processAllAvailable()
+      // both machines report the sequence's v0 on every consumed row
+      // (batch: the POST-assign declared value; stream: ScanPairOut.v0)
+      val streamed = spark.table("scan_pairs").as[ScanPairOut].collect().map { o =>
+        (o.user_id, rel(o.ts), java.lang.Double.valueOf(o.v0), o.gap, o.m)
+      }.toSet
+      assert(streamed == batch,
+        s"batch/stream verdicts diverge:\n  batch=$batch\n  stream=$streamed")
+    } finally q.stop()
+  }
+
   test("statefulSequenceMatch: completion across batches, restart, gap expiry") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
