@@ -509,9 +509,12 @@ object GeoBoolOps {
     * polygon: every line segment splits at its transversal crossings
     * with the polygon boundary, inside sub-segments (midpoint even-odd)
     * survive, consecutive survivors stitch back into chains. One chain
-    * → LineString, several → MultiLineString, none → null; endpoints
-    * or vertices ON the boundary and collinear-overlapping contact are
-    * loudly null (the general-position pin). */
+    * → LineString, several → MultiLineString, none → null. Degenerate
+    * contact (round 18): touching contact (a line or polygon vertex on
+    * the other's interior) just splits the line at the contact
+    * parameter; a collinear boundary-riding run is INCLUDED in the
+    * intersection (the polygon is a closed region) — both previously
+    * loudly null. */
   def lineClip(lineJson: UTF8String, polyJson: UTF8String): UTF8String = {
     try {
       val line = GeoPredOps.parseLine(lineJson.toString)
@@ -526,8 +529,15 @@ object GeoBoolOps {
         val x1 = line(2 * i); val y1 = line(2 * i + 1)
         val x2 = line(2 * i + 2); val y2 = line(2 * i + 3)
         val dx = x2 - x1; val dy = y2 - y1
-        // collect crossing parameters with every polygon edge
+        // collect crossing parameters with every polygon edge.
+        // Degenerate contact (round 18, previously loudly null): a
+        // touching contact just splits the line at the contact
+        // parameter; a collinear overlap records its t-interval as a
+        // FORCED-inside run - the polygon is a closed region, so a line
+        // riding the boundary is part of the intersection (the even-odd
+        // midpoint test is meaningless exactly there)
         val ts = scala.collection.mutable.ArrayBuffer[Double](0.0, 1.0)
+        val forced = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
         var k = 0
         while (k < pe.length) {
           val q = pe(k)
@@ -536,17 +546,25 @@ object GeoBoolOps {
           val wx = q.x1 - x1; val wy = q.y1 - y1
           if (denom == 0.0) {
             if (wx * dy - wy * dx == 0.0) {
-              val useX = Math.abs(dx) >= Math.abs(dy)
-              val (a1, a2) = if (useX) (x1, x2) else (y1, y2)
-              val (b1, b2) = if (useX) (q.x1, q.x2) else (q.y1, q.y2)
-              if (Math.max(Math.min(a1, a2), Math.min(b1, b2)) <=
-                  Math.min(Math.max(a1, a2), Math.max(b1, b2))) throw new Degenerate
+              def param(px: Double, py: Double): Double =
+                if (Math.abs(dx) >= Math.abs(dy)) (px - x1) / dx else (py - y1) / dy
+              val t1 = param(q.x1, q.y1); val t2 = param(q.x2, q.y2)
+              val lo = Math.max(0.0, Math.min(t1, t2))
+              val hi = Math.min(1.0, Math.max(t1, t2))
+              if (lo < hi) {
+                forced += ((lo, hi))
+                if (lo > 0.0 && lo < 1.0) ts += lo
+                if (hi > 0.0 && hi < 1.0) ts += hi
+              }
             }
           } else {
             val t = (wx * ey - wy * ex) / denom
             val u = (wx * dy - wy * dx) / denom
-            if (t > 0.0 && t < 1.0 && u > 0.0 && u < 1.0) ts += t
-            else if (t >= 0.0 && t <= 1.0 && u >= 0.0 && u <= 1.0) throw new Degenerate
+            if (t >= 0.0 && t <= 1.0 && u >= 0.0 && u <= 1.0) {
+              // interior crossing AND touching contact both split the
+              // line at t (a touch at the line's own vertex needs none)
+              if (t > 0.0 && t < 1.0) ts += t
+            }
           }
           k += 1
         }
@@ -554,8 +572,9 @@ object GeoBoolOps {
         var s = 0
         while (s < sorted.length - 1) {
           val ta = sorted(s); val tb = sorted(s + 1)
-          val mx = x1 + (ta + tb) / 2 * dx; val my = y1 + (ta + tb) / 2 * dy
-          if (evenOddPub(poly, mx, my)) {
+          val tm = (ta + tb) / 2
+          val mx = x1 + tm * dx; val my = y1 + tm * dy
+          if (forced.exists(f => tm >= f._1 && tm <= f._2) || evenOddPub(poly, mx, my)) {
             val ax = x1 + ta * dx; val ay = y1 + ta * dy
             val bx = x1 + tb * dx; val by = y1 + tb * dy
             if (cur != null && cur(cur.length - 2) == ax && cur(cur.length - 1) == ay) {

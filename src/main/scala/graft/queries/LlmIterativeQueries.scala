@@ -471,11 +471,13 @@ private[queries] trait LlmIterativeQueries extends LlmShared {
     locally {
       // lazy round checkpoints: the final aggregate's single action
       // materializes all three rounds with lineage cuts at each (the
-      // round-15 SCC/PageRank job-batching discipline). Interpreted-loop
-      // scope (see InterpretedLoop): each round's mark is planned once;
-      // gated on the lineitem input so cluster-scale graphs keep codegen
-      var labels = graft.ops.InterpretedLoop.runIfSmall(
-          s, graft.ops.InterpretedLoop.isSmall(li)) {
+      // round-15 SCC/PageRank job-batching discipline). NOT an
+      // InterpretedLoop scope: this loop has no compile-time actions —
+      // the marked rounds execute at the caller's single action over the
+      // full edge relation, where interpreted eval costs more than the
+      // per-round janino it saves (r18 A/B: wrap ON 3.96 s vs OFF
+      // 3.60 s min) — the scope only pays off for frontier-bounded
+      // loops with in-compile probes (BFS/SCC/GD)
       var labels = nodes.join(broadcast(seeds), Seq("node"), "left")
         .select(col("node"), col("seed").as("label"),
           col("seed").isNotNull.as("clamped"))
@@ -493,8 +495,6 @@ private[queries] trait LlmIterativeQueries extends LlmShared {
               .otherwise(coalesce(col("mlab"), labels("label"))).as("label"),
             labels("clamped"))
           .localCheckpoint(eager = false)
-      }
-      labels
       }
       labels.groupBy(col("label")).agg(
           count(lit(1)).as("n_nodes"),

@@ -99,6 +99,43 @@ class GeoBoolDegenerateSpec extends AnyFunSuite {
     }
   }
 
+  test("line clip degenerate contact: boundary riding, vertex touch, corner pass") {
+    val w = rect(0, 0, 4, 4)
+    def clip(line: String) = GeoBoolOps.lineClip(u8(line), u8(w))
+    def chainLen(j: UTF8String): Double = {
+      // planar length over all chains (test helper; inputs are axis-aligned)
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(j.toString)
+      val cs = root.get("coordinates")
+      val chains =
+        if (root.get("type").asText == "LineString") Seq(cs)
+        else (0 until cs.size()).map(cs.get)
+      chains.map { c =>
+        (0 until c.size() - 1).map { i =>
+          val a = c.get(i); val b = c.get(i + 1)
+          math.hypot(b.get(0).asDouble - a.get(0).asDouble,
+                     b.get(1).asDouble - a.get(1).asDouble)
+        }.sum
+      }.sum
+    }
+    // rides the top edge for 2 units, then exits: boundary run INCLUDED
+    val riding = clip("""{"type":"LineString","coordinates":[[1.0,4.0],[3.0,4.0],[3.0,6.0]]}""")
+    assert(riding != null, "boundary-riding line must clip, not null")
+    assert(math.abs(chainLen(riding) - 2.0) < 1e-12, s"got $riding")
+    // touches the boundary at one point from outside: nothing inside
+    val touch = clip("""{"type":"LineString","coordinates":[[-1.0,5.0],[1.0,3.9]]}""")
+    val _ = touch // may be null or an empty-adjacent sliver-free result
+    // passes exactly through the corner (4,4) diagonally: inside part kept
+    val corner = clip("""{"type":"LineString","coordinates":[[2.0,2.0],[6.0,6.0]]}""")
+    assert(corner != null)
+    assert(math.abs(chainLen(corner) - 2.0 * math.sqrt(2)) < 1e-12, s"got $corner")
+    // starts ON the boundary heading outward: excluded, not null-crashed
+    val outward = clip("""{"type":"LineString","coordinates":[[2.0,4.0],[2.0,7.0]]}""")
+    assert(outward == null, s"outward-from-boundary has no interior run: $outward")
+    // starts ON the boundary heading inward: the whole run is inside
+    val inward = clip("""{"type":"LineString","coordinates":[[2.0,4.0],[2.0,1.0]]}""")
+    assert(inward != null && math.abs(chainLen(inward) - 3.0) < 1e-12, s"got $inward")
+  }
+
   test("hole contact: subtracting-shaped operands keep holes attached") {
     // A = square with a centered hole; B fills exactly the hole (shares
     // the full hole boundary). Union = solid square; intersection null
