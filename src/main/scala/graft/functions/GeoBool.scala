@@ -619,16 +619,24 @@ object GeoBoolOps {
   private def evenOddPub(rings: Array[Array[Double]], px: Double, py: Double): Boolean =
     evenOdd(rings, px, py)
 
-  /** `geo_intersection_2lines` — the transversal crossing POINTS of two
-    * polylines in first-line-then-parameter order: one → Point, several
-    * → MultiPoint, none → null; endpoint/vertex contact and collinear
-    * overlap are loudly null (the general-position pin). */
+  /** `geo_intersection_2lines` — the intersection of two polylines in
+    * first-line-then-parameter order. Transversal interior crossings
+    * yield points; round 18 adds the degenerate contacts (previously
+    * loudly null): endpoint/vertex TOUCH contact yields the exact
+    * contact point (the touching vertex's own coordinates), and a
+    * collinear OVERLAP yields the shared segment. Output: only points →
+    * Point/MultiPoint, only segments → LineString/MultiLineString (one
+    * 2-point chain per overlap run), both → GeometryCollection
+    * [lines, points]. Points duplicated by adjacent-segment touches or
+    * lying on an emitted overlap run are deduplicated/absorbed. None →
+    * null. */
   def lineIntersect(aJson: UTF8String, bJson: UTF8String): UTF8String = {
     try {
       val a = GeoPredOps.parseLine(aJson.toString)
       val b = GeoPredOps.parseLine(bJson.toString)
       if (a == null || b == null) return null
       val pts = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+      val segs = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double, Double)]
       val n = a.length / 2; val m = b.length / 2
       var i = 0
       while (i < n - 1) {
@@ -643,35 +651,81 @@ object GeoBoolOps {
           val wx = qx - x1; val wy = qy - y1
           if (denom == 0.0) {
             if (wx * dy - wy * dx == 0.0) {
-              val useX = Math.abs(dx) >= Math.abs(dy)
-              val (a1, a2) = if (useX) (x1, x1 + dx) else (y1, y1 + dy)
-              val (b1, b2) = if (useX) (qx, qx + ex) else (qy, qy + ey)
-              if (Math.max(Math.min(a1, a2), Math.min(b1, b2)) <=
-                  Math.min(Math.max(a1, a2), Math.max(b1, b2))) throw new Degenerate
+              // collinear: overlap interval in this a-segment's params
+              def param(px: Double, py: Double): Double =
+                if (Math.abs(dx) >= Math.abs(dy)) (px - x1) / dx else (py - y1) / dy
+              val t1 = param(qx, qy); val t2 = param(qx + ex, qy + ey)
+              val lo = Math.max(0.0, Math.min(t1, t2))
+              val hi = Math.min(1.0, Math.max(t1, t2))
+              if (lo < hi)
+                segs += ((x1 + lo * dx, y1 + lo * dy, x1 + hi * dx, y1 + hi * dy))
+              else if (lo == hi) // end-to-end collinear contact: a point
+                seg += ((lo, x1 + lo * dx, y1 + lo * dy))
             }
           } else {
             val t = (wx * ey - wy * ex) / denom
             val u = (wx * dy - wy * dx) / denom
             if (t > 0.0 && t < 1.0 && u > 0.0 && u < 1.0)
               seg += ((t, x1 + t * dx, y1 + t * dy))
-            else if (t >= 0.0 && t <= 1.0 && u >= 0.0 && u <= 1.0) throw new Degenerate
+            else if (t >= 0.0 && t <= 1.0 && u >= 0.0 && u <= 1.0) {
+              // touch contact: the toucher's EXACT vertex coordinates
+              val (px, py) =
+                if (t == 0.0) (x1, y1)
+                else if (t == 1.0) (x1 + dx, y1 + dy)
+                else if (u == 0.0) (qx, qy)
+                else (qx + ex, qy + ey)
+              seg += ((t, px, py))
+            }
           }
           k += 1
         }
         pts ++= seg.sortBy(_._1).map(s => (s._2, s._3))
         i += 1
       }
-      if (pts.isEmpty) return null
-      val sb = new java.lang.StringBuilder(64)
-      if (pts.length == 1) {
-        sb.append("{\"type\":\"Point\",\"coordinates\":[")
-          .append(pts(0)._1).append(',').append(pts(0)._2).append("]}")
-      } else {
-        sb.append("{\"type\":\"MultiPoint\",\"coordinates\":[")
-        for (j <- pts.indices) {
-          if (j > 0) sb.append(',')
-          sb.append('[').append(pts(j)._1).append(',').append(pts(j)._2).append(']')
+      // dedup touch points repeated by adjacent segments, and absorb
+      // points lying on an emitted overlap run
+      def onSeg(p: (Double, Double), s: (Double, Double, Double, Double)): Boolean = {
+        val (px, py) = p
+        val cross = (s._3 - s._1) * (py - s._2) - (s._4 - s._2) * (px - s._1)
+        cross == 0.0 &&
+          px >= Math.min(s._1, s._3) && px <= Math.max(s._1, s._3) &&
+          py >= Math.min(s._2, s._4) && py <= Math.max(s._2, s._4)
+      }
+      val outPts = pts.distinct.filterNot(p => segs.exists(onSeg(p, _)))
+      if (outPts.isEmpty && segs.isEmpty) return null
+      def pointJson(sb: java.lang.StringBuilder): Unit =
+        if (outPts.length == 1)
+          sb.append("{\"type\":\"Point\",\"coordinates\":[")
+            .append(outPts(0)._1).append(',').append(outPts(0)._2).append("]}")
+        else {
+          sb.append("{\"type\":\"MultiPoint\",\"coordinates\":[")
+          for (j <- outPts.indices) {
+            if (j > 0) sb.append(',')
+            sb.append('[').append(outPts(j)._1).append(',').append(outPts(j)._2).append(']')
+          }
+          sb.append("]}")
         }
+      def lineJson(sb: java.lang.StringBuilder): Unit =
+        if (segs.length == 1)
+          sb.append("{\"type\":\"LineString\",\"coordinates\":[[")
+            .append(segs(0)._1).append(',').append(segs(0)._2).append("],[")
+            .append(segs(0)._3).append(',').append(segs(0)._4).append("]]}")
+        else {
+          sb.append("{\"type\":\"MultiLineString\",\"coordinates\":[")
+          for (j <- segs.indices) {
+            if (j > 0) sb.append(',')
+            sb.append("[[").append(segs(j)._1).append(',').append(segs(j)._2).append("],[")
+              .append(segs(j)._3).append(',').append(segs(j)._4).append("]]")
+          }
+          sb.append("]}")
+        }
+      val sb = new java.lang.StringBuilder(64)
+      if (segs.isEmpty) pointJson(sb)
+      else if (outPts.isEmpty) lineJson(sb)
+      else {
+        sb.append("{\"type\":\"GeometryCollection\",\"geometries\":[")
+        lineJson(sb); sb.append(',')
+        pointJson(sb)
         sb.append("]}")
       }
       UTF8String.fromString(sb.toString)

@@ -420,7 +420,7 @@ private[queries] trait LlmDedupQueries extends LlmShared {
     * scale-sane passes instead. */
   private[queries] lazy val dedupAuditSql = s"""
     WITH sh AS (SELECT doc_id, word_shingle_hashes(text, 3) AS shs
-           FROM documents WHERE size(split(lower(text), '\\\\s+')) >= 3),
+           FROM documents_rp WHERE size(split(lower(text), '\\\\s+')) >= 3),
     n AS (SELECT doc_id, cast(size(shs) AS bigint) AS cnt FROM sh),
     ds AS (SELECT doc_id, sid FROM sh LATERAL VIEW explode(shs) st AS sid),
     posting AS (SELECT sid, collect_list(doc_id) AS ids FROM ds GROUP BY sid
@@ -435,7 +435,7 @@ private[queries] trait LlmDedupQueries extends LlmShared {
       FROM common JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id),
     truth AS (SELECT id_a, id_b FROM exact WHERE jaccard >= 0.5),
     sig AS (SELECT doc_id, minhash_sig(text) AS mh
-            FROM documents WHERE size(split(lower(text), '\\\\s+')) >= 3),
+            FROM documents_rp WHERE size(split(lower(text), '\\\\s+')) >= 3),
     bands AS (
       SELECT doc_id, b,
              md5(concat_ws(',', cast(element_at(mh, b*3+1) AS string),

@@ -154,7 +154,7 @@ object LlmQueries extends QueryModule
     "q155_tfidf_keywords" -> sqlQuery(docs, tfidfSql),
     "q159_pq_ann" -> sqlQuery(embs, pqAnnSql),
     "q161_ppx_buckets" -> sqlQuery(docs, ppxBucketSql),
-    "q164_dedup_audit" -> sqlQuery(docs, dedupAuditSql),
+    "q164_dedup_audit" -> sqlQuery(docsRp, dedupAuditSql),
     "q168_eval_sampler" -> sqlQuery(docs, evalSamplerSql),
     "q169_emb_outliers" -> sqlQuery(embs, embOutlierSql),
     "q176_bloom_decontam" -> (bloomDecontam(_, _)),

@@ -46,6 +46,24 @@ private[queries] trait LlmShared {
     Tables.documents(s2, dir).createOrReplaceTempView("documents")
     s2
   }
+  /** [[docs]] plus a `documents_rp` view repartitioned to the default
+    * parallelism — for queries whose cost is a per-document KERNEL
+    * (minhash/shingle/tokenize) rather than the scan: the driver
+    * testdata is one single-row-group file, so a kernel directly over
+    * the scan runs in ONE task; at cluster scale the table arrives in
+    * many splits and the repartition is a cheap narrow-ish shuffle of
+    * raw text that keeps the kernel map-parallel either way. */
+  private[queries] def docsRp(s: SparkSession, dir: String): SparkSession = {
+    val s2 = docs(s, dir)
+    // EAGER checkpoint: the view is referenced by several CTEs of one
+    // query, which would otherwise re-run the scan+shuffle per
+    // reference (and unmaterialized lazy blocks race concurrent
+    // branches); one up-front job leaves a LogicalRDD every branch reads
+    s2.table("documents").repartition(s2.sparkContext.defaultParallelism)
+      .localCheckpoint()
+      .createOrReplaceTempView("documents_rp")
+    s2
+  }
   private[queries] def embs(s: SparkSession, dir: String): SparkSession = {
     val s2 = s.newSession()
     registerFunctions(s2)

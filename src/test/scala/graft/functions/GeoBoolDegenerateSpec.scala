@@ -136,6 +136,29 @@ class GeoBoolDegenerateSpec extends AnyFunSuite {
     assert(inward != null && math.abs(chainLen(inward) - 3.0) < 1e-12, s"got $inward")
   }
 
+  test("2lines degenerate contact: overlap segment, touch point, mixed collection") {
+    def li(a: String, b: String) = GeoBoolOps.lineIntersect(u8(a), u8(b))
+    val diag = """{"type":"LineString","coordinates":[[0.0,0.0],[4.0,4.0]]}"""
+    // pure overlap -> LineString
+    assert(li(diag, """{"type":"LineString","coordinates":[[1.0,1.0],[3.0,3.0]]}""").toString
+      == """{"type":"LineString","coordinates":[[1.0,1.0],[3.0,3.0]]}""")
+    // end-to-end collinear contact -> a point, not a zero-length segment
+    assert(li(diag, """{"type":"LineString","coordinates":[[4.0,4.0],[8.0,8.0]]}""").toString
+      == """{"type":"Point","coordinates":[4.0,4.0]}""")
+    // vertex-on-interior touch -> the exact vertex
+    assert(li(diag, """{"type":"LineString","coordinates":[[2.0,2.0],[5.0,0.0]]}""").toString
+      == """{"type":"Point","coordinates":[2.0,2.0]}""")
+    // an overlap run AND a separate transversal crossing -> collection
+    // (the (2,2)->(2,4) leg touches diag only at the overlap's end,
+    // which is absorbed; (2,4)->(4,2) crosses at (3,3))
+    val mixed = li(diag,
+      """{"type":"LineString","coordinates":[[1.0,1.0],[2.0,2.0],[2.0,4.0],[4.0,2.0]]}""")
+    assert(mixed != null && mixed.toString.startsWith("""{"type":"GeometryCollection""""),
+      s"got $mixed")
+    assert(mixed.toString.contains("""[[1.0,1.0],[2.0,2.0]]""") &&
+      mixed.toString.contains("""[3.0,3.0]"""), s"got $mixed")
+  }
+
   test("hole contact: subtracting-shaped operands keep holes attached") {
     // A = square with a centered hole; B fills exactly the hole (shares
     // the full hole boundary). Union = solid square; intersection null

@@ -2580,7 +2580,8 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
         |  c1 = clip1 == '{"type":"LineString","coordinates":[[0.0,7.0],[10.0,7.0]]}',
         |  p1 = pt == '{"type":"Point","coordinates":[2.5,2.5]}',
         |  disj = isnull(geo_intersection_2lines(diag, '{"type":"LineString","coordinates":[[10.0,0.0],[11.0,1.0]]}')),
-        |  colin = isnull(geo_intersection_2lines(diag, '{"type":"LineString","coordinates":[[1.0,1.0],[3.0,3.0]]}')),
+        |  colin = geo_intersection_2lines(diag, '{"type":"LineString","coordinates":[[1.0,1.0],[3.0,3.0]]}') == '{"type":"LineString","coordinates":[[1.0,1.0],[3.0,3.0]]}',
+        |  etouch = geo_intersection_2lines(diag, '{"type":"LineString","coordinates":[[2.0,2.0],[5.0,0.0]]}') == '{"type":"Point","coordinates":[2.0,2.0]}',
         |  eride = geo_intersection_line_with_polygon('{"type":"LineString","coordinates":[[0.0,0.0],[5.0,0.0]]}', r1) == '{"type":"LineString","coordinates":[[0.0,0.0],[4.0,0.0]]}'""".stripMargin).head()
     assert(r.getBoolean(0), "disjoint third member makes the union a MultiPolygon")
     assert(r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3) && !r.getBoolean(4),
@@ -2590,10 +2591,13 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getBoolean(7), "single-chain clip is exact")
     assert(r.getBoolean(8), "single transversal crossing is an exact Point")
     assert(r.getBoolean(9), "disjoint lines are null")
-    assert(r.getBoolean(10), "collinear overlap is loudly null")
+    // round 18: collinear overlap returns the shared segment; an
+    // endpoint-touch returns the exact contact vertex
+    assert(r.getBoolean(10), "collinear overlap returns the overlap LineString")
+    assert(r.getBoolean(11), "endpoint touch returns the exact contact point")
     // round 18: boundary-riding runs are INCLUDED (closed-region
     // stance) — the run along the bottom edge clips to exactly [0,4]
-    assert(r.getBoolean(11), "a line along the polygon edge clips to the shared run")
+    assert(r.getBoolean(12), "a line along the polygon edge clips to the shared run")
   }
 
   test("geo_simplify_polygons_array: shared border simplifies identically, noise collapses") {
