@@ -469,8 +469,14 @@ object KqlCompiler {
         elemBinds = elemBinds ++ bs
         try body finally elemBinds = saved
       }
+      // derived nodes (no `with` clause): the node table is exactly the
+      // endpoint set, so every per-position node join is an identity —
+      // chains start AT the first hop's edge table and each position's
+      // node struct is just its id column (the bfsShortestPaths round-18
+      // fast path, applied to the chain lowering): hops+1 joins and the
+      // endpoint-distinct drop out of every chain
       val perChain = chains.map { lens =>
-        var f = nodeF(0)
+        var f: DataFrame = if (g.derivedNodes) null else nodeF(0)
         var tailId = "__gm_id_0"
         for ((hop, hi) <- hops.zipWithIndex) {
           for (c <- 0 until lens(hi)) {
@@ -478,10 +484,20 @@ object KqlCompiler {
             val (inCol, outCol) =
               if (hop.forward) (s"__gm_s_$tag", s"__gm_d_$tag")
               else (s"__gm_d_$tag", s"__gm_s_$tag")
-            f = f.join(edgeF(tag), col(tailId) === col(inCol))
+            f =
+              if (f == null)
+                edgeF(tag)
+                  .withColumn("__gm_id_0", col(inCol))
+                  .withColumn("__gm_n_0", struct(col(inCol).as(g.idCol)))
+              else f.join(edgeF(tag), col(tailId) === col(inCol))
             tailId = outCol
           }
-          f = f.join(nodeF(hi + 1), col(tailId) === col(s"__gm_id_${hi + 1}"))
+          if (g.derivedNodes) {
+            f = f.withColumn(s"__gm_id_${hi + 1}", col(tailId))
+              .withColumn(s"__gm_n_${hi + 1}", struct(col(tailId).as(g.idCol)))
+          } else {
+            f = f.join(nodeF(hi + 1), col(tailId) === col(s"__gm_id_${hi + 1}"))
+          }
           tailId = s"__gm_id_${hi + 1}"
         }
         // repeated node alias → same-node constraint

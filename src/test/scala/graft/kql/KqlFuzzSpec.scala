@@ -38,7 +38,11 @@ class KqlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         "CAST(ts_s AS TIMESTAMP) AS ts")
   }
 
-  private val rnd = new scala.util.Random(0xf022b15L)
+  // GRAFT_FUZZ_SEED/GRAFT_FUZZ_N widen the sweep for local bug hunts;
+  // the committed defaults keep CI deterministic and fast
+  private val rnd = new scala.util.Random(
+    sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(0xf022b15L))
+  private val fuzzN = sys.env.get("GRAFT_FUZZ_N").map(_.toInt).getOrElse(200)
   private def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
 
   // ---- expression generators (closed over the fixture's columns) ----
@@ -235,7 +239,7 @@ class KqlFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("200 seeded random pipelines compile and execute") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
-    for (i <- 0 until 200) {
+    for (i <- 0 until fuzzN) {
       val (kql, maxRows) = genPipeline()
       try {
         val out = KqlCompiler.compile(kql, _ => df)
