@@ -170,6 +170,10 @@ object Bpe {
     val merges = List.newBuilder[Merge]
     var round = 0
     var done = false
+    // interpreted-loop scope (see InterpretedLoop): each merge round is
+    // one head(1) action over the CAPPED word-stats table - tiny data,
+    // fresh plan per round, so per-round codegen dominates
+    graft.ops.InterpretedLoop.runIfSmall(spark, graft.ops.InterpretedLoop.isSmall(wf)) {
     while (round < k && !done) {
       val top = words
         .flatMap(ws => ws.syms.iterator.sliding(2).withPartial(false)
@@ -187,6 +191,7 @@ object Bpe {
           .localCheckpoint(eager = false)
       }
       round += 1
+    }
     }
     merges.result()
   }
