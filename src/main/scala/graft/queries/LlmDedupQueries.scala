@@ -630,7 +630,7 @@ private[queries] trait LlmDedupQueries extends LlmShared {
     * short; Lee et al. used 50 BPE tokens on web text) — the plan shape
     * is identical at any k. */
   def exactSubstringSql(k: Int = 8): String = s"""
-    WITH w AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
+    WITH w AS (SELECT doc_id, split(text, ' ') AS ws FROM documents_rp),
     wins AS (
       SELECT doc_id, CAST(w0.pos AS BIGINT) AS pos, w0.fp AS fp FROM (
         SELECT doc_id, explode(transform(sequence(0, size(ws) - $k), i ->

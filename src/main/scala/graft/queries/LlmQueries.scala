@@ -112,7 +112,7 @@ object LlmQueries extends QueryModule
     "q38_knn_ivf" -> sqlQuery(embs, ivfKnnSql),
     "q41_dup_clusters" -> (dupClusters(_, _)),
     "q51_bm25" -> sqlQuery(docs, bm25Sql),
-    "q53_contamination" -> sqlQuery(docs, contaminationSql),
+    "q53_contamination" -> sqlQuery(docsRp, contaminationSql),
     "q54_vocab" -> sqlQuery(docs, vocabSql),
     "q55_data_mixture" -> sqlQuery(docs, mixtureSql),
     "q56_repetition" -> sqlQuery(docs, repetitionSql),
@@ -136,9 +136,9 @@ object LlmQueries extends QueryModule
     "q110_pii_scrub" -> sqlQuery(docs, piiSql),
     "q111_pagerank" -> (pagerankQuery(_, _)),
     "q112_semdedup" -> sqlQuery(embs, semdedupSql()),
-    "q113_decontam_ngram" -> sqlQuery(docs, decontamSql),
+    "q113_decontam_ngram" -> sqlQuery(docsRp, decontamSql),
     "q114_token_drift" -> sqlQuery(docs, tokenDriftSql),
-    "q130_exact_substring" -> sqlQuery(docs, exactSubstringSql()),
+    "q130_exact_substring" -> sqlQuery(docsRp, exactSubstringSql()),
     "q97_bpe_pairs" -> (bpePairs(_, _)),
     "q98_bpe_vocab" -> (bpeVocab(_, _)),
     "q99_bpe_tokenize" -> (bpeTokenize(_, _)),

@@ -142,7 +142,7 @@ private[queries] trait LlmTextQueries extends LlmShared {
   private[queries] lazy val contaminationSql = s"""
     WITH fps AS (
       SELECT doc_id, explode(winnow_fps(text, 8, 4)) AS fp
-      FROM documents WHERE length(text) >= 11),
+      FROM documents_rp WHERE length(text) >= 11),
     -- (doc_id, fp) is unique after winnowing's in-row distinct, so the
     -- frequency cap is a count-over-window: ONE pass over fps and one fp
     -- shuffle, instead of a groupBy + self-join that would compute the
@@ -1118,7 +1118,7 @@ private[queries] trait LlmTextQueries extends LlmShared {
     * corpus doc with its distinct shared-gram count and how many bench
     * docs it collides with. */
   private[queries] lazy val decontamSql = """
-    WITH w AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
+    WITH w AS (SELECT doc_id, split(text, ' ') AS ws FROM documents_rp),
     g AS (
       SELECT doc_id, array_distinct(transform(sequence(0, size(ws) - 3),
                i -> md5(concat_ws(' ', slice(ws, i + 1, 3))))) AS gl
