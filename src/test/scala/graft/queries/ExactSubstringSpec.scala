@@ -21,6 +21,10 @@ class ExactSubstringSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def view(rows: Seq[(Long, String)]): Unit = {
     import spark.implicits._
     rows.toDF("doc_id", "text").createOrReplaceTempView("documents")
+    // the round-18 kernel queries read the repartitioned view the prod
+    // session registers (LlmShared.docsRp) — mirror it here
+    spark.table("documents").repartition(4)
+      .createOrReplaceTempView("documents_rp")
   }
 
   test("span merge: cross-doc run, within-doc repeat, multi-span doc, clean doc") {
