@@ -130,10 +130,6 @@ object KqlCompiler {
       .filter(g => session.contains(g.session) || sessionStopped(g.session))
       .foreach(retireMat)
   }
-  private[kql] def retireAllPendingMaterialize(): Unit = {
-    import scala.jdk.CollectionConverters._
-    pendingMat.asScala.toList.foreach(retireMat)
-  }
   private def armMaterializeRelease(frames: Seq[DataFrame], results: Seq[DataFrame]): Unit = {
     if (frames.isEmpty) return
     val session = frames.head.sparkSession
