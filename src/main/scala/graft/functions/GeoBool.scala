@@ -43,9 +43,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * boundary copy kept for both results; opposite directions → interior
   * to the union, zero-width pinch of the intersection, dropped), and
   * stitching resolves pinch-point junctions by planar-face traversal
-  * (first outgoing edge clockwise from the reversed incoming). What
-  * remains loudly null: NEARLY-degenerate contact (collinearity that
-  * doesn't cancel exactly in doubles) and any leftover open walk.
+  * (first outgoing edge clockwise from the reversed incoming).
+  * SNAP-ROUNDING (round 19): operand coordinates quantize to a 1e-9°
+  * grid before the split pass, so NEARLY-degenerate contact — FP-noisy
+  * collinearity from computed (mixed-provenance) coordinates — becomes
+  * the bit-identical case above and resolves exactly; ≤9-decimal
+  * literals round-trip the grid unchanged. What remains loudly null:
+  * post-snap leftovers (a ring collapsing to zero area, any leftover
+  * open walk).
   * Kusto computes geodesic-edge booleans; this engine is the
   * planar-edge subset consistent with geo_point_in_polygon /
   * geo_polygon_area (reference surface: the connector emits no geo KQL
@@ -54,6 +59,33 @@ import org.apache.spark.unsafe.types.UTF8String
 object GeoBoolOps {
   private val mappers = new ThreadLocal[com.fasterxml.jackson.databind.ObjectMapper] {
     override def initialValue() = new com.fasterxml.jackson.databind.ObjectMapper()
+  }
+
+  /** Snap-rounding grid (round 19): every OPERAND coordinate quantizes
+    * to 1e-9° (≈0.1 mm at the equator) before the split pass, so
+    * FP-NOISY near-degenerate contact — a shared border carried as
+    * computed, not snapped, coordinates a few ulps apart — becomes the
+    * bit-identical case the round-18 degenerate-contact engine handles
+    * exactly. Literals with ≤9 decimal digits round-trip the grid
+    * unchanged (rint(c·1e9)/1e9 re-rounds to the same nearest double),
+    * so already-gridded data and every emitted split point (computed
+    * from snapped operands) are untouched. The `+ 0.0` folds rint's
+    * -0.0 to +0.0 for the boxed-tuple machinery; coordinates outside
+    * ±1e7 (not lon/lat — garbage input) skip the grid to avoid
+    * overflow. Post-snap leftovers keep the loudly-null stance: a
+    * segment collapsing to zero length is skipped, a ring collapsing to
+    * zero area nulls in parseSide, and a leftover open walk still
+    * throws Degenerate. */
+  private val SnapCells = 1e9
+  private def snap(c: Double): Double =
+    if (Math.abs(c) <= 1e7) Math.rint(c * SnapCells) / SnapCells + 0.0 else c + 0.0
+
+  /** In-place snap of a parsed polyline (the line ops' operand form). */
+  private def snapLine(a: Array[Double]): Array[Double] = {
+    if (a == null) return null
+    var i = 0
+    while (i < a.length) { a(i) = snap(a(i)); i += 1 }
+    a
   }
 
   /** Parse Polygon or MultiPolygon to rings in OPEN form (closure vertex
@@ -83,7 +115,15 @@ object GeoBoolOps {
             val p = ring.get(i)
             if (p == null || !p.isArray || p.size() < 2 ||
                 !p.get(0).isNumber || !p.get(1).isNumber) return null
-            flat(2 * i) = p.get(0).asDouble(); flat(2 * i + 1) = p.get(1).asDouble()
+            // snap() quantizes to the 1e-9° grid AND normalizes -0.0 to
+            // +0.0: downstream shared-boundary pairing (selectedJoint)
+            // and stitching key on BOXED tuple equality, under which
+            // -0.0 != 0.0 even though the doubles compare ==. Split
+            // points computed later can't reintroduce -0.0 (x−x and
+            // a+(−a) round to +0.0; t·dx with t∈(0,1) on geo-scale
+            // coords never underflows).
+            flat(2 * i) = snap(p.get(0).asDouble())
+            flat(2 * i + 1) = snap(p.get(1).asDouble())
             i += 1
           }
           val opened = open(flat)
@@ -201,7 +241,14 @@ object GeoBoolOps {
       val p = ea(i)
       val dx = p.x2 - p.x1; val dy = p.y2 - p.y1
       var k = 0
-      while (k < eb.length) {
+      // zero-length p edge (repeated consecutive ring vertex): skip — it
+      // would pass the collinearity test against EVERY q (both cross
+      // terms vanish) and split q at a vertex not on q at all. Its
+      // vertex's real contacts are found through the adjacent non-zero
+      // edges. A zero-length q is already safe: the collinear branch
+      // splits p at q's vertex exactly, and q's own params reject as
+      // Inf/NaN.
+      while (k < eb.length && (dx != 0.0 || dy != 0.0)) {
         val q = eb(k)
         val ex = q.x2 - q.x1; val ey = q.y2 - q.y1
         val denom = dx * ey - dy * ex
@@ -283,7 +330,14 @@ object GeoBoolOps {
     * intersection, dropped from both. Unpaired sub-edges classify by
     * midpoint even-odd against the other side exactly as before (after
     * full splitting a midpoint can no longer sit ON the other
-    * boundary). */
+    * boundary).
+    *
+    * The pairing keys on BOXED tuple equality, under which -0.0 != 0.0:
+    * parseSide normalizes -0.0 to +0.0 at parse time and split-point
+    * arithmetic cannot reintroduce it, so coincident sub-edges always
+    * hash equal. Duplicate coincident sub-edges WITHIN one side would
+    * collapse to one set entry — that requires a self-overlapping ring,
+    * which is invalid input (garbage-in tolerated, not modeled). */
   private def selectedJoint(subsA: Array[(Double, Double, Double, Double)],
                             subsB: Array[(Double, Double, Double, Double)],
                             pa: Array[Array[Double]], pb: Array[Array[Double]],
@@ -517,7 +571,7 @@ object GeoBoolOps {
     * loudly null. */
   def lineClip(lineJson: UTF8String, polyJson: UTF8String): UTF8String = {
     try {
-      val line = GeoPredOps.parseLine(lineJson.toString)
+      val line = snapLine(GeoPredOps.parseLine(lineJson.toString))
       val poly = parseSide(polyJson.toString)
       if (line == null || poly == null) return null
       val pe = edgesOf(poly)
@@ -529,6 +583,13 @@ object GeoBoolOps {
         val x1 = line(2 * i); val y1 = line(2 * i + 1)
         val x2 = line(2 * i + 2); val y2 = line(2 * i + 3)
         val dx = x2 - x1; val dy = y2 - y1
+        // zero-length segment (repeated consecutive vertex, parseLine
+        // does not dedupe): skip — it adds no geometry, and letting it
+        // through makes the collinearity test below trivially true for
+        // EVERY edge (dx=dy=0 ⇒ denom=0 and the cross term 0) with
+        // param() dividing by zero, forcing a bogus inside run at a
+        // point that may lie outside the polygon
+        if (dx != 0.0 || dy != 0.0) {
         // collect crossing parameters with every polygon edge.
         // Degenerate contact (round 18, previously loudly null): a
         // touching contact just splits the line at the contact
@@ -586,6 +647,7 @@ object GeoBoolOps {
           }
           s += 1
         }
+        } // end zero-length-segment guard
         i += 1
       }
       if (chains.isEmpty) return null
@@ -632,8 +694,8 @@ object GeoBoolOps {
     * null. */
   def lineIntersect(aJson: UTF8String, bJson: UTF8String): UTF8String = {
     try {
-      val a = GeoPredOps.parseLine(aJson.toString)
-      val b = GeoPredOps.parseLine(bJson.toString)
+      val a = snapLine(GeoPredOps.parseLine(aJson.toString))
+      val b = snapLine(GeoPredOps.parseLine(bJson.toString))
       if (a == null || b == null) return null
       val pts = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
       val segs = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double, Double)]
@@ -644,12 +706,20 @@ object GeoBoolOps {
         val dx = a(2 * i + 2) - x1; val dy = a(2 * i + 3) - y1
         val seg = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double)]
         var k = 0
-        while (k < m - 1) {
+        // zero-length segments (repeated consecutive vertices) are
+        // skipped on BOTH sides: they add no geometry (their point is
+        // covered by the adjacent segments' touch handling), and a
+        // zero-length a-segment would satisfy the collinearity test for
+        // every b-segment with param() dividing by zero — emitting a
+        // bogus overlap at a point not on b at all
+        while (k < m - 1 && (dx != 0.0 || dy != 0.0)) {
           val qx = b(2 * k); val qy = b(2 * k + 1)
           val ex = b(2 * k + 2) - qx; val ey = b(2 * k + 3) - qy
           val denom = dx * ey - dy * ex
           val wx = qx - x1; val wy = qy - y1
-          if (denom == 0.0) {
+          if (ex == 0.0 && ey == 0.0) {
+            () // zero-length b-segment: covered by its neighbors
+          } else if (denom == 0.0) {
             if (wx * dy - wy * dx == 0.0) {
               // collinear: overlap interval in this a-segment's params
               def param(px: Double, py: Double): Double =

@@ -58,7 +58,11 @@ object GeoPredOps {
         val p = cs.get(i)
         if (p == null || !p.isArray || p.size() < 2 ||
             !p.get(0).isNumber || !p.get(1).isNumber) return null
-        out(2 * i) = p.get(0).asDouble(); out(2 * i + 1) = p.get(1).asDouble()
+        // + 0.0 folds -0.0 to +0.0 so boxed-tuple dedup in the line
+        // boolean ops (GeoBool) sees one representation; numerically a
+        // no-op for every other consumer
+        out(2 * i) = p.get(0).asDouble() + 0.0
+        out(2 * i + 1) = p.get(1).asDouble() + 0.0
         i += 1
       }
       out

@@ -133,6 +133,13 @@ object KqlCompiler {
   private def armMaterializeRelease(frames: Seq[DataFrame], results: Seq[DataFrame]): Unit = {
     if (frames.isEmpty) return
     val session = frames.head.sparkSession
+    // same-session backstop, independent of the caller's thread-local:
+    // compile() retires via getActiveSession, which is a no-op on a
+    // thread with no active session — here the resolved frames name the
+    // session directly, so a previous compiled-but-never-executed
+    // query's caches are retired before this generation arms (at most
+    // one materialize set alive per session, on every code path)
+    retirePendingMaterialize(Some(session))
     val targets = results.map(_.queryExecution.analyzed)
     val remaining = java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]()
     targets.indices.foreach(i => remaining.add(i))
@@ -482,14 +489,20 @@ object KqlCompiler {
               else (s"__gm_d_$tag", s"__gm_s_$tag")
             f =
               if (f == null)
-                edgeF(tag)
+                // null endpoints can't bind a node position: the
+                // explicit-`with` path drops them via its node joins;
+                // mirror that at the chain start (interior nulls already
+                // drop in each subsequent equi-join)
+                edgeF(tag).filter(col(inCol).isNotNull)
                   .withColumn("__gm_id_0", col(inCol))
                   .withColumn("__gm_n_0", struct(col(inCol).as(g.idCol)))
               else f.join(edgeF(tag), col(tailId) === col(inCol))
             tailId = outCol
           }
           if (g.derivedNodes) {
-            f = f.withColumn(s"__gm_id_${hi + 1}", col(tailId))
+            // ... and at the final position, which no further join guards
+            val fg = if (hi == hops.length - 1) f.filter(col(tailId).isNotNull) else f
+            f = fg.withColumn(s"__gm_id_${hi + 1}", col(tailId))
               .withColumn(s"__gm_n_${hi + 1}", struct(col(tailId).as(g.idCol)))
           } else {
             f = f.join(nodeF(hi + 1), col(tailId) === col(s"__gm_id_${hi + 1}"))
@@ -731,9 +744,12 @@ object KqlCompiler {
             // and two selects over one Dataset trip Spark's ambiguous-
             // self-join detection
             val inC = if (forward) g.srcCol else g.dstCol
+            // null endpoints bind no node with an explicit `with` table
+            // (dropped by its equi-join); mirror that here
             g.edges.select(
               g.edges(inC).as("__bfs_src"),
               struct(g.edges(inC).as(g.idCol)).as("__bfs_a"))
+              .filter(col("__bfs_src").isNotNull)
           } else nodes.select(
             nodes(g.idCol).as("__bfs_src"),
             struct(nCols.map(nodes(_)): _*).as("__bfs_a"))
@@ -827,8 +843,11 @@ object KqlCompiler {
         var out =
           if (g.derivedNodes)
             // endpoint bind is an identity: every reached id IS a node,
-            // and its only column is the id — no join
-            reached.withColumn("__bfs_bid", col("__bfs_cur"))
+            // and its only column is the id — no join. Null endpoints
+            // (edge dst null) bind no node, exactly as the explicit-path
+            // nodesB equi-join would drop them
+            reached.filter(col("__bfs_cur").isNotNull)
+              .withColumn("__bfs_bid", col("__bfs_cur"))
               .withColumn("__bfs_b", struct(col("__bfs_cur").as(g.idCol)))
           else {
             val nodesB = nodes.select(

@@ -22,11 +22,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * billions of rows. The final result plan is always assembled OUTSIDE
   * the scope, so the query's own execution compiles normally.
   *
-  * The session-conf flip assumes one compile at a time per session —
-  * the same single-threaded-compile assumption the KQL compiler's
-  * materialize-retirement backstop documents.
+  * The session-conf flip is guarded by a per-session reentrant lock so
+  * two overlapping scopes on one session can never interleave their
+  * set/restore pairs (the restore would otherwise clobber the other
+  * scope's state). A concurrent NON-loop query on the same session
+  * still observes the flipped conf for the scope's duration — the
+  * documented residual of a session-scoped knob; compiles in this
+  * engine are single-threaded per session (same assumption as the KQL
+  * compiler's materialize-retirement backstop), and the lock makes a
+  * violation serialize instead of corrupt.
   */
 object InterpretedLoop {
+
+  /** One lock per live session; weak keys so stopped sessions don't pin. */
+  private val locks =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.util.concurrent.locks.ReentrantLock]())
+  private def lockFor(s: SparkSession): java.util.concurrent.locks.ReentrantLock =
+    locks.synchronized {
+      var l = locks.get(s)
+      if (l == null) { l = new java.util.concurrent.locks.ReentrantLock(); locks.put(s, l) }
+      l
+    }
 
   /** ~3M rows at typical edge-row widths. */
   val SmallLoopBytes: Long = 256L * 1024 * 1024
@@ -40,14 +57,18 @@ object InterpretedLoop {
   def runIfSmall[A](session: SparkSession, small: Boolean)(body: => A): A =
     if (!small) body
     else {
-      val key = "spark.sql.codegen.wholeStage"
-      val prev = session.conf.getOption(key)
-      session.conf.set(key, "false")
-      try body
-      finally prev match {
-        case Some(v) => session.conf.set(key, v)
-        case None => session.conf.unset(key)
-      }
+      val lock = lockFor(session)
+      lock.lock() // reentrant: a nested scope sees prev="false", restores it
+      try {
+        val key = "spark.sql.codegen.wholeStage"
+        val prev = session.conf.getOption(key)
+        session.conf.set(key, "false")
+        try body
+        finally prev match {
+          case Some(v) => session.conf.set(key, v)
+          case None => session.conf.unset(key)
+        }
+      } finally lock.unlock()
     }
 
   def run[A](df: DataFrame)(body: => A): A =

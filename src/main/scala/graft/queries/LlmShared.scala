@@ -55,13 +55,27 @@ private[queries] trait LlmShared {
     * raw text that keeps the kernel map-parallel either way. */
   private[queries] def docsRp(s: SparkSession, dir: String): SparkSession = {
     val s2 = docs(s, dir)
-    // EAGER checkpoint: the view is referenced by several CTEs of one
-    // query, which would otherwise re-run the scan+shuffle per
-    // reference (and unmaterialized lazy blocks race concurrent
-    // branches); one up-front job leaves a LogicalRDD every branch reads
-    s2.table("documents").repartition(s2.sparkContext.defaultParallelism)
-      .localCheckpoint()
-      .createOrReplaceTempView("documents_rp")
+    val docsDf = s2.table("documents")
+    // SIZE-GATED (round 19, the InterpretedLoop.isSmall pattern): the
+    // eager repartition+localCheckpoint exists for BENCH-SHAPED inputs —
+    // a single-row-group parquet file scans as ONE task, so a
+    // per-document kernel (minhash/shingle/tokenize) over the bare scan
+    // runs serially, and the view is referenced by several CTEs of one
+    // query which would otherwise re-run the scan per reference. Both
+    // motivations vanish at scale: a 100 TB corpus already arrives in
+    // thousands of splits (kernels map-parallel over the scan) and an
+    // unconditional up-front full-corpus shuffle + checkpoint write
+    // would dominate the query. Small (≤ InterpretedLoop.SmallLoopBytes
+    // by Catalyst's estimate, which errs LARGE on unknown stats) →
+    // eager checkpoint, one up-front job leaving a LogicalRDD every CTE
+    // branch reads; large → the bare scan, filters/pruning push down
+    // untouched. Test hook graft.docsrp.large=1 forces the large path.
+    val view =
+      if (graft.ops.InterpretedLoop.isSmall(docsDf) &&
+          !sys.props.get("graft.docsrp.large").contains("1"))
+        docsDf.repartition(s2.sparkContext.defaultParallelism).localCheckpoint()
+      else docsDf
+    view.createOrReplaceTempView("documents_rp")
     s2
   }
   private[queries] def embs(s: SparkSession, dir: String): SparkSession = {

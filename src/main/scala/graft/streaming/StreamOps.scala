@@ -288,68 +288,395 @@ object StreamOps {
   }
 
   final case class VEvent(user_id: Long, ts: Timestamp, value: Double)
-  final case class ScanPairState(open: Boolean, v0: Double, curId: Long,
-                                 nextId: Long, lastMs: Long)
-  final case class ScanPairOut(user_id: Long, ts: Timestamp, step: String,
-                               v0: Double, gap: Option[Double], m: Long)
 
-  /** Streaming counterpart of the STATEFUL scan machine
-    * ([[graft.ops.Funnel.scanStateful]]) for the two-step
-    * state-reference pattern (the q252/q253 class):
+  /** Persisted per-key state of [[streamingScanStateful]]: `states(k)` =
+    * declared values (SCALA external form — stable across state-store
+    * snapshots) plus the match id in the last slot iff a sequence sits
+    * at step k, else null; `captures(k)` = the field values of the input
+    * row last consumed by step k. Kryo-encoded (heterogeneous arrays);
+    * size O(steps × (declares + input width)) per key — the bound the
+    * batch machine documents, now watermark-evicted too. */
+  final case class ScanMachineState(states: Array[Array[Any]],
+                                    captures: Array[Array[Any]],
+                                    nextId: Long, lastMs: Long)
+
+  /** Streaming counterpart of the GENERAL stateful scan machine: consumes
+    * the same machine description as [[graft.ops.Funnel.scanStateful]] —
+    * `declares` (name, type, default), [[graft.ops.Funnel.StatefulStep]]s
+    * whose cond/assign Columns may reference live state through
+    * `__scan_state_<j>__<f>` attributes, and the
+    * [[graft.ops.Funnel.StateRef]] list describing those attributes — so
+    * ANY scan shape the batch compiler produces has a streaming path
+    * (round 19; the round-18 runner hard-coded the two-step q253
+    * machine).
     *
-    *   step s1: true          => v0 = value;
-    *   step s2: value > s1.v0 => gap = value - s2.v0;
-    *
-    * i.e. s2's PREDICATE reads step 1's live state and its ASSIGNMENT
-    * reads the post-move state — the two resolution rules the batch
-    * machine pins. Per key the transition mirrors the batch
-    * highest-step-first consumption exactly: an arriving value that
-    * beats the open sequence's v0 promotes (emit s2 row with the gap,
-    * retire, id consumed); otherwise the row is consumed by s1 —
-    * extending the open sequence (v0 reassigned, same match id) or
-    * starting a new one (next id). Every consumed row emits (scan's
-    * output=all), s1 rows with a null gap.
+    * Semantics: the exact batch transition kernel (promote > extend >
+    * new, highest step first; predicates see pre-consumption state,
+    * assignments see post-move state with pre-commit declared values,
+    * committed atomically; promotion into the last step emits and
+    * retires), replayed per key per micro-batch over event-time-sorted
+    * rows. Expressions are bound ONCE on the driver against the input
+    * schema extended with the state-reference fields — the same binding
+    * as the batch machine — and JIT-compiled once per task (transient
+    * lazy); per-row evaluation is a codegen'd Predicate /
+    * MutableProjection over a JoinedRow, never interpreted reflection.
     *
     * Streaming trade (same as [[statefulSequenceMatch]]): rows order by
-    * event time within each micro-batch, and state lives until the
-    * watermark passes lastEvent + horizonMs (event-time timeout), so a
-    * batch/stream parity holds for in-watermark data — pinned by
-    * StreamOpsSpec against the batch machine on a shared fixture. */
-  def streamingScanPairs(events: Dataset[VEvent], delayThreshold: String,
-                         horizonMs: Long): Dataset[ScanPairOut] = {
+    * event time WITHIN each micro-batch, and per-key machine state lives
+    * until the watermark passes lastEvent + horizonMs (event-time
+    * timeout) — batch/stream parity holds for in-watermark data, pinned
+    * by StreamOpsSpec on shared fixtures (the two-step q253 machine and
+    * a three-step output=last machine). */
+  def streamingScanStateful(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      delayThreshold: String, horizonMs: Long,
+      declares: Seq[(String, org.apache.spark.sql.types.DataType, Column)],
+      steps: Seq[graft.ops.Funnel.StatefulStep],
+      stateRefs: Seq[graft.ops.Funnel.StateRef],
+      matchIdCol: Option[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeSeq, BindReferences, Expression}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    require(steps.nonEmpty, "scan needs at least one step")
     require(horizonMs > 0, "horizonMs must be positive")
-    import events.sparkSession.implicits._
-    events
-      .withWatermark("ts", delayThreshold)
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState[ScanPairState, ScanPairOut](
+    require(keyCols.nonEmpty, "streaming scan needs a partition key")
+    val evalSchema = df.schema
+    (declares.map(_._1) ++ matchIdCol).find(df.columns.contains).foreach(c =>
+      throw new IllegalArgumentException(
+        s"scan declared column '$c' collides with an input column"))
+    val declIdx = declares.map(_._1).zipWithIndex.toMap
+    steps.flatMap(_.assigns.map(_._1)).find(v => !declIdx.contains(v)).foreach(v =>
+      throw new IllegalArgumentException(s"scan assignment to undeclared variable '$v'"))
+    val spark = df.sparkSession
+    // the evaluation schema every step expression binds against — the
+    // input row's fields, then one nullable field per state reference
+    // (identical to the batch machine's binding, minus its shuffle key)
+    val extSchema = StructType(evalSchema.fields ++ stateRefs.map(r =>
+      StructField(s"__scan_state_${r.step}__${r.field}", r.dt, nullable = true)))
+    def bound(c: Column, what: String): Expression = {
+      import org.apache.spark.sql.GraftColumnBridge
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      import org.apache.spark.sql.catalyst.expressions.AttributeReference
+      val dere = GraftColumnBridge.catalystExpression(c).transformUp {
+        case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+      }
+      val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], extSchema)
+      val analyzed = empty.select(GraftColumnBridge.column(dere).as("__sf_e"))
+        .queryExecution.analyzed
+      val expr = analyzed.asInstanceOf[Project].projectList.head.asInstanceOf[Alias].child
+      if (expr.exists(_.isInstanceOf[AggregateExpression]))
+        throw new IllegalArgumentException(s"scan $what cannot contain an aggregate")
+      BindReferences.bindReference(expr, AttributeSeq(analyzed.children.head.output))
+    }
+    val condExprs = steps.map(s => bound(s.cond, s"step '${s.name}' predicate"))
+    val assignExprs: Array[Array[(Int, Expression, DataType)]] = steps.map { s =>
+      s.assigns.map { case (v, rhs) =>
+        val dt = declares(declIdx(v))._2
+        (declIdx(v), bound(rhs.cast(dt), s"assignment to '$v'"), dt)
+      }.toArray
+    }.toArray
+    val defaultExprs: Array[(Expression, DataType)] = declares.map { case (v, dt, dflt) =>
+      (bound(dflt.cast(dt), s"declare default of '$v'"), dt)
+    }.toArray
+    val outSchema = StructType(
+      df.schema.fields.toSeq ++
+        declares.map { case (v, dt, _) => StructField(v, dt, nullable = true) } ++
+        matchIdCol.map(m => StructField(m, LongType, nullable = false)))
+    val runtime = new ScanMachineRuntime(
+      evalSchema = evalSchema,
+      condExprs = condExprs,
+      assignExprs = assignExprs,
+      defaultExprs = defaultExprs,
+      emitStep = steps.map(_.emit).toArray,
+      declDts = declares.map(_._2).toArray,
+      refStep = stateRefs.map(_.step).toArray,
+      refIsDecl = stateRefs.map(_.isDeclared).toArray,
+      refOrd = stateRefs.map(r =>
+        if (r.isDeclared) declIdx(r.field) else evalSchema.fieldIndex(r.field)).toArray,
+      refDt = stateRefs.map(_.dt).toArray,
+      tsIdx = evalSchema.fieldIndex(tsCol),
+      inLen = df.columns.length,
+      withId = matchIdCol.isDefined,
+      horizonMs = horizonMs)
+    val keyIdxs = keyCols.map(evalSchema.fieldIndex).toArray
+    val keyEnc: org.apache.spark.sql.Encoder[Row] =
+      Encoders.row(StructType(keyCols.map(evalSchema(_)).toArray))
+    implicit val stateEnc: org.apache.spark.sql.Encoder[ScanMachineState] =
+      Encoders.kryo[ScanMachineState]
+    implicit val outEnc: org.apache.spark.sql.Encoder[Row] = Encoders.row(outSchema)
+    df.withWatermark(tsCol, delayThreshold)
+      .groupByKey(r => Row.fromSeq(keyIdxs.toIndexedSeq.map(r.get)))(keyEnc)
+      .flatMapGroupsWithState[ScanMachineState, Row](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (uid, rows, state) =>
+        (_, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else runtime.run(rows, state)
+      }
+  }
+
+  /** Persisted per-key state of [[streamingRowWindowSession]]. */
+  final case class RwsState(haveSess: Boolean, sessStart: Long,
+                            prevTs: Long, lastMs: Long)
+
+  /** Streaming counterpart of Kusto `row_window_session` (batch kernel:
+    * [[graft.ops.Funnel.rowWindowSession]] — the q179 class). Each row
+    * gets its session's START timestamp; a new session opens on the
+    * first row, when the gap to the previous row exceeds `idleUs`, when
+    * the distance to the CURRENT session's start exceeds `maxFirstUs`
+    * (the moving-anchor rule that makes this genuinely sequential — no
+    * gaps-and-islands window rewrite exists), or when the restart
+    * predicate fires. The restart predicate and the micros timestamp
+    * are precomputed as codegen'd cells before the keyed state op, the
+    * batch lowering's discipline.
+    *
+    * Streaming trade (same as [[streamingScanStateful]]): rows order by
+    * event time WITHIN each micro-batch; per-key state is three longs +
+    * a flag, evicted once the watermark passes lastEvent + horizonMs.
+    * Batch/stream parity on in-watermark data is pinned by
+    * StreamOpsSpec on a shared fixture with a session spanning two
+    * micro-batches. Pinned edge rule kept: a null timestamp emits a
+    * null session start and does not advance the session state. */
+  def streamingRowWindowSession(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      delayThreshold: String, horizonMs: Long, maxFirstUs: Long, idleUs: Long,
+      restart: Option[Column], outName: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.{Encoders, Row}
+    require(horizonMs > 0, "horizonMs must be positive")
+    require(keyCols.nonEmpty, "streaming sessionization needs a partition key")
+    if (df.columns.contains(outName))
+      throw new IllegalArgumentException(
+        s"row_window_session output column '$outName' collides with an input column")
+    val inCols = df.columns.toSeq
+    val inLen = inCols.length
+    val tsCell = unix_micros(col(tsCol).cast("timestamp")).as("__rws_ts")
+    val rCell = coalesce(restart.getOrElse(lit(false)).cast("boolean"), lit(false)).as("__rws_r")
+    val eval = df.withWatermark(tsCol, delayThreshold)
+      .select(inCols.map(col) ++ Seq(tsCell, rCell): _*)
+    val schema = eval.schema
+    val tI = schema.fieldIndex("__rws_ts")
+    val rI = schema.fieldIndex("__rws_r")
+    val keyIdxs = keyCols.map(schema.fieldIndex).toArray
+    val outSchema = StructType(
+      df.schema.fields :+ StructField(outName, LongType, nullable = true))
+    val keyEnc: org.apache.spark.sql.Encoder[Row] =
+      Encoders.row(StructType(keyCols.map(schema(_)).toArray))
+    implicit val stateEnc: org.apache.spark.sql.Encoder[RwsState] = Encoders.product[RwsState]
+    implicit val outEnc: org.apache.spark.sql.Encoder[Row] = Encoders.row(outSchema)
+    eval.groupByKey(r => Row.fromSeq(keyIdxs.toIndexedSeq.map(r.get)))(keyEnc)
+      .flatMapGroupsWithState[RwsState, Row](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, rows, state) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var st = state.getOption.getOrElse(ScanPairState(false, 0.0, 0L, 1L, 0L))
-            val out = Vector.newBuilder[ScanPairOut]
-            rows.toVector.sortBy(_.ts.getTime).foreach { e =>
-              if (st.open && e.value > st.v0) {
-                // promote into the last step: assign sees post-move
-                // state, emit, retire (the batch machine's completion)
-                out += ScanPairOut(uid, e.ts, "s2", st.v0, Some(e.value - st.v0), st.curId)
-                st = st.copy(open = false, lastMs = e.ts.getTime)
-              } else {
-                // s1 consumes: extend keeps the id, start takes the next
-                val (id, nxt) =
-                  if (st.open) (st.curId, st.nextId) else (st.nextId, st.nextId + 1)
-                st = ScanPairState(open = true, v0 = e.value, curId = id,
-                  nextId = nxt, lastMs = e.ts.getTime)
-                out += ScanPairOut(uid, e.ts, "s1", e.value, None, id)
-              }
+            var haveSess = false; var sessStart = 0L; var prevTs = 0L
+            var lastMs = Long.MinValue
+            state.getOption.foreach { s =>
+              haveSess = s.haveSess; sessStart = s.sessStart
+              prevTs = s.prevTs; lastMs = s.lastMs
             }
-            state.update(st)
-            state.setTimeoutTimestamp(
-              math.max(st.lastMs + horizonMs, state.getCurrentWatermarkMs() + 1))
+            val out = Vector.newBuilder[Row]
+            val sorted = rows.toVector.sortBy(r =>
+              if (r.isNullAt(tI)) Long.MinValue else r.getLong(tI))
+            sorted.foreach { row =>
+              val vals = new Array[Any](inLen + 1)
+              var i = 0
+              while (i < inLen) { vals(i) = row.get(i); i += 1 }
+              if (row.isNullAt(tI)) vals(inLen) = null
+              else {
+                val t = row.getLong(tI)
+                val r = row.getBoolean(rI)
+                if (!haveSess || r || t - prevTs > idleUs || t - sessStart > maxFirstUs) {
+                  sessStart = t; haveSess = true
+                }
+                prevTs = t
+                vals(inLen) = sessStart
+                val tMs = Math.floorDiv(t, 1000L)
+                if (tMs > lastMs) lastMs = tMs
+              }
+              out += Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+            }
+            state.update(RwsState(haveSess, sessStart, prevTs, lastMs))
+            state.setTimeoutTimestamp(math.max(
+              (if (lastMs == Long.MinValue) 0L else lastMs) + horizonMs,
+              state.getCurrentWatermarkMs() + 1))
             out.result().iterator
           }
       }
+      .withColumn(outName, timestamp_micros(col(outName)))
+  }
+
+  /** Executor side of [[streamingScanStateful]]: ships the driver-bound
+    * expressions, compiles them once per task (transient lazy vals), and
+    * replays the batch transition kernel over one key's micro-batch. */
+  private final class ScanMachineRuntime(
+      evalSchema: org.apache.spark.sql.types.StructType,
+      condExprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      assignExprs: Array[Array[(Int, org.apache.spark.sql.catalyst.expressions.Expression,
+        org.apache.spark.sql.types.DataType)]],
+      defaultExprs: Array[(org.apache.spark.sql.catalyst.expressions.Expression,
+        org.apache.spark.sql.types.DataType)],
+      emitStep: Array[Boolean],
+      declDts: Array[org.apache.spark.sql.types.DataType],
+      refStep: Array[Int], refIsDecl: Array[Boolean],
+      refOrd: Array[Int], refDt: Array[org.apache.spark.sql.types.DataType],
+      tsIdx: Int, inLen: Int, withId: Boolean, horizonMs: Long) extends Serializable {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow,
+      MutableProjection, Predicate => CPredicate}
+
+    private val n = condExprs.size
+    private val nDecl = declDts.length
+    private val nRefs = refStep.length
+
+    @transient private lazy val toInternal =
+      CatalystTypeConverters.createToCatalystConverter(evalSchema)
+    @transient private lazy val preds = condExprs.map(CPredicate.create).toArray
+    @transient private lazy val assignProjs: Array[Array[MutableProjection]] =
+      assignExprs.map(_.map { case (_, e, _) => MutableProjection.create(Seq(e)) })
+    @transient private lazy val defaultProjs =
+      defaultExprs.map { case (e, _) => MutableProjection.create(Seq(e)) }
+    @transient private lazy val declToScala =
+      declDts.map(CatalystTypeConverters.createToScalaConverter)
+    @transient private lazy val declToCat =
+      declDts.map(CatalystTypeConverters.createToCatalystConverter)
+
+    def run(rows: Iterator[Row],
+            state: org.apache.spark.sql.streaming.GroupState[ScanMachineState]): Iterator[Row] = {
+      // restore the scala-form persisted state into the kernel's
+      // catalyst-form working arrays
+      val persisted = state.getOption
+      val states = new Array[Array[Any]](n)
+      val captures = new Array[InternalRow](n)
+      val capScala = new Array[Array[Any]](n)
+      var nextId = 1L
+      var lastMs = persisted.map(_.lastMs).getOrElse(Long.MinValue)
+      persisted.foreach { p =>
+        nextId = p.nextId
+        var k = 0
+        while (k < n) {
+          if (p.states(k) != null) {
+            val s = new Array[Any](nDecl + 1)
+            var i = 0
+            while (i < nDecl) { s(i) = declToCat(i)(p.states(k)(i)); i += 1 }
+            s(nDecl) = p.states(k)(nDecl)
+            states(k) = s
+            capScala(k) = p.captures(k)
+            captures(k) = toInternal(Row.fromSeq(
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(p.captures(k))))
+              .asInstanceOf[InternalRow]
+          }
+          k += 1
+        }
+      }
+      val stateRow = new GenericInternalRow(math.max(nRefs, 1))
+      val joined = new JoinedRow
+      def fillStateRow(): Unit = {
+        var i = 0
+        while (i < nRefs) {
+          val st = refStep(i)
+          val v =
+            if (states(st) == null) null
+            else if (refIsDecl(i)) states(st)(refOrd(i))
+            else captures(st).get(refOrd(i), refDt(i))
+          stateRow.update(i, v)
+          i += 1
+        }
+      }
+      def fields(row: Row): Array[Any] = {
+        val a = new Array[Any](inLen)
+        var i = 0
+        while (i < inLen) { a(i) = row.get(i); i += 1 }
+        a
+      }
+      val out = Vector.newBuilder[Row]
+      // event-time order within the micro-batch; null timestamps first
+      // (they never advance the timeout clock)
+      val sorted = rows.toVector.sortBy(r =>
+        if (r.isNullAt(tsIdx)) Long.MinValue else r.getAs[Timestamp](tsIdx).getTime)
+      sorted.foreach { row =>
+        if (!row.isNullAt(tsIdx)) {
+          val t = row.getAs[Timestamp](tsIdx).getTime
+          if (t > lastMs) lastMs = t
+        }
+        val ir = toInternal(row).asInstanceOf[InternalRow]
+        fillStateRow() // the pre-consumption snapshot all PREDICATES see
+        joined(ir, stateRow)
+        var k = n - 1
+        var seq: Array[Any] = null
+        var consumedAt = -1
+        var completing = false
+        while (k >= 0 && consumedAt < 0) {
+          if (preds(k).eval(joined)) {
+            if (k > 0 && states(k - 1) != null) { // promote (move, replace)
+              seq = states(k - 1); states(k - 1) = null
+              captures(k - 1) = null; capScala(k - 1) = null
+              states(k) = seq; captures(k) = ir; capScala(k) = fields(row)
+              consumedAt = k; completing = k == n - 1
+            } else if (states(k) != null) { // extend (greedy)
+              seq = states(k); captures(k) = ir; capScala(k) = fields(row)
+              consumedAt = k
+            } else if (k == 0) { // new sequence at step 1
+              seq = new Array[Any](nDecl + 1)
+              var i = 0
+              while (i < nDecl) { seq(i) = defaultProjs(i)(joined).get(0, declDts(i)); i += 1 }
+              seq(nDecl) = nextId; nextId += 1L
+              states(0) = seq; captures(0) = ir; capScala(0) = fields(row)
+              consumedAt = 0
+            }
+          }
+          if (consumedAt < 0) k -= 1
+        }
+        if (consumedAt >= 0) {
+          // assignments: POST-move state, PRE-commit declared values,
+          // atomic commit — the batch machine's pinned rules
+          val as = assignExprs(consumedAt)
+          val ps = assignProjs(consumedAt)
+          if (as.nonEmpty) {
+            if (nRefs > 0) { fillStateRow(); joined(ir, stateRow) }
+            val staged = new Array[Any](as.length)
+            var j = 0
+            while (j < as.length) { staged(j) = ps(j)(joined).get(0, as(j)._3); j += 1 }
+            j = 0
+            while (j < as.length) { seq(as(j)._1) = staged(j); j += 1 }
+          }
+          if (emitStep(consumedAt)) {
+            val vals = new Array[Any](inLen + nDecl + (if (withId) 1 else 0))
+            var i = 0
+            while (i < inLen) { vals(i) = row.get(i); i += 1 }
+            while (i < inLen + nDecl) { vals(i) = declToScala(i - inLen)(seq(i - inLen)); i += 1 }
+            if (withId) vals(inLen + nDecl) = seq(nDecl)
+            out += Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+          }
+          if (completing && n > 1) {
+            states(consumedAt) = null; captures(consumedAt) = null; capScala(consumedAt) = null
+          }
+        }
+      }
+      // persist scala-form; keep the state row (nextId continuity within
+      // the watermark horizon) even when no sequence is open
+      val pStates = new Array[Array[Any]](n)
+      val pCaps = new Array[Array[Any]](n)
+      var k = 0
+      while (k < n) {
+        if (states(k) != null) {
+          val s = new Array[Any](nDecl + 1)
+          var i = 0
+          while (i < nDecl) { s(i) = declToScala(i)(states(k)(i)); i += 1 }
+          s(nDecl) = states(k)(nDecl)
+          pStates(k) = s
+          pCaps(k) = capScala(k)
+        }
+        k += 1
+      }
+      state.update(ScanMachineState(pStates, pCaps, nextId, lastMs))
+      state.setTimeoutTimestamp(math.max(
+        (if (lastMs == Long.MinValue) 0L else lastMs) + horizonMs,
+        state.getCurrentWatermarkMs() + 1))
+      out.result().iterator
+    }
   }
 
   final case class LshBucketState(keeper: Long, lastMs: Long)

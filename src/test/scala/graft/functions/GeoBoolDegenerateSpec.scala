@@ -169,4 +169,57 @@ class GeoBoolDegenerateSpec extends AnyFunSuite {
     assert(inter(a, b) == null,
       "A touches B only along the hole boundary - no interior overlap")
   }
+
+  test("snap-rounding: FP-perturbed shared border (1e-12°) equals the snapped truth") {
+    // the round-19 gate: one operand carries the shared border a hair
+    // off the grid — mixed-provenance FP noise that loudly nulled
+    // before snap-rounding; must now resolve to the bit-identical case
+    val a = rect(0, 0, 1, 1)
+    val e = 1e-12
+    val b = s"""{"type":"Polygon","coordinates":[[[${1 + e},${-e}],[2.0,0.0],[2.0,1.0],[${1 - e},${1 + e}],[${1 + e},${-e}]]]}"""
+    assert(inter(a, b) == null, "zero-width intersection stays null after snapping")
+    val u = union(a, b)
+    assert(u != null, "perturbed shared border must snap to the exact case, not null")
+    assert(math.abs(area(u) - 2.0) < 1e-9, s"snapped union area: $u")
+    // and the snapped result equals the unperturbed (snapped-truth) result
+    assert(u.toString == union(a, rect(1, 0, 2, 1)).toString,
+      "perturbed operand must yield exactly the snapped truth")
+  }
+
+  test("snap-rounding: perturbed collinear overlap and vertex-on-edge resolve exactly") {
+    val e = 1e-12
+    // collinear bottom-edge run, perturbed off-grid on one operand
+    val a = rect(0, 0, 2, 2)
+    val b = s"""{"type":"Polygon","coordinates":[[[1.0,${-e}],[3.0,$e],[3.0,1.0],[1.0,1.0],[1.0,${-e}]]]}"""
+    assert(math.abs(area(inter(a, b)) - 1.0) < 1e-9) // [1,2]x[0,1]
+    assert(math.abs(area(union(a, b)) - 5.0) < 1e-9) // 4 + 2 - 1
+    // vertex-on-edge with the apex 1e-12 off the edge
+    val w = rect(0, 0, 6, 4)
+    val t = s"""{"type":"Polygon","coordinates":[[[2.0,${4.0 - e}],[3.0,5.0],[1.0,5.0],[2.0,${4.0 - e}]]]}"""
+    assert(inter(w, t) == null, "point contact has no area")
+    assert(math.abs(area(union(w, t)) - 25.0) < 1e-9)
+    // line riding a perturbed boundary: the forced-inside run survives
+    val ride = GeoBoolOps.lineClip(
+      u8(s"""{"type":"LineString","coordinates":[[1.0,${2.0 + e}],[3.0,${2.0 - e}]]}"""),
+      u8(rect(0, 0, 2, 2)))
+    assert(ride != null && ride.toString.contains("LineString"), s"got $ride")
+  }
+
+  test("snap-rounding: repeated vertices (zero-length segments) never fabricate geometry") {
+    // a polyline with a repeated vertex ABOVE the polygon, whose x falls
+    // inside an edge's x-span: pre-round-19 the zero-length segment
+    // passed the collinearity test against that edge with param() at
+    // ±Infinity clamping to a full forced-inside run — a bogus
+    // zero-length 'LineString' at a point outside the polygon
+    val clip = GeoBoolOps.lineClip(
+      u8("""{"type":"LineString","coordinates":[[5.0,5.0],[5.0,5.0],[6.0,6.0]]}"""),
+      u8(rect(0, 0, 6, 2)))
+    assert(clip == null, s"zero-length segment fabricated geometry: $clip")
+    // two disjoint polylines, one carrying a repeated vertex whose x
+    // falls inside the other's span: same ±Infinity clamp pre-fix
+    val li = GeoBoolOps.lineIntersect(
+      u8("""{"type":"LineString","coordinates":[[5.0,5.0],[5.0,5.0],[6.0,5.0]]}"""),
+      u8("""{"type":"LineString","coordinates":[[0.0,0.0],[6.0,0.0]]}"""))
+    assert(li == null, s"zero-length segment fabricated an intersection: $li")
+  }
 }

@@ -486,4 +486,26 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(opt.contains("size(embedding"),
       s"rule inactive on the caller's session — no inferred generate filter in:\n$opt")
   }
+
+  test("documents_rp size gate: large inputs read the bare scan (no eager " +
+      "full-corpus shuffle+checkpoint), small bench inputs keep the checkpoint") {
+    // forced-large path: the corpus must arrive as the pruned parquet
+    // scan itself — no LogicalRDD (checkpoint) and no round-robin
+    // exchange materializing the whole corpus before the first filter
+    sys.props("graft.docsrp.large") = "1"
+    try {
+      val p = plan("q130_exact_substring")
+      assert(!p.contains("Scan ExistingRDD"),
+        "large path must not eagerly checkpoint the corpus")
+      assert(!p.contains("Exchange roundrobinpartitioning"),
+        "large path must not shuffle the full corpus up front")
+      assert(p.contains("Scan parquet") || p.contains("FileScan"), p.take(800))
+    } finally sys.props.remove("graft.docsrp.large")
+    // default path on bench-shaped testdata (single-row-group files,
+    // Catalyst estimate well under the gate): the eager checkpoint that
+    // keeps per-document kernels parallel and CTE re-reads free
+    val p2 = plan("q130_exact_substring")
+    assert(p2.contains("Scan ExistingRDD"),
+      "small path lost the bench-parallelism checkpoint")
+  }
 }

@@ -289,18 +289,18 @@ class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
-  test("streamingScanPairs: batch/stream agreement with the stateful scan machine") {
-    // the round-15 sequence-agreement playbook, extended to the general
-    // state-reference machine (round-17 item 4): ONE fixture runs
-    // through (a) graft.ops.Funnel.scanStateful — the batch q253-class
-    // machine, steps  s1: true => v0 = value;
-    //                 s2: value > s1.v0 => gap = value - s2.v0
-    // keyed by user, ordered by ts — and (b) the streaming counterpart
-    // on MemoryStream split across two micro-batches (state carries);
+  test("streamingScanStateful: batch/stream agreement on the two-step q253 machine") {
+    // the round-15 sequence-agreement playbook on the GENERAL runner
+    // (round 19; round 18's runner hard-coded this machine): ONE machine
+    // description —  s1: true => v0 = value;
+    //                s2: value > s1.v0 => gap = value - s2.v0
+    // keyed by user, ordered by ts — runs through (a) the batch
+    // graft.ops.Funnel.scanStateful and (b) streamingScanStateful on
+    // MemoryStream split across two micro-batches (state carries);
     // every (user, ts, v0, gap, match id) must agree.
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    import StreamOps.{VEvent, ScanPairOut}
+    import StreamOps.VEvent
     import org.apache.spark.sql.functions.{col, lit}
     import org.apache.spark.sql.types.DoubleType
     val fixture = Seq(
@@ -313,35 +313,32 @@ class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       VEvent(2L, ts(1), 7.0), VEvent(2L, ts(2), 6.0), VEvent(2L, ts(3), 5.0),
       // user 3: immediate promote on the second row
       VEvent(3L, ts(1), 1.0), VEvent(3L, ts(2), 2.0))
-
-    // batch: the real stateful-scan machine with state references
-    val batchDf = graft.ops.Funnel.scanStateful(
-      fixture.toDF(),
-      partitionCols = Seq(col("user_id")),
-      orderCols = Seq(col("ts")),
-      declares = Seq(
-        ("v0", DoubleType, lit(null).cast(DoubleType)),
-        ("gap", DoubleType, lit(null).cast(DoubleType))),
-      steps = Seq(
-        graft.ops.Funnel.StatefulStep("s1", lit(true),
-          assigns = Seq("v0" -> col("value"))),
-        graft.ops.Funnel.StatefulStep("s2",
-          col("value") > col("__scan_state_0__v0"),
-          assigns = Seq("gap" -> (col("value") - col("__scan_state_1__v0"))))),
-      stateRefs = Seq(
-        graft.ops.Funnel.StateRef(0, "v0", DoubleType, isDeclared = true),
-        graft.ops.Funnel.StateRef(1, "v0", DoubleType, isDeclared = true)),
-      matchIdCol = Some("m"))
-    val batch = batchDf.collect().map { r =>
+    // ONE machine description feeds both sides
+    val declares = Seq(
+      ("v0", DoubleType, lit(null).cast(DoubleType)),
+      ("gap", DoubleType, lit(null).cast(DoubleType)))
+    val steps = Seq(
+      graft.ops.Funnel.StatefulStep("s1", lit(true),
+        assigns = Seq("v0" -> col("value"))),
+      graft.ops.Funnel.StatefulStep("s2",
+        col("value") > col("__scan_state_0__v0"),
+        assigns = Seq("gap" -> (col("value") - col("__scan_state_1__v0")))))
+    val stateRefs = Seq(
+      graft.ops.Funnel.StateRef(0, "v0", DoubleType, isDeclared = true),
+      graft.ops.Funnel.StateRef(1, "v0", DoubleType, isDeclared = true))
+    def key(r: org.apache.spark.sql.Row) =
       (r.getAs[Long]("user_id"), rel(r.getAs[Timestamp]("ts")),
        r.getAs[java.lang.Double]("v0"),
        Option(r.getAs[java.lang.Double]("gap")).map(_.doubleValue),
        r.getAs[Long]("m"))
-    }.toSet
+    val batch = graft.ops.Funnel.scanStateful(
+      fixture.toDF(), partitionCols = Seq(col("user_id")), orderCols = Seq(col("ts")),
+      declares, steps, stateRefs, matchIdCol = Some("m")).collect().map(key).toSet
 
-    // stream: same fixture over two micro-batches
     val stream = MemoryStream[VEvent]
-    val q = StreamOps.streamingScanPairs(stream.toDS(), "5 seconds", horizonMs = 3600000L)
+    val q = StreamOps.streamingScanStateful(stream.toDS().toDF(),
+        keyCols = Seq("user_id"), tsCol = "ts", delayThreshold = "5 seconds",
+        horizonMs = 3600000L, declares, steps, stateRefs, matchIdCol = Some("m"))
       .writeStream.format("memory").queryName("scan_pairs")
       .outputMode(OutputMode.Append).start()
     try {
@@ -350,13 +347,124 @@ class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       q.processAllAvailable()
       stream.addData(b2: _*)
       q.processAllAvailable()
-      // both machines report the sequence's v0 on every consumed row
-      // (batch: the POST-assign declared value; stream: ScanPairOut.v0)
-      val streamed = spark.table("scan_pairs").as[ScanPairOut].collect().map { o =>
-        (o.user_id, rel(o.ts), java.lang.Double.valueOf(o.v0), o.gap, o.m)
-      }.toSet
+      val streamed = spark.table("scan_pairs").collect().map(key).toSet
       assert(streamed == batch,
         s"batch/stream verdicts diverge:\n  batch=$batch\n  stream=$streamed")
+    } finally q.stop()
+  }
+
+  test("streamingScanStateful: 3-step output=last machine agrees with batch across batches") {
+    // the multi-step generalization gate (round 19): an ascending-run
+    // detector —  s1: true          => v0 = value   (emit=false)
+    //             s2: value > s1.v0 => v1 = value   (emit=false)
+    //             s3: value > s2.v1 => tot = value - s3.v0
+    // only the completing row emits (output=last); s3's ASSIGNMENT reads
+    // the sequence's own carried v0 (post-move state at step 2), the
+    // cross-step delta rule the batch machine pins. The three-batch
+    // split places s1/s2 and the completing s3 in different micro-batches
+    // so the full multi-step state (two open steps, captured rows,
+    // declared values) must round-trip the state store.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamOps.VEvent
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.types.DoubleType
+    val fixture = Seq(
+      // user 1: 1,2,3 completes (tot=2, id 1); then 5 starts id 2, 4
+      // extends DOWN (id 2), 6 promotes, 7 completes (tot = 7-4 = 3)
+      VEvent(1L, ts(1), 1.0), VEvent(1L, ts(2), 2.0), VEvent(1L, ts(3), 3.0),
+      VEvent(1L, ts(4), 5.0), VEvent(1L, ts(5), 4.0), VEvent(1L, ts(6), 6.0),
+      VEvent(1L, ts(7), 7.0),
+      // user 2: 9,8,7 — every row re-opens/extends s1, never completes
+      VEvent(2L, ts(1), 9.0), VEvent(2L, ts(2), 8.0), VEvent(2L, ts(3), 7.0))
+    val declares = Seq(
+      ("v0", DoubleType, lit(null).cast(DoubleType)),
+      ("v1", DoubleType, lit(null).cast(DoubleType)),
+      ("tot", DoubleType, lit(null).cast(DoubleType)))
+    val steps = Seq(
+      graft.ops.Funnel.StatefulStep("s1", lit(true),
+        assigns = Seq("v0" -> col("value")), emit = false),
+      graft.ops.Funnel.StatefulStep("s2",
+        col("value") > col("__scan_state_0__v0"),
+        assigns = Seq("v1" -> col("value")), emit = false),
+      graft.ops.Funnel.StatefulStep("s3",
+        col("value") > col("__scan_state_1__v1"),
+        assigns = Seq("tot" -> (col("value") - col("__scan_state_2__v0")))))
+    val stateRefs = Seq(
+      graft.ops.Funnel.StateRef(0, "v0", DoubleType, isDeclared = true),
+      graft.ops.Funnel.StateRef(1, "v1", DoubleType, isDeclared = true),
+      graft.ops.Funnel.StateRef(2, "v0", DoubleType, isDeclared = true))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("user_id"), rel(r.getAs[Timestamp]("ts")),
+       r.getAs[java.lang.Double]("v0"), r.getAs[java.lang.Double]("v1"),
+       r.getAs[java.lang.Double]("tot"), r.getAs[Long]("m"))
+    val batch = graft.ops.Funnel.scanStateful(
+      fixture.toDF(), partitionCols = Seq(col("user_id")), orderCols = Seq(col("ts")),
+      declares, steps, stateRefs, matchIdCol = Some("m")).collect().map(key).toSet
+    assert(batch.nonEmpty && batch.forall(_._5 != null),
+      s"output=last: only completing rows with a tot, got $batch")
+
+    val stream = MemoryStream[VEvent]
+    val q = StreamOps.streamingScanStateful(stream.toDS().toDF(),
+        keyCols = Seq("user_id"), tsCol = "ts", delayThreshold = "5 seconds",
+        horizonMs = 3600000L, declares, steps, stateRefs, matchIdCol = Some("m"))
+      .writeStream.format("memory").queryName("scan_last")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // three micro-batches: ts 1-2 | 3-5 | 6-7
+      val b1 = fixture.filter(_.ts.getTime <= ts(2).getTime)
+      val b2 = fixture.filter(e => e.ts.getTime > ts(2).getTime && e.ts.getTime <= ts(5).getTime)
+      val b3 = fixture.filter(_.ts.getTime > ts(5).getTime)
+      stream.addData(b1: _*); q.processAllAvailable()
+      stream.addData(b2: _*); q.processAllAvailable()
+      stream.addData(b3: _*); q.processAllAvailable()
+      val streamed = spark.table("scan_last").collect().map(key).toSet
+      assert(streamed == batch,
+        s"batch/stream verdicts diverge:\n  batch=$batch\n  stream=$streamed")
+    } finally q.stop()
+  }
+
+  test("streamingRowWindowSession: batch/stream parity, session spanning two micro-batches") {
+    // the q179-class sessionization scalar (round-19 item 7): max
+    // duration from the CURRENT session's start (moving anchor) + idle
+    // gap, batch kernel vs the flatMapGroupsWithState counterpart on
+    // the same fixture. idle=5s, maxFromFirst=8s:
+    //   user 1 @ 0,3,6 | 9,12  — t9 re-anchors on the max-duration rule,
+    //     with sessStart=0/prevTs=6 carried ACROSS the micro-batch split
+    //   user 2 @ 0 | 10        — idle gap re-anchor across the split
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val fixture = Seq(
+      SEvent(1L, ts(0), "a"), SEvent(1L, ts(3), "a"), SEvent(1L, ts(6), "a"),
+      SEvent(1L, ts(9), "a"), SEvent(1L, ts(12), "a"),
+      SEvent(2L, ts(0), "b"), SEvent(2L, ts(10), "b"))
+    val maxFirstUs = 8000000L
+    val idleUs = 5000000L
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("user_id"), rel(r.getAs[Timestamp]("ts")),
+       rel(r.getAs[Timestamp]("sess")))
+    val batch = graft.ops.Funnel.rowWindowSession(
+      fixture.toDF(), partitionCols = Seq(col("user_id")), orderCols = Seq(col("ts")),
+      ts = col("ts"), maxFirstUs = maxFirstUs, idleUs = idleUs,
+      restart = None, outName = "sess").collect().map(key).toSet
+    // sanity: the moving anchor re-opened at t=9 for user 1
+    assert(batch.contains((1L, 9L, 9L)) && batch.contains((1L, 6L, 0L)), s"batch=$batch")
+
+    val stream = MemoryStream[SEvent]
+    val q = StreamOps.streamingRowWindowSession(stream.toDS().toDF(),
+        keyCols = Seq("user_id"), tsCol = "ts", delayThreshold = "5 seconds",
+        horizonMs = 3600000L, maxFirstUs = maxFirstUs, idleUs = idleUs,
+        restart = None, outName = "sess")
+      .writeStream.format("memory").queryName("rws")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (b1, b2) = fixture.partition(_.ts.getTime <= ts(6).getTime)
+      stream.addData(b1: _*); q.processAllAvailable()
+      stream.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("rws").collect().map(key).toSet
+      assert(streamed == batch,
+        s"batch/stream sessions diverge:\n  batch=$batch\n  stream=$streamed")
     } finally q.stop()
   }
 
