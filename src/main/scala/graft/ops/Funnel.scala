@@ -397,6 +397,9 @@ object Funnel {
     import org.apache.spark.sql.catalyst.plans.logical.Project
     require(steps.nonEmpty, "scan needs at least one step")
     require(orderCols.nonEmpty, "scan needs an explicit row order")
+    stateRefs.find(r => r.step < 0 || r.step >= steps.size).foreach(r =>
+      throw new IllegalArgumentException(
+        s"scan state reference '${r.field}' names step ${r.step} of a ${steps.size}-step machine"))
     (declares.map(_._1) ++ matchIdCol).find(df.columns.contains).foreach(c =>
       throw new IllegalArgumentException(
         s"scan declared column '$c' collides with an input column"))

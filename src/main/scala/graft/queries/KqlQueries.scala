@@ -1799,6 +1799,32 @@ object KqlQueries extends QueryModule {
           | | order by event_id asc""".stripMargin,
         _ => Tables.events(s, dir))),
 
+    // snap-rounding at data scale (round 19): the q254 contact sweep
+    // with operand B carried OFF-GRID by 1e-12° on every vertex — the
+    // FP-noisy mixed-provenance case that loudly nulled before the
+    // round-19 snap pass. The oracle is IDENTICAL to q254's (the
+    // snapped truth): 1e-12 ≪ the 5e-10 half-grid, so the engine must
+    // quantize B back to the exact lattice and reproduce every area,
+    // null, and membership verdict bit-for-bit.
+    "q255_kql_text_polygon_snapround" -> ((s, dir) =>
+      graft.kql.KqlCompiler.compile(
+        """events
+          | | where event_id % 89 == 0
+          | | extend dx = todouble(user_id % 10) - 4.0, dy = todouble(event_id % 8) - 3.0
+          | | extend ex = dx + 0.000000000001, ey = dy - 0.000000000001
+          | | extend b = strcat('{"type":"Polygon","coordinates":[[[', tostring(ex), ',', tostring(ey), '],[', tostring(ex + 2.0), ',', tostring(ey), '],[', tostring(ex + 2.0), ',', tostring(ey + 2.0), '],[', tostring(ex), ',', tostring(ey + 2.0), '],[', tostring(ex), ',', tostring(ey), ']]]}'),
+          |          w = '{"type":"Polygon","coordinates":[[[0.0,0.0],[3.0,0.0],[3.0,3.0],[0.0,3.0],[0.0,0.0]]]}'
+          | | extend i = geo_intersection_2polygons(w, b),
+          |          u = geo_union_2polygons(w, b)
+          | | project event_id, dx, dy,
+          |           isn = isnull(i),
+          |           ia = round(geo_polygon_area(i) / 1000000000.0, 3),
+          |           ua = round(geo_polygon_area(u) / 1000000000.0, 3),
+          |           im = coalesce(geo_point_in_polygon(1.5, 1.5, i), false),
+          |           um = geo_point_in_polygon(dx + 0.5, dy + 0.5, u)
+          | | order by event_id asc""".stripMargin,
+        _ => Tables.events(s, dir))),
+
     // geo_simplify_polygons_array at data scale (round 16): per-row
     // pair of rectangles sharing an edge that carries a super-tolerance
     // bump — the bump must survive IDENTICALLY in both outputs (the
@@ -4417,6 +4443,10 @@ object KqlQueries extends QueryModule {
          ORDER BY event_id""",
 
     "q254_kql_text_polygon_degenerate" -> polygonDegenerateOracle,
+    // q255 must equal the SNAPPED truth — q254's oracle verbatim (the
+    // 1e-12° perturbation quantizes away; dx/dy are the unperturbed
+    // lattice values on both sides)
+    "q255_kql_text_polygon_snapround" -> polygonDegenerateOracle,
 
     "q249_kql_text_joint_simplify" ->
       """SELECT event_id,

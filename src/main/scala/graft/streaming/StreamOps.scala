@@ -341,6 +341,9 @@ object StreamOps {
     require(steps.nonEmpty, "scan needs at least one step")
     require(horizonMs > 0, "horizonMs must be positive")
     require(keyCols.nonEmpty, "streaming scan needs a partition key")
+    stateRefs.find(r => r.step < 0 || r.step >= steps.size).foreach(r =>
+      throw new IllegalArgumentException(
+        s"scan state reference '${r.field}' names step ${r.step} of a ${steps.size}-step machine"))
     val evalSchema = df.schema
     (declares.map(_._1) ++ matchIdCol).find(df.columns.contains).foreach(c =>
       throw new IllegalArgumentException(

@@ -424,6 +424,94 @@ class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streamingScanStateful: randomized machines match the batch kernel across random splits") {
+    // property form of the two fixture gates: randomly assembled 2/3-step
+    // machines (predicates/assignments drawn from pools that read live
+    // declared state AND captured input columns), random per-step emit
+    // flags, random events, random 1-3 micro-batch splits — the batch
+    // kernel (itself property-proven against an independent simulator in
+    // ScanStatefulPropertySpec) is the oracle. Captures crossing a split
+    // exercise the scala-form state-store round-trip.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamOps.VEvent
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.types.DoubleType
+    import graft.ops.Funnel.{StatefulStep, StateRef}
+    val rnd = new scala.util.Random(0x19ab5eedL)
+    def pickFrom[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
+    def refsFor(nSteps: Int) = Seq(
+      StateRef(0, "t", DoubleType, isDeclared = true),
+      StateRef(1, "t", DoubleType, isDeclared = true),
+      StateRef(0, "value", DoubleType, isDeclared = false),
+      StateRef(1, "value", DoubleType, isDeclared = false)) ++
+      (if (nSteps > 2) Seq(StateRef(2, "t", DoubleType, isDeclared = true)) else Nil)
+    val declares = Seq(
+      ("t", DoubleType, lit(0.0).cast(DoubleType)),
+      ("g", DoubleType, lit(null).cast(DoubleType)))
+    def p1() = pickFrom(Seq(lit(true), col("value") > 2.0, col("value") <= 8.0))
+    def p2() = pickFrom(Seq(
+      col("value") > col("__scan_state_0__t"),
+      col("value") > col("__scan_state_0__value"), // capture read
+      col("value") <= col("__scan_state_0__value") + lit(5.0),
+      lit(true)))
+    def p3() = pickFrom(Seq(
+      col("value") > col("__scan_state_1__t"),
+      col("value") =!= col("__scan_state_1__value")))
+    def a1() = pickFrom(Seq[Seq[(String, org.apache.spark.sql.Column)]](
+      Seq("t" -> col("value")),
+      Seq("t" -> (col("__scan_state_0__t") + col("value"))), // running sum, seeds from default
+      Nil))
+    def aLast(last: Int) = pickFrom(Seq[Seq[(String, org.apache.spark.sql.Column)]](
+      Seq("g" -> (col("value") - col(s"__scan_state_${last}__t"))),
+      Seq("g" -> (col("value") - col("__scan_state_0__value"))), // cleared on promote ⇒ null
+      Nil))
+    for (it <- 0 until 6) {
+      val nSteps = 2 + rnd.nextInt(2)
+      val refs = refsFor(nSteps)
+      val steps =
+        if (nSteps == 2) Seq(
+          StatefulStep("s1", p1(), a1(), emit = rnd.nextBoolean()),
+          StatefulStep("s2", p2(), aLast(1), emit = true))
+        else Seq(
+          StatefulStep("s1", p1(), a1(), emit = rnd.nextBoolean()),
+          StatefulStep("s2", p2(), Seq("t" -> col("value")), emit = rnd.nextBoolean()),
+          StatefulStep("s3", p3(), aLast(2), emit = true))
+      val fixture = for {
+        u <- 1L to 3L
+        sec <- 1 to (8 + rnd.nextInt(7))
+        if rnd.nextDouble() < 0.7
+      } yield VEvent(u, ts(sec), math.rint(rnd.nextDouble() * 100.0) / 10.0)
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("user_id"), rel(r.getAs[Timestamp]("ts")), r.getAs[Double]("value"),
+         Option(r.getAs[java.lang.Double]("t")), Option(r.getAs[java.lang.Double]("g")),
+         r.getAs[Long]("m"))
+      val batch = graft.ops.Funnel.scanStateful(
+        fixture.toDF(), Seq(col("user_id")), Seq(col("ts")),
+        declares, steps, refs, matchIdCol = Some("m")).collect().map(key).toSet
+      val stream = MemoryStream[VEvent]
+      val q = StreamOps.streamingScanStateful(stream.toDS().toDF(),
+          Seq("user_id"), "ts", "5 seconds", 3600000L,
+          declares, steps, refs, matchIdCol = Some("m"))
+        .writeStream.format("memory").queryName(s"scan_prop_$it")
+        .outputMode(OutputMode.Append).start()
+      try {
+        val cuts = Seq.fill(rnd.nextInt(2) + 1)(1 + rnd.nextInt(14)).distinct.sorted
+        val batches = (Seq(Long.MinValue) ++ cuts.map(c => ts(c).getTime) ++ Seq(Long.MaxValue))
+          .sliding(2).map { case Seq(lo, hi) =>
+            fixture.filter(e => e.ts.getTime > lo && e.ts.getTime <= hi) }.toSeq
+        batches.foreach { b =>
+          if (b.nonEmpty) { stream.addData(b: _*); q.processAllAvailable() }
+        }
+        q.processAllAvailable()
+        val streamed = spark.table(s"scan_prop_$it").collect().map(key).toSet
+        assert(streamed == batch,
+          s"iteration $it diverged (steps=${steps.map(_.cond)}, cuts=$cuts):\n" +
+          s"  batch=$batch\n  stream=$streamed")
+      } finally q.stop()
+    }
+  }
+
   test("streamingRowWindowSession: batch/stream parity, session spanning two micro-batches") {
     // the q179-class sessionization scalar (round-19 item 7): max
     // duration from the CURRENT session's start (moving anchor) + idle
