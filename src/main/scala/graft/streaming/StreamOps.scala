@@ -292,10 +292,13 @@ object StreamOps {
   /** Persisted per-key state of [[streamingScanStateful]]: `states(k)` =
     * declared values (SCALA external form — stable across state-store
     * snapshots) plus the match id in the last slot iff a sequence sits
-    * at step k, else null; `captures(k)` = the field values of the input
-    * row last consumed by step k. Kryo-encoded (heterogeneous arrays);
-    * size O(steps × (declares + input width)) per key — the bound the
-    * batch machine documents, now watermark-evicted too. */
+    * at step k, else null; `captures(k)` = ONLY the captured-row fields
+    * some non-declared StateRef actually reads at step k (aligned with
+    * the runtime's per-step slot list, scala form) — the rest of the
+    * record last consumed is dead weight for the machine, so persisted
+    * state is O(steps × (declares + referenced fields)) per key,
+    * INDEPENDENT of input row width. Kryo-encoded (heterogeneous
+    * arrays), watermark-evicted. */
   final case class ScanMachineState(states: Array[Array[Any]],
                                     captures: Array[Array[Any]],
                                     nextId: Long, lastMs: Long)
@@ -546,6 +549,32 @@ object StreamOps {
     @transient private lazy val declToCat =
       declDts.map(CatalystTypeConverters.createToCatalystConverter)
 
+    // the only captured-row fields the machine can ever read at step k:
+    // input ordinals referenced by a non-declared StateRef of that step.
+    // Captures are SLIMMED to these slots, so per-key state size is
+    // independent of the input row width at 100 TB stream scale.
+    private val capSlots: Array[Array[(Int, org.apache.spark.sql.types.DataType)]] =
+      Array.tabulate(n)(k =>
+        refStep.indices.filter(i => refStep(i) == k && !refIsDecl(i))
+          .map(i => (refOrd(i), refDt(i))).distinct.toArray)
+    @transient private lazy val capToScala: Array[Array[Any => Any]] =
+      capSlots.map(_.map { case (_, dt) =>
+        val c = CatalystTypeConverters.createToScalaConverter(dt); (v: Any) => c(v) })
+    @transient private lazy val capToCat: Array[Array[Any => Any]] =
+      capSlots.map(_.map { case (_, dt) =>
+        val c = CatalystTypeConverters.createToCatalystConverter(dt); (v: Any) => c(v) })
+
+    /** Sparse copy of the consuming row holding only step k's slots. */
+    private def slimCapture(ir: InternalRow, k: Int): InternalRow = {
+      val g = new GenericInternalRow(inLen)
+      val slots = capSlots(k)
+      var i = 0
+      while (i < slots.length) {
+        g.update(slots(i)._1, ir.get(slots(i)._1, slots(i)._2)); i += 1
+      }
+      g
+    }
+
     def run(rows: Iterator[Row],
             state: org.apache.spark.sql.streaming.GroupState[ScanMachineState]): Iterator[Row] = {
       // restore the scala-form persisted state into the kernel's
@@ -553,7 +582,6 @@ object StreamOps {
       val persisted = state.getOption
       val states = new Array[Array[Any]](n)
       val captures = new Array[InternalRow](n)
-      val capScala = new Array[Array[Any]](n)
       var nextId = 1L
       var lastMs = persisted.map(_.lastMs).getOrElse(Long.MinValue)
       persisted.foreach { p =>
@@ -566,10 +594,14 @@ object StreamOps {
             while (i < nDecl) { s(i) = declToCat(i)(p.states(k)(i)); i += 1 }
             s(nDecl) = p.states(k)(nDecl)
             states(k) = s
-            capScala(k) = p.captures(k)
-            captures(k) = toInternal(Row.fromSeq(
-              scala.collection.immutable.ArraySeq.unsafeWrapArray(p.captures(k))))
-              .asInstanceOf[InternalRow]
+            // re-hydrate the slim capture: only step k's referenced slots
+            val g = new GenericInternalRow(inLen)
+            val slots = capSlots(k)
+            i = 0
+            while (i < slots.length) {
+              g.update(slots(i)._1, capToCat(k)(i)(p.captures(k)(i))); i += 1
+            }
+            captures(k) = g
           }
           k += 1
         }
@@ -587,12 +619,6 @@ object StreamOps {
           stateRow.update(i, v)
           i += 1
         }
-      }
-      def fields(row: Row): Array[Any] = {
-        val a = new Array[Any](inLen)
-        var i = 0
-        while (i < inLen) { a(i) = row.get(i); i += 1 }
-        a
       }
       val out = Vector.newBuilder[Row]
       // event-time order within the micro-batch; null timestamps first
@@ -615,18 +641,18 @@ object StreamOps {
           if (preds(k).eval(joined)) {
             if (k > 0 && states(k - 1) != null) { // promote (move, replace)
               seq = states(k - 1); states(k - 1) = null
-              captures(k - 1) = null; capScala(k - 1) = null
-              states(k) = seq; captures(k) = ir; capScala(k) = fields(row)
+              captures(k - 1) = null
+              states(k) = seq; captures(k) = slimCapture(ir, k)
               consumedAt = k; completing = k == n - 1
             } else if (states(k) != null) { // extend (greedy)
-              seq = states(k); captures(k) = ir; capScala(k) = fields(row)
+              seq = states(k); captures(k) = slimCapture(ir, k)
               consumedAt = k
             } else if (k == 0) { // new sequence at step 1
               seq = new Array[Any](nDecl + 1)
               var i = 0
               while (i < nDecl) { seq(i) = defaultProjs(i)(joined).get(0, declDts(i)); i += 1 }
               seq(nDecl) = nextId; nextId += 1L
-              states(0) = seq; captures(0) = ir; capScala(0) = fields(row)
+              states(0) = seq; captures(0) = slimCapture(ir, 0)
               consumedAt = 0
             }
           }
@@ -654,7 +680,7 @@ object StreamOps {
             out += Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
           }
           if (completing && n > 1) {
-            states(consumedAt) = null; captures(consumedAt) = null; capScala(consumedAt) = null
+            states(consumedAt) = null; captures(consumedAt) = null
           }
         }
       }
@@ -670,7 +696,13 @@ object StreamOps {
           while (i < nDecl) { s(i) = declToScala(i)(states(k)(i)); i += 1 }
           s(nDecl) = states(k)(nDecl)
           pStates(k) = s
-          pCaps(k) = capScala(k)
+          val slots = capSlots(k)
+          val cv = new Array[Any](slots.length)
+          i = 0
+          while (i < slots.length) {
+            cv(i) = capToScala(k)(i)(captures(k).get(slots(i)._1, slots(i)._2)); i += 1
+          }
+          pCaps(k) = cv
         }
         k += 1
       }
