@@ -917,6 +917,14 @@ object KqlCompiler {
                 if (peekTimespan) Left(timespanMicros()) else Right(expr()))
             case "query_bin_auto_at" =>
               binAutoAt = Some(expr())
+            case "streaming_scan_watermark" =>
+              if (!peekTimespan) throw new KqlParseException(
+                "set streaming_scan_watermark expects a timespan literal (e.g. 10s)")
+              streamingScanWatermarkUs = Some(timespanMicros())
+            case "streaming_scan_horizon" =>
+              if (!peekTimespan) throw new KqlParseException(
+                "set streaming_scan_horizon expects a timespan literal (e.g. 1h)")
+              streamingScanHorizonUs = Some(timespanMicros())
             case other =>
               warn(s"set '$other' ignored (unsupported request property)")
               while (!peekIs(";")) next()
@@ -1007,6 +1015,15 @@ object KqlCompiler {
     /** `set query_bin_auto_at` — bin_auto()'s fixed alignment point
       * (defaults to the epoch / zero when unset, Kusto's default). */
     private var binAutoAt: Option[ColB] = None
+
+    /** ENGINE EXTENSIONS (no Kusto equivalent — Kusto's scan is batch):
+      * `set streaming_scan_watermark = <timespan>;` is REQUIRED when a
+      * `scan` runs over a STREAMING source (it defines the event-time
+      * lateness bound, a semantic choice the engine won't default), and
+      * `set streaming_scan_horizon = <timespan>;` bounds per-key state
+      * retention past the last event (default 1h). */
+    private var streamingScanWatermarkUs: Option[Long] = None
+    private var streamingScanHorizonUs: Option[Long] = None
 
     /** toscalar() bindings: name → evaluated constant. */
     private val scalarLets = scala.collection.mutable.Map.empty[String, Any]
@@ -1838,7 +1855,15 @@ object KqlCompiler {
         expect("by")
         val items = sepBy1(orderItem)
         lastOrder = Some(items)
-        df.orderBy(items.map(_(df)): _*)
+        if (df.isStreaming) {
+          // an unbounded stream has no global sort (Spark rejects Sort
+          // on streaming frames outright); on a streaming source `order
+          // by` is a DECLARATION of the event-time row order the
+          // stateful operators downstream (scan) consume per micro-batch
+          warn("order by over a streaming source declares the event-time order " +
+            "for downstream stateful operators; it does not sort the stream")
+          df
+        } else df.orderBy(items.map(_(df)): _*)
       case "top" if peekIs("-") =>
         // `top-nested N of Col by Name = agg() [, top-nested N2 of Col2
         //  by Name2 = agg2() …]` — hierarchical top-k: each level keeps
@@ -4176,7 +4201,62 @@ object KqlCompiler {
           if (ss.lengthCompare(1) == 0 && ss.head._2 == "last") keepLastPerGroup(base)
           else base
         }
-        val scanned = compiledSteps match {
+        // STREAMING source (round 19): the same machine description runs
+        // through StreamOps.streamingScanStateful — flatMapGroupsWithState
+        // keyed by the partition column(s), rows ordered by event time
+        // within each micro-batch, per-key state watermark-evicted. The
+        // batch fast paths (scanRunning window sums, scanSequential's
+        // precomputed cells, the global-partition form) all need a
+        // repartition+sort or window an unbounded stream can't provide,
+        // so every streaming scan takes the general runner; the trades
+        // (in-watermark parity, explicit lateness bound) are opt-in via
+        // `set streaming_scan_watermark`.
+        def streamingLowering(): DataFrame = {
+          import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, SortOrder}
+          if (partitionCols.isEmpty) throw new KqlParseException(
+            "a scan over a streaming source must be keyed: wrap it as " +
+            "`partition by <Key> ( scan ... )` (unbounded global state is not streamable)")
+          if (ss.lengthCompare(1) == 0 && ss.head._2 == "last") throw new KqlParseException(
+            "streaming scan cannot use output=last on a single-step scan " +
+            "(the sequence never completes and the stream never ends)")
+          def nameOf(e: CExpr, what: String): String = e match {
+            case a: AttributeReference => a.name
+            case UnresolvedAttribute(parts) if parts.length == 1 => parts.head
+            case other => throw new KqlParseException(
+              s"streaming scan $what must be a plain column, got: $other")
+          }
+          val keyNames = partitionCols.map(c =>
+            nameOf(ExpressionUtils.catalystExpression(c), "partition key"))
+          val tsName = orderCols match {
+            case Seq(one) => ExpressionUtils.catalystExpression(one) match {
+              case so: SortOrder =>
+                if (so.direction != Ascending) throw new KqlParseException(
+                  "streaming scan needs an ASCENDING event-time order " +
+                  "(order by <ts> asc)")
+                nameOf(so.child, "event-time order column")
+              case other => nameOf(other, "event-time order column")
+            }
+            case _ => throw new KqlParseException(
+              "streaming scan needs exactly one order-by column (the event time)")
+          }
+          if (df.schema(tsName).dataType != TimestampType) throw new KqlParseException(
+            s"streaming scan event-time column '$tsName' must be a datetime " +
+            s"(got ${df.schema(tsName).dataType.simpleString}) — watermarks need event time")
+          val wmUs = streamingScanWatermarkUs.getOrElse(throw new KqlParseException(
+            "a scan over a streaming source requires an explicit lateness bound: " +
+            "`set streaming_scan_watermark = <timespan>;` (engine extension)"))
+          val horizonMs = streamingScanHorizonUs.map(_ / 1000L).getOrElse(3600000L)
+          val sfSteps = compiledSteps.map { case (nm, om, cond, assigns) =>
+            graft.ops.Funnel.StatefulStep(nm, rewriteState(cond),
+              assigns.map { case (an, ab) => (an, rewriteState(ab)) },
+              emit = om != "none")
+          }
+          graft.streaming.StreamOps.streamingScanStateful(df, keyNames, tsName,
+            s"${wmUs / 1000L} milliseconds", horizonMs,
+            declares.map { case (n, dt, b) => (n, dt, b(df)) },
+            sfSteps, refsBuf.values.toSeq, matchIdCol)
+        }
+        val scanned = if (df.isStreaming) streamingLowering() else compiledSteps match {
           case (_, outMode, cond, assigns) :: Nil if !isStateful(cond) =>
             // single step: the fully-windowed running form when every
             // assignment is row-only or the bare additive accumulator;

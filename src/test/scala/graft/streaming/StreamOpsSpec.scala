@@ -512,6 +512,68 @@ class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("KQL scan over a streaming source compiles to the streaming runner (batch parity)") {
+    // one KQL text, two sources (round 19): on a batch frame the scan
+    // takes the batch stateful machine; on a MemoryStream frame the SAME
+    // text lowers to streamingScanStateful (keyed by the partition
+    // column, event time from the ascending order-by, lateness bound
+    // from the engine-extension `set streaming_scan_watermark`). The two
+    // executions must agree row-for-row on in-watermark data.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamOps.VEvent
+    val kql =
+      """set streaming_scan_watermark = 5s;
+        #set streaming_scan_horizon = 1h;
+        #t
+        #| order by ts asc
+        #| partition by user_id ( scan with_match_id=m declare (v0: real = 0.0, gap: real = -1.0) with (
+        #    step s1: true => v0 = value;
+        #    step s2: value > s1.v0 => gap = value - s2.v0;
+        #  ) )
+        #| project user_id, ts, value, v0, gap, m""".stripMargin('#')
+    val fixture = Seq(
+      VEvent(1L, ts(1), 5.0), VEvent(1L, ts(2), 3.0), VEvent(1L, ts(3), 4.0),
+      VEvent(1L, ts(4), 9.0), VEvent(1L, ts(5), 9.5),
+      VEvent(2L, ts(1), 7.0), VEvent(2L, ts(2), 6.0), VEvent(2L, ts(3), 5.0),
+      VEvent(3L, ts(1), 1.0), VEvent(3L, ts(2), 2.0))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("user_id"), rel(r.getAs[Timestamp]("ts")),
+       r.getAs[java.lang.Double]("v0"),
+       Option(r.getAs[java.lang.Double]("gap")).map(_.doubleValue),
+       r.getAs[Long]("m"))
+    val batch = graft.kql.KqlCompiler.compile(kql, _ => fixture.toDF())
+      .collect().map(key).toSet
+
+    val stream = MemoryStream[VEvent]
+    val streamDf = graft.kql.KqlCompiler.compile(kql, _ => stream.toDS().toDF())
+    assert(streamDf.isStreaming, "the compiled frame must stay a streaming frame")
+    val q = streamDf.writeStream.format("memory").queryName("kql_scan_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (b1, b2) = fixture.partition(_.ts.getTime <= ts(2).getTime)
+      stream.addData(b1: _*); q.processAllAvailable()
+      stream.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("kql_scan_stream").collect().map(key).toSet
+      assert(streamed == batch,
+        s"KQL batch/stream scan diverge:\n  batch=$batch\n  stream=$streamed")
+    } finally q.stop()
+
+    // loud contracts: a streaming scan without the watermark set, or
+    // without a partition key, must fail AT COMPILE with a clear message
+    val noWm = intercept[Exception](graft.kql.KqlCompiler.compile(
+      kql.linesIterator.filterNot(_.startsWith("set streaming_scan_watermark"))
+        .mkString("\n"), _ => stream.toDS().toDF()))
+    assert(noWm.getMessage.contains("streaming_scan_watermark"), noWm.getMessage)
+    val unkeyed = intercept[Exception](graft.kql.KqlCompiler.compile(
+      """set streaming_scan_watermark = 5s;
+        #t
+        #| order by ts asc
+        #| scan declare (a: real = 0.0) with (step s1: true => a = a + value;)""".stripMargin('#'),
+      _ => stream.toDS().toDF()))
+    assert(unkeyed.getMessage.contains("partition by"), unkeyed.getMessage)
+  }
+
   test("streamingRowWindowSession: batch/stream parity, session spanning two micro-batches") {
     // the q179-class sessionization scalar (round-19 item 7): max
     // duration from the CURRENT session's start (moving anchor) + idle
