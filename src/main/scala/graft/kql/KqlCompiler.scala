@@ -917,14 +917,14 @@ object KqlCompiler {
                 if (peekTimespan) Left(timespanMicros()) else Right(expr()))
             case "query_bin_auto_at" =>
               binAutoAt = Some(expr())
-            case "streaming_scan_watermark" =>
+            case "streaming_watermark" =>
               if (!peekTimespan) throw new KqlParseException(
-                "set streaming_scan_watermark expects a timespan literal (e.g. 10s)")
-              streamingScanWatermarkUs = Some(timespanMicros())
-            case "streaming_scan_horizon" =>
+                "set streaming_watermark expects a timespan literal (e.g. 10s)")
+              streamingWatermarkUs = Some(timespanMicros())
+            case "streaming_horizon" =>
               if (!peekTimespan) throw new KqlParseException(
-                "set streaming_scan_horizon expects a timespan literal (e.g. 1h)")
-              streamingScanHorizonUs = Some(timespanMicros())
+                "set streaming_horizon expects a timespan literal (e.g. 1h)")
+              streamingHorizonUs = Some(timespanMicros())
             case other =>
               warn(s"set '$other' ignored (unsupported request property)")
               while (!peekIs(";")) next()
@@ -1016,14 +1016,58 @@ object KqlCompiler {
       * (defaults to the epoch / zero when unset, Kusto's default). */
     private var binAutoAt: Option[ColB] = None
 
-    /** ENGINE EXTENSIONS (no Kusto equivalent — Kusto's scan is batch):
-      * `set streaming_scan_watermark = <timespan>;` is REQUIRED when a
-      * `scan` runs over a STREAMING source (it defines the event-time
-      * lateness bound, a semantic choice the engine won't default), and
-      * `set streaming_scan_horizon = <timespan>;` bounds per-key state
-      * retention past the last event (default 1h). */
-    private var streamingScanWatermarkUs: Option[Long] = None
-    private var streamingScanHorizonUs: Option[Long] = None
+    /** ENGINE EXTENSIONS (no Kusto equivalent — Kusto's stateful
+      * operators are batch): `set streaming_watermark = <timespan>;` is
+      * REQUIRED when a stateful operator (`scan`,
+      * `row_window_session`) runs over a STREAMING source (it defines
+      * the event-time lateness bound, a semantic choice the engine
+      * won't default), and `set streaming_horizon = <timespan>;` bounds
+      * per-key state retention past the last event (default 1h). */
+    private var streamingWatermarkUs: Option[Long] = None
+    private var streamingHorizonUs: Option[Long] = None
+
+    /** Shared plumbing for stateful operators over a STREAMING source
+      * (round 19): the partition-key column names, the event-time
+      * column (from the declared ascending order), the watermark delay
+      * string, and the state horizon — every contract violation is a
+      * loud COMPILE error. */
+    private def streamingStatefulArgs(df: DataFrame, partitionCols: Seq[Column],
+        what: String): (Seq[String], String, String, Long) = {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference,
+        Expression => CExpr, SortOrder}
+      import org.apache.spark.sql.{GraftColumnBridge => EU}
+      if (partitionCols.isEmpty) throw new KqlParseException(
+        s"a $what over a streaming source must be keyed: wrap it in " +
+        "`partition by <Key> ( ... )` (unbounded global state is not streamable)")
+      def nameOf(e: CExpr, role: String): String = e match {
+        case a: AttributeReference => a.name
+        case UnresolvedAttribute(parts) if parts.length == 1 => parts.head
+        case other => throw new KqlParseException(
+          s"streaming $what $role must be a plain column, got: $other")
+      }
+      val keyNames = partitionCols.map(c => nameOf(EU.catalystExpression(c), "partition key"))
+      val tsName = lastOrder.get.map(_(df)) match {
+        case Seq(one) => EU.catalystExpression(one) match {
+          case so: SortOrder =>
+            if (so.direction != Ascending) throw new KqlParseException(
+              s"streaming $what needs an ASCENDING event-time order (order by <ts> asc)")
+            nameOf(so.child, "event-time order column")
+          case other => nameOf(other, "event-time order column")
+        }
+        case _ => throw new KqlParseException(
+          s"streaming $what needs exactly one order-by column (the event time)")
+      }
+      if (df.schema(tsName).dataType != org.apache.spark.sql.types.TimestampType)
+        throw new KqlParseException(
+          s"streaming $what event-time column '$tsName' must be a datetime " +
+          s"(got ${df.schema(tsName).dataType.simpleString}) — watermarks need event time")
+      val wmUs = streamingWatermarkUs.getOrElse(throw new KqlParseException(
+        s"a $what over a streaming source requires an explicit lateness bound: " +
+        "`set streaming_watermark = <timespan>;` (engine extension)"))
+      (keyNames, tsName, s"${wmUs / 1000L} milliseconds",
+        streamingHorizonUs.map(_ / 1000L).getOrElse(3600000L))
+    }
 
     /** toscalar() bindings: name → evaluated constant. */
     private val scalarLets = scala.collection.mutable.Map.empty[String, Any]
@@ -3950,12 +3994,33 @@ object KqlCompiler {
       if (lastOrder.isEmpty)
         throw new KqlParseException(
           "row_window_session requires a preceding 'order by' (no stable natural order in a distributed engine)")
-      if (partitionCols.isEmpty)
+      if (partitionCols.isEmpty && !df.isStreaming)
         warn("row_window_session without a partition key lowers to ONE global partition " +
           "(Kusto's serialized-input semantics); wrap it as " +
           "`partition by Key ( extend ... )` to distribute per-key sessionization")
-      graft.ops.Funnel.rowWindowSession(df, partitionCols, lastOrder.get.map(_(df)),
-        tsB(df), maxFirstUs, idleUs, restart.map(_(df)), outName)
+      if (df.isStreaming) {
+        // STREAMING source (round 19): lower to the flatMapGroupsWithState
+        // counterpart — same contracts as the streaming scan (keyed,
+        // ascending event-time order, explicit watermark), plus: the
+        // session timestamp argument must BE the event-time column
+        // (sessions are defined on the stream's own time axis)
+        val (keyNames, tsName, delay, horizonMs) =
+          streamingStatefulArgs(df, partitionCols, "row_window_session")
+        val tsArgName = org.apache.spark.sql.GraftColumnBridge.catalystExpression(tsB(df)) match {
+          case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a.name
+          case org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(parts)
+              if parts.length == 1 => parts.head
+          case other => throw new KqlParseException(
+            s"streaming row_window_session timestamp must be a plain column, got: $other")
+        }
+        if (tsArgName != tsName) throw new KqlParseException(
+          s"streaming row_window_session timestamp '$tsArgName' must be the " +
+          s"event-time order column '$tsName'")
+        graft.streaming.StreamOps.streamingRowWindowSession(df, keyNames, tsName,
+          delay, horizonMs, maxFirstUs, idleUs, restart.map(_(df)), outName)
+      } else
+        graft.ops.Funnel.rowWindowSession(df, partitionCols, lastOrder.get.map(_(df)),
+          tsB(df), maxFirstUs, idleUs, restart.map(_(df)), outName)
     }
 
     private def scanOp(df: DataFrame, partitionCols: Seq[Column]): DataFrame = {
@@ -4212,47 +4277,18 @@ object KqlCompiler {
         // (in-watermark parity, explicit lateness bound) are opt-in via
         // `set streaming_scan_watermark`.
         def streamingLowering(): DataFrame = {
-          import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, SortOrder}
-          if (partitionCols.isEmpty) throw new KqlParseException(
-            "a scan over a streaming source must be keyed: wrap it as " +
-            "`partition by <Key> ( scan ... )` (unbounded global state is not streamable)")
           if (ss.lengthCompare(1) == 0 && ss.head._2 == "last") throw new KqlParseException(
             "streaming scan cannot use output=last on a single-step scan " +
             "(the sequence never completes and the stream never ends)")
-          def nameOf(e: CExpr, what: String): String = e match {
-            case a: AttributeReference => a.name
-            case UnresolvedAttribute(parts) if parts.length == 1 => parts.head
-            case other => throw new KqlParseException(
-              s"streaming scan $what must be a plain column, got: $other")
-          }
-          val keyNames = partitionCols.map(c =>
-            nameOf(ExpressionUtils.catalystExpression(c), "partition key"))
-          val tsName = orderCols match {
-            case Seq(one) => ExpressionUtils.catalystExpression(one) match {
-              case so: SortOrder =>
-                if (so.direction != Ascending) throw new KqlParseException(
-                  "streaming scan needs an ASCENDING event-time order " +
-                  "(order by <ts> asc)")
-                nameOf(so.child, "event-time order column")
-              case other => nameOf(other, "event-time order column")
-            }
-            case _ => throw new KqlParseException(
-              "streaming scan needs exactly one order-by column (the event time)")
-          }
-          if (df.schema(tsName).dataType != TimestampType) throw new KqlParseException(
-            s"streaming scan event-time column '$tsName' must be a datetime " +
-            s"(got ${df.schema(tsName).dataType.simpleString}) — watermarks need event time")
-          val wmUs = streamingScanWatermarkUs.getOrElse(throw new KqlParseException(
-            "a scan over a streaming source requires an explicit lateness bound: " +
-            "`set streaming_scan_watermark = <timespan>;` (engine extension)"))
-          val horizonMs = streamingScanHorizonUs.map(_ / 1000L).getOrElse(3600000L)
+          val (keyNames, tsName, delay, horizonMs) =
+            streamingStatefulArgs(df, partitionCols, "scan")
           val sfSteps = compiledSteps.map { case (nm, om, cond, assigns) =>
             graft.ops.Funnel.StatefulStep(nm, rewriteState(cond),
               assigns.map { case (an, ab) => (an, rewriteState(ab)) },
               emit = om != "none")
           }
           graft.streaming.StreamOps.streamingScanStateful(df, keyNames, tsName,
-            s"${wmUs / 1000L} milliseconds", horizonMs,
+            delay, horizonMs,
             declares.map { case (n, dt, b) => (n, dt, b(df)) },
             sfSteps, refsBuf.values.toSeq, matchIdCol)
         }

@@ -517,14 +517,14 @@ class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // takes the batch stateful machine; on a MemoryStream frame the SAME
     // text lowers to streamingScanStateful (keyed by the partition
     // column, event time from the ascending order-by, lateness bound
-    // from the engine-extension `set streaming_scan_watermark`). The two
+    // from the engine-extension `set streaming_watermark`). The two
     // executions must agree row-for-row on in-watermark data.
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     import StreamOps.VEvent
     val kql =
-      """set streaming_scan_watermark = 5s;
-        #set streaming_scan_horizon = 1h;
+      """set streaming_watermark = 5s;
+        #set streaming_horizon = 1h;
         #t
         #| order by ts asc
         #| partition by user_id ( scan with_match_id=m declare (v0: real = 0.0, gap: real = -1.0) with (
@@ -562,16 +562,55 @@ class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // loud contracts: a streaming scan without the watermark set, or
     // without a partition key, must fail AT COMPILE with a clear message
     val noWm = intercept[Exception](graft.kql.KqlCompiler.compile(
-      kql.linesIterator.filterNot(_.startsWith("set streaming_scan_watermark"))
+      kql.linesIterator.filterNot(_.startsWith("set streaming_watermark"))
         .mkString("\n"), _ => stream.toDS().toDF()))
-    assert(noWm.getMessage.contains("streaming_scan_watermark"), noWm.getMessage)
+    assert(noWm.getMessage.contains("streaming_watermark"), noWm.getMessage)
     val unkeyed = intercept[Exception](graft.kql.KqlCompiler.compile(
-      """set streaming_scan_watermark = 5s;
+      """set streaming_watermark = 5s;
         #t
         #| order by ts asc
         #| scan declare (a: real = 0.0) with (step s1: true => a = a + value;)""".stripMargin('#'),
       _ => stream.toDS().toDF()))
     assert(unkeyed.getMessage.contains("partition by"), unkeyed.getMessage)
+  }
+
+  test("KQL row_window_session over a streaming source lowers to the streaming counterpart") {
+    // same one-text-two-sources gate as the streaming scan: the keyed
+    // sessionization extend must agree between the batch kernel and the
+    // flatMapGroupsWithState lowering, with the session spanning the
+    // micro-batch split (idle=5s, maxFromFirst=8s — t9 re-anchors)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val kql =
+      """set streaming_watermark = 5s;
+        #t
+        #| order by ts asc
+        #| partition by user_id ( extend sess = row_window_session(ts, 8s, 5s) )
+        #| project user_id, ts, sess""".stripMargin('#')
+    val fixture = Seq(
+      SEvent(1L, ts(0), "a"), SEvent(1L, ts(3), "a"), SEvent(1L, ts(6), "a"),
+      SEvent(1L, ts(9), "a"), SEvent(1L, ts(12), "a"),
+      SEvent(2L, ts(0), "b"), SEvent(2L, ts(10), "b"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("user_id"), rel(r.getAs[Timestamp]("ts")),
+       rel(r.getAs[Timestamp]("sess")))
+    val batch = graft.kql.KqlCompiler.compile(kql, _ => fixture.toDF())
+      .collect().map(key).toSet
+    assert(batch.contains((1L, 9L, 9L)), s"moving anchor must re-open at t9: $batch")
+
+    val stream = MemoryStream[SEvent]
+    val streamDf = graft.kql.KqlCompiler.compile(kql, _ => stream.toDS().toDF())
+    assert(streamDf.isStreaming)
+    val q = streamDf.writeStream.format("memory").queryName("kql_rws_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (b1, b2) = fixture.partition(_.ts.getTime <= ts(6).getTime)
+      stream.addData(b1: _*); q.processAllAvailable()
+      stream.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("kql_rws_stream").collect().map(key).toSet
+      assert(streamed == batch,
+        s"KQL batch/stream sessions diverge:\n  batch=$batch\n  stream=$streamed")
+    } finally q.stop()
   }
 
   test("streamingRowWindowSession: batch/stream parity, session spanning two micro-batches") {
