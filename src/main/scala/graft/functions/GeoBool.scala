@@ -71,14 +71,15 @@ object GeoBoolOps {
     * so already-gridded data and every emitted split point (computed
     * from snapped operands) are untouched. The `+ 0.0` folds rint's
     * -0.0 to +0.0 for the boxed-tuple machinery; coordinates outside
-    * ±1e7 (not lon/lat — garbage input) skip the grid to avoid
+    * ±9.0e6 (not lon/lat — garbage input; the bound keeps c·1e9 under
+    * 2^53 so the grid product is itself exact) skip the grid to avoid
     * overflow. Post-snap leftovers keep the loudly-null stance: a
     * segment collapsing to zero length is skipped, a ring collapsing to
     * zero area nulls in parseSide, and a leftover open walk still
     * throws Degenerate. */
   private val SnapCells = 1e9
   private def snap(c: Double): Double =
-    if (Math.abs(c) <= 1e7) Math.rint(c * SnapCells) / SnapCells + 0.0 else c + 0.0
+    if (Math.abs(c) <= 9.0e6) Math.rint(c * SnapCells) / SnapCells + 0.0 else c + 0.0
 
   /** In-place snap of a parsed polyline (the line ops' operand form). */
   private def snapLine(a: Array[Double]): Array[Double] = {

@@ -1028,18 +1028,32 @@ object KqlCompiler {
 
     /** Shared plumbing for stateful operators over a STREAMING source
       * (round 19): the partition-key column names, the event-time
-      * column (from the declared ascending order), the watermark delay
-      * string, and the state horizon — every contract violation is a
-      * loud COMPILE error. */
+      * column (the FIRST declared order-by column, required ascending
+      * datetime), the remaining order-by columns as in-micro-batch
+      * tiebreaks (round 20 — same-timestamp rows consume in the
+      * declared order, matching the batch machine's full sort; with no
+      * tiebreaks declared, ties fall to arrival order and the compiler
+      * WARNS), the watermark delay string, and the state horizon —
+      * every contract violation is a loud COMPILE error.
+      * `allowUnkeyed = true` (the scan family, whose per-key state is
+      * bounded) turns the missing-partition-key error into a loud
+      * single-state-partition warning. */
     private def streamingStatefulArgs(df: DataFrame, partitionCols: Seq[Column],
-        what: String): (Seq[String], String, String, Long) = {
+        what: String, allowUnkeyed: Boolean = false)
+        : (Seq[String], String, String, Long, Seq[(String, Boolean)]) = {
       import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
       import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference,
         Expression => CExpr, SortOrder}
       import org.apache.spark.sql.{GraftColumnBridge => EU}
-      if (partitionCols.isEmpty) throw new KqlParseException(
-        s"a $what over a streaming source must be keyed: wrap it in " +
-        "`partition by <Key> ( ... )` (unbounded global state is not streamable)")
+      if (partitionCols.isEmpty) {
+        if (allowUnkeyed)
+          warn(s"streaming $what without `partition by` routes the WHOLE stream through " +
+            "ONE state partition (machine state stays bounded, but throughput is " +
+            s"single-task); wrap it in `partition by <Key> ( ... )` to distribute")
+        else throw new KqlParseException(
+          s"a $what over a streaming source must be keyed: wrap it in " +
+          "`partition by <Key> ( ... )` (unbounded global state is not streamable)")
+      }
       def nameOf(e: CExpr, role: String): String = e match {
         case a: AttributeReference => a.name
         case UnresolvedAttribute(parts) if parts.length == 1 => parts.head
@@ -1047,26 +1061,37 @@ object KqlCompiler {
           s"streaming $what $role must be a plain column, got: $other")
       }
       val keyNames = partitionCols.map(c => nameOf(EU.catalystExpression(c), "partition key"))
-      val tsName = lastOrder.get.map(_(df)) match {
-        case Seq(one) => EU.catalystExpression(one) match {
-          case so: SortOrder =>
-            if (so.direction != Ascending) throw new KqlParseException(
-              s"streaming $what needs an ASCENDING event-time order (order by <ts> asc)")
-            nameOf(so.child, "event-time order column")
-          case other => nameOf(other, "event-time order column")
-        }
-        case _ => throw new KqlParseException(
-          s"streaming $what needs exactly one order-by column (the event time)")
+      val orders = lastOrder.get.map(_(df))
+      if (orders.isEmpty) throw new KqlParseException(
+        s"streaming $what needs an event-time order (order by <ts> asc [, tiebreaks])")
+      def asOrder(c: Column, role: String): (String, Boolean) = EU.catalystExpression(c) match {
+        case so: SortOrder => (nameOf(so.child, role), so.direction == Ascending)
+        case other => (nameOf(other, role), true)
       }
+      val (tsName, tsAsc) = asOrder(orders.head, "event-time order column")
+      if (!tsAsc) throw new KqlParseException(
+        s"streaming $what needs an ASCENDING event-time order (order by <ts> asc)")
       if (df.schema(tsName).dataType != org.apache.spark.sql.types.TimestampType)
         throw new KqlParseException(
           s"streaming $what event-time column '$tsName' must be a datetime " +
           s"(got ${df.schema(tsName).dataType.simpleString}) — watermarks need event time")
+      // secondary order-by columns become in-micro-batch tiebreaks
+      val tiebreaks = orders.tail.map(asOrder(_, "tiebreak column"))
+      tiebreaks.foreach { case (nm, _) =>
+        if (!graft.streaming.StreamOps.tiebreakOrderable(df.schema(nm).dataType))
+          throw new KqlParseException(
+            s"streaming $what tiebreak column '$nm' has unorderable type " +
+            df.schema(nm).dataType.simpleString)
+      }
+      if (tiebreaks.isEmpty)
+        warn(s"streaming $what with a single order-by column: same-timestamp rows within " +
+          "a micro-batch consume in ARRIVAL order (nondeterministic across runs); add " +
+          "secondary order-by columns to pin ties")
       val wmUs = streamingWatermarkUs.getOrElse(throw new KqlParseException(
         s"a $what over a streaming source requires an explicit lateness bound: " +
         "`set streaming_watermark = <timespan>;` (engine extension)"))
       (keyNames, tsName, s"${wmUs / 1000L} milliseconds",
-        streamingHorizonUs.map(_ / 1000L).getOrElse(3600000L))
+        streamingHorizonUs.map(_ / 1000L).getOrElse(3600000L), tiebreaks)
     }
 
     /** toscalar() bindings: name → evaluated constant. */
@@ -3056,8 +3081,24 @@ object KqlCompiler {
             expect(")")
             expect("by")
             val keyName = ident()
-            graft.ops.Funnel.sequenceDetect(df, keyName, col(tsName),
-              stepNames.map(n => n -> col(n)), stepWin, totalGap)
+            if (df.isStreaming) {
+              // STREAMING source (round 20): the plugin carries its own
+              // key (`by`) and event-time axis (the timeline argument),
+              // so unlike scan it needs no partition-by/order-by — only
+              // the explicit lateness bound. Emits each key's earliest
+              // completion the moment its last step matches; in-horizon
+              // batch/stream parity pinned by StreamOpsSpec.
+              val wmUs = streamingWatermarkUs.getOrElse(throw new KqlParseException(
+                "sequence_detect over a streaming source requires an explicit " +
+                "lateness bound: `set streaming_watermark = <timespan>;` " +
+                "(engine extension)"))
+              graft.streaming.StreamOps.streamingSequenceDetect(df, keyName, tsName,
+                s"${wmUs / 1000L} milliseconds",
+                streamingHorizonUs.map(_ / 1000L).getOrElse(3600000L),
+                stepNames.map(n => n -> col(n)), stepWin, totalGap)
+            } else
+              graft.ops.Funnel.sequenceDetect(df, keyName, col(tsName),
+                stepNames.map(n => n -> col(n)), stepWin, totalGap)
           case "schema_merge" =>
             // `evaluate schema_merge()` over a union of getschema
             // outputs (ColumnName/ColumnOrdinal/DataType rows): one row
@@ -4004,7 +4045,7 @@ object KqlCompiler {
         // ascending event-time order, explicit watermark), plus: the
         // session timestamp argument must BE the event-time column
         // (sessions are defined on the stream's own time axis)
-        val (keyNames, tsName, delay, horizonMs) =
+        val (keyNames, tsName, delay, horizonMs, tiebreaks) =
           streamingStatefulArgs(df, partitionCols, "row_window_session")
         val tsArgName = org.apache.spark.sql.GraftColumnBridge.catalystExpression(tsB(df)) match {
           case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a.name
@@ -4017,7 +4058,7 @@ object KqlCompiler {
           s"streaming row_window_session timestamp '$tsArgName' must be the " +
           s"event-time order column '$tsName'")
         graft.streaming.StreamOps.streamingRowWindowSession(df, keyNames, tsName,
-          delay, horizonMs, maxFirstUs, idleUs, restart.map(_(df)), outName)
+          delay, horizonMs, maxFirstUs, idleUs, restart.map(_(df)), outName, tiebreaks)
       } else
         graft.ops.Funnel.rowWindowSession(df, partitionCols, lastOrder.get.map(_(df)),
           tsB(df), maxFirstUs, idleUs, restart.map(_(df)), outName)
@@ -4275,13 +4316,13 @@ object KqlCompiler {
         // repartition+sort or window an unbounded stream can't provide,
         // so every streaming scan takes the general runner; the trades
         // (in-watermark parity, explicit lateness bound) are opt-in via
-        // `set streaming_scan_watermark`.
+        // `set streaming_watermark`.
         def streamingLowering(): DataFrame = {
           if (ss.lengthCompare(1) == 0 && ss.head._2 == "last") throw new KqlParseException(
             "streaming scan cannot use output=last on a single-step scan " +
             "(the sequence never completes and the stream never ends)")
-          val (keyNames, tsName, delay, horizonMs) =
-            streamingStatefulArgs(df, partitionCols, "scan")
+          val (keyNames, tsName, delay, horizonMs, tiebreaks) =
+            streamingStatefulArgs(df, partitionCols, "scan", allowUnkeyed = true)
           val sfSteps = compiledSteps.map { case (nm, om, cond, assigns) =>
             graft.ops.Funnel.StatefulStep(nm, rewriteState(cond),
               assigns.map { case (an, ab) => (an, rewriteState(ab)) },
@@ -4290,7 +4331,7 @@ object KqlCompiler {
           graft.streaming.StreamOps.streamingScanStateful(df, keyNames, tsName,
             delay, horizonMs,
             declares.map { case (n, dt, b) => (n, dt, b(df)) },
-            sfSteps, refsBuf.values.toSeq, matchIdCol)
+            sfSteps, refsBuf.values.toSeq, matchIdCol, tiebreaks)
         }
         val scanned = if (df.isStreaming) streamingLowering() else compiledSteps match {
           case (_, outMode, cond, assigns) :: Nil if !isStateful(cond) =>

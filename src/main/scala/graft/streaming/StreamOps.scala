@@ -289,19 +289,40 @@ object StreamOps {
 
   final case class VEvent(user_id: Long, ts: Timestamp, value: Double)
 
-  /** Persisted per-key state of [[streamingScanStateful]]: `states(k)` =
-    * declared values (SCALA external form — stable across state-store
-    * snapshots) plus the match id in the last slot iff a sequence sits
-    * at step k, else null; `captures(k)` = ONLY the captured-row fields
-    * some non-declared StateRef actually reads at step k (aligned with
-    * the runtime's per-step slot list, scala form) — the rest of the
-    * record last consumed is dead weight for the machine, so persisted
-    * state is O(steps × (declares + referenced fields)) per key,
-    * INDEPENDENT of input row width. Kryo-encoded (heterogeneous
-    * arrays), watermark-evicted. */
-  final case class ScanMachineState(states: Array[Array[Any]],
-                                    captures: Array[Array[Any]],
-                                    nextId: Long, lastMs: Long)
+  /** Persisted per-key state SCHEMA of [[streamingScanStateful]] (round
+    * 20 — an explicit Catalyst row schema replacing the round-19
+    * `Encoders.kryo[Array[Array[Any]]]` encoding, which was opaque
+    * binary: a field reorder or Scala/kryo version drift between the
+    * run that wrote a state-store snapshot and the run that restores it
+    * would deserialize garbage SILENTLY; a typed row either restores
+    * exactly or fails loudly on schema mismatch). Per step k:
+    * `s$k` = nullable struct of the declared values (their DECLARED
+    * Catalyst types) plus the match id — present iff a sequence sits at
+    * step k; `c$k` = nullable struct of ONLY the captured-row fields
+    * some non-declared StateRef actually reads at step k (the runtime's
+    * per-step slot list) — the rest of the record last consumed is dead
+    * weight for the machine, so persisted state is O(steps × (declares
+    * + referenced fields)) per key, INDEPENDENT of input row width.
+    * Plus `nextId` (match-id continuity) and `lastMs` (eviction clock).
+    * Checkpoint-restart round-trips are pinned by StreamOpsSpec. */
+  private def scanStateSchema(n: Int,
+      declDts: Seq[org.apache.spark.sql.types.DataType],
+      capSlots: Array[Array[(Int, org.apache.spark.sql.types.DataType)]])
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(
+      (0 until n).flatMap { k =>
+        Seq(
+          StructField(s"s$k", StructType(
+            declDts.zipWithIndex.map { case (dt, i) =>
+              StructField(s"d$i", dt, nullable = true) } :+
+            StructField("mid", LongType, nullable = false)), nullable = true),
+          StructField(s"c$k", StructType(
+            capSlots(k).zipWithIndex.map { case ((_, dt), i) =>
+              StructField(s"f$i", dt, nullable = true) }), nullable = true))
+      } :+ StructField("nextId", LongType, nullable = false)
+        :+ StructField("lastMs", LongType, nullable = false))
+  }
 
   /** Streaming counterpart of the GENERAL stateful scan machine: consumes
     * the same machine description as [[graft.ops.Funnel.scanStateful]] —
@@ -325,17 +346,39 @@ object StreamOps {
     * MutableProjection over a JoinedRow, never interpreted reflection.
     *
     * Streaming trade (same as [[statefulSequenceMatch]]): rows order by
-    * event time WITHIN each micro-batch, and per-key machine state lives
-    * until the watermark passes lastEvent + horizonMs (event-time
-    * timeout) — batch/stream parity holds for in-watermark data, pinned
-    * by StreamOpsSpec on shared fixtures (the two-step q253 machine and
-    * a three-step output=last machine). */
+    * `tsCol` ASCENDING (nulls first) WITHIN each micro-batch — then by
+    * the optional `tiebreaks` (column name, ascending) so same-timestamp
+    * rows consume deterministically; residual ties keep arrival order —
+    * and per-key machine state lives until the watermark passes
+    * lastEvent + horizonMs (event-time timeout). Batch/stream parity
+    * holds for in-watermark data, pinned by StreamOpsSpec on shared
+    * fixtures (the two-step q253 machine and a three-step output=last
+    * machine), and across a checkpoint stop/restart.
+    *
+    * `keyCols` empty routes the WHOLE stream through ONE state
+    * partition (machine state stays bounded — O(steps × (declares +
+    * referenced fields)) — but throughput is single-task): the opt-in
+    * unkeyed running-accumulator shape (q117/q252 class); the KQL
+    * compiler warns loudly. */
+  /** Tiebreak columns must compare through `java.lang.Comparable` in
+    * Scala external form — the atomic orderable types. */
+  private[graft] def tiebreakOrderable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType | BooleanType | ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | DateType | TimestampType | TimestampNTZType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+  }
+
   def streamingScanStateful(df: DataFrame, keyCols: Seq[String], tsCol: String,
       delayThreshold: String, horizonMs: Long,
       declares: Seq[(String, org.apache.spark.sql.types.DataType, Column)],
       steps: Seq[graft.ops.Funnel.StatefulStep],
       stateRefs: Seq[graft.ops.Funnel.StateRef],
-      matchIdCol: Option[String]): DataFrame = {
+      matchIdCol: Option[String],
+      tiebreaks: Seq[(String, Boolean)] = Nil): DataFrame = {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeSeq, BindReferences, Expression}
@@ -343,7 +386,6 @@ object StreamOps {
     import org.apache.spark.sql.catalyst.plans.logical.Project
     require(steps.nonEmpty, "scan needs at least one step")
     require(horizonMs > 0, "horizonMs must be positive")
-    require(keyCols.nonEmpty, "streaming scan needs a partition key")
     stateRefs.find(r => r.step < 0 || r.step >= steps.size).foreach(r =>
       throw new IllegalArgumentException(
         s"scan state reference '${r.field}' names step ${r.step} of a ${steps.size}-step machine"))
@@ -389,6 +431,26 @@ object StreamOps {
       df.schema.fields.toSeq ++
         declares.map { case (v, dt, _) => StructField(v, dt, nullable = true) } ++
         matchIdCol.map(m => StructField(m, LongType, nullable = false)))
+    val refStep = stateRefs.map(_.step).toArray
+    val refIsDecl = stateRefs.map(_.isDeclared).toArray
+    val refOrd = stateRefs.map(r =>
+      if (r.isDeclared) declIdx(r.field) else evalSchema.fieldIndex(r.field)).toArray
+    val refDt = stateRefs.map(_.dt).toArray
+    // the only captured-row fields the machine can ever read at step k:
+    // input ordinals referenced by a non-declared StateRef of that step.
+    // Captures are SLIMMED to these slots, so per-key state size is
+    // independent of the input row width at 100 TB stream scale.
+    val capSlots: Array[Array[(Int, DataType)]] =
+      Array.tabulate(steps.size)(k =>
+        refStep.indices.filter(i => refStep(i) == k && !refIsDecl(i))
+          .map(i => (refOrd(i), refDt(i))).distinct.toArray)
+    val tbIdx = tiebreaks.map { case (nm, _) => evalSchema.fieldIndex(nm) }.toArray
+    tiebreaks.foreach { case (nm, _) =>
+      if (!tiebreakOrderable(evalSchema(nm).dataType))
+        throw new IllegalArgumentException(
+          s"streaming scan tiebreak column '$nm' has unorderable type " +
+          evalSchema(nm).dataType.simpleString)
+    }
     val runtime = new ScanMachineRuntime(
       evalSchema = evalSchema,
       condExprs = condExprs,
@@ -396,29 +458,44 @@ object StreamOps {
       defaultExprs = defaultExprs,
       emitStep = steps.map(_.emit).toArray,
       declDts = declares.map(_._2).toArray,
-      refStep = stateRefs.map(_.step).toArray,
-      refIsDecl = stateRefs.map(_.isDeclared).toArray,
-      refOrd = stateRefs.map(r =>
-        if (r.isDeclared) declIdx(r.field) else evalSchema.fieldIndex(r.field)).toArray,
-      refDt = stateRefs.map(_.dt).toArray,
+      refStep = refStep,
+      refIsDecl = refIsDecl,
+      refOrd = refOrd,
+      refDt = refDt,
+      capSlots = capSlots,
       tsIdx = evalSchema.fieldIndex(tsCol),
+      tbIdx = tbIdx,
+      tbAsc = tiebreaks.map(_._2).toArray,
       inLen = df.columns.length,
       withId = matchIdCol.isDefined,
       horizonMs = horizonMs)
     val keyIdxs = keyCols.map(evalSchema.fieldIndex).toArray
-    val keyEnc: org.apache.spark.sql.Encoder[Row] =
-      Encoders.row(StructType(keyCols.map(evalSchema(_)).toArray))
-    implicit val stateEnc: org.apache.spark.sql.Encoder[ScanMachineState] =
-      Encoders.kryo[ScanMachineState]
-    implicit val outEnc: org.apache.spark.sql.Encoder[Row] = Encoders.row(outSchema)
-    df.withWatermark(tsCol, delayThreshold)
-      .groupByKey(r => Row.fromSeq(keyIdxs.toIndexedSeq.map(r.get)))(keyEnc)
-      .flatMapGroupsWithState[ScanMachineState, Row](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (_, rows, state) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else runtime.run(rows, state)
-      }
+    val stateEnc: org.apache.spark.sql.Encoder[Row] =
+      Encoders.row(scanStateSchema(steps.size, declares.map(_._2), capSlots))
+    val outEnc: org.apache.spark.sql.Encoder[Row] = Encoders.row(outSchema)
+    val func = (rows: Iterator[Row],
+                state: org.apache.spark.sql.streaming.GroupState[Row]) =>
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else runtime.run(rows, state)
+    val wm = df.withWatermark(tsCol, delayThreshold)
+    if (keyIdxs.isEmpty)
+      // unkeyed: one global state partition (opt-in; bounded state)
+      wm.groupByKey(_ => 0)(Encoders.scalaInt)
+        .flatMapGroupsWithState[Row, Row](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+          (_: Int, rows: Iterator[Row], state: org.apache.spark.sql.streaming.GroupState[Row]) =>
+            func(rows, state)
+        }(stateEnc, outEnc)
+    else {
+      val keyEnc: org.apache.spark.sql.Encoder[Row] =
+        Encoders.row(StructType(keyCols.map(evalSchema(_)).toArray))
+      wm.groupByKey(r => Row.fromSeq(keyIdxs.toIndexedSeq.map(r.get)))(keyEnc)
+        .flatMapGroupsWithState[Row, Row](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+          (_: Row, rows: Iterator[Row], state: org.apache.spark.sql.streaming.GroupState[Row]) =>
+            func(rows, state)
+        }(stateEnc, outEnc)
+    }
   }
 
   /** Persisted per-key state of [[streamingRowWindowSession]]. */
@@ -437,15 +514,18 @@ object StreamOps {
     * batch lowering's discipline.
     *
     * Streaming trade (same as [[streamingScanStateful]]): rows order by
-    * event time WITHIN each micro-batch; per-key state is three longs +
-    * a flag, evicted once the watermark passes lastEvent + horizonMs.
+    * event time ASCENDING within each micro-batch, then by the optional
+    * `tiebreaks` (column name, ascending) — residual same-timestamp
+    * ties keep arrival order; per-key state is three longs + a flag,
+    * evicted once the watermark passes lastEvent + horizonMs.
     * Batch/stream parity on in-watermark data is pinned by
     * StreamOpsSpec on a shared fixture with a session spanning two
     * micro-batches. Pinned edge rule kept: a null timestamp emits a
     * null session start and does not advance the session state. */
   def streamingRowWindowSession(df: DataFrame, keyCols: Seq[String], tsCol: String,
       delayThreshold: String, horizonMs: Long, maxFirstUs: Long, idleUs: Long,
-      restart: Option[Column], outName: String): DataFrame = {
+      restart: Option[Column], outName: String,
+      tiebreaks: Seq[(String, Boolean)] = Nil): DataFrame = {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.{Encoders, Row}
     require(horizonMs > 0, "horizonMs must be positive")
@@ -463,6 +543,37 @@ object StreamOps {
     val tI = schema.fieldIndex("__rws_ts")
     val rI = schema.fieldIndex("__rws_r")
     val keyIdxs = keyCols.map(schema.fieldIndex).toArray
+    val tbIdx = tiebreaks.map { case (nm, _) => schema.fieldIndex(nm) }.toArray
+    val tbAsc = tiebreaks.map(_._2).toArray
+    tiebreaks.foreach { case (nm, _) =>
+      if (!tiebreakOrderable(schema(nm).dataType))
+        throw new IllegalArgumentException(
+          s"row_window_session tiebreak column '$nm' has unorderable type " +
+          schema(nm).dataType.simpleString)
+    }
+    // (event time asc nulls-first, tiebreaks) — stable, so residual
+    // ties keep arrival order
+    val rowOrd: Ordering[Row] = new Ordering[Row] {
+      def compare(a: Row, b: Row): Int = {
+        val ta = if (a.isNullAt(tI)) Long.MinValue else a.getLong(tI)
+        val tb = if (b.isNullAt(tI)) Long.MinValue else b.getLong(tI)
+        var c = java.lang.Long.compare(ta, tb)
+        var i = 0
+        while (c == 0 && i < tbIdx.length) {
+          val av = a.get(tbIdx(i)); val bv = b.get(tbIdx(i))
+          c =
+            if (av == null && bv == null) 0
+            else if (av == null) { if (tbAsc(i)) -1 else 1 }
+            else if (bv == null) { if (tbAsc(i)) 1 else -1 }
+            else {
+              val r = av.asInstanceOf[Comparable[Any]].compareTo(bv)
+              if (tbAsc(i)) r else -r
+            }
+          i += 1
+        }
+        c
+      }
+    }
     val outSchema = StructType(
       df.schema.fields :+ StructField(outName, LongType, nullable = true))
     val keyEnc: org.apache.spark.sql.Encoder[Row] =
@@ -482,8 +593,7 @@ object StreamOps {
               prevTs = s.prevTs; lastMs = s.lastMs
             }
             val out = Vector.newBuilder[Row]
-            val sorted = rows.toVector.sortBy(r =>
-              if (r.isNullAt(tI)) Long.MinValue else r.getLong(tI))
+            val sorted = rows.toVector.sorted(rowOrd)
             sorted.foreach { row =>
               val vals = new Array[Any](inLen + 1)
               var i = 0
@@ -514,7 +624,9 @@ object StreamOps {
 
   /** Executor side of [[streamingScanStateful]]: ships the driver-bound
     * expressions, compiles them once per task (transient lazy vals), and
-    * replays the batch transition kernel over one key's micro-batch. */
+    * replays the batch transition kernel over one key's micro-batch.
+    * State round-trips the store as a TYPED row (see
+    * [[scanStateSchema]]), scala external form. */
   private final class ScanMachineRuntime(
       evalSchema: org.apache.spark.sql.types.StructType,
       condExprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
@@ -526,7 +638,9 @@ object StreamOps {
       declDts: Array[org.apache.spark.sql.types.DataType],
       refStep: Array[Int], refIsDecl: Array[Boolean],
       refOrd: Array[Int], refDt: Array[org.apache.spark.sql.types.DataType],
-      tsIdx: Int, inLen: Int, withId: Boolean, horizonMs: Long) extends Serializable {
+      capSlots: Array[Array[(Int, org.apache.spark.sql.types.DataType)]],
+      tsIdx: Int, tbIdx: Array[Int], tbAsc: Array[Boolean],
+      inLen: Int, withId: Boolean, horizonMs: Long) extends Serializable {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.catalyst.CatalystTypeConverters
     import org.apache.spark.sql.catalyst.InternalRow
@@ -549,14 +663,33 @@ object StreamOps {
     @transient private lazy val declToCat =
       declDts.map(CatalystTypeConverters.createToCatalystConverter)
 
-    // the only captured-row fields the machine can ever read at step k:
-    // input ordinals referenced by a non-declared StateRef of that step.
-    // Captures are SLIMMED to these slots, so per-key state size is
-    // independent of the input row width at 100 TB stream scale.
-    private val capSlots: Array[Array[(Int, org.apache.spark.sql.types.DataType)]] =
-      Array.tabulate(n)(k =>
-        refStep.indices.filter(i => refStep(i) == k && !refIsDecl(i))
-          .map(i => (refOrd(i), refDt(i))).distinct.toArray)
+    // micro-batch ordering: event time ascending (nulls first — they
+    // never advance the timeout clock), then the declared tiebreak
+    // columns; residual ties keep arrival order (stable sort)
+    @transient private lazy val rowOrd: Ordering[Row] = new Ordering[Row] {
+      def compare(a: Row, b: Row): Int = {
+        val ta = if (a.isNullAt(tsIdx)) Long.MinValue
+                 else a.getAs[java.sql.Timestamp](tsIdx).getTime
+        val tb = if (b.isNullAt(tsIdx)) Long.MinValue
+                 else b.getAs[java.sql.Timestamp](tsIdx).getTime
+        var c = java.lang.Long.compare(ta, tb)
+        var i = 0
+        while (c == 0 && i < tbIdx.length) {
+          val av = a.get(tbIdx(i)); val bv = b.get(tbIdx(i))
+          c =
+            if (av == null && bv == null) 0
+            else if (av == null) { if (tbAsc(i)) -1 else 1 }
+            else if (bv == null) { if (tbAsc(i)) 1 else -1 }
+            else {
+              val r = av.asInstanceOf[Comparable[Any]].compareTo(bv)
+              if (tbAsc(i)) r else -r
+            }
+          i += 1
+        }
+        c
+      }
+    }
+
     @transient private lazy val capToScala: Array[Array[Any => Any]] =
       capSlots.map(_.map { case (_, dt) =>
         val c = CatalystTypeConverters.createToScalaConverter(dt); (v: Any) => c(v) })
@@ -576,30 +709,36 @@ object StreamOps {
     }
 
     def run(rows: Iterator[Row],
-            state: org.apache.spark.sql.streaming.GroupState[ScanMachineState]): Iterator[Row] = {
-      // restore the scala-form persisted state into the kernel's
-      // catalyst-form working arrays
+            state: org.apache.spark.sql.streaming.GroupState[Row]): Iterator[Row] = {
+      // restore the typed-row persisted state (scala external form, see
+      // scanStateSchema) into the kernel's catalyst-form working arrays
       val persisted = state.getOption
       val states = new Array[Array[Any]](n)
       val captures = new Array[InternalRow](n)
       var nextId = 1L
-      var lastMs = persisted.map(_.lastMs).getOrElse(Long.MinValue)
+      var lastMs = persisted.map(_.getLong(2 * n + 1)).getOrElse(Long.MinValue)
       persisted.foreach { p =>
-        nextId = p.nextId
+        nextId = p.getLong(2 * n)
         var k = 0
         while (k < n) {
-          if (p.states(k) != null) {
+          if (!p.isNullAt(2 * k)) {
+            val sRow = p.getStruct(2 * k)
             val s = new Array[Any](nDecl + 1)
             var i = 0
-            while (i < nDecl) { s(i) = declToCat(i)(p.states(k)(i)); i += 1 }
-            s(nDecl) = p.states(k)(nDecl)
+            while (i < nDecl) {
+              s(i) = declToCat(i)(if (sRow.isNullAt(i)) null else sRow.get(i)); i += 1
+            }
+            s(nDecl) = sRow.getLong(nDecl)
             states(k) = s
             // re-hydrate the slim capture: only step k's referenced slots
             val g = new GenericInternalRow(inLen)
             val slots = capSlots(k)
+            val cRow = p.getStruct(2 * k + 1)
             i = 0
             while (i < slots.length) {
-              g.update(slots(i)._1, capToCat(k)(i)(p.captures(k)(i))); i += 1
+              g.update(slots(i)._1,
+                capToCat(k)(i)(if (cRow.isNullAt(i)) null else cRow.get(i)))
+              i += 1
             }
             captures(k) = g
           }
@@ -621,10 +760,8 @@ object StreamOps {
         }
       }
       val out = Vector.newBuilder[Row]
-      // event-time order within the micro-batch; null timestamps first
-      // (they never advance the timeout clock)
-      val sorted = rows.toVector.sortBy(r =>
-        if (r.isNullAt(tsIdx)) Long.MinValue else r.getAs[Timestamp](tsIdx).getTime)
+      // (event time asc, tiebreaks) within the micro-batch — see rowOrd
+      val sorted = rows.toVector.sorted(rowOrd)
       sorted.foreach { row =>
         if (!row.isNullAt(tsIdx)) {
           val t = row.getAs[Timestamp](tsIdx).getTime
@@ -684,10 +821,10 @@ object StreamOps {
           }
         }
       }
-      // persist scala-form; keep the state row (nextId continuity within
-      // the watermark horizon) even when no sequence is open
-      val pStates = new Array[Array[Any]](n)
-      val pCaps = new Array[Array[Any]](n)
+      // persist the typed state row (scala external form); keep it
+      // (nextId continuity within the watermark horizon) even when no
+      // sequence is open
+      val fields = new Array[Any](2 * n + 2)
       var k = 0
       while (k < n) {
         if (states(k) != null) {
@@ -695,23 +832,133 @@ object StreamOps {
           var i = 0
           while (i < nDecl) { s(i) = declToScala(i)(states(k)(i)); i += 1 }
           s(nDecl) = states(k)(nDecl)
-          pStates(k) = s
+          fields(2 * k) = Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(s))
           val slots = capSlots(k)
           val cv = new Array[Any](slots.length)
           i = 0
           while (i < slots.length) {
             cv(i) = capToScala(k)(i)(captures(k).get(slots(i)._1, slots(i)._2)); i += 1
           }
-          pCaps(k) = cv
+          fields(2 * k + 1) = Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(cv))
         }
         k += 1
       }
-      state.update(ScanMachineState(pStates, pCaps, nextId, lastMs))
+      fields(2 * n) = nextId
+      fields(2 * n + 1) = lastMs
+      state.update(Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(fields)))
       state.setTimeoutTimestamp(math.max(
         (if (lastMs == Long.MinValue) 0L else lastMs) + horizonMs,
         state.getCurrentWatermarkMs() + 1))
       out.result().iterator
     }
+  }
+
+  /** Persisted per-key state of [[streamingSequenceDetect]]: the
+    * matched timestamp (epoch micros) per step, [[SdUnset]] where the
+    * step hasn't matched; `done` once the key emitted its completion
+    * (suppresses re-detection while the key's state lives); `lastMs`
+    * drives eviction. Flat product encoder — no opaque binary. */
+  final case class SeqDetectState(ts: Array[Long], done: Boolean, lastMs: Long)
+  private val SdUnset = Long.MinValue
+
+  /** Streaming counterpart of Kusto `evaluate sequence_detect`
+    * ([[graft.ops.Funnel.sequenceDetect]], the q120 class): per key,
+    * the greedy earliest completion of the step sequence — each
+    * consecutive step strictly later than the previous matched step and
+    * within `stepWindowUs` of it, the whole sequence within
+    * `totalGapUs` of step 1 — emitted as ONE row (key + one timestamp
+    * column per step, batch's exact output shape) the moment the last
+    * step matches. The sequential kernel IS the batch chained-window-
+    * minima semantics replayed in event-time order: the earliest step-1
+    * anchor, then the earliest in-budget match per subsequent step.
+    *
+    * Streaming trades (documented): rows order by event time within
+    * each micro-batch (strict `>` between steps makes same-timestamp
+    * rows unable to chain, mirroring batch); a key that completed stays
+    * `done` — no re-detection — while its state lives, and state is
+    * evicted `horizonMs` of event time after the key's last event
+    * (event-time timeout), after which a NEW sequence may match — the
+    * same in-horizon-parity contract as every keyed runner here. State
+    * per key is `steps.length` longs + a flag, fixed-size forever. */
+  def streamingSequenceDetect(df: DataFrame, keyName: String, tsName: String,
+      delayThreshold: String, horizonMs: Long,
+      steps: Seq[(String, Column)], stepWindowUs: Long, totalGapUs: Long): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    require(steps.nonEmpty, "sequence_detect needs at least one step")
+    require(stepWindowUs > 0 && totalGapUs > 0, "sequence_detect windows must be positive")
+    require(horizonMs > 0, "horizonMs must be positive")
+    if (df.schema(tsName).dataType != TimestampType)
+      throw new IllegalArgumentException(
+        s"sequence_detect timeline '$tsName' must be a datetime " +
+        s"(got ${df.schema(tsName).dataType.simpleString})")
+    val n = steps.length
+    // the batch lowering's discipline: timeline micros and the step
+    // booleans are codegen'd CELLS before the keyed state op. The
+    // watermarked timestamp column itself stays in the projection —
+    // event-time timeouts need the tagged attribute in the child plan.
+    val eval = df.withWatermark(tsName, delayThreshold)
+      .select(col(keyName).as("__sd_k") +:
+        col(tsName).as("__sd_t") +:
+        unix_micros(col(tsName)).as("__sd_ts") +:
+        steps.map { case (nm, c) => c.cast("boolean").as("__sd_p_" + nm) }: _*)
+    val keyDt = df.schema(keyName).dataType
+    val outSchema = StructType(
+      StructField(keyName, keyDt, nullable = true) +:
+      steps.map { case (nm, _) => StructField(nm, TimestampType, nullable = true) })
+    val keyEnc: org.apache.spark.sql.Encoder[Row] =
+      Encoders.row(StructType(Seq(StructField("__sd_k", keyDt, nullable = true))))
+    implicit val stateEnc: org.apache.spark.sql.Encoder[SeqDetectState] =
+      Encoders.product[SeqDetectState]
+    implicit val outEnc: org.apache.spark.sql.Encoder[Row] = Encoders.row(outSchema)
+    eval.groupByKey(r => Row(r.get(0)))(keyEnc)
+      .flatMapGroupsWithState[SeqDetectState, Row](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (keyRow, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val st = state.getOption.getOrElse(
+              SeqDetectState(Array.fill(n)(SdUnset), done = false, Long.MinValue))
+            val tsArr = st.ts.clone()
+            var done = st.done
+            var lastMs = st.lastMs
+            val out = Vector.newBuilder[Row]
+            // null timelines never match a step in batch (min over a
+            // null cell) and never advance the clock — skip them
+            val sorted = rows.filter(!_.isNullAt(2)).toVector.sortBy(_.getLong(2))
+            sorted.foreach { row =>
+              val t = row.getLong(2)
+              val tMs = Math.floorDiv(t, 1000L)
+              if (tMs > lastMs) lastMs = tMs
+              if (!done) {
+                def p(i: Int): Boolean = !row.isNullAt(3 + i) && row.getBoolean(3 + i)
+                var i = n - 1
+                while (i >= 1 && !done) {
+                  if (tsArr(i) == SdUnset && tsArr(i - 1) != SdUnset && p(i) &&
+                      t > tsArr(i - 1) && t <= tsArr(i - 1) + stepWindowUs &&
+                      t <= tsArr(0) + totalGapUs) {
+                    tsArr(i) = t
+                    if (i == n - 1) done = true
+                  }
+                  i -= 1
+                }
+                if (!done && tsArr(0) == SdUnset && p(0)) {
+                  tsArr(0) = t
+                  if (n == 1) done = true
+                }
+                if (done) out += Row.fromSeq(
+                  keyRow.get(0) +: tsArr.toIndexedSeq.map(us =>
+                    DateTimeUtils.toJavaTimestamp(us)))
+              }
+            }
+            state.update(SeqDetectState(tsArr, done, lastMs))
+            state.setTimeoutTimestamp(math.max(
+              (if (lastMs == Long.MinValue) 0L else lastMs) + horizonMs,
+              state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
   }
 
   final case class LshBucketState(keeper: Long, lastMs: Long)
