@@ -957,6 +957,41 @@ class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(noWm.getMessage.contains("streaming_watermark"), noWm.getMessage)
   }
 
+  test("KQL sequence_detect survives a checkpoint stop/restart mid-chain") {
+    // the matched-prefix timestamps (flat product state) must restore
+    // across query lifetimes: view+click land in run 1, the purchase
+    // that completes the chain arrives after a restart from the same
+    // checkpoint under a FRESH compile of the same text
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val kql =
+      """set streaming_watermark = 5s;
+        #t
+        #| extend s1 = event_type == 'view', s2 = event_type == 'click', s3 = event_type == 'purchase'
+        #| evaluate sequence_detect(ts, 10s, 30s, s1, s2, s3) by user_id""".stripMargin('#')
+    val fixture = Seq(
+      EvRow(1, ts(0), 1, "view", 0), EvRow(2, ts(5), 1, "click", 0),
+      EvRow(3, ts(10), 1, "purchase", 0))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("user_id"), rel(r.getAs[Timestamp]("s1")),
+       rel(r.getAs[Timestamp]("s2")), rel(r.getAs[Timestamp]("s3")))
+    val batch = graft.kql.KqlCompiler.compile(kql, _ => fixture.toDF())
+      .collect().map(key).toSet
+    val cp = java.nio.file.Files.createTempDirectory("sd_restart_cp").toString
+    val stream = MemoryStream[EvRow]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q1 = startCollecting(
+      graft.kql.KqlCompiler.compile(kql, _ => stream.toDS().toDF()), cp, buf)
+    try { stream.addData(fixture(0), fixture(1)); q1.processAllAvailable() } finally q1.stop()
+    assert(buf.isEmpty, "no completion before the last step")
+    val q2 = startCollecting(
+      graft.kql.KqlCompiler.compile(kql, _ => stream.toDS().toDF()), cp, buf)
+    try { stream.addData(fixture(2)); q2.processAllAvailable() } finally q2.stop()
+    val streamed = buf.map(key).toSet
+    assert(streamed == batch && batch == Set((1L, 0L, 5L, 10L)),
+      s"restart broke sequence_detect:\n  batch=$batch\n  stream=$streamed")
+  }
+
   test("statefulSequenceMatch: completion across batches, restart, gap expiry") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
