@@ -957,6 +957,61 @@ class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(noWm.getMessage.contains("streaming_watermark"), noWm.getMessage)
   }
 
+  test("streaming scan restart under the RocksDB state store (the 100 TB provider)") {
+    // the default HDFS-backed store keeps state on the JVM heap; a
+    // 1000-executor deployment runs RocksDB (off-heap, incremental
+    // checkpoints), where state round-trips through RocksDB byte
+    // serialization instead of in-memory maps — the typed row state
+    // must survive a stop/restart there too
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamOps.VEvent
+    val kql =
+      """set streaming_watermark = 5s;
+        #t
+        #| order by ts asc
+        #| partition by user_id ( scan with_match_id=m declare (v0: real = 0.0, gap: real = -1.0) with (
+        #    step s1: true => v0 = value;
+        #    step s2: value > s1.value => gap = value - s2.v0;
+        #  ) )
+        #| project user_id, ts, value, v0, gap, m""".stripMargin('#')
+    val fixture = Seq(
+      VEvent(1L, ts(1), 5.0), VEvent(1L, ts(2), 3.0),
+      VEvent(1L, ts(3), 4.0), VEvent(1L, ts(4), 9.0),
+      VEvent(2L, ts(1), 7.0), VEvent(2L, ts(3), 6.0))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("user_id"), rel(r.getAs[Timestamp]("ts")),
+       r.getAs[java.lang.Double]("v0"),
+       Option(r.getAs[java.lang.Double]("gap")).map(_.doubleValue),
+       r.getAs[Long]("m"))
+    val batch = graft.kql.KqlCompiler.compile(kql, _ => fixture.toDF())
+      .collect().map(key).toSet
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val cp = java.nio.file.Files.createTempDirectory("scan_rocks_cp").toString
+      val stream = MemoryStream[VEvent]
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      val (b1, b2) = fixture.partition(_.ts.getTime <= ts(2).getTime)
+      val q1 = startCollecting(
+        graft.kql.KqlCompiler.compile(kql, _ => stream.toDS().toDF()), cp, buf)
+      try { stream.addData(b1: _*); q1.processAllAvailable() } finally q1.stop()
+      val q2 = startCollecting(
+        graft.kql.KqlCompiler.compile(kql, _ => stream.toDS().toDF()), cp, buf)
+      try { stream.addData(b2: _*); q2.processAllAvailable() } finally q2.stop()
+      val streamed = buf.map(key).toSet
+      assert(streamed == batch,
+        s"RocksDB restart broke the machine:\n  batch=$batch\n  stream=$streamed")
+      assert(streamed.contains((1L, 3L, 3.0, Some(1.0), 1L)),
+        s"run-2 completion must carry run-1's state through RocksDB: $streamed")
+    } finally saved match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("KQL sequence_detect survives a checkpoint stop/restart mid-chain") {
     // the matched-prefix timestamps (flat product state) must restore
     // across query lifetimes: view+click land in run 1, the purchase
