@@ -196,27 +196,61 @@ object TextHash extends Serializable {
     * (Java Deflater IS zlib), so zlib compress output is golden-
     * comparable; gzip headers carry impl-specific OS/mtime bytes, so
     * gzip is gated on DECODE + round-trip (documented). Errors → null
-    * through the expression layer, never a task-killing throw. */
+    * through the expression layer, never a task-killing throw.
+    *
+    * Native hygiene (optimization round 20): a `Deflater`/`Inflater`
+    * holds ~0.3-0.5 MB of NATIVE zlib buffers that only a GC-driven
+    * Cleaner releases; the original per-call `new` + never-`end()`ed
+    * codecs leaked that much per ROW, which in a long-lived session
+    * balloons native RSS between GCs. The zlib pair now reuses one
+    * per-thread codec object (`reset()` per call — the deflateRatio
+    * discipline below); the gzip pair must allocate per call (the
+    * header/trailer state machine lives in the stream), so it ends its
+    * codec deterministically in a finally. */
+  private val zlibDeflaters = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(6, false)
+  }
+  private val zlibInflaters = new ThreadLocal[java.util.zip.Inflater] {
+    override def initialValue(): java.util.zip.Inflater =
+      new java.util.zip.Inflater(false)
+  }
+
   def zlibCompressB64(s: UTF8String): UTF8String = {
+    val d = zlibDeflaters.get()
+    d.reset()
+    d.setInput(s.getBytes)
+    d.finish()
     val out = new java.io.ByteArrayOutputStream()
-    val d = new java.util.zip.DeflaterOutputStream(out,
-      new java.util.zip.Deflater(6, false))
-    d.write(s.getBytes); d.close()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) {
+      val n = d.deflate(buf)
+      out.write(buf, 0, n)
+    }
     UTF8String.fromString(java.util.Base64.getEncoder.encodeToString(out.toByteArray))
   }
 
   def zlibDecompressB64(s: UTF8String): UTF8String =
     try {
       val bytes = java.util.Base64.getDecoder.decode(s.toString)
-      val in = new java.util.zip.InflaterInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      UTF8String.fromBytes(in.readAllBytes())
+      val inf = zlibInflaters.get()
+      inf.reset()
+      inf.setInput(bytes)
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+          throw new java.util.zip.DataFormatException("truncated zlib stream")
+        out.write(buf, 0, n)
+      }
+      UTF8String.fromBytes(out.toByteArray)
     } catch { case _: Exception => null }
 
   def gzipCompressB64(s: UTF8String): UTF8String = {
     val out = new java.io.ByteArrayOutputStream()
     val g = new java.util.zip.GZIPOutputStream(out)
-    g.write(s.getBytes); g.close()
+    try { g.write(s.getBytes); g.finish() } finally g.close()
     UTF8String.fromString(java.util.Base64.getEncoder.encodeToString(out.toByteArray))
   }
 
@@ -225,7 +259,8 @@ object TextHash extends Serializable {
       val bytes = java.util.Base64.getDecoder.decode(s.toString)
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      UTF8String.fromBytes(in.readAllBytes())
+      try UTF8String.fromBytes(in.readAllBytes())
+      finally in.close()
     } catch { case _: Exception => null }
 
   /** Boost-style 64-bit hash combine (wrap-around arithmetic). */
