@@ -154,8 +154,90 @@ object Bpe {
   def trainByteLevel(docs: DataFrame, textCol: String, k: Int): Seq[Merge] =
     trainFrom(pretokenFreq(docs, textCol), byteSymbols, k)
 
-  /** The shared merge loop over any (w, f) working set + symbolizer. */
+  /** Driver-local word cap for the size-gated training fast path: far
+    * above any bench vocabulary, far below driver-heap trouble (~10 MB
+    * of strings at a 10-char average). */
+  val MaxDriverWords = 500000
+
+  /** The shared merge loop over any (w, f) working set + symbolizer.
+    *
+    * Size-gated driver-local fast path (optimization round 20, guide
+    * §1.2/§5): the merge loop's working set is the Zipf-compressed
+    * DISTINCT-WORD table — vocabulary-sized, not corpus-sized — yet the
+    * distributed loop paid k sequential Spark jobs (pair-count agg +
+    * argmax fetch per round) plus k lazy checkpoints for it. When
+    * Catalyst's size estimate says the working set is small (same
+    * `InterpretedLoop.isSmall` gate as the loop-codegen scope; the
+    * estimate errs LARGE on unknown stats, so 100 TB corpora keep the
+    * distributed loop) AND a hard row cap confirms it, the word table is
+    * collected ONCE and the k rounds run as plain Scala — identical
+    * counts (per-word sliding pairs weighted by f), identical
+    * (cnt desc, l asc, r asc) argmax tie-break, identical [[mergeOnce]]
+    * rewrite, identical early stop — so the merge list is bit-identical
+    * (BpeSpec pins local == distributed on a fixture; q98/q99/q119/q134/
+    * q240 stay DuckDB-oracle hash-gated). */
   def trainFrom(wf: DataFrame, symsOf: String => Seq[String], k: Int): Seq[Merge] = {
+    if (InterpretedLoop.isSmall(wf)) {
+      val rows = wf.limit(MaxDriverWords + 1).collect()
+      if (rows.length <= MaxDriverWords)
+        return trainLocal(
+          rows.map(r => (r.getString(0), r.getLong(1))), symsOf, k)
+    }
+    trainFromDistributed(wf, symsOf, k)
+  }
+
+  /** Driver-local merge loop — the exact distributed semantics on a
+    * collected (w, f) array. */
+  private[ops] def trainLocal(words: Array[(String, Long)],
+                              symsOf: String => Seq[String], k: Int): Seq[Merge] = {
+    var syms: Array[Seq[String]] = words.map(w => symsOf(w._1))
+    val fs: Array[Long] = words.map(_._2)
+    val merges = List.newBuilder[Merge]
+    var round = 0
+    var done = false
+    while (round < k && !done) {
+      val counts = new java.util.HashMap[String, Long]()
+      // key = left + ' ' + right: symbols are visible-alphabet
+      // strings (never contain NUL), so the join is collision-free
+      var wi = 0
+      while (wi < syms.length) {
+        val s = syms(wi)
+        val f = fs(wi)
+        var i = 0
+        while (i + 1 < s.length) {
+          counts.merge(s(i) + " " + s(i + 1), f, (a, b) => a + b)
+          i += 1
+        }
+        wi += 1
+      }
+      var bestKey: String = null
+      var bestCnt = 0L
+      counts.forEach { (key, cnt) =>
+        if (bestKey == null || cnt > bestCnt || (cnt == bestCnt && key < bestKey)) {
+          bestKey = key; bestCnt = cnt
+        }
+      }
+      if (bestKey == null || bestCnt < 2) done = true
+      else {
+        val sep = bestKey.indexOf(' ')
+        val l = bestKey.substring(0, sep)
+        val r = bestKey.substring(sep + 1)
+        merges += Merge(round + 1, l, r, l + r)
+        var j = 0
+        while (j < syms.length) {
+          if (syms(j).length > 1) syms(j) = mergeOnce(syms(j), l, r)
+          j += 1
+        }
+      }
+      round += 1
+    }
+    merges.result()
+  }
+
+  /** The distributed merge loop — the 100 TB path (and the reference
+    * semantics the local path is pinned against). */
+  private[ops] def trainFromDistributed(wf: DataFrame, symsOf: String => Seq[String],
+                                        k: Int): Seq[Merge] = {
     val spark = wf.sparkSession
     import spark.implicits._
     // LAZY checkpoints (the round-15 PageRank/LPA/SCC job-batching

@@ -36,6 +36,26 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(merges.map(_.rank) == Seq(1, 2, 3, 4, 5))
   }
 
+  test("size-gated local trainer == distributed trainer (merge-for-merge)") {
+    // the round-20 driver-local fast path must be bit-identical to the
+    // distributed loop it replaces at small scale: same counts, same
+    // (cnt desc, l asc, r asc) tie-break, same rewrite, same early stop
+    val wf = Bpe.wordFreq(docs, "text")
+    val dist = Bpe.trainFromDistributed(wf, w => w.map(_.toString), 8)
+    val local = Bpe.trainLocal(
+      wf.collect().map(r => (r.getString(0), r.getLong(1))),
+      w => w.map(_.toString), 8)
+    assert(local == dist)
+    // byte-level alphabet too (space → 'Ġ' symbols exercise the
+    // above-ASCII comparison path in the local argmax)
+    val pf = Bpe.pretokenFreq(docs, "text")
+    val distB = Bpe.trainFromDistributed(pf, Bpe.byteSymbols, 8)
+    val localB = Bpe.trainLocal(
+      pf.collect().map(r => (r.getString(0), r.getLong(1))),
+      Bpe.byteSymbols, 8)
+    assert(localB == distB)
+  }
+
   test("train stops early when no pair repeats") {
     import spark.implicits._
     val tiny = Seq((1L, "ab cd")).toDF("doc_id", "text")
