@@ -127,7 +127,8 @@ private[queries] trait LlmDedupQueries extends LlmShared {
     * COUNT/CHECKSUM per round, no row data ever reaches the driver. */
   private[queries] def dupClusters(s: SparkSession, dir: String): DataFrame = {
     val s2 = docs(s, dir)
-    connectedComponents(s2.sql(minhashSql()).select(col("id_a"), col("id_b")))
+    connectedComponents(s2.sql(minhashSql()).select(col("id_a"), col("id_b")),
+      allowLocal = graft.ops.InterpretedLoop.isSmall(s2.table("documents")))
   }
 
   /** The dedup MATERIALIZER — what a corpus pipeline actually runs after
@@ -143,7 +144,8 @@ private[queries] trait LlmDedupQueries extends LlmShared {
     * rate. Everything upstream is the q22+q41 machinery unchanged. */
   private[queries] def dedupKeep(s: SparkSession, dir: String): DataFrame = {
     val s2 = docs(s, dir)
-    val clusters = connectedComponents(s2.sql(minhashSql()).select(col("id_a"), col("id_b")))
+    val clusters = connectedComponents(s2.sql(minhashSql()).select(col("id_a"), col("id_b")),
+      allowLocal = graft.ops.InterpretedLoop.isSmall(s2.table("documents")))
     val drop = clusters.filter(col("doc_id") =!= col("cluster_rep")).select("doc_id")
     s2.table("documents").join(drop, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"), col("lang"))
@@ -199,8 +201,51 @@ private[queries] trait LlmDedupQueries extends LlmShared {
     * → (`doc_id`, `cluster_rep`, `cluster_size`), rep = component
     * minimum. Exposed for direct testing on pathological graph shapes
     * (chains, rings) independent of the LSH pair source. */
-  private[graft] def connectedComponents(pairs: DataFrame): DataFrame =
-    connectedComponentsWithRounds(pairs)._1
+  private[graft] def connectedComponents(pairs: DataFrame,
+                                         allowLocal: Boolean = false): DataFrame =
+    connectedComponentsWithRounds(pairs, allowLocal)._1
+
+  /** Driver-local pair cap for the size-gated CC fast path (~32 MB of
+    * longs at the cap — far above any gated corpus's pair set). */
+  private[queries] val MaxDriverPairs = 2000000
+
+  /** Driver-local connected components: union-find with min-id
+    * representatives — bit-identical to the star-contraction fixpoint
+    * (both compute min-reachability on INTEGER ids; no float order
+    * anywhere). One pass over the collected pairs, O(E α(V)). */
+  private[queries] def componentsLocal(spark: SparkSession,
+                                       pairs: Array[(Long, Long)]): DataFrame = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+      var c = x
+      while (parent.getOrDefault(c, c) != r) { val n = parent.getOrDefault(c, c); parent.put(c, r); c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+    }
+    // union-by-min already keeps the root the minimum id of its tree,
+    // since every union links the larger root under the smaller one
+    val repOf = new java.util.HashMap[Long, Long]()
+    val sizeOf = new java.util.HashMap[Long, Long]()
+    val ids = new Array[Long](parent.size)
+    var i = 0
+    val it = parent.keySet().iterator()
+    while (it.hasNext) { ids(i) = it.next(); i += 1 }
+    ids.foreach { id =>
+      val r = find(id)
+      repOf.put(id, r)
+      sizeOf.merge(r, 1L, (a, b) => a + b)
+    }
+    import spark.implicits._
+    ids.toIndexedSeq.sorted
+      .map(id => (id, repOf.get(id), sizeOf.get(repOf.get(id)).longValue()))
+      .toDF("doc_id", "cluster_rep", "cluster_size")
+  }
 
   /** Alternating large-star/small-star contraction to a star-forest
     * fixpoint: every non-root node ends up with a single edge to its
@@ -217,7 +262,25 @@ private[queries] trait LlmDedupQueries extends LlmShared {
     * comparison of two aggregates (xor, not sum: overflow-free under
     * ANSI mode, order-independent, and the edge set is distinct so no
     * duplicate cancellation can occur). */
-  private[graft] def connectedComponentsWithRounds(pairs: DataFrame): (DataFrame, Int) = {
+  private[graft] def connectedComponentsWithRounds(pairs: DataFrame,
+                                                   allowLocal: Boolean = false): (DataFrame, Int) = {
+    // Size-gated driver-local fast path (optimization round 20, guide
+    // §1.2): dedup pair sets are CLUSTER-sized (bounded by bandCap and
+    // the corpus's duplicate rate), yet the star-contraction fixpoint
+    // pays 2 jobs + a checksum action per round for them. Callers that
+    // can see the corpus is small (the documents_rp/BPE isSmall gate)
+    // pass allowLocal; a hard row cap confirms before anything is
+    // collected, so a mis-estimated giant pair set falls through to the
+    // distributed loop. Union-find on integer ids is EXACTLY min-
+    // reachability — no float order anywhere — and the parity is pinned
+    // in ConnectedComponentsSpec (local == distributed on chains/rings/
+    // stars), with q41/q57 staying DuckDB-oracle hash-gated.
+    if (allowLocal) {
+      val rows = pairs.limit(MaxDriverPairs + 1).collect()
+      if (rows.length <= MaxDriverPairs)
+        return (componentsLocal(pairs.sparkSession,
+          rows.map(r => (r.getLong(0), r.getLong(1)))), 0)
+    }
     // checkpoint the pair SOURCE once: both the edge canonicalization
     // (materialized by the first checksum) and the vertex set (first
     // read at the caller's final action) ride one block set — for an

@@ -442,6 +442,86 @@ private[queries] trait LlmIterativeQueries extends LlmShared {
     * flat (the q64/q111 loop pattern). Nothing driver-side but the
     * loop counter. */
   private[queries] def labelPropQuery(s: SparkSession, dir: String): DataFrame = {
+    // Size-gated driver-local fast path (optimization round 20, guide
+    // §1.2): LPA state is INTEGER (labels, counts, min tie-breaks — no
+    // float order anywhere), so a driver-local 3-round propagation over
+    // the collected distinct edge list is bit-identical to the
+    // distributed loop, which pays per-round join+agg jobs the
+    // bipartite graph doesn't need at gated scale. The isSmall estimate
+    // errs LARGE on unknown stats (100 TB keeps the distributed loop)
+    // and a hard row cap confirms before anything is collected.
+    // LabelPropagationParitySpec pins local == distributed on sf0.001;
+    // q199 stays DuckDB-oracle hash-gated.
+    if (graft.ops.InterpretedLoop.isSmall(Tables.lineitem(s, dir))) {
+      val pairRows = Tables.lineitem(s, dir)
+        .select((col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+        .distinct().limit(LpaMaxDriverPairs + 1).collect()
+      if (pairRows.length <= LpaMaxDriverPairs)
+        return lpaLocal(s, pairRows.map(r => (r.getLong(0), r.getLong(1))))
+    }
+    labelPropDistributed(s, dir)
+  }
+
+  private[queries] val LpaMaxDriverPairs = 2000000
+
+  /** Driver-local LPA — the exact distributed semantics on the collected
+    * distinct (order, part) edge list: seeds clamp, messages count each
+    * labeled neighbor once per edge (both directions), majority =
+    * max (count, -label), non-clamped nodes coalesce to their old
+    * label, 3 rounds, then the label histogram. */
+  private[queries] def lpaLocal(s: SparkSession, pairs: Array[(Long, Long)]): DataFrame = {
+    val nodes = new java.util.HashSet[Long]()
+    pairs.foreach { case (a, b) => nodes.add(a); nodes.add(b) }
+    // seeds: part nodes (odd ids) whose part key is % 17 == 0.
+    // Values are java.lang.Long ON PURPOSE: with scala Long values,
+    // get(missing) silently unboxes null to 0 — every unlabeled node
+    // would broadcast label 0 (caught by LabelPropagationParitySpec).
+    val labels = new java.util.HashMap[Long, java.lang.Long]()
+    val clamped = new java.util.HashSet[Long]()
+    nodes.forEach { n =>
+      if (n % 2 == 1 && ((n - 1) / 2) % 17 == 0) {
+        labels.put(n, java.lang.Long.valueOf(((n - 1) / 2) % 4))
+        clamped.add(n)
+      }
+    }
+    for (_ <- 1 to 3) {
+      // counts[(dst, lab)] over BOTH edge directions from labeled nodes
+      val counts = new java.util.HashMap[(Long, Long), Long]()
+      def msg(src: Long, dst: Long): Unit = {
+        val lab = labels.get(src)
+        if (lab != null) counts.merge((dst, lab.longValue()), 1L, (a, b) => a + b)
+      }
+      pairs.foreach { case (a, b) => msg(a, b); msg(b, a) }
+      // majority per node: max count, tie -> min label
+      val maj = new java.util.HashMap[Long, (Long, Long)]() // node -> (label, count)
+      counts.forEach { (k, c) =>
+        val (node, lab) = k
+        val cur = maj.get(node)
+        if (cur == null || c > cur._2 || (c == cur._2 && lab < cur._1))
+          maj.put(node, (lab, c))
+      }
+      maj.forEach { (node, lc) =>
+        if (!clamped.contains(node)) labels.put(node, java.lang.Long.valueOf(lc._1))
+      }
+    }
+    // label histogram: null label -> -1
+    val agg = new java.util.TreeMap[Long, (Long, Long, Long)]()
+    nodes.forEach { n =>
+      val l0 = labels.get(n)
+      val lab = if (l0 != null) l0.longValue() else -1L
+      val (c, p, o) = Option(agg.get(lab)).getOrElse((0L, 0L, 0L))
+      agg.put(lab, (c + 1, p + (if (n % 2 == 1) 1L else 0L), o + (if (n % 2 == 0) 1L else 0L)))
+    }
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    agg.entrySet().asScala.toSeq
+      .map(e => (e.getKey.longValue(), e.getValue._1, e.getValue._2, e.getValue._3))
+      .toDF("label", "n_nodes", "n_parts", "n_orders")
+  }
+
+  /** The distributed LPA loop — the 100 TB path (and the reference
+    * semantics the local path is pinned against). */
+  private[queries] def labelPropDistributed(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     // node ids are LONGS inside the loop (orders even, parts odd — the
     // q111 discipline): every per-round join/agg shuffles 8-byte keys

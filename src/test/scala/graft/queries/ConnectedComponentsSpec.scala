@@ -45,6 +45,26 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cc(Seq((5L, 1L), (3L, 5L))) == cc(Seq((1L, 5L), (5L, 3L))))
   }
 
+  test("size-gated local union-find == distributed star contraction") {
+    import spark.implicits._
+    // the round-20 driver-local fast path must be row-identical to the
+    // distributed fixpoint on every adversarial shape
+    val shapes: Seq[Seq[(Long, Long)]] = Seq(
+      (0L until 11L).map(i => (i, i + 1)),                       // chain
+      Seq((10L, 11L), (11L, 12L), (12L, 10L), (30L, 31L),
+        (20L, 25L), (20L, 26L), (20L, 27L)),                     // ring+pair+star
+      Seq((7L, 7L), (2L, 1L), (1L, 2L), (2L, 1L)),               // self/dup edges
+      Seq.empty)                                                 // empty
+    shapes.foreach { pairs =>
+      val df = pairs.toDF("id_a", "id_b")
+      val dist = LlmQueries.connectedComponents(df, allowLocal = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val local = LlmQueries.connectedComponents(df, allowLocal = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(local == dist, s"shape $pairs")
+    }
+  }
+
   test("1000-node chain: one component in <= 2*log2(n) contraction rounds") {
     import spark.implicits._
     val n = 1000L
