@@ -34,6 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // sessions get it with the functions; Tables.events self-installs it
     // for ad-hoc sessions built without extensions
     ext.injectOptimizerRule(_ => graft.plans.NanosTimePushdown)
+    // expensive trailing-sort projections evaluate once, above the range
+    // exchange (see the rule's doc)
+    ext.injectOptimizerRule(_ => graft.plans.DeferProjectPastSort)
     fn(ext, "word_shingles", exprs => WordShingles(exprs.head, intLit(exprs(1))))
     fn(ext, "word_shingle_hashes", exprs => WordShingleHashes(exprs.head, intLit(exprs(1))))
     fn(ext, "word_shingle_count", exprs => WordShingleCount(exprs.head, intLit(exprs(1))))

@@ -19,6 +19,12 @@ object Tables {
     // Spark's reader rejects outright; keep reading those as a nanos long
     // (TESTDATA tables are driver-generated, not ours to rewrite).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Self-install the trailing-sort projection deferral (see the rule's
+    // doc) for sessions built without GraftExtensions — every engine
+    // query reads through here, the NanosTimePushdown pattern.
+    val deferRule = graft.plans.DeferProjectPastSort
+    if (!spark.experimental.extraOptimizations.exists(_ eq deferRule))
+      spark.experimental.extraOptimizations ++= Seq(deferRule)
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     // Current testdata stores timestamps as TIMESTAMP(MICROS) without a
     // timezone flag, which Spark surfaces as TIMESTAMP_NTZ. The engine's
