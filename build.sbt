@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output goes straight to sbt's own stdout/stderr instead of
+// through the sbt logger: the logger prefixes every child line with
+// "[info] "/"[error] ", which made the Bench contract line unparseable to
+// the driver in every prior round (BENCH_r01/r02 show the complete JSON
+// line present in the captured tail yet "parsed": null — the prefix, not
+// the length, broke the parse). StdoutOutput emits the child's lines raw.
+run / outputStrategy := Some(StdoutOutput)
+// Stale JUnit reports of deleted suites otherwise linger in
+// target/test-reports and read as failures to any report-aggregating
+// harness (VERDICT r20 item 1d: the deleted LpaDebugSpec's failing XML).
+Test / testOptions += Tests.Setup(() => sbt.IO.delete(file("target/test-reports")))
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

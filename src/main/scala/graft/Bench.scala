@@ -142,30 +142,55 @@ object Bench {
         name -> math.min(t, math.min(timeOnce(name, fn), timeOnce(name, fn)))
       }
     }
+    val rerunsList = reruns.result()
+    // Per-query seconds at 3 decimals (VERDICT r20 item 1a): full
+    // nanosecond precision made the 255-query line ~15 KB, which outlived
+    // the driver's tail-capture window; 1 ms resolution is far below the
+    // machine-day noise band and roughly halves the line.
+    def sec(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def jsonLine(results: Seq[(String, Double)], fmtJson: String): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + sec(v) }
+        .mkString("{", ",", "}")
+      val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val rerunJson = rerunsList.map("\"" + _ + "\"").mkString("[", ",", "]")
+      def loadJson(l: Seq[Double]) = l.map(_.toString).mkString("[", ",", "]")
+      val total = results.collect { case (_, v) if v >= 0 => v }.sum
+      // "cpus" reports the CONTRACT value ($SPARK_GRAFT_CPUS — what the
+      // session's master/parallelism actually use); availableProcessors
+      // moves to cpus_avail (VERDICT r20 item 1c: the 8-core artifact
+      // self-labeled as 32)
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errJson,"reruns":$rerunJson,"loadavg":${loadJson(loadBefore)},"loadavg_after":${loadJson(loadavg())},"cpus":$cpus,"cpus_avail":${Runtime.getRuntime.availableProcessors},"formats":$fmtJson,"sf":"$sfDir"}"""
+    }
+    // Emit the contract line IMMEDIATELY after the last query (VERDICT
+    // r20 item 1a) so a wall-budget kill during the format block still
+    // leaves a parseable artifact; the authoritative line (with formats)
+    // follows as the final line of output.
+    println(jsonLine(results, s"""{"records":0}"""))
     val FormatRecords = 200000
     val formats =
       try graft.sink.FormatThroughputBench.run(FormatRecords,
         System.getProperty("java.io.tmpdir", "/tmp"))
       catch { case e: Throwable =>
         System.err.println(s"[bench] format throughput FAILED: ${e.getMessage}"); Nil }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val rerunJson = reruns.result().map("\"" + _ + "\"").mkString("[", ",", "]")
-    def loadJson(l: Seq[Double]) = l.map(_.toString).mkString("[", ",", "]")
     val fmtJson = (formats.map { case (k, v) => "\"" + k + "\":" + v } :+
       s""""records":$FormatRecords""").mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"reruns":$rerunJson,"loadavg":${loadJson(loadBefore)},"loadavg_after":${loadJson(loadavg())},"cpus":${Runtime.getRuntime.availableProcessors},"formats":$fmtJson,"sf":"$sfDir"}"""
+    val json = jsonLine(results, fmtJson)
     println(json)
     // sbt appends its own "[success]" line after main returns, so stdout's
     // LAST line is never ours — also persist the JSON to a well-known file
     // the driver can read directly (VERDICT r5 item 8: "parsed": null).
-    // A filtered (SPARK_GRAFT_ONLY) run never overwrites the reference file.
+    // A filtered (SPARK_GRAFT_ONLY) run never overwrites the reference
+    // files. bench_result_c$cpus.json keeps each core count's run in its
+    // own file so the driver's low-core invocation no longer clobbers the
+    // 32-core ground truth (VERDICT r20 item 1b).
     if (only.isEmpty)
-      try java.nio.file.Files.write(java.nio.file.Paths.get("bench_result.json"),
-        (json + "\n").getBytes("UTF-8"))
-      catch { case _: Throwable => () }
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get("bench_result.json"),
+          (json + "\n").getBytes("UTF-8"))
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"bench_result_c$cpus.json"),
+          (json + "\n").getBytes("UTF-8"))
+      } catch { case _: Throwable => () }
     spark.stop()
   }
 }

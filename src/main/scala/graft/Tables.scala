@@ -21,10 +21,15 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Self-install the trailing-sort projection deferral (see the rule's
     // doc) for sessions built without GraftExtensions — every engine
-    // query reads through here, the NanosTimePushdown pattern.
+    // query reads through here, the NanosTimePushdown pattern. The
+    // check-then-append is synchronized on the session (ADVICE r20): two
+    // threads reading tables concurrently on a fresh session could both
+    // pass the exists() check and register the rule twice.
     val deferRule = graft.plans.DeferProjectPastSort
-    if (!spark.experimental.extraOptimizations.exists(_ eq deferRule))
-      spark.experimental.extraOptimizations ++= Seq(deferRule)
+    spark.synchronized {
+      if (!spark.experimental.extraOptimizations.exists(_ eq deferRule))
+        spark.experimental.extraOptimizations ++= Seq(deferRule)
+    }
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     // Current testdata stores timestamps as TIMESTAMP(MICROS) without a
     // timezone flag, which Spark surfaces as TIMESTAMP_NTZ. The engine's
@@ -58,8 +63,10 @@ object Tables {
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         val rule = graft.plans.NanosTimePushdown
-        if (!spark.experimental.extraOptimizations.exists(_ eq rule))
-          spark.experimental.extraOptimizations ++= Seq(rule)
+        spark.synchronized {
+          if (!spark.experimental.extraOptimizations.exists(_ eq rule))
+            spark.experimental.extraOptimizations ++= Seq(rule)
+        }
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => df
     }

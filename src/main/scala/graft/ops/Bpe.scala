@@ -197,29 +197,37 @@ object Bpe {
     var done = false
     while (round < k && !done) {
       val counts = new java.util.HashMap[String, Long]()
-      // key = left + ' ' + right: symbols are visible-alphabet
-      // strings (never contain NUL), so the join is collision-free
+      // key = left + NUL (U+0000) + right: symbols never contain NUL, so
+      // the join is collision-free, and NUL's UTF-8 byte (0x00) sorts
+      // below every other byte, so comparing whole keys in UTF-8 byte
+      // order (below) equals the (l asc, r asc) tuple order
       var wi = 0
       while (wi < syms.length) {
         val s = syms(wi)
         val f = fs(wi)
         var i = 0
         while (i + 1 < s.length) {
-          counts.merge(s(i) + " " + s(i + 1), f, (a, b) => a + b)
+          counts.merge(s(i) + "\u0000" + s(i + 1), f, (a, b) => a + b)
           i += 1
         }
         wi += 1
       }
       var bestKey: String = null
       var bestCnt = 0L
+      // tie-break in UTF-8 BYTE order — what Spark's UTF8String sort
+      // gives the distributed path. Java String '<' is UTF-16 code-unit
+      // order, which diverges when a supplementary-plane symbol competes
+      // with a BMP char >= U+E000 (ADVICE r20; BpeSpec pins the parity
+      // on a supplementary-plane fixture).
       counts.forEach { (key, cnt) =>
-        if (bestKey == null || cnt > bestCnt || (cnt == bestCnt && key < bestKey)) {
+        if (bestKey == null || cnt > bestCnt ||
+            (cnt == bestCnt && Utf8Order.compare(key, bestKey) < 0)) {
           bestKey = key; bestCnt = cnt
         }
       }
       if (bestKey == null || bestCnt < 2) done = true
       else {
-        val sep = bestKey.indexOf(' ')
+        val sep = bestKey.indexOf('\u0000')
         val l = bestKey.substring(0, sep)
         val r = bestKey.substring(sep + 1)
         merges += Merge(round + 1, l, r, l + r)

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeSet, NamedExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Sort}
+import org.apache.spark.sql.catalyst.plans.logical.{Command, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Root-level `Sort(Project(child))` → `Project(Sort(child))` when the
@@ -43,10 +43,7 @@ object DeferProjectPastSort extends Rule[LogicalPlan] {
   private def width(attrs: Iterable[Attribute]): Long =
     attrs.map(_.dataType.defaultSize.toLong).sum
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
-    // perf-A/B hook (not a user knob): -Dgraft.defer.sort=off restores
-    // the undeferred shape for interleaved same-JVM comparison
-    case _ if sys.props.get("graft.defer.sort").contains("off") => plan
+  private def rewrite(plan: LogicalPlan): LogicalPlan = plan match {
     case s: Sort if s.global =>
       s.child match {
         case p: Project
@@ -60,6 +57,22 @@ object DeferProjectPastSort extends Rule[LogicalPlan] {
           Project(p.projectList, s.withNewChildren(Seq(p.child)))
         case _ => plan
       }
+    case _ => plan
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    // perf-A/B hook (not a user knob): -Dgraft.defer.sort=off restores
+    // the undeferred shape for interleaved same-JVM comparison
+    case _ if sys.props.get("graft.defer.sort").contains("off") => plan
+    case s: Sort => rewrite(s)
+    // A write-terminated plan (every bench execution: the noop sink's V2
+    // OverwriteByExpression; any AppendData / V1 DataWritingCommand) keeps
+    // the command at the ROOT with the trailing Sort as its query child —
+    // without this arm the rule was inert in exactly the measured path
+    // (ADVICE r20). The rewrite preserves the query subtree's output
+    // attributes (same projectList on top), so the command's resolved
+    // column mapping is untouched.
+    case c: Command => c.mapChildren(rewrite)
     case _ => plan
   }
 }

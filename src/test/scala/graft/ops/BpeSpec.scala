@@ -56,6 +56,25 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(localB == distB)
   }
 
+  test("local tie-break is UTF-8 byte order: supplementary plane vs U+E000 (ADVICE r20)") {
+    // U+E000 (private use, 3-byte UTF-8 EE 80 80) vs U+1D11E (musical G
+    // clef, 4-byte UTF-8 F0 9D 84 9E). UTF-8 byte order: E000 < 1D11E;
+    // Java UTF-16 code-unit order: 1D11E (high surrogate 0xD834) < E000.
+    // On a count tie the distributed path (Spark UTF8String sort) picks
+    // the E000 pair — the local argmax must agree.
+    import spark.implicits._
+    val clef = new String(Character.toChars(0x1D11E))
+    val pua = "\uE000"
+    val wf = Seq((pua + pua, 3L), (clef + clef, 3L)).toDF("w", "f")
+    val symsOf: String => Seq[String] =
+      w => w.codePoints().toArray.toSeq.map(cp => new String(Character.toChars(cp)))
+    val dist = Bpe.trainFromDistributed(wf, symsOf, 1)
+    val local = Bpe.trainLocal(
+      wf.collect().map(r => (r.getString(0), r.getLong(1))), symsOf, 1)
+    assert(dist.map(m => (m.left, m.right)) == Seq((pua, pua)))
+    assert(local == dist)
+  }
+
   test("train stops early when no pair repeats") {
     import spark.implicits._
     val tiny = Seq((1L, "ab cd")).toDF("doc_id", "text")
