@@ -39,3 +39,32 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Suites run in PARALLEL forked JVMs (round 21, VERDICT r20 item 1d:
+// `sbt test` sequential wall exceeded the driver's budget). Each group
+// is one JVM so per-suite SparkSession lifecycles stay isolated exactly
+// as under sequential forking; suites sort by name and deal round-robin
+// with the heavyweight compiler/streaming suites pinned to their own
+// groups. Wall drops to ~max(heaviest suite, others/N). GRAFT_TEST_SEQ=1
+// restores one group for debugging.
+val testForkGroups = sys.env.get("GRAFT_TEST_SEQ") match {
+  case Some("1") => 1
+  case _ => 6
+}
+Test / testGrouping := {
+  val tests = (Test / definedTests).value.sortBy(_.name)
+  val opts = ForkOptions()
+    .withRunJVMOptions((Test / javaOptions).value.toVector)
+    .withWorkingDirectory((Test / baseDirectory).value)
+  // pin the two dominant suites to dedicated groups; round-robin the rest
+  val heavy = Set("graft.kql.KqlCompilerSpec", "graft.streaming.StreamOpsSpec",
+    "graft.kql.KqlFuzzSpec")
+  val (big, rest) = tests.partition(t => heavy.contains(t.name))
+  val buckets = math.max(1, testForkGroups - big.length)
+  val groups =
+    big.map(t => Tests.Group(t.name, Seq(t), Tests.SubProcess(opts))) ++
+      rest.zipWithIndex.groupBy(_._2 % buckets).toSeq.sortBy(_._1).map {
+        case (i, ts) => Tests.Group(s"group$i", ts.map(_._1), Tests.SubProcess(opts))
+      }
+  groups
+}
+Global / concurrentRestrictions := Seq(Tags.limit(Tags.ForkedTestGroup, testForkGroups))

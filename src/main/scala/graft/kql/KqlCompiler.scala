@@ -364,8 +364,62 @@ object KqlCompiler {
       new scala.collection.mutable.AnyRefMap[DataFrame, Long]()
     private val tabularInFullFetch =
       new scala.collection.mutable.AnyRefMap[DataFrame, Array[Any]]()
+    /** Memoized operand null-freeness probe (one limit-1 count over the
+      * persisted distinct) — the proof the `!in` common-subexpression
+      * rewrite needs (see the negated tier). */
+    private val tabularInNullFree =
+      new scala.collection.mutable.AnyRefMap[DataFrame, Boolean]()
     private val tabularInFrame =
       scala.collection.mutable.Map.empty[(DataFrame, Boolean), DataFrame]
+
+    /** Membership common-subexpression reuse across pipeline stages
+      * (optimization round 21, guide §2.2/§3 — the q242 shape): when an
+      * earlier `extend` already computed `lhs in (operand)` as a column
+      * that is still in scope, a later site on the SAME operand and a
+      * semantically-equal lhs reuses that boolean instead of planting a
+      * second InSubquery — Spark plans each InSubquery occurrence as
+      * its own existence join, so the reuse removes one whole broadcast
+      * join + duplicate operand aggregate per extra site. The match is
+      * exact: an analyzed-plan Project alias whose child semanticEquals
+      * the InSubquery this site would build (canonicalization makes the
+      * comparison exprId-robust) and whose attribute id survives to the
+      * current output (an overwritten column gets a fresh id and
+      * correctly misses). Returns the live attribute as a Column. */
+    private def membershipReuse(df: DataFrame, lhs: Column,
+                                subSide: DataFrame): Option[Column] = {
+      import org.apache.spark.sql.catalyst.expressions.{Alias, InSubquery, ListQuery}
+      import org.apache.spark.sql.catalyst.plans.logical.Project
+      import org.apache.spark.sql.GraftColumnBridge
+      try {
+        // resolve the lhs against df so the comparison sees the same
+        // AttributeReferences the analyzed plan carries
+        val resolvedLhs = df.select(lhs).queryExecution.analyzed match {
+          case p: Project => p.projectList.head match {
+            case a: Alias => a.child
+            case other => other
+          }
+          case _ => return None
+        }
+        val subPlan = subSide.queryExecution.analyzed
+        val analyzed = df.queryExecution.analyzed
+        val outIds = analyzed.outputSet.map(_.exprId).toSet
+        // structural match, not whole-expression semanticEquals: the
+        // analyzer decorates ListQuery (childOutputs etc.), so compare
+        // the value expression and the subquery PLAN (sameResult —
+        // canonical, exprId-robust) separately
+        val hits = analyzed.collect { case p: Project =>
+          p.projectList.collect {
+            case a: Alias if outIds.contains(a.exprId) => a.child match {
+              case InSubquery(Seq(v), lq: ListQuery)
+                  if v.semanticEquals(resolvedLhs) &&
+                    lq.plan.sameResult(subPlan) => Some(a.toAttribute)
+              case _ => None
+            }
+          }.flatten
+        }.flatten
+        hits.headOption.map(GraftColumnBridge.column(_))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
     /** Probe frames persisted during THIS compile. Released exactly once
       * by the compile entry points (try/finally) after the final plan is
       * built: early per-site unpersist made a later `!in` on the same
@@ -395,6 +449,24 @@ object KqlCompiler {
                                       srcCol: String, dstCol: String, idCol: String,
                                       derivedNodes: Boolean = false)
     private var pendingGraph: Option[GraphCtx] = None
+
+    /** True when `df` is a checkpoint/cache-backed frame (a
+      * materialize()d let, a LogicalRDD) reached through only narrow
+      * ops — re-caching such a frame costs one redundant block
+      * write+read per execution for zero recompute saved. */
+    private def cacheBacked(df: DataFrame): Boolean = {
+      import org.apache.spark.sql.catalyst.plans.logical.{Project, Filter => LFilter, SubqueryAlias, LogicalPlan}
+      import org.apache.spark.sql.GraftColumnBridge
+      def ok(p: LogicalPlan): Boolean = p match {
+        case pr: Project => ok(pr.child)
+        case f: LFilter => ok(f.child)
+        case s: SubqueryAlias => ok(s.child)
+        case _: org.apache.spark.sql.execution.LogicalRDD => true
+        case other => GraftColumnBridge.isCachedPlan(df.sparkSession, other)
+      }
+      try ok(df.queryExecution.analyzed)
+      catch { case scala.util.control.NonFatal(_) => false }
+    }
 
     /** Shared lowering for `graph-match` / `graph-shortest-paths`: parse
       * pattern + where + project, build ONE join chain per admissible
@@ -460,6 +532,13 @@ object KqlCompiler {
       }
       if (chains.size > 32) throw new KqlParseException(
         s"graph pattern: variable-length pattern expands to ${chains.size} join chains (cap 32)")
+      // NOT cached per hop reference on purpose (round 21): a query-
+      // duration persist of the edge frame was A/B-refuted — at bench
+      // scale the columnar cache write+read costs MORE than the per-hop
+      // rescans it saves (interleaved PerfAB: q142 1.15→1.54 s median,
+      // q143 2.02→2.18 s with the cache ON), and a user who wants the
+      // reuse at data scale writes `materialize(...)` exactly as in
+      // Kusto (the q146 BFS path then reads that cache directly).
       def nodeF(p: Int) = g.nodes.select(
         struct(g.nodes.columns.toSeq.map(g.nodes(_)): _*).as(s"__gm_n_$p"),
         g.nodes(g.idCol).as(s"__gm_id_$p"))
@@ -677,18 +756,7 @@ object KqlCompiler {
         // the loop reads THAT cache directly: a second checkpoint of the
         // same rows costs one redundant block write+read per execution
         // for zero recompute saved
-        def cheapOverCached(df: DataFrame): Boolean = {
-          import org.apache.spark.sql.catalyst.plans.logical.{Project, Filter => LFilter, SubqueryAlias, LogicalPlan}
-          def ok(p: LogicalPlan): Boolean = p match {
-            case pr: Project => ok(pr.child)
-            case f: LFilter => ok(f.child)
-            case s: SubqueryAlias => ok(s.child)
-            case _: org.apache.spark.sql.execution.LogicalRDD => true
-            case other => GraftColumnBridge.isCachedPlan(df.sparkSession, other)
-          }
-          try ok(df.queryExecution.analyzed)
-          catch { case scala.util.control.NonFatal(_) => false }
-        }
+        def cheapOverCached(df: DataFrame): Boolean = cacheBacked(df)
         // perf-A/B hook (not a user knob): -Dgraft.bfs.cache=checkpoint
         // restores the r17 lazy-localCheckpoint mode for interleaved
         // same-JVM comparison against the query-duration persist
@@ -772,12 +840,29 @@ object KqlCompiler {
             .select(col("__bfs_src"), col("__bfs_m.__bfs_a").as("__bfs_a"),
               col("__bfs_cur"), col("__bfs_m.__bfs_path").as("__bfs_path"),
               col("__bfs_m.__bfs_sig").as("__bfs_sig"))
+        // Size-gated driver-local BFS (optimization round 21, guide
+        // §1.2 — the LocalGraph kernel family): on a gated-scale graph
+        // the per-level join/dedup/anti-join jobs collapse into one
+        // driver pass over the collected edge projection; sources and
+        // ekeys stay distributed-computed so the where-clause source
+        // filter and the cast/encoding semantics are exactly Spark's.
+        // Derived-nodes patterns only (the endpoint structs are bare
+        // ids); explicit-`with` graphs and unsupported id types fall
+        // through to the distributed loop, as does anything past the
+        // caps. The result relation is byte-identical to the per-level
+        // union (KqlCompilerSpec BFS fixtures + the q146 oracle gate).
+        val edgesSmall = graft.ops.InterpretedLoop.isSmall(g.edges)
+        val localReached: Option[(DataFrame, Long)] =
+          if (g.derivedNodes && edgesSmall)
+            prof("localBfs")(graft.ops.LocalGraph.bfsShortestPaths(
+              edges, sources, maxHops, mode == "any"))
+          else None
         // interpreted-loop scope: every plan inside executes ONCE per
         // compile, so on a small graph janino costs more than it saves
         // (InterpretedLoop scaladoc has the q146 A/B); the final result
         // plan is assembled AFTER the scope and keeps codegen
-        val (perLevel, reachedCnt) = graft.ops.InterpretedLoop.runIfSmall(
-            g.edges.sparkSession, graft.ops.InterpretedLoop.isSmall(g.edges)) {
+        lazy val (perLevel, reachedCnt0) = graft.ops.InterpretedLoop.runIfSmall(
+            g.edges.sparkSession, edgesSmall) {
         val srcCnt = prof("srcCnt")(sources.count()) // materializes the node cache too
         val sSide = maybeBcast(sources, srcCnt)
         var frontier = prof("mark0")(dedupAny(
@@ -839,7 +924,11 @@ object KqlCompiler {
         // contract: a materialized frame serves ONE query execution);
         // the per-level frontiers stay materialized checkpoints, so the
         // loop itself never re-runs.
-        val reached = prof("finalAssembly0")(perLevel.reduce(_ unionByName _))
+        val (reached, reachedCnt) = localReached match {
+          case Some((df, n)) => (df, n)
+          case None =>
+            (prof("finalAssembly0")(perLevel.reduce(_ unionByName _)), reachedCnt0)
+        }
         var out =
           if (g.derivedNodes)
             // endpoint bind is an identity: every reached id IS a node,
@@ -3542,12 +3631,21 @@ object KqlCompiler {
               } else more2 = false
             }
             val pairs = g.edges.select(col(g.srcCol), col(g.dstCol))
+            // weak components ride the size-gated driver-local union-
+            // find when the gate admits (LocalGraph — the round-20
+            // q41/q57 pattern generalized to string ids); the star-
+            // contraction fixpoint stays the at-scale path. The strong
+            // variant's gate lives inside StronglyConnected.components.
             val comp =
               if (strong)
                 graft.ops.StronglyConnected.components(pairs)
                   .select(col("node").as("__gmc_id"), col("comp").as(compCol))
-              else graft.queries.LlmQueries.connectedComponents(pairs)
-                .select(col("doc_id").as("__gmc_id"), col("cluster_rep").as(compCol))
+              else graft.ops.LocalGraph.weakComponents(pairs) match {
+                case Some(local) => local
+                  .select(col("node").as("__gmc_id"), col("comp").as(compCol))
+                case None => graft.queries.LlmQueries.connectedComponents(pairs)
+                  .select(col("doc_id").as("__gmc_id"), col("cluster_rep").as(compCol))
+              }
             val marked = g.nodes
               .join(comp, g.nodes(g.idCol) === col("__gmc_id"), "left")
               .withColumn(compCol, coalesce(col(compCol), g.nodes(g.idCol)))
@@ -4736,7 +4834,12 @@ object KqlCompiler {
                 else rawDistinct
               df => {
                 val lhs = if (ci) lower(l(df)) else l(df)
-                org.apache.spark.sql.GraftColumnBridge.inSubquery(lhs, subSide)
+                // an earlier extend on the same (lhs, operand) already
+                // carries this boolean — reuse it instead of planting a
+                // second existence join (the q242 where-after-extend
+                // shape: `extend hit = k in (big) | where k in (big)`)
+                membershipReuse(df, lhs, subSide).getOrElse(
+                  org.apache.spark.sql.GraftColumnBridge.inSubquery(lhs, subSide))
               }
             } else {
               // NEGATED membership above the threshold: Not(InSubquery)
@@ -4749,22 +4852,52 @@ object KqlCompiler {
               // blowup), hash-set probe per row, identical null
               // semantics to the literal tier; the driver fetch is
               // bounded by Kusto's documented 1M-value contract.
-              val all = tabularInFullFetch.getOrElseUpdate(sub,
-                rawDistinct.limit(1000001).collect().map(_.get(0)))
-              if (all.length > 1000000)
-                throw new KqlParseException(
-                  "in (subquery): more than 1,000,000 distinct values (the Kusto cap)")
-              import org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToCatalyst
-              val hset: Set[Any] =
-                if (ci) all.iterator.filter(_ != null).map(v =>
-                  convertToCatalyst(String.valueOf(v).toLowerCase)).toSet
-                else all.iterator.map(convertToCatalyst).toSet
               df => {
                 val lhs = if (ci) lower(l(df)) else l(df)
                 import org.apache.spark.sql.GraftColumnBridge
-                !GraftColumnBridge.column(
-                  org.apache.spark.sql.catalyst.expressions.InSet(
-                    GraftColumnBridge.catalystExpression(lhs), hset))
+                // Common-subexpression rewrite (round 21, the q242
+                // shape `extend hit = k in (big), miss = k !in (big)`):
+                // when an in-scope column already holds the POSITIVE
+                // membership for this (lhs, operand), the negation is
+                // NOT that column — no InSet value fetch, no 1 MB plan
+                // literal. Exactness: InSet's three-valued semantics
+                // reduce to plain boolean negation iff the operand has
+                // no NULL (proved by a memoized limit-1 probe over the
+                // persisted distinct — rides the probe cache; the ci
+                // tiers drop operand nulls by construction) and a null
+                // lhs keeps yielding null via the isNotNull wrap. The
+                // Kusto 1M cap stays enforced by the positive site the
+                // reused column came from.
+                // the frame a positive site on this operand would have
+                // used (ci: only if one actually ran and built it)
+                val posSide: DataFrame =
+                  if (ci) tabularInFrame.get((sub, true)).orNull else rawDistinct
+                val reuse =
+                  if (posSide == null) None else membershipReuse(df, lhs, posSide)
+                val operandNullFree = reuse.isDefined && (ci ||
+                  tabularInNullFree.getOrElseUpdate(sub, {
+                    val c = rawDistinct.col(rawDistinct.columns.head)
+                    rawDistinct.where(c.isNull).limit(1).count() == 0L
+                  }))
+                if (reuse.isDefined && operandNullFree) {
+                  val base = !reuse.get
+                  if (df.select(lhs).schema.head.nullable)
+                    when(lhs.isNotNull, base) else base
+                } else {
+                  val all = tabularInFullFetch.getOrElseUpdate(sub,
+                    rawDistinct.limit(1000001).collect().map(_.get(0)))
+                  if (all.length > 1000000)
+                    throw new KqlParseException(
+                      "in (subquery): more than 1,000,000 distinct values (the Kusto cap)")
+                  import org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToCatalyst
+                  val hset: Set[Any] =
+                    if (ci) all.iterator.filter(_ != null).map(v =>
+                      convertToCatalyst(String.valueOf(v).toLowerCase)).toSet
+                    else all.iterator.map(convertToCatalyst).toSet
+                  !GraftColumnBridge.column(
+                    org.apache.spark.sql.catalyst.expressions.InSet(
+                      GraftColumnBridge.catalystExpression(lhs), hset))
+                }
               }
             }
           } else {

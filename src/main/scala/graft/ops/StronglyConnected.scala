@@ -53,6 +53,15 @@ object StronglyConnected {
     * isolated nodes are the caller's concern (as in the weak variant). */
   def components(edges: DataFrame): DataFrame = {
     val Seq(sc, dc) = edges.columns.toSeq.take(2)
+    // Size-gated driver-local Tarjan (optimization round 21, guide
+    // §1.2): the FW-BW loop below pays ~6 lazy-checkpoint frames + 3
+    // count actions per round plus a full label fixpoint — on a gated-
+    // scale graph the identical (node, comp = SCC-min id) labeling is
+    // one collect + one local pass. Gate and parity notes in LocalGraph.
+    LocalGraph.strongComponents(edges.select(F.col(sc), F.col(dc))) match {
+      case Some(local) => return local
+      case None => ()
+    }
     val e0 = edges.select(F.col(sc).as("src"), F.col(dc).as("dst"))
       .where(F.col("src").isNotNull && F.col("dst").isNotNull)
       .distinct()

@@ -1684,6 +1684,33 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(("b", 1L), ("c", 1L), ("d", 2L), ("e", 1L), ("f", 2L)))
   }
 
+  test("graph-shortest-paths: driver-local BFS == distributed loop (round 21 parity)") {
+    // cycles, a hub, parallel routes, and an unconstrained multi-source
+    // sweep — the shapes where a local replay could diverge from the
+    // per-level join/dedup/anti-join loop (sig tie-breaks, settle
+    // rounds, self-reach via cycles)
+    val g =
+      """let E = datatable(src: string, dst: string)[
+        |  'a', 'b', 'b', 'c', 'c', 'a', 'a', 'h', 'b', 'h', 'c', 'h',
+        |  'h', 'z', 'a', 'c', 'z', 'a'];
+        | E | make-graph src --> dst
+        |""".stripMargin
+    for (mode <- Seq("", "output=all ")) {
+      val q = g +
+        s"""|| graph-shortest-paths $mode(s)-[e*1..4]->(t)
+            |   project s = s.node_id, t = t.node_id, hops = array_length(e),
+            |           sig = tostring(e)
+            || order by s asc, t asc, hops asc, sig asc""".stripMargin
+      val local = runG2(q).collect().map(_.toSeq).toSeq
+      sys.props("graft.graph.local") = "off"
+      val dist =
+        try runG2(q).collect().map(_.toSeq).toSeq
+        finally sys.props.remove("graft.graph.local")
+      assert(local == dist, s"mode='$mode'")
+      assert(local.nonEmpty)
+    }
+  }
+
   test("graph-shortest-paths: loop caches are released — no CacheManager entry outlives the query") {
     // The BFS loop caches (edge projection + node set) ride the
     // materialize() query-duration lifecycle: persisted through compile
@@ -2896,7 +2923,12 @@ class KqlCompilerSpec extends AnyFunSuite with BeforeAndAfterAll {
     val n = 12
     val edges = (1 to n).map(i => (i.toLong, (i % n + 1).toLong)).toDF("src", "dst")
     StronglyConnected.resetProbeStats()
-    val comp = StronglyConnected.components(edges).collect()
+    // pin the DISTRIBUTED loop: this spec asserts the fixpoint's driver-
+    // action budget, which the size-gated local Tarjan would bypass
+    sys.props("graft.graph.local") = "off"
+    val comp =
+      try StronglyConnected.components(edges).collect()
+      finally sys.props.remove("graft.graph.local")
     assert(comp.length == n && comp.forall(_.getLong(1) == 1L), "one SCC anchored at min id 1")
     val steps = StronglyConnected.fixpointSteps.get
     val calls = StronglyConnected.minAncestorCalls.get
