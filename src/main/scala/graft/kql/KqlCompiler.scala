@@ -360,15 +360,21 @@ object KqlCompiler {
     // probe job instead of re-running distinct+collect per site)
     private val tabularInProbe =
       new scala.collection.mutable.AnyRefMap[DataFrame, Array[Any]]()
-    private val tabularInCapCount =
-      new scala.collection.mutable.AnyRefMap[DataFrame, Long]()
     private val tabularInFullFetch =
       new scala.collection.mutable.AnyRefMap[DataFrame, Array[Any]]()
-    /** Memoized operand null-freeness probe (one limit-1 count over the
-      * persisted distinct) — the proof the `!in` common-subexpression
-      * rewrite needs (see the negated tier). */
-    private val tabularInNullFree =
-      new scala.collection.mutable.AnyRefMap[DataFrame, Boolean]()
+    /** Memoized (capped distinct count, operand-has-null) — ONE job over
+      * the persisted distinct serves both the Kusto 1M-cap check (the
+      * positive tier) and the null-freeness proof the `!in`
+      * common-subexpression rewrite needs (the negated tier). */
+    private val tabularInStats =
+      new scala.collection.mutable.AnyRefMap[DataFrame, (Long, Boolean)]()
+    private def tabularStats(sub: DataFrame, rawDistinct: DataFrame): (Long, Boolean) =
+      tabularInStats.getOrElseUpdate(sub, {
+        val c = rawDistinct.col(rawDistinct.columns.head)
+        val r = rawDistinct.limit(1000001)
+          .agg(count(lit(1)), max(c.isNull.cast("int"))).head()
+        (r.getLong(0), !r.isNullAt(1) && r.getInt(1) == 1)
+      })
     private val tabularInFrame =
       scala.collection.mutable.Map.empty[(DataFrame, Boolean), DataFrame]
 
@@ -853,10 +859,11 @@ object KqlCompiler {
         // union (KqlCompilerSpec BFS fixtures + the q146 oracle gate).
         val edgesSmall = graft.ops.InterpretedLoop.isSmall(g.edges)
         val localReached: Option[(DataFrame, Long)] =
-          if (g.derivedNodes && edgesSmall)
+          if (g.derivedNodes && edgesSmall) {
+            val (lIn, lOut) = if (forward) (g.srcCol, g.dstCol) else (g.dstCol, g.srcCol)
             prof("localBfs")(graft.ops.LocalGraph.bfsShortestPaths(
-              edges, sources, maxHops, mode == "any"))
-          else None
+              g.edges, lIn, lOut, sources, maxHops, mode == "any"))
+          } else None
         // interpreted-loop scope: every plan inside executes ONCE per
         // compile, so on a small graph janino costs more than it saves
         // (InterpretedLoop scaladoc has the q146 A/B); the final result
@@ -4819,8 +4826,7 @@ object KqlCompiler {
             } else if (!negated) {
               // positive membership rewrites to an EQUI existence/semi
               // join in every context — scale path, nothing collected
-              val n = tabularInCapCount.getOrElseUpdate(sub,
-                rawDistinct.limit(1000001).count())
+              val n = tabularStats(sub, rawDistinct)._1
               if (n > 1000000)
                 throw new KqlParseException(
                   "in (subquery): more than 1,000,000 distinct values (the Kusto cap)")
@@ -4875,10 +4881,7 @@ object KqlCompiler {
                 val reuse =
                   if (posSide == null) None else membershipReuse(df, lhs, posSide)
                 val operandNullFree = reuse.isDefined && (ci ||
-                  tabularInNullFree.getOrElseUpdate(sub, {
-                    val c = rawDistinct.col(rawDistinct.columns.head)
-                    rawDistinct.where(c.isNull).limit(1).count() == 0L
-                  }))
+                  !tabularStats(sub, rawDistinct)._2)
                 if (reuse.isDefined && operandNullFree) {
                   val base = !reuse.get
                   if (df.select(lhs).schema.head.nullable)

@@ -294,23 +294,46 @@ object LocalGraph {
     * Applies only when the id type's CAST(… AS STRING) is replayed
     * exactly (string/long/int — the sig elements) ; returns None past
     * the caps so the distributed loop runs unchanged. */
-  def bfsShortestPaths(edges: DataFrame, sources: DataFrame, maxHops: Int,
+  def bfsShortestPaths(rawEdges: DataFrame, inCol: String, outCol: String,
+                       sources: DataFrame, maxHops: Int,
                        anyMode: Boolean): Option[(DataFrame, Long)] = {
     if (!localEnabled) return None
-    val idType = edges.schema("__bfs_in").dataType
-    idType match {
-      case StringType | LongType | IntegerType => ()
-      case _ => return None
-    }
+    // every edge column must have an exactly-replayable CAST(… AS
+    // STRING) — the per-hop sort key (ekey) and the sig elements are
+    // built from those casts in the distributed loop
+    val fields = rawEdges.schema.fields
+    if (fields.exists(f => f.dataType match {
+      case StringType | LongType | IntegerType => false
+      case _ => true
+    })) return None
+    val iIn = rawEdges.schema.fieldIndex(inCol)
+    val iOut = rawEdges.schema.fieldIndex(outCol)
+    val idType = fields(iIn).dataType
     val srcRows = sources.limit(200001).collect()
     if (srcRows.length > 200000) return None
-    val edgeRows = edges.limit(MaxDriverEdges + 1).collect()
+    // ONE collect of the raw edge columns — the struct, endpoint and
+    // ekey columns of the distributed projection are all derived from
+    // them, so shipping them once is ~3× less driver transfer
+    val edgeRows = rawEdges.limit(MaxDriverEdges + 1).collect()
     if (edgeRows.length > MaxDriverEdges) return None
+    // ekey: concat_ws(U+0001, coalesce(cast(col as string), U+0002))
+    // replayed exactly (supported column types only, checked above)
+    val ekeys = new Array[String](edgeRows.length)
     // adjacency: in-node -> edge row indexes
     val adj = new java.util.HashMap[Any, scala.collection.mutable.ArrayBuffer[Int]]()
     var i = 0
     while (i < edgeRows.length) {
-      val in = edgeRows(i).get(1)
+      val r = edgeRows(i)
+      val sb = new java.lang.StringBuilder()
+      var c = 0
+      while (c < fields.length) {
+        if (c > 0) sb.append('\u0001')
+        val v = r.get(c)
+        sb.append(if (v == null) "\u0002" else idToString(v))
+        c += 1
+      }
+      ekeys(i) = sb.toString
+      val in = r.get(iIn)
       if (in != null) {
         var b = adj.get(in)
         if (b == null) { b = scala.collection.mutable.ArrayBuffer.empty[Int]; adj.put(in, b) }
@@ -333,12 +356,11 @@ object LocalGraph {
         val outEdges = adj.get(at)
         if (outEdges != null) outEdges.foreach { ei =>
           val e = edgeRows(ei)
-          val cur = e.get(2)
+          val cur = e.get(iOut)
           if (!settled.contains((src, cur))) {
             val stepFrom = if (path.isEmpty) idToString(src) else idToString(at)
-            val nsig = sig ::: List(stepFrom, idToString(cur),
-              e.get(3).asInstanceOf[String])
-            val cand = PathRow(src, a, cur, path :+ e.getStruct(0), nsig)
+            val nsig = sig ::: List(stepFrom, idToString(cur), ekeys(ei))
+            val cand = PathRow(src, a, cur, path :+ e, nsig)
             if (anyMode) {
               val k = (src, cur)
               val prev = best.get(k)
@@ -373,7 +395,7 @@ object LocalGraph {
       lvl += 1
     }
     if (aborted) return None
-    val edgeStruct = edges.schema("__bfs_edge").dataType
+    val edgeStruct = StructType(fields)
     val aStruct = sources.schema("__bfs_a").dataType
     val schema = StructType(Seq(
       StructField("__bfs_src", idType, nullable = true),
@@ -381,8 +403,12 @@ object LocalGraph {
       StructField("__bfs_cur", idType, nullable = true),
       StructField("__bfs_path", ArrayType(edgeStruct), nullable = true),
       StructField("__bfs_sig", ArrayType(StringType), nullable = true)))
+    // __bfs_sig is the winnow's internal sort key; the winnow already
+    // ran locally and nothing downstream reads the column, so emit
+    // null instead of converting ~12 strings per row through the
+    // LocalRelation converters
     val list = new java.util.ArrayList[Row](out.length)
-    out.foreach(p => list.add(Row(p.src, p.a, p.cur, p.path, p.sig)))
-    Some((edges.sparkSession.createDataFrame(list, schema), out.length.toLong))
+    out.foreach(p => list.add(Row(p.src, p.a, p.cur, p.path, null)))
+    Some((rawEdges.sparkSession.createDataFrame(list, schema), out.length.toLong))
   }
 }
