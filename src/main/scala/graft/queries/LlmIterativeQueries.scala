@@ -706,11 +706,34 @@ private[queries] trait LlmIterativeQueries extends LlmShared {
 
   private[queries] def qualityClassifierQuery(s0: SparkSession, dir: String): DataFrame = {
     val s = docs(s0, dir)
+    // A gated-scale corpus arrives as ONE parquet split, which serializes
+    // the per-token md5+conv projection — the query's hottest stage (jobs
+    // profile: 3.3 s wall / 2.4 s cpu in a single task at sf0.1) — on one
+    // core. Spread the docs across the session's parallelism BEFORE the
+    // explode (round 21, guide §2.2: partitioning must be scale-adaptive,
+    // not inherited from a one-file layout). At data scale the file
+    // layout already parallelizes and the extra text shuffle would be
+    // pure cost, so the hint is gated the same way as the driver-local
+    // kernels. Values are untouched: the tokenize/bucket projection is
+    // per-row, the feature counts are integers, and the per-doc/bucket
+    // float sums already ride arrival-order-nondeterministic exchanges.
+    // explicit partition count (the session's parallelism — conf-driven,
+    // not a local constant): a bare REPARTITION(doc_id) of a ~5k-row
+    // corpus gets AQE-coalesced straight back to one partition (measured:
+    // the md5 stage re-serialized behind a 1-task shuffle read), while an
+    // explicit N is user-pinned and AQE leaves it alone
+    // perf-A/B hook (not a user knob): -Dgraft.cls.repart=off restores
+    // the one-split scan for interleaved same-JVM comparison
+    val tokSrc =
+      if (!sys.props.get("graft.cls.repart").contains("off") &&
+          graft.ops.InterpretedLoop.isSmall(s.table("documents")))
+        s"(SELECT /*+ REPARTITION(${s.sparkContext.defaultParallelism}, doc_id) */ doc_id, lang, text FROM documents)"
+      else "documents"
     val fx = s.sql(s"""
       WITH tok AS (
         SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
                cast(conv(substr(md5(tok), 1, 8), 16, 10) AS bigint) % $ClsBuckets AS b
-        FROM (SELECT doc_id, lang, explode(split(lower(text), ' ')) AS tok FROM documents)
+        FROM (SELECT doc_id, lang, explode(split(lower(text), ' ')) AS tok FROM $tokSrc)
         WHERE tok != ''),
       feat AS (SELECT doc_id, y, b, cast(count(1) AS double) AS c FROM tok GROUP BY 1, 2, 3),
       ntok AS (SELECT doc_id, sum(c) AS n FROM feat GROUP BY 1)
