@@ -14,6 +14,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Parquet footer schemas keyed by path + (mtime, size), so repeated
+    * reads of the same table skip the per-read schema-INFERENCE job
+    * (`spark.read.parquet` with no declared schema samples footers in a
+    * driver job — 30–100 ms per call here, and a many-file listing+read
+    * at a 100 TB table root). This is the in-repo equivalent of a
+    * metastore-declared schema: METADATA only — no rows, no statistics,
+    * no results are retained, and a changed file (mtime/size) misses the
+    * cache and re-infers. `-Dgraft.schema.cache=off` restores per-read
+    * inference (the A/B hook). */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // Older testdata vintages stored parquet TIMESTAMP(NANOS), which
     // Spark's reader rejects outright; keep reading those as a nanos long
@@ -30,7 +42,21 @@ object Tables {
       if (!spark.experimental.extraOptimizations.exists(_ eq deferRule))
         spark.experimental.extraOptimizations ++= Seq(deferRule)
     }
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val path = s"$sfDir/$name.parquet"
+    val cacheKey: Option[String] =
+      if (sys.props.get("graft.schema.cache").contains("off")) None
+      else try {
+        val a = java.nio.file.Files.readAttributes(
+          java.nio.file.Paths.get(path),
+          classOf[java.nio.file.attribute.BasicFileAttributes])
+        Some(s"$path@${a.lastModifiedTime.toMillis}:${a.size}")
+      } catch { case _: Throwable => None }
+    val df = cacheKey match {
+      case Some(key) =>
+        val schema = schemaCache.computeIfAbsent(key, _ => spark.read.parquet(path).schema)
+        spark.read.schema(schema).parquet(path)
+      case None => spark.read.parquet(path)
+    }
     // Current testdata stores timestamps as TIMESTAMP(MICROS) without a
     // timezone flag, which Spark surfaces as TIMESTAMP_NTZ. The engine's
     // time surface (unix_millis, window(), as-of joins, KQL datetime ring)

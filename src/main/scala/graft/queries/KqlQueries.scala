@@ -913,20 +913,36 @@ object KqlQueries extends QueryModule {
     // hops from part p1, histogram of min-hop counts. The where clause
     // pins the source so Catalyst pushes it into the first node join of
     // every chain; the winnow is ONE window on the endpoint pair.
-    // materialize() persists the edge list once across the 4 chains.
+    // materialize() persists the deduped PAIR set once across the 4
+    // chains. Round 21: the dedup runs over the narrow (l_orderkey,
+    // l_partkey) long pairs ONCE and both string directions are
+    // projected from the deduped set — strcat∘tostring is injective on
+    // longs and the two directions are disjoint by src prefix ('o' vs
+    // 'p'), so the edge set is provably identical to distinct-over-
+    // union-of-strcats while the distinct's shuffle carries half the
+    // rows at a third of the bytes (guide §2.3: narrower types, project
+    // before the exchange). `-Dgraft.sssp.pairdedup=off` restores the
+    // round-20 text (the interleaved-A/B hook).
     "q146_kql_text_graph_sssp" -> ((s, dir) =>
       graft.kql.KqlCompiler.compile(
-        """let E = materialize(lineitem
+        ((if (sys.props.get("graft.sssp.pairdedup").contains("off"))
+          """let E = materialize(lineitem
           |   | project src = strcat('o', tostring(l_orderkey)), dst = strcat('p', tostring(l_partkey))
           |   | union (lineitem | project src = strcat('p', tostring(l_partkey)), dst = strcat('o', tostring(l_orderkey)))
           |   | distinct src, dst);
-          | E
+          | E"""
+        else
+          """let P = materialize(lineitem | distinct l_orderkey, l_partkey);
+          | let E = P
+          |   | project src = strcat('o', tostring(l_orderkey)), dst = strcat('p', tostring(l_partkey))
+          |   | union (P | project src = strcat('p', tostring(l_partkey)), dst = strcat('o', tostring(l_orderkey)));
+          | E""") + """
           | | make-graph src --> dst
           | | graph-shortest-paths (a)-[e*1..4]->(b)
           |   where a.node_id == 'p1'
           |   project b = b.node_id, hops = array_length(e)
           | | summarize n = count() by hops
-          | | order by hops asc""".stripMargin,
+          | | order by hops asc""").stripMargin,
         (n: String) => n match {
           case "lineitem" => Tables.lineitem(s, dir)
           case other => throw new IllegalArgumentException(other)

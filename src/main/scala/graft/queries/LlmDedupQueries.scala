@@ -481,9 +481,40 @@ private[queries] trait LlmDedupQueries extends LlmShared {
     * co-survive random sampling (verified on the corpus — the %5 sample
     * holds 0 of the 25 true pairs), so the audit joins two full
     * scale-sane passes instead. */
-  private[queries] lazy val dedupAuditSql = s"""
-    WITH sh AS (SELECT doc_id, word_shingle_hashes(text, 3) AS shs
-           FROM documents_rp WHERE size(split(lower(text), '\\\\s+')) >= 3),
+  /** The truth side's document sizes and the candidate side's signatures
+    * are each needed at two+ places; Spark inlines every CTE reference,
+    * so each extra reference re-runs the kernel pass (word_shingle_hashes
+    * / minhash_sig over the corpus). Round 21 measures two alternative
+    * shapes per side, interleaved-A/B-selectable via system properties
+    * (`graft.audit.shingle`, `graft.audit.mh` — value `join` restores the
+    * round-20 shape):
+    *  - shingle side `carry`: size(shs) rides the explode into the
+    *    posting lists as a struct field and comes back out of the pair
+    *    group-by via max() (cnt is functionally dependent on doc_id, so
+    *    max = the value) — the separate `n` CTE (a second kernel pass)
+    *    and its two joins disappear;
+    *  - minhash side `carry`: the 12-lane mh array rides the band
+    *    explode, the bucket-count window and the band join, and the
+    *    DISTINCT dedupes (id, mh) pairs (mh functionally dependent on
+    *    doc_id) — two of the three sig kernel passes disappear. */
+  private[queries] def dedupAuditSql: String = {
+    val shingleCarry = !sys.props.get("graft.audit.shingle").contains("join")
+    val mhCarry = !sys.props.get("graft.audit.mh").contains("join")
+    val truthSide =
+      if (shingleCarry) s"""
+    ds AS (SELECT doc_id, cast(size(shs) AS bigint) AS cnt, sid
+           FROM sh LATERAL VIEW explode(shs) st AS sid),
+    posting AS (SELECT sid, collect_list(struct(doc_id, cnt)) AS ids FROM ds GROUP BY sid
+                HAVING count(1) BETWEEN 2 AND $DocFreqCap),
+    common AS (
+      SELECT id_a, id_b, max(cnt_a) AS cnt_a, max(cnt_b) AS cnt_b, count(1) AS cm
+      FROM (SELECT a.doc_id AS id_a, a.cnt AS cnt_a, b.doc_id AS id_b, b.cnt AS cnt_b
+            FROM posting LATERAL VIEW explode(ids) ta AS a LATERAL VIEW explode(ids) tb AS b) p
+      WHERE id_a < id_b GROUP BY id_a, id_b),
+    exact AS (
+      SELECT id_a, id_b, cast(cm AS double) / (cnt_a + cnt_b - cm) AS jaccard
+      FROM common),"""
+      else s"""
     n AS (SELECT doc_id, cast(size(shs) AS bigint) AS cnt FROM sh),
     ds AS (SELECT doc_id, sid FROM sh LATERAL VIEW explode(shs) st AS sid),
     posting AS (SELECT sid, collect_list(doc_id) AS ids FROM ds GROUP BY sid
@@ -495,10 +526,26 @@ private[queries] trait LlmDedupQueries extends LlmShared {
       WHERE id_a < id_b GROUP BY id_a, id_b),
     exact AS (
       SELECT id_a, id_b, cast(cm AS double) / (na.cnt + nb.cnt - cm) AS jaccard
-      FROM common JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id),
-    truth AS (SELECT id_a, id_b FROM exact WHERE jaccard >= 0.5),
-    sig AS (SELECT doc_id, minhash_sig(text) AS mh
-            FROM documents_rp WHERE size(split(lower(text), '\\\\s+')) >= 3),
+      FROM common JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id),"""
+    val candSide =
+      if (mhCarry) s"""
+    bands AS (
+      SELECT doc_id, mh, b,
+             md5(concat_ws(',', cast(element_at(mh, b*3+1) AS string),
+                 cast(element_at(mh, b*3+2) AS string),
+                 cast(element_at(mh, b*3+3) AS string))) AS bh
+      FROM sig LATERAL VIEW explode(sequence(0, 3)) bt AS b),
+    bandsc AS (
+      SELECT doc_id, mh, b, bh, count(1) OVER (PARTITION BY b, bh) AS bsz FROM bands),
+    cand0 AS (
+      SELECT DISTINCT a.doc_id AS id_a, a.mh AS mh_a, b.doc_id AS id_b, b.mh AS mh_b
+      FROM bandsc a JOIN bandsc b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+      WHERE a.bsz <= $BandCap),
+    cand AS (
+      SELECT id_a, id_b FROM cand0
+      WHERE size(filter(sequence(0, 11), k -> element_at(mh_a, k+1) = element_at(mh_b, k+1)))
+              / cast(12 AS double) >= 0.5),"""
+      else s"""
     bands AS (
       SELECT doc_id, b,
              md5(concat_ws(',', cast(element_at(mh, b*3+1) AS string),
@@ -515,7 +562,13 @@ private[queries] trait LlmDedupQueries extends LlmShared {
       SELECT c.id_a, c.id_b
       FROM cand0 c JOIN sig sa ON c.id_a = sa.doc_id JOIN sig sb ON c.id_b = sb.doc_id
       WHERE size(filter(sequence(0, 11), k -> element_at(sa.mh, k+1) = element_at(sb.mh, k+1)))
-              / cast(12 AS double) >= 0.5),
+              / cast(12 AS double) >= 0.5),"""
+    s"""
+    WITH sh AS (SELECT doc_id, word_shingle_hashes(text, 3) AS shs
+           FROM documents_rp WHERE size(split(lower(text), '\\\\s+')) >= 3),$truthSide
+    truth AS (SELECT id_a, id_b FROM exact WHERE jaccard >= 0.5),
+    sig AS (SELECT doc_id, minhash_sig(text) AS mh
+            FROM documents_rp WHERE size(split(lower(text), '\\\\s+')) >= 3),$candSide
     hit AS (SELECT c.id_a FROM cand c JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b),
     cnts AS (SELECT (SELECT count(1) FROM truth) AS n_truth,
                     (SELECT count(1) FROM cand) AS n_cand,
@@ -524,6 +577,7 @@ private[queries] trait LlmDedupQueries extends LlmShared {
            round(CASE WHEN n_cand = 0 THEN 1.0 ELSE cast(n_hit AS double) / n_cand END, 6) AS precision_,
            round(CASE WHEN n_truth = 0 THEN 1.0 ELSE cast(n_hit AS double) / n_truth END, 6) AS recall_
     FROM cnts"""
+  }
 
   private[queries] lazy val dedupAuditOracle = s"""
     WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents),

@@ -154,7 +154,9 @@ object LlmQueries extends QueryModule
     "q155_tfidf_keywords" -> sqlQuery(docs, tfidfSql),
     "q159_pq_ann" -> sqlQuery(embs, pqAnnSql),
     "q161_ppx_buckets" -> sqlQuery(docs, ppxBucketSql),
-    "q164_dedup_audit" -> sqlQuery(docsRp, dedupAuditSql),
+    // re-reads dedupAuditSql per call: the variant props are the
+    // interleaved-A/B hook for the round-21 single-pass restructure
+    "q164_dedup_audit" -> ((s, dir) => docsRp(s, dir).sql(dedupAuditSql)),
     "q168_eval_sampler" -> sqlQuery(docs, evalSamplerSql),
     "q169_emb_outliers" -> sqlQuery(embs, embOutlierSql),
     "q176_bloom_decontam" -> (bloomDecontam(_, _)),
