@@ -33,7 +33,39 @@ private[queries] trait LlmDedupQueries extends LlmShared {
   private[queries] def minhashLanes(minExpr: String => String): String =
     MinhashParams.map { case (a, b) => minExpr(s"($a * hx + $b) % $MinhashP") }.mkString(",\n                   ")
 
-  private[graft] def minhashSql(bandCap: Int = BandCap) = s"""
+  /** Round 21: the 12-lane `mh` array rides the band explode, the
+    * bucket-count window and the band join instead of being re-attached
+    * to candidate pairs by two `sig` self-joins — each join re-ran the
+    * full minhash_sig kernel pass over the corpus (Spark inlines every
+    * CTE reference). mh is functionally dependent on doc_id, so the
+    * pair DISTINCT over (id, mh) pairs is 1:1 with the old id-only
+    * DISTINCT and est_jaccard per pair is unchanged. The band rows
+    * widen by ~100 B against a kernel pass saved per removed join; the
+    * band fan-in is BandCap-bounded at any scale.
+    * `-Dgraft.lsh.mh=join` restores the join shape (A/B hook). */
+  private[graft] def minhashSql(bandCap: Int = BandCap): String = {
+    val carry = !sys.props.get("graft.lsh.mh").contains("join")
+    val candEst =
+      if (carry) s"""
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, a.mh AS mh_a, b.doc_id AS id_b, b.mh AS mh_b
+      FROM bandsc a JOIN bandsc b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+      WHERE a.bsz <= $bandCap),
+    est AS (
+      SELECT id_a, id_b,
+             size(filter(sequence(0, 11), k -> element_at(mh_a, k+1) = element_at(mh_b, k+1))) / cast(12 AS double) AS est_jaccard
+      FROM cand)"""
+      else s"""
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandsc a JOIN bandsc b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+      WHERE a.bsz <= $bandCap),
+    est AS (
+      SELECT id_a, id_b,
+             size(filter(sequence(0, 11), k -> element_at(sa.mh, k+1) = element_at(sb.mh, k+1))) / cast(12 AS double) AS est_jaccard
+      FROM cand JOIN sig sa ON cand.id_a = sa.doc_id JOIN sig sb ON cand.id_b = sb.doc_id)"""
+    val mhCol = if (carry) ", mh" else ""
+    s"""
     WITH sig AS (
       -- minhash_sig is a native codegen'd Expression (graft.functions
       -- .MinhashSignature): shingling + md5 + the 12 min-lanes run as one
@@ -45,21 +77,14 @@ private[queries] trait LlmDedupQueries extends LlmShared {
       SELECT doc_id, minhash_sig(text) AS mh
       FROM documents WHERE size(split(lower(text), '\\\\s+')) >= 3),
     bands AS (
-      SELECT doc_id, b,
+      SELECT doc_id$mhCol, b,
              md5(concat_ws(',', cast(element_at(mh, b*3+1) AS string), cast(element_at(mh, b*3+2) AS string), cast(element_at(mh, b*3+3) AS string))) AS bh
       FROM sig LATERAL VIEW explode(sequence(0, 3)) bt AS b),
     bandsc AS (
       -- bucket-size window shares the (b, bh) shuffle the self-join needs
-      SELECT doc_id, b, bh, count(1) OVER (PARTITION BY b, bh) AS bsz FROM bands),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bandsc a JOIN bandsc b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
-      WHERE a.bsz <= $bandCap),
-    est AS (
-      SELECT id_a, id_b,
-             size(filter(sequence(0, 11), k -> element_at(sa.mh, k+1) = element_at(sb.mh, k+1))) / cast(12 AS double) AS est_jaccard
-      FROM cand JOIN sig sa ON cand.id_a = sa.doc_id JOIN sig sb ON cand.id_b = sb.doc_id)
+      SELECT doc_id$mhCol, b, bh, count(1) OVER (PARTITION BY b, bh) AS bsz FROM bands),$candEst
     SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b"""
+  }
 
   /** The q22 oracle's CTE list up through `est` — shared with the q41
     * cluster oracle, which extends it with a recursive reachability CTE. */
@@ -365,13 +390,36 @@ private[queries] trait LlmDedupQueries extends LlmShared {
     * explode d² for that key, and it cannot by itself push any pair's
     * Jaccard high (both docs have ≥cap other shingles' worth of text
     * only if they share much more than the stop phrase). */
-  private[graft] def ngramJaccardSql(dfCap: Int = DocFreqCap) = s"""
-    WITH sh AS (
-      -- word_shingle_hashes (native Expression): tokenize + shingle +
-      -- xxhash64 in one codegen'd loop per row; only 8-byte hashes are
-      -- exploded and shuffled, never shingle strings.
-      SELECT doc_id, word_shingle_hashes(text, 3) AS shs
-      FROM documents WHERE size(split(lower(text), '\\\\s+')) >= 3),
+  /** Round 21: the per-doc shingle count rides the explode into the
+    * posting lists as a struct field and comes back out of the pair
+    * group-by via max() (cnt is functionally dependent on doc_id) — the
+    * separate `n` CTE re-ran the word_shingle_hashes kernel pass over
+    * the corpus (Spark inlines every CTE reference) and joined it back
+    * twice. Posting entries widen by 8 B against a kernel pass saved;
+    * the posting fan-in is df-capped at any scale.
+    * `-Dgraft.jaccard.cnt=join` restores the join shape (A/B hook). */
+  private[graft] def ngramJaccardSql(dfCap: Int = DocFreqCap): String = {
+    val carry = !sys.props.get("graft.jaccard.cnt").contains("join")
+    val body =
+      if (carry) s"""
+    ds AS (SELECT doc_id, cast(size(shs) AS bigint) AS cnt, sid
+           FROM sh LATERAL VIEW explode(shs) st AS sid),
+    posting AS (
+      SELECT sid, collect_list(struct(doc_id, cnt)) AS ids FROM ds GROUP BY sid
+      HAVING count(1) BETWEEN 2 AND $dfCap),
+    common AS (
+      SELECT id_a, id_b, max(cnt_a) AS cnt_a, max(cnt_b) AS cnt_b, count(1) AS cm
+      FROM (SELECT a.doc_id AS id_a, a.cnt AS cnt_a, b.doc_id AS id_b, b.cnt AS cnt_b
+            FROM posting
+            LATERAL VIEW explode(ids) ta AS a
+            LATERAL VIEW explode(ids) tb AS b) p
+      WHERE id_a < id_b
+      GROUP BY id_a, id_b)
+    SELECT id_a, id_b, cast(cm AS double) / (cnt_a + cnt_b - cm) AS jaccard
+    FROM common
+    WHERE cast(cm AS double) / (cnt_a + cnt_b - cm) >= 0.4
+    ORDER BY id_a, id_b"""
+      else s"""
     n AS (SELECT doc_id, cast(size(shs) AS bigint) AS cnt FROM sh),
     ds AS (SELECT doc_id, sid FROM sh LATERAL VIEW explode(shs) st AS sid),
     posting AS (
@@ -389,6 +437,14 @@ private[queries] trait LlmDedupQueries extends LlmShared {
     FROM common JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
     WHERE cast(cm AS double) / (na.cnt + nb.cnt - cm) >= 0.4
     ORDER BY id_a, id_b"""
+    s"""
+    WITH sh AS (
+      -- word_shingle_hashes (native Expression): tokenize + shingle +
+      -- xxhash64 in one codegen'd loop per row; only 8-byte hashes are
+      -- exploded and shuffled, never shingle strings.
+      SELECT doc_id, word_shingle_hashes(text, 3) AS shs
+      FROM documents WHERE size(split(lower(text), '\\\\s+')) >= 3),$body"""
+  }
 
   private[graft] def ngramJaccardOracle(dfCap: Int = DocFreqCap) = s"""
     WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents),
@@ -569,10 +625,17 @@ private[queries] trait LlmDedupQueries extends LlmShared {
     truth AS (SELECT id_a, id_b FROM exact WHERE jaccard >= 0.5),
     sig AS (SELECT doc_id, minhash_sig(text) AS mh
             FROM documents_rp WHERE size(split(lower(text), '\\\\s+')) >= 3),$candSide
-    hit AS (SELECT c.id_a FROM cand c JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b),
-    cnts AS (SELECT (SELECT count(1) FROM truth) AS n_truth,
-                    (SELECT count(1) FROM cand) AS n_cand,
-                    (SELECT count(1) FROM hit) AS n_hit)
+    j AS (
+      -- both pair sets are unique per (id_a, id_b) (cand via DISTINCT,
+      -- truth via the pair group-by), so ONE full outer join yields all
+      -- three counts in a single pass — the old three scalar subqueries
+      -- re-ran the cand subtree twice and the truth subtree twice
+      SELECT (c.id_a IS NOT NULL) AS in_c, (t.id_a IS NOT NULL) AS in_t
+      FROM cand c FULL JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b),
+    cnts AS (SELECT coalesce(sum(CASE WHEN in_t THEN 1 ELSE 0 END), cast(0 AS bigint)) AS n_truth,
+                    coalesce(sum(CASE WHEN in_c THEN 1 ELSE 0 END), cast(0 AS bigint)) AS n_cand,
+                    coalesce(sum(CASE WHEN in_c AND in_t THEN 1 ELSE 0 END), cast(0 AS bigint)) AS n_hit
+             FROM j)
     SELECT n_truth, n_cand, n_hit,
            round(CASE WHEN n_cand = 0 THEN 1.0 ELSE cast(n_hit AS double) / n_cand END, 6) AS precision_,
            round(CASE WHEN n_truth = 0 THEN 1.0 ELSE cast(n_hit AS double) / n_truth END, 6) AS recall_
@@ -641,16 +704,27 @@ private[queries] trait LlmDedupQueries extends LlmShared {
     * with candidates RESTRICTED to new×old at the band join (the new
     * side is delta-sized, so candidate volume is O(|delta|·bucket),
     * independent of corpus size). */
-  private[queries] lazy val incrementalDedupSql = s"""
-    WITH sig AS (
-      SELECT doc_id, minhash_sig(text) AS mh
-      FROM documents WHERE size(split(lower(text), '\\\\s+')) >= 3),
-    bands AS (
-      SELECT doc_id, b,
-             md5(concat_ws(',', cast(element_at(mh, b*3+1) AS string), cast(element_at(mh, b*3+2) AS string), cast(element_at(mh, b*3+3) AS string))) AS bh
-      FROM sig LATERAL VIEW explode(sequence(0, 3)) bt AS b),
-    bandsc AS (
-      SELECT doc_id, b, bh, count(1) OVER (PARTITION BY b, bh) AS bsz FROM bands),
+  /** Round 21: same mh-carry as [[minhashSql]] — the two `sig` joins
+    * that re-attached signatures to new×old candidates each re-ran the
+    * minhash_sig kernel pass; the arrays now ride the band join and the
+    * pair DISTINCT ((id, mh) is 1:1 with id). `-Dgraft.lsh.mh=join`
+    * restores the join shape (shared A/B hook). */
+  private[queries] def incrementalDedupSql: String = {
+    val carry = !sys.props.get("graft.lsh.mh").contains("join")
+    val mhCol = if (carry) ", mh" else ""
+    val candNear =
+      if (carry) s"""
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, n.mh AS mh_n, o.doc_id AS old_id, o.mh AS mh_o
+      FROM bandsc n JOIN bandsc o ON n.b = o.b AND n.bh = o.bh
+      WHERE n.doc_id % 3 = 0 AND o.doc_id % 3 != 0 AND n.bsz <= $BandCap),
+    near0 AS (
+      SELECT DISTINCT new_id FROM (
+        SELECT new_id,
+               size(filter(sequence(0, 11), k -> element_at(mh_n, k+1) = element_at(mh_o, k+1))) / cast(12 AS double) AS ej
+        FROM cand)
+      WHERE ej >= 0.5),"""
+      else s"""
     cand AS (
       SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
       FROM bandsc n JOIN bandsc o ON n.b = o.b AND n.bh = o.bh
@@ -660,7 +734,17 @@ private[queries] trait LlmDedupQueries extends LlmShared {
         SELECT cand.new_id,
                size(filter(sequence(0, 11), k -> element_at(sa.mh, k+1) = element_at(sb.mh, k+1))) / cast(12 AS double) AS ej
         FROM cand JOIN sig sa ON cand.new_id = sa.doc_id JOIN sig sb ON cand.old_id = sb.doc_id)
-      WHERE ej >= 0.5),
+      WHERE ej >= 0.5),"""
+    s"""
+    WITH sig AS (
+      SELECT doc_id, minhash_sig(text) AS mh
+      FROM documents WHERE size(split(lower(text), '\\\\s+')) >= 3),
+    bands AS (
+      SELECT doc_id$mhCol, b,
+             md5(concat_ws(',', cast(element_at(mh, b*3+1) AS string), cast(element_at(mh, b*3+2) AS string), cast(element_at(mh, b*3+3) AS string))) AS bh
+      FROM sig LATERAL VIEW explode(sequence(0, 3)) bt AS b),
+    bandsc AS (
+      SELECT doc_id$mhCol, b, bh, count(1) OVER (PARTITION BY b, bh) AS bsz FROM bands),$candNear
     hashes AS (SELECT doc_id, source, md5(lower(text)) AS h FROM documents),
     exact0 AS (
       SELECT DISTINCT n.doc_id AS new_id
@@ -676,6 +760,7 @@ private[queries] trait LlmDedupQueries extends LlmShared {
     LEFT JOIN exact0 e ON e.new_id = d.doc_id
     LEFT JOIN near0 nr ON nr.new_id = d.doc_id
     GROUP BY source ORDER BY source"""
+  }
 
   private[queries] def incrementalDedupOracle: String = s"""
     WITH toks AS (

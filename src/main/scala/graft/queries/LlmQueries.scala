@@ -98,9 +98,10 @@ object LlmQueries extends QueryModule
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_exact_dedup" -> (exactDedup(_, _)),
-    "q22_minhash_lsh" -> sqlQuery(docs, minhashSql()),
+    // per-call SQL text: the carry/join variant props are A/B hooks
+    "q22_minhash_lsh" -> ((s, dir) => docs(s, dir).sql(minhashSql())),
     "q23_simhash" -> sqlQuery(docs, simhashSql),
-    "q24_ngram_jaccard" -> sqlQuery(docs, ngramJaccardSql()),
+    "q24_ngram_jaccard" -> ((s, dir) => docs(s, dir).sql(ngramJaccardSql())),
     "q25_knn_bruteforce" -> sqlQuery(embs, knnSql),
     "q26_knn_lsh" -> sqlQuery(embs, lshKnnSql),
     "q27_token_stats" -> sqlQuery(docs, tokenStatsSql),
@@ -172,7 +173,7 @@ object LlmQueries extends QueryModule
     "q200_pipeline_funnel" -> sqlQuery(docs, pipelineFunnelSql),
     "q205_html_extract" -> sqlQuery(docs, htmlExtractSql),
     "q211_url_canon" -> sqlQuery(docs, urlCanonSql),
-    "q202_incremental_dedup" -> sqlQuery(docs, incrementalDedupSql),
+    "q202_incremental_dedup" -> ((s, dir) => docs(s, dir).sql(incrementalDedupSql)),
     "q247_unigram_vocab" -> (unigramVocabQuery(_, _)),
     "q248_unigram_segment" -> (unigramSegmentQuery(_, _)))
 
