@@ -31,6 +31,28 @@ object Tables {
     // Spark's reader rejects outright; keep reading those as a nanos long
     // (TESTDATA tables are driver-generated, not ours to rewrite).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Engine execution policy (round 21, guide §2.2): coalesce
+    // post-shuffle partitions to the advisory SIZE rather than keeping
+    // ~defaultParallelism tiny tasks. Spark's `parallelismFirst=true`
+    // default ignores advisoryPartitionSizeInBytes and floors partitions
+    // at minPartitionSize (1 MB) to maximize parallelism — the setting
+    // the docs themselves recommend turning off for resource efficiency.
+    // Measured here: a 32-core run spent more wall scheduling 32 micro-
+    // tasks per exchange than an 8-core run spent computing (full-suite
+    // 153 s at 32c vs 123 s at 8c, median per-query 8c/32c ratio 0.80);
+    // with size-first coalescing, per-query interleaved A/Bs improve up
+    // to 1.44× (q226 1.41→0.98 s) across the KQL/relational families.
+    // At data scale this is the guide's recommended posture outright
+    // (fewer, larger reduce partitions). Sessions whose stages are
+    // byte-small but CPU-superlinear (the LLM dedup/kernel module) opt
+    // OUT via the marker conf set in LlmShared.registerFunctions —
+    // bytes do not predict CPU for posting-list pair explodes, and
+    // size-first coalescing serialized their hottest loops (measured
+    // q24 2.15→3.23 s). `-Dgraft.aqe.parallelismFirst=default` leaves
+    // Spark's default everywhere (the A/B hook).
+    if (!sys.props.get("graft.aqe.parallelismFirst").contains("default") &&
+        !spark.conf.getOption("spark.graft.aqe.keepParallelismFirst").contains("true"))
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
     // Self-install the trailing-sort projection deferral (see the rule's
     // doc) for sessions built without GraftExtensions — every engine
     // query reads through here, the NanosTimePushdown pattern. The

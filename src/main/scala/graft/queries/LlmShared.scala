@@ -30,6 +30,18 @@ private[queries] trait LlmShared {
     GraftFunctions.registerMinhash(s, MinhashParams, MinhashP)
     s.conf.set("spark.sql.optimizer.excludedRules",
       "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+    // Keep Spark's parallelism-first AQE coalescing for THIS module
+    // (opting out of the size-first engine default Tables.apply sets,
+    // round 21): these queries' post-shuffle stages are byte-small but
+    // CPU-superlinear (posting-list pair explodes, per-token kernels),
+    // so coalescing them to advisory SIZE serializes the hottest loops
+    // — measured: q24 2.15→3.23 s, q164 2.47→3.29 s, q53 1.95→2.78 s
+    // under size-first. Bytes do not predict CPU here; the default's
+    // parallelism floor does the right thing. This also keeps the
+    // float-state loops' partitioning (q111/q144/q64/q65) byte-
+    // identical to prior rounds. The marker conf is read by
+    // Tables.apply, which runs AFTER this in the view builders.
+    s.conf.set("spark.graft.aqe.keepParallelismFirst", "true")
   }
 
   /** LLM queries run in a CHILD session (`newSession`: same
